@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, FloatType, StringType}
+
+import graft.expr._
+
+/**
+ * Column-level API for the engine's custom Catalyst expressions (SURVEY
+ * §2.10), mirroring the style of `org.apache.spark.sql.functions`. All of
+ * these are native expressions with codegen — no Scala UDF indirection.
+ *
+ * `registerAll(spark)` additionally exposes them to SQL:
+ * `cosine_similarity`, `cosine_distance`, `dot_product`, `l2_normalize`,
+ * `l2_norm`, `normalize_text`, `normalize_query_text`, `hash_embed`,
+ * `chunk_document`.
+ */
+object functions {
+
+  private def col(e: Expression): Column = Bridge.column(e)
+  // Vector/string arguments are wrapped in casts so callers can pass
+  // ARRAY<DOUBLE> literals etc.; Catalyst's SimplifyCasts removes the no-ops.
+  private def ex(c: Column): Expression = Bridge.expression(c)
+  private def fvec(e: Expression): Expression = Cast(e, ArrayType(FloatType))
+  private def fvec(c: Column): Expression = fvec(ex(c))
+  private def str(e: Expression): Expression = Cast(e, StringType)
+  private def str(c: Column): Expression = str(ex(c))
+
+  def cosine_similarity(a: Column, b: Column): Column = col(CosineSimilarity(fvec(a), fvec(b)))
+  def cosine_distance(a: Column, b: Column): Column = col(CosineDistance(fvec(a), fvec(b)))
+  def dot_product(a: Column, b: Column): Column = col(DotProduct(fvec(a), fvec(b)))
+  def l2_normalize(a: Column): Column = col(L2Normalize(fvec(a)))
+  def l2_norm(a: Column): Column = col(L2Norm(fvec(a)))
+
+  /** Index-side text normalization (empty → null). */
+  def normalize_text(c: Column, preserveWhitespace: Boolean = false): Column =
+    col(NormalizeText(str(c), queryMode = false, preserveWhitespace = preserveWhitespace))
+
+  /** Query-side text normalization (empty → " "). */
+  def normalize_query_text(c: Column): Column =
+    col(NormalizeText(str(c), queryMode = true))
+
+  /** Deterministic stub embedding (FIXTURES.md §4). */
+  def hash_embed(c: Column, dim: Int = 64, seed: Long = 42L): Column =
+    col(HashEmbed(str(c), dim, seed))
+
+  /** Generator: explodes a document into chunk rows
+    * (`chunk_text, chunk_index, page_number`). */
+  def chunk_document(text: Column, chunkSize: Column, overlap: Column): Column =
+    col(ChunkDocument(ex(text), ex(chunkSize), ex(overlap)))
+
+  /** Register all custom expressions as SQL functions on this session. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_similarity",
+      es => CosineSimilarity(fvec(es(0)), fvec(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("cosine_distance",
+      es => CosineDistance(fvec(es(0)), fvec(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("dot_product",
+      es => DotProduct(fvec(es(0)), fvec(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("l2_normalize",
+      es => L2Normalize(fvec(es.head)), "built-in")
+    reg.createOrReplaceTempFunction("l2_norm",
+      es => L2Norm(fvec(es.head)), "built-in")
+    reg.createOrReplaceTempFunction("normalize_text",
+      es => NormalizeText(str(es.head)), "built-in")
+    reg.createOrReplaceTempFunction("normalize_query_text",
+      es => NormalizeText(str(es.head), queryMode = true), "built-in")
+    reg.createOrReplaceTempFunction("hash_embed",
+      es => HashEmbed(str(es.head)), "built-in")
+    reg.createOrReplaceTempFunction("chunk_document",
+      es => ChunkDocument(es(0), es(1), es(2)), "built-in")
+  }
+}

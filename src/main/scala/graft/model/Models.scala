@@ -1,0 +1,68 @@
+package graft.model
+
+/**
+ * Typed data model (SURVEY §1.1): the public ingest/query API surfaces
+ * `Dataset[_]` of these case classes; engine internals stay `DataFrame` so
+ * Catalyst can optimize freely (SURVEY §1.3).
+ */
+
+/** Mirror of the reference's `Document` dataclass
+  * (`/root/reference/document_processor.py:39-42`). */
+final case class Document(page_content: String, metadata: DocMetadata)
+
+/** The closed metadata-field set produced by the reference's
+  * `extract_document_metadata` (`/root/reference/document_processor.py:57-73`)
+  * plus the PDF-path `page_number` (`:471-472`). Dates are ISO-8601 strings
+  * at the API edge, as in the reference. */
+final case class DocMetadata(
+    file_path: String,
+    file_type: String,
+    file_name: String,
+    creation_date: String,
+    modification_date: String,
+    hash: String,
+    document_type: String,
+    page_number: Option[Int] = None)
+
+/** One vector record — a cell of the reference's TileDB sparse array
+  * (`/root/reference/vector_db_creator.py:251-267`). */
+final case class Chunk(
+    id: Long,
+    vector: Array[Float],
+    text: String,
+    metadata: DocMetadata)
+
+/** Query result row with injected score fields
+  * (`/root/reference/vector_db_query.py:232-233`). */
+final case class SearchHit(
+    id: Long,
+    text: String,
+    metadata: DocMetadata,
+    similarity_score: Double,
+    distance: Double)
+
+/** `index_metadata.json` contents
+  * (`/root/reference/vector_db_creator.py:346-354`). */
+final case class IndexMetadata(
+    distance_metric: String,
+    dimensions: Int,
+    vector_type: String,
+    index_type: String,
+    num_vectors: Long)
+
+/** Catalog entry per database
+  * (`/root/reference/config.py:64-67,95,175-181`). */
+final case class DatabaseInfo(
+    model: String,
+    chunk_size: Int,
+    chunk_overlap: Int)
+
+/** Per-file citation produced by the RAG answer path
+  * (`/root/reference/utilities.py:24-77`). */
+final case class Citation(
+    file_name: String,
+    file_path: String,
+    file_type: String,
+    score_range: String,
+    pages: String,
+    min_score: Double)

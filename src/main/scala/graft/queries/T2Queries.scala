@@ -1,0 +1,337 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{cosine_similarity, hash_embed, l2_norm, normalize_text}
+
+/**
+ * The 40 declared t2 verification queries (SURVEY §2.11), each implemented
+ * with the DataFrame API (Catalyst-optimizable) plus, where SQL-expressible,
+ * a DuckDB-dialect oracle the driver runs over the same parquet tables.
+ *
+ * Conventions (SURVEY §2.11): deterministic total order, floats rounded to 4
+ * decimals (money to 2), aggregate/computed columns aliased identically on
+ * both sides. Dialect notes: Spark `sha2(x,256)` ↔ DuckDB `sha256(x)`;
+ * Spark `get_json_object` ↔ DuckDB `json_extract_string`; DuckDB
+ * `regexp_replace` needs the `'g'` flag to match Spark's replace-all;
+ * DuckDB `sum(BIGINT)` returns HUGEINT so oracles cast back to BIGINT;
+ * DuckDB casts DOUBLE→BIGINT by rounding (Spark truncates) so integer sums
+ * go through `floor` on both sides.
+ */
+object T2Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
+    // rejects; read it as long nanos and truncate to microseconds — the same
+    // coercion DuckDB applies, so oracle comparisons agree.
+    if (name == "events") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/$name.parquet")
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    } else s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Fixed 64-dim query vector for Q16/Q18 (SURVEY Q16: all-0.125). */
+  private val qvecScala: Array[Float] = Array.fill(64)(0.125f)
+  private val qvecSql: String = Array.fill(64)("0.125").mkString("[", ", ", "]")
+
+  /** Scored embeddings scan shared by Q16/Q18: cosine vs the fixed query
+    * vector, rounded before ordering so the order is reproducible across
+    * engines despite float32 noise (ties broken by vec_id). */
+  private def scored(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(
+      col("vec_id"),
+      round(cosine_similarity(col("embedding"), typedLit(qvecScala)), 4).as("sim"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / sinks (S1-S16) ----
+    "q01_count_by_source" -> ((s, d) =>
+      t(s, d, "documents").groupBy("source").agg(count("*").as("n")).orderBy("source")),
+    "q02_flatten" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), concat_ws(" ", col("lang"), col("source")).as("flat"))
+        .orderBy("doc_id").limit(50)),
+    "q03_write_stats" -> ((s, d) =>
+      t(s, d, "documents").agg(count("*").as("n"), sum("n_chars").as("c"))),
+    "q04_count_by_lang" -> ((s, d) =>
+      t(s, d, "documents").groupBy("lang").agg(count("*").as("n")).orderBy("lang")),
+    "q05_meta_scan" -> ((s, d) =>
+      t(s, d, "documents").filter(col("doc_id") < 20)
+        .select("doc_id", "source").orderBy("doc_id")),
+
+    // ---- projections / scalar transforms (O1-O15) ----
+    "q06_sha256" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        .orderBy("doc_id").limit(100)),
+    "q07_meta_projection" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), length(col("text")).as("len"),
+        substring(col("text"), 1, 10).as("head")).orderBy("doc_id").limit(100)),
+    "q08_normalize_ascii" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        trim(regexp_replace(col("text"), " +", " ")).as("norm"))
+        .orderBy("doc_id").limit(100)),
+    "q09_prompt_prefix" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        concat(lit("Query: "), substring(col("text"), 1, 20)).as("prompted"))
+        .orderBy("doc_id").limit(50)),
+    "q10_id_lookup_join" -> ((s, d) => {
+      val e = t(s, d, "embeddings").filter(col("label") === 3)
+      val doc = t(s, d, "documents")
+      e.join(doc, e("vec_id") === doc("doc_id"))
+        .select(e("vec_id"), doc("lang")).orderBy("vec_id")
+    }),
+    "q11_json_extract" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .orderBy("event_id").limit(200)),
+    "q12_regex_replace" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), "the", "THE").as("r"))
+        .orderBy("doc_id").limit(50)),
+    "q13_context_banner" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        concat(lit("CTX "), col("doc_id").cast("string"), lit(" | "), col("source"))
+          .as("banner")).orderBy("doc_id").limit(50)),
+    "q14_l2_norm" -> ((s, d) =>
+      t(s, d, "embeddings").select(col("vec_id"),
+        round(l2_norm(col("embedding")), 4).as("l2")).orderBy("vec_id").limit(100)),
+    "q15_dist_to_sim" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(col("vec_id"), (col("label").cast("double") / 10).as("value"))
+        .select(col("vec_id"),
+          round(least(greatest(lit(1.0) - col("value"), lit(0.0)), lit(1.0)), 4).as("sim"))
+        .orderBy("vec_id").limit(100)),
+    "q16_topk_cosine" -> ((s, d) =>
+      scored(s, d).orderBy(col("sim").desc, col("vec_id")).limit(6)),
+
+    // ---- filters (F1-F7) ----
+    "q17_nonempty_filter" -> ((s, d) =>
+      t(s, d, "documents").filter(length(trim(col("text"))) > 0).agg(count("*").as("n"))),
+    "q18_threshold_after_topk" -> ((s, d) =>
+      // semantics pin (SURVEY §4.1): threshold applies AFTER the top-k limit
+      // (0.2 splits the sf0.01 top-50 so the filter is non-trivial)
+      scored(s, d).orderBy(col("sim").desc, col("vec_id")).limit(50)
+        .filter(col("sim") >= 0.2).orderBy(col("sim").desc, col("vec_id"))),
+    "q41_postfilter_after_topk" -> ((s, d) =>
+      // non-monotone post-top-k filter — the ordering that Catalyst must NOT
+      // "fix" by pushing the predicate through the limit (SURVEY §4.1.1):
+      // result is the subset of the global top-50 with even vec_id, NOT the
+      // top-50 even-id rows.
+      scored(s, d).orderBy(col("sim").desc, col("vec_id")).limit(50)
+        .filter(col("vec_id") % 2 === 0).orderBy(col("sim").desc, col("vec_id"))),
+    "q19_term_filter" -> ((s, d) =>
+      // case-insensitive containment via (?i) regex rather than
+      // contains(lower(..)): Spark 4's collation-aware lower() pays a ~15 s
+      // one-time ICU init on executors and ~5x per-row cost; the regex path
+      // is equivalent for a quoted literal term and stays cheap at scale
+      t(s, d, "documents").filter(col("text").rlike("(?i)spark"))
+        .select("doc_id").orderBy("doc_id")),
+    "q20_doctype_filter" -> ((s, d) =>
+      t(s, d, "documents").filter(col("lang") === "es").select("doc_id").orderBy("doc_id")),
+
+    // ---- joins (J1-J2 + extensions) ----
+    "q21_chunk_doc_join" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val doc = t(s, d, "documents")
+      e.join(doc, e("vec_id") === doc("doc_id"))
+        .groupBy(doc("source")).agg(count("*").as("n")).orderBy("source")
+    }),
+    "q22_semi_join" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      o.join(c, o("o_custkey") === c("c_custkey"), "left_semi")
+        .select("o_orderkey").orderBy("o_orderkey").limit(500)
+    }),
+    "q23_anti_join" -> ((s, d) => {
+      // every customer has an order at sf0.01, so anti-join against the
+      // high-value subset to produce a non-degenerate result
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+    "q24_outer_join" -> ((s, d) => {
+      val n = t(s, d, "nation")
+      val sup = t(s, d, "supplier")
+      n.join(sup, sup("s_nationkey") === n("n_nationkey"), "left")
+        .groupBy(n("n_name")).agg(count(sup("s_suppkey")).as("n")).orderBy("n_name")
+    }),
+
+    // ---- aggregations (A1-A7 + extensions) ----
+    "q25_citation_ranges" -> ((s, d) =>
+      t(s, d, "documents").groupBy("source").agg(
+        min("n_chars").as("lo"), max("n_chars").as("hi"), count("*").as("n"))
+        .orderBy("lo", "source")),
+    "q26_distinct_sets" -> ((s, d) =>
+      t(s, d, "documents").groupBy("lang")
+        .agg(countDistinct("source").as("nsrc")).orderBy("lang")),
+    "q27_value_stats" -> ((s, d) =>
+      t(s, d, "events").agg(round(min("value"), 4).as("mn"),
+        round(max("value"), 4).as("mx"), round(avg("value"), 4).as("av"),
+        count("*").as("n"))),
+    "q28_sum_by_type" -> ((s, d) =>
+      t(s, d, "events").groupBy("event_type")
+        .agg(sum(floor(col("value"))).as("s")).orderBy("event_type")),
+    "q29_count_lineitem" -> ((s, d) => t(s, d, "lineitem").agg(count("*").as("n"))),
+    "q30_rollup" -> ((s, d) =>
+      t(s, d, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum("l_extendedprice"), 2).as("s"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    "q31_distinct_agg" -> ((s, d) =>
+      t(s, d, "lineitem").agg(countDistinct("l_partkey").as("n"))),
+
+    // ---- sorts / limits (K1-K5) ----
+    "q32_length_sort" -> ((s, d) =>
+      t(s, d, "documents").orderBy(col("n_chars").desc, col("doc_id"))
+        .select("doc_id").limit(100)),
+
+    // ---- set operations (extensions) ----
+    "q33_union" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      doc.filter(col("lang") === "es").select(col("doc_id").as("x"))
+        .unionAll(doc.filter(col("lang") === "zh").select(col("doc_id").as("x")))
+        .orderBy("x")
+    }),
+    "q34_intersect" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      doc.filter(col("lang") === "es").select("doc_id")
+        .intersect(doc.filter(col("n_chars") > 200).select("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- windows (extensions) ----
+    "q35_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, d, "customer").withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 3).select("c_custkey", "rnk").orderBy("c_custkey")
+    }),
+    "q36_window_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey")).rowsBetween(-2, 0)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), round(sum("o_totalprice").over(w), 2).as("r"))
+        .orderBy("o_orderkey").limit(500)
+    }),
+
+    // ---- dates / streaming-shape aggregations ----
+    "q37_date_group" -> ((s, d) =>
+      t(s, d, "orders").select(col("o_orderdate").cast("date").as("d"))
+        .groupBy("d").agg(count("*").as("n")).orderBy("d").limit(365)),
+    "q38_tumbling_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count("*").as("n"), round(sum("value"), 2).as("s"))
+        .orderBy("h", "event_type")),
+    "q39_per_user_stats" -> ((s, d) =>
+      t(s, d, "events").groupBy("user_id")
+        .agg(count("*").as("n"), max("ts").as("last_ts")).orderBy("user_id")),
+
+    // ---- end-to-end retrieval slice (Q40; rows-only check, SURVEY §5.5) ----
+    "q40_retrieval_e2e" -> ((s, d) => {
+      import graft.functions.{chunk_document, normalize_query_text}
+      val qv = hash_embed(normalize_query_text(
+        lit("the quick analysis of lineitem shipping data")))
+      val chunks = t(s, d, "documents")
+        .select(col("doc_id"), chunk_document(col("text"), lit(120), lit(60)))
+        .select(col("doc_id"), col("chunk_index"),
+          normalize_text(col("chunk_text")).as("text"))
+        .filter(col("text").isNotNull)
+        .withColumn("id", xxhash64(col("doc_id"), col("chunk_index")))
+      chunks
+        .select(col("id"), col("doc_id"), col("text"),
+          round(cosine_similarity(hash_embed(col("text")), qv), 4).as("sim"))
+        .orderBy(col("sim").desc, col("id")).limit(6)
+        .filter(col("sim") >= 0.15)
+        .orderBy(col("sim").desc, col("id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_count_by_source" ->
+      "SELECT source, count(*) AS n FROM documents GROUP BY source ORDER BY source",
+    "q02_flatten" ->
+      "SELECT doc_id, concat_ws(' ', lang, source) AS flat FROM documents ORDER BY doc_id LIMIT 50",
+    "q03_write_stats" ->
+      "SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS c FROM documents",
+    "q04_count_by_lang" ->
+      "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
+    "q05_meta_scan" ->
+      "SELECT doc_id, source FROM documents WHERE doc_id < 20 ORDER BY doc_id",
+    "q06_sha256" ->
+      "SELECT doc_id, sha256(text) AS h FROM documents ORDER BY doc_id LIMIT 100",
+    "q07_meta_projection" ->
+      "SELECT doc_id, length(text) AS len, substr(text, 1, 10) AS head FROM documents ORDER BY doc_id LIMIT 100",
+    "q08_normalize_ascii" ->
+      "SELECT doc_id, trim(regexp_replace(text, ' +', ' ', 'g')) AS norm FROM documents ORDER BY doc_id LIMIT 100",
+    "q09_prompt_prefix" ->
+      "SELECT doc_id, concat('Query: ', substr(text, 1, 20)) AS prompted FROM documents ORDER BY doc_id LIMIT 50",
+    "q10_id_lookup_join" ->
+      "SELECT e.vec_id, d.lang FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id WHERE e.label = 3 ORDER BY e.vec_id",
+    "q11_json_extract" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id LIMIT 200",
+    "q12_regex_replace" ->
+      "SELECT doc_id, regexp_replace(text, 'the', 'THE', 'g') AS r FROM documents ORDER BY doc_id LIMIT 50",
+    "q13_context_banner" ->
+      "SELECT doc_id, concat('CTX ', CAST(doc_id AS VARCHAR), ' | ', source) AS banner FROM documents ORDER BY doc_id LIMIT 50",
+    "q14_l2_norm" ->
+      "SELECT vec_id, round(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)*x), 'sum')), 4) AS l2 FROM embeddings ORDER BY vec_id LIMIT 100",
+    "q15_dist_to_sim" ->
+      "SELECT vec_id, round(least(greatest(1.0 - value, 0.0), 1.0), 4) AS sim FROM (SELECT vec_id, CAST(label AS DOUBLE)/10 AS value FROM embeddings) t ORDER BY vec_id LIMIT 100",
+    "q16_topk_cosine" ->
+      s"SELECT vec_id, round(list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)), $qvecSql), 4) AS sim FROM embeddings ORDER BY sim DESC, vec_id LIMIT 6",
+    "q17_nonempty_filter" ->
+      "SELECT count(*) AS n FROM documents WHERE length(trim(text)) > 0",
+    "q18_threshold_after_topk" ->
+      s"SELECT * FROM (SELECT vec_id, round(list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)), $qvecSql), 4) AS sim FROM embeddings ORDER BY sim DESC, vec_id LIMIT 50) t WHERE sim >= 0.2 ORDER BY sim DESC, vec_id",
+    "q41_postfilter_after_topk" ->
+      s"SELECT * FROM (SELECT vec_id, round(list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)), $qvecSql), 4) AS sim FROM embeddings ORDER BY sim DESC, vec_id LIMIT 50) t WHERE vec_id % 2 = 0 ORDER BY sim DESC, vec_id",
+    "q19_term_filter" ->
+      "SELECT doc_id FROM documents WHERE regexp_matches(text, '(?i)spark') ORDER BY doc_id",
+    "q20_doctype_filter" ->
+      "SELECT doc_id FROM documents WHERE lang = 'es' ORDER BY doc_id",
+    "q21_chunk_doc_join" ->
+      "SELECT d.source, count(*) AS n FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id GROUP BY d.source ORDER BY d.source",
+    "q22_semi_join" ->
+      "SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') ORDER BY o_orderkey LIMIT 500",
+    "q23_anti_join" ->
+      "SELECT c_custkey FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000) ORDER BY c_custkey",
+    "q24_outer_join" ->
+      "SELECT n.n_name, count(s.s_suppkey) AS n FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey GROUP BY n.n_name ORDER BY n.n_name",
+    "q25_citation_ranges" ->
+      "SELECT source, min(n_chars) AS lo, max(n_chars) AS hi, count(*) AS n FROM documents GROUP BY source ORDER BY lo, source",
+    "q26_distinct_sets" ->
+      "SELECT lang, count(DISTINCT source) AS nsrc FROM documents GROUP BY lang ORDER BY lang",
+    "q27_value_stats" ->
+      "SELECT round(min(value), 4) AS mn, round(max(value), 4) AS mx, round(avg(value), 4) AS av, count(*) AS n FROM events",
+    "q28_sum_by_type" ->
+      "SELECT event_type, CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS s FROM events GROUP BY event_type ORDER BY event_type",
+    "q29_count_lineitem" ->
+      "SELECT count(*) AS n FROM lineitem",
+    "q30_rollup" ->
+      "SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS s FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    "q31_distinct_agg" ->
+      "SELECT count(DISTINCT l_partkey) AS n FROM lineitem",
+    "q32_length_sort" ->
+      "SELECT doc_id FROM documents ORDER BY n_chars DESC, doc_id LIMIT 100",
+    "q33_union" ->
+      "SELECT x FROM (SELECT doc_id AS x FROM documents WHERE lang='es' UNION ALL SELECT doc_id AS x FROM documents WHERE lang='zh') t ORDER BY x",
+    "q34_intersect" ->
+      "SELECT doc_id FROM documents WHERE lang='es' INTERSECT SELECT doc_id FROM documents WHERE n_chars > 200 ORDER BY doc_id",
+    "q35_window_rank" ->
+      "SELECT c_custkey, rnk FROM (SELECT c_custkey, rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk FROM customer) t WHERE rnk <= 3 ORDER BY c_custkey",
+    "q36_window_frame" ->
+      "SELECT o_orderkey, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS r FROM orders ORDER BY o_orderkey LIMIT 500",
+    "q37_date_group" ->
+      "SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n FROM orders GROUP BY d ORDER BY d LIMIT 365",
+    "q38_tumbling_window" ->
+      "SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n, round(sum(value), 2) AS s FROM events GROUP BY h, event_type ORDER BY h, event_type",
+    "q39_per_user_stats" ->
+      "SELECT user_id, count(*) AS n, max(ts) AS last_ts FROM events GROUP BY user_id ORDER BY user_id"
+    // q40_retrieval_e2e: intentionally no SQL oracle (custom chunk/normalize/
+    // embed pipeline, SURVEY §2.11 Q40) → driver records rows-only check.
+  )
+}

@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: run one named query with timing + formatted explain.
+  * Usage: runMain graft.tools.DevRun <queryName> [sfDir] [explain|show|time] */
+object DevRun {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val mode = if (args.length > 2) args(2) else "time"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (name == "sql") {
+      // raw-SQL bisection mode: runMain graft.tools.DevRun sql <sfDir> <SQL...>
+      graft.functions.registerAll(spark)
+      for (tbl <- Seq("documents", "embeddings", "events", "lineitem", "orders",
+          "customer", "supplier", "part", "nation", "region"))
+        try spark.read.parquet(s"$sfDir/$tbl.parquet").createOrReplaceTempView(tbl)
+        catch { case _: Throwable => }
+      val sql = args.drop(2).mkString(" ")
+      var t0 = System.nanoTime()
+      spark.sql(sql).count()
+      println(f"[devrun] sql cold: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      t0 = System.nanoTime()
+      spark.sql(sql).count()
+      println(f"[devrun] sql warm: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      spark.stop()
+      return
+    }
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    mode match {
+      case "explain" => df.explain("formatted")
+      case "show" => df.show(50, truncate = false)
+      case _ =>
+        var t0 = System.nanoTime()
+        df.count()
+        println(f"[devrun] $name cold: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        t0 = System.nanoTime()
+        df.count()
+        println(f"[devrun] $name warm: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    spark.stop()
+  }
+}
