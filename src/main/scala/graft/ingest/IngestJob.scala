@@ -1,0 +1,150 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.embed.{Embedder, HashEmbedder}
+import graft.functions.{chunk_document, hash_embed, normalize_text}
+import graft.model.{DatabaseInfo, IndexMetadata}
+import graft.store.VectorStore
+
+/**
+ * Create-database pipeline (SURVEY §3.1): the reference's six subprocess
+ * stages (`/root/reference/vector_db_creator.py:369-535`) collapse into one
+ * declarative Spark lineage —
+ *
+ * {{{
+ * binaryFile scan → decode (S4/S5) → metadata projection (O3) →
+ * ChunkDocument generator (G1) → NormalizeText (O4) → embed (O12) →
+ * vectors/documents/chunk_doc_map parquet (S11, S14) + index_metadata.json
+ * }}}
+ *
+ * Everything before the write is per-row/per-partition — no shuffle except
+ * the final range-partitioning of the vectors table — so the plan scales by
+ * adding executors (SURVEY §7.4.6). Worker subprocesses, pickle IRs, retry
+ * and checkpoint machinery (C1-C3) are replaced by Spark task scheduling,
+ * lineage and task retries.
+ */
+object IngestJob {
+
+  /** Defaults mirror the reference config (`/root/reference/config.py:26-27`). */
+  final case class Config(
+      chunkSize: Int = 1200,
+      chunkOverlap: Int = 600,
+      model: String = "hash-64",
+      dim: Int = 64,
+      seed: Long = 42L,
+      /** None → embed with the codegen'd HashEmbed expression (tests/bench);
+        * Some(e) → per-partition embedding via `mapPartitions` for
+        * heavyweight model backends. */
+      embedder: Option[Embedder] = None)
+
+  final case class Result(documents: Long, chunks: Long)
+
+  private val supportedText = Seq(".txt", ".md")
+  private val supportedCsv = Seq(".csv")
+
+  /** Extract the text-family formats from a directory into a documents
+    * DataFrame `(text, file_path, file_type, file_name, creation_date,
+    * modification_date, hash, document_type)`. */
+  def extract(spark: SparkSession, docsDir: String): DataFrame = {
+    val decodeTxt = udf((b: Array[Byte]) => TextDecode.decode(b))
+    val decodeCsv = udf((b: Array[Byte]) => TextDecode.decodeCsv(b))
+
+    val bin = spark.read.format("binaryFile").load(docsDir)
+      .withColumn("ext", lower(regexp_extract(col("path"), "(\\.[^./\\\\]+)$", 1)))
+      .filter(col("ext").isin(supportedText ++ supportedCsv: _*)) // F1
+
+    bin.select(
+      when(col("ext").isin(supportedCsv: _*), decodeCsv(col("content")))
+        .otherwise(decodeTxt(col("content"))).as("text"),
+      regexp_replace(col("path"), "^file:", "").as("file_path"),
+      col("ext").as("file_type"),
+      regexp_extract(col("path"), "([^/\\\\]+)$", 1).as("file_name"),
+      // binaryFile exposes modificationTime only; the reference records
+      // ctime+mtime ISO strings (document_processor.py:61-62)
+      date_format(col("modificationTime"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("creation_date"),
+      date_format(col("modificationTime"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("modification_date"),
+      sha2(col("content"), 256).as("hash"), // O2
+      lit("document").as("document_type"))
+      .filter(col("text").isNotNull) // F2: undecodable/blank files dropped
+  }
+
+  /** Chunk + normalize + embed extracted documents into the vectors schema. */
+  def vectorize(docs: DataFrame, cfg: Config): DataFrame = {
+    val chunked = docs
+      .select(col("file_path"), col("file_type"), col("file_name"),
+        col("creation_date"), col("modification_date"), col("hash"),
+        col("document_type"),
+        chunk_document(col("text"), lit(cfg.chunkSize), lit(cfg.chunkOverlap)))
+      .select(col("*"), normalize_text(col("chunk_text")).as("norm_text")) // O4
+      .filter(col("norm_text").isNotNull) // F3
+      // content-derived chunk id (SURVEY §7.4.3): the reference draws random
+      // uint64 ids (vector_db_creator.py:288-291) — fatal for testability
+      .withColumn("id", xxhash64(col("hash"), col("chunk_index")))
+      .select(col("id"), col("norm_text").as("text"),
+        struct(col("file_path"), col("file_type"), col("file_name"),
+          col("creation_date"), col("modification_date"), col("hash"),
+          col("document_type"), col("page_number")).as("metadata"))
+
+    cfg.embedder match {
+      case None =>
+        chunked.withColumn("vector", hash_embed(col("text"), cfg.dim, cfg.seed))
+          .select("id", "vector", "text", "metadata")
+      case Some(e) => embedWith(chunked, e)
+    }
+  }
+
+  /** Per-partition embedding for heavyweight backends (O12): one `Embedder`
+    * per partition, length-desc sort first to mirror the reference's
+    * padding-minimizing batch order (K2, `stage_tokenize.py:103-104`) —
+    * physical-only, rows keep their ids. */
+  def embedWith(chunked: DataFrame, embedder: Embedder): DataFrame = {
+    val spark = chunked.sparkSession
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(
+      chunked.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "vector",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false),
+        nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    chunked
+      .sortWithinPartitions(length(col("text")).desc)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val vec = embedder.embed(r.getAs[String]("text"))
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ vec.toSeq)
+        }
+      }(enc)
+      .select("id", "vector", "text", "metadata")
+  }
+
+  /** Full create pipeline: extract → vectorize → persist + catalog. */
+  def run(spark: SparkSession, docsDir: String, warehouse: String, db: String,
+      cfg: Config = Config()): Result = {
+    val store = new VectorStore(spark, warehouse)
+    val docs = extract(spark, docsDir)
+    docs.cache()
+    try {
+      val vectors = vectorize(docs, cfg)
+      store.writeVectors(db, vectors)
+
+      // S14: per-document metadata + chunk→doc-hash map
+      // (sqlite_operations.py:12-27) as parquet
+      store.writeDocuments(db,
+        docs.select(col("file_name"), col("hash"), col("file_path"),
+          col("text").as("page_content")))
+      val written = store.vectors(db)
+      store.writeChunkDocMap(db,
+        written.select(col("id").as("chunk_id"), col("metadata.hash").as("hash")))
+
+      val nVec = written.count()
+      store.writeIndexMetadata(db, IndexMetadata(
+        distance_metric = "cosine", dimensions = cfg.dim,
+        vector_type = "float32", index_type = "FLAT", num_vectors = nVec))
+      store.catalogAdd(db, DatabaseInfo(cfg.model, cfg.chunkSize, cfg.chunkOverlap))
+      Result(documents = docs.count(), chunks = nVec)
+    } finally docs.unpersist()
+  }
+}

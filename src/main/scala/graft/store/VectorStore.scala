@@ -1,0 +1,106 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{DatabaseInfo, IndexMetadata}
+
+/**
+ * Persistent layout of one vector database (FIXTURES.md §2), replacing the
+ * reference's TileDB array + FLAT index + SQLite metadata DB + YAML catalog
+ * (`/root/reference/vector_db_creator.py:230-358`,
+ * `/root/reference/sqlite_operations.py:4-51`,
+ * `/root/reference/config.py:124-155`):
+ *
+ * {{{
+ * <warehouse>/<db>/
+ *   vectors/             id, vector ARRAY<FLOAT>, text, metadata STRUCT
+ *   documents/           file_name, hash, file_path, page_content
+ *   chunk_doc_map/       chunk_id, hash
+ *   index_metadata.json  {distance_metric, dimensions, vector_type,
+ *                         index_type, num_vectors}
+ * <warehouse>/catalog.json   {db -> {model, chunk_size, chunk_overlap}}
+ * }}}
+ *
+ * The parquet `vectors` table IS the FLAT index (SURVEY §2.1 S12): a
+ * brute-force scan is a column-pruned parquet read of `(id, vector)` fused
+ * with the cosine expression. Scale posture: vectors are range-partitioned
+ * by id at write so the id-lookup join (J1) prunes row groups, and files are
+ * capped at 100k records mirroring the reference's write batch
+ * (`vector_db_creator.py:48,239`).
+ */
+final class VectorStore(spark: SparkSession, warehouse: String) {
+
+  def dbDir(db: String): String = s"$warehouse/$db"
+
+  def writeVectors(db: String, vectors: DataFrame, partitions: Int = 0): Unit = {
+    val n = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    vectors.repartitionByRange(n, col("id"))
+      .sortWithinPartitions("id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 100000)
+      .parquet(s"${dbDir(db)}/vectors")
+  }
+
+  def writeDocuments(db: String, documents: DataFrame): Unit =
+    documents.write.mode("overwrite").parquet(s"${dbDir(db)}/documents")
+
+  def writeChunkDocMap(db: String, map: DataFrame): Unit =
+    map.write.mode("overwrite").parquet(s"${dbDir(db)}/chunk_doc_map")
+
+  def writeIndexMetadata(db: String, meta: IndexMetadata): Unit = {
+    val json =
+      s"""{"distance_metric": "${meta.distance_metric}", "dimensions": ${meta.dimensions}, "vector_type": "${meta.vector_type}", "index_type": "${meta.index_type}", "num_vectors": ${meta.num_vectors}}"""
+    atomicWrite(s"${dbDir(db)}/index_metadata.json", json)
+  }
+
+  def vectors(db: String): DataFrame = spark.read.parquet(s"${dbDir(db)}/vectors")
+  def documents(db: String): DataFrame = spark.read.parquet(s"${dbDir(db)}/documents")
+  def chunkDocMap(db: String): DataFrame = spark.read.parquet(s"${dbDir(db)}/chunk_doc_map")
+
+  def indexMetadata(db: String): IndexMetadata = {
+    val row = spark.read.json(s"${dbDir(db)}/index_metadata.json").collect()(0)
+    IndexMetadata(
+      distance_metric = row.getAs[String]("distance_metric"),
+      dimensions = row.getAs[Long]("dimensions").toInt,
+      vector_type = row.getAs[String]("vector_type"),
+      index_type = row.getAs[String]("index_type"),
+      num_vectors = row.getAs[Long]("num_vectors"))
+  }
+
+  /** Catalog upsert (reference: `config.yaml created_databases`,
+    * `config.py:175-181`) — tiny driver-side JSON with atomic tmp-rename
+    * like the reference's save path (`config.py:139-155`). */
+  def catalogAdd(db: String, info: DatabaseInfo): Unit = {
+    val entries = catalog + (db -> info)
+    val json = entries.toSeq.sortBy(_._1).map { case (k, v) =>
+      s""""$k": {"model": "${v.model}", "chunk_size": ${v.chunk_size}, "chunk_overlap": ${v.chunk_overlap}}"""
+    }.mkString("{", ", ", "}")
+    atomicWrite(s"$warehouse/catalog.json", json)
+  }
+
+  def catalog: Map[String, DatabaseInfo] = {
+    val p = Paths.get(s"$warehouse/catalog.json")
+    if (!Files.exists(p)) return Map.empty
+    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    // catalog files are engine-written (schema above); a light regex parse
+    // avoids a JSON library dependency
+    val entry =
+      """"([^"]+)":\s*\{"model":\s*"([^"]*)",\s*"chunk_size":\s*(\d+),\s*"chunk_overlap":\s*(\d+)\}""".r
+    entry.findAllMatchIn(txt).map { m =>
+      m.group(1) -> DatabaseInfo(m.group(2), m.group(3).toInt, m.group(4).toInt)
+    }.toMap
+  }
+
+  private def atomicWrite(path: String, content: String): Unit = {
+    val target = Paths.get(path)
+    Files.createDirectories(target.getParent)
+    val tmp = Paths.get(path + ".tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+}
