@@ -12,12 +12,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q40_retrieval_e2e")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data-pipeline extension ops. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.T2Queries.queries
+    graft.queries.T2Queries.queries ++ graft.queries.OpsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.T2Queries.oracle
+    graft.queries.T2Queries.oracle ++ graft.queries.OpsQueries.oracle
 }

@@ -72,5 +72,11 @@ object functions {
       es => HashEmbed(str(es.head)), "built-in")
     reg.createOrReplaceTempFunction("chunk_document",
       es => ChunkDocument(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      es => MinHashSignature(str(es.head)), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash(str(es.head)), "built-in")
+    reg.createOrReplaceTempFunction("lsh_bucket",
+      es => LshBucket(fvec(es.head)), "built-in")
   }
 }

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+import graft.expr.LshBucket
+import graft.functions.cosine_similarity
+
+/**
+ * Similarity search over an embedding column (north-star extension):
+ *
+ *  - brute force: fused cosine scan + `TakeOrderedAndProject` — exact, reads
+ *    every vector once; the baseline and the correctness reference.
+ *  - sign-LSH bucketed: an [[graft.expr.LshBucket]] per row partitions the
+ *    space into 2^nbits cells; a query probes its own cell (plus optional
+ *    1-bit-flip neighbors) and scans only those candidates. At 100 TB the
+ *    bucket becomes a parquet partition key, so probing is partition
+ *    pruning — the scan reads 1/2^nbits of the data per probe.
+ */
+object Ann {
+
+  def lsh_bucket(c: Column, nbits: Int = 8, seed: Long = 42L): Column =
+    Bridge.column(LshBucket(Bridge.expression(c), nbits, seed))
+
+  /** Exact top-k by cosine: `(id, sim)` rows, sim rounded to 4dp,
+    * deterministic tie-break on id. */
+  def bruteForceTopK(emb: DataFrame, idCol: Column, vecCol: Column,
+      query: Array[Float], k: Int): DataFrame =
+    emb.select(idCol.as("id"),
+        round(cosine_similarity(vecCol, typedLit(query)), 4).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+
+  /** Approximate top-k: score only the rows in the query's LSH cell (and
+    * `probes` 1-bit-flip neighbor cells). */
+  def lshTopK(emb: DataFrame, idCol: Column, vecCol: Column,
+      query: Array[Float], k: Int, nbits: Int = 4, seed: Long = 42L,
+      probes: Int = 0): DataFrame = {
+    val qBucket = graft.expr.SketchOps.lshBucket(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(query), nbits, seed)
+    val targets = qBucket +: (0 until math.min(probes, nbits)).map(b => qBucket ^ (1 << b))
+    emb.select(idCol.as("id"), vecCol.as("v"),
+        lsh_bucket(vecCol, nbits, seed).as("bucket"))
+      .filter(col("bucket").isin(targets: _*))
+      .select(col("id"),
+        round(cosine_similarity(col("v"), typedLit(query)), 4).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (brute force over a bounded
+    * range; LSH-bucketed variant below for scale). */
+  def nearDupPairs(emb: DataFrame, idCol: Column, vecCol: Column,
+      threshold: Double): DataFrame = {
+    val v = emb.select(idCol.as("id"), vecCol.as("v"))
+    val a = v.as("a")
+    val b = v.as("b")
+    a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        round(cosine_similarity(col("a.v"), col("b.v")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Near-dup pairs with the self-join restricted to same-LSH-cell rows:
+    * shuffle and compare only within cells instead of the full cross
+    * product. Recall follows the sign-LSH collision probability
+    * `(1 - θ/π)^nbits` — callers trade nbits for recall. */
+  def lshNearDupPairs(emb: DataFrame, idCol: Column, vecCol: Column,
+      threshold: Double, nbits: Int = 4, seed: Long = 42L): DataFrame = {
+    val v = emb.select(idCol.as("id"), vecCol.as("v"),
+      lsh_bucket(vecCol, nbits, seed).as("bucket"))
+    val a = v.as("a")
+    val b = v.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        round(cosine_similarity(col("a.v"), col("b.v")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

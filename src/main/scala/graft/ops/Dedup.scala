@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+import graft.expr.{MinHashSignature, SimHash}
+
+/**
+ * Deduplication operators for training-data pipelines (north-star
+ * extensions; SURVEY §2.7 notes the reference has none — these are the ops a
+ * 100 TB corpus needs before embedding):
+ *
+ *  - exact: content-hash groupBy (one shuffle on the hash).
+ *  - MinHash + LSH: per-row signature (no shuffle) → band-bucket explode →
+ *    self-join on (band, bucket) → exact-verify candidates. Shuffle volume
+ *    is #rows × #bands small ints, never the text; candidate verification
+ *    touches only colliding pairs — the standard web-scale recipe.
+ *  - SimHash: per-row 64-bit sketch; near-dups = small hamming distance,
+ *    found via band-bucket join on 16-bit chunks (any pair within hamming 3
+ *    shares at least one of 4 chunks).
+ *  - n-gram Jaccard: exact token-set similarity for candidate pairs.
+ *  - embedding cosine: see [[Ann.nearDupPairs]].
+ */
+object Dedup {
+
+  private def col_(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    Bridge.column(e)
+
+  def minhash(c: Column, numHashes: Int = 64, shingleSize: Int = 3,
+      seed: Long = 42L): Column =
+    col_(MinHashSignature(Bridge.expression(c), numHashes, shingleSize, seed))
+
+  def simhash(c: Column, seed: Long = 42L): Column =
+    col_(SimHash(Bridge.expression(c), seed))
+
+  /** Exact duplicate groups by a key expression (default: the full text).
+    * Returns `(h, n, keep)` — hash, group size, smallest id (the canonical
+    * row to keep). */
+  def exactDuplicates(df: DataFrame, idCol: Column, keyCol: Column): DataFrame =
+    df.groupBy(sha2(keyCol, 256).as("h"))
+      .agg(count("*").as("n"), min(idCol).as("keep"))
+      .filter(col("n") > 1)
+
+  /** Distinct LSH candidate pairs `(a_id, b_id)` from banding a minhash
+    * signature: `bands` buckets of `rowsPerBand` hashes each. */
+  def lshCandidatePairs(df: DataFrame, idCol: Column, textCol: Column,
+      bands: Int = 16, rowsPerBand: Int = 4, seed: Long = 42L,
+      shingleSize: Int = 3): DataFrame = {
+    val sig = df.select(idCol.as("id"),
+      minhash(textCol, bands * rowsPerBand, shingleSize, seed).as("sig"))
+    // band bucket = hash of the band's slice of the signature (band index
+    // mixed in so buckets are independent across bands)
+    val banded = sig.select(col("id"),
+      posexplode(array((0 until bands).map(bn =>
+        xxhash64(slice(col("sig"), bn * rowsPerBand + 1, rowsPerBand), lit(bn))): _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+  }
+
+  /** Distinct word `shingleSize`-gram set of a text column (shingleSize = 1
+    * → unigram token set). MUST match the shingle space the MinHash
+    * signature was built over, or LSH candidates and verification measure
+    * different similarities. */
+  def shingleSet(textCol: Column, shingleSize: Int): Column = {
+    val toks = split(textCol, "\\s+")
+    if (shingleSize <= 1) array_distinct(toks)
+    else array_distinct(
+      when(size(toks) < shingleSize, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - shingleSize),
+          i => concat_ws(" ", slice(toks, i + 1, lit(shingleSize))))))
+  }
+
+  /** Exact shingle-set Jaccard for given id pairs (verification step). */
+  def verifyJaccard(pairs: DataFrame, df: DataFrame, idCol: Column,
+      textCol: Column, shingleSize: Int = 3): DataFrame = {
+    val toks = df.select(idCol.as("id"), shingleSet(textCol, shingleSize).as("toks"))
+    pairs
+      .join(toks.withColumnRenamed("id", "a_id").withColumnRenamed("toks", "a_toks"), "a_id")
+      .join(toks.withColumnRenamed("id", "b_id").withColumnRenamed("toks", "b_toks"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
+          size(array_union(col("a_toks"), col("b_toks")))).as("jaccard"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs with exact shingle-Jaccard ≥
+    * threshold (same shingle space for signature and verification). */
+  def minHashDuplicates(df: DataFrame, idCol: Column, textCol: Column,
+      threshold: Double, bands: Int = 16, rowsPerBand: Int = 4,
+      shingleSize: Int = 3, seed: Long = 42L): DataFrame = {
+    val cands = lshCandidatePairs(df, idCol, textCol, bands, rowsPerBand, seed,
+      shingleSize)
+    verifyJaccard(cands, df, idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-duplicate pairs within `maxHamming` (≤ 3 for full recall
+    * with 4 chunks): band on 16-bit chunks, verify with `bit_count(a^b)`. */
+  def simHashDuplicates(df: DataFrame, idCol: Column, textCol: Column,
+      maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
+    val sigs = df.select(idCol.as("id"), simhash(textCol, seed).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(bn =>
+        shiftright(col("sig"), bn * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("chunk"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact pairwise n-gram Jaccard over a bounded id range — the
+    * brute-force baseline the LSH paths approximate. O(n²): keep the range
+    * small or use [[minHashDuplicates]] at scale. */
+  def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
+      threshold: Double, shingleSize: Int = 1): DataFrame = {
+    val toks = df.select(idCol.as("id"), shingleSet(textCol, shingleSize).as("toks"))
+    val a = toks.as("a")
+    val b = toks.as("b")
+    a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        (size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+          size(array_union(col("a.toks"), col("b.toks")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data curation (north-star
+ * extensions): token counting, quality scoring, language identification,
+ * and document fingerprinting. All are built from codegen'd Spark
+ * built-ins (no UDFs), so they fuse into the scan and cost one pass.
+ */
+object TextAnalysis {
+
+  /** Whitespace token count; 0 for blank text. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count estimate: whitespace tokens plus an extra unit
+    * per 4 chars of long tokens (a cheap stand-in for byte-pair merges). */
+  def subwordCountEstimate(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(aggregate(split(trim(text), "\\s+"), lit(0),
+        (acc, t) => acc + greatest(lit(1), ceil(length(t) / 4.0).cast("int"))))
+
+  /** Composite quality score in [0,1] from cheap heuristics: length band,
+    * mean token length band, punctuation presence, stopword ratio. */
+  def qualityScore(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    val nTok = size(toks).cast("double")
+    val meanTokLen = (length(trim(text)) - (nTok - 1)) / nTok // chars sans separators
+    val stopHits = size(filter(toks, t => t.isin(stopwordsEn: _*))).cast("double")
+    val lengthOk = when(nTok.between(8, 10000), lit(0.25)).otherwise(lit(0.0))
+    val tokLenOk = when(meanTokLen.between(2.0, 12.0), lit(0.25)).otherwise(lit(0.0))
+    val punctOk = when(text.rlike("[.!?]"), lit(0.25)).otherwise(lit(0.0))
+    val stopOk = when((stopHits / nTok).between(0.01, 0.6), lit(0.25)).otherwise(lit(0.0))
+    round(lengthOk + tokLenOk + punctOk + stopOk, 2)
+  }
+
+  /** Tiny per-language marker-word lists for the n-gram/stopword heuristic.
+    * Deliberately minimal — the operator shape (argmax over per-language
+    * token-hit counts) is what scales; richer lists drop in. */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "por"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"))
+
+  private val stopwordsEn = markers.head._2
+
+  /** Language-ID heuristic: count marker-word hits per language; predict the
+    * argmax (ties → alphabetical order), `und` when nothing matches. */
+  def langId(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    val hits = markers.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words: _*)))
+    }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    // alphabetical scan: first language reaching the max wins ties
+    hits.reverse.foldLeft(lit("und")) { case (acc, (lang, h)) =>
+      when(h === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Polynomial rolling-hash fingerprint of the first `prefix` chars:
+    * `acc = (acc*31 + codepoint) mod 1e9+7`, seed 7 — cheap, deterministic,
+    * and expressible in any engine with a list fold (used by the DuckDB
+    * oracle too). */
+  def fingerprint(text: Column, prefix: Int = 64): Column =
+    aggregate(
+      transform(split(substring(text, 1, prefix), ""), c => ascii(c).cast("bigint")),
+      lit(7L),
+      (acc, x) => (acc * 31 + x) % 1000000007L)
+}

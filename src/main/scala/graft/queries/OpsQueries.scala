@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Ann, Dedup, Multimodal, TextAnalysis}
+
+/**
+ * Verification queries for the training-data-pipeline extensions (dedup,
+ * similarity search, text analysis, multimodal plumbing). Same contract as
+ * [[T2Queries]]: DuckDB oracle where the computation is expressible in both
+ * dialects; sketch-based ops (MinHash/SimHash/LSH — engine-side XXH64) are
+ * rows-only checked by the driver and exact-verified in the ScalaTest suite
+ * instead.
+ */
+object OpsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val qvecScala: Array[Float] = Array.fill(64)(0.125f)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- deduplication ----
+    "q42_dedup_exact" -> ((s, d) =>
+      // exact dedup by content hash; keyed on a 40-char prefix because the
+      // synthetic corpus has no full-text duplicates (23 prefix groups)
+      Dedup.exactDuplicates(t(s, d, "documents"), col("doc_id"),
+        substring(col("text"), 1, 40)).orderBy("h")),
+    "q43_dedup_minhash" -> ((s, d) =>
+      // MinHash(64)+LSH(16x4) candidates, exact-verified at Jaccard >= 0.7;
+      // unigram shingles (this bag-of-words corpus has no word-3-gram
+      // near-dups); sketch hashing is engine-side -> rows-only oracle,
+      // recall vs brute force is unit-tested
+      Dedup.minHashDuplicates(
+        t(s, d, "documents").filter(col("doc_id") < 200),
+        col("doc_id"), col("text"), 0.7, shingleSize = 1)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("j"))
+        .orderBy("a_id", "b_id")),
+    "q44_dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+        t(s, d, "documents").filter(col("doc_id") < 100),
+        col("doc_id"), col("text"), 0.75)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("j"))
+        .orderBy("a_id", "b_id")),
+    "q45_dedup_cosine" -> ((s, d) =>
+      Ann.nearDupPairs(
+        t(s, d, "embeddings").filter(col("vec_id") < 300),
+        col("vec_id"), col("embedding"), 0.40)
+        .orderBy("a_id", "b_id")),
+    "q46_dedup_simhash" -> ((s, d) =>
+      // SimHash banding + hamming verify; engine-side hashing -> rows-only.
+      // maxHamming 20 on this vocabulary-overlap corpus yields real pairs.
+      Dedup.simHashDuplicates(
+        t(s, d, "documents").filter(col("doc_id") < 200),
+        col("doc_id"), col("text"), maxHamming = 20)
+        .orderBy("a_id", "b_id")),
+
+    // ---- similarity search ----
+    "q47_ann_lsh" -> ((s, d) =>
+      // LSH-bucketed approximate top-k (rows-only; recall vs brute force is
+      // unit-tested at sf0.001)
+      Ann.lshTopK(t(s, d, "embeddings"), col("vec_id"), col("embedding"),
+        qvecScala, k = 6, nbits = 4, probes = 2)),
+
+    // ---- text analysis ----
+    "q48_token_count" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        .orderBy("doc_id").limit(200)),
+    "q49_lang_id" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("pred"))
+        .orderBy("doc_id").limit(200)),
+    "q50_quality_score" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+        .orderBy("doc_id").limit(200)),
+    "q51_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id").limit(200)),
+
+    // ---- multimodal plumbing ----
+    "q52_multimodal_bytes" -> ((s, d) =>
+      Multimodal.assetsFromText(t(s, d, "documents"))
+        .select(col("asset_id"), col("modality"),
+          length(col("bytes")).cast("bigint").as("nbytes"))
+        .orderBy("asset_id").limit(200)),
+    "q53_multimodal_features" -> ((s, d) =>
+      // mapPartitions feature extraction over the binary column (stub
+      // decoder, deterministic) -> rows-only
+      Multimodal.extractImageFeatures(Multimodal.assetsFromText(
+          t(s, d, "documents").filter(col("doc_id") < 100)))
+        .select(col("asset_id"), col("modality"), col("n_bytes"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+        .orderBy("asset_id"))
+  )
+
+  /** DuckDB oracles. Shared sub-SQL is inlined per query; dialect notes in
+    * [[T2Queries]] apply. */
+  val oracle: Map[String, String] = Map(
+    "q42_dedup_exact" ->
+      """SELECT sha256(substr(text, 1, 40)) AS h, count(*) AS n, min(doc_id) AS keep
+         FROM documents GROUP BY h HAVING count(*) > 1 ORDER BY h""",
+    "q44_dedup_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS tk
+                      FROM documents WHERE doc_id < 100)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.tk, b.tk))), 4) AS j
+         FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.75
+         ORDER BY a_id, b_id""",
+    "q45_dedup_cosine" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings WHERE vec_id < 300)
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                round(list_cosine_similarity(a.v, b.v), 4) AS sim
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.40
+         ORDER BY a_id, b_id""",
+    "q48_token_count" ->
+      """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+         FROM documents ORDER BY doc_id LIMIT 200""",
+    "q49_lang_id" ->
+      """WITH h AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+         c AS (
+           SELECT doc_id,
+             len(list_filter(tk, x -> list_contains(['the','and','of','to','in','is','that','with'], x))) AS en,
+             len(list_filter(tk, x -> list_contains(['el','la','de','que','y','los','las','por'], x))) AS es,
+             len(list_filter(tk, x -> list_contains(['le','la','les','des','est','une','dans','pour'], x))) AS fr,
+             len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS de
+           FROM h)
+         SELECT doc_id,
+           CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+                WHEN en = greatest(en, es, fr, de) THEN 'en'
+                WHEN es = greatest(en, es, fr, de) THEN 'es'
+                WHEN fr = greatest(en, es, fr, de) THEN 'fr'
+                ELSE 'de' END AS pred
+         FROM c ORDER BY doc_id LIMIT 200""",
+    "q50_quality_score" ->
+      """WITH f AS (
+           SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS tk,
+                  CAST(length(trim(text)) AS DOUBLE) AS nc FROM documents),
+         g AS (
+           SELECT doc_id, text, CAST(len(tk) AS DOUBLE) AS nt,
+                  (nc - (len(tk) - 1)) / len(tk) AS mtl,
+                  CAST(len(list_filter(tk, x -> list_contains(['the','and','of','to','in','is','that','with'], x))) AS DOUBLE) AS sh
+           FROM f)
+         SELECT doc_id,
+           round((CASE WHEN nt BETWEEN 8 AND 10000 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN regexp_matches(text, '[.!?]') THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN sh / nt BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END), 2) AS q
+         FROM g ORDER BY doc_id LIMIT 200""",
+    "q51_fingerprint" ->
+      """SELECT doc_id,
+                list_reduce(
+                  list_prepend(7::BIGINT,
+                    list_transform(string_split(substr(text, 1, 64), ''),
+                                   c -> CAST(ascii(c) AS BIGINT))),
+                  (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id LIMIT 200""",
+    "q52_multimodal_bytes" ->
+      """SELECT doc_id AS asset_id,
+                ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+                CAST(octet_length(encode(text)) AS BIGINT) AS nbytes
+         FROM documents ORDER BY asset_id LIMIT 200"""
+    // q43/q46/q47/q53: engine-side sketches or partition-batch stubs ->
+    // rows-only driver check + ScalaTest exact verification.
+  )
+}
