@@ -80,8 +80,10 @@ object IngestJob {
       .select(col("*"), normalize_text(col("chunk_text")).as("norm_text")) // O4
       .filter(col("norm_text").isNotNull) // F3
       // content-derived chunk id (SURVEY §7.4.3): the reference draws random
-      // uint64 ids (vector_db_creator.py:288-291) — fatal for testability
-      .withColumn("id", xxhash64(col("hash"), col("chunk_index")))
+      // uint64 ids (vector_db_creator.py:288-291) — fatal for testability.
+      // file_path participates so identical-content files (same hash) still
+      // get distinct ids; duplicate ids would fan out the J1 lookup join.
+      .withColumn("id", xxhash64(col("file_path"), col("hash"), col("chunk_index")))
       .select(col("id"), col("norm_text").as("text"),
         struct(col("file_path"), col("file_type"), col("file_name"),
           col("creation_date"), col("modification_date"), col("hash"),

@@ -55,7 +55,7 @@ object TextDecode {
 
   /** Minimal RFC-4180 parser: quoted fields, embedded commas/newlines,
     * doubled-quote escapes. */
-  private[ingest] def parseCsv(text: String): Seq[Seq[String]] = {
+  def parseCsv(text: String): Seq[Seq[String]] = {
     val rows = new ArrayBuffer[Seq[String]]()
     val row = new ArrayBuffer[String]()
     val field = new java.lang.StringBuilder()

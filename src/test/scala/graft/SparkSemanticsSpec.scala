@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.IngestJob
+import graft.ops.{Ann, Dedup}
+import graft.query.Searcher
+import graft.store.VectorStore
+
+/** Spark-level semantics pins (FIXTURES.md §5): filter-AFTER-top-k
+  * contracts, tie-breaks, citation grouping, SQL function registration,
+  * and LSH recall — one shared local session. */
+class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val work = Files.createTempDirectory("graft-spec").toString
+  private lazy val store = new VectorStore(spark, s"$work/warehouse")
+  private lazy val searcher = new Searcher(spark, store)
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    val docsDir = s"$work/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    def put(name: String, content: String): Unit =
+      Files.write(Paths.get(docsDir, name), content.getBytes(StandardCharsets.UTF_8))
+    put("vectors.txt", (1 to 12).map(i =>
+      s"cosine similarity vector search embeddings nearest neighbor run$i distinct$i").mkString(" "))
+    put("cooking.txt", (1 to 12).map(i =>
+      s"whisk eggs sugar flour bake oven golden crust step$i").mkString(" "))
+    put("dup_a.txt", "identical chunk of text for tie breaking")
+    put("dup_b.txt", "identical chunk of text for tie breaking")
+    put("paged.pdf.txt",
+      "[[page2]]vector engines store embeddings " + ("filler words here " * 20) +
+        "[[page3]]cosine scoring pages " + ("more filler text " * 20) +
+        "[[page5]]final page vector cosine")
+    IngestJob.run(spark, docsDir, s"$work/warehouse", "specdb",
+      IngestJob.Config(chunkSize = 120, chunkOverlap = 60))
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def params(k: Int = 6, threshold: Double = 0.0) =
+    searcher.Params(k = k, threshold = threshold)
+
+  test("threshold-after-topk: result is the passing subset of top-k") {
+    val all = searcher.search("specdb", "cosine vector embeddings", params(k = 6))
+      .select("similarity_score").collect().map(_.getDouble(0))
+    assert(all.length == 6)
+    // threshold between two distinct score values: only the passing subset
+    // of the SAME top-6 returns (not k rows re-filled from below)
+    val distinct = all.distinct.sorted.reverse
+    assert(distinct.length >= 2, s"need score spread, got ${all.toSeq}")
+    val cut = (distinct(0) + distinct(1)) / 2
+    val got = searcher.search("specdb", "cosine vector embeddings",
+      params(k = 6, threshold = cut))
+    val expected = all.count(_ >= cut)
+    assert(expected < 6)
+    assert(got.count() == expected)
+  }
+
+  test("term-filter-after-topk: term outside top-k yields empty, not refill") {
+    // 'whisk' exists in the corpus but not among the vector-y top-2
+    val got = searcher.search("specdb", "cosine vector embeddings",
+      params(k = 2).copy(searchTerm = Some("whisk")))
+    assert(got.count() == 0)
+  }
+
+  test("doc-type mismatch yields empty") {
+    val got = searcher.search("specdb", "cosine vector embeddings",
+      params(k = 6).copy(documentTypeFilter = Some("image")))
+    assert(got.count() == 0)
+  }
+
+  test("no-pass-threshold yields empty") {
+    assert(searcher.search("specdb", "cosine vector embeddings",
+      params(k = 6, threshold = 1.0)).count() == 0)
+  }
+
+  test("identical chunks tie-break ascending by id") {
+    val got = searcher.search("specdb", "identical chunk of text for tie breaking",
+      params(k = 2)).select("id", "similarity_score").collect()
+    assert(got.length == 2)
+    assert(got(0).getDouble(1) == got(1).getDouble(1)) // same score
+    assert(got(0).getLong(0) <= got(1).getLong(0)) // id ascending
+  }
+
+  test("citations: pdf pages coalesce, ordered by min score (FIXTURES §5)") {
+    // 3 hits from 2 files, one PDF with pages {2,3,5}
+    import spark.implicits._
+    val hits = Seq(
+      ("/w/a.pdf", ".pdf", "a.pdf", Some(2), 0.9),
+      ("/w/a.pdf", ".pdf", "a.pdf", Some(3), 0.7),
+      ("/w/a.pdf", ".pdf", "a.pdf", Some(5), 0.8),
+      ("/w/b.txt", ".txt", "b.txt", None, 0.95))
+      .toDF("file_path", "file_type", "file_name", "page_number", "similarity_score")
+      .select(struct(col("file_path"), col("file_type"), col("file_name"),
+        col("page_number")).as("metadata"), col("similarity_score"))
+    val cits = graft.format.Citations.citations(hits)
+    assert(cits.map(_.file_name) == Seq("a.pdf", "b.txt")) // min-score order
+    val pdf = cits.head
+    assert(pdf.pages == "2-3, 5")
+    assert(pdf.score_range == "0.7000-0.9000")
+    assert(cits(1).pages == "")
+    assert(cits(1).score_range == "0.9500")
+  }
+
+  test("SQL registration: custom expressions usable from spark.sql") {
+    graft.functions.registerAll(spark)
+    val row = spark.sql(
+      """SELECT round(cosine_similarity(array(1.0, 0.0), array(1.0, 0.0)), 4) AS c,
+                l2_norm(l2_normalize(array(3.0, 4.0))) AS n,
+                normalize_text('  a   b  ') AS t,
+                simhash64('x y z') AS sh
+      """).collect()(0)
+    assert(row.getDouble(0) == 1.0)
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-6)
+    assert(row.getString(2) == "a b")
+    val gen = spark.sql(
+      "SELECT chunk_document('abcdefgh', 4, 0)").collect()
+    assert(gen.length == 2) // two chunk rows from the generator
+    assert(gen.map(_.getString(0)).toSeq == Seq("abcd", "efgh"))
+  }
+
+  test("LSH ANN recall vs brute force at sf0.001") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Array.fill(64)(0.125f)
+    val exact = Ann.bruteForceTopK(emb, col("vec_id"), col("embedding"), q, 20)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val approx = Ann.lshTopK(emb, col("vec_id"), col("embedding"), q, 20,
+      nbits = 2, probes = 2).select("id").collect().map(_.getLong(0)).toSet
+    // 2 bits + 2 probes scans ~3/4 of the space; require real overlap
+    assert(approx.intersect(exact).size >= 8)
+  }
+
+  test("minhash LSH recall vs exact jaccard at sf0.001") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 100)
+    val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 0.7, 1)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashDuplicates(docs, col("doc_id"), col("text"), 0.7,
+      shingleSize = 1)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // exact verification -> no false positives
+    assert(exact.isEmpty || lsh.size.toDouble / exact.size >= 0.9)
+  }
+}
