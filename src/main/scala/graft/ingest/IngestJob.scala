@@ -47,11 +47,17 @@ object IngestJob {
   /** Extract the text-family formats from a directory into a documents
     * DataFrame `(text, file_path, file_type, file_name, creation_date,
     * modification_date, hash, document_type)`. */
-  def extract(spark: SparkSession, docsDir: String): DataFrame = {
+  def extract(spark: SparkSession, docsDir: String): DataFrame =
+    decodeAndProject(spark.read.format("binaryFile").load(docsDir))
+
+  /** Same decode + metadata projection over any `binaryFile`-shaped frame —
+    * shared by batch [[extract]] and [[graft.streaming.StreamingIngest]]
+    * (the per-row operators are streaming-compatible, SURVEY §2.9). */
+  def decodeAndProject(binary: DataFrame): DataFrame = {
     val decodeTxt = udf((b: Array[Byte]) => TextDecode.decode(b))
     val decodeCsv = udf((b: Array[Byte]) => TextDecode.decodeCsv(b))
 
-    val bin = spark.read.format("binaryFile").load(docsDir)
+    val bin = binary
       .withColumn("ext", lower(regexp_extract(col("path"), "(\\.[^./\\\\]+)$", 1)))
       .filter(col("ext").isin(supportedText ++ supportedCsv: _*)) // F1
 

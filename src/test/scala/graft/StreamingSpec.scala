@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.IngestJob
+import graft.store.VectorStore
+import graft.streaming.{StreamingIngest, StreamingOps}
+
+/** Structured Streaming: incremental file ingest appends through the same
+  * operators as batch; watermarked windowed aggregation over an event
+  * stream matches its batch formulation. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("incremental file ingest: two micro-batches append consistently") {
+    spark.sparkContext.setLogLevel("WARN")
+    val work = Files.createTempDirectory("graft-stream").toString
+    val docsDir = s"$work/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    def put(name: String, content: String): Unit =
+      Files.write(Paths.get(docsDir, name), content.getBytes(StandardCharsets.UTF_8))
+
+    put("first.txt", "streaming ingest document number one " * 10)
+    val cfg = IngestJob.Config(chunkSize = 100, chunkOverlap = 0)
+    val q1 = StreamingIngest.start(spark, docsDir, s"$work/wh", "sdb", cfg)
+    q1.awaitTermination(60000)
+
+    val store = new VectorStore(spark, s"$work/wh")
+    val afterFirst = store.vectors("sdb").count()
+    assert(afterFirst > 0)
+    assert(store.indexMetadata("sdb").num_vectors == afterFirst)
+
+    put("second.txt", "a later file arrives with fresh content " * 10)
+    val q2 = StreamingIngest.start(spark, docsDir, s"$work/wh", "sdb", cfg)
+    q2.awaitTermination(60000)
+
+    val afterSecond = store.vectors("sdb").count()
+    assert(afterSecond > afterFirst) // only the new file was processed
+    assert(store.indexMetadata("sdb").num_vectors == afterSecond)
+    assert(store.documents("sdb").count() == 2)
+    // searchable through the normal query path
+    val searcher = new graft.query.Searcher(spark, store)
+    val hits = searcher.search("sdb", "fresh content arrives",
+      searcher.Params(k = 3, threshold = 0.0))
+    assert(hits.count() == 3)
+  }
+
+  test("watermarked tumbling window matches batch formulation") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val agg = StreamingOps.windowedEventStats(events, "1 hour", "10 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("winagg").start()
+
+    def t(s: String) = Timestamp.valueOf(s)
+    input.addData(
+      (t("2024-01-01 10:05:00"), "click", 1.0),
+      (t("2024-01-01 10:45:00"), "click", 2.0),
+      (t("2024-01-01 11:05:00"), "view", 5.0),
+      (t("2024-01-01 10:59:00"), "view", 3.0))
+    q.processAllAvailable()
+
+    val got = spark.sql(
+      "SELECT h, event_type, n, s FROM winagg ORDER BY h, event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 10:00:00.0", "view", 1L, 3.0),
+      ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
+    q.stop()
+  }
+}
