@@ -41,8 +41,13 @@ object IngestJob {
 
   final case class Result(documents: Long, chunks: Long)
 
+  /** The reference's 12 supported formats (`constants.py:112-115`). `.xls`
+    * (legacy BIFF) and `.msg`/`.pdf` decode are stubs (see
+    * [[RichExtractors]]); everything else extracts for real. */
   private val supportedText = Seq(".txt", ".md")
   private val supportedCsv = Seq(".csv")
+  private val supportedRich = Seq(".pdf", ".docx", ".eml", ".msg",
+    ".xls", ".xlsx", ".xlsm", ".rtf", ".html", ".htm")
 
   /** Extract the text-family formats from a directory into a documents
     * DataFrame `(text, file_path, file_type, file_name, creation_date,
@@ -54,16 +59,27 @@ object IngestJob {
     * shared by batch [[extract]] and [[graft.streaming.StreamingIngest]]
     * (the per-row operators are streaming-compatible, SURVEY §2.9). */
   def decodeAndProject(binary: DataFrame): DataFrame = {
-    val decodeTxt = udf((b: Array[Byte]) => TextDecode.decode(b))
-    val decodeCsv = udf((b: Array[Byte]) => TextDecode.decodeCsv(b))
+    // one UDF dispatching on extension: decode is inherently imperative JVM
+    // work (SURVEY §2.1 maps extractors to UDFs over binaryFile bytes)
+    val decodeAny = udf((ext: String, b: Array[Byte]) => ext match {
+      case ".csv" => TextDecode.decodeCsv(b)
+      case ".html" | ".htm" => RichExtractors.extractHtml(b)
+      case ".eml" => RichExtractors.extractEml(b)
+      case ".docx" => RichExtractors.extractDocx(b)
+      case ".xlsx" | ".xlsm" => RichExtractors.extractXlsx(b)
+      case ".rtf" => RichExtractors.extractRtf(b)
+      case ".pdf" => RichExtractors.extractPdf(b) // stub: skip+count
+      case ".msg" => RichExtractors.extractMsg(b) // stub: skip+count
+      case ".xls" => null // legacy BIFF: stub, skip+count
+      case _ => TextDecode.decode(b)
+    })
 
     val bin = binary
       .withColumn("ext", lower(regexp_extract(col("path"), "(\\.[^./\\\\]+)$", 1)))
-      .filter(col("ext").isin(supportedText ++ supportedCsv: _*)) // F1
+      .filter(col("ext").isin(supportedText ++ supportedCsv ++ supportedRich: _*)) // F1
 
     bin.select(
-      when(col("ext").isin(supportedCsv: _*), decodeCsv(col("content")))
-        .otherwise(decodeTxt(col("content"))).as("text"),
+      decodeAny(col("ext"), col("content")).as("text"),
       regexp_replace(col("path"), "^file:", "").as("file_path"),
       col("ext").as("file_type"),
       regexp_extract(col("path"), "([^/\\\\]+)$", 1).as("file_name"),

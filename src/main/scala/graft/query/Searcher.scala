@@ -27,31 +27,68 @@ import graft.store.VectorStore
  */
 final class Searcher(spark: SparkSession, store: VectorStore) {
 
-  /** Defaults from the reference config (`/root/reference/config.py:28-32`). */
+  /** Defaults from the reference config (`/root/reference/config.py:28-32`).
+    * `promptFamily` opts into the model-family query prefix (O6); the stub
+    * embedder path leaves it off (FIXTURES §4). */
   final case class Params(
       k: Int = 6,
       threshold: Double = 0.4,
       searchTerm: Option[String] = None,
       documentTypeFilter: Option[String] = None,
-      embedder: Embedder = HashEmbedder())
+      embedder: Embedder = HashEmbedder(),
+      promptFamily: Option[String] = None)
 
+  /**
+   * Two-phase search, the reference's own shape (§3.2: FLAT scan, then
+   * `multi_index[ids]` point lookup):
+   *
+   * Phase 1 scores `(id, vector)` only — at 100 TB this is the whole read —
+   * and lands ≤ k rows on the driver. Empty after threshold → return
+   * without a lookup job (§4.1.2 short-circuit). Phase 2 re-reads only
+   * `(id, text, metadata)` with an `id IN (...)` predicate pushed into
+   * parquet: the vectors table is written range-partitioned and sorted by
+   * id, so row-group min/max stats reduce the lookup to point reads — a
+   * broadcast join here would rescan the full text+metadata columns.
+   */
   def search(db: String, query: String, p: Params = Params()): DataFrame = {
-    // O5 + O13 on the driver; the query vector ships as a literal, so the
-    // executor-side scan needs no broadcast variable at all
-    val qvec = p.embedder.embed(TextNorm.normalizeQuery(query))
+    // O5 + O6 + O13 on the driver; the query vector ships as a literal, so
+    // the executor-side scan needs no broadcast variable at all
+    val prompted = p.promptFamily.fold(TextNorm.normalizeQuery(query)) { fam =>
+      graft.embed.PromptPrefix.applyTo(fam, isQuery = true,
+        TextNorm.normalizeQuery(query))
+    }
+    val qvec = p.embedder.embed(prompted)
 
     val vectors = store.vectors(db)
-    val scored = vectors
+    val topk = vectors
       .select(col("id"), cosine_similarity(col("vector"), typedLit(qvec)).as("sim"))
-
-    val topk = scored
       .orderBy(col("sim").desc, col("id")) // deterministic tie-break (SURVEY §7.4.4)
       .limit(p.k)
       .filter(col("sim") >= p.threshold) // F5: threshold after top-k (§4.1)
+      .collect()
 
-    // J1: k rows at most — broadcast them against the full table
-    val looked = broadcast(topk)
-      .join(vectors.select("id", "text", "metadata"), Seq("id"))
+    val spark2 = spark
+    import spark2.implicits._
+    val hitSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      vectors.schema("metadata"),
+      org.apache.spark.sql.types.StructField("similarity_score",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("distance",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    if (topk.isEmpty) // §4.1.2: no lookup job when nothing passes
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], hitSchema)
+
+    val sims = topk.map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val simDf = sims.toDF("id", "sim")
+    val looked = vectors
+      .filter(col("id").isin(sims.map(_._1): _*)) // pushed to parquet stats
+      .select("id", "text", "metadata")
+      .join(broadcast(simDf), Seq("id"))
 
     val termFiltered = p.searchTerm.filter(_.nonEmpty).fold(looked) { term =>
       // F6: case-insensitive containment, post-top-k; (?i)+quote instead of
@@ -77,5 +114,21 @@ final class Searcher(spark: SparkSession, store: VectorStore) {
       .select(col("text"), col("metadata.file_name").as("file_name")).collect()
     graft.format.ContextFormatter.formatBlocks(
       rows.map(r => (r.getString(0), r.getString(1))).toIndexedSeq)
+  }
+
+  /** S17 side files (`/root/reference/chat_llm.py:34-40`): write retrieved
+    * contexts (`"---"`-separated) and one metadata JSON per line. */
+  def writeSearchArtifacts(db: String, query: String, outDir: String,
+      p: Params = Params()): Unit = {
+    val hits = search(db, query, p)
+    val rows = hits.select(col("text"),
+      to_json(struct(col("metadata.*"), col("similarity_score"), col("distance")))
+        .as("meta_json")).collect()
+    val dir = java.nio.file.Paths.get(outDir)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("contexts.txt"),
+      rows.map(_.getString(0)).mkString("", "\n\n---\n\n", "\n\n---\n\n"))
+    java.nio.file.Files.writeString(dir.resolve("metadata.txt"),
+      rows.map(_.getString(1)).mkString("", "\n", "\n"))
   }
 }

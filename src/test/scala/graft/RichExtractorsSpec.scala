@@ -1,0 +1,128 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.RichExtractors
+
+/** Pure-JVM binary extractors: HTML strip, EML multipart walk with
+  * transfer encodings, DOCX/XLSX built as real in-memory ZIPs, RTF control
+  * words, and the documented PDF/MSG stubs. */
+class RichExtractorsSpec extends AnyFunSuite {
+
+  private def zip(entries: (String, String)*): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    for ((name, content) <- entries) {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes(StandardCharsets.UTF_8))
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  test("html: tags stripped with space separator, entities decoded") {
+    val html = """<html><head><style>p{color:red}</style>
+      <script>alert("x")</script></head>
+      <body><h1>Title</h1><p>one &amp; two &lt;three&gt;</p>
+      <!-- comment --><div>&#65;&#x42;</div></body></html>"""
+    val got = RichExtractors.extractHtml(html.getBytes(StandardCharsets.UTF_8))
+    assert(got.contains("Title"))
+    assert(got.contains("one & two <three>"))
+    assert(got.contains("AB"))
+    assert(!got.contains("alert") && !got.contains("color") && !got.contains("comment"))
+  }
+
+  test("eml: subject + plain + html parts, quoted-printable and base64") {
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      "<p>html <b>bold</b> part</p>".getBytes(StandardCharsets.UTF_8))
+    val eml =
+      s"""Subject: Quarterly report
+         |From: a@example.com
+         |MIME-Version: 1.0
+         |Content-Type: multipart/alternative; boundary="BOUND"
+         |
+         |--BOUND
+         |Content-Type: text/plain; charset=utf-8
+         |Content-Transfer-Encoding: quoted-printable
+         |
+         |plain caf=C3=A9 body
+         |--BOUND
+         |Content-Type: text/html; charset=utf-8
+         |Content-Transfer-Encoding: base64
+         |
+         |$b64
+         |--BOUND--
+         |""".stripMargin.replace("\n", "\r\n")
+    val got = RichExtractors.extractEml(eml.getBytes(StandardCharsets.UTF_8))
+    assert(got.startsWith("Subject: Quarterly report"))
+    assert(got.contains("plain café body"))
+    assert(got.contains("html") && got.contains("bold") && !got.contains("<b>"))
+  }
+
+  test("eml: single-part message body") {
+    val eml = "Subject: Hi\nContent-Type: text/plain\n\njust a body\n"
+    val got = RichExtractors.extractEml(eml.getBytes(StandardCharsets.UTF_8))
+    assert(got == "Subject: Hi\njust a body\n")
+  }
+
+  test("docx: w:t runs with paragraph breaks, headers after body") {
+    val doc = zip(
+      "word/document.xml" ->
+        """<?xml version="1.0"?><w:document><w:body>
+          |<w:p><w:r><w:t>First paragraph</w:t></w:r></w:p>
+          |<w:p><w:r><w:t xml:space="preserve">Second </w:t></w:r>
+          |<w:r><w:t>run &amp; entity</w:t></w:r></w:p>
+          |</w:body></w:document>""".stripMargin,
+      "word/header1.xml" -> "<w:hdr><w:p><w:r><w:t>HeaderText</w:t></w:r></w:p></w:hdr>")
+    val got = RichExtractors.extractDocx(doc)
+    assert(got.contains("First paragraph\n"))
+    assert(got.contains("Second run & entity"))
+    assert(got.indexOf("First paragraph") < got.indexOf("HeaderText"))
+  }
+
+  test("xlsx: shared strings + inline + numeric cells, rows space-joined") {
+    val wb = zip(
+      "xl/sharedStrings.xml" ->
+        """<sst><si><t>alpha</t></si><si><r><t>be</t></r><r><t>ta</t></r></si></sst>""",
+      "xl/worksheets/sheet1.xml" ->
+        """<worksheet><sheetData>
+          |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+          |<row r="2"><c r="A2"><v>42</v></c><c r="B2" t="inlineStr"><is><t>inline</t></is></c></row>
+          |<row r="3"></row>
+          |</sheetData></worksheet>""".stripMargin)
+    val got = RichExtractors.extractXlsx(wb)
+    assert(got == "alpha beta\n42 inline")
+  }
+
+  test("rtf: control words stripped, escapes and breaks honored") {
+    val rtf = """{\rtf1\ansi{\fonttbl{\f0 Calibri;}}{\colortbl;\red0;}
+      |\f0\fs22 Hello\par World \'e9 caf\'e9\tab end\par
+      |{\*\generator Riched20}}""".stripMargin.replace("\n", "")
+    val got = RichExtractors.extractRtf(rtf.getBytes(StandardCharsets.UTF_8))
+    assert(got.contains("Hello\nWorld"))
+    assert(got.contains("é café"))
+    assert(got.contains("\tend"))
+    assert(!got.contains("Calibri") && !got.contains("Riched20"))
+  }
+
+  test("rtf: unicode escapes with substitution char") {
+    val rtf = "{\\rtf1 a\\u233?b \\u-3825?x}"
+    val got = RichExtractors.extractRtf(rtf.getBytes(StandardCharsets.UTF_8))
+    assert(got.startsWith("aéb"))
+  }
+
+  test("pdf/msg/xls stubs return null (skip-and-count contract)") {
+    assert(RichExtractors.extractPdf("%PDF-1.7 ...".getBytes) == null)
+    assert(RichExtractors.extractMsg(Array[Byte](1, 2, 3)) == null)
+  }
+
+  test("non-zip bytes to ooxml extractors degrade to null, not throw") {
+    assert(RichExtractors.extractDocx("plain text".getBytes) == null)
+    assert(RichExtractors.extractXlsx(Array[Byte](0x50, 0x4B, 0x00)) == null)
+  }
+}
