@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Spark suites share one JVM: run sequentially so each manages its own
+// SparkSession lifecycle without racing another suite's stop().
+Test / parallelExecution := false

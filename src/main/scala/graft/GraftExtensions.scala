@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, FloatType, StringType}
+
+import graft.expr._
+
+/**
+ * `SparkSessionExtensions` entry point: makes every graft expression a
+ * session-native SQL function without any `registerAll` call —
+ *
+ * {{{
+ * SparkSession.builder()
+ *   .config("spark.sql.extensions", "graft.GraftExtensions")
+ *   ...
+ * spark.sql("SELECT cosine_similarity(embedding, array(...)) FROM t")
+ * }}}
+ *
+ * This is the deployment-grade registration path (cluster-wide via config,
+ * works from pure SQL / Thrift server); `graft.functions.registerAll`
+ * remains for ad-hoc sessions.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fvec(e: Expression): Expression = Cast(e, ArrayType(FloatType))
+  private def str(e: Expression): Expression = Cast(e, StringType)
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", "cosine_similarity(a, b) - cosine of two float vectors"),
+      (es: Seq[Expression]) => CosineSimilarity(fvec(es(0)), fvec(es(1)))))
+    ext.injectFunction((FunctionIdentifier("cosine_distance"),
+      info("cosine_distance", "cosine_distance(a, b) - 1 - cosine similarity"),
+      (es: Seq[Expression]) => CosineDistance(fvec(es(0)), fvec(es(1)))))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two float vectors"),
+      (es: Seq[Expression]) => DotProduct(fvec(es(0)), fvec(es(1)))))
+    ext.injectFunction((FunctionIdentifier("l2_normalize"),
+      info("l2_normalize", "l2_normalize(v) - unit-normalize a float vector"),
+      (es: Seq[Expression]) => L2Normalize(fvec(es.head))))
+    ext.injectFunction((FunctionIdentifier("l2_norm"),
+      info("l2_norm", "l2_norm(v) - euclidean norm"),
+      (es: Seq[Expression]) => L2Norm(fvec(es.head))))
+    ext.injectFunction((FunctionIdentifier("normalize_text"),
+      info("normalize_text", "normalize_text(s) - index-side unicode cleanup"),
+      (es: Seq[Expression]) => NormalizeText(str(es.head))))
+    ext.injectFunction((FunctionIdentifier("normalize_query_text"),
+      info("normalize_query_text", "normalize_query_text(s) - query-side cleanup"),
+      (es: Seq[Expression]) => NormalizeText(str(es.head), queryMode = true)))
+    ext.injectFunction((FunctionIdentifier("hash_embed"),
+      info("hash_embed", "hash_embed(s) - deterministic 64-dim stub embedding"),
+      (es: Seq[Expression]) => HashEmbed(str(es.head))))
+    ext.injectFunction((FunctionIdentifier("chunk_document"),
+      info("chunk_document", "chunk_document(text, size, overlap) - chunk rows"),
+      (es: Seq[Expression]) => ChunkDocument(es(0), es(1), es(2))))
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(s) - 64-hash MinHash signature"),
+      (es: Seq[Expression]) => MinHashSignature(str(es.head))))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(s) - 64-bit SimHash"),
+      (es: Seq[Expression]) => SimHash(str(es.head))))
+    ext.injectFunction((FunctionIdentifier("lsh_bucket"),
+      info("lsh_bucket", "lsh_bucket(v) - sign-LSH bucket of a float vector"),
+      (es: Seq[Expression]) => LshBucket(fvec(es.head))))
+  }
+}

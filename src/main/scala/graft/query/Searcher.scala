@@ -69,19 +69,8 @@ final class Searcher(spark: SparkSession, store: VectorStore) {
 
     val spark2 = spark
     import spark2.implicits._
-    val hitSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("id",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("text",
-        org.apache.spark.sql.types.StringType),
-      vectors.schema("metadata"),
-      org.apache.spark.sql.types.StructField("similarity_score",
-        org.apache.spark.sql.types.DoubleType, nullable = false),
-      org.apache.spark.sql.types.StructField("distance",
-        org.apache.spark.sql.types.DoubleType, nullable = false)))
     if (topk.isEmpty) // §4.1.2: no lookup job when nothing passes
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], hitSchema)
+      return emptyHits(vectors)
 
     val sims = topk.map(r => r.getLong(0) -> r.getDouble(1)).toSeq
     val simDf = sims.toDF("id", "sim")
@@ -114,6 +103,62 @@ final class Searcher(spark: SparkSession, store: VectorStore) {
       .select(col("text"), col("metadata.file_name").as("file_name")).collect()
     graft.format.ContextFormatter.formatBlocks(
       rows.map(r => (r.getString(0), r.getString(1))).toIndexedSeq)
+  }
+
+  /** Schema-correct empty result (the §4.1.2 short-circuit target). */
+  private def emptyHits(vectors: DataFrame): DataFrame = {
+    val hitSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      vectors.schema("metadata"),
+      org.apache.spark.sql.types.StructField("similarity_score",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("distance",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], hitSchema)
+  }
+
+  /** Approximate search over a clustered store
+    * ([[graft.store.VectorStore.writeVectorsClustered]]): probes only the
+    * query's LSH cell plus `probes` 1-bit-flip neighbors — Spark partition
+    * pruning turns the probe list into a directory-level scan reduction.
+    * Same two-phase shape and post-top-k filter semantics as [[search]]. */
+  def searchApprox(db: String, query: String, p: Params = Params(),
+      nbits: Int = 4, seed: Long = 42L, probes: Int = 1): DataFrame = {
+    val prompted = p.promptFamily.fold(TextNorm.normalizeQuery(query)) { fam =>
+      graft.embed.PromptPrefix.applyTo(fam, isQuery = true,
+        TextNorm.normalizeQuery(query))
+    }
+    val qvec = p.embedder.embed(prompted)
+    val qBucket = graft.expr.SketchOps.lshBucket(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec), nbits, seed)
+    val targets = qBucket +: (0 until math.min(probes, nbits)).map(b => qBucket ^ (1 << b))
+
+    val vectors = store.vectors(db)
+    val topk = vectors
+      .filter(col("bucket").isin(targets: _*)) // partition pruning
+      .select(col("id"), cosine_similarity(col("vector"), typedLit(qvec)).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(p.k)
+      .filter(col("sim") >= p.threshold)
+      .collect()
+    if (topk.isEmpty) return emptyHits(vectors)
+
+    val spark2 = spark
+    import spark2.implicits._
+    val sims = topk.map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val simDf = sims.toDF("id", "sim")
+    vectors.filter(col("bucket").isin(targets: _*))
+      .filter(col("id").isin(sims.map(_._1): _*))
+      .select("id", "text", "metadata")
+      .join(broadcast(simDf), Seq("id"))
+      .withColumn("similarity_score", least(greatest(col("sim"), lit(0.0)), lit(1.0)))
+      .withColumn("distance", lit(1.0) - col("sim"))
+      .drop("sim")
+      .orderBy(col("similarity_score").desc, col("id"))
   }
 
   /** S17 side files (`/root/reference/chat_llm.py:34-40`): write retrieved

@@ -45,6 +45,24 @@ final class VectorStore(spark: SparkSession, warehouse: String) {
       .parquet(s"${dbDir(db)}/vectors")
   }
 
+  /** IVF-style clustered layout (SURVEY §4.3): vectors land in hive
+    * partitions keyed by their sign-LSH cell, so an approximate search that
+    * probes B buckets reads B/2^nbits of the data via plain partition
+    * pruning — the 100 TB scan-reduction path, with no custom planner rule
+    * needed. Within each bucket, files stay sorted by id for the lookup
+    * phase. */
+  def writeVectorsClustered(db: String, vectors: DataFrame, nbits: Int = 4,
+      seed: Long = 42L): Unit = {
+    vectors
+      .withColumn("bucket", graft.ops.Ann.lsh_bucket(col("vector"), nbits, seed))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 100000)
+      .partitionBy("bucket")
+      .parquet(s"${dbDir(db)}/vectors")
+  }
+
   def writeDocuments(db: String, documents: DataFrame): Unit =
     documents.write.mode("overwrite").parquet(s"${dbDir(db)}/documents")
 

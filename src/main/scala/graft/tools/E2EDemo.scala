@@ -64,6 +64,14 @@ object E2EDemo {
       p.copy(threshold = 0.99))
     println(s"[e2e] threshold-0.99 hits=${hi.count()} (expect 0)")
 
+    // clustered (LSH-partitioned) store + approximate search
+    val store2 = new VectorStore(spark, warehouse)
+    val raw = store2.vectors("demo").select("id", "vector", "text", "metadata")
+    store2.writeVectorsClustered("demo_clustered", raw, nbits = 3)
+    val approx = searcher.searchApprox("demo_clustered",
+      "cosine similarity vector search", p, nbits = 3, probes = 1)
+    println(s"[e2e] approx hits=${approx.count()} (clustered store, partition-pruned)")
+
     val cits = graft.format.Citations.citations(
       hits.select(org.apache.spark.sql.functions.col("metadata"),
         org.apache.spark.sql.functions.col("similarity_score")))

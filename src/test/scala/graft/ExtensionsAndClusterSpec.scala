@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.query.Searcher
+import graft.store.VectorStore
+
+/** GraftExtensions SQL registration and the LSH-clustered vectors layout
+  * with partition-pruned approximate search. */
+class ExtensionsAndClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .withExtensions(new GraftExtensions)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("extensions: functions resolve in pure SQL without registerAll") {
+    spark.sparkContext.setLogLevel("WARN")
+    val r = spark.sql(
+      """SELECT round(cosine_similarity(array(1.0, 2.0), array(2.0, 4.0)), 4) AS c,
+               simhash64('a b c') AS s,
+               lsh_bucket(hash_embed('hello world')) AS b""").collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getLong(1) == graft.expr.SketchOps.simHash64(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b c"), 42L))
+    assert(r.getInt(2) >= 0 && r.getInt(2) < 256)
+  }
+
+  test("clustered store: partition layout exists and approx search prunes") {
+    val work = Files.createTempDirectory("graft-cluster").toString
+    val store = new VectorStore(spark, s"$work/wh")
+
+    // synthesize a vectors table from the test embeddings
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val vectors = emb.select(
+      col("vec_id").as("id"),
+      col("embedding").as("vector"),
+      concat(lit("doc "), col("vec_id")).as("text"),
+      struct(lit("/x").as("file_path"), lit(".txt").as("file_type"),
+        lit("x.txt").as("file_name"), lit("t").as("creation_date"),
+        lit("t").as("modification_date"), lit("h").as("hash"),
+        lit("document").as("document_type"),
+        lit(null).cast("int").as("page_number")).as("metadata"))
+    store.writeVectorsClustered("cdb", vectors, nbits = 3)
+
+    // hive-partitioned directories by bucket
+    val dirs = new java.io.File(s"$work/wh/cdb/vectors").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("bucket="))
+    assert(dirs.length > 1 && dirs.length <= 8)
+
+    val searcher = new Searcher(spark, store)
+    val p = searcher.Params(k = 5, threshold = -1.0)
+    val hits = searcher.searchApprox("cdb", "doc query text", p,
+      nbits = 3, probes = 1)
+    val n = hits.count()
+    assert(n > 0 && n <= 5)
+    // pruning: the scan must read fewer files than the full table
+    val plan = searcher.searchApprox("cdb", "doc query text", p, nbits = 3,
+      probes = 0).queryExecution.executedPlan.toString
+    assert(plan.contains("bucket")) // partition filter present
+
+    // exact search on the same clustered store still works (extra bucket
+    // column is ignored by the two-phase path)
+    val exact = searcher.search("cdb", "doc query text", p)
+    assert(exact.count() == 5)
+  }
+}
