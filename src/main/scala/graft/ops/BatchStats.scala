@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Padding statistics (SURVEY §2.5 A6), re-expressing the reference's
+ * tokenize-stage accounting (`/root/reference/stage_tokenize.py:133-152`,
+ * aggregated at `embedding_models.py:244-280`): when fixed-size batches are
+ * padded to their longest member, total padded cells = Σ per-batch
+ * (batch_max × batch_size), and efficiency = real / padded. The reference
+ * length-sorts before batching to shrink the padding (K2); this operator
+ * computes the stats for any batch assignment so the two orders can be
+ * compared.
+ */
+object BatchStats {
+
+  /** Per-batch padding stats for rows batched `batchSize` at a time in
+    * `orderBy` order. Output: `batch_idx, n, max_len, real_tokens,
+    * padded_tokens` (one row per batch). */
+  def paddingStats(df: DataFrame, lenCol: Column, orderBy: Seq[Column],
+      batchSize: Int): DataFrame = {
+    val w = Window.orderBy(orderBy: _*)
+    df.withColumn("len", lenCol.cast("long"))
+      .withColumn("batch_idx",
+        ((row_number().over(w) - 1) / batchSize).cast("long"))
+      .groupBy("batch_idx")
+      .agg(count("*").as("n"), max("len").as("max_len"),
+        sum("len").as("real_tokens"))
+      .withColumn("padded_tokens", col("max_len") * col("n"))
+  }
+
+  /** Corpus-level summary: total real vs padded tokens + efficiency %,
+    * for both arrival (by id) and length-sorted batch orders. */
+  def paddingEfficiency(df: DataFrame, idCol: Column, lenCol: Column,
+      batchSize: Int): DataFrame = {
+    def total(ordered: Seq[Column], label: String): DataFrame =
+      paddingStats(df, lenCol, ordered, batchSize)
+        .agg(sum("real_tokens").as("real_total"), sum("padded_tokens").as("padded_total"))
+        .select(lit(label).as("batch_order"), col("real_total"), col("padded_total"),
+          round(col("real_total").cast("double") / col("padded_total"), 4)
+            .as("efficiency"))
+    total(Seq(idCol), "arrival")
+      .unionAll(total(Seq(lenCol.desc, idCol), "length_sorted"))
+  }
+}

@@ -87,6 +87,31 @@ object OpsQueries {
         .select(col("asset_id"), col("modality"),
           length(col("bytes")).cast("bigint").as("nbytes"))
         .orderBy("asset_id").limit(200)),
+    "q54_padding_stats" -> ((s, d) =>
+      // A6 padding accounting: batch-of-32 padded-token totals for arrival
+      // vs length-sorted order (the reference's K2 optimization, quantified)
+      graft.ops.BatchStats.paddingEfficiency(
+        t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok")),
+        col("doc_id"), col("n_tok"), 32)
+        .orderBy("batch_order")),
+    "q55_subword_estimate" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.subwordCountEstimate(col("text")).cast("bigint").as("n_sub"))
+        .orderBy("doc_id").limit(200)),
+    "q56_ingest_pipeline" -> ((s, d) =>
+      // ingest-throughput proxy: full-corpus chunk(1200/600) + normalize +
+      // embed, aggregated (engine-side chunk semantics -> rows-only oracle)
+      t(s, d, "documents")
+        .select(col("doc_id"), graft.functions.chunk_document(
+          col("text"), lit(1200), lit(600)))
+        .select(col("doc_id"), graft.functions.normalize_text(
+          col("chunk_text")).as("ntext"))
+        .filter(col("ntext").isNotNull)
+        .select(graft.functions.l2_norm(
+          graft.functions.hash_embed(col("ntext"))).as("nrm"))
+        // sum of norms in the output keeps the embed stage un-prunable
+        .agg(count("*").as("n_chunks"), round(sum("nrm"), 2).as("norm_sum"))),
     "q53_multimodal_features" -> ((s, d) =>
       // mapPartitions feature extraction over the binary column (stub
       // decoder, deterministic) -> rows-only
@@ -164,6 +189,30 @@ object OpsQueries {
                     list_transform(string_split(substr(text, 1, 64), ''),
                                    c -> CAST(ascii(c) AS BIGINT))),
                   (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id LIMIT 200""",
+    "q54_padding_stats" ->
+      """WITH tok AS (
+           SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok
+           FROM documents),
+         a AS (SELECT n_tok, (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS b FROM tok),
+         ab AS (SELECT b, count(*) AS n, max(n_tok) AS mx, sum(n_tok) AS r FROM a GROUP BY b),
+         at AS (SELECT 'arrival' AS batch_order, CAST(sum(r) AS BIGINT) AS real_total,
+                       CAST(sum(mx * n) AS BIGINT) AS padded_total FROM ab),
+         l AS (SELECT n_tok, (row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1) // 32 AS b FROM tok),
+         lb AS (SELECT b, count(*) AS n, max(n_tok) AS mx, sum(n_tok) AS r FROM l GROUP BY b),
+         lt AS (SELECT 'length_sorted' AS batch_order, CAST(sum(r) AS BIGINT) AS real_total,
+                       CAST(sum(mx * n) AS BIGINT) AS padded_total FROM lb)
+         SELECT batch_order, real_total, padded_total,
+                round(CAST(real_total AS DOUBLE) / padded_total, 4) AS efficiency
+         FROM (SELECT * FROM at UNION ALL SELECT * FROM lt) t ORDER BY batch_order""",
+    "q55_subword_estimate" ->
+      """SELECT doc_id,
+                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE list_aggregate(list_transform(
+                            string_split_regex(trim(text), '\s+'),
+                            t -> greatest(1, CAST(ceil(length(t) / 4.0) AS INT))), 'sum')
+                END AS BIGINT) AS n_sub
          FROM documents ORDER BY doc_id LIMIT 200""",
     "q52_multimodal_bytes" ->
       """SELECT doc_id AS asset_id,

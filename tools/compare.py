@@ -20,6 +20,10 @@ def canon(v):
     return str(v)
 
 fails = 0
+present = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
+for missing in sorted(set(oracle) - present):
+    print(f"{missing}: MISSING OUTPUT (query failed in Verify)")
+    fails += 1
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d): continue
