@@ -39,7 +39,15 @@ object IngestJob {
         * heavyweight model backends. */
       embedder: Option[Embedder] = None)
 
-  final case class Result(documents: Long, chunks: Long)
+  /** A7 pipeline counters (`stage_split.py:82-88`, `vector_db_creator.py:
+    * 397,438`): matched files, successfully extracted documents, chunks
+    * written, and files skipped (undecodable/blank/stub formats) — the
+    * reference's skip-and-count contract (§4.1.3). */
+  final case class Result(
+      documents: Long,
+      chunks: Long,
+      filesMatched: Long = -1,
+      filesSkipped: Long = -1)
 
   /** The reference's 12 supported formats (`constants.py:112-115`). `.xls`
     * (legacy BIFF) and `.msg`/`.pdf` decode are stubs (see
@@ -168,7 +176,13 @@ object IngestJob {
         distance_metric = "cosine", dimensions = cfg.dim,
         vector_type = "float32", index_type = "FLAT", num_vectors = nVec))
       store.catalogAdd(db, DatabaseInfo(cfg.model, cfg.chunkSize, cfg.chunkOverlap))
-      Result(documents = docs.count(), chunks = nVec)
+      val nDocs = docs.count()
+      val matched = spark.read.format("binaryFile").load(docsDir)
+        .select(lower(regexp_extract(col("path"), "(\\.[^./\\\\]+)$", 1)).as("ext"))
+        .filter(col("ext").isin(supportedText ++ supportedCsv ++ supportedRich: _*))
+        .count()
+      Result(documents = nDocs, chunks = nVec,
+        filesMatched = matched, filesSkipped = matched - nDocs)
     } finally docs.unpersist()
   }
 }

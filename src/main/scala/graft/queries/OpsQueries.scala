@@ -112,6 +112,20 @@ object OpsQueries {
           graft.functions.hash_embed(col("ntext"))).as("nrm"))
         // sum of norms in the output keeps the embed stage un-prunable
         .agg(count("*").as("n_chunks"), round(sum("nrm"), 2).as("norm_sum"))),
+    "q57_gap_and_island" -> ((s, d) => {
+      // A3's page-range coalescing as the scalable window formulation
+      // (SURVEY §2.5: "window lag-based gap-and-island in SQL"): runs of
+      // consecutive doc_ids per lang collapse to (start, end) ranges
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+      t(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          (col("doc_id") - row_number().over(w)).as("grp"))
+        .groupBy("lang", "grp")
+        .agg(min("doc_id").as("s"), max("doc_id").as("e"))
+        .select(col("lang"), col("s"), col("e"))
+        .orderBy("lang", "s")
+    }),
     "q53_multimodal_features" -> ((s, d) =>
       // mapPartitions feature extraction over the binary column (stub
       // decoder, deterministic) -> rows-only
@@ -214,6 +228,12 @@ object OpsQueries {
                             t -> greatest(1, CAST(ceil(length(t) / 4.0) AS INT))), 'sum')
                 END AS BIGINT) AS n_sub
          FROM documents ORDER BY doc_id LIMIT 200""",
+    "q57_gap_and_island" ->
+      """SELECT lang, min(doc_id) AS s, max(doc_id) AS e
+         FROM (SELECT lang, doc_id,
+                      doc_id - row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS grp
+               FROM documents) t
+         GROUP BY lang, grp ORDER BY lang, s""",
     "q52_multimodal_bytes" ->
       """SELECT doc_id AS asset_id,
                 ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,

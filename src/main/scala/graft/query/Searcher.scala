@@ -27,6 +27,25 @@ import graft.store.VectorStore
  */
 final class Searcher(spark: SparkSession, store: VectorStore) {
 
+  // Process-cached query state (SURVEY §4.2), the Spark analogue of the
+  // reference's thread-local QueryVectorDB cache
+  // (`/root/reference/vector_db_query.py:289-317`): repeated queries against
+  // the same db reuse one cached vectors DataFrame instead of re-reading
+  // parquet footers per query. Opt-in via warm(db).
+  private val cachedVectors =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Cache the db's vectors table in memory for repeated queries. */
+  def warm(db: String): Unit =
+    cachedVectors.getOrElseUpdate(db, store.vectors(db).cache())
+
+  /** Drop the cached table (reference `close()`). */
+  def cool(db: String): Unit =
+    cachedVectors.remove(db).foreach(_.unpersist())
+
+  private def vectorsOf(db: String): DataFrame =
+    cachedVectors.getOrElse(db, store.vectors(db))
+
   /** Defaults from the reference config (`/root/reference/config.py:28-32`).
     * `promptFamily` opts into the model-family query prefix (O6); the stub
     * embedder path leaves it off (FIXTURES §4). */
@@ -59,7 +78,7 @@ final class Searcher(spark: SparkSession, store: VectorStore) {
     }
     val qvec = p.embedder.embed(prompted)
 
-    val vectors = store.vectors(db)
+    val vectors = vectorsOf(db)
     val topk = vectors
       .select(col("id"), cosine_similarity(col("vector"), typedLit(qvec)).as("sim"))
       .orderBy(col("sim").desc, col("id")) // deterministic tie-break (SURVEY §7.4.4)
@@ -137,7 +156,7 @@ final class Searcher(spark: SparkSession, store: VectorStore) {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec), nbits, seed)
     val targets = qBucket +: (0 until math.min(probes, nbits)).map(b => qBucket ^ (1 << b))
 
-    val vectors = store.vectors(db)
+    val vectors = vectorsOf(db)
     val topk = vectors
       .filter(col("bucket").isin(targets: _*)) // partition pruning
       .select(col("id"), cosine_similarity(col("vector"), typedLit(qvec)).as("sim"))

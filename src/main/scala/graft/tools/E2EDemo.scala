@@ -42,7 +42,7 @@ object E2EDemo {
     val warehouse = s"$work/warehouse"
     val res = IngestJob.run(spark, docsDir, warehouse, "demo",
       IngestJob.Config(chunkSize = 200, chunkOverlap = 100))
-    println(s"[e2e] ingested documents=${res.documents} chunks=${res.chunks}")
+    println(s"[e2e] ingested documents=${res.documents} chunks=${res.chunks} matched=${res.filesMatched} skipped=${res.filesSkipped}")
 
     val store = new VectorStore(spark, warehouse)
     println(s"[e2e] index_metadata=${store.indexMetadata("demo")}")
