@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale mechanics (builder contract: salting for skew, bucketing for
+ * co-located joins). These change physical behavior only — results are
+ * bit-identical to the naive formulations, which is exactly what the
+ * verification queries pin.
+ */
+object Scale {
+
+  /**
+   * Two-stage salted aggregation for skew-prone keys: stage 1 aggregates
+   * `(key, salt)` partials — a hot key fans out over `saltBuckets` reducers —
+   * stage 2 merges partials per key. Supported merges cover the decomposable
+   * aggregates (`count/sum/min/max`); results equal the plain `groupBy`.
+   *
+   * At local scale Spark's map-side partial aggregation already absorbs
+   * skew for these aggregates; the salt matters when the aggregation
+   * carries high-cardinality state per key (collect/distinct sketches) or
+   * when AQE skew handling is unavailable mid-pipeline.
+   */
+  def saltedAggregate(df: DataFrame, key: Column, value: Column,
+      saltBuckets: Int = 16): DataFrame = {
+    df.select(key.as("k"), value.as("v"),
+        (abs(xxhash64(monotonically_increasing_id())) % saltBuckets).as("salt"))
+      .groupBy(col("k"), col("salt"))
+      .agg(count("*").as("pn"), sum("v").as("ps"),
+        min("v").as("pmn"), max("v").as("pmx"))
+      .groupBy(col("k"))
+      .agg(sum("pn").as("n"), sum("ps").as("s"),
+        min("pmn").as("mn"), max("pmx").as("mx"))
+  }
+
+  /** Write a DataFrame as a bucketed+sorted managed table: joins and
+    * aggregations on the bucket columns then run shuffle-free (bucket
+    * pruning + co-located join). The 100 TB answer to "this join shuffles
+    * both sides every night". */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      cols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, cols.head, cols.tail: _*)
+      .sortBy(cols.head, cols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket key — planned without a
+    * shuffle exchange when bucket counts match. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      on: Seq[String]): DataFrame =
+    spark.table(left).join(spark.table(right), on)
+}

@@ -112,6 +112,14 @@ object OpsQueries {
           graft.functions.hash_embed(col("ntext"))).as("nrm"))
         // sum of norms in the output keeps the embed stage un-prunable
         .agg(count("*").as("n_chunks"), round(sum("nrm"), 2).as("norm_sum"))),
+    "q58_salted_aggregate" -> ((s, d) =>
+      // salting changes the shuffle shape, not the answer: this result must
+      // hash-match the plain GROUP BY the oracle runs
+      graft.ops.Scale.saltedAggregate(
+        t(s, d, "events"), col("event_type"), floor(col("value")))
+        .select(col("k").as("event_type"), col("n"), col("s").cast("bigint").as("s"),
+          col("mn").cast("bigint").as("mn"), col("mx").cast("bigint").as("mx"))
+        .orderBy("event_type")),
     "q57_gap_and_island" -> ((s, d) => {
       // A3's page-range coalescing as the scalable window formulation
       // (SURVEY §2.5: "window lag-based gap-and-island in SQL"): runs of
@@ -228,6 +236,12 @@ object OpsQueries {
                             t -> greatest(1, CAST(ceil(length(t) / 4.0) AS INT))), 'sum')
                 END AS BIGINT) AS n_sub
          FROM documents ORDER BY doc_id LIMIT 200""",
+    "q58_salted_aggregate" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS s,
+                CAST(floor(min(value)) AS BIGINT) AS mn,
+                CAST(floor(max(value)) AS BIGINT) AS mx
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q57_gap_and_island" ->
       """SELECT lang, min(doc_id) AS s, max(doc_id) AS e
          FROM (SELECT lang, doc_id,

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Scale
+
+/** Physical-scale mechanics: salted aggregation equivalence and
+  * shuffle-free bucketed joins. */
+class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-scale").toString
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir", warehouse)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("salted aggregate equals plain groupBy") {
+    spark.sparkContext.setLogLevel("WARN")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val salted = Scale.saltedAggregate(li, col("l_returnflag"), col("l_quantity"))
+      .orderBy("k").collect()
+    val plain = li.groupBy(col("l_returnflag").as("k"))
+      .agg(count("*").as("n"), sum("l_quantity").as("s"),
+        min("l_quantity").as("mn"), max("l_quantity").as("mx"))
+      .orderBy("k").collect()
+    assert(salted.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4))).toSeq ==
+      plain.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq)
+  }
+
+  test("bucketed join plans without a shuffle exchange") {
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    Scale.writeBucketed(o.select("o_orderkey", "o_custkey", "o_totalprice"),
+      "orders_b", 4, Seq("o_custkey"))
+    Scale.writeBucketed(c.select(col("c_custkey").as("o_custkey"), col("c_acctbal")),
+      "customer_b", 4, Seq("o_custkey"))
+
+    // force the sort-merge path (at this tiny scale Catalyst would rather
+    // broadcast, which also avoids a shuffle but hides the bucketing story)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Scale.bucketedJoin(spark, "orders_b", "customer_b", Seq("o_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      // and the result is still correct
+      assert(joined.count() ==
+        o.join(c, o("o_custkey") === c("c_custkey")).count())
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
