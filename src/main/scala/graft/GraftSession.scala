@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.model.{Chunk, SearchHit}
+import graft.query.Searcher
+import graft.store.VectorStore
+
+/**
+ * Public session facade (SURVEY §1.3): engine internals stay `DataFrame`
+ * for Catalyst; this object exposes the typed `Dataset[_]` API over a
+ * warehouse and registers the engine's tables + functions for plain
+ * `spark.sql` use.
+ */
+final class GraftSession(val spark: SparkSession, warehouse: String) {
+
+  val store = new VectorStore(spark, warehouse)
+  val searcher = new Searcher(spark, store)
+
+  /** Register `<db>_vectors/_documents/_chunk_doc_map` temp views and all
+    * engine SQL functions, so the database is queryable from `spark.sql`. */
+  def open(db: String): Unit = {
+    graft.functions.registerAll(spark)
+    store.vectors(db).createOrReplaceTempView(s"${db}_vectors")
+    store.documents(db).createOrReplaceTempView(s"${db}_documents")
+    store.chunkDocMap(db).createOrReplaceTempView(s"${db}_chunk_doc_map")
+  }
+
+  /** Typed chunk records of a database (`Dataset[Chunk]`). */
+  def chunks(db: String): Dataset[Chunk] = {
+    import spark.implicits._
+    store.vectors(db).select("id", "vector", "text", "metadata").as[Chunk]
+  }
+
+  /** Typed search (`Dataset[SearchHit]`), same semantics as
+    * [[graft.query.Searcher.search]]. */
+  def search(db: String, query: String,
+      p: searcher.Params = searcher.Params()): Dataset[SearchHit] = {
+    import spark.implicits._
+    searcher.search(db, query, p)
+      .select("id", "text", "metadata", "similarity_score", "distance")
+      .as[SearchHit]
+  }
+
+  def searchDf(db: String, query: String): DataFrame =
+    searcher.search(db, query)
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.IngestJob
+import graft.model.{Chunk, SearchHit}
+
+/** Typed public API (SURVEY §1.3): Dataset[Chunk]/Dataset[SearchHit] views
+  * over the engine, and SQL access to the registered tables. */
+class GraftSessionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val work = Files.createTempDirectory("graft-sess").toString
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    val docsDir = s"$work/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    Files.write(Paths.get(docsDir, "a.txt"),
+      ("vector search cosine embeddings " * 20).getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(docsDir, "b.txt"),
+      ("completely different cooking recipe text " * 20).getBytes(StandardCharsets.UTF_8))
+    IngestJob.run(spark, docsDir, s"$work/wh", "tdb",
+      IngestJob.Config(chunkSize = 150, chunkOverlap = 50))
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("Dataset[Chunk]: typed fields round-trip") {
+    val sess = new GraftSession(spark, s"$work/wh")
+    val cs: Seq[Chunk] = sess.chunks("tdb").collect().toIndexedSeq
+    assert(cs.nonEmpty)
+    assert(cs.forall(_.vector.length == 64))
+    assert(cs.forall(c => c.metadata.file_name.endsWith(".txt")))
+    assert(cs.forall(c => c.metadata.page_number.isEmpty)) // no [[pageN]]
+    assert(cs.map(_.id).distinct.length == cs.length)
+  }
+
+  test("Dataset[SearchHit]: typed search with scores") {
+    val sess = new GraftSession(spark, s"$work/wh")
+    val hits: Seq[SearchHit] = sess.search("tdb", "cosine vector search",
+      sess.searcher.Params(k = 3, threshold = 0.0)).collect().toIndexedSeq
+    assert(hits.length == 3)
+    assert(hits.forall(h => h.similarity_score >= 0.0 && h.similarity_score <= 1.0))
+    assert(hits.forall(h => math.abs(h.distance - (1.0 - h.similarity_score)) < 1e-9))
+    assert(hits.head.metadata.file_name == "a.txt") // the vector-y doc wins
+  }
+
+  test("open(db) registers SQL views + functions") {
+    val sess = new GraftSession(spark, s"$work/wh")
+    sess.open("tdb")
+    val n = spark.sql(
+      """SELECT count(*) FROM tdb_vectors v
+         JOIN tdb_chunk_doc_map m ON v.id = m.chunk_id""").collect()(0).getLong(0)
+    assert(n > 0)
+    val top = spark.sql(
+      """SELECT id, round(cosine_similarity(vector, hash_embed('cosine vector search')), 4) AS sim
+         FROM tdb_vectors ORDER BY sim DESC, id LIMIT 2""").collect()
+    assert(top.length == 2)
+  }
+}
