@@ -35,7 +35,7 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
   /** Typed search (`Dataset[SearchHit]`), same semantics as
     * [[graft.query.Searcher.search]]. */
   def search(db: String, query: String,
-      p: searcher.Params = searcher.Params()): Dataset[SearchHit] = {
+      p: Searcher.Params = Searcher.Params()): Dataset[SearchHit] = {
     import spark.implicits._
     searcher.search(db, query, p)
       .select("id", "text", "metadata", "similarity_score", "distance")

@@ -46,17 +46,6 @@ final class Searcher(spark: SparkSession, store: VectorStore) {
   private def vectorsOf(db: String): DataFrame =
     cachedVectors.getOrElse(db, store.vectors(db))
 
-  /** Defaults from the reference config (`/root/reference/config.py:28-32`).
-    * `promptFamily` opts into the model-family query prefix (O6); the stub
-    * embedder path leaves it off (FIXTURES §4). */
-  final case class Params(
-      k: Int = 6,
-      threshold: Double = 0.4,
-      searchTerm: Option[String] = None,
-      documentTypeFilter: Option[String] = None,
-      embedder: Embedder = HashEmbedder(),
-      promptFamily: Option[String] = None)
-
   /**
    * Two-phase search, the reference's own shape (§3.2: FLAT scan, then
    * `multi_index[ids]` point lookup):
@@ -69,7 +58,7 @@ final class Searcher(spark: SparkSession, store: VectorStore) {
    * id, so row-group min/max stats reduce the lookup to point reads — a
    * broadcast join here would rescan the full text+metadata columns.
    */
-  def search(db: String, query: String, p: Params = Params()): DataFrame = {
+  def search(db: String, query: String, p: Searcher.Params = Searcher.Params()): DataFrame = {
     // O5 + O6 + O13 on the driver; the query vector ships as a literal, so
     // the executor-side scan needs no broadcast variable at all
     val prompted = p.promptFamily.fold(TextNorm.normalizeQuery(query)) { fam =>
@@ -117,7 +106,7 @@ final class Searcher(spark: SparkSession, store: VectorStore) {
 
   /** Collected `(context, metadata)` pairs formatted as the reference's
     * context blocks (`/root/reference/vector_db_query.py:61-74`). */
-  def formattedContexts(db: String, query: String, p: Params = Params()): String = {
+  def formattedContexts(db: String, query: String, p: Searcher.Params = Searcher.Params()): String = {
     val rows = search(db, query, p)
       .select(col("text"), col("metadata.file_name").as("file_name")).collect()
     graft.format.ContextFormatter.formatBlocks(
@@ -145,7 +134,7 @@ final class Searcher(spark: SparkSession, store: VectorStore) {
     * query's LSH cell plus `probes` 1-bit-flip neighbors — Spark partition
     * pruning turns the probe list into a directory-level scan reduction.
     * Same two-phase shape and post-top-k filter semantics as [[search]]. */
-  def searchApprox(db: String, query: String, p: Params = Params(),
+  def searchApprox(db: String, query: String, p: Searcher.Params = Searcher.Params(),
       nbits: Int = 4, seed: Long = 42L, probes: Int = 1): DataFrame = {
     val prompted = p.promptFamily.fold(TextNorm.normalizeQuery(query)) { fam =>
       graft.embed.PromptPrefix.applyTo(fam, isQuery = true,
@@ -183,7 +172,7 @@ final class Searcher(spark: SparkSession, store: VectorStore) {
   /** S17 side files (`/root/reference/chat_llm.py:34-40`): write retrieved
     * contexts (`"---"`-separated) and one metadata JSON per line. */
   def writeSearchArtifacts(db: String, query: String, outDir: String,
-      p: Params = Params()): Unit = {
+      p: Searcher.Params = Searcher.Params()): Unit = {
     val hits = search(db, query, p)
     val rows = hits.select(col("text"),
       to_json(struct(col("metadata.*"), col("similarity_score"), col("distance")))
@@ -195,4 +184,17 @@ final class Searcher(spark: SparkSession, store: VectorStore) {
     java.nio.file.Files.writeString(dir.resolve("metadata.txt"),
       rows.map(_.getString(1)).mkString("", "\n", "\n"))
   }
+}
+
+object Searcher {
+  /** Defaults from the reference config (`/root/reference/config.py:28-32`).
+    * `promptFamily` opts into the model-family query prefix (O6); the stub
+    * embedder path leaves it off (FIXTURES §4). */
+  final case class Params(
+      k: Int = 6,
+      threshold: Double = 0.4,
+      searchTerm: Option[String] = None,
+      documentTypeFilter: Option[String] = None,
+      embedder: Embedder = HashEmbedder(),
+      promptFamily: Option[String] = None)
 }

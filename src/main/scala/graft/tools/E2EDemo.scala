@@ -49,7 +49,7 @@ object E2EDemo {
     println(s"[e2e] catalog=${store.catalog}")
 
     val searcher = new Searcher(spark, store)
-    val p = searcher.Params(k = 4, threshold = 0.1)
+    val p = Searcher.Params(k = 4, threshold = 0.1)
     val hits = searcher.search("demo", "cosine similarity vector search", p)
     hits.show(20, 60)
     println(searcher.formattedContexts("demo", "cosine similarity vector search", p))
@@ -78,6 +78,18 @@ object E2EDemo {
     cits.foreach(c => println(s"[e2e] citation: $c"))
     println("[e2e] prompt chars=" + graft.rag.RagPrompt.assemble("q",
       Seq("ctx1", "ctx2")).length)
+
+    // typed public API (GraftSession): Dataset[Chunk] + Dataset[SearchHit] + SQL
+    val sess = new graft.GraftSession(spark, warehouse)
+    val chunks = sess.chunks("demo")
+    println(s"[e2e] typed chunks=${chunks.count()} dim=${chunks.head().vector.length}")
+    val typedHits = sess.search("demo", "cosine similarity vector search", p)
+    println(s"[e2e] typed hits=${typedHits.collect().map(h => f"${h.metadata.file_name}:${h.similarity_score}%.2f").mkString(", ")}")
+    sess.open("demo")
+    val sqlTop = spark.sql(
+      "SELECT count(*) FROM demo_vectors v JOIN demo_chunk_doc_map m ON v.id = m.chunk_id")
+      .collect()(0).getLong(0)
+    println(s"[e2e] sql-joined rows=$sqlTop")
     println(s"[e2e] OK work=$work")
     spark.stop()
   }

@@ -6,6 +6,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 import graft.ingest.IngestJob
+import graft.query.Searcher
 import graft.store.VectorStore
 import graft.streaming.StreamingIngest
 
@@ -45,7 +46,7 @@ object StreamDemo {
 
     val searcher = new graft.query.Searcher(spark, store)
     val hits = searcher.search("sdb", "cosine content",
-      searcher.Params(k = 3, threshold = 0.0))
+      Searcher.Params(k = 3, threshold = 0.0))
     println(s"[stream] search hits=${hits.count()}")
     println(s"[stream] OK work=$work")
     spark.stop()

@@ -59,7 +59,7 @@ class ExtensionsAndClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dirs.length > 1 && dirs.length <= 8)
 
     val searcher = new Searcher(spark, store)
-    val p = searcher.Params(k = 5, threshold = -1.0)
+    val p = Searcher.Params(k = 5, threshold = -1.0)
     val hits = searcher.searchApprox("cdb", "doc query text", p,
       nbits = 3, probes = 1)
     val n = hits.count()

@@ -9,6 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ingest.IngestJob
 import graft.model.{Chunk, SearchHit}
+import graft.query.Searcher
 
 /** Typed public API (SURVEY §1.3): Dataset[Chunk]/Dataset[SearchHit] views
   * over the engine, and SQL access to the registered tables. */
@@ -50,7 +51,7 @@ class GraftSessionSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("Dataset[SearchHit]: typed search with scores") {
     val sess = new GraftSession(spark, s"$work/wh")
     val hits: Seq[SearchHit] = sess.search("tdb", "cosine vector search",
-      sess.searcher.Params(k = 3, threshold = 0.0)).collect().toIndexedSeq
+      Searcher.Params(k = 3, threshold = 0.0)).collect().toIndexedSeq
     assert(hits.length == 3)
     assert(hits.forall(h => h.similarity_score >= 0.0 && h.similarity_score <= 1.0))
     assert(hits.forall(h => math.abs(h.distance - (1.0 - h.similarity_score)) < 1e-9))

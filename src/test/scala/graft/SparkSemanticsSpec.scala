@@ -52,7 +52,7 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = spark.stop()
 
   private def params(k: Int = 6, threshold: Double = 0.0) =
-    searcher.Params(k = k, threshold = threshold)
+    Searcher.Params(k = k, threshold = threshold)
 
   test("threshold-after-topk: result is the passing subset of top-k") {
     val all = searcher.search("specdb", "cosine vector embeddings", params(k = 6))

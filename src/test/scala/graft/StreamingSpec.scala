@@ -11,6 +11,7 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ingest.IngestJob
+import graft.query.Searcher
 import graft.store.VectorStore
 import graft.streaming.{StreamingIngest, StreamingOps}
 
@@ -57,7 +58,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // searchable through the normal query path
     val searcher = new graft.query.Searcher(spark, store)
     val hits = searcher.search("sdb", "fresh content arrives",
-      searcher.Params(k = 3, threshold = 0.0))
+      Searcher.Params(k = 3, threshold = 0.0))
     assert(hits.count() == 3)
   }
 
