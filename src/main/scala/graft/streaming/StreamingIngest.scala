@@ -67,7 +67,7 @@ object StreamingIngest {
 /**
  * Streaming analytics over the `events` shape (SURVEY §2.9 extension):
  * watermarked tumbling-window aggregation — the streaming twin of batch
- * Q38, which the DuckDB oracle verifies in batch mode.
+ * Q38 — plus custom-state sessionization via `flatMapGroupsWithState`.
  */
 object StreamingOps {
 
@@ -79,4 +79,60 @@ object StreamingOps {
       .groupBy(window(col("ts"), windowLength), col("event_type"))
       .agg(count("*").as("n"), sum("value").as("s"))
       .select(col("window.start").as("h"), col("event_type"), col("n"), col("s"))
+
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class Session(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long, value_sum: Double)
+
+  /** Per-user inactivity-gap sessionization with explicit state
+    * (`flatMapGroupsWithState` + event-time timeout): a session closes when
+    * no event arrives for `gapMs` past the watermark. Input columns:
+    * `ts TIMESTAMP, user_id LONG, value DOUBLE`. */
+  def sessionize(events: DataFrame, gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "10 minutes"): org.apache.spark.sql.Dataset[Session] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    // cast before the watermark: a cast afterwards would mint a fresh
+    // attribute and silently drop the event-time tag
+    val typed = events
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+        col("value").cast("double"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, Double)]
+
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+       state: GroupState[SessionState]) =>
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator.single(Session(user, s.start, s.last, s.n, s.sum))
+        } else {
+          val batch = rows.toSeq
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var cur = state.getOption
+          for ((_, ts, v) <- batch.sortBy(_._2.getTime)) {
+            val t = ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                  sum = s.sum + v))
+              case Some(s) =>
+                closed += Session(user, s.start, s.last, s.n, s.sum)
+                cur = Some(SessionState(t, t, 1, v))
+              case None =>
+                cur = Some(SessionState(t, t, 1, v))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(s.last + gapMs)
+          }
+          closed.iterator
+        }
+    }
+  }
 }

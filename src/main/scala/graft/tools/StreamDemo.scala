@@ -48,6 +48,27 @@ object StreamDemo {
     val hits = searcher.search("sdb", "cosine content",
       Searcher.Params(k = 3, threshold = 0.0))
     println(s"[stream] search hits=${hits.count()}")
+
+    // stateful sessionization over an in-memory event stream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val sessions = graft.streaming.StreamingOps.sessionize(
+      input.toDF().toDF("ts", "user_id", "value"),
+      gapMs = 10 * 60 * 1000L, watermark = "0 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("demo_sessions").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData((t("2024-01-01 09:00:00"), 1L, 1.0),
+      (t("2024-01-01 09:05:00"), 1L, 2.0), (t("2024-01-01 09:40:00"), 1L, 5.0))
+    q.processAllAvailable()
+    input.addData((t("2024-01-01 12:00:00"), 2L, 1.0))
+    q.processAllAvailable()
+    val sess = spark.sql("SELECT user_id, n_events, value_sum FROM demo_sessions ORDER BY n_events DESC")
+      .collect().map(r => s"u${r.getLong(0)}:${r.getLong(1)}ev/${r.getDouble(2)}").mkString(", ")
+    println(s"[stream] closed sessions: $sess")
+    q.stop()
     println(s"[stream] OK work=$work")
     spark.stop()
   }

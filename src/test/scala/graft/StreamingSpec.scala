@@ -62,6 +62,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.count() == 3)
   }
 
+  test("sessionize: inactivity gap closes sessions, state times out") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+
+    val sessions = StreamingOps.sessionize(events, gapMs = 10 * 60 * 1000L,
+      watermark = "0 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1: two bursts 30 min apart (gap 10 min -> two sessions)
+    input.addData(
+      (t("2024-01-01 09:00:00"), 1L, 1.0),
+      (t("2024-01-01 09:05:00"), 1L, 2.0),
+      (t("2024-01-01 09:35:00"), 1L, 4.0))
+    q.processAllAvailable()
+    // advance watermark far past the last session's timeout
+    input.addData((t("2024-01-01 12:00:00"), 2L, 9.0))
+    q.processAllAvailable()
+    input.addData((t("2024-01-01 15:00:00"), 2L, 1.0))
+    q.processAllAvailable()
+
+    val got = spark.sql(
+      "SELECT user_id, n_events, value_sum FROM sessions ORDER BY user_id, n_events DESC")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // user 1's both sessions closed by watermark advance; first has 2 events
+    assert(got.contains((1L, 2L, 3.0)))
+    assert(got.contains((1L, 1L, 4.0)))
+    q.stop()
+  }
+
   test("watermarked tumbling window matches batch formulation") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
