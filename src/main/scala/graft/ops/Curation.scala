@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation operators for training-data pipelines (north-star
+ * extensions): PII masking, deterministic dataset splits, vocabulary
+ * statistics, and sequence packing. All are codegen'd built-ins — one pass
+ * over the corpus, shuffle only where an aggregation demands it.
+ */
+object Curation {
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val urlRe = "https?://[^\\s]+"
+  private val longNumRe = "\\b\\d{6,}\\b"
+
+  /** Mask emails, URLs and long digit runs — the standard pre-training
+    * scrub. Pure `regexp_replace` chain: stays in whole-stage codegen. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        urlRe, "<URL>"),
+      longNumRe, "<NUM>")
+
+  /**
+   * Deterministic train/val/test assignment from a content-stable key:
+   * bucket = first 15 hex chars of md5(key) mod 100 (md5 so any engine —
+   * including the DuckDB oracle — reproduces the exact assignment; xxhash64
+   * would be Spark-only). Stable across runs, clusters, and engines; doc
+   * membership never depends on partitioning.
+   */
+  def splitAssign(key: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
+    val bucket = conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("bigint") % 100
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Top-n vocabulary with counts (explode → count → top-n). The explode
+    * shuffles (word, 1) pairs — at 100 TB cap it with a pre-aggregation per
+    * partition, which Spark's partial aggregation already provides. */
+  def termFrequencies(df: DataFrame, text: Column, n: Int): DataFrame =
+    df.select(explode(split(trim(text), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count("*").as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(n)
+
+  /**
+   * Concat-and-chunk sequence packing: documents ordered by `order` are
+   * conceptually concatenated and cut every `budget` tokens — the packing
+   * used to fill fixed context windows without padding. A document lands in
+   * the bin where its first token falls. Returns per-bin stats
+   * `(bin, n_docs, tokens)`.
+   */
+  def packSequences(df: DataFrame, order: Column, tokens: Column,
+      budget: Long): DataFrame = {
+    val w = Window.orderBy(col("o")) // the aliased key, post-projection
+    df.select(tokens.cast("long").as("t"), order.as("o"))
+      .withColumn("cum_before", coalesce(sum(col("t"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", (col("cum_before") / budget).cast("long"))
+      .groupBy("bin")
+      .agg(count("*").as("n_docs"), sum("t").as("tokens"))
+      .orderBy("bin")
+  }
+}

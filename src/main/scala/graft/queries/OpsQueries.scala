@@ -112,6 +112,25 @@ object OpsQueries {
           graft.functions.hash_embed(col("ntext"))).as("nrm"))
         // sum of norms in the output keeps the embed stage un-prunable
         .agg(count("*").as("n_chunks"), round(sum("nrm"), 2).as("norm_sum"))),
+    "q59_split_assign" -> ((s, d) =>
+      // deterministic md5-based train/val/test split: per-split counts must
+      // match the oracle's identical assignment exactly
+      t(s, d, "documents")
+        .select(graft.ops.Curation.splitAssign(col("doc_id")).as("split"))
+        .groupBy("split").agg(count("*").as("n")).orderBy("split")),
+    "q60_pii_redact" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        graft.ops.Curation.piiRedact(
+          concat(col("text"), lit(" mail x@y.com site https://ex.com/p id 1234567")))
+          .as("red"))
+        .orderBy("doc_id").limit(100)),
+    "q61_term_frequencies" -> ((s, d) =>
+      graft.ops.Curation.termFrequencies(t(s, d, "documents"), col("text"), 20)),
+    "q62_pack_sequences" -> ((s, d) =>
+      graft.ops.Curation.packSequences(
+        t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok")),
+        col("doc_id"), col("n_tok"), 512L)),
     "q58_salted_aggregate" -> ((s, d) =>
       // salting changes the shuffle shape, not the answer: this result must
       // hash-match the plain GROUP BY the oracle runs
@@ -236,6 +255,37 @@ object OpsQueries {
                             t -> greatest(1, CAST(ceil(length(t) / 4.0) AS INT))), 'sum')
                 END AS BIGINT) AS n_sub
          FROM documents ORDER BY doc_id LIMIT 200""",
+    "q59_split_assign" ->
+      """SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+                count(*) AS n
+         FROM (SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+               FROM documents) t
+         GROUP BY split ORDER BY split""",
+    "q60_pii_redact" ->
+      """SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(
+                  concat(text, ' mail x@y.com site https://ex.com/p id 1234567'),
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  'https?://[^\s]+', '<URL>', 'g'),
+                  '\b\d{6,}\b', '<NUM>', 'g') AS red
+         FROM documents ORDER BY doc_id LIMIT 100""",
+    "q61_term_frequencies" ->
+      """SELECT w, count(*) AS c
+         FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents) t
+         WHERE length(w) > 0
+         GROUP BY w ORDER BY c DESC, w LIMIT 20""",
+    "q62_pack_sequences" ->
+      """WITH tok AS (
+           SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS t
+           FROM documents),
+         c AS (SELECT doc_id, t,
+                      COALESCE(sum(t) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+               FROM tok)
+         SELECT CAST(cb // 512 AS BIGINT) AS bin, count(*) AS n_docs,
+                CAST(sum(t) AS BIGINT) AS tokens
+         FROM c GROUP BY bin ORDER BY bin""",
     "q58_salted_aggregate" ->
       """SELECT event_type, count(*) AS n,
                 CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS s,
