@@ -75,6 +75,23 @@ final class VectorStore(spark: SparkSession, warehouse: String) {
     atomicWrite(s"${dbDir(db)}/index_metadata.json", json)
   }
 
+  /** Compaction (the reference's consolidate+vacuum,
+    * `vector_db_creator.py:326-329`): rewrite the vectors table into
+    * `targetPartitions` id-sorted files — run after many streaming
+    * micro-batch appends have fragmented the directory. */
+  def compactVectors(db: String, targetPartitions: Int = 0): Unit = {
+    val n = if (targetPartitions > 0) targetPartitions
+      else spark.sparkContext.defaultParallelism
+    val tmp = s"${dbDir(db)}/vectors_compacting"
+    vectors(db).repartitionByRange(n, col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").option("maxRecordsPerFile", 100000).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"${dbDir(db)}/vectors")
+    fs.delete(live, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
+  }
+
   def vectors(db: String): DataFrame = spark.read.parquet(s"${dbDir(db)}/vectors")
   def documents(db: String): DataFrame = spark.read.parquet(s"${dbDir(db)}/documents")
   def chunkDocMap(db: String): DataFrame = spark.read.parquet(s"${dbDir(db)}/chunk_doc_map")

@@ -49,6 +49,14 @@ object StreamDemo {
       Searcher.Params(k = 3, threshold = 0.0))
     println(s"[stream] search hits=${hits.count()}")
 
+    // micro-batch appends fragment the table; compact and re-check
+    def nFiles = new java.io.File(s"$work/wh/sdb/vectors")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val before = nFiles
+    store.compactVectors("sdb", targetPartitions = 1)
+    println(s"[stream] compacted files $before -> $nFiles, " +
+      s"rows=${store.vectors("sdb").count()}")
+
     // stateful sessionization over an in-memory event stream
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -60,6 +60,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hits = searcher.search("sdb", "fresh content arrives",
       Searcher.Params(k = 3, threshold = 0.0))
     assert(hits.count() == 3)
+
+    // compaction rewrites the fragmented append files; content unchanged
+    val filesBefore = new java.io.File(s"$work/wh/sdb/vectors")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    store.compactVectors("sdb", targetPartitions = 1)
+    val filesAfter = new java.io.File(s"$work/wh/sdb/vectors")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesAfter <= filesBefore && filesAfter == 1)
+    assert(store.vectors("sdb").count() == afterSecond)
+    assert(searcher.search("sdb", "fresh content arrives",
+      Searcher.Params(k = 3, threshold = 0.0)).count() == 3)
   }
 
   test("sessionize: inactivity gap closes sessions, state times out") {
