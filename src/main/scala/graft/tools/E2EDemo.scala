@@ -90,6 +90,12 @@ object E2EDemo {
       "SELECT count(*) FROM demo_vectors v JOIN demo_chunk_doc_map m ON v.id = m.chunk_id")
       .collect()(0).getLong(0)
     println(s"[e2e] sql-joined rows=$sqlTop")
+
+    // RAG chat turn with the offline echo backend
+    val answer = graft.rag.RagChat.ask(searcher, "demo",
+      "how does cosine similarity search work", p)
+    println(s"[e2e] rag answer='${answer.text.take(60)}' " +
+      s"contexts=${answer.contexts.length} citations=${answer.citations.length}")
     println(s"[e2e] OK work=$work")
     spark.stop()
   }
