@@ -112,6 +112,13 @@ object OpsQueries {
           graft.functions.hash_embed(col("ntext"))).as("nrm"))
         // sum of norms in the output keeps the embed stage un-prunable
         .agg(count("*").as("n_chunks"), round(sum("nrm"), 2).as("norm_sum"))),
+    "q63_percentiles" -> ((s, d) =>
+      // exact interpolated percentiles per group (corpus length profiling)
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.95)"), 4).as("p95"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 2).as("price_p99"))
+        .orderBy("l_returnflag")),
     "q59_split_assign" -> ((s, d) =>
       // deterministic md5-based train/val/test split: per-split counts must
       // match the oracle's identical assignment exactly
@@ -255,6 +262,12 @@ object OpsQueries {
                             t -> greatest(1, CAST(ceil(length(t) / 4.0) AS INT))), 'sum')
                 END AS BIGINT) AS n_sub
          FROM documents ORDER BY doc_id LIMIT 200""",
+    "q63_percentiles" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+                round(quantile_cont(l_quantity, 0.95), 4) AS p95,
+                round(quantile_cont(l_extendedprice, 0.99), 2) AS price_p99
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q59_split_assign" ->
       """SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
                 count(*) AS n
