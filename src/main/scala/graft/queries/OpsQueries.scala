@@ -19,6 +19,11 @@ object OpsQueries {
     s.read.parquet(s"$dir/$name.parquet")
 
   private val qvecScala: Array[Float] = Array.fill(64)(0.125f)
+  // second fixed query vector for the batched-search query: alternating sign
+  private val qvec2Scala: Array[Float] =
+    Array.tabulate(64)(i => if (i % 2 == 0) 0.125f else -0.125f)
+  private def vecSql(v: Array[Float]): String =
+    v.map(x => f"$x%.3f").mkString("[", ", ", "]")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- deduplication ----
@@ -112,6 +117,25 @@ object OpsQueries {
           graft.functions.hash_embed(col("ntext"))).as("nrm"))
         // sum of norms in the output keeps the embed stage un-prunable
         .agg(count("*").as("n_chunks"), round(sum("nrm"), 2).as("norm_sum"))),
+    "q64_batched_topk" -> ((s, d) => {
+      // batched multi-query top-k: every query scores in ONE scan of the
+      // embeddings (broadcast query matrix + window rank) - the Spark-native
+      // amortization the one-query-at-a-time reference cannot express
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val qdf = Seq(("qa", qvecScala), ("qb", qvec2Scala)).toDF("query_id", "qvec")
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      t(s, d, "embeddings")
+        .crossJoin(org.apache.spark.sql.functions.broadcast(qdf))
+        .select(col("query_id"), col("vec_id"),
+          round(graft.functions.cosine_similarity(col("embedding"), col("qvec")), 4)
+            .as("sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "vec_id", "sim")
+        .orderBy("query_id", "rnk")
+    }),
     "q63_percentiles" -> ((s, d) =>
       // exact interpolated percentiles per group (corpus length profiling)
       t(s, d, "lineitem").groupBy("l_returnflag")
@@ -262,6 +286,15 @@ object OpsQueries {
                             t -> greatest(1, CAST(ceil(length(t) / 4.0) AS INT))), 'sum')
                 END AS BIGINT) AS n_sub
          FROM documents ORDER BY doc_id LIMIT 200""",
+    "q64_batched_topk" ->
+      s"""WITH q(query_id, qvec) AS (VALUES ('qa', ${vecSql(Array.fill(64)(0.125f))}),
+                                            ('qb', ${vecSql(Array.tabulate(64)(i => if (i % 2 == 0) 0.125f else -0.125f))})),
+         s AS (SELECT q.query_id, e.vec_id,
+                      round(list_cosine_similarity(
+                        list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qvec), 4) AS sim
+               FROM embeddings e CROSS JOIN q),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk FROM s)
+         SELECT query_id, vec_id, sim FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""",
     "q63_percentiles" ->
       """SELECT l_returnflag,
                 round(quantile_cont(l_quantity, 0.5), 4) AS p50,

@@ -113,6 +113,44 @@ final class Searcher(spark: SparkSession, store: VectorStore) {
       rows.map(r => (r.getString(0), r.getString(1))).toIndexedSeq)
   }
 
+  /**
+   * Batched multi-query search — a Spark-native capability the one-query-
+   * at-a-time reference cannot express: all queries score against ONE pass
+   * over the vectors table (each row evaluates every query vector from a
+   * small broadcast), then per-query top-k via window rank. At 100 TB this
+   * amortizes the dominant cost — the scan — across the whole query batch;
+   * the only shuffle carries `(query_id, id, sim)` triples for the rank.
+   * Threshold still applies after the per-query top-k (§4.1).
+   */
+  def searchMany(db: String, queries: Seq[(String, String)],
+      p: Searcher.Params = Searcher.Params()): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val qvecs = queries.map { case (qid, text) =>
+      val prompted = p.promptFamily.fold(TextNorm.normalizeQuery(text)) { fam =>
+        graft.embed.PromptPrefix.applyTo(fam, isQuery = true,
+          TextNorm.normalizeQuery(text))
+      }
+      (qid, p.embedder.embed(prompted))
+    }
+    val qdf = qvecs.toDF("query_id", "qvec")
+    val vectors = vectorsOf(db)
+    val scored = vectors.select(col("id"), col("vector"))
+      .crossJoin(broadcast(qdf))
+      .select(col("query_id"), col("id"),
+        cosine_similarity(col("vector"), col("qvec")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= p.k)
+      .filter(col("sim") >= p.threshold) // after top-k, per query
+      .join(vectors.select("id", "text", "metadata"), Seq("id"))
+      .withColumn("similarity_score", least(greatest(col("sim"), lit(0.0)), lit(1.0)))
+      .withColumn("distance", lit(1.0) - col("sim"))
+      .select("query_id", "id", "text", "metadata", "similarity_score", "distance")
+      .orderBy(col("query_id"), col("similarity_score").desc, col("id"))
+  }
+
   /** Schema-correct empty result (the §4.1.2 short-circuit target). */
   private def emptyHits(vectors: DataFrame): DataFrame = {
     val hitSchema = org.apache.spark.sql.types.StructType(Seq(

@@ -133,6 +133,20 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gen.map(_.getString(0)).toSeq == Seq("abcd", "efgh"))
   }
 
+  test("searchMany: batched queries match per-query search") {
+    val batch = searcher.searchMany("specdb",
+      Seq("qa" -> "cosine vector embeddings", "qb" -> "whisk eggs sugar"),
+      params(k = 3))
+      .select("query_id", "id").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    val singleA = searcher.search("specdb", "cosine vector embeddings", params(k = 3))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val singleB = searcher.search("specdb", "whisk eggs sugar", params(k = 3))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(batch("qa") == singleA)
+    assert(batch("qb") == singleB)
+  }
+
   test("LSH ANN recall vs brute force at sf0.001") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = Array.fill(64)(0.125f)
