@@ -10,16 +10,21 @@ import org.apache.spark.unsafe.types.UTF8String
 /**
  * Static sketch kernels for large-scale dedup (LLM-training-pipeline
  * extensions; north-star ops beyond the reference surface). All hashing is
- * XXH64 — the same kernel as Spark's `xxhash64` built-in — with the
- * double-hashing trick `h_i = h1 + i*h2` (Kirsch-Mitzenmacher) so one pass
- * over the shingles yields the whole MinHash signature.
+ * [[PortableHash]] (md5-derived) so the DuckDB verification oracle
+ * recomputes every signature exactly (SURVEY §5.5); MinHash uses the
+ * double-hashing trick `h_i = (h1 + i*h2) mod P` (Kirsch-Mitzenmacher) with
+ * 28-bit components and P the largest prime below 2^28, so one md5 per
+ * shingle yields the whole signature with overflow-free 64-bit arithmetic
+ * in any engine. (The modulus is essential: without it `h1 + i*h2` is
+ * monotone in `i*h2`, so every high-index component degenerates to
+ * "argmin h2" and the signature loses independence — measured recall fell
+ * from >0.99 to 0.84.)
  */
 object SketchOps {
 
-  private def hash64(s: String, seed: Long): Long = {
-    val u = UTF8String.fromString(s)
-    XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), seed)
-  }
+  /** Largest prime below 2^28 — the KM modulus; `h1 + 63*h2 < 2^35` keeps
+    * every intermediate exact in signed 64-bit. */
+  val MinHashP: Long = 268435399L
 
   private def tokens(text: String): Array[String] = {
     if (text == null) return Array.empty
@@ -37,19 +42,24 @@ object SketchOps {
   }
 
   /** MinHash signature over word `shingleSize`-gram shingles; documents with
-    * fewer tokens than the shingle size contribute one whole-text shingle. */
+    * fewer tokens than the shingle size contribute one whole-text shingle.
+    * Token-less documents yield the all-MaxValue sentinel signature —
+    * callers exclude them before banding (the oracle has no rows for them).
+    * `seed` 42 is the portable fixture space; other seeds suffix the
+    * shingle. */
   def minHashSignature(text: UTF8String, numHashes: Int, shingleSize: Int,
       seed: Long): ArrayData = {
     val toks = tokens(if (text == null) null else text.toString)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     def add(shingle: String): Unit = {
-      val h1 = hash64(shingle, seed)
-      val h2 = hash64(shingle, seed + 0x9E3779B97F4A7C15L) | 1L
+      val h15 = PortableHash.hex15(
+        if (seed == 42L) shingle else shingle + " " + seed)
+      val h1 = PortableHash.minhashH1(h15)
+      val h2 = PortableHash.minhashH2(h15)
       var i = 0
-      var h = h1
       while (i < numHashes) {
+        val h = (h1 + i * h2) % MinHashP
         if (h < mins(i)) mins(i) = h
-        h += h2
         i += 1
       }
     }
@@ -73,15 +83,19 @@ object SketchOps {
     new GenericArrayData(mins)
   }
 
-  /** 64-bit SimHash over unit-weight tokens. */
+  /** 60-bit SimHash over unit-weight token occurrences: bit `b` is set when
+    * more token hashes have bit `b` set than clear (ties → clear). 60 bits
+    * (not 64) because the portable hash is the 15-hex-char md5 prefix.
+    * Token-less documents yield 0 — callers exclude them before banding. */
   def simHash64(text: UTF8String, seed: Long): Long = {
     val toks = tokens(if (text == null) null else text.toString)
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](60)
     var t = 0
     while (t < toks.length) {
-      val h = hash64(toks(t), seed)
+      val h = PortableHash.hex15(
+        if (seed == 42L) toks(t) else toks(t) + " " + seed)
       var b = 0
-      while (b < 64) {
+      while (b < 60) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
         b += 1
       }
@@ -89,7 +103,7 @@ object SketchOps {
     }
     var sig = 0L
     var b = 0
-    while (b < 64) {
+    while (b < 60) {
       if (counts(b) > 0) sig |= (1L << b)
       b += 1
     }
@@ -103,14 +117,16 @@ object SketchOps {
   private def planes(nbits: Int, dim: Int, seed: Long): Array[Array[Double]] =
     planeCache.computeIfAbsent((nbits, dim, seed), { _ =>
       Array.tabulate(nbits, dim) { (j, i) =>
-        if ((XXH64.hashLong(j.toLong * dim + i, seed) & 1L) == 0L) 1.0 else -1.0
+        val key = if (seed == 42L) String.valueOf(j * dim + i)
+                  else s"${j * dim + i} $seed"
+        if ((PortableHash.hex15(key) & 1L) == 0L) 1.0 else -1.0
       }
     })
 
   /** Random-hyperplane LSH bucket of a float vector: bit j is the sign of
-    * the dot product with a deterministic ±1 hyperplane derived from
-    * `xxhash64(j*dim + i, seed)`. Same-bucket vectors are likely
-    * high-cosine (Charikar sign-LSH). */
+    * the dot product with a deterministic ±1 hyperplane whose entry (j, i)
+    * is the md5-parity of the flat index `j*dim + i`. Same-bucket vectors
+    * are likely high-cosine (Charikar sign-LSH). */
   def lshBucket(vec: ArrayData, nbits: Int, seed: Long): Int = {
     val dim = vec.numElements()
     val p = planes(nbits, dim, seed)
@@ -146,8 +162,9 @@ case class MinHashSignature(child: Expression, numHashes: Int = 64,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** SimHash expression: `STRING → BIGINT`. Near-duplicates have small
-  * hamming distance (`bit_count(a ^ b)` with Spark built-ins). */
+/** SimHash expression: `STRING → BIGINT` (60-bit portable signature).
+  * Near-duplicates have small hamming distance (`bit_count(a ^ b)` with
+  * Spark built-ins). */
 case class SimHash(child: Expression, seed: Long = 42L) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true

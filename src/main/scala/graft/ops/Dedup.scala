@@ -16,8 +16,8 @@ import graft.expr.{MinHashSignature, SimHash}
  *    self-join on (band, bucket) → exact-verify candidates. Shuffle volume
  *    is #rows × #bands small ints, never the text; candidate verification
  *    touches only colliding pairs — the standard web-scale recipe.
- *  - SimHash: per-row 64-bit sketch; near-dups = small hamming distance,
- *    found via band-bucket join on 16-bit chunks (any pair within hamming 3
+ *  - SimHash: per-row 60-bit sketch; near-dups = small hamming distance,
+ *    found via band-bucket join on 15-bit chunks (any pair within hamming 3
  *    shares at least one of 4 chunks).
  *  - n-gram Jaccard: exact token-set similarity for candidate pairs.
  *  - embedding cosine: see [[Ann.nearDupPairs]].
@@ -43,17 +43,21 @@ object Dedup {
       .filter(col("n") > 1)
 
   /** Distinct LSH candidate pairs `(a_id, b_id)` from banding a minhash
-    * signature: `bands` buckets of `rowsPerBand` hashes each. */
+    * signature: `bands` buckets of `rowsPerBand` hashes each. Token-less
+    * documents are excluded up front (their sentinel signatures would
+    * band-match each other; the DuckDB oracle has no rows for them). */
   def lshCandidatePairs(df: DataFrame, idCol: Column, textCol: Column,
       bands: Int = 16, rowsPerBand: Int = 4, seed: Long = 42L,
       shingleSize: Int = 3): DataFrame = {
-    val sig = df.select(idCol.as("id"),
+    val sig = df.filter(length(trim(textCol)) > 0).select(idCol.as("id"),
       minhash(textCol, bands * rowsPerBand, shingleSize, seed).as("sig"))
-    // band bucket = hash of the band's slice of the signature (band index
-    // mixed in so buckets are independent across bands)
+    // band bucket = the band's slice of the signature verbatim (joined as a
+    // string key): exact equality, no cross-band or hash-collision
+    // candidates — the oracle reproduces the same buckets from md5 alone
     val banded = sig.select(col("id"),
       posexplode(array((0 until bands).map(bn =>
-        xxhash64(slice(col("sig"), bn * rowsPerBand + 1, rowsPerBand), lit(bn))): _*)))
+        concat_ws("_", slice(col("sig"), bn * rowsPerBand + 1, rowsPerBand)
+          .cast("array<string>"))): _*)))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
     val a = banded.as("a")
     val b = banded.as("b")
@@ -100,20 +104,23 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs within `maxHamming` (≤ 3 for full recall
-    * with 4 chunks): band on 16-bit chunks, verify with `bit_count(a^b)`. */
+    * with 4 chunks): band the 60-bit signature into four 15-bit chunks,
+    * verify with `bit_count(a^b)`. Token-less documents (signature would be
+    * 0) are excluded up front, matching the oracle. */
   def simHashDuplicates(df: DataFrame, idCol: Column, textCol: Column,
       maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
-    val sigs = df.select(idCol.as("id"), simhash(textCol, seed).as("sig"))
+    val sigs = df.filter(length(trim(textCol)) > 0)
+      .select(idCol.as("id"), simhash(textCol, seed).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(bn =>
-        shiftright(col("sig"), bn * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        shiftright(col("sig"), bn * 15).bitwiseAND(lit(0x7FFFL))): _*)))
       .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("chunk"))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("bigint").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -32,15 +32,16 @@ object Multimodal {
    * reproducible across engines and runs.
    */
   object StubDecoders extends Serializable {
-    /** "Decode" an image to a 16-bin byte histogram, L1-normalized —
-      * stands in for decode→resize→feature-extract. */
+    /** "Decode" an image to a 16-bin high-nibble byte histogram (raw
+      * counts) — stands in for decode→resize→feature-extract. Counts, not
+      * ratios: small integers are exact in float32, so any engine —
+      * including the DuckDB verification oracle — reproduces the features
+      * bit-for-bit. Normalize downstream if a unit-scale feature is needed. */
     def imageFeatures(bytes: Array[Byte]): Array[Float] = {
       val hist = new Array[Float](16)
       if (bytes == null || bytes.isEmpty) return hist
       var i = 0
       while (i < bytes.length) { hist((bytes(i) & 0xFF) >> 4) += 1f; i += 1 }
-      var j = 0
-      while (j < 16) { hist(j) /= bytes.length; j += 1 }
       hist
     }
 

@@ -9,9 +9,10 @@ import graft.ops.{Ann, Dedup, Multimodal, TextAnalysis}
  * Verification queries for the training-data-pipeline extensions (dedup,
  * similarity search, text analysis, multimodal plumbing). Same contract as
  * [[T2Queries]]: DuckDB oracle where the computation is expressible in both
- * dialects; sketch-based ops (MinHash/SimHash/LSH — engine-side XXH64) are
- * rows-only checked by the driver and exact-verified in the ScalaTest suite
- * instead.
+ * dialects. Since round 2 the sketch kernels (MinHash/SimHash/LSH/hash-embed)
+ * are md5-derived ([[graft.expr.PortableHash]]), so even those have full
+ * DuckDB oracles — the SQL replicas live at the bottom of this file
+ * ([[PortableSql]]) — plus exact ScalaTest verification.
  */
 object OpsQueries {
 
@@ -35,8 +36,8 @@ object OpsQueries {
     "q43_dedup_minhash" -> ((s, d) =>
       // MinHash(64)+LSH(16x4) candidates, exact-verified at Jaccard >= 0.7;
       // unigram shingles (this bag-of-words corpus has no word-3-gram
-      // near-dups); sketch hashing is engine-side -> rows-only oracle,
-      // recall vs brute force is unit-tested
+      // near-dups); md5 sketch kernel -> the oracle recomputes the exact
+      // signatures; recall vs brute force is also unit-tested
       Dedup.minHashDuplicates(
         t(s, d, "documents").filter(col("doc_id") < 200),
         col("doc_id"), col("text"), 0.7, shingleSize = 1)
@@ -54,7 +55,7 @@ object OpsQueries {
         col("vec_id"), col("embedding"), 0.40)
         .orderBy("a_id", "b_id")),
     "q46_dedup_simhash" -> ((s, d) =>
-      // SimHash banding + hamming verify; engine-side hashing -> rows-only.
+      // SimHash banding + hamming verify (60-bit md5 kernel, full oracle).
       // maxHamming 20 on this vocabulary-overlap corpus yields real pairs.
       Dedup.simHashDuplicates(
         t(s, d, "documents").filter(col("doc_id") < 200),
@@ -63,8 +64,8 @@ object OpsQueries {
 
     // ---- similarity search ----
     "q47_ann_lsh" -> ((s, d) =>
-      // LSH-bucketed approximate top-k (rows-only; recall vs brute force is
-      // unit-tested at sf0.001)
+      // LSH-bucketed approximate top-k (md5 hyperplanes -> the oracle
+      // recomputes buckets + probes; recall also unit-tested at sf0.001)
       Ann.lshTopK(t(s, d, "embeddings"), col("vec_id"), col("embedding"),
         qvecScala, k = 6, nbits = 4, probes = 2)),
 
@@ -106,7 +107,8 @@ object OpsQueries {
         .orderBy("doc_id").limit(200)),
     "q56_ingest_pipeline" -> ((s, d) =>
       // ingest-throughput proxy: full-corpus chunk(1200/600) + normalize +
-      // embed, aggregated (engine-side chunk semantics -> rows-only oracle)
+      // embed, aggregated (chunk/normalize/embed all replicated in the
+      // oracle via PortableSql)
       t(s, d, "documents")
         .select(col("doc_id"), graft.functions.chunk_document(
           col("text"), lit(1200), lit(600)))
@@ -186,11 +188,14 @@ object OpsQueries {
     }),
     "q53_multimodal_features" -> ((s, d) =>
       // mapPartitions feature extraction over the binary column (stub
-      // decoder, deterministic) -> rows-only
+      // decoder; exact-count features -> full DuckDB oracle). f2/f6 are the
+      // punctuation-range and a-o-range histogram bins — the two the ASCII
+      // corpus actually populates.
       Multimodal.extractImageFeatures(Multimodal.assetsFromText(
           t(s, d, "documents").filter(col("doc_id") < 100)))
         .select(col("asset_id"), col("modality"), col("n_bytes"),
-          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+          round(element_at(col("features"), 3).cast("double"), 4).as("f2"),
+          round(element_at(col("features"), 7).cast("double"), 4).as("f6"))
         .orderBy("asset_id"))
   )
 
@@ -348,8 +353,178 @@ object OpsQueries {
       """SELECT doc_id AS asset_id,
                 ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
                 CAST(octet_length(encode(text)) AS BIGINT) AS nbytes
-         FROM documents ORDER BY asset_id LIMIT 200"""
-    // q43/q46/q47/q53: engine-side sketches or partition-batch stubs ->
-    // rows-only driver check + ScalaTest exact verification.
+         FROM documents ORDER BY asset_id LIMIT 200""",
+
+    // ---- portable-sketch oracles (SURVEY §5.5): every kernel below is
+    // md5-derived (expr/PortableHash.scala), so DuckDB recomputes the exact
+    // signatures/buckets/vectors the engine produced ----
+
+    "q43_dedup_minhash" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS s
+           FROM documents WHERE doc_id < 200 AND length(trim(text)) > 0),
+         hs AS (
+           SELECT doc_id,
+                  CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS h1,
+                  CAST('0x' || substr(md5(s), 9, 7) AS BIGINT) | 1 AS h2
+           FROM toks),
+         sig AS (
+           SELECT doc_id, i, min((h1 + i * h2) % 268435399) AS v
+           FROM hs CROSS JOIN range(64) r(i) GROUP BY doc_id, i),
+         band AS (
+           SELECT doc_id, i // 4 AS band,
+                  string_agg(CAST(v AS VARCHAR), '_' ORDER BY i) AS key
+           FROM sig GROUP BY doc_id, i // 4),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         sets AS (
+           SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS tk
+           FROM documents WHERE doc_id < 200)
+         SELECT c.a_id, c.b_id,
+                round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.tk, b.tk))), 4) AS j
+         FROM cand c JOIN sets a ON c.a_id = a.doc_id
+                     JOIN sets b ON c.b_id = b.doc_id
+         WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.7
+         ORDER BY a_id, b_id""",
+
+    "q46_dedup_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+           FROM documents WHERE doc_id < 200 AND length(trim(text)) > 0),
+         h AS (
+           SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+           FROM toks),
+         bits AS (
+           SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+           FROM h CROSS JOIN range(60) r(b) GROUP BY doc_id, b),
+         sig AS (
+           SELECT doc_id,
+                  sum(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS sig
+           FROM bits GROUP BY doc_id),
+         chunks AS (
+           SELECT doc_id, sig, c, (sig >> (15 * c)) & 32767 AS chunk
+           FROM sig CROSS JOIN range(4) r(c)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                  a.sig AS sa, b.sig AS sb
+           FROM chunks a JOIN chunks b
+             ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(sa, sb)) <= 20
+         ORDER BY a_id, b_id""",
+
+    "q47_ann_lsh" -> {
+      val qv = vecSql(qvecScala)
+      s"""WITH planes AS (
+           SELECT j, list_transform(range(64), i ->
+             CASE WHEN CAST('0x' || substr(md5(CAST(j * 64 + i AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END) AS p
+           FROM range(4) t(j)),
+         emb2 AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         buckets AS (
+           SELECT vec_id,
+                  CAST(sum(CASE WHEN list_inner_product(v, p) > 0
+                                THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+           FROM emb2 CROSS JOIN planes GROUP BY vec_id),
+         qb AS (
+           SELECT CAST(sum(CASE WHEN list_inner_product($qv, p) > 0
+                                THEN (1 << j) ELSE 0 END) AS INT) AS b
+           FROM planes)
+         SELECT e.vec_id AS id, round(list_cosine_similarity(e.v, $qv), 4) AS sim
+         FROM emb2 e JOIN buckets bk ON e.vec_id = bk.vec_id
+         WHERE bk.bucket IN (SELECT b FROM qb UNION ALL
+                             SELECT xor(b, 1) FROM qb UNION ALL
+                             SELECT xor(b, 2) FROM qb)
+         ORDER BY sim DESC, id LIMIT 6"""
+    },
+
+    "q53_multimodal_features" ->
+      """SELECT doc_id AS asset_id,
+                ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                round(CAST(length(text)
+                  - length(regexp_replace(text, '[\x20-\x2f]', '', 'g')) AS DOUBLE), 4) AS f2,
+                round(CAST(length(text)
+                  - length(regexp_replace(text, '[\x60-\x6f]', '', 'g')) AS DOUBLE), 4) AS f6
+         FROM documents WHERE doc_id < 100 ORDER BY asset_id""",
+
+    "q56_ingest_pipeline" ->
+      s"""WITH ${PortableSql.chunkCtes(size = 1200, step = 600)},
+         ${PortableSql.bucketCtes("c", "chunks", "doc_id, chunk_index")},
+         nrm AS (SELECT doc_id, chunk_index, sqrt(sum(wt * wt)) AS nrm
+                 FROM cbuck GROUP BY doc_id, chunk_index)
+         SELECT count(*) AS n_chunks, round(sum(nrm), 2) AS norm_sum FROM nrm"""
   )
+}
+
+/** Shared DuckDB SQL fragments replicating the engine's portable (md5)
+  * chunk/normalize/embed kernels — the oracle side of
+  * [[graft.expr.Chunker]] + [[graft.embed.HashEmbedder]] for ASCII corpora
+  * (the synthetic `documents` table is verified printable-ASCII, so NFKC and
+  * unicode-whitespace handling are no-ops). */
+private[queries] object PortableSql {
+
+  /** CTE chain `docs → rawc → idxd → chunks(doc_id, chunk_index, ntext)`:
+    * strip → fixed windows of `size` advancing by `step` → per-piece strip,
+    * drop empties, index → index-side normalize (collapse whitespace, drop
+    * empties). Mirrors Chunker.chunk + TextNorm.normalizeIndex. */
+  def chunkCtes(size: Int, step: Int, where: String = ""): String =
+    raw"""docs AS (
+         SELECT doc_id, trim(text) AS clean FROM documents
+         WHERE length(trim(text)) > 0 $where),
+       rawc AS (
+         SELECT doc_id, $step * k AS st,
+                trim(substr(clean, $step * k + 1, $size)) AS piece
+         FROM docs CROSS JOIN range(200) r(k) WHERE $step * k < length(clean)),
+       idxd AS (
+         SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY st) - 1
+                  AS chunk_index, piece
+         FROM rawc WHERE length(piece) > 0),
+       chunks AS (
+         SELECT doc_id, chunk_index,
+                trim(regexp_replace(piece, '\s+', ' ', 'g')) AS ntext
+         FROM idxd WHERE length(trim(regexp_replace(piece, '\s+', ' ', 'g'))) > 0)"""
+
+  /** CTE chain `<p>toks → <p>grams → <p>hash → <p>buck(<idCols>, b, wt)`:
+    * the HashEmbedder sparse form — lowercase, whitespace tokens, char
+    * 3-grams (short tokens whole), bucket `h % 64`, weight `1 + h % 7`,
+    * h = 60-bit md5 prefix. Cosine follows as
+    * `dot / (sqrt(sum wt²) * sqrt(sum wt²))` — identical arithmetic to
+    * VectorOps.cosine because every sum is integer-exact. */
+  def bucketCtes(p: String, src: String, idCols: String): String =
+    raw"""${p}toks AS (
+         SELECT $idCols, unnest(string_split_regex(lower(ntext), '\s+')) AS tok
+         FROM $src),
+       ${p}grams AS (
+         SELECT $idCols, unnest(CASE WHEN length(tok) < 3 THEN [tok]
+                  ELSE list_transform(range(length(tok) - 2),
+                         i -> substr(tok, i + 1, 3)) END) AS g
+         FROM ${p}toks),
+       ${p}hash AS (
+         SELECT $idCols, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h
+         FROM ${p}grams),
+       ${p}buck AS (
+         SELECT $idCols, h % 64 AS b, sum(1 + h % 7) AS wt
+         FROM ${p}hash GROUP BY $idCols, h % 64)"""
+
+  /** Query-string bucket CTEs `qtoks → qgrams → qhash → qbuck(b, wt)` for a
+    * SQL string literal expression (same kernel, no id columns). */
+  def queryBucketCtes(literalSql: String): String =
+    raw"""qtoks AS (
+         SELECT unnest(string_split_regex(lower($literalSql), '\s+')) AS tok),
+       qgrams AS (
+         SELECT unnest(CASE WHEN length(tok) < 3 THEN [tok]
+                  ELSE list_transform(range(length(tok) - 2),
+                         i -> substr(tok, i + 1, 3)) END) AS g
+         FROM qtoks),
+       qhash AS (
+         SELECT CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h FROM qgrams),
+       qbuck AS (SELECT h % 64 AS b, sum(1 + h % 7) AS wt FROM qhash GROUP BY h % 64)"""
 }

@@ -240,7 +240,11 @@ object T2Queries {
         .select(col("doc_id"), col("chunk_index"),
           normalize_text(col("chunk_text")).as("text"))
         .filter(col("text").isNotNull)
-        .withColumn("id", xxhash64(col("doc_id"), col("chunk_index")))
+        // portable chunk id (md5, like Curation.splitAssign) so the DuckDB
+        // oracle reproduces it; xxhash64 would be Spark-only
+        .withColumn("id", conv(substring(md5(concat(
+            col("doc_id").cast("string"), lit(":"),
+            col("chunk_index").cast("string"))), 1, 15), 16, 10).cast("bigint"))
       chunks
         .select(col("id"), col("doc_id"), col("text"),
           round(cosine_similarity(hash_embed(col("text")), qv), 4).as("sim"))
@@ -330,8 +334,35 @@ object T2Queries {
     "q38_tumbling_window" ->
       "SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n, round(sum(value), 2) AS s FROM events GROUP BY h, event_type ORDER BY h, event_type",
     "q39_per_user_stats" ->
-      "SELECT user_id, count(*) AS n, max(ts) AS last_ts FROM events GROUP BY user_id ORDER BY user_id"
-    // q40_retrieval_e2e: intentionally no SQL oracle (custom chunk/normalize/
-    // embed pipeline, SURVEY §2.11 Q40) → driver records rows-only check.
+      "SELECT user_id, count(*) AS n, max(ts) AS last_ts FROM events GROUP BY user_id ORDER BY user_id",
+    // q40: the full retrieval slice — chunk(120/60) → normalize → md5
+    // hash-embed → top-6 cosine → threshold 0.15 after top-k — replicated
+    // relationally from the portable kernels (SURVEY §5.5, PortableSql).
+    "q40_retrieval_e2e" ->
+      s"""WITH ${PortableSql.chunkCtes(size = 120, step = 60)},
+         ids AS (
+           SELECT CAST('0x' || substr(md5(doc_id || ':' || chunk_index), 1, 15)
+                  AS BIGINT) AS id, doc_id, chunk_index, ntext
+           FROM chunks),
+         ${PortableSql.bucketCtes("c", "chunks", "doc_id, chunk_index")},
+         ${PortableSql.queryBucketCtes(
+             "'the quick analysis of lineitem shipping data'")},
+         qn AS (SELECT sqrt(sum(wt * wt)) AS n FROM qbuck),
+         norms AS (
+           SELECT doc_id, chunk_index, sqrt(sum(wt * wt)) AS n
+           FROM cbuck GROUP BY doc_id, chunk_index),
+         dots AS (
+           SELECT c.doc_id, c.chunk_index, sum(c.wt * q.wt) AS dot
+           FROM cbuck c JOIN qbuck q ON c.b = q.b GROUP BY c.doc_id, c.chunk_index),
+         sims AS (
+           SELECT i.id, i.doc_id, i.ntext AS text,
+                  round(coalesce(d.dot, 0) / (n.n * (SELECT n FROM qn)), 4) AS sim
+           FROM ids i
+           JOIN norms n ON i.doc_id = n.doc_id AND i.chunk_index = n.chunk_index
+           LEFT JOIN dots d ON i.doc_id = d.doc_id AND i.chunk_index = d.chunk_index),
+         topk AS (
+           SELECT *, row_number() OVER (ORDER BY sim DESC, id) AS rn FROM sims)
+         SELECT id, doc_id, text, sim FROM topk
+         WHERE rn <= 6 AND sim >= 0.15 ORDER BY sim DESC, id"""
   )
 }
