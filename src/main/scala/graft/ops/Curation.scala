@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -56,14 +55,41 @@ object Curation {
    * used to fill fixed context windows without padding. A document lands in
    * the bin where its first token falls. Returns per-bin stats
    * `(bin, n_docs, tokens)`.
+   *
+   * The global running sum is a two-pass distributed prefix sum, NOT an
+   * unpartitioned window (`Window.orderBy` with no partition moves every
+   * row to ONE task — the classic scale-killer): range-partition by the
+   * order key and sort within partitions, take per-partition token
+   * subtotals (one tiny row per partition to the driver), scan them into
+   * start offsets, then a second per-partition pass assigns each row's bin
+   * from its partition offset + local cumulative sum. Identical result, and
+   * every stage is as parallel as the partitioning. The ordered input is
+   * computed twice (once per pass) — both passes are deterministic; callers
+   * with an expensive upstream should persist before calling.
    */
   def packSequences(df: DataFrame, order: Column, tokens: Column,
       budget: Long): DataFrame = {
-    val w = Window.orderBy(col("o")) // the aliased key, post-projection
-    df.select(tokens.cast("long").as("t"), order.as("o"))
-      .withColumn("cum_before", coalesce(sum(col("t"))
-        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("bin", (col("cum_before") / budget).cast("long"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parted = df.select(tokens.cast("long").as("t"), order.as("o"))
+      .repartitionByRange(col("o"))
+      .sortWithinPartitions("o")
+      .select(col("t")).as[Long]
+    val rdd = parted.rdd
+    // pass 1: per-partition subtotals — `#partitions` longs on the driver
+    val sums = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L; it.foreach(s += _); Iterator((pid, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(sums.scanLeft(0L)(_ + _))
+    // pass 2: local cumulative sum seeded by the partition's start offset
+    rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var cum = offsets.value(pid)
+        it.map { t => val bin = cum / budget; cum += t; (bin, t) }
+      }
+      .toDF("bin", "t")
       .groupBy("bin")
       .agg(count("*").as("n_docs"), sum("t").as("tokens"))
       .orderBy("bin")

@@ -121,22 +121,22 @@ object OpsQueries {
         .agg(count("*").as("n_chunks"), round(sum("nrm"), 2).as("norm_sum"))),
     "q64_batched_topk" -> ((s, d) => {
       // batched multi-query top-k: every query scores in ONE scan of the
-      // embeddings (broadcast query matrix + window rank) - the Spark-native
+      // embeddings (broadcast query matrix + bounded TopKAggregator — a
+      // partial aggregate, not a window rank, so the shuffle carries only
+      // per-partition per-query top-k buffers) - the Spark-native
       // amortization the one-query-at-a-time reference cannot express
-      import org.apache.spark.sql.expressions.Window
       import s.implicits._
       val qdf = Seq(("qa", qvecScala), ("qb", qvec2Scala)).toDF("query_id", "qvec")
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("sim").desc, col("vec_id"))
-      t(s, d, "embeddings")
+      val scored = t(s, d, "embeddings")
         .crossJoin(org.apache.spark.sql.functions.broadcast(qdf))
         .select(col("query_id"), col("vec_id"),
           round(graft.functions.cosine_similarity(col("embedding"), col("qvec")), 4)
             .as("sim"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select("query_id", "vec_id", "sim")
+      graft.ops.TopK.perGroup(scored, Seq(col("query_id")), col("vec_id"),
+          col("sim"), 5)
+        .select(col("query_id"), col("id").as("vec_id"), col("sim"), col("rnk"))
         .orderBy("query_id", "rnk")
+        .select("query_id", "vec_id", "sim")
     }),
     "q63_percentiles" -> ((s, d) =>
       // exact interpolated percentiles per group (corpus length profiling)

@@ -117,10 +117,13 @@ final class Searcher(spark: SparkSession, store: VectorStore) {
    * Batched multi-query search — a Spark-native capability the one-query-
    * at-a-time reference cannot express: all queries score against ONE pass
    * over the vectors table (each row evaluates every query vector from a
-   * small broadcast), then per-query top-k via window rank. At 100 TB this
-   * amortizes the dominant cost — the scan — across the whole query batch;
-   * the only shuffle carries `(query_id, id, sim)` triples for the rank.
-   * Threshold still applies after the per-query top-k (§4.1).
+   * small broadcast), then per-query top-k via [[graft.ops.TopKAggregator]]
+   * — a bounded partial aggregate, NOT a window rank: each scan partition
+   * reduces to ≤ k rows per query before the exchange, so the shuffle
+   * carries ≤ partitions×queries×k structs and nothing ever sorts the full
+   * table (the window formulation funneled every `(query_id, id, sim)`
+   * triple into one task per query — the 100 TB killer). Threshold still
+   * applies after the per-query top-k (§4.1).
    */
   def searchMany(db: String, queries: Seq[(String, String)],
       p: Searcher.Params = Searcher.Params()): DataFrame = {
@@ -139,10 +142,7 @@ final class Searcher(spark: SparkSession, store: VectorStore) {
       .crossJoin(broadcast(qdf))
       .select(col("query_id"), col("id"),
         cosine_similarity(col("vector"), col("qvec")).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= p.k)
+    graft.ops.TopK.perGroup(scored, Seq(col("query_id")), col("id"), col("sim"), p.k)
       .filter(col("sim") >= p.threshold) // after top-k, per query
       .join(vectors.select("id", "text", "metadata"), Seq("id"))
       .withColumn("similarity_score", least(greatest(col("sim"), lit(0.0)), lit(1.0)))
