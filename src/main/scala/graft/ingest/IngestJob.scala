@@ -82,6 +82,23 @@ object IngestJob {
       case _ => TextDecode.decode(b)
     })
 
+    // The reference records ctime AND mtime ISO strings
+    // (document_processor.py:61-62) but binaryFile exposes modificationTime
+    // only: stat the file's creation time executor-side (works for file:
+    // paths — the common local/NFS mount case; object stores have no birth
+    // time) and fall back to mtime where the filesystem keeps none.
+    val creationDate = udf((path: String) => {
+      try {
+        val p = java.nio.file.Paths.get(new java.net.URI(path))
+        val attrs = java.nio.file.Files.readAttributes(
+          p, classOf[java.nio.file.attribute.BasicFileAttributes])
+        java.time.LocalDateTime
+          .ofInstant(attrs.creationTime().toInstant, java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      } catch { case _: Exception => null }
+    })
+
     val bin = binary
       .withColumn("ext", lower(regexp_extract(col("path"), "(\\.[^./\\\\]+)$", 1)))
       .filter(col("ext").isin(supportedText ++ supportedCsv ++ supportedRich: _*)) // F1
@@ -91,9 +108,9 @@ object IngestJob {
       regexp_replace(col("path"), "^file:", "").as("file_path"),
       col("ext").as("file_type"),
       regexp_extract(col("path"), "([^/\\\\]+)$", 1).as("file_name"),
-      // binaryFile exposes modificationTime only; the reference records
-      // ctime+mtime ISO strings (document_processor.py:61-62)
-      date_format(col("modificationTime"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("creation_date"),
+      coalesce(creationDate(col("path")),
+        date_format(col("modificationTime"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+        .as("creation_date"),
       date_format(col("modificationTime"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("modification_date"),
       sha2(col("content"), 256).as("hash"), // O2
       lit("document").as("document_type"))

