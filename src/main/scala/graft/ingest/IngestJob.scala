@@ -50,8 +50,9 @@ object IngestJob {
       filesSkipped: Long = -1)
 
   /** The reference's 12 supported formats (`constants.py:112-115`). `.xls`
-    * (legacy BIFF) and `.msg`/`.pdf` decode are stubs (see
-    * [[RichExtractors]]); everything else extracts for real. */
+    * (legacy BIFF) and `.msg` decode are stubs (see [[RichExtractors]]);
+    * everything else — including PDF via the pure-JVM [[PdfText]] reader —
+    * extracts for real. */
   private val supportedText = Seq(".txt", ".md")
   private val supportedCsv = Seq(".csv")
   private val supportedRich = Seq(".pdf", ".docx", ".eml", ".msg",
@@ -76,7 +77,7 @@ object IngestJob {
       case ".docx" => RichExtractors.extractDocx(b)
       case ".xlsx" | ".xlsm" => RichExtractors.extractXlsx(b)
       case ".rtf" => RichExtractors.extractRtf(b)
-      case ".pdf" => RichExtractors.extractPdf(b) // stub: skip+count
+      case ".pdf" => RichExtractors.extractPdf(b)
       case ".msg" => RichExtractors.extractMsg(b) // stub: skip+count
       case ".xls" => null // legacy BIFF: stub, skip+count
       case _ => TextDecode.decode(b)

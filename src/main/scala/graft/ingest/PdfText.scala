@@ -1,0 +1,485 @@
+package graft.ingest
+
+import java.nio.charset.StandardCharsets
+import java.util.zip.Inflater
+
+import scala.collection.mutable
+import scala.util.matching.Regex
+
+/**
+ * Minimal pure-JVM PDF text extraction (S2), re-expressing the reference's
+ * pymupdf loader (`/root/reference/document_processor.py:74-84`): per page,
+ * extract the text content; skip pages that are blank after strip; emit
+ * `[[pageN]]` + text for each kept page (1-based, page order from the
+ * document's page tree) and return the concatenation — exactly the marker
+ * format [[graft.expr.Chunker]] already parses for page provenance.
+ *
+ * Scope (the "common case" a text pipeline meets): objects and object
+ * streams (ObjStm), FlateDecode/ASCIIHexDecode content streams, text
+ * operators `BT/ET Tj ' " TJ Td TD T* Tm`, literal/hex strings with escapes
+ * and UTF-16BE. Out of scope (page is skipped, never crashes): encrypted
+ * documents, CID/Identity-H multi-byte fonts (bytes would not be char
+ * codes), and exotic stream filters — the skip-and-count contract (§4.1.3)
+ * turns those into counted skips upstream. No external PDF library ships in
+ * the build environment, hence this hand-rolled reader; the object model is
+ * the PDF 1.7 spec's.
+ */
+object PdfText {
+
+  // ---------- object model ----------
+  private sealed trait Obj
+  private case object PNull extends Obj
+  private final case class PBool(v: Boolean) extends Obj
+  private final case class PNum(v: Double) extends Obj
+  private final case class PStr(bytes: Array[Byte]) extends Obj
+  private final case class PName(s: String) extends Obj
+  private final case class PArr(items: Vector[Obj]) extends Obj
+  private final case class PDict(m: Map[String, Obj]) extends Obj
+  private final case class PRef(num: Int, gen: Int) extends Obj
+  private final case class PStream(dict: PDict, raw: Array[Byte]) extends Obj
+
+  private val objRe: Regex = """(?s)(\d+)\s+(\d+)\s+obj\b""".r
+
+  /** Extract `[[pageN]]`-marked text, or null when the file yields none. */
+  def extract(bytes: Array[Byte]): String = {
+    try {
+      val doc = new Doc(bytes)
+      val pages = doc.pages()
+      val sb = new StringBuilder
+      pages.zipWithIndex.foreach { case (page, i) =>
+        val text = doc.pageText(page)
+        if (text != null && text.strip().nonEmpty)
+          sb.append("[[page").append(i + 1).append("]]").append(text)
+      }
+      if (sb.isEmpty) null else sb.toString
+    } catch { case _: Throwable => null } // undecodable → skip-and-count
+  }
+
+  private final class Doc(bytes: Array[Byte]) {
+    // byte↔char 1:1 view for offset scanning
+    private val latin1 = new String(bytes, StandardCharsets.ISO_8859_1)
+    // indirect object number → start offset of its value (after "N G obj")
+    private val offsets: Map[Int, Int] =
+      objRe.findAllMatchIn(latin1).map(m => m.group(1).toInt -> m.end).toMap
+    private val cache = mutable.Map.empty[Int, Obj]
+    private var objStmExpanded = false
+
+    def obj(num: Int): Obj = cache.getOrElseUpdate(num,
+      offsets.get(num).map(off => new Lexer(bytes, off, this).parseValue(resolveLen = true))
+        .getOrElse(PNull))
+
+    def resolve(o: Obj): Obj = o match {
+      case PRef(n, _) => resolve(obj(n))
+      case other => other
+    }
+
+    /** Objects hidden in /Type /ObjStm streams (PDF 1.5 compressed xref
+      * layout): inflate each, parse the `N` pairs header, parse members. */
+    private def expandObjStms(): Unit = {
+      if (objStmExpanded) return
+      objStmExpanded = true
+      offsets.keys.foreach { n =>
+        obj(n) match {
+          case s @ PStream(PDict(m), _)
+              if m.get("Type").contains(PName("ObjStm")) =>
+            val data = decodeStream(s)
+            if (data != null) {
+              val count = num(m.get("N")).toInt
+              val first = num(m.get("First")).toInt
+              val head = new Lexer(data, 0, this)
+              val pairs = (0 until count).map { _ =>
+                (head.parseValue(false), head.parseValue(false)) match {
+                  case (PNum(on), PNum(off)) => (on.toInt, off.toInt)
+                  case _ => (-1, -1)
+                }
+              }
+              pairs.foreach { case (objNum, off) =>
+                if (objNum >= 0 && !cache.contains(objNum) && !offsets.contains(objNum))
+                  cache(objNum) =
+                    new Lexer(data, first + off, this).parseValue(false)
+              }
+            }
+          case _ =>
+        }
+      }
+    }
+
+    private def num(o: Option[Obj]): Double = o.map(resolve) match {
+      case Some(PNum(v)) => v
+      case _ => 0.0
+    }
+
+    private def dictOf(o: Obj): Map[String, Obj] = resolve(o) match {
+      case PDict(m) => m
+      case PStream(PDict(m), _) => m
+      case _ => Map.empty
+    }
+
+    /** Page dictionaries in tree order (catalog → /Pages → /Kids walk);
+      * falls back to document-order /Type /Page objects. */
+    def pages(): Seq[Map[String, Obj]] = {
+      expandObjStms()
+      val all = (offsets.keys ++ cache.keys).toSeq.distinct.sorted
+      val catalog = all.iterator.map(obj).map(dictOf)
+        .find(_.get("Type").contains(PName("Catalog")))
+      val out = mutable.ArrayBuffer.empty[Map[String, Obj]]
+      def walk(node: Obj, depth: Int): Unit = {
+        if (depth > 64) return
+        val d = dictOf(node)
+        d.get("Type") match {
+          case Some(PName("Pages")) => resolve(d.getOrElse("Kids", PNull)) match {
+            case PArr(kids) => kids.foreach(walk(_, depth + 1))
+            case _ =>
+          }
+          case Some(PName("Page")) => out += d
+          case _ =>
+        }
+      }
+      catalog.flatMap(_.get("Pages")).foreach(walk(_, 0))
+      if (out.nonEmpty) out.toSeq
+      else all.map(obj).map(dictOf)
+        .filter(_.get("Type").contains(PName("Page")))
+    }
+
+    /** Concatenated decoded content-stream bytes of a page. */
+    private def contents(page: Map[String, Obj]): Array[Byte] =
+      resolve(page.getOrElse("Contents", PNull)) match {
+        case s: PStream => decodeStream(s)
+        case PArr(items) =>
+          val parts = items.map(resolve).collect { case s: PStream => decodeStream(s) }
+            .filter(_ != null)
+          if (parts.isEmpty) null
+          else parts.reduce(_ ++ _)
+        case _ => null
+      }
+
+    def pageText(page: Map[String, Obj]): String = {
+      val data = contents(page)
+      if (data == null) null else ContentText.run(data)
+    }
+
+    def decodeStream(s: PStream): Array[Byte] = {
+      val filters = resolve(s.dict.m.getOrElse("Filter", PNull)) match {
+        case PName(n) => Seq(n)
+        case PArr(items) => items.map(resolve).collect { case PName(n) => n }
+        case _ => Nil
+      }
+      filters.foldLeft(s.raw) { (data, f) =>
+        if (data == null) null
+        else f match {
+          case "FlateDecode" => inflate(data)
+          case "ASCIIHexDecode" => asciiHex(data)
+          case _ => null // unsupported (DCT, LZW, crypt) → skip
+        }
+      }
+    }
+
+    def lengthOf(dict: PDict): Int = num(dict.m.get("Length")).toInt
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsDictionary()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) return out.toByteArray // truncated
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } catch { case _: Exception => null } finally inf.end()
+  }
+
+  private def asciiHex(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      val d = Character.digit(c, 16)
+      if (c == '>') { if (hi >= 0) out.write(hi << 4); done = true }
+      else if (d >= 0) { if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 } }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  // ---------- lexer / parser ----------
+  private final class Lexer(b: Array[Byte], var pos: Int, doc: Doc) {
+
+    private def ws(c: Int): Boolean =
+      c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+    private def delim(c: Int): Boolean =
+      c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%'
+
+    private def skipWs(): Unit = {
+      var go = true
+      while (go && pos < b.length) {
+        val c = b(pos) & 0xFF
+        if (ws(c)) pos += 1
+        else if (c == '%') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+        else go = false
+      }
+    }
+
+    private def keywordAhead(k: String): Boolean = {
+      skipWs()
+      if (pos + k.length > b.length) return false
+      var i = 0
+      while (i < k.length) {
+        if (b(pos + i) != k.charAt(i)) return false
+        i += 1
+      }
+      val after = if (pos + k.length < b.length) b(pos + k.length) & 0xFF else ' '
+      ws(after) || delim(after)
+    }
+
+    /** Parse one value. `resolveLen` enables stream-body capture (needs the
+      * doc to resolve indirect /Length). */
+    def parseValue(resolveLen: Boolean): Obj = {
+      skipWs()
+      if (pos >= b.length) return PNull
+      val c = b(pos) & 0xFF
+      c match {
+        case '/' => PName(parseName())
+        case '(' => PStr(parseLiteralString())
+        case '[' =>
+          pos += 1
+          val items = Vector.newBuilder[Obj]
+          while ({ skipWs(); pos < b.length && b(pos) != ']' })
+            items += parseValue(resolveLen)
+          pos += 1
+          PArr(items.result())
+        case '<' =>
+          if (pos + 1 < b.length && b(pos + 1) == '<') parseDictOrStream(resolveLen)
+          else PStr(parseHexString())
+        case _ =>
+          if (keywordAhead("true")) { pos += 4; PBool(true) }
+          else if (keywordAhead("false")) { pos += 5; PBool(false) }
+          else if (keywordAhead("null")) { pos += 4; PNull }
+          else parseNumberOrRef()
+      }
+    }
+
+    private def parseName(): String = {
+      pos += 1 // '/'
+      val sb = new StringBuilder
+      while (pos < b.length && !ws(b(pos) & 0xFF) && !delim(b(pos) & 0xFF)) {
+        val c = b(pos) & 0xFF
+        if (c == '#' && pos + 2 < b.length) {
+          val hex = Character.digit(b(pos + 1).toChar, 16) * 16 +
+            Character.digit(b(pos + 2).toChar, 16)
+          sb.append(hex.toChar); pos += 3
+        } else { sb.append(c.toChar); pos += 1 }
+      }
+      sb.toString
+    }
+
+    private def parseLiteralString(): Array[Byte] = {
+      pos += 1 // '('
+      val out = new java.io.ByteArrayOutputStream()
+      var depth = 1
+      while (pos < b.length && depth > 0) {
+        val c = b(pos) & 0xFF
+        c match {
+          case '\\' if pos + 1 < b.length =>
+            val e = b(pos + 1) & 0xFF
+            pos += 2
+            e match {
+              case 'n' => out.write('\n')
+              case 'r' => out.write('\r')
+              case 't' => out.write('\t')
+              case 'b' => out.write('\b')
+              case 'f' => out.write('\f')
+              case '\n' => // line continuation
+              case '\r' => if (pos < b.length && b(pos) == '\n') pos += 1
+              case d if d >= '0' && d <= '7' =>
+                var v = d - '0'
+                var k = 0
+                while (k < 2 && pos < b.length && b(pos) >= '0' && b(pos) <= '7') {
+                  v = v * 8 + (b(pos) - '0'); pos += 1; k += 1
+                }
+                out.write(v & 0xFF)
+              case other => out.write(other)
+            }
+          case '(' => depth += 1; out.write('('); pos += 1
+          case ')' =>
+            depth -= 1
+            if (depth > 0) out.write(')')
+            pos += 1
+          case other => out.write(other); pos += 1
+        }
+      }
+      out.toByteArray
+    }
+
+    private def parseHexString(): Array[Byte] = {
+      pos += 1 // '<'
+      val out = new java.io.ByteArrayOutputStream()
+      var hi = -1
+      var done = false
+      while (pos < b.length && !done) {
+        val c = b(pos).toChar
+        if (c == '>') { if (hi >= 0) out.write(hi << 4); done = true }
+        else {
+          val d = Character.digit(c, 16)
+          if (d >= 0) { if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 } }
+        }
+        pos += 1
+      }
+      out.toByteArray
+    }
+
+    private def parseDictOrStream(resolveLen: Boolean): Obj = {
+      pos += 2 // '<<'
+      val m = Map.newBuilder[String, Obj]
+      while ({ skipWs(); pos + 1 < b.length && !(b(pos) == '>' && b(pos + 1) == '>') }) {
+        val key = parseValue(resolveLen) match {
+          case PName(n) => n
+          case _ => null
+        }
+        val v = parseValue(resolveLen)
+        if (key != null) m += key -> v
+      }
+      pos += 2
+      val dict = PDict(m.result())
+      if (keywordAhead("stream")) {
+        pos += "stream".length
+        if (pos < b.length && b(pos) == '\r') pos += 1
+        if (pos < b.length && b(pos) == '\n') pos += 1
+        val len0 = if (resolveLen && doc != null) doc.lengthOf(dict) else 0
+        val start = pos
+        val len =
+          if (len0 > 0 && start + len0 <= b.length) len0
+          else { // broken/absent Length: scan for endstream
+            val idx = new String(b, start, b.length - start,
+              StandardCharsets.ISO_8859_1).indexOf("endstream")
+            if (idx < 0) 0 else idx
+          }
+        pos = start + len
+        skipWs()
+        if (keywordAhead("endstream")) pos += "endstream".length
+        PStream(dict, java.util.Arrays.copyOfRange(b, start, start + len))
+      } else dict
+    }
+
+    /** Content-stream tokenizer: returns a parsed [[Obj]] operand, an
+      * operator keyword as a String, or null at end of data. */
+    def nextToken(): AnyRef = {
+      skipWs()
+      if (pos >= b.length) return null
+      val c = b(pos) & 0xFF
+      if (c == '/' || c == '(' || c == '[' || c == '<') parseValue(false)
+      else if ((c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.')
+        parseNumberOrRef()
+      else {
+        val start = pos
+        while (pos < b.length && !ws(b(pos) & 0xFF) && !delim(b(pos) & 0xFF)) pos += 1
+        if (pos == start) pos += 1 // lone delimiter (] } etc.): swallow
+        new String(b, start, math.max(1, pos - start), StandardCharsets.ISO_8859_1)
+      }
+    }
+
+    /** Skip to just past the next occurrence of `needle` (inline images). */
+    def skipPast(needle: String): Unit = {
+      val idx = new String(b, pos, b.length - pos,
+        StandardCharsets.ISO_8859_1).indexOf(needle)
+      pos = if (idx < 0) b.length else pos + idx + needle.length
+    }
+
+    private def parseNumberOrRef(): Obj = {
+      val start = pos
+      if (pos < b.length && (b(pos) == '+' || b(pos) == '-')) pos += 1
+      var digits = false
+      while (pos < b.length &&
+          ((b(pos) >= '0' && b(pos) <= '9') || b(pos) == '.')) {
+        digits = true; pos += 1
+      }
+      if (!digits) { pos += 1; return PNull } // stray token: swallow a byte
+      val v = new String(b, start, pos - start, StandardCharsets.ISO_8859_1).toDouble
+      // `N G R` lookahead for an indirect reference
+      val save = pos
+      skipWs()
+      val genStart = pos
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') pos += 1
+      if (pos > genStart) {
+        val gen = new String(b, genStart, pos - genStart,
+          StandardCharsets.ISO_8859_1)
+        skipWs()
+        if (pos < b.length && b(pos) == 'R' &&
+            (pos + 1 >= b.length || ws(b(pos + 1) & 0xFF) || delim(b(pos + 1) & 0xFF))) {
+          pos += 1
+          return PRef(v.toInt, gen.toInt)
+        }
+      }
+      pos = save
+      PNum(v)
+    }
+  }
+
+  // ---------- content-stream text assembly ----------
+  private object ContentText {
+
+    /** Decode a PDF string's bytes to chars: UTF-16BE when BOM'd, else
+      * PDFDocEncoding ≈ Latin-1 for the printable range (single-byte simple
+      * fonts — the supported case). */
+    private def str(bytes: Array[Byte]): String =
+      if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFE && (bytes(1) & 0xFF) == 0xFF)
+        new String(bytes, 2, bytes.length - 2, StandardCharsets.UTF_16BE)
+      else new String(bytes, StandardCharsets.ISO_8859_1)
+
+    /** Interpret the text operators; positions are approximated by operator
+      * shape (pymupdf lays out by glyph geometry — out of scope): `Td/TD`
+      * with a vertical move, `T*`, `'`, `"` and a new `Tm` row start a new
+      * line; horizontal `Td` inserts a space. */
+    def run(data: Array[Byte]): String = {
+      val lex = new Lexer(data, 0, null)
+      val sb = new StringBuilder
+      val operands = mutable.ArrayBuffer.empty[Obj]
+      def newline(): Unit =
+        if (sb.nonEmpty && sb.last != '\n') sb.append('\n')
+      def space(): Unit =
+        if (sb.nonEmpty && sb.last != ' ' && sb.last != '\n') sb.append(' ')
+      var inText = false
+      var tok: AnyRef = lex.nextToken()
+      while (tok != null) {
+        tok match {
+          case op: String =>
+            op match {
+              case "BT" => inText = true
+              case "ET" => inText = false; newline()
+              case "Tj" if inText =>
+                operands.lastOption.collect { case PStr(s) => sb.append(str(s)) }
+              case "'" | "\"" if inText =>
+                newline()
+                operands.lastOption.collect { case PStr(s) => sb.append(str(s)) }
+              case "TJ" if inText =>
+                operands.lastOption.collect { case PArr(items) =>
+                  items.foreach {
+                    case PStr(s) => sb.append(str(s))
+                    case PNum(v) if v < -180 => space() // large kern ~ word gap
+                    case _ =>
+                  }
+                }
+              case "Td" | "TD" if inText =>
+                val ty = operands.takeRight(1).collectFirst { case PNum(v) => v }
+                if (ty.exists(_ != 0.0)) newline() else space()
+              case "T*" if inText => newline()
+              case "Tm" if inText => newline()
+              case "BI" => lex.skipPast("EI") // inline image: binary payload
+              case _ =>
+            }
+            operands.clear()
+          case value: Obj => operands += value
+          case _ =>
+        }
+        tok = lex.nextToken()
+      }
+      sb.toString
+    }
+  }
+}

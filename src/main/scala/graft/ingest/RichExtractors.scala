@@ -340,14 +340,18 @@ object RichExtractors {
     if (r.strip().isEmpty) null else r
   }
 
+  /** PDF text extraction (S2) via the pure-JVM [[PdfText]] reader: per-page
+    * text with `[[pageN]]` markers, the format `_load_pdf` emits
+    * (`/root/reference/document_processor.py:74-84`) and the Chunker already
+    * parses for page provenance. Unsupported constructs (encryption, CID
+    * fonts, exotic filters) yield null → skip-and-count, matching the
+    * reference's failed-loader contract. */
+  def extractPdf(bytes: Array[Byte]): String = PdfText.extract(bytes)
+
   // ---------- stubs ----------
 
-  /** PDF decode STUB (no PDF library in this environment): returns null so
-    * the file is skipped-and-counted, matching the reference's
-    * failed-loader contract. Pre-extracted `[[pageN]]`-marked text files
-    * carry PDF content through the TXT path with page provenance. */
-  def extractPdf(bytes: Array[Byte]): String = null
-
-  /** MSG (OLE2) decode STUB — as [[extractPdf]]. */
+  /** MSG (OLE2) decode STUB (no codec library in this environment): returns
+    * null so the file is skipped-and-counted, matching the reference's
+    * failed-loader contract. */
   def extractMsg(bytes: Array[Byte]): String = null
 }

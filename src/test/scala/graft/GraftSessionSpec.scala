@@ -81,6 +81,23 @@ class GraftSessionSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(b.creation_date != b.modification_date)
   }
 
+  test("pdf ingests end-to-end with page_number provenance (S2)") {
+    val dir = s"$work/pdfdocs"
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, "doc.pdf"), PdfFixtures.mkPdf(Seq(
+      "BT (vector engines score cosine similarity over parquet) Tj ET",
+      "BT (second page speaks of shuffles and partitions) Tj ET"),
+      flate = true))
+    IngestJob.run(spark, dir, s"$work/wh", "pdfdb",
+      IngestJob.Config(chunkSize = 40, chunkOverlap = 10))
+    val sess = new GraftSession(spark, s"$work/wh")
+    val cs = sess.chunks("pdfdb").collect()
+    assert(cs.nonEmpty)
+    assert(cs.forall(_.metadata.file_name == "doc.pdf"))
+    assert(cs.forall(_.metadata.page_number.nonEmpty))
+    assert(cs.map(_.metadata.page_number.get).distinct.sorted.toSeq == Seq(1, 2))
+  }
+
   test("open(db) registers SQL views + functions") {
     val sess = new GraftSession(spark, s"$work/wh")
     sess.open("tdb")

@@ -116,9 +116,66 @@ class RichExtractorsSpec extends AnyFunSuite {
     assert(got.startsWith("aéb"))
   }
 
-  test("pdf/msg/xls stubs return null (skip-and-count contract)") {
-    assert(RichExtractors.extractPdf("%PDF-1.7 ...".getBytes) == null)
+  test("msg stub returns null; corrupt pdf returns null (skip-and-count)") {
+    assert(RichExtractors.extractPdf("%PDF-1.7 garbage no objects".getBytes) == null)
+    assert(RichExtractors.extractPdf(Array[Byte](0x25, 0x50, 0x44)) == null)
     assert(RichExtractors.extractMsg(Array[Byte](1, 2, 3)) == null)
+  }
+
+  // ---------- PDF (pure-JVM reader) ----------
+
+  private def mkPdf(pageContents: Seq[String], flate: Boolean): Array[Byte] =
+    PdfFixtures.mkPdf(pageContents, flate)
+
+  test("pdf: two pages extract with [[pageN]] markers in tree order") {
+    val pdf = mkPdf(Seq(
+      "BT /F1 12 Tf 72 720 Td (Hello spark pdf page one) Tj ET",
+      "BT /F1 12 Tf 72 720 Td (and page two follows) Tj ET"), flate = false)
+    val got = RichExtractors.extractPdf(pdf)
+    assert(got != null)
+    assert(got.contains("[[page1]]") && got.contains("Hello spark pdf page one"))
+    assert(got.contains("[[page2]]") && got.contains("and page two follows"))
+    assert(got.indexOf("[[page1]]") < got.indexOf("[[page2]]"))
+  }
+
+  test("pdf: FlateDecode, TJ kerning gaps, hex strings, escapes, newlines") {
+    val content =
+      """BT /F1 10 Tf 50 700 Td [(kern) -500 (gap)] TJ T* <48454C4C4F> Tj (par\(en\)) Tj ET"""
+    val got = RichExtractors.extractPdf(mkPdf(Seq(content), flate = true))
+    assert(got != null && got.startsWith("[[page1]]"))
+    assert(got.contains("kern gap")) // large negative kern → word gap
+    assert(got.contains("HELLO")) // hex string decode
+    assert(got.contains("par(en)")) // escaped parens
+    assert(got.contains("gap\nHELLO")) // T* newline
+  }
+
+  test("pdf: blank page keeps real page numbering (pymupdf contract)") {
+    val pdf = mkPdf(Seq(
+      "BT (first) Tj ET",
+      "BT ET", // blank: stripped text empty → skipped
+      "BT (third) Tj ET"), flate = false)
+    val got = RichExtractors.extractPdf(pdf)
+    assert(got.contains("[[page1]]first"))
+    assert(!got.contains("[[page2]]"))
+    assert(got.contains("[[page3]]third"))
+  }
+
+  test("pdf: indirect /Length reference and content-stream array") {
+    // hand-built: /Length as an indirect object; /Contents as array
+    val c1 = "BT (alpha) Tj ET"
+    val c2 = "BT (beta) Tj ET"
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents [4 0 R 6 0 R] >> endobj\n")
+    w(s"4 0 obj << /Length 5 0 R >> stream\n$c1\nendstream endobj\n")
+    w(s"5 0 obj ${c1.length} endobj\n")
+    w(s"6 0 obj << /Length ${c2.length} >> stream\n$c2\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF")
+    val got = RichExtractors.extractPdf(out.toByteArray)
+    assert(got != null && got.contains("alpha") && got.contains("beta"))
   }
 
   test("non-zip bytes to ooxml extractors degrade to null, not throw") {
