@@ -207,6 +207,46 @@ final class Searcher(spark: SparkSession, store: VectorStore) {
       .orderBy(col("similarity_score").desc, col("id"))
   }
 
+  /** Approximate search over an IVF store
+    * ([[graft.store.VectorStore.writeVectorsIvf]]): rank the learned
+    * centroids against the query on the driver (nlist × dim floats), probe
+    * the `nprobe` best clusters — partition pruning again turns the probe
+    * list into a directory-level scan reduction, but with data-adaptive
+    * cells the same probe fraction buys more recall than sign-LSH. Same
+    * two-phase shape and post-top-k filter semantics as [[search]]. */
+  def searchIvf(db: String, query: String, p: Searcher.Params = Searcher.Params(),
+      nprobe: Int = 2): DataFrame = {
+    val prompted = p.promptFamily.fold(TextNorm.normalizeQuery(query)) { fam =>
+      graft.embed.PromptPrefix.applyTo(fam, isQuery = true,
+        TextNorm.normalizeQuery(query))
+    }
+    val qvec = p.embedder.embed(prompted)
+    val probes = graft.ops.Ivf.probeList(store.centroids(db), qvec, nprobe)
+
+    val vectors = vectorsOf(db)
+    val topk = vectors
+      .filter(col("cluster").isin(probes: _*)) // partition pruning
+      .select(col("id"), cosine_similarity(col("vector"), typedLit(qvec)).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(p.k)
+      .filter(col("sim") >= p.threshold)
+      .collect()
+    if (topk.isEmpty) return emptyHits(vectors)
+
+    val spark2 = spark
+    import spark2.implicits._
+    val sims = topk.map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val simDf = sims.toDF("id", "sim")
+    vectors.filter(col("cluster").isin(probes: _*))
+      .filter(col("id").isin(sims.map(_._1): _*))
+      .select("id", "text", "metadata")
+      .join(broadcast(simDf), Seq("id"))
+      .withColumn("similarity_score", least(greatest(col("sim"), lit(0.0)), lit(1.0)))
+      .withColumn("distance", lit(1.0) - col("sim"))
+      .drop("sim")
+      .orderBy(col("similarity_score").desc, col("id"))
+  }
+
   /** S17 side files (`/root/reference/chat_llm.py:34-40`): write retrieved
     * contexts (`"---"`-separated) and one metadata JSON per line. */
   def writeSearchArtifacts(db: String, query: String, outDir: String,

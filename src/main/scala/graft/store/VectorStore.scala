@@ -63,6 +63,36 @@ final class VectorStore(spark: SparkSession, warehouse: String) {
       .parquet(s"${dbDir(db)}/vectors")
   }
 
+  /** IVF clustered layout with LEARNED centroids ([[graft.ops.Ivf]]): like
+    * [[writeVectorsClustered]] but cells are k-means clusters instead of
+    * data-oblivious sign-LSH half-spaces, so equal probe fractions buy more
+    * recall. Centroids persist beside the table; [[graft.query.Searcher]]
+    * probes by centroid similarity + partition pruning. */
+  def writeVectorsIvf(db: String, vectors: DataFrame, nlist: Int = 8,
+      iters: Int = 2, sampleFraction: Int = 100): Unit = {
+    val cents = graft.ops.Ivf.trainCentroids(vectors, col("id"), col("vector"),
+      nlist, iters, sampleFraction)
+    val spark2 = spark
+    import spark2.implicits._
+    cents.toDF("cid", "c").write.mode("overwrite")
+      .parquet(s"${dbDir(db)}/centroids")
+    graft.ops.Ivf.assignClusters(vectors, col("id"), col("vector"), cents)
+      .repartition(col("cluster"))
+      .sortWithinPartitions("id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 100000)
+      .partitionBy("cluster")
+      .parquet(s"${dbDir(db)}/vectors")
+  }
+
+  /** Learned centroids of an IVF store (tiny: nlist × dim floats). */
+  def centroids(db: String): Seq[(Int, Seq[Float])] =
+    spark.read.parquet(s"${dbDir(db)}/centroids")
+      .collect()
+      .map(r => r.getAs[Int]("cid") ->
+        (r.getAs[Seq[Float]]("c").toVector: Seq[Float]))
+      .sortBy(_._1).toSeq
+
   def writeDocuments(db: String, documents: DataFrame): Unit =
     documents.write.mode("overwrite").parquet(s"${dbDir(db)}/documents")
 

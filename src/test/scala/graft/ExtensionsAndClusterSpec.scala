@@ -74,4 +74,36 @@ class ExtensionsAndClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exact = searcher.search("cdb", "doc query text", p)
     assert(exact.count() == 5)
   }
+
+  test("IVF store: learned centroids persist, searchIvf prunes clusters") {
+    val work = Files.createTempDirectory("graft-ivf").toString
+    val store = new VectorStore(spark, s"$work/wh")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val vectors = emb.select(
+      col("vec_id").as("id"),
+      col("embedding").as("vector"),
+      concat(lit("doc "), col("vec_id")).as("text"),
+      struct(lit("/x").as("file_path"), lit(".txt").as("file_type"),
+        lit("x.txt").as("file_name"), lit("t").as("creation_date"),
+        lit("t").as("modification_date"), lit("h").as("hash"),
+        lit("document").as("document_type"),
+        lit(null).cast("int").as("page_number")).as("metadata"))
+    store.writeVectorsIvf("ivfdb", vectors, nlist = 8, iters = 2)
+
+    // centroids persisted; hive partitions by learned cluster
+    val cents = store.centroids("ivfdb")
+    assert(cents.length == 8 && cents.forall(_._2.length == 64))
+    val dirs = new java.io.File(s"$work/wh/ivfdb/vectors").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cluster="))
+    assert(dirs.length > 1 && dirs.length <= 8)
+
+    val searcher = new Searcher(spark, store)
+    val p = Searcher.Params(k = 5, threshold = -1.0)
+    val hits = searcher.searchIvf("ivfdb", "doc query text", p, nprobe = 2)
+    val n = hits.count()
+    assert(n > 0 && n <= 5)
+    val plan = searcher.searchIvf("ivfdb", "doc query text", p, nprobe = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cluster")) // partition filter present
+  }
 }

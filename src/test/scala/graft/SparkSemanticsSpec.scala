@@ -158,6 +158,26 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(approx.intersect(exact).size >= 8)
   }
 
+  test("IVF recall >= sign-LSH at equal probe fraction (learned centroids)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Array.fill(64)(0.125f)
+    val exact = Ann.bruteForceTopK(emb, col("vec_id"), col("embedding"), q, 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // equal probe fraction: LSH nbits=4 → 16 cells, 3 probed (18.75%);
+    // IVF nlist=16, nprobe=3 (18.75%)
+    val lsh = Ann.lshTopK(emb, col("vec_id"), col("embedding"), q, 10,
+      nbits = 4, probes = 2).select("id").collect().map(_.getLong(0)).toSet
+    val ivf = graft.ops.Ivf.ivfTopK(emb, col("vec_id"), col("embedding"), q,
+      k = 10, nlist = 16, iters = 2, nprobe = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val rLsh = lsh.intersect(exact).size
+    val rIvf = ivf.intersect(exact).size
+    // learned cells follow the data's density: at the same scan fraction
+    // IVF must not lose to the data-oblivious hyperplanes
+    assert(rIvf >= rLsh, s"ivf recall $rIvf < lsh recall $rLsh")
+    assert(rIvf >= 5, s"ivf recall $rIvf/10 too low")
+  }
+
   test("minhash LSH recall vs exact jaccard at sf0.001") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("doc_id") < 100)
