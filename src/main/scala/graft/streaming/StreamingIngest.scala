@@ -33,12 +33,26 @@ object StreamingIngest {
 
   def start(spark: SparkSession, docsDir: String, warehouse: String, db: String,
       cfg: IngestJob.Config = IngestJob.Config(),
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      dedupeWatermark: Option[String] = Some("10 minutes")): StreamingQuery = {
     val store = new VectorStore(spark, warehouse)
     val binary = spark.readStream.format("binaryFile")
       .schema(binarySchema)
       .load(docsDir)
-    val docs = IngestJob.decodeAndProject(binary)
+    // content-level dedup ACROSS micro-batches: the file source already
+    // skips re-listed paths, but re-delivered content under a new path
+    // (copies, atomic-rename re-drops) would duplicate vectors. Keyed
+    // state on sha2(content) with dropDuplicatesWithinWatermark bounds the
+    // state by the watermark horizon — at 100 TB/day the state holds one
+    // 32-byte hash per in-horizon file, not the files (None disables).
+    val src = dedupeWatermark.fold(binary) { w =>
+      binary
+        .withColumn("content_hash", sha2(col("content"), 256))
+        .withWatermark("modificationTime", w)
+        .dropDuplicatesWithinWatermark("content_hash")
+        .drop("content_hash")
+    }
+    val docs = IngestJob.decodeAndProject(src)
 
     docs.writeStream
       .option("checkpointLocation", s"${store.dbDir(db)}/_ingest_checkpoint")

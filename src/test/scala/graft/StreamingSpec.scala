@@ -73,6 +73,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Searcher.Params(k = 3, threshold = 0.0)).count() == 3)
   }
 
+  test("streaming dedup: re-delivered content under a new path adds no vectors") {
+    spark.sparkContext.setLogLevel("WARN")
+    val work = Files.createTempDirectory("graft-sdedup").toString
+    val docsDir = s"$work/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    def put(name: String, content: String): Unit =
+      Files.write(Paths.get(docsDir, name), content.getBytes(StandardCharsets.UTF_8))
+
+    val cfg = IngestJob.Config(chunkSize = 100, chunkOverlap = 0)
+    put("orig.txt", "identical content delivered twice " * 10)
+    val q1 = StreamingIngest.start(spark, docsDir, s"$work/wh", "ddb", cfg)
+    q1.awaitTermination(60000)
+    val store = new VectorStore(spark, s"$work/wh")
+    val afterFirst = store.vectors("ddb").count()
+    assert(afterFirst > 0)
+
+    // same bytes, new path (copy re-drop) + one genuinely new doc
+    put("copy.txt", "identical content delivered twice " * 10)
+    put("fresh.txt", "completely new material this time " * 10)
+    val q2 = StreamingIngest.start(spark, docsDir, s"$work/wh", "ddb", cfg)
+    q2.awaitTermination(60000)
+
+    val vecs = store.vectors("ddb")
+    // the copy contributed nothing: every vector id is unique and only the
+    // two distinct contents are present
+    assert(vecs.select("id").distinct().count() == vecs.count())
+    assert(vecs.select(col("metadata.hash")).distinct().count() == 2)
+    assert(store.vectors("ddb").count() == afterFirst * 2) // same-size docs
+
+    // control: with dedupe disabled (fresh db + checkpoint — a restart
+    // cannot drop a stateful operator), the copy IS ingested
+    val q3 = StreamingIngest.start(spark, docsDir, s"$work/wh", "ddb2", cfg,
+      dedupeWatermark = None)
+    q3.awaitTermination(60000)
+    // orig + copy + fresh all land: 3 docs' worth of vectors
+    assert(store.vectors("ddb2").count() == afterFirst * 3)
+  }
+
   test("sessionize: inactivity gap closes sessions, state times out") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
