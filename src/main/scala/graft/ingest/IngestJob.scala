@@ -78,8 +78,8 @@ object IngestJob {
       case ".xlsx" | ".xlsm" => RichExtractors.extractXlsx(b)
       case ".rtf" => RichExtractors.extractRtf(b)
       case ".pdf" => RichExtractors.extractPdf(b)
-      case ".msg" => RichExtractors.extractMsg(b) // stub: skip+count
-      case ".xls" => null // legacy BIFF: stub, skip+count
+      case ".msg" => RichExtractors.extractMsg(b)
+      case ".xls" => RichExtractors.extractXls(b)
       case _ => TextDecode.decode(b)
     })
 

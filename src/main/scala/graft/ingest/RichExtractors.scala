@@ -348,10 +348,31 @@ object RichExtractors {
     * reference's failed-loader contract. */
   def extractPdf(bytes: Array[Byte]): String = PdfText.extract(bytes)
 
-  // ---------- stubs ----------
+  /** Outlook `.msg` (S8) via the [[Ole2]] compound-file reader: MAPI string
+    * properties live in `__substg1.0_<prop><type>` streams — subject is
+    * property 0037, body 1000; type 001F is UTF-16LE, 001E is the ANSI
+    * codepage (windows-1252 assumed). Output shape mirrors the reference's
+    * extract_msg loader (`document_processor.py:167-177`):
+    * `Subject: <subject>\n<body>`, null when both are absent. */
+  def extractMsg(bytes: Array[Byte]): String = {
+    val ss = Ole2.streams(bytes)
+    if (ss.isEmpty) return null
+    def prop(id: String): Option[String] =
+      ss.get(s"__substg1.0_${id}001F")
+        .map(b => new String(b, java.nio.charset.StandardCharsets.UTF_16LE))
+        .orElse(ss.get(s"__substg1.0_${id}001E")
+          .map(b => new String(b, java.nio.charset.Charset.forName("windows-1252"))))
+        .map(_.strip()).filter(_.nonEmpty)
+    val parts = prop("0037").map(s => s"Subject: $s").toSeq ++ prop("1000").toSeq
+    if (parts.isEmpty) null else parts.mkString("\n")
+  }
 
-  /** MSG (OLE2) decode STUB (no codec library in this environment): returns
-    * null so the file is skipped-and-counted, matching the reference's
-    * failed-loader contract. */
-  def extractMsg(bytes: Array[Byte]): String = null
+  /** Legacy `.xls` (S9, BIFF8) via [[Ole2]] + [[XlsBiff]]: the `Workbook`
+    * (or BIFF5 `Book`) stream parsed for SST/LABELSST/LABEL/NUMBER/RK
+    * cells, rows space-joined per the reference's xlrd loader
+    * (`document_processor.py:180-194`). */
+  def extractXls(bytes: Array[Byte]): String = {
+    val ss = Ole2.streams(bytes)
+    ss.get("Workbook").orElse(ss.get("Book")).map(XlsBiff.extract).orNull
+  }
 }

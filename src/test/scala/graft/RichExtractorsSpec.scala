@@ -116,10 +116,35 @@ class RichExtractorsSpec extends AnyFunSuite {
     assert(got.startsWith("aéb"))
   }
 
-  test("msg stub returns null; corrupt pdf returns null (skip-and-count)") {
+  test("corrupt pdf/msg/xls return null (skip-and-count)") {
     assert(RichExtractors.extractPdf("%PDF-1.7 garbage no objects".getBytes) == null)
     assert(RichExtractors.extractPdf(Array[Byte](0x25, 0x50, 0x44)) == null)
     assert(RichExtractors.extractMsg(Array[Byte](1, 2, 3)) == null)
+    assert(RichExtractors.extractXls(Array.fill[Byte](600)(0x11)) == null)
+  }
+
+  // ---------- OLE2: MSG + legacy XLS ----------
+
+  test("msg: subject + body from MAPI property streams (unicode and ansi)") {
+    val uni = RichExtractors.extractMsg(
+      CfbFixtures.mkMsg("Quarterly metrics", "All pipelines green.\nShip it."))
+    assert(uni == "Subject: Quarterly metrics\nAll pipelines green.\nShip it.")
+    val ansi = RichExtractors.extractMsg(
+      CfbFixtures.mkMsg("Café müde", "Größe naïve", unicode = false))
+    assert(ansi == "Subject: Café müde\nGröße naïve")
+  }
+
+  test("xls: BIFF8 sheets in order, SST/NUMBER/RK cells, rows space-joined") {
+    val xls = CfbFixtures.mkXls(Seq(
+      "First" -> Seq((0, 0, "name"), (0, 1, "score"), (1, 0, "alice"),
+        (1, 1, 91.5), (2, 0, "bob"), (2, 1, 7)),
+      "Second" -> Seq((0, 0, "only sheet two"))))
+    val got = RichExtractors.extractXls(xls)
+    assert(got == "name score\nalice 91.5\nbob 7.0\nonly sheet two")
+  }
+
+  test("xls: empty workbook and unknown records degrade to null") {
+    assert(RichExtractors.extractXls(CfbFixtures.mkXls(Seq("S" -> Nil))) == null)
   }
 
   // ---------- PDF (pure-JVM reader) ----------
