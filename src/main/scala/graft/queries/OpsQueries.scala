@@ -76,6 +76,30 @@ object OpsQueries {
       graft.ops.Ivf.ivfTopK(t(s, d, "embeddings"), col("vec_id"),
         col("embedding"), qvecScala, k = 6, nlist = 8, iters = 2, nprobe = 2)),
 
+    "q67_bm25" -> ((s, d) =>
+      // lexical relevance: BM25 over the documents table (one scan; only
+      // query-term tokens reach the shuffle)
+      graft.ops.Keyword.bm25(t(s, d, "documents"), col("doc_id"), col("text"),
+          Seq("join", "hash", "window"))
+        .select(col("id").as("doc_id"), round(col("score"), 4).as("s"))
+        .orderBy(col("s").desc, col("doc_id")).limit(20)),
+    "q68_hybrid_rrf" -> ((s, d) => {
+      // hybrid search: reciprocal-rank fusion of BM25 and cosine top-50
+      // candidate lists (both bounded before any rank window runs)
+      val kw = graft.ops.Keyword.bm25(t(s, d, "documents"), col("doc_id"),
+          col("text"), Seq("join", "hash", "window"))
+        .select(col("id"), round(col("score"), 4).as("s"))
+        .orderBy(col("s").desc, col("id")).limit(50)
+      val vec = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"),
+          round(graft.functions.cosine_similarity(col("embedding"),
+            typedLit(qvecScala)), 4).as("s"))
+        .orderBy(col("s").desc, col("id")).limit(50)
+      graft.ops.Keyword.rrfFuse(kw, col("s"), vec, col("s"))
+        .select(col("id"), round(col("rrf"), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("id")).limit(10)
+    }),
+
     // ---- text analysis ----
     "q48_token_count" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -520,6 +544,29 @@ object OpsQueries {
          ORDER BY sim DESC, id LIMIT 6"""
     },
 
+    "q67_bm25" -> (PortableSql.bm25Sql(Seq("join", "hash", "window")) +
+      """
+         SELECT doc_id, round(score, 4) AS s FROM sc
+         ORDER BY s DESC, doc_id LIMIT 20"""),
+
+    "q68_hybrid_rrf" -> {
+      val qv = vecSql(qvecScala)
+      PortableSql.bm25Sql(Seq("join", "hash", "window")) +
+      s""",
+         kw AS (SELECT doc_id AS id, round(score, 4) AS s FROM sc
+                ORDER BY s DESC, id LIMIT 50),
+         vec AS (SELECT vec_id AS id,
+                        round(list_cosine_similarity(
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)), $qv), 4) AS s
+                 FROM embeddings ORDER BY s DESC, id LIMIT 50),
+         ra AS (SELECT id, row_number() OVER (ORDER BY s DESC, id) AS r FROM kw),
+         rb AS (SELECT id, row_number() OVER (ORDER BY s DESC, id) AS r FROM vec),
+         u AS (SELECT id, 1.0 / (60 + r) AS c FROM ra
+               UNION ALL SELECT id, 1.0 / (60 + r) AS c FROM rb),
+         f AS (SELECT id, sum(c) AS rrf FROM u GROUP BY id)
+         SELECT id, round(rrf, 6) AS rrf FROM f ORDER BY rrf DESC, id LIMIT 10"""
+    },
+
     "q53_multimodal_features" ->
       """SELECT doc_id AS asset_id,
                 ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
@@ -588,6 +635,30 @@ private[queries] object PortableSql {
        ${p}buck AS (
          SELECT $idCols, h % 64 AS b, sum(1 + h % 7) AS wt
          FROM ${p}hash GROUP BY $idCols, h % 64)"""
+
+  /** BM25 CTE chain ending in `sc(doc_id, score)` over `documents` for the
+    * given query terms — the oracle twin of [[graft.ops.Keyword.bm25]]
+    * (k1 = 1.2, b = 0.75, RSJ idf with Lucene's +1 shift). */
+  def bm25Sql(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    raw"""WITH lens AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents),
+         lens2 AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS len, tk FROM lens),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(len) AS sl FROM lens2),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+                       any_value(len) AS len
+                FROM (SELECT doc_id, len, unnest(tk) AS term FROM lens2) x
+                WHERE term IN ($inList)
+                GROUP BY doc_id, term),
+         dfc AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         idf AS (SELECT term, ln((st.n - df + 0.5) / (df + 0.5) + 1) AS idf
+                 FROM dfc, st),
+         sc AS (SELECT tf.doc_id,
+                       sum(idf.idf * tf.tf * (1.2 + 1.0)
+                           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.len / (st.sl / st.n)))) AS score
+                FROM tf JOIN idf USING (term), st GROUP BY tf.doc_id)"""
+  }
 
   /** Query-string bucket CTEs `qtoks → qgrams → qhash → qbuck(b, wt)` for a
     * SQL string literal expression (same kernel, no id columns). */
