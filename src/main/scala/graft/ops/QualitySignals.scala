@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-quality signals for training-data curation (north-star
+ * extension): Gopher-style repetition measures and benchmark-contamination
+ * detection — the filters a pre-training pipeline runs between dedup and
+ * tokenization.
+ *
+ * Scale shapes: repetition counts shuffle (id, gram) pairs with map-side
+ * partial aggregation (the explode never leaves the stage un-combined);
+ * contamination broadcasts the benchmark's distinct shingles (eval sets
+ * are tiny next to a 100 TB corpus) so the corpus side is one scan with a
+ * broadcast semi-join — no corpus shuffle at all before the per-doc count.
+ */
+object QualitySignals {
+
+  /** Word n-grams of a text column as an array (empty when the document
+    * has fewer than `n` tokens — no whole-text fallback here, unlike
+    * MinHash shingles: repetition ratios over padded grams would skew). */
+  private def grams(textCol: Column, n: Int): Column = {
+    val toks = split(trim(textCol), "\\s+")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /**
+   * Per-document repetition signals (Gopher §A1.1-style, token-based):
+   *
+   *  - `top2_frac`: share of bigram occurrences taken by the single most
+   *    frequent bigram — high values mean boilerplate loops.
+   *  - `dup3_frac`: share of trigram occurrences whose trigram appears
+   *    more than once in the document.
+   */
+  def repetitionSignals(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    def counts(n: Int) = df
+      .select(idCol.as("id"), explode(grams(textCol, n)).as("g"))
+      .groupBy("id", "g").agg(count("*").as("c"))
+    val big = counts(2).groupBy("id")
+      .agg(round(max("c").cast("double") / sum("c"), 4).as("top2_frac"))
+    val tri = counts(3).groupBy("id")
+      .agg(round(sum(when(col("c") >= 2, col("c")).otherwise(0L)).cast("double") /
+        sum("c"), 4).as("dup3_frac"))
+    big.join(tri, "id")
+  }
+
+  /**
+   * Benchmark contamination: documents sharing ≥ 1 distinct word `n`-gram
+   * with the benchmark corpus, with the count of distinct shared shingles
+   * — the n-gram-overlap decontamination check run before training on any
+   * corpus that might contain eval data. Returns `(id, n_shared)`.
+   */
+  def contamination(df: DataFrame, idCol: Column, textCol: Column,
+      bench: DataFrame, benchTextCol: Column, n: Int = 3): DataFrame = {
+    val benchGrams = broadcast(
+      bench.select(explode(grams(benchTextCol, n)).as("g")).distinct())
+    df.select(idCol.as("id"), explode(grams(textCol, n)).as("g"))
+      .join(benchGrams, "g") // broadcast hash join: corpus never shuffles
+      .groupBy("id")
+      .agg(countDistinct("g").as("n_shared"))
+  }
+}

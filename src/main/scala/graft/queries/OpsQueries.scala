@@ -100,6 +100,23 @@ object OpsQueries {
         .orderBy(col("rrf").desc, col("id")).limit(10)
     }),
 
+    "q69_repetition_signals" -> ((s, d) =>
+      // Gopher-style repetition quality signals per document
+      graft.ops.QualitySignals.repetitionSignals(
+          t(s, d, "documents"), col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id").limit(200)),
+    "q70_contamination" -> ((s, d) => {
+      // n-gram-overlap decontamination: docs 0-4 stand in for an eval set;
+      // the corpus side is a broadcast semi-join, no corpus shuffle
+      val docs = t(s, d, "documents")
+      graft.ops.QualitySignals.contamination(
+          docs.filter(col("doc_id") >= 5), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") < 5), col("text"), n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- text analysis ----
     "q48_token_count" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -566,6 +583,37 @@ object OpsQueries {
          f AS (SELECT id, sum(c) AS rrf FROM u GROUP BY id)
          SELECT id, round(rrf, 6) AS rrf FROM f ORDER BY rrf DESC, id LIMIT 10"""
     },
+
+    "q69_repetition_signals" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+         bg AS (SELECT doc_id, unnest(list_transform(range(len(tk) - 1),
+                  i -> tk[i + 1] || ' ' || tk[i + 2])) AS g
+                FROM toks WHERE len(tk) >= 2),
+         bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+         b2 AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top2_frac
+                FROM bc GROUP BY doc_id),
+         tg AS (SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
+                  i -> tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3])) AS g
+                FROM toks WHERE len(tk) >= 3),
+         tc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g),
+         t2 AS (SELECT doc_id,
+                       round(CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+                             / sum(c), 4) AS dup3_frac
+                FROM tc GROUP BY doc_id)
+         SELECT doc_id, top2_frac, dup3_frac FROM b2 JOIN t2 USING (doc_id)
+         ORDER BY doc_id LIMIT 200""",
+
+    "q70_contamination" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+         g AS (SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
+                 i -> tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3])) AS g3
+               FROM toks WHERE len(tk) >= 3),
+         bench AS (SELECT DISTINCT g3 FROM g WHERE doc_id < 5)
+         SELECT g.doc_id, count(DISTINCT g.g3) AS n_shared
+         FROM g JOIN bench USING (g3) WHERE g.doc_id >= 5
+         GROUP BY g.doc_id ORDER BY g.doc_id""",
 
     "q53_multimodal_features" ->
       """SELECT doc_id AS asset_id,

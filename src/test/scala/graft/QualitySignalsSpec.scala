@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.QualitySignals
+
+/** Repetition + contamination signals against hand-computed values. */
+class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("repetition signals: hand-computed bigram/trigram fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a b" ×3 of 5 bigrams → top2 = 3/5; trigrams "a b a"×2 "b a b"×2 of
+      // 4 → dup3 = 4/4
+      (1L, "a b a b a b"),
+      // all bigrams distinct → top2 = 1/4; no repeated trigram → dup3 = 0
+      (2L, "v w x y z")).toDF("id", "text")
+    val got = QualitySignals.repetitionSignals(docs, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(1L) == (0.6, 1.0))
+    assert(got(2L) == (0.25, 0.0))
+  }
+
+  test("contamination: shared distinct n-grams vs a benchmark set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps"), // shares "the quick brown", "quick brown fox"
+      (11L, "totally unrelated words here"),
+      (12L, "quick brown fox again and the quick brown fox")).toDF("id", "text")
+    val bench = Seq((0L, "the quick brown fox")).toDF("id", "text")
+    val got = QualitySignals.contamination(corpus, col("id"), col("text"),
+        bench, col("text"), n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 2L, 12L -> 2L)) // distinct shared, 11 clean
+  }
+}
