@@ -39,6 +39,23 @@ object Curation {
       .otherwise("test")
   }
 
+  /**
+   * Deterministic per-stratum sampling (domain-mixing weights): keep a row
+   * when its md5 bucket falls under the stratum's percentage. Content-keyed
+   * like [[splitAssign]] — membership is reproducible across engines, runs
+   * and partitionings, and changing one stratum's rate never reshuffles
+   * another's sample (independent hash space per key). Unlisted strata
+   * drop. Plain filter: no shuffle, no sampling state.
+   */
+  def stratifiedSample(key: Column, stratum: Column,
+      pctByStratum: Map[String, Int]): Column = {
+    val bucket = conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("bigint") % 100
+    pctByStratum.foldLeft(lit(false)) { case (acc, (s, pct)) =>
+      acc || (stratum === s && bucket < pct)
+    }
+  }
+
   /** Top-n vocabulary with counts (explode → count → top-n). The explode
     * shuffles (word, 1) pairs — at 100 TB cap it with a pre-aggregation per
     * partition, which Spark's partial aggregation already provides. */

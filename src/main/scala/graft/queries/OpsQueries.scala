@@ -216,6 +216,22 @@ object OpsQueries {
           (abs(col("ap99") - col("ep99")) <= greatest(lit(100.0),
             col("ep99") * 0.01)).as("p99_ok"))
         .orderBy("l_returnflag")),
+    "q71_stratified_sample" -> ((s, d) =>
+      // deterministic domain-mixing sample: per-lang keep rates, md5-keyed
+      // membership (reproducible across engines/runs/partitionings)
+      t(s, d, "documents")
+        .filter(graft.ops.Curation.stratifiedSample(col("doc_id"), col("lang"),
+          Map("en" -> 80, "es" -> 40, "fr" -> 20, "de" -> 10)))
+        .groupBy("lang").agg(count("*").as("n"), min("doc_id").as("first_id"))
+        .orderBy("lang")),
+    "q72_quantize_int8" -> ((s, d) =>
+      // symmetric int8 embedding quantization: codes + reconstruction error
+      t(s, d, "embeddings").select(col("vec_id"),
+          element_at(graft.ops.Quantize.int8Codes(col("embedding")), 1).as("c0"),
+          element_at(graft.ops.Quantize.int8Codes(col("embedding")), 32).as("c31"),
+          round(graft.ops.Quantize.int8Scale(col("embedding")), 6).as("scale"),
+          round(graft.ops.Quantize.int8ReconError(col("embedding")), 6).as("err"))
+        .orderBy("vec_id").limit(200)),
     "q59_split_assign" -> ((s, d) =>
       // deterministic md5-based train/val/test split: per-split counts must
       // match the oracle's identical assignment exactly
@@ -381,6 +397,37 @@ object OpsQueries {
       """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS p50,
                 TRUE AS p50_ok, TRUE AS p99_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q71_stratified_sample" ->
+      """WITH b AS (
+           SELECT lang, doc_id,
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bk
+           FROM documents)
+         SELECT lang, count(*) AS n, min(doc_id) AS first_id
+         FROM b
+         WHERE (lang = 'en' AND bk < 80) OR (lang = 'es' AND bk < 40)
+            OR (lang = 'fr' AND bk < 20) OR (lang = 'de' AND bk < 10)
+         GROUP BY lang ORDER BY lang""",
+
+    "q72_quantize_int8" ->
+      """WITH v AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         s AS (SELECT vec_id, v,
+                      list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+               FROM v),
+         c AS (SELECT vec_id, v, sc,
+                      list_transform(v, x -> CASE WHEN sc = 0 THEN 0
+                        ELSE CAST(round(x / sc) AS INT) END) AS codes
+               FROM s)
+         SELECT vec_id, codes[1] AS c0, codes[32] AS c31,
+                round(sc, 6) AS scale,
+                round(list_reduce(
+                        list_prepend(0.0,
+                          list_transform(range(len(v)),
+                            i -> abs(v[i + 1] - CAST(codes[i + 1] AS DOUBLE) * sc))),
+                        (acc, x) -> acc + x) / len(v), 6) AS err
+         FROM c ORDER BY vec_id LIMIT 200"""
+,
     "q59_split_assign" ->
       """SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
                 count(*) AS n
