@@ -17,16 +17,17 @@ import org.apache.spark.sql.functions._
  */
 object QualitySignals {
 
-  /** Word n-grams of a text column as an array (empty when the document
-    * has fewer than `n` tokens — no whole-text fallback here, unlike
-    * MinHash shingles: repetition ratios over padded grams would skew). */
-  private def grams(textCol: Column, n: Int): Column = {
-    val toks = split(trim(textCol), "\\s+")
+  /** Word n-grams of an ALREADY-SPLIT token array column (empty when the
+    * document has fewer than `n` tokens — no whole-text fallback here,
+    * unlike MinHash shingles: repetition ratios over padded grams would
+    * skew). Callers materialize the token array in a projection first:
+    * referencing `split(...)` directly here would re-run the regex split
+    * inside the per-element lambda — O(tokens²) splits per document. */
+  private def grams(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /**
    * Per-document repetition signals (Gopher §A1.1-style, token-based):
@@ -37,8 +38,9 @@ object QualitySignals {
    *    more than once in the document.
    */
   def repetitionSignals(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    def counts(n: Int) = df
-      .select(idCol.as("id"), explode(grams(textCol, n)).as("g"))
+    val toks = df.select(idCol.as("id"), split(trim(textCol), "\\s+").as("tk"))
+    def counts(n: Int) = toks
+      .select(col("id"), explode(grams(col("tk"), n)).as("g"))
       .groupBy("id", "g").agg(count("*").as("c"))
     val big = counts(2).groupBy("id")
       .agg(round(max("c").cast("double") / sum("c"), 4).as("top2_frac"))
@@ -57,8 +59,10 @@ object QualitySignals {
   def contamination(df: DataFrame, idCol: Column, textCol: Column,
       bench: DataFrame, benchTextCol: Column, n: Int = 3): DataFrame = {
     val benchGrams = broadcast(
-      bench.select(explode(grams(benchTextCol, n)).as("g")).distinct())
-    df.select(idCol.as("id"), explode(grams(textCol, n)).as("g"))
+      bench.select(split(trim(benchTextCol), "\\s+").as("tk"))
+        .select(explode(grams(col("tk"), n)).as("g")).distinct())
+    df.select(idCol.as("id"), split(trim(textCol), "\\s+").as("tk"))
+      .select(col("id"), explode(grams(col("tk"), n)).as("g"))
       .join(benchGrams, "g") // broadcast hash join: corpus never shuffles
       .groupBy("id")
       .agg(countDistinct("g").as("n_shared"))

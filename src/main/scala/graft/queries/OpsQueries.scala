@@ -225,12 +225,20 @@ object OpsQueries {
         .groupBy("lang").agg(count("*").as("n"), min("doc_id").as("first_id"))
         .orderBy("lang")),
     "q72_quantize_int8" -> ((s, d) =>
-      // symmetric int8 embedding quantization: codes + reconstruction error
-      t(s, d, "embeddings").select(col("vec_id"),
-          element_at(graft.ops.Quantize.int8Codes(col("embedding")), 1).as("c0"),
-          element_at(graft.ops.Quantize.int8Codes(col("embedding")), 32).as("c31"),
-          round(graft.ops.Quantize.int8Scale(col("embedding")), 6).as("scale"),
-          round(graft.ops.Quantize.int8ReconError(col("embedding")), 6).as("err"))
+      // symmetric int8 embedding quantization: codes + reconstruction
+      // error, scale/codes materialized ONCE then consumed (recomputing
+      // the HOF chain per output column multiplies per-element work)
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          graft.ops.Quantize.int8Scale(col("embedding")).as("sc"))
+        .select(col("vec_id"), col("embedding"), col("sc"),
+          graft.ops.Quantize.int8Codes(col("embedding"), col("sc")).as("codes"))
+        .select(col("vec_id"),
+          element_at(col("codes"), 1).as("c0"),
+          element_at(col("codes"), 32).as("c31"),
+          round(col("sc"), 6).as("scale"),
+          round(graft.ops.Quantize.reconError(col("embedding"), col("codes"),
+            col("sc")), 6).as("err"))
         .orderBy("vec_id").limit(200)),
     "q59_split_assign" -> ((s, d) =>
       // deterministic md5-based train/val/test split: per-split counts must
@@ -417,7 +425,7 @@ object OpsQueries {
                FROM v),
          c AS (SELECT vec_id, v, sc,
                       list_transform(v, x -> CASE WHEN sc = 0 THEN 0
-                        ELSE CAST(round(x / sc) AS INT) END) AS codes
+                        ELSE CAST(floor(x / sc + 0.5) AS INT) END) AS codes
                FROM s)
          SELECT vec_id, codes[1] AS c0, codes[32] AS c31,
                 round(sc, 6) AS scale,
