@@ -44,4 +44,24 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
 
   def searchDf(db: String, query: String): DataFrame =
     searcher.search(db, query)
+
+  /** Typed IVF approximate search over a [[VectorStore.writeVectorsIvf]]
+    * store (learned-centroid partition pruning). */
+  def searchIvf(db: String, query: String,
+      p: Searcher.Params = Searcher.Params(), nprobe: Int = 2): Dataset[SearchHit] = {
+    import spark.implicits._
+    searcher.searchIvf(db, query, p, nprobe)
+      .select("id", "text", "metadata", "similarity_score", "distance")
+      .as[SearchHit]
+  }
+
+  /** Hybrid (BM25 + cosine RRF) search; drops the fusion score to return
+    * the typed hit shape — use `searcher.searchHybrid` for the scores. */
+  def searchHybrid(db: String, query: String,
+      p: Searcher.Params = Searcher.Params()): Dataset[SearchHit] = {
+    import spark.implicits._
+    searcher.searchHybrid(db, query, p)
+      .select("id", "text", "metadata", "similarity_score", "distance")
+      .as[SearchHit]
+  }
 }

@@ -247,6 +247,50 @@ final class Searcher(spark: SparkSession, store: VectorStore) {
       .orderBy(col("similarity_score").desc, col("id"))
   }
 
+  /**
+   * Hybrid search: reciprocal-rank fusion of the brute-force cosine top
+   * `candidates` with BM25 over the store's chunk text for the query's own
+   * tokens — lexical recall the embedding-only path misses (exact
+   * names/ids) and vice versa. Both candidate lists are bounded BEFORE
+   * fusion (TakeOrderedAndProject each side), so the rank windows only see
+   * candidate-sized inputs; the text/metadata join touches the fused top-k
+   * rows only. Returns hit rows + `hybrid_score` (RRF) with
+   * `similarity_score`/`distance` from the cosine side (0/1 when the hit
+   * was lexical-only).
+   */
+  def searchHybrid(db: String, query: String,
+      p: Searcher.Params = Searcher.Params(), candidates: Int = 50,
+      k0: Int = 60): DataFrame = {
+    val prompted = p.promptFamily.fold(TextNorm.normalizeQuery(query)) { fam =>
+      graft.embed.PromptPrefix.applyTo(fam, isQuery = true,
+        TextNorm.normalizeQuery(query))
+    }
+    val qvec = p.embedder.embed(prompted)
+    val terms = TextNorm.normalizeQuery(query).toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty).distinct.toSeq
+
+    val vectors = vectorsOf(db)
+    val vec = vectors
+      .select(col("id"),
+        round(cosine_similarity(col("vector"), typedLit(qvec)), 4).as("s"))
+      .orderBy(col("s").desc, col("id")).limit(candidates)
+    val kw = graft.ops.Keyword.bm25(vectors.select(col("id"), col("text")),
+        col("id"), col("text"), terms)
+      .select(col("id"), round(col("score"), 4).as("s"))
+      .orderBy(col("s").desc, col("id")).limit(candidates)
+
+    graft.ops.Keyword.rrfFuse(kw, col("s"), vec, col("s"), k0)
+      .orderBy(col("rrf").desc, col("id")).limit(p.k)
+      .join(vectors.select("id", "text", "metadata"), Seq("id"))
+      .join(vec.withColumnRenamed("s", "sim"), Seq("id"), "left")
+      .withColumn("similarity_score",
+        least(greatest(coalesce(col("sim"), lit(0.0)), lit(0.0)), lit(1.0)))
+      .withColumn("distance", lit(1.0) - col("similarity_score"))
+      .select(col("id"), col("text"), col("metadata"),
+        col("similarity_score"), col("distance"), col("rrf").as("hybrid_score"))
+      .orderBy(col("hybrid_score").desc, col("id"))
+  }
+
   /** S17 side files (`/root/reference/chat_llm.py:34-40`): write retrieved
     * contexts (`"---"`-separated) and one metadata JSON per line. */
   def writeSearchArtifacts(db: String, query: String, outDir: String,

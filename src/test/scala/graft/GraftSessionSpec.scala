@@ -98,6 +98,19 @@ class GraftSessionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cs.map(_.metadata.page_number.get).distinct.sorted.toSeq == Seq(1, 2))
   }
 
+  test("hybrid search: lexical match surfaces beside vector hits") {
+    val sess = new GraftSession(spark, s"$work/wh")
+    val hits = sess.searchHybrid("tdb", "cooking recipe",
+      Searcher.Params(k = 2, threshold = 0.0)).collect()
+    assert(hits.nonEmpty)
+    // the recipe document must rank first: its tokens match lexically even
+    // if the hash-embedding space happens to favor the other doc
+    assert(hits.head.metadata.file_name == "b.txt")
+    val scored = sess.searcher.searchHybrid("tdb", "cooking recipe",
+      Searcher.Params(k = 2, threshold = 0.0)).collect()
+    assert(scored.forall(_.getAs[Double]("hybrid_score") > 0))
+  }
+
   test("open(db) registers SQL views + functions") {
     val sess = new GraftSession(spark, s"$work/wh")
     sess.open("tdb")
