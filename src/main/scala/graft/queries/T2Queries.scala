@@ -230,6 +230,47 @@ object T2Queries {
       t(s, d, "events").groupBy("user_id")
         .agg(count("*").as("n"), max("ts").as("last_ts")).orderBy("user_id")),
 
+    "q73_asof_join" -> ((s, d) => {
+      // as-of join, the temporal operator Spark lacks as a keyword: each
+      // purchase matched to the user's most recent preceding-or-equal view.
+      // Scale shape: ONE window over the union (partition by user, order by
+      // time) carrying the last view id forward — no per-row range probe,
+      // no nested-loop; the only shuffle is the user partitioning.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .withColumn("view_id",
+          when(col("event_type") === "view", col("event_id")))
+        .withColumn("prior_view", last("view_id", ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("prior_view"))
+        .orderBy("event_id")
+    }),
+
+    "q74_sessionize_batch" -> ((s, d) => {
+      // batch twin of StreamingOps.sessionize: 30-min inactivity gap via
+      // lag + cumulative-flag windows (both share the per-user partition —
+      // one shuffle), then per-session aggregation
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("new_sess",
+          when(col("us") - lag("us", 1).over(byUser) > 30L * 60 * 1000000, 1L)
+            .otherwise(lit(0L)))
+        .withColumn("sess", sum("new_sess")
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess")
+        .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+          count("*").as("n_events"), round(sum("value"), 2).as("value_sum"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("value_sum"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // ---- end-to-end retrieval slice (Q40; rows-only check, SURVEY §5.5) ----
     "q40_retrieval_e2e" -> ((s, d) => {
       import graft.functions.{chunk_document, normalize_query_text}
@@ -335,6 +376,29 @@ object T2Queries {
       "SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n, round(sum(value), 2) AS s FROM events GROUP BY h, event_type ORDER BY h, event_type",
     "q39_per_user_stats" ->
       "SELECT user_id, count(*) AS n, max(ts) AS last_ts FROM events GROUP BY user_id ORDER BY user_id",
+    "q73_asof_join" ->
+      """SELECT event_id, user_id, prior_view FROM (
+           SELECT event_id, user_id, event_type,
+                  last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_view
+           FROM events) t
+         WHERE event_type = 'purchase' ORDER BY event_id""",
+    "q74_sessionize_batch" ->
+      """WITH g AS (
+           SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ts, value,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+           FROM g)
+         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                count(*) AS n_events, round(sum(value), 2) AS value_sum
+         FROM s GROUP BY user_id, sess ORDER BY user_id, session_start""",
     // q40: the full retrieval slice — chunk(120/60) → normalize → md5
     // hash-embed → top-6 cosine → threshold 0.15 after top-k — replicated
     // relationally from the portable kernels (SURVEY §5.5, PortableSql).
