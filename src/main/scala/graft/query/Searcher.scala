@@ -279,10 +279,13 @@ final class Searcher(spark: SparkSession, store: VectorStore) {
       .select(col("id"), round(col("score"), 4).as("s"))
       .orderBy(col("s").desc, col("id")).limit(candidates)
 
-    graft.ops.Keyword.rrfFuse(kw, col("s"), vec, col("s"), k0)
+    val fused = graft.ops.Keyword.rrfFuse(kw, col("s"), vec, col("s"), k0)
       .orderBy(col("rrf").desc, col("id")).limit(p.k)
-      .join(vectors.select("id", "text", "metadata"), Seq("id"))
-      .join(vec.withColumnRenamed("s", "sim"), Seq("id"), "left")
+    // k-row fused list and 50-row sim list broadcast; the store-side scan
+    // joins them hash-side without shuffling text+metadata
+    vectors.select("id", "text", "metadata")
+      .join(broadcast(fused), Seq("id"))
+      .join(broadcast(vec.withColumnRenamed("s", "sim")), Seq("id"), "left")
       .withColumn("similarity_score",
         least(greatest(coalesce(col("sim"), lit(0.0)), lit(0.0)), lit(1.0)))
       .withColumn("distance", lit(1.0) - col("similarity_score"))

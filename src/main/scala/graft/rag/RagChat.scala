@@ -21,8 +21,14 @@ object RagChat {
       p: Searcher.Params = Searcher.Params(),
       client: ChatClient = new EchoChatClient,
       onToken: String => Unit = _ => (),
-      artifactsDir: Option[String] = None): Answer = {
-    val hits = searcher.search(db, question, p)
+      artifactsDir: Option[String] = None,
+      hybrid: Boolean = false): Answer = {
+    // hybrid retrieval surfaces lexical matches (exact names/ids) the
+    // embedding space alone can miss; hit schema is identical either way
+    val hits =
+      if (hybrid) searcher.searchHybrid(db, question, p)
+        .select("id", "text", "metadata", "similarity_score", "distance")
+      else searcher.search(db, question, p)
     hits.cache()
     try {
       val rows = hits.select(col("text"), col("metadata.file_name")).collect()

@@ -89,6 +89,16 @@ class RagChatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Files.exists(Paths.get(s"$work/artifacts/metadata.txt")))
   }
 
+  test("hybrid retrieval drives the same chat turn") {
+    val store = new VectorStore(spark, s"$work/wh")
+    val searcher = new Searcher(spark, store)
+    val client = new OpenAiCompatibleClient(
+      s"http://127.0.0.1:$port/v1", "test-model", apiKey = Some("k"))
+    val ans = RagChat.ask(searcher, "ragdb", "how do engines shuffle data",
+      Searcher.Params(k = 3, threshold = 0.0), client, hybrid = true)
+    assert(ans.text.nonEmpty && ans.contexts.nonEmpty && ans.citations.nonEmpty)
+  }
+
   test("empty contexts raise (reference contract)") {
     val store = new VectorStore(spark, s"$work/wh")
     val searcher = new Searcher(spark, store)
