@@ -18,13 +18,14 @@ object BatchStats {
 
   /** Per-batch padding stats for rows batched `batchSize` at a time in
     * `orderBy` order. Output: `batch_idx, n, max_len, real_tokens,
-    * padded_tokens` (one row per batch). */
+    * padded_tokens` (one row per batch). The global batch index comes from
+    * [[Scale.withGlobalIndex]] — partition-parallel ranks + broadcast
+    * offsets, not an unpartitioned window (which would move the whole
+    * table to one task). */
   def paddingStats(df: DataFrame, lenCol: Column, orderBy: Seq[Column],
       batchSize: Int): DataFrame = {
-    val w = Window.orderBy(orderBy: _*)
-    df.withColumn("len", lenCol.cast("long"))
-      .withColumn("batch_idx",
-        ((row_number().over(w) - 1) / batchSize).cast("long"))
+    Scale.withGlobalIndex(df.withColumn("len", lenCol.cast("long")), orderBy)
+      .withColumn("batch_idx", ((col("gidx") - 1) / batchSize).cast("long"))
       .groupBy("batch_idx")
       .agg(count("*").as("n"), max("len").as("max_len"),
         sum("len").as("real_tokens"))

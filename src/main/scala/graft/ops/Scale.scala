@@ -38,6 +38,34 @@ object Scale {
         min("pmn").as("mn"), max("pmx").as("mx"))
   }
 
+  /**
+   * Global 1-based rank in `sort` order WITHOUT a single-partition window:
+   * range-partition by the sort keys, rank locally per partition (the
+   * window partitions by `spark_partition_id`, so every partition ranks in
+   * parallel), then add broadcast per-partition offsets. Output equals
+   * `row_number() OVER (ORDER BY sort)` for unique sort keys — equal keys
+   * land in one range partition, so ties never straddle an offset
+   * boundary. The input lineage runs twice (offset pass + rank pass), both
+   * deterministic.
+   */
+  def withGlobalIndex(df: DataFrame, sort: Seq[Column],
+      out: String = "gidx"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parted = df.repartitionByRange(sort: _*)
+      .withColumn("_pid", spark_partition_id())
+    val local = parted.withColumn("_lrank",
+      row_number().over(Window.partitionBy("_pid").orderBy(sort: _*)))
+    val counts = local.groupBy("_pid").agg(count("*").as("_n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _).init)
+    val spark = df.sparkSession
+    import spark.implicits._
+    local.join(broadcast(offsets.toSeq.toDF("_pid", "_off")), "_pid")
+      .withColumn(out, col("_off") + col("_lrank"))
+      .drop("_pid", "_lrank", "_off")
+  }
+
   /** Write a DataFrame as a bucketed+sorted managed table: joins and
     * aggregations on the bucket columns then run shuffle-free (bucket
     * pruning + co-located join). The 100 TB answer to "this join shuffles
