@@ -89,6 +89,26 @@ object Multimodal {
     }(enc)
   }
 
+  /** Per-partition audio "decode": adds `envelope ARRAY<FLOAT>` (per-window
+    * mean |amplitude|, [[StubDecoders.audioEnvelope]]) and `n_bytes` — the
+    * same batch shape as [[extractImageFeatures]]. */
+  def extractAudioEnvelope(assets: DataFrame, window: Int = 256,
+      bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(assets.schema.fields ++ Seq(
+      StructField("envelope", ArrayType(FloatType, containsNull = false)),
+      StructField("n_bytes", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = assets.schema.fieldIndex(bytesCol)
+    assets.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val env = StubDecoders.audioEnvelope(bytes, window)
+        Row.fromSeq(r.toSeq ++ Seq(env.toSeq,
+          if (bytes == null) 0L else bytes.length.toLong))
+      }
+    }(enc)
+  }
+
   /** Explode videos into sampled frame rows `(asset_id, frame_index,
     * frame_bytes)` — the row-expanding shape of frame sampling. */
   def sampleVideoFrames(assets: DataFrame, frameSize: Int = 4096,

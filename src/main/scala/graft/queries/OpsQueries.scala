@@ -117,6 +117,29 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    "q75_frame_sampling" -> ((s, d) =>
+      // video frame sampling shape: explode assets into fixed-stride
+      // frames; sizes are pure functions of byte length -> exact oracle
+      Multimodal.sampleVideoFrames(
+          Multimodal.assetsFromText(t(s, d, "documents").filter(col("doc_id") < 100)),
+          frameSize = 128, everyN = 2)
+        .groupBy("asset_id")
+        .agg(count("*").as("n_frames"),
+          sum(length(col("frame_bytes"))).as("frame_bytes_total"),
+          max(col("frame_index")).cast("bigint").as("last_idx"))
+        .orderBy("asset_id")),
+    "q76_audio_envelope" -> ((s, d) =>
+      // audio envelope shape: per-window mean |amplitude|; verified via the
+      // integer window sum (mean × window length rounds back exactly —
+      // float32 mean error ≪ 0.5) so float rounding can't diverge engines
+      Multimodal.extractAudioEnvelope(
+          Multimodal.assetsFromText(t(s, d, "documents").filter(col("doc_id") < 100)),
+          window = 256)
+        .select(col("asset_id"), size(col("envelope")).cast("bigint").as("n_win"),
+          round(element_at(col("envelope"), 1).cast("double") *
+            least(col("n_bytes"), lit(256L))).cast("bigint").as("first_sum"))
+        .orderBy("asset_id")),
+
     // ---- text analysis ----
     "q48_token_count" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -669,6 +692,25 @@ object OpsQueries {
          SELECT g.doc_id, count(DISTINCT g.g3) AS n_shared
          FROM g JOIN bench USING (g3) WHERE g.doc_id >= 5
          GROUP BY g.doc_id ORDER BY g.doc_id""",
+
+    "q75_frame_sampling" ->
+      """WITH a AS (
+           SELECT doc_id AS asset_id, octet_length(encode(text)) AS len
+           FROM documents WHERE doc_id < 100),
+         f AS (SELECT asset_id, len, unnest(range((len + 255) // 256)) AS k FROM a)
+         SELECT asset_id, count(*) AS n_frames,
+                CAST(sum(least(128, len - 256 * k)) AS BIGINT) AS frame_bytes_total,
+                CAST(max(k) AS BIGINT) AS last_idx
+         FROM f GROUP BY asset_id ORDER BY asset_id""",
+
+    "q76_audio_envelope" ->
+      """SELECT doc_id AS asset_id,
+                CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_win,
+                CAST(list_aggregate(
+                  list_transform(range(least(octet_length(encode(text)), 256)),
+                    i -> ascii(substr(text, CAST(i + 1 AS INT), 1))), 'sum')
+                  AS BIGINT) AS first_sum
+         FROM documents WHERE doc_id < 100 ORDER BY asset_id""",
 
     "q53_multimodal_features" ->
       """SELECT doc_id AS asset_id,
