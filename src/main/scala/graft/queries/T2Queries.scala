@@ -230,6 +230,22 @@ object T2Queries {
       t(s, d, "events").groupBy("user_id")
         .agg(count("*").as("n"), max("ts").as("last_ts")).orderBy("user_id")),
 
+    "q77_approx_distinct" -> ((s, d) =>
+      // HLL++ distinct-count sketch (mergeable partial aggregate — the
+      // 100 TB cardinality path) verified within its rsd bound against the
+      // exact distinct count, which stays the oracle row
+      t(s, d, "events").groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_users"),
+          approx_count_distinct("user_id", 0.02).as("approx_users"),
+          countDistinct("value").as("exact_values"),
+          approx_count_distinct("value", 0.02).as("approx_values"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            greatest(col("exact_users") * 0.1, lit(5.0))).as("users_ok"),
+          (abs(col("approx_values") - col("exact_values")) <=
+            col("exact_values") * 0.1).as("values_ok"))
+        .orderBy("event_type")),
+
     "q73_asof_join" -> ((s, d) => {
       // as-of join, the temporal operator Spark lacks as a keyword: each
       // purchase matched to the user's most recent preceding-or-equal view.
@@ -376,6 +392,10 @@ object T2Queries {
       "SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n, round(sum(value), 2) AS s FROM events GROUP BY h, event_type ORDER BY h, event_type",
     "q39_per_user_stats" ->
       "SELECT user_id, count(*) AS n, max(ts) AS last_ts FROM events GROUP BY user_id ORDER BY user_id",
+    "q77_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                TRUE AS users_ok, TRUE AS values_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q73_asof_join" ->
       """SELECT event_id, user_id, prior_view FROM (
            SELECT event_id, user_id, event_type,

@@ -94,6 +94,28 @@ object StreamingOps {
       .agg(count("*").as("n"), sum("value").as("s"))
       .select(col("window.start").as("h"), col("event_type"), col("n"), col("s"))
 
+  /**
+   * Watermarked stream-stream interval join: each left event joined to the
+   * same-key right events whose timestamp falls in
+   * `[left.ts - window, left.ts]`. Both sides carry watermarks, so join
+   * state is bounded by `watermark + window` per key — the streaming
+   * analogue of the batch as-of/range join (q73), with state eviction in
+   * place of a carry-forward window. Column contract: both frames expose
+   * `ts TIMESTAMP` and the key column; output qualifies columns with
+   * `l_` / `r_` prefixes.
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      windowMs: Long, watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    val cond = expr(
+      s"l.$key = r.$key AND " +
+      s"r.ts >= l.ts - INTERVAL $windowMs MILLISECONDS AND r.ts <= l.ts")
+    l.join(r, cond)
+      .select(col(s"l.$key").as(key),
+        col("l.ts").as("l_ts"), col("r.ts").as("r_ts"))
+  }
+
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long,
       n_events: Long, value_sum: Double)

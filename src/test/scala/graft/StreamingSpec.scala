@@ -144,6 +144,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("stream-stream interval join: bounded state matches the window") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val purchases = MemoryStream[(Timestamp, Long)]
+    val views = MemoryStream[(Timestamp, Long)]
+    val joined = StreamingOps.intervalJoin(
+      purchases.toDF().toDF("ts", "user_id"),
+      views.toDF().toDF("ts", "user_id"),
+      key = "user_id", windowMs = 30 * 60 * 1000L, watermark = "0 seconds")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ivj").start()
+
+    def t(s: String) = Timestamp.valueOf(s)
+    views.addData(
+      (t("2024-01-01 09:00:00"), 1L), // in window for the 09:20 purchase
+      (t("2024-01-01 08:00:00"), 1L), // too old (> 30 min before)
+      (t("2024-01-01 09:10:00"), 2L)) // other user
+    purchases.addData((t("2024-01-01 09:20:00"), 1L))
+    q.processAllAvailable()
+
+    val got = spark.sql("SELECT user_id, l_ts, r_ts FROM ivj").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2)))
+    assert(got.toSeq == Seq((1L, t("2024-01-01 09:00:00"))))
+    q.stop()
+  }
+
   test("watermarked tumbling window matches batch formulation") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
