@@ -66,6 +66,30 @@ object Scale {
       .drop("_pid", "_lrank", "_off")
   }
 
+  /**
+   * Z-order (Morton) interleave of two small non-negative integer columns
+   * (each using the low `bits` bits): rows close in BOTH dimensions get
+   * close keys, so sorting files by the key makes parquet min/max stats
+   * prune on EITHER predicate — the standard multi-column layout trick a
+   * single-column sort can't give. Pure bit arithmetic (codegen'd, and
+   * reproducible in any engine for the oracle).
+   */
+  def zOrderKey(x: Column, y: Column, bits: Int = 8): Column =
+    (0 until bits).map { b =>
+      (shiftright(x.cast("bigint"), b).bitwiseAND(1L) * (1L << (2 * b))) +
+        (shiftright(y.cast("bigint"), b).bitwiseAND(1L) * (1L << (2 * b + 1)))
+    }.reduce(_ + _)
+
+  /** Write parquet z-ordered on two dimension columns: range-partition +
+    * sort by the interleaved key so row-group stats stay tight on both. */
+  def writeZOrdered(df: DataFrame, path: String, x: Column, y: Column,
+      bits: Int = 8): Unit =
+    df.withColumn("_z", zOrderKey(x, y, bits))
+      .repartitionByRange(col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+
   /** Write a DataFrame as a bucketed+sorted managed table: joins and
     * aggregations on the bucket columns then run shuffle-free (bucket
     * pruning + co-located join). The 100 TB answer to "this join shuffles

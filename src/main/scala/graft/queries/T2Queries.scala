@@ -246,6 +246,16 @@ object T2Queries {
             col("exact_values") * 0.1).as("values_ok"))
         .orderBy("event_type")),
 
+    "q78_zorder_key" -> ((s, d) => {
+      // Morton/z-order clustering key over two dimensions — the layout that
+      // keeps parquet min/max stats tight on BOTH columns at write time
+      val u = ((col("user_id") % 64) + 64) % 64
+      val v = ((floor(col("value")).cast("bigint") % 64) + 64) % 64
+      t(s, d, "events")
+        .select(col("event_id"), graft.ops.Scale.zOrderKey(u, v).as("z"))
+        .orderBy("z", "event_id").limit(100)
+    }),
+
     "q73_asof_join" -> ((s, d) => {
       // as-of join, the temporal operator Spark lacks as a keyword: each
       // purchase matched to the user's most recent preceding-or-equal view.
@@ -396,6 +406,16 @@ object T2Queries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
                 TRUE AS users_ok, TRUE AS values_ok
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q78_zorder_key" -> {
+      val terms = (0 until 8).map(b =>
+        s"((u >> $b) & 1) * ${1L << (2 * b)} + ((v >> $b) & 1) * ${1L << (2 * b + 1)}")
+        .mkString(" + ")
+      s"""WITH e AS (
+           SELECT event_id, ((user_id % 64) + 64) % 64 AS u,
+                  ((CAST(floor(value) AS BIGINT) % 64) + 64) % 64 AS v
+           FROM events)
+         SELECT event_id, $terms AS z FROM e ORDER BY z, event_id LIMIT 100"""
+    },
     "q73_asof_join" ->
       """SELECT event_id, user_id, prior_view FROM (
            SELECT event_id, user_id, event_type,

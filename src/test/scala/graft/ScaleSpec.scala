@@ -39,6 +39,24 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getDouble(3), r.getDouble(4))).toSeq)
   }
 
+  test("z-order key interleaves bits; z-ordered write round-trips sorted") {
+    import spark.implicits._
+    val df = Seq((3L, 5L), (1L, 0L), (0L, 1L), (0L, 0L)).toDF("x", "y")
+    val got = df.select(col("x"), col("y"),
+        Scale.zOrderKey(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // hand-interleaved: z(3,5) = 1+2+4+32 = 39; z(1,0)=1; z(0,1)=2
+    assert(got == Set((3L, 5L, 39L), (1L, 0L, 1L), (0L, 1L, 2L), (0L, 0L, 0L)))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-z").toString
+    val data = spark.range(0, 1000).select(
+      (col("id") % 32).as("a"), (col("id") / 32).as("b"), col("id"))
+    Scale.writeZOrdered(data, s"$dir/t", col("a"), col("b"))
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 1000) // content preserved, _z dropped
+    assert(back.columns.toSet == Set("a", "b", "id"))
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
