@@ -49,4 +49,13 @@ object PortableHash {
 
   /** MinHash step hash: hex chars 9-15 of md5 (28 bits), forced odd. */
   def minhashH2(h15: Long): Long = (h15 & 0xFFFFFFFL) | 1L
+
+  /** Column twin of [[hex15]] built from Spark built-ins — the ONE place
+    * the engine-side SQL spelling of the portable hash lives (oracle:
+    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`). Input is cast to
+    * string first, so any key type hashes by its decimal rendering. */
+  def hex15Col(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("bigint")
+  }
 }

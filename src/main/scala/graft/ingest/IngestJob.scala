@@ -85,19 +85,29 @@ object IngestJob {
 
     // The reference records ctime AND mtime ISO strings
     // (document_processor.py:61-62) but binaryFile exposes modificationTime
-    // only: stat the file's creation time executor-side (works for file:
-    // paths — the common local/NFS mount case; object stores have no birth
-    // time) and fall back to mtime where the filesystem keeps none.
-    val creationDate = udf((path: String) => {
+    // only: stat the file executor-side (works for file: paths — the common
+    // local/NFS mount case). BOTH dates render from one UDF in UTC so they
+    // can never disagree on timezone; a zero creationTime (filesystems
+    // without birth time return the epoch rather than throwing) and stat
+    // failures (non-file URLs) fall back to the source's mtime column.
+    val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    val statDates = udf((path: String, mtime: java.sql.Timestamp) => {
+      def iso(i: java.time.Instant): String =
+        java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter.ofPattern(fmt))
       try {
         val p = java.nio.file.Paths.get(new java.net.URI(path))
         val attrs = java.nio.file.Files.readAttributes(
           p, classOf[java.nio.file.attribute.BasicFileAttributes])
-        java.time.LocalDateTime
-          .ofInstant(attrs.creationTime().toInstant, java.time.ZoneOffset.UTC)
-          .format(java.time.format.DateTimeFormatter
-            .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
-      } catch { case _: Exception => null }
+        val m = iso(attrs.lastModifiedTime().toInstant)
+        val c = if (attrs.creationTime().toMillis <= 0) m
+                else iso(attrs.creationTime().toInstant)
+        (c, m)
+      } catch {
+        case _: Exception =>
+          val m = iso(mtime.toInstant)
+          (m, m)
+      }
     })
 
     val bin = binary
@@ -109,12 +119,14 @@ object IngestJob {
       regexp_replace(col("path"), "^file:", "").as("file_path"),
       col("ext").as("file_type"),
       regexp_extract(col("path"), "([^/\\\\]+)$", 1).as("file_name"),
-      coalesce(creationDate(col("path")),
-        date_format(col("modificationTime"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
-        .as("creation_date"),
-      date_format(col("modificationTime"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("modification_date"),
+      statDates(col("path"), col("modificationTime")).as("dates"),
       sha2(col("content"), 256).as("hash"), // O2
       lit("document").as("document_type"))
+      .withColumn("creation_date", col("dates._1"))
+      .withColumn("modification_date", col("dates._2"))
+      .drop("dates")
+      .select("text", "file_path", "file_type", "file_name", "creation_date",
+        "modification_date", "hash", "document_type")
       .filter(col("text").isNotNull) // F2: undecodable/blank files dropped
   }
 

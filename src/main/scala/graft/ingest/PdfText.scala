@@ -149,7 +149,10 @@ object PdfText {
           val parts = items.map(resolve).collect { case s: PStream => decodeStream(s) }
             .filter(_ != null)
           if (parts.isEmpty) null
-          else parts.reduce(_ ++ _)
+          // PDF splits content at token boundaries but need not leave
+          // trailing whitespace: join with a newline so tokens at stream
+          // seams can't fuse ("...Tj" + "BT..." → "TjBT")
+          else parts.reduce((a, b) => a ++ Array('\n'.toByte) ++ b)
         case _ => null
       }
 

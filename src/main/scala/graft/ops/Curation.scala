@@ -32,8 +32,7 @@ object Curation {
    * membership never depends on partitioning.
    */
   def splitAssign(key: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
-    val bucket = conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
-      .cast("bigint") % 100
+    val bucket = graft.expr.PortableHash.hex15Col(key) % 100
     when(bucket < trainPct, "train")
       .when(bucket < trainPct + valPct, "val")
       .otherwise("test")
@@ -49,8 +48,7 @@ object Curation {
    */
   def stratifiedSample(key: Column, stratum: Column,
       pctByStratum: Map[String, Int]): Column = {
-    val bucket = conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
-      .cast("bigint") % 100
+    val bucket = graft.expr.PortableHash.hex15Col(key) % 100
     pctByStratum.foldLeft(lit(false)) { case (acc, (s, pct)) =>
       acc || (stratum === s && bucket < pct)
     }

@@ -72,7 +72,10 @@ object Dedup {
     * signature was built over, or LSH candidates and verification measure
     * different similarities. */
   def shingleSet(textCol: Column, shingleSize: Int): Column = {
-    val toks = split(textCol, "\\s+")
+    // array_remove "" so edge whitespace can't mint an empty token:
+    // SketchOps.tokens (the signature space) never produces one, and the
+    // MUST-match contract below extends to edge-whitespace documents
+    val toks = array_remove(split(textCol, "\\s+"), "")
     if (shingleSize <= 1) array_distinct(toks)
     else array_distinct(
       when(size(toks) < shingleSize, array(concat_ws(" ", toks)))

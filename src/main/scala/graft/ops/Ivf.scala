@@ -36,8 +36,7 @@ import graft.functions.cosine_similarity
 object Ivf {
 
   /** Deterministic 60-bit md5 hash of an id column (PortableHash spec). */
-  private def idHash(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("bigint")
+  private def idHash(id: Column): Column = graft.expr.PortableHash.hex15Col(id)
 
   /** One Lloyd step: returns the updated (cid, centroid) rows. */
   private def step(v: DataFrame, cents: Seq[(Int, Seq[Float])]): DataFrame = {

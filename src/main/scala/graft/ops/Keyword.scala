@@ -36,12 +36,16 @@ object Keyword {
     val avgdl = stats.getDouble(1) / n
 
     // per-(doc, query-term) term frequencies; the isin filter precedes the
-    // shuffle so only query-term hits move
+    // shuffle so only query-term hits move. Persisted because both the df
+    // aggregation and the scoring join consume it — without the persist
+    // each branch re-scans the corpus; tf is bounded by
+    // matching-docs × |query| rows, never corpus width.
     val tf = toks
       .select(col("id"), col("len"), explode(col("toks")).as("term"))
       .filter(col("term").isin(query: _*))
       .groupBy("id", "term")
       .agg(count("*").cast("double").as("tf"), first("len").as("len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // df per query term: |query| rows — aggregate, then broadcast back
     val spark = docs.sparkSession

@@ -47,7 +47,11 @@ object QualitySignals {
     val tri = counts(3).groupBy("id")
       .agg(round(sum(when(col("c") >= 2, col("c")).otherwise(0L)).cast("double") /
         sum("c"), 4).as("dup3_frac"))
-    big.join(tri, "id")
+    // left join: a 2-token doc has a bigram signal but no trigrams — its
+    // dup3_frac is 0 by definition, not a reason to drop the row. (Docs
+    // with < 2 tokens have neither signal and are absent — the contract.)
+    big.join(tri, Seq("id"), "left")
+      .withColumn("dup3_frac", coalesce(col("dup3_frac"), lit(0.0)))
   }
 
   /**

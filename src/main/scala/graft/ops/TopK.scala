@@ -37,6 +37,7 @@ final class TopKAggregator(k: Int)
   override def zero: TopKBuf = TopKBuf(Array.emptyLongArray, Array.emptyDoubleArray)
 
   override def reduce(b: TopKBuf, e: TopKEntry): TopKBuf = {
+    if (k <= 0) return b // k=0 keeps the window formulation's empty result
     val n = b.ids.length
     if (n == k && !beats(e.sim, e.id, b.sims(n - 1), b.ids(n - 1))) return b
     var lo = 0

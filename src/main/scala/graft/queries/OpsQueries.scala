@@ -324,7 +324,7 @@ object OpsQueries {
       """SELECT sha256(substr(text, 1, 40)) AS h, count(*) AS n, min(doc_id) AS keep
          FROM documents GROUP BY h HAVING count(*) > 1 ORDER BY h""",
     "q44_dedup_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS tk
+      """WITH toks AS (SELECT doc_id, list_filter(list_distinct(string_split_regex(text, '\s+')), x -> x <> '') AS tk
                       FROM documents WHERE doc_id < 100)
          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                 round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
@@ -514,7 +514,7 @@ object OpsQueries {
 
     "q43_dedup_minhash" ->
       """WITH toks AS (
-           SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS s
+           SELECT doc_id, unnest(list_filter(list_distinct(string_split_regex(text, '\s+')), x -> x <> '')) AS s
            FROM documents WHERE doc_id < 200 AND length(trim(text)) > 0),
          hs AS (
            SELECT doc_id,
@@ -533,7 +533,7 @@ object OpsQueries {
            FROM band a JOIN band b
              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
          sets AS (
-           SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS tk
+           SELECT doc_id, list_filter(list_distinct(string_split_regex(text, '\s+')), x -> x <> '') AS tk
            FROM documents WHERE doc_id < 200)
          SELECT c.a_id, c.b_id,
                 round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
@@ -546,7 +546,7 @@ object OpsQueries {
 
     "q46_dedup_simhash" ->
       """WITH toks AS (
-           SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
            FROM documents WHERE doc_id < 200 AND length(trim(text)) > 0),
          h AS (
            SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
@@ -679,8 +679,9 @@ object OpsQueries {
                        round(CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
                              / sum(c), 4) AS dup3_frac
                 FROM tc GROUP BY doc_id)
-         SELECT doc_id, top2_frac, dup3_frac FROM b2 JOIN t2 USING (doc_id)
-         ORDER BY doc_id LIMIT 200""",
+         SELECT b2.doc_id, b2.top2_frac, coalesce(t2.dup3_frac, 0.0) AS dup3_frac
+         FROM b2 LEFT JOIN t2 ON b2.doc_id = t2.doc_id
+         ORDER BY b2.doc_id LIMIT 200""",
 
     "q70_contamination" ->
       """WITH toks AS (

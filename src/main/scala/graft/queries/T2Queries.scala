@@ -309,9 +309,9 @@ object T2Queries {
         .filter(col("text").isNotNull)
         // portable chunk id (md5, like Curation.splitAssign) so the DuckDB
         // oracle reproduces it; xxhash64 would be Spark-only
-        .withColumn("id", conv(substring(md5(concat(
-            col("doc_id").cast("string"), lit(":"),
-            col("chunk_index").cast("string"))), 1, 15), 16, 10).cast("bigint"))
+        .withColumn("id", graft.expr.PortableHash.hex15Col(concat(
+          col("doc_id").cast("string"), lit(":"),
+          col("chunk_index").cast("string"))))
       chunks
         .select(col("id"), col("doc_id"), col("text"),
           round(cosine_similarity(hash_embed(col("text")), qv), 4).as("sim"))
