@@ -185,6 +185,24 @@ class RichExtractorsSpec extends AnyFunSuite {
     assert(got.contains("[[page3]]third"))
   }
 
+  test("pdf: tokens cannot fuse across content-stream seams") {
+    // first stream ends exactly at "Tj" with no trailing whitespace; naive
+    // concatenation would read "TjBT" and drop alpha
+    val c1 = "BT (alpha) Tj"
+    val c2 = "BT (beta) Tj ET"
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >> endobj\n")
+    w(s"4 0 obj << /Length ${c1.length} >> stream\n$c1\nendstream endobj\n")
+    w(s"5 0 obj << /Length ${c2.length} >> stream\n$c2\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF")
+    val got = RichExtractors.extractPdf(out.toByteArray)
+    assert(got != null && got.contains("alpha") && got.contains("beta"))
+  }
+
   test("pdf: indirect /Length reference and content-stream array") {
     // hand-built: /Length as an indirect object; /Contents as array
     val c1 = "BT (alpha) Tj ET"

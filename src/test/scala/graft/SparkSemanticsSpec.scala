@@ -158,6 +158,18 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(approx.intersect(exact).size >= 8)
   }
 
+  test("grouped top-k: k = 0 yields empty, k larger than group yields all") {
+    import spark.implicits._
+    val scored = Seq(("a", 1L, 0.9), ("a", 2L, 0.8), ("b", 3L, 0.7))
+      .toDF("query_id", "id", "sim")
+    val empty = graft.ops.TopK.perGroup(scored, Seq(col("query_id")),
+      col("id"), col("sim"), 0)
+    assert(empty.count() == 0) // was an ArrayIndexOutOfBounds before the guard
+    val all = graft.ops.TopK.perGroup(scored, Seq(col("query_id")),
+      col("id"), col("sim"), 10)
+    assert(all.count() == 3)
+  }
+
   test("IVF recall >= sign-LSH at equal probe fraction (learned centroids)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = Array.fill(64)(0.125f)
