@@ -36,7 +36,9 @@ object Multimodal {
       * counts) — stands in for decode→resize→feature-extract. Counts, not
       * ratios: small integers are exact in float32, so any engine —
       * including the DuckDB verification oracle — reproduces the features
-      * bit-for-bit. Normalize downstream if a unit-scale feature is needed. */
+      * bit-for-bit (exactness holds while a bin count stays below 2^24 ≈
+      * a 16 MB single asset; larger media belongs with a real decoder
+      * anyway). Normalize downstream if a unit-scale feature is needed. */
     def imageFeatures(bytes: Array[Byte]): Array[Float] = {
       val hist = new Array[Float](16)
       if (bytes == null || bytes.isEmpty) return hist
