@@ -10,12 +10,77 @@ import scala.collection.mutable
  * the reference's xlrd loader semantics
  * (`/root/reference/document_processor.py:180-194`): per sheet in
  * BOUNDSHEET order, per row, non-empty cell values space-joined; rows
- * newline-joined. Covers the records a text pipeline meets — SST/LABELSST,
- * LABEL, NUMBER, RK, MULRK — and skips everything else. No CONTINUE-record
- * reassembly (fixture-scale SSTs fit one record); malformed input returns
- * null for skip-and-count.
+ * newline-joined. Covers the records a text pipeline meets — SST (with
+ * CONTINUE-record reassembly: real Excel splits shared-string tables at
+ * 8224 bytes, restating the encoding flags byte at each continuation),
+ * LABELSST, LABEL, NUMBER, RK, MULRK — and skips everything else.
+ * Malformed input returns null for skip-and-count.
  */
 object XlsBiff {
+
+  /** Reader over an SST's data spread across the SST record + CONTINUE
+    * records. BIFF guarantees string HEADERS (cch/grbit/counts) never
+    * split; character data may split, and each continuation opens with a
+    * fresh grbit byte that may switch the remaining chars between
+    * compressed and UTF-16 encodings (MS-XLS 2.5.293). */
+  private final class SstReader(b: Array[Byte], parts: Seq[(Int, Int)]) {
+    private var part = 0
+    private var pos = parts.head._1
+    private def partEnd: Int = parts(part)._1 + parts(part)._2
+    def hasMore: Boolean = pos < partEnd || part < parts.length - 1
+    private def roll(): Unit =
+      if (pos >= partEnd && part < parts.length - 1) {
+        part += 1
+        pos = parts(part)._1
+      }
+    def u8(): Int = { roll(); val v = b(pos) & 0xFF; pos += 1; v }
+    def u16(): Int = { roll(); u8() | (u8() << 8) }
+    def u32(): Int = { roll(); u16() | (u16() << 16) }
+    def skip(n: Int): Unit = {
+      var left = n
+      while (left > 0) {
+        roll()
+        val take = math.min(left, partEnd - pos)
+        if (take <= 0) return // truncated: stop
+        pos += take
+        left -= take
+      }
+    }
+
+    /** One XLUnicodeRichExtendedString. */
+    def readString(): String = {
+      val cch = u16()
+      var grbit = u8()
+      val cRun = if ((grbit & 0x08) != 0) u16() else 0
+      val cbExt = if ((grbit & 0x04) != 0) u32() else 0
+      val sb = new java.lang.StringBuilder(cch)
+      var left = cch
+      while (left > 0) {
+        if (pos >= partEnd) {
+          // continuation boundary INSIDE character data: the next part
+          // opens with a fresh flags byte for the remaining chars
+          if (part >= parts.length - 1) return sb.toString // truncated
+          part += 1
+          pos = parts(part)._1
+          grbit = u8()
+        }
+        val wide = (grbit & 0x01) != 0
+        val avail = partEnd - pos
+        val take = math.min(left, if (wide) avail / 2 else avail)
+        if (take <= 0) return sb.toString
+        if (wide) {
+          sb.append(new String(b, pos, 2 * take, StandardCharsets.UTF_16LE))
+          pos += 2 * take
+        } else {
+          sb.append(new String(b, pos, take, StandardCharsets.ISO_8859_1))
+          pos += take
+        }
+        left -= take
+      }
+      skip(4 * cRun + cbExt)
+      sb.toString
+    }
+  }
 
   private final case class Rec(tpe: Int, off: Int, len: Int)
 
@@ -59,25 +124,25 @@ object XlsBiff {
       }
 
       // workbook globals: sheet offsets + shared strings
-      val sheets = mutable.ArrayBuffer.empty[Int]
+      val globals = records(0).takeWhile(_.tpe != 0x000A).toVector
+      val sheets = globals.filter(_.tpe == 0x0085).map(r => bb.getInt(r.off))
       val sst = mutable.ArrayBuffer.empty[String]
-      val globals = records(0).takeWhile(_.tpe != 0x000A)
-      globals.foreach { r =>
-        r.tpe match {
-          case 0x0085 => // BOUNDSHEET: stream offset of the sheet substream
-            sheets += bb.getInt(r.off)
-          case 0x00FC => // SST: count u32, unique u32, strings
-            val unique = bb.getInt(r.off + 4)
-            var p = r.off + 8
-            var i = 0
-            while (i < unique && p < r.off + r.len) {
-              val (s, n) = xlString(wb, p, len16 = true)
-              sst += s
-              p += n
-              i += 1
-            }
-          case _ =>
-        }
+      globals.indexWhere(_.tpe == 0x00FC) match {
+        case -1 =>
+        case si =>
+          val head = globals(si)
+          // SST data = the record body + every immediately-following
+          // CONTINUE record (real Excel splits the table at 8224 bytes)
+          val parts = (head.off + 8, head.len - 8) +:
+            globals.drop(si + 1).takeWhile(_.tpe == 0x003C)
+              .map(c => (c.off, c.len))
+          val unique = bb.getInt(head.off + 4)
+          val reader = new SstReader(wb, parts)
+          var i = 0
+          while (i < unique && reader.hasMore) {
+            sst += reader.readString()
+            i += 1
+          }
       }
 
       def numStr(v: Double): String = v.toString // xlrd str(float) shape

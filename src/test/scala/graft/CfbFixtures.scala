@@ -109,17 +109,17 @@ object CfbFixtures {
 
   // ---------- BIFF8 workbook stream ----------
 
-  private def rec(tpe: Int, data: Array[Byte]): Array[Byte] = {
+  private[graft] def rec(tpe: Int, data: Array[Byte]): Array[Byte] = {
     val b = ByteBuffer.allocate(4 + data.length).order(ByteOrder.LITTLE_ENDIAN)
     b.putShort(tpe.toShort).putShort(data.length.toShort).put(data)
     b.array()
   }
-  private def le16(v: Int): Array[Byte] =
+  private[graft] def le16(v: Int): Array[Byte] =
     Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
-  private def le32(v: Int): Array[Byte] =
+  private[graft] def le32(v: Int): Array[Byte] =
     Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
       ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
-  private def xlStr16(s: String): Array[Byte] =
+  private[graft] def xlStr16(s: String): Array[Byte] =
     le16(s.length) ++ Array(0.toByte) ++ s.getBytes(StandardCharsets.ISO_8859_1)
 
   /** Workbook stream: globals (BOF, BOUNDSHEETs, SST, EOF) + one substream

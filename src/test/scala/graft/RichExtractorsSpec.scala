@@ -147,6 +147,47 @@ class RichExtractorsSpec extends AnyFunSuite {
     assert(RichExtractors.extractXls(CfbFixtures.mkXls(Seq("S" -> Nil))) == null)
   }
 
+  test("xls: SST split across a CONTINUE record with encoding switch") {
+    import CfbFixtures.{le16, le32, rec}
+    // "hello world" (cch 11) splits after "hello": the CONTINUE restates
+    // the flags byte and switches the remaining " world" to UTF-16LE;
+    // "second" then follows entirely inside the continuation
+    val bof = rec(0x0809, le16(0x0600) ++ le16(0x0005) ++ new Array[Byte](12))
+    val eof = rec(0x000A, Array.empty)
+    val sstData = le32(2) ++ le32(2) ++
+      le16(11) ++ Array(0.toByte) ++
+      "hello".getBytes(StandardCharsets.ISO_8859_1)
+    val contData = Array(1.toByte) ++
+      " world".getBytes(StandardCharsets.UTF_16LE) ++
+      le16(6) ++ Array(0.toByte) ++
+      "second".getBytes(StandardCharsets.ISO_8859_1)
+    val sheet = {
+      val b = new ByteArrayOutputStream()
+      b.write(rec(0x0809, le16(0x0600) ++ le16(0x0010) ++ new Array[Byte](12)))
+      b.write(rec(0x00FD, le16(0) ++ le16(0) ++ le16(0) ++ le32(0)))
+      b.write(rec(0x00FD, le16(1) ++ le16(0) ++ le16(0) ++ le32(1)))
+      b.write(eof)
+      b.toByteArray
+    }
+    val globals = {
+      val b = new ByteArrayOutputStream()
+      b.write(bof)
+      // boundsheet offset = globals length; compute with a fixed-size probe
+      val bsLen = 4 + 4 + 2 + 2 + 1 // rec header + offset + grbit + namelen/opts + "S"
+      val off = bof.length + bsLen + rec(0x00FC, sstData).length +
+        rec(0x003C, contData).length + eof.length
+      b.write(rec(0x0085, le32(off) ++ le16(0) ++
+        Array(1.toByte, 0.toByte) ++ "S".getBytes(StandardCharsets.ISO_8859_1)))
+      b.write(rec(0x00FC, sstData))
+      b.write(rec(0x003C, contData))
+      b.write(eof)
+      b.toByteArray
+    }
+    val got = RichExtractors.extractXls(
+      CfbFixtures.mkCfb(Seq("Workbook" -> (globals ++ sheet))))
+    assert(got == "hello world\nsecond")
+  }
+
   // ---------- PDF (pure-JVM reader) ----------
 
   private def mkPdf(pageContents: Seq[String], flate: Boolean): Array[Byte] =
