@@ -244,6 +244,41 @@ class RichExtractorsSpec extends AnyFunSuite {
     assert(got != null && got.contains("alpha") && got.contains("beta"))
   }
 
+  test("pdf: objects inside a compressed ObjStm (PDF 1.5 layout) + UTF-16 string") {
+    // catalog/pages/page dicts live INSIDE a FlateDecode object stream;
+    // only the ObjStm and the content stream are top-level objects
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length * 2 + 64)
+      val m = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, m)
+    }
+    val o1 = "<< /Type /Catalog /Pages 2 0 R >>"
+    val o2 = "<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    val o3 = "<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"
+    val objs = Seq(1 -> o1, 2 -> o2, 3 -> o3)
+    val bodies = objs.map(_._2)
+    val offs = bodies.scanLeft(0)(_ + _.length + 1).init
+    val header = objs.zip(offs).map { case ((n, _), o) => s"$n $o" }.mkString(" ")
+    val stmText = header + "\n" + bodies.mkString("\n") + "\n"
+    val stmData = deflate(stmText.getBytes(StandardCharsets.ISO_8859_1))
+    // content: UTF-16BE BOM'd hex string + plain text
+    val content = "BT (plain ascii) Tj <FEFF00480069> Tj ET"
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    w(s"4 0 obj << /Type /ObjStm /N 3 /First ${header.length + 1} /Length ${stmData.length} /Filter /FlateDecode >> stream\n")
+    out.write(stmData)
+    w("\nendstream endobj\n")
+    w(s"5 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF")
+    val got = RichExtractors.extractPdf(out.toByteArray)
+    assert(got != null && got.startsWith("[[page1]]"))
+    assert(got.contains("plain ascii"))
+    assert(got.contains("Hi")) // UTF-16BE hex string decoded via BOM
+  }
+
   test("pdf: indirect /Length reference and content-stream array") {
     // hand-built: /Length as an indirect object; /Contents as array
     val c1 = "BT (alpha) Tj ET"
