@@ -27,6 +27,11 @@ import graft.store.VectorStore
  */
 object IngestJob {
 
+  // referenced from the statDates UDF as a module static — the formatter
+  // itself (not Serializable) never enters the closure
+  private val IsoMicros =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+
   /** Defaults mirror the reference config (`/root/reference/config.py:26-27`). */
   final case class Config(
       chunkSize: Int = 1200,
@@ -90,11 +95,10 @@ object IngestJob {
     // can never disagree on timezone; a zero creationTime (filesystems
     // without birth time return the epoch rather than throwing) and stat
     // failures (non-file URLs) fall back to the source's mtime column.
-    val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
     val statDates = udf((path: String, mtime: java.sql.Timestamp) => {
       def iso(i: java.time.Instant): String =
         java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
-          .format(java.time.format.DateTimeFormatter.ofPattern(fmt))
+          .format(IsoMicros) // hoisted: pattern-parsing per row would double the UDF cost
       try {
         val p = java.nio.file.Paths.get(new java.net.URI(path))
         val attrs = java.nio.file.Files.readAttributes(

@@ -36,26 +36,23 @@ object Keyword {
     val avgdl = stats.getDouble(1) / n
 
     // per-(doc, query-term) term frequencies; the isin filter precedes the
-    // shuffle so only query-term hits move. Persisted because both the df
-    // aggregation and the scoring join consume it — without the persist
-    // each branch re-scans the corpus; tf is bounded by
-    // matching-docs × |query| rows, never corpus width.
+    // shuffle so only query-term hits move
     val tf = toks
       .select(col("id"), col("len"), explode(col("toks")).as("term"))
       .filter(col("term").isin(query: _*))
       .groupBy("id", "term")
       .agg(count("*").cast("double").as("tf"), first("len").as("len"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // df per query term: |query| rows — aggregate, then broadcast back
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val dfMap = tf.groupBy("term").agg(count("*").cast("double").as("df"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val idfDf = broadcast(query.distinct
-      .map(t => t -> math.log((n - dfMap.getOrElse(t, 0.0) + 0.5) /
-        (dfMap.getOrElse(t, 0.0) + 0.5) + 1.0))
-      .toDF("term", "idf"))
+    // idf per query term derived IN-PLAN (|query| rows, broadcast): no
+    // driver collect, nothing persisted (an un-unpersistable cache would
+    // leak one entry per query in a long-lived session), and the whole
+    // operator stays one lazy snapshot-consistent plan. The tf lineage
+    // feeds both branches — two bounded scans at action time, zero pinned
+    // memory.
+    val idfDf = broadcast(tf.groupBy("term")
+      .agg(count("*").cast("double").as("df"))
+      .select(col("term"),
+        log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0).as("idf")))
 
     tf.join(idfDf, "term")
       .withColumn("part", col("idf") * col("tf") * (lit(k1) + 1.0) /

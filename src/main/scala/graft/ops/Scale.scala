@@ -55,13 +55,17 @@ object Scale {
       .withColumn("_pid", spark_partition_id())
     val local = parted.withColumn("_lrank",
       row_number().over(Window.partitionBy("_pid").orderBy(sort: _*)))
-    val counts = local.groupBy("_pid").agg(count("*").as("_n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = counts.map(_._1)
-      .zip(counts.map(_._2).scanLeft(0L)(_ + _).init)
-    val spark = df.sparkSession
-    import spark.implicits._
-    local.join(broadcast(offsets.toSeq.toDF("_pid", "_off")), "_pid")
+    // per-partition offsets derived IN-PLAN: the cumulative window runs
+    // over #partitions rows (bounded, like rrfFuse's candidate lists), so
+    // the whole operator stays one lazy snapshot-consistent plan — no
+    // driver collect whose offsets could go stale against a re-executed
+    // rank pass. The ranked lineage feeds both branches.
+    val offs = local.groupBy("_pid").agg(count("*").as("_n"))
+      .withColumn("_off", coalesce(sum("_n").over(
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("_pid", "_off")
+    local.join(broadcast(offs), "_pid")
       .withColumn(out, col("_off") + col("_lrank"))
       .drop("_pid", "_lrank", "_off")
   }

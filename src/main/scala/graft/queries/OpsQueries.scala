@@ -705,13 +705,22 @@ object OpsQueries {
          FROM f GROUP BY asset_id ORDER BY asset_id""",
 
     "q76_audio_envelope" ->
-      """SELECT doc_id AS asset_id,
-                CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_win,
+      // byte-accurate: iterate hex PAIRS of encode(text), not characters —
+      // substr over text would count code points and diverge from the
+      // engine's byte windows on any non-ASCII corpus
+      """WITH h AS (
+           SELECT doc_id AS asset_id, octet_length(encode(text)) AS len,
+                  hex(encode(text)) AS hx
+           FROM documents WHERE doc_id < 100)
+         SELECT asset_id,
+                CAST((len + 255) // 256 AS BIGINT) AS n_win,
                 CAST(list_aggregate(
-                  list_transform(range(least(octet_length(encode(text)), 256)),
-                    i -> ascii(substr(text, CAST(i + 1 AS INT), 1))), 'sum')
-                  AS BIGINT) AS first_sum
-         FROM documents WHERE doc_id < 100 ORDER BY asset_id""",
+                  list_transform(
+                    list_transform(range(least(len, 256)),
+                      i -> CAST('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2) AS BIGINT)),
+                    v -> CASE WHEN v < 128 THEN v ELSE 256 - v END),
+                  'sum') AS BIGINT) AS first_sum
+         FROM h ORDER BY asset_id""",
 
     "q53_multimodal_features" ->
       """SELECT doc_id AS asset_id,
