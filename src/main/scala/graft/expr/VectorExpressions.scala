@@ -92,6 +92,47 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/**
+ * Nearest-centroid assignment: `cid` (INT) of the centroid in
+ * `centroids: ARRAY<STRUCT<cid INT, c ARRAY<FLOAT>>>` with maximal cosine
+ * similarity to `vector` — ties keep the earliest element. Built for IVF
+ * cluster assignment ([[graft.ops.Ivf.assignClusters]]): the centroid array
+ * is a driver-built literal (k×dim floats), so assignment of a 100 TB table
+ * is a pure per-row projection — zero exchanges, one output row per input
+ * row — where a join+re-aggregation formulation would shuffle the corpus.
+ */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression with VectorTyped {
+
+  override protected def vectorChildren: Seq[Expression] = Seq(left)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = checkVectorTypes()
+    if (base != TypeCheckResult.TypeCheckSuccess) base
+    else right.dataType match {
+      case ArrayType(StructType(fs), _) if fs.length == 2 &&
+          fs(0).dataType == IntegerType &&
+          (fs(1).dataType match {
+            case ArrayType(FloatType, _) => true
+            case _ => false
+          }) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"expected ARRAY<STRUCT<INT, ARRAY<FLOAT>>> centroids, got ${other.sql}")
+    }
+  }
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.nearestCentroid(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.VectorOps.nearestCentroid($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** L2-normalization of an `ARRAY<FLOAT>` vector (zero vector → zeros), the
   * engine-side equivalent of the reference's embedding normalization
   * (`/root/reference/embedding_models.py:437`). */

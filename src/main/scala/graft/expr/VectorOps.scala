@@ -78,4 +78,25 @@ object VectorOps {
     while (i < n) { val x = a.getFloat(i).toDouble; ss += x * x; i += 1 }
     math.sqrt(ss)
   }
+
+  /** cid of the centroid with maximal cosine similarity to `v`; ties keep
+    * the EARLIEST array element, so callers that sort centroids by cid get
+    * ties → lowest cid (the IVF assignment contract, [[graft.ops.Ivf]]).
+    * `cents` is `ARRAY<STRUCT<cid INT, c ARRAY<FLOAT>>>`. Row-local by
+    * construction: the per-row argmax that previously needed a
+    * crossJoin + re-aggregation (a full-corpus shuffle) runs as one fused
+    * loop inside whole-stage codegen. */
+  def nearestCentroid(v: ArrayData, cents: ArrayData): Int = {
+    val n = cents.numElements()
+    var best = -1
+    var bestSim = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val st = cents.getStruct(i, 2)
+      val sim = cosine(v, st.getArray(1))
+      if (sim > bestSim) { bestSim = sim; best = st.getInt(0) }
+      i += 1
+    }
+    best
+  }
 }

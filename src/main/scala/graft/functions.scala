@@ -34,6 +34,11 @@ object functions {
   def l2_normalize(a: Column): Column = col(L2Normalize(fvec(a)))
   def l2_norm(a: Column): Column = col(L2Norm(fvec(a)))
 
+  /** cid of the nearest centroid by cosine (ties → earliest element);
+    * `cents` is an `ARRAY<STRUCT<cid INT, c ARRAY<FLOAT>>>` literal. */
+  def nearest_centroid(v: Column, cents: Column): Column =
+    col(NearestCentroid(fvec(v), ex(cents)))
+
   /** Index-side text normalization (empty → null). */
   def normalize_text(c: Column, preserveWhitespace: Boolean = false): Column =
     col(NormalizeText(str(c), queryMode = false, preserveWhitespace = preserveWhitespace))
@@ -64,6 +69,8 @@ object functions {
       es => L2Normalize(fvec(es.head)), "built-in")
     reg.createOrReplaceTempFunction("l2_norm",
       es => L2Norm(fvec(es.head)), "built-in")
+    reg.createOrReplaceTempFunction("nearest_centroid",
+      es => NearestCentroid(fvec(es(0)), es(1)), "built-in")
     reg.createOrReplaceTempFunction("normalize_text",
       es => NormalizeText(str(es.head)), "built-in")
     reg.createOrReplaceTempFunction("normalize_query_text",

@@ -2,8 +2,9 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
-import graft.functions.cosine_similarity
+import graft.functions.{cosine_similarity, nearest_centroid}
 
 /**
  * IVF (inverted-file) clustering over an embedding column: k-means
@@ -27,75 +28,76 @@ import graft.functions.cosine_similarity
  *    so cross-engine ulp noise cannot survive an iteration
  *  - empty clusters keep their previous centroid
  *
- * Scale shape: centroids are k×dim floats (driver-resident, broadcast);
- * each iteration is one scan + one partial-aggregated shuffle of
- * (cid, dim) partials; assignment of the full table is the same scan
- * shape. Training on a `sampleFraction` md5-sample keeps the iterations
- * off the full 100 TB table (the assignment pass still sees every row).
+ * Scale shape: centroids are k×dim floats (driver-resident, shipped as a
+ * literal inside [[graft.expr.NearestCentroid]]); assignment is a pure
+ * per-row projection — ZERO exchanges, one output row per input row (plan
+ * evidence in PLANS.md). Each Lloyd iteration is one scan of the cached
+ * training sample + one partial-aggregated shuffle of (cid, dim) partials
+ * (nlist×dim groups — bytes, not rows). Training runs on a `sampleFraction`
+ * md5-sample (persisted across iterations), keeping the iterations off the
+ * full 100 TB table; the assignment pass still sees every row.
  */
 object Ivf {
 
   /** Deterministic 60-bit md5 hash of an id column (PortableHash spec). */
   private def idHash(id: Column): Column = graft.expr.PortableHash.hex15Col(id)
 
-  /** One Lloyd step: returns the updated (cid, centroid) rows. */
-  private def step(v: DataFrame, cents: Seq[(Int, Seq[Float])]): DataFrame = {
-    val spark = v.sparkSession
-    import spark.implicits._
-    val cdf = broadcast(cents.toDF("cid", "c")
-      .select(col("cid"), col("c").cast("array<float>").as("c")))
-    val assigned = v.crossJoin(cdf)
-      .select(col("id"), col("v"), col("cid"),
-        cosine_similarity(col("v"), col("c")).as("sim"))
-      .groupBy(col("id"), col("v"))
-      .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).cast("int"))).as("cid"))
-    assigned
-      .select(col("cid"), posexplode(col("v")))
+  /** Centroids as an `ARRAY<STRUCT<cid, c>>` literal, sorted by cid so the
+    * first-wins tie rule of [[graft.expr.NearestCentroid]] lands on the
+    * lowest cid. k×dim floats — driver-resident, codegen reference object. */
+  private def centsLit(cents: Seq[(Int, Seq[Float])]): Column =
+    typedLit(cents.sortBy(_._1).map { case (cid, c) => (cid, c.toVector) })
+      .cast("array<struct<cid:int,c:array<float>>>")
+
+  /** One Lloyd step: returns the updated (cid, centroid) rows. Assignment
+    * is the row-local [[graft.expr.NearestCentroid]] argmax — the only
+    * exchange is the (cid, pos) partial-mean aggregation (nlist×dim rows
+    * after map-side combine). */
+  private def step(v: DataFrame, cents: Seq[(Int, Seq[Float])]): DataFrame =
+    v.select(nearest_centroid(col("v"), centsLit(cents)).as("cid"),
+        posexplode(col("v")))
       .groupBy("cid", "pos")
       .agg((round(avg(col("col")) * 1024) / 1024).as("q"))
       .groupBy("cid")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("q")))),
         x => x("q")).cast("array<float>").as("c"))
-  }
 
   /** Train k-means centroids; returns `(cid, centroid)` sorted by cid.
-    * Deterministic in (data, k, iters, sampleFraction). */
+    * Deterministic in (data, k, iters, sampleFraction). The training
+    * sample is persisted once and reused across seed selection and every
+    * Lloyd iteration (it is re-scanned iters+1 times). */
   def trainCentroids(emb: DataFrame, idCol: Column, vecCol: Column, k: Int,
       iters: Int = 2, sampleFraction: Int = 100): Seq[(Int, Seq[Float])] = {
     val all = emb.select(idCol.cast("long").as("id"),
       vecCol.cast("array<float>").as("v"))
-    val v = if (sampleFraction >= 100) all
-      else all.filter(idHash(col("id")) % 100 < sampleFraction)
-    // .toVector: Row.getAs hands back a mutable ArraySeq, which Scala
-    // 2.13's immutable-Seq encoder rejects when the tuples go back
-    // through toDF
-    val seeds = v.withColumn("h", idHash(col("id")))
-      .orderBy("h").limit(k) // TakeOrderedAndProject: no global sort
-      .collect().sortBy(_.getAs[Long]("h"))
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getAs[Seq[Float]]("v").toVector: Seq[Float]) }
-      .toSeq
-    (0 until iters).foldLeft(seeds) { (cents, _) =>
-      val updated = step(v, cents).collect()
-        .map(r => r.getAs[Int]("cid") -> (r.getAs[Seq[Float]]("c").toVector: Seq[Float]))
-        .toMap
-      cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
-    }
+    val v = (if (sampleFraction >= 100) all
+      else all.filter(idHash(col("id")) % 100 < sampleFraction))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // .toVector: Row.getAs hands back a mutable ArraySeq, which Scala
+      // 2.13's immutable-Seq encoder rejects when the tuples go back
+      // through toDF
+      val seeds = v.withColumn("h", idHash(col("id")))
+        .orderBy("h").limit(k) // TakeOrderedAndProject: no global sort
+        .collect().sortBy(_.getAs[Long]("h"))
+        .zipWithIndex
+        .map { case (r, i) => (i, r.getAs[Seq[Float]]("v").toVector: Seq[Float]) }
+        .toSeq
+      (0 until iters).foldLeft(seeds) { (cents, _) =>
+        val updated = step(v, cents).collect()
+          .map(r => r.getAs[Int]("cid") -> (r.getAs[Seq[Float]]("c").toVector: Seq[Float]))
+          .toMap
+        cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+      }
+    } finally v.unpersist(blocking = false)
   }
 
-  /** Nearest-centroid id for every row: `(…emb columns, cluster)`. */
+  /** Nearest-centroid id for every row: `(…emb columns, cluster)`. A pure
+    * per-row projection (no join, no shuffle, no regrouping): exactly one
+    * output row per input row, duplicate rows included. */
   def assignClusters(emb: DataFrame, idCol: Column, vecCol: Column,
-      cents: Seq[(Int, Seq[Float])]): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val cdf = broadcast(cents.toDF("cid", "c")
-      .select(col("cid"), col("c").cast("array<float>").as("c")))
-    emb.crossJoin(cdf)
-      .withColumn("sim_c", cosine_similarity(vecCol, col("c")))
-      .groupBy(emb.columns.map(col): _*)
-      .agg(max_by(col("cid"), struct(col("sim_c"), (-col("cid")).cast("int")))
-        .as("cluster"))
-  }
+      cents: Seq[(Int, Seq[Float])]): DataFrame =
+    emb.withColumn("cluster", nearest_centroid(vecCol, centsLit(cents)))
 
   /** The query's `nprobe` nearest centroid ids (driver-side: k is tiny). */
   def probeList(cents: Seq[(Int, Seq[Float])], query: Array[Float],
@@ -115,11 +117,14 @@ object Ivf {
   }
 
   /** End-to-end IVF approximate top-k over an embedding frame: train (or
-    * reuse) centroids, assign, probe, exact cosine within probed cells. */
+    * reuse) centroids, assign, probe, exact cosine within probed cells.
+    * Training defaults to a 50% md5-sample — at 100 TB the Lloyd
+    * iterations must never scan the full table (assignment still does,
+    * as one shuffle-free projection). */
   def ivfTopK(emb: DataFrame, idCol: Column, vecCol: Column,
       query: Array[Float], k: Int, nlist: Int = 8, iters: Int = 2,
-      nprobe: Int = 2): DataFrame = {
-    val cents = trainCentroids(emb, idCol, vecCol, nlist, iters)
+      nprobe: Int = 2, sampleFraction: Int = 50): DataFrame = {
+    val cents = trainCentroids(emb, idCol, vecCol, nlist, iters, sampleFraction)
     val probes = probeList(cents, query, nprobe)
     assignClusters(emb.select(idCol.as("id"), vecCol.as("v")),
         col("id"), col("v"), cents)

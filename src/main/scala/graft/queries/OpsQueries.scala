@@ -71,8 +71,9 @@ object OpsQueries {
 
     "q66_ann_ivf" -> ((s, d) =>
       // IVF approximate top-k with LEARNED k-means centroids (md5 seeds,
-      // 1/1024-quantized Lloyd updates -> the DuckDB oracle re-trains the
-      // exact same centroids and reproduces the probe + result set)
+      // 50% md5 training sample, 1/1024-quantized Lloyd updates -> the
+      // DuckDB oracle re-trains the exact same centroids and reproduces
+      // the probe + result set; assignment itself is shuffle-free)
       graft.ops.Ivf.ivfTopK(t(s, d, "embeddings"), col("vec_id"),
         col("embedding"), qvecScala, k = 6, nlist = 8, iters = 2, nprobe = 2)),
 
@@ -608,7 +609,7 @@ object OpsQueries {
         s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
       def iter(i: Int, prev: String): String =
         s"""a$i AS (SELECT x.id, x.v, c.cid, ${cos("x.v", "c.c")} AS sim
-                    FROM v x CROSS JOIN $prev c),
+                    FROM tr x CROSS JOIN $prev c),
            b$i AS (SELECT id, v, cid FROM
                     (SELECT *, row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rn
                      FROM a$i) WHERE rn = 1),
@@ -623,7 +624,8 @@ object OpsQueries {
          hs AS (SELECT id, v,
                   CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT) AS h
                 FROM v),
-         seeds AS (SELECT v, h FROM hs ORDER BY h LIMIT 8),
+         tr AS (SELECT id, v, h FROM hs WHERE h % 100 < 50),
+         seeds AS (SELECT v, h FROM tr ORDER BY h LIMIT 8),
          c0 AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cid, v AS c FROM seeds),
          ${iter(1, "c0")},
          ${iter(2, "c1")},

@@ -57,6 +57,28 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.columns.toSet == Set("a", "b", "id"))
   }
 
+  test("IVF assignment is a shuffle-free projection: one row per input row") {
+    import spark.implicits._
+    // duplicate full rows on purpose: round 2's groupBy-argmax formulation
+    // silently collapsed them (ADVICE r2); the NearestCentroid projection
+    // must keep every row AND plan with zero exchanges
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.7f, 0.7f))
+    ).toDF("id", "v")
+    val cents = Seq(0 -> (Seq(1.0f, 0.0f): Seq[Float]),
+      1 -> (Seq(0.0f, 1.0f): Seq[Float]))
+    val assigned = graft.ops.Ivf.assignClusters(emb, col("id"), col("v"), cents)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+    val rows = assigned.collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+    assert(rows.length == 4, "duplicate rows must survive assignment")
+    assert(rows.count(_ == (1L, 0)) == 2)
+    assert(rows.contains((2L, 1)))
+    // equidistant vector ties to the LOWEST cid (the documented contract)
+    assert(rows.contains((3L, 0)))
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
