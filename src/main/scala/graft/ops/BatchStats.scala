@@ -33,16 +33,31 @@ object BatchStats {
   }
 
   /** Corpus-level summary: total real vs padded tokens + efficiency %,
-    * for both arrival (by id) and length-sorted batch orders. */
+    * for both arrival (by id) and length-sorted batch orders.
+    *
+    * The upstream lineage is evaluated ONCE: the input is projected to two
+    * longs per row and persisted before the two [[Scale.withGlobalIndex]]
+    * passes (each of which scans its input twice — offset + rank pass, so
+    * four scans total, all of the tiny cache, never of the upstream). The
+    * 2-row summary is materialized eagerly so the cache can be released
+    * before returning — callers get a local result, not a live lineage
+    * over an unpersisted frame. */
   def paddingEfficiency(df: DataFrame, idCol: Column, lenCol: Column,
       batchSize: Int): DataFrame = {
-    def total(ordered: Seq[Column], label: String): DataFrame =
-      paddingStats(df, lenCol, ordered, batchSize)
-        .agg(sum("real_tokens").as("real_total"), sum("padded_tokens").as("padded_total"))
-        .select(lit(label).as("batch_order"), col("real_total"), col("padded_total"),
-          round(col("real_total").cast("double") / col("padded_total"), 4)
-            .as("efficiency"))
-    total(Seq(idCol), "arrival")
-      .unionAll(total(Seq(lenCol.desc, idCol), "length_sorted"))
+    val spark = df.sparkSession
+    val p = df.select(idCol.as("_k"), lenCol.cast("long").as("len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def total(ordered: Seq[Column], label: String): DataFrame =
+        paddingStats(p, col("len"), ordered, batchSize)
+          .agg(sum("real_tokens").as("real_total"), sum("padded_tokens").as("padded_total"))
+          .select(lit(label).as("batch_order"), col("real_total"), col("padded_total"),
+            round(col("real_total").cast("double") / col("padded_total"), 4)
+              .as("efficiency"))
+      val out = total(Seq(col("_k")), "arrival")
+        .unionAll(total(Seq(col("len").desc, col("_k")), "length_sorted"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally p.unpersist(blocking = false)
   }
 }

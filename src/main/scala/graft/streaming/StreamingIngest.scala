@@ -54,24 +54,46 @@ object StreamingIngest {
     }
     val docs = IngestJob.decodeAndProject(src)
 
+    // Running vector count for index_metadata.json: initialized ONCE per
+    // query (existing metadata, falling back to a one-time table count for
+    // a pre-metadata store), then advanced by each batch's own chunk count.
+    // Round 2 recounted the ENTIRE vectors table every micro-batch — at
+    // 100 TB with frequent triggers that is a per-batch O(table) listing +
+    // footer-read stall on the driver. Counts share foreachBatch's
+    // at-least-once semantics either way (a retried partially-written
+    // batch double-appends rows under both schemes); `compactVectors` or
+    // a manual recount re-baselines.
+    var numVectors = -1L
+
     docs.writeStream
       .option("checkpointLocation", s"${store.dbDir(db)}/_ingest_checkpoint")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          if (numVectors < 0) numVectors =
+            try store.indexMetadata(db).num_vectors
+            catch { case _: Exception =>
+              try store.vectors(db).count() catch { case _: Exception => 0L } }
+          // persist: the vectors lineage (decode → chunk → embed) feeds the
+          // count and BOTH table writes — one evaluation, not three
           val vectors = IngestJob.vectorize(batch, cfg)
-          vectors.write.mode("append")
-            .option("maxRecordsPerFile", 100000)
-            .parquet(s"${store.dbDir(db)}/vectors")
-          batch.select(col("file_name"), col("hash"), col("file_path"),
-            col("text").as("page_content"))
-            .write.mode("append").parquet(s"${store.dbDir(db)}/documents")
-          vectors.select(col("id").as("chunk_id"), col("metadata.hash").as("hash"))
-            .write.mode("append").parquet(s"${store.dbDir(db)}/chunk_doc_map")
-          store.writeIndexMetadata(db, IndexMetadata(
-            distance_metric = "cosine", dimensions = cfg.dim,
-            vector_type = "float32", index_type = "FLAT",
-            num_vectors = store.vectors(db).count()))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val nNew = vectors.count()
+            vectors.write.mode("append")
+              .option("maxRecordsPerFile", 100000)
+              .parquet(s"${store.dbDir(db)}/vectors")
+            batch.select(col("file_name"), col("hash"), col("file_path"),
+              col("text").as("page_content"))
+              .write.mode("append").parquet(s"${store.dbDir(db)}/documents")
+            vectors.select(col("id").as("chunk_id"), col("metadata.hash").as("hash"))
+              .write.mode("append").parquet(s"${store.dbDir(db)}/chunk_doc_map")
+            numVectors += nNew
+            store.writeIndexMetadata(db, IndexMetadata(
+              distance_metric = "cosine", dimensions = cfg.dim,
+              vector_type = "float32", index_type = "FLAT",
+              num_vectors = numVectors))
+          } finally vectors.unpersist(blocking = false)
         }
       }
       .start()

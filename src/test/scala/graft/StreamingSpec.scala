@@ -55,6 +55,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(afterSecond > afterFirst) // only the new file was processed
     assert(store.indexMetadata("sdb").num_vectors == afterSecond)
     assert(store.documents("sdb").count() == 2)
+
+    // the count is INCREMENTAL, not a per-batch table recount: seed the
+    // metadata with a sentinel offset — a recount would erase it, the
+    // running count carries it forward (+ the new batch's chunks)
+    store.writeIndexMetadata("sdb",
+      store.indexMetadata("sdb").copy(num_vectors = afterSecond + 1000))
+    put("third.txt", "yet another distinct document body arrives " * 10)
+    val q3 = StreamingIngest.start(spark, docsDir, s"$work/wh", "sdb", cfg)
+    q3.awaitTermination(60000)
+    val afterThird = store.vectors("sdb").count()
+    assert(afterThird > afterSecond)
+    assert(store.indexMetadata("sdb").num_vectors ==
+      afterSecond + 1000 + (afterThird - afterSecond),
+      "metadata count must advance incrementally, never by recounting the table")
+    // restore the true count for the remaining assertions
+    store.writeIndexMetadata("sdb",
+      store.indexMetadata("sdb").copy(num_vectors = afterThird))
     // searchable through the normal query path
     val searcher = new graft.query.Searcher(spark, store)
     val hits = searcher.search("sdb", "fresh content arrives",
@@ -68,7 +85,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val filesAfter = new java.io.File(s"$work/wh/sdb/vectors")
       .listFiles().count(_.getName.endsWith(".parquet"))
     assert(filesAfter <= filesBefore && filesAfter == 1)
-    assert(store.vectors("sdb").count() == afterSecond)
+    assert(store.vectors("sdb").count() == afterThird)
     assert(searcher.search("sdb", "fresh content arrives",
       Searcher.Params(k = 3, threshold = 0.0)).count() == 3)
   }
