@@ -46,18 +46,19 @@ object IngestJob {
 
   /** A7 pipeline counters (`stage_split.py:82-88`, `vector_db_creator.py:
     * 397,438`): matched files, successfully extracted documents, chunks
-    * written, and files skipped (undecodable/blank/stub formats) — the
-    * reference's skip-and-count contract (§4.1.3). */
+    * written, and files skipped (undecodable or blank) — the reference's
+    * skip-and-count contract (§4.1.3). */
   final case class Result(
       documents: Long,
       chunks: Long,
       filesMatched: Long = -1,
       filesSkipped: Long = -1)
 
-  /** The reference's 12 supported formats (`constants.py:112-115`). `.xls`
-    * (legacy BIFF) and `.msg` decode are stubs (see [[RichExtractors]]);
-    * everything else — including PDF via the pure-JVM [[PdfText]] reader —
-    * extracts for real. */
+  /** The reference's 12 supported formats (`constants.py:112-115`). ALL
+    * twelve extract for real, pure-JVM: PDF via [[PdfText]], `.msg` via
+    * the OLE2/CFB reader ([[Ole2]]), legacy `.xls` via BIFF8
+    * ([[XlsBiff]]). Remaining skip-and-count cases are encrypted PDFs and
+    * (pre-round-3) CID-font pages — see [[PdfText]]'s scope note. */
   private val supportedText = Seq(".txt", ".md")
   private val supportedCsv = Seq(".csv")
   private val supportedRich = Seq(".pdf", ".docx", ".eml", ".msg",

@@ -16,13 +16,16 @@ import scala.util.matching.Regex
  *
  * Scope (the "common case" a text pipeline meets): objects and object
  * streams (ObjStm), FlateDecode/ASCIIHexDecode content streams, text
- * operators `BT/ET Tj ' " TJ Td TD T* Tm`, literal/hex strings with escapes
- * and UTF-16BE. Out of scope (page is skipped, never crashes): encrypted
- * documents, CID/Identity-H multi-byte fonts (bytes would not be char
- * codes), and exotic stream filters — the skip-and-count contract (§4.1.3)
- * turns those into counted skips upstream. No external PDF library ships in
- * the build environment, hence this hand-rolled reader; the object model is
- * the PDF 1.7 spec's.
+ * operators `BT/ET Tj ' " TJ Td TD T* Tm Tf`, literal/hex strings with
+ * escapes and UTF-16BE, and CID/Identity-H multi-byte fonts via their
+ * /ToUnicode CMap (`bfchar`/`bfrange`, round 3): the `Tf` operator selects
+ * the page-resource font, and its CMap decodes the 1/2-byte codes to
+ * Unicode. A Type0 font WITHOUT a ToUnicode map emits nothing (codes are
+ * glyph ids, not characters — silence beats garbage). Out of scope (page
+ * is skipped, never crashes): encrypted documents and exotic stream
+ * filters — the skip-and-count contract (§4.1.3) turns those into counted
+ * skips upstream. No external PDF library ships in the build environment,
+ * hence this hand-rolled reader; the object model is the PDF 1.7 spec's.
  */
 object PdfText {
 
@@ -52,7 +55,13 @@ object PdfText {
           sb.append("[[page").append(i + 1).append("]]").append(text)
       }
       if (sb.isEmpty) null else sb.toString
-    } catch { case _: Throwable => null } // undecodable → skip-and-count
+    } catch {
+      // undecodable → skip-and-count. Exception only (plus the stack
+      // overflow a hostile reference graph could still provoke in regex
+      // internals) — NOT Throwable, which would swallow executor OOMs.
+      case _: Exception => null
+      case _: StackOverflowError => null
+    }
   }
 
   private final class Doc(bytes: Array[Byte]) {
@@ -68,8 +77,14 @@ object PdfText {
       offsets.get(num).map(off => new Lexer(bytes, off, this).parseValue(resolveLen = true))
         .getOrElse(PNull))
 
-    def resolve(o: Obj): Obj = o match {
-      case PRef(n, _) => resolve(obj(n))
+    def resolve(o: Obj): Obj = resolve(o, 0)
+
+    /** Depth-guarded: a corrupt/hostile file with a reference cycle
+      * (`1 0 obj 2 0 R` / `2 0 obj 1 0 R`) must yield PNull, not an
+      * unbounded recursion. 64 matches the pages() walk cap. */
+    private def resolve(o: Obj, depth: Int): Obj = o match {
+      case PRef(n, _) =>
+        if (depth >= 64) PNull else resolve(obj(n), depth + 1)
       case other => other
     }
 
@@ -158,7 +173,31 @@ object PdfText {
 
     def pageText(page: Map[String, Obj]): String = {
       val data = contents(page)
-      if (data == null) null else ContentText.run(data)
+      if (data == null) null else ContentText.run(data, fontDecoders(page))
+    }
+
+    /** Per-font string decoders from the page's /Resources /Font dict:
+      * fonts with a /ToUnicode CMap decode through it (the CID/Identity-H
+      * path); Type0 fonts without one decode to nothing (their codes are
+      * glyph ids); simple fonts absent from this map fall back to the
+      * Latin-1/UTF-16BE default. */
+    private def fontDecoders(page: Map[String, Obj]): Map[String, Array[Byte] => String] = {
+      val res = dictOf(page.getOrElse("Resources", PNull))
+      val fonts = dictOf(res.getOrElse("Font", PNull))
+      fonts.flatMap { case (name, fobj) =>
+        val fd = dictOf(fobj)
+        resolve(fd.getOrElse("ToUnicode", PNull)) match {
+          case s: PStream =>
+            val data = decodeStream(s)
+            if (data == null) None
+            else CMap.parse(new String(data, StandardCharsets.ISO_8859_1))
+              .map(name -> _)
+          case _ =>
+            val cid = resolve(fd.getOrElse("Subtype", PNull)) == PName("Type0") ||
+              resolve(fd.getOrElse("Encoding", PNull)) == PName("Identity-H")
+            if (cid) Some(name -> ((_: Array[Byte]) => "")) else None
+        }
+      }
     }
 
     def decodeStream(s: PStream): Array[Byte] = {
@@ -424,6 +463,101 @@ object PdfText {
     }
   }
 
+  // ---------- ToUnicode CMap (PDF 1.7 §9.10.3) ----------
+  private object CMap {
+    private val hexPairRe =
+      """(?s)<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r
+    private val csBlockRe =
+      """(?s)begincodespacerange(.*?)endcodespacerange""".r
+    private val bfCharBlockRe = """(?s)beginbfchar(.*?)endbfchar""".r
+    private val bfRangeBlockRe = """(?s)beginbfrange(.*?)endbfrange""".r
+    private val rangeEntryRe =
+      """(?s)<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<[0-9A-Fa-f]+>|\[(?:\s*<[0-9A-Fa-f]+>\s*)+\])""".r
+    private val dstRe = """<([0-9A-Fa-f]+)>""".r
+
+    private def hexBytes(h: String): Array[Byte] = {
+      val s = if (h.length % 2 == 1) h + "0" else h
+      Array.tabulate(s.length / 2)(i =>
+        Integer.parseInt(s.substring(2 * i, 2 * i + 2), 16).toByte)
+    }
+    private def utf16(h: String): String =
+      new String(hexBytes(h), StandardCharsets.UTF_16BE)
+    /** Destination string advanced by `off`: the final UTF-16 code unit is
+      * incremented (the bfrange consecutive-mapping rule). */
+    private def advance(base: String, off: Int): String =
+      if (base.isEmpty) base
+      else base.substring(0, base.length - 1) +
+        (base.charAt(base.length - 1) + off).toChar
+
+    /** Parse a ToUnicode CMap into a byte-string decoder, or None when the
+      * text contains no usable mappings. Codespace ranges give the code
+      * byte widths (Identity-H: one 2-byte range); codes outside every
+      * mapping decode to nothing. */
+    def parse(text: String): Option[Array[Byte] => String] = {
+      // (len, lo, hi) codespace ranges; default to 2-byte (Identity-H)
+      val spaces0 = csBlockRe.findAllMatchIn(text).flatMap(b =>
+        hexPairRe.findAllMatchIn(b.group(1)).map { m =>
+          (m.group(1).length / 2, java.lang.Long.parseLong(m.group(1), 16),
+            java.lang.Long.parseLong(m.group(2), 16))
+        }).toVector
+      val spaces = if (spaces0.nonEmpty) spaces0 else Vector((2, 0L, 0xFFFFL))
+      val lens = spaces.map(_._1).distinct.sorted
+
+      val direct = mutable.Map.empty[Long, String]
+      bfCharBlockRe.findAllMatchIn(text).foreach(b =>
+        hexPairRe.findAllMatchIn(b.group(1)).foreach { m =>
+          direct(java.lang.Long.parseLong(m.group(1), 16)) = utf16(m.group(2))
+        })
+      // (lo, hi, base or explicit-array)
+      val ranges = mutable.ArrayBuffer.empty[(Long, Long, Either[String, Vector[String]])]
+      bfRangeBlockRe.findAllMatchIn(text).foreach(b =>
+        rangeEntryRe.findAllMatchIn(b.group(1)).foreach { m =>
+          val lo = java.lang.Long.parseLong(m.group(1), 16)
+          val hi = java.lang.Long.parseLong(m.group(2), 16)
+          val dst = m.group(3)
+          if (dst.startsWith("["))
+            ranges += ((lo, hi,
+              Right(dstRe.findAllMatchIn(dst).map(d => utf16(d.group(1))).toVector)))
+          else ranges += ((lo, hi, Left(utf16(dst.substring(1, dst.length - 1)))))
+        })
+      if (direct.isEmpty && ranges.isEmpty) return None
+
+      val rs = ranges.toVector
+      def lookup(code: Long): String =
+        direct.getOrElse(code, rs.collectFirst {
+          case (lo, hi, Left(base)) if code >= lo && code <= hi =>
+            advance(base, (code - lo).toInt)
+          case (lo, hi, Right(arr)) if code >= lo && code <= hi &&
+              (code - lo) < arr.length => arr((code - lo).toInt)
+        }.getOrElse(""))
+
+      Some { bytes =>
+        val sb = new StringBuilder
+        var i = 0
+        while (i < bytes.length) {
+          var taken = 0
+          // shortest codespace width whose range contains the code wins
+          val it = lens.iterator
+          while (taken == 0 && it.hasNext) {
+            val len = it.next()
+            if (i + len <= bytes.length) {
+              var code = 0L
+              var j = 0
+              while (j < len) { code = (code << 8) | (bytes(i + j) & 0xFF); j += 1 }
+              if (spaces.exists { case (l, lo, hi) => l == len && code >= lo && code <= hi }) {
+                sb.append(lookup(code))
+                taken = len
+              }
+            }
+          }
+          if (taken == 0) taken = math.max(1, lens.head) // resync: skip a code
+          i += taken
+        }
+        sb.toString
+      }
+    }
+  }
+
   // ---------- content-stream text assembly ----------
   private object ContentText {
 
@@ -438,8 +572,11 @@ object PdfText {
     /** Interpret the text operators; positions are approximated by operator
       * shape (pymupdf lays out by glyph geometry — out of scope): `Td/TD`
       * with a vertical move, `T*`, `'`, `"` and a new `Tm` row start a new
-      * line; horizontal `Td` inserts a space. */
-    def run(data: Array[Byte]): String = {
+      * line; horizontal `Td` inserts a space. `Tf` selects the current
+      * font: fonts present in `fonts` decode their strings through the
+      * font's ToUnicode CMap (CID path); others use the default [[str]]. */
+    def run(data: Array[Byte],
+        fonts: Map[String, Array[Byte] => String] = Map.empty): String = {
       val lex = new Lexer(data, 0, null)
       val sb = new StringBuilder
       val operands = mutable.ArrayBuffer.empty[Obj]
@@ -448,6 +585,9 @@ object PdfText {
       def space(): Unit =
         if (sb.nonEmpty && sb.last != ' ' && sb.last != '\n') sb.append(' ')
       var inText = false
+      var decoder: Array[Byte] => String = null
+      def dec(bytes: Array[Byte]): String =
+        if (decoder != null) decoder(bytes) else str(bytes)
       var tok: AnyRef = lex.nextToken()
       while (tok != null) {
         tok match {
@@ -455,15 +595,19 @@ object PdfText {
             op match {
               case "BT" => inText = true
               case "ET" => inText = false; newline()
+              case "Tf" =>
+                decoder = operands.dropRight(1).lastOption.collect {
+                  case PName(f) => fonts.get(f)
+                }.flatten.orNull
               case "Tj" if inText =>
-                operands.lastOption.collect { case PStr(s) => sb.append(str(s)) }
+                operands.lastOption.collect { case PStr(s) => sb.append(dec(s)) }
               case "'" | "\"" if inText =>
                 newline()
-                operands.lastOption.collect { case PStr(s) => sb.append(str(s)) }
+                operands.lastOption.collect { case PStr(s) => sb.append(dec(s)) }
               case "TJ" if inText =>
                 operands.lastOption.collect { case PArr(items) =>
                   items.foreach {
-                    case PStr(s) => sb.append(str(s))
+                    case PStr(s) => sb.append(dec(s))
                     case PNum(v) if v < -180 => space() // large kern ~ word gap
                     case _ =>
                   }

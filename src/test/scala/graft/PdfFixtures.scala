@@ -35,4 +35,50 @@ object PdfFixtures {
     w("trailer << /Root 1 0 R >>\n%%EOF")
     out.toByteArray
   }
+
+  /** One-page PDF with a Type0/Identity-H font: 2-byte codes in the
+    * content stream, decoded through the supplied ToUnicode CMap text.
+    * `withToUnicode = false` builds the degenerate CID font (no CMap) that
+    * must extract as NOTHING (codes are glyph ids, not characters). */
+  def mkCidPdf(content: String, cmap: String,
+      withToUnicode: Boolean = true): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F9 5 0 R >> >> >> endobj\n")
+    val data = content.getBytes(StandardCharsets.ISO_8859_1)
+    w(s"4 0 obj << /Length ${data.length} >> stream\n")
+    out.write(data)
+    w("\nendstream endobj\n")
+    val toUni = if (withToUnicode) " /ToUnicode 6 0 R" else ""
+    w("5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H " +
+      s"/Encoding /Identity-H$toUni >> endobj\n")
+    if (withToUnicode) {
+      val cm = cmap.getBytes(StandardCharsets.ISO_8859_1)
+      w(s"6 0 obj << /Length ${cm.length} >> stream\n")
+      out.write(cm)
+      w("\nendstream endobj\n")
+    }
+    w("trailer << /Root 1 0 R >>\n%%EOF")
+    out.toByteArray
+  }
+
+  /** The standard ToUnicode skeleton around bfchar/bfrange body lines. */
+  def cmap(body: String): String =
+    s"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CMapName /Adobe-Identity-UCS def
+/CMapType 2 def
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+$body
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end"""
 }

@@ -301,4 +301,52 @@ class RichExtractorsSpec extends AnyFunSuite {
     assert(RichExtractors.extractDocx("plain text".getBytes) == null)
     assert(RichExtractors.extractXlsx(Array[Byte](0x50, 0x4B, 0x00)) == null)
   }
+
+  test("pdf: Identity-H font decodes through its ToUnicode CMap") {
+    // bfchar pairs, a consecutive bfrange, and the explicit-array bfrange
+    // form; code 0021 has no mapping and must decode to nothing
+    val cm = PdfFixtures.cmap(
+      """2 beginbfchar
+<0001> <00480065>
+<0005> <006F>
+endbfchar
+1 beginbfrange
+<0002> <0004> <006C>
+endbfrange
+1 beginbfrange
+<0006> <0007> [<0057> <0058>]
+endbfrange""")
+    val content = "BT /F9 12 Tf <000100020002000500210006> Tj ET"
+    val got = RichExtractors.extractPdf(PdfFixtures.mkCidPdf(content, cm))
+    assert(got != null, "CID page with ToUnicode must extract")
+    assert(got.contains("HelloW"), s"CMap decode wrong: $got")
+  }
+
+  test("pdf: Type0 font without ToUnicode emits nothing (not garbage)") {
+    val content = "BT /F9 12 Tf <00010002> Tj ET"
+    val got = RichExtractors.extractPdf(
+      PdfFixtures.mkCidPdf(content, "", withToUnicode = false))
+    assert(got == null, s"glyph-id bytes must not leak as text: $got")
+  }
+
+  test("pdf: font switch mid-page — CID and simple strings coexist") {
+    val cm = PdfFixtures.cmap(
+      """1 beginbfchar
+<0003> <0041>
+endbfchar""")
+    val content = "BT /F9 1 Tf <0003> Tj ET BT /F1 1 Tf (plain) Tj ET"
+    val got = RichExtractors.extractPdf(PdfFixtures.mkCidPdf(content, cm))
+    assert(got != null && got.contains("A") && got.contains("plain"))
+  }
+
+  test("pdf: reference cycle resolves to null, not a stack overflow") {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj 3 0 R endobj\n") // cycle: 2 -> 3 -> 2
+    w("3 0 obj 2 0 R endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF")
+    assert(RichExtractors.extractPdf(out.toByteArray) == null)
+  }
 }
