@@ -38,20 +38,27 @@ object QualitySignals {
    *    more than once in the document.
    */
   def repetitionSignals(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    // ONE corpus pass: bigrams and trigrams explode together as
+    // (n, gram) structs (round 2 scanned + exploded the corpus once per
+    // gram size, then joined — an avoidable 2×). One (id, n, g) count with
+    // map-side combine, then one per-doc conditional aggregation.
     val toks = df.select(idCol.as("id"), split(trim(textCol), "\\s+").as("tk"))
-    def counts(n: Int) = toks
-      .select(col("id"), explode(grams(col("tk"), n)).as("g"))
-      .groupBy("id", "g").agg(count("*").as("c"))
-    val big = counts(2).groupBy("id")
-      .agg(round(max("c").cast("double") / sum("c"), 4).as("top2_frac"))
-    val tri = counts(3).groupBy("id")
-      .agg(round(sum(when(col("c") >= 2, col("c")).otherwise(0L)).cast("double") /
-        sum("c"), 4).as("dup3_frac"))
-    // left join: a 2-token doc has a bigram signal but no trigrams — its
-    // dup3_frac is 0 by definition, not a reason to drop the row. (Docs
-    // with < 2 tokens have neither signal and are absent — the contract.)
-    big.join(tri, Seq("id"), "left")
-      .withColumn("dup3_frac", coalesce(col("dup3_frac"), lit(0.0)))
+    toks.select(col("id"), explode(concat(
+          transform(grams(col("tk"), 2), g => struct(lit(2).as("n"), g.as("g"))),
+          transform(grams(col("tk"), 3), g => struct(lit(3).as("n"), g.as("g"))))).as("ng"))
+      .select(col("id"), col("ng.n").as("n"), col("ng.g").as("g"))
+      .groupBy("id", "n", "g").agg(count("*").as("c"))
+      .groupBy("id")
+      .agg(
+        round(max(when(col("n") === 2, col("c"))).cast("double") /
+          sum(when(col("n") === 2, col("c"))), 4).as("top2_frac"),
+        // a 2-token doc has a bigram signal but no trigrams — its
+        // dup3_frac is 0 by definition, not a reason to drop the row.
+        // (Docs with < 2 tokens emit no rows at all — the contract.)
+        coalesce(round(
+          sum(when(col("n") === 3 && col("c") >= 2, col("c")).otherwise(0L))
+            .cast("double") / sum(when(col("n") === 3, col("c"))), 4),
+          lit(0.0)).as("dup3_frac"))
   }
 
   /**

@@ -759,9 +759,17 @@ private[queries] object PortableSql {
          SELECT doc_id, trim(text) AS clean FROM documents
          WHERE length(trim(text)) > 0 $where),
        rawc AS (
+         -- window count derived PER DOCUMENT (ceil(len/step)): a fixed
+         -- range(N) cross join would silently truncate any document
+         -- longer than N*step chars, diverging from the engine's
+         -- unbounded Chunker
          SELECT doc_id, $step * k AS st,
                 trim(substr(clean, $step * k + 1, $size)) AS piece
-         FROM docs CROSS JOIN range(200) r(k) WHERE $step * k < length(clean)),
+         FROM (SELECT doc_id, clean,
+                 unnest(range(CAST(ceil(CAST(length(clean) AS DOUBLE) / $step)
+                   AS BIGINT))) AS k
+               FROM docs)
+         WHERE $step * k < length(clean)),
        idxd AS (
          SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY st) - 1
                   AS chunk_index, piece

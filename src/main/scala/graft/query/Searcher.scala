@@ -257,6 +257,12 @@ final class Searcher(spark: SparkSession, store: VectorStore) {
    * rows only. Returns hit rows + `hybrid_score` (RRF) with
    * `similarity_score`/`distance` from the cosine side (0/1 when the hit
    * was lexical-only).
+   *
+   * `p.threshold` applies to the COSINE leg only, after its top-k (the F5
+   * §4.1 contract, same as [[search]]): vector candidates below the
+   * threshold drop out of the fusion. Lexical candidates are never
+   * thresholded — BM25 scores are not similarities — so lexical-only hits
+   * still surface (with `similarity_score` 0) at any threshold.
    */
   def searchHybrid(db: String, query: String,
       p: Searcher.Params = Searcher.Params(), candidates: Int = 50,
@@ -274,6 +280,7 @@ final class Searcher(spark: SparkSession, store: VectorStore) {
       .select(col("id"),
         round(cosine_similarity(col("vector"), typedLit(qvec)), 4).as("s"))
       .orderBy(col("s").desc, col("id")).limit(candidates)
+      .filter(col("s") >= p.threshold) // F5: threshold after top-k (§4.1)
     val kw = graft.ops.Keyword.bm25(vectors.select(col("id"), col("text")),
         col("id"), col("text"), terms)
       .select(col("id"), round(col("score"), 4).as("s"))
