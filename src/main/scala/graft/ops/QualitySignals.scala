@@ -29,6 +29,38 @@ object QualitySignals {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Length of the longest run of equal adjacent elements in a SORTED
+    * string array — i.e. the count of the most frequent element. Row-local
+    * fold; `null` prev sentinel starts the first run (the `===` null
+    * comparison is SQL-null, so `when` falls to the run-reset branch). */
+  private def maxRunLen(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(1L)
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Total number of elements belonging to runs of length ≥ 2 in a SORTED
+    * string array — i.e. the occurrence count of all duplicated elements.
+    * Runs flush into the total when the next element differs; the final
+    * open run flushes in the finish lambda. */
+  private def dupRunTotal(sorted: Column): Column = {
+    def flush(run: Column) = when(run >= 2L, run).otherwise(0L)
+    aggregate(sorted,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("dup")),
+      (acc, x) => {
+        val same = x === acc.getField("prev")
+        struct(x.as("prev"),
+          when(same, acc.getField("run") + 1L).otherwise(1L).as("run"),
+          when(same, acc.getField("dup"))
+            .otherwise(acc.getField("dup") + flush(acc.getField("run"))).as("dup"))
+      },
+      acc => acc.getField("dup") + flush(acc.getField("run")))
+  }
+
   /**
    * Per-document repetition signals (Gopher §A1.1-style, token-based):
    *
@@ -36,29 +68,34 @@ object QualitySignals {
    *    frequent bigram — high values mean boilerplate loops.
    *  - `dup3_frac`: share of trigram occurrences whose trigram appears
    *    more than once in the document.
+   *
+   * Fully ROW-LOCAL: repetition is a per-document statistic, so no
+   * (id, gram) pairs ever leave their row — each document sorts its own
+   * gram array and folds it for run-length counts (rounds 2-3 exploded the
+   * corpus into a gram-count shuffle; at 100 TB that exchanged the whole
+   * token stream to compute values derivable inside one row). The plan is
+   * a pure projection: zero Exchange operators.
    */
   def repetitionSignals(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    // ONE corpus pass: bigrams and trigrams explode together as
-    // (n, gram) structs (round 2 scanned + exploded the corpus once per
-    // gram size, then joined — an avoidable 2×). One (id, n, g) count with
-    // map-side combine, then one per-doc conditional aggregation.
+    // tk is a real projection step: referencing split() inside the HOF
+    // lambdas directly would re-run the regex per array element.
     val toks = df.select(idCol.as("id"), split(trim(textCol), "\\s+").as("tk"))
-    toks.select(col("id"), explode(concat(
-          transform(grams(col("tk"), 2), g => struct(lit(2).as("n"), g.as("g"))),
-          transform(grams(col("tk"), 3), g => struct(lit(3).as("n"), g.as("g"))))).as("ng"))
-      .select(col("id"), col("ng.n").as("n"), col("ng.g").as("g"))
-      .groupBy("id", "n", "g").agg(count("*").as("c"))
-      .groupBy("id")
-      .agg(
-        round(max(when(col("n") === 2, col("c"))).cast("double") /
-          sum(when(col("n") === 2, col("c"))), 4).as("top2_frac"),
-        // a 2-token doc has a bigram signal but no trigrams — its
-        // dup3_frac is 0 by definition, not a reason to drop the row.
-        // (Docs with < 2 tokens emit no rows at all — the contract.)
-        coalesce(round(
-          sum(when(col("n") === 3 && col("c") >= 2, col("c")).otherwise(0L))
-            .cast("double") / sum(when(col("n") === 3, col("c"))), 4),
-          lit(0.0)).as("dup3_frac"))
+    toks
+      // docs with < 2 tokens have neither signal and are absent — the
+      // contract; a 2-token doc has a bigram signal but no trigrams — its
+      // dup3_frac is 0 by definition, not a reason to drop the row.
+      // (Filter on the token count, BEFORE building gram arrays: a filter
+      // on size(g2) would be predicate-pushed through the projection and
+      // re-evaluate the whole sort per row.)
+      .filter(size(col("tk")) >= 2)
+      .select(col("id"),
+        array_sort(grams(col("tk"), 2)).as("g2"),
+        array_sort(grams(col("tk"), 3)).as("g3"))
+      .select(col("id"),
+        round(maxRunLen(col("g2")).cast("double") / size(col("g2")), 4).as("top2_frac"),
+        when(size(col("g3")) === 0, lit(0.0))
+          .otherwise(round(dupRunTotal(col("g3")).cast("double") / size(col("g3")), 4))
+          .as("dup3_frac"))
   }
 
   /**
