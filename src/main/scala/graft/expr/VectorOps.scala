@@ -89,14 +89,24 @@ object VectorOps {
   def nearestCentroid(v: ArrayData, cents: ArrayData): Int = {
     val n = cents.numElements()
     var best = -1
+    var any = false
     var bestSim = Double.NegativeInfinity
     var i = 0
     while (i < n) {
-      val st = cents.getStruct(i, 2)
-      val sim = cosine(v, st.getArray(1))
-      if (sim > bestSim) { bestSim = sim; best = st.getInt(0) }
+      // null struct elements / null vectors are skipped, not NPE'd: the
+      // SQL-registered nearest_centroid sees arbitrary user arrays, and
+      // checkInputDataTypes can't guard runtime values
+      if (!cents.isNullAt(i)) {
+        val st = cents.getStruct(i, 2)
+        if (!st.isNullAt(0) && !st.isNullAt(1)) {
+          val sim = cosine(v, st.getArray(1))
+          if (!any || sim > bestSim) { bestSim = sim; best = st.getInt(0); any = true }
+        }
+      }
       i += 1
     }
+    if (!any) throw new IllegalArgumentException(
+      "nearest_centroid: centroids array is empty (or all-null) — no cid to return")
     best
   }
 }

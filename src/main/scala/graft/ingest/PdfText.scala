@@ -138,19 +138,27 @@ object PdfText {
       val catalog = all.iterator.map(obj).map(dictOf)
         .find(_.get("Type").contains(PName("Catalog")))
       val out = mutable.ArrayBuffer.empty[Map[String, Obj]]
-      def walk(node: Obj, depth: Int): Unit = {
+      // /Resources is inheritable (PDF 1.7 §7.7.3.4): a page without its
+      // own takes the nearest ancestor /Pages node's — without this, a
+      // Type0 font defined tree-level goes undetected and its glyph-id
+      // bytes would decode as garbage through the simple-font fallback.
+      def walk(node: Obj, depth: Int, inhRes: Option[Obj]): Unit = {
         if (depth > 64) return
         val d = dictOf(node)
         d.get("Type") match {
-          case Some(PName("Pages")) => resolve(d.getOrElse("Kids", PNull)) match {
-            case PArr(kids) => kids.foreach(walk(_, depth + 1))
-            case _ =>
-          }
-          case Some(PName("Page")) => out += d
+          case Some(PName("Pages")) =>
+            val res = d.get("Resources").orElse(inhRes)
+            resolve(d.getOrElse("Kids", PNull)) match {
+              case PArr(kids) => kids.foreach(walk(_, depth + 1, res))
+              case _ =>
+            }
+          case Some(PName("Page")) =>
+            out += (if (d.contains("Resources")) d
+              else inhRes.fold(d)(r => d + ("Resources" -> r)))
           case _ =>
         }
       }
-      catalog.flatMap(_.get("Pages")).foreach(walk(_, 0))
+      catalog.flatMap(_.get("Pages")).foreach(walk(_, 0, None))
       if (out.nonEmpty) out.toSeq
       else all.map(obj).map(dictOf)
         .filter(_.get("Type").contains(PName("Page")))
@@ -186,17 +194,20 @@ object PdfText {
       val fonts = dictOf(res.getOrElse("Font", PNull))
       fonts.flatMap { case (name, fobj) =>
         val fd = dictOf(fobj)
-        resolve(fd.getOrElse("ToUnicode", PNull)) match {
+        val parsed = resolve(fd.getOrElse("ToUnicode", PNull)) match {
           case s: PStream =>
             val data = decodeStream(s)
-            if (data == null) None
+            if (data == null) None // unsupported filter (LZW/crypt)
             else CMap.parse(new String(data, StandardCharsets.ISO_8859_1))
-              .map(name -> _)
-          case _ =>
-            val cid = resolve(fd.getOrElse("Subtype", PNull)) == PName("Type0") ||
-              resolve(fd.getOrElse("Encoding", PNull)) == PName("Identity-H")
-            if (cid) Some(name -> ((_: Array[Byte]) => "")) else None
+          case _ => None
         }
+        // UNUSABLE ToUnicode (undecodable stream, or no mappings) on a CID
+        // font gets the same empty decoder as an ABSENT one: its codes are
+        // glyph ids, and the Latin-1/UTF-16BE fallback would leak garbage.
+        val cid = resolve(fd.getOrElse("Subtype", PNull)) == PName("Type0") ||
+          resolve(fd.getOrElse("Encoding", PNull)) == PName("Identity-H")
+        parsed.map(name -> _)
+          .orElse(if (cid) Some(name -> ((_: Array[Byte]) => "")) else None)
       }
     }
 
@@ -482,10 +493,15 @@ object PdfText {
     }
     private def utf16(h: String): String =
       new String(hexBytes(h), StandardCharsets.UTF_16BE)
-    /** Destination string advanced by `off`: the final UTF-16 code unit is
-      * incremented (the bfrange consecutive-mapping rule). */
+    /** Destination string advanced by `off` (the bfrange consecutive-
+      * mapping rule). A single-code-point base advances by CODE POINT —
+      * incrementing the last UTF-16 unit would walk a non-BMP base (or one
+      * ending near 0xDFFF) into unpaired surrogates. Multi-char BMP bases
+      * keep the last-code-unit rule the spec describes. */
     private def advance(base: String, off: Int): String =
       if (base.isEmpty) base
+      else if (base.codePointCount(0, base.length) == 1)
+        new String(Character.toChars(base.codePointAt(0) + off))
       else base.substring(0, base.length - 1) +
         (base.charAt(base.length - 1) + off).toChar
 

@@ -3,7 +3,7 @@ package graft
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -111,6 +111,30 @@ class GraftSessionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val scored = sess.searcher.searchHybrid("tdb", "cooking recipe",
       Searcher.Params(k = 2, threshold = 0.0)).collect()
     assert(scored.forall(_.getAs[Double]("hybrid_score") > 0))
+  }
+
+  test("hybrid threshold: vector leg thresholded, lexical-only hits survive (F5)") {
+    val sess = new GraftSession(spark, s"$work/wh")
+    val all = sess.searcher.searchHybrid("tdb", "cooking recipe",
+      Searcher.Params(k = 5, threshold = 0.0)).collect()
+    val maxSim = all.map(_.getAs[Double]("similarity_score")).max
+    assert(maxSim > 0.0) // sanity: the vector leg contributed at threshold 0
+    // a threshold above every cosine candidate empties the vector leg;
+    // lexical candidates are never thresholded, so hits still surface
+    val strict = sess.searcher.searchHybrid("tdb", "cooking recipe",
+      Searcher.Params(k = 5, threshold = math.min(1.0, maxSim + 0.005))).collect()
+    assert(strict.nonEmpty)
+    assert(strict.head.getAs[Row]("metadata").getAs[String]("file_name") == "b.txt")
+    assert(strict.forall(_.getAs[Double]("similarity_score") == 0.0))
+    assert(strict.forall(_.getAs[Double]("distance") == 1.0))
+    // the fused score lost the vector-rank contribution: no strict score
+    // may exceed its threshold-0 counterpart for the same id
+    val byId = all.map(r => r.getAs[String]("id") -> r.getAs[Double]("hybrid_score")).toMap
+    strict.foreach { r =>
+      byId.get(r.getAs[String]("id")).foreach { full =>
+        assert(r.getAs[Double]("hybrid_score") <= full + 1e-12)
+      }
+    }
   }
 
   test("open(db) registers SQL views + functions") {

@@ -34,6 +34,22 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("nearestCentroid: skips null elements, rejects empty/all-null") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    def cent(cid: Int, xs: Float*) =
+      new GenericInternalRow(Array[Any](cid, arr(xs: _*)))
+    val cents = new GenericArrayData(
+      Array[Any](null, cent(7, 1f, 0f), cent(9, 0f, 1f)))
+    assert(VectorOps.nearestCentroid(arr(1f, 0.1f), cents) == 7)
+    assert(VectorOps.nearestCentroid(arr(0.1f, 1f), cents) == 9)
+    intercept[IllegalArgumentException] {
+      VectorOps.nearestCentroid(arr(1f, 0f), new GenericArrayData(Array.empty[Any]))
+    }
+    intercept[IllegalArgumentException] {
+      VectorOps.nearestCentroid(arr(1f, 0f), new GenericArrayData(Array[Any](null)))
+    }
+  }
+
   test("l2Normalize produces unit vectors; zero stays zero") {
     val n = VectorOps.l2Normalize(arr(3f, 4f))
     assert(math.abs(n.getFloat(0) - 0.6f) < 1e-6)

@@ -40,15 +40,22 @@ object PdfFixtures {
     * content stream, decoded through the supplied ToUnicode CMap text.
     * `withToUnicode = false` builds the degenerate CID font (no CMap) that
     * must extract as NOTHING (codes are glyph ids, not characters). */
+  /** `cmapFilter`: an unsupported /Filter name on the ToUnicode stream
+    * makes it UNDECODABLE (the unusable-CMap path). `resourcesOnPages`
+    * hangs /Resources off the /Pages tree node (the inheritable-attribute
+    * path) instead of the page itself. */
   def mkCidPdf(content: String, cmap: String,
-      withToUnicode: Boolean = true): Array[Byte] = {
+      withToUnicode: Boolean = true, cmapFilter: String = "",
+      resourcesOnPages: Boolean = false): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val res = "/Resources << /Font << /F9 5 0 R >> >> "
     w("%PDF-1.4\n")
     w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
-    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 " +
+      (if (resourcesOnPages) res else "") + ">> endobj\n")
     w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
-      "/Resources << /Font << /F9 5 0 R >> >> >> endobj\n")
+      (if (resourcesOnPages) "" else res) + ">> endobj\n")
     val data = content.getBytes(StandardCharsets.ISO_8859_1)
     w(s"4 0 obj << /Length ${data.length} >> stream\n")
     out.write(data)
@@ -58,7 +65,8 @@ object PdfFixtures {
       s"/Encoding /Identity-H$toUni >> endobj\n")
     if (withToUnicode) {
       val cm = cmap.getBytes(StandardCharsets.ISO_8859_1)
-      w(s"6 0 obj << /Length ${cm.length} >> stream\n")
+      val filt = if (cmapFilter.nonEmpty) s" /Filter /$cmapFilter" else ""
+      w(s"6 0 obj << /Length ${cm.length}$filt >> stream\n")
       out.write(cm)
       w("\nendstream endobj\n")
     }

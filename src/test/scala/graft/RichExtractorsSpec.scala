@@ -329,6 +329,38 @@ endbfrange""")
     assert(got == null, s"glyph-id bytes must not leak as text: $got")
   }
 
+  test("pdf: unusable ToUnicode (undecodable filter) = absent, not garbage") {
+    // the CMap stream exists but decodeStream can't read it (LZW): the CID
+    // font must get the empty decoder, same as no ToUnicode at all
+    val cm = PdfFixtures.cmap("1 beginbfchar\n<0001> <0041>\nendbfchar")
+    val got = RichExtractors.extractPdf(PdfFixtures.mkCidPdf(
+      "BT /F9 12 Tf <00010002> Tj ET", cm, cmapFilter = "LZWDecode"))
+    assert(got == null, s"glyph-id bytes must not leak via the fallback: $got")
+  }
+
+  test("pdf: /Resources inherited from the /Pages tree node") {
+    val cm = PdfFixtures.cmap("1 beginbfchar\n<0001> <0048>\nendbfchar")
+    val got = RichExtractors.extractPdf(PdfFixtures.mkCidPdf(
+      "BT /F9 12 Tf <0001> Tj ET", cm, resourcesOnPages = true))
+    assert(got != null && got.contains("H"),
+      s"tree-level font resources must reach the page: $got")
+  }
+
+  test("pdf: bfrange advance crosses code points, not surrogate units") {
+    // base U+10400 (non-BMP, surrogate pair D801 DC00): code 0012 = base+2
+    // must be U+10402, not a corrupt pair with DC02 alone incremented —
+    // and a base ending 0xDBFF-adjacent must never emit unpaired halves
+    val cm = PdfFixtures.cmap(
+      """1 beginbfrange
+<0010> <0014> <D801DC00>
+endbfrange""")
+    val got = RichExtractors.extractPdf(PdfFixtures.mkCidPdf(
+      "BT /F9 12 Tf <0012> Tj ET", cm))
+    assert(got != null)
+    assert(got.codePoints().toArray.contains(0x10402),
+      s"expected U+10402 from code-point advance: ${got.codePoints().toArray.mkString(",")}")
+  }
+
   test("pdf: font switch mid-page — CID and simple strings coexist") {
     val cm = PdfFixtures.cmap(
       """1 beginbfchar
