@@ -27,10 +27,14 @@ import scala.collection.mutable.ArrayBuffer
  *  - RTF (S10): control-word stripper with `\par`/`\tab`/hex/unicode escape
  *    handling and skip-groups for font/color/style tables
  *    (`document_processor.py:215-227`).
- *  - PDF (S2): real decode requires a PDF library — STUB: returns null
- *    (file skipped + counted). Pre-extracted PDF text with `[[pageN]]`
- *    markers flows through the TXT path and keeps page provenance (O7).
- *  - MSG (S8): OLE2 compound file — STUB, as PDF.
+ *  - PDF (S2): REAL pure-JVM reader ([[PdfText]]): object/ObjStm parse,
+ *    FlateDecode/ASCIIHex, BT/ET text operators, CID/Identity-H fonts via
+ *    ToUnicode CMaps; emits `[[pageN]]` markers parsed by O7. Encrypted
+ *    docs are skipped + counted (documented scope).
+ *  - MSG (S8): REAL OLE2/CFB reader ([[Ole2]]) + MAPI `__substg1.0_*`
+ *    streams (unicode + ANSI).
+ *  - XLS (S9 legacy): REAL BIFF8 reader ([[XlsBiff]]) — SST/LABELSST/
+ *    NUMBER/RK/MULRK with CONTINUE-record reassembly.
  */
 object RichExtractors {
 

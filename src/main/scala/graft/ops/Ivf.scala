@@ -134,4 +134,34 @@ object Ivf {
       .orderBy(col("sim").desc, col("id"))
       .limit(k)
   }
+
+  /** Batched multi-query IVF top-k: centroids trained ONCE, each query's
+    * probe list resolved on the driver (nlist × dim floats), then one
+    * pruned pass over the corpus — rows outside every query's probe union
+    * never compute a similarity. The (query_id, qvec, probes) frame
+    * broadcasts; a row joins only the queries probing its cell
+    * (`array_contains`), so per-row scoring work is |queries probing this
+    * cell|, not |queries|. Per-query top-k via [[TopKAggregator]]: map-side
+    * buffers cap the exchange at partitions × queries × k structs. Output:
+    * `(query_id, rnk, id, sim)` — the searchMany amortization
+    * ([[graft.query.Searcher.searchMany]]) on the IVF scan-reduction path. */
+  def ivfTopKMany(emb: DataFrame, idCol: Column, vecCol: Column,
+      queries: Seq[(String, Array[Float])], k: Int, nlist: Int = 8,
+      iters: Int = 2, nprobe: Int = 2, sampleFraction: Int = 50): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = trainCentroids(emb, idCol, vecCol, nlist, iters, sampleFraction)
+    val qrows = queries.map { case (qid, qv) =>
+      (qid, qv.toVector, probeList(cents, qv, nprobe).toVector)
+    }
+    val unionProbes = qrows.flatMap(_._3).distinct
+    val qdf = broadcast(qrows.toDF("query_id", "qvec", "probes"))
+    val scored = assignClusters(
+        emb.select(idCol.as("id"), vecCol.as("v")), col("id"), col("v"), cents)
+      .filter(col("cluster").isin(unionProbes: _*))
+      .join(qdf, array_contains(col("probes"), col("cluster")))
+      .select(col("query_id"), col("id"),
+        round(cosine_similarity(col("v"), col("qvec")), 4).as("sim"))
+    TopK.perGroup(scored, Seq(col("query_id")), col("id"), col("sim"), k)
+  }
 }

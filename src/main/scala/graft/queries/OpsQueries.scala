@@ -77,6 +77,16 @@ object OpsQueries {
       graft.ops.Ivf.ivfTopK(t(s, d, "embeddings"), col("vec_id"),
         col("embedding"), qvecScala, k = 6, nlist = 8, iters = 2, nprobe = 2)),
 
+    "q79_ivf_batched" -> ((s, d) =>
+      // batched IVF: centroids trained once, one corpus pass pruned to the
+      // union of both queries' probe cells, per-query bounded top-k (no
+      // window rank) — the searchMany amortization on the IVF path
+      graft.ops.Ivf.ivfTopKMany(t(s, d, "embeddings"), col("vec_id"),
+          col("embedding"), Seq("qa" -> qvecScala, "qb" -> qvec2Scala),
+          k = 5, nlist = 8, iters = 2, nprobe = 2)
+        .select(col("query_id"), col("rnk"), col("id").as("vec_id"), col("sim"))
+        .orderBy("query_id", "rnk")),
+
     "q67_bm25" -> ((s, d) =>
       // lexical relevance: BM25 over the documents table (one scan; only
       // query-term tokens reach the shuffle)
@@ -601,44 +611,36 @@ object OpsQueries {
 
     "q66_ann_ivf" -> {
       val qv = vecSql(qvecScala)
-      // one Lloyd iteration: assign to argmax-cosine centroid (ties ->
-      // lowest cid), update = per-dim mean quantized to 1/1024, empty
-      // clusters keep the previous centroid. `cos` mirrors VectorOps.cosine
-      // exactly: dot / (sqrt(na) * sqrt(nb)).
-      def cos(a: String, b: String): String =
-        s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
-      def iter(i: Int, prev: String): String =
-        s"""a$i AS (SELECT x.id, x.v, c.cid, ${cos("x.v", "c.c")} AS sim
-                    FROM tr x CROSS JOIN $prev c),
-           b$i AS (SELECT id, v, cid FROM
-                    (SELECT *, row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rn
-                     FROM a$i) WHERE rn = 1),
-           u$i AS (SELECT cid, j, round(avg(v[j + 1]) * 1024) / 1024 AS q
-                   FROM b$i CROSS JOIN range(64) r(j) GROUP BY cid, j),
-           n$i AS (SELECT cid, list(q ORDER BY j) AS c FROM u$i GROUP BY cid),
-           c$i AS (SELECT p.cid, coalesce(n$i.c, p.c) AS c
-                   FROM $prev p LEFT JOIN n$i ON p.cid = n$i.cid)"""
-      s"""WITH v AS (
-           SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
-         hs AS (SELECT id, v,
-                  CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT) AS h
-                FROM v),
-         tr AS (SELECT id, v, h FROM hs WHERE h % 100 < 50),
-         seeds AS (SELECT v, h FROM tr ORDER BY h LIMIT 8),
-         c0 AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cid, v AS c FROM seeds),
-         ${iter(1, "c0")},
-         ${iter(2, "c1")},
-         af AS (SELECT x.id, x.v, c.cid, ${cos("x.v", "c.c")} AS sim
-                FROM v x CROSS JOIN c2 c),
-         bf AS (SELECT id, v, cid FROM
-                 (SELECT *, row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rn
-                  FROM af) WHERE rn = 1),
+      s"""${PortableSql.ivfTrainSql}
          pc AS (SELECT cid FROM c2
-                ORDER BY ${cos(qv, "c")} DESC, cid LIMIT 2)
-         SELECT id, round(${cos("v", qv)}, 4) AS sim
+                ORDER BY ${PortableSql.cosSql(qv, "c")} DESC, cid LIMIT 2)
+         SELECT id, round(${PortableSql.cosSql("v", qv)}, 4) AS sim
          FROM bf WHERE cid IN (SELECT cid FROM pc)
          ORDER BY sim DESC, id LIMIT 6"""
+    },
+
+    "q79_ivf_batched" -> {
+      val qv1 = vecSql(qvecScala)
+      val qv2 = vecSql(qvec2Scala)
+      // same trained assignment (bf/c2) as q66; per-query probe lists and
+      // per-query rank over the rounded sim, ties -> lowest id
+      s"""${PortableSql.ivfTrainSql}
+         q(query_id, qvec) AS (VALUES ('qa', $qv1), ('qb', $qv2)),
+         pr AS (SELECT query_id, cid FROM
+                 (SELECT q.query_id, c.cid,
+                         row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY ${PortableSql.cosSql("q.qvec", "c.c")} DESC, c.cid) AS rn
+                  FROM q CROSS JOIN c2 c) WHERE rn <= 2),
+         sc AS (SELECT pr.query_id, bf.id,
+                       round(${PortableSql.cosSql("bf.v", "q.qvec")}, 4) AS sim
+                FROM bf JOIN pr ON bf.cid = pr.cid
+                        JOIN q ON q.query_id = pr.query_id)
+         SELECT query_id, rnk, id AS vec_id, sim FROM
+          (SELECT query_id, id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, id) AS rnk
+           FROM sc) WHERE rnk <= 5
+         ORDER BY query_id, rnk"""
     },
 
     "q67_bm25" -> (PortableSql.bm25Sql(Seq("join", "hash", "window")) +
@@ -749,6 +751,48 @@ object OpsQueries {
   * (the synthetic `documents` table is verified printable-ASCII, so NFKC and
   * unicode-whitespace handling are no-ops). */
 private[queries] object PortableSql {
+
+  /** Cosine mirroring VectorOps.cosine exactly:
+    * dot / (sqrt(na) * sqrt(nb)). */
+  def cosSql(a: String, b: String): String =
+    s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+
+  /** IVF k-means training + full assignment as a WITH prefix (open-ended:
+    * append further CTEs then a SELECT). Re-trains [[graft.ops.Ivf]]'s
+    * centroids bit-for-bit: md5-hash seed draw, 50% md5 training sample,
+    * two Lloyd iterations — assign to argmax-cosine centroid (ties →
+    * lowest cid), update = per-dim mean QUANTIZED to 1/1024, empty
+    * clusters keep the previous centroid. Exposes `c2` (cid, centroid)
+    * and `bf` (id, v, cid): every vector with its assigned cluster. */
+  def ivfTrainSql: String = {
+    def iter(i: Int, prev: String): String =
+      s"""a$i AS (SELECT x.id, x.v, c.cid, ${cosSql("x.v", "c.c")} AS sim
+                  FROM tr x CROSS JOIN $prev c),
+         b$i AS (SELECT id, v, cid FROM
+                  (SELECT *, row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rn
+                   FROM a$i) WHERE rn = 1),
+         u$i AS (SELECT cid, j, round(avg(v[j + 1]) * 1024) / 1024 AS q
+                 FROM b$i CROSS JOIN range(64) r(j) GROUP BY cid, j),
+         n$i AS (SELECT cid, list(q ORDER BY j) AS c FROM u$i GROUP BY cid),
+         c$i AS (SELECT p.cid, coalesce(n$i.c, p.c) AS c
+                 FROM $prev p LEFT JOIN n$i ON p.cid = n$i.cid)"""
+    s"""WITH v AS (
+         SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       hs AS (SELECT id, v,
+                CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+              FROM v),
+       tr AS (SELECT id, v, h FROM hs WHERE h % 100 < 50),
+       seeds AS (SELECT v, h FROM tr ORDER BY h LIMIT 8),
+       c0 AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cid, v AS c FROM seeds),
+       ${iter(1, "c0")},
+       ${iter(2, "c1")},
+       af AS (SELECT x.id, x.v, c.cid, ${cosSql("x.v", "c.c")} AS sim
+              FROM v x CROSS JOIN c2 c),
+       bf AS (SELECT id, v, cid FROM
+               (SELECT *, row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rn
+                FROM af) WHERE rn = 1),"""
+  }
 
   /** CTE chain `docs → rawc → idxd → chunks(doc_id, chunk_index, ntext)`:
     * strip → fixed windows of `size` advancing by `step` → per-piece strip,

@@ -247,6 +247,82 @@ final class Searcher(spark: SparkSession, store: VectorStore) {
       .orderBy(col("similarity_score").desc, col("id"))
   }
 
+  /** Embedded query vectors for a batch (prompt-prefix + normalize, O5/O6). */
+  private def embedMany(queries: Seq[(String, String)],
+      p: Searcher.Params): Seq[(String, Array[Float])] =
+    queries.map { case (qid, text) =>
+      val prompted = p.promptFamily.fold(TextNorm.normalizeQuery(text)) { fam =>
+        graft.embed.PromptPrefix.applyTo(fam, isQuery = true,
+          TextNorm.normalizeQuery(text))
+      }
+      (qid, p.embedder.embed(prompted))
+    }
+
+  /** Shared tail of the batched approximate searches: per-query bounded
+    * top-k over the scored candidates, threshold AFTER top-k (§4.1), then
+    * one broadcast-joined text/metadata lookup for all queries at once. */
+  private def manyTail(vectors: DataFrame, scored: DataFrame,
+      p: Searcher.Params): DataFrame =
+    graft.ops.TopK.perGroup(scored, Seq(col("query_id")), col("id"), col("sim"), p.k)
+      .filter(col("sim") >= p.threshold)
+      .join(vectors.select("id", "text", "metadata"), Seq("id"))
+      .withColumn("similarity_score", least(greatest(col("sim"), lit(0.0)), lit(1.0)))
+      .withColumn("distance", lit(1.0) - col("sim"))
+      .select("query_id", "id", "text", "metadata", "similarity_score", "distance")
+      .orderBy(col("query_id"), col("similarity_score").desc, col("id"))
+
+  /** Batched [[searchIvf]]: all queries resolve their probe lists on the
+    * driver, the store scans ONCE pruned to the union of probed clusters
+    * (partition pruning — non-probed directories are never listed), and
+    * each row scores only against the queries probing its cell (the
+    * broadcast `array_contains` join). Per-query top-k is the bounded
+    * [[graft.ops.TopKAggregator]] — no window rank, shuffle ≤
+    * partitions × queries × k. */
+  def searchManyIvf(db: String, queries: Seq[(String, String)],
+      p: Searcher.Params = Searcher.Params(), nprobe: Int = 2): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val cents = store.centroids(db)
+    val qrows = embedMany(queries, p).map { case (qid, qv) =>
+      (qid, qv.toVector, graft.ops.Ivf.probeList(cents, qv, nprobe).toVector)
+    }
+    val unionProbes = qrows.flatMap(_._3).distinct
+    val qdf = broadcast(qrows.toDF("query_id", "qvec", "probes"))
+    val vectors = vectorsOf(db)
+    val scored = vectors
+      .filter(col("cluster").isin(unionProbes: _*)) // partition pruning
+      .join(qdf, array_contains(col("probes"), col("cluster")))
+      .select(col("query_id"), col("id"),
+        cosine_similarity(col("vector"), col("qvec")).as("sim"))
+    manyTail(vectors, scored, p)
+  }
+
+  /** Batched [[searchApprox]] over a sign-LSH clustered store: per-query
+    * target buckets (own cell + 1-bit-flip neighbors) resolve driver-side;
+    * one scan pruned to the bucket union; same broadcast probe join and
+    * bounded per-query top-k as [[searchManyIvf]]. */
+  def searchManyApprox(db: String, queries: Seq[(String, String)],
+      p: Searcher.Params = Searcher.Params(), nbits: Int = 4,
+      seed: Long = 42L, probes: Int = 1): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val qrows = embedMany(queries, p).map { case (qid, qv) =>
+      val b = graft.expr.SketchOps.lshBucket(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(qv), nbits, seed)
+      val targets = b +: (0 until math.min(probes, nbits)).map(x => b ^ (1 << x))
+      (qid, qv.toVector, targets.distinct.toVector)
+    }
+    val unionBuckets = qrows.flatMap(_._3).distinct
+    val qdf = broadcast(qrows.toDF("query_id", "qvec", "targets"))
+    val vectors = vectorsOf(db)
+    val scored = vectors
+      .filter(col("bucket").isin(unionBuckets: _*)) // partition pruning
+      .join(qdf, array_contains(col("targets"), col("bucket")))
+      .select(col("query_id"), col("id"),
+        cosine_similarity(col("vector"), col("qvec")).as("sim"))
+    manyTail(vectors, scored, p)
+  }
+
   /**
    * Hybrid search: reciprocal-rank fusion of the brute-force cosine top
    * `candidates` with BM25 over the store's chunk text for the query's own

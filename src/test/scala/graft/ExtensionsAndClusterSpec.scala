@@ -73,6 +73,17 @@ class ExtensionsAndClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     // column is ignored by the two-phase path)
     val exact = searcher.search("cdb", "doc query text", p)
     assert(exact.count() == 5)
+
+    // batched LSH search agrees with the one-query path per query
+    val many = searcher.searchManyApprox("cdb",
+      Seq("a" -> "doc query text", "b" -> "other words entirely"), p,
+      nbits = 3, probes = 1).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id"), r.getAs[Double]("similarity_score"))
+    val aHits = many.filter(_.getAs[String]("query_id") == "a").map(key).sortBy(_._1)
+    assert(aHits.toSeq ==
+      hits.collect().map(key).sortBy(_._1).toSeq)
+    assert(many.count(_.getAs[String]("query_id") == "b") <= 5)
   }
 
   test("IVF store: learned centroids persist, searchIvf prunes clusters") {
@@ -105,5 +116,19 @@ class ExtensionsAndClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = searcher.searchIvf("ivfdb", "doc query text", p, nprobe = 1)
       .queryExecution.executedPlan.toString
     assert(plan.contains("cluster")) // partition filter present
+
+    // batched IVF search agrees with the one-query path per query, and
+    // the single pruned scan still carries the cluster partition filter
+    val many = searcher.searchManyIvf("ivfdb",
+      Seq("a" -> "doc query text", "b" -> "other words entirely"), p,
+      nprobe = 2)
+    assert(many.queryExecution.executedPlan.toString.contains("cluster"))
+    val rows = many.collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id"), r.getAs[Double]("similarity_score"))
+    val aHits = rows.filter(_.getAs[String]("query_id") == "a").map(key).sortBy(_._1)
+    assert(aHits.toSeq == hits.collect().map(key).sortBy(_._1).toSeq)
+    val bHits = rows.filter(_.getAs[String]("query_id") == "b")
+    assert(bHits.nonEmpty && bHits.length <= 5)
   }
 }
