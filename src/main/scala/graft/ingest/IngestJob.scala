@@ -165,8 +165,14 @@ object IngestJob {
   /** Per-partition embedding for heavyweight backends (O12): one `Embedder`
     * per partition, length-desc sort first to mirror the reference's
     * padding-minimizing batch order (K2, `stage_tokenize.py:103-104`) —
-    * physical-only, rows keep their ids. */
-  def embedWith(chunked: DataFrame, embedder: Embedder): DataFrame = {
+    * physical-only, rows keep their ids. Texts stream through
+    * [[Embedder.embedBatch]] in bounded `batchSize` groups (the
+    * length-sorted neighbors land in the same forward pass, so a real
+    * model pads each batch only to its own max), and the 1:1 order
+    * contract is asserted per batch — a backend that drops or reorders
+    * outputs fails fast instead of mis-assigning vectors to ids. */
+  def embedWith(chunked: DataFrame, embedder: Embedder,
+      batchSize: Int = 64): DataFrame = {
     val spark = chunked.sparkSession
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType(
@@ -179,9 +185,13 @@ object IngestJob {
     chunked
       .sortWithinPartitions(length(col("text")).desc)
       .mapPartitions { rows =>
-        rows.map { r =>
-          val vec = embedder.embed(r.getAs[String]("text"))
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ vec.toSeq)
+        rows.grouped(batchSize).flatMap { grp =>
+          val vecs = embedder.embedBatch(grp.iterator.map(_.getAs[String]("text"))).toArray
+          require(vecs.length == grp.length,
+            s"Embedder.embedBatch returned ${vecs.length} vectors for ${grp.length} texts")
+          grp.iterator.zip(vecs.iterator).map { case (r, v) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v.toSeq)
+          }
         }
       }(enc)
       .select("id", "vector", "text", "metadata")

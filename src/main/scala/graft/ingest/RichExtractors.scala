@@ -45,21 +45,82 @@ object RichExtractors {
   private val htmlComment = Pattern.compile("(?s)<!--.*?-->")
   private val htmlTag = Pattern.compile("<[^>]+>")
 
-  private val entities = Map(
-    "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-    "&apos;" -> "'", "&nbsp;" -> " ")
+  /** HTML 4.01 §24 Latin-1 reference names, index i ↔ code point 160+i —
+    * the systematic block both `html.unescape` and pre-HTML5 documents
+    * share (public spec table, not copied code). */
+  private val latin1Names = Array(
+    "nbsp", "iexcl", "cent", "pound", "curren", "yen", "brvbar", "sect",
+    "uml", "copy", "ordf", "laquo", "not", "shy", "reg", "macr", "deg",
+    "plusmn", "sup2", "sup3", "acute", "micro", "para", "middot", "cedil",
+    "sup1", "ordm", "raquo", "frac14", "frac12", "frac34", "iquest",
+    "Agrave", "Aacute", "Acirc", "Atilde", "Auml", "Aring", "AElig",
+    "Ccedil", "Egrave", "Eacute", "Ecirc", "Euml", "Igrave", "Iacute",
+    "Icirc", "Iuml", "ETH", "Ntilde", "Ograve", "Oacute", "Ocirc", "Otilde",
+    "Ouml", "times", "Oslash", "Ugrave", "Uacute", "Ucirc", "Uuml",
+    "Yacute", "THORN", "szlig", "agrave", "aacute", "acirc", "atilde",
+    "auml", "aring", "aelig", "ccedil", "egrave", "eacute", "ecirc", "euml",
+    "igrave", "iacute", "icirc", "iuml", "eth", "ntilde", "ograve",
+    "oacute", "ocirc", "otilde", "ouml", "divide", "oslash", "ugrave",
+    "uacute", "ucirc", "uuml", "yacute", "thorn", "yuml")
 
+  private val namedEntities: Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    b ++= Seq("amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+      "apos" -> "'")
+    latin1Names.zipWithIndex.foreach { case (n, i) =>
+      b += n -> (if (n == "nbsp") " " else (160 + i).toChar.toString)
+    }
+    // HTML 4.01 general-punctuation / symbol names common in real pages
+    b ++= Seq(
+      "ndash" -> 0x2013, "mdash" -> 0x2014, "lsquo" -> 0x2018,
+      "rsquo" -> 0x2019, "sbquo" -> 0x201A, "ldquo" -> 0x201C,
+      "rdquo" -> 0x201D, "bdquo" -> 0x201E, "dagger" -> 0x2020,
+      "Dagger" -> 0x2021, "bull" -> 0x2022, "hellip" -> 0x2026,
+      "permil" -> 0x2030, "prime" -> 0x2032, "Prime" -> 0x2033,
+      "lsaquo" -> 0x2039, "rsaquo" -> 0x203A, "oline" -> 0x203E,
+      "frasl" -> 0x2044, "euro" -> 0x20AC, "trade" -> 0x2122,
+      "minus" -> 0x2212, "OElig" -> 0x0152, "oelig" -> 0x0153,
+      "Scaron" -> 0x0160, "scaron" -> 0x0161, "Yuml" -> 0x0178,
+      "fnof" -> 0x0192, "circ" -> 0x02C6, "tilde" -> 0x02DC
+    ).map { case (n, cp) => n -> cp.toChar.toString }
+    b.result()
+  }
+
+  /** HTML5 §13.2.5.80 numeric-reference remap: C1 controls decode as their
+    * Windows-1252 characters; NUL / surrogates / out-of-range → U+FFFD.
+    * Mirrors `html.unescape` (what BeautifulSoup's parser applies). */
+  private val c1Remap: Map[Int, Int] = Map(
+    0x80 -> 0x20AC, 0x82 -> 0x201A, 0x83 -> 0x0192, 0x84 -> 0x201E,
+    0x85 -> 0x2026, 0x86 -> 0x2020, 0x87 -> 0x2021, 0x88 -> 0x02C6,
+    0x89 -> 0x2030, 0x8A -> 0x0160, 0x8B -> 0x2039, 0x8C -> 0x0152,
+    0x8E -> 0x017D, 0x91 -> 0x2018, 0x92 -> 0x2019, 0x93 -> 0x201C,
+    0x94 -> 0x201D, 0x95 -> 0x2022, 0x96 -> 0x2013, 0x97 -> 0x2014,
+    0x98 -> 0x02DC, 0x99 -> 0x2122, 0x9A -> 0x0161, 0x9B -> 0x203A,
+    0x9C -> 0x0153, 0x9E -> 0x017E, 0x9F -> 0x0178)
+
+  private val entityRe =
+    Pattern.compile("&(?:#([0-9]{1,8})|#[xX]([0-9a-fA-F]{1,8})|([A-Za-z][A-Za-z0-9]{1,31}));")
+
+  /** ONE left-to-right pass, like `html.unescape`: a decoded replacement is
+    * never rescanned, so double-escaped text (`&amp;#65;`) yields the
+    * literal `&#65;` — the per-class replace-then-rescan it replaces
+    * wrongly decoded that to `A`. Unknown names stay verbatim. */
   def decodeEntities(s: String): String = {
-    var out = s
-    entities.foreach { case (k, v) => out = out.replace(k, v) }
-    // numeric entities
-    val m = Pattern.compile("&#(x?)([0-9a-fA-F]+);").matcher(out)
+    val m = entityRe.matcher(s)
     val sb = new StringBuffer()
     while (m.find()) {
-      val cp = try Integer.parseInt(m.group(2), if (m.group(1).isEmpty) 10 else 16)
-        catch { case _: NumberFormatException => -1 }
-      val rep = if (cp >= 0 && Character.isValidCodePoint(cp))
-        new String(Character.toChars(cp)) else ""
+      val rep =
+        if (m.group(3) != null) namedEntities.getOrElse(m.group(3), m.group(0))
+        else {
+          val cp = try Integer.parseInt(
+            if (m.group(1) != null) m.group(1) else m.group(2),
+            if (m.group(1) != null) 10 else 16)
+            catch { case _: NumberFormatException => -1 }
+          val mapped = c1Remap.getOrElse(cp, cp)
+          if (mapped <= 0 || (mapped >= 0xD800 && mapped <= 0xDFFF) ||
+              mapped > 0x10FFFF) "�"
+          else new String(Character.toChars(mapped))
+        }
       m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(rep))
     }
     m.appendTail(sb)

@@ -329,6 +329,27 @@ endbfrange""")
     assert(got == null, s"glyph-id bytes must not leak as text: $got")
   }
 
+  test("html entities: one-pass decode matches html.unescape reference") {
+    // expected strings generated with CPython html.unescape (the behavior
+    // BeautifulSoup's parser applies); nbsp intentionally maps to a plain
+    // space (engine contract), so it is absent from this parity list
+    val cases = Seq(
+      "&amp;#65;" -> "&#65;", // double-escape: decoded text is NOT rescanned
+      "&#151;" -> "—", // C1 remap (dec)
+      "&#x97;" -> "—", // C1 remap (hex)
+      "&mdash; &ndash;" -> "— –",
+      "&eacute;&Ouml;" -> "éÖ",
+      "&#0;" -> "�",
+      "&#xD800;" -> "�", // surrogate
+      "&#1114112;" -> "�", // > U+10FFFF
+      "&unknown;" -> "&unknown;",
+      "&euro;&trade;" -> "€™",
+      "&copy;2024" -> "©2024",
+      "&frac12;" -> "½")
+    for ((in, want) <- cases)
+      assert(RichExtractors.decodeEntities(in) == want, s"input: $in")
+  }
+
   test("pdf: unusable ToUnicode (undecodable filter) = absent, not garbage") {
     // the CMap stream exists but decodeStream can't read it (LZW): the CID
     // font must get the empty decoder, same as no ToUnicode at all
