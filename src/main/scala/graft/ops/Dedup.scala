@@ -128,6 +128,57 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Duplicate CLUSTERS from a near-duplicate pair relation: connected
+    * components of the pair graph, each node labeled with the smallest id
+    * reachable from it — so a pipeline keeps the `id == cluster_id` row of
+    * each cluster and drops the rest (the step after pair detection that
+    * an actual dedup run needs; pairs alone don't say which doc survives
+    * when A~B and B~C but A!~C).
+    *
+    * Iterative min-label propagation: each round joins current labels to
+    * the (symmetrized, cached) edge list and takes the min over self +
+    * neighbors; rounds to converge = component diameter (near-dup clusters
+    * are shallow — chains longer than a few hops are rare), each round ONE
+    * equi-join + partial-agg min shuffle of (node, label) longs — never the
+    * text. Convergence is detected with one bounded action per round
+    * (`isEmpty` on the changed-set), and `maxIters` hard-caps pathological
+    * graphs. Labels cache per round (previous round unpersisted); the
+    * result is localCheckpoint'ed so callers get a lineage-free frame and
+    * no persist leaks out. Output: `(id, cluster_id)`, one row per node
+    * that appears in `pairs`.
+    */
+  def duplicateClusters(pairs: DataFrame, aCol: Column, bCol: Column,
+      maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val fwd = pairs.select(aCol.cast("long").as("src"), bCol.cast("long").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var iter = 0
+      var done = false
+      while (!done && iter < maxIters) {
+        val neigh = edges.join(labels, edges("dst") === labels("id"))
+          .select(edges("src").as("id"), labels("lbl").as("lbl"))
+        val next = labels.unionByName(neigh)
+          .groupBy("id").agg(min("lbl").as("lbl"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        done = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+          .filter(col("lbl") =!= col("prev")).isEmpty
+        labels.unpersist(blocking = false)
+        labels = next
+        iter += 1
+      }
+      labels.select(col("id"), col("lbl").as("cluster_id"))
+        .localCheckpoint(eager = true)
+    } finally {
+      labels.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+    }
+  }
+
   /** Exact pairwise n-gram Jaccard over a bounded id range — the
     * brute-force baseline the LSH paths approximate. O(n²): keep the range
     * small or use [[minHashDuplicates]] at scale. */

@@ -43,6 +43,20 @@ object OpsQueries {
         col("doc_id"), col("text"), 0.7, shingleSize = 1)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("j"))
         .orderBy("a_id", "b_id")),
+    "q80_dup_clusters" -> ((s, d) => {
+      // pair detection -> duplicate CLUSTERS (connected components by
+      // iterative min-label propagation): the canonical-doc selection step
+      // a real dedup pipeline runs after LSH finds the pairs
+      val pairs = Dedup.minHashDuplicates(
+        t(s, d, "documents").filter(col("doc_id") < 200),
+        col("doc_id"), col("text"), 0.7, shingleSize = 1)
+      val cc = Dedup.duplicateClusters(pairs, col("a_id"), col("b_id"))
+      cc.join(cc.groupBy("cluster_id").agg(count("*").as("cluster_size")),
+          "cluster_id")
+        .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
+    }),
+
     "q44_dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
         t(s, d, "documents").filter(col("doc_id") < 100),
@@ -524,36 +538,26 @@ object OpsQueries {
     // signatures/buckets/vectors the engine produced ----
 
     "q43_dedup_minhash" ->
-      """WITH toks AS (
-           SELECT doc_id, unnest(list_filter(list_distinct(string_split_regex(text, '\s+')), x -> x <> '')) AS s
-           FROM documents WHERE doc_id < 200 AND length(trim(text)) > 0),
-         hs AS (
-           SELECT doc_id,
-                  CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS h1,
-                  CAST('0x' || substr(md5(s), 9, 7) AS BIGINT) | 1 AS h2
-           FROM toks),
-         sig AS (
-           SELECT doc_id, i, min((h1 + i * h2) % 268435399) AS v
-           FROM hs CROSS JOIN range(64) r(i) GROUP BY doc_id, i),
-         band AS (
-           SELECT doc_id, i // 4 AS band,
-                  string_agg(CAST(v AS VARCHAR), '_' ORDER BY i) AS key
-           FROM sig GROUP BY doc_id, i // 4),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           FROM band a JOIN band b
-             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         sets AS (
-           SELECT doc_id, list_filter(list_distinct(string_split_regex(text, '\s+')), x -> x <> '') AS tk
-           FROM documents WHERE doc_id < 200)
-         SELECT c.a_id, c.b_id,
-                round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
-                      / len(list_distinct(list_concat(a.tk, b.tk))), 4) AS j
-         FROM cand c JOIN sets a ON c.a_id = a.doc_id
-                     JOIN sets b ON c.b_id = b.doc_id
-         WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
-               / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.7
-         ORDER BY a_id, b_id""",
+      s"""WITH ${PortableSql.minhashVerifiedPairCtes}
+         SELECT a_id, b_id, j FROM vp ORDER BY a_id, b_id""",
+
+    "q80_dup_clusters" ->
+      // connected components over the verified near-dup pairs: recursive
+      // label closure, min reachable id per node = cluster id (the engine's
+      // iterative min-label propagation converges to the same fixpoint)
+      s"""WITH RECURSIVE ${PortableSql.minhashVerifiedPairCtes},
+         edges AS (SELECT a_id AS s, b_id AS d FROM vp
+                   UNION ALL SELECT b_id, a_id FROM vp),
+         nodes AS (SELECT DISTINCT s AS id FROM edges),
+         reach(id, lbl) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.d, r.lbl FROM reach r JOIN edges e ON r.id = e.s),
+         cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         sz AS (SELECT cluster_id, count(*) AS cluster_size
+                FROM cc GROUP BY cluster_id)
+         SELECT cc.id AS doc_id, cc.cluster_id, sz.cluster_size
+         FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id""",
 
     "q46_dedup_simhash" ->
       """WITH toks AS (
@@ -751,6 +755,44 @@ object OpsQueries {
   * (the synthetic `documents` table is verified printable-ASCII, so NFKC and
   * unicode-whitespace handling are no-ops). */
 private[queries] object PortableSql {
+
+  /** MinHash(64)+LSH(16×4) candidate generation + exact unigram-Jaccard
+    * verification at ≥ 0.7 over `documents WHERE doc_id < 200` — CTE body
+    * (no `WITH` keyword; callers prepend `WITH` or `WITH RECURSIVE`).
+    * Ends at `vp(a_id, b_id, j)`: the verified near-duplicate pairs.
+    * Mirrors [[graft.ops.Dedup.minHashDuplicates]] via the md5-portable
+    * sketch kernels. */
+  def minhashVerifiedPairCtes: String =
+    """toks AS (
+         SELECT doc_id, unnest(list_filter(list_distinct(string_split_regex(text, '\s+')), x -> x <> '')) AS s
+         FROM documents WHERE doc_id < 200 AND length(trim(text)) > 0),
+       hs AS (
+         SELECT doc_id,
+                CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS h1,
+                CAST('0x' || substr(md5(s), 9, 7) AS BIGINT) | 1 AS h2
+         FROM toks),
+       sig AS (
+         SELECT doc_id, i, min((h1 + i * h2) % 268435399) AS v
+         FROM hs CROSS JOIN range(64) r(i) GROUP BY doc_id, i),
+       band AS (
+         SELECT doc_id, i // 4 AS band,
+                string_agg(CAST(v AS VARCHAR), '_' ORDER BY i) AS key
+         FROM sig GROUP BY doc_id, i // 4),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM band a JOIN band b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       sets AS (
+         SELECT doc_id, list_filter(list_distinct(string_split_regex(text, '\s+')), x -> x <> '') AS tk
+         FROM documents WHERE doc_id < 200),
+       vp AS (
+         SELECT c.a_id, c.b_id,
+                round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.tk, b.tk))), 4) AS j
+         FROM cand c JOIN sets a ON c.a_id = a.doc_id
+                     JOIN sets b ON c.b_id = b.doc_id
+         WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.7)"""
 
   /** Cosine mirroring VectorOps.cosine exactly:
     * dot / (sqrt(na) * sqrt(nb)). */

@@ -201,4 +201,21 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.subsetOf(exact)) // exact verification -> no false positives
     assert(exact.isEmpty || lsh.size.toDouble / exact.size >= 0.9)
   }
+
+  test("duplicateClusters: min-label fixpoint over chains, triangles, pairs") {
+    import spark.implicits._
+    // components: chain 1-2-3-4 (diameter 3, needs >1 round), triangle
+    // 10-11-12, pair 20-21; edge order and direction must not matter
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (21L, 20L)).toDF("a_id", "b_id")
+    val got = Dedup.duplicateClusters(pairs, col("a_id"), col("b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // maxIters caps propagation: one round labels each node with the min
+    // of its direct neighborhood only — the chain's far end stays unsolved
+    val one = Dedup.duplicateClusters(pairs, col("a_id"), col("b_id"),
+      maxIters = 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one(4L) == 3L && one(2L) == 1L)
+  }
 }
