@@ -135,48 +135,47 @@ object Dedup {
     * an actual dedup run needs; pairs alone don't say which doc survives
     * when A~B and B~C but A!~C).
     *
-    * Iterative min-label propagation: each round joins current labels to
-    * the (symmetrized, cached) edge list and takes the min over self +
-    * neighbors; rounds to converge = component diameter (near-dup clusters
-    * are shallow — chains longer than a few hops are rare), each round ONE
-    * equi-join + partial-agg min shuffle of (node, label) longs — never the
-    * text. Convergence is detected with one bounded action per round
-    * (`isEmpty` on the changed-set), and `maxIters` hard-caps pathological
-    * graphs. Labels cache per round (previous round unpersisted); the
-    * result is localCheckpoint'ed so callers get a lineage-free frame and
-    * no persist leaks out. Output: `(id, cluster_id)`, one row per node
-    * that appears in `pairs`.
+    * Each round: (1) neighbor-min — one equi-join + partial-agg min shuffle
+    * of (node, label) longs, never the text; (2) path halving — labels
+    * relabel through the label TABLE itself (`lbl(x) := lbl(lbl(x))`), the
+    * pointer-jumping step that turns O(diameter) rounds into
+    * O(log diameter). Every round's frame is `localCheckpoint`ed EAGERLY:
+    * an iterative plan that merely caches still grows its logical plan by
+    * two joins per round, and by round ~10 the driver spends more time in
+    * the optimizer than the executors spend in the (tiny) jobs — lineage
+    * truncation keeps re-planning O(1) per round and doubles as the
+    * convergence action. `maxIters` hard-caps pathological graphs. Output:
+    * `(id, cluster_id)`, one lineage-free row per node in `pairs`.
     */
   def duplicateClusters(pairs: DataFrame, aCol: Column, bCol: Column,
       maxIters: Int = 20): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val fwd = pairs.select(aCol.cast("long").as("src"), bCol.cast("long").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      var iter = 0
-      var done = false
-      while (!done && iter < maxIters) {
-        val neigh = edges.join(labels, edges("dst") === labels("id"))
-          .select(edges("src").as("id"), labels("lbl").as("lbl"))
-        val next = labels.unionByName(neigh)
-          .groupBy("id").agg(min("lbl").as("lbl"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        done = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-          .filter(col("lbl") =!= col("prev")).isEmpty
-        labels.unpersist(blocking = false)
-        labels = next
-        iter += 1
-      }
-      labels.select(col("id"), col("lbl").as("cluster_id"))
+      .localCheckpoint(eager = true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val neigh = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), labels("lbl").as("lbl"))
+      // materialized before the self-join below — otherwise the halving
+      // step would recompute the neighbor-min shuffle twice per round
+      val m1 = labels.unionByName(neigh)
+        .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint(eager = true)
-    } finally {
-      labels.unpersist(blocking = false)
-      edges.unpersist(blocking = false)
+      // path halving: follow the label's own label one hop
+      val next = m1.join(m1.select(col("id").as("lbl"),
+          col("lbl").as("lbl2")), Seq("lbl"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
+        .localCheckpoint(eager = true)
+      done = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
     }
+    labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
   /** Exact pairwise n-gram Jaccard over a bounded id range — the

@@ -154,11 +154,20 @@ object Ivf {
     val qrows = queries.map { case (qid, qv) =>
       (qid, qv.toVector, probeList(cents, qv, nprobe).toVector)
     }
-    val unionProbes = qrows.flatMap(_._3).distinct
     val qdf = broadcast(qrows.toDF("query_id", "qvec", "probes"))
-    val scored = assignClusters(
-        emb.select(idCol.as("id"), vecCol.as("v")), col("id"), col("v"), cents)
-      .filter(col("cluster").isin(unionProbes: _*))
+    // NO separate probe-union filter here: the join condition already drops
+    // rows outside every query's probe set, and a pre-filter would sit
+    // under the projection and make `nearest_centroid` evaluate twice per
+    // row (Filter + Project). The coalesce(-1) guard makes `cluster`
+    // non-nullable, so the inner join's inferred `isnotnull(cluster)` —
+    // which would push a SECOND nearest_centroid evaluation into the scan
+    // filter — folds away (null vectors get cluster -1, in no probe list).
+    // The STORE path ([[graft.query.Searcher.searchManyIvf]]) keeps its
+    // filter — there `cluster` is a stored partition column, and the
+    // filter is directory-level pruning.
+    val scored = emb.select(idCol.as("id"), vecCol.as("v"))
+      .withColumn("cluster",
+        coalesce(nearest_centroid(col("v"), centsLit(cents)), lit(-1)))
       .join(qdf, array_contains(col("probes"), col("cluster")))
       .select(col("query_id"), col("id"),
         round(cosine_similarity(col("v"), col("qvec")), 4).as("sim"))

@@ -212,10 +212,11 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
-    // maxIters caps propagation: one round labels each node with the min
-    // of its direct neighborhood only — the chain's far end stays unsolved
+    // maxIters caps propagation: one round = neighbor-min + one path-halving
+    // hop, so the 4-chain's far end reaches its grandparent's label (2),
+    // not yet the component min (1)
     val one = Dedup.duplicateClusters(pairs, col("a_id"), col("b_id"),
       maxIters = 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(one(4L) == 3L && one(2L) == 1L)
+    assert(one(4L) == 2L && one(2L) == 1L && one(3L) == 1L)
   }
 }
