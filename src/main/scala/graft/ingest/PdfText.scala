@@ -21,8 +21,12 @@ import scala.util.matching.Regex
  * /ToUnicode CMap (`bfchar`/`bfrange`, round 3): the `Tf` operator selects
  * the page-resource font, and its CMap decodes the 1/2-byte codes to
  * Unicode. A Type0 font WITHOUT a ToUnicode map emits nothing (codes are
- * glyph ids, not characters — silence beats garbage). Out of scope (page
- * is skipped, never crashes): encrypted documents and exotic stream
+ * glyph ids, not characters — silence beats garbage). Encrypted documents
+ * decrypt via [[PdfCrypt]] (standard security handler R2-R6, RC4 and
+ * AES-128/256, EMPTY user password — the owner-restricted-but-readable
+ * case pymupdf also opens transparently). Out of scope (page or document
+ * is skipped, never crashes): password-protected documents (non-empty
+ * user password), non-standard security handlers, and exotic stream
  * filters — the skip-and-count contract (§4.1.3) turns those into counted
  * skips upstream. No external PDF library ships in the build environment,
  * hence this hand-rolled reader; the object model is the PDF 1.7 spec's.
@@ -67,15 +71,104 @@ object PdfText {
   private final class Doc(bytes: Array[Byte]) {
     // byte↔char 1:1 view for offset scanning
     private val latin1 = new String(bytes, StandardCharsets.ISO_8859_1)
-    // indirect object number → start offset of its value (after "N G obj")
-    private val offsets: Map[Int, Int] =
-      objRe.findAllMatchIn(latin1).map(m => m.group(1).toInt -> m.end).toMap
+    // indirect object number → (start offset after "N G obj", generation)
+    private val offsets: Map[Int, (Int, Int)] =
+      objRe.findAllMatchIn(latin1).map(m =>
+        m.group(1).toInt -> (m.end, m.group(2).toInt)).toMap
     private val cache = mutable.Map.empty[Int, Obj]
     private var objStmExpanded = false
+    // standard-security-handler decryption (empty user password); set up
+    // AFTER `offsets` so the trailer walk can fetch the /Encrypt object
+    // (which itself must never be decrypted — hence the excluded obj num)
+    private var encryptNum = -1
+    private val decryptor: PdfCrypt.Decryptor = initDecryptor()
 
     def obj(num: Int): Obj = cache.getOrElseUpdate(num,
-      offsets.get(num).map(off => new Lexer(bytes, off, this).parseValue(resolveLen = true))
-        .getOrElse(PNull))
+      offsets.get(num).map { case (off, gen) =>
+        val parsed = new Lexer(bytes, off, this).parseValue(resolveLen = true)
+        if (decryptor == null || num == encryptNum) parsed
+        else decryptObj(parsed, num, gen)
+      }.getOrElse(PNull))
+
+    /** Strings and stream bodies of an indirect object are encrypted with
+      * the object's key; XRef streams never are (they must be readable
+      * before any key exists), and ObjStm MEMBERS are covered by their
+      * container stream's encryption (they are not re-encrypted — members
+      * parsed in [[expandObjStms]] bypass this on purpose). */
+    private def decryptObj(o: Obj, num: Int, gen: Int): Obj = o match {
+      case PStr(b) => PStr(decryptor.decrypt(num, gen, b))
+      case PArr(items) => PArr(items.map(decryptObj(_, num, gen)))
+      case PDict(m) => PDict(m.map { case (k, v) => k -> decryptObj(v, num, gen) })
+      case PStream(d, raw) if !d.m.get("Type").contains(PName("XRef")) =>
+        PStream(decryptObj(d, num, gen).asInstanceOf[PDict],
+          decryptor.decrypt(num, gen, raw))
+      case other => other
+    }
+
+    /** Find /Encrypt + /ID in a `trailer` dict or an XRef-stream dict and
+      * build the empty-user-password decryptor. An encrypted document whose
+      * handler is unsupported (or whose user password is non-empty) throws —
+      * extract() turns that into the skip-and-count null, same contract as
+      * an undecodable stream. */
+    private def initDecryptor(): PdfCrypt.Decryptor = {
+      if (!latin1.contains("/Encrypt")) return null // the common fast path
+      val trailers = "(?s)trailer\\b".r.findAllMatchIn(latin1).map(_.end).toSeq
+        .map(off => dictOf(new Lexer(bytes, off, this).parseValue(resolveLen = false)))
+      // fall back to XRef-stream dicts (PDF 1.5 layouts have no `trailer`
+      // keyword); peek dicts only (resolveLen=false: no stream-body
+      // capture, no obj() recursion while the decryptor is still null)
+      val xrefDicts = offsets.toSeq.sortBy(_._1).iterator.map { case (_, (off, _)) =>
+        dictOf(new Lexer(bytes, off, this).parseValue(resolveLen = false))
+      }
+      val withEnc = (trailers.iterator ++ xrefDicts)
+        .find(_.contains("Encrypt")).getOrElse(return null)
+      withEnc("Encrypt") match {
+        case PRef(n, _) => encryptNum = n
+        case _ =>
+      }
+      val enc = dictOf(withEnc("Encrypt"))
+      if (enc.isEmpty) return null
+      def name(k: String): String = resolve(enc.getOrElse(k, PNull)) match {
+        case PName(n) => n
+        case _ => ""
+      }
+      def int(k: String, dflt: Long = 0L): Long = resolve(enc.getOrElse(k, PNull)) match {
+        case PNum(v) => v.toLong
+        case _ => dflt
+      }
+      def strBytes(m: Map[String, Obj], k: String): Array[Byte] =
+        resolve(m.getOrElse(k, PNull)) match {
+          case PStr(b) => b
+          case _ => Array.empty[Byte]
+        }
+      val id0 = resolve(withEnc.getOrElse("ID", PNull)) match {
+        case PArr(items) => items.headOption.map(resolve).collect {
+          case PStr(b) => b
+        }.getOrElse(Array.empty[Byte])
+        case _ => Array.empty[Byte]
+      }
+      val v = int("V", 0L).toInt
+      // /StmF names the stream crypt filter in /CF; its /CFM picks the
+      // cipher for V≥4 (strings use /StrF — same /StdCF in practice; a
+      // document splitting them is out of scope and fails validation)
+      val cfm = if (v < 4) "" else {
+        val cfName = name("StmF") match { case "" => "StdCF"; case n => n }
+        val cf = dictOf(enc.getOrElse("CF", PNull))
+        dictOf(cf.getOrElse(cfName, PNull)).get("CFM") match {
+          case Some(PName(n)) => n
+          case _ => "Identity"
+        }
+      }
+      val encMeta = resolve(enc.getOrElse("EncryptMetadata", PBool(true))) match {
+        case PBool(b) => b
+        case _ => true
+      }
+      if (v >= 4 && cfm == "Identity") return null // no-op crypt filter
+      PdfCrypt.forDocument(name("Filter"), v, int("R").toInt,
+          int("Length", 40L).toInt, strBytes(enc, "O"), strBytes(enc, "U"),
+          strBytes(enc, "OE"), strBytes(enc, "UE"), int("P"), id0, encMeta, cfm)
+        .getOrElse(throw new IllegalStateException("unsupported encryption"))
+    }
 
     def resolve(o: Obj): Obj = resolve(o, 0)
 

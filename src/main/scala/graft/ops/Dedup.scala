@@ -178,6 +178,54 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, §3): k-means
+    * cluster the embedding space, then compare vectors ONLY within their
+    * cluster — the all-pairs cosine matrix shrinks to per-cluster blocks.
+    * A row is dropped when a SMALLER-id row in the same cluster is ≥
+    * `threshold` cosine-similar (the paper's greedy keep-one rule with id
+    * as the deterministic keep order). Returns one row per input vector:
+    * `(id, cluster, keep)`.
+    *
+    * Scale shape: centroids train on an md5 sample ([[Ivf.trainCentroids]]);
+    * assignment is the shuffle-free [[graft.expr.NearestCentroid]]
+    * projection; the only corpus exchange is the equi-join on `cluster`,
+    * whose blocks are corpus/nlist on average — raise `nlist` to bound the
+    * per-cluster pair count (the paper runs nlist ≈ √n at web scale). */
+  def semanticDedup(emb: DataFrame, idCol: Column, vecCol: Column,
+      threshold: Double, nlist: Int = 8, iters: Int = 2,
+      sampleFraction: Int = 50): DataFrame = {
+    val cents = Ivf.trainCentroids(emb, idCol, vecCol, nlist, iters, sampleFraction)
+    val assigned = Ivf.assignClusters(
+        emb.select(idCol.cast("long").as("id"), vecCol.cast("array<float>").as("v")),
+        col("id"), col("v"), cents)
+    val a = assigned.as("a")
+    val b = assigned.as("b")
+    val dropped = a.join(b,
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .filter(round(graft.functions.cosine_similarity(col("a.v"), col("b.v")), 4)
+        >= threshold)
+      .select(col("b.id").as("drop_id")).distinct()
+    assigned.join(dropped, col("id") === col("drop_id"), "left")
+      .select(col("id"), col("cluster"), col("drop_id").isNull.as("keep"))
+  }
+
+  /** End-to-end near-duplicate REMOVAL: MinHash-LSH pairs →
+    * [[duplicateClusters]] → keep only each cluster's smallest-id document
+    * (plus every document in no cluster at all). This is the operator a
+    * pipeline actually calls — pairs and clusters are the evidence, the
+    * deduplicated corpus is the product. Anti-join on the (tiny) drop list:
+    * the corpus itself is never shuffled. */
+  def dedupCorpus(df: DataFrame, idCol: Column, textCol: Column,
+      threshold: Double, bands: Int = 16, rowsPerBand: Int = 4,
+      shingleSize: Int = 3, seed: Long = 42L): DataFrame = {
+    val pairs = minHashDuplicates(df, idCol, textCol, threshold, bands,
+      rowsPerBand, shingleSize, seed)
+    val clusters = duplicateClusters(pairs, col("a_id"), col("b_id"))
+    val drop = clusters.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("drop_id"))
+    df.join(drop, idCol.cast("long") === col("drop_id"), "left_anti")
+  }
+
   /** Exact pairwise n-gram Jaccard over a bounded id range — the
     * brute-force baseline the LSH paths approximate. O(n²): keep the range
     * small or use [[minHashDuplicates]] at scale. */

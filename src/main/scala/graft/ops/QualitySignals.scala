@@ -115,4 +115,32 @@ object QualitySignals {
       .groupBy("id")
       .agg(countDistinct("g").as("n_shared"))
   }
+
+  /**
+   * Cross-document boilerplate detection: for each document, the fraction
+   * of its DISTINCT word `n`-grams that occur in at least `minDf` documents
+   * corpus-wide (headers, footers, templates, license blurbs — the
+   * repetition [[repetitionSignals]] cannot see because it is corpus-level,
+   * not row-local). Returns `(id, n_grams, boiler_frac)`.
+   *
+   * Scale shape: one explode of distinct per-doc grams; the document
+   * frequency reduces with map-side partial aggregation on the gram key
+   * (a count per DISTINCT gram — vocabulary-sized, not corpus-sized), then
+   * joins back on the same gram key: both sides hash-partition identically
+   * so the join adds no third shuffle of the big side. Unlike a
+   * `count(*) over (partition by gram)` window, partial aggregation keeps
+   * stop-gram skew bounded — the window would buffer the hottest gram's
+   * every occurrence in one task.
+   */
+  def boilerplateFraction(df: DataFrame, idCol: Column, textCol: Column,
+      n: Int = 3, minDf: Long = 3L): DataFrame = {
+    val grams_ = df
+      .select(idCol.as("id"), split(trim(textCol), "\\s+").as("tk"))
+      .select(col("id"), explode(array_distinct(grams(col("tk"), n))).as("g"))
+    val docFreq = grams_.groupBy("g").agg(count("*").as("df"))
+    grams_.join(docFreq, "g")
+      .groupBy("id")
+      .agg(count("*").as("n_grams"),
+        round(avg((col("df") >= minDf).cast("double")), 4).as("boiler_frac"))
+  }
 }

@@ -56,6 +56,21 @@ object OpsQueries {
         .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
         .orderBy("doc_id")
     }),
+    "q82_dedup_corpus" -> ((s, d) =>
+      // the end of the dedup story: pairs (q43) -> clusters (q80) -> the
+      // deduplicated corpus itself (keep each cluster's min-id doc)
+      Dedup.dedupCorpus(t(s, d, "documents").filter(col("doc_id") < 200),
+          col("doc_id"), col("text"), 0.7, shingleSize = 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")),
+    "q81_semantic_dedup" -> ((s, d) =>
+      // SemDeDup: same learned clustering as q66 (oracle re-trains it),
+      // within-cluster cosine >= tau drops the larger id of each pair
+      Dedup.semanticDedup(t(s, d, "embeddings"), col("vec_id"),
+          col("embedding"), threshold = 0.4, nlist = 8, iters = 2)
+        .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("keep"))
+        .orderBy("vec_id")),
 
     "q44_dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
@@ -141,6 +156,13 @@ object OpsQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    "q83_boilerplate" -> ((s, d) =>
+      // corpus-level boilerplate: per doc, share of its distinct bigrams
+      // seen in >= 5 documents (df computed in-plan, partial-aggregated)
+      graft.ops.QualitySignals.boilerplateFraction(
+          t(s, d, "documents"), col("doc_id"), col("text"), n = 2, minDf = 5L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
 
     "q75_frame_sampling" -> ((s, d) =>
       // video frame sampling shape: explode assets into fixed-stride
@@ -559,6 +581,34 @@ object OpsQueries {
          SELECT cc.id AS doc_id, cc.cluster_id, sz.cluster_size
          FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id""",
 
+    "q82_dedup_corpus" ->
+      // q80's connected components, then keep min-id per cluster: the
+      // surviving corpus rows themselves
+      s"""WITH RECURSIVE ${PortableSql.minhashVerifiedPairCtes},
+         edges AS (SELECT a_id AS s, b_id AS d FROM vp
+                   UNION ALL SELECT b_id, a_id FROM vp),
+         nodes AS (SELECT DISTINCT s AS id FROM edges),
+         reach(id, lbl) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.d, r.lbl FROM reach r JOIN edges e ON r.id = e.s),
+         cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id < 200
+           AND doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
+         ORDER BY doc_id""",
+
+    "q81_semantic_dedup" ->
+      // q66's re-trained clustering (bf = id, v, cid), then the SemDeDup
+      // pair rule: drop the larger id of any within-cluster pair >= tau
+      s"""${PortableSql.ivfTrainSql}
+         dr AS (SELECT DISTINCT b.id AS drop_id
+                FROM bf a JOIN bf b ON a.cid = b.cid AND a.id < b.id
+                WHERE round(${PortableSql.cosSql("a.v", "b.v")}, 4) >= 0.4)
+         SELECT bf.id AS vec_id, bf.cid AS cluster, dr.drop_id IS NULL AS keep
+         FROM bf LEFT JOIN dr ON bf.id = dr.drop_id
+         ORDER BY vec_id""",
+
     "q46_dedup_simhash" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
@@ -700,6 +750,18 @@ object OpsQueries {
          bench AS (SELECT DISTINCT g3 FROM g WHERE doc_id < 5)
          SELECT g.doc_id, count(DISTINCT g.g3) AS n_shared
          FROM g JOIN bench USING (g3) WHERE g.doc_id >= 5
+         GROUP BY g.doc_id ORDER BY g.doc_id""",
+
+    "q83_boilerplate" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(tk) - 1),
+                 i -> tk[i + 1] || ' ' || tk[i + 2]))) AS g2
+               FROM toks WHERE len(tk) >= 2),
+         df AS (SELECT g2, count(*) AS df FROM g GROUP BY g2)
+         SELECT g.doc_id, count(*) AS n_grams,
+                round(avg(CASE WHEN df.df >= 5 THEN 1.0 ELSE 0.0 END), 4) AS boiler_frac
+         FROM g JOIN df USING (g2)
          GROUP BY g.doc_id ORDER BY g.doc_id""",
 
     "q75_frame_sampling" ->

@@ -44,4 +44,24 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(10L -> 2L, 12L -> 2L)) // distinct shared, 11 clean
   }
+
+  test("boilerplate fraction: distinct-bigram df share, hand-computed") {
+    import spark.implicits._
+    // "c o m m o n" appears in all 3 docs: its 5 bigrams have df = 3;
+    // each doc adds 2 unique tokens → 2 unique-bigram tails with df = 1
+    // ("n u1" bridges common→unique; "u1 u2" is fully unique)
+    val docs = Seq(
+      (1L, "c o m m o n a1 a2"),
+      (2L, "c o m m o n b1 b2"),
+      (3L, "c o m m o n c1 c2"),
+      (4L, "x")).toDF("id", "text") // 1 token: no bigram, absent from output
+    val got = QualitySignals.boilerplateFraction(docs, col("id"), col("text"),
+        n = 2, minDf = 3L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // per doc: 7 distinct bigrams — "c o","o m","m m","m o","o n" (df 3)
+    // + "n x1","x1 x2" (df 1) → boiler_frac = 5/7
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == (7L, 0.7143))
+    assert(got(2L) == (7L, 0.7143))
+  }
 }

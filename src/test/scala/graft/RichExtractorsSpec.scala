@@ -402,4 +402,30 @@ endbfchar""")
     w("trailer << /Root 1 0 R >>\n%%EOF")
     assert(RichExtractors.extractPdf(out.toByteArray) == null)
   }
+
+  // ---- encrypted PDFs: standard security handler, empty user password ----
+
+  private val encPages = Seq(
+    "BT /F1 12 Tf 72 720 Td (Restricted but readable one) Tj ET",
+    "BT /F1 12 Tf 72 720 Td (and encrypted page two) Tj ET")
+
+  for (mode <- Seq("rc4-40", "rc4-128", "aes-128", "aes-256"))
+    test(s"pdf: $mode encrypted extracts same text as plaintext twin") {
+      val plain = RichExtractors.extractPdf(PdfFixtures.mkPdf(encPages, flate = false))
+      val got = RichExtractors.extractPdf(PdfFixtures.mkEncryptedPdf(encPages, mode))
+      assert(got == plain, s"mode=$mode")
+    }
+
+  test("pdf: encrypted + FlateDecode — decryption precedes filter decode") {
+    val plain = RichExtractors.extractPdf(PdfFixtures.mkPdf(encPages, flate = true))
+    val got = RichExtractors.extractPdf(
+      PdfFixtures.mkEncryptedPdf(encPages, "rc4-128", flate = true))
+    assert(got == plain)
+  }
+
+  test("pdf: non-empty user password (U mismatch) skips, never garbage") {
+    for (mode <- Seq("rc4-128", "aes-256"))
+      assert(RichExtractors.extractPdf(
+        PdfFixtures.mkEncryptedPdf(encPages, mode, breakU = true)) == null, mode)
+  }
 }

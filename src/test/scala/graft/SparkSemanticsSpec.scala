@@ -219,4 +219,40 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       maxIters = 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(one(4L) == 2L && one(2L) == 1L && one(3L) == 1L)
   }
+
+  test("dedupCorpus: survivors = per-cluster min id + untouched singletons") {
+    import spark.implicits._
+    // 1≈2≈3 near-identical (unigram jaccard 1.0 or high); 7 unrelated
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "beta alpha gamma delta epsilon"), // same unigram set
+      (7L, "unrelated totally different words here")).toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(docs, col("doc_id"), col("text"), 0.7,
+      shingleSize = 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 7L))
+  }
+
+  test("semanticDedup: within-cluster near-identical vectors drop larger id") {
+    import spark.implicits._
+    // two duplicate groups on orthogonal axes + one isolated vector;
+    // IDENTICAL vectors argmax to the same centroid whatever k-means
+    // learns, so the groups cannot split across clusters, and orthogonal
+    // cross-pairs can never reach the threshold
+    def v(axis: Int): Seq[Float] = Seq.tabulate(4)(i => if (i == axis) 1f else 0f)
+    val emb = Seq(
+      (1L, v(0)), (2L, v(0)), (3L, v(0)), // group A
+      (10L, v(1)), (11L, v(1)), // group B
+      (20L, v(2))) // isolated
+      .toDF("id", "vec")
+    val got = Dedup.semanticDedup(emb, col("id"), col("vec"),
+        threshold = 0.99, nlist = 2, iters = 2, sampleFraction = 100)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 10L, 11L, 20L))
+    assert(got(1L)) // smallest id of group A survives
+    assert(!got(2L) && !got(3L)) // near-identical larger ids drop
+    assert(got(20L)) // isolated survives regardless of its cluster
+    // group B: whichever cluster it shares, 10 < 11 and cos(10,11) ≈ 1
+    assert(got(10L) && !got(11L))
+  }
 }
