@@ -76,18 +76,8 @@ object IngestJob {
   def decodeAndProject(binary: DataFrame): DataFrame = {
     // one UDF dispatching on extension: decode is inherently imperative JVM
     // work (SURVEY §2.1 maps extractors to UDFs over binaryFile bytes)
-    val decodeAny = udf((ext: String, b: Array[Byte]) => ext match {
-      case ".csv" => TextDecode.decodeCsv(b)
-      case ".html" | ".htm" => RichExtractors.extractHtml(b)
-      case ".eml" => RichExtractors.extractEml(b)
-      case ".docx" => RichExtractors.extractDocx(b)
-      case ".xlsx" | ".xlsm" => RichExtractors.extractXlsx(b)
-      case ".rtf" => RichExtractors.extractRtf(b)
-      case ".pdf" => RichExtractors.extractPdf(b)
-      case ".msg" => RichExtractors.extractMsg(b)
-      case ".xls" => RichExtractors.extractXls(b)
-      case _ => TextDecode.decode(b)
-    })
+    val decodeAny = udf((ext: String, b: Array[Byte]) =>
+      RichExtractors.extractByExtension(ext, b))
 
     // The reference records ctime AND mtime ISO strings
     // (document_processor.py:61-62) but binaryFile exposes modificationTime

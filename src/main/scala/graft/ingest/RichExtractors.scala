@@ -18,7 +18,11 @@ import scala.collection.mutable.ArrayBuffer
  *    separator + entity decode (`document_processor.py:120-130`).
  *  - EML (S7): `Subject:` header + text/plain parts verbatim + text/html
  *    parts tag-stripped; quoted-printable and base64 transfer encodings
- *    (`document_processor.py:133-164`).
+ *    (`document_processor.py:133-164`). BEYOND the reference (which reads
+ *    body text only): named attachments decode and recurse through
+ *    [[extractByExtension]] — a PDF attached to an email extracts like a
+ *    PDF on disk, marked `[Attachment: name]`; nested .eml recursion is
+ *    depth-capped.
  *  - DOCX (S3): ZIP → `word/document.xml` (+ headers/footers); `<w:t>` runs,
  *    `</w:p>` paragraph breaks (`document_processor.py:87-90`).
  *  - XLSX/XLSM (S9): ZIP → shared strings + per-sheet cell values,
@@ -29,8 +33,9 @@ import scala.collection.mutable.ArrayBuffer
  *    (`document_processor.py:215-227`).
  *  - PDF (S2): REAL pure-JVM reader ([[PdfText]]): object/ObjStm parse,
  *    FlateDecode/ASCIIHex, BT/ET text operators, CID/Identity-H fonts via
- *    ToUnicode CMaps; emits `[[pageN]]` markers parsed by O7. Encrypted
- *    docs are skipped + counted (documented scope).
+ *    ToUnicode CMaps, standard-handler decryption ([[PdfCrypt]], empty
+ *    user password); emits `[[pageN]]` markers parsed by O7.
+ *    Password-protected docs are skipped + counted (documented scope).
  *  - MSG (S8): REAL OLE2/CFB reader ([[Ole2]]) + MAPI `__substg1.0_*`
  *    streams (unicode + ANSI).
  *  - XLS (S9 legacy): REAL BIFF8 reader ([[XlsBiff]]) — SST/LABELSST/
@@ -143,7 +148,25 @@ object RichExtractors {
 
   // ---------- EML ----------
 
-  def extractEml(bytes: Array[Byte]): String = {
+  def extractEml(bytes: Array[Byte]): String = extractEml(bytes, 0)
+
+  /** Extension-dispatched extraction over raw bytes — the single decode
+    * table shared by the ingest UDF ([[IngestJob.decodeAndProject]]) and
+    * EML attachment recursion. Unknown extensions decode as text. */
+  def extractByExtension(ext: String, b: Array[Byte]): String = ext match {
+    case ".csv" => TextDecode.decodeCsv(b)
+    case ".html" | ".htm" => extractHtml(b)
+    case ".eml" => extractEml(b)
+    case ".docx" => extractDocx(b)
+    case ".xlsx" | ".xlsm" => extractXlsx(b)
+    case ".rtf" => extractRtf(b)
+    case ".pdf" => extractPdf(b)
+    case ".msg" => extractMsg(b)
+    case ".xls" => extractXls(b)
+    case _ => TextDecode.decode(b)
+  }
+
+  private def extractEml(bytes: Array[Byte], depth: Int): String = {
     val raw = TextDecode.decode(bytes)
     if (raw == null) return null
     val parts = new ArrayBuffer[String]()
@@ -155,12 +178,37 @@ object RichExtractors {
       val ctype = headerValue(hdrs, "Content-Type").getOrElse("text/plain")
       val cte = headerValue(hdrs, "Content-Transfer-Encoding")
         .getOrElse("7bit").toLowerCase
+      val fname = attachmentName(hdrs)
       if (ctype.toLowerCase.startsWith("multipart/")) {
         boundaryOf(ctype).foreach { b =>
           splitMultipart(content, b).foreach { sub =>
             val (h, c) = splitHeaders(sub)
             walk(h, c)
           }
+        }
+      } else if (fname.isDefined) {
+        // a NAMED part is an attachment: decode its bytes and recurse
+        // through the shared extension table (beyond-reference; a part
+        // that fails to decode is silently skipped — body text still
+        // extracts, matching the skip-and-count spirit per attachment)
+        val name = fname.get
+        val dot = name.lastIndexOf('.')
+        if (dot >= 0 && depth < 2) {
+          val ext = name.substring(dot).toLowerCase
+          val data: Array[Byte] = cte match {
+            case "base64" =>
+              try Base64.getMimeDecoder.decode(content.replaceAll("\\s", ""))
+              catch { case _: IllegalArgumentException => null }
+            case "quoted-printable" =>
+              decodeQuotedPrintable(content).getBytes(StandardCharsets.ISO_8859_1)
+            case _ => content.getBytes(StandardCharsets.ISO_8859_1)
+          }
+          val text =
+            if (data == null) null
+            else if (ext == ".eml") extractEml(data, depth + 1) // cap nesting
+            else extractByExtension(ext, data)
+          if (text != null && text.strip().nonEmpty)
+            parts += s"[Attachment: $name]\n$text"
         }
       } else if (ctype.toLowerCase.startsWith("text/plain")) {
         val p = decodeTransfer(content, cte)
@@ -172,6 +220,20 @@ object RichExtractors {
     }
     walk(headers, body)
     if (parts.isEmpty) null else parts.mkString("\n")
+  }
+
+  /** Attachment filename from Content-Disposition `filename=` or
+    * Content-Type `name=` (inline text parts have neither). */
+  private def attachmentName(hdrs: String): Option[String] = {
+    val re = Pattern.compile("(?:filename|name)=\"?([^\";]+)\"?",
+      Pattern.CASE_INSENSITIVE)
+    Seq("Content-Disposition", "Content-Type").iterator
+      .flatMap(h => headerValue(hdrs, h))
+      .flatMap { v =>
+        val m = re.matcher(v)
+        if (m.find()) Some(m.group(1).strip()) else None
+      }
+      .nextOption()
   }
 
   private def splitHeaders(msg: String): (String, String) = {

@@ -64,6 +64,47 @@ object Curation {
       .orderBy(col("c").desc, col("w"))
       .limit(n)
 
+  /** Deterministic shard id for training-data export: first 15 hex chars
+    * of md5(key) mod `nShards` — content-keyed like [[splitAssign]], so a
+    * document's shard never depends on partitioning, run, or engine (the
+    * DuckDB oracle recomputes it), and re-exports are incremental-friendly
+    * (unchanged docs land in unchanged shards). */
+  def shardAssign(key: Column, nShards: Int): Column =
+    (graft.expr.PortableHash.hex15Col(key) % nShards).cast("int")
+
+  /**
+   * Export the corpus as `nShards` deterministic hash shards — the layout
+   * a training job reads (shard = unit of data-parallel assignment):
+   * `path/shard=N/part-*.parquet` plus a `_manifest.json` with per-shard
+   * row counts for reader-side integrity checks. Returns the per-shard
+   * `(shard, n_rows)` stats.
+   *
+   * Scale shape: one `repartition(nShards, shard)` exchange co-locates
+   * each shard into one task → one file per shard (training readers want
+   * few, large, evenly-sized files; the md5 key makes sizes uniform by
+   * construction). For shards larger than a task should hold, pass a
+   * `filesPerShard > 1` to fan each shard across that many tasks.
+   */
+  def writeShards(df: DataFrame, key: Column, nShards: Int, path: String,
+      filesPerShard: Int = 1): DataFrame = {
+    val spark = df.sparkSession
+    val sharded = df.withColumn("shard", shardAssign(key, nShards))
+    val parted =
+      if (filesPerShard <= 1) sharded.repartition(nShards, col("shard"))
+      else sharded.repartition(nShards * filesPerShard, col("shard"),
+        graft.expr.PortableHash.hex15Col(key) % filesPerShard)
+    parted.write.mode("overwrite").partitionBy("shard").parquet(path)
+    val stats = spark.read.parquet(path)
+      .groupBy("shard").agg(count("*").as("n_rows"))
+      .orderBy("shard")
+    val manifest = stats.collect()
+      .map(r => s"""{"shard": ${r.get(0)}, "n_rows": ${r.getLong(1)}}""")
+      .mkString("[", ", ", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_manifest.json"), manifest)
+    stats
+  }
+
   /**
    * Concat-and-chunk sequence packing: documents ordered by `order` are
    * conceptually concatenated and cut every `budget` tokens — the packing

@@ -163,6 +163,15 @@ object OpsQueries {
           t(s, d, "documents"), col("doc_id"), col("text"), n = 2, minDf = 5L)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    "q84_shard_histogram" -> ((s, d) =>
+      // training-export shard assignment (md5-keyed, engine-reproducible):
+      // the histogram the writeShards manifest records
+      t(s, d, "documents")
+        .select(graft.ops.Curation.shardAssign(col("doc_id"), 16).as("shard"),
+          col("doc_id"))
+        .groupBy("shard")
+        .agg(count("*").as("n_rows"), min("doc_id").as("first_id"))
+        .orderBy("shard")),
 
     "q75_frame_sampling" -> ((s, d) =>
       // video frame sampling shape: explode assets into fixed-stride
@@ -763,6 +772,12 @@ object OpsQueries {
                 round(avg(CASE WHEN df.df >= 5 THEN 1.0 ELSE 0.0 END), 4) AS boiler_frac
          FROM g JOIN df USING (g2)
          GROUP BY g.doc_id ORDER BY g.doc_id""",
+
+    "q84_shard_histogram" ->
+      """SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 16 AS INT) AS shard,
+                count(*) AS n_rows, min(doc_id) AS first_id
+         FROM documents GROUP BY 1 ORDER BY shard""",
 
     "q75_frame_sampling" ->
       """WITH a AS (

@@ -64,6 +64,52 @@ class RichExtractorsSpec extends AnyFunSuite {
     assert(got.contains("html") && got.contains("bold") && !got.contains("<b>"))
   }
 
+  test("eml: pdf attachment decodes and recurses; nested eml depth-capped") {
+    val pdf = PdfFixtures.mkPdf(
+      Seq("BT /F1 12 Tf 72 720 Td (attached pdf payload) Tj ET"), flate = false)
+    val pdfB64 = java.util.Base64.getMimeEncoder.encodeToString(pdf)
+    def mail(subject: String, inner: String): String =
+      s"""Subject: $subject
+         |MIME-Version: 1.0
+         |Content-Type: multipart/mixed; boundary="BB"
+         |
+         |--BB
+         |Content-Type: text/plain; charset=utf-8
+         |
+         |covering note
+         |--BB
+         |Content-Type: application/pdf; name="report.pdf"
+         |Content-Disposition: attachment; filename="report.pdf"
+         |Content-Transfer-Encoding: base64
+         |
+         |$pdfB64
+         |--BB$inner
+         |--BB--
+         |""".stripMargin.replace("\n", "\r\n")
+    val got = RichExtractors.extractEml(
+      mail("Outer", "").getBytes(StandardCharsets.UTF_8))
+    assert(got.contains("covering note"))
+    assert(got.contains("[Attachment: report.pdf]"))
+    assert(got.contains("attached pdf payload")) // the PDF reader ran
+
+    // nested .eml attachment: depth 1 extracts, the cap stops runaway
+    // nesting (a depth-2 eml-in-eml-in-eml drops silently, body survives)
+    val innerEml = java.util.Base64.getMimeEncoder.encodeToString(
+      mail("Inner", "").getBytes(StandardCharsets.UTF_8))
+    val nestedPart =
+      s"""
+         |Content-Type: message/rfc822; name="fwd.eml"
+         |Content-Transfer-Encoding: base64
+         |
+         |$innerEml""".stripMargin.replace("\n", "\r\n")
+    val outer = RichExtractors.extractEml(
+      mail("Outer", nestedPart).getBytes(StandardCharsets.UTF_8))
+    assert(outer.contains("[Attachment: fwd.eml]"))
+    assert(outer.contains("Subject: Inner"))
+    // inner's own pdf attachment still extracted at depth 1
+    assert(outer.contains("attached pdf payload"))
+  }
+
   test("eml: single-part message body") {
     val eml = "Subject: Hi\nContent-Type: text/plain\n\njust a body\n"
     val got = RichExtractors.extractEml(eml.getBytes(StandardCharsets.UTF_8))

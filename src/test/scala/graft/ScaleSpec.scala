@@ -100,4 +100,30 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
         o.join(c, o("o_custkey") === c("c_custkey")).count())
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("writeShards: deterministic layout, one file per shard, manifest") {
+    import graft.ops.Curation
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val df = spark.range(0, 500).toDF("id")
+      .withColumn("payload", concat(lit("doc-"), col("id")))
+    val stats = Curation.writeShards(df, col("id"), nShards = 8, s"$dir/out")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(stats.values.sum == 500L)
+    assert(stats.keySet == (0 until 8).toSet) // md5 spreads every shard
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == 500)
+    // shard column round-trips AND matches a fresh assignment (determinism)
+    assert(back.filter(col("shard") =!=
+      Curation.shardAssign(col("id"), 8)).count() == 0)
+    // one data file per shard directory
+    for (s <- 0 until 8) {
+      val files = new java.io.File(s"$dir/out/shard=$s")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard=$s")
+    }
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/out/_manifest.json")))
+    for ((s, n) <- stats)
+      assert(manifest.contains(s"""{"shard": $s, "n_rows": $n}"""))
+  }
 }
