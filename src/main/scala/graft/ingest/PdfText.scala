@@ -47,6 +47,24 @@ object PdfText {
 
   private val objRe: Regex = """(?s)(\d+)\s+(\d+)\s+obj\b""".r
 
+  /** Allocation-free substring search over the raw bytes (the latin-1
+    * byte↔char view makes char comparison exact). A `new String(slice)`
+    * per call was O(remaining-file) garbage on every broken-Length stream
+    * parse — ruinous when the encrypted-trailer fallback peeks many
+    * object dicts. */
+  private def indexOfBytes(b: Array[Byte], needle: String, from: Int): Int = {
+    val n = needle.length
+    var i = math.max(0, from)
+    val last = b.length - n
+    while (i <= last) {
+      var j = 0
+      while (j < n && b(i + j) == needle.charAt(j)) j += 1
+      if (j == n) return i
+      i += 1
+    }
+    -1
+  }
+
   /** Extract `[[pageN]]`-marked text, or null when the file yields none. */
   def extract(bytes: Array[Byte]): String = {
     try {
@@ -115,10 +133,24 @@ object PdfText {
       val trailers = "(?s)trailer\\b".r.findAllMatchIn(latin1).map(_.end).toSeq
         .map(off => dictOf(new Lexer(bytes, off, this).parseValue(resolveLen = false)))
       // fall back to XRef-stream dicts (PDF 1.5 layouts have no `trailer`
-      // keyword); peek dicts only (resolveLen=false: no stream-body
-      // capture, no obj() recursion while the decryptor is still null)
-      val xrefDicts = offsets.toSeq.sortBy(_._1).iterator.map { case (_, (off, _)) =>
-        dictOf(new Lexer(bytes, off, this).parseValue(resolveLen = false))
+      // keyword). Only the objects ENCLOSING a literal "/Encrypt" token are
+      // candidates — peeking every object dict would be O(objects) parses
+      // (and each broken-Length stream scan O(file)) on every encrypted
+      // modern-layout document. resolveLen=false: no stream-body capture,
+      // no obj() recursion while the decryptor is still null.
+      val objStarts = offsets.toSeq.map { case (n, (off, _)) => (off, n) }.sorted
+      def enclosingObj(p: Int): Option[Int] = {
+        var lo = 0; var hi = objStarts.length - 1; var res = -1
+        while (lo <= hi) {
+          val m = (lo + hi) >>> 1
+          if (objStarts(m)._1 <= p) { res = m; lo = m + 1 } else hi = m - 1
+        }
+        if (res < 0) None else Some(objStarts(res)._2)
+      }
+      val encPos = Iterator.iterate(latin1.indexOf("/Encrypt"))(
+        p => latin1.indexOf("/Encrypt", p + 1)).takeWhile(_ >= 0)
+      val xrefDicts = encPos.flatMap(enclosingObj).distinct.map { n =>
+        dictOf(new Lexer(bytes, offsets(n)._1, this).parseValue(resolveLen = false))
       }
       val withEnc = (trailers.iterator ++ xrefDicts)
         .find(_.contains("Encrypt")).getOrElse(return null)
@@ -502,9 +534,8 @@ object PdfText {
         val len =
           if (len0 > 0 && start + len0 <= b.length) len0
           else { // broken/absent Length: scan for endstream
-            val idx = new String(b, start, b.length - start,
-              StandardCharsets.ISO_8859_1).indexOf("endstream")
-            if (idx < 0) 0 else idx
+            val idx = indexOfBytes(b, "endstream", start)
+            if (idx < 0) 0 else idx - start
           }
         pos = start + len
         skipWs()
@@ -532,9 +563,8 @@ object PdfText {
 
     /** Skip to just past the next occurrence of `needle` (inline images). */
     def skipPast(needle: String): Unit = {
-      val idx = new String(b, pos, b.length - pos,
-        StandardCharsets.ISO_8859_1).indexOf(needle)
-      pos = if (idx < 0) b.length else pos + idx + needle.length
+      val idx = indexOfBytes(b, needle, pos)
+      pos = if (idx < 0) b.length else idx + needle.length
     }
 
     private def parseNumberOrRef(): Obj = {

@@ -186,30 +186,29 @@ object RichExtractors {
             walk(h, c)
           }
         }
-      } else if (fname.isDefined) {
-        // a NAMED part is an attachment: decode its bytes and recurse
-        // through the shared extension table (beyond-reference; a part
-        // that fails to decode is silently skipped — body text still
-        // extracts, matching the skip-and-count spirit per attachment)
+      } else if (attachmentExt(fname).exists(_ => depth < 2)) {
+        // a NAMED part with a SUPPORTED extension is an attachment: decode
+        // its bytes and recurse through the shared extension table
+        // (beyond-reference). Unsupported extensions (.png, .zip, …) and
+        // depth-capped parts fall through to the content-type branches —
+        // never to a latin-1 "decode" of raw binary (mojibake). A
+        // supported attachment that fails extraction is skipped: body
+        // text still extracts (per-attachment skip-and-count spirit).
         val name = fname.get
-        val dot = name.lastIndexOf('.')
-        if (dot >= 0 && depth < 2) {
-          val ext = name.substring(dot).toLowerCase
-          val data: Array[Byte] = cte match {
-            case "base64" =>
-              try Base64.getMimeDecoder.decode(content.replaceAll("\\s", ""))
-              catch { case _: IllegalArgumentException => null }
-            case "quoted-printable" =>
-              decodeQuotedPrintable(content).getBytes(StandardCharsets.ISO_8859_1)
-            case _ => content.getBytes(StandardCharsets.ISO_8859_1)
-          }
-          val text =
-            if (data == null) null
-            else if (ext == ".eml") extractEml(data, depth + 1) // cap nesting
-            else extractByExtension(ext, data)
-          if (text != null && text.strip().nonEmpty)
-            parts += s"[Attachment: $name]\n$text"
+        val ext = attachmentExt(fname).get
+        val data: Array[Byte] = cte match {
+          case "base64" =>
+            try Base64.getMimeDecoder.decode(content.replaceAll("\\s", ""))
+            catch { case _: IllegalArgumentException => null }
+          case "quoted-printable" => decodeQuotedPrintableBytes(content)
+          case _ => content.getBytes(StandardCharsets.ISO_8859_1)
         }
+        val text =
+          if (data == null) null
+          else if (ext == ".eml") extractEml(data, depth + 1) // cap nesting
+          else extractByExtension(ext, data)
+        if (text != null && text.strip().nonEmpty)
+          parts += s"[Attachment: $name]\n$text"
       } else if (ctype.toLowerCase.startsWith("text/plain")) {
         val p = decodeTransfer(content, cte)
         if (p.strip().nonEmpty) parts += p
@@ -221,6 +220,22 @@ object RichExtractors {
     walk(headers, body)
     if (parts.isEmpty) null else parts.mkString("\n")
   }
+
+  /** Extensions the attachment path may recurse into — exactly the formats
+    * [[extractByExtension]] extracts STRUCTURALLY plus plain-text ones.
+    * Anything else (images, archives, unknown binaries) must not reach the
+    * latin-1 text fallback. */
+  private val recursableExts = Set(".csv", ".html", ".htm", ".eml", ".docx",
+    ".xlsx", ".xlsm", ".rtf", ".pdf", ".msg", ".xls", ".txt", ".md", ".text",
+    ".markdown", ".log", ".json", ".xml", ".yaml", ".yml")
+
+  /** The supported extension of a named part, if any. */
+  private def attachmentExt(fname: Option[String]): Option[String] =
+    fname.flatMap { n =>
+      val dot = n.lastIndexOf('.')
+      if (dot < 0) None
+      else Some(n.substring(dot).toLowerCase).filter(recursableExts.contains)
+    }
 
   /** Attachment filename from Content-Disposition `filename=` or
     * Content-Type `name=` (inline text parts have neither). */
@@ -282,7 +297,13 @@ object RichExtractors {
     case _ => content
   }
 
-  def decodeQuotedPrintable(s: String): String = {
+  def decodeQuotedPrintable(s: String): String =
+    new String(decodeQuotedPrintableBytes(s), StandardCharsets.UTF_8)
+
+  /** Byte-level QP decode — the attachment path needs the raw bytes (a
+    * String round-trip through UTF-8 would turn any non-UTF-8 byte into
+    * U+FFFD and destroy e.g. a quoted-printable PDF). */
+  def decodeQuotedPrintableBytes(s: String): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     var i = 0
     while (i < s.length) {
@@ -293,7 +314,7 @@ object RichExtractors {
         catch { case _: NumberFormatException => out.write(c.toInt); i += 1 }
       } else { out.write(c.toInt); i += 1 }
     }
-    new String(out.toByteArray, StandardCharsets.UTF_8)
+    out.toByteArray
   }
 
   // ---------- OOXML (DOCX / XLSX) ----------

@@ -89,10 +89,23 @@ object Curation {
       filesPerShard: Int = 1): DataFrame = {
     val spark = df.sparkSession
     val sharded = df.withColumn("shard", shardAssign(key, nShards))
+    // sub-key must be independent of `shard = h % nShards`: h / nShards
+    // keeps the quotient bits (h % filesPerShard would be constant within
+    // a shard whenever gcd(nShards, filesPerShard) > 1 — e.g. 16 shards ×
+    // 2 files would collapse to one file per shard)
     val parted =
       if (filesPerShard <= 1) sharded.repartition(nShards, col("shard"))
-      else sharded.repartition(nShards * filesPerShard, col("shard"),
-        graft.expr.PortableHash.hex15Col(key) % filesPerShard)
+      else {
+        // sub-key = (h mod n·f) div n — together with shard = h mod n this
+        // is a bijection of h mod n·f, so every shard fans across exactly
+        // `filesPerShard` sub-keys whatever gcd(n, f) is. Reduce mod n·f
+        // FIRST: Column `/` is double division, exact only below 2^53 —
+        // fine after the mod, wrong on the raw 60-bit hash.
+        val m = nShards.toLong * filesPerShard
+        val subKey = floor((graft.expr.PortableHash.hex15Col(key) % m)
+          / nShards).cast("long")
+        sharded.repartition(nShards * filesPerShard, col("shard"), subKey)
+      }
     parted.write.mode("overwrite").partitionBy("shard").parquet(path)
     val stats = spark.read.parquet(path)
       .groupBy("shard").agg(count("*").as("n_rows"))
@@ -100,8 +113,13 @@ object Curation {
     val manifest = stats.collect()
       .map(r => s"""{"shard": ${r.get(0)}, "n_rows": ${r.getLong(1)}}""")
       .mkString("[", ", ", "]")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_manifest.json"), manifest)
+    // through the Hadoop FS of the export path — java.nio would break the
+    // moment `path` is hdfs:// or s3a:// (the layout's actual habitat)
+    val hPath = new org.apache.hadoop.fs.Path(path, "_manifest.json")
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(hPath, true)
+    try out.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     stats
   }
 

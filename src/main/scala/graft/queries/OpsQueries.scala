@@ -577,14 +577,7 @@ object OpsQueries {
       // label closure, min reachable id per node = cluster id (the engine's
       // iterative min-label propagation converges to the same fixpoint)
       s"""WITH RECURSIVE ${PortableSql.minhashVerifiedPairCtes},
-         edges AS (SELECT a_id AS s, b_id AS d FROM vp
-                   UNION ALL SELECT b_id, a_id FROM vp),
-         nodes AS (SELECT DISTINCT s AS id FROM edges),
-         reach(id, lbl) AS (
-           SELECT id, id FROM nodes
-           UNION
-           SELECT e.d, r.lbl FROM reach r JOIN edges e ON r.id = e.s),
-         cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         ${PortableSql.ccCtes},
          sz AS (SELECT cluster_id, count(*) AS cluster_size
                 FROM cc GROUP BY cluster_id)
          SELECT cc.id AS doc_id, cc.cluster_id, sz.cluster_size
@@ -594,14 +587,7 @@ object OpsQueries {
       // q80's connected components, then keep min-id per cluster: the
       // surviving corpus rows themselves
       s"""WITH RECURSIVE ${PortableSql.minhashVerifiedPairCtes},
-         edges AS (SELECT a_id AS s, b_id AS d FROM vp
-                   UNION ALL SELECT b_id, a_id FROM vp),
-         nodes AS (SELECT DISTINCT s AS id FROM edges),
-         reach(id, lbl) AS (
-           SELECT id, id FROM nodes
-           UNION
-           SELECT e.d, r.lbl FROM reach r JOIN edges e ON r.id = e.s),
-         cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         ${PortableSql.ccCtes}
          SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id < 200
            AND doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
@@ -870,6 +856,21 @@ private[queries] object PortableSql {
                      JOIN sets b ON c.b_id = b.doc_id
          WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
                / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.7)"""
+
+  /** Connected components over `vp(a_id, b_id, …)` — CTE body (requires a
+    * `WITH RECURSIVE` prefix and [[minhashVerifiedPairCtes]] before it).
+    * Ends at `cc(id, cluster_id)`: each node labeled with the min reachable
+    * id, the fixpoint [[graft.ops.Dedup.duplicateClusters]] converges to.
+    * Shared by the q80 (clusters) and q82 (surviving corpus) oracles. */
+  def ccCtes: String =
+    """edges AS (SELECT a_id AS s, b_id AS d FROM vp
+                 UNION ALL SELECT b_id, a_id FROM vp),
+       nodes AS (SELECT DISTINCT s AS id FROM edges),
+       reach(id, lbl) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT e.d, r.lbl FROM reach r JOIN edges e ON r.id = e.s),
+       cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)"""
 
   /** Cosine mirroring VectorOps.cosine exactly:
     * dot / (sqrt(na) * sqrt(nb)). */

@@ -110,6 +110,56 @@ class RichExtractorsSpec extends AnyFunSuite {
     assert(outer.contains("attached pdf payload"))
   }
 
+  test("eml: unsupported binary attachment skipped; dotless name falls through") {
+    val fakePng = java.util.Base64.getMimeEncoder.encodeToString(
+      Array.tabulate[Byte](256)(i => i.toByte)) // binary, not valid UTF-8
+    val eml =
+      s"""Subject: Mixed
+         |MIME-Version: 1.0
+         |Content-Type: multipart/mixed; boundary="BB"
+         |
+         |--BB
+         |Content-Type: text/plain; name="README"
+         |
+         |readme body text
+         |--BB
+         |Content-Type: image/png; name="photo.png"
+         |Content-Transfer-Encoding: base64
+         |
+         |$fakePng
+         |--BB--
+         |""".stripMargin.replace("\n", "\r\n")
+    val got = RichExtractors.extractEml(eml.getBytes(StandardCharsets.UTF_8))
+    // the dotless-named text part extracts as body (content-type fallback);
+    // the png must NOT appear as latin-1 mojibake
+    assert(got.contains("readme body text"))
+    assert(!got.contains("photo.png") && !got.contains("ÿ"))
+  }
+
+  test("eml: quoted-printable pdf attachment survives byte-exact") {
+    val pdf = PdfFixtures.mkPdf(
+      Seq("BT /F1 12 Tf 72 720 Td (qp attachment payload) Tj ET"), flate = false)
+    // QP-encode every byte that needs it (incl. '=' and 8-bit)
+    val qp = pdf.map { b =>
+      val c = b & 0xFF
+      if (c == '='.toInt || c < 0x20 || c > 0x7E) f"=$c%02X" else c.toChar.toString
+    }.mkString
+    val eml =
+      s"""Subject: QP
+         |MIME-Version: 1.0
+         |Content-Type: multipart/mixed; boundary="BB"
+         |
+         |--BB
+         |Content-Type: application/pdf; name="qp.pdf"
+         |Content-Transfer-Encoding: quoted-printable
+         |
+         |$qp
+         |--BB--
+         |""".stripMargin.replace("\n", "\r\n")
+    val got = RichExtractors.extractEml(eml.getBytes(StandardCharsets.UTF_8))
+    assert(got != null && got.contains("qp attachment payload"))
+  }
+
   test("eml: single-part message body") {
     val eml = "Subject: Hi\nContent-Type: text/plain\n\njust a body\n"
     val got = RichExtractors.extractEml(eml.getBytes(StandardCharsets.UTF_8))

@@ -125,5 +125,17 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.nio.file.Paths.get(s"$dir/out/_manifest.json")))
     for ((s, n) <- stats)
       assert(manifest.contains(s"""{"shard": $s, "n_rows": $n}"""))
+
+    // filesPerShard fans out even when gcd(nShards, filesPerShard) > 1:
+    // the sub-key is h / nShards, not h % filesPerShard (which is constant
+    // within a shard for power-of-two combos)
+    Curation.writeShards(df, col("id"), nShards = 8, s"$dir/fan",
+      filesPerShard = 2)
+    val fanned = (0 until 8).map { s =>
+      new java.io.File(s"$dir/fan/shard=$s")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    assert(fanned.count(_ == 2) >= 6, fanned.mkString(",")) // ~500/8/2 rows per file
+    assert(spark.read.parquet(s"$dir/fan").count() == 500)
   }
 }
