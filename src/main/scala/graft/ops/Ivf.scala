@@ -45,7 +45,7 @@ object Ivf {
   /** Centroids as an `ARRAY<STRUCT<cid, c>>` literal, sorted by cid so the
     * first-wins tie rule of [[graft.expr.NearestCentroid]] lands on the
     * lowest cid. k×dim floats — driver-resident, codegen reference object. */
-  private def centsLit(cents: Seq[(Int, Seq[Float])]): Column =
+  private[ops] def centsLit(cents: Seq[(Int, Seq[Float])]): Column =
     typedLit(cents.sortBy(_._1).map { case (cid, c) => (cid, c.toVector) })
       .cast("array<struct<cid:int,c:array<float>>>")
 

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.nearest_centroid
+
+/**
+ * Product quantization (Jégou et al., "Product Quantization for Nearest
+ * Neighbor Search", TPAMI 2011) over an embedding column — the memory-side
+ * companion to the IVF scan reduction: split each `dim` vector into `m`
+ * contiguous sub-vectors, learn a `ksub`-centroid codebook per subspace
+ * (the same deterministic md5-seeded Lloyd as [[Ivf]], run per slice), and
+ * represent each vector by `m` small codes. A 64-float vector at m=4,
+ * ksub=256 becomes 4 bytes — a 64× memory cut, which is what makes
+ * billion-vector ANN fit in RAM at all.
+ *
+ * Query scoring is ASYMMETRIC (ADC): the query stays exact; per subspace a
+ * `ksub`-entry table of squared L2 distances from the query's sub-vector
+ * to each centroid is computed ON THE DRIVER (m × ksub doubles), and a
+ * row's distance is the sum of its codes' table entries — a row-local
+ * literal-array lookup, zero exchanges, no per-row float math beyond the
+ * code assignment.
+ *
+ * Every step is engine-portable like IVF (the q85 oracle re-trains the
+ * same codebooks per subspace and reproduces distances): md5 seed draw,
+ * cosine-argmax assignment with ties → lowest cid, 1/1024-quantized mean
+ * updates.
+ */
+object Pq {
+
+  /** Per-subspace codebooks: `m` independent [[Ivf.trainCentroids]] runs
+    * over the vector slices (each re-samples the same md5 training rows —
+    * the seed ids per subspace are the same documents). */
+  def trainCodebooks(emb: DataFrame, idCol: Column, vecCol: Column, dim: Int,
+      m: Int, ksub: Int = 8, iters: Int = 2,
+      sampleFraction: Int = 50): Seq[Seq[(Int, Seq[Float])]] = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val d = dim / m
+    (0 until m).map { s =>
+      Ivf.trainCentroids(emb, idCol,
+        slice(vecCol.cast("array<float>"), s * d + 1, d), ksub, iters,
+        sampleFraction)
+    }
+  }
+
+  /** `(id, codes)` — the PQ encoding: per subspace, the nearest-centroid
+    * id via the same row-local argmax as IVF assignment. Pure projection,
+    * zero exchanges, one output row per input row. */
+  def encode(emb: DataFrame, idCol: Column, vecCol: Column, dim: Int,
+      books: Seq[Seq[(Int, Seq[Float])]]): DataFrame = {
+    val m = books.length
+    val d = dim / m
+    val codes = array((0 until m).map { s =>
+      nearest_centroid(slice(vecCol.cast("array<float>"), s * d + 1, d),
+        Ivf.centsLit(books(s)))
+    }: _*)
+    emb.select(idCol.as("id"), codes.as("codes"))
+  }
+
+  /** Squared-L2 ADC lookup tables for one query: `table(s)(cid)` =
+    * ‖q_s − c_{s,cid}‖² (driver-side; m × ksub doubles). */
+  def adcTables(query: Array[Float], books: Seq[Seq[(Int, Seq[Float])]])
+      : Seq[Seq[Double]] = {
+    val m = books.length
+    val d = query.length / m
+    (0 until m).map { s =>
+      books(s).sortBy(_._1).map { case (_, c) =>
+        var acc = 0.0
+        var i = 0
+        while (i < d) {
+          val diff = query(s * d + i).toDouble - c(i).toDouble
+          acc += diff * diff
+          i += 1
+        }
+        acc
+      }
+    }
+  }
+
+  /** Approximate top-k by ADC distance (ascending; ties → lowest id):
+    * train → per-row code assignment → literal-table lookups summed — the
+    * whole scoring pass is a projection feeding `TakeOrderedAndProject`.
+    * Returns `(id, dist)` with dist rounded to 4dp. */
+  def pqTopK(emb: DataFrame, idCol: Column, vecCol: Column,
+      query: Array[Float], k: Int, m: Int = 4, ksub: Int = 8,
+      iters: Int = 2, sampleFraction: Int = 50): DataFrame = {
+    val dim = query.length
+    val d = dim / m
+    val books = trainCodebooks(emb, idCol, vecCol, dim, m, ksub, iters,
+      sampleFraction)
+    val tables = adcTables(query, books)
+    val v = vecCol.cast("array<float>")
+    val dist = (0 until m).map { s =>
+      element_at(typedLit(tables(s)),
+        nearest_centroid(slice(v, s * d + 1, d), Ivf.centsLit(books(s))) + 1)
+    }.reduce(_ + _)
+    emb.select(idCol.as("id"), round(dist, 4).as("dist"))
+      .orderBy(col("dist").asc, col("id"))
+      .limit(k)
+  }
+}

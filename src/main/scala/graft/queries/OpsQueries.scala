@@ -116,6 +116,14 @@ object OpsQueries {
         .select(col("query_id"), col("rnk"), col("id").as("vec_id"), col("sim"))
         .orderBy("query_id", "rnk")),
 
+    "q85_ann_pq" -> ((s, d) =>
+      // product quantization: per-subspace codebooks (same md5 Lloyd as
+      // q66, run per 16-dim slice), asymmetric-distance top-k via
+      // driver-side lookup tables — the oracle re-trains all 4 codebooks
+      graft.ops.Pq.pqTopK(t(s, d, "embeddings"), col("vec_id"),
+          col("embedding"), qvecScala, k = 6, m = 4, ksub = 8, iters = 2)
+        .select(col("id").as("vec_id"), col("dist"))),
+
     "q67_bm25" -> ((s, d) =>
       // lexical relevance: BM25 over the documents table (one scan; only
       // query-term tokens reach the shuffle)
@@ -692,6 +700,25 @@ object OpsQueries {
          ORDER BY query_id, rnk"""
     },
 
+    "q85_ann_pq" -> {
+      val d = 16
+      def qslice(s: Int) = vecSql(qvecScala.slice(s * d, (s + 1) * d))
+      val subs = (0 until 4).map(s =>
+        PortableSql.pqSubTrainSql(s"p${s}_", s * d + 1, (s + 1) * d, d))
+        .mkString(",\n")
+      val dists = (0 until 4).map { s =>
+        s"""SELECT b.id, list_sum(list_transform(range($d),
+              i -> ((${qslice(s)})[i + 1] - c.c[i + 1])
+                   * ((${qslice(s)})[i + 1] - c.c[i + 1]))) AS dist
+            FROM p${s}_bf b JOIN p${s}_c2 c ON b.cid = c.cid"""
+      }.mkString(" UNION ALL ")
+      s"""WITH $subs,
+         alld AS ($dists),
+         tot AS (SELECT id, sum(dist) AS dist FROM alld GROUP BY id)
+         SELECT id AS vec_id, round(dist, 4) AS dist FROM tot
+         ORDER BY round(dist, 4), id LIMIT 6"""
+    },
+
     "q67_bm25" -> (PortableSql.bm25Sql(Seq("join", "hash", "window")) +
       """
          SELECT doc_id, round(score, 4) AS s FROM sc
@@ -912,6 +939,43 @@ private[queries] object PortableSql {
        bf AS (SELECT id, v, cid FROM
                (SELECT *, row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rn
                 FROM af) WHERE rn = 1),"""
+  }
+
+  /** Per-subspace PQ codebook training — [[ivfTrainSql]]'s exact
+    * arithmetic on a LIST SLICE `embedding[lo:hi]` (md5 seed draw, 50%
+    * sample, 2 Lloyd iterations, 1/1024-quantized means, ksub = 8), every
+    * CTE prefixed with `p` so the q85 oracle trains all subspaces in one
+    * statement. Exposes `${p}c2` (cid, centroid) and `${p}bf` (id, v,
+    * cid): every sub-vector with its code. */
+  def pqSubTrainSql(p: String, lo: Int, hi: Int, dims: Int): String = {
+    def iter(i: Int, prev: String): String =
+      s"""${p}a$i AS (SELECT x.id, x.v, c.cid, ${cosSql("x.v", "c.c")} AS sim
+                  FROM ${p}tr x CROSS JOIN $prev c),
+         ${p}b$i AS (SELECT id, v, cid FROM
+                  (SELECT *, row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rn
+                   FROM ${p}a$i) WHERE rn = 1),
+         ${p}u$i AS (SELECT cid, j, round(avg(v[j + 1]) * 1024) / 1024 AS q
+                 FROM ${p}b$i CROSS JOIN range($dims) r(j) GROUP BY cid, j),
+         ${p}n$i AS (SELECT cid, list(q ORDER BY j) AS c FROM ${p}u$i GROUP BY cid),
+         ${p}c$i AS (SELECT pp.cid, coalesce(${p}n$i.c, pp.c) AS c
+                 FROM $prev pp LEFT JOIN ${p}n$i ON pp.cid = ${p}n$i.cid)"""
+    s"""${p}v AS (
+         SELECT vec_id AS id,
+                list_transform(embedding[$lo:$hi], x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       ${p}hs AS (SELECT id, v,
+                CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+              FROM ${p}v),
+       ${p}tr AS (SELECT id, v, h FROM ${p}hs WHERE h % 100 < 50),
+       ${p}seeds AS (SELECT v, h FROM ${p}tr ORDER BY h LIMIT 8),
+       ${p}c0 AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cid, v AS c FROM ${p}seeds),
+       ${iter(1, s"${p}c0")},
+       ${iter(2, s"${p}c1")},
+       ${p}af AS (SELECT x.id, x.v, c.cid, ${cosSql("x.v", "c.c")} AS sim
+              FROM ${p}v x CROSS JOIN ${p}c2 c),
+       ${p}bf AS (SELECT id, v, cid FROM
+               (SELECT *, row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rn
+                FROM ${p}af) WHERE rn = 1)"""
   }
 
   /** CTE chain `docs → rawc → idxd → chunks(doc_id, chunk_index, ntext)`:

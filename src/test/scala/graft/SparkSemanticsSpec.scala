@@ -190,6 +190,42 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rIvf >= 5, s"ivf recall $rIvf/10 too low")
   }
 
+  test("pq: ADC ranking matches a driver-side reference computation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Array.fill(64)(0.125f)
+    val m = 4; val d = 16
+    val books = graft.ops.Pq.trainCodebooks(emb, col("vec_id"),
+      col("embedding"), 64, m, ksub = 8, iters = 2, sampleFraction = 50)
+    val tables = graft.ops.Pq.adcTables(q, books)
+    // reference: same cosine-argmax code assignment + table sum, in plain
+    // Scala over the collected vectors
+    def cos(a: Seq[Float], c: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * c(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += c(i).toDouble * c(i).toDouble
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val expect = rows.map { case (id, v) =>
+      val dist = (0 until m).map { s =>
+        val sub = v.slice(s * d, (s + 1) * d)
+        val code = books(s).sortBy(_._1)
+          .map { case (cid, c) => (cid, cos(sub, c)) }
+          .maxBy { case (cid, sim) => (sim, -cid) }._1
+        tables(s)(code)
+      }.sum
+      (id, BigDecimal(dist).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, dist) => (dist, id) }.take(6).toSeq
+    val got = graft.ops.Pq.pqTopK(emb, col("vec_id"), col("embedding"), q,
+        k = 6, m = m, ksub = 8, iters = 2, sampleFraction = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect)
+  }
+
   test("minhash LSH recall vs exact jaccard at sf0.001") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("doc_id") < 100)
