@@ -15,7 +15,9 @@ import scala.util.matching.Regex
  * format [[graft.expr.Chunker]] already parses for page provenance.
  *
  * Scope (the "common case" a text pipeline meets): objects and object
- * streams (ObjStm), FlateDecode/ASCIIHexDecode content streams, text
+ * streams (ObjStm), Flate/LZW/ASCIIHex/ASCII85/RunLength stream filters
+ * with PNG/TIFF predictors (`/DecodeParms /Predictor 12` is near-universal
+ * on real ObjStm/XRef streams), text
  * operators `BT/ET Tj ' " TJ Td TD T* Tm Tf`, literal/hex strings with
  * escapes and UTF-16BE, and CID/Identity-H multi-byte fonts via their
  * /ToUnicode CMap (`bfchar`/`bfrange`, round 3): the `Tf` operator selects
@@ -342,12 +344,40 @@ object PdfText {
         case PArr(items) => items.map(resolve).collect { case PName(n) => n }
         case _ => Nil
       }
-      filters.foldLeft(s.raw) { (data, f) =>
+      // /DecodeParms (alias /DP) aligns 1:1 with the filter chain: a single
+      // dict for one filter, an array (with nulls) for several
+      val parms: Int => Map[String, Obj] = {
+        val raw = resolve(s.dict.m.getOrElse("DecodeParms",
+          s.dict.m.getOrElse("DP", PNull)))
+        raw match {
+          case PDict(m) => i => if (i == 0) m else Map.empty
+          case PArr(items) => i =>
+            if (i < items.length) dictOf(items(i)) else Map.empty
+          case _ => _ => Map.empty
+        }
+      }
+      filters.zipWithIndex.foldLeft(s.raw) { case (data, (f, i)) =>
         if (data == null) null
-        else f match {
-          case "FlateDecode" => inflate(data)
-          case "ASCIIHexDecode" => asciiHex(data)
-          case _ => null // unsupported (DCT, LZW, crypt) → skip
+        else {
+          val p = parms(i)
+          def pInt(k: String, dflt: Int): Int = resolve(p.getOrElse(k, PNull)) match {
+            case PNum(v) => v.toInt
+            case _ => dflt
+          }
+          val decoded = f match {
+            case "FlateDecode" | "Fl" => inflate(data)
+            case "LZWDecode" | "LZW" => lzw(data, pInt("EarlyChange", 1))
+            case "ASCIIHexDecode" | "AHx" => asciiHex(data)
+            case "ASCII85Decode" | "A85" => ascii85(data)
+            case "RunLengthDecode" | "RL" => runLength(data)
+            case _ => null // unsupported (DCT, JPX, CCITT, crypt) → skip
+          }
+          // PNG/TIFF predictors post-process Flate/LZW output (ubiquitous
+          // on real-world ObjStm and XRef streams: Predictor 12 /Columns n)
+          val predictor = pInt("Predictor", 1)
+          if (decoded == null || predictor <= 1) decoded
+          else unpredict(decoded, predictor, pInt("Columns", 1),
+            pInt("Colors", 1), pInt("BitsPerComponent", 8))
         }
       }
     }
@@ -368,6 +398,152 @@ object PdfText {
       }
       out.toByteArray
     } catch { case _: Exception => null } finally inf.end()
+  }
+
+  /** LZW with the PDF/TIFF variable-code scheme: 9→12-bit codes, 256 =
+    * clear table, 257 = EOD; `earlyChange = 1` (the default) widens the
+    * code one entry early. Returns null on a corrupt code stream. */
+  private def lzw(data: Array[Byte], earlyChange: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 3)
+    val dict = new java.util.ArrayList[Array[Byte]](4096)
+    def resetDict(): Unit = {
+      dict.clear()
+      var i = 0
+      while (i < 256) { dict.add(Array(i.toByte)); i += 1 }
+      dict.add(null); dict.add(null) // 256 clear, 257 EOD
+    }
+    resetDict()
+    var width = 9
+    var buf = 0L
+    var nbits = 0
+    var prev: Array[Byte] = null
+    var pos = 0
+    while (pos < data.length || nbits >= width) {
+      if (nbits < width) {
+        buf = (buf << 8) | (data(pos) & 0xFF); nbits += 8; pos += 1
+      } else {
+        val code = ((buf >> (nbits - width)) & ((1 << width) - 1)).toInt
+        nbits -= width
+        if (code == 257) return out.toByteArray // EOD
+        else if (code == 256) { resetDict(); width = 9; prev = null }
+        else {
+          val entry: Array[Byte] =
+            if (code < dict.size() && dict.get(code) != null) dict.get(code)
+            else if (code == dict.size() && prev != null) prev :+ prev(0)
+            else return null // corrupt
+          out.write(entry, 0, entry.length)
+          if (prev != null) dict.add(prev :+ entry(0))
+          prev = entry
+          if (dict.size() + earlyChange >= (1 << width) && width < 12) width += 1
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** ASCII85 ('z' → four zero bytes, `~>` terminator, partial final group). */
+  private def ascii85(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5)
+    var tuple = 0L
+    var n = 0
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '~') done = true
+      else if (c == 'z' && n == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+      else if (c >= '!' && c <= 'u') {
+        tuple = tuple * 85 + (c - '!')
+        n += 1
+        if (n == 5) {
+          out.write(((tuple >> 24) & 0xFF).toInt); out.write(((tuple >> 16) & 0xFF).toInt)
+          out.write(((tuple >> 8) & 0xFF).toInt); out.write((tuple & 0xFF).toInt)
+          tuple = 0L; n = 0
+        }
+      } // whitespace and other bytes: skipped
+      i += 1
+    }
+    if (n > 0) { // partial group: pad with 'u', emit n-1 bytes
+      var k = n
+      while (k < 5) { tuple = tuple * 85 + 84; k += 1 }
+      val bytes = Array(((tuple >> 24) & 0xFF).toByte, ((tuple >> 16) & 0xFF).toByte,
+        ((tuple >> 8) & 0xFF).toByte, (tuple & 0xFF).toByte)
+      out.write(bytes, 0, n - 1)
+    }
+    out.toByteArray
+  }
+
+  /** RunLengthDecode: length byte L — L ≤ 127: copy L+1 literals; L ≥ 129:
+    * repeat next byte 257−L times; 128 = EOD. */
+  private def runLength(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 2)
+    var i = 0
+    while (i < data.length) {
+      val l = data(i) & 0xFF
+      i += 1
+      if (l == 128) return out.toByteArray
+      else if (l <= 127) {
+        val n = math.min(l + 1, data.length - i)
+        out.write(data, i, n); i += n
+      } else if (i < data.length) {
+        val b = data(i); i += 1
+        var k = 0
+        while (k < 257 - l) { out.write(b); k += 1 }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Undo PNG (10-15) / TIFF (2) predictors applied before Flate/LZW —
+    * real-world ObjStm and XRef streams almost always carry
+    * `/Predictor 12 /Columns n`. Unknown row filters yield null (skip). */
+  private def unpredict(data: Array[Byte], predictor: Int, columns: Int,
+      colors: Int, bpc: Int): Array[Byte] = {
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = math.max(1, (columns * colors * bpc + 7) / 8)
+    if (predictor == 2) { // TIFF horizontal differencing (8-bit case)
+      if (bpc != 8) return null
+      val out = data.clone()
+      var r = 0
+      while (r + rowLen <= out.length) {
+        var i = r + bpp
+        while (i < r + rowLen) { out(i) = (out(i) + out(i - bpp)).toByte; i += 1 }
+        r += rowLen
+      }
+      return out
+    }
+    // PNG: each row is 1 filter byte + rowLen data bytes
+    val stride = rowLen + 1
+    val rows = data.length / stride
+    val out = new Array[Byte](rows * rowLen)
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * stride) & 0xFF
+      val src = r * stride + 1
+      val dst = r * rowLen
+      var i = 0
+      while (i < rowLen) {
+        val raw = data(src + i) & 0xFF
+        val left = if (i >= bpp) out(dst + i - bpp) & 0xFF else 0
+        val up = if (r > 0) out(dst - rowLen + i) & 0xFF else 0
+        val ul = if (r > 0 && i >= bpp) out(dst - rowLen + i - bpp) & 0xFF else 0
+        val v = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + (left + up) / 2
+          case 4 => // Paeth
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => return null
+        }
+        out(dst + i) = (v & 0xFF).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
   }
 
   private def asciiHex(data: Array[Byte]): Array[Byte] = {

@@ -78,6 +78,15 @@ object Pq {
     }
   }
 
+  /** The ADC distance column for a literal table set: per subspace, a
+    * row-local code argmax feeding a literal-array lookup; zero exchanges. */
+  private def adcDist(v: Column, tables: Seq[Seq[Double]],
+      books: Seq[Seq[(Int, Seq[Float])]], d: Int): Column =
+    tables.indices.map { s =>
+      element_at(typedLit(tables(s)),
+        nearest_centroid(slice(v, s * d + 1, d), Ivf.centsLit(books(s))) + 1)
+    }.reduce(_ + _)
+
   /** Approximate top-k by ADC distance (ascending; ties → lowest id):
     * train → per-row code assignment → literal-table lookups summed — the
     * whole scoring pass is a projection feeding `TakeOrderedAndProject`.
@@ -91,11 +100,42 @@ object Pq {
       sampleFraction)
     val tables = adcTables(query, books)
     val v = vecCol.cast("array<float>")
-    val dist = (0 until m).map { s =>
-      element_at(typedLit(tables(s)),
-        nearest_centroid(slice(v, s * d + 1, d), Ivf.centsLit(books(s))) + 1)
-    }.reduce(_ + _)
-    emb.select(idCol.as("id"), round(dist, 4).as("dist"))
+    emb.select(idCol.as("id"),
+        round(adcDist(v, tables, books, d), 4).as("dist"))
+      .orderBy(col("dist").asc, col("id"))
+      .limit(k)
+  }
+
+  /** IVF-PQ: the two scan reductions composed — IVF's coarse clustering
+    * prunes WHICH rows are scored (only `nprobe` of `nlist` cells), PQ's
+    * codes shrink WHAT scoring costs (m table lookups instead of a dim-wide
+    * cosine). Both the cell assignment and the ADC lookup are row-local
+    * literal-driven projections: the scoring plan has zero exchanges, and
+    * on a cluster-partitioned store the probe filter becomes directory
+    * pruning exactly as in [[graft.query.Searcher.searchIvf]].
+    *
+    * Codebooks here quantize the RAW vectors (query-independent, shareable
+    * across cells); classical FAISS IVFADC quantizes residuals v − C_cell,
+    * which buys accuracy at the cost of per-cell query tables — a
+    * refinement, not a different shape. */
+  def ivfPqTopK(emb: DataFrame, idCol: Column, vecCol: Column,
+      query: Array[Float], k: Int, nlist: Int = 8, nprobe: Int = 2,
+      m: Int = 4, ksub: Int = 8, iters: Int = 2,
+      sampleFraction: Int = 50): DataFrame = {
+    val dim = query.length
+    val d = dim / m
+    val coarse = Ivf.trainCentroids(emb, idCol, vecCol, nlist, iters,
+      sampleFraction)
+    val probes = Ivf.probeList(coarse, query, nprobe)
+    val books = trainCodebooks(emb, idCol, vecCol, dim, m, ksub, iters,
+      sampleFraction)
+    val tables = adcTables(query, books)
+    emb.select(idCol.as("id"), vecCol.cast("array<float>").as("v"))
+      .withColumn("cluster",
+        coalesce(nearest_centroid(col("v"), Ivf.centsLit(coarse)), lit(-1)))
+      .filter(col("cluster").isin(probes: _*))
+      .select(col("id"),
+        round(adcDist(col("v"), tables, books, d), 4).as("dist"))
       .orderBy(col("dist").asc, col("id"))
       .limit(k)
   }

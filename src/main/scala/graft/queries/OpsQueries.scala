@@ -124,6 +124,14 @@ object OpsQueries {
           col("embedding"), qvecScala, k = 6, m = 4, ksub = 8, iters = 2)
         .select(col("id").as("vec_id"), col("dist"))),
 
+    "q86_ann_ivfpq" -> ((s, d) =>
+      // the composed index: IVF coarse cells prune WHICH rows score, PQ
+      // codes shrink WHAT scoring costs; both row-local projections
+      graft.ops.Pq.ivfPqTopK(t(s, d, "embeddings"), col("vec_id"),
+          col("embedding"), qvecScala, k = 6, nlist = 8, nprobe = 2,
+          m = 4, ksub = 8, iters = 2)
+        .select(col("id").as("vec_id"), col("dist"))),
+
     "q67_bm25" -> ((s, d) =>
       // lexical relevance: BM25 over the documents table (one scan; only
       // query-term tokens reach the shuffle)
@@ -717,6 +725,32 @@ object OpsQueries {
          tot AS (SELECT id, sum(dist) AS dist FROM alld GROUP BY id)
          SELECT id AS vec_id, round(dist, 4) AS dist FROM tot
          ORDER BY round(dist, 4), id LIMIT 6"""
+    },
+
+    "q86_ann_ivfpq" -> {
+      val d = 16
+      val qv = vecSql(qvecScala)
+      def qslice(s: Int) = vecSql(qvecScala.slice(s * d, (s + 1) * d))
+      val subs = (0 until 4).map(s =>
+        PortableSql.pqSubTrainSql(s"p${s}_", s * d + 1, (s + 1) * d, d))
+        .mkString(",\n")
+      val dists = (0 until 4).map { s =>
+        s"""SELECT b.id, list_sum(list_transform(range($d),
+              i -> ((${qslice(s)})[i + 1] - c.c[i + 1])
+                   * ((${qslice(s)})[i + 1] - c.c[i + 1]))) AS dist
+            FROM p${s}_bf b JOIN p${s}_c2 c ON b.cid = c.cid"""
+      }.mkString(" UNION ALL ")
+      // ivfTrainSql's bf/c2 = coarse assignment; pq subs = fine distances
+      s"""${PortableSql.ivfTrainSql}
+         $subs,
+         pc AS (SELECT cid FROM c2
+                ORDER BY ${PortableSql.cosSql(qv, "c")} DESC, cid LIMIT 2),
+         alld AS ($dists),
+         tot AS (SELECT id, sum(dist) AS dist FROM alld GROUP BY id)
+         SELECT b.id AS vec_id, round(t.dist, 4) AS dist
+         FROM bf b JOIN tot t ON b.id = t.id
+         WHERE b.cid IN (SELECT cid FROM pc)
+         ORDER BY round(t.dist, 4), b.id LIMIT 6"""
     },
 
     "q67_bm25" -> (PortableSql.bm25Sql(Seq("join", "hash", "window")) +

@@ -447,11 +447,11 @@ endbfrange""")
   }
 
   test("pdf: unusable ToUnicode (undecodable filter) = absent, not garbage") {
-    // the CMap stream exists but decodeStream can't read it (LZW): the CID
+    // the CMap stream exists but decodeStream can't read it (DCT): the CID
     // font must get the empty decoder, same as no ToUnicode at all
     val cm = PdfFixtures.cmap("1 beginbfchar\n<0001> <0041>\nendbfchar")
     val got = RichExtractors.extractPdf(PdfFixtures.mkCidPdf(
-      "BT /F9 12 Tf <00010002> Tj ET", cm, cmapFilter = "LZWDecode"))
+      "BT /F9 12 Tf <00010002> Tj ET", cm, cmapFilter = "DCTDecode"))
     assert(got == null, s"glyph-id bytes must not leak via the fallback: $got")
   }
 
@@ -497,6 +497,117 @@ endbfchar""")
     w("3 0 obj 2 0 R endobj\n")
     w("trailer << /Root 1 0 R >>\n%%EOF")
     assert(RichExtractors.extractPdf(out.toByteArray) == null)
+  }
+
+  // ---- stream filters beyond Flate/AHx ----
+
+  private def onePagePdf(streamDict: String, data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${data.length} $streamDict >> stream\n")
+    out.write(data)
+    w("\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF")
+    out.toByteArray
+  }
+
+  private def a85(bytes: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < bytes.length) {
+      val n = math.min(4, bytes.length - i)
+      var tuple = 0L
+      for (k <- 0 until 4)
+        tuple = (tuple << 8) | (if (i + k < bytes.length) bytes(i + k) & 0xFF else 0)
+      val cs = new Array[Char](5)
+      var t = tuple
+      for (k <- 4 to 0 by -1) { cs(k) = ('!' + (t % 85)).toChar; t /= 85 }
+      sb.appendAll(cs, 0, n + 1)
+      i += n
+    }
+    sb.append("~>")
+    sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  private def rle(bytes: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var i = 0
+    while (i < bytes.length) {
+      val n = math.min(128, bytes.length - i)
+      out.write(n - 1)
+      out.write(bytes, i, n)
+      i += n
+    }
+    out.write(128) // EOD
+    out.toByteArray
+  }
+
+  private def lzwEnc(data: Array[Byte]): Array[Byte] = {
+    // uncompressed LZW: clear, each byte as a literal code, EOD — mirrors the
+    // decoder's width progression (stays at 9 bits for short payloads)
+    val out = new ByteArrayOutputStream()
+    var buf = 0L; var nbits = 0; var width = 9; var dictSize = 258
+    def emit(code: Int): Unit = {
+      buf = (buf << width) | code; nbits += width
+      while (nbits >= 8) { out.write(((buf >> (nbits - 8)) & 0xFF).toInt); nbits -= 8 }
+    }
+    emit(256)
+    var first = true
+    for (b <- data) {
+      emit(b & 0xFF)
+      if (!first) { dictSize += 1; if (dictSize + 1 >= (1 << width) && width < 12) width += 1 }
+      first = false
+    }
+    emit(257)
+    if (nbits > 0) out.write(((buf << (8 - nbits)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  test("pdf: ASCII85 / RunLength / LZW filters decode") {
+    val content = "BT /F1 10 Tf (filter test payload) Tj ET"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    for ((name, enc) <- Seq(
+        ("ASCII85Decode", a85(content)),
+        ("RunLengthDecode", rle(content)),
+        ("LZWDecode", lzwEnc(content)))) {
+      val got = RichExtractors.extractPdf(onePagePdf(s"/Filter /$name", enc))
+      assert(got != null && got.contains("filter test payload"), name)
+    }
+    // chained: ASCII85 over RunLength (outermost filter listed first)
+    val chained = onePagePdf("/Filter [/ASCII85Decode /RunLengthDecode]",
+      a85(rle(content)))
+    assert(RichExtractors.extractPdf(chained).contains("filter test payload"))
+  }
+
+  test("pdf: FlateDecode with PNG Up predictor (DecodeParms) round-trips") {
+    val content = "BT /F1 10 Tf (predicted payload rows here) Tj ET"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val columns = 10
+    // pad to whole rows, apply PNG filter type 2 (Up) per row
+    val rows = (content.length + columns - 1) / columns
+    val padded = java.util.Arrays.copyOf(content, rows * columns)
+    val pred = new ByteArrayOutputStream()
+    for (r <- 0 until rows) {
+      pred.write(2) // Up
+      for (i <- 0 until columns) {
+        val cur = padded(r * columns + i) & 0xFF
+        val up = if (r > 0) padded((r - 1) * columns + i) & 0xFF else 0
+        pred.write((cur - up) & 0xFF)
+      }
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(pred.toByteArray); d.finish()
+    val buf = new Array[Byte](pred.size() * 2 + 64)
+    val m = d.deflate(buf); d.end()
+    val data = java.util.Arrays.copyOf(buf, m)
+    val pdf = onePagePdf(
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $columns >>",
+      data)
+    val got = RichExtractors.extractPdf(pdf)
+    assert(got != null && got.contains("predicted payload rows here"))
   }
 
   // ---- encrypted PDFs: standard security handler, empty user password ----

@@ -226,6 +226,30 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expect)
   }
 
+  test("ivf-pq: pruning composes — results are probed-cell rows ranked by ADC") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Array.fill(64)(0.125f)
+    val coarse = graft.ops.Ivf.trainCentroids(emb, col("vec_id"),
+      col("embedding"), 8, iters = 2, sampleFraction = 50)
+    val probes = graft.ops.Ivf.probeList(coarse, q, 2).toSet
+    val cells = graft.ops.Ivf.assignClusters(
+        emb.select(col("vec_id").as("id"), col("embedding").as("v")),
+        col("id"), col("v"), coarse)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val got = graft.ops.Pq.ivfPqTopK(emb, col("vec_id"), col("embedding"), q,
+        k = 6, nlist = 8, nprobe = 2, m = 4, ksub = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // every hit comes from a probed cell…
+    assert(got.forall { case (id, _) => probes.contains(cells(id)) })
+    // …and matches the unpruned PQ ranking restricted to those cells
+    val pqAll = graft.ops.Pq.pqTopK(emb, col("vec_id"), col("embedding"), q,
+        k = emb.count().toInt, m = 4, ksub = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val expect = pqAll.filter { case (id, _) => probes.contains(cells(id)) }
+      .sortBy { case (id, dist) => (dist, id) }.take(6).toSeq
+    assert(got.toSeq == expect)
+  }
+
   test("minhash LSH recall vs exact jaccard at sf0.001") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("doc_id") < 100)
