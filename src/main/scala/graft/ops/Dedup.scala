@@ -42,29 +42,71 @@ object Dedup {
       .agg(count("*").as("n"), min(idCol).as("keep"))
       .filter(col("n") > 1)
 
-  /** Distinct LSH candidate pairs `(a_id, b_id)` from banding a minhash
-    * signature: `bands` buckets of `rowsPerBand` hashes each. Token-less
-    * documents are excluded up front (their sentinel signatures would
-    * band-match each other; the DuckDB oracle has no rows for them). */
-  def lshCandidatePairs(df: DataFrame, idCol: Column, textCol: Column,
+  /** The LSH band table `(id, band, bucket)` of a corpus — the artifact an
+    * INCREMENTAL pipeline persists (parquet, partitioned or bucketed by
+    * `(band, bucket)`): new batches join against it without recomputing a
+    * single corpus signature. Band bucket = the band's signature slice
+    * verbatim (joined as a string key): exact equality, no cross-band or
+    * hash-collision candidates — the oracle reproduces the buckets from
+    * md5 alone. Token-less documents are excluded up front (their sentinel
+    * signatures would band-match each other). */
+  def bandTable(df: DataFrame, idCol: Column, textCol: Column,
       bands: Int = 16, rowsPerBand: Int = 4, seed: Long = 42L,
       shingleSize: Int = 3): DataFrame = {
     val sig = df.filter(length(trim(textCol)) > 0).select(idCol.as("id"),
       minhash(textCol, bands * rowsPerBand, shingleSize, seed).as("sig"))
-    // band bucket = the band's slice of the signature verbatim (joined as a
-    // string key): exact equality, no cross-band or hash-collision
-    // candidates — the oracle reproduces the same buckets from md5 alone
-    val banded = sig.select(col("id"),
+    sig.select(col("id"),
       posexplode(array((0 until bands).map(bn =>
         concat_ws("_", slice(col("sig"), bn * rowsPerBand + 1, rowsPerBand)
           .cast("array<string>"))): _*)))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+  }
+
+  /** Distinct LSH candidate pairs `(a_id, b_id)` from the band table's
+    * self-join. */
+  def lshCandidatePairs(df: DataFrame, idCol: Column, textCol: Column,
+      bands: Int = 16, rowsPerBand: Int = 4, seed: Long = 42L,
+      shingleSize: Int = 3): DataFrame = {
+    val banded = bandTable(df, idCol, textCol, bands, rowsPerBand, seed,
+      shingleSize)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
+  }
+
+  /** Incremental near-duplicate detection: a NEW batch against an EXISTING
+    * corpus via the corpus's persisted [[bandTable]] — the shape a daily
+    * ingest runs, where the corpus side costs zero signature recomputation
+    * and the join touches only colliding `(band, bucket)` keys. With the
+    * stored table bucketed on `(band, bucket)`, only the (small) new
+    * batch shuffles. New-vs-new duplicates inside the batch are
+    * [[minHashDuplicates]]'s job — this op returns CROSS pairs only:
+    * `(corpus_id, new_id, jaccard)` at ≥ `threshold`, exact-verified on
+    * the same shingle space the signatures were built over. */
+  def incrementalDuplicates(newDf: DataFrame, newIdCol: Column,
+      newTextCol: Column, corpusBands: DataFrame, corpus: DataFrame,
+      corpusIdCol: Column, corpusTextCol: Column, threshold: Double,
+      bands: Int = 16, rowsPerBand: Int = 4, seed: Long = 42L,
+      shingleSize: Int = 3): DataFrame = {
+    val newBands = bandTable(newDf, newIdCol, newTextCol, bands, rowsPerBand,
+      seed, shingleSize)
+    val cands = corpusBands.as("a")
+      .join(newBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("corpus_id"), col("b.id").as("new_id"))
+      .distinct()
+    val aToks = corpus.select(corpusIdCol.as("corpus_id"),
+      shingleSet(corpusTextCol, shingleSize).as("a_toks"))
+    val bToks = newDf.select(newIdCol.as("new_id"),
+      shingleSet(newTextCol, shingleSize).as("b_toks"))
+    cands.join(aToks, "corpus_id").join(bToks, "new_id")
+      .select(col("corpus_id"), col("new_id"),
+        (size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
+          size(array_union(col("a_toks"), col("b_toks")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Distinct word `shingleSize`-gram set of a text column (shingleSize = 1

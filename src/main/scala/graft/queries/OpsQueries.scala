@@ -72,6 +72,22 @@ object OpsQueries {
           col("keep"))
         .orderBy("vec_id")),
 
+    "q87_incremental_dedup" -> ((s, d) => {
+      // daily-ingest shape: docs 150-199 arrive as a new batch and are
+      // checked against the persisted band table of corpus docs 0-149 —
+      // zero corpus signature recomputation, cross pairs only
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") < 150)
+      val batch = docs.filter(col("doc_id") >= 150 && col("doc_id") < 200)
+      val bt = Dedup.bandTable(corpus, col("doc_id"), col("text"),
+        shingleSize = 1)
+      Dedup.incrementalDuplicates(batch, col("doc_id"), col("text"), bt,
+          corpus, col("doc_id"), col("text"), 0.7, shingleSize = 1)
+        .select(col("corpus_id"), col("new_id"),
+          round(col("jaccard"), 4).as("j"))
+        .orderBy("corpus_id", "new_id")
+    }),
+
     "q44_dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
         t(s, d, "documents").filter(col("doc_id") < 100),
@@ -587,6 +603,15 @@ object OpsQueries {
     "q43_dedup_minhash" ->
       s"""WITH ${PortableSql.minhashVerifiedPairCtes}
          SELECT a_id, b_id, j FROM vp ORDER BY a_id, b_id""",
+
+    "q87_incremental_dedup" ->
+      // the full <200 pair set restricted to corpus(<150) × batch(150-199):
+      // band collisions and the verify threshold are identical, so the
+      // incremental path must reproduce exactly this slice
+      s"""WITH ${PortableSql.minhashVerifiedPairCtes}
+         SELECT a_id AS corpus_id, b_id AS new_id, j FROM vp
+         WHERE a_id < 150 AND b_id >= 150
+         ORDER BY corpus_id, new_id""",
 
     "q80_dup_clusters" ->
       // connected components over the verified near-dup pairs: recursive

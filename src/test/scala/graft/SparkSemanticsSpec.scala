@@ -280,6 +280,22 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one(4L) == 2L && one(2L) == 1L && one(3L) == 1L)
   }
 
+  test("incremental dedup equals the full run's cross slice") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 100)
+    val full = Dedup.minHashDuplicates(docs, col("doc_id"), col("text"), 0.7,
+        shingleSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val corpus = docs.filter(col("doc_id") < 60)
+    val batch = docs.filter(col("doc_id") >= 60)
+    val bt = Dedup.bandTable(corpus, col("doc_id"), col("text"), shingleSize = 1)
+    val inc = Dedup.incrementalDuplicates(batch, col("doc_id"), col("text"),
+        bt, corpus, col("doc_id"), col("text"), 0.7, shingleSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = full.filter { case (a, b) => a < 60 && b >= 60 }
+    assert(inc == expect)
+  }
+
   test("dedupCorpus: survivors = per-cluster min id + untouched singletons") {
     import spark.implicits._
     // 1≈2≈3 near-identical (unigram jaccard 1.0 or high); 7 unrelated
