@@ -44,19 +44,23 @@ object Pq {
     }
   }
 
-  /** `(id, codes)` — the PQ encoding: per subspace, the nearest-centroid
-    * id via the same row-local argmax as IVF assignment. Pure projection,
-    * zero exchanges, one output row per input row. */
-  def encode(emb: DataFrame, idCol: Column, vecCol: Column, dim: Int,
-      books: Seq[Seq[(Int, Seq[Float])]]): DataFrame = {
+  /** The `ARRAY<INT>` codes column: per subspace, the nearest-centroid id
+    * via the same row-local argmax as IVF assignment. */
+  def codesColumn(vecCol: Column, dim: Int,
+      books: Seq[Seq[(Int, Seq[Float])]]): Column = {
     val m = books.length
     val d = dim / m
-    val codes = array((0 until m).map { s =>
+    array((0 until m).map { s =>
       nearest_centroid(slice(vecCol.cast("array<float>"), s * d + 1, d),
         Ivf.centsLit(books(s)))
     }: _*)
-    emb.select(idCol.as("id"), codes.as("codes"))
   }
+
+  /** `(id, codes)` — the PQ encoding. Pure projection, zero exchanges, one
+    * output row per input row. */
+  def encode(emb: DataFrame, idCol: Column, vecCol: Column, dim: Int,
+      books: Seq[Seq[(Int, Seq[Float])]]): DataFrame =
+    emb.select(idCol.as("id"), codesColumn(vecCol, dim, books).as("codes"))
 
   /** Squared-L2 ADC lookup tables for one query: `table(s)(cid)` =
     * ‖q_s − c_{s,cid}‖² (driver-side; m × ksub doubles). */

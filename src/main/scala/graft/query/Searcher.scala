@@ -247,6 +247,54 @@ final class Searcher(spark: SparkSession, store: VectorStore) {
       .orderBy(col("similarity_score").desc, col("id"))
   }
 
+  /** Approximate search over an IVF-PQ store
+    * ([[graft.store.VectorStore.writeVectorsPq]]) with exact re-ranking:
+    * the CANDIDATE pass scans the `pq_codes` SIDE TABLE — m small ints per
+    * row instead of the dim-float vector — pruned to the probed cluster
+    * directories and ranked by the ADC table lookup
+    * ([[graft.ops.Pq.adcTables]]); the k survivors are then REFINED with
+    * the exact cosine against their stored vectors (an id-pushdown read of
+    * k rows — the classic PQ refine step), so `p.threshold` and the
+    * returned `similarity_score` keep the exact-path semantics whatever
+    * the embedding's norm. Accuracy trade lives entirely in WHICH k
+    * candidates the codes surface, never in their scores. */
+  def searchPq(db: String, query: String, p: Searcher.Params = Searcher.Params(),
+      nprobe: Int = 2): DataFrame = {
+    val prompted = p.promptFamily.fold(TextNorm.normalizeQuery(query)) { fam =>
+      graft.embed.PromptPrefix.applyTo(fam, isQuery = true,
+        TextNorm.normalizeQuery(query))
+    }
+    val qvec = p.embedder.embed(prompted)
+    val cents = store.centroids(db)
+    val books = store.codebooks(db)
+    val probes = graft.ops.Ivf.probeList(cents, qvec, nprobe)
+    val tables = graft.ops.Pq.adcTables(qvec, books)
+    val dist = tables.indices.map { s =>
+      element_at(typedLit(tables(s)), element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+
+    val codes = spark.read.parquet(s"${store.dbDir(db)}/pq_codes")
+    val candidates = codes
+      .filter(col("cluster").isin(probes: _*)) // directory pruning
+      .select(col("id"), dist.as("adc"))
+      .orderBy(col("adc").asc, col("id"))
+      .limit(p.k)
+      .collect().map(_.getLong(0))
+    val vectors = vectorsOf(db)
+    if (candidates.isEmpty) return emptyHits(vectors)
+
+    // exact refine: k rows, id-pushdown into the pruned partitions
+    vectors.filter(col("cluster").isin(probes: _*))
+      .filter(col("id").isin(candidates: _*))
+      .select(col("id"), col("text"), col("metadata"),
+        cosine_similarity(col("vector"), typedLit(qvec)).as("sim"))
+      .filter(col("sim") >= p.threshold)
+      .withColumn("similarity_score", least(greatest(col("sim"), lit(0.0)), lit(1.0)))
+      .withColumn("distance", lit(1.0) - col("sim"))
+      .drop("sim")
+      .orderBy(col("similarity_score").desc, col("id"))
+  }
+
   /** Embedded query vectors for a batch (prompt-prefix + normalize, O5/O6). */
   private def embedMany(queries: Seq[(String, String)],
       p: Searcher.Params): Seq[(String, Array[Float])] =

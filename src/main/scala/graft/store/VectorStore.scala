@@ -93,6 +93,61 @@ final class VectorStore(spark: SparkSession, warehouse: String) {
         (r.getAs[Seq[Float]]("c").toVector: Seq[Float]))
       .sortBy(_._1).toSeq
 
+  /** IVF-PQ layout: the [[writeVectorsIvf]] cluster-partitioned vectors
+    * table (phase-2 text/metadata lookups) PLUS a `pq_codes` side table of
+    * `(id, codes)` per cluster — the scan [[graft.query.Searcher.searchPq]]
+    * actually reads: m small ints per vector instead of the dim-float
+    * array (the 16× scan-size cut that makes the candidate pass
+    * memory-resident at billion scale), pruned by the same cluster
+    * directories. Coarse centroids and the per-subspace codebooks persist
+    * beside the table. */
+  def writeVectorsPq(db: String, vectors: DataFrame, nlist: Int = 8,
+      m: Int = 4, ksub: Int = 8, iters: Int = 2,
+      sampleFraction: Int = 100): Unit = {
+    val dim = vectors.select(size(col("vector"))).head().getInt(0)
+    val cents = graft.ops.Ivf.trainCentroids(vectors, col("id"), col("vector"),
+      nlist, iters, sampleFraction)
+    val books = graft.ops.Pq.trainCodebooks(vectors, col("id"), col("vector"),
+      dim, m, ksub, iters, sampleFraction)
+    val spark2 = spark
+    import spark2.implicits._
+    cents.toDF("cid", "c").write.mode("overwrite")
+      .parquet(s"${dbDir(db)}/centroids")
+    books.zipWithIndex
+      .flatMap { case (book, s) => book.map { case (cid, c) => (s, cid, c) } }
+      .toDF("sub", "cid", "c").write.mode("overwrite")
+      .parquet(s"${dbDir(db)}/codebooks")
+    val assigned = graft.ops.Ivf.assignClusters(vectors, col("id"),
+        col("vector"), cents)
+      .repartition(col("cluster"))
+      .sortWithinPartitions("id")
+    assigned
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 100000)
+      .partitionBy("cluster")
+      .parquet(s"${dbDir(db)}/vectors")
+    // codes derive from the just-written table (one clean re-read beats
+    // recomputing the assignment lineage for a second write)
+    spark.read.parquet(s"${dbDir(db)}/vectors")
+      .select(col("id"), col("cluster"),
+        graft.ops.Pq.codesColumn(col("vector"), dim, books).as("codes"))
+      .write.mode("overwrite")
+      .partitionBy("cluster")
+      .parquet(s"${dbDir(db)}/pq_codes")
+  }
+
+  /** Per-subspace PQ codebooks of a [[writeVectorsPq]] store (tiny:
+    * m × ksub × dim/m floats). */
+  def codebooks(db: String): Seq[Seq[(Int, Seq[Float])]] =
+    spark.read.parquet(s"${dbDir(db)}/codebooks")
+      .collect()
+      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("cid"),
+        r.getAs[Seq[Float]]("c").toVector: Seq[Float]))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.map { case (_, cid, c) => (cid, c) }.sortBy(_._1).toSeq
+      }
+
   def writeDocuments(db: String, documents: DataFrame): Unit =
     documents.write.mode("overwrite").parquet(s"${dbDir(db)}/documents")
 

@@ -131,4 +131,49 @@ class ExtensionsAndClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bHits = rows.filter(_.getAs[String]("query_id") == "b")
     assert(bHits.nonEmpty && bHits.length <= 5)
   }
+
+  test("PQ store: codes-only candidate scan matches ivfPqTopK ranking") {
+    val work = Files.createTempDirectory("graft-pq").toString
+    val store = new VectorStore(spark, s"$work/wh")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val vectors = emb.select(
+      col("vec_id").as("id"),
+      col("embedding").as("vector"),
+      concat(lit("doc "), col("vec_id")).as("text"),
+      struct(lit("/x").as("file_path"), lit(".txt").as("file_type"),
+        lit("x.txt").as("file_name"), lit("t").as("creation_date"),
+        lit("t").as("modification_date"), lit("h").as("hash"),
+        lit("document").as("document_type"),
+        lit(null).cast("int").as("page_number")).as("metadata"))
+    store.writeVectorsPq("pqdb", vectors, nlist = 8, m = 4, ksub = 8,
+      iters = 2)
+
+    // codebooks round-trip; codes table is cluster-partitioned and SMALL
+    val books = store.codebooks("pqdb")
+    assert(books.length == 4 && books.forall(b =>
+      b.length == 8 && b.forall(_._2.length == 16)))
+    val codeDirs = new java.io.File(s"$work/wh/pqdb/pq_codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cluster="))
+    assert(codeDirs.length > 1)
+
+    // the store search must rank exactly like the ad-hoc operator on the
+    // same frame (identical training inputs -> identical codebooks/tables);
+    // sampleFraction 100 both sides pins the Lloyd sample
+    val searcher = new Searcher(spark, store)
+    val p = Searcher.Params(k = 5, threshold = -1.0)
+    val hits = searcher.searchPq("pqdb", "doc query text", p, nprobe = 8)
+    val got = hits.collect().map(_.getAs[Long]("id")).toSeq
+    val qvec = p.embedder.embed(
+      graft.expr.TextNorm.normalizeQuery("doc query text"))
+    val expect = graft.ops.Pq.ivfPqTopK(emb, col("vec_id"), col("embedding"),
+        qvec, k = 5, nlist = 8, nprobe = 8, m = 4, ksub = 8, iters = 2,
+        sampleFraction = 100)
+      .collect().map(_.getLong(0)).toSeq
+    // same candidate set; display order may differ from dist order only
+    // when scores clip at 0, so compare id-sorted
+    assert(got.sorted == expect.sorted, s"store=$got adhoc=$expect")
+    // phase 2 carried text/metadata through
+    assert(hits.collect().forall(r =>
+      r.getAs[String]("text").startsWith("doc ")))
+  }
 }
