@@ -36,6 +36,17 @@ object StreamingIngest {
       trigger: Trigger = Trigger.AvailableNow(),
       dedupeWatermark: Option[String] = Some("10 minutes")): StreamingQuery = {
     val store = new VectorStore(spark, warehouse)
+    // streaming IVF maintenance: a store created with learned centroids
+    // ([[VectorStore.writeVectorsIvf]]) keeps its cluster-partitioned
+    // layout fresh — each batch's vectors are assigned row-locally against
+    // the FIXED centroids (no retraining, no shuffle beyond the partition
+    // write) and appended under their cluster directories, so
+    // [[graft.query.Searcher.searchIvf]]'s directory pruning stays valid
+    // as data streams in. Re-cluster by re-running writeVectorsIvf when
+    // drift warrants it.
+    val ivfCentroids: Option[Seq[(Int, Seq[Float])]] =
+      try { val c = store.centroids(db); if (c.nonEmpty) Some(c) else None }
+      catch { case _: Exception => None }
     val binary = spark.readStream.format("binaryFile")
       .schema(binarySchema)
       .load(docsDir)
@@ -80,9 +91,19 @@ object StreamingIngest {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             val nNew = vectors.count()
-            vectors.write.mode("append")
-              .option("maxRecordsPerFile", 100000)
-              .parquet(s"${store.dbDir(db)}/vectors")
+            ivfCentroids match {
+              case Some(cents) =>
+                graft.ops.Ivf.assignClusters(vectors, col("id"), col("vector"),
+                    cents)
+                  .write.mode("append")
+                  .option("maxRecordsPerFile", 100000)
+                  .partitionBy("cluster")
+                  .parquet(s"${store.dbDir(db)}/vectors")
+              case None =>
+                vectors.write.mode("append")
+                  .option("maxRecordsPerFile", 100000)
+                  .parquet(s"${store.dbDir(db)}/vectors")
+            }
             batch.select(col("file_name"), col("hash"), col("file_path"),
               col("text").as("page_content"))
               .write.mode("append").parquet(s"${store.dbDir(db)}/documents")
@@ -91,7 +112,8 @@ object StreamingIngest {
             numVectors += nNew
             store.writeIndexMetadata(db, IndexMetadata(
               distance_metric = "cosine", dimensions = cfg.dim,
-              vector_type = "float32", index_type = "FLAT",
+              vector_type = "float32",
+              index_type = if (ivfCentroids.isDefined) "IVF" else "FLAT",
               num_vectors = numVectors))
           } finally vectors.unpersist(blocking = false)
         }

@@ -90,6 +90,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Searcher.Params(k = 3, threshold = 0.0)).count() == 3)
   }
 
+  test("streaming IVF maintenance: batches append under cluster directories") {
+    val work = Files.createTempDirectory("graft-sivf").toString
+    val docsDir = s"$work/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    def put(name: String, content: String): Unit =
+      Files.write(Paths.get(docsDir, name), content.getBytes(StandardCharsets.UTF_8))
+    val store = new VectorStore(spark, s"$work/wh")
+    val cfg = IngestJob.Config(chunkSize = 100, chunkOverlap = 0)
+
+    // create the store with learned centroids from a seed corpus
+    put("seed.txt", "the initial corpus trains the coarse cells " * 20)
+    val seed = IngestJob.vectorize(IngestJob.extract(spark, docsDir), cfg)
+    store.writeVectorsIvf("ivfs", seed, nlist = 4, iters = 1)
+    val centsBefore = store.centroids("ivfs")
+
+    // stream a new file: its vectors must land under cluster= dirs,
+    // assigned against the FIXED centroids (no retraining)
+    put("later.txt", "a streamed document joins the clustered index " * 20)
+    val q = StreamingIngest.start(spark, docsDir, s"$work/wh", "ivfs", cfg)
+    q.awaitTermination(60000)
+    assert(store.centroids("ivfs") == centsBefore) // untouched
+    val vecs = store.vectors("ivfs")
+    assert(vecs.columns.contains("cluster"))
+    assert(vecs.count() > seed.count()) // both batches present
+    assert(vecs.filter(col("cluster").isNull).count() == 0)
+    assert(store.indexMetadata("ivfs").index_type == "IVF")
+    // searchable through the pruned IVF path
+    val searcher = new graft.query.Searcher(spark, store)
+    val hits = searcher.searchIvf("ivfs", "streamed document",
+      Searcher.Params(k = 3, threshold = -1.0), nprobe = 4)
+    assert(hits.count() > 0)
+  }
+
   test("streaming dedup: re-delivered content under a new path adds no vectors") {
     spark.sparkContext.setLogLevel("WARN")
     val work = Files.createTempDirectory("graft-sdedup").toString
