@@ -117,6 +117,42 @@ object QualitySignals {
   }
 
   /**
+   * Multi-benchmark decontamination: [[contamination]] generalized to `n`
+   * named eval sets in ONE corpus pass. Every benchmark's distinct word
+   * `n`-grams broadcast together (tagged with the benchmark name); a corpus
+   * gram matching grams in several benchmarks fans out to one row per
+   * match, and the per-document aggregate splits the distinct-shared
+   * counts back out per benchmark. Returns
+   * `(id, shared_<name1>, …, shared_<nameK>)` — only documents sharing at
+   * least one gram with at least one benchmark (the decontamination
+   * candidates a pipeline would drop or flag).
+   *
+   * Scale shape: identical to [[contamination]] — eval sets are tiny next
+   * to a 100 TB corpus, so the union of all benchmark gram sets still
+   * broadcasts; the corpus side is one scan feeding a broadcast hash join,
+   * and the only shuffle carries (id, bench, gram) rows that SURVIVED the
+   * join (contaminated grams only, a vanishing fraction of the corpus).
+   * Adding a benchmark adds broadcast bytes, never a corpus pass.
+   */
+  def contaminationMulti(df: DataFrame, idCol: Column, textCol: Column,
+      benches: Seq[(String, DataFrame, Column)], n: Int = 3): DataFrame = {
+    require(benches.nonEmpty, "at least one benchmark")
+    val benchGrams = broadcast(
+      benches.map { case (name, b, tc) =>
+        b.select(lit(name).as("bench"), split(trim(tc), "\\s+").as("tk"))
+          .select(col("bench"), explode(grams(col("tk"), n)).as("g"))
+      }.reduce(_ unionAll _).distinct())
+    val perBench = benches.map { case (name, _, _) =>
+      countDistinct(when(col("bench") === name, col("g"))).as(s"shared_$name")
+    }
+    df.select(idCol.as("id"), split(trim(textCol), "\\s+").as("tk"))
+      .select(col("id"), explode(grams(col("tk"), n)).as("g"))
+      .join(benchGrams, "g") // broadcast hash join: corpus never shuffles
+      .groupBy("id")
+      .agg(perBench.head, perBench.tail: _*)
+  }
+
+  /**
    * Cross-document boilerplate detection: for each document, the fraction
    * of its DISTINCT word `n`-grams that occur in at least `minDf` documents
    * corpus-wide (headers, footers, templates, license blurbs — the

@@ -188,6 +188,20 @@ object OpsQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    "q88_contamination_multi" -> ((s, d) => {
+      // multi-benchmark decontamination: docs 0-4 and 5-9 stand in for two
+      // eval sets; both gram sets broadcast together, ONE corpus pass,
+      // per-benchmark distinct-shared counts split out in the aggregate
+      val docs = t(s, d, "documents")
+      graft.ops.QualitySignals.contaminationMulti(
+          docs.filter(col("doc_id") >= 10), col("doc_id"), col("text"),
+          Seq(("dev", docs.filter(col("doc_id") < 5), col("text")),
+            ("test", docs.filter(col("doc_id") >= 5 && col("doc_id") < 10),
+              col("text"))),
+          n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     "q83_boilerplate" -> ((s, d) =>
       // corpus-level boilerplate: per doc, share of its distinct bigrams
       // seen in >= 5 documents (df computed in-plan, partial-aggregated)
@@ -831,6 +845,22 @@ object OpsQueries {
          bench AS (SELECT DISTINCT g3 FROM g WHERE doc_id < 5)
          SELECT g.doc_id, count(DISTINCT g.g3) AS n_shared
          FROM g JOIN bench USING (g3) WHERE g.doc_id >= 5
+         GROUP BY g.doc_id ORDER BY g.doc_id""",
+
+    "q88_contamination_multi" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+         g AS (SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
+                 i -> tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3])) AS g3
+               FROM toks WHERE len(tk) >= 3),
+         ba AS (SELECT DISTINCT 'dev' AS bench, g3 FROM g WHERE doc_id < 5
+                UNION
+                SELECT DISTINCT 'test' AS bench, g3 FROM g
+                WHERE doc_id >= 5 AND doc_id < 10)
+         SELECT g.doc_id,
+                count(DISTINCT CASE WHEN ba.bench = 'dev' THEN g.g3 END) AS shared_dev,
+                count(DISTINCT CASE WHEN ba.bench = 'test' THEN g.g3 END) AS shared_test
+         FROM g JOIN ba ON g.g3 = ba.g3 WHERE g.doc_id >= 10
          GROUP BY g.doc_id ORDER BY g.doc_id""",
 
     "q83_boilerplate" ->

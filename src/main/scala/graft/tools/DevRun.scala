@@ -33,6 +33,25 @@ object DevRun {
     }
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     mode match {
+      case "dump" =>
+        // single-query Verify: <name> parquet + a one-entry oracle_sql.json
+        // so `tools/compare.py <sfDir> <outDir>` gates just this query
+        val outDir = args(3)
+        new java.io.File(outDir).mkdirs()
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        val json = graft.SparkEntry.oracleSql.get(name)
+          .map(sql => {
+            def q(s: String): String = "\"" + s.flatMap {
+              case '"'  => "\\\""
+              case '\\' => "\\\\"
+              case c if c < ' ' => f"\\u${c.toInt}%04x"
+              case c => c.toString
+            } + "\""
+            s"{${q(name)}: ${q(sql)}}"
+          }).getOrElse("{}")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+        println(s"[devrun] dumped $name to $outDir")
       case "explain" => df.explain("formatted")
       case "show" => df.show(50, truncate = false)
       case _ =>

@@ -45,6 +45,28 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(10L -> 2L, 12L -> 2L)) // distinct shared, 11 clean
   }
 
+  test("contaminationMulti: per-benchmark distinct-shared counts, one pass") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps"),       // dev: 2 shared; test: 0
+      (11L, "totally unrelated words here"),    // clean → absent
+      (12L, "over the lazy dog we go"),         // test: 2 ("over the lazy", "the lazy dog")
+      (13L, "the quick brown fox over the lazy dog")).toDF("id", "text") // both
+    val dev = Seq((0L, "the quick brown fox")).toDF("id", "text")
+    val tst = Seq((1L, "jumps over the lazy dog")).toDF("id", "text")
+    val got = QualitySignals.contaminationMulti(corpus, col("id"), col("text"),
+        Seq(("dev", dev, col("text")), ("test", tst, col("text"))), n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      10L -> (2L, 0L),
+      12L -> (0L, 2L),
+      13L -> (2L, 2L)))
+    // column order follows the benches argument
+    val cols = QualitySignals.contaminationMulti(corpus, col("id"), col("text"),
+      Seq(("dev", dev, col("text")), ("test", tst, col("text"))), n = 3).columns
+    assert(cols.toSeq == Seq("id", "shared_dev", "shared_test"))
+  }
+
   test("boilerplate fraction: distinct-bigram df share, hand-computed") {
     import spark.implicits._
     // "c o m m o n" appears in all 3 docs: its 5 bigrams have df = 3;
