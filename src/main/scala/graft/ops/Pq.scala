@@ -143,4 +143,85 @@ object Pq {
       .orderBy(col("dist").asc, col("id"))
       .limit(k)
   }
+
+  // ---- residual (IVFADC) variant ----
+
+  /** The residual frame `(id, cluster, r)`: each vector minus its coarse
+    * cell's centroid, float32 like the inputs (binary64 subtraction of two
+    * binary32 values rounds to binary32 without double-rounding error —
+    * 53 ≥ 2·24+2 — so the oracle's DOUBLE-subtract-then-CAST-FLOAT
+    * reproduces the exact same bits). A pure per-row projection. */
+  private[ops] def residuals(emb: DataFrame, idCol: Column, vecCol: Column,
+      coarse: Seq[(Int, Seq[Float])]): DataFrame = {
+    val centArr = typedLit(coarse.sortBy(_._1).map(_._2.toVector))
+      .cast("array<array<float>>")
+    emb.select(idCol.as("id"), vecCol.cast("array<float>").as("v"))
+      .withColumn("cluster",
+        coalesce(nearest_centroid(col("v"), Ivf.centsLit(coarse)), lit(-1)))
+      .filter(col("cluster") >= 0)
+      .withColumn("r",
+        zip_with(col("v"), element_at(centArr, col("cluster") + 1),
+          (a, b) => a - b))
+      .select(col("id"), col("cluster"), col("r"))
+  }
+
+  /** Classical residual IVFADC (Jégou et al. §IV.C / FAISS `IVFx,PQy`):
+    * PQ codebooks are trained on the RESIDUALS v − C_cell rather than the
+    * raw vectors, so the fine quantizer spends its ksub^m cells on the
+    * within-cell geometry the coarse quantizer already localized — the
+    * accuracy refinement over [[ivfPqTopK]] at identical probe fractions.
+    *
+    * The price is query-side: the ADC tables become PER-PROBED-CELL (the
+    * query's residual q − C_cell differs per cell) — still driver-side,
+    * nprobe × m × ksub doubles shipped as one literal map keyed by cell.
+    * Scoring stays fully row-local: codes assign once per row
+    * ([[codesColumn]] on the residual), the cell picks its table via a
+    * map lookup on the cluster column, zero exchanges end-to-end beyond
+    * the bounded training aggregations and the final top-k.
+    */
+  def ivfPqResidualTopK(emb: DataFrame, idCol: Column, vecCol: Column,
+      query: Array[Float], k: Int, nlist: Int = 8, nprobe: Int = 2,
+      m: Int = 4, ksub: Int = 8, iters: Int = 2,
+      sampleFraction: Int = 50): DataFrame = {
+    val dim = query.length
+    val d = dim / m
+    val coarse = Ivf.trainCentroids(emb, idCol, vecCol, nlist, iters,
+      sampleFraction)
+    val probes = Ivf.probeList(coarse, query, nprobe)
+    val rv = residuals(emb, idCol, vecCol, coarse)
+    val books = trainCodebooks(rv, col("id"), col("r"), dim, m, ksub, iters,
+      sampleFraction)
+    // per-probed-cell tables over the query residual, all doubles: the
+    // oracle mirrors ((q_i − C_i) − r_i)² with the same index order
+    val coarseMap = coarse.toMap
+    val cellTables: Map[Int, Seq[Seq[Double]]] = probes.map { c =>
+      val cent = coarseMap(c)
+      c -> (0 until m).map { s =>
+        books(s).sortBy(_._1).map { case (_, rc) =>
+          var acc = 0.0
+          var i = 0
+          while (i < d) {
+            val qr = query(s * d + i).toDouble - cent(s * d + i).toDouble
+            val diff = qr - rc(i).toDouble
+            acc += diff * diff
+            i += 1
+          }
+          acc
+        }
+      }
+    }.toMap
+    val tablesLit = typedLit(cellTables.map { case (c, t) =>
+      c -> t.map(_.toVector).toVector
+    })
+    val cellT = element_at(tablesLit, col("cluster"))
+    rv.filter(col("cluster").isin(probes: _*))
+      .withColumn("codes", codesColumn(col("r"), dim, books))
+      .select(col("id"),
+        round((0 until m).map { s =>
+          element_at(element_at(cellT, s + 1),
+            element_at(col("codes"), s + 1) + 1)
+        }.reduce(_ + _), 4).as("dist"))
+      .orderBy(col("dist").asc, col("id"))
+      .limit(k)
+  }
 }

@@ -148,6 +148,14 @@ object OpsQueries {
           m = 4, ksub = 8, iters = 2)
         .select(col("id").as("vec_id"), col("dist"))),
 
+    "q89_ann_ivfpq_residual" -> ((s, d) =>
+      // classical IVFADC: PQ codebooks trained on residuals v − C_cell,
+      // per-probed-cell driver ADC tables — scoring stays row-local
+      graft.ops.Pq.ivfPqResidualTopK(t(s, d, "embeddings"), col("vec_id"),
+          col("embedding"), qvecScala, k = 6, nlist = 8, nprobe = 2,
+          m = 4, ksub = 8, iters = 2)
+        .select(col("id").as("vec_id"), col("dist"))),
+
     "q67_bm25" -> ((s, d) =>
       // lexical relevance: BM25 over the documents table (one scan; only
       // query-term tokens reach the shuffle)
@@ -792,6 +800,41 @@ object OpsQueries {
          ORDER BY round(t.dist, 4), b.id LIMIT 6"""
     },
 
+    "q89_ann_ivfpq_residual" -> {
+      val d = 16
+      val qv = vecSql(qvecScala)
+      // sub-codebooks trained on slices of the residual CTE rv; the bit
+      // trick making rv portable: binary64 subtraction of two binary32
+      // values CAST back to FLOAT is exactly the engine's float32 zip_with
+      // (53 ≥ 2·24+2 — double rounding is innocuous)
+      val subs = (0 until 4).map(s =>
+        PortableSql.pqSubTrainFrom(s"r${s}_",
+          s"SELECT id, v[${s * d + 1}:${(s + 1) * d}] AS v FROM rv", d))
+        .mkString(",\n")
+      val dists = (0 until 4).map { s =>
+        val off = s * d
+        s"""SELECT b.id, list_sum(list_transform(range($d),
+              i -> ((($qv)[$off + i + 1] - cc.c[$off + i + 1]) - rc.c[i + 1])
+                 * ((($qv)[$off + i + 1] - cc.c[$off + i + 1]) - rc.c[i + 1]))) AS dist
+            FROM r${s}_bf b JOIN r${s}_c2 rc ON b.cid = rc.cid
+                 JOIN bf ON bf.id = b.id JOIN c2 cc ON cc.cid = bf.cid"""
+      }.mkString(" UNION ALL ")
+      s"""${PortableSql.ivfTrainSql}
+         rv AS (SELECT bf.id, bf.cid,
+                  list_transform(range(64),
+                    i -> CAST(CAST(bf.v[i + 1] - c.c[i + 1] AS FLOAT) AS DOUBLE)) AS v
+                FROM bf JOIN c2 c ON bf.cid = c.cid),
+         $subs,
+         pc AS (SELECT cid FROM c2
+                ORDER BY ${PortableSql.cosSql(qv, "c")} DESC, cid LIMIT 2),
+         alld AS ($dists),
+         tot AS (SELECT id, sum(dist) AS dist FROM alld GROUP BY id)
+         SELECT b.id AS vec_id, round(t.dist, 4) AS dist
+         FROM bf b JOIN tot t ON b.id = t.id
+         WHERE b.cid IN (SELECT cid FROM pc)
+         ORDER BY round(t.dist, 4), b.id LIMIT 6"""
+    },
+
     "q67_bm25" -> (PortableSql.bm25Sql(Seq("join", "hash", "window")) +
       """
          SELECT doc_id, round(score, 4) AS s FROM sc
@@ -1036,7 +1079,16 @@ private[queries] object PortableSql {
     * CTE prefixed with `p` so the q85 oracle trains all subspaces in one
     * statement. Exposes `${p}c2` (cid, centroid) and `${p}bf` (id, v,
     * cid): every sub-vector with its code. */
-  def pqSubTrainSql(p: String, lo: Int, hi: Int, dims: Int): String = {
+  def pqSubTrainSql(p: String, lo: Int, hi: Int, dims: Int): String =
+    pqSubTrainFrom(p,
+      s"""SELECT vec_id AS id,
+                list_transform(embedding[$lo:$hi], x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings""", dims)
+
+  /** [[pqSubTrainSql]] generalized to any `(id, v DOUBLE[])` source SELECT
+    * — the residual-IVFADC oracle trains its sub-codebooks on slices of
+    * the residual CTE instead of raw `embeddings`. */
+  def pqSubTrainFrom(p: String, vSql: String, dims: Int): String = {
     def iter(i: Int, prev: String): String =
       s"""${p}a$i AS (SELECT x.id, x.v, c.cid, ${cosSql("x.v", "c.c")} AS sim
                   FROM ${p}tr x CROSS JOIN $prev c),
@@ -1048,10 +1100,7 @@ private[queries] object PortableSql {
          ${p}n$i AS (SELECT cid, list(q ORDER BY j) AS c FROM ${p}u$i GROUP BY cid),
          ${p}c$i AS (SELECT pp.cid, coalesce(${p}n$i.c, pp.c) AS c
                  FROM $prev pp LEFT JOIN ${p}n$i ON pp.cid = ${p}n$i.cid)"""
-    s"""${p}v AS (
-         SELECT vec_id AS id,
-                list_transform(embedding[$lo:$hi], x -> CAST(x AS DOUBLE)) AS v
-         FROM embeddings),
+    s"""${p}v AS ($vSql),
        ${p}hs AS (SELECT id, v,
                 CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT) AS h
               FROM ${p}v),

@@ -86,6 +86,88 @@ class ExtensionsAndClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(many.count(_.getAs[String]("query_id") == "b") <= 5)
   }
 
+  test("residual IVFADC: tighter ADC approximation than raw-vector PQ") {
+    import graft.ops.{Ivf, Pq}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val query = Array.fill(64)(0.125f)
+    val dim = 64; val m = 4; val d = dim / m
+    val rows = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sqL2(a: Array[Float], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); s += x * x; i += 1 }
+      s
+    }
+    val exact = rows.map { case (id, v) =>
+      id -> sqL2(v, query.map(_.toDouble))
+    }
+
+    // raw-vector PQ: one global table set
+    val rawBooks = Pq.trainCodebooks(emb, col("vec_id"), col("embedding"),
+      dim, m, ksub = 8, iters = 2)
+    val rawTables = Pq.adcTables(query, rawBooks)
+    val rawCodes = Pq.encode(emb, col("vec_id"), col("embedding"), dim, rawBooks)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val rawErr = rows.keys.map { id =>
+      val adc = (0 until m).map(s => rawTables(s)(rawCodes(id)(s))).sum
+      math.abs(adc - exact(id))
+    }.sum / rows.size
+
+    // residual PQ: codebooks on v − C_cell, per-cell query tables
+    val coarse = Ivf.trainCentroids(emb, col("vec_id"), col("embedding"),
+      k = 8, iters = 2, sampleFraction = 50)
+    val cents = coarse.toMap
+    val cells = Ivf.assignClusters(
+        emb.select(col("vec_id").cast("long").as("id"),
+          col("embedding").cast("array<float>").as("v")),
+        col("id"), col("v"), coarse)
+      .select(col("id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the engine's float32 residual, rebuilt row-by-row on the driver
+    val resRows = rows.map { case (id, v) =>
+      val c = cents(cells(id))
+      (id, cells(id), v.indices.map(i => v(i) - c(i)).toArray)
+    }.toSeq
+    import spark.implicits._
+    val rdf = resRows.map { case (id, cell, r) => (id, cell, r.toSeq) }
+      .toDF("id", "cell", "r")
+    val resBooks = Pq.trainCodebooks(rdf, col("id"), col("r"), dim, m,
+      ksub = 8, iters = 2)
+    val resCodes = Pq.encode(rdf, col("id"), col("r"), dim, resBooks)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    def resTable(cell: Int): Seq[Seq[Double]] = (0 until m).map { s =>
+      resBooks(s).sortBy(_._1).map { case (_, rc) =>
+        var acc = 0.0; var i = 0
+        while (i < d) {
+          val qr = query(s * d + i).toDouble - cents(cell)(s * d + i).toDouble
+          val diff = qr - rc(i); acc += diff * diff; i += 1
+        }
+        acc
+      }
+    }
+    val tables = cents.keys.map(c => c -> resTable(c)).toMap
+    val resErr = rows.keys.map { id =>
+      val t = tables(cells(id))
+      val adc = (0 until m).map(s => t(s)(resCodes(id)(s))).sum
+      math.abs(adc - exact(id))
+    }.sum / rows.size
+
+    // the IVFADC claim: residual codebooks approximate true distances
+    // tighter than raw-vector codebooks at the same (m, ksub) budget
+    assert(resErr < rawErr,
+      s"residual ADC err $resErr should beat raw ADC err $rawErr")
+
+    // end-to-end shape: k ascending distances, deterministic re-run
+    val topk = Pq.ivfPqResidualTopK(emb, col("vec_id"), col("embedding"),
+      query, k = 6, nlist = 8, nprobe = 2).collect()
+    assert(topk.length == 6)
+    val dists = topk.map(_.getDouble(1))
+    assert(dists.sameElements(dists.sorted))
+    val again = Pq.ivfPqResidualTopK(emb, col("vec_id"), col("embedding"),
+      query, k = 6, nlist = 8, nprobe = 2).collect()
+    assert(topk.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("IVF store: learned centroids persist, searchIvf prunes clusters") {
     val work = Files.createTempDirectory("graft-ivf").toString
     val store = new VectorStore(spark, s"$work/wh")
