@@ -26,6 +26,12 @@ object OpsQueries {
   private def vecSql(v: Array[Float]): String =
     v.map(x => f"$x%.3f").mkString("[", ", ", "]")
 
+  /** Fixed merge list for the q91 tokenizer-inference query (what
+    * [[graft.ops.Bpe.train]] learns on the sf0.01 corpus; any literal
+    * list is equally valid — query and oracle apply the same one). */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"), ("m", "er"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- deduplication ----
     "q42_dedup_exact" -> ((s, d) =>
@@ -251,6 +257,23 @@ object OpsQueries {
         .orderBy("asset_id")),
 
     // ---- text analysis ----
+    "q90_bpe_train" -> ((s, d) => {
+      // BPE pair-merge trainer: corpus reduces to the word-count vocab in
+      // one scan; each of the 6 merge iterations is one partial-aggregated
+      // pair count over the vocab + a 1-row TakeOrdered (the oracle
+      // unrolls the same 6 iterations as chained CTEs)
+      import s.implicits._
+      graft.ops.Bpe.train(t(s, d, "documents"), col("text"), numMerges = 6)
+        .zipWithIndex
+        .map { case ((a, b, cnt), i) => (i + 1, a, b, cnt) }
+        .toDF("merge_rank", "lhs", "rhs", "pair_cnt")
+    }),
+    "q91_bpe_segment" -> ((s, d) =>
+      // tokenizer inference with a FIXED merge list (the 6 merges the
+      // sf0.01 corpus learns): per-doc subword counts, fully row-local
+      t(s, d, "documents").select(col("doc_id"),
+        graft.ops.Bpe.segmentCount(col("text"), bpeMerges).as("n_sub"))
+        .orderBy("doc_id").limit(300)),
     "q48_token_count" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tok"))
@@ -879,6 +902,29 @@ object OpsQueries {
          FROM b2 LEFT JOIN t2 ON b2.doc_id = t2.doc_id
          ORDER BY b2.doc_id LIMIT 200""",
 
+    "q90_bpe_train" -> {
+      val ranks = (1 to 6).map(i =>
+        s"SELECT $i AS merge_rank, a AS lhs, b AS rhs, s AS pair_cnt FROM m$i")
+        .mkString(" UNION ALL ")
+      s"""WITH ${PortableSql.bpeTrainCtes(6)}
+         SELECT * FROM ($ranks) ORDER BY merge_rank"""
+    },
+
+    "q91_bpe_segment" -> {
+      val wordCount = PortableSql.bpeSegmentWordSql("w", bpeMerges)
+      s"""WITH words AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x <> '')) AS w
+           FROM documents),
+         per AS (SELECT doc_id, $wordCount AS n FROM words)
+         SELECT d.doc_id,
+                CAST(coalesce(p.n, 0) AS BIGINT) AS n_sub
+         FROM (SELECT doc_id FROM documents) d
+         LEFT JOIN (SELECT doc_id, sum(n) AS n FROM per GROUP BY doc_id) p
+           ON d.doc_id = p.doc_id
+         ORDER BY d.doc_id LIMIT 300"""
+    },
+
     "q70_contamination" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
@@ -1114,6 +1160,47 @@ private[queries] object PortableSql {
        ${p}bf AS (SELECT id, v, cid FROM
                (SELECT *, row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rn
                 FROM ${p}af) WHERE rn = 1)"""
+  }
+
+  /** BPE trainer oracle: base vocab CTEs `w0 → vc → v0` + `iters` unrolled
+    * merge iterations `p{i} (pair counts) → m{i} (argmax) → v{i} (merged
+    * vocab)`. The token-string encoding (U+0001 double-separator, literal
+    * `replace` = left-to-right within-word merges) mirrors
+    * [[graft.ops.Bpe]] exactly; `CAST(sum AS BIGINT)` dodges DuckDB's
+    * HUGEINT sum. */
+  def bpeTrainCtes(iters: Int): String = {
+    val base = raw"""w0 AS (
+         SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> x <> '')) AS w
+         FROM documents),
+       vc AS (SELECT w, count(*) AS cnt FROM w0 GROUP BY w),
+       v0 AS (SELECT regexp_replace(w, '(.)', chr(1) || '\1' || chr(1), 'g') AS t,
+                     cnt
+              FROM vc)"""
+    val its = (1 to iters).map { i =>
+      s""",
+       p$i AS (SELECT tk[i + 1] AS a, tk[i + 2] AS b, CAST(sum(cnt) AS BIGINT) AS s
+              FROM (SELECT cnt, tk, unnest(range(len(tk) - 1)) AS i
+                    FROM (SELECT cnt, string_split(trim(t, chr(1)),
+                                    chr(1) || chr(1)) AS tk FROM v${i - 1}))
+              GROUP BY 1, 2),
+       m$i AS (SELECT a, b, s FROM p$i ORDER BY s DESC, a, b LIMIT 1),
+       v$i AS (SELECT replace(v${i - 1}.t,
+                       chr(1) || m$i.a || chr(1) || chr(1) || m$i.b || chr(1),
+                       chr(1) || m$i.a || m$i.b || chr(1)) AS t, cnt
+              FROM v${i - 1}, m$i)"""
+    }.mkString
+    base + its
+  }
+
+  /** SQL expression: subword count of word expression `w` under a literal
+    * merge list — [[graft.ops.Bpe.segmentCount]]'s per-word kernel. */
+  def bpeSegmentWordSql(w: String, merges: Seq[(String, String)]): String = {
+    val enc = s"regexp_replace($w, '(.)', chr(1) || '\\1' || chr(1), 'g')"
+    val folded = merges.foldLeft(enc) { case (acc, (a, b)) =>
+      s"replace($acc, chr(1) || '$a' || chr(1) || chr(1) || '$b' || chr(1), chr(1) || '$a$b' || chr(1))"
+    }
+    s"len(string_split(trim($folded, chr(1)), chr(1) || chr(1)))"
   }
 
   /** CTE chain `docs → rawc → idxd → chunks(doc_id, chunk_index, ntext)`:
