@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.cosine_similarity
+
+/**
+ * Result re-ranking: maximal marginal relevance (Carbonell & Goldstein,
+ * SIGIR 1998) — greedy diversification of a retrieval candidate list, the
+ * standard fix for top-k lists that return k near-copies of the same
+ * passage (which a near-dup-heavy corpus guarantees; see [[Dedup]]).
+ *
+ * MMR(d) = λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s); pick the argmax
+ * k times (first pick has an empty selected set — its penalty term is 0,
+ * so it is the plain top-1). Ties break to the lowest id.
+ *
+ * Scale shape: the greedy loop is inherently sequential in k, so it runs
+ * on a BOUNDED candidate list — the distributed work is the candidate
+ * retrieval (one scan + TakeOrderedAndProject, or any [[Ann]]/[[Ivf]]
+ * index path), after which `nCandidates × dim` floats collect to the
+ * driver exactly like a top-k result does. k·n pairwise cosines on the
+ * driver (50×50 doubles here) — never a distributed self-join. The
+ * pairwise-sim arithmetic is [[graft.expr.VectorOps.cosine]]'s kernel, so
+ * the DuckDB oracle replays the same greedy trace bit-for-bit.
+ */
+object Rerank {
+
+  /** Same accumulation order as VectorOps.cosine / PortableSql.cosSql. */
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** The greedy MMR trace over an in-memory candidate list
+    * `(id, vec, simToQuery)`: returns `(rank, id, mmrScore)` in pick
+    * order. Exposed for reuse by store-backed search paths. */
+  def mmrSelect(cands: Seq[(Long, Array[Float], Double)], k: Int,
+      lambda: Double): Seq[(Int, Long, Double)] = {
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cands.map { case (id, v, s) => id -> (v, s) }: _*)
+    val picked = Seq.newBuilder[(Int, Long, Double)]
+    val sel = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    var rank = 1
+    while (rank <= k && remaining.nonEmpty) {
+      var bestId = -1L
+      var bestScore = Double.NegativeInfinity
+      remaining.foreach { case (id, (v, s)) =>
+        val pen = if (sel.isEmpty) 0.0 else sel.map(cos(v, _)).max
+        val score = lambda * s - (1.0 - lambda) * pen
+        if (score > bestScore || (score == bestScore && (bestId < 0 || id < bestId))) {
+          bestScore = score; bestId = id
+        }
+      }
+      val (v, _) = remaining.remove(bestId).get
+      sel += v
+      picked += ((rank, bestId, bestScore))
+      rank += 1
+    }
+    picked.result()
+  }
+
+  /** End-to-end diversified top-k: one distributed scan takes the
+    * `nCandidates` highest-cosine rows (TakeOrderedAndProject), the
+    * bounded MMR trace runs on the driver, and the picks return as a
+    * `(rnk, id, mmr)` frame. */
+  def mmrTopK(emb: DataFrame, idCol: Column, vecCol: Column,
+      query: Array[Float], k: Int, nCandidates: Int = 50,
+      lambda: Double = 0.7): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cands = emb
+      .select(idCol.cast("long").as("id"), vecCol.cast("array<float>").as("v"),
+        cosine_similarity(vecCol, typedLit(query)).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(nCandidates)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .toSeq
+    mmrSelect(cands, k, lambda)
+      .map { case (rnk, id, score) =>
+        // HALF_UP to match SQL round() in both engines (rint is half-even)
+        (rnk, id, BigDecimal(score).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toDF("rnk", "id", "mmr")
+  }
+}

@@ -154,6 +154,14 @@ object OpsQueries {
           m = 4, ksub = 8, iters = 2)
         .select(col("id").as("vec_id"), col("dist"))),
 
+    "q92_mmr_rerank" -> ((s, d) =>
+      // diversified retrieval: top-50 cosine candidates (one distributed
+      // TakeOrdered pass), then the greedy MMR trace on the driver —
+      // λ·sim(q,d) − (1−λ)·max sim(d, selected), k picks, ties → low id
+      graft.ops.Rerank.mmrTopK(t(s, d, "embeddings"), col("vec_id"),
+          col("embedding"), qvecScala, k = 5, nCandidates = 50, lambda = 0.7)
+        .select(col("rnk"), col("id").as("vec_id"), col("mmr"))),
+
     "q89_ann_ivfpq_residual" -> ((s, d) =>
       // classical IVFADC: PQ codebooks trained on residuals v − C_cell,
       // per-probed-cell driver ADC tables — scoring stays row-local
@@ -821,6 +829,42 @@ object OpsQueries {
          FROM bf b JOIN tot t ON b.id = t.id
          WHERE b.cid IN (SELECT cid FROM pc)
          ORDER BY round(t.dist, 4), b.id LIMIT 6"""
+    },
+
+    "q92_mmr_rerank" -> {
+      val qv = vecSql(qvecScala)
+      val cos = PortableSql.cosSql("c.v", "s.v")
+      // unrolled greedy: sel{i} grows by the argmax of
+      // 0.7·sim − 0.3·max(sim to selected); ties → lowest id
+      val steps = (2 to 5).map { i =>
+        s""",
+         m$i AS (SELECT c.id, any_value(c.v) AS v, any_value(c.sim) AS sim,
+                        max($cos) AS ms
+                 FROM cand c, sel${i - 1} s
+                 WHERE c.id NOT IN (SELECT id FROM sel${i - 1})
+                 GROUP BY c.id),
+         s$i AS (SELECT id, v, sim, 0.7 * sim - 0.3 * ms AS mmr FROM m$i
+                 ORDER BY mmr DESC, id LIMIT 1),
+         sel$i AS (SELECT id, v, sim, mmr FROM sel${i - 1}
+                   UNION ALL SELECT id, v, sim, mmr FROM s$i)"""
+      }.mkString
+      s"""WITH cand AS (
+           SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                  ${PortableSql.cosSql(
+                    s"list_transform(embedding, x -> CAST(x AS DOUBLE))", qv)} AS sim
+           FROM embeddings
+           ORDER BY sim DESC, vec_id LIMIT 50),
+         s1 AS (SELECT id, v, sim, 0.7 * sim AS mmr FROM cand
+                ORDER BY mmr DESC, id LIMIT 1),
+         sel1 AS (SELECT id, v, sim, mmr FROM s1)$steps,
+         picks AS (SELECT 1 AS rnk, id, mmr FROM s1
+                   UNION ALL SELECT 2, id, mmr FROM s2
+                   UNION ALL SELECT 3, id, mmr FROM s3
+                   UNION ALL SELECT 4, id, mmr FROM s4
+                   UNION ALL SELECT 5, id, mmr FROM s5)
+         SELECT rnk, id AS vec_id, round(mmr, 4) AS mmr FROM picks
+         ORDER BY rnk"""
     },
 
     "q89_ann_ivfpq_residual" -> {

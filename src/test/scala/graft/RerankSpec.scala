@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Rerank
+
+/** MMR re-ranking: hand-computed greedy traces + end-to-end shape. */
+class RerankSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // query (1,0); ids 1,2 duplicates parallel to the query, id 3 diverse
+  private val cands = Seq(
+    (1L, Array(1f, 0f), 1.0),
+    (2L, Array(1f, 0f), 1.0),
+    (3L, Array(0.6f, 0.8f), 0.6))
+
+  test("mmrSelect: low lambda diversifies away from the duplicate") {
+    // λ=0.3: pick1 = id1 (tie with dup 2 → low id). pick2: dup scores
+    // 0.3·1 − 0.7·1 = −0.4; id3 scores 0.18 − 0.7·0.6 = −0.24 → id3.
+    val picks = Rerank.mmrSelect(cands, k = 3, lambda = 0.3)
+    assert(picks.map(_._2) == Seq(1L, 3L, 2L))
+    // 0.6f/0.8f are not exact binary fractions → compare loosely
+    assert(math.abs(picks(1)._3 - (-0.24)) < 1e-6)
+  }
+
+  test("mmrSelect: lambda = 1 is plain relevance order") {
+    assert(Rerank.mmrSelect(cands, k = 3, lambda = 1.0).map(_._2) ==
+      Seq(1L, 2L, 3L))
+  }
+
+  test("mmrSelect: k beyond candidates stops at the candidate count") {
+    assert(Rerank.mmrSelect(cands, k = 10, lambda = 0.7).length == 3)
+  }
+
+  test("mmrTopK: k rows, rank order, no repeated ids") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Rerank.mmrTopK(emb, col("vec_id"), col("embedding"),
+      Array.fill(64)(0.125f), k = 5, nCandidates = 20).collect()
+    assert(got.length == 5)
+    assert(got.map(_.getInt(0)).toSeq == (1 to 5))
+    assert(got.map(_.getLong(1)).distinct.length == 5)
+  }
+}
