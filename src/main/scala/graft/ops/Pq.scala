@@ -156,9 +156,14 @@ object Pq {
     val centArr = typedLit(coarse.sortBy(_._1).map(_._2.toVector))
       .cast("array<array<float>>")
     emb.select(idCol.as("id"), vecCol.cast("array<float>").as("v"))
+      // null guard on the INPUT, not on the computed cluster: a
+      // `cluster >= 0` filter would push a whole extra nearest_centroid
+      // argmax per row into the scan filter (the ivfTopKMany lesson);
+      // with v non-null the coalesce(-1) never fires and folds to
+      // non-nullable, so no inferred isnotnull duplicates the argmax
+      .filter(col("v").isNotNull)
       .withColumn("cluster",
         coalesce(nearest_centroid(col("v"), Ivf.centsLit(coarse)), lit(-1)))
-      .filter(col("cluster") >= 0)
       .withColumn("r",
         zip_with(col("v"), element_at(centArr, col("cluster") + 1),
           (a, b) => a - b))
