@@ -29,19 +29,30 @@ import graft.functions.nearest_centroid
  */
 object Pq {
 
-  /** Per-subspace codebooks: `m` independent [[Ivf.trainCentroids]] runs
-    * over the vector slices (each re-samples the same md5 training rows —
-    * the seed ids per subspace are the same documents). */
+  /** Per-subspace codebooks: `m` [[Ivf.trainCentroids]] runs over the
+    * vector slices. The md5 training sample is drawn and persisted ONCE
+    * here and shared by all `m` runs (they see identical seed ids by
+    * construction) — letting each run re-sample from the source would
+    * re-materialize the upstream lineage `m` times, which for the
+    * residual path means `m` full assignment passes over the corpus
+    * sample instead of one. */
   def trainCodebooks(emb: DataFrame, idCol: Column, vecCol: Column, dim: Int,
       m: Int, ksub: Int = 8, iters: Int = 2,
       sampleFraction: Int = 50): Seq[Seq[(Int, Seq[Float])]] = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val d = dim / m
-    (0 until m).map { s =>
-      Ivf.trainCentroids(emb, idCol,
-        slice(vecCol.cast("array<float>"), s * d + 1, d), ksub, iters,
-        sampleFraction)
-    }
+    val base = emb.select(idCol.cast("long").as("id"),
+      vecCol.cast("array<float>").as("v"))
+    val sampled = (if (sampleFraction >= 100) base
+      else base.filter(
+        graft.expr.PortableHash.hex15Col(col("id")) % 100 < sampleFraction))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (0 until m).map { s =>
+        Ivf.trainCentroids(sampled, col("id"), slice(col("v"), s * d + 1, d),
+          ksub, iters, sampleFraction = 100)
+      }
+    } finally sampled.unpersist(blocking = false)
   }
 
   /** The `ARRAY<INT>` codes column: per subspace, the nearest-centroid id
