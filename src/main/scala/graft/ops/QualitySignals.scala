@@ -153,6 +153,48 @@ object QualitySignals {
   }
 
   /**
+   * CCNet-style language-model quality scoring (Wenzek et al., "CCNet:
+   * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+   * LREC 2020 — there a 5-gram KenLM; here an add-one-smoothed word
+   * bigram LM, the same decision signal shape): per document, the mean
+   * log P(w₂|w₁) = ln((c(w₁w₂)+1) / (c(w₁)+V)) over its bigrams. Low
+   * scores flag gibberish/boilerplate; pipelines bucket the corpus by
+   * this signal (CCNet's head/middle/tail) before sampling. Returns
+   * `(id, n_big, avg_lp)` for documents with ≥ 2 tokens.
+   *
+   * Scale shape: the corpus reduces ONCE to the bigram/unigram count
+   * model (vocabulary-bounded, partial-aggregated — never corpus-sized);
+   * the scoring pass joins each document's bigrams to the model.
+   * `broadcastModel = true` (default) broadcasts the model so scoring is
+   * one corpus scan with zero corpus shuffles besides the per-doc
+   * aggregate; set it false when vocab² outgrows broadcast and the
+   * scoring join should shuffle on the bigram key instead.
+   */
+  def bigramLmScore(df: DataFrame, idCol: Column, textCol: Column,
+      broadcastModel: Boolean = true): DataFrame = {
+    val toks = df.select(idCol.as("id"), split(trim(textCol), "\\s+").as("tk"))
+      .select(col("id"), filter(col("tk"), w => w =!= "").as("tk"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val vocabSize = uni.count() // one vocabulary-sized job, driver scalar
+    val bigrams = toks.filter(size(col("tk")) >= 2)
+      .select(col("id"),
+        explode(zip_with(col("tk"),
+          slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .filter(col("p.b").isNotNull)
+      .select(col("id"), col("p.a").as("a"), col("p.b").as("b"))
+    val model = bigrams.groupBy("a", "b").agg(count(lit(1)).as("cb"))
+      .join(uni.withColumnRenamed("w", "a"), "a") // vocab-sized join
+    val m = if (broadcastModel) broadcast(model) else model
+    bigrams.join(m, Seq("a", "b"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_big"),
+        round(avg(log((coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("cu"), lit(0L)) + lit(vocabSize)))), 4).as("avg_lp"))
+  }
+
+  /**
    * Cross-document boilerplate detection: for each document, the fraction
    * of its DISTINCT word `n`-grams that occur in at least `minDf` documents
    * corpus-wide (headers, footers, templates, license blurbs — the

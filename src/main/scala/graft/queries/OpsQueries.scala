@@ -224,6 +224,13 @@ object OpsQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    "q93_lm_score" -> ((s, d) =>
+      // CCNet-style LM quality signal: add-one bigram model trained on
+      // the corpus itself (vocab-bounded), one broadcast-join scoring pass
+      graft.ops.QualitySignals.bigramLmScore(
+          t(s, d, "documents"), col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
     "q83_boilerplate" -> ((s, d) =>
       // corpus-level boilerplate: per doc, share of its distinct bigrams
       // seen in >= 5 documents (df computed in-plan, partial-aggregated)
@@ -995,6 +1002,23 @@ object OpsQueries {
                 count(DISTINCT CASE WHEN ba.bench = 'test' THEN g.g3 END) AS shared_test
          FROM g JOIN ba ON g.g3 = ba.g3 WHERE g.doc_id >= 10
          GROUP BY g.doc_id ORDER BY g.doc_id""",
+
+    "q93_lm_score" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x <> '') AS tk
+           FROM documents),
+         uni AS (SELECT w, count(*) AS cu
+                 FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w),
+         vv AS (SELECT count(*) AS v FROM uni),
+         big AS (SELECT doc_id, tk[i + 1] AS a, tk[i + 2] AS b
+                 FROM (SELECT doc_id, tk, unnest(range(len(tk) - 1)) AS i
+                       FROM toks WHERE len(tk) >= 2)),
+         bc AS (SELECT a, b, count(*) AS cb FROM big GROUP BY a, b)
+         SELECT big.doc_id, count(*) AS n_big,
+                round(avg(ln((bc.cb + 1.0) / (uni.cu + vv.v))), 4) AS avg_lp
+         FROM big JOIN bc USING (a, b) JOIN uni ON big.a = uni.w, vv
+         GROUP BY big.doc_id ORDER BY big.doc_id""",
 
     "q83_boilerplate" ->
       """WITH toks AS (

@@ -67,6 +67,25 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cols.toSeq == Seq("id", "shared_dev", "shared_test"))
   }
 
+  test("bigramLmScore: add-one bigram LM, hand-computed") {
+    import spark.implicits._
+    // uni: a=3 b=3 c=1, V=3; model: (a,b)=3, (b,a)=1
+    // P(b|a) = (3+1)/(3+3) = 2/3; P(a|b) = (1+1)/(3+3) = 1/3
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams ab, ba, ab → avg(2·ln 2/3 + ln 1/3)/3
+      (2L, "a b"),     // ln 2/3
+      (3L, "c")).toDF("id", "text") // 1 token → absent
+    val got = QualitySignals.bigramLmScore(docs, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == (3L,
+      BigDecimal((2 * math.log(2.0 / 3) + math.log(1.0 / 3)) / 3)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(got(2L) == (1L,
+      BigDecimal(math.log(2.0 / 3))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
   test("boilerplate fraction: distinct-bigram df share, hand-computed") {
     import spark.implicits._
     // "c o m m o n" appears in all 3 docs: its 5 bigrams have df = 3;
