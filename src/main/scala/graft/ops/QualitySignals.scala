@@ -23,7 +23,7 @@ object QualitySignals {
     * skew). Callers materialize the token array in a projection first:
     * referencing `split(...)` directly here would re-run the regex split
     * inside the per-element lambda — O(tokens²) splits per document. */
-  private def grams(toks: Column, n: Int): Column =
+  private[graft] def grams(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))

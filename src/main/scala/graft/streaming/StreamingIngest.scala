@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -158,6 +158,38 @@ object StreamingOps {
     l.join(r, cond)
       .select(col(s"l.$key").as(key),
         col("l.ts").as("l_ts"), col("r.ts").as("r_ts"))
+  }
+
+  /**
+   * Streaming decontamination: flag each incoming document by how many
+   * distinct word `n`-grams it shares with a STATIC benchmark corpus —
+   * the ingest-time twin of [[graft.ops.QualitySignals.contamination]].
+   * Returns the input columns plus `n_shared`; filter `n_shared <
+   * minShared` for the clean stream.
+   *
+   * Streaming shape: deliberately STATELESS. The benchmark gram set is
+   * driver-collected once at stream start and ships as a literal inside
+   * the expression (eval sets are tiny next to any corpus — the same
+   * assumption the batch operator's broadcast makes), so the check is a
+   * row-local `array_intersect` — no stream aggregation, no watermark,
+   * no state store, works in append mode on any trigger. A benchmark too
+   * large for a literal belongs in a stream-static join instead; that
+   * variant would still be stateless but pays a per-batch join.
+   */
+  def decontaminate(docs: DataFrame, textCol: Column,
+      bench: DataFrame, benchTextCol: Column, n: Int = 3): DataFrame = {
+    import graft.ops.QualitySignals.grams
+    val benchGrams: Seq[String] = bench
+      .select(split(trim(benchTextCol), "\\s+").as("tk"))
+      .select(explode(grams(col("tk"), n)).as("g"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    // tk staged as a real projection: split() inlined into the gram
+    // lambda would re-run the regex per array element (grams scaladoc)
+    docs.withColumn("__tk", split(trim(textCol), "\\s+"))
+      .withColumn("n_shared",
+        size(array_intersect(array_distinct(grams(col("__tk"), n)),
+          typedLit(benchGrams))))
+      .drop("__tk")
   }
 
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)

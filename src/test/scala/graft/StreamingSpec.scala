@@ -220,6 +220,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming decontamination: row-local flag, stateless append mode") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bench = Seq("the quick brown fox").toDF("text")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+
+    val flagged = StreamingOps.decontaminate(docs, col("text"),
+      bench, col("text"), n = 3)
+    val q = flagged.writeStream.outputMode("append")
+      .format("memory").queryName("decon").start()
+
+    input.addData(
+      (1L, "the quick brown fox jumps"), // 2 shared trigrams
+      (2L, "totally unrelated words here"))
+    q.processAllAvailable()
+    input.addData((3L, "again the quick brown fox here")) // across batches too
+    q.processAllAvailable()
+
+    val got = spark.sql("SELECT doc_id, n_shared FROM decon ORDER BY doc_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 2, 2L -> 0, 3L -> 2))
+    q.stop()
+  }
+
   test("watermarked tumbling window matches batch formulation") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
