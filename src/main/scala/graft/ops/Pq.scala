@@ -181,6 +181,26 @@ object Pq {
       .select(col("id"), col("cluster"), col("r"))
   }
 
+  /** One cell's ADC tables over the query residual q − C_cell:
+    * `table(s)(j) = ‖(q − C_cell)_s − r_{s,j}‖²`, all binary64 in index
+    * order — the arithmetic the oracle replays as
+    * `((q_i − C_i) − r_i)²`. */
+  private def residualTables(query: Array[Float], cent: Seq[Float],
+      books: Seq[Seq[(Int, Seq[Float])]], d: Int): Vector[Vector[Double]] =
+    books.indices.map { s =>
+      books(s).sortBy(_._1).map { case (_, rc) =>
+        var acc = 0.0
+        var i = 0
+        while (i < d) {
+          val qr = query(s * d + i).toDouble - cent(s * d + i).toDouble
+          val diff = qr - rc(i).toDouble
+          acc += diff * diff
+          i += 1
+        }
+        acc
+      }.toVector
+    }.toVector
+
   /** Classical residual IVFADC (Jégou et al. §IV.C / FAISS `IVFx,PQy`):
     * PQ codebooks are trained on the RESIDUALS v − C_cell rather than the
     * raw vectors, so the fine quantizer spends its ksub^m cells on the
@@ -210,25 +230,9 @@ object Pq {
     // per-probed-cell tables over the query residual, all doubles: the
     // oracle mirrors ((q_i − C_i) − r_i)² with the same index order
     val coarseMap = coarse.toMap
-    val cellTables: Map[Int, Seq[Seq[Double]]] = probes.map { c =>
-      val cent = coarseMap(c)
-      c -> (0 until m).map { s =>
-        books(s).sortBy(_._1).map { case (_, rc) =>
-          var acc = 0.0
-          var i = 0
-          while (i < d) {
-            val qr = query(s * d + i).toDouble - cent(s * d + i).toDouble
-            val diff = qr - rc(i).toDouble
-            acc += diff * diff
-            i += 1
-          }
-          acc
-        }
-      }
-    }.toMap
-    val tablesLit = typedLit(cellTables.map { case (c, t) =>
-      c -> t.map(_.toVector).toVector
-    })
+    val tablesLit = typedLit(probes.map { c =>
+      c -> residualTables(query, coarseMap(c), books, d)
+    }.toMap)
     val cellT = element_at(tablesLit, col("cluster"))
     rv.filter(col("cluster").isin(probes: _*))
       .withColumn("codes", codesColumn(col("r"), dim, books))
@@ -239,5 +243,50 @@ object Pq {
         }.reduce(_ + _), 4).as("dist"))
       .orderBy(col("dist").asc, col("id"))
       .limit(k)
+  }
+
+  /** Batched residual IVFADC — the [[Ivf.ivfTopKMany]] amortization on
+    * the residual-PQ path: coarse centroids and residual codebooks train
+    * ONCE; each query's probe list AND per-probed-cell ADC tables resolve
+    * on the driver and broadcast as columns of the tiny query frame
+    * (queries × nprobe × m × ksub doubles). One corpus pass: a row joins
+    * only the queries probing its cell, codes assign once per surviving
+    * row (post-join projection, attribute-shared across the m lookups),
+    * and the per-query top-k is the bounded [[TopKAggregator]] — map-side
+    * ≤ k per query per partition, no window. Output:
+    * `(query_id, rnk, id, dist)` ascending ADC distance. */
+  def ivfPqResidualTopKMany(emb: DataFrame, idCol: Column, vecCol: Column,
+      queries: Seq[(String, Array[Float])], k: Int, nlist: Int = 8,
+      nprobe: Int = 2, m: Int = 4, ksub: Int = 8, iters: Int = 2,
+      sampleFraction: Int = 50): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dim = queries.head._2.length
+    val d = dim / m
+    val coarse = Ivf.trainCentroids(emb, idCol, vecCol, nlist, iters,
+      sampleFraction)
+    val coarseMap = coarse.toMap
+    val rv = residuals(emb, idCol, vecCol, coarse)
+    val books = trainCodebooks(rv, col("id"), col("r"), dim, m, ksub, iters,
+      sampleFraction)
+    val qrows = queries.map { case (qid, qv) =>
+      val probes = Ivf.probeList(coarse, qv, nprobe)
+      (qid, probes.toVector,
+        probes.map(c => c -> residualTables(qv, coarseMap(c), books, d)).toMap)
+    }
+    val qdf = broadcast(qrows.toDF("query_id", "probes", "tables"))
+    val cellT = element_at(col("tables"), col("cluster"))
+    val scored = rv
+      .join(qdf, array_contains(col("probes"), col("cluster")))
+      .withColumn("codes", codesColumn(col("r"), dim, books))
+      .select(col("query_id"), col("id"),
+        round((0 until m).map { s =>
+          element_at(element_at(cellT, s + 1),
+            element_at(col("codes"), s + 1) + 1)
+        }.reduce(_ + _), 4).as("dist"))
+    // TopKAggregator orders (sim DESC, id ASC); negate for ascending dist
+    TopK.perGroup(scored, Seq(col("query_id")), col("id"),
+        -col("dist"), k)
+      .select(col("query_id"), col("rnk"), col("id"), (-col("sim")).as("dist"))
   }
 }

@@ -170,6 +170,16 @@ object OpsQueries {
           m = 4, ksub = 8, iters = 2)
         .select(col("id").as("vec_id"), col("dist"))),
 
+    "q94_ivfpq_residual_batched" -> ((s, d) =>
+      // batched residual IVFADC: coarse + residual codebooks train once,
+      // per-query probe lists AND per-cell ADC tables broadcast with the
+      // query frame, one pruned corpus pass, bounded per-query top-k
+      graft.ops.Pq.ivfPqResidualTopKMany(t(s, d, "embeddings"), col("vec_id"),
+          col("embedding"), Seq("qa" -> qvecScala, "qb" -> qvec2Scala),
+          k = 5, nlist = 8, nprobe = 2, m = 4, ksub = 8, iters = 2)
+        .select(col("query_id"), col("rnk"), col("id").as("vec_id"), col("dist"))
+        .orderBy("query_id", "rnk")),
+
     "q67_bm25" -> ((s, d) =>
       // lexical relevance: BM25 over the documents table (one scan; only
       // query-term tokens reach the shuffle)
@@ -907,6 +917,49 @@ object OpsQueries {
          FROM bf b JOIN tot t ON b.id = t.id
          WHERE b.cid IN (SELECT cid FROM pc)
          ORDER BY round(t.dist, 4), b.id LIMIT 6"""
+    },
+
+    "q94_ivfpq_residual_batched" -> {
+      val d = 16
+      val qv1 = vecSql(qvecScala)
+      val qv2 = vecSql(qvec2Scala)
+      val subs = (0 until 4).map(s =>
+        PortableSql.pqSubTrainFrom(s"r${s}_",
+          s"SELECT id, v[${s * d + 1}:${(s + 1) * d}] AS v FROM rv", d))
+        .mkString(",\n")
+      // per (query, subspace): ((q_i − C_cell_i) − r_i)² summed over the
+      // slice, rows restricted to the query's probed cells via pr
+      val dists = (0 until 4).map { s =>
+        val off = s * d
+        s"""SELECT pr.query_id, b.id, list_sum(list_transform(range($d),
+              i -> ((q.qvec[$off + i + 1] - cc.c[$off + i + 1]) - rc.c[i + 1])
+                 * ((q.qvec[$off + i + 1] - cc.c[$off + i + 1]) - rc.c[i + 1]))) AS dist
+            FROM r${s}_bf b JOIN r${s}_c2 rc ON b.cid = rc.cid
+                 JOIN bf ON bf.id = b.id JOIN c2 cc ON cc.cid = bf.cid
+                 JOIN pr ON pr.cid = bf.cid
+                 JOIN q ON q.query_id = pr.query_id"""
+      }.mkString(" UNION ALL ")
+      s"""${PortableSql.ivfTrainSql}
+         rv AS (SELECT bf.id, bf.cid,
+                  list_transform(range(64),
+                    i -> CAST(CAST(bf.v[i + 1] - c.c[i + 1] AS FLOAT) AS DOUBLE)) AS v
+                FROM bf JOIN c2 c ON bf.cid = c.cid),
+         $subs,
+         q(query_id, qvec) AS (VALUES ('qa', $qv1), ('qb', $qv2)),
+         pr AS (SELECT query_id, cid FROM
+                 (SELECT q.query_id, c.cid,
+                         row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY ${PortableSql.cosSql("q.qvec", "c.c")} DESC, c.cid) AS rn
+                  FROM q CROSS JOIN c2 c) WHERE rn <= 2),
+         alld AS ($dists),
+         tot AS (SELECT query_id, id, round(sum(dist), 4) AS dist
+                 FROM alld GROUP BY query_id, id)
+         SELECT query_id, rnk, id AS vec_id, dist FROM
+          (SELECT query_id, id, dist,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY dist, id) AS rnk
+           FROM tot) WHERE rnk <= 5
+         ORDER BY query_id, rnk"""
     },
 
     "q67_bm25" -> (PortableSql.bm25Sql(Seq("join", "hash", "window")) +

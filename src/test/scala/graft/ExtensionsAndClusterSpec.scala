@@ -166,6 +166,16 @@ class ExtensionsAndClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = Pq.ivfPqResidualTopK(emb, col("vec_id"), col("embedding"),
       query, k = 6, nlist = 8, nprobe = 2).collect()
     assert(topk.map(_.toString).toSeq == again.map(_.toString).toSeq)
+
+    // batched path agrees with the one-query path per query
+    val q2 = Array.tabulate(64)(i => if (i % 2 == 0) 0.125f else -0.125f)
+    val many = Pq.ivfPqResidualTopKMany(emb, col("vec_id"), col("embedding"),
+      Seq("qa" -> query, "qb" -> q2), k = 6, nlist = 8, nprobe = 2).collect()
+    val aHits = many.filter(_.getAs[String]("query_id") == "qa")
+      .sortBy(_.getAs[Int]("rnk"))
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("dist"))).toSeq
+    assert(aHits == topk.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    assert(many.count(_.getAs[String]("query_id") == "qb") == 6)
   }
 
   test("IVF store: learned centroids persist, searchIvf prunes clusters") {
