@@ -54,6 +54,36 @@ object Curation {
     }
   }
 
+  /**
+   * Deterministic mixture sampling with UP-sampling: the domain
+   * reweighting a pretraining mixture runs (temperature sampling over
+   * source corpora — Raffel et al.'s T5 §3.4.2 shape). Each stratum's
+   * weight `w` may exceed 1: a row yields ⌊w⌋ copies plus one more when
+   * its md5 bucket (10000 basis points — integer compare, engine-exact)
+   * falls under frac(w); expectation per stratum is w·|stratum|.
+   * Unlisted strata drop. Complements [[stratifiedSample]] (pure filter,
+   * w ≤ 1). Output: the input columns + `copy` (1-based duplicate
+   * index). Row-local explode — zero shuffles, and membership/copy
+   * counts are content-keyed: reproducible across engines, runs and
+   * partitionings.
+   */
+  def mixtureSample(df: DataFrame, key: Column, stratum: Column,
+      weightByStratum: Map[String, Double]): DataFrame = {
+    val bucket = graft.expr.PortableHash.hex15Col(key) % 10000
+    val copies = weightByStratum.foldLeft(lit(0)) { case (acc, (s, w)) =>
+      require(w >= 0, s"negative weight for stratum $s")
+      val fl = math.floor(w).toInt
+      val bp = math.round((w - fl) * 10000).toInt
+      when(stratum === s,
+        lit(fl) + when(bucket < bp, 1).otherwise(0)).otherwise(acc)
+    }
+    df.withColumn("__copies", copies)
+      .withColumn("copy", explode(
+        when(col("__copies") >= 1, sequence(lit(1), col("__copies")))
+          .otherwise(array().cast("array<int>"))))
+      .drop("__copies")
+  }
+
   /** Top-n vocabulary with counts (explode → count → top-n). The explode
     * shuffles (word, 1) pairs — at 100 TB cap it with a pre-aggregation per
     * partition, which Spark's partial aggregation already provides. */

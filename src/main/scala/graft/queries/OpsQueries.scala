@@ -248,6 +248,14 @@ object OpsQueries {
           t(s, d, "documents"), col("doc_id"), col("text"), n = 2, minDf = 5L)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    "q95_mixture_sample" -> ((s, d) =>
+      // temperature-mixture reweighting: en halved, de doubled, es ×1.25,
+      // fr kept, zh dropped — md5-basis-point copies, row-local explode
+      graft.ops.Curation.mixtureSample(
+          t(s, d, "documents").select(col("doc_id"), col("lang")),
+          col("doc_id"), col("lang"),
+          Map("en" -> 0.5, "de" -> 2.0, "es" -> 1.25, "fr" -> 1.0))
+        .orderBy("doc_id", "copy")),
     "q84_shard_histogram" -> ((s, d) =>
       // training-export shard assignment (md5-keyed, engine-reproducible):
       // the histogram the writeShards manifest records
@@ -1084,6 +1092,22 @@ object OpsQueries {
                 round(avg(CASE WHEN df.df >= 5 THEN 1.0 ELSE 0.0 END), 4) AS boiler_frac
          FROM g JOIN df USING (g2)
          GROUP BY g.doc_id ORDER BY g.doc_id""",
+
+    "q95_mixture_sample" ->
+      """WITH h AS (
+           SELECT doc_id, lang,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 10000 AS hb
+           FROM documents),
+         c AS (SELECT doc_id, lang,
+                 CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 2
+                           WHEN 'es' THEN 1 WHEN 'fr' THEN 1 ELSE 0 END
+                 + CASE WHEN hb < (CASE lang WHEN 'en' THEN 5000
+                                             WHEN 'es' THEN 2500 ELSE 0 END)
+                        THEN 1 ELSE 0 END AS copies
+               FROM h)
+         SELECT doc_id, lang, CAST(unnest(range(1, copies + 1)) AS INT) AS copy
+         FROM c WHERE copies >= 1 ORDER BY doc_id, copy""",
 
     "q84_shard_histogram" ->
       """SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))

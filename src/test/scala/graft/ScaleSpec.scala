@@ -101,6 +101,26 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("mixtureSample: integer copies exact, fractional in expectation, unlisted drop") {
+    import spark.implicits._
+    import graft.ops.Curation
+    val rows = (0L until 400L).map(id =>
+      (id, Seq("a", "b", "c", "d")((id % 4).toInt))).toDF("id", "src")
+    val got = Curation.mixtureSample(rows, col("id"), col("src"),
+      Map("a" -> 2.0, "b" -> 0.5, "c" -> 1.25)).collect()
+    val bySrc = got.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(!bySrc.contains("d"))                  // unlisted stratum drops
+    assert(bySrc("a") == 200)                     // w=2.0 → exactly 2 copies each
+    assert(bySrc("b") >= 20 && bySrc("b") <= 80)  // w=0.5 of 100, md5-keyed
+    assert(bySrc("c") >= 100 && bySrc("c") <= 160) // w=1.25 of 100
+    // copy indices are 1..copies per id, and the whole thing re-runs identically
+    val aCopies = got.filter(_.getString(1) == "a").groupBy(_.getLong(0))
+    assert(aCopies.values.forall(_.map(_.getInt(2)).sorted.sameElements(Array(1, 2))))
+    val again = Curation.mixtureSample(rows, col("id"), col("src"),
+      Map("a" -> 2.0, "b" -> 0.5, "c" -> 1.25)).collect()
+    assert(got.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("writeShards: deterministic layout, one file per shard, manifest") {
     import graft.ops.Curation
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
