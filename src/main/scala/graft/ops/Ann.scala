@@ -49,6 +49,50 @@ object Ann {
       .limit(k)
   }
 
+  /** Binary (sign-bit) quantized search: each vector compresses to
+    * ceil(d/32) packed 32-bit words (one bit per dimension, `v_i >= 0`) —
+    * the 32× first-stage compression of binary-embedding retrieval.
+    * Candidates rank by hamming distance over the packed words
+    * (`bit_count(xor)`, whole-stage codegen), the top `rerank` by
+    * `(hamming, id)` rerank by exact cosine, and the top `k` of those
+    * return as `(id, hamming, sim)`.
+    *
+    * Scale shape: two `TakeOrderedAndProject`s, zero exchanges. At 100 TB
+    * the packed words are materialized store columns, so the scan reads
+    * `d/32` longs per row instead of `d` floats, and parquet column
+    * pruning keeps the float vectors untouched for all but the ≤ `rerank`
+    * candidates. Packing is big-endian per word (word 0 bit 0 = dimension
+    * 0 in the word's MSB position after `acc*2+bit` folding); the query
+    * packs identically driver-side, and the DuckDB oracle reproduces the
+    * ranking from the sign definition alone. */
+  def binaryTopK(emb: DataFrame, idCol: Column, vecCol: Column,
+      query: Array[Float], k: Int, rerank: Int): DataFrame = {
+    val d = query.length
+    val words = (d + 31) / 32
+    def pack(v: Column): Column =
+      transform(sequence(lit(0), lit(words - 1)), w =>
+        aggregate(
+          sequence(w * 32 + 1, least((w + 1) * 32, lit(d))),
+          lit(0L),
+          (acc, i) => acc * 2 + when(element_at(v, i) >= 0d, 1L).otherwise(0L)))
+    val qWords: Seq[Long] = (0 until words).map { w =>
+      (w * 32 until math.min((w + 1) * 32, d)).foldLeft(0L) { (acc, i) =>
+        acc * 2 + (if (query(i) >= 0) 1L else 0L)
+      }
+    }
+    val hamming = aggregate(
+      zip_with(pack(vecCol), typedLit(qWords), (a, b) =>
+        bit_count(a.bitwiseXOR(b)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    emb.select(idCol.as("id"), vecCol.as("v"), hamming.as("hamming"))
+      .orderBy(col("hamming"), col("id"))
+      .limit(rerank)
+      .select(col("id"), col("hamming"),
+        round(cosine_similarity(col("v"), typedLit(query)), 4).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (brute force over a bounded
     * range; LSH-bucketed variant below for scale). */
   def nearDupPairs(emb: DataFrame, idCol: Column, vecCol: Column,

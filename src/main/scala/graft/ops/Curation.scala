@@ -84,6 +84,46 @@ object Curation {
       .drop("__copies")
   }
 
+  /**
+   * DSIR-flavored importance weights (Xie et al. 2023, "Data Selection
+   * for Language Models via Importance Resampling"): score each raw
+   * document by how much more likely its hashed bag-of-unigrams is under
+   * the TARGET distribution than under the RAW distribution —
+   * `w(d) = Σ_tok [ log p_t(b(tok)) − log p_r(b(tok)) ]` with
+   * `b(tok) = md5(tok) mod buckets` (engine-portable like every sketch
+   * kernel here) and Laplace-smoothed bucket probabilities
+   * `p(b) = (count(b)+1)/(N+buckets)`. Selection is then top-weight (or
+   * a Gumbel resample over w). Returns `(id, w)` with w rounded to 4dp.
+   *
+   * Scale shape: both count tables reduce to ≤ `buckets` rows under
+   * partial aggregation (only bucket-id longs shuffle) and broadcast to
+   * the scoring pass; the per-document sum is one partial-agg shuffle of
+   * `(id, double)`. The target corpus — a small quality reference set —
+   * is read once; the raw corpus streams through exactly once.
+   */
+  def importanceWeights(raw: DataFrame, rawId: Column, rawText: Column,
+      target: DataFrame, targetText: Column, buckets: Int = 512): DataFrame = {
+    def toks(df: DataFrame, text: Column, keep: Seq[Column]): DataFrame =
+      df.select(keep :+ explode(array_remove(split(text, "\\s+"), "")).as("tok"): _*)
+        .withColumn("b", graft.expr.PortableHash.hex15Col(col("tok")) % buckets)
+        .drop("tok")
+    val rawToks = toks(raw, rawText, Seq(rawId.as("id")))
+    val tgtToks = toks(target, targetText, Seq.empty)
+    val tgtCounts = tgtToks.groupBy("b").agg(count(lit(1)).as("ct"))
+    val rawCounts = rawToks.groupBy("b").agg(count(lit(1)).as("cr"))
+    val totals = tgtCounts.agg(sum("ct").as("nt"))
+      .crossJoin(rawCounts.agg(sum("cr").as("nr")))
+    val term =
+      log((coalesce(col("ct"), lit(0L)) + 1) / (col("nt") + lit(buckets)).cast("double")) -
+      log((col("cr") + 1) / (col("nr") + lit(buckets)).cast("double"))
+    rawToks
+      .join(broadcast(tgtCounts), Seq("b"), "left")
+      .join(broadcast(rawCounts), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(col("id"), term.as("t"))
+      .groupBy("id").agg(round(sum("t"), 4).as("w"))
+  }
+
   /** Top-n vocabulary with counts (explode → count → top-n). The explode
     * shuffles (word, 1) pairs — at 100 TB cap it with a pre-aggregation per
     * partition, which Spark's partial aggregation already provides. */

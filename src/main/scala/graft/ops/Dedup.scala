@@ -268,6 +268,95 @@ object Dedup {
     df.join(drop, idCol.cast("long") === col("drop_id"), "left_anti")
   }
 
+  /** Line-level deduplication (the RefinedWeb/CCNet pre-training scrub:
+    * Penedo et al. 2023 §3.2 remove lines repeated across documents —
+    * navigation bars, cookie banners, boilerplate headers). A line is
+    * removed when its EXACT content (non-blank after trim) appears in at
+    * least `minDocs` DISTINCT documents; blank lines are never counted or
+    * removed. Returns one row per input document:
+    * `(id, n_kept, n_removed, text)` with `text` rebuilt from the surviving
+    * lines in original order.
+    *
+    * Scale shape: document text never shuffles. Lines explode once for
+    * DETECTION only, reducing to `(xxhash64(line), n_docs)` under partial
+    * aggregation — hashes shuffle, text doesn't; the frequent table (the
+    * corpus's boilerplate vocabulary, small by construction) broadcasts,
+    * so dropped line occurrences resolve map-side and only `(id, pos)`
+    * int pairs shuffle into per-doc drop lists. The REBUILD is a
+    * row-local indexed-`filter` HOF over the doc's own split array
+    * (whole-stage codegen); the drop lists attach with one equi-join on
+    * id — co-partitioned for free when the corpus is bucketed by id, and
+    * its payload is a handful of ints per affected doc either way. */
+  def lineDedup(df: DataFrame, idCol: Column, textCol: Column,
+      minDocs: Int): DataFrame = {
+    val lines = df.select(idCol.as("id"), posexplode(split(textCol, "\n", -1)))
+      .select(col("id"), col("pos"), col("col").as("line"))
+      .filter(length(trim(col("line"))) > 0)
+    val frequent = lines
+      .groupBy(xxhash64(col("line")).as("h"))
+      .agg(count_distinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("h"))
+    val dropLists = lines
+      .join(broadcast(frequent), xxhash64(col("line")) === col("h"))
+      .groupBy("id").agg(collect_list(col("pos")).as("drop_pos"))
+    val kept = filter(col("ls"),
+      (_, i) => !array_contains(coalesce(col("drop_pos"),
+        array().cast("array<int>")), i))
+    df.select(idCol.as("id"), split(textCol, "\n", -1).as("ls"))
+      .join(dropLists, Seq("id"), "left")
+      .select(col("id"),
+        size(kept).cast("long").as("n_kept"),
+        (size(col("ls")) - size(kept)).cast("long").as("n_removed"),
+        array_join(kept, "\n").as("text"))
+  }
+
+  /** Cross-document duplicate SPANS at word-`k`-gram granularity — the
+    * bucketed approximation of suffix-array exact-substring dedup (Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models Better":
+    * long verbatim repeats hurt more than whole-doc near-dups, and most
+    * verbatim repeats are substrings, invisible to document-level MinHash).
+    * A token position is covered when some `k`-gram starting there occurs
+    * in ≥ `minDocs` distinct documents; overlapping/adjacent covered
+    * intervals `[pos, pos+k)` merge into maximal spans. Returns
+    * `(id, span_start, span_end, n_grams)` — token-index spans a pipeline
+    * cuts or masks (span_end exclusive).
+    *
+    * Scale shape: grams explode once (positions kept, so no distinct);
+    * the repeated-gram table reduces to `(xxhash64(gram), n_docs)` under
+    * partial aggregation and only hashes shuffle; the membership join
+    * broadcasts that table when the duplicated vocabulary is small, else
+    * it is a plain equi-join on the hash. Interval merging is a
+    * per-document window (bounded by document length), never global. */
+  def duplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int, minDocs: Int = 2): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val toks = array_remove(split(textCol, "\\s+"), "")
+    val grams = when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    val g = df.select(idCol.as("id"), posexplode(grams))
+      .select(col("id"), col("pos"), xxhash64(col("col")).as("h"))
+    val repeated = g.groupBy("h")
+      .agg(count_distinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("h"))
+    val covered = g.join(broadcast(repeated), "h").select(col("id"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    // intervals are all length k and sorted by start, so the running max
+    // end is lag(pos)+k: a new span starts exactly when the gap exceeds k
+    val islands = covered
+      .withColumn("new_span",
+        when(col("pos") - lag(col("pos"), 1, -k).over(w) > k, 1).otherwise(0))
+      .withColumn("span", sum(col("new_span")).over(w))
+    islands.groupBy("id", "span")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + k).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("span")
+  }
+
   /** Exact pairwise n-gram Jaccard over a bounded id range — the
     * brute-force baseline the LSH paths approximate. O(n²): keep the range
     * small or use [[minHashDuplicates]] at scale. */

@@ -112,6 +112,32 @@ object OpsQueries {
         t(s, d, "documents").filter(col("doc_id") < 200),
         col("doc_id"), col("text"), maxHamming = 20)
         .orderBy("a_id", "b_id")),
+    "q96_line_dedup" -> ((s, d) => {
+      // RefinedWeb line-level scrub: documents are single-line word bags,
+      // so wrap them into 4-token lines first (deterministic re-lining;
+      // the operator itself is generic over \n), then drop every line
+      // repeated across >= 3 documents and rebuild the docs
+      val toks = array_remove(split(col("text"), "\\s+"), "")
+      val wrapped = t(s, d, "documents").select(col("doc_id"),
+        when(size(toks) === 0, lit("")).otherwise(
+          array_join(transform(
+            sequence(lit(0), ceil(size(toks) / lit(4.0)).cast("int") - 1),
+            i => concat_ws(" ", slice(toks, i * 4 + 1, lit(4)))), "\n"))
+          .as("wtext"))
+      Dedup.lineDedup(wrapped, col("doc_id"), col("wtext"), minDocs = 3)
+        .select(col("id").as("doc_id"), col("n_kept"), col("n_removed"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+    "q97_dup_spans" -> ((s, d) =>
+      // suffix-array-style substring dedup at 5-gram granularity: maximal
+      // token spans covered by grams repeated across >= 2 documents
+      Dedup.duplicateSpans(t(s, d, "documents"), col("doc_id"), col("text"),
+          k = 5, minDocs = 2)
+        .select(col("id").as("doc_id"),
+          col("span_start").cast("bigint").as("span_start"),
+          col("span_end").cast("bigint").as("span_end"), col("n_grams"))
+        .orderBy("doc_id", "span_start")),
 
     // ---- similarity search ----
     "q47_ann_lsh" -> ((s, d) =>
@@ -153,6 +179,14 @@ object OpsQueries {
           col("embedding"), qvecScala, k = 6, nlist = 8, nprobe = 2,
           m = 4, ksub = 8, iters = 2)
         .select(col("id").as("vec_id"), col("dist"))),
+
+    "q99_binary_ann" -> ((s, d) =>
+      // binary-quantized first stage: 64 sign bits -> two packed 32-bit
+      // words, hamming top-50 candidates (bit_count(xor), zero exchanges),
+      // exact-cosine rerank to top 10
+      Ann.binaryTopK(t(s, d, "embeddings"), col("vec_id"), col("embedding"),
+          qvec2Scala, k = 10, rerank = 50)
+        .select(col("id").as("vec_id"), col("hamming"), col("sim"))),
 
     "q92_mmr_rerank" -> ((s, d) =>
       // diversified retrieval: top-50 cosine candidates (one distributed
@@ -256,6 +290,14 @@ object OpsQueries {
           col("doc_id"), col("lang"),
           Map("en" -> 0.5, "de" -> 2.0, "es" -> 1.25, "fr" -> 1.0))
         .orderBy("doc_id", "copy")),
+    "q98_dsir_weights" -> ((s, d) =>
+      // DSIR importance selection: hashed-unigram log-likelihood ratio of
+      // the en subcorpus (target) vs the full corpus (raw); top 25 docs
+      graft.ops.Curation.importanceWeights(
+          t(s, d, "documents"), col("doc_id"), col("text"),
+          t(s, d, "documents").filter(col("lang") === "en"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("w").desc, col("doc_id")).limit(25)),
     "q84_shard_histogram" -> ((s, d) =>
       // training-export shard assignment (md5-keyed, engine-reproducible):
       // the histogram the writeShards manifest records
@@ -507,6 +549,72 @@ object OpsQueries {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.40
          ORDER BY a_id, b_id""",
+
+    "q96_line_dedup" ->
+      // re-line into 4-token lines, drop lines repeated across >= 3 docs,
+      // rebuild; md5 of the rebuilt text keeps the payload small
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents),
+         wrapped AS (
+           SELECT doc_id, CASE WHEN len(t) = 0 THEN ''
+                  ELSE array_to_string([array_to_string(t[(i*4+1):(i*4+4)], ' ')
+                                        FOR i IN range(0, CAST(ceil(len(t)/4.0) AS INT))], chr(10)) END AS wtext
+           FROM toks),
+         ls AS (SELECT doc_id, string_split(wtext, chr(10)) AS ll FROM wrapped),
+         lines AS (SELECT doc_id, unnest(ll) AS line, generate_subscripts(ll, 1) AS pos FROM ls),
+         freq AS (SELECT line FROM lines WHERE trim(line) <> ''
+                  GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+         flagged AS (SELECT l.doc_id, l.pos, l.line, (f.line IS NOT NULL) AS dup
+                     FROM lines l LEFT JOIN freq f ON l.line = f.line)
+         SELECT doc_id,
+                CAST(sum(CASE WHEN NOT dup THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                md5(coalesce(string_agg(CASE WHEN NOT dup THEN line END, chr(10) ORDER BY pos), '')) AS text_md5
+         FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+
+    "q97_dup_spans" ->
+      // 5-gram start positions repeated across >= 2 docs, merged into
+      // maximal [start, end) token spans per doc (gap > 5 starts a span)
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents),
+         gl AS (SELECT doc_id, [array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)] AS gs
+                FROM toks WHERE len(t) >= 5),
+         grams AS (SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) - 1 AS pos FROM gl),
+         rep AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         cov AS (SELECT doc_id, pos FROM grams JOIN rep USING (g)),
+         isl AS (SELECT doc_id, pos,
+                        CASE WHEN pos - lag(pos, 1, -5) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+                             THEN 1 ELSE 0 END AS ns
+                 FROM cov),
+         sp AS (SELECT doc_id, pos, sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span FROM isl)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                CAST(max(pos) + 5 AS BIGINT) AS span_end,
+                CAST(count(*) AS BIGINT) AS n_grams
+         FROM sp GROUP BY doc_id, span ORDER BY doc_id, span_start""",
+
+    "q98_dsir_weights" ->
+      // hashed-unigram (512 md5 buckets) Laplace-smoothed log-likelihood
+      // ratio: en subcorpus = target, full corpus = raw; top 25 by weight
+      """WITH rtok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+           FROM documents),
+         rb AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 512 AS b FROM rtok),
+         ttok AS (
+           SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+           FROM documents WHERE lang = 'en'),
+         tb AS (SELECT CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 512 AS b FROM ttok),
+         tc AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tb GROUP BY b),
+         rc AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM rb GROUP BY b),
+         tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tb) AS nt,
+                        (SELECT CAST(count(*) AS BIGINT) FROM rb) AS nr)
+         SELECT rb.doc_id,
+                round(sum(ln((coalesce(tc.ct, 0) + 1) / (tot.nt + 512.0))
+                        - ln((rc.cr + 1) / (tot.nr + 512.0))), 4) AS w
+         FROM rb LEFT JOIN tc USING (b) JOIN rc USING (b) CROSS JOIN tot
+         GROUP BY rb.doc_id ORDER BY w DESC, doc_id LIMIT 25""",
+
     "q48_token_count" ->
       """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
                              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
@@ -775,6 +883,23 @@ object OpsQueries {
                              SELECT xor(b, 1) FROM qb UNION ALL
                              SELECT xor(b, 2) FROM qb)
          ORDER BY sim DESC, id LIMIT 6"""
+    },
+
+    "q99_binary_ann" -> {
+      // the packed-word hamming the engine computes equals the number of
+      // sign mismatches — the oracle ranks from the sign definition alone
+      val qv = vecSql(qvec2Scala)
+      s"""WITH q AS (SELECT $qv AS qv),
+         h AS (
+           SELECT vec_id, embedding, qv,
+                  CAST(len([i FOR i IN range(1, 65)
+                            IF (embedding[i] >= 0) <> (qv[i] >= 0)]) AS BIGINT) AS hamming
+           FROM embeddings CROSS JOIN q),
+         c AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 50)
+         SELECT vec_id, hamming,
+                round(list_cosine_similarity(
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)), qv), 4) AS sim
+         FROM c ORDER BY sim DESC, vec_id LIMIT 10"""
     },
 
     "q66_ann_ivf" -> {

@@ -331,4 +331,76 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // group B: whichever cluster it shares, 10 < 11 and cos(10,11) ≈ 1
     assert(got(10L) && !got(11L))
   }
+
+  test("lineDedup: frequent lines drop, blanks survive, order preserved") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "keep one\nBOILER\n\nkeep two"),
+      (2L, "BOILER\nunique a"),
+      (3L, "unique b\nBOILER"),
+      (4L, "BOILER")).toDF("id", "text")
+    val out = Dedup.lineDedup(docs, col("id"), col("text"), minDocs = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, "keep one\n\nkeep two"),
+      (2L, 1L, 1L, "unique a"),
+      (3L, 1L, 1L, "unique b"),
+      (4L, 0L, 1L, "")))
+  }
+
+  test("duplicateSpans: cross-doc 5-gram spans merge; unique text unflagged") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens: grams at 2 starts
+    val docs = Seq(
+      (1L, shared + " one two three four five six"),
+      (2L, "x1 x2 x3 " + shared),
+      (3L, "totally different words only here")).toDF("id", "text")
+    val out = Dedup.duplicateSpans(docs, col("id"), col("text"), k = 5, minDocs = 2)
+      .orderBy("id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // doc 1: covered starts {0,1} -> [0,6); doc 2: starts {3,4} -> [3,9)
+    assert(out.toSeq == Seq((1L, 0, 6, 2L), (2L, 3, 9, 2L)))
+  }
+
+  test("importanceWeights: matches the reference formula; target-like docs outrank") {
+    import spark.implicits._
+    val B = 64
+    val raw = Seq((1L, "good good nice"), (2L, "bad ugly bad"), (3L, "good bad"))
+    val target = Seq("good nice good good", "nice good")
+    val out = graft.ops.Curation.importanceWeights(
+        raw.toDF("id", "text"), col("id"), col("text"),
+        target.map(Tuple1(_)).toDF("text"), col("text"), buckets = B)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver-side reference with the same md5-bucket Laplace formula
+    def bucket(tok: String): Long = graft.expr.PortableHash.hex15(tok) % B
+    val tgtToks = target.flatMap(_.split("\\s+")).map(bucket)
+    val rawToks = raw.flatMap(_._2.split("\\s+")).map(bucket)
+    val tc = tgtToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rc = rawToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def w(text: String): Double = text.split("\\s+").map { t =>
+      val b = bucket(t)
+      math.log((tc.getOrElse(b, 0L) + 1).toDouble / (tgtToks.size + B)) -
+        math.log((rc(b) + 1).toDouble / (rawToks.size + B))
+    }.sum
+    raw.foreach { case (id, text) =>
+      assert(math.abs(out(id) - w(text)) < 5e-5, s"doc $id") }
+    assert(out(1L) > out(3L) && out(3L) > out(2L))
+  }
+
+  test("binaryTopK: hamming = sign mismatches; rerank=n reproduces brute force") {
+    import spark.implicits._
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(64)(j => math.sin(i * 64 + j + 1).toFloat)) }
+    val df = vecs.toDF("id", "v")
+    val q = Array.tabulate(64)(j => math.cos(j * 0.7).toFloat)
+    val out = Ann.binaryTopK(df, col("id"), col("v"), q, k = 5, rerank = 20)
+      .collect()
+    val expHam = vecs.map { case (id, v) =>
+      id -> v.zip(q).count { case (a, b) => (a >= 0) != (b >= 0) }.toLong }.toMap
+    out.foreach(r => assert(r.getLong(1) == expHam(r.getLong(0))))
+    val bf = Ann.bruteForceTopK(df, col("id"), col("v"), q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out.map(_.getLong(0)).toSeq == bf)
+  }
 }
