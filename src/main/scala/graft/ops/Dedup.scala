@@ -357,6 +357,39 @@ object Dedup {
       .drop("span")
   }
 
+  /** Duplicate-span REMOVAL: cut every [[duplicateSpans]] interval out of
+    * the corpus and rebuild each document from its surviving tokens — the
+    * end of the substring-dedup story (spans are the evidence, the cleaned
+    * corpus is the product). Removes ALL occurrences of a repeated span
+    * (the conservative pipeline default; a keep-one variant would anti-join
+    * each span set's canonical min-(id,pos) occurrence out of the drop
+    * list first). Returns `(id, n_tokens, n_removed, text)` with tokens
+    * re-joined by single spaces.
+    *
+    * Scale shape: [[duplicateSpans]]'s shuffles all carry ints; the span
+    * lists collapse to a few `(start, end)` pairs per affected doc and
+    * attach with one equi-join on id (co-partitioned for free on an
+    * id-bucketed corpus); the cut itself is a row-local indexed-filter
+    * HOF over the doc's own token array — corpus text never shuffles. */
+  def stripDuplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int, minDocs: Int = 2): DataFrame = {
+    val spanLists = duplicateSpans(df, idCol, textCol, k, minDocs)
+      .groupBy("id")
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("spans"))
+    val emptySpans = array().cast("array<struct<s:int,e:int>>")
+    val tk = array_remove(split(textCol, "\\s+"), "")
+    val kept = filter(col("tk"), (_, i) =>
+      !exists(col("sp"), s => i >= s.getField("s") && i < s.getField("e")))
+    df.select(idCol.as("id"), tk.as("tk"))
+      .join(spanLists, Seq("id"), "left")
+      .withColumn("sp", coalesce(col("spans"), emptySpans))
+      .select(col("id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        (size(col("tk")) - size(kept)).cast("long").as("n_removed"),
+        array_join(kept, " ").as("text"))
+  }
+
   /** Exact pairwise n-gram Jaccard over a bounded id range — the
     * brute-force baseline the LSH paths approximate. O(n²): keep the range
     * small or use [[minHashDuplicates]] at scale. */

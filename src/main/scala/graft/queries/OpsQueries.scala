@@ -129,6 +129,14 @@ object OpsQueries {
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
     }),
+    "q100_strip_spans" -> ((s, d) =>
+      // the cleaned corpus after cutting q97's duplicate spans: token
+      // counts + md5 of the rebuilt text per doc
+      Dedup.stripDuplicateSpans(t(s, d, "documents"), col("doc_id"),
+          col("text"), k = 5, minDocs = 2)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")),
     "q97_dup_spans" -> ((s, d) =>
       // suffix-array-style substring dedup at 5-gram granularity: maximal
       // token spans covered by grams repeated across >= 2 documents
@@ -290,6 +298,16 @@ object OpsQueries {
           col("doc_id"), col("lang"),
           Map("en" -> 0.5, "de" -> 2.0, "es" -> 1.25, "fr" -> 1.0))
         .orderBy("doc_id", "copy")),
+    "q101_domain_cap" -> ((s, d) =>
+      // per-domain quota: the 5 best-quality docs per source via the
+      // bounded grouped-top-k aggregator (no window rank), ties -> low id
+      graft.ops.TopK.perGroup(
+          t(s, d, "documents").select(col("source"), col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("q")),
+          Seq(col("source")), col("doc_id"), col("q"), k = 5)
+        .select(col("source"), col("rnk").cast("bigint").as("rnk"),
+          col("id").as("doc_id"), round(col("sim"), 4).as("q"))
+        .orderBy("source", "rnk")),
     "q98_dsir_weights" -> ((s, d) =>
       // DSIR importance selection: hashed-unigram log-likelihood ratio of
       // the en subcorpus (target) vs the full corpus (raw); top 25 docs
@@ -593,6 +611,53 @@ object OpsQueries {
                 CAST(max(pos) + 5 AS BIGINT) AS span_end,
                 CAST(count(*) AS BIGINT) AS n_grams
          FROM sp GROUP BY doc_id, span ORDER BY doc_id, span_start""",
+
+    "q100_strip_spans" ->
+      // q97's covered gram starts expand to token indices [pos, pos+5);
+      // surviving tokens rebuild each doc (all occurrences cut)
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents),
+         gl AS (SELECT doc_id, [array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)] AS gs
+                FROM toks WHERE len(t) >= 5),
+         grams AS (SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) - 1 AS pos FROM gl),
+         rep AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         cov AS (SELECT doc_id, pos FROM grams JOIN rep USING (g)),
+         dropped AS (SELECT DISTINCT doc_id, pos + off AS ti FROM cov CROSS JOIN range(5) r(off)),
+         tokpos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS ti FROM toks),
+         kept AS (SELECT tp.doc_id, tp.tok, tp.ti
+                  FROM tokpos tp LEFT JOIN dropped d
+                    ON tp.doc_id = d.doc_id AND tp.ti = d.ti
+                  WHERE d.ti IS NULL)
+         SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+                CAST(len(t.t) - count(k.ti) AS BIGINT) AS n_removed,
+                md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.ti), '')) AS text_md5
+         FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+         GROUP BY t.doc_id, len(t.t) ORDER BY t.doc_id""",
+
+    "q101_domain_cap" ->
+      // q50's quality formula + row_number quota per source (the engine
+      // side replaces the window with the bounded top-k aggregator)
+      """WITH f AS (
+           SELECT doc_id, source, text, string_split_regex(trim(text), '\s+') AS tk,
+                  CAST(length(trim(text)) AS DOUBLE) AS nc FROM documents),
+         g AS (
+           SELECT doc_id, source, text, CAST(len(tk) AS DOUBLE) AS nt,
+                  (nc - (len(tk) - 1)) / len(tk) AS mtl,
+                  CAST(len(list_filter(tk, x -> list_contains(['the','and','of','to','in','is','that','with'], x))) AS DOUBLE) AS sh
+           FROM f),
+         scored AS (
+           SELECT doc_id, source,
+             round((CASE WHEN nt BETWEEN 8 AND 10000 THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN regexp_matches(text, '[.!?]') THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN sh / nt BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END), 2) AS q
+           FROM g),
+         r AS (SELECT source, doc_id, q,
+                      row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rnk
+               FROM scored)
+         SELECT source, rnk, doc_id, round(q, 4) AS q
+         FROM r WHERE rnk <= 5 ORDER BY source, rnk""",
 
     "q98_dsir_weights" ->
       // hashed-unigram (512 md5 buckets) Laplace-smoothed log-likelihood

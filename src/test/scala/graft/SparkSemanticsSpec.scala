@@ -363,6 +363,23 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((1L, 0, 6, 2L), (2L, 3, 9, 2L)))
   }
 
+  test("stripDuplicateSpans: covered tokens cut everywhere, rest intact") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, shared + " one two three four five six"),
+      (2L, "x1 x2 x3 " + shared),
+      (3L, "totally different words only here")).toDF("id", "text")
+    val out = Dedup.stripDuplicateSpans(docs, col("id"), col("text"),
+        k = 5, minDocs = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 12L, 6L, "one two three four five six"),
+      (2L, 9L, 6L, "x1 x2 x3"),
+      (3L, 5L, 0L, "totally different words only here")))
+  }
+
   test("importanceWeights: matches the reference formula; target-like docs outrank") {
     import spark.implicits._
     val B = 64
