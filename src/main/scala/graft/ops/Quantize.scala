@@ -43,4 +43,40 @@ object Quantize {
       zip_with(vec, codes,
         (v, c) => abs(v.cast("double") - c.cast("double") * scale)),
       lit(0.0), (acc, x) => acc + x) / size(vec)
+
+  /** SQ8 asymmetric search over the int8-quantized store: the query
+    * quantizes driver-side with its own scale, candidates rank by the
+    * INTEGER dot product of code arrays rescaled by both scales
+    * (`≈ dot(v, q)`; exact integer arithmetic, one double product —
+    * engine-portable to the bit), the top `rerank` by `(approx DESC, id)`
+    * rerank by exact cosine, and the top `k` return as
+    * `(id, approx, sim)`.
+    *
+    * Scale shape: like [[graft.ops.Ann.binaryTopK]], two
+    * `TakeOrderedAndProject`s and zero exchanges. In production the
+    * `(codes, scale)` pair is a materialized store column (4× narrower
+    * than the float vectors — [[int8Scale]]/[[int8Codes]] at write time);
+    * computed inline here the scan stays one pass. */
+  def int8TopK(emb: org.apache.spark.sql.DataFrame, idCol: Column,
+      vecCol: Column, query: Array[Float], k: Int, rerank: Int):
+      org.apache.spark.sql.DataFrame = {
+    val qScale = query.map(x => math.abs(x.toDouble)).max / 127.0
+    val qCodes: Seq[Int] = query.toSeq.map(x =>
+      if (qScale == 0) 0 else math.floor(x / qScale + 0.5).toInt)
+    val intDot = aggregate(
+      zip_with(col("codes"), typedLit(qCodes), (a, b) => (a * b).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    emb.select(idCol.as("id"), vecCol.as("v"), int8Scale(vecCol).as("sc"))
+      .select(col("id"), col("v"), col("sc"),
+        int8Codes(col("v"), col("sc")).as("codes"))
+      .select(col("id"), col("v"),
+        (intDot.cast("double") * col("sc") * qScale).as("approx"))
+      .orderBy(col("approx").desc, col("id"))
+      .limit(rerank)
+      .select(col("id"), round(col("approx"), 4).as("approx"),
+        round(graft.functions.cosine_similarity(col("v"), typedLit(query)), 4)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
 }

@@ -196,6 +196,13 @@ object OpsQueries {
           qvec2Scala, k = 10, rerank = 50)
         .select(col("id").as("vec_id"), col("hamming"), col("sim"))),
 
+    "q102_ann_int8" -> ((s, d) =>
+      // SQ8 asymmetric search: integer code dot product rescaled by both
+      // scales ranks candidates (zero exchanges), exact-cosine rerank
+      graft.ops.Quantize.int8TopK(t(s, d, "embeddings"), col("vec_id"),
+          col("embedding"), qvec2Scala, k = 10, rerank = 50)
+        .select(col("id").as("vec_id"), col("approx"), col("sim"))),
+
     "q92_mmr_rerank" -> ((s, d) =>
       // diversified retrieval: top-50 cosine candidates (one distributed
       // TakeOrdered pass), then the greedy MMR trace on the driver —
@@ -948,6 +955,29 @@ object OpsQueries {
                              SELECT xor(b, 1) FROM qb UNION ALL
                              SELECT xor(b, 2) FROM qb)
          ORDER BY sim DESC, id LIMIT 6"""
+    },
+
+    "q102_ann_int8" -> {
+      // codes re-derived exactly as q72; approx = (int dot) * sc * qsc
+      // with the same left-associated double products as the engine
+      val qv = vecSql(qvec2Scala)
+      s"""WITH q AS (SELECT list_transform($qv, x -> CAST(x AS DOUBLE)) AS qv),
+         qq AS (SELECT qv, list_max(list_transform(qv, x -> abs(x))) / 127.0 AS qsc FROM q),
+         qc AS (SELECT qv, qsc, list_transform(qv, x -> CASE WHEN qsc = 0 THEN 0
+                  ELSE CAST(floor(x / qsc + 0.5) AS INT) END) AS qcodes FROM qq),
+         v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM v),
+         c AS (SELECT vec_id, v, sc, list_transform(v, x -> CASE WHEN sc = 0 THEN 0
+                 ELSE CAST(floor(x / sc + 0.5) AS INT) END) AS codes FROM s),
+         a AS (SELECT vec_id, v, qv,
+                      CAST(list_sum([CAST(codes[i] AS BIGINT) * qcodes[i]
+                                     FOR i IN range(1, 65)]) AS DOUBLE) * sc * qsc AS approx
+               FROM c CROSS JOIN qc),
+         cand AS (SELECT * FROM a ORDER BY approx DESC, vec_id LIMIT 50)
+         SELECT vec_id, round(approx, 4) AS approx,
+                round(list_cosine_similarity(v, qv), 4) AS sim
+         FROM cand ORDER BY sim DESC, vec_id LIMIT 10"""
     },
 
     "q99_binary_ann" -> {

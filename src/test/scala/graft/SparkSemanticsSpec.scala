@@ -405,6 +405,25 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L) > out(3L) && out(3L) > out(2L))
   }
 
+  test("int8TopK: approx dot within quantization error; rerank=n matches brute force") {
+    import spark.implicits._
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(64)(j => math.sin(i * 64 + j + 1).toFloat)) }
+    val df = vecs.toDF("id", "v")
+    val q = Array.tabulate(64)(j => math.cos(j * 0.7).toFloat)
+    val out = graft.ops.Quantize.int8TopK(df, col("id"), col("v"), q,
+      k = 5, rerank = 20).collect()
+    out.foreach { r =>
+      val v = vecs(r.getLong(0).toInt)._2
+      val dot = v.zip(q).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      // |err| <= 0.5*(sc_v*||q||_1 + sc_q*||v||_1) ~ 0.6 for unit-ish dims
+      assert(math.abs(r.getDouble(1) - dot) < 0.6, s"id ${r.getLong(0)}")
+    }
+    val bf = Ann.bruteForceTopK(df, col("id"), col("v"), q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out.map(_.getLong(0)).toSeq == bf)
+  }
+
   test("binaryTopK: hamming = sign mismatches; rerank=n reproduces brute force") {
     import spark.implicits._
     val vecs = (0 until 20).map { i =>
