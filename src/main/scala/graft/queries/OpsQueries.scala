@@ -129,6 +129,21 @@ object OpsQueries {
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
     }),
+    "q103_curation_pipeline" -> ((s, d) => {
+      // the end-to-end curation story in one plan: cut duplicate spans,
+      // quality-gate the CLEANED text, split deterministically, report
+      // per-split volumes — every stage the composition of verified ops
+      val cleaned = Dedup.stripDuplicateSpans(t(s, d, "documents"),
+        col("doc_id"), col("text"), k = 5, minDocs = 2)
+      cleaned
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+        .select(col("id"),
+          graft.ops.Curation.splitAssign(col("id")).as("split"),
+          (col("n_tokens") - col("n_removed")).as("n_tok"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+        .orderBy("split")
+    }),
     "q100_strip_spans" -> ((s, d) =>
       // the cleaned corpus after cutting q97's duplicate spans: token
       // counts + md5 of the rebuilt text per doc
@@ -665,6 +680,48 @@ object OpsQueries {
                FROM scored)
          SELECT source, rnk, doc_id, round(q, 4) AS q
          FROM r WHERE rnk <= 5 ORDER BY source, rnk""",
+
+    "q103_curation_pipeline" ->
+      // q100's cleaned corpus -> q50's quality formula on the cleaned
+      // text -> q59's md5 split -> per-split doc/token volumes
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents),
+         gl AS (SELECT doc_id, [array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)] AS gs
+                FROM toks WHERE len(t) >= 5),
+         grams AS (SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) - 1 AS pos FROM gl),
+         rep AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         cov AS (SELECT doc_id, pos FROM grams JOIN rep USING (g)),
+         dropped AS (SELECT DISTINCT doc_id, pos + off AS ti FROM cov CROSS JOIN range(5) r(off)),
+         tokpos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS ti FROM toks),
+         kept AS (SELECT tp.doc_id, tp.tok, tp.ti
+                  FROM tokpos tp LEFT JOIN dropped d
+                    ON tp.doc_id = d.doc_id AND tp.ti = d.ti
+                  WHERE d.ti IS NULL),
+         cleaned AS (SELECT t.doc_id,
+                            coalesce(string_agg(k.tok, ' ' ORDER BY k.ti), '') AS text,
+                            CAST(count(k.ti) AS BIGINT) AS n_tok
+                     FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+                     GROUP BY t.doc_id),
+         f AS (SELECT doc_id, text, n_tok, string_split_regex(trim(text), '\s+') AS tk,
+                      CAST(length(trim(text)) AS DOUBLE) AS nc FROM cleaned),
+         g2 AS (SELECT doc_id, text, n_tok, CAST(len(tk) AS DOUBLE) AS nt,
+                       (nc - (len(tk) - 1)) / len(tk) AS mtl,
+                       CAST(len(list_filter(tk, x -> list_contains(['the','and','of','to','in','is','that','with'], x))) AS DOUBLE) AS sh
+                FROM f),
+         scored AS (
+           SELECT doc_id, n_tok,
+             round((CASE WHEN nt BETWEEN 8 AND 10000 THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN regexp_matches(text, '[.!?]') THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN sh / nt BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END), 2) AS q
+           FROM g2),
+         sel AS (SELECT doc_id, n_tok,
+                        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
+                 FROM scored WHERE q >= 0.5)
+         SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+                CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens
+         FROM sel GROUP BY 1 ORDER BY split""",
 
     "q98_dsir_weights" ->
       // hashed-unigram (512 md5 buckets) Laplace-smoothed log-likelihood

@@ -405,6 +405,55 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L) > out(3L) && out(3L) > out(2L))
   }
 
+  test("lineDedup/duplicateSpans parity fuzz vs reference implementations") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    def randLine(): String =
+      (0 until 1 + rnd.nextInt(3)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = (0 until 60).map { i =>
+      val lines = (0 until rnd.nextInt(8)).map { _ =>
+        if (rnd.nextInt(4) == 0) "" else randLine() }
+      (i.toLong, lines.mkString("\n"))
+    }
+    val df = docs.toDF("id", "text")
+    // reference lineDedup: exact per-line semantics, in-memory
+    val freq = docs.flatMap { case (id, t) =>
+        t.split("\n", -1).filter(_.trim.nonEmpty).distinct.map(l => (l, id)) }
+      .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+    val expected = docs.map { case (id, t) =>
+      val ls = t.split("\n", -1)
+      val kept = ls.filterNot(l => l.trim.nonEmpty && freq(l))
+      id -> ((kept.length.toLong, (ls.length - kept.length).toLong, kept.mkString("\n")))
+    }.toMap
+    val got = Dedup.lineDedup(df, col("id"), col("text"), minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    docs.foreach { case (id, _) =>
+      assert(got(id) == expected(id), s"doc $id") }
+    // reference duplicateSpans at k=2
+    val k = 2
+    def toks(t: String) = t.split("\\s+").filter(_.nonEmpty)
+    val gramDocs = docs.flatMap { case (id, t) =>
+        toks(t).sliding(k).filter(_.length == k).map(g => (g.mkString(" "), id)) }
+      .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+    val expSpans = docs.flatMap { case (id, t) =>
+      val tk = toks(t)
+      val starts = (0 to tk.length - k).filter(i =>
+        tk.length >= k && gramDocs(tk.slice(i, i + k).mkString(" ")))
+      // merge [p, p+k) intervals, gap > k starts a new span
+      starts.foldLeft(List.empty[(Int, Int, Long)]) {
+        case (Nil, p) => List((p, p + k, 1L))
+        case ((s, e, n) :: rest, p) =>
+          if (p <= e) (s, p + k, n + 1) :: rest else (p, p + k, 1L) :: (s, e, n) :: rest
+      }.reverse.map { case (s, e, n) => (id, s, e, n) }
+    }.toSet
+    val gotSpans = Dedup.duplicateSpans(df, col("id"), col("text"), k = k,
+        minDocs = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(gotSpans == expSpans)
+  }
+
   test("int8TopK: approx dot within quantization error; rerank=n matches brute force") {
     import spark.implicits._
     val vecs = (0 until 20).map { i =>
