@@ -211,6 +211,27 @@ object OpsQueries {
           qvec2Scala, k = 10, rerank = 50)
         .select(col("id").as("vec_id"), col("hamming"), col("sim"))),
 
+    "q104_recall_eval" -> ((s, d) => {
+      // index-quality evaluation: recall@10 of each approximate retrieval
+      // path against the exact cosine top-10 — the measurement loop an
+      // index-tuning pipeline runs before committing to probe/rerank
+      // budgets. Each leg is bounded (top-10 lists), so the joins are
+      // trivial; the corpus scans are the legs' own.
+      val emb = t(s, d, "embeddings")
+      val exact = Ann.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+        qvec2Scala, 10).select("id")
+      def recall(name: String, approx: DataFrame): DataFrame =
+        approx.select("id").join(exact, "id")
+          .agg((count(lit(1)).cast("double") / 10).as("recall"))
+          .select(lit(name).as("method"), col("recall"))
+      recall("binary", Ann.binaryTopK(emb, col("vec_id"), col("embedding"),
+          qvec2Scala, k = 10, rerank = 50))
+        .unionByName(recall("lsh", Ann.lshTopK(emb, col("vec_id"),
+          col("embedding"), qvec2Scala, k = 10, nbits = 4, probes = 2)))
+        .unionByName(recall("sq8", graft.ops.Quantize.int8TopK(emb,
+          col("vec_id"), col("embedding"), qvec2Scala, k = 10, rerank = 50)))
+        .orderBy("method")
+    }),
     "q102_ann_int8" -> ((s, d) =>
       // SQ8 asymmetric search: integer code dot product rescaled by both
       // scales ranks candidates (zero exchanges), exact-cosine rerank
@@ -1012,6 +1033,68 @@ object OpsQueries {
                              SELECT xor(b, 1) FROM qb UNION ALL
                              SELECT xor(b, 2) FROM qb)
          ORDER BY sim DESC, id LIMIT 6"""
+    },
+
+    "q104_recall_eval" -> {
+      // every leg re-derived from its own oracle recipe (q16 exact, q47
+      // lsh, q99 binary, q102 sq8), intersected with the exact top-10
+      val qv = vecSql(qvec2Scala)
+      s"""WITH q AS (SELECT list_transform($qv, x -> CAST(x AS DOUBLE)) AS qv),
+         emb2 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+         ex AS (SELECT vec_id FROM emb2 CROSS JOIN q
+                ORDER BY round(list_cosine_similarity(v, qv), 4) DESC, vec_id LIMIT 10),
+         planes AS (
+           SELECT j, list_transform(range(64), i ->
+             CASE WHEN CAST('0x' || substr(md5(CAST(j * 64 + i AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END) AS p
+           FROM range(4) t(j)),
+         buckets AS (
+           SELECT vec_id,
+                  CAST(sum(CASE WHEN list_inner_product(v, p) > 0
+                                THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+           FROM emb2 CROSS JOIN planes GROUP BY vec_id),
+         qb AS (
+           SELECT CAST(sum(CASE WHEN list_inner_product(qv, p) > 0
+                                THEN (1 << j) ELSE 0 END) AS INT) AS b
+           FROM planes CROSS JOIN q),
+         lsh AS (
+           SELECT e.vec_id FROM emb2 e JOIN buckets bk ON e.vec_id = bk.vec_id
+           CROSS JOIN q
+           WHERE bk.bucket IN (SELECT b FROM qb UNION ALL
+                               SELECT xor(b, 1) FROM qb UNION ALL
+                               SELECT xor(b, 2) FROM qb)
+           ORDER BY round(list_cosine_similarity(e.v, qv), 4) DESC, e.vec_id LIMIT 10),
+         bh AS (SELECT vec_id, v, qv,
+                       CAST(len([i FOR i IN range(1, 65)
+                                 IF (v[i] >= 0) <> (qv[i] >= 0)]) AS BIGINT) AS hamming
+                FROM emb2 CROSS JOIN q),
+         bcand AS (SELECT * FROM bh ORDER BY hamming, vec_id LIMIT 50),
+         bin AS (SELECT vec_id FROM bcand
+                 ORDER BY round(list_cosine_similarity(v, qv), 4) DESC, vec_id LIMIT 10),
+         qq AS (SELECT qv, list_max(list_transform(qv, x -> abs(x))) / 127.0 AS qsc FROM q),
+         qc AS (SELECT qv, qsc, list_transform(qv, x -> CASE WHEN qsc = 0 THEN 0
+                  ELSE CAST(floor(x / qsc + 0.5) AS INT) END) AS qcodes FROM qq),
+         sc8 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+                 FROM emb2),
+         c8 AS (SELECT vec_id, v, sc, list_transform(v, x -> CASE WHEN sc = 0 THEN 0
+                  ELSE CAST(floor(x / sc + 0.5) AS INT) END) AS codes FROM sc8),
+         a8 AS (SELECT vec_id, v, qv,
+                       CAST(list_sum([CAST(codes[i] AS BIGINT) * qcodes[i]
+                                      FOR i IN range(1, 65)]) AS DOUBLE) * sc * qsc AS approx
+                FROM c8 CROSS JOIN qc),
+         s8cand AS (SELECT * FROM a8 ORDER BY approx DESC, vec_id LIMIT 50),
+         sq8 AS (SELECT vec_id FROM s8cand
+                 ORDER BY round(list_cosine_similarity(v, qv), 4) DESC, vec_id LIMIT 10)
+         SELECT * FROM (
+           SELECT 'binary' AS method,
+                  (SELECT CAST(count(*) AS DOUBLE) / 10 FROM bin JOIN ex USING (vec_id)) AS recall
+           UNION ALL SELECT 'lsh',
+                  (SELECT CAST(count(*) AS DOUBLE) / 10 FROM lsh JOIN ex USING (vec_id))
+           UNION ALL SELECT 'sq8',
+                  (SELECT CAST(count(*) AS DOUBLE) / 10 FROM sq8 JOIN ex USING (vec_id))
+         ) ORDER BY method"""
     },
 
     "q102_ann_int8" -> {
