@@ -70,6 +70,72 @@ object IngestJob {
   def extract(spark: SparkSession, docsDir: String): DataFrame =
     decodeAndProject(spark.read.format("binaryFile").load(docsDir))
 
+  /** As [[extract]], but top-level `.zip` containers expand into their
+    * supported members first (member path = `archive.zip!member`, so
+    * provenance survives into `file_path`). */
+  def extractWithArchives(spark: SparkSession, docsDir: String): DataFrame =
+    decodeAndProject(expandArchives(
+      spark.read.format("binaryFile").load(docsDir)))
+
+  /** Expand `.zip` container rows of a `binaryFile` frame into one row per
+    * supported member; every other row passes through unchanged. Row-local
+    * (each archive decompresses inside its own task — the explode is the
+    * only plan change), so archive ingest scales exactly like flat-file
+    * ingest. Members keep the archive's modificationTime (zip entry times
+    * are unreliable across tools); `maxMemberBytes` bounds decompression
+    * (zip-bomb guard: oversized members are skipped and counted by the
+    * usual skip contract); nested `.zip` members are NOT recursed —
+    * `.docx`/`.xlsx` members are fine, they decode as ordinary OOXML
+    * bytes. A corrupt archive contributes the members readable before the
+    * failure point, matching the skip-and-count ethos. */
+  def expandArchives(binary: DataFrame,
+      maxMemberBytes: Long = 64L << 20): DataFrame = {
+    val memberExts = supportedText ++ supportedCsv ++ supportedRich
+    val unzip = udf((b: Array[Byte]) => {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        var e = zin.getNextEntry
+        while (e != null) {
+          val name = e.getName
+          val ext = name.lastIndexOf('.') match {
+            case -1 => ""
+            case i  => name.substring(i).toLowerCase(java.util.Locale.ROOT)
+          }
+          if (!e.isDirectory && memberExts.contains(ext)) {
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var total = 0L
+            var overflow = false
+            var n = zin.read(buf)
+            while (n > 0 && !overflow) {
+              total += n
+              if (total > maxMemberBytes) overflow = true
+              else { bos.write(buf, 0, n); n = zin.read(buf) }
+            }
+            if (!overflow) out += ((name, bos.toByteArray))
+          }
+          e = zin.getNextEntry
+        }
+      } catch { case _: Exception => () } // truncated/corrupt: keep prefix
+      finally zin.close()
+      out.toSeq
+    })
+    val isZip = lower(col("path")).endsWith(".zip")
+    val members = binary.filter(isZip)
+      .select(col("path").as("zpath"), col("modificationTime"),
+        explode(unzip(col("content"))).as("m"))
+      .select(concat(col("zpath"), lit("!"), col("m._1")).as("path"),
+        col("modificationTime"),
+        length(col("m._2")).cast("long").as("length"),
+        col("m._2").as("content"))
+    binary.filter(!isZip)
+      .select(col("path"), col("modificationTime"),
+        col("length").cast("long").as("length"), col("content"))
+      .unionByName(members)
+  }
+
   /** Same decode + metadata projection over any `binaryFile`-shaped frame —
     * shared by batch [[extract]] and [[graft.streaming.StreamingIngest]]
     * (the per-row operators are streaming-compatible, SURVEY §2.9). */

@@ -405,6 +405,31 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L) > out(3L) && out(3L) > out(2L))
   }
 
+  test("zip archive ingest: members extract with provenance, junk skipped") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = Files.createTempDirectory("graft-zip").toString
+    val zos = new ZipOutputStream(
+      Files.newOutputStream(Paths.get(dir, "bundle.zip")))
+    def put(name: String, bytes: Array[Byte]): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(bytes); zos.closeEntry()
+    }
+    put("docs/report.txt", "zip member report text".getBytes(StandardCharsets.UTF_8))
+    put("data.csv", "a,b\n1,2".getBytes(StandardCharsets.UTF_8))
+    put("image.png", Array[Byte](1, 2, 3)) // unsupported ext skipped
+    put("nested.zip", Array[Byte](80, 75)) // nested archives not recursed
+    zos.close()
+    Files.write(Paths.get(dir, "plain.txt"),
+      "plain file".getBytes(StandardCharsets.UTF_8))
+    val out = IngestJob.extractWithArchives(spark, dir)
+      .select("file_path", "file_type", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(out.length == 3)
+    assert(out.exists(r => r._1.endsWith("bundle.zip!docs/report.txt") &&
+      r._3 == "zip member report text"))
+    assert(out.exists(r => r._1.endsWith("bundle.zip!data.csv") && r._2 == ".csv"))
+    assert(out.exists(r => r._1.endsWith("plain.txt") && r._3 == "plain file"))
+  }
+
   test("lineDedup/duplicateSpans parity fuzz vs reference implementations") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260812L)
