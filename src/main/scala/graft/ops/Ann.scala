@@ -65,25 +65,40 @@ object Ann {
     * 0 in the word's MSB position after `acc*2+bit` folding); the query
     * packs identically driver-side, and the DuckDB oracle reproduces the
     * ranking from the sign definition alone. */
-  def binaryTopK(emb: DataFrame, idCol: Column, vecCol: Column,
-      query: Array[Float], k: Int, rerank: Int): DataFrame = {
-    val d = query.length
+  /** Packed sign-bit words of a vector column: ceil(d/32) 32-bit words
+    * (bit = `v_i >= 0`, `acc*2+bit` big-endian folding per word) — the
+    * narrow store column binary first-stage retrieval scans at 100 TB. */
+  def packWordsCol(v: Column, d: Int): Column = {
     val words = (d + 31) / 32
-    def pack(v: Column): Column =
-      transform(sequence(lit(0), lit(words - 1)), w =>
-        aggregate(
-          sequence(w * 32 + 1, least((w + 1) * 32, lit(d))),
-          lit(0L),
-          (acc, i) => acc * 2 + when(element_at(v, i) >= 0d, 1L).otherwise(0L)))
-    val qWords: Seq[Long] = (0 until words).map { w =>
+    transform(sequence(lit(0), lit(words - 1)), w =>
+      aggregate(
+        sequence(w * 32 + 1, least((w + 1) * 32, lit(d))),
+        lit(0L),
+        (acc, i) => acc * 2 + when(element_at(v, i) >= 0d, 1L).otherwise(0L)))
+  }
+
+  /** Driver-side twin of [[packWordsCol]] for the query vector. */
+  def packWords(query: Array[Float]): Seq[Long] = {
+    val d = query.length
+    (0 until (d + 31) / 32).map { w =>
       (w * 32 until math.min((w + 1) * 32, d)).foldLeft(0L) { (acc, i) =>
         acc * 2 + (if (query(i) >= 0) 1L else 0L)
       }
     }
-    val hamming = aggregate(
-      zip_with(pack(vecCol), typedLit(qWords), (a, b) =>
+  }
+
+  /** Hamming distance between a packed-words column and a packed query:
+    * `Σ bit_count(xor)` over the words — pure codegen'd built-ins. */
+  def hammingCol(sig: Column, qWords: Seq[Long]): Column =
+    aggregate(
+      zip_with(sig, typedLit(qWords), (a, b) =>
         bit_count(a.bitwiseXOR(b)).cast("long")),
       lit(0L), (acc, x) => acc + x)
+
+  def binaryTopK(emb: DataFrame, idCol: Column, vecCol: Column,
+      query: Array[Float], k: Int, rerank: Int): DataFrame = {
+    val hamming = hammingCol(packWordsCol(vecCol, query.length),
+      packWords(query))
     emb.select(idCol.as("id"), vecCol.as("v"), hamming.as("hamming"))
       .orderBy(col("hamming"), col("id"))
       .limit(rerank)

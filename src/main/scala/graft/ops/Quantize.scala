@@ -57,12 +57,27 @@ object Quantize {
     * `(codes, scale)` pair is a materialized store column (4× narrower
     * than the float vectors — [[int8Scale]]/[[int8Codes]] at write time);
     * computed inline here the scan stays one pass. */
-  def int8TopK(emb: org.apache.spark.sql.DataFrame, idCol: Column,
-      vecCol: Column, query: Array[Float], k: Int, rerank: Int):
-      org.apache.spark.sql.DataFrame = {
+  /** Driver-side query quantization with the same spec as
+    * [[int8Scale]]/[[int8Codes]]: `(codes, scale)`. */
+  def quantizeQuery(query: Array[Float]): (Seq[Int], Double) = {
     val qScale = query.map(x => math.abs(x.toDouble)).max / 127.0
     val qCodes: Seq[Int] = query.toSeq.map(x =>
       if (qScale == 0) 0 else math.floor(x / qScale + 0.5).toInt)
+    (qCodes, qScale)
+  }
+
+  /** Approximate dot product from a materialized codes/scale pair and a
+    * [[quantizeQuery]] result: exact integer dot, one double rescale. */
+  def approxDotCol(codes: Column, scale: Column, qCodes: Seq[Int],
+      qScale: Double): Column =
+    aggregate(
+      zip_with(codes, typedLit(qCodes), (a, b) => (a * b).cast("long")),
+      lit(0L), (acc, x) => acc + x).cast("double") * scale * qScale
+
+  def int8TopK(emb: org.apache.spark.sql.DataFrame, idCol: Column,
+      vecCol: Column, query: Array[Float], k: Int, rerank: Int):
+      org.apache.spark.sql.DataFrame = {
+    val (qCodes, qScale) = quantizeQuery(query)
     val intDot = aggregate(
       zip_with(col("codes"), typedLit(qCodes), (a, b) => (a * b).cast("long")),
       lit(0L), (acc, x) => acc + x)

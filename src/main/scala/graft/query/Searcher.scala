@@ -295,6 +295,54 @@ final class Searcher(spark: SparkSession, store: VectorStore) {
       .orderBy(col("similarity_score").desc, col("id"))
   }
 
+  /** Approximate search over the quantized side table
+    * ([[graft.store.VectorStore.writeVectorsQuantized]]) with exact
+    * re-ranking: the candidate pass scans `quant_codes` only — int8 codes
+    * (`mode = "sq8"`, ranked by the rescaled integer dot product) or the
+    * packed sign-bit words (`mode = "binary"`, ranked by hamming) — and
+    * the top `rerank` candidates refine with exact cosine against their
+    * stored vectors (id-pushdown read), keeping `p.threshold` and the
+    * returned scores exact-path semantics, same contract as
+    * [[searchPq]]. */
+  def searchQuantized(db: String, query: String,
+      p: Searcher.Params = Searcher.Params(), mode: String = "sq8",
+      rerank: Int = 50): DataFrame = {
+    val prompted = p.promptFamily.fold(TextNorm.normalizeQuery(query)) { fam =>
+      graft.embed.PromptPrefix.applyTo(fam, isQuery = true,
+        TextNorm.normalizeQuery(query))
+    }
+    val qvec = p.embedder.embed(prompted)
+    val quant = store.quantCodes(db)
+    val ranked = mode match {
+      case "sq8" =>
+        val (qc, qs) = graft.ops.Quantize.quantizeQuery(qvec)
+        quant.select(col("id"),
+            graft.ops.Quantize.approxDotCol(col("codes"), col("sc"), qc, qs)
+              .as("score"))
+          .orderBy(col("score").desc, col("id"))
+      case "binary" =>
+        quant.select(col("id"),
+            graft.ops.Ann.hammingCol(col("sig"), graft.ops.Ann.packWords(qvec))
+              .as("h"))
+          .orderBy(col("h").asc, col("id"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown quantized search mode '$other' (sq8 | binary)")
+    }
+    val candidates = ranked.limit(rerank).collect().map(_.getLong(0))
+    val vectors = vectorsOf(db)
+    if (candidates.isEmpty) return emptyHits(vectors)
+    vectors.filter(col("id").isin(candidates: _*))
+      .select(col("id"), col("text"), col("metadata"),
+        cosine_similarity(col("vector"), typedLit(qvec)).as("sim"))
+      .filter(col("sim") >= p.threshold)
+      .withColumn("similarity_score", least(greatest(col("sim"), lit(0.0)), lit(1.0)))
+      .withColumn("distance", lit(1.0) - col("sim"))
+      .drop("sim")
+      .orderBy(col("similarity_score").desc, col("id"))
+      .limit(p.k)
+  }
+
   /** Embedded query vectors for a batch (prompt-prefix + normalize, O5/O6). */
   private def embedMany(queries: Seq[(String, String)],
       p: Searcher.Params): Seq[(String, Array[Float])] =

@@ -136,6 +136,32 @@ final class VectorStore(spark: SparkSession, warehouse: String) {
       .parquet(s"${dbDir(db)}/pq_codes")
   }
 
+  /** Quantized side table for first-stage retrieval: per-vector SQ8 codes
+    * + scale AND packed sign-bit words in ONE narrow table
+    * `(id, sc, codes, sig)` — ~d bytes + d/8 bits per row instead of 4d
+    * float bytes, so both the SQ8 and binary candidate scans read a
+    * fraction of the vectors table's bandwidth
+    * ([[graft.query.Searcher.searchQuantized]] refines the few candidates
+    * against the full vectors). Derived from the already-written vectors
+    * table (one clean re-read, same as the PQ codes path). */
+  def writeVectorsQuantized(db: String): Unit = {
+    val vecs = spark.read.parquet(s"${dbDir(db)}/vectors")
+    val dim = vecs.select(size(col("vector"))).head().getInt(0)
+    vecs
+      .select(col("id"), col("vector"),
+        graft.ops.Quantize.int8Scale(col("vector")).as("sc"))
+      .select(col("id"), col("sc"),
+        graft.ops.Quantize.int8Codes(col("vector"), col("sc")).as("codes"),
+        graft.ops.Ann.packWordsCol(col("vector"), dim).as("sig"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 100000)
+      .parquet(s"${dbDir(db)}/quant_codes")
+  }
+
+  /** The quantized side table of [[writeVectorsQuantized]]. */
+  def quantCodes(db: String): DataFrame =
+    spark.read.parquet(s"${dbDir(db)}/quant_codes")
+
   /** Per-subspace PQ codebooks of a [[writeVectorsPq]] store (tiny:
     * m × ksub × dim/m floats). */
   def codebooks(db: String): Seq[Seq[(Int, Seq[Float])]] =

@@ -405,6 +405,21 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L) > out(3L) && out(3L) > out(2L))
   }
 
+  test("searchQuantized: sq8/binary store paths match exact search at full rerank") {
+    store.writeVectorsQuantized("specdb")
+    val exact = searcher.search("specdb", "cosine similarity vector", params(k = 4))
+      .collect().map(_.getLong(0)).toSeq
+    for (mode <- Seq("sq8", "binary")) {
+      val got = searcher.searchQuantized("specdb", "cosine similarity vector",
+          params(k = 4), mode = mode, rerank = 10000)
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == exact, s"mode $mode")
+    }
+    intercept[IllegalArgumentException] {
+      searcher.searchQuantized("specdb", "x", params(), mode = "nope")
+    }
+  }
+
   test("zip archive ingest: members extract with provenance, junk skipped") {
     import java.util.zip.{ZipEntry, ZipOutputStream}
     val dir = Files.createTempDirectory("graft-zip").toString
