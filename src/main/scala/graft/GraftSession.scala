@@ -64,4 +64,15 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
       .select("id", "text", "metadata", "similarity_score", "distance")
       .as[SearchHit]
   }
+
+  /** Typed quantized search over a [[VectorStore.writeVectorsQuantized]]
+    * side table (`mode = "sq8" | "binary"`), exact-cosine refined. */
+  def searchQuantized(db: String, query: String,
+      p: Searcher.Params = Searcher.Params(), mode: String = "sq8",
+      rerank: Int = 50): Dataset[SearchHit] = {
+    import spark.implicits._
+    searcher.searchQuantized(db, query, p, mode, rerank)
+      .select("id", "text", "metadata", "similarity_score", "distance")
+      .as[SearchHit]
+  }
 }
