@@ -49,22 +49,6 @@ object Ann {
       .limit(k)
   }
 
-  /** Binary (sign-bit) quantized search: each vector compresses to
-    * ceil(d/32) packed 32-bit words (one bit per dimension, `v_i >= 0`) —
-    * the 32× first-stage compression of binary-embedding retrieval.
-    * Candidates rank by hamming distance over the packed words
-    * (`bit_count(xor)`, whole-stage codegen), the top `rerank` by
-    * `(hamming, id)` rerank by exact cosine, and the top `k` of those
-    * return as `(id, hamming, sim)`.
-    *
-    * Scale shape: two `TakeOrderedAndProject`s, zero exchanges. At 100 TB
-    * the packed words are materialized store columns, so the scan reads
-    * `d/32` longs per row instead of `d` floats, and parquet column
-    * pruning keeps the float vectors untouched for all but the ≤ `rerank`
-    * candidates. Packing is big-endian per word (word 0 bit 0 = dimension
-    * 0 in the word's MSB position after `acc*2+bit` folding); the query
-    * packs identically driver-side, and the DuckDB oracle reproduces the
-    * ranking from the sign definition alone. */
   /** Packed sign-bit words of a vector column: ceil(d/32) 32-bit words
     * (bit = `v_i >= 0`, `acc*2+bit` big-endian folding per word) — the
     * narrow store column binary first-stage retrieval scans at 100 TB. */
@@ -95,6 +79,14 @@ object Ann {
         bit_count(a.bitwiseXOR(b)).cast("long")),
       lit(0L), (acc, x) => acc + x)
 
+  /** Binary (sign-bit) quantized search: candidates rank by hamming over
+    * the packed words (`bit_count(xor)`, whole-stage codegen), the top
+    * `rerank` by `(hamming, id)` rerank by exact cosine, top `k` return
+    * as `(id, hamming, sim)`. Two `TakeOrderedAndProject`s, zero
+    * exchanges; at 100 TB the packed words are materialized store columns
+    * ([[graft.store.VectorStore.writeVectorsQuantized]]) so the scan
+    * reads d/32 longs per row and parquet column pruning keeps the float
+    * vectors untouched for all but the candidates. */
   def binaryTopK(emb: DataFrame, idCol: Column, vecCol: Column,
       query: Array[Float], k: Int, rerank: Int): DataFrame = {
     val hamming = hammingCol(packWordsCol(vecCol, query.length),
@@ -106,6 +98,51 @@ object Ann {
         round(cosine_similarity(col("v"), typedLit(query)), 4).as("sim"))
       .orderBy(col("sim").desc, col("id"))
       .limit(k)
+  }
+
+  /** Batched binary-quantized search: one corpus pass serves every query.
+    * The query frame (id, packed words, float vector) broadcasts; hamming
+    * per (row, query) feeds a bounded per-query top-`rerank`
+    * ([[TopK.perGroup]] — map output ≤ rerank rows per query per
+    * partition, no window), and the candidate union (≤ queries × rerank
+    * rows) refines by exact cosine against the vectors it joins back, with
+    * a final bounded per-query top-k. Output
+    * `(query_id, rnk, id, sim)` — the searchMany amortization on the
+    * binary path. */
+  def binaryTopKMany(emb: DataFrame, idCol: Column, vecCol: Column,
+      queries: Seq[(String, Array[Float])], k: Int, rerank: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val d = queries.head._2.length
+    val qdf = queries.map { case (qid, qv) =>
+      (qid, packWords(qv), qv.toSeq) }.toDF("query_id", "qwords", "qvec")
+    val scoredAll = emb
+      .select(idCol.cast("long").as("id"), vecCol.as("v"),
+        packWordsCol(vecCol, d).as("sig"))
+      .crossJoin(broadcast(qdf))
+      .select(col("query_id"), col("id"),
+        aggregate(zip_with(col("sig"), col("qwords"), (a, b) =>
+            bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("hamming"))
+    val cands = TopK.perGroup(scoredAll.withColumn("neg", -col("hamming")),
+      Seq(col("query_id")), col("id"), col("neg"), rerank)
+      .select(col("query_id"), col("id"))
+    refineMany(cands, emb, idCol, vecCol, qdf.select("query_id", "qvec"), k)
+  }
+
+  /** Exact-cosine refine for a bounded batched candidate set: join the
+    * candidates back to their vectors and query vectors, re-rank per
+    * query with the bounded aggregator. */
+  private[ops] def refineMany(cands: DataFrame, emb: DataFrame,
+      idCol: Column, vecCol: Column, qvecs: DataFrame, k: Int): DataFrame = {
+    val vecs = emb.select(idCol.cast("long").as("id"), vecCol.as("v"))
+    val exact = cands.join(vecs, "id").join(broadcast(qvecs), "query_id")
+      .select(col("query_id"), col("id"),
+        round(cosine_similarity(col("v"), col("qvec")), 4).as("sim"))
+    TopK.perGroup(exact, Seq(col("query_id")), col("id"), col("sim"), k)
+      .select(col("query_id"), col("rnk").cast("bigint").as("rnk"),
+        col("id"), col("sim"))
+      .orderBy("query_id", "rnk")
   }
 
   /** Embedding-cosine near-duplicate pairs (brute force over a bounded

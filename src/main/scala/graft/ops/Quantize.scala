@@ -74,6 +74,36 @@ object Quantize {
       zip_with(codes, typedLit(qCodes), (a, b) => (a * b).cast("long")),
       lit(0L), (acc, x) => acc + x).cast("double") * scale * qScale
 
+  /** Batched SQ8 search: the [[graft.ops.Ann.binaryTopKMany]] shape on the
+    * int8 path — per-query codes/scale broadcast with the query frame, one
+    * corpus pass, bounded per-query top-`rerank` on the rescaled integer
+    * dot, exact-cosine refine. Output `(query_id, rnk, id, sim)`. */
+  def int8TopKMany(emb: org.apache.spark.sql.DataFrame, idCol: Column,
+      vecCol: Column, queries: Seq[(String, Array[Float])], k: Int,
+      rerank: Int): org.apache.spark.sql.DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qdf = queries.map { case (qid, qv) =>
+      val (qc, qs) = quantizeQuery(qv)
+      (qid, qc, qs, qv.toSeq)
+    }.toDF("query_id", "qcodes", "qsc", "qvec")
+    val scored = emb
+      .select(idCol.cast("long").as("id"), vecCol.as("v"),
+        int8Scale(vecCol).as("sc"))
+      .select(col("id"), col("v"), col("sc"),
+        int8Codes(col("v"), col("sc")).as("codes"))
+      .crossJoin(broadcast(qdf))
+      .select(col("query_id"), col("id"),
+        (aggregate(zip_with(col("codes"), col("qcodes"),
+            (a, b) => (a * b).cast("long")),
+          lit(0L), (acc, x) => acc + x).cast("double") * col("sc") * col("qsc"))
+          .as("approx"))
+    val cands = TopK.perGroup(scored, Seq(col("query_id")), col("id"),
+      col("approx"), rerank).select(col("query_id"), col("id"))
+    graft.ops.Ann.refineMany(cands, emb, idCol, vecCol,
+      qdf.select("query_id", "qvec"), k)
+  }
+
   def int8TopK(emb: org.apache.spark.sql.DataFrame, idCol: Column,
       vecCol: Column, query: Array[Float], k: Int, rerank: Int):
       org.apache.spark.sql.DataFrame = {

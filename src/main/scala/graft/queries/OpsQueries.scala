@@ -211,6 +211,22 @@ object OpsQueries {
           qvec2Scala, k = 10, rerank = 50)
         .select(col("id").as("vec_id"), col("hamming"), col("sim"))),
 
+    "q105_binary_batched" -> ((s, d) =>
+      // batched binary search: one corpus pass, per-query bounded
+      // top-rerank on broadcast packed query words, exact-cosine refine
+      Ann.binaryTopKMany(t(s, d, "embeddings"), col("vec_id"),
+          col("embedding"), Seq("qa" -> qvecScala, "qb" -> qvec2Scala),
+          k = 5, rerank = 50)
+        .select(col("query_id"), col("rnk"), col("id").as("vec_id"),
+          col("sim"))),
+    "q106_sq8_batched" -> ((s, d) =>
+      // batched SQ8: per-query codes/scale broadcast with the query
+      // frame, one pass, bounded per-query top-k, exact refine
+      graft.ops.Quantize.int8TopKMany(t(s, d, "embeddings"), col("vec_id"),
+          col("embedding"), Seq("qa" -> qvecScala, "qb" -> qvec2Scala),
+          k = 5, rerank = 50)
+        .select(col("query_id"), col("rnk"), col("id").as("vec_id"),
+          col("sim"))),
     "q104_recall_eval" -> ((s, d) => {
       // index-quality evaluation: recall@10 of each approximate retrieval
       // path against the exact cosine top-10 — the measurement loop an
@@ -1033,6 +1049,60 @@ object OpsQueries {
                              SELECT xor(b, 1) FROM qb UNION ALL
                              SELECT xor(b, 2) FROM qb)
          ORDER BY sim DESC, id LIMIT 6"""
+    },
+
+    "q105_binary_batched" -> {
+      val q1 = vecSql(qvecScala)
+      val q2 = vecSql(qvec2Scala)
+      s"""WITH qs(query_id, qv) AS (VALUES ('qa', $q1), ('qb', $q2)),
+         emb2 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+         h AS (SELECT q.query_id, e.vec_id, e.v, q.qv,
+                      CAST(len([i FOR i IN range(1, 65)
+                                IF (e.v[i] >= 0) <> (q.qv[i] >= 0)]) AS BIGINT) AS hamming
+               FROM emb2 e CROSS JOIN qs q),
+         cand AS (SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming, vec_id) AS rn FROM h)
+                  WHERE rn <= 50),
+         scored AS (SELECT query_id, vec_id,
+                           round(list_cosine_similarity(v, qv), 4) AS sim
+                    FROM cand)
+         SELECT query_id, rn2 AS rnk, vec_id, sim FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, vec_id) AS rn2 FROM scored)
+         WHERE rn2 <= 5 ORDER BY query_id, rnk"""
+    },
+
+    "q106_sq8_batched" -> {
+      val q1 = vecSql(qvecScala)
+      val q2 = vecSql(qvec2Scala)
+      s"""WITH qs(query_id, qvr) AS (VALUES ('qa', $q1), ('qb', $q2)),
+         q2c AS (SELECT query_id, list_transform(qvr, x -> CAST(x AS DOUBLE)) AS qv FROM qs),
+         qq AS (SELECT query_id, qv, list_max(list_transform(qv, x -> abs(x))) / 127.0 AS qsc
+                FROM q2c),
+         qc AS (SELECT query_id, qv, qsc, list_transform(qv, x -> CASE WHEN qsc = 0 THEN 0
+                  ELSE CAST(floor(x / qsc + 0.5) AS INT) END) AS qcodes FROM qq),
+         v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM v),
+         c8 AS (SELECT vec_id, v, sc, list_transform(v, x -> CASE WHEN sc = 0 THEN 0
+                  ELSE CAST(floor(x / sc + 0.5) AS INT) END) AS codes FROM s),
+         a AS (SELECT q.query_id, c.vec_id, c.v, q.qv,
+                      CAST(list_sum([CAST(c.codes[i] AS BIGINT) * q.qcodes[i]
+                                     FOR i IN range(1, 65)]) AS DOUBLE) * c.sc * q.qsc AS approx
+               FROM c8 c CROSS JOIN qc q),
+         cand AS (SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx DESC, vec_id) AS rn FROM a)
+                  WHERE rn <= 50),
+         scored AS (SELECT query_id, vec_id,
+                           round(list_cosine_similarity(v, qv), 4) AS sim
+                    FROM cand)
+         SELECT query_id, rn2 AS rnk, vec_id, sim FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, vec_id) AS rn2 FROM scored)
+         WHERE rn2 <= 5 ORDER BY query_id, rnk"""
     },
 
     "q104_recall_eval" -> {

@@ -405,6 +405,29 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L) > out(3L) && out(3L) > out(2L))
   }
 
+  test("batched binary/sq8 search equals the single-query paths") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q1 = Array.fill(64)(0.125f)
+    val q2 = Array.tabulate(64)(i => if (i % 2 == 0) 0.125f else -0.125f)
+    val qs = Seq("qa" -> q1, "qb" -> q2)
+    def ordered(df: org.apache.spark.sql.DataFrame, qid: String) =
+      df.filter(col("query_id") === qid).orderBy("rnk").collect()
+        .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    val binB = Ann.binaryTopKMany(emb, col("vec_id"), col("embedding"), qs,
+      k = 5, rerank = 50)
+    val sq8B = graft.ops.Quantize.int8TopKMany(emb, col("vec_id"),
+      col("embedding"), qs, k = 5, rerank = 50)
+    for ((qid, q) <- qs) {
+      val binS = Ann.binaryTopK(emb, col("vec_id"), col("embedding"), q,
+        k = 5, rerank = 50).collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val sq8S = graft.ops.Quantize.int8TopK(emb, col("vec_id"),
+        col("embedding"), q, k = 5, rerank = 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(ordered(binB, qid) == binS, s"binary $qid")
+      assert(ordered(sq8B, qid) == sq8S, s"sq8 $qid")
+    }
+  }
+
   test("searchQuantized: sq8/binary store paths match exact search at full rerank") {
     store.writeVectorsQuantized("specdb")
     val exact = searcher.search("specdb", "cosine similarity vector", params(k = 4))
