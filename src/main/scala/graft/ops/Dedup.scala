@@ -329,7 +329,7 @@ object Dedup {
     * it is a plain equi-join on the hash. Interval merging is a
     * per-document window (bounded by document length), never global. */
   def duplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
-      k: Int, minDocs: Int = 2): DataFrame = {
+      k: Int, minDocs: Int = 2, keepFirst: Boolean = false): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val toks = array_remove(split(textCol, "\\s+"), "")
     val grams = when(size(toks) < k, array().cast("array<string>"))
@@ -341,7 +341,22 @@ object Dedup {
       .agg(count_distinct(col("id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select(col("h"))
-    val covered = g.join(broadcast(repeated), "h").select(col("id"), col("pos"))
+    val occurrences = g.join(broadcast(repeated), "h")
+    // keepFirst (Lee et al.'s remove-all-but-one): each repeated gram's
+    // lexicographically smallest (id, pos) occurrence is canonical and
+    // not counted as covered — its tokens survive unless an OVERLAPPING
+    // non-canonical occurrence of another gram covers them. The canonical
+    // table is one row per repeated gram (same size as `repeated`), so it
+    // broadcasts identically.
+    val covered =
+      if (!keepFirst) occurrences.select(col("id"), col("pos"))
+      else {
+        val canon = occurrences.groupBy("h")
+          .agg(min(struct(col("id"), col("pos"))).as("c"))
+        occurrences.join(broadcast(canon), "h")
+          .filter(!(col("id") === col("c.id") && col("pos") === col("c.pos")))
+          .select(col("id"), col("pos"))
+      }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("pos")
     // intervals are all length k and sorted by start, so the running max
@@ -360,11 +375,13 @@ object Dedup {
   /** Duplicate-span REMOVAL: cut every [[duplicateSpans]] interval out of
     * the corpus and rebuild each document from its surviving tokens — the
     * end of the substring-dedup story (spans are the evidence, the cleaned
-    * corpus is the product). Removes ALL occurrences of a repeated span
-    * (the conservative pipeline default; a keep-one variant would anti-join
-    * each span set's canonical min-(id,pos) occurrence out of the drop
-    * list first). Returns `(id, n_tokens, n_removed, text)` with tokens
-    * re-joined by single spaces.
+    * corpus is the product). By default removes ALL occurrences of a
+    * repeated span (the conservative pipeline default); `keepFirst = true`
+    * is Lee et al.'s remove-all-but-one — each repeated gram's canonical
+    * min-(id, pos) occurrence survives (unless overlapped by another
+    * gram's non-canonical occurrence). Returns
+    * `(id, n_tokens, n_removed, text)` with tokens re-joined by single
+    * spaces.
     *
     * Scale shape: [[duplicateSpans]]'s shuffles all carry ints; the span
     * lists collapse to a few `(start, end)` pairs per affected doc and
@@ -372,8 +389,8 @@ object Dedup {
     * id-bucketed corpus); the cut itself is a row-local indexed-filter
     * HOF over the doc's own token array — corpus text never shuffles. */
   def stripDuplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
-      k: Int, minDocs: Int = 2): DataFrame = {
-    val spanLists = duplicateSpans(df, idCol, textCol, k, minDocs)
+      k: Int, minDocs: Int = 2, keepFirst: Boolean = false): DataFrame = {
+    val spanLists = duplicateSpans(df, idCol, textCol, k, minDocs, keepFirst)
       .groupBy("id")
       .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
         .as("spans"))

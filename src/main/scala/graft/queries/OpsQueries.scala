@@ -144,6 +144,14 @@ object OpsQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
         .orderBy("split")
     }),
+    "q107_strip_spans_keep_first" -> ((s, d) =>
+      // Lee et al. remove-all-but-one: each repeated gram's min-(id,pos)
+      // occurrence is canonical and survives the cut
+      Dedup.stripDuplicateSpans(t(s, d, "documents"), col("doc_id"),
+          col("text"), k = 5, minDocs = 2, keepFirst = true)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")),
     "q100_strip_spans" -> ((s, d) =>
       // the cleaned corpus after cutting q97's duplicate spans: token
       // counts + md5 of the rebuilt text per doc
@@ -682,6 +690,32 @@ object OpsQueries {
          grams AS (SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) - 1 AS pos FROM gl),
          rep AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
          cov AS (SELECT doc_id, pos FROM grams JOIN rep USING (g)),
+         dropped AS (SELECT DISTINCT doc_id, pos + off AS ti FROM cov CROSS JOIN range(5) r(off)),
+         tokpos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS ti FROM toks),
+         kept AS (SELECT tp.doc_id, tp.tok, tp.ti
+                  FROM tokpos tp LEFT JOIN dropped d
+                    ON tp.doc_id = d.doc_id AND tp.ti = d.ti
+                  WHERE d.ti IS NULL)
+         SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+                CAST(len(t.t) - count(k.ti) AS BIGINT) AS n_removed,
+                md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.ti), '')) AS text_md5
+         FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+         GROUP BY t.doc_id, len(t.t) ORDER BY t.doc_id""",
+
+    "q107_strip_spans_keep_first" ->
+      // q100 with canonical occurrences excluded from coverage: rn = 1 in
+      // (doc_id, pos) order per gram survives
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents),
+         gl AS (SELECT doc_id, [array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)] AS gs
+                FROM toks WHERE len(t) >= 5),
+         grams AS (SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) - 1 AS pos FROM gl),
+         rep AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         occ AS (SELECT doc_id, pos, g,
+                        row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+                 FROM grams JOIN rep USING (g)),
+         cov AS (SELECT doc_id, pos FROM occ WHERE rn > 1),
          dropped AS (SELECT DISTINCT doc_id, pos + off AS ti FROM cov CROSS JOIN range(5) r(off)),
          tokpos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS ti FROM toks),
          kept AS (SELECT tp.doc_id, tp.tok, tp.ti

@@ -378,6 +378,16 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 12L, 6L, "one two three four five six"),
       (2L, 9L, 6L, "x1 x2 x3"),
       (3L, 5L, 0L, "totally different words only here")))
+    // keepFirst: doc 1 holds every gram's canonical (min-id) occurrence,
+    // so only doc 2's copy is cut
+    val kf = Dedup.stripDuplicateSpans(docs, col("id"), col("text"),
+        k = 5, minDocs = 2, keepFirst = true)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(kf.toSeq == Seq(
+      (1L, 0L, shared + " one two three four five six"),
+      (2L, 6L, "x1 x2 x3"),
+      (3L, 0L, "totally different words only here")))
   }
 
   test("importanceWeights: matches the reference formula; target-like docs outrank") {
