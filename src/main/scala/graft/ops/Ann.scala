@@ -145,6 +145,29 @@ object Ann {
       .orderBy("query_id", "rnk")
   }
 
+  /** Element-wise MEAN of a group's vectors — chunk embeddings pooled to a
+    * document embedding (the standard mean-pool). Deterministic to the
+    * bit: each group's vectors fold in ascending `orderCol` order (sorted
+    * struct list, left-fold `zip_with` sum), never in partition arrival
+    * order — floating-point sums are order-sensitive, and a
+    * nondeterministic sum would break engine parity and run-to-run
+    * determinism. Group state is the group's own vector list (bounded by
+    * chunks-per-document), map-side combined by Spark's partial
+    * aggregation. Returns `(group, n, centroid)`. */
+  def meanPool(df: org.apache.spark.sql.DataFrame, groupCol: Column,
+      orderCol: Column, vecCol: Column): org.apache.spark.sql.DataFrame = {
+    val sorted = array_sort(collect_list(struct(orderCol.as("o"),
+      vecCol.cast("array<double>").as("v"))))
+    df.groupBy(groupCol.as("group"))
+      .agg(count(lit(1)).as("n"), sorted.as("vs"))
+      .select(col("group"), col("n"),
+        transform(
+          aggregate(col("vs"),
+            transform(element_at(col("vs"), 1).getField("v"), _ => lit(0.0)),
+            (acc, x) => zip_with(acc, x.getField("v"), (a, b) => a + b)),
+          s => s / col("n")).as("centroid"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (brute force over a bounded
     * range; LSH-bucketed variant below for scale). */
   def nearDupPairs(emb: DataFrame, idCol: Column, vecCol: Column,

@@ -44,19 +44,6 @@ object Quantize {
         (v, c) => abs(v.cast("double") - c.cast("double") * scale)),
       lit(0.0), (acc, x) => acc + x) / size(vec)
 
-  /** SQ8 asymmetric search over the int8-quantized store: the query
-    * quantizes driver-side with its own scale, candidates rank by the
-    * INTEGER dot product of code arrays rescaled by both scales
-    * (`≈ dot(v, q)`; exact integer arithmetic, one double product —
-    * engine-portable to the bit), the top `rerank` by `(approx DESC, id)`
-    * rerank by exact cosine, and the top `k` return as
-    * `(id, approx, sim)`.
-    *
-    * Scale shape: like [[graft.ops.Ann.binaryTopK]], two
-    * `TakeOrderedAndProject`s and zero exchanges. In production the
-    * `(codes, scale)` pair is a materialized store column (4× narrower
-    * than the float vectors — [[int8Scale]]/[[int8Codes]] at write time);
-    * computed inline here the scan stays one pass. */
   /** Driver-side query quantization with the same spec as
     * [[int8Scale]]/[[int8Codes]]: `(codes, scale)`. */
   def quantizeQuery(query: Array[Float]): (Seq[Int], Double) = {
@@ -104,6 +91,14 @@ object Quantize {
       qdf.select("query_id", "qvec"), k)
   }
 
+  /** SQ8 asymmetric search: candidates rank by the INTEGER dot product of
+    * code arrays rescaled by both scales (exact integer arithmetic, one
+    * double product — engine-portable to the bit), the top `rerank` by
+    * `(approx DESC, id)` rerank by exact cosine, top `k` return as
+    * `(id, approx, sim)`. Two `TakeOrderedAndProject`s, zero exchanges;
+    * in production the `(codes, scale)` pair is a materialized store
+    * column ([[graft.store.VectorStore.writeVectorsQuantized]], 4×
+    * narrower than the float vectors). */
   def int8TopK(emb: org.apache.spark.sql.DataFrame, idCol: Column,
       vecCol: Column, query: Array[Float], k: Int, rerank: Int):
       org.apache.spark.sql.DataFrame = {

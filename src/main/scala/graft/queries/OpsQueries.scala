@@ -219,6 +219,16 @@ object OpsQueries {
           qvec2Scala, k = 10, rerank = 50)
         .select(col("id").as("vec_id"), col("hamming"), col("sim"))),
 
+    "q108_mean_pool" -> ((s, d) =>
+      // chunk->document embedding pooling: element-wise mean per label
+      // group, folded in ascending vec_id order so the float sum is
+      // bit-deterministic (run-to-run AND engine parity)
+      graft.ops.Ann.meanPool(t(s, d, "embeddings"), col("label"),
+          col("vec_id"), col("embedding"))
+        .select(col("group").as("label"), col("n"), posexplode(col("centroid")))
+        .select(col("label"), col("n"), col("pos").cast("bigint").as("dim"),
+          round(col("col"), 6).as("v"))
+        .orderBy("label", "dim")),
     "q105_binary_batched" -> ((s, d) =>
       // batched binary search: one corpus pass, per-query bounded
       // top-rerank on broadcast packed query words, exact-cosine refine
@@ -1084,6 +1094,20 @@ object OpsQueries {
                              SELECT xor(b, 2) FROM qb)
          ORDER BY sim DESC, id LIMIT 6"""
     },
+
+    "q108_mean_pool" ->
+      // same fold order: vectors listed by vec_id, per-dim left-to-right
+      // list_sum, divide by the group count
+      """WITH v AS (
+           SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         g AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+                      list(v ORDER BY vec_id) AS vs
+               FROM v GROUP BY label)
+         SELECT label, n, i - 1 AS dim,
+                round(list_sum(list_transform(vs, w -> w[i])) / n, 6) AS v
+         FROM g CROSS JOIN range(1, 65) r(i)
+         ORDER BY label, dim""",
 
     "q105_binary_batched" -> {
       val q1 = vecSql(qvecScala)

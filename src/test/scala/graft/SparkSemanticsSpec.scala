@@ -415,6 +415,23 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L) > out(3L) && out(3L) > out(2L))
   }
 
+  test("meanPool: deterministic sorted fold equals the arithmetic mean") {
+    import spark.implicits._
+    val rows = (0 until 30).map(i =>
+      (i % 3, i.toLong, Array.tabulate(8)(j => (i * 8 + j).toFloat / 7f)))
+    val df = rows.toDF("g", "id", "v")
+    val got = Ann.meanPool(df, col("g"), col("id"), col("v")).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getSeq[Double](2).toVector)))
+      .toMap
+    for (g <- 0 until 3) {
+      val vs = rows.filter(_._1 == g).map(_._3)
+      assert(got(g)._1 == vs.size.toLong)
+      val mean = (0 until 8).map(j => vs.map(_(j).toDouble).sum / vs.size)
+      got(g)._2.zip(mean).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9) }
+    }
+  }
+
   test("batched binary/sq8 search equals the single-query paths") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q1 = Array.fill(64)(0.125f)
