@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, FloatType, StringType}
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, StringType, StructField, StructType}
 
 import graft.expr._
 
@@ -67,5 +67,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("lsh_bucket"),
       info("lsh_bucket", "lsh_bucket(v) - sign-LSH bucket of a float vector"),
       (es: Seq[Expression]) => LshBucket(fvec(es.head))))
+    ext.injectFunction((FunctionIdentifier("nearest_centroid"),
+      info("nearest_centroid",
+        "nearest_centroid(v, cents) - argmax-cosine centroid id"),
+      (es: Seq[Expression]) => NearestCentroid(fvec(es(0)),
+        // SQL literals arrive as decimal/double structs: coerce to the
+        // expression's exact centroid-frame type
+        Cast(es(1), ArrayType(StructType(Seq(
+          StructField("cid", IntegerType),
+          StructField("centroid", ArrayType(FloatType)))))))))
   }
 }

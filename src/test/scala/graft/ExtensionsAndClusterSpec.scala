@@ -29,11 +29,16 @@ class ExtensionsAndClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = spark.sql(
       """SELECT round(cosine_similarity(array(1.0, 2.0), array(2.0, 4.0)), 4) AS c,
                simhash64('a b c') AS s,
-               lsh_bucket(hash_embed('hello world')) AS b""").collect()(0)
+               lsh_bucket(hash_embed('hello world')) AS b,
+               nearest_centroid(array(0.9, 0.1),
+                 array(named_struct('cid', 0, 'centroid', array(1.0, 0.0)),
+                       named_struct('cid', 1, 'centroid', array(0.0, 1.0)))) AS nc
+      """).collect()(0)
     assert(r.getDouble(0) == 1.0)
     assert(r.getLong(1) == graft.expr.SketchOps.simHash64(
       org.apache.spark.unsafe.types.UTF8String.fromString("a b c"), 42L))
     assert(r.getInt(2) >= 0 && r.getInt(2) < 256)
+    assert(r.getInt(3) == 0)
   }
 
   test("clustered store: partition layout exists and approx search prunes") {

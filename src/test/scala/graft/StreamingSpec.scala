@@ -245,6 +245,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming curation: quality gate + mixture sampling, stateless append") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "lang", "text")
+    // both ops are row-local projections/explodes: they compose onto an
+    // unbounded stream with no state, no watermark, no output-mode caveats
+    val curated = graft.ops.Curation.mixtureSample(
+      docs.filter(graft.ops.TextAnalysis.qualityScore(col("text")) >= 0.25),
+      col("doc_id"), col("lang"), Map("en" -> 2.0, "de" -> 1.0))
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("curate").start()
+    val good = ("the data in is that good sentence. " * 3).trim
+    input.addData((1L, "en", good), (2L, "de", good), (3L, "en", "x"),
+      (4L, "fr", good))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id, copy FROM curate ORDER BY doc_id, copy")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // doc 1 (en, w=2.0): copies 1,2; doc 2 (de, w=1.0): copy 1;
+    // doc 3 fails the gate; doc 4 (fr) unlisted -> dropped
+    assert(got.toSeq == Seq((1L, 1), (1L, 2), (2L, 1)))
+    q.stop()
+  }
+
   test("watermarked tumbling window matches batch formulation") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
