@@ -23,18 +23,31 @@ object TextAnalysis {
       .otherwise(aggregate(split(trim(text), "\\s+"), lit(0),
         (acc, t) => acc + greatest(lit(1), ceil(length(t) / 4.0).cast("int"))))
 
-  /** Composite quality score in [0,1] from cheap heuristics: length band,
-    * mean token length band, punctuation presence, stopword ratio. */
-  def qualityScore(text: Column): Column = {
+  /** Per-rule booleans behind [[qualityScore]] — the diagnostic view a
+    * Gopher-style rule filter reads (which rule rejected a doc matters as
+    * much as that one did). Struct of `length_ok, token_len_ok, punct_ok,
+    * stop_ok`. */
+  def qualityFlags(text: Column): Column = {
     val toks = split(trim(text), "\\s+")
     val nTok = size(toks).cast("double")
     val meanTokLen = (length(trim(text)) - (nTok - 1)) / nTok // chars sans separators
     val stopHits = size(filter(toks, t => t.isin(stopwordsEn: _*))).cast("double")
-    val lengthOk = when(nTok.between(8, 10000), lit(0.25)).otherwise(lit(0.0))
-    val tokLenOk = when(meanTokLen.between(2.0, 12.0), lit(0.25)).otherwise(lit(0.0))
-    val punctOk = when(text.rlike("[.!?]"), lit(0.25)).otherwise(lit(0.0))
-    val stopOk = when((stopHits / nTok).between(0.01, 0.6), lit(0.25)).otherwise(lit(0.0))
-    round(lengthOk + tokLenOk + punctOk + stopOk, 2)
+    struct(
+      nTok.between(8, 10000).as("length_ok"),
+      meanTokLen.between(2.0, 12.0).as("token_len_ok"),
+      text.rlike("[.!?]").as("punct_ok"),
+      (stopHits / nTok).between(0.01, 0.6).as("stop_ok"))
+  }
+
+  /** Composite quality score in [0,1] from cheap heuristics: length band,
+    * mean token length band, punctuation presence, stopword ratio — 0.25
+    * per passing [[qualityFlags]] rule (null rules score 0, as the
+    * original when/otherwise formulation did). */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFlags(text)
+    round(Seq("length_ok", "token_len_ok", "punct_ok", "stop_ok")
+      .map(n => coalesce(f.getField(n).cast("double"), lit(0.0)) * 0.25)
+      .reduce(_ + _), 2)
   }
 
   /** Tiny per-language marker-word lists for the n-gram/stopword heuristic.

@@ -444,6 +444,25 @@ object OpsQueries {
       t(s, d, "documents").select(col("doc_id"),
         graft.ops.Bpe.segmentCount(col("text"), bpeMerges).as("n_sub"))
         .orderBy("doc_id").limit(300)),
+    "q109_gopher_rules" -> ((s, d) => {
+      // Gopher-style rule diagnostics (Rae et al. 2021 A1, adapted):
+      // per-rule booleans + the conjunctive gate — row-local rules joined
+      // with the corpus repetition signal (top bigram fraction)
+      val docs = t(s, d, "documents")
+      val rep = graft.ops.QualitySignals.repetitionSignals(docs,
+        col("doc_id"), col("text"))
+      docs.select(col("doc_id"), TextAnalysis.qualityFlags(col("text")).as("f"))
+        .join(rep.select(col("id").as("doc_id"), col("top2_frac")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("f.length_ok").as("wc_ok"),
+          col("f.token_len_ok").as("mtl_ok"),
+          col("f.stop_ok").as("stop_ok"),
+          (coalesce(col("top2_frac"), lit(0.0)) <= 0.06).as("rep_ok"))
+        .withColumn("pass",
+          col("wc_ok") && col("mtl_ok") && col("stop_ok") && col("rep_ok"))
+        .orderBy("doc_id")
+    }),
     "q48_token_count" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tok"))
@@ -824,6 +843,34 @@ object OpsQueries {
                         - ln((rc.cr + 1) / (tot.nr + 512.0))), 4) AS w
          FROM rb LEFT JOIN tc USING (b) JOIN rc USING (b) CROSS JOIN tot
          GROUP BY rb.doc_id ORDER BY w DESC, doc_id LIMIT 25""",
+
+    "q109_gopher_rules" ->
+      // q50's rule bands as booleans + q69's top-bigram fraction at 0.06
+      """WITH f AS (
+           SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS tk,
+                  CAST(length(trim(text)) AS DOUBLE) AS nc FROM documents),
+         g AS (
+           SELECT doc_id, CAST(len(tk) AS DOUBLE) AS nt,
+                  (nc - (len(tk) - 1)) / len(tk) AS mtl,
+                  CAST(len(list_filter(tk, x -> list_contains(['the','and','of','to','in','is','that','with'], x))) AS DOUBLE) AS sh
+           FROM f),
+         toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+         bg AS (SELECT doc_id, unnest(list_transform(range(len(tk) - 1),
+                  i -> tk[i + 1] || ' ' || tk[i + 2])) AS g
+                FROM toks WHERE len(tk) >= 2),
+         bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+         b2 AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top2_frac
+                FROM bc GROUP BY doc_id)
+         SELECT g.doc_id,
+                (g.nt BETWEEN 8 AND 10000) AS wc_ok,
+                (g.mtl BETWEEN 2.0 AND 12.0) AS mtl_ok,
+                (g.sh / g.nt BETWEEN 0.01 AND 0.6) AS stop_ok,
+                (coalesce(b2.top2_frac, 0.0) <= 0.06) AS rep_ok,
+                ((g.nt BETWEEN 8 AND 10000) AND (g.mtl BETWEEN 2.0 AND 12.0)
+                 AND (g.sh / g.nt BETWEEN 0.01 AND 0.6)
+                 AND (coalesce(b2.top2_frac, 0.0) <= 0.06)) AS pass
+         FROM g LEFT JOIN b2 ON g.doc_id = b2.doc_id
+         ORDER BY g.doc_id""",
 
     "q48_token_count" ->
       """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
