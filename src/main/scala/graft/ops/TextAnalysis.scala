@@ -50,6 +50,33 @@ object TextAnalysis {
       .reduce(_ + _), 2)
   }
 
+  /** Shannon entropy (nats) of a document's token distribution — the
+    * vocabulary-diversity signal quality classifiers use (low entropy =
+    * repetitive/templated text). `tk` MUST be a materialized token-array
+    * column (project `array_remove(split(...), "")` first): an inline
+    * split expression would re-evaluate once per distinct type inside the
+    * lambda — O(types) regex passes per row. The term list folds over the
+    * SORTED distinct tokens so the float sum is order-deterministic
+    * across engines (float addition is order-sensitive). O(types×tokens)
+    * comparisons per row, never leaving the row. */
+  def tokenEntropy(tk: Column): Column = {
+    val n = size(tk).cast("double")
+    val types = array_sort(array_distinct(tk))
+    val h = aggregate(
+      transform(types, t => {
+        val c = size(filter(tk, x => x === t)).cast("double")
+        -(c / n) * log(c / n)
+      }),
+      lit(0.0), (acc, x) => acc + x)
+    when(size(tk) === 0, lit(0.0)).otherwise(h)
+  }
+
+  /** Type-token ratio (distinct/total tokens) over a materialized
+    * token-array column — the companion diversity signal. */
+  def typeTokenRatio(tk: Column): Column =
+    when(size(tk) === 0, lit(0.0))
+      .otherwise(size(array_distinct(tk)).cast("double") / size(tk))
+
   /** Tiny per-language marker-word lists for the n-gram/stopword heuristic.
     * Deliberately minimal — the operator shape (argmax over per-language
     * token-hit counts) is what scales; richer lists drop in. */

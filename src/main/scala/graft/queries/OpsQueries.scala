@@ -463,6 +463,18 @@ object OpsQueries {
           col("wc_ok") && col("mtl_ok") && col("stop_ok") && col("rep_ok"))
         .orderBy("doc_id")
     }),
+    "q110_token_entropy" -> ((s, d) =>
+      // vocabulary-diversity signals: token entropy (sorted-type fold for
+      // order-deterministic float sums) + type-token ratio, row-local;
+      // tokens materialize in their own projection (op contract)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          array_remove(split(trim(col("text")), "\\s+"), "").as("tk"))
+        .select(col("doc_id"),
+          size(array_distinct(col("tk"))).cast("bigint").as("n_types"),
+          round(TextAnalysis.typeTokenRatio(col("tk")), 4).as("ttr"),
+          round(TextAnalysis.tokenEntropy(col("tk")), 4).as("entropy"))
+        .orderBy("doc_id")),
     "q48_token_count" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tok"))
@@ -843,6 +855,21 @@ object OpsQueries {
                         - ln((rc.cr + 1) / (tot.nr + 512.0))), 4) AS w
          FROM rb LEFT JOIN tc USING (b) JOIN rc USING (b) CROSS JOIN tot
          GROUP BY rb.doc_id ORDER BY w DESC, doc_id LIMIT 25""",
+
+    "q110_token_entropy" ->
+      // same sorted-type fold order; + 0.0 normalizes a -0.0 sum
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         t2 AS (SELECT doc_id, tk, CAST(len(tk) AS DOUBLE) AS n,
+                       list_sort(list_distinct(tk)) AS ty
+                FROM toks)
+         SELECT doc_id, CAST(len(ty) AS BIGINT) AS n_types,
+                round(len(ty) / n, 4) AS ttr,
+                round(list_sum([-(len(list_filter(tk, x -> x = t)) / n)
+                                * ln(len(list_filter(tk, x -> x = t)) / n)
+                                FOR t IN ty]) + 0.0, 4) AS entropy
+         FROM t2 ORDER BY doc_id""",
 
     "q109_gopher_rules" ->
       // q50's rule bands as booleans + q69's top-bigram fraction at 0.06
