@@ -292,11 +292,7 @@ object Dedup {
     val lines = df.select(idCol.as("id"), posexplode(split(textCol, "\n", -1)))
       .select(col("id"), col("pos"), col("col").as("line"))
       .filter(length(trim(col("line"))) > 0)
-    val frequent = lines
-      .groupBy(xxhash64(col("line")).as("h"))
-      .agg(count_distinct(col("id")).as("n_docs"))
-      .filter(col("n_docs") >= minDocs)
-      .select(col("h"))
+    val frequent = frequentLines(df, idCol, textCol, minDocs)
     val dropLists = lines
       .join(broadcast(frequent), xxhash64(col("line")) === col("h"))
       .groupBy("id").agg(collect_list(col("pos")).as("drop_pos"))
@@ -305,6 +301,39 @@ object Dedup {
         array().cast("array<int>")), i))
     df.select(idCol.as("id"), split(textCol, "\n", -1).as("ls"))
       .join(dropLists, Seq("id"), "left")
+      .select(col("id"),
+        size(kept).cast("long").as("n_kept"),
+        (size(col("ls")) - size(kept)).cast("long").as("n_removed"),
+        array_join(kept, "\n").as("text"))
+  }
+
+  /** The frequent-line table of a corpus — the artifact an INCREMENTAL
+    * line-dedup pipeline persists (tiny: one xxhash64 per boilerplate
+    * line). New batches — or an unbounded STREAM — scrub against it via
+    * [[lineDedupAgainst]] with zero corpus recomputation. */
+  def frequentLines(df: DataFrame, idCol: Column, textCol: Column,
+      minDocs: Int): DataFrame =
+    df.select(idCol.as("id"), explode(split(textCol, "\n", -1)).as("line"))
+      .filter(length(trim(col("line"))) > 0)
+      .groupBy(xxhash64(col("line")).as("h"))
+      .agg(count_distinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("h"))
+
+  /** Scrub documents against a PERSISTED [[frequentLines]] table: same
+    * output contract as [[lineDedup]], but the boilerplate vocabulary is
+    * given, not recomputed — the shape a daily ingest or a streaming
+    * pipeline runs. Collects the (small) hash table once and filters the
+    * line array ROW-LOCALLY, so the op is a stateless projection:
+    * streaming-safe in append mode with no watermark, and the corpus
+    * text never shuffles. */
+  def lineDedupAgainst(df: DataFrame, idCol: Column, textCol: Column,
+      frequent: DataFrame): DataFrame = {
+    val hs = frequent.select(col("h").cast("long")).collect().map(_.getLong(0))
+    val freqLit = typedLit(hs.sorted.toSeq)
+    val kept = filter(col("ls"), l =>
+      length(trim(l)) === 0 || !array_contains(freqLit, xxhash64(l)))
+    df.select(idCol.as("id"), split(textCol, "\n", -1).as("ls"))
       .select(col("id"),
         size(kept).cast("long").as("n_kept"),
         (size(col("ls")) - size(kept)).cast("long").as("n_removed"),

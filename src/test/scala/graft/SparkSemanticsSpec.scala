@@ -347,6 +347,13 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 1L, 1L, "unique a"),
       (3L, 1L, 1L, "unique b"),
       (4L, 0L, 1L, "")))
+    // incremental path: a new batch scrubbed against the persisted
+    // frequent-line table matches the batch contract
+    val freq = Dedup.frequentLines(docs, col("id"), col("text"), minDocs = 3)
+    val batch = Seq((9L, "fresh line\nBOILER\n\nanother")).toDF("id", "text")
+    val inc = Dedup.lineDedupAgainst(batch, col("id"), col("text"), freq)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(inc.toSeq == Seq((9L, 3L, 1L, "fresh line\n\nanother")))
   }
 
   test("duplicateSpans: cross-doc 5-gram spans merge; unique text unflagged") {

@@ -269,6 +269,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming line scrub against a persisted frequent-line table") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq((1L, "NAV BAR\na"), (2L, "NAV BAR\nb"), (3L, "NAV BAR"))
+      .toDF("id", "text")
+    val freq = graft.ops.Dedup.frequentLines(corpus, col("id"), col("text"),
+      minDocs = 3)
+    val input = MemoryStream[(Long, String)]
+    val scrubbed = graft.ops.Dedup.lineDedupAgainst(
+      input.toDF().toDF("id", "text"), col("id"), col("text"), freq)
+    val q = scrubbed.writeStream.outputMode("append")
+      .format("memory").queryName("scrub").start()
+    input.addData((10L, "NAV BAR\nreal content"), (11L, "only real"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT id, n_removed, text FROM scrub ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq((10L, 1L, "real content"), (11L, 0L, "only real")))
+    q.stop()
+  }
+
   test("watermarked tumbling window matches batch formulation") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
