@@ -422,6 +422,31 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L) > out(3L) && out(3L) > out(2L))
   }
 
+  test("binary/sq8 edge cases: non-multiple-of-32 dims, zero vectors") {
+    import spark.implicits._
+    val d = 40 // partial second word: 8 bits
+    val vecs = (0 until 10).map(i =>
+      (i.toLong, Array.tabulate(d)(j => math.sin(i * d + j + 1).toFloat))) :+
+      ((99L, Array.fill(d)(0f)))
+    val df = vecs.toDF("id", "v")
+    val q = Array.tabulate(d)(j => math.cos(j * 1.3).toFloat)
+    val out = Ann.binaryTopK(df, col("id"), col("v"), q, k = 11, rerank = 11)
+      .collect()
+    assert(out.length == 11)
+    val expHam = vecs.map { case (id, v) =>
+      id -> v.zip(q).count { case (a, b) => (a >= 0) != (b >= 0) }.toLong }.toMap
+    out.foreach(r => assert(r.getLong(1) == expHam(r.getLong(0)),
+      s"id ${r.getLong(0)}"))
+    // zero stored vector: cosine guard yields 0.0, row survives
+    assert(out.exists(r => r.getLong(0) == 99L && r.getDouble(2) == 0.0))
+    // zero QUERY vector on the sq8 path: qscale 0 -> all approx 0,
+    // deterministic id order, no NaN/divide-by-zero anywhere
+    val z = graft.ops.Quantize.int8TopK(df, col("id"), col("v"),
+      Array.fill(d)(0f), k = 3, rerank = 11).collect()
+    assert(z.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(z.forall(r => r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0))
+  }
+
   test("meanPool: deterministic sorted fold equals the arithmetic mean") {
     import spark.implicits._
     val rows = (0 until 30).map(i =>
