@@ -145,6 +145,31 @@ object Ann {
       .orderBy("query_id", "rnk")
   }
 
+  /** Hard-negative mining for retrieval training: for each query, the
+    * top-k most-similar corpus vectors EXCLUDING its known positives —
+    * the negatives a contrastive trainer pairs against each anchor.
+    * One corpus pass for the whole query batch (broadcast query frame
+    * carrying each query's positive-id list; exclusion is a row-local
+    * `array_contains` filter), bounded per-query top-k via the grouped
+    * aggregator. Output `(query_id, rnk, id, sim)`. */
+  def hardNegatives(emb: DataFrame, idCol: Column, vecCol: Column,
+      queries: Seq[(String, Array[Float], Seq[Long])], k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qdf = queries.map { case (qid, qv, pos) => (qid, qv.toSeq, pos) }
+      .toDF("query_id", "qvec", "pos")
+    val scored = emb
+      .select(idCol.cast("long").as("id"), vecCol.as("v"))
+      .crossJoin(broadcast(qdf))
+      .filter(!array_contains(col("pos"), col("id")))
+      .select(col("query_id"), col("id"),
+        round(cosine_similarity(col("v"), col("qvec")), 4).as("sim"))
+    TopK.perGroup(scored, Seq(col("query_id")), col("id"), col("sim"), k)
+      .select(col("query_id"), col("rnk").cast("bigint").as("rnk"),
+        col("id"), col("sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Element-wise MEAN of a group's vectors — chunk embeddings pooled to a
     * document embedding (the standard mean-pool). Deterministic to the
     * bit: each group's vectors fold in ascending `orderCol` order (sorted

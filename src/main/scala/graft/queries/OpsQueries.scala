@@ -229,6 +229,15 @@ object OpsQueries {
         .select(col("label"), col("n"), col("pos").cast("bigint").as("dim"),
           round(col("col"), 6).as("v"))
         .orderBy("label", "dim")),
+    "q111_hard_negatives" -> ((s, d) =>
+      // contrastive-training negatives: per-query top-5 by cosine with
+      // the known positive ids excluded row-locally before ranking
+      Ann.hardNegatives(t(s, d, "embeddings"), col("vec_id"),
+          col("embedding"),
+          Seq(("qa", qvecScala, Seq(3L, 7L)), ("qb", qvec2Scala, Seq(2L))),
+          k = 5)
+        .select(col("query_id"), col("rnk"), col("id").as("vec_id"),
+          col("sim"))),
     "q105_binary_batched" -> ((s, d) =>
       // batched binary search: one corpus pass, per-query bounded
       // top-rerank on broadcast packed query words, exact-cosine refine
@@ -1182,6 +1191,23 @@ object OpsQueries {
                 round(list_sum(list_transform(vs, w -> w[i])) / n, 6) AS v
          FROM g CROSS JOIN range(1, 65) r(i)
          ORDER BY label, dim""",
+
+    "q111_hard_negatives" -> {
+      val q1 = vecSql(qvecScala)
+      val q2 = vecSql(qvec2Scala)
+      s"""WITH qs(query_id, qv, pos) AS (VALUES ('qa', $q1, [3, 7]), ('qb', $q2, [2])),
+         emb2 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+         scored AS (
+           SELECT q.query_id, e.vec_id,
+                  round(list_cosine_similarity(e.v, q.qv), 4) AS sim
+           FROM emb2 e CROSS JOIN qs q
+           WHERE NOT list_contains(q.pos, e.vec_id))
+         SELECT query_id, rn AS rnk, vec_id, sim FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, vec_id) AS rn FROM scored)
+         WHERE rn <= 5 ORDER BY query_id, rnk"""
+    },
 
     "q105_binary_batched" -> {
       val q1 = vecSql(qvecScala)

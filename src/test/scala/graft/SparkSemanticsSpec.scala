@@ -464,6 +464,20 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hardNegatives: positives excluded, ranking otherwise brute-force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Array.fill(64)(0.125f)
+    val bf = Ann.bruteForceTopK(emb, col("vec_id"), col("embedding"), q, 7)
+      .collect().map(_.getLong(0)).toSeq
+    val none = Ann.hardNegatives(emb, col("vec_id"), col("embedding"),
+      Seq(("q", q, Seq.empty[Long])), 5).collect().map(_.getLong(2)).toSeq
+    assert(none == bf.take(5))
+    val excl = bf.take(2)
+    val hn = Ann.hardNegatives(emb, col("vec_id"), col("embedding"),
+      Seq(("q", q, excl)), 5).collect().map(_.getLong(2)).toSeq
+    assert(hn == bf.drop(2))
+  }
+
   test("batched binary/sq8 search equals the single-query paths") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q1 = Array.fill(64)(0.125f)
