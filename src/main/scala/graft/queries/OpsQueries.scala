@@ -112,6 +112,23 @@ object OpsQueries {
         t(s, d, "documents").filter(col("doc_id") < 200),
         col("doc_id"), col("text"), maxHamming = 20)
         .orderBy("a_id", "b_id")),
+    "q113_dedup_eval" -> ((s, d) => {
+      // dedup-quality evaluation: the banded MinHash path scored against
+      // exact all-pairs Jaccard ground truth (bounded range). Precision
+      // is 1.0 by construction (candidates are exact-verified); recall
+      // measures what banding misses — the number an index tuner watches.
+      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+      val approx = Dedup.minHashDuplicates(docs, col("doc_id"), col("text"),
+        0.7, shingleSize = 1).select(col("a_id"), col("b_id"))
+      val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        0.7, shingleSize = 1).select(col("a_id"), col("b_id"))
+      approx.join(exact, Seq("a_id", "b_id")).agg(count(lit(1)).as("tp"))
+        .crossJoin(approx.agg(count(lit(1)).as("n_approx")))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .select(col("tp"), col("n_approx"), col("n_exact"),
+          round(col("tp") / col("n_approx").cast("double"), 4).as("prec"),
+          round(col("tp") / col("n_exact").cast("double"), 4).as("recall"))
+    }),
     "q96_line_dedup" -> ((s, d) => {
       // RefinedWeb line-level scrub: documents are single-line word bags,
       // so wrap them into 4-token lines first (deterministic re-lining;
@@ -484,6 +501,18 @@ object OpsQueries {
           round(TextAnalysis.typeTokenRatio(col("tk")), 4).as("ttr"),
           round(TextAnalysis.tokenEntropy(col("tk")), 4).as("entropy"))
         .orderBy("doc_id")),
+    "q112_fertility_by_lang" -> ((s, d) =>
+      // tokenizer fertility (subwords per word) per language — the
+      // multilingual diagnostic that decides per-language token budgets;
+      // integer sums reduce exactly, one partial-agg shuffle on lang
+      t(s, d, "documents").select(col("lang"),
+          TextAnalysis.subwordCountEstimate(col("text")).cast("long").as("sub"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("sub").as("subwords"),
+          sum("tok").as("tokens"),
+          round(sum("sub").cast("double") / sum("tok"), 4).as("fertility"))
+        .orderBy("lang")),
     "q48_token_count" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tok"))
@@ -685,6 +714,23 @@ object OpsQueries {
          WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.40
          ORDER BY a_id, b_id""",
 
+    "q113_dedup_eval" ->
+      s"""WITH ${PortableSql.minhashVerifiedPairCtes},
+         ep AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.7),
+         tpc AS (SELECT count(*) AS tp FROM vp
+                 JOIN ep ON vp.a_id = ep.a_id AND vp.b_id = ep.b_id),
+         na AS (SELECT count(*) AS n_approx FROM vp),
+         ne AS (SELECT count(*) AS n_exact FROM ep)
+         SELECT CAST(tp AS BIGINT) AS tp,
+                CAST(n_approx AS BIGINT) AS n_approx,
+                CAST(n_exact AS BIGINT) AS n_exact,
+                round(tp / CAST(n_approx AS DOUBLE), 4) AS prec,
+                round(tp / CAST(n_exact AS DOUBLE), 4) AS recall
+         FROM tpc CROSS JOIN na CROSS JOIN ne""",
+
     "q96_line_dedup" ->
       // re-line into 4-token lines, drop lines repeated across >= 3 docs,
       // rebuild; md5 of the rebuilt text keeps the payload small
@@ -864,6 +910,23 @@ object OpsQueries {
                         - ln((rc.cr + 1) / (tot.nr + 512.0))), 4) AS w
          FROM rb LEFT JOIN tc USING (b) JOIN rc USING (b) CROSS JOIN tot
          GROUP BY rb.doc_id ORDER BY w DESC, doc_id LIMIT 25""",
+
+    "q112_fertility_by_lang" ->
+      """WITH f AS (
+           SELECT lang,
+                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE list_aggregate(list_transform(
+                              string_split_regex(trim(text), '\s+'),
+                              t -> greatest(1, CAST(ceil(length(t) / 4.0) AS INT))), 'sum')
+                  END AS BIGINT) AS sub,
+                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS tok
+           FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(sub) AS BIGINT) AS subwords,
+                CAST(sum(tok) AS BIGINT) AS tokens,
+                round(sum(sub) / CAST(sum(tok) AS DOUBLE), 4) AS fertility
+         FROM f GROUP BY lang ORDER BY lang""",
 
     "q110_token_entropy" ->
       // same sorted-type fold order; + 0.0 normalizes a -0.0 sum
