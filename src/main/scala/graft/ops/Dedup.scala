@@ -137,6 +137,32 @@ object Dedup {
           size(array_union(col("a_toks"), col("b_toks")))).as("jaccard"))
   }
 
+  /** Containment pairs: one-sided Jaccard `|A∩B| / |A|` — detects
+    * near-SUBSET documents (quoted posts, excerpted articles) that
+    * symmetric Jaccard misses when the containing document is much
+    * larger. Candidates come from the same banded LSH table (a subset
+    * shares its shingles, so it collides with its superset's bands when
+    * the size ratio is moderate; for extreme ratios raise `bands`);
+    * verification is exact on the shared shingle space. Returns both
+    * directions: `(a_id, b_id, a_in_b, b_in_a)` filtered on
+    * `max(a_in_b, b_in_a) >= threshold`. */
+  def containmentPairs(df: DataFrame, idCol: Column, textCol: Column,
+      threshold: Double, bands: Int = 16, rowsPerBand: Int = 4,
+      shingleSize: Int = 1, seed: Long = 42L): DataFrame = {
+    val cands = lshCandidatePairs(df, idCol, textCol, bands, rowsPerBand,
+      seed, shingleSize)
+    val toks = df.select(idCol.as("id"), shingleSet(textCol, shingleSize).as("toks"))
+    cands
+      .join(toks.withColumnRenamed("id", "a_id").withColumnRenamed("toks", "a_toks"), "a_id")
+      .join(toks.withColumnRenamed("id", "b_id").withColumnRenamed("toks", "b_toks"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(size(array_intersect(col("a_toks"), col("b_toks"))).cast("double")
+          / size(col("a_toks")), 4).as("a_in_b"),
+        round(size(array_intersect(col("a_toks"), col("b_toks"))).cast("double")
+          / size(col("b_toks")), 4).as("b_in_a"))
+      .filter(greatest(col("a_in_b"), col("b_in_a")) >= threshold)
+  }
+
   /** MinHash-LSH near-duplicate pairs with exact shingle-Jaccard ≥
     * threshold (same shingle space for signature and verification). */
   def minHashDuplicates(df: DataFrame, idCol: Column, textCol: Column,

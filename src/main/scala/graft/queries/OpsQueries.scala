@@ -112,6 +112,12 @@ object OpsQueries {
         t(s, d, "documents").filter(col("doc_id") < 200),
         col("doc_id"), col("text"), maxHamming = 20)
         .orderBy("a_id", "b_id")),
+    "q114_containment" -> ((s, d) =>
+      // near-subset detection: one-sided Jaccard over LSH candidates —
+      // quoted/excerpted docs that symmetric Jaccard misses
+      Dedup.containmentPairs(t(s, d, "documents").filter(col("doc_id") < 200),
+          col("doc_id"), col("text"), threshold = 0.9)
+        .orderBy("a_id", "b_id")),
     "q113_dedup_eval" -> ((s, d) => {
       // dedup-quality evaluation: the banded MinHash path scored against
       // exact all-pairs Jaccard ground truth (bounded range). Precision
@@ -712,6 +718,21 @@ object OpsQueries {
                 round(list_cosine_similarity(a.v, b.v), 4) AS sim
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.40
+         ORDER BY a_id, b_id""",
+
+    "q114_containment" ->
+      // band/cand/sets CTEs shared with q43's recipe; verification is the
+      // one-sided intersect-over-own-size ratio, both directions
+      s"""WITH ${PortableSql.minhashVerifiedPairCtes},
+         cp AS (SELECT c.a_id, c.b_id,
+                       round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                             / len(a.tk), 4) AS a_in_b,
+                       round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                             / len(b.tk), 4) AS b_in_a
+                FROM cand c JOIN sets a ON c.a_id = a.doc_id
+                            JOIN sets b ON c.b_id = b.doc_id)
+         SELECT a_id, b_id, a_in_b, b_in_a FROM cp
+         WHERE greatest(a_in_b, b_in_a) >= 0.9
          ORDER BY a_id, b_id""",
 
     "q113_dedup_eval" ->
