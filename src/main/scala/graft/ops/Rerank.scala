@@ -89,4 +89,48 @@ object Rerank {
       }
       .toDF("rnk", "id", "mmr")
   }
+
+  /** Cross-encoder re-ranking over a BOUNDED candidate list: score each
+    * `(query, candidate_text)` pair with a [[CrossScorer]] backend applied
+    * per partition (`mapPartitions` — heavyweight model state initializes
+    * once per task, exactly the [[graft.embed.Embedder]] deployment
+    * shape), take the top `k` by `(score DESC, id)`. The input MUST
+    * already be a candidate list (a first-stage retrieval output, ≤
+    * thousands of rows) — a cross-encoder forward pass per corpus row is
+    * never the plan at 100 TB; first stages prune, this op re-orders. */
+  def crossRerank(cands: DataFrame, idCol: Column, textCol: Column,
+      query: String, scorer: CrossScorer, k: Int): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    cands.select(idCol.cast("long").as("id"), textCol.as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rows = it.toArray // bounded by the candidate-list contract
+        rows.iterator.zip(scorer.scoreBatch(query,
+          rows.iterator.map(_._2))).map { case ((id, _), s) => (id, s) }
+      }
+      .toDF("id", "score")
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+}
+
+/** Pair-scoring backend for cross-encoder re-ranking. Like
+  * [[graft.embed.Embedder]]: one instance per executor partition, real
+  * model state stays off the driver, batching via [[scoreBatch]]. */
+trait CrossScorer extends Serializable {
+  def score(query: String, text: String): Double
+  /** Batched entry point; backends with real batching override this. */
+  def scoreBatch(query: String, texts: Iterator[String]): Iterator[Double] =
+    texts.map(score(query, _))
+}
+
+/** Deterministic md5 stub scorer (engine-portable: the DuckDB oracle
+  * recomputes `hex15(md5(query || U+0001 || text)) % 10000 / 10000`), standing
+  * in for a real cross-encoder forward pass exactly as
+  * [[graft.embed.HashEmbedder]] stands in for the bi-encoder — the
+  * production backend swaps in behind the same trait. */
+final case class HashCrossScorer() extends CrossScorer {
+  override def score(query: String, text: String): Double =
+    (graft.expr.PortableHash.hex15(query + "\u0001" + text) % 10000L) / 10000.0
 }

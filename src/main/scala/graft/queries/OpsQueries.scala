@@ -305,6 +305,15 @@ object OpsQueries {
           col("embedding"), qvec2Scala, k = 10, rerank = 50)
         .select(col("id").as("vec_id"), col("approx"), col("sim"))),
 
+    "q115_cross_rerank" -> ((s, d) =>
+      // second-stage cross-encoder rerank over a bounded candidate list
+      // (mapPartitions scorer backend; deterministic md5 stub scorer)
+      graft.ops.Rerank.crossRerank(
+          t(s, d, "documents").filter(col("doc_id") < 100),
+          col("doc_id"), col("text"), "window hash join",
+          graft.ops.HashCrossScorer(), k = 10)
+        .select(col("id").as("doc_id"), col("score"))),
+
     "q92_mmr_rerank" -> ((s, d) =>
       // diversified retrieval: top-50 cosine candidates (one distributed
       // TakeOrdered pass), then the greedy MMR trace on the driver —
@@ -1261,6 +1270,14 @@ object OpsQueries {
                              SELECT xor(b, 2) FROM qb)
          ORDER BY sim DESC, id LIMIT 6"""
     },
+
+    "q115_cross_rerank" ->
+      // the stub scorer is md5-portable: hex15(query||U+0001||text)
+      """SELECT doc_id,
+                CAST('0x' || substr(md5('window hash join' || chr(1) || text), 1, 15) AS BIGINT)
+                  % 10000 / 10000.0 AS score
+         FROM documents WHERE doc_id < 100
+         ORDER BY score DESC, doc_id LIMIT 10""",
 
     "q108_mean_pool" ->
       // same fold order: vectors listed by vec_id, per-dim left-to-right

@@ -50,4 +50,27 @@ class RerankSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_.getInt(0)).toSeq == (1 to 5))
     assert(got.map(_.getLong(1)).distinct.length == 5)
   }
+
+  test("crossRerank: pluggable scorer, (score DESC, id) order, stub parity") {
+    import spark.implicits._
+    val cands = Seq((1L, "aa"), (2L, "dddd"), (3L, "ccc"), (4L, "bbbb"))
+      .toDF("id", "text")
+    // trait swap: a custom scorer ranks by text length, ties -> low id
+    val byLen = Rerank.crossRerank(cands, col("id"), col("text"), "q",
+      RerankSpec.LenScorer(), k = 3).collect().map(_.getLong(0)).toSeq
+    assert(byLen == Seq(2L, 4L, 3L))
+    // stub scorer matches its driver-side formula
+    val stub = graft.ops.HashCrossScorer()
+    val got = Rerank.crossRerank(cands, col("id"), col("text"), "q", stub, 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Seq((1L, "aa"), (2L, "dddd"), (3L, "ccc"), (4L, "bbbb")).foreach {
+      case (id, t) => assert(got(id) == stub.score("q", t)) }
+  }
+}
+
+object RerankSpec {
+  // top-level so the closure serializes without the suite instance
+  final case class LenScorer() extends graft.ops.CrossScorer {
+    override def score(q: String, t: String): Double = t.length.toDouble
+  }
 }
