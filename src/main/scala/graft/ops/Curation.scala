@@ -124,6 +124,37 @@ object Curation {
       .groupBy("id").agg(round(sum("t"), 4).as("w"))
   }
 
+  /**
+   * Cluster-balanced subselection: keep `perCluster` rows from each
+   * learned k-means cluster — the diversity-preserving downsample
+   * (SemDeDup-style cluster coverage) that a uniform random sample does
+   * not give when the corpus is skewed toward a few dense modes. Pick
+   * order within a cluster is md5-of-id (content-keyed, engine- and
+   * run-reproducible, uniform), ranked through the bounded grouped-top-k
+   * aggregator — no window. Returns `(cluster, rnk, id)`.
+   *
+   * The md5 rank key reduces mod 1e9 so it is exact in the aggregator's
+   * double state (the raw 60-bit value is not); collisions just fall to
+   * the id tiebreak, identically in any engine.
+   */
+  def clusterBalancedSample(emb: DataFrame, idCol: Column, vecCol: Column,
+      perCluster: Int, nlist: Int = 8, iters: Int = 2,
+      sampleFraction: Int = 50): DataFrame = {
+    val cents = Ivf.trainCentroids(emb, idCol, vecCol, nlist, iters,
+      sampleFraction)
+    val assigned = Ivf.assignClusters(
+      emb.select(idCol.cast("long").as("id"), vecCol.cast("array<float>").as("v")),
+      col("id"), col("v"), cents)
+    val pickKey =
+      -(graft.expr.PortableHash.hex15Col(col("id")) % 1000000000L).cast("double")
+    TopK.perGroup(
+        assigned.select(col("cluster"), col("id"), pickKey.as("nk")),
+        Seq(col("cluster")), col("id"), col("nk"), perCluster)
+      .select(col("cluster").cast("bigint").as("cluster"),
+        col("rnk").cast("bigint").as("rnk"), col("id"))
+      .orderBy("cluster", "rnk")
+  }
+
   /** Top-n vocabulary with counts (explode → count → top-n). The explode
     * shuffles (word, 1) pairs — at 100 TB cap it with a pre-aggregation per
     * partition, which Spark's partial aggregation already provides. */

@@ -426,6 +426,12 @@ object OpsQueries {
         .select(col("source"), col("rnk").cast("bigint").as("rnk"),
           col("id").as("doc_id"), round(col("sim"), 4).as("q"))
         .orderBy("source", "rnk")),
+    "q116_cluster_sample" -> ((s, d) =>
+      // diversity-preserving downsample: 5 md5-picked rows per learned
+      // cluster (q66's training recipe), bounded grouped-top-k, no window
+      graft.ops.Curation.clusterBalancedSample(t(s, d, "embeddings"),
+          col("vec_id"), col("embedding"), perCluster = 5)
+        .withColumnRenamed("id", "vec_id")),
     "q98_dsir_weights" -> ((s, d) =>
       // DSIR importance selection: hashed-unigram log-likelihood ratio of
       // the en subcorpus (target) vs the full corpus (raw); top 25 docs
@@ -1205,6 +1211,17 @@ object OpsQueries {
          WHERE doc_id < 200
            AND doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
          ORDER BY doc_id""",
+
+    "q116_cluster_sample" ->
+      // bf = the re-trained clustering; pick order = md5(id) % 1e9, id
+      s"""${PortableSql.ivfTrainSql}
+         r AS (SELECT cid, id,
+                      row_number() OVER (PARTITION BY cid ORDER BY
+                        CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT)
+                          % 1000000000, id) AS rnk
+               FROM bf)
+         SELECT CAST(cid AS BIGINT) AS cluster, rnk, id AS vec_id
+         FROM r WHERE rnk <= 5 ORDER BY cluster, rnk""",
 
     "q81_semantic_dedup" ->
       // q66's re-trained clustering (bf = id, v, cid), then the SemDeDup
