@@ -113,8 +113,11 @@ object Curation {
     val rawCounts = rawToks.groupBy("b").agg(count(lit(1)).as("cr"))
     val totals = tgtCounts.agg(sum("ct").as("nt"))
       .crossJoin(rawCounts.agg(sum("cr").as("nr")))
+    // nt coalesces so an EMPTY target corpus degrades to the uniform
+    // prior (all-smoothing) instead of null weights
     val term =
-      log((coalesce(col("ct"), lit(0L)) + 1) / (col("nt") + lit(buckets)).cast("double")) -
+      log((coalesce(col("ct"), lit(0L)) + 1) /
+        (coalesce(col("nt"), lit(0L)) + lit(buckets)).cast("double")) -
       log((col("cr") + 1) / (col("nr") + lit(buckets)).cast("double"))
     rawToks
       .join(broadcast(tgtCounts), Seq("b"), "left")

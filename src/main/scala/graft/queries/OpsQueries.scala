@@ -426,6 +426,25 @@ object OpsQueries {
         .select(col("source"), col("rnk").cast("bigint").as("rnk"),
           col("id").as("doc_id"), round(col("sim"), 4).as("q"))
         .orderBy("source", "rnk")),
+    "q117_cluster_balance" -> ((s, d) => {
+      // index-health diagnostics: per-cluster population of the learned
+      // IVF clustering + each cluster's share — the skew report that
+      // decides whether nlist/probe budgets hold (a 10x-overloaded cell
+      // makes probe cost unpredictable at scale)
+      val emb = t(s, d, "embeddings")
+      val cents = graft.ops.Ivf.trainCentroids(emb, col("vec_id"),
+        col("embedding"), k = 8, iters = 2, sampleFraction = 50)
+      val assigned = graft.ops.Ivf.assignClusters(
+        emb.select(col("vec_id").cast("long").as("id"),
+          col("embedding").cast("array<float>").as("v")),
+        col("id"), col("v"), cents)
+      val counts = assigned.groupBy(col("cluster").cast("bigint").as("cluster"))
+        .agg(count(lit(1)).as("n"))
+      counts.crossJoin(broadcast(counts.agg(sum("n").as("total"))))
+        .select(col("cluster"), col("n"),
+          round(col("n") / col("total").cast("double"), 4).as("share"))
+        .orderBy("cluster")
+    }),
     "q116_cluster_sample" -> ((s, d) =>
       // diversity-preserving downsample: 5 md5-picked rows per learned
       // cluster (q66's training recipe), bounded grouped-top-k, no window
@@ -1211,6 +1230,14 @@ object OpsQueries {
          WHERE doc_id < 200
            AND doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
          ORDER BY doc_id""",
+
+    "q117_cluster_balance" ->
+      s"""${PortableSql.ivfTrainSql}
+         c3 AS (SELECT CAST(cid AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n
+                FROM bf GROUP BY cid),
+         t3 AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c3)
+         SELECT cluster, n, round(n / CAST(total AS DOUBLE), 4) AS share
+         FROM c3 CROSS JOIN t3 ORDER BY cluster""",
 
     "q116_cluster_sample" ->
       // bf = the re-trained clustering; pick order = md5(id) % 1e9, id

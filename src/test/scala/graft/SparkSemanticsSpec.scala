@@ -588,6 +588,29 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
         minDocs = 2).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
     assert(gotSpans == expSpans)
+    // keepFirst strip: reference drops positions covered by NON-canonical
+    // occurrences only (canonical = min (id, pos) per repeated gram)
+    val occ = docs.flatMap { case (id, t) =>
+      val tk = toks(t)
+      (0 to tk.length - k).map(i => (tk.slice(i, i + k).mkString(" "), id, i))
+    }.filter(o => gramDocs(o._1))
+    val canon = occ.groupBy(_._1).map { case (g, os) =>
+      g -> os.map(o => (o._2, o._3)).min }
+    val expKf = docs.map { case (id, t) =>
+      val tk = toks(t)
+      val dropped = occ.filter(o =>
+          o._2 == id && canon(o._1) != ((id, o._3)))
+        .flatMap(o => o._3 until o._3 + k).toSet
+      val kept = tk.zipWithIndex.collect { case (w, i) if !dropped(i) => w }
+      id -> ((tk.length.toLong, (tk.length - kept.length).toLong,
+        kept.mkString(" ")))
+    }.toMap
+    val gotKf = Dedup.stripDuplicateSpans(df, col("id"), col("text"), k = k,
+        minDocs = 2, keepFirst = true).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    docs.foreach { case (id, _) =>
+      assert(gotKf(id) == expKf(id), s"keepFirst doc $id") }
   }
 
   test("int8TopK: approx dot within quantization error; rerank=n matches brute force") {
