@@ -83,8 +83,10 @@ object IngestJob {
     * only plan change), so archive ingest scales exactly like flat-file
     * ingest. Members keep the archive's modificationTime (zip entry times
     * are unreliable across tools); `maxMemberBytes` bounds decompression
-    * (zip-bomb guard: oversized members are skipped and counted by the
-    * usual skip contract); nested `.zip` members are NOT recursed —
+    * (zip-bomb guard: an oversized member is dropped SILENTLY — it never
+    * becomes a row, so the skip counters don't see it; raise the bound if
+    * completeness auditing matters more than the guard); nested `.zip`
+    * members are NOT recursed —
     * `.docx`/`.xlsx` members are fine, they decode as ordinary OOXML
     * bytes. A corrupt archive contributes the members readable before the
     * failure point, matching the skip-and-count ethos. */

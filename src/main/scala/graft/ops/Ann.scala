@@ -113,7 +113,9 @@ object Ann {
       queries: Seq[(String, Array[Float])], k: Int, rerank: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val d = queries.head._2.length
+    // empty batch -> empty result (like the sibling batched paths), not
+    // a head-of-empty crash; d=1 keeps the unused pack expression sane
+    val d = queries.headOption.fold(1)(_._2.length)
     val qdf = queries.map { case (qid, qv) =>
       (qid, packWords(qv), qv.toSeq) }.toDF("query_id", "qwords", "qvec")
     val scoredAll = emb

@@ -97,9 +97,16 @@ object Curation {
    *
    * Scale shape: both count tables reduce to ≤ `buckets` rows under
    * partial aggregation (only bucket-id longs shuffle) and broadcast to
-   * the scoring pass; the per-document sum is one partial-agg shuffle of
-   * `(id, double)`. The target corpus — a small quality reference set —
-   * is read once; the raw corpus streams through exactly once.
+   * the scoring pass; the per-document reduction shuffles exact
+   * `(id, bucket, count)` ints. The target corpus — a small quality
+   * reference set — is read once; the raw corpus is scanned twice (the
+   * counts pass must finish before it can broadcast to scoring) —
+   * persist the projected token frame upstream if that scan dominates.
+   *
+   * Determinism: per-document terms fold in ascending BUCKET order over
+   * the exact per-(doc, bucket) counts — an unordered float sum would
+   * vary with each engine's aggregation order and could flip the 4dp
+   * rounding (same contract as [[graft.ops.Ann.meanPool]]).
    */
   def importanceWeights(raw: DataFrame, rawId: Column, rawText: Column,
       target: DataFrame, targetText: Column, buckets: Int = 512): DataFrame = {
@@ -120,11 +127,15 @@ object Curation {
         (coalesce(col("nt"), lit(0L)) + lit(buckets)).cast("double")) -
       log((col("cr") + 1) / (col("nr") + lit(buckets)).cast("double"))
     rawToks
+      .groupBy("id", "b").agg(count(lit(1)).as("nb"))
       .join(broadcast(tgtCounts), Seq("b"), "left")
       .join(broadcast(rawCounts), Seq("b"))
       .crossJoin(broadcast(totals))
-      .select(col("id"), term.as("t"))
-      .groupBy("id").agg(round(sum("t"), 4).as("w"))
+      .select(col("id"), col("b"), (col("nb") * term).as("t"))
+      .groupBy("id")
+      .agg(round(aggregate(
+        array_sort(collect_list(struct(col("b"), col("t")))),
+        lit(0.0), (acc, x) => acc + x.getField("t")), 4).as("w"))
   }
 
   /**

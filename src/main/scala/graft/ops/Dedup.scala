@@ -396,7 +396,10 @@ object Dedup {
       .agg(count_distinct(col("id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select(col("h"))
-    val occurrences = g.join(broadcast(repeated), "h")
+    // no broadcast hint: the repeated-gram table is usually small, but on
+    // boilerplate-heavy corpora it can exceed driver memory — the planner
+    // (with AQE) picks broadcast vs shuffled hash join from actual sizes
+    val occurrences = g.join(repeated, "h")
     // keepFirst (Lee et al.'s remove-all-but-one): each repeated gram's
     // lexicographically smallest (id, pos) occurrence is canonical and
     // not counted as covered — its tokens survive unless an OVERLAPPING
@@ -408,7 +411,7 @@ object Dedup {
       else {
         val canon = occurrences.groupBy("h")
           .agg(min(struct(col("id"), col("pos"))).as("c"))
-        occurrences.join(broadcast(canon), "h")
+        occurrences.join(canon, "h")
           .filter(!(col("id") === col("c.id") && col("pos") === col("c.pos")))
           .select(col("id"), col("pos"))
       }

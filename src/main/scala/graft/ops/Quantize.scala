@@ -103,14 +103,11 @@ object Quantize {
       vecCol: Column, query: Array[Float], k: Int, rerank: Int):
       org.apache.spark.sql.DataFrame = {
     val (qCodes, qScale) = quantizeQuery(query)
-    val intDot = aggregate(
-      zip_with(col("codes"), typedLit(qCodes), (a, b) => (a * b).cast("long")),
-      lit(0L), (acc, x) => acc + x)
     emb.select(idCol.as("id"), vecCol.as("v"), int8Scale(vecCol).as("sc"))
       .select(col("id"), col("v"), col("sc"),
         int8Codes(col("v"), col("sc")).as("codes"))
       .select(col("id"), col("v"),
-        (intDot.cast("double") * col("sc") * qScale).as("approx"))
+        approxDotCol(col("codes"), col("sc"), qCodes, qScale).as("approx"))
       .orderBy(col("approx").desc, col("id"))
       .limit(rerank)
       .select(col("id"), round(col("approx"), 4).as("approx"),

@@ -106,8 +106,11 @@ object Rerank {
       .as[(Long, String)]
       .mapPartitions { it =>
         val rows = it.toArray // bounded by the candidate-list contract
-        rows.iterator.zip(scorer.scoreBatch(query,
-          rows.iterator.map(_._2))).map { case ((id, _), s) => (id, s) }
+        val scores = scorer.scoreBatch(query, rows.iterator.map(_._2)).toArray
+        // a zip would silently drop candidates on a miscounting backend
+        require(scores.length == rows.length,
+          s"CrossScorer returned ${scores.length} scores for ${rows.length} texts")
+        rows.iterator.zip(scores.iterator).map { case ((id, _), s) => (id, s) }
       }
       .toDF("id", "score")
       .orderBy(col("score").desc, col("id"))

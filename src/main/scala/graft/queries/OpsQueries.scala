@@ -812,13 +812,7 @@ object OpsQueries {
     "q97_dup_spans" ->
       // 5-gram start positions repeated across >= 2 docs, merged into
       // maximal [start, end) token spans per doc (gap > 5 starts a span)
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-           FROM documents),
-         gl AS (SELECT doc_id, [array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)] AS gs
-                FROM toks WHERE len(t) >= 5),
-         grams AS (SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) - 1 AS pos FROM gl),
-         rep AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+      s"""WITH ${PortableSql.spanGramCtes},
          cov AS (SELECT doc_id, pos FROM grams JOIN rep USING (g)),
          isl AS (SELECT doc_id, pos,
                         CASE WHEN pos - lag(pos, 1, -5) OVER (PARTITION BY doc_id ORDER BY pos) > 5
@@ -833,20 +827,9 @@ object OpsQueries {
     "q100_strip_spans" ->
       // q97's covered gram starts expand to token indices [pos, pos+5);
       // surviving tokens rebuild each doc (all occurrences cut)
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-           FROM documents),
-         gl AS (SELECT doc_id, [array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)] AS gs
-                FROM toks WHERE len(t) >= 5),
-         grams AS (SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) - 1 AS pos FROM gl),
-         rep AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+      s"""WITH ${PortableSql.spanGramCtes},
          cov AS (SELECT doc_id, pos FROM grams JOIN rep USING (g)),
-         dropped AS (SELECT DISTINCT doc_id, pos + off AS ti FROM cov CROSS JOIN range(5) r(off)),
-         tokpos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS ti FROM toks),
-         kept AS (SELECT tp.doc_id, tp.tok, tp.ti
-                  FROM tokpos tp LEFT JOIN dropped d
-                    ON tp.doc_id = d.doc_id AND tp.ti = d.ti
-                  WHERE d.ti IS NULL)
+         ${PortableSql.spanStripTail}
          SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
                 CAST(len(t.t) - count(k.ti) AS BIGINT) AS n_removed,
                 md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.ti), '')) AS text_md5
@@ -856,23 +839,12 @@ object OpsQueries {
     "q107_strip_spans_keep_first" ->
       // q100 with canonical occurrences excluded from coverage: rn = 1 in
       // (doc_id, pos) order per gram survives
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-           FROM documents),
-         gl AS (SELECT doc_id, [array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)] AS gs
-                FROM toks WHERE len(t) >= 5),
-         grams AS (SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) - 1 AS pos FROM gl),
-         rep AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+      s"""WITH ${PortableSql.spanGramCtes},
          occ AS (SELECT doc_id, pos, g,
                         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
                  FROM grams JOIN rep USING (g)),
          cov AS (SELECT doc_id, pos FROM occ WHERE rn > 1),
-         dropped AS (SELECT DISTINCT doc_id, pos + off AS ti FROM cov CROSS JOIN range(5) r(off)),
-         tokpos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS ti FROM toks),
-         kept AS (SELECT tp.doc_id, tp.tok, tp.ti
-                  FROM tokpos tp LEFT JOIN dropped d
-                    ON tp.doc_id = d.doc_id AND tp.ti = d.ti
-                  WHERE d.ti IS NULL)
+         ${PortableSql.spanStripTail}
          SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
                 CAST(len(t.t) - count(k.ti) AS BIGINT) AS n_removed,
                 md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.ti), '')) AS text_md5
@@ -906,26 +878,15 @@ object OpsQueries {
     "q103_curation_pipeline" ->
       // q100's cleaned corpus -> q50's quality formula on the cleaned
       // text -> q59's md5 split -> per-split doc/token volumes
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-           FROM documents),
-         gl AS (SELECT doc_id, [array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)] AS gs
-                FROM toks WHERE len(t) >= 5),
-         grams AS (SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) - 1 AS pos FROM gl),
-         rep AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+      s"""WITH ${PortableSql.spanGramCtes},
          cov AS (SELECT doc_id, pos FROM grams JOIN rep USING (g)),
-         dropped AS (SELECT DISTINCT doc_id, pos + off AS ti FROM cov CROSS JOIN range(5) r(off)),
-         tokpos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS ti FROM toks),
-         kept AS (SELECT tp.doc_id, tp.tok, tp.ti
-                  FROM tokpos tp LEFT JOIN dropped d
-                    ON tp.doc_id = d.doc_id AND tp.ti = d.ti
-                  WHERE d.ti IS NULL),
+         ${PortableSql.spanStripTail},
          cleaned AS (SELECT t.doc_id,
                             coalesce(string_agg(k.tok, ' ' ORDER BY k.ti), '') AS text,
                             CAST(count(k.ti) AS BIGINT) AS n_tok
                      FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
                      GROUP BY t.doc_id),
-         f AS (SELECT doc_id, text, n_tok, string_split_regex(trim(text), '\s+') AS tk,
+         f AS (SELECT doc_id, text, n_tok, string_split_regex(trim(text), '\\s+') AS tk,
                       CAST(length(trim(text)) AS DOUBLE) AS nc FROM cleaned),
          g2 AS (SELECT doc_id, text, n_tok, CAST(len(tk) AS DOUBLE) AS nt,
                        (nc - (len(tk) - 1)) / len(tk) AS mtl,
@@ -959,12 +920,16 @@ object OpsQueries {
          tc AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tb GROUP BY b),
          rc AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM rb GROUP BY b),
          tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tb) AS nt,
-                        (SELECT CAST(count(*) AS BIGINT) FROM rb) AS nr)
-         SELECT rb.doc_id,
-                round(sum(ln((coalesce(tc.ct, 0) + 1) / (tot.nt + 512.0))
-                        - ln((rc.cr + 1) / (tot.nr + 512.0))), 4) AS w
-         FROM rb LEFT JOIN tc USING (b) JOIN rc USING (b) CROSS JOIN tot
-         GROUP BY rb.doc_id ORDER BY w DESC, doc_id LIMIT 25""",
+                        (SELECT CAST(count(*) AS BIGINT) FROM rb) AS nr),
+         pb AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS nb
+                FROM rb GROUP BY doc_id, b)
+         SELECT pb.doc_id,
+                round(list_sum(list(
+                  nb * (ln((coalesce(tc.ct, 0) + 1) / (tot.nt + 512.0))
+                      - ln((rc.cr + 1) / (tot.nr + 512.0)))
+                  ORDER BY pb.b)) + 0.0, 4) AS w
+         FROM pb LEFT JOIN tc USING (b) JOIN rc USING (b) CROSS JOIN tot
+         GROUP BY pb.doc_id ORDER BY w DESC, doc_id LIMIT 25""",
 
     "q112_fertility_by_lang" ->
       """WITH f AS (
@@ -992,10 +957,11 @@ object OpsQueries {
                        list_sort(list_distinct(tk)) AS ty
                 FROM toks)
          SELECT doc_id, CAST(len(ty) AS BIGINT) AS n_types,
-                round(len(ty) / n, 4) AS ttr,
-                round(list_sum([-(len(list_filter(tk, x -> x = t)) / n)
-                                * ln(len(list_filter(tk, x -> x = t)) / n)
-                                FOR t IN ty]) + 0.0, 4) AS entropy
+                CASE WHEN n = 0 THEN 0.0 ELSE round(len(ty) / n, 4) END AS ttr,
+                CASE WHEN n = 0 THEN 0.0 ELSE
+                  round(list_sum([-(len(list_filter(tk, x -> x = t)) / n)
+                                  * ln(len(list_filter(tk, x -> x = t)) / n)
+                                  FOR t IN ty]) + 0.0, 4) END AS entropy
          FROM t2 ORDER BY doc_id""",
 
     "q109_gopher_rules" ->
@@ -1954,6 +1920,31 @@ private[queries] object PortableSql {
          UNION
          SELECT e.d, r.lbl FROM reach r JOIN edges e ON r.id = e.s),
        cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)"""
+
+  /** 5-gram span-detection CTE body shared by the q97/q100/q103/q107
+    * oracles (no `WITH`): `toks(doc_id, t)` → `gl` (gram lists) →
+    * `grams(doc_id, g, pos)` (0-based starts) → `rep(g)` (grams in ≥ 2
+    * docs). Callers append their own `cov` (covered starts) and either
+    * the interval-merge or the [[spanStripTail]] rebuild. */
+  def spanGramCtes: String =
+    """toks AS (
+         SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+         FROM documents),
+       gl AS (SELECT doc_id, [array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)] AS gs
+              FROM toks WHERE len(t) >= 5),
+       grams AS (SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) - 1 AS pos FROM gl),
+       rep AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2)"""
+
+  /** Span-REMOVAL CTE tail (requires [[spanGramCtes]] and a
+    * `cov(doc_id, pos)` CTE before it): expands covered starts to token
+    * indices, rebuilds surviving tokens as `kept(doc_id, tok, ti)`. */
+  def spanStripTail: String =
+    """dropped AS (SELECT DISTINCT doc_id, pos + off AS ti FROM cov CROSS JOIN range(5) r(off)),
+       tokpos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS ti FROM toks),
+       kept AS (SELECT tp.doc_id, tp.tok, tp.ti
+                FROM tokpos tp LEFT JOIN dropped d
+                  ON tp.doc_id = d.doc_id AND tp.ti = d.ti
+                WHERE d.ti IS NULL)"""
 
   /** Cosine mirroring VectorOps.cosine exactly:
     * dot / (sqrt(na) * sqrt(nb)). */
