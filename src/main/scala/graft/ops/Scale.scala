@@ -22,6 +22,35 @@ object Scale {
    * carries high-cardinality state per key (collect/distinct sketches) or
    * when AQE skew handling is unavailable mid-pipeline.
    */
+  /** Range (interval-containment) join without the BroadcastNestedLoop
+    * trap: a naive `probe.value BETWEEN ranges.lo AND ranges.hi` join has
+    * no equi-key, so Spark falls back to nested-loop — O(probe × ranges)
+    * comparisons. Binning restores an equi-join: each RANGE row explodes
+    * to the `binWidth` bins it covers (ranges are the small side — a few
+    * bins each), the PROBE side computes its single bin row-locally, the
+    * join is hash equi on `bin`, and the exact BETWEEN predicate runs as
+    * a post-join residual filter. A probe row has exactly one bin, so no
+    * pair can match twice — no dedup pass. Inclusive on both ends.
+    * Returns the probe columns + `range_id` + `v` (the probe value as
+    * double). Pick `binWidth` near the typical range span: too small
+    * explodes the ranges table, too large degrades the residual filter's
+    * selectivity, never correctness. */
+  def binnedRangeJoin(probe: DataFrame, valueCol: Column, ranges: DataFrame,
+      idCol: Column, loCol: Column, hiCol: Column,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val rb = ranges.select(idCol.as("range_id"),
+        loCol.cast("double").as("lo"), hiCol.cast("double").as("hi"))
+      .withColumn("bin", explode(sequence(
+        floor(col("lo") / binWidth).cast("long"),
+        floor(col("hi") / binWidth).cast("long"))))
+    probe.withColumn("v", valueCol.cast("double"))
+      .withColumn("bin", floor(col("v") / binWidth).cast("long"))
+      .join(rb, Seq("bin"))
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .drop("bin", "lo", "hi")
+  }
+
   def saltedAggregate(df: DataFrame, key: Column, value: Column,
       saltBuckets: Int = 16): DataFrame = {
     // salt from the row's own values, not monotonically_increasing_id:

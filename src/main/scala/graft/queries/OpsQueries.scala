@@ -426,6 +426,21 @@ object OpsQueries {
         .select(col("source"), col("rnk").cast("bigint").as("rnk"),
           col("id").as("doc_id"), round(col("sim"), 4).as("q"))
         .orderBy("source", "rnk")),
+    "q118_range_join" -> ((s, d) => {
+      // binned range join: lineitem quantities against overlapping
+      // nation-derived bands — hash equi-join on the bin + exact
+      // residual, never a nested loop; integer floor-sums stay exact
+      val ranges = t(s, d, "nation").select(col("n_nationkey").as("rid"),
+        (col("n_nationkey") * 2).cast("double").as("lo"),
+        (col("n_nationkey") * 2 + 3).cast("double").as("hi"))
+      graft.ops.Scale.binnedRangeJoin(
+          t(s, d, "lineitem").select(col("l_quantity")), col("l_quantity"),
+          ranges, col("rid"), col("lo"), col("hi"), binWidth = 4.0)
+        .groupBy(col("range_id").as("rid"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("v")).cast("bigint")).as("qty_floor_sum"))
+        .orderBy("rid")
+    }),
     "q117_cluster_balance" -> ((s, d) => {
       // index-health diagnostics: per-cluster population of the learned
       // IVF clustering + each cluster's share — the skew report that
@@ -1196,6 +1211,14 @@ object OpsQueries {
          WHERE doc_id < 200
            AND doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
          ORDER BY doc_id""",
+
+    "q118_range_join" ->
+      """WITH r AS (SELECT n_nationkey AS rid, n_nationkey * 2.0 AS lo,
+                           n_nationkey * 2.0 + 3 AS hi FROM nation)
+         SELECT rid, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty_floor_sum
+         FROM lineitem JOIN r ON l_quantity >= lo AND l_quantity <= hi
+         GROUP BY rid ORDER BY rid""",
 
     "q117_cluster_balance" ->
       s"""${PortableSql.ivfTrainSql}

@@ -158,4 +158,21 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fanned.count(_ == 2) >= 6, fanned.mkString(",")) // ~500/8/2 rows per file
     assert(spark.read.parquet(s"$dir/fan").count() == 500)
   }
+
+  test("binnedRangeJoin: matches naive BETWEEN join; no nested loop in plan") {
+    import spark.implicits._
+    val probe = Seq(0.5, 1.0, 3.9, 4.0, 7.2, 10.0, -1.0).toDF("x")
+    val ranges = Seq((1L, 0.0, 4.0), (2L, 3.5, 8.0), (3L, 9.0, 9.5))
+      .toDF("id", "lo", "hi")
+    val binned = Scale.binnedRangeJoin(probe, col("x"), ranges,
+      col("id"), col("lo"), col("hi"), binWidth = 2.0)
+    val got = binned.select(col("range_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val naive = probe.join(ranges, col("x") >= col("lo") && col("x") <= col("hi"))
+      .select(col("id"), col("x")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == naive && naive.nonEmpty)
+    assert(!binned.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+  }
 }
