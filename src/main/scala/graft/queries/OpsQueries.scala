@@ -556,6 +556,21 @@ object OpsQueries {
           round(TextAnalysis.typeTokenRatio(col("tk")), 4).as("ttr"),
           round(TextAnalysis.tokenEntropy(col("tk")), 4).as("entropy"))
         .orderBy("doc_id")),
+    "q120_top_terms_by_lang" -> ((s, d) => {
+      // per-language heavy hitters: term counts reduce under partial
+      // aggregation; the rank window partitions by lang over the
+      // VOCABULARY-bounded count relation (documented bounded-input
+      // window — never over corpus rows)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("c").desc, col("w"))
+      t(s, d, "documents")
+        .select(col("lang"),
+          explode(array_remove(split(trim(col("text")), "\\s+"), "")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 5)
+        .orderBy("lang", "rnk")
+    }),
     "q112_fertility_by_lang" -> ((s, d) =>
       // tokenizer fertility (subwords per word) per language — the
       // multilingual diagnostic that decides per-language token budgets;
@@ -945,6 +960,18 @@ object OpsQueries {
                   ORDER BY pb.b)) + 0.0, 4) AS w
          FROM pb LEFT JOIN tc USING (b) JOIN rc USING (b) CROSS JOIN tot
          GROUP BY pb.doc_id ORDER BY w DESC, doc_id LIMIT 25""",
+
+    "q120_top_terms_by_lang" ->
+      """WITH tc AS (
+           SELECT lang, tok AS w, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT lang, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+             FROM documents)
+           GROUP BY lang, tok)
+         SELECT lang, w, c, rnk FROM (
+           SELECT lang, w, c,
+                  row_number() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rnk
+           FROM tc)
+         WHERE rnk <= 5 ORDER BY lang, rnk""",
 
     "q112_fertility_by_lang" ->
       """WITH f AS (

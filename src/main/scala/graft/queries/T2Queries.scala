@@ -275,6 +275,28 @@ object T2Queries {
         .orderBy("event_id")
     }),
 
+    "q119_funnel" -> ((s, d) => {
+      // conversion funnel: purchases preceded by the same user's view
+      // within one hour — q73's carry-forward window plus a time bound,
+      // reduced to funnel totals; no per-row range probe, one user shuffle
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val hourUs = 3600L * 1000000
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), unix_micros(col("ts")).as("us"))
+        .withColumn("view_us",
+          when(col("event_type") === "view", col("us")))
+        .withColumn("pv", last("view_us", ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .agg(count(lit(1)).as("purchases"),
+          sum(when(col("us") - col("pv") <= hourUs, 1L).otherwise(0L))
+            .as("converted"),
+          count_distinct(when(col("us") - col("pv") <= hourUs, col("user_id")))
+            .as("users_converted"))
+    }),
+
     "q74_sessionize_batch" -> ((s, d) => {
       // batch twin of StreamingOps.sessionize: 30-min inactivity gap via
       // lag + cumulative-flag windows (both share the per-user partition —
@@ -424,6 +446,18 @@ object T2Queries {
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_view
            FROM events) t
          WHERE event_type = 'purchase' ORDER BY event_id""",
+    "q119_funnel" ->
+      """WITH p AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+                  last_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv
+           FROM events)
+         SELECT CAST(count(*) AS BIGINT) AS purchases,
+                CAST(sum(CASE WHEN us - pv <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS converted,
+                CAST(count(DISTINCT CASE WHEN us - pv <= 3600000000 THEN user_id END) AS BIGINT) AS users_converted
+         FROM p WHERE event_type = 'purchase'""",
+
     "q74_sessionize_batch" ->
       """WITH g AS (
            SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
