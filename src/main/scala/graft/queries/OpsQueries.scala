@@ -234,6 +234,20 @@ object OpsQueries {
           m = 4, ksub = 8, iters = 2)
         .select(col("id").as("vec_id"), col("dist"))),
 
+    "q122_prefiltered_ann" -> ((s, d) =>
+      // PRE-filtered ANN: the metadata predicate prunes BEFORE ranking
+      // (broadcast metadata join + filter, then the fused cosine top-k) —
+      // the complement of the reference's filter-AFTER-top-k contract
+      // (F5-F7), and the correct shape when the filter is selective
+      t(s, d, "embeddings")
+        .join(broadcast(t(s, d, "documents")
+          .select(col("doc_id"), col("lang"))), col("vec_id") === col("doc_id"))
+        .filter(col("lang") === "en")
+        .select(col("vec_id"),
+          round(graft.functions.cosine_similarity(col("embedding"),
+            typedLit(qvec2Scala)), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)),
     "q99_binary_ann" -> ((s, d) =>
       // binary-quantized first stage: 64 sign bits -> two packed 32-bit
       // words, hamming top-50 candidates (bit_count(xor), zero exchanges),
@@ -1507,6 +1521,16 @@ object OpsQueries {
          SELECT vec_id, round(approx, 4) AS approx,
                 round(list_cosine_similarity(v, qv), 4) AS sim
          FROM cand ORDER BY sim DESC, vec_id LIMIT 10"""
+    },
+
+    "q122_prefiltered_ann" -> {
+      val qv = vecSql(qvec2Scala)
+      s"""SELECT vec_id,
+                round(list_cosine_similarity(
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)), $qv), 4) AS sim
+         FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         WHERE d.lang = 'en'
+         ORDER BY sim DESC, vec_id LIMIT 10"""
     },
 
     "q99_binary_ann" -> {

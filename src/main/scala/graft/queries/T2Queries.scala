@@ -275,6 +275,24 @@ object T2Queries {
         .orderBy("event_id")
     }),
 
+    "q121_retention" -> ((s, d) => {
+      // weekly retention cohorts: cohort = a user's first active ISO
+      // week; retained = active again exactly `offset` weeks later.
+      // Two partial-agg shuffles (user-week distinct, then cohort join on
+      // user) — the cohort table is one row per user
+      val ev = t(s, d, "events")
+        .select(col("user_id"),
+          floor(unix_micros(col("ts")) / (7L * 86400 * 1000000)).as("wk"))
+        .distinct()
+      val cohorts = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      ev.join(cohorts, "user_id")
+        .withColumn("offset", (col("wk") - col("cohort_wk")).cast("int"))
+        .groupBy("cohort_wk", "offset")
+        .agg(count_distinct(col("user_id")).as("users"))
+        .filter(col("offset") <= 3)
+        .orderBy("cohort_wk", "offset")
+    }),
+
     "q119_funnel" -> ((s, d) => {
       // conversion funnel: purchases preceded by the same user's view
       // within one hour — q73's carry-forward window plus a time bound,
@@ -446,6 +464,18 @@ object T2Queries {
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_view
            FROM events) t
          WHERE event_type = 'purchase' ORDER BY event_id""",
+    "q121_retention" ->
+      """WITH ev AS (
+           SELECT DISTINCT user_id,
+                  CAST(floor(epoch_us(ts) / (7::BIGINT * 86400 * 1000000)) AS BIGINT) AS wk
+           FROM events),
+         c AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id)
+         SELECT c.cohort_wk, CAST(ev.wk - c.cohort_wk AS INT) AS "offset",
+                CAST(count(DISTINCT ev.user_id) AS BIGINT) AS users
+         FROM ev JOIN c ON ev.user_id = c.user_id
+         WHERE ev.wk - c.cohort_wk <= 3
+         GROUP BY c.cohort_wk, "offset" ORDER BY cohort_wk, "offset" """,
+
     "q119_funnel" ->
       """WITH p AS (
            SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
