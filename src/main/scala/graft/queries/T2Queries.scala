@@ -275,6 +275,22 @@ object T2Queries {
         .orderBy("event_id")
     }),
 
+    "q123_skew_report" -> ((s, d) => {
+      // shuffle-skew diagnosis: per-key row counts of the orders->customer
+      // join key reduced to the stats a salting/AQE decision needs (max,
+      // mean, skew factor, share of the hottest key). Two partial-agg
+      // reductions; nothing wide survives
+      val counts = t(s, d, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"))
+      counts.agg(count(lit(1)).as("n_keys"),
+          max("n").as("max_n"),
+          sum("n").as("total"))
+        .select(col("n_keys"), col("max_n"),
+          round(col("max_n") / (col("total") / col("n_keys")).cast("double"), 4)
+            .as("skew_factor"),
+          round(col("max_n") / col("total").cast("double"), 6).as("top_share"))
+    }),
+
     "q121_retention" -> ((s, d) => {
       // weekly retention cohorts: cohort = a user's first active ISO
       // week; retained = active again exactly `offset` weeks later.
@@ -464,6 +480,15 @@ object T2Queries {
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_view
            FROM events) t
          WHERE event_type = 'purchase' ORDER BY event_id""",
+    "q123_skew_report" ->
+      """WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+                    FROM orders GROUP BY o_custkey)
+         SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(max(n) AS BIGINT) AS max_n,
+                round(max(n) / (CAST(sum(n) AS DOUBLE) / count(*)), 4) AS skew_factor,
+                round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS top_share
+         FROM c""",
+
     "q121_retention" ->
       """WITH ev AS (
            SELECT DISTINCT user_id,
