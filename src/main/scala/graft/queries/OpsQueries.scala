@@ -570,6 +570,36 @@ object OpsQueries {
           round(TextAnalysis.typeTokenRatio(col("tk")), 4).as("ttr"),
           round(TextAnalysis.tokenEntropy(col("tk")), 4).as("entropy"))
         .orderBy("doc_id")),
+    "q124_collocations" -> ((s, d) => {
+      // collocation detection: PMI of adjacent word pairs,
+      // log(N_bg * c(ab) / (c(a)*c(b))) over exact corpus counts; only
+      // the count tables shuffle (partial-agg'd), unigrams broadcast
+      val docs = t(s, d, "documents")
+        .select(array_remove(split(trim(col("text")), "\\s+"), "").as("tk"))
+      val bigrams = docs.select(explode(
+          when(size(col("tk")) < 2, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(0), size(col("tk")) - 2),
+              i => concat_ws(" ", slice(col("tk"), i + 1, lit(2)))))).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 20)
+      val unigrams = docs.select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+      val nBg = docs.select(
+        sum(greatest(size(col("tk")) - 1, lit(0)).cast("long")).as("n_bg"))
+      bigrams
+        .withColumn("a", split(col("bg"), " ").getItem(0))
+        .withColumn("b", split(col("bg"), " ").getItem(1))
+        .join(broadcast(unigrams.withColumnRenamed("w", "a")
+          .withColumnRenamed("cw", "ca")), "a")
+        .join(broadcast(unigrams.withColumnRenamed("w", "b")
+          .withColumnRenamed("cw", "cb")), "b")
+        .crossJoin(broadcast(nBg))
+        .select(col("bg"), col("cab"),
+          round(log(col("n_bg") * col("cab") /
+            (col("ca") * col("cb")).cast("double")), 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("bg"))
+        .limit(15)
+    }),
     "q120_top_terms_by_lang" -> ((s, d) => {
       // per-language heavy hitters: term counts reduce under partial
       // aggregation; the rank window partitions by lang over the
@@ -974,6 +1004,24 @@ object OpsQueries {
                   ORDER BY pb.b)) + 0.0, 4) AS w
          FROM pb LEFT JOIN tc USING (b) JOIN rc USING (b) CROSS JOIN tot
          GROUP BY pb.doc_id ORDER BY w DESC, doc_id LIMIT 25""",
+
+    "q124_collocations" ->
+      """WITH tks AS (
+           SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         bgs AS (SELECT unnest([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]) AS bg
+                 FROM tks WHERE len(t) >= 2),
+         bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS cab
+                FROM bgs GROUP BY bg HAVING count(*) >= 20),
+         uc AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM (
+                  SELECT unnest(t) AS w FROM tks) GROUP BY w),
+         nb AS (SELECT CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS n_bg FROM tks)
+         SELECT bc.bg, bc.cab,
+                round(ln(nb.n_bg * bc.cab / CAST(a.cw * b.cw AS DOUBLE)), 4) AS pmi
+         FROM bc JOIN uc a ON a.w = string_split(bc.bg, ' ')[1]
+                 JOIN uc b ON b.w = string_split(bc.bg, ' ')[2]
+         CROSS JOIN nb
+         ORDER BY pmi DESC, bg LIMIT 15""",
 
     "q120_top_terms_by_lang" ->
       """WITH tc AS (
