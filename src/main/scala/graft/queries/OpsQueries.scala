@@ -570,6 +570,16 @@ object OpsQueries {
           round(TextAnalysis.typeTokenRatio(col("tk")), 4).as("ttr"),
           round(TextAnalysis.tokenEntropy(col("tk")), 4).as("entropy"))
         .orderBy("doc_id")),
+    "q125_length_histogram" -> ((s, d) =>
+      // corpus profiling: doc-length histogram on log2 bins (the shape
+      // chart a curation run reads before setting length cutoffs); one
+      // partial-agg shuffle of bin ids
+      t(s, d, "documents")
+        .select(floor(log2(greatest(col("n_chars"), lit(1)))).cast("bigint")
+          .as("log2_bin"))
+        .groupBy("log2_bin")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("log2_bin")),
     "q124_collocations" -> ((s, d) => {
       // collocation detection: PMI of adjacent word pairs,
       // log(N_bg * c(ab) / (c(a)*c(b))) over exact corpus counts; only
@@ -1004,6 +1014,11 @@ object OpsQueries {
                   ORDER BY pb.b)) + 0.0, 4) AS w
          FROM pb LEFT JOIN tc USING (b) JOIN rc USING (b) CROSS JOIN tot
          GROUP BY pb.doc_id ORDER BY w DESC, doc_id LIMIT 25""",
+
+    "q125_length_histogram" ->
+      """SELECT CAST(floor(log2(greatest(n_chars, 1))) AS BIGINT) AS log2_bin,
+                CAST(count(*) AS BIGINT) AS n_docs
+         FROM documents GROUP BY log2_bin ORDER BY log2_bin""",
 
     "q124_collocations" ->
       """WITH tks AS (
