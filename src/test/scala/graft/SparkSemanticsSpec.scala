@@ -464,6 +464,18 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("clusterBalancedSample: per-cluster cap, run-to-run determinism") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def run() = graft.ops.Curation.clusterBalancedSample(emb, col("vec_id"),
+        col("embedding"), perCluster = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val a = run()
+    assert(a == run()) // md5 pick order: identical across runs
+    assert(a.groupBy(_._1).values.forall(_.size <= 3))
+    assert(a.forall(t => t._2 >= 1 && t._2 <= 3))
+    assert(a.map(_._3).distinct.size == a.size) // no row sampled twice
+  }
+
   test("hardNegatives: positives excluded, ranking otherwise brute-force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = Array.fill(64)(0.125f)
