@@ -539,6 +539,15 @@ object OpsQueries {
       t(s, d, "documents").select(col("doc_id"),
         graft.ops.Bpe.segmentCount(col("text"), bpeMerges).as("n_sub"))
         .orderBy("doc_id").limit(300)),
+    "q126_bpe_tokenize_table" -> ((s, d) =>
+      // SAME inference contract as q91 but through the merge-TABLE path
+      // ([[graft.ops.Bpe.segmentCounts]], mapPartitions over a closure-
+      // shipped table) — the production shape for 30k-merge tokenizers,
+      // where folding merges into the plan would explode it
+      graft.ops.Bpe.segmentCounts(t(s, d, "documents"), col("doc_id"),
+          col("text"), bpeMerges)
+        .select(col("id").as("doc_id"), col("n_sub"))
+        .orderBy("doc_id").limit(300)),
     "q109_gopher_rules" -> ((s, d) => {
       // Gopher-style rule diagnostics (Rae et al. 2021 A1, adapted):
       // per-rule booleans + the conjunctive gate — row-local rules joined
@@ -1859,6 +1868,23 @@ object OpsQueries {
     },
 
     "q91_bpe_segment" -> {
+      val wordCount = PortableSql.bpeSegmentWordSql("w", bpeMerges)
+      s"""WITH words AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x <> '')) AS w
+           FROM documents),
+         per AS (SELECT doc_id, $wordCount AS n FROM words)
+         SELECT d.doc_id,
+                CAST(coalesce(p.n, 0) AS BIGINT) AS n_sub
+         FROM (SELECT doc_id FROM documents) d
+         LEFT JOIN (SELECT doc_id, sum(n) AS n FROM per GROUP BY doc_id) p
+           ON d.doc_id = p.doc_id
+         ORDER BY d.doc_id LIMIT 300"""
+    },
+
+    "q126_bpe_tokenize_table" -> {
+      // identical semantics to q91 — the engine side differs (merge-table
+      // mapPartitions vs folded column), the oracle is the same replay
       val wordCount = PortableSql.bpeSegmentWordSql("w", bpeMerges)
       s"""WITH words AS (
            SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'),

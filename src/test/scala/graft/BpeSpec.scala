@@ -44,6 +44,57 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Bpe.train(docs, col("text"), numMerges = 5) == Seq(("a", "b", 2L)))
   }
 
+  test("train: 1000 merges without 1000 Spark jobs (driver-local loop)") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus: 300 distinct 40-char words over
+    // a 12-letter alphabet — far more than 1000 learnable pairs
+    val alpha = "abcdefghijkl"
+    val words = (0 until 300).map { w =>
+      val sb = new StringBuilder
+      var x = w * 2654435761L + 1
+      for (_ <- 0 until 40) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        sb += alpha(((x >>> 33) % alpha.length).toInt)
+      }
+      sb.toString
+    }
+    val docs = words.grouped(30).map(_.mkString(" ")).toSeq.toDF("text")
+
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          jobStart: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val merges = Bpe.train(docs, col("text"), numMerges = 1000)
+      assert(merges.size == 1000)
+      assert(merges.map(t => (t._1, t._2)).distinct.size == 1000)
+      // listener events are async; give the bus a moment to drain
+      Thread.sleep(1500)
+      assert(jobs <= 3, s"expected the one vocab-collect job, saw $jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("segmentCounts (trained-table path) matches the segmentCount column") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low low lower newest"),
+      (2L, "aaa aab baa"),
+      (3L, ""),
+      (4L, "  low  \t lowest "),
+      (5L, "zzz qqq low")).toDF("doc_id", "text")
+    // train real merges on the same frame so the table isn't hand-picked
+    val merges = Bpe.train(docs, col("text"), numMerges = 12).map(t => (t._1, t._2))
+    val viaColumn = docs
+      .select(col("doc_id"), Bpe.segmentCount(col("text"), merges).as("n_sub"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaTable = Bpe.segmentCounts(docs, col("doc_id"), col("text"), merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaTable == viaColumn)
+  }
+
   test("segmentCount: fold merges in order, overlap is left-to-right") {
     import spark.implicits._
     val merges = Seq(("l", "o"), ("lo", "w"), ("e", "s"), ("e", "w"),
