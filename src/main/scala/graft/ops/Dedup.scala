@@ -303,12 +303,14 @@ object Dedup {
     * `(id, n_kept, n_removed, text)` with `text` rebuilt from the surviving
     * lines in original order.
     *
-    * Scale shape: document text never shuffles. Lines explode once for
-    * DETECTION only, reducing to `(xxhash64(line), n_docs)` under partial
-    * aggregation — hashes shuffle, text doesn't; the frequent table (the
-    * corpus's boilerplate vocabulary, small by construction) broadcasts,
-    * so dropped line occurrences resolve map-side and only `(id, pos)`
-    * int pairs shuffle into per-doc drop lists. The REBUILD is a
+    * Scale shape: document text never shuffles. Lines explode for
+    * DETECTION only ([[frequentLines]]: hash-candidate pass shuffling
+    * longs, then exact-content verification of the candidate slice — so
+    * membership is EXACT, never hash-probabilistic); the frequent table
+    * (the corpus's boilerplate vocabulary, small by construction)
+    * broadcasts, so dropped line occurrences resolve map-side — matched
+    * on hash AND exact content — and only `(id, pos)` int pairs shuffle
+    * into per-doc drop lists. The REBUILD is a
     * row-local indexed-`filter` HOF over the doc's own split array
     * (whole-stage codegen); the drop lists attach with one equi-join on
     * id — co-partitioned for free when the corpus is bucketed by id, and
@@ -319,8 +321,10 @@ object Dedup {
       .select(col("id"), col("pos"), col("col").as("line"))
       .filter(length(trim(col("line"))) > 0)
     val frequent = frequentLines(df, idCol, textCol, minDocs)
+      .withColumnRenamed("line", "fline")
     val dropLists = lines
-      .join(broadcast(frequent), xxhash64(col("line")) === col("h"))
+      .join(broadcast(frequent),
+        xxhash64(col("line")) === col("h") && col("line") === col("fline"))
       .groupBy("id").agg(collect_list(col("pos")).as("drop_pos"))
     val kept = filter(col("ls"),
       (_, i) => !array_contains(coalesce(col("drop_pos"),
@@ -334,36 +338,75 @@ object Dedup {
   }
 
   /** The frequent-line table of a corpus — the artifact an INCREMENTAL
-    * line-dedup pipeline persists (tiny: one xxhash64 per boilerplate
+    * line-dedup pipeline persists (tiny: `(h, line)` per boilerplate
     * line). New batches — or an unbounded STREAM — scrub against it via
-    * [[lineDedupAgainst]] with zero corpus recomputation. */
+    * [[lineDedupAgainst]] with zero corpus recomputation.
+    *
+    * EXACT, in two stages: hash-level candidates first — `(xxhash64(line),
+    * id)` pairs dedupe and count under partial aggregation, so the corpus-
+    * wide pass shuffles only longs — then the candidate slice (boilerplate-
+    * sized by construction) re-counts by exact line content, eliminating
+    * hash-collision false positives entirely; the table carries the line
+    * text so downstream joins match content, not hashes. Only candidate
+    * lines' text ever shuffles. */
   def frequentLines(df: DataFrame, idCol: Column, textCol: Column,
-      minDocs: Int): DataFrame =
-    df.select(idCol.as("id"), explode(split(textCol, "\n", -1)).as("line"))
+      minDocs: Int): DataFrame = {
+    val lines = df.select(idCol.as("id"),
+        explode(split(textCol, "\n", -1)).as("line"))
       .filter(length(trim(col("line"))) > 0)
-      .groupBy(xxhash64(col("line")).as("h"))
-      .agg(count_distinct(col("id")).as("n_docs"))
+    val candidates = lines
+      .select(xxhash64(col("line")).as("h"), col("id")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select(col("h"))
+    lines.join(broadcast(candidates), xxhash64(col("line")) === col("h"))
+      .groupBy("line").agg(count_distinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(xxhash64(col("line")).as("h"), col("line"))
+  }
+
+  /** Spark's `trim`: strips SPACES only (not tabs/newlines) — the blank-
+    * line predicate [[lineDedup]] applies, reproduced for the row-local
+    * path so the two stay bit-identical on whitespace-art lines. */
+  private def trimSpaces(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s.substring(b, e)
+  }
 
   /** Scrub documents against a PERSISTED [[frequentLines]] table: same
-    * output contract as [[lineDedup]], but the boilerplate vocabulary is
-    * given, not recomputed — the shape a daily ingest or a streaming
-    * pipeline runs. Collects the (small) hash table once and filters the
-    * line array ROW-LOCALLY, so the op is a stateless projection:
-    * streaming-safe in append mode with no watermark, and the corpus
-    * text never shuffles. */
+    * output contract as [[lineDedup]] (`id` cast to long), but the
+    * boilerplate vocabulary is given, not recomputed — the shape a daily
+    * ingest or a streaming pipeline runs. The vocabulary ships ONCE per
+    * executor as a broadcast hash set of exact line strings: O(1)
+    * membership per line (not a per-line literal-array scan), exact
+    * content matching (no hash false positives), and O(1) plan size. The
+    * scrub itself is a stateless per-partition projection — streaming-safe
+    * in append mode with no watermark, and the corpus text never
+    * shuffles. */
   def lineDedupAgainst(df: DataFrame, idCol: Column, textCol: Column,
       frequent: DataFrame): DataFrame = {
-    val hs = frequent.select(col("h").cast("long")).collect().map(_.getLong(0))
-    val freqLit = typedLit(hs.sorted.toSeq)
-    val kept = filter(col("ls"), l =>
-      length(trim(l)) === 0 || !array_contains(freqLit, xxhash64(l)))
-    df.select(idCol.as("id"), split(textCol, "\n", -1).as("ls"))
-      .select(col("id"),
-        size(kept).cast("long").as("n_kept"),
-        (size(col("ls")) - size(kept)).cast("long").as("n_removed"),
-        array_join(kept, "\n").as("text"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lineSet = frequent.select(col("line").cast("string"))
+      .collect().map(_.getString(0)).toSet
+    val bc = spark.sparkContext.broadcast(lineSet)
+    df.select(idCol.cast("long").as("id"), textCol.cast("string").as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val set = bc.value
+        rows.map { case (id, text) =>
+          val ls = if (text == null) Array.empty[String]
+            else text.split("\n", -1)
+          val kept = ls.filter(l =>
+            trimSpaces(l).isEmpty || !set.contains(l))
+          (id, kept.length.toLong, (ls.length - kept.length).toLong,
+            kept.mkString("\n"))
+        }
+      }
+      .toDF("id", "n_kept", "n_removed", "text")
   }
 
   /** Cross-document duplicate SPANS at word-`k`-gram granularity — the
@@ -382,7 +425,15 @@ object Dedup {
     * partial aggregation and only hashes shuffle; the membership join
     * broadcasts that table when the duplicated vocabulary is small, else
     * it is a plain equi-join on the hash. Interval merging is a
-    * per-document window (bounded by document length), never global. */
+    * per-document window (bounded by document length), never global.
+    *
+    * Contract note: span membership is decided on `xxhash64(gram)`, so a
+    * 64-bit collision can flag an unrelated gram — P ≈ n²/2⁶⁵ for n
+    * distinct grams (~3·10⁻⁸ at a billion grams), the standard trade for
+    * keeping gram text out of the shuffle at corpus scale. Line-level
+    * scrubbing ([[lineDedup]]) verifies exact content instead because its
+    * vocabulary is small; here the 10× positional gram expansion makes
+    * hashing the right default. */
   def duplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
       k: Int, minDocs: Int = 2, keepFirst: Boolean = false): DataFrame = {
     require(k >= 1, "k must be >= 1")

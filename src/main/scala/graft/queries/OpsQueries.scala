@@ -19,6 +19,19 @@ object OpsQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic re-lining of the single-line word-bag corpus into
+    * 4-token lines — the fixture transform the line-dedup queries (q96,
+    * q127) share. Returns `(doc_id, wtext)`. */
+  private def wrapped4(docs: DataFrame): DataFrame = {
+    val toks = array_remove(split(col("text"), "\\s+"), "")
+    docs.select(col("doc_id"),
+      when(size(toks) === 0, lit("")).otherwise(
+        array_join(transform(
+          sequence(lit(0), ceil(size(toks) / lit(4.0)).cast("int") - 1),
+          i => concat_ws(" ", slice(toks, i * 4 + 1, lit(4)))), "\n"))
+        .as("wtext"))
+  }
+
   private val qvecScala: Array[Float] = Array.fill(64)(0.125f)
   // second fixed query vector for the batched-search query: alternating sign
   private val qvec2Scala: Array[Float] =
@@ -140,14 +153,22 @@ object OpsQueries {
       // so wrap them into 4-token lines first (deterministic re-lining;
       // the operator itself is generic over \n), then drop every line
       // repeated across >= 3 documents and rebuild the docs
-      val toks = array_remove(split(col("text"), "\\s+"), "")
-      val wrapped = t(s, d, "documents").select(col("doc_id"),
-        when(size(toks) === 0, lit("")).otherwise(
-          array_join(transform(
-            sequence(lit(0), ceil(size(toks) / lit(4.0)).cast("int") - 1),
-            i => concat_ws(" ", slice(toks, i * 4 + 1, lit(4)))), "\n"))
-          .as("wtext"))
-      Dedup.lineDedup(wrapped, col("doc_id"), col("wtext"), minDocs = 3)
+      Dedup.lineDedup(wrapped4(t(s, d, "documents")), col("doc_id"),
+          col("wtext"), minDocs = 3)
+        .select(col("id").as("doc_id"), col("n_kept"), col("n_removed"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+    "q127_line_scrub_against" -> ((s, d) => {
+      // the incremental twin of q96: docs < 400 are the persisted corpus
+      // whose frequent-line table is the artifact; docs >= 400 arrive as
+      // a batch and scrub against it row-locally (broadcast line set,
+      // zero corpus recomputation) — the daily-ingest / streaming shape
+      val w = wrapped4(t(s, d, "documents"))
+      val freq = Dedup.frequentLines(w.filter(col("doc_id") < 400),
+        col("doc_id"), col("wtext"), minDocs = 3)
+      Dedup.lineDedupAgainst(w.filter(col("doc_id") >= 400),
+          col("doc_id"), col("wtext"), freq)
         .select(col("id").as("doc_id"), col("n_kept"), col("n_removed"),
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
@@ -896,6 +917,31 @@ object OpsQueries {
                   GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
          flagged AS (SELECT l.doc_id, l.pos, l.line, (f.line IS NOT NULL) AS dup
                      FROM lines l LEFT JOIN freq f ON l.line = f.line)
+         SELECT doc_id,
+                CAST(sum(CASE WHEN NOT dup THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                md5(coalesce(string_agg(CASE WHEN NOT dup THEN line END, chr(10) ORDER BY pos), '')) AS text_md5
+         FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+
+    "q127_line_scrub_against" ->
+      // q96's wrapping; frequent table from corpus docs < 400 only,
+      // batch docs >= 400 scrub against it (exact line content)
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents),
+         wrapped AS (
+           SELECT doc_id, CASE WHEN len(t) = 0 THEN ''
+                  ELSE array_to_string([array_to_string(t[(i*4+1):(i*4+4)], ' ')
+                                        FOR i IN range(0, CAST(ceil(len(t)/4.0) AS INT))], chr(10)) END AS wtext
+           FROM toks),
+         ls AS (SELECT doc_id, string_split(wtext, chr(10)) AS ll FROM wrapped),
+         lines AS (SELECT doc_id, unnest(ll) AS line, generate_subscripts(ll, 1) AS pos FROM ls),
+         freq AS (SELECT line FROM lines WHERE trim(line) <> '' AND doc_id < 400
+                  GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+         flagged AS (SELECT l.doc_id, l.pos, l.line,
+                            (trim(l.line) <> '' AND f.line IS NOT NULL) AS dup
+                     FROM lines l LEFT JOIN freq f ON l.line = f.line
+                     WHERE l.doc_id >= 400)
          SELECT doc_id,
                 CAST(sum(CASE WHEN NOT dup THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                 CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
