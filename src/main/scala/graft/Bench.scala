@@ -50,10 +50,27 @@ object Bench {
       }.sorted
       name -> times(times.size / 2)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def line(fmt: ((String, Double)) => String, sf: String): String = {
+      val qs = results.map(fmt).mkString("{", ",", "}")
+      val tv = "%.4f".formatLocal(java.util.Locale.ROOT, total)
+      s"""{"metric":"total","value":$tv,"unit":"sec","queries":$qs,"sf":"$sf"}"""
+    }
+    // full-precision, full-name artifact: printed FIRST and also written
+    // to tools/bench_last.json — consumers that capture whole output (or
+    // read the repo tree) get every query
+    val full = line({ case (k, v) => "\"" + k + "\":" + v }, sfDir)
+    println(full)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("tools/bench_last.json"), full + "\n")
+    catch { case _: Throwable => } // read-only or foreign cwd: stdout has it
+    // compact line LAST: qNN keys + millisecond precision, sized to fit a
+    // bounded stdout-tail capture (the driver keeps ~2 kB); qNN prefixes
+    // are unique and map 1:1 to the full names above
+    println(line({ case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" +
+        "%.3f".formatLocal(java.util.Locale.ROOT, v) },
+      new java.io.File(sfDir).getName))
     spark.stop()
   }
 }

@@ -82,19 +82,31 @@ object IngestJob {
     * (each archive decompresses inside its own task — the explode is the
     * only plan change), so archive ingest scales exactly like flat-file
     * ingest. Members keep the archive's modificationTime (zip entry times
-    * are unreliable across tools); `maxMemberBytes` bounds decompression
-    * (zip-bomb guard: an oversized member is dropped SILENTLY — it never
-    * becomes a row, so the skip counters don't see it; raise the bound if
-    * completeness auditing matters more than the guard); nested `.zip`
-    * members are NOT recursed —
-    * `.docx`/`.xlsx` members are fine, they decode as ordinary OOXML
-    * bytes. A corrupt archive contributes the members readable before the
-    * failure point, matching the skip-and-count ethos. */
+    * are unreliable across tools); nested `.zip` members are NOT recursed —
+    * `.docx`/`.xlsx` members are fine, they decode as ordinary OOXML bytes.
+    *
+    * Zip-bomb guards, all per-archive-task: `maxMemberBytes` bounds any
+    * single member, `maxTotalBytes` bounds the SUM of decompressed bytes
+    * held for one archive (a bomb of many individually-small members
+    * can't accumulate gigabytes in one task), `maxMembers` bounds the row
+    * fan-out. Once a total cap trips, extraction of that archive STOPS.
+    * Nothing is dropped silently: every supported member skipped by a
+    * guard — and every archive aborted mid-stream by corruption — adds to
+    * `dropCounter` when one is passed (a `SparkContext.longAccumulator`;
+    * task retries can over-count, the standard accumulator caveat, fine
+    * for a completeness audit). A corrupt archive contributes the members
+    * readable before the failure point, matching the skip-and-count
+    * ethos. */
   def expandArchives(binary: DataFrame,
-      maxMemberBytes: Long = 64L << 20): DataFrame = {
+      maxMemberBytes: Long = 64L << 20,
+      maxTotalBytes: Long = 512L << 20,
+      maxMembers: Int = 4096,
+      dropCounter: org.apache.spark.util.LongAccumulator = null): DataFrame = {
     val memberExts = supportedText ++ supportedCsv ++ supportedRich
     val unzip = udf((b: Array[Byte]) => {
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+      var dropped = 0L
+      var grandTotal = 0L
       val zin = new java.util.zip.ZipInputStream(
         new java.io.ByteArrayInputStream(b))
       try {
@@ -106,22 +118,29 @@ object IngestJob {
             case i  => name.substring(i).toLowerCase(java.util.Locale.ROOT)
           }
           if (!e.isDirectory && memberExts.contains(ext)) {
-            val bos = new java.io.ByteArrayOutputStream()
-            val buf = new Array[Byte](8192)
-            var total = 0L
-            var overflow = false
-            var n = zin.read(buf)
-            while (n > 0 && !overflow) {
-              total += n
-              if (total > maxMemberBytes) overflow = true
-              else { bos.write(buf, 0, n); n = zin.read(buf) }
+            if (out.size >= maxMembers || grandTotal >= maxTotalBytes) {
+              dropped += 1 // capped out: count, don't extract
+            } else {
+              val bos = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](8192)
+              var total = 0L
+              var overflow = false
+              var n = zin.read(buf)
+              while (n > 0 && !overflow) {
+                total += n
+                if (total > maxMemberBytes ||
+                    grandTotal + total > maxTotalBytes) overflow = true
+                else { bos.write(buf, 0, n); n = zin.read(buf) }
+              }
+              if (overflow) dropped += 1
+              else { grandTotal += total; out += ((name, bos.toByteArray)) }
             }
-            if (!overflow) out += ((name, bos.toByteArray))
           }
           e = zin.getNextEntry
         }
-      } catch { case _: Exception => () } // truncated/corrupt: keep prefix
+      } catch { case _: Exception => dropped += 1 } // corrupt: keep prefix
       finally zin.close()
+      if (dropCounter != null && dropped > 0) dropCounter.add(dropped)
       out.toSeq
     })
     val isZip = lower(col("path")).endsWith(".zip")

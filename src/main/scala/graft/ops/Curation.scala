@@ -93,7 +93,10 @@ object Curation {
    * `b(tok) = md5(tok) mod buckets` (engine-portable like every sketch
    * kernel here) and Laplace-smoothed bucket probabilities
    * `p(b) = (count(b)+1)/(N+buckets)`. Selection is then top-weight (or
-   * a Gumbel resample over w). Returns `(id, w)` with w rounded to 4dp.
+   * a Gumbel resample over w). Returns `(id, w)` with w rounded to 4dp —
+   * ONE ROW PER RAW DOCUMENT: a token-less (empty/whitespace-only) text
+   * scores the neutral 0.0 rather than vanishing, so selection joins
+   * downstream never silently lose ids.
    *
    * Scale shape: both count tables reduce to ≤ `buckets` rows under
    * partial aggregation (only bucket-id longs shuffle) and broadcast to
@@ -126,7 +129,7 @@ object Curation {
       log((coalesce(col("ct"), lit(0L)) + 1) /
         (coalesce(col("nt"), lit(0L)) + lit(buckets)).cast("double")) -
       log((col("cr") + 1) / (col("nr") + lit(buckets)).cast("double"))
-    rawToks
+    val scored = rawToks
       .groupBy("id", "b").agg(count(lit(1)).as("nb"))
       .join(broadcast(tgtCounts), Seq("b"), "left")
       .join(broadcast(rawCounts), Seq("b"))
@@ -136,6 +139,9 @@ object Curation {
       .agg(round(aggregate(
         array_sort(collect_list(struct(col("b"), col("t")))),
         lit(0.0), (acc, x) => acc + x.getField("t")), 4).as("w"))
+    raw.select(rawId.as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("w"), lit(0.0)).as("w"))
   }
 
   /**

@@ -257,12 +257,21 @@ object Dedup {
     * Scale shape: centroids train on an md5 sample ([[Ivf.trainCentroids]]);
     * assignment is the shuffle-free [[graft.expr.NearestCentroid]]
     * projection; the only corpus exchange is the equi-join on `cluster`,
-    * whose blocks are corpus/nlist on average — raise `nlist` to bound the
-    * per-cluster pair count (the paper runs nlist ≈ √n at web scale). */
+    * whose blocks are corpus/nlist on average. `nlist <= 0` (the default)
+    * auto-scales to ⌈√n⌉ — the paper's web-scale setting — so per-cluster
+    * blocks average √n rows and the within-cluster pair count stays
+    * ~n^1.5 corpus-wide instead of n²; pass an explicit `nlist` to pin
+    * the clustering (the one extra job is a count of the input). A
+    * within-cluster LSH prefilter could cut the block pair count further
+    * at the cost of exactness-within-cluster; this operator keeps the
+    * block exact so the keep set is deterministic in the clustering. */
   def semanticDedup(emb: DataFrame, idCol: Column, vecCol: Column,
-      threshold: Double, nlist: Int = 8, iters: Int = 2,
+      threshold: Double, nlist: Int = 0, iters: Int = 2,
       sampleFraction: Int = 50): DataFrame = {
-    val cents = Ivf.trainCentroids(emb, idCol, vecCol, nlist, iters, sampleFraction)
+    val k =
+      if (nlist > 0) nlist
+      else math.max(1, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    val cents = Ivf.trainCentroids(emb, idCol, vecCol, k, iters, sampleFraction)
     val assigned = Ivf.assignClusters(
         emb.select(idCol.cast("long").as("id"), vecCol.cast("array<float>").as("v")),
         col("id"), col("v"), cents)
@@ -434,15 +443,38 @@ object Dedup {
     * scrubbing ([[lineDedup]]) verifies exact content instead because its
     * vocabulary is small; here the 10× positional gram expansion makes
     * hashing the right default. */
-  def duplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
-      k: Int, minDocs: Int = 2, keepFirst: Boolean = false): DataFrame = {
-    require(k >= 1, "k must be >= 1")
+  /** Positional word-`k`-grams of each document as `(id, pos, h)` —
+    * `h = xxhash64(gram text)`, the shared kernel of the span-dedup
+    * family. */
+  private def gramPositions(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int): DataFrame = {
     val toks = array_remove(split(textCol, "\\s+"), "")
     val grams = when(size(toks) < k, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-    val g = df.select(idCol.as("id"), posexplode(grams))
+    df.select(idCol.as("id"), posexplode(grams))
       .select(col("id"), col("pos"), xxhash64(col("col")).as("h"))
+  }
+
+  /** The repeated-gram table of a corpus — `(h)` per word-`k`-gram found
+    * in ≥ `minDocs` distinct documents: the artifact an INCREMENTAL
+    * substring-dedup pipeline persists (one long per duplicated gram).
+    * New batches — or an unbounded STREAM — scrub against it via
+    * [[spanScrubAgainst]] with zero corpus recomputation. Same detection
+    * semantics as [[duplicateSpans]]; `(h, id)` dedupes and counts under
+    * partial aggregation, so only longs shuffle. */
+  def repeatedGrams(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int, minDocs: Int = 2): DataFrame =
+    gramPositions(df, idCol, textCol, k)
+      .select(col("h"), col("id")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("h"))
+
+  def duplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int, minDocs: Int = 2, keepFirst: Boolean = false): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val g = gramPositions(df, idCol, textCol, k)
     val repeated = g.groupBy("h")
       .agg(count_distinct(col("id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
@@ -515,6 +547,71 @@ object Dedup {
         (size(col("tk")) - size(kept)).cast("long").as("n_removed"),
         array_join(kept, " ").as("text"))
   }
+
+  /** Scrub a batch — or an unbounded STREAM — against a PERSISTED
+    * [[repeatedGrams]] table: cut every token span covered by a gram in
+    * the table, same output contract as [[stripDuplicateSpans]] (`id`
+    * cast to long; remove-ALL-occurrences semantics — keep-first needs
+    * global canonical state and is batch-only by design).
+    *
+    * Row-local by construction: the gram-hash table ships once per
+    * executor as a broadcast set; each row re-grams its own tokens,
+    * hashes them with the same XXH64(seed 42) kernel as `xxhash64`
+    * (bit-identical — spec-fuzzed), marks covered `[pos, pos+k)`
+    * intervals in a boolean mask, and rebuilds. A stateless
+    * per-partition projection: no joins, no aggregation, no watermark —
+    * the streaming twin of the batch strip, and the daily-ingest shape
+    * where the corpus gram table is already on disk. */
+  def spanScrubAgainst(df: DataFrame, idCol: Column, textCol: Column,
+      grams: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashes = grams.select(col("h").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    val bc = spark.sparkContext.broadcast(hashes)
+    df.select(idCol.cast("long").as("id"), textCol.cast("string").as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val set = bc.value
+        rows.map { case (id, text) =>
+          val tk =
+            if (text == null) Array.empty[String]
+            else text.split("\\s+").filter(_.nonEmpty)
+          val covered = new Array[Boolean](tk.length)
+          var i = 0
+          while (i + k <= tk.length) {
+            val gram = tk.slice(i, i + k).mkString(" ")
+            if (set.contains(xxh64(gram))) {
+              var j = i
+              while (j < i + k) { covered(j) = true; j += 1 }
+            }
+            i += 1
+          }
+          val kept = new StringBuilder
+          var nKept = 0L
+          i = 0
+          while (i < tk.length) {
+            if (!covered(i)) {
+              if (nKept > 0) kept += ' '
+              kept ++= tk(i)
+              nKept += 1
+            }
+            i += 1
+          }
+          (id, tk.length.toLong, tk.length - nKept, kept.result())
+        }
+      }
+      .toDF("id", "n_tokens", "n_removed", "text")
+  }
+
+  /** `xxhash64(string)` as a plain function — XXH64 with Spark's fixed
+    * seed 42 over UTF-8 bytes, for row-local code that must agree
+    * bit-for-bit with the column expression. */
+  private[graft] def xxh64(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType, 42L)
 
   /** Exact pairwise n-gram Jaccard over a bounded id range — the
     * brute-force baseline the LSH paths approximate. O(n²): keep the range

@@ -83,10 +83,12 @@ object OpsQueries {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")),
     "q81_semantic_dedup" -> ((s, d) =>
-      // SemDeDup: same learned clustering as q66 (oracle re-trains it),
-      // within-cluster cosine >= tau drops the larger id of each pair
+      // SemDeDup at the auto-scaled clustering: nlist defaults to
+      // ceil(sqrt(n)) = 23 on the 500-vector sf0.01 table (the oracle
+      // re-trains the same 23-centroid run); within-cluster cosine >= tau
+      // drops the larger id of each pair
       Dedup.semanticDedup(t(s, d, "embeddings"), col("vec_id"),
-          col("embedding"), threshold = 0.4, nlist = 8, iters = 2)
+          col("embedding"), threshold = 0.4, iters = 2)
         .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"),
           col("keep"))
         .orderBy("vec_id")),
@@ -213,6 +215,20 @@ object OpsQueries {
           col("span_start").cast("bigint").as("span_start"),
           col("span_end").cast("bigint").as("span_end"), col("n_grams"))
         .orderBy("doc_id", "span_start")),
+    "q128_span_scrub_against" -> ((s, d) => {
+      // the incremental twin of q100: docs < 400 are the persisted corpus
+      // whose repeated-gram table is the artifact; docs >= 400 arrive as
+      // a batch and scrub row-locally against the broadcast hash set —
+      // zero corpus recomputation, the streaming/daily-ingest shape
+      val docs = t(s, d, "documents")
+      val gramTable = Dedup.repeatedGrams(docs.filter(col("doc_id") < 400),
+        col("doc_id"), col("text"), k = 5, minDocs = 2)
+      Dedup.spanScrubAgainst(docs.filter(col("doc_id") >= 400),
+          col("doc_id"), col("text"), gramTable, k = 5)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
 
     // ---- similarity search ----
     "q47_ann_lsh" -> ((s, d) =>
@@ -990,6 +1006,20 @@ object OpsQueries {
          FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
          GROUP BY t.doc_id, len(t.t) ORDER BY t.doc_id""",
 
+    "q128_span_scrub_against" ->
+      // q100's strip with the gram table restricted to corpus docs < 400
+      // and only batch docs >= 400 rebuilt
+      s"""WITH ${PortableSql.spanGramCtes("WHERE doc_id < 400")},
+         cov AS (SELECT doc_id, pos FROM grams JOIN rep USING (g)
+                 WHERE doc_id >= 400),
+         ${PortableSql.spanStripTail}
+         SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+                CAST(len(t.t) - count(k.ti) AS BIGINT) AS n_removed,
+                md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.ti), '')) AS text_md5
+         FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+         WHERE t.doc_id >= 400
+         GROUP BY t.doc_id, len(t.t) ORDER BY t.doc_id""",
+
     "q101_domain_cap" ->
       // q50's quality formula + row_number quota per source (the engine
       // side replaces the window with the bounded top-k aggregator)
@@ -1061,14 +1091,17 @@ object OpsQueries {
          tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tb) AS nt,
                         (SELECT CAST(count(*) AS BIGINT) FROM rb) AS nr),
          pb AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS nb
-                FROM rb GROUP BY doc_id, b)
-         SELECT pb.doc_id,
-                round(list_sum(list(
-                  nb * (ln((coalesce(tc.ct, 0) + 1) / (tot.nt + 512.0))
-                      - ln((rc.cr + 1) / (tot.nr + 512.0)))
-                  ORDER BY pb.b)) + 0.0, 4) AS w
-         FROM pb LEFT JOIN tc USING (b) JOIN rc USING (b) CROSS JOIN tot
-         GROUP BY pb.doc_id ORDER BY w DESC, doc_id LIMIT 25""",
+                FROM rb GROUP BY doc_id, b),
+         sc AS (SELECT pb.doc_id,
+                       round(list_sum(list(
+                         nb * (ln((coalesce(tc.ct, 0) + 1) / (tot.nt + 512.0))
+                             - ln((rc.cr + 1) / (tot.nr + 512.0)))
+                         ORDER BY pb.b)) + 0.0, 4) AS w
+                FROM pb LEFT JOIN tc USING (b) JOIN rc USING (b) CROSS JOIN tot
+                GROUP BY pb.doc_id)
+         SELECT d.doc_id, coalesce(sc.w, 0.0) AS w
+         FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)
+         ORDER BY w DESC, doc_id LIMIT 25""",
 
     "q125_length_histogram" ->
       """SELECT CAST(floor(log2(greatest(n_chars, 1))) AS BIGINT) AS log2_bin,
@@ -1399,9 +1432,10 @@ object OpsQueries {
          FROM r WHERE rnk <= 5 ORDER BY cluster, rnk""",
 
     "q81_semantic_dedup" ->
-      // q66's re-trained clustering (bf = id, v, cid), then the SemDeDup
-      // pair rule: drop the larger id of any within-cluster pair >= tau
-      s"""${PortableSql.ivfTrainSql}
+      // re-trained clustering at the auto-scaled nlist = ceil(sqrt(500))
+      // = 23 (bf = id, v, cid), then the SemDeDup pair rule: drop the
+      // larger id of any within-cluster pair >= tau
+      s"""${PortableSql.ivfTrainSql(23)}
          dr AS (SELECT DISTINCT b.id AS drop_id
                 FROM bf a JOIN bf b ON a.cid = b.cid AND a.id < b.id
                 WHERE round(${PortableSql.cosSql("a.v", "b.v")}, 4) >= 0.4)
@@ -2135,14 +2169,19 @@ private[queries] object PortableSql {
     * `grams(doc_id, g, pos)` (0-based starts) → `rep(g)` (grams in ≥ 2
     * docs). Callers append their own `cov` (covered starts) and either
     * the interval-merge or the [[spanStripTail]] rebuild. */
-  def spanGramCtes: String =
-    """toks AS (
-         SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  def spanGramCtes: String = spanGramCtes("")
+
+  /** As [[spanGramCtes]] but `rep` counts only rows matching `repWhere`
+    * (e.g. `"WHERE doc_id < 400"`) — the incremental-scrub oracles build
+    * the gram table from a corpus subset. */
+  def spanGramCtes(repWhere: String): String =
+    s"""toks AS (
+         SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
          FROM documents),
        gl AS (SELECT doc_id, [array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)] AS gs
               FROM toks WHERE len(t) >= 5),
        grams AS (SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) - 1 AS pos FROM gl),
-       rep AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2)"""
+       rep AS (SELECT g FROM grams $repWhere GROUP BY g HAVING count(DISTINCT doc_id) >= 2)"""
 
   /** Span-REMOVAL CTE tail (requires [[spanGramCtes]] and a
     * `cov(doc_id, pos)` CTE before it): expands covered starts to token
@@ -2167,7 +2206,12 @@ private[queries] object PortableSql {
     * lowest cid), update = per-dim mean QUANTIZED to 1/1024, empty
     * clusters keep the previous centroid. Exposes `c2` (cid, centroid)
     * and `bf` (id, v, cid): every vector with its assigned cluster. */
-  def ivfTrainSql: String = {
+  def ivfTrainSql: String = ivfTrainSql(8)
+
+  /** As [[ivfTrainSql]] with a caller-chosen centroid count (`LIMIT
+    * nlist` seed draw) — the auto-scaled SemDeDup oracle re-trains at
+    * ⌈√n⌉ instead of q66's fixed 8. */
+  def ivfTrainSql(nlist: Int): String = {
     def iter(i: Int, prev: String): String =
       s"""a$i AS (SELECT x.id, x.v, c.cid, ${cosSql("x.v", "c.c")} AS sim
                   FROM tr x CROSS JOIN $prev c),
@@ -2186,7 +2230,7 @@ private[queries] object PortableSql {
                 CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT) AS h
               FROM v),
        tr AS (SELECT id, v, h FROM hs WHERE h % 100 < 50),
-       seeds AS (SELECT v, h FROM tr ORDER BY h LIMIT 8),
+       seeds AS (SELECT v, h FROM tr ORDER BY h LIMIT $nlist),
        c0 AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cid, v AS c FROM seeds),
        ${iter(1, "c0")},
        ${iter(2, "c1")},

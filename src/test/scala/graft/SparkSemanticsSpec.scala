@@ -332,6 +332,31 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(10L) && !got(11L))
   }
 
+  test("semanticDedup: auto nlist = ceil(sqrt(n)) bounds per-cluster blocks") {
+    import spark.implicits._
+    // 256 vectors spread over 16 well-separated directions (64-dim basis
+    // axes with deterministic per-vector jitter): auto nlist = 16, which
+    // the fixed old default of 8 could never reach
+    val emb = (0 until 256).map { i =>
+      val axis = i % 16
+      val vec = Seq.tabulate(64) { j =>
+        val jitter = (((i * 37 + j * 101) % 13) - 6) / 200.0f
+        (if (j == axis * 4) 1f else 0f) + jitter
+      }
+      (i.toLong, vec)
+    }.toDF("id", "vec")
+    val out = Dedup.semanticDedup(emb, col("id"), col("vec"),
+        threshold = 0.999, iters = 2, sampleFraction = 100)
+      .select(col("cluster")).collect().map(_.getInt(0))
+    val sizes = out.groupBy(identity).map(_._2.length)
+    // auto-scaling engaged: more clusters than the old fixed default
+    assert(out.distinct.length > 8,
+      s"expected >8 clusters from auto nlist=16, got ${out.distinct.length}")
+    // blocks stay bounded — no cluster swallows the corpus
+    assert(sizes.max <= 64,
+      s"largest cluster ${sizes.max} of 256 — blocks not bounded")
+  }
+
   test("lineDedup: frequent lines drop, blanks survive, order preserved") {
     import spark.implicits._
     val docs = Seq(
@@ -368,6 +393,43 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
     // doc 1: covered starts {0,1} -> [0,6); doc 2: starts {3,4} -> [3,9)
     assert(out.toSeq == Seq((1L, 0, 6, 2L), (2L, 3, 9, 2L)))
+  }
+
+  test("spanScrubAgainst: row-local scrub matches the batch strip; xxh64 parity") {
+    import spark.implicits._
+    // xxh64 helper must agree bit-for-bit with the xxhash64 column — the
+    // whole incremental path hangs on this
+    val strs = Seq("", "a", "alpha beta gamma", "Ünïcödé ★ test",
+      "x" * 100, "tab\tand space", "emoji 🎉 gram").toDF("s")
+    val pairs = strs.select(col("s"), xxhash64(col("s")).as("h")).collect()
+    pairs.foreach { r =>
+      assert(Dedup.xxh64(r.getString(0)) == r.getLong(1),
+        s"xxh64 mismatch for '${r.getString(0)}'")
+    }
+
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val corpus = Seq(
+      (1L, shared + " one two three four five six"),
+      (2L, "x1 x2 x3 " + shared),
+      (3L, "totally different words only here")).toDF("id", "text")
+    val grams = Dedup.repeatedGrams(corpus, col("id"), col("text"), k = 5)
+    // scrubbing the corpus against its own gram table == the batch strip
+    val batch = Dedup.stripDuplicateSpans(corpus, col("id"), col("text"),
+        k = 5, minDocs = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val inc = Dedup.spanScrubAgainst(corpus, col("id"), col("text"), grams, k = 5)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(inc.toSeq == batch.toSeq)
+    // new unseen doc: only the table's grams cut, short/unique text survives
+    val fresh = Seq((9L, shared + " brand new tail"), (10L, "tiny doc")).toDF("id", "text")
+    val out = Dedup.spanScrubAgainst(fresh, col("id"), col("text"), grams, k = 5)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (9L, 9L, 6L, "brand new tail"),
+      (10L, 2L, 0L, "tiny doc")))
   }
 
   test("stripDuplicateSpans: covered tokens cut everywhere, rest intact") {
@@ -420,6 +482,15 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     raw.foreach { case (id, text) =>
       assert(math.abs(out(id) - w(text)) < 5e-5, s"doc $id") }
     assert(out(1L) > out(3L) && out(3L) > out(2L))
+    // token-less docs keep their row at the neutral weight instead of
+    // silently vanishing from the output
+    val withEmpty = raw ++ Seq((9L, ""), (10L, "   "))
+    val out2 = graft.ops.Curation.importanceWeights(
+        withEmpty.toDF("id", "text"), col("id"), col("text"),
+        target.map(Tuple1(_)).toDF("text"), col("text"), buckets = B)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out2.keySet == Set(1L, 2L, 3L, 9L, 10L))
+    assert(out2(9L) == 0.0 && out2(10L) == 0.0)
   }
 
   test("binary/sq8 edge cases: non-multiple-of-32 dims, zero vectors") {
@@ -551,6 +622,40 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       r._3 == "zip member report text"))
     assert(out.exists(r => r._1.endsWith("bundle.zip!data.csv") && r._2 == ".csv"))
     assert(out.exists(r => r._1.endsWith("plain.txt") && r._3 == "plain file"))
+  }
+
+  test("zip guards: member/total/count caps trip and drops are counted") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = Files.createTempDirectory("graft-zipguard").toString
+    val zos = new ZipOutputStream(
+      Files.newOutputStream(Paths.get(dir, "bomb.zip")))
+    def put(name: String, size: Int): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(Array.fill[Byte](size)('x'))
+      zos.closeEntry()
+    }
+    put("ok.txt", 10)
+    put("big.txt", 2048) // > maxMemberBytes
+    put("a.txt", 600)
+    put("b.txt", 600)    // would push total past maxTotalBytes
+    put("c.txt", 600)    // likewise
+    zos.close()
+    val binary = spark.read.format("binaryFile").load(dir)
+
+    val acc = spark.sparkContext.longAccumulator("zip-drops")
+    val got = IngestJob.expandArchives(binary, maxMemberBytes = 1024,
+        maxTotalBytes = 1200, maxMembers = 10, dropCounter = acc)
+      .select("path").collect().map(_.getString(0))
+    assert(got.count(_.contains("!")) == 2) // ok.txt + a.txt survive
+    assert(got.exists(_.endsWith("!ok.txt")) && got.exists(_.endsWith("!a.txt")))
+    assert(acc.value == 3L, s"expected big/b/c dropped, counter=${acc.value}")
+
+    val acc2 = spark.sparkContext.longAccumulator("zip-drops-2")
+    val capped = IngestJob.expandArchives(binary, maxMemberBytes = 1024,
+        maxTotalBytes = 1200, maxMembers = 1, dropCounter = acc2)
+      .select("path").collect().map(_.getString(0))
+    assert(capped.count(_.contains("!")) == 1)
+    assert(acc2.value == 4L, s"member cap: counter=${acc2.value}")
   }
 
   test("lineDedup/duplicateSpans parity fuzz vs reference implementations") {

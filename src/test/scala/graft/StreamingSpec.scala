@@ -289,6 +289,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming span scrub against a persisted repeated-gram table") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val boiler = "click here to subscribe now"
+    val corpus = Seq(
+      (1L, boiler + " article one body"),
+      (2L, "prefix words " + boiler),
+      (3L, "independent body text with no overlap")).toDF("id", "text")
+    val grams = graft.ops.Dedup.repeatedGrams(corpus, col("id"), col("text"),
+      k = 5, minDocs = 2)
+    val input = MemoryStream[(Long, String)]
+    val scrubbed = graft.ops.Dedup.spanScrubAgainst(
+      input.toDF().toDF("id", "text"), col("id"), col("text"), grams, k = 5)
+    val q = scrubbed.writeStream.outputMode("append")
+      .format("memory").queryName("spanscrub").start()
+    input.addData(
+      (10L, boiler + " fresh reporting here"),
+      (11L, "no boilerplate at all"))
+    q.processAllAvailable()
+    val got = spark.sql(
+      "SELECT id, n_tokens, n_removed, text FROM spanscrub ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (10L, 8L, 5L, "fresh reporting here"),
+      (11L, 4L, 0L, "no boilerplate at all")))
+    q.stop()
+  }
+
   test("watermarked tumbling window matches batch formulation") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
