@@ -377,7 +377,7 @@ object Dedup {
   /** Spark's `trim`: strips SPACES only (not tabs/newlines) — the blank-
     * line predicate [[lineDedup]] applies, reproduced for the row-local
     * path so the two stay bit-identical on whitespace-art lines. */
-  private def trimSpaces(s: String): String = {
+  private[graft] def trimSpaces(s: String): String = {
     var b = 0
     var e = s.length
     while (b < e && s.charAt(b) == ' ') b += 1

@@ -117,6 +117,81 @@ object QualitySignals {
   }
 
   /**
+   * BLOOM-FILTER decontamination — [[contamination]] for benchmark sets
+   * too large to broadcast verbatim. The benchmark's distinct word
+   * `n`-grams reduce to a fixed `m`-bit filter (each gram sets `k`
+   * md5-derived positions), so executors hold m/8 bytes — 128 KiB at the
+   * default m = 2²⁰ — no matter how many grams the eval suites contain;
+   * a corpus gram is flagged when ALL `k` of its positions are set.
+   * Returns `(id, n_flagged)` for documents with ≥ 1 flagged distinct
+   * gram. One-sided error, deterministically: every truly-shared gram IS
+   * flagged (no false negatives — safe for decontamination, which drops
+   * flagged docs); a non-shared gram false-positives with
+   * P ≈ (1 − e^(−k·n/m))^k. The positions are md5-derived
+   * ([[graft.expr.PortableHash]] kernel), so the filter — including its
+   * false positives — is bit-reproducible in any engine: the DuckDB
+   * oracle recomputes the same positions and the same verdicts.
+   *
+   * Scale shape: the filter builds in one benchmark pass (positions
+   * dedupe under partial aggregation; ≤ m longs ever reach the driver)
+   * and ships once per executor; the corpus side is a stateless
+   * per-partition projection — zero joins, zero corpus shuffle before
+   * the final (id, count) rows. Streaming-safe in append mode.
+   */
+  def bloomContamination(df: DataFrame, idCol: Column, textCol: Column,
+      bench: DataFrame, benchTextCol: Column, n: Int = 3,
+      m: Int = 1 << 20, k: Int = 3): DataFrame = {
+    require(k >= 1 && m >= 8, "need k >= 1 hash functions and m >= 8 bits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def posCol(j: Int, g: Column): Column =
+      graft.expr.PortableHash.hex15Col(
+        concat(lit(j.toString), lit(" "), g)) % m
+    val positions = bench
+      .select(split(trim(benchTextCol), "\\s+").as("tk"))
+      .select(explode(grams(col("tk"), n)).as("g")).distinct()
+      .select(explode(array((0 until k).map(j => posCol(j, col("g"))): _*))
+        .as("p"))
+      .distinct()
+      .collect().map(_.getLong(0))
+    val bits = new java.util.BitSet(m)
+    positions.foreach(p => bits.set(p.toInt))
+    val bc = spark.sparkContext.broadcast(bits)
+    df.select(idCol.cast("long").as("id"), textCol.cast("string").as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val filter = bc.value
+        rows.map { case (id, text) =>
+          val tk =
+            if (text == null) Array.empty[String]
+            else Dedup.trimSpaces(text).split("\\s+").filter(_.nonEmpty)
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          var flagged = 0L
+          var i = 0
+          while (i + n <= tk.length) {
+            val g = tk.slice(i, i + n).mkString(" ")
+            if (!seen.contains(g)) {
+              seen += g
+              var j = 0
+              var hit = true
+              while (j < k && hit) {
+                val p = (graft.expr.PortableHash.hex15(
+                  j.toString + " " + g) % m).toInt
+                hit = filter.get(p)
+                j += 1
+              }
+              if (hit) flagged += 1
+            }
+            i += 1
+          }
+          (id, flagged)
+        }
+      }
+      .toDF("id", "n_flagged")
+      .filter(col("n_flagged") > 0)
+  }
+
+  /**
    * Multi-benchmark decontamination: [[contamination]] generalized to `n`
    * named eval sets in ONE corpus pass. Every benchmark's distinct word
    * `n`-grams broadcast together (tagged with the benchmark name); a corpus

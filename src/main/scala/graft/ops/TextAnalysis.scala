@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -111,4 +111,38 @@ object TextAnalysis {
       transform(split(substring(text, 1, prefix), ""), c => ascii(c).cast("bigint")),
       lit(7L),
       (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  /** Per-document keyword extraction: top `k` terms by tf·idf with
+    * smoothed idf `ln((N+1)/(df+1))` (N = corpus document count, df =
+    * documents containing the term). Scores round to 4dp BEFORE ranking
+    * so the cut is engine-reproducible; ties break on the term itself.
+    * Returns `(id, rnk, term, score)`, `rnk` 1-based.
+    *
+    * Scale shape: per-(doc, term) counts and the document-frequency table
+    * both reduce under partial aggregation (the only exchanges carry
+    * `(id, term, count)` / `(term, df)` rows, never document text); the
+    * df table is vocabulary-bounded and BROADCASTS to the scoring join;
+    * N is one broadcast scalar. The top-k cut is a row-local sort of each
+    * document's own (bounded) term list — no window, no global sort. */
+  def tfidfKeywords(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 5): DataFrame = {
+    val terms = df.select(idCol.as("id"),
+        explode(array_remove(split(trim(textCol), "\\s+"), "")).as("term"))
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val scored = tf
+      .join(broadcast(dft), "term")
+      .crossJoin(broadcast(n))
+      .select(col("id"), col("term"),
+        round(col("tf") * log((col("n") + 1).cast("double") / (col("df") + 1)), 4)
+          .as("s"))
+    scored
+      .groupBy("id")
+      .agg(slice(array_sort(collect_list(struct((-col("s")).as("ns"),
+        col("term").as("term")))), 1, k).as("top"))
+      .select(col("id"), posexplode(col("top")))
+      .select(col("id"), (col("pos") + 1).as("rnk"),
+        col("col.term").as("term"), (-col("col.ns")).as("score"))
+  }
 }

@@ -585,6 +585,29 @@ object OpsQueries {
           col("text"), bpeMerges)
         .select(col("id").as("doc_id"), col("n_sub"))
         .orderBy("doc_id").limit(300)),
+    "q130_tfidf_keywords" -> ((s, d) =>
+      // per-doc keyword extraction: top-5 terms by tf*ln((N+1)/(df+1)),
+      // scores 4dp-rounded before the cut, ties on the term — broadcast
+      // df table, row-local top-k (no window)
+      graft.ops.TextAnalysis.tfidfKeywords(
+          t(s, d, "documents").filter(col("doc_id") < 100),
+          col("doc_id"), col("text"), k = 5)
+        .select(col("id").as("doc_id"), col("rnk").cast("bigint").as("rnk"),
+          col("term"), col("score"))
+        .orderBy("doc_id", "rnk")),
+    "q129_bloom_contamination" -> ((s, d) => {
+      // decontamination through a fixed 16384-bit Bloom filter (k=3 md5
+      // positions per benchmark 3-gram): flags every truly-shared gram
+      // plus a reproducible sliver of false positives — the oracle
+      // rebuilds the same filter and reaches the same verdicts
+      val docs = t(s, d, "documents")
+      graft.ops.QualitySignals.bloomContamination(
+          docs.filter(col("doc_id") >= 5), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") < 5), col("text"),
+          n = 3, m = 16384, k = 3)
+        .select(col("id").as("doc_id"), col("n_flagged"))
+        .orderBy("doc_id")
+    }),
     "q109_gopher_rules" -> ((s, d) => {
       // Gopher-style rule diagnostics (Rae et al. 2021 A1, adapted):
       // per-rule booleans + the conjunctive gate — row-local rules joined
@@ -1978,6 +2001,48 @@ object OpsQueries {
            ON d.doc_id = p.doc_id
          ORDER BY d.doc_id LIMIT 300"""
     },
+
+    "q130_tfidf_keywords" ->
+      """WITH tk AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+           FROM documents WHERE doc_id < 100),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n FROM documents WHERE doc_id < 100),
+         sc AS (SELECT tf.doc_id, tf.term,
+                       round(tf.tf * ln((n.n + 1) / CAST(df + 1 AS DOUBLE)), 4) AS s
+                FROM tf JOIN dft USING (term) CROSS JOIN n),
+         rk AS (SELECT doc_id, term, s,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS rnk
+                FROM sc)
+         SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, s AS score
+         FROM rk WHERE rnk <= 5 ORDER BY doc_id, rnk""",
+
+    "q129_bloom_contamination" ->
+      // the same 16384-bit / 3-hash filter rebuilt in SQL: a corpus gram
+      // is flagged iff all 3 of its md5 positions are set by bench grams
+      """WITH tokb AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+           FROM documents WHERE doc_id < 5),
+         bg AS (SELECT DISTINCT unnest(list_transform(range(len(tk) - 2),
+                  i -> tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3])) AS g3
+                FROM tokb WHERE len(tk) >= 3),
+         bpos AS (SELECT DISTINCT
+                    CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ' ' || g3), 1, 15) AS BIGINT) % 16384 AS p
+                  FROM bg CROSS JOIN range(3) r(j)),
+         tokc AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents WHERE doc_id >= 5),
+         dg AS (SELECT DISTINCT doc_id, unnest(list_transform(range(len(tk) - 2),
+                  i -> tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3])) AS g3
+                FROM tokc WHERE len(tk) >= 3),
+         dp AS (SELECT doc_id, g3,
+                  CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ' ' || g3), 1, 15) AS BIGINT) % 16384 AS p
+                FROM dg CROSS JOIN range(3) r(j)),
+         hit AS (SELECT dp.doc_id, dp.g3 FROM dp JOIN bpos ON dp.p = bpos.p
+                 GROUP BY dp.doc_id, dp.g3 HAVING count(*) = 3)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
+         FROM hit GROUP BY doc_id ORDER BY doc_id""",
 
     "q70_contamination" ->
       """WITH toks AS (

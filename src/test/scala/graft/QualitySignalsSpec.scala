@@ -86,6 +86,51 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
 
+  test("bloomContamination: no false negatives; saturation and exactness bounds") {
+    import spark.implicits._
+    val bench = Seq((0L, "the quick brown fox jumps over")).toDF("id", "text")
+    val corpus = Seq(
+      (10L, "intro words the quick brown fox tail"), // shares 2 grams
+      (11L, "quick brown fox jumps trailing words"), // shares 2 grams
+      (12L, "completely unrelated text body here")).toDF("id", "text")
+    val exact = QualitySignals.contamination(corpus, col("id"), col("text"),
+        bench, col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // big filter (FP rate ~0 at this scale): equals the exact op
+    val big = QualitySignals.bloomContamination(corpus, col("id"), col("text"),
+        bench, col("text"), m = 1 << 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(big == exact)
+    // any filter size: every exactly-shared count is a lower bound
+    val small = QualitySignals.bloomContamination(corpus, col("id"), col("text"),
+        bench, col("text"), m = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (id, n) =>
+      assert(small.getOrElse(id, 0L) >= n, s"false negative for doc $id") }
+  }
+
+  test("tfidfKeywords: smoothed tf-idf ranks, deterministic term ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry date")).toDF("id", "text")
+    val got = graft.ops.TextAnalysis.tfidfKeywords(docs, col("id"), col("text"), k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    def idf(df: Int): Double = math.log(4.0 / (df + 1)) // N = 3 docs
+    def r4(x: Double): Double = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: apple tf=2 df=1 -> 2*ln(2); banana tf=1 df=2 -> ln(4/3)
+    assert(got.filter(_._1 == 1L).map(t => (t._3, t._4)).toSeq ==
+      Seq(("apple", r4(2 * idf(1))), ("banana", r4(idf(2)))))
+    // doc 2: banana and cherry both tf=1 df=2 — tie breaks on term asc
+    assert(got.filter(_._1 == 2L).map(_._3).toSeq == Seq("banana", "cherry"))
+    // doc 3: cherry (df=2) vs date (df=1): date scores higher
+    assert(got.filter(_._1 == 3L).map(_._3).toSeq == Seq("date", "cherry"))
+  }
+
   test("boilerplate fraction: distinct-bigram df share, hand-computed") {
     import spark.implicits._
     // "c o m m o n" appears in all 3 docs: its 5 bigrams have df = 3;
