@@ -8,6 +8,16 @@ package graft.embed
  * state stays off the driver) and applied via `mapPartitions`, or — for the
  * deterministic test stub — via the codegen'd [[graft.expr.HashEmbed]]
  * expression.
+ *
+ * Environment constraint (re-verified 2026-08-13, round 5): this build
+ * environment ships no inference runtime — `/opt/spark/jars` contains no
+ * ONNX Runtime / DJL / TF-Java artifacts and dependency resolution is
+ * offline-only — so a real transformer backend cannot be linked here. The
+ * contract a production backend must satisfy is executable:
+ * `EmbedderContractSpec` (batch≡single parity, dimension stability, null
+ * handling, determinism) runs against any `Embedder` implementation;
+ * swapping one in is a constructor call at the `IngestJob`/`Searcher`
+ * call sites, no pipeline change.
  */
 trait Embedder extends Serializable {
   def dim: Int
