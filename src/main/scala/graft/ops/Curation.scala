@@ -39,6 +39,32 @@ object Curation {
   }
 
   /**
+   * Quantile binning WITHOUT a window: assign each row its `nBins`-tile of
+   * `scoreCol` (bin 1 = lowest). The cut points come from ONE exact
+   * `percentile` aggregate — (nBins − 1) doubles, rounded to 4dp so the
+   * comparisons are engine-reproducible — broadcast back as a scalar row;
+   * the assignment is then a row-local fold `1 + Σ(s > cut)`. This is the
+   * curriculum/quality-binning shape at corpus scale: an `ntile` window
+   * would globally sort 100 TB on one axis, while this is an aggregate
+   * plus a stateless projection. (Swap the percentile aggregate for
+   * `approx_percentile` upstream when the exact per-group sort over the
+   * score column matters; the binning pass is unchanged.) Returns
+   * `(id, s, bin)`.
+   */
+  def quantileBins(df: DataFrame, idCol: Column, scoreCol: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "need nBins >= 2")
+    val scored = df.select(idCol.as("id"), scoreCol.cast("double").as("s"))
+    val probs = array((1 until nBins).map(i => lit(i.toDouble / nBins)): _*)
+    val cuts = scored.agg(
+      transform(percentile(col("s"), probs), c => round(c, 4)).as("cuts"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("id"), col("s"),
+        aggregate(col("cuts"), lit(1L),
+          (acc, c) => acc + when(col("s") > c, 1L).otherwise(0L)).as("bin"))
+  }
+
+  /**
    * Deterministic per-stratum sampling (domain-mixing weights): keep a row
    * when its md5 bucket falls under the stratum's percentage. Content-keyed
    * like [[splitAssign]] — membership is reproducible across engines, runs

@@ -112,6 +112,71 @@ object TextAnalysis {
       lit(7L),
       (acc, x) => (acc * 31 + x) % 1000000007L)
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS algorithm): hash every word `k`-gram, slide a window of `w`
+    * consecutive hashes, and select each window's minimum (rightmost on
+    * ties); the distinct selected positions are the fingerprint set. The
+    * guarantee: any shared substring of ≥ `w + k - 1` tokens produces at
+    * least one shared fingerprint, while storage is ~2/(w+1) of the gram
+    * count — the robust partial-overlap detector between whole-document
+    * hashing (brittle) and all-grams indexes (huge). Returns
+    * `(id, n_fp, fp_mod)` — fingerprint count and the order-independent
+    * sum of selected hashes mod 1e9+7 (a compact set digest for
+    * equality/overlap checks); documents with fewer than `w` grams have
+    * no window and are absent.
+    *
+    * Scale shape: entirely ROW-LOCAL — gram hashing, the window argmin
+    * walk, and the digest are HOF folds over the document's own arrays
+    * (whole-stage codegen, zero exchanges, streaming-safe). The hash is
+    * the md5 [[graft.expr.PortableHash]] kernel, so fingerprints — and
+    * therefore cross-engine joins on them — are bit-reproducible. */
+  def winnowFingerprints(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    val P = 1000000007L
+    winnowed(df, idCol, textCol, k, w)
+      .select(col("id"),
+        size(col("sel")).cast("long").as("n_fp"),
+        pmod(aggregate(col("sel"), lit(0L),
+          (acc, j) => acc + pmod(element_at(col("hs"), j + 1), lit(P))), lit(P))
+          .as("fp_mod"))
+  }
+
+  /** The exploded fingerprint INDEX `(id, pos, h)` — one row per selected
+    * winnowing fingerprint, the joinable table overlap detection builds:
+    * two documents sharing a ≥ `w + k - 1` token run share at least one
+    * `h`. Same row-local selection as [[winnowFingerprints]]; only the
+    * (id, int, long) fingerprint rows ever reach a shuffle, never text. */
+  def winnowFingerprintTable(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 3, w: Int = 4): DataFrame =
+    winnowed(df, idCol, textCol, k, w)
+      .select(col("id"), col("hs"), explode(col("sel")).as("j"))
+      .select(col("id"), col("j").as("pos"),
+        element_at(col("hs"), col("j") + 1).as("h"))
+
+  /** Shared winnowing core: `(id, hs, sel)` — gram-hash array plus the
+    * distinct selected positions (each window's rightmost-min). */
+  private def winnowed(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, "need k >= 1 gram size and w >= 1 window")
+    val toksed = df.select(idCol.as("id"),
+      array_remove(split(trim(textCol), "\\s+"), "").as("tk"))
+    val hashed = toksed
+      .select(col("id"), QualitySignals.grams(col("tk"), k).as("gs"))
+      .select(col("id"),
+        transform(col("gs"), g => graft.expr.PortableHash.hex15Col(g)).as("hs"))
+    val n = size(col("hs"))
+    val sel = array_distinct(transform(sequence(lit(0), n - w), i =>
+      aggregate(sequence(i, i + w - 1),
+        struct(lit(Long.MaxValue).as("h"), lit(-1).as("j")),
+        (acc, jj) => {
+          val hj = element_at(col("hs"), jj + 1)
+          when(hj <= acc.getField("h"),
+            struct(hj.as("h"), jj.as("j"))).otherwise(acc)
+        },
+        acc => acc.getField("j"))))
+    hashed.filter(n >= w).select(col("id"), col("hs"), sel.as("sel"))
+  }
+
   /** Per-document keyword extraction: top `k` terms by tf·idf with
     * smoothed idf `ln((N+1)/(df+1))` (N = corpus document count, df =
     * documents containing the term). Scores round to 4dp BEFORE ranking

@@ -585,6 +585,27 @@ object OpsQueries {
           col("text"), bpeMerges)
         .select(col("id").as("doc_id"), col("n_sub"))
         .orderBy("doc_id").limit(300)),
+    "q132_entropy_deciles" -> ((s, d) => {
+      // curriculum binning: token-entropy deciles via ONE exact percentile
+      // aggregate broadcast as cut points + a row-local fold — the
+      // no-global-sort alternative to an ntile window
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        array_remove(split(trim(col("text")), "\\s+"), "").as("tk"))
+      val scored = docs.select(col("doc_id"),
+        round(graft.ops.TextAnalysis.tokenEntropy(col("tk")), 4).as("e"))
+      graft.ops.Curation.quantileBins(scored, col("doc_id"), col("e"), 10)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          round(min("s"), 4).as("min_e"), round(max("s"), 4).as("max_e"))
+        .orderBy("bin")
+    }),
+    "q131_winnow_fingerprints" -> ((s, d) =>
+      // MOSS winnowing: 3-gram hashes, window 4, rightmost-min selection;
+      // per-doc fingerprint count + order-independent mod-1e9+7 digest
+      graft.ops.TextAnalysis.winnowFingerprints(
+          t(s, d, "documents"), col("doc_id"), col("text"), k = 3, w = 4)
+        .select(col("id").as("doc_id"), col("n_fp"), col("fp_mod"))
+        .orderBy("doc_id")),
     "q130_tfidf_keywords" -> ((s, d) =>
       // per-doc keyword extraction: top-5 terms by tf*ln((N+1)/(df+1)),
       // scores 4dp-rounded before the cut, ties on the term — broadcast
@@ -2001,6 +2022,59 @@ object OpsQueries {
            ON d.doc_id = p.doc_id
          ORDER BY d.doc_id LIMIT 300"""
     },
+
+    "q132_entropy_deciles" ->
+      // q110's entropy formula, decile cut points via quantile_cont
+      // (rounded 4dp like the engine), bin = 1 + #cuts strictly below
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         t2 AS (SELECT doc_id, tk, CAST(len(tk) AS DOUBLE) AS n,
+                       list_sort(list_distinct(tk)) AS ty
+                FROM toks),
+         ent AS (SELECT doc_id,
+                        CASE WHEN n = 0 THEN 0.0 ELSE
+                          round(list_sum([-(len(list_filter(tk, x -> x = t)) / n)
+                                          * ln(len(list_filter(tk, x -> x = t)) / n)
+                                          FOR t IN ty]) + 0.0, 4) END AS e
+                 FROM t2),
+         cuts AS (SELECT [round(q, 4) FOR q IN
+                    quantile_cont(e, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])] AS cs
+                  FROM ent),
+         binned AS (SELECT doc_id, e,
+                           1 + len(list_filter(cs, c -> e > c)) AS bin
+                    FROM ent CROSS JOIN cuts)
+         SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+                round(min(e), 4) AS min_e, round(max(e), 4) AS max_e
+         FROM binned GROUP BY bin ORDER BY bin""",
+
+    "q131_winnow_fingerprints" ->
+      // same 3-gram/window-4 winnowing: per (doc, window) pick min hash,
+      // rightmost on ties; distinct selected positions are the set
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         gl AS (SELECT doc_id, [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)] AS gs
+                FROM toks WHERE len(tk) >= 3),
+         g0 AS (SELECT doc_id, unnest(gs) AS gr,
+                       generate_subscripts(gs, 1) - 1 AS pos
+                FROM gl),
+         g AS (SELECT doc_id, pos,
+                      CAST('0x' || substr(md5(gr), 1, 15) AS BIGINT) AS h
+               FROM g0),
+         mx AS (SELECT doc_id, max(pos) AS mp FROM g GROUP BY doc_id),
+         wins AS (SELECT g.doc_id, g.pos AS i FROM g JOIN mx USING (doc_id)
+                  WHERE g.pos + 3 <= mp),
+         cand AS (SELECT w.doc_id, w.i, b.pos AS j, b.h
+                  FROM wins w JOIN g b ON w.doc_id = b.doc_id
+                    AND b.pos BETWEEN w.i AND w.i + 3),
+         sel AS (SELECT doc_id, i, j, h,
+                        row_number() OVER (PARTITION BY doc_id, i ORDER BY h ASC, j DESC) AS rn
+                 FROM cand),
+         fp AS (SELECT DISTINCT doc_id, j, h FROM sel WHERE rn = 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+                CAST(sum(h % 1000000007) % 1000000007 AS BIGINT) AS fp_mod
+         FROM fp GROUP BY doc_id ORDER BY doc_id""",
 
     "q130_tfidf_keywords" ->
       """WITH tk AS (

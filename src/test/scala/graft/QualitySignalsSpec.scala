@@ -131,6 +131,51 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(_._1 == 3L).map(_._3).toSeq == Seq("date", "cherry"))
   }
 
+  test("winnowing: shared >= w+k-1 token runs share a fingerprint; density bounded") {
+    import spark.implicits._
+    val shared = "one two three four five six seven eight nine ten" // 10 tokens
+    val docs = Seq(
+      (1L, "prefix words here " + shared + " suffix body"),
+      (2L, shared + " totally different ending text"),
+      (3L, "no overlap with anything else at all in this document")).toDF("id", "text")
+    val fp = graft.ops.TextAnalysis.winnowFingerprintTable(
+        docs, col("id"), col("text"), k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // guarantee: a shared 10-token run (>= w+k-1 = 6) yields >= 1 shared hash
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    // doc 3 shares no 3-gram with the others -> no shared fingerprints
+    assert((byDoc(3L) & (byDoc(1L) ++ byDoc(2L))).isEmpty)
+    // density: selection keeps well under all grams (expected ~2/(w+1))
+    val grams1 = 15L - 2 // doc 1 tokens - (k-1)
+    assert(byDoc(1L).size < grams1)
+    // digest form agrees with the table
+    val dig = graft.ops.TextAnalysis.winnowFingerprints(
+        docs, col("id"), col("text"), k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fpByDocList = fp.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    fpByDocList.foreach { case (id, hs) =>
+      assert(dig(id)._1 == hs.length.toLong, s"n_fp doc $id")
+      assert(dig(id)._2 == hs.map(_ % 1000000007L).sum % 1000000007L,
+        s"fp_mod doc $id")
+    }
+  }
+
+  test("quantileBins: exact deciles on 1..100, monotone and window-free") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    val out = graft.ops.Curation.quantileBins(df, col("id"), col("x"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val byBin = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBin.keySet == (1L to 10L).toSet)
+    byBin.values.foreach(v => assert(v.length == 10))
+    (1L to 9L).foreach(b => assert(byBin(b).max < byBin(b + 1).min))
+    // plan shape: no window/global sort — one aggregate + broadcast join
+    val plan = graft.ops.Curation.quantileBins(df, col("id"), col("x"), 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "ntile-style window crept in")
+  }
+
   test("boilerplate fraction: distinct-bigram df share, hand-computed") {
     import spark.implicits._
     // "c o m m o n" appears in all 3 docs: its 5 bigrams have df = 3;
