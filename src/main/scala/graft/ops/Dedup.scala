@@ -323,13 +323,19 @@ object Dedup {
     * row-local indexed-`filter` HOF over the doc's own split array
     * (whole-stage codegen); the drop lists attach with one equi-join on
     * id — co-partitioned for free when the corpus is bucketed by id, and
-    * its payload is a handful of ints per affected doc either way. */
+    * its payload is a handful of ints per affected doc either way.
+    *
+    * `sep` is the unit boundary — "\n" for lines (default), "\n\n" for
+    * PARAGRAPH-level scrubbing (the other RefinedWeb pass); it is used
+    * both to split and to rejoin, so it must be a literal (regex-neutral)
+    * string. */
   def lineDedup(df: DataFrame, idCol: Column, textCol: Column,
-      minDocs: Int): DataFrame = {
-    val lines = df.select(idCol.as("id"), posexplode(split(textCol, "\n", -1)))
+      minDocs: Int, sep: String = "\n"): DataFrame = {
+    val lines = df.select(idCol.as("id"),
+        posexplode(split(textCol, java.util.regex.Pattern.quote(sep), -1)))
       .select(col("id"), col("pos"), col("col").as("line"))
       .filter(length(trim(col("line"))) > 0)
-    val frequent = frequentLines(df, idCol, textCol, minDocs)
+    val frequent = frequentLines(df, idCol, textCol, minDocs, sep)
       .withColumnRenamed("line", "fline")
     val dropLists = lines
       .join(broadcast(frequent),
@@ -338,12 +344,13 @@ object Dedup {
     val kept = filter(col("ls"),
       (_, i) => !array_contains(coalesce(col("drop_pos"),
         array().cast("array<int>")), i))
-    df.select(idCol.as("id"), split(textCol, "\n", -1).as("ls"))
+    df.select(idCol.as("id"),
+        split(textCol, java.util.regex.Pattern.quote(sep), -1).as("ls"))
       .join(dropLists, Seq("id"), "left")
       .select(col("id"),
         size(kept).cast("long").as("n_kept"),
         (size(col("ls")) - size(kept)).cast("long").as("n_removed"),
-        array_join(kept, "\n").as("text"))
+        array_join(kept, sep).as("text"))
   }
 
   /** The frequent-line table of a corpus — the artifact an INCREMENTAL
@@ -359,9 +366,9 @@ object Dedup {
     * text so downstream joins match content, not hashes. Only candidate
     * lines' text ever shuffles. */
   def frequentLines(df: DataFrame, idCol: Column, textCol: Column,
-      minDocs: Int): DataFrame = {
+      minDocs: Int, sep: String = "\n"): DataFrame = {
     val lines = df.select(idCol.as("id"),
-        explode(split(textCol, "\n", -1)).as("line"))
+        explode(split(textCol, java.util.regex.Pattern.quote(sep), -1)).as("line"))
       .filter(length(trim(col("line"))) > 0)
     val candidates = lines
       .select(xxhash64(col("line")).as("h"), col("id")).distinct()
@@ -396,7 +403,7 @@ object Dedup {
     * in append mode with no watermark, and the corpus text never
     * shuffles. */
   def lineDedupAgainst(df: DataFrame, idCol: Column, textCol: Column,
-      frequent: DataFrame): DataFrame = {
+      frequent: DataFrame, sep: String = "\n"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val lineSet = frequent.select(col("line").cast("string"))
@@ -408,11 +415,11 @@ object Dedup {
         val set = bc.value
         rows.map { case (id, text) =>
           val ls = if (text == null) Array.empty[String]
-            else text.split("\n", -1)
+            else text.split(java.util.regex.Pattern.quote(sep), -1)
           val kept = ls.filter(l =>
             trimSpaces(l).isEmpty || !set.contains(l))
           (id, kept.length.toLong, (ls.length - kept.length).toLong,
-            kept.mkString("\n"))
+            kept.mkString(sep))
         }
       }
       .toDF("id", "n_kept", "n_removed", "text")

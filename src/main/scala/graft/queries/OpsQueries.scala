@@ -20,15 +20,16 @@ object OpsQueries {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** Deterministic re-lining of the single-line word-bag corpus into
-    * 4-token lines — the fixture transform the line-dedup queries (q96,
-    * q127) share. Returns `(doc_id, wtext)`. */
-  private def wrapped4(docs: DataFrame): DataFrame = {
+    * 4-token units joined by `sep` — the fixture transform the line/
+    * paragraph-dedup queries (q96, q127, q133) share. Returns
+    * `(doc_id, wtext)`. */
+  private def wrapped4(docs: DataFrame, sep: String = "\n"): DataFrame = {
     val toks = array_remove(split(col("text"), "\\s+"), "")
     docs.select(col("doc_id"),
       when(size(toks) === 0, lit("")).otherwise(
         array_join(transform(
           sequence(lit(0), ceil(size(toks) / lit(4.0)).cast("int") - 1),
-          i => concat_ws(" ", slice(toks, i * 4 + 1, lit(4)))), "\n"))
+          i => concat_ws(" ", slice(toks, i * 4 + 1, lit(4)))), sep))
         .as("wtext"))
   }
 
@@ -157,6 +158,16 @@ object OpsQueries {
       // repeated across >= 3 documents and rebuild the docs
       Dedup.lineDedup(wrapped4(t(s, d, "documents")), col("doc_id"),
           col("wtext"), minDocs = 3)
+        .select(col("id").as("doc_id"), col("n_kept"), col("n_removed"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+    "q133_paragraph_dedup" -> ((s, d) => {
+      // the RefinedWeb PARAGRAPH-level pass: same operator as q96 with
+      // the unit boundary at blank lines ("\n\n") — one knob, no new
+      // machinery; oracle splits on chr(10)||chr(10)
+      Dedup.lineDedup(wrapped4(t(s, d, "documents"), "\n\n"), col("doc_id"),
+          col("wtext"), minDocs = 3, sep = "\n\n")
         .select(col("id").as("doc_id"), col("n_kept"), col("n_removed"),
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
@@ -599,6 +610,22 @@ object OpsQueries {
           round(min("s"), 4).as("min_e"), round(max("s"), 4).as("max_e"))
         .orderBy("bin")
     }),
+    "q134_winnow_overlap" -> ((s, d) => {
+      // the MOSS use-case: join the fingerprint INDEX on hash — only
+      // (id, h) longs shuffle — and report pairs sharing >= 3 selected
+      // fingerprints, the plagiarism/near-copy candidates
+      val fp = graft.ops.TextAnalysis.winnowFingerprintTable(
+          t(s, d, "documents").filter(col("doc_id") < 200),
+          col("doc_id"), col("text"), k = 3, w = 4)
+        .select(col("id"), col("h")).distinct()
+      val a = fp.as("a")
+      val b = fp.as("b")
+      a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy("a_id", "b_id")
+    }),
     "q131_winnow_fingerprints" -> ((s, d) =>
       // MOSS winnowing: 3-gram hashes, window 4, rightmost-min selection;
       // per-doc fingerprint count + order-independent mod-1e9+7 digest
@@ -981,6 +1008,29 @@ object OpsQueries {
                 CAST(sum(CASE WHEN NOT dup THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                 CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
                 md5(coalesce(string_agg(CASE WHEN NOT dup THEN line END, chr(10) ORDER BY pos), '')) AS text_md5
+         FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+
+    "q133_paragraph_dedup" ->
+      // q96 with the unit boundary at chr(10)||chr(10): paragraphs
+      // repeated across >= 3 docs drop, text rebuilt with the same joiner
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents),
+         wrapped AS (
+           SELECT doc_id, CASE WHEN len(t) = 0 THEN ''
+                  ELSE array_to_string([array_to_string(t[(i*4+1):(i*4+4)], ' ')
+                                        FOR i IN range(0, CAST(ceil(len(t)/4.0) AS INT))], chr(10) || chr(10)) END AS wtext
+           FROM toks),
+         ls AS (SELECT doc_id, string_split(wtext, chr(10) || chr(10)) AS ll FROM wrapped),
+         lines AS (SELECT doc_id, unnest(ll) AS line, generate_subscripts(ll, 1) AS pos FROM ls),
+         freq AS (SELECT line FROM lines WHERE trim(line) <> ''
+                  GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+         flagged AS (SELECT l.doc_id, l.pos, l.line, (f.line IS NOT NULL) AS dup
+                     FROM lines l LEFT JOIN freq f ON l.line = f.line)
+         SELECT doc_id,
+                CAST(sum(CASE WHEN NOT dup THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                md5(coalesce(string_agg(CASE WHEN NOT dup THEN line END, chr(10) || chr(10) ORDER BY pos), '')) AS text_md5
          FROM flagged GROUP BY doc_id ORDER BY doc_id""",
 
     "q127_line_scrub_against" ->
@@ -2047,6 +2097,36 @@ object OpsQueries {
          SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
                 round(min(e), 4) AS min_e, round(max(e), 4) AS max_e
          FROM binned GROUP BY bin ORDER BY bin""",
+
+    "q134_winnow_overlap" ->
+      // q131's selection restricted to docs < 200, then pairs sharing
+      // >= 3 distinct selected hashes
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents WHERE doc_id < 200),
+         gl AS (SELECT doc_id, [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)] AS gs
+                FROM toks WHERE len(tk) >= 3),
+         g0 AS (SELECT doc_id, unnest(gs) AS gr,
+                       generate_subscripts(gs, 1) - 1 AS pos
+                FROM gl),
+         g AS (SELECT doc_id, pos,
+                      CAST('0x' || substr(md5(gr), 1, 15) AS BIGINT) AS h
+               FROM g0),
+         mx AS (SELECT doc_id, max(pos) AS mp FROM g GROUP BY doc_id),
+         wins AS (SELECT g.doc_id, g.pos AS i FROM g JOIN mx USING (doc_id)
+                  WHERE g.pos + 3 <= mp),
+         cand AS (SELECT w.doc_id, w.i, b.pos AS j, b.h
+                  FROM wins w JOIN g b ON w.doc_id = b.doc_id
+                    AND b.pos BETWEEN w.i AND w.i + 3),
+         sel AS (SELECT doc_id, i, j, h,
+                        row_number() OVER (PARTITION BY doc_id, i ORDER BY h ASC, j DESC) AS rn
+                 FROM cand),
+         fpd AS (SELECT DISTINCT doc_id, h FROM sel WHERE rn = 1)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(count(*) AS BIGINT) AS n_shared
+         FROM fpd a JOIN fpd b ON a.h = b.h AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3
+         ORDER BY a_id, b_id""",
 
     "q131_winnow_fingerprints" ->
       // same 3-gram/window-4 winnowing: per (doc, window) pick min hash,
