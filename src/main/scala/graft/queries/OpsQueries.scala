@@ -610,22 +610,15 @@ object OpsQueries {
           round(min("s"), 4).as("min_e"), round(max("s"), 4).as("max_e"))
         .orderBy("bin")
     }),
-    "q134_winnow_overlap" -> ((s, d) => {
-      // the MOSS use-case: join the fingerprint INDEX on hash — only
-      // (id, h) longs shuffle — and report pairs sharing >= 3 selected
-      // fingerprints, the plagiarism/near-copy candidates
-      val fp = graft.ops.TextAnalysis.winnowFingerprintTable(
+    "q134_winnow_overlap" -> ((s, d) =>
+      // the MOSS use-case: fingerprint-index self-join on hash — only
+      // (id, h) longs shuffle, hashes selected in > 10 docs pruned first
+      // (boilerplate is not copying evidence and its buckets fan out
+      // quadratically) — pairs sharing >= 3 rare fingerprints
+      graft.ops.TextAnalysis.winnowOverlapPairs(
           t(s, d, "documents").filter(col("doc_id") < 200),
-          col("doc_id"), col("text"), k = 3, w = 4)
-        .select(col("id"), col("h")).distinct()
-      val a = fp.as("a")
-      val b = fp.as("b")
-      a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-        .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 3)
-        .orderBy("a_id", "b_id")
-    }),
+          col("doc_id"), col("text"), k = 3, w = 4, minShared = 3, maxDf = 10)
+        .orderBy("a_id", "b_id")),
     "q131_winnow_fingerprints" -> ((s, d) =>
       // MOSS winnowing: 3-gram hashes, window 4, rightmost-min selection;
       // per-doc fingerprint count + order-independent mod-1e9+7 digest
@@ -2121,10 +2114,12 @@ object OpsQueries {
          sel AS (SELECT doc_id, i, j, h,
                         row_number() OVER (PARTITION BY doc_id, i ORDER BY h ASC, j DESC) AS rn
                  FROM cand),
-         fpd AS (SELECT DISTINCT doc_id, h FROM sel WHERE rn = 1)
+         fpd AS (SELECT DISTINCT doc_id, h FROM sel WHERE rn = 1),
+         hot AS (SELECT h FROM fpd GROUP BY h HAVING count(*) > 10),
+         fpr AS (SELECT * FROM fpd WHERE h NOT IN (SELECT h FROM hot))
          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                 CAST(count(*) AS BIGINT) AS n_shared
-         FROM fpd a JOIN fpd b ON a.h = b.h AND a.doc_id < b.doc_id
+         FROM fpr a JOIN fpr b ON a.h = b.h AND a.doc_id < b.doc_id
          GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3
          ORDER BY a_id, b_id""",
 
