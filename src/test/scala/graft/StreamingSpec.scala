@@ -317,6 +317,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming Bloom decontamination: stateless filter, no watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bench = Seq((0L, "the quick brown fox jumps over")).toDF("id", "text")
+    val input = MemoryStream[(Long, String)]
+    val flagged = graft.ops.QualitySignals.bloomContamination(
+      input.toDF().toDF("id", "text"), col("id"), col("text"),
+      bench, col("text"))
+    val q = flagged.writeStream.outputMode("append")
+      .format("memory").queryName("bloomscrub").start()
+    input.addData(
+      (10L, "intro words the quick brown fox tail"), // 2 shared grams
+      (11L, "nothing in common with that benchmark"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT id, n_flagged FROM bloomscrub ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((10L, 2L)))
+    q.stop()
+  }
+
   test("watermarked tumbling window matches batch formulation") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
