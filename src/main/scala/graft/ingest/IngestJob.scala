@@ -77,13 +77,17 @@ object IngestJob {
     decodeAndProject(expandArchives(
       spark.read.format("binaryFile").load(docsDir)))
 
-  /** Expand `.zip` container rows of a `binaryFile` frame into one row per
-    * supported member; every other row passes through unchanged. Row-local
-    * (each archive decompresses inside its own task — the explode is the
-    * only plan change), so archive ingest scales exactly like flat-file
-    * ingest. Members keep the archive's modificationTime (zip entry times
-    * are unreliable across tools); nested `.zip` members are NOT recursed —
-    * `.docx`/`.xlsx` members are fine, they decode as ordinary OOXML bytes.
+  /** Expand container rows of a `binaryFile` frame — `.zip`, `.tar`,
+    * `.tgz`/`.tar.gz` — into one row per supported member; every other
+    * row passes through unchanged. Row-local (each archive decompresses
+    * inside its own task — the explode is the only plan change), so
+    * archive ingest scales exactly like flat-file ingest. The tar reader
+    * is pure JVM from the ustar spec (512-byte headers, octal size field,
+    * checksum-verified, GNU 'L' long-name records honored); gzip layers
+    * through `GZIPInputStream`. Members keep the archive's
+    * modificationTime (container entry times are unreliable across
+    * tools); nested containers are NOT recursed — `.docx`/`.xlsx`
+    * members are fine, they decode as ordinary OOXML bytes.
     *
     * Zip-bomb guards, all per-archive-task: `maxMemberBytes` bounds any
     * single member, `maxTotalBytes` bounds the SUM of decompressed bytes
@@ -103,58 +107,159 @@ object IngestJob {
       maxMembers: Int = 4096,
       dropCounter: org.apache.spark.util.LongAccumulator = null): DataFrame = {
     val memberExts = supportedText ++ supportedCsv ++ supportedRich
-    val unzip = udf((b: Array[Byte]) => {
+    val unpack = udf((path: String, b: Array[Byte]) => {
+      // guard state shared across this one archive's walk
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
       var dropped = 0L
       var grandTotal = 0L
-      val zin = new java.util.zip.ZipInputStream(
-        new java.io.ByteArrayInputStream(b))
-      try {
-        var e = zin.getNextEntry
-        while (e != null) {
-          val name = e.getName
-          val ext = name.lastIndexOf('.') match {
-            case -1 => ""
-            case i  => name.substring(i).toLowerCase(java.util.Locale.ROOT)
-          }
-          if (!e.isDirectory && memberExts.contains(ext)) {
-            if (out.size >= maxMembers || grandTotal >= maxTotalBytes) {
-              dropped += 1 // capped out: count, don't extract
-            } else {
-              val bos = new java.io.ByteArrayOutputStream()
-              val buf = new Array[Byte](8192)
-              var total = 0L
-              var overflow = false
-              var n = zin.read(buf)
-              while (n > 0 && !overflow) {
-                total += n
-                if (total > maxMemberBytes ||
-                    grandTotal + total > maxTotalBytes) overflow = true
-                else { bos.write(buf, 0, n); n = zin.read(buf) }
-              }
-              if (overflow) dropped += 1
-              else { grandTotal += total; out += ((name, bos.toByteArray)) }
-            }
-          }
-          e = zin.getNextEntry
+
+      def wantMember(name: String): Boolean = {
+        val ext = name.lastIndexOf('.') match {
+          case -1 => ""
+          case i  => name.substring(i).toLowerCase(java.util.Locale.ROOT)
         }
+        memberExts.contains(ext)
+      }
+      // drain up to the caps from an entry stream; None = guard tripped
+      def readCapped(in: java.io.InputStream): Option[Array[Byte]] = {
+        if (out.size >= maxMembers || grandTotal >= maxTotalBytes) {
+          dropped += 1; return None
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        var overflow = false
+        var n = in.read(buf)
+        while (n > 0 && !overflow) {
+          total += n
+          if (total > maxMemberBytes ||
+              grandTotal + total > maxTotalBytes) overflow = true
+          else { bos.write(buf, 0, n); n = in.read(buf) }
+        }
+        if (overflow) { dropped += 1; None }
+        else { grandTotal += total; Some(bos.toByteArray) }
+      }
+
+      def walkZip(raw: java.io.InputStream): Unit = {
+        val zin = new java.util.zip.ZipInputStream(raw)
+        try {
+          var e = zin.getNextEntry
+          while (e != null) {
+            if (!e.isDirectory && wantMember(e.getName))
+              readCapped(zin).foreach(d => out += ((e.getName, d)))
+            e = zin.getNextEntry
+          }
+        } finally zin.close()
+      }
+
+      // ustar walk: 512-byte headers, octal size, checksum-verified;
+      // GNU 'L' records carry the next entry's long name
+      def walkTar(raw: java.io.InputStream): Unit = {
+        val hdr = new Array[Byte](512)
+        def readFully(dst: Array[Byte], len: Int): Boolean = {
+          var off = 0
+          while (off < len) {
+            val n = raw.read(dst, off, len - off)
+            if (n < 0) return false
+            off += n
+          }
+          true
+        }
+        def cstr(off: Int, len: Int): String = {
+          var end = off
+          while (end < off + len && hdr(end) != 0) end += 1
+          new String(hdr, off, end - off, java.nio.charset.StandardCharsets.UTF_8)
+        }
+        def octal(off: Int, len: Int): Long = {
+          val s = cstr(off, len).trim
+          if (s.isEmpty) 0L else java.lang.Long.parseLong(s, 8)
+        }
+        var pendingLongName: String = null
+        var done = false
+        while (!done && readFully(hdr, 512)) {
+          if (hdr.forall(_ == 0)) done = true // end-of-archive blocks
+          else {
+            // header checksum: sum of bytes with the checksum field spaced
+            val stored = octal(148, 8)
+            var sum = 0L
+            var i = 0
+            while (i < 512) {
+              sum += (if (i >= 148 && i < 156) 32 else hdr(i) & 0xff)
+              i += 1
+            }
+            if (sum != stored) throw new java.io.IOException("bad tar checksum")
+            val size = octal(124, 12)
+            val typeflag = hdr(156).toChar
+            val name = {
+              val n = if (pendingLongName != null) pendingLongName else cstr(0, 100)
+              pendingLongName = null
+              n
+            }
+            val padded = ((size + 511) / 512) * 512
+            if (typeflag == 'L') {
+              // GNU long-name record: payload is the next entry's name
+              val nb = new Array[Byte](size.toInt)
+              if (!readFully(nb, size.toInt)) done = true
+              else {
+                pendingLongName = new String(nb,
+                  java.nio.charset.StandardCharsets.UTF_8).takeWhile(_ != '\u0000') // GNU pads with a trailing NUL
+                raw.skipNBytes(padded - size)
+              }
+            } else if ((typeflag == '0' || typeflag == 0.toChar) && wantMember(name)) {
+              val capped = new BoundedStream(raw, size)
+              readCapped(capped).foreach(d => out += ((name, d)))
+              capped.drain()
+              raw.skipNBytes(padded - size)
+            } else raw.skipNBytes(padded)
+          }
+        }
+      }
+
+      try {
+        val p = path.toLowerCase(java.util.Locale.ROOT)
+        val bin = new java.io.ByteArrayInputStream(b)
+        if (p.endsWith(".zip")) walkZip(bin)
+        else if (p.endsWith(".tar")) walkTar(bin)
+        else walkTar(new java.util.zip.GZIPInputStream(bin)) // .tgz/.tar.gz
       } catch { case _: Exception => dropped += 1 } // corrupt: keep prefix
-      finally zin.close()
       if (dropCounter != null && dropped > 0) dropCounter.add(dropped)
       out.toSeq
     })
-    val isZip = lower(col("path")).endsWith(".zip")
-    val members = binary.filter(isZip)
+    val lp = lower(col("path"))
+    val isArchive = lp.endsWith(".zip") || lp.endsWith(".tar") ||
+      lp.endsWith(".tgz") || lp.endsWith(".tar.gz")
+    val members = binary.filter(isArchive)
       .select(col("path").as("zpath"), col("modificationTime"),
-        explode(unzip(col("content"))).as("m"))
+        explode(unpack(col("path"), col("content"))).as("m"))
       .select(concat(col("zpath"), lit("!"), col("m._1")).as("path"),
         col("modificationTime"),
         length(col("m._2")).cast("long").as("length"),
         col("m._2").as("content"))
-    binary.filter(!isZip)
+    binary.filter(!isArchive)
       .select(col("path"), col("modificationTime"),
         col("length").cast("long").as("length"), col("content"))
       .unionByName(members)
+  }
+
+  /** A view of `size` bytes of `in` that never reads past the entry —
+    * lets the capped member reader treat a tar data run like a stream. */
+  private final class BoundedStream(in: java.io.InputStream, size: Long)
+      extends java.io.InputStream {
+    private var remaining = size
+    override def read(): Int =
+      if (remaining <= 0) -1
+      else { val v = in.read(); if (v >= 0) remaining -= 1; v }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (remaining <= 0) return -1
+      val n = in.read(b, off, math.min(len.toLong, remaining).toInt)
+      if (n > 0) remaining -= n
+      n
+    }
+    /** Skip whatever the capped reader left unconsumed. */
+    def drain(): Unit = if (remaining > 0) {
+      in.skipNBytes(remaining)
+      remaining = 0
+    }
   }
 
   /** Same decode + metadata projection over any `binaryFile`-shaped frame —

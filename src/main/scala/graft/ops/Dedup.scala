@@ -425,6 +425,38 @@ object Dedup {
       .toDF("id", "n_kept", "n_removed", "text")
   }
 
+  /** WITHIN-document unit deduplication (the Gopher/RefinedWeb intra-doc
+    * scrub: a crawl page repeating its own navigation or a generation
+    * loop repeating a paragraph): keep the FIRST occurrence of each
+    * non-blank unit inside a document, drop later repeats; blank units
+    * always survive. Complements [[lineDedup]] (cross-document) and
+    * [[QualitySignals.repetitionSignals]] (which only MEASURES
+    * repetition). Returns `(id, n_kept, n_removed, text)` (`id` cast to
+    * long), `sep` as in [[lineDedup]].
+    *
+    * Scale shape: perfectly row-local — a compiled per-partition
+    * projection with one hash set per document; zero joins, zero
+    * aggregation, zero exchanges, streaming-safe with no watermark. */
+  def dedupWithinDoc(df: DataFrame, idCol: Column, textCol: Column,
+      sep: String = "\n"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(idCol.cast("long").as("id"), textCol.cast("string").as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val ls = if (text == null) Array.empty[String]
+            else text.split(java.util.regex.Pattern.quote(sep), -1)
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          val kept = ls.filter(l =>
+            trimSpaces(l).isEmpty || seen.add(l))
+          (id, kept.length.toLong, (ls.length - kept.length).toLong,
+            kept.mkString(sep))
+        }
+      }
+      .toDF("id", "n_kept", "n_removed", "text")
+  }
+
   /** Cross-document duplicate SPANS at word-`k`-gram granularity — the
     * bucketed approximation of suffix-array exact-substring dedup (Lee et
     * al. 2022, "Deduplicating Training Data Makes Language Models Better":

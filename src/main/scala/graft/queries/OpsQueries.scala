@@ -23,13 +23,16 @@ object OpsQueries {
     * 4-token units joined by `sep` — the fixture transform the line/
     * paragraph-dedup queries (q96, q127, q133) share. Returns
     * `(doc_id, wtext)`. */
-  private def wrapped4(docs: DataFrame, sep: String = "\n"): DataFrame = {
+  private def wrapped4(docs: DataFrame, sep: String = "\n"): DataFrame =
+    wrappedN(docs, 4, sep)
+
+  private def wrappedN(docs: DataFrame, n: Int, sep: String): DataFrame = {
     val toks = array_remove(split(col("text"), "\\s+"), "")
     docs.select(col("doc_id"),
       when(size(toks) === 0, lit("")).otherwise(
         array_join(transform(
-          sequence(lit(0), ceil(size(toks) / lit(4.0)).cast("int") - 1),
-          i => concat_ws(" ", slice(toks, i * 4 + 1, lit(4)))), sep))
+          sequence(lit(0), ceil(size(toks) / lit(n.toDouble)).cast("int") - 1),
+          i => concat_ws(" ", slice(toks, i * n + 1, lit(n)))), sep))
         .as("wtext"))
   }
 
@@ -162,6 +165,15 @@ object OpsQueries {
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
     }),
+    "q135_within_doc_dedup" -> ((s, d) =>
+      // intra-document scrub: wrap into 2-token lines (181 docs repeat a
+      // line internally at sf0.01), keep each line's FIRST occurrence —
+      // the Gopher self-repetition cleanup, fully row-local
+      Dedup.dedupWithinDoc(wrappedN(t(s, d, "documents"), 2, "\n"),
+          col("doc_id"), col("wtext"))
+        .select(col("id").as("doc_id"), col("n_kept"), col("n_removed"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")),
     "q133_paragraph_dedup" -> ((s, d) => {
       // the RefinedWeb PARAGRAPH-level pass: same operator as q96 with
       // the unit boundary at blank lines ("\n\n") — one knob, no new
@@ -997,6 +1009,31 @@ object OpsQueries {
                   GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
          flagged AS (SELECT l.doc_id, l.pos, l.line, (f.line IS NOT NULL) AS dup
                      FROM lines l LEFT JOIN freq f ON l.line = f.line)
+         SELECT doc_id,
+                CAST(sum(CASE WHEN NOT dup THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                md5(coalesce(string_agg(CASE WHEN NOT dup THEN line END, chr(10) ORDER BY pos), '')) AS text_md5
+         FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+
+    "q135_within_doc_dedup" ->
+      // 2-token wrapping; keep pos = min(pos) per (doc, line), blanks
+      // always; rebuild in original order
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents),
+         wrapped AS (
+           SELECT doc_id, CASE WHEN len(t) = 0 THEN ''
+                  ELSE array_to_string([array_to_string(t[(i*2+1):(i*2+2)], ' ')
+                                        FOR i IN range(0, CAST(ceil(len(t)/2.0) AS INT))], chr(10)) END AS wtext
+           FROM toks),
+         ls AS (SELECT doc_id, string_split(wtext, chr(10)) AS ll FROM wrapped),
+         lines AS (SELECT doc_id, unnest(ll) AS line, generate_subscripts(ll, 1) AS pos FROM ls),
+         firsts AS (SELECT doc_id, line, min(pos) AS fp FROM lines
+                    WHERE trim(line) <> '' GROUP BY doc_id, line),
+         flagged AS (SELECT l.doc_id, l.pos, l.line,
+                            (trim(l.line) <> '' AND l.pos <> f.fp) AS dup
+                     FROM lines l LEFT JOIN firsts f
+                       ON l.doc_id = f.doc_id AND l.line = f.line)
          SELECT doc_id,
                 CAST(sum(CASE WHEN NOT dup THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                 CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,

@@ -395,6 +395,23 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((1L, 0, 6, 2L), (2L, 3, 9, 2L)))
   }
 
+  test("dedupWithinDoc: first occurrence survives, blanks untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha\nbeta\nalpha\n\nbeta\ngamma"),
+      (2L, "no repeats here"),
+      (3L, ""),
+      (4L, "x\nx\nx")).toDF("id", "text")
+    val got = Dedup.dedupWithinDoc(docs, col("id"), col("text"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 2L, "alpha\nbeta\n\ngamma"), // dup alpha + dup beta drop, blank stays
+      (2L, 1L, 0L, "no repeats here"),
+      (3L, 1L, 0L, ""),
+      (4L, 1L, 2L, "x")))
+  }
+
   test("spanScrubAgainst: row-local scrub matches the batch strip; xxh64 parity") {
     import spark.implicits._
     // xxh64 helper must agree bit-for-bit with the xxhash64 column — the
@@ -622,6 +639,57 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       r._3 == "zip member report text"))
     assert(out.exists(r => r._1.endsWith("bundle.zip!data.csv") && r._2 == ".csv"))
     assert(out.exists(r => r._1.endsWith("plain.txt") && r._3 == "plain file"))
+  }
+
+  test("tar and tar.gz containers expand like zip, long names included") {
+    def tarEntry(name: String, data: Array[Byte],
+        typeflag: Char = '0'): Array[Byte] = {
+      val hdr = new Array[Byte](512)
+      val nb = name.getBytes(StandardCharsets.UTF_8)
+      System.arraycopy(nb, 0, hdr, 0, math.min(nb.length, 100))
+      def oct(v: Long, off: Int, len: Int): Unit = {
+        val s = ("%0" + (len - 1) + "o").format(v).getBytes(StandardCharsets.UTF_8)
+        System.arraycopy(s, 0, hdr, off, s.length)
+      }
+      oct(420, 100, 8) // mode 0644
+      oct(data.length.toLong, 124, 12)
+      oct(0L, 136, 12)
+      hdr(156) = typeflag.toByte
+      java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+      var sum = 0L
+      hdr.foreach(b => sum += b & 0xff)
+      val cs = ("%06o".format(sum) + "  ").getBytes(StandardCharsets.UTF_8)
+      System.arraycopy(cs, 0, hdr, 148, cs.length)
+      val padded = ((data.length + 511) / 512) * 512
+      hdr ++ data ++ new Array[Byte](padded - data.length)
+    }
+    val longName = ("deep/" + "d" * 120 + "/note.txt")
+    val body =
+      tarEntry("docs/a.txt", "tar member alpha".getBytes(StandardCharsets.UTF_8)) ++
+      tarEntry("skip.png", Array[Byte](9, 9)) ++
+      tarEntry("././@LongLink",
+        (longName + " ").getBytes(StandardCharsets.UTF_8), 'L') ++
+      tarEntry(longName.take(90), "long-name body".getBytes(StandardCharsets.UTF_8)) ++
+      new Array[Byte](1024) // end-of-archive blocks
+    val dir = Files.createTempDirectory("graft-tar").toString
+    Files.write(Paths.get(dir, "bundle.tar"), body)
+    val gz = new java.io.ByteArrayOutputStream()
+    val gzo = new java.util.zip.GZIPOutputStream(gz)
+    gzo.write(body); gzo.close()
+    Files.write(Paths.get(dir, "bundle.tgz"), gz.toByteArray)
+
+    val out = IngestJob.extractWithArchives(spark, dir)
+      .select("file_path", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // both containers contribute the same two members; the long 'L' name
+    // overrides the truncated header name; the .png never appears
+    for (c <- Seq("bundle.tar", "bundle.tgz")) {
+      assert(out.exists(r => r._1.endsWith(s"$c!docs/a.txt") &&
+        r._2 == "tar member alpha"), c)
+      assert(out.exists(r => r._1.endsWith(s"$c!$longName") &&
+        r._2 == "long-name body"), c)
+    }
+    assert(out.length == 4)
   }
 
   test("zip guards: member/total/count caps trip and drops are counted") {
