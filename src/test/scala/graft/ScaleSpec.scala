@@ -175,4 +175,50 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!binned.queryExecution.executedPlan.toString
       .contains("BroadcastNestedLoopJoin"))
   }
+
+  test("row-local scrub family: partition-invariant, zero exchanges") {
+    import spark.implicits._
+    import graft.ops.{Dedup, QualitySignals, TextAnalysis}
+    val docs = (0L until 40L).map { i =>
+      val boiler = "shared boiler line alpha beta"
+      val uniq = s"unique body $i content word${i % 7} tail${i % 5}"
+      (i, if (i % 3 == 0) s"$boiler\n$uniq\n$uniq" else uniq)
+    }
+    val bench = Seq((0L, "shared boiler line alpha beta")).toDF("id", "text")
+
+    def results(parts: Int): Seq[Seq[(Long, Long)]] = {
+      val df = docs.toDF("id", "text").repartition(parts)
+      val freq = Seq("shared boiler line alpha beta").map(l =>
+        (graft.ops.Dedup.xxh64(l), l)).toDF("h", "line")
+      val grams = Dedup.repeatedGrams(docs.toDF("id", "text"),
+        col("id"), col("text"), k = 3)
+      Seq(
+        Dedup.lineDedupAgainst(df, col("id"), col("text"), freq)
+          .select(col("id"), col("n_removed")),
+        Dedup.spanScrubAgainst(df, col("id"), col("text"), grams, k = 3)
+          .select(col("id"), col("n_removed")),
+        Dedup.dedupWithinDoc(df, col("id"), col("text"))
+          .select(col("id"), col("n_removed")),
+        QualitySignals.bloomContamination(df, col("id"), col("text"),
+          bench, col("text")).select(col("id"), col("n_flagged")),
+        TextAnalysis.winnowFingerprints(df, col("id"), col("text"))
+          .select(col("id"), col("n_fp")))
+        .map(_.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    }
+    // identical answers whatever the partitioning — these ops carry no
+    // cross-row state
+    assert(results(1) == results(7))
+    // and none of them puts an Exchange in the plan: pure projections
+    val df1 = docs.toDF("id", "text")
+    val freq1 = Seq(("shared boiler line alpha beta")).map(l =>
+      (graft.ops.Dedup.xxh64(l), l)).toDF("h", "line")
+    for ((name, plan) <- Seq(
+        "lineDedupAgainst" -> Dedup.lineDedupAgainst(df1, col("id"),
+          col("text"), freq1),
+        "dedupWithinDoc" -> Dedup.dedupWithinDoc(df1, col("id"), col("text")),
+        "winnowFingerprints" -> TextAnalysis.winnowFingerprints(df1,
+          col("id"), col("text"))))
+      assert(!plan.queryExecution.executedPlan.toString.contains("Exchange"),
+        s"$name plan has an Exchange")
+  }
 }
