@@ -65,6 +65,65 @@ object Curation {
   }
 
   /**
+   * EXACT-size deterministic sample: the `k` rows whose md5 rank of
+   * `keyCol` is smallest — content-keyed like every sampler here
+   * (reproducible across engines, runs, partitionings) but with an exact
+   * row count, which the rate-based [[stratifiedSample]] only hits in
+   * expectation. The order statistic of a uniform hash IS a uniform
+   * k-subset, so this is simple random sampling without replacement in
+   * one pass. Returns the input columns of the selected rows.
+   *
+   * Scale shape: TakeOrderedAndProject — per-partition k-heaps + driver
+   * merge, no global sort, no shuffle; the same plan as every top-k in
+   * the engine. */
+  def exactSample(df: DataFrame, keyCol: Column, k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    df.orderBy(graft.expr.PortableHash.hex15Col(keyCol).asc, keyCol.asc)
+      .limit(k)
+  }
+
+  /**
+   * Vocabulary coverage curve — the tokenizer-design diagnostic: for each
+   * candidate vocabulary size `V`, the fraction of all token OCCURRENCES
+   * covered by the `V` most frequent types (ties on count broken by the
+   * token, so the curve is engine-exact). A 10k-vocab covering 97% of
+   * occurrences means a 3% OOV/byte-fallback rate — the number that picks
+   * a BPE merge budget. Returns `(vocab_size, n_types, covered, total,
+   * coverage)` with coverage rounded to 4dp.
+   *
+   * Scale shape: the corpus reduces to `(token, count)` under partial
+   * aggregation (the only corpus-sized exchange carries token+long);
+   * ranking and the running sum are a window over the VOCABULARY-bounded
+   * count table — the one place a window is right, because the input is
+   * already vocabulary-sized, not corpus-sized. */
+  def vocabCoverage(df: DataFrame, textCol: Column,
+      sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty, "need at least one vocab size")
+    val counts = df
+      .select(explode(array_remove(split(trim(textCol), "\\s+"), "")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("tok"))
+    val ranked = counts
+      .select(col("c"), row_number().over(w).as("rnk"),
+        sum(col("c")).over(w).as("cum"))
+    val sorted = sizes.sorted
+    val aggs = sorted.flatMap(s => Seq(
+      max(when(col("rnk") <= s, col("rnk"))).as(s"t_$s"),
+      max(when(col("rnk") <= s, col("cum"))).as(s"c_$s")))
+    ranked.agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(counts.agg(sum("c").as("total"))))
+      .select(explode(array(sorted.map(s => struct(
+          lit(s.toLong).as("vocab_size"),
+          coalesce(col(s"t_$s"), lit(0)).cast("bigint").as("n_types"),
+          coalesce(col(s"c_$s"), lit(0L)).as("covered"))): _*)).as("r"),
+        col("total"))
+      .select(col("r.vocab_size").as("vocab_size"), col("r.n_types").as("n_types"),
+        col("r.covered").as("covered"), col("total"),
+        round(col("r.covered").cast("double") / col("total"), 4).as("coverage"))
+  }
+
+  /**
    * Deterministic per-stratum sampling (domain-mixing weights): keep a row
    * when its md5 bucket falls under the stratum's percentage. Content-keyed
    * like [[splitAssign]] — membership is reproducible across engines, runs

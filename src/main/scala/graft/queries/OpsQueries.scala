@@ -165,6 +165,19 @@ object OpsQueries {
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
     }),
+    "q136_exact_sample" -> ((s, d) =>
+      // exact-k simple random sample via md5 order statistic: one
+      // TakeOrdered pass, content-keyed so any engine draws the same rows
+      graft.ops.Curation.exactSample(
+          t(s, d, "documents").select(col("doc_id"), col("lang"), col("source")),
+          col("doc_id"), k = 40)
+        .orderBy("doc_id")),
+    "q137_vocab_coverage" -> ((s, d) =>
+      // tokenizer-budget diagnostic: share of token occurrences covered
+      // by the V most frequent types, V in {100, 1000, 5000}
+      graft.ops.Curation.vocabCoverage(t(s, d, "documents"), col("text"),
+          Seq(100, 1000, 5000))
+        .orderBy("vocab_size")),
     "q135_within_doc_dedup" -> ((s, d) =>
       // intra-document scrub: wrap into 2-token lines (181 docs repeat a
       // line internally at sf0.01), keep each line's FIRST occurrence —
@@ -1014,6 +1027,34 @@ object OpsQueries {
                 CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
                 md5(coalesce(string_agg(CASE WHEN NOT dup THEN line END, chr(10) ORDER BY pos), '')) AS text_md5
          FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+
+    "q136_exact_sample" ->
+      """SELECT * FROM (
+           SELECT doc_id, lang, source FROM documents
+           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+                    doc_id
+           LIMIT 40)
+         ORDER BY doc_id""",
+
+    "q137_vocab_coverage" ->
+      """WITH tok AS (
+           SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+           FROM documents),
+         cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+         rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rnk,
+                       sum(c) OVER (ORDER BY c DESC, tok
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM cnt),
+         tot AS (SELECT sum(c) AS total FROM cnt),
+         sz(vocab_size) AS (VALUES (100), (1000), (5000))
+         SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+                CAST(coalesce(max(CASE WHEN rnk <= vocab_size THEN rnk END), 0) AS BIGINT) AS n_types,
+                CAST(coalesce(max(CASE WHEN rnk <= vocab_size THEN cum END), 0) AS BIGINT) AS covered,
+                CAST(max(tot.total) AS BIGINT) AS total,
+                round(coalesce(max(CASE WHEN rnk <= vocab_size THEN cum END), 0)
+                      / CAST(max(tot.total) AS DOUBLE), 4) AS coverage
+         FROM sz CROSS JOIN rk CROSS JOIN tot
+         GROUP BY vocab_size ORDER BY vocab_size""",
 
     "q135_within_doc_dedup" ->
       // 2-token wrapping; keep pos = min(pos) per (doc, line), blanks

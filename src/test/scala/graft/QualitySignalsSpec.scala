@@ -176,6 +176,33 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Window"), "ntile-style window crept in")
   }
 
+  test("exactSample: exact size, deterministic, partition-invariant") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, s"row$i")).toDF("id", "payload")
+    val a = graft.ops.Curation.exactSample(df, col("id"), 37)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = graft.ops.Curation.exactSample(df.repartition(13), col("id"), 37)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a.size == 37 && a == b)
+    // plan is a TakeOrdered, not a global sort
+    val plan = graft.ops.Curation.exactSample(df, col("id"), 37)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("vocabCoverage: hand-computed curve, count-then-token tie order") {
+    import spark.implicits._
+    // counts: a=4, b=3, c=2, d=1 (total 10); ranks a,b,c,d
+    val docs = Seq("a a b c", "a b d", "a b c").map(Tuple1(_)).toDF("text")
+    val got = graft.ops.Curation.vocabCoverage(docs, col("text"), Seq(1, 2, 10))
+      .orderBy("vocab_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 4L, 10L, 0.4),   // top-1 = a
+      (2L, 2L, 7L, 10L, 0.7),   // a+b
+      (10L, 4L, 10L, 10L, 1.0))) // whole vocab
+  }
+
   test("boilerplate fraction: distinct-bigram df share, hand-computed") {
     import spark.implicits._
     // "c o m m o n" appears in all 3 docs: its 5 bigrams have df = 3;
