@@ -117,6 +117,22 @@ object QualitySignals {
   }
 
   /**
+   * Contamination REMOVAL — the product to [[contamination]]'s evidence:
+   * drop every document sharing ≥ `minShared` distinct word `n`-grams
+   * with the benchmark corpus and return the clean corpus (all input
+   * columns). Anti-join on the (vanishingly small) flagged-id list: the
+   * corpus itself never shuffles, exactly like [[Dedup.dedupCorpus]].
+   */
+  def decontaminate(df: DataFrame, idCol: Column, textCol: Column,
+      bench: DataFrame, benchTextCol: Column, n: Int = 3,
+      minShared: Long = 1L): DataFrame = {
+    val flagged = contamination(df, idCol, textCol, bench, benchTextCol, n)
+      .filter(col("n_shared") >= minShared)
+      .select(col("id").as("__contaminated_id"))
+    df.join(flagged, idCol === col("__contaminated_id"), "left_anti")
+  }
+
+  /**
    * BLOOM-FILTER decontamination — [[contamination]] for benchmark sets
    * too large to broadcast verbatim. The benchmark's distinct word
    * `n`-grams reduce to a fixed `m`-bit filter (each gram sets `k`

@@ -165,6 +165,16 @@ object OpsQueries {
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
     }),
+    "q138_decontaminate" -> ((s, d) => {
+      // the removal twin of q70: docs sharing >= 2 distinct 3-grams with
+      // the benchmark drop; the surviving corpus is the product
+      val docs = t(s, d, "documents")
+      graft.ops.QualitySignals.decontaminate(
+          docs.filter(col("doc_id") >= 5), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") < 5), col("text"), minShared = 2L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
     "q136_exact_sample" -> ((s, d) =>
       // exact-k simple random sample via md5 order statistic: one
       // TakeOrdered pass, content-keyed so any engine draws the same rows
@@ -1027,6 +1037,22 @@ object OpsQueries {
                 CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
                 md5(coalesce(string_agg(CASE WHEN NOT dup THEN line END, chr(10) ORDER BY pos), '')) AS text_md5
          FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+
+    "q138_decontaminate" ->
+      // q70's shared-gram counts; survivors have < 2 shared grams
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+         g AS (SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
+                 i -> tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3])) AS g3
+               FROM toks WHERE len(tk) >= 3),
+         bench AS (SELECT DISTINCT g3 FROM g WHERE doc_id < 5),
+         shared AS (SELECT g.doc_id, count(DISTINCT g.g3) AS n_shared
+                    FROM g JOIN bench USING (g3) WHERE g.doc_id >= 5
+                    GROUP BY g.doc_id)
+         SELECT d.doc_id, d.lang, d.n_chars
+         FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
+         WHERE d.doc_id >= 5 AND coalesce(s.n_shared, 0) < 2
+         ORDER BY d.doc_id""",
 
     "q136_exact_sample" ->
       """SELECT * FROM (
