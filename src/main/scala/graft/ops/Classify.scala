@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Trainable text classification for training-data curation (north-star
+ * extension): a multinomial Naive Bayes over whitespace tokens — the
+ * fastText-shaped "train a cheap linear model on the corpus, score every
+ * document row-locally" pipeline component (quality gates, language
+ * routing, domain tagging). Deliberately classical: NB training is pure
+ * counting, so the whole fit is two partial-agg-friendly aggregations,
+ * and the fitted model is vocabulary-bounded — the same
+ * collect-the-bounded-table discipline as [[Ivf.trainCentroids]] (k
+ * centroids) and [[Bpe.train]] (the word vocab).
+ *
+ * Scale shapes: training shuffles only `(label, term, count)` rows with
+ * map-side combine — document text never leaves its scan stage. Scoring
+ * is a compiled per-partition projection over a broadcast model map —
+ * zero exchanges, O(tokens × labels) hash lookups per document, never an
+ * interpreted HOF walk (higher-order functions are CodegenFallback; a
+ * vocab lookup inside one would scan the vocab array per token). For
+ * vocabularies beyond driver memory the broadcast-join variant of
+ * [[QualitySignals.bigramLmScore]] is the same recipe; a fitted text
+ * model at fastText scale (millions of terms) fits comfortably.
+ */
+object Classify {
+
+  /** Fitted multinomial NB: `labels` sorted ascending (the tie-break
+    * order), per-label log priors `ln(docs_l / docs)`, per-label
+    * unknown-token log-prob `ln(1 / (n_l + V))`, and per-term per-label
+    * smoothed log-probs `ln((c(t,l) + 1) / (n_l + V))` aligned to
+    * `labels`. */
+  case class NbModel(labels: Array[String], logPrior: Array[Double],
+      logUnk: Array[Double], termLogp: Map[String, Array[Double]]) {
+    require(labels.length == logPrior.length && labels.length == logUnk.length)
+  }
+
+  /** The trained model TABLE `(label, term, logp)` — add-one-smoothed
+    * `ln((c(term,label) + 1) / (n_label + V))`, `V` = corpus-wide distinct
+    * term count, rounded 4dp for engine-reproducible dumps. Two
+    * aggregations over `(label, term)` pairs (both reduce under partial
+    * aggregation) plus two broadcast scalars; the result is
+    * vocabulary-bounded. */
+  def nbTrain(df: DataFrame, labelCol: Column, textCol: Column): DataFrame = {
+    val counts = termCounts(df, labelCol, textCol)
+    val totals = counts.groupBy("label").agg(sum("c").as("n_l"))
+    val vocab = counts.agg(count_distinct(col("term")).as("v"))
+    counts
+      .join(broadcast(totals), "label")
+      .crossJoin(broadcast(vocab))
+      .select(col("label"), col("term"),
+        round(log((col("c") + 1).cast("double") / (col("n_l") + col("v"))), 4)
+          .as("logp"))
+  }
+
+  /** Fit and COLLECT the bounded model (|V|·|L| log-probs + |L| priors).
+    * Documents with no tokens still count toward the priors — they are
+    * real corpus members a scorer must still label. */
+  def nbFit(df: DataFrame, labelCol: Column, textCol: Column): NbModel = {
+    val counts = termCounts(df, labelCol, textCol).persist()
+    try {
+      val totals = counts.groupBy("label").agg(sum("c").as("n_l"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val vocabSize = counts.agg(count_distinct(col("term"))).head().getLong(0)
+      val docCounts = df.groupBy(labelCol.cast("string").as("label"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val labels = docCounts.keySet.toArray.sorted
+      val nDocs = docCounts.values.sum.toDouble
+      val idx = labels.zipWithIndex.toMap
+      // labels seen only in docs with zero tokens have n_l = 0; smoothing
+      // still defines their distribution (uniform 1/V)
+      val nl = labels.map(l => totals.getOrElse(l, 0L).toDouble)
+      val logPrior = labels.map(l => math.log(docCounts(l) / nDocs))
+      val logUnk = labels.indices.map(i => math.log(1.0 / (nl(i) + vocabSize))).toArray
+      val termLogp = counts.collect()
+        .groupBy(_.getString(1))
+        .map { case (term, rows) =>
+          val v = logUnk.clone()
+          rows.foreach { r =>
+            val i = idx(r.getString(0))
+            v(i) = math.log((r.getLong(2) + 1.0) / (nl(i) + vocabSize))
+          }
+          term -> v
+        }
+      NbModel(labels, logPrior, logUnk, termLogp)
+    } finally counts.unpersist()
+  }
+
+  /** Score every document against every label and return the argmax:
+    * `(id, pred, score)` with `score = logPrior + Σ_tokens logp` rounded
+    * 4dp BEFORE the argmax (ties → alphabetically first label), so the
+    * decision is engine-reproducible. Token-less documents score on the
+    * prior alone. Compiled per-partition projection over the broadcast
+    * model — zero exchanges. */
+  def nbPredict(df: DataFrame, idCol: Column, textCol: Column,
+      model: NbModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    df.select(idCol.cast("long").as("id"), textCol.cast("string").as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val m = bc.value
+        val nL = m.labels.length
+        rows.map { case (id, text) =>
+          val tk =
+            if (text == null) Array.empty[String]
+            else Dedup.trimSpaces(text).split("\\s+").filter(_.nonEmpty)
+          val s = m.logPrior.clone()
+          tk.foreach { t =>
+            val lp = m.termLogp.getOrElse(t, m.logUnk)
+            var i = 0
+            while (i < nL) { s(i) += lp(i); i += 1 }
+          }
+          var best = 0
+          var i = 1
+          while (i < nL) { // labels sorted: strict > keeps the first max
+            if (rnd4(s(i)) > rnd4(s(best))) best = i
+            i += 1
+          }
+          (id, m.labels(best), rnd4(s(best)))
+        }
+      }
+      .toDF("id", "pred", "score")
+  }
+
+  /** 4dp half-away-from-zero — the same rounding `round()` applies in
+    * both Spark and DuckDB, so the argmax sees identical numbers. */
+  private def rnd4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** `(label, term, c)` occurrence counts — the sufficient statistic. */
+  private def termCounts(df: DataFrame, labelCol: Column, textCol: Column) =
+    df.select(labelCol.cast("string").as("label"),
+        explode(array_remove(split(trim(textCol), "\\s+"), "")).as("term"))
+      .groupBy("label", "term").agg(count(lit(1)).as("c"))
+}

@@ -330,6 +330,101 @@ object Curation {
   }
 
   /**
+   * EXACT range sharding for globally-SORTED export: assign each row the
+   * 0-based shard of its global rank under `orderCols` (ntile semantics —
+   * the first `N mod n` shards take one extra row), so reading
+   * `shard=0, 1, …` in order replays the corpus in total order and every
+   * shard is balanced to ±1 row. This is what `repartitionByRange` can
+   * NOT give a verifier: its sampled boundaries are engine-private and
+   * only approximately balanced, while ntile-of-exact-rank is a pure
+   * function of the data (the DuckDB oracle recomputes it as
+   * `ntile(n) OVER (ORDER BY …)`).
+   *
+   * `orderCols` MUST be a unique total order (end it with a unique id):
+   * with ties the rank split inside a tie group would depend on physical
+   * row order. Returns the input columns + `shard` (int).
+   *
+   * Scale shape: the global rank is the [[packSequences]] two-pass
+   * distributed prefix sum — range-partition + local sort, count each
+   * partition (one long per partition to the driver), scan the counts
+   * into start offsets, then a second local pass turns offset + position
+   * into rank → shard. No unpartitioned window (`Window.orderBy` with no
+   * partition moves the corpus to ONE task), no global sort beyond the
+   * range exchange every sorted export needs anyway. The ordered input is
+   * computed twice (once per pass) — persist upstream if it's expensive.
+   */
+  def rangeShardAssign(df: DataFrame, orderCols: Seq[Column],
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, "need nShards >= 1")
+    val spark = df.sparkSession
+    val parted = df.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val rdd = parted.rdd
+    val counts = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var c = 0L; it.foreach(_ => c += 1); Iterator((pid, c))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val total = counts.sum
+    val offsets = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
+    // ntile over 0-based rank: q = N div n, r = N mod n; the first r
+    // tiles hold q+1 rows, the rest q
+    val q = total / nShards
+    val r = total % nShards
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rank = offsets.value(pid)
+      it.map { row =>
+        val shard =
+          if (rank < r * (q + 1)) rank / (q + 1)
+          else r + (rank - r * (q + 1)) / q
+        rank += 1
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ shard.toInt)
+      }
+    }
+    spark.createDataFrame(out,
+      df.schema.add("shard", org.apache.spark.sql.types.IntegerType))
+  }
+
+  /**
+   * Write the corpus as `nShards` globally-SORTED range shards —
+   * `path/shard=N/part-*.parquet`, each shard internally sorted by
+   * `orderCols` and all of shard N ordered before shard N+1 — plus a
+   * `_manifest.json` with per-shard `(shard, n_rows, min_key, max_key)`
+   * (min/max of the first order column) so a training reader can both
+   * integrity-check and range-prune. The [[writeShards]] layout with
+   * order where that has hash uniformity. Returns the manifest stats.
+   *
+   * One extra exchange beyond [[rangeShardAssign]]: co-locating each
+   * shard into its writer task (then re-sorting locally — the shard
+   * exchange is hash-based and order-destroying). */
+  def writeRangeShards(df: DataFrame, orderCols: Seq[Column], nShards: Int,
+      path: String): DataFrame = {
+    val spark = df.sparkSession
+    val assigned = rangeShardAssign(df, orderCols, nShards)
+    assigned.repartition(nShards, col("shard"))
+      .sortWithinPartitions(orderCols: _*)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val keyName = assigned.drop("shard")
+      .select(orderCols.head).schema.head.name
+    val stats = spark.read.parquet(path)
+      .groupBy("shard")
+      .agg(count("*").as("n_rows"),
+        min(col(keyName)).cast("string").as("min_key"),
+        max(col(keyName)).cast("string").as("max_key"))
+      .orderBy("shard")
+    val manifest = stats.collect()
+      .map(r => s"""{"shard": ${r.get(0)}, "n_rows": ${r.getLong(1)}, """ +
+        s""""min_key": "${r.getString(2)}", "max_key": "${r.getString(3)}"}""")
+      .mkString("[", ", ", "]")
+    val hPath = new org.apache.hadoop.fs.Path(path, "_manifest.json")
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(hPath, true)
+    try out.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    stats
+  }
+
+  /**
    * Concat-and-chunk sequence packing: documents ordered by `order` are
    * conceptually concatenated and cut every `budget` tokens — the packing
    * used to fill fixed context windows without padding. A document lands in

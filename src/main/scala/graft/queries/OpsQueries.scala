@@ -175,6 +175,32 @@ object OpsQueries {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
     }),
+    "q139_nb_model" -> ((s, d) =>
+      // multinomial NB fit as pure counting: the (label, term, logp)
+      // model table, add-one smoothed, vocab-bounded
+      graft.ops.Classify.nbTrain(t(s, d, "documents"),
+          col("lang"), col("text"))
+        .orderBy("label", "term").limit(400)),
+    "q140_nb_predict" -> ((s, d) => {
+      // fit on the corpus, score every document row-locally against the
+      // broadcast model; argmax on 4dp-rounded scores, ties alphabetical
+      val docs = t(s, d, "documents")
+      val model = graft.ops.Classify.nbFit(docs, col("lang"), col("text"))
+      graft.ops.Classify.nbPredict(docs, col("doc_id"), col("text"), model)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+    "q141_range_shards" -> ((s, d) =>
+      // exact ntile range sharding on the unique (n_chars, doc_id) order;
+      // the stats prove balance (±1 row) and ordered, non-overlapping
+      // key ranges across shards — the globally-sorted export contract
+      graft.ops.Curation.rangeShardAssign(
+          t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          Seq(col("n_chars"), col("doc_id")), 16)
+        .groupBy(col("shard").cast("bigint").as("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("n_chars")).as("min_key"), max(col("n_chars")).as("max_key"))
+        .orderBy("shard")),
     "q136_exact_sample" -> ((s, d) =>
       // exact-k simple random sample via md5 order statistic: one
       // TakeOrdered pass, content-keyed so any engine draws the same rows
@@ -1053,6 +1079,62 @@ object OpsQueries {
          FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
          WHERE d.doc_id >= 5 AND coalesce(s.n_shared, 0) < 2
          ORDER BY d.doc_id""",
+
+    "q139_nb_model" ->
+      // the same sufficient statistics: (label, term) counts, per-label
+      // token totals, corpus vocab size, add-one smoothing
+      """WITH toks AS (
+           SELECT lang AS label, list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x <> '') AS tk
+           FROM documents),
+         c AS (SELECT label, term, count(*) AS c
+               FROM (SELECT label, unnest(tk) AS term FROM toks) GROUP BY 1, 2),
+         nl AS (SELECT label, CAST(sum(c) AS DOUBLE) AS n_l FROM c GROUP BY 1),
+         vv AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM c)
+         SELECT c.label, c.term, round(ln((c.c + 1.0) / (nl.n_l + vv.v)), 4) AS logp
+         FROM c JOIN nl USING (label) CROSS JOIN vv
+         ORDER BY label, term LIMIT 400""",
+
+    "q140_nb_predict" ->
+      // per-token smoothed log-probs summed per (doc, label) + log prior;
+      // token-less docs score on the prior alone; argmax at 4dp, ties ->
+      // alphabetically first label
+      """WITH toks AS (
+           SELECT doc_id, lang, list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x <> '') AS tk
+           FROM documents),
+         c AS (SELECT label, term, count(*) AS c
+               FROM (SELECT lang AS label, unnest(tk) AS term FROM toks) GROUP BY 1, 2),
+         nl AS (SELECT label, CAST(sum(c) AS DOUBLE) AS n_l FROM c GROUP BY 1),
+         vv AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM c),
+         pr AS (SELECT lang AS label,
+                  ln(count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE)) AS lp
+                FROM documents GROUP BY 1),
+         dt AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+         sc AS (SELECT dt.doc_id, nl.label,
+                  sum(ln((coalesce(c.c, 0) + 1.0) / (nl.n_l + vv.v))) AS s
+                FROM dt CROSS JOIN nl CROSS JOIN vv
+                LEFT JOIN c ON c.term = dt.term AND c.label = nl.label
+                GROUP BY 1, 2),
+         tot AS (SELECT d.doc_id, pr.label, pr.lp + coalesce(sc.s, 0.0) AS t
+                 FROM documents d CROSS JOIN pr
+                 LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.label = pr.label),
+         r AS (SELECT doc_id, label, round(t, 4) AS score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY round(t, 4) DESC, label) AS rn
+               FROM tot)
+         SELECT doc_id, label AS pred, score FROM r WHERE rn = 1 ORDER BY doc_id""",
+
+    "q141_range_shards" ->
+      // ntile of the exact global rank — what the two-pass prefix sum
+      // computes without an unpartitioned window
+      """WITH r AS (
+           SELECT doc_id, n_chars,
+                  ntile(16) OVER (ORDER BY n_chars, doc_id) AS sh
+           FROM documents)
+         SELECT sh - 1 AS shard, count(*) AS n_rows,
+                min(n_chars) AS min_key, max(n_chars) AS max_key
+         FROM r GROUP BY 1 ORDER BY 1""",
 
     "q136_exact_sample" ->
       """SELECT * FROM (

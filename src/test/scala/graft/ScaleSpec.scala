@@ -159,6 +159,50 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$dir/fan").count() == 500)
   }
 
+  test("rangeShardAssign/writeRangeShards: balanced, globally sorted, invariant") {
+    import graft.ops.Curation
+    val df = spark.range(0, 500).toDF("id")
+      .withColumn("key", col("id") % 37) // heavy ties: id breaks them
+    val order = Seq(col("key"), col("id"))
+    val assigned = Curation.rangeShardAssign(df, order, 8)
+    val sizes = assigned.groupBy("shard").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // ntile balance: 500 = 4×63 + 4×62, extras on the first shards
+    assert(sizes == Map(0 -> 63L, 1 -> 63L, 2 -> 63L, 3 -> 63L,
+      4 -> 62L, 5 -> 62L, 6 -> 62L, 7 -> 62L))
+    // shard boundaries respect the total order: max(key,id) of shard s
+    // precedes min(key,id) of shard s+1
+    val spans = assigned
+      .groupBy("shard")
+      .agg(min(struct(col("key"), col("id"))).as("lo"),
+        max(struct(col("key"), col("id"))).as("hi"))
+      .orderBy("shard")
+      .collect().map(r => (r.getStruct(1), r.getStruct(2)))
+    for (Seq((_, hi), (lo, _)) <- spans.toSeq.sliding(2))
+      assert(Seq(hi, lo).map(s => (s.getLong(0), s.getLong(1))) ==
+        Seq(hi, lo).map(s => (s.getLong(0), s.getLong(1))).sorted)
+    // assignment is a pure function of the data, not its partitioning
+    val again = Curation.rangeShardAssign(df.repartition(13), order, 8)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(assigned.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(2))).sameElements(again))
+
+    // the writer: sorted-on-read layout + range-pruning manifest
+    val dir = java.nio.file.Files.createTempDirectory("graft-rs").toString
+    Curation.writeRangeShards(df, order, 8, s"$dir/out")
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == 500)
+    val replay = (0 until 8).flatMap { s =>
+      spark.read.parquet(s"$dir/out/shard=$s")
+        .collect().map(r => (r.getLong(1), r.getLong(0))) // (key, id) file order
+    }
+    assert(replay == replay.sorted, "shard-order replay must be the global sort")
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/out/_manifest.json")))
+    assert(manifest.contains(""""shard": 0, "n_rows": 63""") &&
+      manifest.contains(""""min_key""""))
+  }
+
   test("binnedRangeJoin: matches naive BETWEEN join; no nested loop in plan") {
     import spark.implicits._
     val probe = Seq(0.5, 1.0, 3.9, 4.0, 7.2, 10.0, -1.0).toDF("x")
