@@ -652,6 +652,94 @@ object Dedup {
       org.apache.spark.unsafe.types.UTF8String.fromString(s),
       org.apache.spark.sql.types.StringType, 42L)
 
+  /**
+   * Content-defined chunking (CDC): cut each document into variable-size
+   * chunks at positions the CONTENT chooses — after token `i` whenever
+   * `hex15(window of the last w tokens) mod divisor == 0` — so an
+   * insertion or deletion only reshapes the chunks around the edit while
+   * every boundary downstream re-synchronizes (the FastCDC/rsync
+   * property fixed-size blocks lack; fixed-length gram dedup pays a 10×
+   * expansion for the same robustness). Expected chunk length ≈
+   * `divisor` tokens. Returns `(id, chunk_no, h, n_tok)` — the chunk's
+   * [[graft.expr.PortableHash]] hex15, so the DuckDB oracle reproduces
+   * every boundary and hash bit-for-bit.
+   *
+   * Scale shape: chunking is a compiled per-partition projection (zero
+   * exchanges; the boundary rule reads only the w-token window). Only
+   * `(id, chunk_no, h, n_tok)` rows leave the scan — the text never
+   * shuffles, and downstream block-level dedup joins on longs.
+   */
+  def cdcChunks(df: DataFrame, idCol: Column, textCol: Column,
+      window: Int = 2, divisor: Int = 8): DataFrame = {
+    require(window >= 1 && divisor >= 1, "need window >= 1 and divisor >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(idCol.cast("long").as("id"), textCol.cast("string").as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          val tk =
+            if (text == null) Array.empty[String]
+            else trimSpaces(text).split("\\s+").filter(_.nonEmpty)
+          if (tk.isEmpty) Iterator.empty
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+            var start = 0
+            var chunkNo = 0L
+            var i = 0
+            while (i < tk.length) {
+              // boundary between i and i+1 (1-based i+1 in [w, n-1])
+              val cut = i + 1 >= window && i + 1 < tk.length &&
+                graft.expr.PortableHash.hex15(
+                  tk.slice(i + 1 - window, i + 1).mkString(" ")) % divisor == 0
+              if (cut) {
+                val chunk = tk.slice(start, i + 1).mkString(" ")
+                out += ((id, chunkNo, graft.expr.PortableHash.hex15(chunk),
+                  (i + 1 - start).toLong))
+                chunkNo += 1
+                start = i + 1
+              }
+              i += 1
+            }
+            val last = tk.slice(start, tk.length).mkString(" ")
+            out += ((id, chunkNo, graft.expr.PortableHash.hex15(last),
+              (tk.length - start).toLong))
+            out.iterator
+          }
+        }
+      }
+      .toDF("id", "chunk_no", "h", "n_tok")
+  }
+
+  /**
+   * Block-level duplication report over [[cdcChunks]]: per document, the
+   * chunk count and the share of its chunks whose hash occurs in ≥ 2
+   * distinct documents — the CDC analogue of [[graft.ops.QualitySignals
+   * .boilerplateFraction]], and the detector for storage-level/container
+   * dedup (shared blocks across .tar members, mirrored file sections).
+   * Returns `(id, n_chunks, dup_frac)`; token-less documents are absent.
+   *
+   * Scale shape: the chunk table is built row-locally; the distinct-doc
+   * count per hash is a `(h, id)` DISTINCT then count — two partial-agg
+   * exchanges of longs, never an object-hash set (the q96 lesson); the
+   * membership join carries only hashes that reached `minDocs`.
+   */
+  def cdcDupFraction(df: DataFrame, idCol: Column, textCol: Column,
+      window: Int = 2, divisor: Int = 8, minDocs: Int = 2): DataFrame = {
+    val chunks = cdcChunks(df, idCol, textCol, window, divisor)
+    val dup = chunks.select(col("h"), col("id")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"), lit(1L).as("dup"))
+    chunks.select(col("id"), col("h"))
+      .join(dup, Seq("h"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("dup"), lit(0L))).as("nd"))
+      .select(col("id"), col("n_chunks"),
+        round(col("nd") / col("n_chunks"), 4).as("dup_frac"))
+  }
+
   /** Exact pairwise n-gram Jaccard over a bounded id range — the
     * brute-force baseline the LSH paths approximate. O(n²): keep the range
     * small or use [[minHashDuplicates]] at scale. */

@@ -105,6 +105,49 @@ object TextAnalysis {
     }
   }
 
+  /** [[langId]] with a calibrated-confidence companion: struct
+    * `(pred, margin)` where `margin = (top1 − top2) / top1` over the
+    * marker-hit counts (0 when nothing matches or two languages tie) —
+    * the relative-margin confidence heuristic classifiers report when
+    * there is no probabilistic head. Rounded 4dp so downstream bucket
+    * cuts are engine-reproducible. Row-local built-ins only. */
+  def langIdWithConfidence(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    val hits = markers.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words: _*)))
+    }
+    val sorted = reverse(array_sort(array(hits.map(_._2): _*)))
+    val s1 = element_at(sorted, 1)
+    val s2 = element_at(sorted, 2)
+    val pred = hits.reverse.foldLeft(lit("und")) { case (acc, (lang, h)) =>
+      when(h === greatest(hits.map(_._2): _*) && h > 0, lit(lang)).otherwise(acc)
+    }
+    struct(pred.as("pred"),
+      when(s1 > 0, round((s1 - s2) / s1, 4)).otherwise(lit(0.0)).as("margin"))
+  }
+
+  /** Confidence CALIBRATION report for [[langId]] against a declared
+    * label: bucket the margin into `buckets` equal bins (top bin closed)
+    * and report per-bin document count and agreement rate — the "is
+    * high confidence actually more accurate" diagnostic that decides
+    * whether a margin threshold is a usable routing gate. Returns
+    * `(bucket, n, n_agree, agree_rate)`.
+    *
+    * Scale shape: the classifier is a row-local projection; the report
+    * is one partial-agg-friendly aggregation over `buckets` groups. The
+    * rate divides two exact longs — no float-sum ordering anywhere. */
+  def langIdCalibration(df: DataFrame, textCol: Column, declaredCol: Column,
+      buckets: Int = 4): DataFrame =
+    df.select(langIdWithConfidence(textCol).as("c"), declaredCol.as("declared"))
+      .select(
+        least(floor(col("c.margin") * buckets).cast("int"), lit(buckets - 1))
+          .as("bucket"),
+        (col("c.pred") === col("declared")).cast("long").as("agree"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("agree").as("n_agree"))
+      .select(col("bucket").cast("bigint").as("bucket"), col("n"),
+        col("n_agree"), round(col("n_agree") / col("n"), 4).as("agree_rate"))
+
   /** Polynomial rolling-hash fingerprint of the first `prefix` chars:
     * `acc = (acc*31 + codepoint) mod 1e9+7`, seed 7 — cheap, deterministic,
     * and expressible in any engine with a list fold (used by the DuckDB

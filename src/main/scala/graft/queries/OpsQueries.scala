@@ -201,6 +201,17 @@ object OpsQueries {
         .agg(count(lit(1)).as("n_rows"),
           min(col("n_chars")).as("min_key"), max(col("n_chars")).as("max_key"))
         .orderBy("shard")),
+    "q142_langid_calibration" -> ((s, d) =>
+      // margin-confidence calibration of the langId heuristic against
+      // the declared lang: per-bucket doc count and agreement rate
+      TextAnalysis.langIdCalibration(t(s, d, "documents"),
+        col("text"), col("lang")).orderBy("bucket")),
+    "q143_cdc_dedup" -> ((s, d) =>
+      // content-defined chunking (w=2 anchor window, divisor 8 -> ~8-token
+      // chunks) + per-doc share of chunks duplicated across documents
+      Dedup.cdcDupFraction(t(s, d, "documents"), col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
     "q136_exact_sample" -> ((s, d) =>
       // exact-k simple random sample via md5 order statistic: one
       // TakeOrdered pass, content-keyed so any engine draws the same rows
@@ -1135,6 +1146,71 @@ object OpsQueries {
          SELECT sh - 1 AS shard, count(*) AS n_rows,
                 min(n_chars) AS min_key, max(n_chars) AS max_key
          FROM r GROUP BY 1 ORDER BY 1""",
+
+    "q142_langid_calibration" ->
+      // q49's marker-hit scores + relative margin (top1-top2)/top1,
+      // bucketed at 4dp-rounded margins; ties at the top -> margin 0
+      """WITH h AS (
+           SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+         c AS (
+           SELECT doc_id, lang,
+             len(list_filter(tk, x -> list_contains(['the','and','of','to','in','is','that','with'], x))) AS en,
+             len(list_filter(tk, x -> list_contains(['el','la','de','que','y','los','las','por'], x))) AS es,
+             len(list_filter(tk, x -> list_contains(['le','la','les','des','est','une','dans','pour'], x))) AS fr,
+             len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS de
+           FROM h),
+         p AS (
+           SELECT doc_id, lang,
+             CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+                  WHEN en = greatest(en, es, fr, de) THEN 'en'
+                  WHEN es = greatest(en, es, fr, de) THEN 'es'
+                  WHEN fr = greatest(en, es, fr, de) THEN 'fr'
+                  ELSE 'de' END AS pred,
+             list_reverse_sort([en, es, fr, de]) AS s
+           FROM c),
+         m AS (
+           SELECT doc_id, lang, pred,
+             CASE WHEN s[1] > 0 THEN round((s[1] - s[2]) / CAST(s[1] AS DOUBLE), 4)
+                  ELSE 0.0 END AS margin
+           FROM p),
+         b AS (
+           SELECT least(CAST(floor(margin * 4) AS INT), 3) AS bucket,
+                  CASE WHEN pred = lang THEN 1 ELSE 0 END AS agree
+           FROM m)
+         SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+                CAST(sum(agree) AS BIGINT) AS n_agree,
+                round(sum(agree) / CAST(count(*) AS DOUBLE), 4) AS agree_rate
+         FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q143_cdc_dedup" ->
+      // same boundary rule: cut after 1-based token i (w <= i < n) when
+      // hex15 of the 2-token window divides by 8; chunk hash = hex15(text)
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x <> '') AS tk
+           FROM documents),
+         t AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+         p AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS i, tk FROM t),
+         f AS (SELECT doc_id, i, tk[i] AS tok,
+                 CASE WHEN i >= 2 AND i < len(tk)
+                       AND CAST('0x' || substr(md5(tk[i - 1] || ' ' || tk[i]), 1, 15)
+                             AS BIGINT) % 8 = 0
+                      THEN 1 ELSE 0 END AS b
+               FROM p),
+         c AS (SELECT doc_id, i, tok,
+                 coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_no
+               FROM f),
+         ch AS (SELECT doc_id, chunk_no,
+                  CAST('0x' || substr(md5(string_agg(tok, ' ' ORDER BY i)), 1, 15)
+                    AS BIGINT) AS h
+                FROM c GROUP BY 1, 2),
+         nd AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ch GROUP BY h)
+         SELECT ch.doc_id, count(*) AS n_chunks,
+                round(sum(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END)
+                  / CAST(count(*) AS DOUBLE), 4) AS dup_frac
+         FROM ch JOIN nd USING (h)
+         GROUP BY 1 ORDER BY 1""",
 
     "q136_exact_sample" ->
       """SELECT * FROM (

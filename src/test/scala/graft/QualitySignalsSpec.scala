@@ -203,6 +203,30 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (10L, 4L, 10L, 10L, 1.0))) // whole vocab
   }
 
+  test("langIdWithConfidence: margin semantics; calibration buckets") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "the cat and the dog of note"), // en=4 hits, others 0 -> margin 1
+      (2L, "en", "the la"),                      // en=1, es=1, fr=1 tie -> margin 0
+      (3L, "de", "xyzzy plugh"),                 // no hits -> und, margin 0
+      (4L, "es", "el que y the"))                // es=3, en=1 -> margin 2/3
+      .toDF("doc_id", "lang", "text")
+    val c = docs.select(col("doc_id"),
+        graft.ops.TextAnalysis.langIdWithConfidence(col("text")).as("c"))
+      .select(col("doc_id"), col("c.pred"), col("c.margin"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(c(1L) == ("en", 1.0))
+    assert(c(2L)._2 == 0.0) // top-2 tie: zero confidence whatever wins
+    assert(c(3L) == ("und", 0.0))
+    assert(c(4L) == ("es", 0.6667))
+    val cal = graft.ops.TextAnalysis.langIdCalibration(
+        docs, col("text"), col("lang"), buckets = 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // margins 1.0 and 2/3 share the top-closed bucket; both agree
+    assert(cal.toSeq == Seq((0L, 2L, 1L, 0.5), (2L, 1L, 1L, 1.0), (3L, 1L, 1L, 1.0)))
+  }
+
   test("boilerplate fraction: distinct-bigram df share, hand-computed") {
     import spark.implicits._
     // "c o m m o n" appears in all 3 docs: its 5 bigrams have df = 3;

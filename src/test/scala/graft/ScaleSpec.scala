@@ -220,6 +220,34 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("BroadcastNestedLoopJoin"))
   }
 
+  test("cdcChunks: boundaries resynchronize after an insertion; row-local") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // deterministic ~240-token text; divisor 8 -> ~30 chunks
+    val words = (0 until 240).map(i => s"w${i * 7 % 101}")
+    val base = words.mkString(" ")
+    val shifted = ("INS " + base) // one token inserted at the front
+    val df = Seq((1L, base), (2L, shifted)).toDF("id", "text")
+    val chunks = Dedup.cdcChunks(df, col("id"), col("text"))
+    val byDoc = chunks.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    // CDC property: the edit only perturbs chunks near the front — the
+    // vast majority of the original's chunk hashes survive the shift
+    // (fixed-size blocks would lose every block after the insertion)
+    val kept = (byDoc(1L) & byDoc(2L)).size.toDouble / byDoc(1L).size
+    assert(kept > 0.8, s"only ${(kept * 100).round}% of chunks resynced")
+    // chunk lengths average ~divisor and cover the text exactly
+    val lens = chunks.filter(col("id") === 1L)
+      .select(sum("n_tok"), count(lit(1))).head()
+    assert(lens.getLong(0) == 240L && lens.getLong(1) >= 15L)
+    // row-local: no Exchange in the chunking plan; partition-invariant
+    assert(!chunks.queryExecution.executedPlan.toString.contains("Exchange"))
+    val again = Dedup.cdcChunks(df.repartition(5), col("id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(chunks.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.sameElements(again))
+  }
+
   test("row-local scrub family: partition-invariant, zero exchanges") {
     import spark.implicits._
     import graft.ops.{Dedup, QualitySignals, TextAnalysis}
