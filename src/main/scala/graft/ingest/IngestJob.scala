@@ -78,7 +78,10 @@ object IngestJob {
       spark.read.format("binaryFile").load(docsDir)))
 
   /** Expand container rows of a `binaryFile` frame — `.zip`, `.tar`,
-    * `.tgz`/`.tar.gz` — into one row per supported member; every other
+    * `.tgz`/`.tar.gz`, and `.warc`/`.warc.gz` web-crawl captures (one
+    * member per response/conversion record, named by target URI with an
+    * extension inferred from the media type when the URI lacks one) —
+    * into one row per supported member; every other
     * row passes through unchanged. Row-local (each archive decompresses
     * inside its own task — the explode is the only plan change), so
     * archive ingest scales exactly like flat-file ingest. The tar reader
@@ -215,11 +218,87 @@ object IngestJob {
         }
       }
 
+      // WARC walk (ISO 28500): version line, CRLF headers, Content-Length
+      // payload, blank-line separators. `response` records unwrap their
+      // HTTP envelope (status line + headers stripped, chunked
+      // transfer-encoding decoded); `conversion`/`resource` records (the
+      // WET layout) carry text directly. Members that neither have a
+      // supported URI extension nor an html/plain media type are skipped
+      // like any unsupported container entry.
+      def walkWarc(raw: java.io.InputStream): Unit = {
+        def readLine(in: java.io.InputStream): String = {
+          val sb = new java.lang.StringBuilder()
+          var c = in.read()
+          if (c < 0) return null
+          while (c >= 0 && c != '\n') { sb.append(c.toChar); c = in.read() }
+          val s = sb.toString
+          if (s.endsWith("\r")) s.substring(0, s.length - 1) else s
+        }
+        def extFor(mime: String): String =
+          if (mime.contains("html")) ".html"
+          else if (mime.startsWith("text/plain")) ".txt"
+          else ""
+        var done = false
+        while (!done) {
+          var l = readLine(raw)
+          while (l != null && l.trim.isEmpty) l = readLine(raw)
+          if (l == null) done = true
+          else if (!l.startsWith("WARC/"))
+            throw new java.io.IOException("bad WARC record header")
+          else {
+            val h = scala.collection.mutable.Map.empty[String, String]
+            var line = readLine(raw)
+            while (line != null && line.nonEmpty) {
+              val i = line.indexOf(':')
+              if (i > 0)
+                h(line.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)) =
+                  line.substring(i + 1).trim
+              line = readLine(raw)
+            }
+            val len = h.getOrElse("content-length", "0").toLong
+            val wtype = h.getOrElse("warc-type", "")
+            val uri = h.getOrElse("warc-target-uri", "record")
+            val ctype = h.getOrElse("content-type", "")
+            val payload = new BoundedStream(raw, len)
+            def emit(body: java.io.InputStream, mime: String): Unit = {
+              val name =
+                if (wantMember(uri)) uri
+                else { val e = extFor(mime); if (e.isEmpty) return else uri + e }
+              readCapped(body).foreach(d => out += ((name, d)))
+            }
+            if (wtype == "response" &&
+                ctype.startsWith("application/http")) {
+              readLine(payload) // HTTP status line
+              var httpType = ""
+              var chunked = false
+              var hl = readLine(payload)
+              while (hl != null && hl.nonEmpty) {
+                val i = hl.indexOf(':')
+                if (i > 0) {
+                  val k = hl.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
+                  val v = hl.substring(i + 1).trim.toLowerCase(java.util.Locale.ROOT)
+                  if (k == "content-type") httpType = v
+                  else if (k == "transfer-encoding" && v.contains("chunked"))
+                    chunked = true
+                }
+                hl = readLine(payload)
+              }
+              emit(if (chunked) new ChunkedStream(payload) else payload, httpType)
+            } else if (wtype == "conversion" || wtype == "resource")
+              emit(payload, ctype.toLowerCase(java.util.Locale.ROOT))
+            payload.drain()
+          }
+        }
+      }
+
       try {
         val p = path.toLowerCase(java.util.Locale.ROOT)
         val bin = new java.io.ByteArrayInputStream(b)
         if (p.endsWith(".zip")) walkZip(bin)
         else if (p.endsWith(".tar")) walkTar(bin)
+        else if (p.endsWith(".warc")) walkWarc(bin)
+        else if (p.endsWith(".warc.gz"))
+          walkWarc(new java.util.zip.GZIPInputStream(bin))
         else walkTar(new java.util.zip.GZIPInputStream(bin)) // .tgz/.tar.gz
       } catch { case _: Exception => dropped += 1 } // corrupt: keep prefix
       if (dropCounter != null && dropped > 0) dropCounter.add(dropped)
@@ -227,7 +306,8 @@ object IngestJob {
     })
     val lp = lower(col("path"))
     val isArchive = lp.endsWith(".zip") || lp.endsWith(".tar") ||
-      lp.endsWith(".tgz") || lp.endsWith(".tar.gz")
+      lp.endsWith(".tgz") || lp.endsWith(".tar.gz") ||
+      lp.endsWith(".warc") || lp.endsWith(".warc.gz")
     val members = binary.filter(isArchive)
       .select(col("path").as("zpath"), col("modificationTime"),
         explode(unpack(col("path"), col("content"))).as("m"))
@@ -259,6 +339,48 @@ object IngestJob {
     def drain(): Unit = if (remaining > 0) {
       in.skipNBytes(remaining)
       remaining = 0
+    }
+  }
+
+  /** Minimal HTTP/1.1 chunked-transfer decoder over a byte stream: hex
+    * size line, that many payload bytes, CRLF, repeat; a zero-size chunk
+    * ends the body (trailers ignored — the enclosing [[BoundedStream]]
+    * drains them). Malformed framing raises, landing in the archive
+    * walker's corrupt-container path. */
+  private final class ChunkedStream(in: java.io.InputStream)
+      extends java.io.InputStream {
+    private var remaining = 0L
+    private var finished = false
+    private def crlf(): Unit = { in.read(); in.read() }
+    private def nextChunk(): Unit = {
+      val sb = new java.lang.StringBuilder()
+      var c = in.read()
+      while (c >= 0 && c != '\n') { sb.append(c.toChar); c = in.read() }
+      val line = sb.toString.trim
+      val semi = line.indexOf(';') // chunk extensions are legal; ignore
+      val hexSize = (if (semi >= 0) line.substring(0, semi) else line).trim
+      remaining = java.lang.Long.parseLong(hexSize, 16)
+      if (remaining == 0) finished = true
+    }
+    override def read(): Int = {
+      if (finished) return -1
+      if (remaining == 0) {
+        nextChunk()
+        if (finished) return -1
+      }
+      val v = in.read()
+      if (v >= 0) { remaining -= 1; if (remaining == 0) crlf() }
+      v
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (finished) return -1
+      if (remaining == 0) {
+        nextChunk()
+        if (finished) return -1
+      }
+      val n = in.read(b, off, math.min(len.toLong, remaining).toInt)
+      if (n > 0) { remaining -= n; if (remaining == 0) crlf() }
+      n
     }
   }
 

@@ -740,6 +740,107 @@ object Dedup {
         round(col("nd") / col("n_chunks"), 4).as("dup_frac"))
   }
 
+  /**
+   * EXACT longest token run shared by two different documents, with a
+   * witness pair: `(len, a_id, b_id)` — one row, the lexicographically
+   * smallest pair among those achieving the maximum (empty when no token
+   * is shared at all). The cross-document analogue of what suffix-array
+   * dedup reports, without building a distributed suffix array:
+   * "∃ an `L`-gram in ≥ 2 docs" is monotone in `L`, so exponential
+   * doubling brackets the answer and binary search pins it —
+   * O(log maxLen) probes, each ONE corpus scan emitting per-document
+   * DISTINCT gram hashes (row-local [[graft.expr.PortableHash]] work)
+   * and shuffling only `(h, id)` longs with partial aggregation. The
+   * final length is then re-derived over gram STRINGS restricted to the
+   * (tiny) surviving hash set, so the reported answer is exact even if a
+   * 60-bit hash collision inflated a probe (in which case the
+   * verification join is empty and this throws rather than reports a
+   * phantom span; probability ≈ grams²/2⁶⁰).
+   *
+   * The token table is persisted across probes — the text is tokenized
+   * once, not once per probe. Job count is bounded by 2·log₂(maxLen)+2
+   * regardless of corpus size (the [[Bpe.train]] discipline: loops whose
+   * trip count is a parameter, never the data).
+   */
+  def longestSharedSpan(df: DataFrame, idCol: Column, textCol: Column,
+      maxLen: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("len", "a_id", "b_id")
+    val toks = df
+      .select(idCol.cast("long").as("id"), textCol.cast("string").as("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        (id, if (t == null) Array.empty[String]
+             else trimSpaces(t).split("\\s+").filter(_.nonEmpty))
+      }
+      .persist()
+    try {
+      def sharedHashes(l: Int): DataFrame =
+        toks.mapPartitions { it =>
+          it.flatMap { case (id, tk) =>
+            if (tk.length < l) Iterator.empty
+            else {
+              val set = scala.collection.mutable.HashSet.empty[Long]
+              var i = 0
+              while (i + l <= tk.length) {
+                set += graft.expr.PortableHash.hex15(
+                  tk.slice(i, i + l).mkString(" "))
+                i += 1
+              }
+              set.iterator.map(h => (h, id))
+            }
+          }
+        }.toDF("h", "id")
+          .groupBy("h").agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 2)
+      def exists(l: Int): Boolean = sharedHashes(l).head(1).nonEmpty
+
+      if (!exists(1)) empty
+      else {
+        var lo = 1
+        var hi = 2
+        while (hi <= maxLen && exists(hi)) { lo = hi; hi *= 2 }
+        while (hi - lo > 1) {
+          val mid = lo + (hi - lo) / 2
+          if (exists(mid)) lo = mid else hi = mid
+        }
+        val l = lo
+        // exact witness: gram STRINGS for the surviving hashes only
+        val cand = sharedHashes(l).select("h").collect().map(_.getLong(0)).toSet
+        val bc = spark.sparkContext.broadcast(cand)
+        val gs = toks.mapPartitions { it =>
+          val keep = bc.value
+          it.flatMap { case (id, tk) =>
+            if (tk.length < l) Iterator.empty
+            else {
+              val set = scala.collection.mutable.HashSet.empty[String]
+              var i = 0
+              while (i + l <= tk.length) {
+                val g = tk.slice(i, i + l).mkString(" ")
+                if (keep.contains(graft.expr.PortableHash.hex15(g))) set += g
+                i += 1
+              }
+              set.iterator.map(g => (g, id))
+            }
+          }
+        }.toDF("g", "id")
+        val a = gs.as("a")
+        val b = gs.as("b")
+        val pair = a
+          .join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+          .agg(min(struct(col("a.id").as("a_id"), col("b.id").as("b_id"))).as("p"))
+          .select(lit(l.toLong).as("len"),
+            col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+        val rows = pair.collect()
+        require(rows.nonEmpty && !rows.head.isNullAt(1),
+          s"hash collision inflated the probe at L=$l — no exact witness")
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq), pair.schema)
+      }
+    } finally toks.unpersist()
+  }
+
   /** Exact pairwise n-gram Jaccard over a bounded id range — the
     * brute-force baseline the LSH paths approximate. O(n²): keep the range
     * small or use [[minHashDuplicates]] at scale. */

@@ -212,6 +212,11 @@ object OpsQueries {
       Dedup.cdcDupFraction(t(s, d, "documents"), col("doc_id"), col("text"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    "q144_longest_shared_span" -> ((s, d) =>
+      // exact longest cross-document token run + smallest witness pair,
+      // found by doubling/binary search over gram-hash probes
+      Dedup.longestSharedSpan(t(s, d, "documents"),
+        col("doc_id"), col("text"))),
     "q136_exact_sample" -> ((s, d) =>
       // exact-k simple random sample via md5 order statistic: one
       // TakeOrdered pass, content-keyed so any engine draws the same rows
@@ -1211,6 +1216,30 @@ object OpsQueries {
                   / CAST(count(*) AS DOUBLE), 4) AS dup_frac
          FROM ch JOIN nd USING (h)
          GROUP BY 1 ORDER BY 1""",
+
+    "q144_longest_shared_span" ->
+      // the classic diagonal gaps-and-islands LCS: token matches across
+      // doc pairs grouped by diagonal (ai - bi); consecutive ai within a
+      // diagonal form a shared run; the max run length wins, smallest
+      // (a_id, b_id) pair breaks ties
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x <> '') AS tk
+           FROM documents),
+         p AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS i, tk FROM toks),
+         q AS (SELECT doc_id, i, tk[i] AS tok FROM p),
+         m AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.i AS ai, b.i AS bi
+               FROM q a JOIN q b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+         isl AS (SELECT a_id, b_id, ai - bi AS diag,
+                   ai - row_number() OVER (PARTITION BY a_id, b_id, ai - bi
+                     ORDER BY ai) AS grp
+                 FROM m),
+         runs AS (SELECT a_id, b_id, count(*) AS len
+                  FROM isl GROUP BY a_id, b_id, diag, grp),
+         best AS (SELECT max(len) AS len FROM runs)
+         SELECT CAST(best.len AS BIGINT) AS len, r.a_id, r.b_id
+         FROM best JOIN runs r ON r.len = best.len
+         ORDER BY r.a_id, r.b_id LIMIT 1""",
 
     "q136_exact_sample" ->
       """SELECT * FROM (

@@ -692,6 +692,86 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.length == 4)
   }
 
+  test("longestSharedSpan: exact length, smallest witness, empty when disjoint") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val shared = (0 until 13).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"$shared delta"),
+      (3L, s"x y $shared z"),
+      (4L, "p q r"),
+      (5L, "p q unrelated")).toDF("id", "text")
+    val got = Dedup.longestSharedSpan(docs, col("id"), col("text")).collect()
+    assert(got.length == 1)
+    // three docs share the 13-run; (1,2) is the smallest witness pair
+    assert((got.head.getLong(0), got.head.getLong(1), got.head.getLong(2)) ==
+      ((13L, 1L, 2L)))
+    val disjoint = Seq((10L, "a b"), (11L, "c d")).toDF("id", "text")
+    assert(Dedup.longestSharedSpan(disjoint, col("id"), col("text")).isEmpty)
+  }
+
+  test("warc ingest: http envelopes stripped, chunked decoded, wet records, gz members") {
+    def rec(headers: Seq[(String, String)], payload: Array[Byte]): Array[Byte] = {
+      val head = ("WARC/1.0\r\n" +
+        headers.map { case (k, v) => s"$k: $v\r\n" }.mkString +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes(StandardCharsets.UTF_8)
+      head ++ payload ++ "\r\n\r\n".getBytes(StandardCharsets.UTF_8)
+    }
+    val rInfo = rec(Seq("WARC-Type" -> "warcinfo",
+      "Content-Type" -> "application/warc-fields"),
+      "software: graft-test\r\n".getBytes(StandardCharsets.UTF_8))
+    val rHtml = rec(Seq("WARC-Type" -> "response",
+      "WARC-Target-URI" -> "http://example.com/page",
+      "Content-Type" -> "application/http; msgtype=response"),
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" +
+        "<html><body><p>crawl body text</p></body></html>")
+        .getBytes(StandardCharsets.UTF_8))
+    val rChunk = rec(Seq("WARC-Type" -> "response",
+      "WARC-Target-URI" -> "http://example.com/c.bin",
+      "Content-Type" -> "application/http"),
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n" +
+        "7\r\nchunked\r\n6\r\n body!\r\n0\r\n\r\n")
+        .getBytes(StandardCharsets.UTF_8))
+    val rWet = rec(Seq("WARC-Type" -> "conversion",
+      "WARC-Target-URI" -> "http://example.com/wet",
+      "Content-Type" -> "text/plain"),
+      "wet extracted text".getBytes(StandardCharsets.UTF_8))
+    val rImg = rec(Seq("WARC-Type" -> "response",
+      "WARC-Target-URI" -> "http://example.com/i.png",
+      "Content-Type" -> "application/http"),
+      "HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n "
+        .getBytes(StandardCharsets.UTF_8))
+    val dir = Files.createTempDirectory("graft-warc").toString
+    Files.write(Paths.get(dir, "crawl.warc"),
+      rInfo ++ rHtml ++ rChunk ++ rWet ++ rImg)
+    // per-record gzip members CONCATENATED — the CommonCrawl layout;
+    // GZIPInputStream must read past the first member's trailer
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    Files.write(Paths.get(dir, "crawl2.warc.gz"),
+      gz(rInfo ++ rHtml) ++ gz(rChunk ++ rWet ++ rImg))
+
+    val out = IngestJob.extractWithArchives(spark, dir)
+      .select("file_path", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    for (c <- Seq("crawl.warc", "crawl2.warc.gz")) {
+      // URI without a usable extension gets one from the media type
+      assert(out.exists(r => r._1.endsWith(s"$c!http://example.com/page.html") &&
+        r._2.contains("crawl body text")), c)
+      assert(out.exists(r => r._1.endsWith(s"$c!http://example.com/c.bin.txt") &&
+        r._2 == "chunked body!"), c)
+      assert(out.exists(r => r._1.endsWith(s"$c!http://example.com/wet.txt") &&
+        r._2 == "wet extracted text"), c)
+    }
+    // warcinfo and the image response never become members
+    assert(out.length == 6, out.map(_._1).mkString("\n"))
+  }
+
   test("zip guards: member/total/count caps trip and drops are counted") {
     import java.util.zip.{ZipEntry, ZipOutputStream}
     val dir = Files.createTempDirectory("graft-zipguard").toString
