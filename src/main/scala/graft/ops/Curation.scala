@@ -330,6 +330,38 @@ object Curation {
   }
 
   /**
+   * Corpus DATASHEET: the one-row summary card a curated release ships
+   * with — document count, token total, vocabulary size, exact-duplicate
+   * document rate (full-text md5), and character-length mean/median.
+   * `(n_docs, n_tokens, n_types, pct_dup_docs, mean_chars, p50_chars)`.
+   *
+   * Scale shape: one aggregation pass over per-row projections (dup rate
+   * is a distinct-count over md5 — Spark's two-phase distinct rewrite,
+   * partial-agg friendly) plus one vocabulary count over the exploded
+   * token stream; the two single-row results broadcast-join. The exact
+   * median is per-corpus `percentile` (q63's profiling contract;
+   * `approx_percentile` is the 100 TB path, q65). */
+  def datasheet(df: DataFrame, textCol: Column, charsCol: Column): DataFrame = {
+    val toks = array_remove(split(trim(textCol), "\\s+"), "")
+    val base = df.select(md5(textCol).as("h"),
+      charsCol.cast("double").as("nc"),
+      size(toks).cast("long").as("nt"))
+    val main = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum("nt").as("n_tokens"),
+      round(lit(1.0) - count_distinct(col("h")) / count(lit(1)).cast("double"), 4)
+        .as("pct_dup_docs"),
+      round(avg("nc"), 4).as("mean_chars"),
+      round(expr("percentile(nc, 0.5)"), 4).as("p50_chars"))
+    val types = df.select(explode(array_remove(split(trim(textCol), "\\s+"), ""))
+        .as("w"))
+      .agg(count_distinct(col("w")).as("n_types"))
+    main.crossJoin(broadcast(types))
+      .select(col("n_docs"), col("n_tokens"), col("n_types"),
+        col("pct_dup_docs"), col("mean_chars"), col("p50_chars"))
+  }
+
+  /**
    * EXACT range sharding for globally-SORTED export: assign each row the
    * 0-based shard of its global rank under `orderCols` (ntile semantics —
    * the first `N mod n` shards take one extra row), so reading

@@ -99,6 +99,37 @@ object Ivf {
       cents: Seq[(Int, Seq[Float])]): DataFrame =
     emb.withColumn("cluster", nearest_centroid(vecCol, centsLit(cents)))
 
+  /** Clustering-quality (elbow) curve: for each candidate `k`, train
+    * centroids and report the corpus-wide mean cosine DISTANCE
+    * `1 − cos(v, centroid)` of every vector to its assigned centroid —
+    * `(k, n, mean_dist)`, the diagnostic that picks `nlist` for the IVF
+    * store before committing to an index build. Returns one row per `k`,
+    * ascending.
+    *
+    * Scale shape: per `k` this costs exactly one [[trainCentroids]]
+    * (sampled Lloyd, bounded collects) plus one full assignment pass —
+    * row-local argmax, then a broadcast join against the k-row centroid
+    * table and ONE partial-agg average; the driver loop is over the
+    * (parameter-sized) `ks` list, never the data. */
+  def inertiaCurve(emb: DataFrame, idCol: Column, vecCol: Column,
+      ks: Seq[Int], iters: Int = 2, sampleFraction: Int = 100): DataFrame = {
+    require(ks.nonEmpty, "need at least one candidate k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(idCol.cast("long").as("id"),
+      vecCol.cast("array<float>").as("v"))
+    ks.map { k =>
+      val cents = trainCentroids(v, col("id"), col("v"), k, iters, sampleFraction)
+      val cdf = cents.map { case (cid, c) => (cid, c.toVector) }.toDF("cid", "c")
+        .select(col("cid"), col("c").cast("array<float>").as("c"))
+      assignClusters(v, col("id"), col("v"), cents)
+        .join(broadcast(cdf), col("cluster") === col("cid"))
+        .select((lit(1.0) - cosine_similarity(col("v"), col("c"))).as("d"))
+        .agg(count(lit(1)).as("n"), round(avg(col("d")), 4).as("mean_dist"))
+        .select(lit(k.toLong).as("k"), col("n"), col("mean_dist"))
+    }.reduce(_ unionByName _).orderBy("k")
+  }
+
   /** The query's `nprobe` nearest centroid ids (driver-side: k is tiny). */
   def probeList(cents: Seq[(Int, Seq[Float])], query: Array[Float],
       nprobe: Int): Seq[Int] = {

@@ -217,6 +217,16 @@ object OpsQueries {
       // found by doubling/binary search over gram-hash probes
       Dedup.longestSharedSpan(t(s, d, "documents"),
         col("doc_id"), col("text"))),
+    "q145_datasheet" -> ((s, d) =>
+      // the release datasheet: one row of corpus-level statistics
+      graft.ops.Curation.datasheet(t(s, d, "documents"),
+        col("text"), col("n_chars"))),
+    "q146_elbow_curve" -> ((s, d) =>
+      // clustering-quality elbow: mean cosine distance to the assigned
+      // centroid at k = 4/8/16 (trained like q66, 50% md5 sample)
+      graft.ops.Ivf.inertiaCurve(t(s, d, "embeddings"),
+        col("vec_id"), col("embedding"), Seq(4, 8, 16),
+        iters = 2, sampleFraction = 50)),
     "q136_exact_sample" -> ((s, d) =>
       // exact-k simple random sample via md5 order statistic: one
       // TakeOrdered pass, content-keyed so any engine draws the same rows
@@ -1240,6 +1250,39 @@ object OpsQueries {
          SELECT CAST(best.len AS BIGINT) AS len, r.a_id, r.b_id
          FROM best JOIN runs r ON r.len = best.len
          ORDER BY r.a_id, r.b_id LIMIT 1""",
+
+    "q145_datasheet" ->
+      """WITH base AS (
+           SELECT md5(text) AS h, CAST(n_chars AS DOUBLE) AS nc,
+                  len(list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x <> '')) AS nt
+           FROM documents),
+         ty AS (SELECT count(DISTINCT w) AS n_types FROM (
+                  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x <> '')) AS w FROM documents))
+         SELECT count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+                ty.n_types,
+                round(1.0 - count(DISTINCT h) / CAST(count(*) AS DOUBLE), 4)
+                  AS pct_dup_docs,
+                round(avg(nc), 4) AS mean_chars,
+                round(quantile_cont(nc, 0.5), 4) AS p50_chars
+         FROM base CROSS JOIN ty GROUP BY ty.n_types""",
+
+    "q146_elbow_curve" -> {
+      // three side-by-side re-trainings (prefixed CTE chains), each
+      // scored by mean cosine distance to the assigned centroid
+      def one(p: String, k: Int) =
+        s"""SELECT CAST($k AS BIGINT) AS k, count(*) AS n,
+              round(avg(1 - (${PortableSql.cosSql(s"${p}bf.v", s"${p}c2.c")})), 4)
+                AS mean_dist
+            FROM ${p}bf JOIN ${p}c2 ON ${p}bf.cid = ${p}c2.cid"""
+      s"""WITH ${PortableSql.ivfTrainCtes("e4", 4)},
+         ${PortableSql.ivfTrainCtes("e8", 8)},
+         ${PortableSql.ivfTrainCtes("e16", 16)}
+         SELECT * FROM (${one("e4", 4)} UNION ALL ${one("e8", 8)}
+                        UNION ALL ${one("e16", 16)})
+         ORDER BY k"""
+    },
 
     "q136_exact_sample" ->
       """SELECT * FROM (
@@ -2716,34 +2759,42 @@ private[queries] object PortableSql {
   /** As [[ivfTrainSql]] with a caller-chosen centroid count (`LIMIT
     * nlist` seed draw) — the auto-scaled SemDeDup oracle re-trains at
     * ⌈√n⌉ instead of q66's fixed 8. */
-  def ivfTrainSql(nlist: Int): String = {
+  def ivfTrainSql(nlist: Int): String =
+    s"WITH ${ivfTrainCtes("", nlist)},"
+
+  /** [[ivfTrainSql]]'s CTE list with every name prefixed by `p` (no
+    * leading WITH, no trailing comma) — so one statement can train at
+    * SEVERAL centroid counts side by side (the elbow-curve oracle), the
+    * same trick [[pqSubTrainSql]] uses per subspace. Exposes `${p}c2`
+    * and `${p}bf`. */
+  def ivfTrainCtes(p: String, nlist: Int): String = {
     def iter(i: Int, prev: String): String =
-      s"""a$i AS (SELECT x.id, x.v, c.cid, ${cosSql("x.v", "c.c")} AS sim
-                  FROM tr x CROSS JOIN $prev c),
-         b$i AS (SELECT id, v, cid FROM
+      s"""${p}a$i AS (SELECT x.id, x.v, c.cid, ${cosSql("x.v", "c.c")} AS sim
+                  FROM ${p}tr x CROSS JOIN $prev c),
+         ${p}b$i AS (SELECT id, v, cid FROM
                   (SELECT *, row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rn
-                   FROM a$i) WHERE rn = 1),
-         u$i AS (SELECT cid, j, round(avg(v[j + 1]) * 1024) / 1024 AS q
-                 FROM b$i CROSS JOIN range(64) r(j) GROUP BY cid, j),
-         n$i AS (SELECT cid, list(q ORDER BY j) AS c FROM u$i GROUP BY cid),
-         c$i AS (SELECT p.cid, coalesce(n$i.c, p.c) AS c
-                 FROM $prev p LEFT JOIN n$i ON p.cid = n$i.cid)"""
-    s"""WITH v AS (
+                   FROM ${p}a$i) WHERE rn = 1),
+         ${p}u$i AS (SELECT cid, j, round(avg(v[j + 1]) * 1024) / 1024 AS q
+                 FROM ${p}b$i CROSS JOIN range(64) r(j) GROUP BY cid, j),
+         ${p}n$i AS (SELECT cid, list(q ORDER BY j) AS c FROM ${p}u$i GROUP BY cid),
+         ${p}c$i AS (SELECT pp.cid, coalesce(${p}n$i.c, pp.c) AS c
+                 FROM $prev pp LEFT JOIN ${p}n$i ON pp.cid = ${p}n$i.cid)"""
+    s"""${p}v AS (
          SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          FROM embeddings),
-       hs AS (SELECT id, v,
+       ${p}hs AS (SELECT id, v,
                 CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT) AS h
-              FROM v),
-       tr AS (SELECT id, v, h FROM hs WHERE h % 100 < 50),
-       seeds AS (SELECT v, h FROM tr ORDER BY h LIMIT $nlist),
-       c0 AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cid, v AS c FROM seeds),
-       ${iter(1, "c0")},
-       ${iter(2, "c1")},
-       af AS (SELECT x.id, x.v, c.cid, ${cosSql("x.v", "c.c")} AS sim
-              FROM v x CROSS JOIN c2 c),
-       bf AS (SELECT id, v, cid FROM
+              FROM ${p}v),
+       ${p}tr AS (SELECT id, v, h FROM ${p}hs WHERE h % 100 < 50),
+       ${p}seeds AS (SELECT v, h FROM ${p}tr ORDER BY h LIMIT $nlist),
+       ${p}c0 AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cid, v AS c FROM ${p}seeds),
+       ${iter(1, s"${p}c0")},
+       ${iter(2, s"${p}c1")},
+       ${p}af AS (SELECT x.id, x.v, c.cid, ${cosSql("x.v", "c.c")} AS sim
+              FROM ${p}v x CROSS JOIN ${p}c2 c),
+       ${p}bf AS (SELECT id, v, cid FROM
                (SELECT *, row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rn
-                FROM af) WHERE rn = 1),"""
+                FROM ${p}af) WHERE rn = 1)"""
   }
 
   /** Per-subspace PQ codebook training — [[ivfTrainSql]]'s exact

@@ -91,6 +91,21 @@ class ExtensionsAndClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(many.count(_.getAs[String]("query_id") == "b") <= 5)
   }
 
+  test("inertiaCurve: full coverage per k, distance in range, elbow shape") {
+    import graft.ops.Ivf
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val curve = Ivf.inertiaCurve(emb, col("vec_id"), col("embedding"),
+        Seq(2, 4, 8), iters = 2, sampleFraction = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(curve.map(_._1).toSeq == Seq(2L, 4L, 8L))
+    val n = emb.count()
+    assert(curve.forall(_._2 == n), "every vector scored at every k")
+    assert(curve.forall(c => c._3 >= 0.0 && c._3 <= 2.0))
+    // more centroids can only tighten the fit on this fixture
+    assert(curve.map(_._3).toSeq == curve.map(_._3).sorted.reverse.toSeq,
+      curve.mkString(","))
+  }
+
   test("residual IVFADC: tighter ADC approximation than raw-vector PQ") {
     import graft.ops.{Ivf, Pq}
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -692,6 +692,23 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.length == 4)
   }
 
+  test("datasheet: hand-computed corpus card") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c", 5L),
+      (2L, "a b c", 5L),     // exact duplicate of 1
+      (3L, "d e", 3L),
+      (4L, "", 0L))
+      .toDF("doc_id", "text", "n_chars")
+    val got = graft.ops.Curation.datasheet(docs, col("text"), col("n_chars"))
+      .head()
+    // 4 docs, 8 tokens, 5 types; 1 of 4 docs is a dup -> 0.25;
+    // chars 5,5,3,0: mean 3.25, median 4.0 (interpolated)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((4L, 8L, 5L)))
+    assert(got.getDouble(3) == 0.25)
+    assert(got.getDouble(4) == 3.25 && got.getDouble(5) == 4.0)
+  }
+
   test("longestSharedSpan: exact length, smallest witness, empty when disjoint") {
     import spark.implicits._
     import graft.ops.Dedup
