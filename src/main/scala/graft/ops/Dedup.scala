@@ -682,33 +682,84 @@ object Dedup {
             if (text == null) Array.empty[String]
             else trimSpaces(text).split("\\s+").filter(_.nonEmpty)
           if (tk.isEmpty) Iterator.empty
-          else {
-            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-            var start = 0
-            var chunkNo = 0L
-            var i = 0
-            while (i < tk.length) {
-              // boundary between i and i+1 (1-based i+1 in [w, n-1])
-              val cut = i + 1 >= window && i + 1 < tk.length &&
-                graft.expr.PortableHash.hex15(
-                  tk.slice(i + 1 - window, i + 1).mkString(" ")) % divisor == 0
-              if (cut) {
-                val chunk = tk.slice(start, i + 1).mkString(" ")
-                out += ((id, chunkNo, graft.expr.PortableHash.hex15(chunk),
-                  (i + 1 - start).toLong))
-                chunkNo += 1
-                start = i + 1
-              }
-              i += 1
-            }
-            val last = tk.slice(start, tk.length).mkString(" ")
-            out += ((id, chunkNo, graft.expr.PortableHash.hex15(last),
-              (tk.length - start).toLong))
-            out.iterator
+          else chunkBounds(tk, window, divisor).iterator.zipWithIndex.map {
+            case ((start, end), no) =>
+              (id, no.toLong, graft.expr.PortableHash.hex15(
+                tk.slice(start, end).mkString(" ")), (end - start).toLong)
           }
         }
       }
       .toDF("id", "chunk_no", "h", "n_tok")
+  }
+
+  /** CDC chunk spans of a token array: `(start, end)` token index pairs,
+    * cut after 1-based position `i` (`window ≤ i < n`) whenever the
+    * hex15 of the trailing `window`-token run divides by `divisor` — the
+    * ONE boundary rule [[cdcChunks]] and [[cdcScrubAgainst]] (and the
+    * DuckDB oracle) share. */
+  private def chunkBounds(tk: Array[String], window: Int,
+      divisor: Int): Array[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var start = 0
+    var i = 0
+    while (i < tk.length) {
+      val cut = i + 1 >= window && i + 1 < tk.length &&
+        graft.expr.PortableHash.hex15(
+          tk.slice(i + 1 - window, i + 1).mkString(" ")) % divisor == 0
+      if (cut) { out += ((start, i + 1)); start = i + 1 }
+      i += 1
+    }
+    out += ((start, tk.length))
+    out.toArray
+  }
+
+  /**
+   * Scrub a batch — or an unbounded STREAM — against a PERSISTED
+   * duplicate-chunk table (`h` rows from [[cdcChunks]], e.g. the hashes
+   * [[cdcDupFraction]] counts as cross-document blocks): re-chunk each
+   * document with the same boundary rule and DROP every chunk whose hash
+   * is in the table — rsync-style block dedup for incremental ingest,
+   * the CDC member of the `…Against` family ([[lineDedupAgainst]],
+   * [[spanScrubAgainst]]). Returns `(id, n_chunks, n_removed, text)`
+   * with surviving chunks re-joined by single spaces; token-less
+   * documents pass through as `(id, 0, 0, "")`.
+   *
+   * Row-local by construction: the duplicate-block table — bounded, by
+   * the same argument as the frequent-line table: blocks must repeat to
+   * enter it — ships once per executor as a broadcast set; each row
+   * re-chunks its own tokens. No joins, no aggregation, no watermark:
+   * stateless per-partition projection, streaming-safe.
+   */
+  def cdcScrubAgainst(df: DataFrame, idCol: Column, textCol: Column,
+      chunks: DataFrame, window: Int = 2, divisor: Int = 8): DataFrame = {
+    require(window >= 1 && divisor >= 1, "need window >= 1 and divisor >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashes = chunks.select(col("h").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    val bc = spark.sparkContext.broadcast(hashes)
+    df.select(idCol.cast("long").as("id"), textCol.cast("string").as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val set = bc.value
+        rows.map { case (id, text) =>
+          val tk =
+            if (text == null) Array.empty[String]
+            else trimSpaces(text).split("\\s+").filter(_.nonEmpty)
+          if (tk.isEmpty) (id, 0L, 0L, "")
+          else {
+            val bounds = chunkBounds(tk, window, divisor)
+            val kept = bounds.filter { case (s, e) =>
+              !set.contains(graft.expr.PortableHash.hex15(
+                tk.slice(s, e).mkString(" ")))
+            }
+            (id, bounds.length.toLong, (bounds.length - kept.length).toLong,
+              kept.map { case (s, e) => tk.slice(s, e).mkString(" ") }
+                .mkString(" "))
+          }
+        }
+      }
+      .toDF("id", "n_chunks", "n_removed", "text")
   }
 
   /**

@@ -140,4 +140,66 @@ object Scale {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
       on: Seq[String]): DataFrame =
     spark.table(left).join(spark.table(right), on)
+
+  /**
+   * Heavy-hitter terms via a MERGEABLE Misra-Gries sketch: each partition
+   * keeps at most `capacity` counters over its token stream, summaries
+   * merge associatively, and the driver reads the top `topN` —
+   * `(term, c)` ordered by count desc, term asc. The bounded-memory
+   * companion to the exact explode-and-count top-terms query (the same
+   * relationship q65's `approx_percentile` has to q63's exact
+   * `percentile`): the exact path shuffles one row per token OCCURRENCE
+   * group; the sketch moves `capacity` counters per partition, full stop.
+   *
+   * Guarantees (Misra-Gries): every term with true count > N/`capacity`
+   * is present (N = total token occurrences), and reported counts
+   * undercount by at most N/`capacity`. With `capacity` ≥ the distinct
+   * term count no decrement ever fires, so the sketch is EXACT and
+   * merge-order-independent — the oracle-verified regime; below that the
+   * counts are approximate and may vary with partitioning (the
+   * documented trade, like any mergeable sketch).
+   */
+  def heavyHittersSketch(df: DataFrame, textCol: Column, capacity: Int,
+      topN: Int): DataFrame = {
+    require(capacity >= 1 && topN >= 1, "need capacity >= 1 and topN >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def mgAdd(m: scala.collection.mutable.HashMap[String, Long], w: String): Unit =
+      if (m.contains(w)) m(w) += 1L
+      else if (m.size < capacity) m(w) = 1L
+      else { // decrement-all step: every counter pays one
+        val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+        m.keysIterator.foreach { k =>
+          val v = m(k) - 1L
+          if (v <= 0L) dead += k else m(k) = v
+        }
+        dead.foreach(m.remove)
+      }
+    def mgMerge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = scala.collection.mutable.HashMap.empty[String, Long]
+      a.foreach { case (k, v) => sum(k) = sum.getOrElse(k, 0L) + v }
+      b.foreach { case (k, v) => sum(k) = sum.getOrElse(k, 0L) + v }
+      if (sum.size <= capacity) sum.toMap
+      else { // subtract the (capacity+1)-th largest count; <= cap survive
+        val d = sum.values.toArray.sorted(Ordering[Long].reverse)(capacity)
+        sum.iterator.map { case (k, v) => k -> (v - d) }
+          .filter(_._2 > 0L).toMap
+      }
+    }
+    val merged = df.select(textCol.cast("string").as("t")).as[String].rdd
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { t =>
+          if (t != null)
+            Dedup.trimSpaces(t).split("\\s+").iterator
+              .filter(_.nonEmpty).foreach(mgAdd(m, _))
+        }
+        Iterator.single(m.toMap)
+      }
+      .treeAggregate(Map.empty[String, Long])(mgMerge, mgMerge)
+    merged.toSeq
+      .sortBy { case (w, c) => (-c, w) }
+      .take(topN)
+      .toDF("term", "c")
+  }
 }

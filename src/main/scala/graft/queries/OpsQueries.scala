@@ -227,6 +227,26 @@ object OpsQueries {
       graft.ops.Ivf.inertiaCurve(t(s, d, "embeddings"),
         col("vec_id"), col("embedding"), Seq(4, 8, 16),
         iters = 2, sampleFraction = 50)),
+    "q147_cdc_scrub_against" -> ((s, d) => {
+      // rsync-style incremental block dedup: chunks duplicated inside the
+      // "yesterday" corpus (doc_id < 250) scrub out of the new batch
+      val docs = t(s, d, "documents")
+      val dup = Dedup.cdcChunks(docs.filter(col("doc_id") < 250),
+          col("doc_id"), col("text"))
+        .select(col("h"), col("id")).distinct()
+        .groupBy("h").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select("h")
+      Dedup.cdcScrubAgainst(docs.filter(col("doc_id") >= 250),
+          col("doc_id"), col("text"), dup)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_removed"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+    "q148_heavy_hitters_sketch" -> ((s, d) =>
+      // Misra-Gries at capacity >> vocab: exact counts through the
+      // bounded-memory path (q61's sketch sibling, as q65 is to q63)
+      graft.ops.Scale.heavyHittersSketch(t(s, d, "documents"),
+        col("text"), capacity = 1024, topN = 15)),
     "q136_exact_sample" -> ((s, d) =>
       // exact-k simple random sample via md5 order statistic: one
       // TakeOrdered pass, content-keyed so any engine draws the same rows
@@ -1283,6 +1303,51 @@ object OpsQueries {
                         UNION ALL ${one("e16", 16)})
          ORDER BY k"""
     },
+
+    "q147_cdc_scrub_against" ->
+      // q143's chunk chain keeping chunk text; dup = blocks in >= 2 old
+      // docs; survivors re-join by chunk order
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x <> '') AS tk
+           FROM documents),
+         t AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+         p AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS i, tk FROM t),
+         f AS (SELECT doc_id, i, tk[i] AS tok,
+                 CASE WHEN i >= 2 AND i < len(tk)
+                       AND CAST('0x' || substr(md5(tk[i - 1] || ' ' || tk[i]), 1, 15)
+                             AS BIGINT) % 8 = 0
+                      THEN 1 ELSE 0 END AS b
+               FROM p),
+         c AS (SELECT doc_id, i, tok,
+                 coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_no
+               FROM f),
+         ch AS (SELECT doc_id, chunk_no, string_agg(tok, ' ' ORDER BY i) AS ct
+                FROM c GROUP BY 1, 2),
+         chh AS (SELECT doc_id, chunk_no, ct,
+                   CAST('0x' || substr(md5(ct), 1, 15) AS BIGINT) AS h
+                 FROM ch),
+         dup AS (SELECT h FROM (
+                   SELECT h, count(DISTINCT doc_id) AS nd
+                   FROM chh WHERE doc_id < 250 GROUP BY h) WHERE nd >= 2)
+         SELECT doc_id, count(*) AS n_chunks,
+                CAST(sum(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_removed,
+                md5(coalesce(string_agg(
+                  CASE WHEN h NOT IN (SELECT h FROM dup) THEN ct END,
+                  ' ' ORDER BY chunk_no), '')) AS text_md5
+         FROM chh WHERE doc_id >= 250
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "q148_heavy_hitters_sketch" ->
+      // exact top terms — what the sketch must equal above the
+      // no-decrement capacity threshold
+      """SELECT w AS term, count(*) AS c
+         FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> x <> '')) AS w
+               FROM documents)
+         GROUP BY w ORDER BY c DESC, term LIMIT 15""",
 
     "q136_exact_sample" ->
       """SELECT * FROM (

@@ -220,6 +220,25 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("BroadcastNestedLoopJoin"))
   }
 
+  test("heavyHittersSketch: exact above capacity; MG bounds below it") {
+    import spark.implicits._
+    // skewed stream: "hot" 60×, "warm" 25×, eight rares 5× each = 125 tokens
+    val words = Seq.fill(60)("hot") ++ Seq.fill(25)("warm") ++
+      (0 until 8).flatMap(i => Seq.fill(5)(s"rare$i"))
+    val df = words.grouped(10).map(_.mkString(" ")).toSeq.toDF("text")
+    val exact = Scale.heavyHittersSketch(df, col("text"), capacity = 64, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(exact.take(2).toSeq == Seq(("hot", 60L), ("warm", 25L)))
+    assert(exact.length == 10 && exact.map(_._2).sum == 60 + 25 + 8 * 5)
+    // tight capacity: any term with count > N/cap = 125/4 must survive,
+    // and reported counts undercount by at most N/cap
+    val tight = Scale.heavyHittersSketch(df, col("text"), capacity = 4, topN = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(tight.contains("hot") && tight("hot") >= 60L - 125L / 4 &&
+      tight("hot") <= 60L)
+    assert(!tight.contains("rare0") || tight("rare0") <= 5L)
+  }
+
   test("cdcChunks: boundaries resynchronize after an insertion; row-local") {
     import spark.implicits._
     import graft.ops.Dedup

@@ -317,6 +317,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming CDC block scrub against a persisted duplicate-chunk table") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val boiler = (0 until 40).map(i => s"b$i").mkString(" ")
+    val corpus = Seq((1L, boiler + " tail one"), (2L, boiler + " other end"))
+      .toDF("id", "text")
+    val chunks = graft.ops.Dedup.cdcChunks(corpus, col("id"), col("text"))
+    val dup = chunks.select(col("h"), col("id")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val batch = Seq((10L, boiler + " fresh reporting"),
+      (11L, "untouched words entirely"))
+    val input = MemoryStream[(Long, String)]
+    val scrubbed = graft.ops.Dedup.cdcScrubAgainst(
+      input.toDF().toDF("id", "text"), col("id"), col("text"), dup)
+    val q = scrubbed.writeStream.outputMode("append")
+      .format("memory").queryName("cdcscrub").start()
+    input.addData(batch: _*)
+    q.processAllAvailable()
+    val got = spark.sql(
+      "SELECT id, n_chunks, n_removed, text FROM cdcscrub ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // the stream answers exactly like the batch twin on the same rows
+    val twin = graft.ops.Dedup.cdcScrubAgainst(batch.toDF("id", "text"),
+        col("id"), col("text"), dup)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.sameElements(twin))
+    // shared-prefix blocks scrub; the novel tail and disjoint doc survive
+    assert(got(0)._3 >= 1 && got(0)._4.endsWith("fresh reporting"))
+    assert(got(1)._3 == 0L && got(1)._4 == "untouched words entirely")
+    q.stop()
+  }
+
   test("streaming Bloom decontamination: stateless filter, no watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
