@@ -208,6 +208,164 @@ object Ann {
       .filter(col("sim") >= threshold)
   }
 
+  /** Per-partition co-moment sums for [[covarianceMatrix]]/[[whiten]]:
+    * `(n, Σx, ΣxxT)` accumulated in compiled code and merged on the
+    * driver in partition order — #partitions × (d² + d) doubles total,
+    * never an n×d² exploded shuffle. */
+  private def coMoments(emb: DataFrame, vecCol: Column,
+      dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val parts = emb.select(vecCol.cast("array<double>").as("v"))
+      .as[Seq[Double]].rdd
+      .mapPartitions { it =>
+        val sx = new Array[Double](dim)
+        val sxy = Array.ofDim[Double](dim, dim)
+        var n = 0L
+        it.foreach { v =>
+          require(v.length == dim, s"expected dim $dim, got ${v.length}")
+          val a = v.toArray
+          var i = 0
+          while (i < dim) {
+            sx(i) += a(i)
+            var j = i
+            while (j < dim) { sxy(i)(j) += a(i) * a(j); j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        Iterator.single((n, sx, sxy.map(_.toSeq).toSeq))
+      }
+      .collect()
+    val sx = new Array[Double](dim)
+    val sxy = Array.ofDim[Double](dim, dim)
+    var n = 0L
+    parts.foreach { case (pn, psx, psxy) =>
+      n += pn
+      var i = 0
+      while (i < dim) {
+        sx(i) += psx(i)
+        var j = i
+        while (j < dim) { sxy(i)(j) += psxy(i)(j); j += 1 }
+        i += 1
+      }
+    }
+    (n, sx, sxy)
+  }
+
+  /** Upper-triangle SAMPLE covariance of the embedding column:
+    * `(i, j, cov)` for `i ≤ j`, 6dp — the input statistic for whitening
+    * and for drift checks between embedding batches. One corpus pass,
+    * ZERO exchanges (see [[coMoments]]); the result is d²-bounded. */
+  def covarianceMatrix(emb: DataFrame, vecCol: Column, dim: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (n, sx, sxy) = coMoments(emb, vecCol, dim)
+    require(n >= 2, "covariance needs at least 2 rows")
+    val rows = for (i <- 0 until dim; j <- i until dim) yield {
+      val cov = (sxy(i)(j) - sx(i) * sx(j) / n) / (n - 1)
+      (i, j, java.math.BigDecimal.valueOf(cov)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+    rows.toDF("i", "j", "cov")
+  }
+
+  /** ZCA whitening: `x → Q diag(1/√(λ+eps)) Qᵀ (x − μ)` with `(Q, λ)`
+    * the eigen-decomposition of the sample covariance — the embedding
+    * post-processing that equalizes variance across directions (dedup
+    * thresholds and quantizers then see isotropic geometry). Returns
+    * `(id, v)` with `v` the whitened double vector.
+    *
+    * Scale shape: the statistics come from the one-pass zero-exchange
+    * [[coMoments]]; the d×d eigen-decomposition runs on the driver
+    * (commons-math, d ≤ a few thousand); the transform broadcasts W and
+    * μ and applies row-locally — no shuffle anywhere. */
+  def whiten(emb: DataFrame, idCol: Column, vecCol: Column, dim: Int,
+      eps: Double = 1e-6): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (n, sx, sxy) = coMoments(emb, vecCol, dim)
+    require(n >= 2, "whitening needs at least 2 rows")
+    val mean = sx.map(_ / n)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      (sxy(a)(b) - sx(a) * sx(b) / n) / (n - 1)
+    }
+    val eig = new org.apache.commons.math3.linear.EigenDecomposition(
+      new org.apache.commons.math3.linear.Array2DRowRealMatrix(cov))
+    val q = eig.getV
+    val scale = org.apache.commons.math3.linear.MatrixUtils
+      .createRealDiagonalMatrix(
+        eig.getRealEigenvalues.map(l => 1.0 / math.sqrt(math.max(l, 0.0) + eps)))
+    val w = q.multiply(scale).multiply(q.transpose).getData
+    val bcW = spark.sparkContext.broadcast(w)
+    val bcMean = spark.sparkContext.broadcast(mean)
+    emb.select(idCol.cast("long").as("id"), vecCol.cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { rows =>
+        val wm = bcW.value
+        val mu = bcMean.value
+        rows.map { case (id, v) =>
+          val x = v.toArray
+          var i = 0
+          while (i < x.length) { x(i) -= mu(i); i += 1 }
+          val y = new Array[Double](x.length)
+          i = 0
+          while (i < x.length) {
+            var s = 0.0
+            var j = 0
+            while (j < x.length) { s += wm(i)(j) * x(j); j += 1 }
+            y(i) = s
+            i += 1
+          }
+          (id, y.toSeq)
+        }
+      }
+      .toDF("id", "v")
+  }
+
+  /** EXACT k-nearest-neighbor graph: `(id, rnk, nbr, sim)` — each
+    * vector's top `k` neighbors by 4dp-rounded cosine (ties → lowest
+    * neighbor id), ranked through the bounded [[TopK]] aggregator so no
+    * window sort ever sees the O(n²) candidate stream. The scored join
+    * BROADCASTS the whole vector table (an embedding table is k×dim
+    * floats per row — MBs up to low GBs), so this is the exact
+    * BASELINE/diagnostic; [[knnGraphIvf]] is the pruned scale path, and
+    * the pair of them is what a recall report compares. */
+  def knnGraph(emb: DataFrame, idCol: Column, vecCol: Column,
+      k: Int): DataFrame = {
+    val v = emb.select(idCol.cast("long").as("id"),
+      vecCol.cast("array<float>").as("v"))
+    val scored = v.as("a")
+      .join(broadcast(v.as("b")), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as("cid"),
+        round(cosine_similarity(col("a.v"), col("b.v")), 4).as("sim"))
+    TopK.perGroup(scored, Seq(col("qid")), col("cid"), col("sim"), k)
+      .select(col("qid").as("id"), col("rnk"), col("id").as("nbr"), col("sim"))
+  }
+
+  /** IVF-pruned kNN graph: candidates are same-cluster pairs only — an
+    * EQUI-join on the learned cluster id, so the shuffle is bucketed by
+    * cell and the pair fan-out is bounded by the largest cell, never n².
+    * Same output contract as [[knnGraph]]; vectors alone in their cell
+    * contribute no edges (the recall report measures exactly what that
+    * pruning costs). */
+  def knnGraphIvf(emb: DataFrame, idCol: Column, vecCol: Column, k: Int,
+      nlist: Int, iters: Int = 2, sampleFraction: Int = 100): DataFrame = {
+    val v = emb.select(idCol.cast("long").as("id"),
+      vecCol.cast("array<float>").as("v"))
+    val cents = Ivf.trainCentroids(v, col("id"), col("v"), nlist, iters,
+      sampleFraction)
+    val assigned = Ivf.assignClusters(v, col("id"), col("v"), cents)
+    val scored = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as("cid"),
+        round(cosine_similarity(col("a.v"), col("b.v")), 4).as("sim"))
+    TopK.perGroup(scored, Seq(col("qid")), col("cid"), col("sim"), k)
+      .select(col("qid").as("id"), col("rnk"), col("id").as("nbr"), col("sim"))
+  }
+
   /** Near-dup pairs with the self-join restricted to same-LSH-cell rows:
     * shuffle and compare only within cells instead of the full cross
     * product. Recall follows the sign-LSH collision probability

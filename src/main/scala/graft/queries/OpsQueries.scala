@@ -247,6 +247,26 @@ object OpsQueries {
       // bounded-memory path (q61's sketch sibling, as q65 is to q63)
       graft.ops.Scale.heavyHittersSketch(t(s, d, "documents"),
         col("text"), capacity = 1024, topN = 15)),
+    "q149_knn_graph_recall" -> ((s, d) => {
+      // edge recall of the IVF-pruned kNN graph vs the exact graph —
+      // what same-cell pruning costs at nlist=8 (trained like q66)
+      val emb = t(s, d, "embeddings")
+      val exact = Ann.knnGraph(emb, col("vec_id"), col("embedding"), 3)
+        .select(col("id"), col("nbr"))
+      val approx = Ann.knnGraphIvf(emb, col("vec_id"), col("embedding"), 3,
+          nlist = 8, iters = 2, sampleFraction = 50)
+        .select(col("id"), col("nbr"))
+      val e = exact.agg(count(lit(1)).as("n_edges"))
+      val m = exact.join(approx, Seq("id", "nbr"), "left_semi")
+        .agg(count(lit(1)).as("n_matched"))
+      e.crossJoin(m).select(col("n_edges"), col("n_matched"),
+        round(col("n_matched") / col("n_edges"), 4).as("recall"))
+    }),
+    "q150_covariance" -> ((s, d) =>
+      // upper-triangle sample covariance of the embedding column — the
+      // whitening/drift statistic, one pass, zero exchanges
+      Ann.covarianceMatrix(t(s, d, "embeddings"), col("embedding"), 64)
+        .orderBy("i", "j")),
     "q136_exact_sample" -> ((s, d) =>
       // exact-k simple random sample via md5 order statistic: one
       // TakeOrdered pass, content-keyed so any engine draws the same rows
@@ -1348,6 +1368,37 @@ object OpsQueries {
                  x -> x <> '')) AS w
                FROM documents)
          GROUP BY w ORDER BY c DESC, term LIMIT 15""",
+
+    "q149_knn_graph_recall" ->
+      // same re-training (g-prefixed CTEs), exact graph from the full
+      // cross pairs, approx graph from same-cid pairs, edge recall
+      s"""WITH ${PortableSql.ivfTrainCtes("g", 8)},
+         px AS (SELECT a.id AS qid, b.id AS nbr,
+                  round(${PortableSql.cosSql("a.v", "b.v")}, 4) AS sim
+                FROM gv a JOIN gv b ON a.id <> b.id),
+         ex AS (SELECT qid, nbr FROM (
+                  SELECT qid, nbr, row_number() OVER (PARTITION BY qid
+                    ORDER BY sim DESC, nbr) AS rn FROM px) WHERE rn <= 3),
+         pa AS (SELECT a.id AS qid, b.id AS nbr,
+                  round(${PortableSql.cosSql("a.v", "b.v")}, 4) AS sim
+                FROM gbf a JOIN gbf b ON a.cid = b.cid AND a.id <> b.id),
+         ap AS (SELECT qid, nbr FROM (
+                  SELECT qid, nbr, row_number() OVER (PARTITION BY qid
+                    ORDER BY sim DESC, nbr) AS rn FROM pa) WHERE rn <= 3),
+         e AS (SELECT count(*) AS n_edges FROM ex),
+         m AS (SELECT count(*) AS n_matched FROM ex JOIN ap USING (qid, nbr))
+         SELECT e.n_edges, m.n_matched,
+                round(m.n_matched / CAST(e.n_edges AS DOUBLE), 4) AS recall
+         FROM e CROSS JOIN m""",
+
+    "q150_covariance" ->
+      """WITH v AS (
+           SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+         SELECT i, j, round(covar_samp(v[i + 1], v[j + 1]), 6) + 0.0 AS cov
+         FROM v CROSS JOIN range(64) r(i) CROSS JOIN range(64) s(j)
+         WHERE i <= j
+         GROUP BY i, j ORDER BY i, j""",
 
     "q136_exact_sample" ->
       """SELECT * FROM (

@@ -91,6 +91,50 @@ class ExtensionsAndClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(many.count(_.getAs[String]("query_id") == "b") <= 5)
   }
 
+  test("whiten: whitened covariance is the identity; covariance matches direct") {
+    import graft.ops.Ann
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val white = Ann.whiten(emb, col("vec_id"), col("embedding"), 64)
+    assert(white.count() == 500)
+    val cov = Ann.covarianceMatrix(white, col("v"), 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    for ((i, j, c) <- cov) {
+      if (i == j) assert(math.abs(c - 1.0) < 0.01, s"diag($i) = $c")
+      else assert(math.abs(c) < 0.01, s"cov($i,$j) = $c")
+    }
+    // covariance agrees with a direct two-pass computation on one cell
+    val xs = emb.select(col("embedding")).collect()
+      .map(_.getAs[Seq[Float]](0).map(_.toDouble).toArray)
+    val n = xs.length
+    def cell(i: Int, j: Int): Double = {
+      val mi = xs.map(_(i)).sum / n
+      val mj = xs.map(_(j)).sum / n
+      xs.map(x => (x(i) - mi) * (x(j) - mj)).sum / (n - 1)
+    }
+    val got = Ann.covarianceMatrix(emb, col("embedding"), 64)
+      .filter(col("i") === 3 && col("j") === 7).head().getDouble(2)
+    assert(math.abs(got - cell(3, 7)) < 1e-6)
+  }
+
+  test("knnGraph: full ranked edge set, no self edges; IVF graph bounded by it") {
+    import graft.ops.Ann
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val g = Ann.knnGraph(emb, col("vec_id"), col("embedding"), 3)
+    val rows = g.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == n * 3 && rows.forall(e => e._1 != e._3))
+    for ((_, es) <- rows.groupBy(_._1)) {
+      val byRnk = es.sortBy(_._2)
+      assert(byRnk.map(_._2).toSeq == Seq(1, 2, 3))
+      assert(byRnk.map(_._4).toSeq == byRnk.map(_._4).sorted.reverse.toSeq)
+    }
+    val a = Ann.knnGraphIvf(emb, col("vec_id"), col("embedding"), 3, nlist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(a.length <= n * 3 && a.forall(e => e._1 != e._2))
+    assert(a.distinct.length == a.length)
+  }
+
   test("inertiaCurve: full coverage per k, distance in range, elbow shape") {
     import graft.ops.Ivf
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
