@@ -268,13 +268,7 @@ object QualitySignals {
     val uni = toks.select(explode(col("tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cu"))
     val vocabSize = uni.count() // one vocabulary-sized job, driver scalar
-    val bigrams = toks.filter(size(col("tk")) >= 2)
-      .select(col("id"),
-        explode(zip_with(col("tk"),
-          slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))),
-          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
-      .filter(col("p.b").isNotNull)
-      .select(col("id"), col("p.a").as("a"), col("p.b").as("b"))
+    val bigrams = bigramRows(toks)
     val model = bigrams.groupBy("a", "b").agg(count(lit(1)).as("cb"))
       .join(uni.withColumnRenamed("w", "a"), "a") // vocab-sized join
     val m = if (broadcastModel) broadcast(model) else model
@@ -283,6 +277,57 @@ object QualitySignals {
       .agg(count(lit(1)).as("n_big"),
         round(avg(log((coalesce(col("cb"), lit(0L)) + lit(1.0)) /
           (coalesce(col("cu"), lit(0L)) + lit(vocabSize)))), 4).as("avg_lp"))
+  }
+
+  /** `(id, a, b)` bigram occurrences of a tokenized `(id, tk)` frame —
+    * shared by [[bigramLmScore]] and [[kneserNeyScore]]. */
+  private def bigramRows(toks: DataFrame): DataFrame =
+    toks.filter(size(col("tk")) >= 2)
+      .select(col("id"),
+        explode(zip_with(col("tk"),
+          slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .filter(col("p.b").isNotNull)
+      .select(col("id"), col("p.a").as("a"), col("p.b").as("b"))
+
+  /**
+   * Interpolated Kneser-Ney bigram LM score with absolute discount `D` —
+   * the smoothing CCNet-class filters actually prefer over add-one,
+   * because continuation probability ranks words by how many CONTEXTS
+   * they follow, not how often they occur:
+   *
+   *   p_KN(b|a) = max(c(a,b) − D, 0)/ctx(a) + D·n1p(a)/ctx(a) · pcont(b)
+   *   ctx(a)  = Σ_b c(a,b)         n1p(a) = |{b : c(a,b) > 0}|
+   *   pcont(b) = |{a : c(a,b) > 0}| / |distinct bigram types|
+   *
+   * Returns `(id, n_big, avg_lp)` — per-doc mean ln p_KN over its
+   * bigrams, 4dp. Self-scored corpora only meet observed bigrams
+   * (c ≥ 1 > D), so every probability is positive; scoring FOREIGN text
+   * against this model needs a backoff for unseen contexts and is out of
+   * contract. Scale shape: identical to [[bigramLmScore]] — every model
+   * table is vocabulary/bigram-type-bounded and broadcasts into the
+   * scoring join; all counts reduce under partial aggregation.
+   */
+  def kneserNeyScore(df: DataFrame, idCol: Column, textCol: Column,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0, 1)")
+    val toks = df.select(idCol.as("id"), split(trim(textCol), "\\s+").as("tk"))
+      .select(col("id"), filter(col("tk"), w => w =!= "").as("tk"))
+    val bigrams = bigramRows(toks)
+    val cb = bigrams.groupBy("a", "b").agg(count(lit(1)).as("cb"))
+    val ctx = cb.groupBy("a")
+      .agg(sum("cb").cast("double").as("ctx"), count(lit(1)).as("n1p"))
+    val cont = cb.groupBy("b").agg(count(lit(1)).as("nprec"))
+    val types = cb.count().toDouble // one bigram-type-sized job
+    val model = cb.join(ctx, "a").join(cont, "b")
+      .select(col("a"), col("b"),
+        (greatest(col("cb") - discount, lit(0.0)) / col("ctx") +
+          lit(discount) * col("n1p") / col("ctx") * (col("nprec") / lit(types)))
+          .as("p"))
+    bigrams.join(broadcast(model), Seq("a", "b"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_big"),
+        round(avg(log(col("p"))), 4).as("avg_lp"))
   }
 
   /**

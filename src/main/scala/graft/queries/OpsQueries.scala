@@ -267,6 +267,13 @@ object OpsQueries {
       // whitening/drift statistic, one pass, zero exchanges
       Ann.covarianceMatrix(t(s, d, "embeddings"), col("embedding"), 64)
         .orderBy("i", "j")),
+    "q151_kneser_ney" -> ((s, d) =>
+      // Kneser-Ney-smoothed sibling of q93: same bigram stream, the
+      // discount/continuation formula instead of add-one
+      graft.ops.QualitySignals.kneserNeyScore(
+          t(s, d, "documents"), col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
     "q136_exact_sample" -> ((s, d) =>
       // exact-k simple random sample via md5 order statistic: one
       // TakeOrdered pass, content-keyed so any engine draws the same rows
@@ -1399,6 +1406,27 @@ object OpsQueries {
          FROM v CROSS JOIN range(64) r(i) CROSS JOIN range(64) s(j)
          WHERE i <= j
          GROUP BY i, j ORDER BY i, j""",
+
+    "q151_kneser_ney" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x <> '') AS tk
+           FROM documents),
+         big AS (SELECT doc_id, tk[i + 1] AS a, tk[i + 2] AS b
+                 FROM (SELECT doc_id, tk, unnest(range(len(tk) - 1)) AS i
+                       FROM toks WHERE len(tk) >= 2)),
+         cb AS (SELECT a, b, count(*) AS cb FROM big GROUP BY 1, 2),
+         ctx AS (SELECT a, CAST(sum(cb) AS DOUBLE) AS ctx,
+                        count(*) AS n1p FROM cb GROUP BY a),
+         cont AS (SELECT b, count(*) AS nprec FROM cb GROUP BY b),
+         ty AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM cb)
+         SELECT big.doc_id, count(*) AS n_big,
+                round(avg(ln(greatest(cb.cb - 0.75, 0.0) / ctx.ctx
+                    + 0.75 * ctx.n1p / ctx.ctx * (cont.nprec / ty.t))), 4)
+                  AS avg_lp
+         FROM big JOIN cb USING (a, b) JOIN ctx USING (a)
+              JOIN cont USING (b) CROSS JOIN ty
+         GROUP BY big.doc_id ORDER BY doc_id""",
 
     "q136_exact_sample" ->
       """SELECT * FROM (

@@ -203,6 +203,19 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (10L, 4L, 10L, 10L, 1.0))) // whole vocab
   }
 
+  test("kneserNeyScore: hand-computed discount/continuation formula") {
+    import spark.implicits._
+    // bigrams: (a,b)x2, (b,a), (b,c); types=3; ctx(a)=2 n1p(a)=1,
+    // ctx(b)=2 n1p(b)=2; pcont = 1/3 each
+    val docs = Seq((1L, "a b a b"), (2L, "b c")).toDF("id", "text")
+    val got = QualitySignals.kneserNeyScore(docs, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // p(b|a) = 1.25/2 + .75*1/2/3 = 0.75 ; p(a|b) = p(c|b) = 0.375
+    val lp1 = (2 * math.log(0.75) + math.log(0.375)) / 3
+    assert(got(1L) == ((3L, math.rint(lp1 * 1e4) / 1e4)))
+    assert(got(2L) == ((1L, math.rint(math.log(0.375) * 1e4) / 1e4)))
+  }
+
   test("langIdWithConfidence: margin semantics; calibration buckets") {
     import spark.implicits._
     val docs = Seq(
