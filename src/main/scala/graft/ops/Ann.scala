@@ -336,10 +336,18 @@ object Ann {
       k: Int): DataFrame = {
     val v = emb.select(idCol.cast("long").as("id"),
       vecCol.cast("array<float>").as("v"))
-    val scored = v.as("a")
-      .join(broadcast(v.as("b")), col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("qid"), col("b.id").as("cid"),
-        round(cosine_similarity(col("a.v"), col("b.v")), 4).as("sim"))
+    rankEdges(v.as("a").join(broadcast(v.as("b")),
+      col("a.id") =!= col("b.id")), k)
+  }
+
+  /** The shared kNN edge contract: score candidate pairs by 4dp-rounded
+    * cosine, rank per query through the bounded [[TopK]] aggregator —
+    * ONE place, so the exact and pruned graphs (and therefore the q149
+    * recall comparison between them) can never drift on rounding or tie
+    * rules. Input: a joined frame with `a.id/a.v/b.id/b.v`. */
+  private def rankEdges(pairs: DataFrame, k: Int): DataFrame = {
+    val scored = pairs.select(col("a.id").as("qid"), col("b.id").as("cid"),
+      round(cosine_similarity(col("a.v"), col("b.v")), 4).as("sim"))
     TopK.perGroup(scored, Seq(col("qid")), col("cid"), col("sim"), k)
       .select(col("qid").as("id"), col("rnk"), col("id").as("nbr"), col("sim"))
   }
@@ -357,13 +365,8 @@ object Ann {
     val cents = Ivf.trainCentroids(v, col("id"), col("v"), nlist, iters,
       sampleFraction)
     val assigned = Ivf.assignClusters(v, col("id"), col("v"), cents)
-    val scored = assigned.as("a")
-      .join(assigned.as("b"),
-        col("a.cluster") === col("b.cluster") && col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("qid"), col("b.id").as("cid"),
-        round(cosine_similarity(col("a.v"), col("b.v")), 4).as("sim"))
-    TopK.perGroup(scored, Seq(col("qid")), col("cid"), col("sim"), k)
-      .select(col("qid").as("id"), col("rnk"), col("id").as("nbr"), col("sim"))
+    rankEdges(assigned.as("a").join(assigned.as("b"),
+      col("a.cluster") === col("b.cluster") && col("a.id") =!= col("b.id")), k)
   }
 
   /** Near-dup pairs with the self-join restricted to same-LSH-cell rows:

@@ -56,16 +56,20 @@ object Classify {
 
   /** Fit and COLLECT the bounded model (|V|·|L| log-probs + |L| priors).
     * Documents with no tokens still count toward the priors — they are
-    * real corpus members a scorer must still label. */
+    * real corpus members a scorer must still label. Rows with a NULL
+    * label are unlabeled and contribute nothing to the fit (they would
+    * otherwise become a phantom "null" class). */
   def nbFit(df: DataFrame, labelCol: Column, textCol: Column): NbModel = {
     val counts = termCounts(df, labelCol, textCol).persist()
     try {
       val totals = counts.groupBy("label").agg(sum("c").as("n_l"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val vocabSize = counts.agg(count_distinct(col("term"))).head().getLong(0)
-      val docCounts = df.groupBy(labelCol.cast("string").as("label"))
+      val docCounts = df.filter(labelCol.isNotNull)
+        .groupBy(labelCol.cast("string").as("label"))
         .agg(count(lit(1)).as("n")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(docCounts.nonEmpty, "no labeled rows to fit on")
       val labels = docCounts.keySet.toArray.sorted
       val nDocs = docCounts.values.sum.toDouble
       val idx = labels.zipWithIndex.toMap
@@ -132,9 +136,11 @@ object Classify {
     java.math.BigDecimal.valueOf(x)
       .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  /** `(label, term, c)` occurrence counts — the sufficient statistic. */
+  /** `(label, term, c)` occurrence counts — the sufficient statistic.
+    * NULL-label rows are unlabeled and excluded. */
   private def termCounts(df: DataFrame, labelCol: Column, textCol: Column) =
-    df.select(labelCol.cast("string").as("label"),
+    df.filter(labelCol.isNotNull)
+      .select(labelCol.cast("string").as("label"),
         explode(array_remove(split(trim(textCol), "\\s+"), "")).as("term"))
       .groupBy("label", "term").agg(count(lit(1)).as("c"))
 }

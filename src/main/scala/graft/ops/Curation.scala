@@ -444,9 +444,18 @@ object Curation {
         min(col(keyName)).cast("string").as("min_key"),
         max(col(keyName)).cast("string").as("max_key"))
       .orderBy("shard")
+    // keys are arbitrary user data: escape them or the manifest stops
+    // being JSON the first time a key contains a quote or newline
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"'           => "\\\""
+        case '\\'          => "\\\\"
+        case c if c < ' '  => f"\\u${c.toInt}%04x"
+        case c             => c.toString
+      } + "\""
     val manifest = stats.collect()
       .map(r => s"""{"shard": ${r.get(0)}, "n_rows": ${r.getLong(1)}, """ +
-        s""""min_key": "${r.getString(2)}", "max_key": "${r.getString(3)}"}""")
+        s""""min_key": ${jstr(r.getString(2))}, "max_key": ${jstr(r.getString(3))}}""")
       .mkString("[", ", ", "]")
     val hPath = new org.apache.hadoop.fs.Path(path, "_manifest.json")
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -801,7 +801,10 @@ object Dedup {
    * doubling brackets the answer and binary search pins it —
    * O(log maxLen) probes, each ONE corpus scan emitting per-document
    * DISTINCT gram hashes (row-local [[graft.expr.PortableHash]] work)
-   * and shuffling only `(h, id)` longs with partial aggregation. The
+   * and shuffling only `(h, id)` longs with partial aggregation.
+   * `maxLen` is a hard probe cap: a result of exactly `maxLen` means
+   * "the longest shared run is ≥ maxLen" (raise the cap for the exact
+   * value). The
    * final length is then re-derived over gram STRINGS restricted to the
    * (tiny) surviving hash set, so the reported answer is exact even if a
    * 60-bit hash collision inflated a probe (in which case the
@@ -852,6 +855,11 @@ object Dedup {
         var lo = 1
         var hi = 2
         while (hi <= maxLen && exists(hi)) { lo = hi; hi *= 2 }
+        // never probe beyond maxLen: if the doubling ran off the cap the
+        // search space is (lo, maxLen] and a result of exactly maxLen
+        // means "at least maxLen" — the documented cap semantics, never a
+        // silently wrong interior value
+        if (hi > maxLen + 1) hi = maxLen + 1
         while (hi - lo > 1) {
           val mid = lo + (hi - lo) / 2
           if (exists(mid)) lo = mid else hi = mid

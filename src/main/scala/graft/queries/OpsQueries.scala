@@ -1357,15 +1357,22 @@ object OpsQueries {
                  FROM ch),
          dup AS (SELECT h FROM (
                    SELECT h, count(DISTINCT doc_id) AS nd
-                   FROM chh WHERE doc_id < 250 GROUP BY h) WHERE nd >= 2)
-         SELECT doc_id, count(*) AS n_chunks,
-                CAST(sum(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_removed,
-                md5(coalesce(string_agg(
-                  CASE WHEN h NOT IN (SELECT h FROM dup) THEN ct END,
-                  ' ' ORDER BY chunk_no), '')) AS text_md5
-         FROM chh WHERE doc_id >= 250
-         GROUP BY doc_id ORDER BY doc_id""",
+                   FROM chh WHERE doc_id < 250 GROUP BY h) WHERE nd >= 2),
+         scrub AS (
+           SELECT doc_id, count(*) AS n_chunks,
+                  CAST(sum(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_removed,
+                  md5(coalesce(string_agg(
+                    CASE WHEN h NOT IN (SELECT h FROM dup) THEN ct END,
+                    ' ' ORDER BY chunk_no), '')) AS text_md5
+           FROM chh WHERE doc_id >= 250 GROUP BY doc_id)
+         -- token-less documents pass through as (0, 0, md5('')) like the
+         -- Spark scrubber
+         SELECT d.doc_id, coalesce(s.n_chunks, 0) AS n_chunks,
+                coalesce(s.n_removed, 0) AS n_removed,
+                coalesce(s.text_md5, md5('')) AS text_md5
+         FROM documents d LEFT JOIN scrub s USING (doc_id)
+         WHERE d.doc_id >= 250 ORDER BY d.doc_id""",
 
     "q148_heavy_hitters_sketch" ->
       // exact top terms — what the sketch must equal above the

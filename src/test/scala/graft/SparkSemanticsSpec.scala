@@ -726,6 +726,11 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ((13L, 1L, 2L)))
     val disjoint = Seq((10L, "a b"), (11L, "c d")).toDF("id", "text")
     assert(Dedup.longestSharedSpan(disjoint, col("id"), col("text")).isEmpty)
+    // the probe cap: a 13-run under maxLen=8 reports exactly the cap
+    // ("at least 8"), never a phantom interior value
+    val capped = Dedup.longestSharedSpan(docs, col("id"), col("text"),
+      maxLen = 8).head()
+    assert(capped.getLong(0) == 8L)
   }
 
   test("warc ingest: http envelopes stripped, chunked decoded, wet records, gz members") {
