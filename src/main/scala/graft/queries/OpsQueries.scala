@@ -274,6 +274,15 @@ object OpsQueries {
           t(s, d, "documents"), col("doc_id"), col("text"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    "q152_suffix_ranks" -> ((s, d) =>
+      // distributed suffix array (prefix doubling) over a bounded
+      // sub-corpus (every 5th doc — the q45-style bounded verification;
+      // the op itself is corpus-generic): every rank depends on every
+      // suffix of the input, so the full dump verifies the construction
+      graft.ops.Suffix.suffixRanks(
+          t(s, d, "documents").filter(col("doc_id") % 5 === 0),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id", "pos")),
     "q136_exact_sample" -> ((s, d) =>
       // exact-k simple random sample via md5 order statistic: one
       // TakeOrdered pass, content-keyed so any engine draws the same rows
@@ -1434,6 +1443,24 @@ object OpsQueries {
          FROM big JOIN cb USING (a, b) JOIN ctx USING (a)
               JOIN cont USING (b) CROSS JOIN ty
          GROUP BY big.doc_id ORDER BY doc_id""",
+
+    "q152_suffix_ranks" ->
+      // direct construction: sort every suffix's separator-joined string
+      // (chr(1) sorts below every token byte, so string order == token-
+      // sequence order with end-of-doc first); dense_rank for ties
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x <> '') AS tk
+           FROM documents WHERE doc_id % 5 = 0),
+         p AS (SELECT doc_id, unnest(range(len(tk))) AS pos, tk FROM toks),
+         suf AS (SELECT doc_id, pos,
+                   array_to_string(tk[pos + 1:], chr(1)) AS s
+                 FROM p),
+         r AS (SELECT doc_id, pos,
+                 dense_rank() OVER (ORDER BY s) - 1 AS rank
+               FROM suf)
+         SELECT doc_id, CAST(pos AS INT) AS pos, rank
+         FROM r ORDER BY doc_id, pos""",
 
     "q136_exact_sample" ->
       """SELECT * FROM (

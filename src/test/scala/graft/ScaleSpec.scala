@@ -220,6 +220,22 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("BroadcastNestedLoopJoin"))
   }
 
+  test("suffixRanks: hand-computed order, tied identical suffixes, invariant") {
+    import spark.implicits._
+    import graft.ops.Suffix
+    // suffix multiset: "a"×2 < "a b a"×2 < "b a"×2 < "b a b a" — three
+    // identical cross-document suffixes pin the tie (dense-rank) rule
+    val docs = Seq((1L, "b a b a"), (2L, "a b a")).toDF("id", "text")
+    val got = Suffix.suffixRanks(docs, col("id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(got.toSeq == Seq(
+      (1L, 0, 3L), (1L, 1, 1L), (1L, 2, 2L), (1L, 3, 0L),
+      (2L, 0, 1L), (2L, 1, 2L), (2L, 2, 0L)))
+    val again = Suffix.suffixRanks(docs.repartition(7), col("id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(got.sameElements(again))
+  }
+
   test("heavyHittersSketch: exact above capacity; MG bounds below it") {
     import spark.implicits._
     // skewed stream: "hot" 60×, "warm" 25×, eight rares 5× each = 125 tokens
