@@ -104,4 +104,59 @@ object Suffix {
     }
     cur.select(col("doc_id"), col("pos"), col("r").as("rank"))
   }
+
+  /**
+   * Longest repeated token run ANYWHERE in the corpus (within or across
+   * documents) with its lexicographically smallest witness pair:
+   * `(len, a_id, a_pos, b_id, b_pos)`, one row (empty when there are
+   * fewer than two suffixes). The textbook suffix-array read-off: the
+   * longest repeat is the maximum LCP of RANK-ADJACENT suffixes, so
+   * after [[suffixRanks]] only n−1 neighbor pairs are ever compared —
+   * against q144's cross-document doubling search this also counts
+   * within-document repeats, and the two agree whenever the global
+   * champion spans two documents.
+   *
+   * Scale shape: the neighbor join is an equi-join on the unique global
+   * suffix index (the same range-sort + zipWithIndex rank, all integer
+   * shuffles); the LCP pass joins each pair back to its two token
+   * arrays — the one stage that ships text, ~2× the corpus, compared in
+   * compiled per-partition code (never an interpreted HOF walk).
+   */
+  def longestRepeat(df: DataFrame, idCol: Column, textCol: Column,
+      maxDoubles: Int = 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(idCol.cast("long").as("doc_id"),
+      array_remove(split(trim(textCol), "\\s+"), "").as("tk"))
+    val ranks = suffixRanks(df, idCol, textCol, maxDoubles)
+    // ties share a rank: (rank, doc, pos) is the unique suffix-array
+    // order, and its global index makes neighbors an equi-join
+    val ordered = withDenseRank(ranks,
+      Seq(col("rank"), col("doc_id"), col("pos")), "idx")
+    val a = ordered.select(col("idx"), col("doc_id").as("a_id"),
+      col("pos").as("a_pos"))
+    val b = ordered.select((col("idx") - 1).as("idx"),
+      col("doc_id").as("b_id"), col("pos").as("b_pos"))
+    val pairs = a.join(b, "idx")
+      .join(toks.select(col("doc_id").as("a_id"), col("tk").as("ta")), "a_id")
+      .join(toks.select(col("doc_id").as("b_id"), col("tk").as("tb")), "b_id")
+      .select(col("a_id"), col("a_pos"), col("b_id"), col("b_pos"),
+        col("ta"), col("tb"))
+      .as[(Long, Int, Long, Int, Seq[String], Seq[String])]
+    val lcps = pairs.mapPartitions { it =>
+      it.map { case (aId, aPos, bId, bPos, ta, tb) =>
+        val n = math.min(ta.length - aPos, tb.length - bPos)
+        var l = 0
+        while (l < n && ta(aPos + l) == tb(bPos + l)) l += 1
+        (l.toLong, aId, aPos, bId, bPos)
+      }
+    }.toDF("len", "a_id", "a_pos", "b_id", "b_pos")
+    val best = lcps.agg(max("len").as("len"))
+    lcps.join(broadcast(best), "len")
+      .agg(min(struct(col("a_id"), col("a_pos"), col("b_id"), col("b_pos")))
+        .as("w"), max(col("len")).as("len"))
+      .select(col("len"), col("w.a_id").as("a_id"), col("w.a_pos").as("a_pos"),
+        col("w.b_id").as("b_id"), col("w.b_pos").as("b_pos"))
+      .filter(col("a_id").isNotNull)
+  }
 }

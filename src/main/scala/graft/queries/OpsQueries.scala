@@ -283,6 +283,13 @@ object OpsQueries {
           t(s, d, "documents").filter(col("doc_id") % 5 === 0),
           col("doc_id"), col("text"))
         .orderBy("doc_id", "pos")),
+    "q153_longest_repeat" -> ((s, d) =>
+      // suffix-array read-off: longest repeated run (within OR across
+      // docs) = max LCP of rank-adjacent suffixes; same bounded
+      // sub-corpus as q152
+      graft.ops.Suffix.longestRepeat(
+        t(s, d, "documents").filter(col("doc_id") % 5 === 0),
+        col("doc_id"), col("text"))),
     "q136_exact_sample" -> ((s, d) =>
       // exact-k simple random sample via md5 order statistic: one
       // TakeOrdered pass, content-keyed so any engine draws the same rows
@@ -1461,6 +1468,35 @@ object OpsQueries {
                FROM suf)
          SELECT doc_id, CAST(pos AS INT) AS pos, rank
          FROM r ORDER BY doc_id, pos""",
+
+    "q153_longest_repeat" ->
+      // direct construction: suffixes in (string, doc, pos) order,
+      // neighbor LCP via first-mismatch position, max + smallest witness
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x <> '') AS tk
+           FROM documents WHERE doc_id % 5 = 0),
+         p AS (SELECT doc_id, unnest(range(len(tk))) AS pos, tk FROM toks),
+         suf AS (SELECT doc_id, pos, tk[pos + 1:] AS sl FROM p),
+         ord AS (SELECT doc_id, pos, sl,
+                   row_number() OVER (ORDER BY array_to_string(sl, chr(1)),
+                     doc_id, pos) AS idx
+                 FROM suf),
+         pairs AS (SELECT a.doc_id AS a_id, a.pos AS a_pos,
+                     b.doc_id AS b_id, b.pos AS b_pos, a.sl AS sa, b.sl AS sb
+                   FROM ord a JOIN ord b ON b.idx = a.idx + 1),
+         l AS (SELECT a_id, a_pos, b_id, b_pos,
+                 coalesce(list_position(list_transform(
+                     range(least(len(sa), len(sb))),
+                     i -> sa[i + 1] = sb[i + 1]), false) - 1,
+                   least(len(sa), len(sb))) AS len
+               FROM pairs),
+         best AS (SELECT max(len) AS len FROM l)
+         SELECT CAST(best.len AS BIGINT) AS len, l.a_id,
+                CAST(l.a_pos AS INT) AS a_pos, l.b_id,
+                CAST(l.b_pos AS INT) AS b_pos
+         FROM best JOIN l ON l.len = best.len
+         ORDER BY l.a_id, l.a_pos, l.b_id, l.b_pos LIMIT 1""",
 
     "q136_exact_sample" ->
       """SELECT * FROM (

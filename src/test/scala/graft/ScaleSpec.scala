@@ -236,6 +236,26 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.sameElements(again))
   }
 
+  test("longestRepeat: cross-doc and within-doc runs via neighbor LCP") {
+    import spark.implicits._
+    import graft.ops.Suffix
+    val shared = (0 until 13).map(i => s"s$i").mkString(" ")
+    val cross = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"$shared delta"),
+      (3L, s"x y $shared z")).toDF("id", "text")
+    val r = Suffix.longestRepeat(cross, col("id"), col("text")).head()
+    // rank order puts "s0… delta" < "s0… gamma" < "s0… z"; the smallest
+    // max-LCP witness is the (doc1,pos2)-(doc3,pos2) neighbor pair
+    assert((r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+      r.getInt(4)) == ((13L, 1L, 2, 3L, 2)))
+    // a repeat INSIDE one document counts too (q144 only sees cross-doc)
+    val within = Seq((7L, "x y x y"), (8L, "p q")).toDF("id", "text")
+    val w = Suffix.longestRepeat(within, col("id"), col("text")).head()
+    assert((w.getLong(0), w.getLong(1), w.getInt(2), w.getLong(3),
+      w.getInt(4)) == ((2L, 7L, 2, 7L, 0)))
+  }
+
   test("heavyHittersSketch: exact above capacity; MG bounds below it") {
     import spark.implicits._
     // skewed stream: "hot" 60×, "warm" 25×, eight rares 5× each = 125 tokens
