@@ -445,9 +445,11 @@ object Curation {
         max(col(keyName)).cast("string").as("max_key"))
       .orderBy("shard")
     // keys are arbitrary user data: escape them or the manifest stops
-    // being JSON the first time a key contains a quote or newline
+    // being JSON the first time a key contains a quote or newline; an
+    // all-null key column renders as a JSON null, not a crash
     def jstr(s: String): String =
-      "\"" + s.flatMap {
+      if (s == null) "null"
+      else "\"" + s.flatMap {
         case '"'           => "\\\""
         case '\\'          => "\\\\"
         case c if c < ' '  => f"\\u${c.toInt}%04x"

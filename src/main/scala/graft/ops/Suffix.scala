@@ -53,56 +53,63 @@ object Suffix {
     * document length (2^20 tokens). */
   def suffixRanks(df: DataFrame, idCol: Column, textCol: Column,
       maxDoubles: Int = 20): DataFrame = {
+    // persist the token table: the dictionary distinct, the initial rank
+    // join and the maxDocLen pass all read it — without the persist each
+    // action re-splits the whole corpus (the longestSharedSpan
+    // tokenize-once discipline)
     val toks = df.select(idCol.cast("long").as("doc_id"),
         array_remove(split(trim(textCol), "\\s+"), "").as("tk"))
       .select(col("doc_id"), posexplode(col("tk")))
       .toDF("doc_id", "pos", "tok")
-    val dict = withDenseRank(toks.select("tok").distinct(),
-      Seq(col("tok")), "r")
-    // eager localCheckpoint, NOT persist: `cur` appears TWICE in every
-    // iteration's join, so the logical plan would double per iteration —
-    // Catalyst analysis time turns exponential long before execution
-    // matters (the q80 duplicate-clusters pathology, same fix). The
-    // checkpoint cuts each iteration to a leaf: measured 50 s → ~8 s at
-    // sf0.1 for the identical result.
-    var cur = toks.join(dict, "tok")
-      .select(col("doc_id"), col("pos"), col("r"))
-      .localCheckpoint(true)
-    val total = cur.count()
-    // IDENTICAL suffixes (same tokens to both ends) tie forever, so
-    // "all ranks distinct" alone would spin to maxDoubles on corpora
-    // with whole-suffix duplicates: once the depth covers the longest
-    // document every comparison is complete and the ranks are final
-    val maxDocLen =
-      if (total == 0) 0L
-      else toks.groupBy("doc_id").count().agg(max("count")).head().getLong(0)
-    var k = 1L
-    var iters = 0
-    var done = total == 0
-    while (!done && k < maxDocLen && iters < maxDoubles) {
-      // rank 2^k tokens ahead attaches by equi-join; absent = past the
-      // document end, which sorts before every real rank
-      val ahead = cur.select(col("doc_id"), (col("pos") - k).as("pos"),
-        col("r").as("r2"))
-      val paired = cur.join(ahead, Seq("doc_id", "pos"), "left")
-        .select(col("doc_id"), col("pos"), col("r"),
-          coalesce(col("r2"), lit(-1L)).as("r2"))
-      val distinctKeys = paired.select("r", "r2").distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // the distinct-key count doubles as the early-exit test: one
-      // small count instead of a second corpus-wide distinct pass
-      val nKeys = distinctKeys.count()
-      val keys = withDenseRank(distinctKeys, Seq(col("r"), col("r2")), "nr")
-      val next = paired.join(keys, Seq("r", "r2"))
-        .select(col("doc_id"), col("pos"), col("nr").as("r"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dict = withDenseRank(toks.select("tok").distinct(),
+        Seq(col("tok")), "r")
+      // eager localCheckpoint, NOT persist: `cur` appears TWICE in every
+      // iteration's join, so the logical plan would double per iteration —
+      // Catalyst analysis time turns exponential long before execution
+      // matters (the q80 duplicate-clusters pathology, same fix). The
+      // checkpoint cuts each iteration to a leaf: measured 50 s → ~8 s at
+      // sf0.1 for the identical result.
+      var cur = toks.join(dict, "tok")
+        .select(col("doc_id"), col("pos"), col("r"))
         .localCheckpoint(true)
-      distinctKeys.unpersist(blocking = false)
-      cur = next
-      k *= 2
-      iters += 1
-      done = nKeys == total // every suffix now has a unique rank
-    }
-    cur.select(col("doc_id"), col("pos"), col("r").as("rank"))
+      val total = cur.count()
+      // IDENTICAL suffixes (same tokens to both ends) tie forever, so
+      // "all ranks distinct" alone would spin to maxDoubles on corpora
+      // with whole-suffix duplicates: once the depth covers the longest
+      // document every comparison is complete and the ranks are final
+      val maxDocLen =
+        if (total == 0) 0L
+        else toks.groupBy("doc_id").count().agg(max("count")).head().getLong(0)
+      var k = 1L
+      var iters = 0
+      var done = total == 0
+      while (!done && k < maxDocLen && iters < maxDoubles) {
+        // rank 2^k tokens ahead attaches by equi-join; absent = past the
+        // document end, which sorts before every real rank
+        val ahead = cur.select(col("doc_id"), (col("pos") - k).as("pos"),
+          col("r").as("r2"))
+        val paired = cur.join(ahead, Seq("doc_id", "pos"), "left")
+          .select(col("doc_id"), col("pos"), col("r"),
+            coalesce(col("r2"), lit(-1L)).as("r2"))
+        val distinctKeys = paired.select("r", "r2").distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // the distinct-key count doubles as the early-exit test: one
+        // small count instead of a second corpus-wide distinct pass
+        val nKeys = distinctKeys.count()
+        val keys = withDenseRank(distinctKeys, Seq(col("r"), col("r2")), "nr")
+        val next = paired.join(keys, Seq("r", "r2"))
+          .select(col("doc_id"), col("pos"), col("nr").as("r"))
+          .localCheckpoint(true)
+        distinctKeys.unpersist(blocking = false)
+        cur = next
+        k *= 2
+        iters += 1
+        done = nKeys == total // every suffix now has a unique rank
+      }
+      cur.select(col("doc_id"), col("pos"), col("r").as("rank"))
+    } finally toks.unpersist(blocking = false)
   }
 
   /**
@@ -143,6 +150,9 @@ object Suffix {
       .select(col("a_id"), col("a_pos"), col("b_id"), col("b_pos"),
         col("ta"), col("tb"))
       .as[(Long, Int, Long, Int, Seq[String], Seq[String])]
+    // checkpoint the small integer LCP frame: it feeds BOTH the max
+    // aggregate and the witness join, and recomputing it would re-run
+    // the token-shipping joins and the whole ranking twice
     val lcps = pairs.mapPartitions { it =>
       it.map { case (aId, aPos, bId, bPos, ta, tb) =>
         val n = math.min(ta.length - aPos, tb.length - bPos)
@@ -150,7 +160,7 @@ object Suffix {
         while (l < n && ta(aPos + l) == tb(bPos + l)) l += 1
         (l.toLong, aId, aPos, bId, bPos)
       }
-    }.toDF("len", "a_id", "a_pos", "b_id", "b_pos")
+    }.toDF("len", "a_id", "a_pos", "b_id", "b_pos").localCheckpoint(true)
     val best = lcps.agg(max("len").as("len"))
     lcps.join(broadcast(best), "len")
       .agg(min(struct(col("a_id"), col("a_pos"), col("b_id"), col("b_pos")))
