@@ -331,6 +331,52 @@ object QualitySignals {
   }
 
   /**
+   * Distribution DRIFT between two corpus batches — the population
+   * stability index over hashed token buckets:
+   *
+   *   PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)
+   *
+   * with `p` the reference batch's token-bucket shares, `q` the
+   * candidate's, both add-one smoothed over the same `buckets` md5
+   * buckets (the [[graft.ops.Curation.importanceWeights]] bucketing, so
+   * the statistic is engine-reproducible and vocabulary-unbounded). The
+   * nightly-ingest monitoring gate: PSI < 0.1 is conventionally "no
+   * shift", > 0.25 "investigate before training". Returns one row
+   * `(n_ref, n_cand, psi)`.
+   *
+   * Scale shape: two token scans reducing to `buckets` counts each
+   * (partial-agg friendly, bucket-bounded shuffles), one broadcast-sized
+   * join of the two count tables, one fold over `buckets` rows ordered
+   * by bucket id — float addition in a fixed order, never a
+   * sum-of-doubles shuffle whose grouping could reorder it.
+   */
+  def driftPsi(ref: DataFrame, refText: Column, cand: DataFrame,
+      candText: Column, buckets: Int = 512): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    def bucketCounts(df: DataFrame, text: Column, out: String): DataFrame =
+      df.select(explode(array_remove(split(trim(text), "\\s+"), "")).as("tok"))
+        .select((graft.expr.PortableHash.hex15Col(col("tok")) % buckets).as("b"))
+        .groupBy("b").agg(count(lit(1)).as(out))
+    val joined = bucketCounts(ref, refText, "cr")
+      .join(bucketCounts(cand, candText, "cq"), Seq("b"), "full")
+      .select(col("b"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cq"), lit(0L)).as("cq"))
+    val totals = joined.agg(sum("cr").as("nr"), sum("cq").as("nq"))
+    joined
+      .crossJoin(broadcast(totals))
+      .select(col("b"), col("nr"), col("nq"),
+        ((col("cr") + 1) / (col("nr") + lit(buckets)).cast("double")).as("p"),
+        ((col("cq") + 1) / (col("nq") + lit(buckets)).cast("double")).as("q"))
+      .groupBy("nr", "nq")
+      .agg(round(aggregate(
+        array_sort(collect_list(struct(col("b"), col("p"), col("q")))),
+        lit(0.0),
+        (acc, x) => acc + (x.getField("p") - x.getField("q")) *
+          log(x.getField("p") / x.getField("q"))), 6).as("psi"))
+      .select(col("nr").as("n_ref"), col("nq").as("n_cand"), col("psi"))
+  }
+
+  /**
    * Cross-document boilerplate detection: for each document, the fraction
    * of its DISTINCT word `n`-grams that occur in at least `minDf` documents
    * corpus-wide (headers, footers, templates, license blurbs — the

@@ -290,6 +290,14 @@ object OpsQueries {
       graft.ops.Suffix.longestRepeat(
         t(s, d, "documents").filter(col("doc_id") % 5 === 0),
         col("doc_id"), col("text"))),
+    "q154_drift_psi" -> ((s, d) => {
+      // nightly-ingest drift gate: PSI over hashed token buckets between
+      // the reference (doc_id < 250) and candidate (>= 250) batches
+      val docs = t(s, d, "documents")
+      graft.ops.QualitySignals.driftPsi(
+        docs.filter(col("doc_id") < 250), col("text"),
+        docs.filter(col("doc_id") >= 250), col("text"))
+    }),
     "q136_exact_sample" -> ((s, d) =>
       // exact-k simple random sample via md5 order statistic: one
       // TakeOrdered pass, content-keyed so any engine draws the same rows
@@ -1497,6 +1505,31 @@ object OpsQueries {
                 CAST(l.b_pos AS INT) AS b_pos
          FROM best JOIN l ON l.len = best.len
          ORDER BY l.a_id, l.a_pos, l.b_id, l.b_pos LIMIT 1""",
+
+    "q154_drift_psi" ->
+      // same md5 buckets, add-one smoothing on both shares; 512 smoothed
+      // terms sum well inside the 6dp round
+      """WITH rt AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> x <> '')) AS tok
+                     FROM documents WHERE doc_id < 250),
+         ct AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> x <> '')) AS tok
+                FROM documents WHERE doc_id >= 250),
+         rb AS (SELECT CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 512 AS b,
+                       count(*) AS cr FROM rt GROUP BY 1),
+         cb AS (SELECT CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 512 AS b,
+                       count(*) AS cq FROM ct GROUP BY 1),
+         j AS (SELECT coalesce(rb.b, cb.b) AS b, coalesce(cr, 0) AS cr,
+                      coalesce(cq, 0) AS cq
+               FROM rb FULL JOIN cb ON rb.b = cb.b),
+         t AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+                      CAST(sum(cq) AS BIGINT) AS nq FROM j)
+         SELECT t.nr AS n_ref, t.nq AS n_cand,
+                round(sum(((j.cr + 1) / CAST(t.nr + 512 AS DOUBLE)
+                           - (j.cq + 1) / CAST(t.nq + 512 AS DOUBLE))
+                    * ln(((j.cr + 1) / CAST(t.nr + 512 AS DOUBLE))
+                         / ((j.cq + 1) / CAST(t.nq + 512 AS DOUBLE)))), 6) AS psi
+         FROM j CROSS JOIN t GROUP BY t.nr, t.nq""",
 
     "q136_exact_sample" ->
       """SELECT * FROM (

@@ -203,6 +203,31 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (10L, 4L, 10L, 10L, 1.0))) // whole vocab
   }
 
+  test("driftPsi: zero for identical batches, large under a vocabulary swap") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta epsilon"))
+      .toDF("id", "text")
+    // bucket count sized to the fixture: with buckets >> tokens the
+    // add-one smoothing flattens every share toward 1/buckets and PSI
+    // (correctly) reads tiny batches as no evidence of drift
+    val same = QualitySignals.driftPsi(a, col("text"), a, col("text"),
+      buckets = 8).head()
+    assert(same.getLong(0) == 7L && same.getLong(1) == 7L)
+    assert(same.getDouble(2) == 0.0) // p == q exactly, every term vanishes
+    // disjoint vocabulary: every occupied bucket shifts -> well past the
+    // 0.25 "investigate" line
+    val b = Seq((3L, "zeta eta theta iota"), (4L, "zeta eta kappa"))
+      .toDF("id", "text")
+    val far = QualitySignals.driftPsi(a, col("text"), b, col("text"),
+      buckets = 8).head()
+    assert(far.getDouble(2) > 0.25, s"psi = ${far.getDouble(2)}")
+    // symmetric in this construction's smoothing: swapping batches flips
+    // the sign of each (p - q) AND its log, so psi is equal
+    val rev = QualitySignals.driftPsi(b, col("text"), a, col("text"),
+      buckets = 8).head()
+    assert(math.abs(far.getDouble(2) - rev.getDouble(2)) < 1e-9)
+  }
+
   test("kneserNeyScore: hand-computed discount/continuation formula") {
     import spark.implicits._
     // bigrams: (a,b)x2, (b,a), (b,c); types=3; ctx(a)=2 n1p(a)=1,

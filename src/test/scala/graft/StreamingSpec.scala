@@ -351,6 +351,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming classification: broadcast NB model scores micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (1L, "ham", "home call home"),
+      (2L, "spam", "free win free")).toDF("id", "label", "text")
+    val model = graft.ops.Classify.nbFit(corpus, col("label"), col("text"))
+    val input = MemoryStream[(Long, String)]
+    val scored = graft.ops.Classify.nbPredict(
+      input.toDF().toDF("id", "text"), col("id"), col("text"), model)
+    val q = scored.writeStream.outputMode("append")
+      .format("memory").queryName("nbstream").start()
+    input.addData((10L, "free win"), (11L, "home call"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT id, pred FROM nbstream ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((10L, "spam"), (11L, "ham")))
+    q.stop()
+  }
+
   test("streaming Bloom decontamination: stateless filter, no watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
