@@ -900,6 +900,65 @@ object Dedup {
     } finally toks.unpersist()
   }
 
+  /**
+   * EXACT Jaccard similarity join by PREFIX FILTERING (the
+   * PPJoin/AllPairs family): returns every pair with token-set Jaccard
+   * ≥ `threshold` — same answer as the O(n²) brute force, reached
+   * without scoring all pairs. Each document's DISTINCT token set is
+   * ordered rarest-global-token first; a pair at Jaccard ≥ t must share
+   * at least one token among each side's first `|s| − ⌈t·|s|⌉ + 1`
+   * tokens (pigeonhole on the overlap bound `t/(1+t)·(|a|+|b|)`), so
+   * candidates come from an EQUI-join on prefix tokens only — and
+   * because prefixes hold the rarest tokens, the hottest join keys are
+   * the coldest words. Candidates then verify exactly. Returns
+   * `(a_id, b_id, jaccard)` (4dp), `a_id < b_id`.
+   *
+   * Scale shape: the global frequency dictionary is vocabulary-bounded
+   * and broadcasts ([[graft.ops.Classify]] discipline); set ordering and
+   * prefix extraction are compiled row-local work; the only corpus-sized
+   * shuffle carries `(prefix token, id)` pairs; exact verification joins
+   * token sets back for CANDIDATE ids only. Tiny-vocabulary corpora
+   * saturate the prefixes (every doc holds every word) — the filter's
+   * selectivity is a property of the data, its exactness never is.
+   */
+  def prefixJaccardJoin(df: DataFrame, idCol: Column, textCol: Column,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sets = df.select(idCol.cast("long").as("id"),
+        array_sort(array_distinct(array_remove(split(trim(textCol), "\\s+"), "")))
+          .as("ts"))
+      .filter(size(col("ts")) > 0)
+    val dict = sets.select(explode(col("ts")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bc = spark.sparkContext.broadcast(dict)
+    val prefixes = sets.as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val f = bc.value
+        it.flatMap { case (id, ts) =>
+          // rarest-first order, ties by token — engine-reproducible
+          val ordered = ts.sortBy(t => (f(t), t))
+          val plen = ts.length - math.ceil(threshold * ts.length).toInt + 1
+          ordered.take(plen).map(t => (t, id))
+        }
+      }
+      .toDF("tok", "id")
+    val cand = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    cand
+      .join(sets.select(col("id").as("a_id"), col("ts").as("ta")), "a_id")
+      .join(sets.select(col("id").as("b_id"), col("ts").as("tb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Exact pairwise n-gram Jaccard over a bounded id range — the
     * brute-force baseline the LSH paths approximate. O(n²): keep the range
     * small or use [[minHashDuplicates]] at scale. */

@@ -298,6 +298,13 @@ object OpsQueries {
         docs.filter(col("doc_id") < 250), col("text"),
         docs.filter(col("doc_id") >= 250), col("text"))
     }),
+    "q155_prefix_jaccard" -> ((s, d) =>
+      // exact similarity join via prefix filtering: must hash-match the
+      // brute-force oracle on the bounded range (exactness is the claim)
+      Dedup.prefixJaccardJoin(
+          t(s, d, "documents").filter(col("doc_id") < 200),
+          col("doc_id"), col("text"), threshold = 0.85)
+        .orderBy("a_id", "b_id")),
     "q136_exact_sample" -> ((s, d) =>
       // exact-k simple random sample via md5 order statistic: one
       // TakeOrdered pass, content-keyed so any engine draws the same rows
@@ -1530,6 +1537,22 @@ object OpsQueries {
                     * ln(((j.cr + 1) / CAST(t.nr + 512 AS DOUBLE))
                          / ((j.cq + 1) / CAST(t.nq + 512 AS DOUBLE)))), 6) AS psi
          FROM j CROSS JOIN t GROUP BY t.nr, t.nq""",
+
+    "q155_prefix_jaccard" ->
+      // brute-force all-pairs distinct-token Jaccard on the same range
+      """WITH s AS (
+           SELECT doc_id,
+                  list_sort(list_distinct(list_filter(
+                    string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS ts
+           FROM documents WHERE doc_id < 200),
+         s2 AS (SELECT doc_id, ts FROM s WHERE len(ts) > 0),
+         p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 round(len(list_intersect(a.ts, b.ts)) /
+                   CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))
+                     AS DOUBLE), 4) AS jaccard
+               FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id)
+         SELECT a_id, b_id, jaccard FROM p
+         WHERE jaccard >= 0.85 ORDER BY a_id, b_id""",
 
     "q136_exact_sample" ->
       """SELECT * FROM (

@@ -709,6 +709,30 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.getDouble(4) == 3.25 && got.getDouble(5) == 4.0)
   }
 
+  test("prefixJaccardJoin: equals the brute force; prefixes prune, never drop") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d f"),    // J(1,2) = 4/6 = 0.6667
+      (3L, "a b c d e"),    // J(1,3) = 1.0, J(2,3) = 0.6667
+      (4L, "u v w x y z"),  // disjoint from 1-3
+      (5L, "u v w x y q"))  // J(4,5) = 5/7 = 0.7143
+      .toDF("id", "text")
+    def normalize(f: org.apache.spark.sql.DataFrame) = f.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e4) / 1e4)).toSet
+    for (t <- Seq(0.6, 0.7, 0.95)) {
+      val smart = normalize(Dedup.prefixJaccardJoin(docs, col("id"), col("text"), t))
+      val brute = normalize(Dedup.ngramJaccardPairs(docs, col("id"), col("text"),
+        t, shingleSize = 1))
+      assert(smart == brute, s"threshold $t")
+    }
+    // at t = 0.95 only the identical pair survives
+    assert(normalize(Dedup.prefixJaccardJoin(docs, col("id"), col("text"), 0.95))
+      == Set((1L, 3L, 1.0)))
+  }
+
   test("longestSharedSpan: exact length, smallest witness, empty when disjoint") {
     import spark.implicits._
     import graft.ops.Dedup
