@@ -709,6 +709,50 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.getDouble(4) == 3.25 && got.getDouble(5) == 4.0)
   }
 
+  test("prefixJaccard/cdc property fuzz: exactness and edit-locality, seeded") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = (0 until 40).map(i => s"v$i")
+    val docs = (0L until 60L).map { id =>
+      val n = 10 + rnd.nextInt(30)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val df = docs.toDF("id", "text")
+    // prefix filtering must reproduce the driver-side brute force exactly
+    for (t <- Seq(0.5, 0.7)) {
+      val exp = (for {
+        (a, ta) <- docs
+        (b, tb) <- docs if a < b
+        sa = ta.split(" ").toSet
+        sb = tb.split(" ").toSet
+        // HALF_UP like Spark's round(): 17/32 = .53125 ties occur for real
+        jr = java.math.BigDecimal.valueOf(sa.intersect(sb).size.toDouble /
+          sa.union(sb).size).setScale(4, java.math.RoundingMode.HALF_UP)
+          .doubleValue() if jr >= t
+      } yield (a, b, jr)).toSet
+      val got = Dedup.prefixJaccardJoin(df, col("id"), col("text"), t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == exp, s"threshold $t: ${got.size} vs ${exp.size}")
+    }
+    // CDC edit-locality: a single random insertion perturbs at most the
+    // chunk containing it, one boundary neighbor, and the final chunk
+    // (whose end-of-doc cut eligibility shifts) — everything else resyncs
+    for (_ <- 0 until 5) {
+      val (_, text) = docs(rnd.nextInt(docs.length))
+      val tk = text.split(" ")
+      val pos = rnd.nextInt(tk.length)
+      val edited = (tk.take(pos) ++ Seq("EDIT") ++ tk.drop(pos)).mkString(" ")
+      val ch = Dedup.cdcChunks(Seq((1L, text), (2L, edited)).toDF("id", "text"),
+          col("id"), col("text"))
+        .collect().groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(2)).toSet).toMap
+      val shared = (ch(1L) & ch(2L)).size
+      assert(shared >= ch(1L).size - 3,
+        s"pos $pos: only $shared of ${ch(1L).size} chunks survived")
+    }
+  }
+
   test("prefixJaccardJoin: equals the brute force; prefixes prune, never drop") {
     import spark.implicits._
     import graft.ops.Dedup
