@@ -565,26 +565,26 @@ object Dedup {
     *
     * Scale shape: [[duplicateSpans]]'s shuffles all carry ints; the span
     * lists collapse to a few `(start, end)` pairs per affected doc and
-    * attach with one equi-join on id (co-partitioned for free on an
-    * id-bucketed corpus); the cut itself is a row-local indexed-filter
-    * HOF over the doc's own token array — corpus text never shuffles. */
+    * attach with one equi-join on id (broadcast when the affected-doc set
+    * is small, co-partitioned for free on an id-bucketed corpus); the cut
+    * itself is the compiled [[graft.expr.SpanCut]] interval-mask kernel —
+    * O(tokens + span length) per row inside whole-stage codegen, where
+    * the earlier interpreted `filter`/`exists` HOF pair paid
+    * O(tokens × spans) outside it — and corpus text never shuffles. */
   def stripDuplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
       k: Int, minDocs: Int = 2, keepFirst: Boolean = false): DataFrame = {
     val spanLists = duplicateSpans(df, idCol, textCol, k, minDocs, keepFirst)
       .groupBy("id")
-      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
-        .as("spans"))
-    val emptySpans = array().cast("array<struct<s:int,e:int>>")
-    val tk = array_remove(split(textCol, "\\s+"), "")
-    val kept = filter(col("tk"), (_, i) =>
-      !exists(col("sp"), s => i >= s.getField("s") && i < s.getField("e")))
-    df.select(idCol.as("id"), tk.as("tk"))
+      .agg(collect_list(struct(col("span_start").cast("int").as("s"),
+        col("span_end").cast("int").as("e"))).as("spans"))
+    val cut = col_(graft.expr.SpanCut(
+      Bridge.expression(col("text").cast("string")),
+      Bridge.expression(col("spans"))))
+    df.select(idCol.as("id"), textCol.cast("string").as("text"))
       .join(spanLists, Seq("id"), "left")
-      .withColumn("sp", coalesce(col("spans"), emptySpans))
-      .select(col("id"),
-        size(col("tk")).cast("long").as("n_tokens"),
-        (size(col("tk")) - size(kept)).cast("long").as("n_removed"),
-        array_join(kept, " ").as("text"))
+      .select(col("id"), cut.as("r"))
+      .select(col("id"), col("r.n_tokens").as("n_tokens"),
+        col("r.n_removed").as("n_removed"), col("r.text").as("text"))
   }
 
   /** Scrub a batch — or an unbounded STREAM — against a PERSISTED

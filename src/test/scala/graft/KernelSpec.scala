@@ -147,4 +147,24 @@ class KernelSpec extends AnyFunSuite {
     assert(p.endsWith("\n\n-----\n\nwhy?"))
     assertThrows[IllegalArgumentException](graft.rag.RagPrompt.assemble("q", Nil))
   }
+
+  test("spanCut kernel: mask semantics, clamping, null spans") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    def spans(ps: (Int, Int)*) = new GenericArrayData(ps.map { case (s, e) =>
+      new GenericInternalRow(Array[Any](s, e)) }.toArray)
+    def cut(text: String, sp: GenericArrayData) = {
+      val r = graft.expr.SpanCutOps.cut(UTF8String.fromString(text), sp)
+      (r.getLong(0), r.getLong(1), r.getUTF8String(2).toString)
+    }
+    // null span list = keep everything (the common left-join row)
+    assert(cut("a b c", null) == (3L, 0L, "a b c"))
+    // basic interval cut, whitespace re-normalized to single spaces
+    assert(cut("a  b\tc d e", spans((1, 3))) == (5L, 2L, "a d e"))
+    // overlapping spans cover the union, not the sum
+    assert(cut("a b c d e", spans((0, 3), (2, 4))) == (5L, 4L, "e"))
+    // out-of-range ends clamp; negative starts clamp
+    assert(cut("a b c", spans((-2, 2), (2, 99))) == (3L, 3L, ""))
+    // empty text
+    assert(cut("", spans((0, 1))) == (0L, 0L, ""))
+  }
 }
