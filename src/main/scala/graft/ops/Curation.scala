@@ -25,6 +25,44 @@ object Curation {
       longNumRe, "<NUM>")
 
   /**
+   * C4-style heuristic line cleaning (Raffel et al. 2020, §2.2 — the
+   * rules behind the C4 corpus): keep only lines that end in a terminal
+   * punctuation mark (`. ! ? "`), contain at least `minLineWords` words,
+   * and mention none of `badWords` (case-insensitive; C4 uses
+   * "javascript"); flag whole documents containing any of
+   * `dropDocMarkers` (case-insensitive literals; C4 uses "lorem ipsum"
+   * and `{`) as `doc_ok = false` for the caller to drop. Returns
+   * `(id, n_lines, n_kept, doc_ok, text)` with `text` rebuilt from the
+   * surviving lines in order.
+   *
+   * Scale shape: every rule is a row-local expression over the doc's own
+   * line array — one corpus pass, zero exchanges, nothing shuffles. The
+   * per-line conditions are regex/size built-ins; lines per document are
+   * few, so the line-filter HOF stays cheap (unlike per-token HOFs, which
+   * the [[graft.expr.SpanCut]] family compiles instead).
+   */
+  def c4Clean(df: DataFrame, idCol: Column, textCol: Column,
+      minLineWords: Int = 3,
+      badWords: Seq[String] = Seq("javascript"),
+      dropDocMarkers: Seq[String] = Seq("lorem ipsum", "{")): DataFrame = {
+    require(badWords.nonEmpty && dropDocMarkers.nonEmpty,
+      "badWords and dropDocMarkers must be non-empty")
+    def quoted(ws: Seq[String]) =
+      ws.map(java.util.regex.Pattern.quote).mkString("(?i)(", "|", ")")
+    val lines = split(textCol, "\n")
+    val lineOk = (l: Column) =>
+      l.rlike("[.!?\"]\\s*$") &&
+        size(array_remove(split(trim(l), "\\s+"), "")) >= minLineWords &&
+        !l.rlike(quoted(badWords))
+    val kept = filter(lines, lineOk)
+    df.select(idCol.as("id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      (!textCol.rlike(quoted(dropDocMarkers))).as("doc_ok"),
+      array_join(kept, "\n").as("text"))
+  }
+
+  /**
    * Deterministic train/val/test assignment from a content-stable key:
    * bucket = first 15 hex chars of md5(key) mod 100 (md5 so any engine —
    * including the DuckDB oracle — reproduces the exact assignment; xxhash64

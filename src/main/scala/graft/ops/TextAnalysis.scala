@@ -80,6 +80,21 @@ object TextAnalysis {
     when(size(tk) === 0, lit(0.0))
       .otherwise(size(array_distinct(tk)).cast("double") / size(tk))
 
+  /** Blocklist signal: struct `(n_hits, hit_ratio)` — exact-token hits
+    * against a word list (the C4 "bad words" filter shape; also profanity
+    * / brand / compliance screens). `hit_ratio` rounds to 4dp so
+    * downstream threshold cuts are engine-reproducible. Row-local
+    * built-ins; token membership against a literal list stays in
+    * codegen. */
+  def blocklistSignals(text: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty, "blocklist must be non-empty")
+    val toks = array_remove(split(trim(text), "\\s+"), "")
+    val hits = size(filter(toks, t => t.isin(words: _*)))
+    struct(hits.cast("long").as("n_hits"),
+      when(size(toks) === 0, lit(0.0))
+        .otherwise(round(hits.cast("double") / size(toks), 4)).as("hit_ratio"))
+  }
+
   /** Tiny per-language marker-word lists for the n-gram/stopword heuristic.
     * Deliberately minimal — the operator shape (argmax over per-language
     * token-hit counts) is what scales; richer lists drop in. */

@@ -305,6 +305,34 @@ object OpsQueries {
           t(s, d, "documents").filter(col("doc_id") < 200),
           col("doc_id"), col("text"), threshold = 0.85)
         .orderBy("a_id", "b_id")),
+    "q156_c4_clean" -> ((s, d) => {
+      // C4 heuristic line rules over the re-lined corpus. The word-bag
+      // fixture has no punctuation, so even-indexed lines first get a
+      // terminal '.' appended (deterministic, position-based) — the
+      // terminal-punctuation rule then bites on exactly half the lines;
+      // "spark" plays C4's javascript badword, "vector" its lorem-ipsum
+      // doc marker
+      val docs = wrapped4(t(s, d, "documents"))
+      val punct = docs.select(col("doc_id"),
+        array_join(transform(split(col("wtext"), "\n"), (l, i) =>
+          when(i % 2 === 0 && length(l) > 0, concat(l, lit(".")))
+            .otherwise(l)), "\n").as("wtext"))
+      graft.ops.Curation.c4Clean(punct, col("doc_id"), col("wtext"),
+          minLineWords = 4, badWords = Seq("spark"),
+          dropDocMarkers = Seq("vector"))
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+          col("doc_ok"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+    "q157_blocklist" -> ((s, d) =>
+      // exact-token blocklist screen: per-doc hit count + ratio against
+      // a 3-word list — the C4 badword-filter shape
+      t(s, d, "documents")
+        .select(col("doc_id"), graft.ops.TextAnalysis.blocklistSignals(
+          col("text"), Seq("spark", "window", "stream")).as("b"))
+        .select(col("doc_id"), col("b.n_hits").as("n_hits"),
+          col("b.hit_ratio").as("hit_ratio"))
+        .orderBy("doc_id")),
     "q136_exact_sample" -> ((s, d) =>
       // exact-k simple random sample via md5 order statistic: one
       // TakeOrdered pass, content-keyed so any engine draws the same rows
@@ -1553,6 +1581,51 @@ object OpsQueries {
                FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id)
          SELECT a_id, b_id, jaccard FROM p
          WHERE jaccard >= 0.85 ORDER BY a_id, b_id""",
+
+    "q156_c4_clean" ->
+      // same re-line + even-line punctuation fixture, then the C4 rules:
+      // terminal punct AND >= 4 words AND no badword per line; doc flag
+      // from the marker word anywhere in the doc
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         wrapped AS (
+           SELECT doc_id, CASE WHEN len(tk) = 0 THEN ''
+                  ELSE array_to_string([array_to_string(tk[(i*4+1):(i*4+4)], ' ')
+                                        FOR i IN range(0, CAST(ceil(len(tk)/4.0) AS INT))], chr(10)) END AS wtext
+           FROM toks),
+         ls AS (SELECT doc_id, string_split(wtext, chr(10)) AS ll FROM wrapped),
+         punct AS (SELECT doc_id, list_transform(range(len(ll)), i ->
+                     CASE WHEN i % 2 = 0 AND len(ll[i+1]) > 0
+                          THEN ll[i+1] || '.' ELSE ll[i+1] END) AS ll FROM ls),
+         lines AS (SELECT doc_id, unnest(ll) AS line,
+                          generate_subscripts(ll, 1) AS pos FROM punct),
+         flag AS (SELECT doc_id, pos, line,
+                    (regexp_matches(line, '[.!?"]\s*$')
+                     AND len(list_filter(string_split_regex(trim(line), '\s+'), x -> x <> '')) >= 4
+                     AND NOT regexp_matches(line, '(?i)spark')) AS ok
+                  FROM lines),
+         docflag AS (SELECT doc_id, NOT bool_or(regexp_matches(line, '(?i)vector')) AS doc_ok
+                     FROM lines GROUP BY doc_id)
+         SELECT f.doc_id,
+                CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                any_value(d.doc_ok) AS doc_ok,
+                md5(coalesce(string_agg(CASE WHEN ok THEN line END, chr(10) ORDER BY pos), '')) AS text_md5
+         FROM flag f JOIN docflag d USING (doc_id)
+         GROUP BY f.doc_id ORDER BY doc_id""",
+
+    "q157_blocklist" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         h AS (SELECT doc_id, len(tk) AS n,
+                      len(list_filter(tk, x -> list_contains(['spark', 'window', 'stream'], x))) AS hits
+               FROM toks)
+         SELECT doc_id, CAST(hits AS BIGINT) AS n_hits,
+                CASE WHEN n = 0 THEN 0.0
+                     ELSE round(hits / CAST(n AS DOUBLE), 4) END AS hit_ratio
+         FROM h ORDER BY doc_id""",
 
     "q136_exact_sample" ->
       """SELECT * FROM (
