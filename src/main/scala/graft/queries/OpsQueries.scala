@@ -333,6 +333,26 @@ object OpsQueries {
         .select(col("doc_id"), col("b.n_hits").as("n_hits"),
           col("b.hit_ratio").as("hit_ratio"))
         .orderBy("doc_id")),
+    "q158_unigram_vocab" -> ((s, d) =>
+      // unigram-LM piece vocabulary: substring counts weighted by word
+      // frequency, top-60 + forced single chars, integer milli-nat
+      // scores (floor(1000·ln(cnt/total)) — engine-reproducible)
+      graft.ops.Unigram.trainPieces(t(s, d, "documents"), col("text"),
+          vocabSize = 60, maxPieceLen = 4, minCount = 2)
+        .orderBy(desc("cnt"), asc("piece"))),
+    "q159_unigram_segment" -> ((s, d) => {
+      // Viterbi segmentation of every doc against the q158 vocab; the
+      // oracle re-trains the vocab AND enumerates all segmentation paths
+      // per word (recursive CTE), so the DP's argmax + tie-breaks are
+      // verified bit-for-bit
+      val docs = t(s, d, "documents")
+      val vocab = graft.ops.Unigram.trainPieces(docs, col("text"),
+        vocabSize = 60, maxPieceLen = 4, minCount = 2)
+      graft.ops.Unigram.segment(docs, col("doc_id"), col("text"), vocab)
+        .select(col("id").as("doc_id"), col("n_words"), col("n_pieces"),
+          col("fertility"), md5(col("seg")).as("seg_md5"))
+        .orderBy("doc_id")
+    }),
     "q136_exact_sample" -> ((s, d) =>
       // exact-k simple random sample via md5 order statistic: one
       // TakeOrdered pass, content-keyed so any engine draws the same rows
@@ -1626,6 +1646,88 @@ object OpsQueries {
                 CASE WHEN n = 0 THEN 0.0
                      ELSE round(hits / CAST(n AS DOUBLE), 4) END AS hit_ratio
          FROM h ORDER BY doc_id""",
+
+    "q158_unigram_vocab" ->
+      // re-train from scratch: positional substrings of each word (len
+      // 1..4, multiplicity counts) weighted by word frequency; top-60 by
+      // (cnt desc, piece) with cnt >= 2, union all single chars; integer
+      // milli-nat scores normalized over the selected vocab
+      """WITH toks AS (
+           SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         wocc AS (SELECT unnest(tk) AS w FROM toks),
+         wcnt AS (SELECT w, count(*) AS c FROM wocc GROUP BY w),
+         cand AS (SELECT unnest(flatten(list_transform(range(len(w)), i ->
+                    list_transform(range(1, 1 + least(4, len(w) - i)),
+                      L -> substr(w, CAST(i + 1 AS INT), CAST(L AS INT)))))) AS piece, c
+                  FROM wcnt),
+         cc AS (SELECT piece, CAST(sum(c) AS BIGINT) AS cnt FROM cand GROUP BY piece),
+         top AS (SELECT piece, cnt FROM (
+                   SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rnk
+                   FROM cc WHERE cnt >= 2) WHERE rnk <= 60),
+         sel AS (SELECT piece, cnt FROM top
+                 UNION SELECT piece, cnt FROM cc WHERE len(piece) = 1),
+         tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS s FROM sel)
+         SELECT piece, cnt, CAST(floor(1000 * ln(cnt / s)) AS BIGINT) AS score_milli
+         FROM sel, tot ORDER BY cnt DESC, piece""",
+
+    "q159_unigram_segment" ->
+      // the full pipeline in SQL: q158's vocab, then EVERY composition of
+      // each distinct word into vocab pieces via a recursive CTE, argmax
+      // per word on (score desc, fewer pieces, lexicographic seg) —
+      // exactly the Viterbi tie-break contract — then per-doc reassembly.
+      // NB: inside WITH RECURSIVE DuckDB stops deduplicating a plain
+      // UNION in a non-recursive CTE (it parses as anchor/recursive
+      // structure), so `sel` must spell DISTINCT over UNION ALL — the
+      // bare-UNION form silently double-counts top∩singles in `tot`
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         wocc AS (SELECT unnest(tk) AS w FROM toks),
+         wcnt AS (SELECT w, count(*) AS c FROM wocc GROUP BY w),
+         cand AS (SELECT unnest(flatten(list_transform(range(len(w)), i ->
+                    list_transform(range(1, 1 + least(4, len(w) - i)),
+                      L -> substr(w, CAST(i + 1 AS INT), CAST(L AS INT)))))) AS piece, c
+                  FROM wcnt),
+         cc AS (SELECT piece, CAST(sum(c) AS BIGINT) AS cnt FROM cand GROUP BY piece),
+         top AS (SELECT piece, cnt FROM (
+                   SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rnk
+                   FROM cc WHERE cnt >= 2) WHERE rnk <= 60),
+         sel AS (SELECT DISTINCT piece, cnt FROM (
+                   SELECT piece, cnt FROM top
+                   UNION ALL SELECT piece, cnt FROM cc WHERE len(piece) = 1)),
+         tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS s FROM sel),
+         vocab AS (SELECT piece, CAST(floor(1000 * ln(cnt / s)) AS BIGINT) AS score
+                   FROM sel, tot),
+         paths(w, pos, score, np, seg) AS (
+           SELECT w, 0, CAST(0 AS BIGINT), 0, '' FROM (SELECT DISTINCT w FROM wcnt)
+           UNION ALL
+           SELECT p.w, p.pos + len(v.piece), p.score + v.score, p.np + 1,
+                  CASE WHEN p.seg = '' THEN v.piece
+                       ELSE p.seg || ' ' || v.piece END
+           FROM paths p JOIN vocab v
+             ON v.piece = substr(p.w, p.pos + 1, len(v.piece))
+           WHERE p.pos < len(p.w)),
+         best AS (SELECT w, np, seg FROM (
+                    SELECT w, np, seg, row_number() OVER (
+                      PARTITION BY w ORDER BY score DESC, np, seg) AS rn
+                    FROM paths WHERE pos = len(w)) WHERE rn = 1),
+         wordseq AS (SELECT doc_id, unnest(tk) AS w,
+                            generate_subscripts(tk, 1) AS ord FROM toks),
+         perdoc AS (SELECT ws.doc_id,
+                      CAST(count(*) AS BIGINT) AS n_words,
+                      CAST(sum(b.np) AS BIGINT) AS n_pieces,
+                      round(sum(b.np) / CAST(count(*) AS DOUBLE), 4) AS fertility,
+                      md5(string_agg(b.seg, ' / ' ORDER BY ord)) AS seg_md5
+                    FROM wordseq ws JOIN best b USING (w)
+                    GROUP BY ws.doc_id)
+         SELECT d.doc_id,
+                coalesce(p.n_words, CAST(0 AS BIGINT)) AS n_words,
+                coalesce(p.n_pieces, CAST(0 AS BIGINT)) AS n_pieces,
+                coalesce(p.fertility, 0.0) AS fertility,
+                coalesce(p.seg_md5, md5('')) AS seg_md5
+         FROM documents d LEFT JOIN perdoc p USING (doc_id)
+         ORDER BY d.doc_id""",
 
     "q136_exact_sample" ->
       """SELECT * FROM (
