@@ -23,13 +23,21 @@ import graft.functions.{cosine_similarity, hash_embed, l2_norm, normalize_text}
 object T2Queries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
-    // rejects; read it as long nanos and truncate to microseconds — the same
-    // coercion DuckDB applies, so oracle comparisons agree.
+    // events.ts has shipped as both TIMESTAMP(NANOS) parquet (which Spark's
+    // vectorized reader rejects — read as long nanos, truncate to µs, the
+    // same coercion DuckDB applies) and plain TIMESTAMP(MICROS) (usable
+    // as-is). Adapt to whichever this dataset carries so oracles agree.
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // Normalize to TIMESTAMP (LTZ): the NTZ→LTZ cast is instant-preserving
+      // because every graft session pins spark.sql.session.timeZone=UTC, and
+      // downstream epoch math (unix_micros) only accepts LTZ.
+      val tsCol = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+        case _ => col("ts").cast(org.apache.spark.sql.types.TimestampType)
+      }
+      raw.withColumn("ts", tsCol)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     } else s.read.parquet(s"$dir/$name.parquet")
   }
