@@ -15,7 +15,7 @@ import graft.expr._
  * `registerAll(spark)` additionally exposes them to SQL:
  * `cosine_similarity`, `cosine_distance`, `dot_product`, `l2_normalize`,
  * `l2_norm`, `normalize_text`, `normalize_query_text`, `hash_embed`,
- * `chunk_document`.
+ * `chunk_document`, `unicode_normalize`.
  */
 object functions {
 
@@ -46,6 +46,11 @@ object functions {
   /** Query-side text normalization (empty → " "). */
   def normalize_query_text(c: Column): Column =
     col(NormalizeText(str(c), queryMode = true))
+
+  /** Unicode normal-form normalization (corpus hygiene before hashing/
+    * dedup); `form` ∈ NFC | NFD | NFKC | NFKD. */
+  def unicode_normalize(c: Column, form: String = "NFC"): Column =
+    col(UnicodeNormalize(str(c), form))
 
   /** Deterministic stub embedding (FIXTURES.md §4). */
   def hash_embed(c: Column, dim: Int = 64, seed: Long = 42L): Column =
@@ -85,5 +90,10 @@ object functions {
       es => SimHash(str(es.head)), "built-in")
     reg.createOrReplaceTempFunction("lsh_bucket",
       es => LshBucket(fvec(es.head)), "built-in")
+    reg.createOrReplaceTempFunction("unicode_normalize",
+      es => UnicodeNormalize(str(es.head), es.lift(1) match {
+        case Some(f) if f.foldable => f.eval().toString
+        case _                     => "NFC"
+      }), "built-in")
   }
 }

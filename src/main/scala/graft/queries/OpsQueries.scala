@@ -1133,7 +1133,23 @@ object OpsQueries {
         .select(col("asset_id"), col("modality"), col("n_bytes"),
           round(element_at(col("features"), 3).cast("double"), 4).as("f2"),
           round(element_at(col("features"), 7).cast("double"), 4).as("f6"))
-        .orderBy("asset_id"))
+        .orderBy("asset_id")),
+    "q160_nfc_normalize" -> ((s, d) => {
+      // Unicode hygiene: crawl text arrives in mixed normal forms, which
+      // makes byte-identical content hash differently. The all-NFC fixture
+      // is first decomposed deterministically ('merge' → 'me' + U+0301 +
+      // 'rge', i.e. NFD-style combining marks), then the native
+      // unicode_normalize expression restores canonical NFC — row-local,
+      // inside whole-stage codegen, zero exchanges
+      import graft.functions.unicode_normalize
+      val dec = t(s, d, "documents").select(col("doc_id"),
+        replace(col("text"), lit("merge"), lit("me\u0301rge")).as("dtext"))
+      dec.select(col("doc_id"),
+          (col("dtext") =!= unicode_normalize(col("dtext"))).as("changed"),
+          length(unicode_normalize(col("dtext"))).cast("long").as("norm_len"),
+          md5(unicode_normalize(col("dtext")).cast("binary")).as("norm_hash"))
+        .orderBy("doc_id")
+    })
   )
 
   /** DuckDB oracles. Shared sub-SQL is inlined per query; dialect notes in
@@ -3093,7 +3109,21 @@ object OpsQueries {
          ${PortableSql.bucketCtes("c", "chunks", "doc_id, chunk_index")},
          nrm AS (SELECT doc_id, chunk_index, sqrt(sum(wt * wt)) AS nrm
                  FROM cbuck GROUP BY doc_id, chunk_index)
-         SELECT count(*) AS n_chunks, round(sum(nrm), 2) AS norm_sum FROM nrm"""
+         SELECT count(*) AS n_chunks, round(sum(nrm), 2) AS norm_sum FROM nrm""",
+
+    "q160_nfc_normalize" ->
+      // same deterministic decomposition ('merge' → 'me' + chr(769) +
+      // 'rge'), then DuckDB's nfc_normalize is the oracle for the native
+      // expression; both engines count length in code points
+      """WITH dec AS (
+           SELECT doc_id,
+                  replace(text, 'merge', 'me' || chr(769) || 'rge') AS dtext
+           FROM documents)
+         SELECT doc_id,
+                dtext <> nfc_normalize(dtext) AS changed,
+                CAST(length(nfc_normalize(dtext)) AS BIGINT) AS norm_len,
+                md5(nfc_normalize(dtext)) AS norm_hash
+         FROM dec ORDER BY doc_id"""
   )
 }
 

@@ -167,4 +167,22 @@ class KernelSpec extends AnyFunSuite {
     // empty text
     assert(cut("", spans((0, 1))) == (0L, 0L, ""))
   }
+
+  test("unicodeNormalize kernel: forms, identity fast path, null") {
+    import graft.expr.UnicodeNormalize
+    val NFC = java.text.Normalizer.Form.NFC.ordinal
+    val NFD = java.text.Normalizer.Form.NFD.ordinal
+    val NFKC = java.text.Normalizer.Form.NFKC.ordinal
+    def u(s: String) = UTF8String.fromString(s)
+    // combining acute recomposes under NFC
+    assert(UnicodeNormalize.normalizeUTF8(u("mérge"), NFC).toString == "mérge")
+    // NFD decomposes the precomposed form back
+    assert(UnicodeNormalize.normalizeUTF8(u("mérge"), NFD).toString == "mérge")
+    // NFKC folds compatibility forms (ligature, full-width)
+    assert(UnicodeNormalize.normalizeUTF8(u("ﬁle １２３"), NFKC).toString == "file 123")
+    // already-normalized input returns the SAME UTF8String (no realloc)
+    val in = u("plain ascii")
+    assert(UnicodeNormalize.normalizeUTF8(in, NFC) eq in)
+    assert(UnicodeNormalize.normalizeUTF8(null, NFC) == null)
+  }
 }
