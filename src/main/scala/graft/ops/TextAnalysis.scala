@@ -95,6 +95,41 @@ object TextAnalysis {
         .otherwise(round(hits.cast("double") / size(toks), 4)).as("hit_ratio"))
   }
 
+  /** PII pattern table shared by [[piiSignals]] and [[redactPii]] so the
+    * two stay in lockstep: (class, regex, sentinel). Patterns are
+    * deliberately RE2-compatible (no lookaround, no backreferences) so
+    * any linear-time engine — and the DuckDB oracle — runs them
+    * verbatim; match semantics (leftmost-first, greedy) agree between
+    * java.util.regex and RE2 for this subset. Redaction applies the
+    * table IN ORDER, so an email whose local part contains an id-shaped
+    * digit run is masked once, as `<EMAIL>`. Deliberately conservative
+    * core classes — the shape (ordered regex fold, row-local, inside
+    * whole-stage codegen) is what scales; richer pattern sets drop in. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("id", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<ID>"),
+    ("phone", "(?:\\+\\d{7,15}\\b|\\b\\d{3}-\\d{3}-\\d{4}\\b|\\(\\d{3}\\) \\d{3}-\\d{4}\\b)",
+      "<PHONE>"))
+
+  /** Per-class PII match counts (`n_email`, `n_ipv4`, `n_id`, `n_phone`),
+    * each counted independently on the RAW text — the audit signal a
+    * release gate thresholds on. Row-local `regexp_count`, zero
+    * exchanges. */
+  def piiSignals(text: Column): Column =
+    struct(piiPatterns.map { case (name, pat, _) =>
+      regexp_count(text, lit(pat)).cast("long").as(s"n_$name")
+    }: _*)
+
+  /** Mask every PII match with its class sentinel, applying
+    * [[piiPatterns]] in table order (email first — see table doc).
+    * Idempotent: sentinels contain no digits or `@`, so a second pass
+    * matches nothing. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, pat, sentinel)) =>
+      regexp_replace(c, pat, sentinel)
+    }
+
   /** Tiny per-language marker-word lists for the n-gram/stopword heuristic.
     * Deliberately minimal — the operator shape (argmax over per-language
     * token-hit counts) is what scales; richer lists drop in. */

@@ -1149,8 +1149,50 @@ object OpsQueries {
           length(unicode_normalize(col("dtext"))).cast("long").as("norm_len"),
           md5(unicode_normalize(col("dtext")).cast("binary")).as("norm_hash"))
         .orderBy("doc_id")
-    })
+    }),
+    "q161_pii_signals" -> ((s, d) =>
+      // PII audit counts per class. The clean word-bag corpus gets
+      // deterministic doc_id-keyed PII appended (email on ids % 3, phone
+      // % 2, ipv4 % 5, ssn-shaped id % 7 — so counts VARY per doc and
+      // many docs stay clean); the signals themselves are generic
+      // row-local regexp_count, zero exchanges
+      piiDecorated(t(s, d, "documents"))
+        .select(col("doc_id"), TextAnalysis.piiSignals(col("ptext")).as("p"))
+        .select(col("doc_id"), col("p.n_email").as("n_email"),
+          col("p.n_ipv4").as("n_ipv4"), col("p.n_id").as("n_id"),
+          col("p.n_phone").as("n_phone"))
+        .orderBy("doc_id")),
+    "q162_pii_redact" -> ((s, d) =>
+      // class-sentinel masking over the same fixture; n_masks counts the
+      // sentinels actually placed, red_hash pins the full masked text
+      piiDecorated(t(s, d, "documents"))
+        .select(col("doc_id"), TextAnalysis.redactPii(col("ptext")).as("red"))
+        .select(col("doc_id"),
+          regexp_count(col("red"), lit("<(EMAIL|IP|ID|PHONE)>"))
+            .cast("long").as("n_masks"),
+          md5(col("red").cast("binary")).as("red_hash"))
+        .orderBy("doc_id"))
   )
+
+  /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
+    * email (ids % 3 = 0), a dashed phone (% 2), an ipv4 (% 5) and an
+    * ssn-shaped id (% 7) so per-class counts vary and ~1/4 of docs stay
+    * clean. Mirrored verbatim in the oracle SQL. */
+  private def piiDecorated(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    docs.select(id,
+      concat(col("text"),
+        when(id % 3 === 0, concat(lit(" Contact user"), id.cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+        when(id % 2 === 0, concat(lit(" call 555-"),
+          lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad(id.cast("string"), 4, "0"))).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" from 10.0."),
+          (id % 256).cast("string"), lit("."),
+          ((id * 7) % 256).cast("string"))).otherwise(lit("")),
+        when(id % 7 === 0, lit(" ref 123-45-6789.")).otherwise(lit("")))
+        .as("ptext"))
+  }
 
   /** DuckDB oracles. Shared sub-SQL is inlined per query; dialect notes in
     * [[T2Queries]] apply. */
@@ -3123,7 +3165,30 @@ object OpsQueries {
                 dtext <> nfc_normalize(dtext) AS changed,
                 CAST(length(nfc_normalize(dtext)) AS BIGINT) AS norm_len,
                 md5(nfc_normalize(dtext)) AS norm_hash
-         FROM dec ORDER BY doc_id"""
+         FROM dec ORDER BY doc_id""",
+
+    "q161_pii_signals" ->
+      s"""WITH p AS (${PiiSql.decorated})
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(ptext, '${PiiSql.email}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(ptext, '${PiiSql.ipv4}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(ptext, '${PiiSql.id}')) AS BIGINT) AS n_id,
+           CAST(len(regexp_extract_all(ptext, '${PiiSql.phone}')) AS BIGINT) AS n_phone
+         FROM p ORDER BY doc_id""",
+
+    "q162_pii_redact" ->
+      s"""WITH p AS (${PiiSql.decorated}),
+         r AS (SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(ptext,
+                   '${PiiSql.email}', '<EMAIL>', 'g'),
+                   '${PiiSql.ipv4}', '<IP>', 'g'),
+                   '${PiiSql.id}', '<ID>', 'g'),
+                   '${PiiSql.phone}', '<PHONE>', 'g') AS red
+               FROM p)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(red, '<(EMAIL|IP|ID|PHONE)>')) AS BIGINT) AS n_masks,
+                md5(red) AS red_hash
+         FROM r ORDER BY doc_id"""
   )
 }
 
@@ -3132,6 +3197,31 @@ object OpsQueries {
   * [[graft.expr.Chunker]] + [[graft.embed.HashEmbedder]] for ASCII corpora
   * (the synthetic `documents` table is verified printable-ASCII, so NFKC and
   * unicode-whitespace handling are no-ops). */
+/** Oracle-side fragments for the PII queries (q161/q162). The regexes are
+  * taken VERBATIM from [[graft.ops.TextAnalysis.piiPatterns]] — one source
+  * of truth for both engines (the pattern subset is RE2-safe by contract);
+  * `decorated` mirrors [[OpsQueries.piiDecorated]] in DuckDB SQL. */
+private[queries] object PiiSql {
+  private val pats: Map[String, String] =
+    graft.ops.TextAnalysis.piiPatterns.map { case (n, p, _) => n -> p }.toMap
+  val email: String = pats("email")
+  val ipv4: String = pats("ipv4")
+  val id: String = pats("id")
+  val phone: String = pats("phone")
+  val decorated: String =
+    """SELECT doc_id, text
+       || CASE WHEN doc_id % 3 = 0
+            THEN ' Contact user' || doc_id || '@example.com' ELSE '' END
+       || CASE WHEN doc_id % 2 = 0
+            THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                 || '-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') ELSE '' END
+       || CASE WHEN doc_id % 5 = 0
+            THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+       || CASE WHEN doc_id % 7 = 0 THEN ' ref 123-45-6789.' ELSE '' END
+       AS ptext FROM documents"""
+}
+
 private[queries] object PortableSql {
 
   /** MinHash(64)+LSH(16×4) candidate generation + exact unigram-Jaccard

@@ -284,4 +284,41 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L) == (7L, 0.7143))
     assert(got(2L) == (7L, 0.7143))
   }
+
+  test("piiSignals/redactPii: counts, table-order masking, idempotence") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "mail a@b.co and c.d+x@e-f.org, call 555-123-4567 or +4915112345678"),
+      (2L, "server 192.168.0.1 ssn 123-45-6789"),
+      // id-shaped digits INSIDE an email local part: email wins (table order)
+      (3L, "reach 123-45-6789@ex.com today"),
+      (4L, "clean text, no pii at all"),
+      (5L, "(212) 555-0199 and 10.0.0.7")).toDF("id", "text")
+    val sig = docs.select(col("id"), TextAnalysis.piiSignals(col("text")).as("p"))
+      .select(col("id"), col("p.n_email"), col("p.n_ipv4"), col("p.n_id"), col("p.n_phone"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(sig(1L) == (2L, 0L, 0L, 2L))
+    assert(sig(2L) == (0L, 1L, 1L, 0L))
+    // n_id counts independently on raw text (audit semantics): the digit
+    // run inside the address still counts as an id SIGNAL
+    assert(sig(3L) == (1L, 0L, 1L, 0L))
+    assert(sig(4L) == (0L, 0L, 0L, 0L))
+    assert(sig(5L) == (0L, 1L, 0L, 1L))
+    val red = docs.select(col("id"), TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) == "mail <EMAIL> and <EMAIL>, call <PHONE> or <PHONE>")
+    assert(red(2L) == "server <IP> ssn <ID>")
+    // redaction applies email FIRST: one <EMAIL>, no <ID> leftover
+    assert(red(3L) == "reach <EMAIL> today")
+    assert(red(4L) == "clean text, no pii at all")
+    assert(red(5L) == "<PHONE> and <IP>")
+    // idempotent: a second pass changes nothing
+    val twice = docs.select(col("id"),
+        (TextAnalysis.redactPii(TextAnalysis.redactPii(col("text"))) ===
+          TextAnalysis.redactPii(col("text"))).as("same"))
+      .collect().forall(_.getBoolean(1))
+    assert(twice)
+  }
 }
