@@ -49,6 +49,29 @@ object Ann {
       .limit(k)
   }
 
+  /** Matryoshka (MRL, Kusupati et al. 2022) two-stage search: coarse
+    * top-`refine` by cosine over the FIRST `d` dims — cosine over the
+    * renormalized prefix an MRL model nests equals cosine over the raw
+    * prefix slice, so no renormalized column is materialized — then an
+    * exact full-dim rerank of the bounded candidate set. The 100 TB
+    * story: store the d-dim prefix as its own (d/D-bandwidth) column or
+    * table and scan ONLY it in stage 1; the full vector is touched for
+    * `refine` rows per query. Ties: sim desc, id asc, both stages. */
+  def matryoshkaTopK(emb: DataFrame, idCol: Column, vecCol: Column,
+      query: Array[Float], d: Int, k: Int, refine: Int): DataFrame = {
+    require(d > 0 && d <= query.length, "prefix dim out of range")
+    require(refine >= k, "refine must cover k")
+    val coarse = emb.select(idCol.as("id"), vecCol.as("v"),
+        round(cosine_similarity(slice(vecCol, 1, d), typedLit(query.take(d))), 4)
+          .as("csim"))
+      .orderBy(col("csim").desc, col("id"))
+      .limit(refine)
+    coarse.select(col("id"),
+        round(cosine_similarity(col("v"), typedLit(query)), 4).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** Packed sign-bit words of a vector column: ceil(d/32) 32-bit words
     * (bit = `v_i >= 0`, `acc*2+bit` big-endian folding per word) — the
     * narrow store column binary first-stage retrieval scans at 100 TB. */

@@ -1171,7 +1171,13 @@ object OpsQueries {
           regexp_count(col("red"), lit("<(EMAIL|IP|ID|PHONE)>"))
             .cast("long").as("n_masks"),
           md5(col("red").cast("binary")).as("red_hash"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    "q163_matryoshka_ann" -> ((s, d) =>
+      // MRL nested-representation search: 16-of-64-dim coarse scan
+      // (¼ bandwidth), exact full-dim rerank of 100 candidates, top-10
+      Ann.matryoshkaTopK(t(s, d, "embeddings"), col("vec_id"),
+          col("embedding"), qvecScala, d = 16, k = 10, refine = 100)
+        .orderBy(desc("sim"), asc("id")))
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -3188,7 +3194,21 @@ object OpsQueries {
          SELECT doc_id,
                 CAST(len(regexp_extract_all(red, '<(EMAIL|IP|ID|PHONE)>')) AS BIGINT) AS n_masks,
                 md5(red) AS red_hash
-         FROM r ORDER BY doc_id"""
+         FROM r ORDER BY doc_id""",
+
+    "q163_matryoshka_ann" -> {
+      val qv = vecSql(qvecScala)
+      val qv16 = vecSql(qvecScala.take(16))
+      s"""WITH emb2 AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         coarse AS (
+           SELECT vec_id AS id, v,
+                  round(list_cosine_similarity(v[1:16], $qv16), 4) AS csim
+           FROM emb2 ORDER BY csim DESC, id LIMIT 100)
+         SELECT id, round(list_cosine_similarity(v, $qv), 4) AS sim
+         FROM coarse ORDER BY sim DESC, id LIMIT 10"""
+    }
   )
 }
 

@@ -158,6 +158,31 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(approx.intersect(exact).size >= 8)
   }
 
+  test("matryoshka: full-width prefix is exact; truncated recall is real") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Array.fill(64)(0.125f)
+    val exact = Ann.bruteForceTopK(emb, col("vec_id"), col("embedding"), q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // d = 64 with refine >= corpus is just brute force — must match exactly
+    val full = Ann.matryoshkaTopK(emb, col("vec_id"), col("embedding"), q,
+      d = 64, k = 10, refine = 10_000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.toSeq == exact.toSeq)
+    // these are RANDOM vectors (no MRL training), so the 16-dim prefix
+    // carries ~1/4 of the signal: refine = 100 of 500 recovers most of
+    // top-10 (measured 8; a trained MRL embedder concentrates far more)
+    val mrl = Ann.matryoshkaTopK(emb, col("vec_id"), col("embedding"), q,
+      d = 16, k = 10, refine = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(mrl.intersect(exact.map(_._1).toSet).size >= 6)
+    // reranked sims are the FULL-dim sims for whatever ids survive
+    val exactSims = Ann.bruteForceTopK(emb, col("vec_id"), col("embedding"), q, 1000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Ann.matryoshkaTopK(emb, col("vec_id"), col("embedding"), q,
+      d = 16, k = 10, refine = 100).collect()
+      .foreach(r => assert(r.getDouble(1) == exactSims(r.getLong(0))))
+  }
+
   test("grouped top-k: k = 0 yields empty, k larger than group yields all") {
     import spark.implicits._
     val scored = Seq(("a", 1L, 0.9), ("a", 2L, 0.8), ("b", 3L, 0.7))
