@@ -1177,7 +1177,18 @@ object OpsQueries {
       // (¼ bandwidth), exact full-dim rerank of 100 candidates, top-10
       Ann.matryoshkaTopK(t(s, d, "embeddings"), col("vec_id"),
           col("embedding"), qvecScala, d = 16, k = 10, refine = 100)
-        .orderBy(desc("sim"), asc("id")))
+        .orderBy(desc("sim"), asc("id"))),
+    "q164_pagerank" -> ((s, d) => {
+      // centrality-based data selection: damped PageRank (3 fixed-point
+      // iterations) over the exact k=3 kNN similarity graph; the top-25
+      // ranks are the corpus's most "representative" documents. The
+      // oracle replays the integer iterations bit-for-bit
+      val edges = Ann.knnGraph(t(s, d, "embeddings"), col("vec_id"),
+        col("embedding"), 3)
+      graft.ops.Graph.pageRank(edges, col("id"), col("nbr"), iters = 3)
+        .orderBy(desc("rank_micro"), asc("id"))
+        .limit(25)
+    })
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -3208,6 +3219,36 @@ object OpsQueries {
            FROM emb2 ORDER BY csim DESC, id LIMIT 100)
          SELECT id, round(list_cosine_similarity(v, $qv), 4) AS sim
          FROM coarse ORDER BY sim DESC, id LIMIT 10"""
+    },
+
+    "q164_pagerank" -> {
+      // exact k=3 kNN edges (same contract as q149's `ex` CTE), then the
+      // integer power iterations unrolled: `//` is DuckDB's int division
+      // (operands non-negative, so it equals Spark's `div` truncation)
+      val iterCtes = (1 to 3).map { i =>
+        s"""s$i AS (SELECT e.dst, sum(r.r // d.outdeg) AS s
+                 FROM e JOIN deg d USING (src) JOIN r${i - 1} r ON r.id = e.src
+                 GROUP BY e.dst),
+         r$i AS (SELECT n.id,
+                   CAST(150000 + coalesce(s.s, 0) * 85 // 100 AS BIGINT) AS r
+                 FROM nodes n LEFT JOIN s$i s ON n.id = s.dst)"""
+      }.mkString(",\n         ")
+      s"""WITH emb2 AS (
+           SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         px AS (SELECT a.id AS src, b.id AS dst,
+                  round(${PortableSql.cosSql("a.v", "b.v")}, 4) AS sim
+                FROM emb2 a JOIN emb2 b ON a.id <> b.id),
+         e AS (SELECT src, dst FROM (
+                 SELECT src, dst, row_number() OVER (PARTITION BY src
+                   ORDER BY sim DESC, dst) AS rn FROM px) WHERE rn <= 3),
+         deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         nodes AS (SELECT DISTINCT id FROM (
+                     SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         $iterCtes
+         SELECT id, r AS rank_micro FROM r3
+         ORDER BY rank_micro DESC, id LIMIT 25"""
     }
   )
 }

@@ -348,4 +348,27 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!plan.queryExecution.executedPlan.toString.contains("Exchange"),
         s"$name plan has an Exchange")
   }
+
+  test("pageRank: hand-computed integer iterations; partition-invariant") {
+    import spark.implicits._
+    // a→b, c→b, b→a: outdeg 1 each; micro-unit walk:
+    //   iter1: s(b)=2e6, s(a)=1e6 → r1 = (b 1,850,000; a 1,000,000; c 150,000)
+    //   iter2: s(b)=r1(a)+r1(c)=1,150,000 → b 1,127,500
+    //          s(a)=r1(b)=1,850,000      → a 1,722,500 ; c stays 150,000
+    val edges = Seq((1L, 2L), (3L, 2L), (2L, 1L)).toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame, iters: Int) =
+      graft.ops.Graph.pageRank(df, col("src"), col("dst"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r1 = run(edges, 1)
+    assert(r1 == Map(1L -> 1000000L, 2L -> 1850000L, 3L -> 150000L))
+    val r2 = run(edges, 2)
+    assert(r2 == Map(1L -> 1722500L, 2L -> 1127500L, 3L -> 150000L))
+    // pure-sink dangling node: appears via dst, keeps base + inflow, leaks
+    val dangle = Seq((1L, 2L), (2L, 1L), (1L, 4L)).toDF("src", "dst")
+    val rd = run(dangle, 1)
+    // node 1 outdeg 2: each contribution floor(1e6/2) = 500000
+    assert(rd(4L) == 150000L + 500000L * 85 / 100)
+    // integer arithmetic ⇒ identical ranks whatever the partitioning
+    assert(run(edges.repartition(7), 2) == r2)
+  }
 }
