@@ -510,6 +510,43 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
       .select(col("h"))
 
+  /** Multi-pattern exact token-run search — "grep at scale" against the
+    * same positional gram table the span family scans. The corpus is
+    * reduced ONCE to `(id, pos, h)` gram hashes; each query pattern of
+    * `L >= k` tokens becomes its own `L-k+1` aligned gram hashes
+    * (driver-side, [[xxh64]] = the column expression bit-for-bit), and an
+    * occurrence at `(doc, start)` is certified when EVERY pattern gram
+    * lands at its aligned offset: one broadcast join on `h` + one count
+    * aggregation over `(pattern, id, start)` — the corpus text is never
+    * joined, shuffled, or rescanned per pattern. A false positive needs
+    * ALL of a pattern's grams to collide at aligned offsets
+    * simultaneously — beyond the span family's documented single-hash
+    * n²/2⁶⁴ stance. Returns `(pattern, id, start_pos)` (0-based token
+    * position), one row per occurrence. */
+  def substringSearch(df: DataFrame, idCol: Column, textCol: Column,
+      patterns: Seq[String], k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(patterns.nonEmpty, "need at least one pattern")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val patGrams = patterns.flatMap { p =>
+      val tk = p.trim.split("\\s+").filter(_.nonEmpty)
+      require(tk.length >= k, s"pattern '$p' shorter than k=$k tokens")
+      (0 to tk.length - k).map(i =>
+        (p, i.toLong, xxh64(tk.slice(i, i + k).mkString(" ")),
+          (tk.length - k + 1).toLong))
+    }.toDF("pattern", "off", "ph", "n_grams")
+    gramPositions(df, idCol, textCol, k)
+      .join(broadcast(patGrams), col("h") === col("ph"))
+      .select(col("pattern"), col("id"),
+        (col("pos") - col("off")).as("start_pos"), col("n_grams"))
+      .filter(col("start_pos") >= 0)
+      .groupBy("pattern", "id", "start_pos", "n_grams")
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === col("n_grams"))
+      .select(col("pattern"), col("id"), col("start_pos"))
+  }
+
   def duplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
       k: Int, minDocs: Int = 2, keepFirst: Boolean = false): DataFrame = {
     require(k >= 1, "k must be >= 1")

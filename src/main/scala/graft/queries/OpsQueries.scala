@@ -1188,7 +1188,17 @@ object OpsQueries {
       graft.ops.Graph.pageRank(edges, col("id"), col("nbr"), iters = 3)
         .orderBy(desc("rank_micro"), asc("id"))
         .limit(25)
-    })
+    }),
+    "q165_substring_search" -> ((s, d) =>
+      // indexed multi-pattern exact search over the positional gram
+      // table: two 3-token patterns that recur corpus-wide, a 5-token
+      // pattern (3 aligned grams must certify), and an absent pattern
+      // (must yield zero rows, not noise)
+      Dedup.substringSearch(t(s, d, "documents"), col("doc_id"),
+          col("text"),
+          Seq("slow hash batch", "part filter scan",
+            "key agg row scan slow", "alpha beta gamma"), k = 3)
+        .orderBy("pattern", "id", "start_pos"))
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -3249,7 +3259,29 @@ object OpsQueries {
          $iterCtes
          SELECT id, r AS rank_micro FROM r3
          ORDER BY rank_micro DESC, id LIMIT 25"""
-    }
+    },
+
+    "q165_substring_search" ->
+      // ground truth by direct position enumeration: every candidate
+      // start where the token slice equals the pattern's token list.
+      // NB: the unnest must live in its OWN CTE over toks alone —
+      // unnesting inside the pattern cross join trips a DuckDB binder
+      // assertion when the slice bounds reference the unnested column
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x <> '') AS tk
+           FROM documents),
+         p AS (SELECT doc_id, tk, unnest(range(len(tk))) AS s FROM toks),
+         pats(pattern) AS (VALUES ('slow hash batch'), ('part filter scan'),
+                                  ('key agg row scan slow'), ('alpha beta gamma')),
+         ptk AS (SELECT pattern,
+                   list_filter(string_split_regex(pattern, '\s+'), x -> x <> '') AS pt
+                 FROM pats)
+         SELECT ptk.pattern, p.doc_id AS id, CAST(p.s AS BIGINT) AS start_pos
+         FROM p CROSS JOIN ptk
+         WHERE p.s + len(ptk.pt) <= len(p.tk)
+           AND list_slice(p.tk, p.s + 1, p.s + len(ptk.pt)) = ptk.pt
+         ORDER BY pattern, id, start_pos"""
   )
 }
 

@@ -382,6 +382,31 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"largest cluster ${sizes.max} of 256 — blocks not bounded")
   }
 
+  test("substringSearch: aligned-gram certification, overlaps, absent patterns") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d x"),
+      (2L, "p q a b c d y a b c d x"),
+      (3L, "a b a b a b"),
+      (4L, "short")).toDF("id", "text")
+    def search(pats: Seq[String], k: Int) =
+      graft.ops.Dedup.substringSearch(docs, col("id"), col("text"), pats, k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // 4-token pattern with k=3: BOTH aligned grams must land — "a b c d x"
+    // appears in docs 1 and 2 (pos 7), while doc 2's "a b c d y" shares
+    // the first gram only and must NOT certify
+    assert(search(Seq("a b c d x"), 3) ==
+      Set(("a b c d x", 1L, 0L), ("a b c d x", 2L, 7L)))
+    // overlapping occurrences all surface (k = L: single-gram case)
+    assert(search(Seq("a b a"), 3) ==
+      Set(("a b a", 3L, 0L), ("a b a", 3L, 2L)))
+    // duplicate grams INSIDE a pattern certify correctly (k=2 over
+    // "a b a b a": grams ab/ba/ab/ba at offsets 0..3)
+    assert(search(Seq("a b a b a"), 2) == Set(("a b a b a", 3L, 0L)))
+    // absent pattern and too-short docs yield nothing
+    assert(search(Seq("c d q"), 3).isEmpty)
+  }
+
   test("lineDedup: frequent lines drop, blanks survive, order preserved") {
     import spark.implicits._
     val docs = Seq(
