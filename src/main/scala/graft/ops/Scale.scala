@@ -159,6 +159,63 @@ object Scale {
    * counts are approximate and may vary with partitioning (the
    * documented trade, like any mergeable sketch).
    */
+  /**
+   * Count-min sketch estimates over the corpus token stream: a
+   * `depth × width` integer counter matrix, buckets drawn from the
+   * engine-portable md5 Kirsch–Mitzenmacher family
+   * ([[graft.expr.PortableHash]]: `h1 + r·h2`, the MinHash pair), so the
+   * DuckDB oracle reconstructs the SAME matrix cell-for-cell in SQL —
+   * the sketch is deterministic, not just probabilistically close.
+   *
+   * Mergeable: per-partition matrices add elementwise (exact integer
+   * sums ⇒ partition-order-invariant), then `treeAggregate` folds them —
+   * `depth·width` longs move per partition, never a token. Estimates are
+   * `min` over rows; always ≥ the true count, within `N·e/width` of it
+   * with probability `1 − e^−depth` (Cormode & Muthukrishnan 2005). The
+   * Misra-Gries sketch above answers "what is frequent?"; this one
+   * answers point queries — "how often does THIS term occur?" — for any
+   * probe set fixed after the single pass.
+   */
+  def countMinEstimates(df: DataFrame, textCol: Column, width: Int,
+      depth: Int, probes: Seq[String]): DataFrame = {
+    require(width >= 1, "width must be >= 1")
+    require(depth >= 1 && depth <= 64, "depth in [1, 64] (K-M exactness bound)")
+    require(probes.nonEmpty, "need at least one probe term")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (w0, d0) = (width, depth)
+    def buckets(t: String): Array[Int] = {
+      val h15 = graft.expr.PortableHash.hex15(t)
+      val h1 = graft.expr.PortableHash.minhashH1(h15)
+      val h2 = graft.expr.PortableHash.minhashH2(h15)
+      Array.tabulate(d0)(r => ((h1 + r * h2) % w0).toInt)
+    }
+    val matrix = df.select(textCol.cast("string").as("t")).as[String].rdd
+      .mapPartitions { it =>
+        val m = Array.fill(d0 * w0)(0L)
+        // vocab-bounded bucket memo: one md5 per distinct term, not per
+        // occurrence
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+        it.foreach { t =>
+          if (t != null)
+            Dedup.trimSpaces(t).split("\\s+").iterator
+              .filter(_.nonEmpty).foreach { tok =>
+                val bs = memo.getOrElseUpdate(tok, buckets(tok))
+                var r = 0
+                while (r < d0) { m(r * w0 + bs(r)) += 1L; r += 1 }
+              }
+        }
+        Iterator.single(m)
+      }
+      .treeAggregate(Array.fill(d0 * w0)(0L))(
+        (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+        (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+    probes.map { t =>
+      val bs = buckets(t)
+      (t, (0 until d0).map(r => matrix(r * w0 + bs(r))).min)
+    }.toDF("term", "est")
+  }
+
   def heavyHittersSketch(df: DataFrame, textCol: Column, capacity: Int,
       topN: Int): DataFrame = {
     require(capacity >= 1 && topN >= 1, "need capacity >= 1 and topN >= 1")

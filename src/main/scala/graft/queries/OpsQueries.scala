@@ -1198,7 +1198,17 @@ object OpsQueries {
           col("text"),
           Seq("slow hash batch", "part filter scan",
             "key agg row scan slow", "alpha beta gamma"), k = 3)
-        .orderBy("pattern", "id", "start_pos"))
+        .orderBy("pattern", "id", "start_pos")),
+    "q166_cms_estimates" -> ((s, d) =>
+      // count-min point queries: 4×64 portable-hash matrix built in one
+      // pass (depth·width longs per partition move, never a token); the
+      // oracle rebuilds the matrix cell-for-cell, so estimates — upper
+      // bounds that include collision mass — match exactly. 'nosuchword'
+      // reports whatever its cells absorbed, not an error
+      graft.ops.Scale.countMinEstimates(t(s, d, "documents"), col("text"),
+          width = 64, depth = 4,
+          probes = Seq("spark", "window", "stream", "batch", "nosuchword"))
+        .orderBy("term"))
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -3281,7 +3291,35 @@ object OpsQueries {
          FROM p CROSS JOIN ptk
          WHERE p.s + len(ptk.pt) <= len(p.tk)
            AND list_slice(p.tk, p.s + 1, p.s + len(ptk.pt)) = ptk.pt
-         ORDER BY pattern, id, start_pos"""
+         ORDER BY pattern, id, start_pos""",
+
+    "q166_cms_estimates" ->
+      // rebuild the 4×64 count-min matrix from exact token counts with
+      // the same md5 K-M bucket pair (hex chars 1-7 and 9-15-forced-odd,
+      // PortableHash's MinHash split), then take min over rows per probe
+      """WITH toks AS (
+           SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x <> '')) AS w
+           FROM documents),
+         cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+         hh AS (SELECT w, c,
+                  CAST('0x' || substr(md5(w), 1, 7) AS BIGINT) AS h1,
+                  CAST('0x' || substr(md5(w), 9, 7) AS BIGINT) | 1 AS h2
+                FROM cnt),
+         cells AS (SELECT r, (h1 + r * h2) % 64 AS b,
+                          CAST(sum(c) AS BIGINT) AS cell
+                   FROM hh CROSS JOIN range(4) t(r) GROUP BY 1, 2),
+         probes(term) AS (VALUES ('spark'), ('window'), ('stream'),
+                                 ('batch'), ('nosuchword')),
+         ph AS (SELECT term,
+                  CAST('0x' || substr(md5(term), 1, 7) AS BIGINT) AS h1,
+                  CAST('0x' || substr(md5(term), 9, 7) AS BIGINT) | 1 AS h2
+                FROM probes),
+         pb AS (SELECT term, r, (h1 + r * h2) % 64 AS b
+                FROM ph CROSS JOIN range(4) t(r))
+         SELECT pb.term, CAST(min(coalesce(cells.cell, 0)) AS BIGINT) AS est
+         FROM pb LEFT JOIN cells ON pb.r = cells.r AND pb.b = cells.b
+         GROUP BY pb.term ORDER BY term"""
   )
 }
 

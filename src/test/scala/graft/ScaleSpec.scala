@@ -349,6 +349,39 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$name plan has an Exchange")
   }
 
+  test("countMinEstimates: over-estimate bound, sequential parity, invariance") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b c d d d d"), (3L, "e"))
+      .toDF("id", "text")
+    val exact = Map("a" -> 4L, "b" -> 3L, "c" -> 2L, "d" -> 4L, "e" -> 1L, "zz" -> 0L)
+    val probes = exact.keys.toSeq.sorted
+    def run(df: org.apache.spark.sql.DataFrame, w: Int, dep: Int) =
+      Scale.countMinEstimates(df, col("text"), w, dep, probes)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = run(docs, 64, 4)
+    // CMS never under-counts
+    exact.foreach { case (t, c) => assert(est(t) >= c, s"$t under-counted") }
+    // sequential reference: same buckets folded over the raw token list
+    // must equal the distributed treeAggregate result
+    val toks = Seq("a", "a", "a", "b", "b", "c", "a", "b", "c",
+      "d", "d", "d", "d", "e")
+    def bkt(t: String, r: Int, w: Int) = {
+      val h15 = graft.expr.PortableHash.hex15(t)
+      ((graft.expr.PortableHash.minhashH1(h15) +
+        r * graft.expr.PortableHash.minhashH2(h15)) % w).toInt
+    }
+    val m = Array.fill(4 * 64)(0L)
+    toks.foreach(t => (0 until 4).foreach(r => m(r * 64 + bkt(t, r, 64)) += 1L))
+    probes.foreach { t =>
+      val ref = (0 until 4).map(r => m(r * 64 + bkt(t, r, 64))).min
+      assert(est(t) == ref, s"$t: est ${est(t)} != sequential $ref")
+    }
+    // degenerate 1×1 sketch: every estimate is the total occurrence count
+    assert(run(docs, 1, 1).values.toSet == Set(toks.length.toLong))
+    // integer merges ⇒ partitioning cannot change a single cell
+    assert(run(docs.repartition(7), 64, 4) == est)
+  }
+
   test("pageRank: hand-computed integer iterations; partition-invariant") {
     import spark.implicits._
     // a→b, c→b, b→a: outdeg 1 each; micro-unit walk:
