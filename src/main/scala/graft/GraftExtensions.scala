@@ -67,6 +67,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("lsh_bucket"),
       info("lsh_bucket", "lsh_bucket(v) - sign-LSH bucket of a float vector"),
       (es: Seq[Expression]) => LshBucket(fvec(es.head))))
+    ext.injectFunction((FunctionIdentifier("unicode_normalize"),
+      info("unicode_normalize",
+        "unicode_normalize(s[, form]) - NFC/NFD/NFKC/NFKD normal form (default NFC)"),
+      (es: Seq[Expression]) => UnicodeNormalize(str(es.head), es.lift(1) match {
+        case Some(f) if f.foldable => f.eval().toString
+        case _                     => "NFC"
+      })))
     ext.injectFunction((FunctionIdentifier("nearest_centroid"),
       info("nearest_centroid",
         "nearest_centroid(v, cents) - argmax-cosine centroid id"),

@@ -16,7 +16,11 @@ object Curation {
   private val longNumRe = "\\b\\d{6,}\\b"
 
   /** Mask emails, URLs and long digit runs — the standard pre-training
-    * scrub. Pure `regexp_replace` chain: stays in whole-stage codegen. */
+    * scrub. Pure `regexp_replace` chain: stays in whole-stage codegen.
+    * The richer classed family (phone/IP/SSN shapes, per-class audit
+    * COUNTS, one shared pattern table for engine parity) is
+    * [[TextAnalysis.piiSignals]]/[[TextAnalysis.redactPii]]; this stays
+    * the one-expression quick scrub with URL + digit-run coverage. */
   def piiRedact(text: Column): Column =
     regexp_replace(
       regexp_replace(
@@ -69,6 +73,28 @@ object Curation {
    * would be Spark-only). Stable across runs, clusters, and engines; doc
    * membership never depends on partitioning.
    */
+  /** Corpus-version diff between two batches keyed by id: per-id status
+    * `added` (new side only) / `removed` (old side only) / `changed`
+    * (both, content hash differs) / `unchanged` — the audit artifact a
+    * dataset release publishes next to its manifest (what moved between
+    * v1 and v2, without shipping either corpus). Scale shape: each side
+    * reduces to `(id, sha2(text))` BEFORE the join, so only 40-byte
+    * digests shuffle — the texts never travel — and the single full
+    * outer join is the whole cost. */
+  def corpusDiff(oldDf: DataFrame, oldId: Column, oldText: Column,
+      newDf: DataFrame, newId: Column, newText: Column): DataFrame = {
+    val o = oldDf.select(oldId.cast("long").as("o_id"),
+      sha2(oldText.cast("string"), 256).as("o_h"))
+    val n = newDf.select(newId.cast("long").as("n_id"),
+      sha2(newText.cast("string"), 256).as("n_h"))
+    o.join(n, o("o_id") === n("n_id"), "full_outer")
+      .select(coalesce(col("o_id"), col("n_id")).as("id"),
+        when(col("o_id").isNull, lit("added"))
+          .when(col("n_id").isNull, lit("removed"))
+          .when(col("o_h") === col("n_h"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   def splitAssign(key: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
     val bucket = graft.expr.PortableHash.hex15Col(key) % 100
     when(bucket < trainPct, "train")

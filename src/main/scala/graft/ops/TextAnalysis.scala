@@ -104,7 +104,10 @@ object TextAnalysis {
     * table IN ORDER, so an email whose local part contains an id-shaped
     * digit run is masked once, as `<EMAIL>`. Deliberately conservative
     * core classes — the shape (ordered regex fold, row-local, inside
-    * whole-stage codegen) is what scales; richer pattern sets drop in. */
+    * whole-stage codegen) is what scales; richer pattern sets drop in.
+    * ([[Curation.piiRedact]] is the older one-expression quick scrub —
+    * email/URL/digit-run, no counts; this family adds per-class audit
+    * signals and the shared-table engine-parity contract.) */
   val piiPatterns: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),

@@ -1208,7 +1208,21 @@ object OpsQueries {
       graft.ops.Scale.countMinEstimates(t(s, d, "documents"), col("text"),
           width = 64, depth = 4,
           probes = Seq("spark", "window", "stream", "batch", "nosuchword"))
-        .orderBy("term"))
+        .orderBy("term")),
+    "q167_corpus_diff" -> ((s, d) => {
+      // release-to-release corpus audit: v1 = ids < 300, v2 = ids >= 100
+      // with ids 150-199 edited — so the diff shows all four statuses;
+      // only (id, sha256) digests ever shuffle
+      val docs = t(s, d, "documents")
+      val v1 = docs.filter(col("doc_id") < 300)
+      val v2 = docs.filter(col("doc_id") >= 100)
+        .select(col("doc_id"),
+          when(col("doc_id").between(150, 199), concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      graft.ops.Curation.corpusDiff(v1, col("doc_id"), col("text"),
+          v2, col("doc_id"), col("text"))
+        .orderBy("id")
+    })
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -3319,7 +3333,23 @@ object OpsQueries {
                 FROM ph CROSS JOIN range(4) t(r))
          SELECT pb.term, CAST(min(coalesce(cells.cell, 0)) AS BIGINT) AS est
          FROM pb LEFT JOIN cells ON pb.r = cells.r AND pb.b = cells.b
-         GROUP BY pb.term ORDER BY term"""
+         GROUP BY pb.term ORDER BY term""",
+
+    "q167_corpus_diff" ->
+      """WITH v1 AS (
+           SELECT doc_id AS id, sha256(text) AS h FROM documents WHERE doc_id < 300),
+         v2 AS (
+           SELECT doc_id AS id,
+                  sha256(CASE WHEN doc_id BETWEEN 150 AND 199
+                              THEN text || ' v2' ELSE text END) AS h
+           FROM documents WHERE doc_id >= 100)
+         SELECT coalesce(v1.id, v2.id) AS id,
+                CASE WHEN v1.id IS NULL THEN 'added'
+                     WHEN v2.id IS NULL THEN 'removed'
+                     WHEN v1.h = v2.h THEN 'unchanged'
+                     ELSE 'changed' END AS status
+         FROM v1 FULL OUTER JOIN v2 ON v1.id = v2.id
+         ORDER BY id"""
   )
 }
 

@@ -39,6 +39,14 @@ class ExtensionsAndClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.unsafe.types.UTF8String.fromString("a b c"), 42L))
     assert(r.getInt(2) >= 0 && r.getInt(2) < 256)
     assert(r.getInt(3) == 0)
+    // unicode_normalize resolves with and without the form argument
+    // (combining acute spelled as a Scala unicode escape: Spark's chr()
+    // wraps at 256, so it cannot build the literal in SQL)
+    val u = spark.sql(
+      "SELECT unicode_normalize('me\u0301rge') AS nfc, " +
+      "unicode_normalize('\ufb01le', 'NFKC') AS nfkc").collect()(0)
+    assert(u.getString(0) == "m\u00e9rge")
+    assert(u.getString(1) == "file")
   }
 
   test("clustered store: partition layout exists and approx search prunes") {

@@ -382,6 +382,23 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"largest cluster ${sizes.max} of 256 — blocks not bounded")
   }
 
+  test("corpusDiff: all four statuses; text never decides, the hash does") {
+    import spark.implicits._
+    val v1 = Seq((1L, "same"), (2L, "old text"), (3L, "gone")).toDF("id", "text")
+    val v2 = Seq((1L, "same"), (2L, "new text"), (4L, "fresh")).toDF("id", "text")
+    val got = graft.ops.Curation.corpusDiff(v1, col("id"), col("text"),
+        v2, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    // swapping the sides flips added/removed and nothing else
+    val rev = graft.ops.Curation.corpusDiff(v2, col("id"), col("text"),
+        v1, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rev == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "added", 4L -> "removed"))
+  }
+
   test("substringSearch: aligned-gram certification, overlaps, absent patterns") {
     import spark.implicits._
     val docs = Seq(
