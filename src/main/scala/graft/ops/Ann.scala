@@ -72,6 +72,69 @@ object Ann {
       .limit(k)
   }
 
+  /** Deterministic Johnson–Lindenstrauss ±1 sign matrix entry for cell
+    * `(i, j)` — parity of the portable md5 hash of "i j", so any engine
+    * (and the DuckDB oracle) rebuilds the same matrix without shipping
+    * it. */
+  private[ops] def jlSign(i: Int, j: Int): Double =
+    if (graft.expr.PortableHash.hex15(s"$i $j") % 2 == 0) 1.0 else -1.0
+
+  /** The `inDim × outDim` sign matrix, built once (one md5 per cell) and
+    * reused across a partition's rows. */
+  private[ops] def jlSigns(inDim: Int, outDim: Int): Array[Array[Double]] =
+    Array.tabulate(inDim, outDim)(jlSign)
+
+  private def jlApply(v: Array[Float], signs: Array[Array[Double]],
+      outDim: Int): Array[Double] = {
+    val out = new Array[Double](outDim)
+    var i = 0
+    while (i < v.length) {
+      val row = signs(i)
+      var j = 0
+      while (j < outDim) { out(j) += v(i) * row(j); j += 1 }
+      i += 1
+    }
+    val scale = math.sqrt(outDim)
+    var j = 0
+    while (j < outDim) { out(j) /= scale; j += 1 }
+    out
+  }
+
+  /** Driver-side twin of [[jlProject]] for a single (query) vector. */
+  def jlProjectVec(v: Array[Float], outDim: Int): Array[Double] =
+    jlApply(v, jlSigns(v.length, outDim), outDim)
+
+  /** Johnson–Lindenstrauss random-sign projection (Achlioptas 2003:
+    * ±1 entries are a valid JL family) to `outDim` dims, scaled by
+    * 1/√outDim so expected norms are preserved. The cheap linear
+    * dimension cut for clustering/blocking when no trained PCA/whitening
+    * transform ([[whiten]]) or nested MRL layout ([[matryoshkaTopK]]) is
+    * available — data-independent, so it needs no fit pass and never
+    * drifts between batches. Row-local mapPartitions kernel; the sign
+    * matrix is rebuilt from the portable hash per partition (inDim·outDim
+    * doubles, never shipped); zero exchanges. Returns `(id, v)` with `v`
+    * the projected ARRAY<DOUBLE>. */
+  def jlProject(emb: DataFrame, idCol: Column, vecCol: Column,
+      outDim: Int): DataFrame = {
+    require(outDim >= 1, "outDim must be >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(idCol.cast("long").as("id"),
+        vecCol.cast("array<float>").as("v"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        // sign matrix built lazily from the first row's width, one md5
+        // per CELL per partition — not per row
+        var signs: Array[Array[Double]] = null
+        it.map { case (id, v) =>
+          if (signs == null || signs.length < v.length)
+            signs = jlSigns(v.length, outDim)
+          (id, jlApply(v, signs, outDim))
+        }
+      }
+      .toDF("id", "v")
+  }
+
   /** Packed sign-bit words of a vector column: ceil(d/32) 32-bit words
     * (bit = `v_i >= 0`, `acc*2+bit` big-endian folding per word) — the
     * narrow store column binary first-stage retrieval scans at 100 TB. */

@@ -1222,6 +1222,21 @@ object OpsQueries {
       graft.ops.Curation.corpusDiff(v1, col("doc_id"), col("text"),
           v2, col("doc_id"), col("text"))
         .orderBy("id")
+    }),
+    "q168_jl_ann" -> ((s, d) => {
+      // data-independent dimension cut: JL ±1 sign projection 64→16
+      // (portable md5-parity matrix, rebuilt anywhere, never shipped),
+      // then cosine top-10 IN THE PROJECTED SPACE — double arithmetic
+      // end-to-end so both engines fold the same values
+      val pr = Ann.jlProject(t(s, d, "embeddings"), col("vec_id"),
+        col("embedding"), outDim = 16)
+      val q = Ann.jlProjectVec(qvecScala, 16)
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      val dot = aggregate(zip_with(col("v"), typedLit(q), (x, y) => x * y),
+        lit(0.0), _ + _)
+      val na = sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), _ + _))
+      pr.select(col("id"), round(dot / (na * lit(qn)), 4).as("sim"))
+        .orderBy(desc("sim"), asc("id")).limit(10)
     })
   )
 
@@ -3349,7 +3364,28 @@ object OpsQueries {
                      WHEN v1.h = v2.h THEN 'unchanged'
                      ELSE 'changed' END AS status
          FROM v1 FULL OUTER JOIN v2 ON v1.id = v2.id
-         ORDER BY id"""
+         ORDER BY id""",
+
+    "q168_jl_ann" ->
+      // rebuild the ±1 matrix from the same md5 parity, project corpus
+      // and query, cosine in the 16-dim space
+      """WITH emb2 AS (
+           SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         sg AS (SELECT i, j,
+                  CASE WHEN CAST('0x' || substr(md5(i || ' ' || j), 1, 15) AS BIGINT)
+                            % 2 = 0
+                       THEN 1.0 ELSE -1.0 END AS s
+                FROM range(64) a(i) CROSS JOIN range(16) b(j)),
+         pv AS (SELECT id, j, sum(v[i + 1] * s) / sqrt(16.0) AS pj
+                FROM emb2 CROSS JOIN sg GROUP BY id, j),
+         pl AS (SELECT id, list(pj ORDER BY j) AS pv FROM pv GROUP BY id),
+         qv AS (SELECT j, sum(0.125 * s) / sqrt(16.0) AS qj FROM sg GROUP BY j),
+         ql AS (SELECT list(qj ORDER BY j) AS q FROM qv)
+         SELECT id, round(list_inner_product(pv, q) /
+                  (sqrt(list_inner_product(pv, pv)) * sqrt(list_inner_product(q, q))),
+                  4) AS sim
+         FROM pl CROSS JOIN ql ORDER BY sim DESC, id LIMIT 10"""
   )
 }
 
