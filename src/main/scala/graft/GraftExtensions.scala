@@ -70,10 +70,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("unicode_normalize"),
       info("unicode_normalize",
         "unicode_normalize(s[, form]) - NFC/NFD/NFKC/NFKD normal form (default NFC)"),
-      (es: Seq[Expression]) => UnicodeNormalize(str(es.head), es.lift(1) match {
-        case Some(f) if f.foldable => f.eval().toString
-        case _                     => "NFC"
-      })))
+      (es: Seq[Expression]) => UnicodeNormalize(str(es.head),
+        UnicodeNormalize.resolveFormArg(es.lift(1)))))
     ext.injectFunction((FunctionIdentifier("nearest_centroid"),
       info("nearest_centroid",
         "nearest_centroid(v, cents) - argmax-cosine centroid id"),

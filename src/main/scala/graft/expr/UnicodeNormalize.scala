@@ -58,6 +58,25 @@ object UnicodeNormalize {
 
   private val FORMS: Array[Normalizer.Form] = Normalizer.Form.values
 
+  /** Resolve the SQL registration paths' optional `form` argument (shared
+    * by `GraftExtensions` and `functions.registerAll` so the two can't
+    * drift): absent → NFC; otherwise a foldable non-null string literal.
+    * Non-foldable or NULL forms fail at analysis time with a clear
+    * message — the earlier silent-NFC fallback masked caller bugs and a
+    * foldable NULL literal NPE'd in `eval().toString`. */
+  def resolveFormArg(arg: Option[Expression]): String = arg match {
+    case None => "NFC"
+    case Some(f) if f.foldable =>
+      val v = f.eval()
+      if (v == null) throw new IllegalArgumentException(
+        "unicode_normalize: `form` must be a non-null string literal " +
+          "(NFC | NFD | NFKC | NFKD), got NULL")
+      v.toString
+    case Some(_) => throw new IllegalArgumentException(
+      "unicode_normalize: `form` must be a foldable string literal " +
+        "(NFC | NFD | NFKC | NFKD), got a non-constant expression")
+  }
+
   /** Null-safe kernel shared by eval and codegen. */
   def normalizeUTF8(u: UTF8String, formOrdinal: Int): UTF8String = {
     if (u == null) return null

@@ -91,9 +91,7 @@ object functions {
     reg.createOrReplaceTempFunction("lsh_bucket",
       es => LshBucket(fvec(es.head)), "built-in")
     reg.createOrReplaceTempFunction("unicode_normalize",
-      es => UnicodeNormalize(str(es.head), es.lift(1) match {
-        case Some(f) if f.foldable => f.eval().toString
-        case _                     => "NFC"
-      }), "built-in")
+      es => UnicodeNormalize(str(es.head),
+        UnicodeNormalize.resolveFormArg(es.lift(1))), "built-in")
   }
 }

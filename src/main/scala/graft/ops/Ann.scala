@@ -121,6 +121,9 @@ object Ann {
     import spark.implicits._
     emb.select(idCol.cast("long").as("id"),
         vecCol.cast("array<float>").as("v"))
+      // null vectors have no projection; drop them up front rather than
+      // NPE inside the typed kernel (countMinEstimates' null discipline)
+      .filter(col("v").isNotNull)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         // sign matrix built lazily from the first row's width, one md5

@@ -91,7 +91,10 @@ object Curation {
       .select(coalesce(col("o_id"), col("n_id")).as("id"),
         when(col("o_id").isNull, lit("added"))
           .when(col("n_id").isNull, lit("removed"))
-          .when(col("o_h") === col("n_h"), lit("unchanged"))
+          // null-safe: two NULL texts hash to NULL on both sides and ARE
+          // the same content — plain === would yield NULL here and fall
+          // through to "changed"
+          .when(col("o_h") <=> col("n_h"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 

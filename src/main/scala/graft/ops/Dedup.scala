@@ -529,7 +529,10 @@ object Dedup {
     require(patterns.nonEmpty, "need at least one pattern")
     val spark = df.sparkSession
     import spark.implicits._
-    val patGrams = patterns.flatMap { p =>
+    // output rows key by the raw pattern string: dedupe up front so a
+    // repeated input pattern doesn't probe twice and duplicate every
+    // occurrence row
+    val patGrams = patterns.distinct.flatMap { p =>
       val tk = p.trim.split("\\s+").filter(_.nonEmpty)
       require(tk.length >= k, s"pattern '$p' shorter than k=$k tokens")
       (0 to tk.length - k).map(i =>
@@ -834,22 +837,27 @@ object Dedup {
    * smallest pair among those achieving the maximum (empty when no token
    * is shared at all). The cross-document analogue of what suffix-array
    * dedup reports, without building a distributed suffix array:
-   * "∃ an `L`-gram in ≥ 2 docs" is monotone in `L`, so exponential
-   * doubling brackets the answer and binary search pins it —
-   * O(log maxLen) probes, each ONE corpus scan emitting per-document
-   * DISTINCT gram hashes (row-local [[graft.expr.PortableHash]] work)
-   * and shuffling only `(h, id)` longs with partial aggregation.
-   * `maxLen` is a hard probe cap: a result of exactly `maxLen` means
-   * "the longest shared run is ≥ maxLen" (raise the cap for the exact
-   * value). The
-   * final length is then re-derived over gram STRINGS restricted to the
-   * (tiny) surviving hash set, so the reported answer is exact even if a
-   * 60-bit hash collision inflated a probe (in which case the
-   * verification join is empty and this throws rather than reports a
-   * phantom span; probability ≈ grams²/2⁶⁰).
+   * "∃ an `L`-gram in ≥ 2 docs" is monotone in `L`, so a bracketing
+   * sweep plus interval search pins it. Probes are BATCHED: one corpus
+   * scan evaluates a whole GRID of candidate lengths at once (emitting
+   * per-document DISTINCT `(l, h)` gram hashes — row-local
+   * [[graft.expr.PortableHash]] work, shuffling only longs with partial
+   * aggregation), so the power-of-two bracket is ONE job instead of
+   * log₂(answer) sequential ones, and the refinement probes up to 7
+   * interior lengths per round (≤ 2 rounds for any bracket up to 64
+   * wide) instead of bisecting one mid at a time. Same total hash work
+   * as sequential probing, a fraction of the job-launch barriers — the
+   * round-5 lesson that many-small-jobs cadence is what a loaded driver
+   * amplifies. `maxLen` is a hard probe cap: a result of exactly
+   * `maxLen` means "the longest shared run is ≥ maxLen" (raise the cap
+   * for the exact value). The final length is then re-derived over gram
+   * STRINGS restricted to the (tiny) surviving hash set, so the
+   * reported answer is exact even if a 60-bit hash collision inflated a
+   * probe (in which case the verification join is empty and this throws
+   * rather than reports a phantom span; probability ≈ grams²/2⁶⁰).
    *
    * The token table is persisted across probes — the text is tokenized
-   * once, not once per probe. Job count is bounded by 2·log₂(maxLen)+2
+   * once, not once per probe. Job count is ~2 + log₇(maxLen/answer)·2
    * regardless of corpus size (the [[Bpe.train]] discipline: loops whose
    * trip count is a parameter, never the data).
    */
@@ -885,23 +893,60 @@ object Dedup {
         }.toDF("h", "id")
           .groupBy("h").agg(count(lit(1)).as("nd"))
           .filter(col("nd") >= 2)
-      def exists(l: Int): Boolean = sharedHashes(l).head(1).nonEmpty
 
-      if (!exists(1)) empty
-      else {
-        var lo = 1
-        var hi = 2
-        while (hi <= maxLen && exists(hi)) { lo = hi; hi *= 2 }
-        // never probe beyond maxLen: if the doubling ran off the cap the
-        // search space is (lo, maxLen] and a result of exactly maxLen
-        // means "at least maxLen" — the documented cap semantics, never a
-        // silently wrong interior value
-        if (hi > maxLen + 1) hi = maxLen + 1
-        while (hi - lo > 1) {
-          val mid = lo + (hi - lo) / 2
-          if (exists(mid)) lo = mid else hi = mid
-        }
-        val l = lo
+      // Batched probe: ONE job answering "which of these lengths have a
+      // shared gram" — per-doc distinct (l, h) pairs, partial-agg count
+      // over (l, h), max over the surviving lengths. Monotonicity makes
+      // the largest shared grid point exactly what sequential probing of
+      // each grid point would find.
+      def sharedMax(ls: Seq[Int]): Option[Int] = {
+        val lens = ls.toArray
+        val row = toks.mapPartitions { it =>
+          it.flatMap { case (id, tk) =>
+            lens.iterator.filter(_ <= tk.length).flatMap { l =>
+              val set = scala.collection.mutable.HashSet.empty[Long]
+              var i = 0
+              while (i + l <= tk.length) {
+                set += graft.expr.PortableHash.hex15(
+                  tk.slice(i, i + l).mkString(" "))
+                i += 1
+              }
+              set.iterator.map(h => (l, h, id))
+            }
+          }
+        }.toDF("l", "h", "id")
+          .groupBy("l", "h").agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 2)
+          .agg(max("l").as("l")).head()
+        if (row.isNullAt(0)) None else Some(row.getInt(0))
+      }
+
+      val powers =
+        Iterator.iterate(1)(p => math.min(p.toLong * 2, Int.MaxValue).toInt)
+          .takeWhile(_ <= maxLen).toSeq.distinct
+      sharedMax(powers) match {
+        case None => empty // not even a single token is shared
+        case Some(p) =>
+          var lo = p
+          // the next power failed (monotonicity: a shared 2p-gram would
+          // make 2p the sweep's max) — or exceeds the cap, in which case
+          // the space is (lo, maxLen] and a result of exactly maxLen
+          // means "at least maxLen", the documented cap semantics
+          var hi = math.min(p.toLong * 2, maxLen.toLong + 1).toInt
+          while (hi - lo > 1) {
+            val mids = (1 to 7)
+              .map(i => lo + ((hi.toLong - lo) * i / 8).toInt)
+              .map(m => math.max(lo + 1, math.min(m, hi - 1)))
+              .distinct.sorted
+            sharedMax(mids) match {
+              case None => hi = mids.min
+              case Some(m) =>
+                lo = m
+                val above = mids.filter(_ > m)
+                if (above.nonEmpty) hi = above.min
+            }
+          }
+          val l = lo
         // exact witness: gram STRINGS for the surviving hashes only
         val cand = sharedHashes(l).select("h").collect().map(_.getLong(0)).toSet
         val bc = spark.sparkContext.broadcast(cand)

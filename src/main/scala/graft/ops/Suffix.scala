@@ -32,19 +32,42 @@ import org.apache.spark.storage.StorageLevel
 object Suffix {
 
   /** Add a 0-based global dense rank (as `out`) to a DISTINCT key frame,
-    * by `sortCols` order. Range-partition + local sort + zipWithIndex:
-    * no single-task global sort, no window. */
-  private def withDenseRank(keys: DataFrame, sortCols: Seq[Column],
-      out: String): DataFrame = {
+    * by `sortCols` order, returning the frame's row count alongside.
+    * Range-partition + local sort, then per-partition offsets from one
+    * explicit sizes job (mapPartitionsWithIndex + collect of #partitions
+    * longs) — `rdd.zipWithIndex` runs the IDENTICAL internal sizes job
+    * but keeps the number to itself, forcing callers that also need the
+    * count (the doubling loop's early-exit test) to pay a separate
+    * count() job per iteration. The index pass reuses the sizes job's
+    * shuffle output (skipped stages), so exposing the count is free.
+    * No single-task global sort, no window. */
+  private def withDenseRankCounted(keys: DataFrame, sortCols: Seq[Column],
+      out: String): (DataFrame, Long) = {
     val spark = keys.sparkSession
-    val sorted = keys.repartitionByRange(sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-    val indexed = sorted.rdd.zipWithIndex.map { case (row, i) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+    val rdd = keys.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*).rdd
+    val sizes = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      Iterator((i, n))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val indexed = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var idx = bc.value(i) - 1
+      it.map { row =>
+        idx += 1
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
+      }
     }
-    spark.createDataFrame(indexed,
-      keys.schema.add(out, org.apache.spark.sql.types.LongType))
+    (spark.createDataFrame(indexed,
+      keys.schema.add(out, org.apache.spark.sql.types.LongType)),
+      offsets.last)
   }
+
+  private def withDenseRank(keys: DataFrame, sortCols: Seq[Column],
+      out: String): DataFrame =
+    withDenseRankCounted(keys, sortCols, out)._1
 
   /** `(doc_id, pos, rank)` — the global dense lexicographic rank of every
     * suffix `tokens[pos..]` of every document (0-based positions, equal
@@ -74,14 +97,18 @@ object Suffix {
       var cur = toks.join(dict, "tok")
         .select(col("doc_id"), col("pos"), col("r"))
         .localCheckpoint(true)
-      val total = cur.count()
+      // ONE aggregation supplies both corpus facts: the suffix total
+      // (= Σ per-doc token counts — the dict equi-join preserves every
+      // token row) and the longest document. Previously two jobs
+      // (cur.count() + a separate groupBy/max pass).
       // IDENTICAL suffixes (same tokens to both ends) tie forever, so
       // "all ranks distinct" alone would spin to maxDoubles on corpora
       // with whole-suffix duplicates: once the depth covers the longest
       // document every comparison is complete and the ranks are final
-      val maxDocLen =
-        if (total == 0) 0L
-        else toks.groupBy("doc_id").count().agg(max("count")).head().getLong(0)
+      val stats = toks.groupBy("doc_id").count()
+        .agg(sum("count").as("t"), max("count").as("m")).head()
+      val total = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+      val maxDocLen = if (stats.isNullAt(1)) 0L else stats.getLong(1)
       var k = 1L
       var iters = 0
       var done = total == 0
@@ -95,10 +122,12 @@ object Suffix {
             coalesce(col("r2"), lit(-1L)).as("r2"))
         val distinctKeys = paired.select("r", "r2").distinct()
           .persist(StorageLevel.MEMORY_AND_DISK)
-        // the distinct-key count doubles as the early-exit test: one
-        // small count instead of a second corpus-wide distinct pass
-        val nKeys = distinctKeys.count()
-        val keys = withDenseRank(distinctKeys, Seq(col("r"), col("r2")), "nr")
+        // the dense-rank sizes job doubles as the early-exit test — the
+        // key count comes out of the pass the ranking needs anyway, so
+        // each iteration runs 3 jobs (range sample, sizes, checkpoint)
+        // instead of 4
+        val (keys, nKeys) =
+          withDenseRankCounted(distinctKeys, Seq(col("r"), col("r2")), "nr")
         val next = paired.join(keys, Seq("r", "r2"))
           .select(col("doc_id"), col("pos"), col("nr").as("r"))
           .localCheckpoint(true)

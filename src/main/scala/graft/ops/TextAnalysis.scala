@@ -186,20 +186,78 @@ object TextAnalysis {
     * whether a margin threshold is a usable routing gate. Returns
     * `(bucket, n, n_agree, agree_rate)`.
     *
-    * Scale shape: the classifier is a row-local projection; the report
-    * is one partial-agg-friendly aggregation over `buckets` groups. The
-    * rate divides two exact longs — no float-sum ordering anywhere. */
+    * Scale shape: the classifier runs as a compiled per-partition kernel
+    * (ONE split per row, hash-set marker membership), then one
+    * partial-agg-friendly aggregation over `buckets` groups. A first cut
+    * composed [[langIdWithConfidence]] Column HOFs instead; `filter` is
+    * CodegenFallback (interpreted) and the margin/argmax tree repeats
+    * each per-language hit expression — with the token split inlined into
+    * every occurrence — ~20 regex splits of the full text per row
+    * (measured 9.2 s vs sub-second at sf0.1; the [[winnowFingerprints]]
+    * lesson again: bounded per-row loops belong in compiled JVM code).
+    * Semantics are [[langIdWithConfidence]] bit-for-bit: duplicate-token
+    * hits count, ties → first language in marker order, margin rounded
+    * 4dp via the same HALF_UP decimal Spark's `round` uses. The rate
+    * divides two exact longs — no float-sum ordering anywhere. */
   def langIdCalibration(df: DataFrame, textCol: Column, declaredCol: Column,
-      buckets: Int = 4): DataFrame =
-    df.select(langIdWithConfidence(textCol).as("c"), declaredCol.as("declared"))
-      .select(
-        least(floor(col("c.margin") * buckets).cast("int"), lit(buckets - 1))
-          .as("bucket"),
-        (col("c.pred") === col("declared")).cast("long").as("agree"))
+      buckets: Int = 4): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val langs = markers.map(_._1).toArray
+    val sets = markers.map(_._2.toSet).toArray
+    df.select(textCol.cast("string").as("t"),
+        declaredCol.cast("string").as("d"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.map { case (t, d) =>
+          // split(trim(text), "\s+") parity: trim-then-split leaves [""]
+          // for empty text, which matches no marker word
+          val toks = if (t == null) Array.empty[String]
+                     else t.trim.split("\\s+")
+          val hits = new Array[Int](langs.length)
+          var i = 0
+          while (i < toks.length) {
+            var j = 0
+            while (j < sets.length) {
+              if (sets(j).contains(toks(i))) hits(j) += 1
+              j += 1
+            }
+            i += 1
+          }
+          var s1 = 0; var s2 = 0
+          var j = 0
+          while (j < hits.length) {
+            val h = hits(j)
+            if (h > s1) { s2 = s1; s1 = h } else if (h > s2) s2 = h
+            j += 1
+          }
+          var pred = "und"
+          if (s1 > 0) {
+            var p = 0
+            while (pred == "und" && p < hits.length) {
+              if (hits(p) == s1) pred = langs(p)
+              p += 1
+            }
+          }
+          // the same HALF_UP shortest-decimal rounding Catalyst's Round
+          // applies to doubles, so bucket cuts agree with the oracle
+          val margin =
+            if (s1 > 0) BigDecimal((s1 - s2).toDouble / s1)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            else 0.0
+          val bucket = math.min(math.floor(margin * buckets).toInt, buckets - 1)
+          val agree: Option[Long] =
+            if (d == null) None else Some(if (pred == d) 1L else 0L)
+          (bucket, agree)
+        }
+      }
+      .toDF("bucket", "agree")
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), sum("agree").as("n_agree"))
       .select(col("bucket").cast("bigint").as("bucket"), col("n"),
         col("n_agree"), round(col("n_agree") / col("n"), 4).as("agree_rate"))
+  }
 
   /** Polynomial rolling-hash fingerprint of the first `prefix` chars:
     * `acc = (acc*31 + codepoint) mod 1e9+7`, seed 7 — cheap, deterministic,
