@@ -105,6 +105,25 @@ object Curation {
       .otherwise("test")
   }
 
+  /** Deterministic per-EPOCH global training order — the "shuffle the
+    * corpus differently every epoch, identically on every re-run" a
+    * training dataloader needs: rows ordered by `md5(epoch ++ ":" ++
+    * id)` (ties by id), with a 1-based global position. Content-keyed,
+    * so the permutation is independent of partitioning, cluster size,
+    * and engine ([[splitAssign]]'s md5 stance). Returns `(id, ord)`.
+    *
+    * Scale shape: the order is realized by [[Scale.withGlobalIndex]] —
+    * range-partition on the hash + per-partition ranks + bounded offset
+    * window — never a single-task global sort; shuffles carry (id,
+    * 32-char key) only. Writing shards in `ord` ranges then streams the
+    * epoch in shuffled order with sequential reads. */
+  def epochShuffle(df: DataFrame, idCol: Column, epoch: Int): DataFrame =
+    Scale.withGlobalIndex(
+        df.select(idCol.cast("long").as("id"),
+          md5(concat_ws(":", lit(epoch), idCol.cast("long"))).as("k")),
+        Seq(col("k"), col("id")), "ord")
+      .select(col("id"), col("ord"))
+
   /**
    * Quantile binning WITHOUT a window: assign each row its `nBins`-tile of
    * `scoreCol` (bin 1 = lowest). The cut points come from ONE exact

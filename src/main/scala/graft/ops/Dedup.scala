@@ -684,6 +684,93 @@ object Dedup {
       .toDF("id", "n_tokens", "n_removed", "text")
   }
 
+  /**
+   * Bounded edit-distance similarity join over a SHORT-string column
+   * (titles, URLs, line keys — not documents) via symmetric deletes
+   * (the SymSpell family): `lev(a, b) <= maxDist` implies the deletion
+   * neighbourhoods `del<=d(a)` and `del<=d(b)` intersect, so candidate
+   * pairs come from an EQUI-join on deletion-variant hashes and only
+   * candidates pay the exact DP verify. Returns `(a_id, b_id, dist)`
+   * with `a_id < b_id`, exact duplicates included at dist 0.
+   *
+   * Scale shape: each row emits ≤ 1 + L + L·(L−1) variants (`maxDist`
+   * ≤ 2 enforced; L = string length), carrying `(xxhash64(variant), id,
+   * str)` — strings are short by contract, so the variant shuffle is
+   * O(d·L) per row. Hot variants (shared prefixes) fan candidate
+   * buckets out quadratically — the standard SymSpell trade; candidate
+   * pairs dedupe before the verify, and the verify is compiled
+   * row-local DP, never an all-pairs cross. Hash collisions only ADD
+   * candidates (the verify rejects them), never lose a true pair.
+   */
+  def editDistanceJoin(df: DataFrame, idCol: Column, strCol: Column,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 2, "maxDist must be in 0..2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(idCol.cast("long").as("id"),
+        strCol.cast("string").as("s"))
+      .filter(col("s").isNotNull)
+      .as[(Long, String)]
+    val variants = rows.mapPartitions { it =>
+      it.flatMap { case (id, s) =>
+        val out = scala.collection.mutable.HashSet.empty[String]
+        out += s
+        if (maxDist >= 1) {
+          var i = 0
+          while (i < s.length) {
+            val v1 = s.substring(0, i) + s.substring(i + 1)
+            out += v1
+            if (maxDist >= 2) {
+              var j = 0
+              while (j < v1.length) {
+                out += v1.substring(0, j) + v1.substring(j + 1)
+                j += 1
+              }
+            }
+            i += 1
+          }
+        }
+        out.iterator.map(v => (xxh64(v), id, s))
+      }
+    }.toDF("v", "id", "s")
+    val a = variants.as("a")
+    val b = variants.as("b")
+    val cand = a.join(b, col("a.v") === col("b.v") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("a.s").as("sa"),
+        col("b.id").as("b_id"), col("b.s").as("sb"))
+      .distinct()
+    cand.as[(Long, String, Long, String)].mapPartitions { it =>
+      it.flatMap { case (ai, sa, bi, sb) =>
+        val dd = levDistance(sa, sb)
+        if (dd <= maxDist) Iterator((ai, bi, dd.toLong)) else Iterator.empty
+      }
+    }.toDF("a_id", "b_id", "dist")
+  }
+
+  /** Unit-cost Levenshtein (insert/delete/substitute — the same metric
+    * as DuckDB's `levenshtein`), two-row DP. */
+  private[graft] def levDistance(a: String, b: String): Int =
+    if (a == b) 0
+    else {
+      val m = b.length
+      var prev = Array.tabulate(m + 1)(identity)
+      var curr = new Array[Int](m + 1)
+      var i = 1
+      while (i <= a.length) {
+        curr(0) = i
+        var j = 1
+        while (j <= m) {
+          val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+          curr(j) = math.min(math.min(curr(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + cost)
+          j += 1
+        }
+        val t = prev; prev = curr; curr = t
+        i += 1
+      }
+      prev(m)
+    }
+
   /** `xxhash64(string)` as a plain function — XXH64 with Spark's fixed
     * seed 42 over UTF-8 bytes, for row-local code that must agree
     * bit-for-bit with the column expression. */

@@ -376,6 +376,94 @@ object QualitySignals {
       .select(col("nr").as("n_ref"), col("nq").as("n_cand"), col("psi"))
   }
 
+  /** KL-divergence sibling of [[driftPsi]] over the same hashed token
+    * buckets: `KL(cand ‖ ref) = Σ q·ln(q/p)` with add-one smoothing —
+    * the asymmetric "how surprised is the reference model by the new
+    * batch" gate (PSI is the symmetrized variant; both belong on a
+    * nightly dashboard because KL reacts harder to NEW mass than to
+    * vanished mass). Returns one row `(n_ref, n_cand, kl)`, 6dp.
+    *
+    * Scale shape identical to PSI: two partial-agg bucket counts, one
+    * `buckets`-row join, one ordered fold (float addition in a fixed
+    * bucket order, never an order-dependent shuffle sum). */
+  def driftKl(ref: DataFrame, refText: Column, cand: DataFrame,
+      candText: Column, buckets: Int = 512): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    def bucketCounts(df: DataFrame, text: Column, out: String): DataFrame =
+      df.select(explode(array_remove(split(trim(text), "\\s+"), "")).as("tok"))
+        .select((graft.expr.PortableHash.hex15Col(col("tok")) % buckets).as("b"))
+        .groupBy("b").agg(count(lit(1)).as(out))
+    val joined = bucketCounts(ref, refText, "cr")
+      .join(bucketCounts(cand, candText, "cq"), Seq("b"), "full")
+      .select(col("b"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cq"), lit(0L)).as("cq"))
+    val totals = joined.agg(sum("cr").as("nr"), sum("cq").as("nq"))
+    joined
+      .crossJoin(broadcast(totals))
+      .select(col("b"), col("nr"), col("nq"),
+        ((col("cr") + 1) / (col("nr") + lit(buckets)).cast("double")).as("p"),
+        ((col("cq") + 1) / (col("nq") + lit(buckets)).cast("double")).as("q"))
+      .groupBy("nr", "nq")
+      .agg(round(aggregate(
+        array_sort(collect_list(struct(col("b"), col("p"), col("q")))),
+        lit(0.0),
+        (acc, x) => acc +
+          x.getField("q") * log(x.getField("q") / x.getField("p"))), 6)
+        .as("kl"))
+      .select(col("nr").as("n_ref"), col("nq").as("n_cand"), col("kl"))
+  }
+
+  /** N-gram NOVELTY of each candidate document against a REFERENCE
+    * corpus: the fraction of the doc's DISTINCT word `n`-grams absent
+    * from the reference's gram set — the memorization/regurgitation
+    * audit for generated or continually-crawled data (novelty ≈ 0 means
+    * the doc restates the reference; ≈ 1 means genuinely new text), and
+    * the inverse of [[contamination]]'s overlap direction. Returns
+    * `(id, n_grams, n_novel, novelty)` (4dp); docs with fewer than `n`
+    * tokens have no grams and are absent.
+    *
+    * Scale shape: both sides reduce to md5-portable gram HASHES
+    * row-locally (compiled kernels — text never shuffles); the reference
+    * side dedupes to a vocabulary-sized hash set under partial
+    * aggregation; one equi-join on `h` + one per-doc count — the
+    * [[QualitySignals.boilerplateFraction]] join discipline. */
+  def ngramNovelty(cand: DataFrame, candId: Column, candText: Column,
+      ref: DataFrame, refText: Column, n: Int = 3): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val spark = cand.sparkSession
+    import spark.implicits._
+    def docGrams(df: DataFrame, id: Column, text: Column) =
+      df.select(id.cast("long").as("id"), text.cast("string").as("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.flatMap { case (docId, t) =>
+            val tk = if (t == null) Array.empty[String]
+                     else t.trim.split("\\s+").filter(_.nonEmpty)
+            if (tk.length < n) Iterator.empty
+            else {
+              val set = scala.collection.mutable.HashSet.empty[Long]
+              var i = 0
+              while (i + n <= tk.length) {
+                set += graft.expr.PortableHash.hex15(
+                  tk.slice(i, i + n).mkString(" "))
+                i += 1
+              }
+              set.iterator.map(h => (docId, h))
+            }
+          }
+        }.toDF("id", "h")
+    // the reference id is irrelevant — only its distinct gram set matters
+    val rg = docGrams(ref, lit(0L), refText)
+      .select(col("h")).distinct().withColumn("seen", lit(1L))
+    docGrams(cand, candId, candText)
+      .join(rg, Seq("h"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel") / col("n_grams"), 4).as("novelty"))
+  }
+
   /**
    * Cross-document boilerplate detection: for each document, the fraction
    * of its DISTINCT word `n`-grams that occur in at least `minDf` documents

@@ -259,6 +259,36 @@ object TextAnalysis {
         col("n_agree"), round(col("n_agree") / col("n"), 4).as("agree_rate"))
   }
 
+  /** Zipf rank-frequency slope over the corpus's top-`topN` terms: the
+    * least-squares slope of `ln(freq)` against `ln(rank)` — healthy
+    * natural-language corpora sit near −1 (Zipf's law); a flat slope
+    * flags templated/synthetic text, a cliff flags boilerplate
+    * domination. One row `(n_terms, slope)` (4dp).
+    *
+    * Scale shape: term counts reduce under partial aggregation
+    * (vocabulary-sized, not corpus-sized); the top-`topN` cut is a
+    * TakeOrdered, and the rank window runs over the BOUNDED top slice
+    * only (the rrfFuse stance — never an unpartitioned window on
+    * corpus-sized data). The slope uses the explicit moment formula
+    * `(E[xy] − E[x]E[y]) / (E[x²] − E[x]²)` so any engine reproduces it
+    * within the 4dp round. */
+  def zipfSlope(df: DataFrame, textCol: Column, topN: Int = 100): DataFrame = {
+    require(topN >= 2, "need at least 2 ranks for a slope")
+    import org.apache.spark.sql.expressions.Window
+    val top = df
+      .select(explode(array_remove(split(trim(textCol), "\\s+"), "")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("tok")).limit(topN)
+    val xy = top
+      .withColumn("r", row_number().over(Window.orderBy(desc("c"), asc("tok"))))
+      .select(log(col("r").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    xy.agg(count(lit(1)).as("n_terms"),
+      round((avg(col("x") * col("y")) - avg(col("x")) * avg(col("y"))) /
+        (avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))), 4)
+        .as("slope"))
+  }
+
   /** Polynomial rolling-hash fingerprint of the first `prefix` chars:
     * `acc = (acc*31 + codepoint) mod 1e9+7`, seed 7 — cheap, deterministic,
     * and expressible in any engine with a list fold (used by the DuckDB
@@ -347,6 +377,58 @@ object TextAnalysis {
       .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Incremental [[winnowOverlapPairs]]: overlap of a NEW batch — or an
+    * unbounded STREAM — against a PERSISTED frozen-corpus fingerprint
+    * index ([[winnowFingerprintTable]] output), the daily-ingest
+    * near-dup gate: which frozen documents each incoming document shares
+    * ≥ `minShared` rare fingerprints with. The stop-gram prune runs on
+    * the FROZEN side (hashes indexed in > `maxDf` reference docs are
+    * boilerplate, not copying evidence), which also bounds each
+    * broadcast bucket to `maxDf` ids. Returns `(id, ref_id, n_shared)`.
+    *
+    * Row-local by construction (the [[Dedup.spanScrubAgainst]]
+    * discipline): the pruned index ships once per executor as a
+    * broadcast `h → ref ids` map; each incoming row winnows its own
+    * text in compiled per-partition code, looks its distinct selected
+    * hashes up, and counts per reference doc in a local map — no joins,
+    * no aggregation, no watermark; streaming-safe in append mode. For a
+    * frozen corpus whose PRUNED index outgrows a broadcast, keep the
+    * persisted [[winnowFingerprintTable]] and use the q134 equi-join
+    * shape instead; this twin is the bounded-reference daily-gate form
+    * (the [[Dedup.lineDedupAgainst]] stance). */
+  def winnowOverlapAgainst(df: DataFrame, idCol: Column, textCol: Column,
+      fpTable: DataFrame, k: Int = 3, w: Int = 4, minShared: Int = 3,
+      maxDf: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val index: Map[Long, Array[Long]] = fpTable
+      .select(col("id").cast("long").as("id"), col("h").cast("long").as("h"))
+      .distinct()
+      .groupBy("h").agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")) <= maxDf)
+      .as[(Long, Seq[Long])]
+      .collect()
+      .map { case (h, ids) => h -> ids.sorted.toArray }
+      .toMap
+    val bc = spark.sparkContext.broadcast(index)
+    winnowRows(df, idCol, textCol, k, w)
+      .mapPartitions { it =>
+        val idx = bc.value
+        it.flatMap { case (id, sel) =>
+          val counts = scala.collection.mutable.HashMap.empty[Long, Int]
+          val seen = scala.collection.mutable.HashSet.empty[Long]
+          sel.foreach { case (_, h) =>
+            if (seen.add(h)) idx.get(h).foreach(_.foreach { r =>
+              counts.update(r, counts.getOrElse(r, 0) + 1)
+            })
+          }
+          counts.iterator.filter(_._2 >= minShared).toArray.sortBy(_._1)
+            .map { case (r, n) => (id, r, n.toLong) }
+        }
+      }
+      .toDF("id", "ref_id", "n_shared")
   }
 
   /** Shared winnowing core: one typed row per document with ≥ `w` grams,

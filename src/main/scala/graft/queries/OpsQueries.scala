@@ -1237,6 +1237,93 @@ object OpsQueries {
       val na = sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), _ + _))
       pr.select(col("id"), round(dot / (na * lit(qn)), 4).as("sim"))
         .orderBy(desc("sim"), asc("id")).limit(10)
+    }),
+    "q169_pagerank_ivf" -> ((s, d) => {
+      // q164's 100 TB path: the SAME integer PageRank over the
+      // IVF-pruned kNN graph (equi-join on learned cells, q149's
+      // contract) — no all-pairs stage anywhere in the plan. Top-25
+      // overlap vs the exact-graph ranks is the recall note in PLANS.md
+      // (q164 stays as the bounded exact baseline).
+      val edges = Ann.knnGraphIvf(t(s, d, "embeddings"), col("vec_id"),
+        col("embedding"), 3, nlist = 8, iters = 2, sampleFraction = 50)
+      graft.ops.Graph.pageRank(edges, col("id"), col("nbr"), iters = 3)
+        .orderBy(desc("rank_micro"), asc("id"))
+        .limit(25)
+    }),
+    "q170_winnow_against" -> ((s, d) => {
+      // daily-ingest near-dup gate: new batch (ids >= 300) winnowed
+      // row-locally and counted against the frozen corpus's (ids < 350)
+      // persisted fingerprint index — ids 300-349 live in both slices,
+      // so self-matches prove the detector and cross-matches the
+      // boilerplate prune. Stateless projection; streaming twin in
+      // StreamingSpec.
+      val docs = t(s, d, "documents")
+      val frozen = graft.ops.TextAnalysis.winnowFingerprintTable(
+        docs.filter(col("doc_id") < 350), col("doc_id"), col("text"),
+        k = 3, w = 4)
+      graft.ops.TextAnalysis.winnowOverlapAgainst(
+          docs.filter(col("doc_id") >= 300), col("doc_id"), col("text"),
+          frozen, k = 3, w = 4, minShared = 3, maxDf = 10)
+        .orderBy("id", "ref_id")
+    }),
+    "q171_edit_distance_join" -> ((s, d) => {
+      // SymSpell deletion-variant join on 16-char text prefixes: the
+      // natural corpus plus a +1000-id copy of the first 50 prefixes
+      // with one char appended — guaranteed distance-1 twins; word-bag
+      // prefix collisions supply natural distance-0/1 pairs too
+      val docs = t(s, d, "documents")
+      val base = docs.select(col("doc_id").as("id"),
+        substring(col("text"), 1, 16).as("s"))
+      val mut = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000).as("id"),
+          concat(substring(col("text"), 1, 16), lit("x")).as("s"))
+      Dedup.editDistanceJoin(base.unionByName(mut), col("id"), col("s"),
+          maxDist = 1)
+        .orderBy("a_id", "b_id")
+    }),
+    "q172_ngram_novelty" -> ((s, d) => {
+      // memorization audit: distinct-3-gram novelty of the tail batch
+      // (ids >= 400) against the head corpus — only gram hashes shuffle
+      val docs = t(s, d, "documents")
+      graft.ops.QualitySignals.ngramNovelty(
+          docs.filter(col("doc_id") >= 400), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") < 400), col("text"), n = 3)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_novel"),
+          col("novelty"))
+        .orderBy("doc_id")
+    }),
+    "q173_drift_kl" -> ((s, d) => {
+      // KL sibling of q154 over the same split and buckets — the
+      // asymmetric surprise gate next to PSI's symmetric one
+      val docs = t(s, d, "documents")
+      graft.ops.QualitySignals.driftKl(
+        docs.filter(col("doc_id") < 250), col("text"),
+        docs.filter(col("doc_id") >= 250), col("text"))
+    }),
+    "q174_zipf_slope" -> ((s, d) =>
+      // corpus-health diagnostic: ln(freq) vs ln(rank) slope over the
+      // top-100 terms; the rank window runs over the bounded top slice
+      graft.ops.TextAnalysis.zipfSlope(t(s, d, "documents"), col("text"),
+        topN = 100)),
+    "q175_epoch_shuffle" -> ((s, d) =>
+      // dataloader epoch permutation: md5(epoch:id)-ordered global
+      // positions, partitioning-independent; epoch 7, first 100 rows by
+      // id so the dump is bounded and order-stable
+      graft.ops.Curation.epochShuffle(t(s, d, "documents"), col("doc_id"),
+          epoch = 7)
+        .select(col("id").as("doc_id"), col("ord"))
+        .orderBy("doc_id").limit(100)),
+    "q176_winnow_clusters" -> ((s, d) => {
+      // near-copy CLUSTERS: q134's winnowing pair evidence -> q80's
+      // min-label connected components -> per-doc cluster id + size
+      val pairs = graft.ops.TextAnalysis.winnowOverlapPairs(
+        t(s, d, "documents").filter(col("doc_id") < 200),
+        col("doc_id"), col("text"), k = 3, w = 4, minShared = 3, maxDf = 10)
+      val cc = Dedup.duplicateClusters(pairs, col("a_id"), col("b_id"))
+      cc.join(cc.groupBy("cluster_id").agg(count("*").as("cluster_size")),
+          "cluster_id")
+        .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3385,7 +3472,183 @@ object OpsQueries {
          SELECT id, round(list_inner_product(pv, q) /
                   (sqrt(list_inner_product(pv, pv)) * sqrt(list_inner_product(q, q))),
                   4) AS sim
-         FROM pl CROSS JOIN ql ORDER BY sim DESC, id LIMIT 10"""
+         FROM pl CROSS JOIN ql ORDER BY sim DESC, id LIMIT 10""",
+
+    "q169_pagerank_ivf" -> {
+      // q164's integer iterations verbatim, but the edge list comes from
+      // same-cell pairs of the replayed IVF training (q149's pa/ap CTEs)
+      val iterCtes = (1 to 3).map { i =>
+        s"""s$i AS (SELECT e.dst, sum(r.r // d.outdeg) AS s
+                 FROM e JOIN deg d USING (src) JOIN r${i - 1} r ON r.id = e.src
+                 GROUP BY e.dst),
+         r$i AS (SELECT n.id,
+                   CAST(150000 + coalesce(s.s, 0) * 85 // 100 AS BIGINT) AS r
+                 FROM nodes n LEFT JOIN s$i s ON n.id = s.dst)"""
+      }.mkString(",\n         ")
+      s"""WITH ${PortableSql.ivfTrainCtes("g", 8)},
+         px AS (SELECT a.id AS src, b.id AS dst,
+                  round(${PortableSql.cosSql("a.v", "b.v")}, 4) AS sim
+                FROM gbf a JOIN gbf b ON a.cid = b.cid AND a.id <> b.id),
+         e AS (SELECT src, dst FROM (
+                 SELECT src, dst, row_number() OVER (PARTITION BY src
+                   ORDER BY sim DESC, dst) AS rn FROM px) WHERE rn <= 3),
+         deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         nodes AS (SELECT DISTINCT id FROM (
+                     SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         $iterCtes
+         SELECT id, r AS rank_micro FROM r3
+         ORDER BY rank_micro DESC, id LIMIT 25"""
+    },
+
+    "q170_winnow_against" ->
+      // q131's winnowing selection over the full corpus, split into the
+      // frozen (< 350) index — stop-gram pruned on its own df — and the
+      // new batch (>= 300); pair counts over distinct shared hashes
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         gl AS (SELECT doc_id, [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)] AS gs
+                FROM toks WHERE len(tk) >= 3),
+         g0 AS (SELECT doc_id, unnest(gs) AS gr,
+                       generate_subscripts(gs, 1) - 1 AS pos
+                FROM gl),
+         g AS (SELECT doc_id, pos,
+                      CAST('0x' || substr(md5(gr), 1, 15) AS BIGINT) AS h
+               FROM g0),
+         mx AS (SELECT doc_id, max(pos) AS mp FROM g GROUP BY doc_id),
+         wins AS (SELECT g.doc_id, g.pos AS i FROM g JOIN mx USING (doc_id)
+                  WHERE g.pos + 3 <= mp),
+         cand AS (SELECT w.doc_id, w.i, b.pos AS j, b.h
+                  FROM wins w JOIN g b ON w.doc_id = b.doc_id
+                    AND b.pos BETWEEN w.i AND w.i + 3),
+         sel AS (SELECT doc_id, i, j, h,
+                        row_number() OVER (PARTITION BY doc_id, i ORDER BY h ASC, j DESC) AS rn
+                 FROM cand),
+         fpd AS (SELECT DISTINCT doc_id, h FROM sel WHERE rn = 1),
+         frozen AS (SELECT doc_id, h FROM fpd WHERE doc_id < 350),
+         hot AS (SELECT h FROM frozen GROUP BY h HAVING count(*) > 10),
+         fidx AS (SELECT * FROM frozen WHERE h NOT IN (SELECT h FROM hot)),
+         newb AS (SELECT doc_id, h FROM fpd WHERE doc_id >= 300)
+         SELECT n.doc_id AS id, f.doc_id AS ref_id,
+                CAST(count(*) AS BIGINT) AS n_shared
+         FROM newb n JOIN fidx f ON n.h = f.h
+         GROUP BY 1, 2 HAVING count(*) >= 3
+         ORDER BY id, ref_id""",
+
+    "q171_edit_distance_join" ->
+      // ground truth by brute force: DuckDB's levenshtein is the same
+      // unit-cost metric as the engine's verify DP
+      """WITH base AS (
+           SELECT doc_id AS id, substr(text, 1, 16) AS s FROM documents
+           UNION ALL
+           SELECT doc_id + 1000, substr(text, 1, 16) || 'x'
+           FROM documents WHERE doc_id < 50)
+         SELECT a.id AS a_id, b.id AS b_id,
+                CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+         FROM base a JOIN base b ON a.id < b.id
+         WHERE levenshtein(a.s, b.s) <= 1
+         ORDER BY a_id, b_id""",
+
+    "q172_ngram_novelty" ->
+      // gram-string join is collision-free ground truth for the engine's
+      // md5-hash join (same distinct-per-doc gram sets)
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x <> '') AS tk
+           FROM documents),
+         gl AS (SELECT doc_id, [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)] AS gs
+                FROM toks WHERE len(tk) >= 3),
+         g AS (SELECT DISTINCT doc_id, unnest(gs) AS gr FROM gl),
+         ref AS (SELECT DISTINCT gr FROM g WHERE doc_id < 400),
+         cand AS (SELECT doc_id, gr FROM g WHERE doc_id >= 400)
+         SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(sum(CASE WHEN r.gr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                round(sum(CASE WHEN r.gr IS NULL THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 4) AS novelty
+         FROM cand c LEFT JOIN ref r ON c.gr = r.gr
+         GROUP BY c.doc_id ORDER BY c.doc_id""",
+
+    "q173_drift_kl" ->
+      // q154's buckets and smoothing, KL(cand||ref) fold
+      """WITH rt AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> x <> '')) AS tok
+                     FROM documents WHERE doc_id < 250),
+         ct AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> x <> '')) AS tok
+                FROM documents WHERE doc_id >= 250),
+         rb AS (SELECT CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 512 AS b,
+                       count(*) AS cr FROM rt GROUP BY 1),
+         cb AS (SELECT CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 512 AS b,
+                       count(*) AS cq FROM ct GROUP BY 1),
+         j AS (SELECT coalesce(rb.b, cb.b) AS b, coalesce(cr, 0) AS cr,
+                      coalesce(cq, 0) AS cq
+               FROM rb FULL JOIN cb ON rb.b = cb.b),
+         t AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+                      CAST(sum(cq) AS BIGINT) AS nq FROM j)
+         SELECT t.nr AS n_ref, t.nq AS n_cand,
+                round(sum(((j.cq + 1) / CAST(t.nq + 512 AS DOUBLE))
+                    * ln(((j.cq + 1) / CAST(t.nq + 512 AS DOUBLE))
+                         / ((j.cr + 1) / CAST(t.nr + 512 AS DOUBLE)))), 6) AS kl
+         FROM j CROSS JOIN t GROUP BY t.nr, t.nq""",
+
+    "q174_zipf_slope" ->
+      // identical moment formula so both engines agree inside 4dp
+      """WITH tc AS (
+           SELECT tok, count(*) AS c FROM (
+             SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                      x -> x <> '')) AS tok
+             FROM documents)
+           GROUP BY tok ORDER BY c DESC, tok LIMIT 100),
+         xy AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, tok) AS DOUBLE)) AS x,
+                       ln(CAST(c AS DOUBLE)) AS y
+                FROM tc)
+         SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                round((avg(x * y) - avg(x) * avg(y))
+                      / (avg(x * x) - avg(x) * avg(x)), 4) AS slope
+         FROM xy""",
+
+    "q175_epoch_shuffle" ->
+      """SELECT doc_id, CAST(row_number() OVER (
+                  ORDER BY md5('7:' || doc_id), doc_id) AS BIGINT) AS ord
+         FROM documents
+         ORDER BY doc_id LIMIT 100""",
+
+    "q176_winnow_clusters" -> {
+      // q134's pair SQL as the `vp` CTE, then the shared recursive
+      // min-label closure (q80's ccCtes)
+      s"""WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+           FROM documents WHERE doc_id < 200),
+         gl AS (SELECT doc_id, [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)] AS gs
+                FROM toks WHERE len(tk) >= 3),
+         g0 AS (SELECT doc_id, unnest(gs) AS gr,
+                       generate_subscripts(gs, 1) - 1 AS pos
+                FROM gl),
+         g AS (SELECT doc_id, pos,
+                      CAST('0x' || substr(md5(gr), 1, 15) AS BIGINT) AS h
+               FROM g0),
+         mx AS (SELECT doc_id, max(pos) AS mp FROM g GROUP BY doc_id),
+         wins AS (SELECT g.doc_id, g.pos AS i FROM g JOIN mx USING (doc_id)
+                  WHERE g.pos + 3 <= mp),
+         cand AS (SELECT w.doc_id, w.i, b.pos AS j, b.h
+                  FROM wins w JOIN g b ON w.doc_id = b.doc_id
+                    AND b.pos BETWEEN w.i AND w.i + 3),
+         sel AS (SELECT doc_id, i, j, h,
+                        row_number() OVER (PARTITION BY doc_id, i ORDER BY h ASC, j DESC) AS rn
+                 FROM cand),
+         fpd AS (SELECT DISTINCT doc_id, h FROM sel WHERE rn = 1),
+         hot AS (SELECT h FROM fpd GROUP BY h HAVING count(*) > 10),
+         fpr AS (SELECT * FROM fpd WHERE h NOT IN (SELECT h FROM hot)),
+         vp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM fpr a JOIN fpr b ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3),
+         ${PortableSql.ccCtes},
+         sz AS (SELECT cluster_id, count(*) AS cluster_size
+                FROM cc GROUP BY cluster_id)
+         SELECT cc.id AS doc_id, cc.cluster_id, sz.cluster_size
+         FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id"""
+    }
   )
 }
 

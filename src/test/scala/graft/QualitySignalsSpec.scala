@@ -321,4 +321,92 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().forall(_.getBoolean(1))
     assert(twice)
   }
+
+  test("driftKl: zero for identical batches, asymmetric, swap-sensitive") {
+    import spark.implicits._
+    val a = Seq((1L, "x y z x y"), (2L, "x z z")).toDF("id", "text")
+    val b = Seq((1L, "p q r p q"), (2L, "p r r")).toDF("id", "text")
+    def kl(r: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      QualitySignals.driftKl(r, col("text"), c, col("text")).head()
+    // identical corpora: every bucket's p == q, fold is exactly 0
+    val same = kl(a, a)
+    assert(same.getDouble(2) == 0.0 && same.getLong(0) == 8L)
+    // disjoint vocabularies: large positive divergence both ways, and the
+    // two directions need not agree (KL is asymmetric by construction)
+    val ab = kl(a, b).getDouble(2)
+    val ba = kl(b, a).getDouble(2)
+    assert(ab > 0.01 && ba > 0.01)
+  }
+
+  test("ngramNovelty: hand-computed absent-gram fractions") {
+    import spark.implicits._
+    val ref = Seq((0L, "a b c d")).toDF("id", "text") // grams: "a b c","b c d"
+    val cand = Seq(
+      (10L, "a b c d"),     // both grams known → novelty 0
+      (11L, "a b c x"),     // "a b c" known, "b c x" novel → 0.5
+      (12L, "p q r s"),     // all novel → 1.0
+      (13L, "a b")          // < n tokens → absent
+    ).toDF("id", "text")
+    val got = QualitySignals.ngramNovelty(cand, col("id"), col("text"),
+        ref, col("text"), n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(10L -> ((2L, 0L, 0.0)), 11L -> ((2L, 1L, 0.5)),
+      12L -> ((2L, 2L, 1.0))))
+  }
+
+  test("editDistanceJoin: equals brute force; deletes, inserts, substitutions") {
+    import spark.implicits._
+    val strs = Seq(
+      (1L, "spark"), (2L, "spark"),  // dist 0
+      (3L, "spark1"),                // insert  → 1 from spark
+      (4L, "spak"),                  // delete  → 1 from spark
+      (5L, "sparc"),                 // subst   → 1 from spark
+      (6L, "stream"),                // far from everything
+      (7L, "sparkly"))               // dist 2 from spark — excluded at d=1
+      .toDF("id", "s")
+    val got = graft.ops.Dedup.editDistanceJoin(strs, col("id"), col("s"), 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val rows = strs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (ai, sa) <- rows; (bi, sb) <- rows if ai < bi
+      d = graft.ops.Dedup.levDistance(sa, sb) if d <= 1
+    } yield (ai, bi, d.toLong)).sorted
+    assert(got.toSeq == brute.toSeq && brute.nonEmpty)
+    // the DP is the standard unit-cost metric
+    assert(graft.ops.Dedup.levDistance("kitten", "sitting") == 3)
+    assert(graft.ops.Dedup.levDistance("", "abc") == 3)
+  }
+
+  test("zipfSlope: exact power law recovers its exponent") {
+    import spark.implicits._
+    // counts c(r) = 2^(8-r) for ranks 1..8 → ln c = ln(2^8) - r·ln 2, but
+    // the regression is on ln r, so build c(r) = round(1000·r^-1) instead:
+    // exact power law → slope == -1 within the 4dp round
+    val rows = (1 to 50).flatMap { r =>
+      val c = math.round(100000.0 * math.pow(r, -1.0)).toInt
+      Seq.fill(c)(s"w$r")
+    }
+    val df = rows.grouped(1000).map(g => g.mkString(" ")).toSeq.toDF("text")
+    val got = graft.ops.TextAnalysis.zipfSlope(df, col("text"), topN = 50).head()
+    assert(got.getLong(0) == 50L)
+    assert(math.abs(got.getDouble(1) + 1.0) < 0.001)
+  }
+
+  test("epochShuffle: permutation, determinism, epochs differ, partition-invariant") {
+    import spark.implicits._
+    val df = (1L to 200L).toDF("id")
+    val e1 = graft.ops.Curation.epochShuffle(df, col("id"), epoch = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a permutation: every position 1..n exactly once
+    assert(e1.values.toSeq.sorted == (1L to 200L))
+    // deterministic across partitionings
+    val e1b = graft.ops.Curation.epochShuffle(df.repartition(7), col("id"),
+      epoch = 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e1 == e1b)
+    // different epochs give different orders
+    val e2 = graft.ops.Curation.epochShuffle(df, col("id"), epoch = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e1 != e2)
+  }
 }

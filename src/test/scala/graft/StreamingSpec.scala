@@ -351,6 +351,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming winnow-overlap gate against a persisted fingerprint index") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq((1L, shared + " closing words"),
+      (2L, "one two three four five six seven eight")).toDF("id", "text")
+    val fp = graft.ops.TextAnalysis.winnowFingerprintTable(
+      corpus, col("id"), col("text"))
+    val batch = Seq((10L, shared + " novel tail"),
+      (11L, "totally different words compose this unrelated sentence"))
+    val input = MemoryStream[(Long, String)]
+    val gate = graft.ops.TextAnalysis.winnowOverlapAgainst(
+      input.toDF().toDF("id", "text"), col("id"), col("text"), fp,
+      minShared = 1)
+    val q = gate.writeStream.outputMode("append")
+      .format("memory").queryName("winnowgate").start()
+    input.addData(batch: _*)
+    q.processAllAvailable()
+    val got = spark.sql("SELECT id, ref_id, n_shared FROM winnowgate")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    // the stream answers exactly like the batch twin on the same rows
+    val twin = graft.ops.TextAnalysis.winnowOverlapAgainst(
+        batch.toDF("id", "text"), col("id"), col("text"), fp, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(got == twin)
+    // the ≥ w+k-1 token shared run guarantees a fingerprint hit on doc 1
+    // only; the disjoint incoming doc matches nothing
+    assert(got.map(t => (t._1, t._2)) == Seq((10L, 1L)) && got.head._3 >= 1)
+    q.stop()
+  }
+
   test("streaming classification: broadcast NB model scores micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
