@@ -105,6 +105,54 @@ object Curation {
       .otherwise("test")
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment: shard =
+    * argmax over `s ∈ [0, nShards)` of `md5(s ++ ":" ++ key)` — when a
+    * shard is ADDED only ~1/(n+1) of keys move (each to the new shard),
+    * where `hash(key) mod n` reshuffles nearly everything: the property
+    * that makes growing a sharded corpus store an incremental copy
+    * instead of a full rewrite. Row-local, content-keyed,
+    * engine-portable (ties between 60-bit weights are beyond-astronomic;
+    * both engines break them toward the larger shard id). HOF note:
+    * `transform`/`array_max` evaluate interpreted, but the per-row cost
+    * is the `nShards` md5 calls either way — move to a compiled kernel
+    * for large shard counts. */
+  def rendezvousShard(key: Column, nShards: Int): Column = {
+    require(nShards >= 1, "nShards must be >= 1")
+    array_max(transform(sequence(lit(0), lit(nShards - 1)),
+      s => struct(
+        graft.expr.PortableHash.hex15Col(concat_ws(":", s, key)).as("h"),
+        s.as("s"))))
+      .getField("s")
+  }
+
+  /** Robust outlier gate on a per-document metric via the MODIFIED
+    * z-score (Iglewicz–Hoaglin): `z = 0.6745·(x − median) / MAD`,
+    * flagged when `|z| > cutoff` (3.5 is the standard release-gate
+    * setting) — median/MAD ignore the very tail mass a mean/stddev gate
+    * would be dragged by, which is the point of an outlier gate.
+    * Returns `(id, x, z, outlier)`, z at 4dp; MAD = 0 (over half the
+    * mass exactly at the median) degenerates z to 0 — no outliers, by
+    * construction, rather than a divide-by-zero.
+    *
+    * Scale shape: two exact-`percentile` aggregates (each one partial-agg
+    * pass) broadcast back as scalar rows; the flag is a stateless
+    * row-local projection ([[quantileBins]]' shape — never a global
+    * sort). */
+  def madOutliers(df: DataFrame, idCol: Column, metricCol: Column,
+      cutoff: Double = 3.5): DataFrame = {
+    val x = df.select(idCol.cast("long").as("id"),
+      metricCol.cast("double").as("x"))
+    val med = x.agg(percentile(col("x"), lit(0.5)).as("m"))
+    val withM = x.crossJoin(broadcast(med))
+    val mad = withM.agg(percentile(abs(col("x") - col("m")), lit(0.5)).as("mad"))
+    withM.crossJoin(broadcast(mad))
+      .select(col("id"), col("x"),
+        when(col("mad") === 0, lit(0.0))
+          .otherwise(round(lit(0.6745) * (col("x") - col("m")) / col("mad"), 4))
+          .as("z"))
+      .withColumn("outlier", abs(col("z")) > cutoff)
+  }
+
   /** Deterministic per-EPOCH global training order — the "shuffle the
     * corpus differently every epoch, identically on every re-run" a
     * training dataloader needs: rows ordered by `md5(epoch ++ ":" ++

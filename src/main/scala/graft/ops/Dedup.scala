@@ -303,6 +303,86 @@ object Dedup {
     df.join(drop, idCol.cast("long") === col("drop_id"), "left_anti")
   }
 
+  /** [[dedupCorpus]] with QUALITY-AWARE survivor selection: keep each
+    * duplicate cluster's highest-`scoreCol` document (ties → smallest
+    * id) instead of the smallest id unconditionally — the production
+    * rule when near-dups differ in quality (keep the longest / the
+    * highest-[[graft.ops.TextAnalysis.qualityScore]] copy, drop the
+    * truncated mirror). Returns the surviving corpus rows unchanged.
+    *
+    * Scale shape: identical to [[dedupCorpus]] plus one partial-agg
+    * `max(struct(score, −id))` over the (tiny) cluster table joined
+    * with per-doc scores; the corpus itself still only pays the
+    * anti-join against the drop list and never shuffles. */
+  def dedupCorpusKeepBest(df: DataFrame, idCol: Column, textCol: Column,
+      scoreCol: Column, threshold: Double, bands: Int = 16,
+      rowsPerBand: Int = 4, shingleSize: Int = 3, seed: Long = 42L): DataFrame = {
+    val pairs = minHashDuplicates(df, idCol, textCol, threshold, bands,
+      rowsPerBand, shingleSize, seed)
+    val clusters = duplicateClusters(pairs, col("a_id"), col("b_id"))
+    val scored = clusters.join(
+      df.select(idCol.cast("long").as("id"), scoreCol.cast("double").as("_sc")),
+      "id")
+    // max(struct) = highest score, then largest −id = smallest id
+    val winners = scored.groupBy("cluster_id")
+      .agg(max(struct(col("_sc"), (-col("id")).as("nid"))).as("w"))
+      .select(col("cluster_id"), (-col("w.nid")).as("keep_id"))
+    val drop = scored.join(winners, "cluster_id")
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id").as("drop_id"))
+    df.join(drop, idCol.cast("long") === col("drop_id"), "left_anti")
+  }
+
+  /** Duplicate-span MASKING: replace every token covered by a
+    * [[duplicateSpans]] interval with `sentinel` instead of cutting it —
+    * the length-preserving variant (token positions survive, so
+    * downstream alignment labels, span annotations, and position-keyed
+    * indexes stay valid; [[stripDuplicateSpans]] is the pre-training
+    * default, this is the labeled-data one). Returns
+    * `(id, n_tokens, n_masked, text)`, tokens re-joined by single
+    * spaces.
+    *
+    * Scale shape: [[duplicateSpans]]'s int-only shuffles; span lists
+    * collapse to a few `(start, end)` pairs per affected doc and attach
+    * with one id equi-join; the rebuild is a compiled per-partition
+    * walk — corpus text never shuffles. */
+  def maskDuplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int, minDocs: Int = 2, sentinel: String = "<DUP>"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spanLists = duplicateSpans(df, idCol, textCol, k, minDocs)
+      .select(col("id").cast("long").as("id"),
+        col("span_start").cast("int").as("s"), col("span_end").cast("int").as("e"))
+      .groupBy("id")
+      .agg(collect_list(struct(col("s").as("_1"), col("e").as("_2"))).as("spans"))
+    df.select(idCol.cast("long").as("id"), textCol.cast("string").as("text"))
+      .join(spanLists, Seq("id"), "left")
+      .as[(Long, String, Seq[(Int, Int)])]
+      .mapPartitions { it =>
+        it.map { case (id, text, spans) =>
+          val tk = if (text == null) Array.empty[String]
+                   else text.split("\\s+").filter(_.nonEmpty)
+          val covered = new Array[Boolean](tk.length)
+          if (spans != null) spans.foreach { case (s, e) =>
+            var j = math.max(0, s)
+            val end = math.min(e, tk.length)
+            while (j < end) { covered(j) = true; j += 1 }
+          }
+          val sb = new StringBuilder
+          var masked = 0L
+          var i = 0
+          while (i < tk.length) {
+            if (i > 0) sb += ' '
+            if (covered(i)) { sb ++= sentinel; masked += 1 }
+            else sb ++= tk(i)
+            i += 1
+          }
+          (id, tk.length.toLong, masked, sb.result())
+        }
+      }
+      .toDF("id", "n_tokens", "n_masked", "text")
+  }
+
   /** Line-level deduplication (the RefinedWeb/CCNet pre-training scrub:
     * Penedo et al. 2023 §3.2 remove lines repeated across documents —
     * navigation bars, cookie banners, boilerplate headers). A line is

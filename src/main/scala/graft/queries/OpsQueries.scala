@@ -1324,7 +1324,51 @@ object OpsQueries {
           "cluster_id")
         .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
         .orderBy("doc_id")
-    })
+    }),
+    "q177_dedup_keep_best" -> ((s, d) =>
+      // q82's survivor rule upgraded: keep each near-dup cluster's
+      // LONGEST document (n_chars, ties -> min id) — the
+      // quality-aware production rule; same pairs/clusters as q80/q82
+      Dedup.dedupCorpusKeepBest(
+          t(s, d, "documents").filter(col("doc_id") < 200),
+          col("doc_id"), col("text"), col("n_chars"), 0.7, shingleSize = 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")),
+    "q178_rendezvous_shards" -> ((s, d) => {
+      // highest-random-weight sharding: growing 16 -> 17 shards moves
+      // only ~1/17 of keys, every one TO the new shard — the one-row
+      // report a resharding plan is signed off on
+      val docs = t(s, d, "documents")
+      val assigned = docs.select(col("doc_id"),
+        graft.ops.Curation.rendezvousShard(col("doc_id"), 16).as("s16"),
+        graft.ops.Curation.rendezvousShard(col("doc_id"), 17).as("s17"))
+      assigned.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("s16") =!= col("s17"), 1L).otherwise(0L)).as("n_moved"),
+        sum(when(col("s16") =!= col("s17") && col("s17") =!= 16, 1L)
+          .otherwise(0L)).as("n_moved_elsewhere"),
+        round(sum(when(col("s16") =!= col("s17"), 1L).otherwise(0L)) /
+          count(lit(1)).cast("double"), 4).as("moved_frac"))
+    }),
+    "q179_mad_outliers" -> ((s, d) => {
+      // robust release gate: modified z-score over a length metric with
+      // a deterministic 10x spike on ids % 100 == 0 so the gate has
+      // true positives to catch
+      val docs = t(s, d, "documents")
+      val metric = when(col("doc_id") % 100 === 0, col("n_chars") * 10)
+        .otherwise(col("n_chars"))
+      graft.ops.Curation.madOutliers(docs, col("doc_id"), metric)
+        .select(col("id").as("doc_id"), col("x"), col("z"), col("outlier"))
+        .orderBy("doc_id")
+    }),
+    "q180_mask_spans" -> ((s, d) =>
+      // q100's cut replaced by a length-preserving <DUP> mask — token
+      // positions survive for alignment-keyed downstream data
+      Dedup.maskDuplicateSpans(t(s, d, "documents"), col("doc_id"),
+          col("text"), k = 5, minDocs = 2)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_masked"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id"))
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -3648,7 +3692,85 @@ object OpsQueries {
                 FROM cc GROUP BY cluster_id)
          SELECT cc.id AS doc_id, cc.cluster_id, sz.cluster_size
          FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id"""
-    }
+    },
+
+    "q177_dedup_keep_best" ->
+      // q82's recursive closure, winner per cluster by (n_chars desc,
+      // id asc) instead of min id
+      s"""WITH RECURSIVE ${PortableSql.minhashVerifiedPairCtes},
+         ${PortableSql.ccCtes},
+         scored AS (SELECT cc.id, cc.cluster_id, d.n_chars
+                    FROM cc JOIN documents d ON cc.id = d.doc_id),
+         win AS (SELECT cluster_id, id AS keep_id FROM (
+                   SELECT cluster_id, id, row_number() OVER (
+                     PARTITION BY cluster_id
+                     ORDER BY n_chars DESC, id) AS rn FROM scored)
+                 WHERE rn = 1),
+         dropped AS (SELECT s.id FROM scored s JOIN win w USING (cluster_id)
+                     WHERE s.id <> w.keep_id)
+         SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id < 200 AND doc_id NOT IN (SELECT id FROM dropped)
+         ORDER BY doc_id""",
+
+    "q178_rendezvous_shards" ->
+      // argmax weight per (doc, shard-count), ties toward the larger
+      // shard id to match struct-max semantics
+      """WITH a AS (SELECT doc_id, s,
+                  CAST('0x' || substr(md5(s || ':' || doc_id), 1, 15) AS BIGINT) AS h
+                FROM documents CROSS JOIN range(16) r(s)),
+         r16 AS (SELECT doc_id, s AS s16 FROM (
+                   SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY h DESC, s DESC) AS rn FROM a) WHERE rn = 1),
+         b AS (SELECT doc_id, s,
+                  CAST('0x' || substr(md5(s || ':' || doc_id), 1, 15) AS BIGINT) AS h
+                FROM documents CROSS JOIN range(17) r(s)),
+         r17 AS (SELECT doc_id, s AS s17 FROM (
+                   SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY h DESC, s DESC) AS rn FROM b) WHERE rn = 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN s16 <> s17 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+                CAST(sum(CASE WHEN s16 <> s17 AND s17 <> 16 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_moved_elsewhere,
+                round(sum(CASE WHEN s16 <> s17 THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 4) AS moved_frac
+         FROM r16 JOIN r17 USING (doc_id)""",
+
+    "q179_mad_outliers" ->
+      // exact interpolated medians (quantile_cont = Spark percentile),
+      // modified z at 4dp
+      """WITH x AS (SELECT doc_id, CAST(CASE WHEN doc_id % 100 = 0
+                      THEN n_chars * 10 ELSE n_chars END AS DOUBLE) AS x
+                    FROM documents),
+         m AS (SELECT quantile_cont(x, 0.5) AS med FROM x),
+         md AS (SELECT quantile_cont(abs(x.x - m.med), 0.5) AS mad
+                FROM x CROSS JOIN m)
+         SELECT doc_id, x,
+                CASE WHEN md.mad = 0 THEN 0.0
+                     ELSE round(0.6745 * (x - m.med) / md.mad, 4) END AS z,
+                CASE WHEN md.mad = 0 THEN FALSE
+                     ELSE abs(round(0.6745 * (x - m.med) / md.mad, 4)) > 3.5
+                END AS outlier
+         FROM x CROSS JOIN m CROSS JOIN md
+         ORDER BY doc_id""",
+
+    "q180_mask_spans" ->
+      // q100's coverage, per-token sentinel substitution instead of cut
+      s"""WITH ${PortableSql.spanGramCtes},
+         cov AS (SELECT doc_id, pos FROM grams JOIN rep USING (g)),
+         dropped AS (SELECT DISTINCT doc_id, pos + off AS ti
+                     FROM cov CROSS JOIN range(5) r(off)),
+         tokpos AS (SELECT doc_id, unnest(t) AS tok,
+                           generate_subscripts(t, 1) - 1 AS ti FROM toks),
+         masked AS (SELECT tp.doc_id, tp.ti,
+                           CASE WHEN d.ti IS NULL THEN tp.tok ELSE '<DUP>' END AS tok,
+                           CASE WHEN d.ti IS NULL THEN 0 ELSE 1 END AS m
+                    FROM tokpos tp LEFT JOIN dropped d
+                      ON tp.doc_id = d.doc_id AND tp.ti = d.ti)
+         SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+                CAST(coalesce(sum(mk.m), 0) AS BIGINT) AS n_masked,
+                md5(coalesce(string_agg(mk.tok, ' ' ORDER BY mk.ti), '')) AS text_md5
+         FROM toks t LEFT JOIN masked mk ON t.doc_id = mk.doc_id
+         GROUP BY t.doc_id, len(t.t) ORDER BY t.doc_id"""
   )
 }
 

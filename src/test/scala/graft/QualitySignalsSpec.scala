@@ -393,6 +393,86 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(got.getDouble(1) + 1.0) < 0.001)
   }
 
+  test("dedupCorpusKeepBest: longest survives its cluster, singletons kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),            // cluster A, short
+      (2L, "alpha beta gamma delta epsilon zeta eta"),   // cluster A, longest
+      (3L, "alpha beta gamma delta epsilon zeta"),       // cluster A, middle
+      (9L, "totally unrelated isolated document text"))  // singleton
+      .toDF("id", "text")
+      .withColumn("len", length(col("text")))
+    val kept = graft.ops.Dedup.dedupCorpusKeepBest(docs, col("id"),
+        col("text"), col("len"), threshold = 0.5, shingleSize = 1)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L, 9L))
+    // min-id rule would have kept doc 1 instead
+    val minRule = graft.ops.Dedup.dedupCorpus(docs, col("id"), col("text"),
+        threshold = 0.5, shingleSize = 1)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(minRule.toSeq == Seq(1L, 9L))
+  }
+
+  test("rendezvousShard: adding a shard moves keys only TO the new shard") {
+    import spark.implicits._
+    val keys = (1L to 500L).toDF("id")
+    val s = keys.select(col("id"),
+      graft.ops.Curation.rendezvousShard(col("id"), 8).as("s8"),
+      graft.ops.Curation.rendezvousShard(col("id"), 9).as("s9"))
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    // every moved key lands on the NEW shard (8); nothing reshuffles
+    // among the old shards — the rendezvous property mod-n lacks
+    assert(s.forall { case (a, b) => a == b || b == 8 })
+    val movedFrac = s.count { case (a, b) => a != b }.toDouble / s.length
+    assert(movedFrac > 0.03 && movedFrac < 0.25) // ~1/9 expected
+    // all shards used
+    assert(s.map(_._1).distinct.sorted.toSeq == (0 until 8))
+  }
+
+  test("madOutliers: hand-computed modified z; MAD=0 degenerates to no flags") {
+    import spark.implicits._
+    // x = 1..9 plus a 100 spike: median 5.5, MAD = 2.5 over the evens...
+    // compute expectations directly against the definition
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 100.0)
+    val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("id", "x")
+    val got = graft.ops.Curation.madOutliers(df, col("id"), col("x"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    val sorted = xs.sorted
+    val med = (sorted(4) + sorted(5)) / 2  // 5.5
+    val devs = xs.map(x => math.abs(x - med)).sorted
+    val mad = (devs(4) + devs(5)) / 2
+    val z100 = BigDecimal(0.6745 * (100.0 - med) / mad)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(9L) == ((z100, true)))   // the spike is flagged
+    assert(!got(0L)._2 && !got(4L)._2)  // the bulk is not
+    // constant metric: MAD 0 -> z 0 everywhere, nothing flagged
+    val const = Seq((1L, 7.0), (2L, 7.0), (3L, 7.0)).toDF("id", "x")
+    val g2 = graft.ops.Curation.madOutliers(const, col("id"), col("x"))
+      .collect().map(r => (r.getDouble(2), r.getBoolean(3)))
+    assert(g2.forall(_ == ((0.0, false))))
+  }
+
+  test("maskDuplicateSpans: sentinel per covered token, strip-parity counts") {
+    import spark.implicits._
+    val boiler = "one two three four five six"
+    val docs = Seq(
+      (1L, boiler + " unique tail here"),
+      (2L, "prefix words " + boiler),
+      (3L, "no shared runs in this document at all")).toDF("id", "text")
+    val masked = graft.ops.Dedup.maskDuplicateSpans(docs, col("id"),
+        col("text"), k = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val stripped = graft.ops.Dedup.stripDuplicateSpans(docs, col("id"),
+        col("text"), k = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // masked count == stripped count per doc; token count preserved
+    assert(masked.forall { case (id, (n, m, _)) => stripped(id) == m })
+    assert(masked(1L)._1 == 9L && masked(1L)._2 == 6L)
+    assert(masked(1L)._3 == "<DUP> <DUP> <DUP> <DUP> <DUP> <DUP> unique tail here")
+    assert(masked(3L)._2 == 0L && masked(3L)._3.startsWith("no shared"))
+  }
+
   test("epochShuffle: permutation, determinism, epochs differ, partition-invariant") {
     import spark.implicits._
     val df = (1L to 200L).toDF("id")
