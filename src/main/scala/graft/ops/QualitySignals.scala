@@ -279,6 +279,85 @@ object QualitySignals {
           (coalesce(col("cu"), lit(0L)) + lit(vocabSize)))), 4).as("avg_lp"))
   }
 
+  /** WORST-WINDOW variant of [[bigramLmScore]]: per document, the
+    * minimum mean log-probability over every sliding window of `window`
+    * consecutive bigrams — the "find the bad SPAN, not the bad doc"
+    * signal (a mostly-clean page with one gibberish injection scores
+    * fine on the whole-doc mean; its worst window screams). Returns
+    * `(id, n_windows, worst_start, worst_lp)` — 0-based bigram index of
+    * the worst window (ties → smallest start), window mean at 4dp; docs
+    * with fewer than `window` bigrams are absent.
+    *
+    * Scale shape: the add-one bigram model is vocabulary-bounded and
+    * COLLECTED to the driver ([[graft.ops.Bpe]]/[[graft.ops.Classify]]
+    * discipline — both count tables reduce under partial aggregation
+    * first), then broadcast; the window scan is a compiled stateless
+    * per-partition projection — corpus text never shuffles, zero
+    * exchanges after the two model aggregations. */
+  def lmWorstWindow(df: DataFrame, idCol: Column, textCol: Column,
+      window: Int = 8): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tok = df.select(idCol.cast("long").as("id"),
+        textCol.cast("string").as("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        (id, if (t == null) Array.empty[String]
+             else t.trim.split("\\s+").filter(_.nonEmpty))
+      }
+      .persist()
+    try {
+      val uniMap = tok.toDF("id", "tk")
+        .select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bigMap = tok.flatMap { case (_, tk) =>
+          if (tk.length < 2) Iterator.empty
+          else tk.iterator.sliding(2).withPartial(false)
+            .map(s => (s.head, s(1)))
+        }
+        .toDF("a", "b").groupBy("a", "b").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val v = uniMap.size.toLong
+      val bcU = spark.sparkContext.broadcast(uniMap)
+      val bcB = spark.sparkContext.broadcast(bigMap)
+      tok.mapPartitions { it =>
+        val uni = bcU.value
+        val big = bcB.value
+        it.flatMap { case (id, tk) =>
+          val nBig = tk.length - 1
+          if (nBig < window) Iterator.empty
+          else {
+            val lp = new Array[Double](nBig)
+            var i = 0
+            while (i < nBig) {
+              val cb = big.getOrElse((tk(i), tk(i + 1)), 0L)
+              val cu = uni.getOrElse(tk(i), 0L)
+              lp(i) = math.log((cb + 1.0) / (cu + v))
+              i += 1
+            }
+            var worstLp = Double.MaxValue
+            var worstStart = -1
+            var s = 0
+            while (s + window <= nBig) {
+              var sum = 0.0
+              var j = s
+              while (j < s + window) { sum += lp(j); j += 1 }
+              val w4 = BigDecimal(sum / window)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (w4 < worstLp) { worstLp = w4; worstStart = s }
+              s += 1
+            }
+            Iterator.single((id, (nBig - window + 1).toLong,
+              worstStart.toLong, worstLp))
+          }
+        }
+      }.toDF("id", "n_windows", "worst_start", "worst_lp")
+    } finally tok.unpersist(blocking = false)
+  }
+
   /** `(id, a, b)` bigram occurrences of a tokenized `(id, tk)` frame —
     * shared by [[bigramLmScore]] and [[kneserNeyScore]]. */
   private def bigramRows(toks: DataFrame): DataFrame =

@@ -431,6 +431,102 @@ object TextAnalysis {
       .toDF("id", "ref_id", "n_shared")
   }
 
+  /** Multi-needle CHARACTER-level substring counts via a compiled
+    * Aho–Corasick automaton: one pass over each document regardless of
+    * pattern count — the complement of [[Dedup.substringSearch]] (which
+    * needs token patterns of ≥ k words and reports positions; this
+    * counts arbitrary character needles, the blocklist-audit shape).
+    * Counts are NON-overlapping per pattern, greedy left-to-right —
+    * exactly `split(text, pattern).length − 1`, so any engine can
+    * replay them. Returns `(id, pattern, n_hits)`, hits > 0 only;
+    * patterns dedupe first ([[Dedup.substringSearch]]'s contract).
+    *
+    * Scale shape: the automaton builds once per partition from the
+    * broadcast pattern list (pattern-size-bounded state); scanning is a
+    * stateless compiled projection — zero exchanges, streaming-safe. */
+  def substringCounts(df: DataFrame, idCol: Column, textCol: Column,
+      patterns: Seq[String]): DataFrame = {
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+      "need non-empty patterns")
+    val pats = patterns.distinct.toArray
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(pats)
+    df.select(idCol.cast("long").as("id"), textCol.cast("string").as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val pa = bc.value
+        val ac = new AhoCorasick(pa)
+        it.flatMap { case (id, t) =>
+          if (t == null) Iterator.empty
+          else {
+            val cs = ac.countNonOverlapping(t)
+            Iterator.range(0, pa.length).filter(cs(_) > 0)
+              .map(pi => (id, pa(pi), cs(pi)))
+          }
+        }
+      }
+      .toDF("id", "pattern", "n_hits")
+  }
+
+  /** Aho–Corasick automaton over a fixed needle set: trie + BFS failure
+    * links + merged output lists. `countNonOverlapping` scans a text
+    * once and counts each pattern's greedy left-to-right non-overlapping
+    * occurrences (a match is taken iff it starts after the pattern's
+    * previous accepted match ended — the `split`-count semantics). */
+  private final class AhoCorasick(patterns: Array[String]) {
+    import scala.collection.mutable
+    private val children = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
+    private val out = mutable.ArrayBuffer[List[Int]](Nil)
+    private val fail = mutable.ArrayBuffer(0)
+
+    patterns.zipWithIndex.foreach { case (p, pi) =>
+      var s = 0
+      p.foreach { c =>
+        s = children(s).getOrElseUpdate(c, {
+          children += mutable.HashMap.empty[Char, Int]
+          out += Nil
+          fail += 0
+          children.size - 1
+        })
+      }
+      out(s) = pi :: out(s)
+    }
+    locally {
+      val q = mutable.Queue.empty[Int]
+      children(0).values.foreach { s => fail(s) = 0; q += s }
+      while (q.nonEmpty) {
+        val r = q.dequeue()
+        children(r).foreach { case (c, u) =>
+          q += u
+          var f = fail(r)
+          while (f != 0 && !children(f).contains(c)) f = fail(f)
+          val t = children(f).getOrElse(c, 0)
+          fail(u) = if (t == u) 0 else t
+          out(u) = out(u) ++ out(fail(u))
+        }
+      }
+    }
+
+    def countNonOverlapping(text: String): Array[Long] = {
+      val counts = new Array[Long](patterns.length)
+      val lastEnd = Array.fill(patterns.length)(-1)
+      var s = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        while (s != 0 && !children(s).contains(c)) s = fail(s)
+        s = children(s).getOrElse(c, 0)
+        out(s).foreach { pi =>
+          val start = i - patterns(pi).length + 1
+          if (start > lastEnd(pi)) { counts(pi) += 1; lastEnd(pi) = i }
+        }
+        i += 1
+      }
+      counts
+    }
+  }
+
   /** Shared winnowing core: one typed row per document with ≥ `w` grams,
     * carrying the selected `(pos, hash)` fingerprints in position order —
     * each window's rightmost-min, deduplicated. Compiled per-partition

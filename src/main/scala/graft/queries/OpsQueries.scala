@@ -1368,7 +1368,37 @@ object OpsQueries {
           col("text"), k = 5, minDocs = 2)
         .select(col("id").as("doc_id"), col("n_tokens"), col("n_masked"),
           md5(col("text")).as("text_md5"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    "q181_substring_counts" -> ((s, d) =>
+      // Aho-Corasick multi-needle audit: one compiled pass counts every
+      // needle (char-level, non-overlapping = split-count semantics);
+      // needles include a cross-word phrase and an absent string
+      graft.ops.TextAnalysis.substringCounts(t(s, d, "documents"),
+          col("doc_id"), col("text"),
+          Seq("data", "slow fast", "spark", "window", "zzznotthere"))
+        .select(col("id").as("doc_id"), col("pattern"), col("n_hits"))
+        .orderBy("doc_id", "pattern")),
+    "q182_lm_worst_window" -> ((s, d) =>
+      // bad-SPAN detector: q93's add-one bigram model, worst 8-bigram
+      // sliding-window mean per doc (ties -> smallest start)
+      graft.ops.QualitySignals.lmWorstWindow(t(s, d, "documents"),
+          col("doc_id"), col("text"), window = 8)
+        .select(col("id").as("doc_id"), col("n_windows"),
+          col("worst_start"), col("worst_lp"))
+        .orderBy("doc_id")),
+    "q183_split_balance" -> ((s, d) => {
+      // release-gate split report: per (split, lang) counts + within-
+      // split share — the stratification check a datasheet publishes
+      val assigned = t(s, d, "documents")
+        .select(col("lang"),
+          graft.ops.Curation.splitAssign(col("doc_id")).as("split"))
+      val totals = assigned.groupBy("split").agg(count(lit(1)).as("n_split"))
+      assigned.groupBy("split", "lang").agg(count(lit(1)).as("n"))
+        .join(totals, "split")
+        .select(col("split"), col("lang"), col("n"),
+          round(col("n") / col("n_split").cast("double"), 4).as("frac"))
+        .orderBy("split", "lang")
+    })
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -3770,7 +3800,69 @@ object OpsQueries {
                 CAST(coalesce(sum(mk.m), 0) AS BIGINT) AS n_masked,
                 md5(coalesce(string_agg(mk.tok, ' ' ORDER BY mk.ti), '')) AS text_md5
          FROM toks t LEFT JOIN masked mk ON t.doc_id = mk.doc_id
-         GROUP BY t.doc_id, len(t.t) ORDER BY t.doc_id"""
+         GROUP BY t.doc_id, len(t.t) ORDER BY t.doc_id""",
+
+    "q181_substring_counts" ->
+      // split-count ground truth: len(split(text, pat)) - 1 is exactly
+      // greedy non-overlapping occurrence counting
+      """WITH pats(pattern) AS (VALUES ('data'), ('slow fast'), ('spark'),
+                                       ('window'), ('zzznotthere'))
+         SELECT d.doc_id, p.pattern,
+                CAST(len(string_split(d.text, p.pattern)) - 1 AS BIGINT) AS n_hits
+         FROM documents d CROSS JOIN pats p
+         WHERE len(string_split(d.text, p.pattern)) > 1
+         ORDER BY doc_id, pattern""",
+
+    "q182_lm_worst_window" ->
+      // q93's model CTEs + indexed bigrams; window means via an 8-row
+      // frame, full windows only, worst by (wlp, start)
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x <> '') AS tk
+           FROM documents),
+         uni AS (SELECT w, count(*) AS cu
+                 FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w),
+         vv AS (SELECT count(*) AS v FROM uni),
+         big AS (SELECT doc_id, i, tk[i + 1] AS a, tk[i + 2] AS b
+                 FROM (SELECT doc_id, tk, unnest(range(len(tk) - 1)) AS i
+                       FROM toks WHERE len(tk) >= 2)),
+         bc AS (SELECT a, b, count(*) AS cb FROM big GROUP BY a, b),
+         lp AS (SELECT big.doc_id, big.i,
+                       ln((bc.cb + 1.0) / (uni.cu + vv.v)) AS lp
+                FROM big JOIN bc USING (a, b) JOIN uni ON big.a = uni.w, vv),
+         w AS (SELECT doc_id, i,
+                 avg(lp) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wlp,
+                 count(*) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS n
+               FROM lp),
+         fullw AS (SELECT doc_id, i AS strt, round(wlp, 4) AS wlp
+                   FROM w WHERE n = 8),
+         worst AS (SELECT doc_id, strt, wlp FROM (
+                     SELECT doc_id, strt, wlp, row_number() OVER (
+                       PARTITION BY doc_id ORDER BY wlp, strt) AS rn
+                     FROM fullw) WHERE rn = 1),
+         cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+                 FROM fullw GROUP BY doc_id)
+         SELECT c.doc_id, c.n_windows, CAST(wo.strt AS BIGINT) AS worst_start,
+                wo.wlp AS worst_lp
+         FROM cnt c JOIN worst wo USING (doc_id) ORDER BY doc_id""",
+
+    "q183_split_balance" ->
+      """WITH a AS (
+           SELECT lang,
+                  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM (SELECT lang,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 100 AS b
+                 FROM documents) t),
+         tot AS (SELECT split, count(*) AS n_split FROM a GROUP BY split)
+         SELECT a.split, a.lang, CAST(count(*) AS BIGINT) AS n,
+                round(count(*) / CAST(tot.n_split AS DOUBLE), 4) AS frac
+         FROM a JOIN tot USING (split)
+         GROUP BY a.split, a.lang, tot.n_split
+         ORDER BY split, lang"""
   )
 }
 

@@ -393,6 +393,56 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(got.getDouble(1) + 1.0) < 0.001)
   }
 
+  test("substringCounts: AC counts = split-count semantics, overlaps greedy") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ababa and more data in the database"),
+      (2L, "no needles here at all"),
+      (3L, "data data data")).toDF("id", "text")
+    val got = graft.ops.TextAnalysis.substringCounts(docs, col("id"),
+        col("text"), Seq("aba", "data", "at", "zzz"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // "ababa" holds ONE non-overlapping "aba" (greedy left, like split())
+    // and "database" a second — 2 total, not the 3 overlapping matches
+    assert(got((1L, "aba")) == 2L)
+    // "data" appears in "data" and "database"; "at" nests inside both
+    assert(got((1L, "data")) == 2L)
+    assert(got((1L, "at")) == 2L)
+    assert(got((3L, "data")) == 3L)
+    // the absent needle produces no rows anywhere
+    assert(!got.keySet.exists(_._2 == "zzz"))
+    // doc 2's only hit is "at" (in "at all") — zero-count rows are absent
+    assert(got.keySet.filter(_._1 == 2L) == Set((2L, "at")))
+    assert(got((2L, "at")) == 1L)
+  }
+
+  test("lmWorstWindow: localizes an injected gibberish span; full-doc window = bigramLmScore") {
+    import spark.implicits._
+    val predictable = Array.fill(30)("a b").mkString(" ") // 60 tokens of a-b chain
+    val injected = predictable.split(" ").take(30).mkString(" ") +
+      " zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 " +
+      predictable.split(" ").take(30).mkString(" ")
+    val docs = Seq((1L, predictable), (2L, injected)).toDF("id", "text")
+    val got = graft.ops.QualitySignals.lmWorstWindow(docs, col("id"),
+        col("text"), window = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // the injected doc's worst window starts inside/around the rare span
+    // (gibberish bigrams begin at index 29)
+    val (_, worstStart, worstLp) = got(2L)
+    assert(worstStart >= 22L && worstStart <= 38L)
+    assert(worstLp < got(1L)._3) // strictly worse than the clean doc's worst
+    // window = the doc's full bigram count → the one window IS the doc
+    // mean: must equal bigramLmScore on the same (single-doc) model
+    val one = docs.filter(col("id") === 1L)
+    val whole = graft.ops.QualitySignals.lmWorstWindow(one, col("id"),
+        col("text"), window = 59)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).head
+    val lm = graft.ops.QualitySignals.bigramLmScore(one, col("id"), col("text"))
+      .collect().map(r => r.getDouble(2)).head
+    assert(whole == ((1L, 0L, lm)))
+  }
+
   test("dedupCorpusKeepBest: longest survives its cluster, singletons kept") {
     import spark.implicits._
     val docs = Seq(
