@@ -344,43 +344,26 @@ object Dedup {
     *
     * Scale shape: [[duplicateSpans]]'s int-only shuffles; span lists
     * collapse to a few `(start, end)` pairs per affected doc and attach
-    * with one id equi-join; the rebuild is a compiled per-partition
-    * walk — corpus text never shuffles. */
+    * with one id equi-join; the rebuild is the compiled
+    * [[graft.expr.SpanMask]] kernel inside whole-stage codegen (a first
+    * cut deserialized every row through a typed encoder — ~25% slower
+    * at sf0.1 for the identical result; [[stripDuplicateSpans]]' SpanCut
+    * lesson) — corpus text never shuffles. */
   def maskDuplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
       k: Int, minDocs: Int = 2, sentinel: String = "<DUP>"): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val spanLists = duplicateSpans(df, idCol, textCol, k, minDocs)
       .select(col("id").cast("long").as("id"),
         col("span_start").cast("int").as("s"), col("span_end").cast("int").as("e"))
       .groupBy("id")
-      .agg(collect_list(struct(col("s").as("_1"), col("e").as("_2"))).as("spans"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    val mask = col_(graft.expr.SpanMask(
+      Bridge.expression(col("text").cast("string")),
+      Bridge.expression(col("spans")), sentinel))
     df.select(idCol.cast("long").as("id"), textCol.cast("string").as("text"))
       .join(spanLists, Seq("id"), "left")
-      .as[(Long, String, Seq[(Int, Int)])]
-      .mapPartitions { it =>
-        it.map { case (id, text, spans) =>
-          val tk = if (text == null) Array.empty[String]
-                   else text.split("\\s+").filter(_.nonEmpty)
-          val covered = new Array[Boolean](tk.length)
-          if (spans != null) spans.foreach { case (s, e) =>
-            var j = math.max(0, s)
-            val end = math.min(e, tk.length)
-            while (j < end) { covered(j) = true; j += 1 }
-          }
-          val sb = new StringBuilder
-          var masked = 0L
-          var i = 0
-          while (i < tk.length) {
-            if (i > 0) sb += ' '
-            if (covered(i)) { sb ++= sentinel; masked += 1 }
-            else sb ++= tk(i)
-            i += 1
-          }
-          (id, tk.length.toLong, masked, sb.result())
-        }
-      }
-      .toDF("id", "n_tokens", "n_masked", "text")
+      .select(col("id"), mask.as("r"))
+      .select(col("id"), col("r.n_tokens").as("n_tokens"),
+        col("r.n_masked").as("n_masked"), col("r.text").as("text"))
   }
 
   /** Line-level deduplication (the RefinedWeb/CCNet pre-training scrub:
