@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def fvec(e: Expression): Expression = Cast(e, ArrayType(FloatType))
   private def str(e: Expression): Expression = Cast(e, StringType)
+  private val spansType = ArrayType(StructType(Seq(
+    StructField("s", IntegerType), StructField("e", IntegerType))))
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
@@ -72,6 +74,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "unicode_normalize(s[, form]) - NFC/NFD/NFKC/NFKD normal form (default NFC)"),
       (es: Seq[Expression]) => UnicodeNormalize(str(es.head),
         UnicodeNormalize.resolveFormArg(es.lift(1)))))
+    ext.injectFunction((FunctionIdentifier("span_cut"),
+      info("span_cut",
+        "span_cut(text, spans) - cut [s,e) token intervals; struct(n_tokens, n_removed, text)"),
+      (es: Seq[Expression]) => SpanCut(str(es(0)), Cast(es(1), spansType))))
+    ext.injectFunction((FunctionIdentifier("span_mask"),
+      info("span_mask",
+        "span_mask(text, spans[, sentinel]) - replace covered tokens; struct(n_tokens, n_masked, text)"),
+      (es: Seq[Expression]) => SpanMask(str(es(0)), Cast(es(1), spansType),
+        SpanMask.resolveSentinelArg(es.lift(2)))))
     ext.injectFunction((FunctionIdentifier("nearest_centroid"),
       info("nearest_centroid",
         "nearest_centroid(v, cents) - argmax-cosine centroid id"),

@@ -124,6 +124,24 @@ case class SpanCut(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object SpanMask {
+  /** Resolve the SQL registration paths' optional `sentinel` argument
+    * (the [[UnicodeNormalize.resolveFormArg]] contract): absent →
+    * `<DUP>`; otherwise a foldable non-null string literal — anything
+    * else fails analysis instead of silently defaulting. */
+  def resolveSentinelArg(arg: Option[Expression]): String = arg match {
+    case None => "<DUP>"
+    case Some(f) if f.foldable =>
+      val v = f.eval()
+      if (v == null) throw new IllegalArgumentException(
+        "span_mask: `sentinel` must be a non-null string literal, got NULL")
+      v.toString
+    case Some(_) => throw new IllegalArgumentException(
+      "span_mask: `sentinel` must be a foldable string literal, " +
+        "got a non-constant expression")
+  }
+}
+
 /**
  * `span_mask(text, spans)` — [[SpanCut]]'s length-preserving sibling:
  * every covered token is replaced by `sentinel` instead of removed.

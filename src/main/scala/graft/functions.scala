@@ -15,7 +15,7 @@ import graft.expr._
  * `registerAll(spark)` additionally exposes them to SQL:
  * `cosine_similarity`, `cosine_distance`, `dot_product`, `l2_normalize`,
  * `l2_norm`, `normalize_text`, `normalize_query_text`, `hash_embed`,
- * `chunk_document`, `unicode_normalize`.
+ * `chunk_document`, `unicode_normalize`, `span_cut`, `span_mask`.
  */
 object functions {
 
@@ -93,5 +93,15 @@ object functions {
     reg.createOrReplaceTempFunction("unicode_normalize",
       es => UnicodeNormalize(str(es.head),
         UnicodeNormalize.resolveFormArg(es.lift(1))), "built-in")
+    val spansType = ArrayType(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("e",
+        org.apache.spark.sql.types.IntegerType))))
+    reg.createOrReplaceTempFunction("span_cut",
+      es => SpanCut(str(es(0)), Cast(es(1), spansType)), "built-in")
+    reg.createOrReplaceTempFunction("span_mask",
+      es => SpanMask(str(es(0)), Cast(es(1), spansType),
+        SpanMask.resolveSentinelArg(es.lift(2))), "built-in")
   }
 }

@@ -105,6 +105,53 @@ object Curation {
       .otherwise("test")
   }
 
+  /** LEAKAGE-SAFE train/val/test assignment: near-duplicate documents
+    * must all land in the SAME split, or the held-out set silently
+    * contains paraphrases of training rows and every eval number is
+    * contaminated — the split-time counterpart of decontamination.
+    * Documents are clustered by verified MinHash near-duplication
+    * ([[graft.ops.Dedup.minHashDuplicates]] →
+    * [[graft.ops.Dedup.duplicateClusters]]); the md5 split bucket is
+    * then keyed by the CLUSTER representative (own id when
+    * unclustered), so the whole cluster moves together. Returns
+    * `(id, cluster_id, split)`.
+    *
+    * Scale shape: the cluster table is duplicate-bounded (tiny) and
+    * joins the corpus id-to-id; the split rule stays the row-local
+    * [[splitAssign]] fold — content-keyed, partitioning-independent. */
+  def leakageSafeSplit(df: DataFrame, idCol: Column, textCol: Column,
+      threshold: Double, shingleSize: Int = 3, trainPct: Int = 90,
+      valPct: Int = 5): DataFrame = {
+    val pairs = graft.ops.Dedup.minHashDuplicates(df, idCol, textCol,
+      threshold, shingleSize = shingleSize)
+    val clusters = graft.ops.Dedup.duplicateClusters(pairs,
+      col("a_id"), col("b_id"))
+    df.select(idCol.cast("long").as("id"))
+      .join(clusters, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      .withColumn("split", splitAssign(col("cluster_id"), trainPct, valPct))
+  }
+
+  /** Curriculum dataloader order: easy-to-hard by `nBins` exact
+    * quantile bins of `scoreCol` ([[quantileBins]] — bin 1 = lowest
+    * score first), deterministically shuffled WITHIN each bin by
+    * `md5(epoch:id)` (the [[epochShuffle]] rule) — the "sorted by
+    * difficulty, shuffled inside each difficulty band, different every
+    * epoch, identical on every re-run" order curriculum training wants.
+    * Returns `(id, bin, ord)` with `ord` the 1-based global position.
+    *
+    * Scale shape: one exact-percentile aggregate broadcast as cut
+    * points, then the same two-pass prefix-sum global index as
+    * [[epochShuffle]] — no global single-task sort anywhere. */
+  def curriculumOrder(df: DataFrame, idCol: Column, scoreCol: Column,
+      nBins: Int = 10, epoch: Int = 0): DataFrame =
+    Scale.withGlobalIndex(
+        quantileBins(df, idCol.cast("long"), scoreCol, nBins)
+          .select(col("id"), col("bin"),
+            md5(concat_ws(":", lit(epoch), col("id"))).as("k")),
+        Seq(col("bin"), col("k"), col("id")), "ord")
+      .select(col("id"), col("bin").cast("bigint").as("bin"), col("ord"))
+
   /** Rendezvous (highest-random-weight) shard assignment: shard =
     * argmax over `s ∈ [0, nShards)` of `md5(s ++ ":" ++ key)` — when a
     * shard is ADDED only ~1/(n+1) of keys move (each to the new shard),

@@ -1398,7 +1398,24 @@ object OpsQueries {
         .select(col("split"), col("lang"), col("n"),
           round(col("n") / col("n_split").cast("double"), 4).as("frac"))
         .orderBy("split", "lang")
-    })
+    }),
+    "q184_leakage_safe_split" -> ((s, d) =>
+      // contamination-proof splitting: whole near-dup clusters (q80's
+      // evidence) move to the same md5 split bucket, keyed by the
+      // cluster representative — a paraphrase can never straddle
+      // train/test
+      graft.ops.Curation.leakageSafeSplit(
+          t(s, d, "documents").filter(col("doc_id") < 200),
+          col("doc_id"), col("text"), threshold = 0.7, shingleSize = 1)
+        .select(col("id").as("doc_id"), col("cluster_id"), col("split"))
+        .orderBy("doc_id")),
+    "q185_curriculum_order" -> ((s, d) =>
+      // curriculum schedule: length quartiles easy-first, md5(epoch:id)
+      // shuffle within each band, exact global positions — epoch 3
+      graft.ops.Curation.curriculumOrder(t(s, d, "documents"),
+          col("doc_id"), col("n_chars"), nBins = 4, epoch = 3)
+        .select(col("id").as("doc_id"), col("bin"), col("ord"))
+        .orderBy("doc_id"))
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -3862,7 +3879,39 @@ object OpsQueries {
                 round(count(*) / CAST(tot.n_split AS DOUBLE), 4) AS frac
          FROM a JOIN tot USING (split)
          GROUP BY a.split, a.lang, tot.n_split
-         ORDER BY split, lang"""
+         ORDER BY split, lang""",
+
+    "q184_leakage_safe_split" ->
+      // q80's recursive closure; unclustered docs represent themselves;
+      // the q59 md5 bucket keyed by the representative
+      s"""WITH RECURSIVE ${PortableSql.minhashVerifiedPairCtes},
+         ${PortableSql.ccCtes},
+         rep AS (SELECT d.doc_id,
+                        coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+                 FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+                 WHERE d.doc_id < 200),
+         b AS (SELECT doc_id, cluster_id,
+                 CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 100 AS bk
+               FROM rep)
+         SELECT doc_id, cluster_id,
+                CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
+
+    "q185_curriculum_order" ->
+      // q132's 4dp quantile cuts at quartiles, bin = 1 + #cuts strictly
+      // below, then row_number over (bin, md5(3:id), id)
+      """WITH x AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS s FROM documents),
+         cuts AS (SELECT [round(q, 4) FOR q IN
+                    quantile_cont(s, [0.25, 0.5, 0.75])] AS cs FROM x),
+         binned AS (SELECT doc_id, s,
+                           1 + len(list_filter(cs, c -> s > c)) AS bin
+                    FROM x CROSS JOIN cuts)
+         SELECT doc_id, CAST(bin AS BIGINT) AS bin,
+                CAST(row_number() OVER (
+                  ORDER BY bin, md5('3:' || doc_id), doc_id) AS BIGINT) AS ord
+         FROM binned ORDER BY doc_id"""
   )
 }
 

@@ -47,6 +47,16 @@ class ExtensionsAndClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       "unicode_normalize('\ufb01le', 'NFKC') AS nfkc").collect()(0)
     assert(u.getString(0) == "m\u00e9rge")
     assert(u.getString(1) == "file")
+    // span_cut / span_mask resolve in pure SQL, optional sentinel honored
+    val sp = spark.sql(
+      """SELECT span_cut('a b c d e', array(named_struct('s', 1, 'e', 3))) AS c,
+               span_mask('a b c d e', array(named_struct('s', 1, 'e', 3))) AS m,
+               span_mask('a b c', array(named_struct('s', 0, 'e', 1)), '#') AS m2
+      """).collect()(0)
+    assert(sp.getStruct(0).getString(2) == "a d e")
+    assert(sp.getStruct(1).getString(2) == "a <DUP> <DUP> d e")
+    assert(sp.getStruct(1).getLong(1) == 2L)
+    assert(sp.getStruct(2).getString(2) == "# b c")
   }
 
   test("clustered store: partition layout exists and approx search prunes") {

@@ -523,6 +523,45 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(masked(3L)._2 == 0L && masked(3L)._3.startsWith("no shared"))
   }
 
+  test("leakageSafeSplit: near-dup clusters share one split bucket") {
+    import spark.implicits._
+    val near = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, near), (2L, near + " eta"), (3L, near),      // one cluster
+      (50L, "totally different words entirely here"),   // singleton
+      (60L, "another unrelated standalone document"))   // singleton
+      .toDF("id", "text")
+    val got = graft.ops.Curation.leakageSafeSplit(docs, col("id"),
+        col("text"), threshold = 0.5, shingleSize = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // the cluster's members carry the representative's id AND split
+    assert(got(1L) == got(2L) && got(2L) == got(3L) && got(1L)._1 == 1L)
+    // singletons represent themselves
+    assert(got(50L)._1 == 50L && got(60L)._1 == 60L)
+    // every split value is legal
+    assert(got.values.map(_._2).forall(Set("train", "val", "test")))
+  }
+
+  test("curriculumOrder: bins ascend in ord; permutation; epochs reshuffle within bins") {
+    import spark.implicits._
+    val df = (1L to 120L).map(i => (i, i.toDouble)).toDF("id", "s")
+    def run(e: Int) = graft.ops.Curation.curriculumOrder(df, col("id"),
+        col("s"), nBins = 4, epoch = e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val e0 = run(0)
+    // global positions are a permutation and strictly bin-ordered
+    assert(e0.map(_._3).sorted.toSeq == (1L to 120L))
+    val byOrd = e0.sortBy(_._3).map(_._2)
+    assert(byOrd.toSeq == byOrd.sorted.toSeq)
+    // every bin holds a quarter (scores 1..120 are distinct)
+    assert(e0.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map(1L -> 30, 2L -> 30, 3L -> 30, 4L -> 30))
+    // a different epoch keeps bins but reshuffles inside them
+    val e1 = run(1)
+    assert(e1.map(t => t._1 -> t._2).toMap == e0.map(t => t._1 -> t._2).toMap)
+    assert(e1.map(t => t._1 -> t._3).toMap != e0.map(t => t._1 -> t._3).toMap)
+  }
+
   test("epochShuffle: permutation, determinism, epochs differ, partition-invariant") {
     import spark.implicits._
     val df = (1L to 200L).toDF("id")
