@@ -34,6 +34,46 @@ object Dedup {
   def simhash(c: Column, seed: Long = 42L): Column =
     col_(SimHash(Bridge.expression(c), seed))
 
+  /** MinHash ESTIMATE-vs-EXACT calibration over a bounded evaluation
+    * sample: for every pair, the signature estimate (matching positions
+    * / `numHashes`) against the exact distinct-token Jaccard, reported
+    * per exact-similarity bucket — the "how many hash functions does my
+    * threshold actually need" eval artifact behind every
+    * banding-parameter choice. Returns
+    * `(bucket, n_pairs, avg_abs_err, max_abs_err)` with `bucket =
+    * min(⌊exact·buckets⌋, buckets−1)`; errors round to 4dp and
+    * aggregate as integer 1e-4ths, so the report is summation-order
+    * independent (the q142 exact-longs stance).
+    *
+    * The pair join is an explicit broadcast nested loop over the
+    * EVALUATION SAMPLE — all-pairs by design, like the q45/knnGraph
+    * bounded recall baselines; production similarity stays banded. */
+  def minhashCalibration(df: DataFrame, idCol: Column, textCol: Column,
+      buckets: Int = 10, numHashes: Int = 64): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val rows = df.filter(length(trim(textCol)) > 0)
+      .select(idCol.cast("long").as("id"),
+        minhash(textCol, numHashes, shingleSize = 1).as("sig"),
+        array_distinct(array_remove(split(textCol, "\\s+"), "")).as("tk"))
+    val matches = aggregate(
+      zip_with(col("a.sig"), col("b.sig"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, m) => acc + m)
+    val est = matches.cast("double") / numHashes
+    val exact = size(array_intersect(col("a.tk"), col("b.tk"))).cast("double") /
+      size(array_distinct(concat(col("a.tk"), col("b.tk"))))
+    rows.as("a").join(broadcast(rows.as("b")), col("a.id") < col("b.id"))
+      .select(
+        least(floor(exact * buckets).cast("int"), lit(buckets - 1)).as("bucket"),
+        round(round(abs(est - exact), 4) * 10000, 0).cast("long").as("err4"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum("err4") / (count(lit(1)) * 10000.0), 4).as("avg_abs_err"),
+        (max("err4") / 10000.0).as("max_abs_err"))
+      .select(col("bucket").cast("bigint").as("bucket"), col("n_pairs"),
+        col("avg_abs_err"), col("max_abs_err"))
+  }
+
   /** Exact duplicate groups by a key expression (default: the full text).
     * Returns `(h, n, keep)` — hash, group size, smallest id (the canonical
     * row to keep). */

@@ -1415,7 +1415,15 @@ object OpsQueries {
       graft.ops.Curation.curriculumOrder(t(s, d, "documents"),
           col("doc_id"), col("n_chars"), nBins = 4, epoch = 3)
         .select(col("id").as("doc_id"), col("bin"), col("ord"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    "q186_minhash_calibration" -> ((s, d) =>
+      // signature-estimate error vs exact Jaccard, bucketed by true
+      // similarity, on an 80-doc eval sample (all pairs by design —
+      // the banding-parameter eval every LSH threshold choice rests on)
+      Dedup.minhashCalibration(
+          t(s, d, "documents").filter(col("doc_id") < 80),
+          col("doc_id"), col("text"), buckets = 10)
+        .orderBy("bucket"))
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -3911,7 +3919,43 @@ object OpsQueries {
          SELECT doc_id, CAST(bin AS BIGINT) AS bin,
                 CAST(row_number() OVER (
                   ORDER BY bin, md5('3:' || doc_id), doc_id) AS BIGINT) AS ord
-         FROM binned ORDER BY doc_id"""
+         FROM binned ORDER BY doc_id""",
+
+    "q186_minhash_calibration" ->
+      // q43's signature kernel on the 80-doc slice, all pairs: matching
+      // positions / 64 vs exact distinct-token Jaccard, integer 1e-4th
+      // error aggregation
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(list_distinct(string_split_regex(text, '\s+')), x -> x <> '')) AS s
+           FROM documents WHERE doc_id < 80 AND length(trim(text)) > 0),
+         hs AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS h1,
+                  CAST('0x' || substr(md5(s), 9, 7) AS BIGINT) | 1 AS h2
+                FROM toks),
+         sig AS (SELECT doc_id, i, min((h1 + i * h2) % 268435399) AS v
+                 FROM hs CROSS JOIN range(64) r(i) GROUP BY doc_id, i),
+         sets AS (SELECT doc_id,
+                    list_filter(list_distinct(string_split_regex(text, '\s+')), x -> x <> '') AS tk
+                  FROM documents WHERE doc_id < 80 AND length(trim(text)) > 0),
+         m AS (SELECT sa.doc_id AS a_id, sb.doc_id AS b_id,
+                      sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS mm
+               FROM sig sa JOIN sig sb
+                 ON sa.i = sb.i AND sa.doc_id < sb.doc_id
+               GROUP BY 1, 2),
+         ex AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.tk, b.tk))) AS exact
+                FROM sets a JOIN sets b ON a.doc_id < b.doc_id),
+         e AS (SELECT ex.exact, m.mm / 64.0 AS est
+               FROM ex JOIN m ON ex.a_id = m.a_id AND ex.b_id = m.b_id),
+         r AS (SELECT least(CAST(floor(exact * 10) AS INT), 9) AS bucket,
+                      CAST(round(round(abs(est - exact), 4) * 10000, 0) AS BIGINT) AS err4
+               FROM e)
+         SELECT CAST(bucket AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_pairs,
+                round(sum(err4) / (count(*) * 10000.0), 4) AS avg_abs_err,
+                max(err4) / 10000.0 AS max_abs_err
+         FROM r GROUP BY bucket ORDER BY bucket"""
   )
 }
 

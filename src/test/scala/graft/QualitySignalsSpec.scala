@@ -523,6 +523,23 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(masked(3L)._2 == 0L && masked(3L)._3.startsWith("no shared"))
   }
 
+  test("minhashCalibration: identical pairs err 0 in top bucket, disjoint in bucket 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),   // identical to 1: exact = 1, est = 1
+      (3L, "one two three four"))       // disjoint from both: exact = 0
+      .toDF("id", "text")
+    val got = graft.ops.Dedup.minhashCalibration(docs, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // identical pair: exact 1.0 -> bucket 9, zero estimate error
+    assert(got(9L) == ((1L, 0.0, 0.0)))
+    // two disjoint pairs: exact 0.0 -> bucket 0; signatures of disjoint
+    // token sets can still collide per-position, so only bound the error
+    assert(got(0L)._1 == 2L && got(0L)._3 <= 0.2)
+  }
+
   test("leakageSafeSplit: near-dup clusters share one split bucket") {
     import spark.implicits._
     val near = "alpha beta gamma delta epsilon zeta"
