@@ -71,21 +71,25 @@ object Bench {
     // only the last ~2000 chars of stdout, so this line must fit THERE IN
     // FULL or the artifact's `parsed` is null (the round-5 failure: 168
     // queries at %.3f is ~2.4 kB and the front of the line was cut).
-    // Degrade decimals uniformly until the line fits with margin; exact
-    // values live in the first-line JSON and tools/bench_last.json.
+    // Degrade until the line fits with margin: fewer decimals first,
+    // then drop the `q` key prefix (bare query numbers — still unique,
+    // still 1:1 with the full names) before giving up sub-second
+    // resolution entirely; exact values live in the first-line JSON and
+    // tools/bench_last.json.
     def fmtCompact(v: Double, dec: Int): String = {
       val s = BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP)
         .bigDecimal.stripTrailingZeros.toPlainString
       if (s.isEmpty || s == "-0") "0" else s
     }
-    val compactLine = (3 to 0 by -1).iterator
-      .map(dec => line({ case (k, v) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + fmtCompact(v, dec) },
-        new java.io.File(sfDir).getName))
+    def compact(dec: Int, qPrefix: Boolean): String = line({ case (k, v) =>
+      val num = k.takeWhile(_ != '_')
+      "\"" + (if (qPrefix) num else num.drop(1)) + "\":" + fmtCompact(v, dec)
+    }, new java.io.File(sfDir).getName)
+    val compactLine = Seq((3, true), (2, true), (1, true), (1, false),
+        (0, true), (0, false)).iterator
+      .map { case (dec, q) => compact(dec, q) }
       .find(_.length <= 1980) // tail keeps 2000 chars; 1 for the newline
-      .getOrElse(line({ case (k, v) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + fmtCompact(v, 0) },
-        new java.io.File(sfDir).getName))
+      .getOrElse(compact(0, false))
     println(compactLine)
     spark.stop()
   }

@@ -384,6 +384,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming substring audit: AC automaton counts on micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val audited = graft.ops.TextAnalysis.substringCounts(
+      input.toDF().toDF("id", "text"), col("id"), col("text"),
+      Seq("spark", "data"))
+    val q = audited.writeStream.outputMode("append")
+      .format("memory").queryName("subaudit").start()
+    input.addData((1L, "spark streams data and more data"), (2L, "nothing here"))
+    q.processAllAvailable()
+    input.addData((3L, "spark spark"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT id, pattern, n_hits FROM subaudit")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, "spark") -> 1L, (1L, "data") -> 2L,
+      (3L, "spark") -> 2L))
+    q.stop()
+  }
+
   test("streaming classification: broadcast NB model scores micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
