@@ -152,6 +152,49 @@ object Curation {
         Seq(col("bin"), col("k"), col("id")), "ord")
       .select(col("id"), col("bin").cast("bigint").as("bin"), col("ord"))
 
+  /** Contrastive training TRIPLETS from dedup evidence: every document
+    * in a near-dup cluster becomes an anchor whose POSITIVE is its
+    * smallest other cluster member (a verified paraphrase) and whose
+    * NEGATIVE is its highest-ranked kNN neighbour OUTSIDE the cluster —
+    * the classic hard negative: close in embedding space, provably not
+    * a duplicate. `knnEdges` is a pre-built `(id, rnk, nbr, sim)` frame
+    * ([[graft.ops.Ann.knnGraph]] for the bounded exact baseline,
+    * [[graft.ops.Ann.knnGraphIvf]] at scale — the q169 stance: the op
+    * composes with either). Anchors whose every neighbour is
+    * in-cluster produce no triplet (raise k upstream). Returns
+    * `(anchor_id, pos_id, neg_id, neg_sim)`.
+    *
+    * Scale shape: the cluster table is duplicate-bounded; positives are
+    * one self-join + partial-agg min over it; negatives one equi-join
+    * of the kNN frame with two (tiny) cluster lookups and a
+    * min(struct) per anchor. Nothing corpus-sized shuffles beyond what
+    * the edge frame already paid. */
+  def contrastiveTriplets(docs: DataFrame, idCol: Column, textCol: Column,
+      knnEdges: DataFrame, threshold: Double,
+      shingleSize: Int = 3): DataFrame = {
+    val pairs = graft.ops.Dedup.minHashDuplicates(docs, idCol, textCol,
+      threshold, shingleSize = shingleSize)
+    val clusters = graft.ops.Dedup.duplicateClusters(pairs,
+      col("a_id"), col("b_id"))
+    val pos = clusters.as("x")
+      .join(clusters.as("y"),
+        col("x.cluster_id") === col("y.cluster_id") &&
+          col("x.id") =!= col("y.id"))
+      .groupBy(col("x.id").as("id"))
+      .agg(min(col("y.id")).as("pos_id"))
+    val anchorC = clusters.withColumnRenamed("cluster_id", "ac")
+    val nbrC = clusters.select(col("id").as("nbr"), col("cluster_id").as("nc"))
+    val neg = knnEdges.join(anchorC, "id")
+      .join(nbrC, Seq("nbr"), "left")
+      .filter(col("nc").isNull || col("nc") =!= col("ac"))
+      .groupBy("id")
+      .agg(min(struct(col("rnk"), col("nbr"), col("sim"))).as("w"))
+      .select(col("id"), col("w.nbr").as("neg_id"), col("w.sim").as("neg_sim"))
+    pos.join(neg, "id")
+      .select(col("id").as("anchor_id"), col("pos_id"), col("neg_id"),
+        col("neg_sim"))
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment: shard =
     * argmax over `s ∈ [0, nShards)` of `md5(s ++ ":" ++ key)` — when a
     * shard is ADDED only ~1/(n+1) of keys move (each to the new shard),

@@ -507,40 +507,60 @@ object QualitySignals {
     * aggregation; one equi-join on `h` + one per-doc count — the
     * [[QualitySignals.boilerplateFraction]] join discipline. */
   def ngramNovelty(cand: DataFrame, candId: Column, candText: Column,
-      ref: DataFrame, refText: Column, n: Int = 3): DataFrame = {
-    require(n >= 1, "n must be >= 1")
-    val spark = cand.sparkSession
-    import spark.implicits._
-    def docGrams(df: DataFrame, id: Column, text: Column) =
-      df.select(id.cast("long").as("id"), text.cast("string").as("text"))
-        .as[(Long, String)]
-        .mapPartitions { it =>
-          it.flatMap { case (docId, t) =>
-            val tk = if (t == null) Array.empty[String]
-                     else t.trim.split("\\s+").filter(_.nonEmpty)
-            if (tk.length < n) Iterator.empty
-            else {
-              val set = scala.collection.mutable.HashSet.empty[Long]
-              var i = 0
-              while (i + n <= tk.length) {
-                set += graft.expr.PortableHash.hex15(
-                  tk.slice(i, i + n).mkString(" "))
-                i += 1
-              }
-              set.iterator.map(h => (docId, h))
-            }
-          }
-        }.toDF("id", "h")
-    // the reference id is irrelevant — only its distinct gram set matters
-    val rg = docGrams(ref, lit(0L), refText)
-      .select(col("h")).distinct().withColumn("seen", lit(1L))
-    docGrams(cand, candId, candText)
-      .join(rg, Seq("h"), "left")
+      ref: DataFrame, refText: Column, n: Int = 3): DataFrame =
+    ngramNoveltyAgainst(cand, candId, candText,
+      ngramHashTable(ref, refText, n), n)
+
+  /** A corpus reduced to its DISTINCT n-gram hash table `(h)` — the
+    * persisted artifact the incremental [[ngramNoveltyAgainst]] audits
+    * new batches against (this family's …Against table, like
+    * [[graft.ops.Dedup.repeatedGrams]] for the span scrub). Row-local
+    * hashing, vocabulary-sized output under partial aggregation. */
+  def ngramHashTable(df: DataFrame, textCol: Column, n: Int = 3): DataFrame =
+    docGramHashes(df, lit(0L), textCol, n).select("h").distinct()
+
+  /** Incremental [[ngramNovelty]]: audit a new batch against a
+    * PERSISTED [[ngramHashTable]] with zero reference recomputation —
+    * the daily-ingest novelty gate. Same output contract; the join
+    * partitions both sides on `h` (the reference table is corpus-gram
+    * sized — persisted and re-read, never broadcast or collected). */
+  def ngramNoveltyAgainst(cand: DataFrame, candId: Column, candText: Column,
+      gramTable: DataFrame, n: Int = 3): DataFrame =
+    docGramHashes(cand, candId, candText, n)
+      .join(gramTable.select(col("h").cast("long").as("h"))
+        .withColumn("seen", lit(1L)), Seq("h"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
       .select(col("id"), col("n_grams"), col("n_novel"),
         round(col("n_novel") / col("n_grams"), 4).as("novelty"))
+
+  /** Per-doc DISTINCT n-gram hashes `(id, h)` — compiled row-local
+    * kernel shared by the novelty family (text never shuffles). */
+  private def docGramHashes(df: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("id"), text.cast("string").as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, t) =>
+          val tk = if (t == null) Array.empty[String]
+                   else t.trim.split("\\s+").filter(_.nonEmpty)
+          if (tk.length < n) Iterator.empty
+          else {
+            val set = scala.collection.mutable.HashSet.empty[Long]
+            var i = 0
+            while (i + n <= tk.length) {
+              set += graft.expr.PortableHash.hex15(
+                tk.slice(i, i + n).mkString(" "))
+              i += 1
+            }
+            set.iterator.map(h => (docId, h))
+          }
+        }
+      }.toDF("id", "h")
   }
 
   /**

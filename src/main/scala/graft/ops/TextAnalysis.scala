@@ -124,6 +124,23 @@ object TextAnalysis {
       regexp_count(text, lit(pat)).cast("long").as(s"n_$name")
     }: _*)
 
+  /** PII match EXTRACTION — the audit-trail sibling of [[piiSignals]]:
+    * one row per match, `(id, pii_class, match_no, matched)` with
+    * `match_no` the 1-based in-document order per class, so a release
+    * review inspects WHAT matched, not just how often (and a false-
+    * positive analysis has the evidence in hand). Same [[piiPatterns]]
+    * table; row-local `regexp_extract_all` + posexplode per class,
+    * classes unioned — zero exchanges, streaming-safe. */
+  def piiMatches(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    piiPatterns.map { case (name, pat, _) =>
+      df.select(idCol.cast("long").as("id"), textCol.as("t"))
+        .select(col("id"), lit(name).as("pii_class"),
+          posexplode(regexp_extract_all(col("t"), lit(pat), lit(0))))
+        .select(col("id"), col("pii_class"),
+          (col("pos") + 1).cast("long").as("match_no"),
+          col("col").as("matched"))
+    }.reduce(_ unionAll _)
+
   /** Mask every PII match with its class sentinel, applying
     * [[piiPatterns]] in table order (email first — see table doc).
     * Idempotent: sentinels contain no digits or `@`, so a second pass

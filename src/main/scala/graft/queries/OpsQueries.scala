@@ -1423,7 +1423,42 @@ object OpsQueries {
       Dedup.minhashCalibration(
           t(s, d, "documents").filter(col("doc_id") < 80),
           col("doc_id"), col("text"), buckets = 10)
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+    "q187_contrastive_triplets" -> ((s, d) => {
+      // contrastive pairs mined from dedup evidence: q80's clusters give
+      // the positives, the exact k=5 kNN graph (bounded baseline; the
+      // IVF graph composes identically) gives out-of-cluster negatives
+      val edges = Ann.knnGraph(
+        t(s, d, "embeddings").filter(col("vec_id") < 200),
+        col("vec_id"), col("embedding"), 5)
+      graft.ops.Curation.contrastiveTriplets(
+          t(s, d, "documents").filter(col("doc_id") < 200),
+          col("doc_id"), col("text"), edges, threshold = 0.7,
+          shingleSize = 1)
+        .orderBy("anchor_id")
+    }),
+    "q188_novelty_against" -> ((s, d) => {
+      // incremental novelty gate: the head corpus's persisted gram-hash
+      // table audits the tail batch — ids 350-399 sit in both slices,
+      // so their novelty is exactly 0 (the self-containment check)
+      val docs = t(s, d, "documents")
+      val table = graft.ops.QualitySignals.ngramHashTable(
+        docs.filter(col("doc_id") < 400), col("text"), n = 3)
+      graft.ops.QualitySignals.ngramNoveltyAgainst(
+          docs.filter(col("doc_id") >= 350), col("doc_id"), col("text"),
+          table, n = 3)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_novel"),
+          col("novelty"))
+        .orderBy("doc_id")
+    }),
+    "q189_pii_matches" -> ((s, d) =>
+      // the audit trail behind q161's counts: every match string with
+      // its class and in-document order, over the same decorated fixture
+      graft.ops.TextAnalysis.piiMatches(
+          piiDecorated(t(s, d, "documents")), col("doc_id"), col("ptext"))
+        .select(col("id").as("doc_id"), col("pii_class"), col("match_no"),
+          col("matched"))
+        .orderBy("doc_id", "pii_class", "match_no"))
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -3955,7 +3990,67 @@ object OpsQueries {
                 CAST(count(*) AS BIGINT) AS n_pairs,
                 round(sum(err4) / (count(*) * 10000.0), 4) AS avg_abs_err,
                 max(err4) / 10000.0 AS max_abs_err
-         FROM r GROUP BY bucket ORDER BY bucket"""
+         FROM r GROUP BY bucket ORDER BY bucket""",
+
+    "q187_contrastive_triplets" -> {
+      // q80's closure for positives; q164's exact-kNN pattern (k=5,
+      // ids < 200) filtered to out-of-cluster neighbours, lowest rank
+      s"""WITH RECURSIVE ${PortableSql.minhashVerifiedPairCtes},
+         ${PortableSql.ccCtes},
+         pos AS (SELECT x.id, min(y.id) AS pos_id
+                 FROM cc x JOIN cc y
+                   ON x.cluster_id = y.cluster_id AND x.id <> y.id
+                 GROUP BY x.id),
+         emb2 AS (SELECT vec_id AS id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings WHERE vec_id < 200),
+         px AS (SELECT a.id AS qid, b.id AS nbr,
+                  round(${PortableSql.cosSql("a.v", "b.v")}, 4) AS sim
+                FROM emb2 a JOIN emb2 b ON a.id <> b.id),
+         kn AS (SELECT qid, nbr, sim, row_number() OVER (PARTITION BY qid
+                  ORDER BY sim DESC, nbr) AS rnk FROM px),
+         k5 AS (SELECT * FROM kn WHERE rnk <= 5),
+         neg AS (SELECT k.qid AS id, k.nbr, k.sim, k.rnk
+                 FROM k5 k JOIN cc ca ON k.qid = ca.id
+                 LEFT JOIN cc cb ON k.nbr = cb.id
+                 WHERE cb.id IS NULL OR cb.cluster_id <> ca.cluster_id),
+         negm AS (SELECT id, nbr AS neg_id, sim AS neg_sim FROM (
+                    SELECT id, nbr, sim,
+                           row_number() OVER (PARTITION BY id ORDER BY rnk) AS rr
+                    FROM neg) WHERE rr = 1)
+         SELECT p.id AS anchor_id, p.pos_id, n.neg_id, n.neg_sim
+         FROM pos p JOIN negm n USING (id) ORDER BY anchor_id"""
+    },
+
+    "q188_novelty_against" ->
+      // q172's gram-string ground truth over the shifted slices
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x <> '') AS tk
+           FROM documents),
+         gl AS (SELECT doc_id, [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)] AS gs
+                FROM toks WHERE len(tk) >= 3),
+         g AS (SELECT DISTINCT doc_id, unnest(gs) AS gr FROM gl),
+         ref AS (SELECT DISTINCT gr FROM g WHERE doc_id < 400),
+         cand AS (SELECT doc_id, gr FROM g WHERE doc_id >= 350)
+         SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(sum(CASE WHEN r.gr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                round(sum(CASE WHEN r.gr IS NULL THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 4) AS novelty
+         FROM cand c LEFT JOIN ref r ON c.gr = r.gr
+         GROUP BY c.doc_id ORDER BY c.doc_id""",
+
+    "q189_pii_matches" ->
+      s"""WITH p AS (${PiiSql.decorated}),
+         pats(pii_class, pat) AS (VALUES
+           ('email', '${PiiSql.email}'), ('ipv4', '${PiiSql.ipv4}'),
+           ('id', '${PiiSql.id}'), ('phone', '${PiiSql.phone}')),
+         m AS (SELECT doc_id, pii_class,
+                      unnest(regexp_extract_all(ptext, pat)) AS matched,
+                      generate_subscripts(regexp_extract_all(ptext, pat), 1) AS match_no
+               FROM p CROSS JOIN pats)
+         SELECT doc_id, pii_class, CAST(match_no AS BIGINT) AS match_no, matched
+         FROM m ORDER BY doc_id, pii_class, match_no"""
   )
 }
 

@@ -523,6 +523,62 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(masked(3L)._2 == 0L && masked(3L)._3.startsWith("no shared"))
   }
 
+  test("contrastiveTriplets: positives in-cluster, negatives never in-cluster") {
+    import spark.implicits._
+    val near = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, near), (2L, near + " eta"),                     // cluster {1,2}
+      (3L, "one two three four five six"),
+      (4L, "one two three four five six seven"),           // cluster {3,4}
+      (9L, "completely unrelated singleton text here"))
+      .toDF("id", "text")
+    // embeddings: cluster-mates close, 9 closest to everyone (the bait)
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(0.1f, 0.9f)),
+      (9L, Array(0.7f, 0.7f))).toDF("id", "v")
+    val edges = graft.ops.Ann.knnGraph(emb, col("id"), col("v"), 3)
+    val got = graft.ops.Curation.contrastiveTriplets(docs, col("id"),
+        col("text"), edges, threshold = 0.5, shingleSize = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every clustered doc anchors a triplet; positive is its cluster-mate
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L)._1 == 2L && got(2L)._1 == 1L)
+    assert(got(3L)._1 == 4L && got(4L)._1 == 3L)
+    // negatives are never the anchor's cluster-mate
+    assert(got.forall { case (a, (p, n)) => n != p && n != a })
+    // doc 9 (nearest non-dup bait) is a legal negative for all
+    assert(got.values.map(_._2).toSet.subsetOf(Set(1L, 2L, 3L, 4L, 9L)))
+  }
+
+  test("ngramNoveltyAgainst: equals the two-corpus form; self-audit is zero novelty") {
+    import spark.implicits._
+    val ref = Seq((0L, "a b c d e")).toDF("id", "text")
+    val cand = Seq((1L, "a b c d e"), (2L, "x y z w v")).toDF("id", "text")
+    val table = QualitySignals.ngramHashTable(ref, col("text"), n = 3)
+    val viaTable = QualitySignals.ngramNoveltyAgainst(cand, col("id"),
+      col("text"), table, n = 3).collect().map(_.toSeq).toSet
+    val direct = QualitySignals.ngramNovelty(cand, col("id"), col("text"),
+      ref, col("text"), n = 3).collect().map(_.toSeq).toSet
+    assert(viaTable == direct)
+    val self = QualitySignals.ngramNoveltyAgainst(ref, col("id"),
+      col("text"), table, n = 3).collect()
+    assert(self.length == 1 && self.head.getDouble(3) == 0.0)
+  }
+
+  test("piiMatches: match strings with in-document order per class") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a@b.co then c@d.org and ip 10.0.0.1"),
+      (2L, "clean")).toDF("id", "text")
+    val got = graft.ops.TextAnalysis.piiMatches(docs, col("id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)) -> r.getString(3)).toMap
+    assert(got((1L, "email", 1L)) == "a@b.co")
+    assert(got((1L, "email", 2L)) == "c@d.org")
+    assert(got((1L, "ipv4", 1L)) == "10.0.0.1")
+    assert(!got.keySet.exists(_._1 == 2L))
+  }
+
   test("minhashCalibration: identical pairs err 0 in top bucket, disjoint in bucket 0") {
     import spark.implicits._
     val docs = Seq(
