@@ -521,9 +521,11 @@ object QualitySignals {
 
   /** Incremental [[ngramNovelty]]: audit a new batch against a
     * PERSISTED [[ngramHashTable]] with zero reference recomputation —
-    * the daily-ingest novelty gate. Same output contract; the join
-    * partitions both sides on `h` (the reference table is corpus-gram
-    * sized — persisted and re-read, never broadcast or collected). */
+    * the daily-ingest novelty gate. Same output contract; the op never
+    * collects the reference table (it is corpus-gram sized), and the
+    * equi-join on `h` lets the planner pick broadcast vs shuffled hash
+    * join from actual sizes — the [[graft.ops.Dedup.duplicateSpans]]
+    * stance. */
   def ngramNoveltyAgainst(cand: DataFrame, candId: Column, candText: Column,
       gramTable: DataFrame, n: Int = 3): DataFrame =
     docGramHashes(cand, candId, candText, n)
