@@ -42,27 +42,65 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.isEmpty || wanted.exists(n.contains) }
+    // Physical-plan fingerprint, taken AFTER execution so AQE's final
+    // plan (isFinalPlan=true, runtime join strategies, coalesced reads)
+    // is what gets hashed. Run-varying tokens (expression ids, plan ids,
+    // exchange ids, file paths, byte sizes, row-count stats) are
+    // normalized out so the hash is stable across runs of the same plan
+    // and flips ONLY when the plan shape changes — a bench-to-bench
+    // `plans` diff separates join-strategy regressions from host noise
+    // mechanically. Iterative operators that localCheckpoint interior
+    // rounds hash their FINAL stage only (the interior plans are not
+    // reachable from the returned frame); their cadence is covered by
+    // the JobProbe evidence in PLANS.md instead.
+    def planHash(df: org.apache.spark.sql.DataFrame): String = {
+      val norm = df.queryExecution.executedPlan.toString
+        .replaceAll("#\\d+", "#")
+        .replaceAll("@[0-9a-f]{1,16}\\b", "@") // JVM identity hashes (typed aggregator instances)
+        .replaceAll("plan_id=\\d+", "plan_id=")
+        .replaceAll("\\[id=\\d+\\]", "[id=]")
+        .replaceAll("(file|hdfs|s3a?):[^,\\]\\s)]+", "path")
+        .replaceAll("\\d+(\\.\\d+)? ?([KMGT]i?)?B\\b", "sz")
+        .replaceAll("Statistics\\([^)]*\\)", "Statistics()")
+        .replaceAll("rowCount=\\d+", "rowCount=")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(norm.getBytes("UTF-8"))
+        .take(6).map(b => f"$b%02x").mkString
+    }
     val results = selected.map { case (name, fn) =>
+      var lastDf: org.apache.spark.sql.DataFrame = null
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).queryExecution.toRdd.count()
-        catch { case e: Throwable =>
+        try {
+          val df = fn(spark, sfDir)
+          df.queryExecution.toRdd.count()
+          lastDf = df
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.size / 2)
+      val ph = if (lastDf == null) "err"
+        else try planHash(lastDf) catch { case _: Throwable => "err" }
+      (name, times(times.size / 2), ph)
     }
-    val total = results.map(_._2).sum
-    def line(fmt: ((String, Double)) => String, sf: String): String = {
-      val qs = results.map(fmt).mkString("{", ",", "}")
+    val timed = results.map { case (n, t, _) => (n, t) }
+    val total = timed.map(_._2).sum
+    def line(fmt: ((String, Double)) => String, sf: String,
+        extra: String = ""): String = {
+      val qs = timed.map(fmt).mkString("{", ",", "}")
       val tv = "%.4f".formatLocal(java.util.Locale.ROOT, total)
-      s"""{"metric":"total","value":$tv,"unit":"sec","queries":$qs,"sf":"$sf"}"""
+      s"""{"metric":"total","value":$tv,"unit":"sec","queries":$qs$extra,"sf":"$sf"}"""
     }
     // full-precision, full-name artifact: printed FIRST and also written
     // to tools/bench_last.json — consumers that capture whole output (or
-    // read the repo tree) get every query
-    val full = line({ case (k, v) => "\"" + k + "\":" + v }, sfDir)
+    // read the repo tree) get every query. Carries the per-query
+    // physical-plan hashes; the compact line (driver tail budget) omits
+    // them — plan flips are diagnosed from the repo artifact, not the
+    // tail.
+    val plans = results.map { case (n, _, h) => "\"" + n + "\":\"" + h + "\"" }
+      .mkString(",\"plans\":{", ",", "}")
+    val full = line({ case (k, v) => "\"" + k + "\":" + v }, sfDir, plans)
     println(full)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("tools/bench_last.json"), full + "\n")

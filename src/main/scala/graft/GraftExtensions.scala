@@ -32,16 +32,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
+  /** Wrong-arity calls must fail as a clear signature error from the
+    * function builder, not an IndexOutOfBoundsException from `es(i)` —
+    * the [[graft.expr.UnicodeNormalize.resolveFormArg]] explicit-error
+    * stance, applied to every positionally-indexed builder here. */
+  private def arity(name: String, sig: String, es: Seq[Expression],
+      min: Int, max: Int): Seq[Expression] = {
+    if (es.length < min || es.length > max)
+      throw new IllegalArgumentException(
+        s"$name expects ${if (min == max) s"$min argument(s)"
+          else s"$min to $max arguments"}, got ${es.length}; usage: $sig")
+    es
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", "cosine_similarity(a, b) - cosine of two float vectors"),
-      (es: Seq[Expression]) => CosineSimilarity(fvec(es(0)), fvec(es(1)))))
+      (es: Seq[Expression]) => { arity("cosine_similarity", "cosine_similarity(a, b)", es, 2, 2); CosineSimilarity(fvec(es(0)), fvec(es(1))) }))
     ext.injectFunction((FunctionIdentifier("cosine_distance"),
       info("cosine_distance", "cosine_distance(a, b) - 1 - cosine similarity"),
-      (es: Seq[Expression]) => CosineDistance(fvec(es(0)), fvec(es(1)))))
+      (es: Seq[Expression]) => { arity("cosine_distance", "cosine_distance(a, b)", es, 2, 2); CosineDistance(fvec(es(0)), fvec(es(1))) }))
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - dot product of two float vectors"),
-      (es: Seq[Expression]) => DotProduct(fvec(es(0)), fvec(es(1)))))
+      (es: Seq[Expression]) => { arity("dot_product", "dot_product(a, b)", es, 2, 2); DotProduct(fvec(es(0)), fvec(es(1))) }))
     ext.injectFunction((FunctionIdentifier("l2_normalize"),
       info("l2_normalize", "l2_normalize(v) - unit-normalize a float vector"),
       (es: Seq[Expression]) => L2Normalize(fvec(es.head))))
@@ -59,7 +72,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => HashEmbed(str(es.head))))
     ext.injectFunction((FunctionIdentifier("chunk_document"),
       info("chunk_document", "chunk_document(text, size, overlap) - chunk rows"),
-      (es: Seq[Expression]) => ChunkDocument(es(0), es(1), es(2))))
+      (es: Seq[Expression]) => { arity("chunk_document", "chunk_document(text, size, overlap)", es, 3, 3); ChunkDocument(es(0), es(1), es(2)) }))
     ext.injectFunction((FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "minhash_signature(s) - 64-hash MinHash signature"),
       (es: Seq[Expression]) => MinHashSignature(str(es.head))))
@@ -72,25 +85,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("unicode_normalize"),
       info("unicode_normalize",
         "unicode_normalize(s[, form]) - NFC/NFD/NFKC/NFKD normal form (default NFC)"),
-      (es: Seq[Expression]) => UnicodeNormalize(str(es.head),
-        UnicodeNormalize.resolveFormArg(es.lift(1)))))
+      (es: Seq[Expression]) => { arity("unicode_normalize", "unicode_normalize(s[, form])", es, 1, 2); UnicodeNormalize(str(es.head),
+        UnicodeNormalize.resolveFormArg(es.lift(1))) }))
     ext.injectFunction((FunctionIdentifier("span_cut"),
       info("span_cut",
         "span_cut(text, spans) - cut [s,e) token intervals; struct(n_tokens, n_removed, text)"),
-      (es: Seq[Expression]) => SpanCut(str(es(0)), Cast(es(1), spansType))))
+      (es: Seq[Expression]) => { arity("span_cut", "span_cut(text, spans)", es, 2, 2); SpanCut(str(es(0)), Cast(es(1), spansType)) }))
     ext.injectFunction((FunctionIdentifier("span_mask"),
       info("span_mask",
         "span_mask(text, spans[, sentinel]) - replace covered tokens; struct(n_tokens, n_masked, text)"),
-      (es: Seq[Expression]) => SpanMask(str(es(0)), Cast(es(1), spansType),
-        SpanMask.resolveSentinelArg(es.lift(2)))))
+      (es: Seq[Expression]) => { arity("span_mask", "span_mask(text, spans[, sentinel])", es, 2, 3); SpanMask(str(es(0)), Cast(es(1), spansType),
+        SpanMask.resolveSentinelArg(es.lift(2))) }))
     ext.injectFunction((FunctionIdentifier("nearest_centroid"),
       info("nearest_centroid",
         "nearest_centroid(v, cents) - argmax-cosine centroid id"),
-      (es: Seq[Expression]) => NearestCentroid(fvec(es(0)),
+      (es: Seq[Expression]) => { arity("nearest_centroid", "nearest_centroid(v, cents)", es, 2, 2); NearestCentroid(fvec(es(0)),
         // SQL literals arrive as decimal/double structs: coerce to the
         // expression's exact centroid-frame type
         Cast(es(1), ArrayType(StructType(Seq(
           StructField("cid", IntegerType),
-          StructField("centroid", ArrayType(FloatType)))))))))
+          StructField("centroid", ArrayType(FloatType))))))) }))
   }
 }

@@ -425,7 +425,17 @@ object Ann {
       k: Int): DataFrame = {
     val v = emb.select(idCol.cast("long").as("id"),
       vecCol.cast("array<float>").as("v"))
-    rankEdges(v.as("a").join(broadcast(v.as("b")),
+    // The stream side MUST be repartitioned with an explicit count: the
+    // O(n·|broadcast|) scoring work parallelizes per stream partition,
+    // and a small parquet scan arrives as ONE partition — measured 7.7 s
+    // of task time on a single core at sf0.1 (q149) vs ~0.6 s spread
+    // over 32. The explicit numPartitions pins a REPARTITION_BY_NUM
+    // shuffle origin, which AQE's coalescer leaves alone (a bare
+    // repartition(col) would be coalesced right back to 1 for tiny
+    // inputs, undoing the spread).
+    val p = math.max(
+      emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt, 1)
+    rankEdges(v.repartition(p, col("id")).as("a").join(broadcast(v.as("b")),
       col("a.id") =!= col("b.id")), k)
   }
 

@@ -360,8 +360,16 @@ object Dedup {
     val pairs = minHashDuplicates(df, idCol, textCol, threshold, bands,
       rowsPerBand, shingleSize, seed)
     val clusters = duplicateClusters(pairs, col("a_id"), col("b_id"))
+    // NaN sorts ABOVE every real double in Spark orderings and NULL
+    // below — either would let a garbage-scored duplicate win its
+    // cluster (NaN) or lose unconditionally (null) on a rule the caller
+    // never chose. Both normalize to -Infinity: a doc with no usable
+    // score only survives when nothing scored beats it, and the id
+    // tie-break decides deterministically among unscored copies.
     val scored = clusters.join(
-      df.select(idCol.cast("long").as("id"), scoreCol.cast("double").as("_sc")),
+      df.select(idCol.cast("long").as("id"),
+        coalesce(nanvl(scoreCol.cast("double"), lit(null).cast("double")),
+          lit(Double.NegativeInfinity)).as("_sc")),
       "id")
     // max(struct) = highest score, then largest −id = smallest id
     val winners = scored.groupBy("cluster_id")

@@ -288,17 +288,59 @@ object QualitySignals {
     * the worst window (ties → smallest start), window mean at 4dp; docs
     * with fewer than `window` bigrams are absent.
     *
-    * Scale shape: the add-one bigram model is vocabulary-bounded and
-    * COLLECTED to the driver ([[graft.ops.Bpe]]/[[graft.ops.Classify]]
-    * discipline — both count tables reduce under partial aggregation
-    * first), then broadcast; the window scan is a compiled stateless
-    * per-partition projection — corpus text never shuffles, zero
-    * exchanges after the two model aggregations. */
+    * Scale shape, `broadcastModel = true` (default): the add-one bigram
+    * model is vocabulary-bounded and COLLECTED to the driver
+    * ([[graft.ops.Bpe]]/[[graft.ops.Classify]] discipline — both count
+    * tables reduce under partial aggregation first), then broadcast; the
+    * window scan is a compiled stateless per-partition projection —
+    * corpus text never shuffles, zero exchanges after the two model
+    * aggregations. Set `broadcastModel = false` when bigram-type count
+    * outgrows the driver ([[bigramLmScore]]'s escape hatch): the scoring
+    * join shuffles positional bigrams on the bigram key instead — the
+    * model never leaves the cluster — and per-doc (pos, lp) pairs
+    * regroup for the same compiled window scan. Both paths produce
+    * IDENTICAL rows (same operands, same IEEE ops, same 4dp rounding). */
   def lmWorstWindow(df: DataFrame, idCol: Column, textCol: Column,
-      window: Int = 8): DataFrame = {
+      window: Int = 8, broadcastModel: Boolean = true): DataFrame = {
     require(window >= 1, "window must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
+    if (!broadcastModel) {
+      // join path: model stays distributed. Positional bigrams (id, i,
+      // a, b) join the model on (a, b) — same-corpus scoring always
+      // hits, so an inner join loses nothing — then (i, lp) pairs
+      // regroup per doc for the window scan. One corpus-bigram shuffle
+      // on the join key + one on id; text itself never moves.
+      val toks = df.select(idCol.cast("long").as("id"),
+        array_remove(split(trim(textCol), "\\s+"), "").as("tk"))
+      val uni = toks.select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cu"))
+      val v = uni.count() // vocabulary-sized job, driver scalar
+      val pb = toks.filter(size(col("tk")) >= 2)
+        .select(col("id"), posexplode(zip_with(col("tk"),
+          slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))),
+          (a, b) => struct(a.as("a"), b.as("b")))))
+        .filter(col("col.b").isNotNull)
+        .select(col("id"), col("pos").as("i"),
+          col("col.a").as("a"), col("col.b").as("b"))
+      val model = pb.groupBy("a", "b").agg(count(lit(1)).as("cb"))
+        .join(uni.withColumnRenamed("w", "a"), "a")
+      val perDoc = pb.join(model, Seq("a", "b"))
+        .select(col("id"), col("i"),
+          log((col("cb") + lit(1.0)) / (col("cu") + lit(v))).as("lp"))
+        .groupBy("id")
+        .agg(sort_array(collect_list(struct(col("i"), col("lp")))).as("ps"))
+      return perDoc.as[(Long, Seq[(Int, Double)])]
+        .flatMap { case (id, ps) =>
+          val lp = new Array[Double](ps.length)
+          ps.foreach { case (i, p) => lp(i) = p }
+          scanWorstWindow(lp, window) match {
+            case Some((n, st, w4)) => Iterator.single((id, n, st, w4))
+            case None => Iterator.empty
+          }
+        }
+        .toDF("id", "n_windows", "worst_start", "worst_lp")
+    }
     val tok = df.select(idCol.cast("long").as("id"),
         textCol.cast("string").as("text"))
       .as[(Long, String)]
@@ -338,24 +380,37 @@ object QualitySignals {
               lp(i) = math.log((cb + 1.0) / (cu + v))
               i += 1
             }
-            var worstLp = Double.MaxValue
-            var worstStart = -1
-            var s = 0
-            while (s + window <= nBig) {
-              var sum = 0.0
-              var j = s
-              while (j < s + window) { sum += lp(j); j += 1 }
-              val w4 = BigDecimal(sum / window)
-                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-              if (w4 < worstLp) { worstLp = w4; worstStart = s }
-              s += 1
+            scanWorstWindow(lp, window).iterator.map { case (n, st, w4) =>
+              (id, n, st, w4)
             }
-            Iterator.single((id, (nBig - window + 1).toLong,
-              worstStart.toLong, worstLp))
           }
         }
       }.toDF("id", "n_windows", "worst_start", "worst_lp")
     } finally tok.unpersist(blocking = false)
+  }
+
+  /** Shared sliding-window minimum over a per-bigram log-prob array:
+    * `(n_windows, worst_start, worst_lp-4dp)`, ties → smallest start,
+    * None when the doc has fewer than `window` bigrams — ONE kernel so
+    * [[lmWorstWindow]]'s broadcast and join paths can never drift on
+    * rounding or tie rules. */
+  private def scanWorstWindow(lp: Array[Double],
+      window: Int): Option[(Long, Long, Double)] = {
+    val nBig = lp.length
+    if (nBig < window) return None
+    var worstLp = Double.MaxValue
+    var worstStart = -1
+    var s = 0
+    while (s + window <= nBig) {
+      var sum = 0.0
+      var j = s
+      while (j < s + window) { sum += lp(j); j += 1 }
+      val w4 = BigDecimal(sum / window)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (w4 < worstLp) { worstLp = w4; worstStart = s }
+      s += 1
+    }
+    Some(((nBig - window + 1).toLong, worstStart.toLong, worstLp))
   }
 
   /** `(id, a, b)` bigram occurrences of a tokenized `(id, tk)` frame —

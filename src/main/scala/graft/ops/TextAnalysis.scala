@@ -417,14 +417,29 @@ object TextAnalysis {
     * (the [[Dedup.lineDedupAgainst]] stance). */
   def winnowOverlapAgainst(df: DataFrame, idCol: Column, textCol: Column,
       fpTable: DataFrame, k: Int = 3, w: Int = 4, minShared: Int = 3,
-      maxDf: Int = 10): DataFrame = {
+      maxDf: Int = 10, maxIndexEntries: Long = 20000000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val index: Map[Long, Array[Long]] = fpTable
+    val pruned = fpTable
       .select(col("id").cast("long").as("id"), col("h").cast("long").as("h"))
       .distinct()
       .groupBy("h").agg(collect_list("id").as("ids"))
       .filter(size(col("ids")) <= maxDf)
+    // maxDf bounds each BUCKET but not the number of distinct hashes —
+    // a frozen corpus whose pruned index outgrows the driver would
+    // otherwise die as an opaque broadcast/driver OOM. One
+    // hash-count-sized job up front turns that into a sized, actionable
+    // error. (The count reuses the groupBy's shuffle output, so the
+    // marginal cost is the final-agg pass, not a second index build.)
+    val nEntries = pruned.count()
+    require(nEntries <= maxIndexEntries,
+      s"winnowOverlapAgainst: pruned fingerprint index has $nEntries " +
+      s"distinct hashes (> maxIndexEntries=$maxIndexEntries) — too large " +
+      "to broadcast as the daily-gate map. Keep the persisted " +
+      "winnowFingerprintTable and use the q134 equi-join shape " +
+      "(winnowOverlapPairs against the union) instead, or raise " +
+      "maxIndexEntries if the driver is sized for it.")
+    val index: Map[Long, Array[Long]] = pruned
       .as[(Long, Seq[Long])]
       .collect()
       .map { case (h, ids) => h -> ids.sorted.toArray }

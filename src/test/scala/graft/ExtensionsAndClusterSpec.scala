@@ -59,6 +59,26 @@ class ExtensionsAndClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sp.getStruct(2).getString(2) == "# b c")
   }
 
+  test("extensions: wrong arity fails with the signature, not an " +
+      "IndexOutOfBoundsException") {
+    def analysisError(sql: String): String = {
+      val e = intercept[Throwable] { spark.sql(sql).collect() }
+      // the builder's IllegalArgumentException surfaces wrapped in the
+      // analyzer's error chain; walk to the root message
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).filter(_ != null).mkString(" | ")
+    }
+    val cut = analysisError("SELECT span_cut('a b c')")
+    assert(cut.contains("span_cut(text, spans)"), cut)
+    val mask = analysisError(
+      "SELECT span_mask('a', array(named_struct('s',0,'e',1)), 'x', 'y')")
+    assert(mask.contains("span_mask(text, spans[, sentinel])"), mask)
+    val cos = analysisError("SELECT cosine_similarity(array(1.0))")
+    assert(cos.contains("cosine_similarity(a, b)"), cos)
+    assert(!cut.contains("IndexOutOfBounds") &&
+      !mask.contains("IndexOutOfBounds"))
+  }
+
   test("clustered store: partition layout exists and approx search prunes") {
     val work = Files.createTempDirectory("graft-cluster").toString
     val store = new VectorStore(spark, s"$work/wh")

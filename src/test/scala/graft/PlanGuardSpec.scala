@@ -35,4 +35,79 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(offenders.isEmpty,
       s"CartesianProduct in: ${offenders.mkString(", ")}")
   }
+
+  // ---- Targeted join-strategy pins for the bench flagships. These
+  // assert the INTENDED physical strategy on the un-executed (AQE
+  // initial) plan, so a future Catalyst/stats change that flips a
+  // strategy fails a spec instead of surfacing as an unexplained bench
+  // regression. Each test names the bench query it protects.
+
+  import org.apache.spark.sql.functions._
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q176: winnowOverlapPairs broadcasts the hot-hash anti-join; " +
+      "the fingerprint self-join stays an equi-join") {
+    val p = plan(graft.ops.TextAnalysis.winnowOverlapPairs(
+      docs, col("doc_id"), col("text"), k = 3, w = 4,
+      minShared = 3, maxDf = 10))
+    assert(p.contains("LeftAnti") && p.contains("Broadcast"),
+      s"hot-hash stop-gram prune must be a broadcast anti-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"fingerprint self-join degenerated to a nested loop:\n$p")
+  }
+
+  test("q151: kneserNeyScore broadcasts the bigram model into the " +
+      "scoring join") {
+    val p = plan(graft.ops.QualitySignals.kneserNeyScore(
+      docs, col("doc_id"), col("text")))
+    assert(p.contains("BroadcastHashJoin"),
+      s"model-scoring join must broadcast the bigram model:\n$p")
+  }
+
+  test("q149: knnGraph spreads the stream side by explicit partition " +
+      "count and broadcasts the build side") {
+    val p = plan(graft.ops.Ann.knnGraph(emb, col("vec_id"),
+      col("embedding"), 3))
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"stream side must carry an AQE-coalesce-proof repartition:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"candidate side must broadcast (n-bounded), never cartesian:\n$p")
+  }
+
+  test("q187: contrastiveTriplets mines positives and negatives with " +
+      "equi-joins only") {
+    val edges = graft.ops.Ann.knnGraphIvf(emb, col("vec_id"),
+      col("embedding"), 3, nlist = 4, iters = 1, sampleFraction = 50)
+    val p = plan(graft.ops.Curation.contrastiveTriplets(
+      docs, col("doc_id"), col("text"), edges, threshold = 0.5))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"triplet mining must stay equi-join only:\n$p")
+  }
+
+  test("q188: ngramNoveltyAgainst joins gram hashes only — no nested " +
+      "loop, text never reaches the exchange") {
+    val grams = graft.ops.QualitySignals.ngramHashTable(
+      docs.filter(col("doc_id") % 2 === 0), col("text"), n = 3)
+    val p = plan(graft.ops.QualitySignals.ngramNoveltyAgainst(
+      docs, col("doc_id"), col("text"), grams, 3))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"novelty gate must stay an equi-join on h:\n$p")
+    assert(!p.matches("(?s).*Exchange [^\\n]*\\btext\\b.*"),
+      s"corpus text must never shuffle in the novelty gate:\n$p")
+  }
+
+  test("q189: piiMatches plans zero exchanges (pure row-local " +
+      "projection + union)") {
+    val p = plan(graft.ops.TextAnalysis.piiMatches(
+      docs, col("doc_id"), col("text")))
+    assert(!p.contains("Exchange"),
+      s"piiMatches must stay exchange-free:\n$p")
+  }
 }

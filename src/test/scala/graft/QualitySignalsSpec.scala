@@ -443,6 +443,71 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(whole == ((1L, 0L, lm)))
   }
 
+  test("lmWorstWindow: join path (broadcastModel=false) matches the " +
+      "broadcast path row for row") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat ran off the mat again"),
+      (2L, "zq xv qj zq xv qj wk wk wk zq the cat sat on the mat here"),
+      (3L, "too short"), // 1 bigram < window -> absent from both
+      (4L, "the the the the the the the the the the the the"))
+      .toDF("id", "text")
+    def rows(bm: Boolean) = graft.ops.QualitySignals.lmWorstWindow(
+        docs, col("id"), col("text"), window = 4, broadcastModel = bm)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val broadcastPath = rows(true)
+    val joinPath = rows(false)
+    assert(broadcastPath == joinPath)
+    assert(broadcastPath.map(_._1) == Seq(1L, 2L, 4L)) // doc 3 absent
+  }
+
+  test("dedupCorpusKeepBest: NaN and null scores lose to any real score") {
+    import spark.implicits._
+    val docs = Seq[(Long, String, java.lang.Double)](
+      (1L, "alpha beta gamma delta epsilon", Double.NaN),
+      (2L, "alpha beta gamma delta epsilon zeta", 1.0),
+      (3L, "alpha beta gamma delta epsilon zeta eta", null))
+      .toDF("id", "text", "score")
+    // NaN sorts above every double in Spark orderings: unguarded, doc 1
+    // would win the cluster and the only cleanly-scored copy would drop
+    val kept = graft.ops.Dedup.dedupCorpusKeepBest(docs, col("id"),
+        col("text"), col("score"), threshold = 0.3, shingleSize = 1)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L))
+    // all-unusable cluster: the id tie-break decides (smallest id)
+    val unscored = Seq(
+      (5L, "omega psi chi phi upsilon", Double.NaN),
+      (6L, "omega psi chi phi upsilon tau", Double.NaN))
+      .toDF("id", "text", "score")
+    val kept2 = graft.ops.Dedup.dedupCorpusKeepBest(unscored, col("id"),
+        col("text"), col("score"), threshold = 0.3, shingleSize = 1)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(kept2.toSeq == Seq(5L))
+  }
+
+  test("winnowOverlapAgainst: oversized frozen index fails with a sized, " +
+      "actionable error instead of a driver OOM") {
+    import spark.implicits._
+    val frozen = Seq((1L, "the quick brown fox jumps over the lazy dog " +
+      "while the quick brown cat naps")).toDF("id", "text")
+    val fp = graft.ops.TextAnalysis.winnowFingerprintTable(
+      frozen, col("id"), col("text"))
+    val batch = Seq((10L, "the quick brown fox jumps over the lazy dog " +
+      "too")).toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.TextAnalysis.winnowOverlapAgainst(batch, col("id"),
+        col("text"), fp, maxIndexEntries = 1L).collect()
+    }
+    assert(e.getMessage.contains("maxIndexEntries") &&
+      e.getMessage.contains("equi-join"))
+    // generous cap: same call succeeds
+    val ok = graft.ops.TextAnalysis.winnowOverlapAgainst(batch, col("id"),
+      col("text"), fp, minShared = 1).collect()
+    assert(ok.nonEmpty)
+  }
+
   test("dedupCorpusKeepBest: longest survives its cluster, singletons kept") {
     import spark.implicits._
     val docs = Seq(
