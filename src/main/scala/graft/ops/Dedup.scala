@@ -812,10 +812,22 @@ object Dedup {
    * pairs dedupe before the verify, and the verify is compiled
    * row-local DP, never an all-pairs cross. Hash collisions only ADD
    * candidates (the verify rejects them), never lose a true pair.
+   *
+   * `maxBucket` makes the short-string contract ENFORCEABLE instead of
+   * advisory (the [[graft.ops.TextAnalysis.winnowOverlapPairs]] `maxDf`
+   * discipline): variant buckets holding more than `maxBucket` rows are
+   * dropped before the self-join via a broadcast anti-join on the hot
+   * hashes, capping candidate fan-out at maxBucket²/2 per bucket. The
+   * trade is recall on hot buckets only — a pair is lost ONLY if every
+   * variant it shares is hot; in particular an exact-duplicate group
+   * larger than `maxBucket` loses its pairs (its members share all of
+   * each other's buckets). 0 (the default) disables the cap — exact
+   * results, adversarial corpora fan out quadratically.
    */
   def editDistanceJoin(df: DataFrame, idCol: Column, strCol: Column,
-      maxDist: Int = 1): DataFrame = {
+      maxDist: Int = 1, maxBucket: Int = 0): DataFrame = {
     require(maxDist >= 0 && maxDist <= 2, "maxDist must be in 0..2")
+    require(maxBucket >= 0, "maxBucket must be >= 0 (0 = uncapped)")
     val spark = df.sparkSession
     import spark.implicits._
     val rows = df.select(idCol.cast("long").as("id"),
@@ -844,8 +856,17 @@ object Dedup {
         out.iterator.map(v => (xxh64(v), id, s))
       }
     }.toDF("v", "id", "s")
-    val a = variants.as("a")
-    val b = variants.as("b")
+    val kept =
+      if (maxBucket == 0) variants
+      else {
+        // hot list is small by construction (only buckets a capped run
+        // would blow up on), so it broadcasts; counts partial-agg first
+        val hot = variants.groupBy("v").agg(count(lit(1)).as("c"))
+          .filter(col("c") > maxBucket).select(col("v"))
+        variants.join(broadcast(hot), Seq("v"), "left_anti")
+      }
+    val a = kept.as("a")
+    val b = kept.as("b")
     val cand = a.join(b, col("a.v") === col("b.v") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("a.s").as("sa"),
         col("b.id").as("b_id"), col("b.s").as("sb"))

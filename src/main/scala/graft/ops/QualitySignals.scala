@@ -156,19 +156,44 @@ object QualitySignals {
    */
   def bloomContamination(df: DataFrame, idCol: Column, textCol: Column,
       bench: DataFrame, benchTextCol: Column, n: Int = 3,
+      m: Int = 1 << 20, k: Int = 3): DataFrame =
+    bloomContaminationAgainst(df, idCol, textCol,
+      bloomBitsTable(bench, benchTextCol, n, m, k), n, m, k)
+
+  /** The benchmark side of [[bloomContamination]] as a PERSISTED
+    * artifact: the distinct set-bit positions `(p)` of the `m`-bit
+    * filter — ≤ m rows of one long each, the `…Against` family's table
+    * for Bloom decontamination ([[graft.ops.Dedup.repeatedGrams]]
+    * stance). Positions dedupe under partial aggregation; writing this
+    * instead of re-deriving the filter per batch is what makes the
+    * daily gate one benchmark pass TOTAL, not one per day. */
+  def bloomBitsTable(bench: DataFrame, benchTextCol: Column, n: Int = 3,
       m: Int = 1 << 20, k: Int = 3): DataFrame = {
     require(k >= 1 && m >= 8, "need k >= 1 hash functions and m >= 8 bits")
-    val spark = df.sparkSession
-    import spark.implicits._
     def posCol(j: Int, g: Column): Column =
       graft.expr.PortableHash.hex15Col(
         concat(lit(j.toString), lit(" "), g)) % m
-    val positions = bench
+    bench
       .select(split(trim(benchTextCol), "\\s+").as("tk"))
       .select(explode(grams(col("tk"), n)).as("g")).distinct()
       .select(explode(array((0 until k).map(j => posCol(j, col("g"))): _*))
         .as("p"))
       .distinct()
+  }
+
+  /** Incremental [[bloomContamination]]: flag a new batch — or an
+    * unbounded STREAM — against a PERSISTED [[bloomBitsTable]] with zero
+    * benchmark recomputation. The positions table rebuilds the m-bit
+    * filter once (≤ m longs reach the driver, m/8 bytes per executor);
+    * the scan is the same stateless per-partition projection —
+    * bit-identical verdicts to the one-shot form. */
+  def bloomContaminationAgainst(df: DataFrame, idCol: Column,
+      textCol: Column, bitsTable: DataFrame, n: Int = 3,
+      m: Int = 1 << 20, k: Int = 3): DataFrame = {
+    require(k >= 1 && m >= 8, "need k >= 1 hash functions and m >= 8 bits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val positions = bitsTable.select(col("p").cast("long"))
       .collect().map(_.getLong(0))
     val bits = new java.util.BitSet(m)
     positions.foreach(p => bits.set(p.toInt))
@@ -177,34 +202,40 @@ object QualitySignals {
       .as[(Long, String)]
       .mapPartitions { rows =>
         val filter = bc.value
-        rows.map { case (id, text) =>
-          val tk =
-            if (text == null) Array.empty[String]
-            else Dedup.trimSpaces(text).split("\\s+").filter(_.nonEmpty)
-          val seen = scala.collection.mutable.HashSet.empty[String]
-          var flagged = 0L
-          var i = 0
-          while (i + n <= tk.length) {
-            val g = tk.slice(i, i + n).mkString(" ")
-            if (!seen.contains(g)) {
-              seen += g
-              var j = 0
-              var hit = true
-              while (j < k && hit) {
-                val p = (graft.expr.PortableHash.hex15(
-                  j.toString + " " + g) % m).toInt
-                hit = filter.get(p)
-                j += 1
-              }
-              if (hit) flagged += 1
-            }
-            i += 1
-          }
-          (id, flagged)
-        }
+        rows.map { case (id, text) => (id, bloomFlagged(text, filter, n, m, k)) }
       }
       .toDF("id", "n_flagged")
       .filter(col("n_flagged") > 0)
+  }
+
+  /** Row-local Bloom scan shared by [[bloomContaminationAgainst]] and the
+    * [[ScrubArtifacts]] gate (which must keep the text column): number of
+    * the document's distinct word n-grams whose `k` positions are all set. */
+  private[graft] def bloomFlagged(text: String, filter: java.util.BitSet,
+      n: Int, m: Int, k: Int): Long = {
+    val tk =
+      if (text == null) Array.empty[String]
+      else Dedup.trimSpaces(text).split("\\s+").filter(_.nonEmpty)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    var flagged = 0L
+    var i = 0
+    while (i + n <= tk.length) {
+      val g = tk.slice(i, i + n).mkString(" ")
+      if (!seen.contains(g)) {
+        seen += g
+        var j = 0
+        var hit = true
+        while (j < k && hit) {
+          val p = (graft.expr.PortableHash.hex15(
+            j.toString + " " + g) % m).toInt
+          hit = filter.get(p)
+          j += 1
+        }
+        if (hit) flagged += 1
+      }
+      i += 1
+    }
+    flagged
   }
 
   /**

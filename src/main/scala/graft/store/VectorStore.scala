@@ -3,7 +3,7 @@ package graft.store
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.{DatabaseInfo, IndexMetadata}
@@ -179,6 +179,36 @@ final class VectorStore(spark: SparkSession, warehouse: String) {
 
   def writeChunkDocMap(db: String, map: DataFrame): Unit =
     map.write.mode("overwrite").parquet(s"${dbDir(db)}/chunk_doc_map")
+
+  /** Build and persist a [[graft.ops.ScrubArtifact]]'s frozen-corpus table
+    * under `<db>/artifacts/<kind>` — run once per corpus freeze; every
+    * later batch gates against the parquet with zero recomputation. */
+  def writeScrubArtifact(db: String, artifact: graft.ops.ScrubArtifact,
+      corpus: DataFrame, id: Column, text: Column): Unit =
+    artifact.build(corpus, id, text).write.mode("overwrite")
+      .parquet(s"${dbDir(db)}/artifacts/${artifact.kind}")
+
+  /** Load a persisted scrub artifact table (schema is the artifact's own). */
+  def scrubArtifact(db: String, artifact: graft.ops.ScrubArtifact): DataFrame =
+    spark.read.parquet(s"${dbDir(db)}/artifacts/${artifact.kind}")
+
+  /** The artifact's NATIVE per-batch output (scrub rewrite or report)
+    * against its persisted table. */
+  def scrubApply(db: String, artifact: graft.ops.ScrubArtifact,
+      batch: DataFrame, id: Column, text: Column): DataFrame =
+    artifact.apply(batch, id, text, scrubArtifact(db, artifact))
+
+  /** THE daily-ingest one-liner: fold a batch — or, when every member is a
+    * streaming-safe scrubber/row-local gate, an unbounded stream — through
+    * a chain of persisted artifacts, left to right. Returns `(id, text)`
+    * with scrubbers' text rewritten and gates' flagged rows dropped. */
+  def scrubGate(db: String, artifacts: Seq[graft.ops.ScrubArtifact],
+      batch: DataFrame, id: Column, text: Column): DataFrame =
+    artifacts.foldLeft(
+        batch.select(id.cast("long").as("id"),
+          text.cast("string").as("text"))) { (acc, a) =>
+      a.gate(acc, col("id"), col("text"), scrubArtifact(db, a))
+    }
 
   def writeIndexMetadata(db: String, meta: IndexMetadata): Unit = {
     val json =

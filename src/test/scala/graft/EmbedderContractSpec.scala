@@ -31,6 +31,14 @@ object FakeBatchingEmbedder {
   def reset(): Unit = sizes.synchronized { sizes.clear() }
 }
 
+/** No-arg-constructible backend standing in for an env-var-named real one
+  * (the `GRAFT_EMBEDDER_CLASS` loading contract). */
+final class NoArgEmbedder extends Embedder {
+  private val inner = HashEmbedder(8)
+  override def dim: Int = 8
+  override def embed(text: String): Array[Float] = inner.embed(text)
+}
+
 /**
  * The contract every production [[Embedder]] backend must satisfy to slot
  * into the `mapPartitions` ingest path (O12). Run against the deterministic
@@ -47,9 +55,28 @@ class EmbedderContractSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  /** Reflective backend loader for the env-var hook below: the named
+    * class must be an [[Embedder]] with a public no-arg constructor
+    * (model path / device configuration belongs in the backend's own
+    * environment handling, not this contract). */
+  private def loadBackend(className: String): Embedder =
+    Class.forName(className).getDeclaredConstructor()
+      .newInstance().asInstanceOf[Embedder]
+
+  // The day an inference runtime jar ships, point GRAFT_EMBEDDER_CLASS at
+  // the real backend and every contract case below runs against it with
+  // ZERO code change. Unset (this environment: offline resolution, no
+  // ONNX/DJL jars — Embedder.scala:12-20), the hook stays dormant and the
+  // documentation test at the bottom records that fact in the test report.
+  private val envBackend: Option[(String, () => Embedder)] =
+    sys.env.get("GRAFT_EMBEDDER_CLASS").map { cn =>
+      s"env:$cn" -> (() => loadBackend(cn))
+    }
+
   private val backends: Seq[(String, () => Embedder)] = Seq(
     "HashEmbedder" -> (() => HashEmbedder(64)),
-    "FakeBatchingEmbedder" -> (() => new FakeBatchingEmbedder(64)))
+    "FakeBatchingEmbedder" -> (() => new FakeBatchingEmbedder(64))) ++
+    envBackend
 
   private val texts = Seq("alpha beta gamma", "", "Mixed CASE tokens",
     "xy", "a much longer text with many tokens to embed for the test", null)
@@ -81,6 +108,20 @@ class EmbedderContractSpec extends AnyFunSuite with BeforeAndAfterAll {
         new java.io.ByteArrayInputStream(bos.toByteArray))
         .readObject().asInstanceOf[Embedder]
       assert(java.util.Arrays.equals(back.embed("round trip"), mk().embed("round trip")))
+    }
+  }
+
+  test("env hook: loadBackend instantiates an Embedder by class name " +
+      "(GRAFT_EMBEDDER_CLASS wires a real backend into this suite)") {
+    // mechanism proof with a no-arg test class; the env var itself is
+    // exercised the day a runtime jar exists — dormant today, and that
+    // state is recorded here rather than silently skipped
+    val e = loadBackend(classOf[NoArgEmbedder].getName)
+    assert(e.dim == 8 && e.embed("x").length == 8)
+    envBackend match {
+      case Some((name, _)) => info(s"external backend under contract: $name")
+      case None => info("GRAFT_EMBEDDER_CLASS unset — no inference runtime " +
+        "in this environment (Embedder.scala:12-20); hook dormant")
     }
   }
 

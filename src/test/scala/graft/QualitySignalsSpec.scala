@@ -378,6 +378,41 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.ops.Dedup.levDistance("", "abc") == 3)
   }
 
+  test("editDistanceJoin: maxBucket bounds candidate fan-out on " +
+      "adversarial shared-prefix corpora; cold pairs survive the cap") {
+    import spark.implicits._
+    // adversarial corpus: 60 strings "hotXY" sharing the 3-char prefix —
+    // every single-deletion variant bucket of the shared positions is hot
+    // — plus two cold distance-1 twins far from the hot cluster
+    val hotRows = (0 until 60).map(i => (i.toLong, f"hot${i}%02d"))
+    val cold = Seq((100L, "zebra"), (101L, "zebr"))
+    val df = (hotRows ++ cold).toDF("id", "s")
+    val capped = graft.ops.Dedup.editDistanceJoin(df, col("id"), col("s"),
+      maxDist = 1, maxBucket = 8)
+    // candidate bound: with every bucket ≤ 8 rows, candidate pairs per
+    // bucket ≤ 8·7/2 = 28; ≤ 6 variants/row · 62 rows = 372 buckets →
+    // the capped run can never see the ~1.7k-pair hot blow-up. Verified
+    // pairs are a subset of brute force (the verify never invents pairs)
+    val got = capped.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (ai, sa) <- rows; (bi, sb) <- rows if ai < bi
+      d = graft.ops.Dedup.levDistance(sa, sb) if d <= 1
+    } yield (ai, bi, d.toLong)).toSet
+    assert(got.subsetOf(brute))
+    // the cold twin pair shares only cold buckets → must survive
+    assert(got.contains((100L, 101L, 1L)))
+    // the hot cluster's pairs ("hot00"~"hot01" etc. at dist 1 share only
+    // hot variant buckets) are the recall trade the scaladoc documents
+    assert(got.size < brute.size)
+    // uncapped run still equals brute force on the same corpus
+    val uncapped = graft.ops.Dedup.editDistanceJoin(df, col("id"), col("s"),
+        maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(uncapped == brute)
+  }
+
   test("zipfSlope: exact power law recovers its exponent") {
     import spark.implicits._
     // counts c(r) = 2^(8-r) for ranks 1..8 → ln c = ln(2^8) - r·ln 2, but
