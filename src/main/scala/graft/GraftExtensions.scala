@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, StringType, StructField, StructType}
 
 import graft.expr._
@@ -44,6 +44,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           else s"$min to $max arguments"}, got ${es.length}; usage: $sig")
     es
   }
+
+  /** Literal-integer SQL argument (the Column API takes these as Scala
+    * Ints); explicit error on non-literals, `default` < 0 = required. */
+  private def literalInt(fn: String, e: Option[Expression], default: Int): Int =
+    e match {
+      case None if default >= 0 => default
+      case None => throw new IllegalArgumentException(
+        s"$fn: missing required literal integer argument")
+      case Some(Literal(v: Int, _)) => v
+      case Some(other) => throw new IllegalArgumentException(
+        s"$fn expects a literal integer argument, got: $other")
+    }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("cosine_similarity"),
@@ -96,6 +108,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "span_mask(text, spans[, sentinel]) - replace covered tokens; struct(n_tokens, n_masked, text)"),
       (es: Seq[Expression]) => { arity("span_mask", "span_mask(text, spans[, sentinel])", es, 2, 3); SpanMask(str(es(0)), Cast(es(1), spansType),
         SpanMask.resolveSentinelArg(es.lift(2))) }))
+    ext.injectFunction((FunctionIdentifier("split_assign"),
+      info("split_assign",
+        "split_assign(key[, train_pct, val_pct]) - content-keyed train/val/test label (md5 bucket)"),
+      (es: Seq[Expression]) => { arity("split_assign",
+        "split_assign(key[, train_pct, val_pct])", es, 1, 3)
+        CurationExprs.splitAssign(str(es.head),
+          literalInt("split_assign", es.lift(1), 90),
+          literalInt("split_assign", es.lift(2), 5)) }))
+    ext.injectFunction((FunctionIdentifier("rendezvous_shard"),
+      info("rendezvous_shard",
+        "rendezvous_shard(key, n_shards) - highest-random-weight shard id"),
+      (es: Seq[Expression]) => { arity("rendezvous_shard",
+        "rendezvous_shard(key, n_shards)", es, 2, 2)
+        CurationExprs.rendezvousShard(str(es.head),
+          literalInt("rendezvous_shard", es.lift(1), -1)) }))
     ext.injectFunction((FunctionIdentifier("nearest_centroid"),
       info("nearest_centroid",
         "nearest_centroid(v, cents) - argmax-cosine centroid id"),

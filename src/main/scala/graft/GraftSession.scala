@@ -75,4 +75,62 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
       .select("id", "text", "metadata", "similarity_score", "distance")
       .as[SearchHit]
   }
+
+  // ---- training-data curation (typed facade over graft.ops.Curation) ----
+  // Column arguments are NAMES here (the session API ergonomics stance);
+  // the object methods keep Column params for composition.
+
+  /** Typed [[graft.ops.Curation.leakageSafeSplit]]: near-dup clusters
+    * move into train/val/test together. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, trainPct: Int = 90,
+      valPct: Int = 5): Dataset[graft.model.SplitAssignment] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.ops.Curation.leakageSafeSplit(docs, col(idCol), col(textCol),
+        threshold, trainPct = trainPct, valPct = valPct)
+      .as[graft.model.SplitAssignment]
+  }
+
+  /** Typed [[graft.ops.Curation.curriculumOrder]]: easy-to-hard bins,
+    * deterministically re-shuffled within bins per epoch. */
+  def curriculumOrder(docs: DataFrame, idCol: String, scoreCol: String,
+      nBins: Int = 10, epoch: Int = 0): Dataset[graft.model.CurriculumSlot] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.ops.Curation.curriculumOrder(docs, col(idCol), col(scoreCol),
+        nBins, epoch)
+      .as[graft.model.CurriculumSlot]
+  }
+
+  /** Typed [[graft.ops.Curation.contrastiveTriplets]] over a pre-built
+    * kNN edge frame ([[graft.ops.Ann.knnGraph]]/`knnGraphIvf`). */
+  def contrastiveTriplets(docs: DataFrame, idCol: String, textCol: String,
+      knnEdges: DataFrame, threshold: Double): Dataset[graft.model.Triplet] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.ops.Curation.contrastiveTriplets(docs, col(idCol), col(textCol),
+        knnEdges, threshold)
+      .as[graft.model.Triplet]
+  }
+
+  /** Typed [[graft.ops.Curation.epochShuffle]]: the deterministic
+    * per-epoch global dataloader order. */
+  def epochShuffle(docs: DataFrame, idCol: String,
+      epoch: Int): Dataset[graft.model.EpochSlot] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.ops.Curation.epochShuffle(docs, col(idCol), epoch)
+      .as[graft.model.EpochSlot]
+  }
+
+  /** The daily-ingest scrub chain ([[VectorStore.scrubGate]]) with name-
+    * based columns: fold a batch or append stream through the persisted
+    * artifacts of `db`, left to right. */
+  def scrubGate(db: String, artifacts: Seq[graft.ops.ScrubArtifact],
+      batch: DataFrame, idCol: String = "id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    store.scrubGate(db, artifacts, batch, col(idCol), col(textCol))
+  }
 }

@@ -15,7 +15,8 @@ import graft.expr._
  * `registerAll(spark)` additionally exposes them to SQL:
  * `cosine_similarity`, `cosine_distance`, `dot_product`, `l2_normalize`,
  * `l2_norm`, `normalize_text`, `normalize_query_text`, `hash_embed`,
- * `chunk_document`, `unicode_normalize`, `span_cut`, `span_mask`.
+ * `chunk_document`, `unicode_normalize`, `span_cut`, `span_mask`,
+ * `split_assign`, `rendezvous_shard`.
  */
 object functions {
 
@@ -103,5 +104,27 @@ object functions {
     reg.createOrReplaceTempFunction("span_mask",
       es => SpanMask(str(es(0)), Cast(es(1), spansType),
         SpanMask.resolveSentinelArg(es.lift(2))), "built-in")
+    reg.createOrReplaceTempFunction("split_assign",
+      es => CurationExprs.splitAssign(str(es.head),
+        intArg("split_assign", es.lift(1), 90),
+        intArg("split_assign", es.lift(2), 5)), "built-in")
+    reg.createOrReplaceTempFunction("rendezvous_shard",
+      es => CurationExprs.rendezvousShard(str(es.head),
+        intArg("rendezvous_shard", es.lift(1), -1)), "built-in")
   }
+
+  /** Literal-integer argument of a SQL function call (percentages, shard
+    * counts — parameters the Column API takes as Scala Ints). Explicit
+    * error on non-literals, the `resolveFormArg` stance; `default` < 0
+    * means the argument is required. */
+  private def intArg(fn: String, e: Option[Expression], default: Int): Int =
+    e match {
+      case None if default >= 0 => default
+      case None =>
+        throw new IllegalArgumentException(s"$fn: missing required literal integer argument")
+      case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"$fn expects a literal integer argument, got: $other")
+    }
 }

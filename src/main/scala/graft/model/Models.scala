@@ -66,3 +66,20 @@ final case class Citation(
     score_range: String,
     pages: String,
     min_score: Double)
+
+/** Leakage-safe split assignment ([[graft.ops.Curation.leakageSafeSplit]]):
+  * every member of a near-dup cluster lands in the same split. */
+final case class SplitAssignment(id: Long, cluster_id: Long, split: String)
+
+/** Curriculum dataloader slot ([[graft.ops.Curation.curriculumOrder]]):
+  * difficulty bin (1 = easiest) and 1-based global position. */
+final case class CurriculumSlot(id: Long, bin: Long, ord: Long)
+
+/** Contrastive training triplet ([[graft.ops.Curation.contrastiveTriplets]]):
+  * anchor, verified-paraphrase positive, hard out-of-cluster negative. */
+final case class Triplet(anchor_id: Long, pos_id: Long, neg_id: Long,
+    neg_sim: Double)
+
+/** Deterministic per-epoch training order slot
+  * ([[graft.ops.Curation.epochShuffle]]). */
+final case class EpochSlot(id: Long, ord: Long)

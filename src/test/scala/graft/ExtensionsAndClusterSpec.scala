@@ -59,6 +59,30 @@ class ExtensionsAndClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sp.getStruct(2).getString(2) == "# b c")
   }
 
+  test("extensions: split_assign / rendezvous_shard resolve in SQL and " +
+      "match the Column API rules") {
+    import spark.implicits._
+    val rows = spark.sql(
+      """SELECT k,
+               split_assign(k) AS sp,
+               split_assign(k, 50, 25) AS sp2,
+               rendezvous_shard(k, 8) AS sh
+         FROM VALUES ('doc-1'), ('doc-2'), ('doc-3') AS t(k)""").collect()
+    val viaCol = Seq("doc-1", "doc-2", "doc-3").toDF("k")
+      .select(col("k"),
+        graft.ops.Curation.splitAssign(col("k")).as("sp"),
+        graft.ops.Curation.splitAssign(col("k"), 50, 25).as("sp2"),
+        graft.ops.Curation.rendezvousShard(col("k"), 8).as("sh"))
+      .collect()
+    assert(rows.map(_.toSeq).toSeq == viaCol.map(_.toSeq).toSeq)
+    assert(rows.forall(r => r.getInt(3) >= 0 && r.getInt(3) < 8))
+    // non-literal shard count is a clear error, not a mis-plan
+    val err = intercept[Exception] {
+      spark.sql("SELECT rendezvous_shard('k', length('abc'))").collect()
+    }
+    assert(err.getMessage.contains("literal integer"))
+  }
+
   test("extensions: wrong arity fails with the signature, not an " +
       "IndexOutOfBoundsException") {
     def analysisError(sql: String): String = {

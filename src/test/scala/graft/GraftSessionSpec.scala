@@ -149,4 +149,67 @@ class GraftSessionSpec extends AnyFunSuite with BeforeAndAfterAll {
          FROM tdb_vectors ORDER BY sim DESC, id LIMIT 2""").collect()
     assert(top.length == 2)
   }
+
+  test("typed curation facade: split/curriculum/triplets/epoch agree " +
+      "with the object methods and carry typed fields") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sess = new GraftSession(spark, s"$work/wh")
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel", 0.9),
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotels", 0.1), // near-dup of 1
+      (3L, "kilo lima mike november oscar papa quebec", 0.5),
+      (4L, "romeo sierra tango uniform victor whiskey xray", 0.7))
+      .toDF("doc_id", "body", "difficulty")
+
+    val split = sess.leakageSafeSplit(docs, "doc_id", "body", 0.5).collect()
+    assert(split.length == 4)
+    val byId = split.map(s => s.id -> s).toMap
+    // the near-dup pair shares a cluster and therefore a split
+    assert(byId(1L).cluster_id == byId(2L).cluster_id)
+    assert(byId(1L).split == byId(2L).split)
+    assert(split.forall(s => Set("train", "val", "test").contains(s.split)))
+
+    val cur = sess.curriculumOrder(docs, "doc_id", "difficulty",
+      nBins = 2, epoch = 1).collect().sortBy(_.ord)
+    assert(cur.map(_.ord).toSeq == (1L to 4L))
+    assert(cur.map(_.bin).toSeq.sorted == cur.map(_.bin).toSeq) // easy bins first
+
+    val edges = graft.ops.Ann.knnGraph(
+      docs.select(col("doc_id"),
+        graft.functions.hash_embed(col("body")).as("vector")),
+      col("doc_id"), col("vector"), k = 2)
+    val trip = sess.contrastiveTriplets(docs, "doc_id", "body", edges, 0.5)
+      .collect()
+    assert(trip.nonEmpty)
+    // positives are verified cluster mates; negatives never in-cluster
+    trip.foreach { t =>
+      assert(Set(t.anchor_id, t.pos_id) == Set(1L, 2L))
+      assert(t.neg_id != 1L && t.neg_id != 2L)
+    }
+
+    val e1 = sess.epochShuffle(docs, "doc_id", epoch = 1).collect()
+    val e1b = sess.epochShuffle(docs, "doc_id", epoch = 1).collect()
+    val e2 = sess.epochShuffle(docs, "doc_id", epoch = 2).collect()
+    assert(e1.sortBy(_.ord).map(_.id).toSeq == e1b.sortBy(_.ord).map(_.id).toSeq)
+    assert(e1.sortBy(_.ord).map(_.id).toSeq != e2.sortBy(_.ord).map(_.id).toSeq)
+    // both are permutations of the corpus
+    assert(e1.map(_.id).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(e2.map(_.id).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("session scrubGate: name-based daily gate over persisted artifacts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sess = new GraftSession(spark, s"$work/wh")
+    val frozen = Seq(
+      (1L, "one two three\nCOMMON FOOTER LINE"),
+      (2L, "four five six\nCOMMON FOOTER LINE")).toDF("doc_id", "body")
+    val line = graft.ops.FrequentLineScrub(minDocs = 2)
+    sess.store.writeScrubArtifact("tdb", line, frozen, col("doc_id"), col("body"))
+    val out = sess.scrubGate("tdb", Seq(line),
+        Seq((9L, "fresh words\nCOMMON FOOTER LINE")).toDF("id", "text"))
+      .collect()
+    assert(out.length == 1 && out(0).getString(1) == "fresh words")
+  }
 }
