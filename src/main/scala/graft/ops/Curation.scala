@@ -736,4 +736,114 @@ object Curation {
       .agg(count("*").as("n_docs"), sum("t").as("tokens"))
       .orderBy("bin")
   }
+
+  /**
+   * Deterministic WEIGHTED sampling without replacement (Efraimidis–
+   * Spirakis A-ES): each row draws `u ∈ (0, 1]` from the md5 of its
+   * content key and scores `u^(1/w)`; the `k` largest scores are a
+   * weight-proportional k-subset — a quality-score-weighted corpus
+   * sample in one pass, reproducible across engines, runs and
+   * partitionings (the [[splitAssign]] md5 stance: no RNG state, the
+   * content IS the randomness). Rows with null or non-positive weight
+   * never sample. Returns the selected input rows.
+   *
+   * Scale shape: TakeOrderedAndProject — per-partition k-heaps + driver
+   * merge, no global sort, no shuffle ([[exactSample]]'s plan, which
+   * this generalizes: constant weights degrade to exactly it). */
+  def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    // u in (0,1]: 60-bit md5 prefix + 1 over 2^60
+    val u = (graft.expr.PortableHash.hex15Col(keyCol) + lit(1L)) /
+      lit(math.pow(2.0, 60))
+    val w = weightCol.cast("double")
+    df.filter(w.isNotNull && w > 0)
+      .orderBy(pow(u, lit(1.0) / w).desc, keyCol.asc)
+      .limit(k)
+  }
+
+  /**
+   * Token-budget mixture allocation — the planning step of a pretraining
+   * data mix: given per-document source + token counts, target mixture
+   * weights, a total token budget, and a repetition ceiling, how many
+   * tokens each source contributes and where the mix falls short.
+   * Per source: `alloc = ⌊budget·w⌋` (the target), `cap =
+   * ⌊tokens·maxEpochs⌋` (what the source can supply under the epoch
+   * ceiling — Muennighoff et al.'s repeated-data regime is the caller's
+   * `maxEpochs` policy), `granted = min(alloc, cap)`, and the SHORTFALL
+   * `alloc − granted` is REPORTED, not silently redistributed —
+   * reallocation across sources is a second policy pass, not this
+   * measurement. Sources absent from `targetWeights` get weight 0 (rows
+   * still counted). Returns `(source, n_docs, tokens, target_w,
+   * alloc_tokens, cap_tokens, granted_tokens, epochs, shortfall)`,
+   * epochs at 4dp.
+   *
+   * Scale shape: ONE partial-agg pass over the corpus (source-bounded
+   * output); the allocation arithmetic is row-local on the tiny
+   * per-source frame. */
+  def mixtureBudget(df: DataFrame, sourceCol: Column, tokensCol: Column,
+      targetWeights: Map[String, Double], budget: Long,
+      maxEpochs: Double = 4.0): DataFrame = {
+    require(budget > 0, "budget must be > 0")
+    require(maxEpochs > 0, "maxEpochs must be > 0")
+    val w = targetWeights.foldLeft(lit(0.0)) { case (acc, (s, tw)) =>
+      when(col("source") === s, tw).otherwise(acc)
+    }
+    df.select(sourceCol.cast("string").as("source"),
+        tokensCol.cast("long").as("t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("tokens"))
+      .withColumn("target_w", w)
+      .withColumn("alloc_tokens", floor(lit(budget) * col("target_w")))
+      .withColumn("cap_tokens",
+        floor(col("tokens") * lit(maxEpochs)))
+      .withColumn("granted_tokens", least(col("alloc_tokens"), col("cap_tokens")))
+      .withColumn("epochs",
+        when(col("tokens") === 0, lit(0.0))
+          .otherwise(round(col("granted_tokens") / col("tokens"), 4)))
+      .withColumn("shortfall", col("alloc_tokens") - col("granted_tokens"))
+  }
+
+  /**
+   * Split-leakage audit — measures what [[leakageSafeSplit]] prevents:
+   * cross-split document pairs sharing ≥ `minShared` distinct word
+   * `n`-grams (a train doc whose paraphrase sits in val/test poisons the
+   * eval). `splitCol` is the caller's assignment ([[splitAssign]] for the
+   * naive baseline, [[leakageSafeSplit]]'s label to verify the fix); the
+   * audit reports `(train_id, eval_id, split, n_shared)` for every leaky
+   * pair, train side × non-train side. Grams indexed in more than
+   * `maxDf` documents are dropped first (boilerplate is not leakage
+   * evidence — the [[graft.ops.TextAnalysis.winnowOverlapPairs]] stop-
+   * gram stance), which also bounds join fan-out per gram.
+   *
+   * Scale shape: documents reduce to distinct `(id, split, gram-md5)`
+   * rows row-locally; the df-prune is one partial-agg count + broadcast
+   * anti-join; the cross-split equi-join carries longs with every
+   * bucket ≤ maxDf. Never all-pairs, text never shuffles. */
+  def splitLeakage(df: DataFrame, idCol: Column, textCol: Column,
+      splitCol: Column, n: Int = 5, minShared: Int = 1,
+      maxDf: Int = 10): DataFrame = {
+    require(n >= 1 && minShared >= 1 && maxDf >= 2,
+      "need n >= 1, minShared >= 1, maxDf >= 2")
+    val toks = array_remove(split(trim(textCol), "\\s+"), "")
+    val gramArr = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    val grams = df.select(idCol.cast("long").as("id"),
+        splitCol.cast("string").as("split"),
+        explode(array_distinct(gramArr)).as("g"))
+      .select(col("id"), col("split"),
+        graft.expr.PortableHash.hex15Col(col("g")).as("h"))
+    val hot = grams.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("h"))
+    val pruned = grams.join(broadcast(hot), Seq("h"), "left_anti")
+    val train = pruned.filter(col("split") === "train")
+      .select(col("h"), col("id").as("train_id"))
+    val eval_ = pruned.filter(col("split") =!= "train")
+      .select(col("h"), col("id").as("eval_id"), col("split"))
+    train.join(eval_, "h")
+      .groupBy("train_id", "eval_id", "split")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

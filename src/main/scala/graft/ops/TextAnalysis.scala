@@ -642,4 +642,50 @@ object TextAnalysis {
       .select(col("id"), (col("pos") + 1).as("rnk"),
         col("col.term").as("term"), (-col("col.ns")).as("score"))
   }
+
+  /**
+   * Collocation extraction by pointwise mutual information: the top-`topN`
+   * adjacent token pairs by `PMI = ln( P(a,b) / (P(a)·P(b)) )` with
+   * `P(a,b) = c(a,b)/B` over bigram occurrences and `P(a) = c(a)/T` over
+   * token occurrences — the corpus-phrase detector (Church & Hanks; the
+   * "New York" / "San Francisco" finder) a tokenizer or quality audit
+   * reads. Pairs below `minCount` occurrences are dropped FIRST: PMI is
+   * maximal for count-1 hapax pairs, so an unthresholded top list is all
+   * noise. Returns `(a, b, n_pair, pmi)` (pmi at 4dp), ordered by
+   * `(pmi desc, a, b)` — the rounded value orders, keeping the list
+   * engine-stable.
+   *
+   * Scale shape: token and bigram counts reduce under partial
+   * aggregation (vocabulary- and pair-vocabulary-bounded); the minCount
+   * prune happens BEFORE the two unigram joins, so joined cardinality is
+   * the surviving-pair table, not the corpus; totals broadcast as one
+   * row; the final list is a TakeOrderedAndProject top-k. */
+  def collocations(df: DataFrame, textCol: Column, minCount: Long = 5L,
+      topN: Int = 100): DataFrame = {
+    require(minCount >= 1 && topN >= 1, "need minCount >= 1 and topN >= 1")
+    val toks = df.select(
+      array_remove(split(trim(textCol), "\\s+"), "").as("tk"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val pairs = toks.filter(size(col("tk")) >= 2)
+      .select(explode(zip_with(col("tk"),
+        slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      .filter(col("p.b").isNotNull)
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val pairCounts = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val totals = uni.agg(sum("cu").as("t_tok"))
+      .crossJoin(pairs.agg(count(lit(1)).as("t_pair")))
+    pairCounts
+      .join(uni.select(col("w").as("a"), col("cu").as("ca")), "a")
+      .join(uni.select(col("w").as("b"), col("cu").as("cb")), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("n_pair"),
+        round(log((col("n_pair").cast("double") / col("t_pair")) /
+          ((col("ca").cast("double") / col("t_tok")) *
+           (col("cb").cast("double") / col("t_tok")))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(topN)
+  }
 }

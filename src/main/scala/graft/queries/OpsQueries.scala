@@ -1458,7 +1458,66 @@ object OpsQueries {
           piiDecorated(t(s, d, "documents")), col("doc_id"), col("ptext"))
         .select(col("id").as("doc_id"), col("pii_class"), col("match_no"),
           col("matched"))
-        .orderBy("doc_id", "pii_class", "match_no"))
+        .orderBy("doc_id", "pii_class", "match_no")),
+    "q190_weighted_sample" -> ((s, d) =>
+      // Efraimidis-Spirakis weighted sampling without replacement: 50
+      // docs weight-proportional to n_chars, md5-keyed (no RNG state) —
+      // the oracle replays u^(1/w) and picks the same 50
+      graft.ops.Curation.weightedSample(
+          t(s, d, "documents"), col("doc_id"), col("n_chars"), k = 50)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")),
+    "q191_mixture_budget" -> ((s, d) => {
+      // pretraining-mix planning: four weighted sources + sixteen
+      // at weight 0, 100k-token budget, 2-epoch repetition ceiling;
+      // shortfall reported, never silently redistributed
+      val docs = t(s, d, "documents")
+      graft.ops.Curation.mixtureBudget(docs, col("source"),
+          size(array_remove(split(trim(col("text")), "\\s+"), "")),
+          Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.05),
+          budget = 100000L, maxEpochs = 2.0)
+        .orderBy("source")
+    }),
+    "q192_collocations" -> ((s, d) =>
+      // Church-Hanks PMI collocations: top-40 adjacent pairs seen >= 30
+      // times — the corpus-phrase audit; minCount prunes hapax noise
+      // before any join
+      graft.ops.TextAnalysis.collocations(t(s, d, "documents"),
+        col("text"), minCount = 30L, topN = 40)),
+    "q193_split_leakage" -> ((s, d) => {
+      // what leakageSafeSplit prevents, measured: cross-split doc pairs
+      // sharing rare 5-grams under the NAIVE md5 split. Exact copies of
+      // docs < 30 at +5000 ids guarantee leaky pairs whose twin lands in
+      // a different split; maxDf=10 drops boilerplate grams first
+      val docs = t(s, d, "documents")
+      val base = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 5000).as("doc_id"), col("text")))
+      graft.ops.Curation.splitLeakage(base, col("doc_id"), col("text"),
+          graft.ops.Curation.splitAssign(col("doc_id")),
+          n = 5, minShared = 1, maxDf = 10)
+        .orderBy("train_id", "eval_id")
+    }),
+    "q194_scrub_chain" -> ((s, d) => {
+      // the ScrubArtifact facade end-to-end as ONE oracle query:
+      // frequent-line scrub (corpus docs < 400, q127's artifact) feeding
+      // the repeated-gram span scrub (q128's artifact) over batch docs
+      // >= 400 — gate-composed exactly as VectorStore.scrubGate folds
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") < 400)
+      val batch = wrapped4(docs.filter(col("doc_id") >= 400))
+      val line = graft.ops.FrequentLineScrub(minDocs = 3)
+      val span = graft.ops.SpanScrub(k = 5, minDocs = 2)
+      val lineTab = line.build(wrapped4(corpus), col("doc_id"), col("wtext"))
+      val spanTab = span.build(corpus, col("doc_id"), col("text"))
+      val step1 = line.gate(batch, col("doc_id"), col("wtext"), lineTab)
+      span.gate(step1, col("id"), col("text"), spanTab)
+        .select(col("id").as("doc_id"),
+          size(array_remove(split(col("text"), "\\s+"), ""))
+            .cast("bigint").as("n_tokens"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    })
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -4050,7 +4109,135 @@ object OpsQueries {
                       generate_subscripts(regexp_extract_all(ptext, pat), 1) AS match_no
                FROM p CROSS JOIN pats)
          SELECT doc_id, pii_class, CAST(match_no AS BIGINT) AS match_no, matched
-         FROM m ORDER BY doc_id, pii_class, match_no"""
+         FROM m ORDER BY doc_id, pii_class, match_no""",
+
+    "q190_weighted_sample" ->
+      // Efraimidis-Spirakis replay: u from the md5 60-bit prefix, score
+      // u^(1/w), top 50 — same IEEE pow, same selection
+      """SELECT doc_id, n_chars FROM (
+           SELECT doc_id, n_chars
+           FROM documents
+           WHERE n_chars IS NOT NULL AND n_chars > 0
+           ORDER BY pow((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                          / 1152921504606846976.0,
+                        1.0 / n_chars) DESC, doc_id
+           LIMIT 50)
+         ORDER BY doc_id""",
+
+    "q191_mixture_budget" ->
+      // weights forced to DOUBLE so floor(budget*w) floors the same IEEE
+      // product the engine computes (DECIMAL arithmetic could differ on
+      // weights whose double product rounds across an integer)
+      """WITH s AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS BIGINT) AS tokens
+           FROM documents GROUP BY source),
+         w AS (SELECT source, n_docs, tokens,
+                      CASE source WHEN 'src0' THEN CAST(0.4 AS DOUBLE)
+                                  WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+                                  WHEN 'src2' THEN CAST(0.2 AS DOUBLE)
+                                  WHEN 'src3' THEN CAST(0.05 AS DOUBLE)
+                                  ELSE CAST(0.0 AS DOUBLE) END AS target_w
+               FROM s)
+         SELECT source, n_docs, tokens, target_w,
+                CAST(floor(100000 * target_w) AS BIGINT) AS alloc_tokens,
+                CAST(floor(tokens * 2.0) AS BIGINT) AS cap_tokens,
+                CAST(least(floor(100000 * target_w), floor(tokens * 2.0)) AS BIGINT) AS granted_tokens,
+                CASE WHEN tokens = 0 THEN 0.0
+                     ELSE round(least(floor(100000 * target_w), floor(tokens * 2.0)) / tokens, 4) END AS epochs,
+                CAST(floor(100000 * target_w) - least(floor(100000 * target_w), floor(tokens * 2.0)) AS BIGINT) AS shortfall
+         FROM w ORDER BY source""",
+
+    "q192_collocations" ->
+      // PMI over adjacent pairs: unigram totals from token occurrences,
+      // pair totals from ALL pairs (pre-prune), natural log, 4dp; the
+      // rounded value orders the top-40
+      """WITH toks AS (
+           SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         uc AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+                FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+         pc0 AS (SELECT p['a'] AS a, p['b'] AS b
+                 FROM (SELECT unnest([{'a': t[i], 'b': t[i+1]} FOR i IN range(1, len(t))]) AS p
+                       FROM toks WHERE len(t) >= 2)),
+         pc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_pair
+                FROM pc0 GROUP BY a, b HAVING count(*) >= 30),
+         tot AS (SELECT (SELECT CAST(sum(cu) AS BIGINT) FROM uc) AS t_tok,
+                        (SELECT CAST(count(*) AS BIGINT) FROM pc0) AS t_pair)
+         SELECT a, b, n_pair,
+                round(ln((CAST(n_pair AS DOUBLE) / t_pair)
+                         / ((CAST(ua.cu AS DOUBLE) / t_tok) * (CAST(ub.cu AS DOUBLE) / t_tok))), 4) AS pmi
+         FROM pc JOIN uc ua ON pc.a = ua.w JOIN uc ub ON pc.b = ub.w, tot
+         ORDER BY pmi DESC, a, b LIMIT 40""",
+
+    "q193_split_leakage" ->
+      // gram-STRING join is collision-free ground truth for the engine's
+      // md5-hash join (q172's stance); naive md5 split labels replayed
+      """WITH base AS (
+           SELECT doc_id AS id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 5000, text FROM documents WHERE doc_id < 30),
+         toks AS (SELECT id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+                  FROM base),
+         grams AS (SELECT DISTINCT id, g FROM (
+             SELECT id, unnest([array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)]) AS g
+             FROM toks WHERE len(t) >= 5)),
+         sp AS (SELECT id, CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+                FROM (SELECT id, CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+                      FROM base)),
+         keepg AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= 10),
+         pruned AS (SELECT grams.id, grams.g FROM grams JOIN keepg USING (g)),
+         lab AS (SELECT p.id, p.g, s.split FROM pruned p JOIN sp s ON p.id = s.id),
+         tr AS (SELECT g, id AS train_id FROM lab WHERE split = 'train'),
+         ev AS (SELECT g, id AS eval_id, split FROM lab WHERE split <> 'train')
+         SELECT train_id, eval_id, split, CAST(count(*) AS BIGINT) AS n_shared
+         FROM tr JOIN ev USING (g)
+         GROUP BY train_id, eval_id, split
+         HAVING count(*) >= 1
+         ORDER BY train_id, eval_id""",
+
+    "q194_scrub_chain" ->
+      // q127's line scrub feeding q128's span scrub: the facade chain as
+      // one composed replay — scrubbed batch text re-grams against the
+      // RAW corpus (< 400) repeated-gram table, kept tokens rebuild
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents),
+         wrapped AS (
+           SELECT doc_id, CASE WHEN len(t) = 0 THEN ''
+                  ELSE array_to_string([array_to_string(t[(i*4+1):(i*4+4)], ' ')
+                                        FOR i IN range(0, CAST(ceil(len(t)/4.0) AS INT))], chr(10)) END AS wtext
+           FROM toks),
+         ls AS (SELECT doc_id, string_split(wtext, chr(10)) AS ll FROM wrapped),
+         lines AS (SELECT doc_id, unnest(ll) AS line, generate_subscripts(ll, 1) AS pos FROM ls),
+         freq AS (SELECT line FROM lines WHERE trim(line) <> '' AND doc_id < 400
+                  GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+         scrub AS (SELECT l.doc_id,
+                          coalesce(string_agg(CASE WHEN trim(l.line) = '' OR f.line IS NULL THEN l.line END,
+                                              chr(10) ORDER BY l.pos), '') AS stext
+                   FROM lines l LEFT JOIN freq f ON l.line = f.line
+                   WHERE l.doc_id >= 400 GROUP BY l.doc_id),
+         rep AS (SELECT g FROM (
+                   SELECT doc_id, unnest([array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)]) AS g
+                   FROM toks WHERE len(t) >= 5 AND doc_id < 400)
+                 GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         btoks AS (SELECT doc_id, list_filter(string_split_regex(stext, '\s+'), x -> x <> '') AS t
+                   FROM scrub),
+         bgl AS (SELECT doc_id, [array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)] AS gs
+                 FROM btoks WHERE len(t) >= 5),
+         bgrams AS (SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) - 1 AS pos FROM bgl),
+         cov AS (SELECT doc_id, pos FROM bgrams JOIN rep USING (g)),
+         dropped AS (SELECT DISTINCT doc_id, pos + off AS ti FROM cov CROSS JOIN range(5) r(off)),
+         tokpos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS ti FROM btoks),
+         kept AS (SELECT tp.doc_id, tp.tok, tp.ti
+                  FROM tokpos tp LEFT JOIN dropped d
+                    ON tp.doc_id = d.doc_id AND tp.ti = d.ti
+                  WHERE d.ti IS NULL)
+         SELECT b.doc_id,
+                CAST(count(k.ti) AS BIGINT) AS n_tokens,
+                md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.ti), '')) AS text_md5
+         FROM btoks b LEFT JOIN kept k ON b.doc_id = k.doc_id
+         GROUP BY b.doc_id ORDER BY b.doc_id"""
   )
 }
 

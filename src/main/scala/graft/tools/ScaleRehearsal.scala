@@ -1,0 +1,139 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Suffix}
+
+/**
+ * Empirical scaling rehearsal for the heaviest operator families (the
+ * round-6 verdict's ask: the 100 TB scale arguments are documented —
+ * measure them). Builds an N× corpus from `documents.parquet` by token-
+ * renamed replication: replica `r` suffixes every token with `§r`, so each
+ * replica is an ISOMORPHIC copy of the base corpus under a token renaming —
+ * duplicate structure (frequent lines, repeated grams, suffix repeats)
+ * scales exactly linearly with NO cross-replica matches, per-doc sizes
+ * stay constant, and the measured exponent isolates the operator, not a
+ * drifting data profile. (Naive replication would be wrong: every doc
+ * would gain N−1 exact twins and the duplicate mass would explode
+ * superlinearly.)
+ *
+ * Prints one JSON line per (family, scale) and a markdown table with the
+ * fitted exponent `log(t_N / t_1) / log(N)` — near-0 means job-cadence-
+ * bound at local scale (the suffix machinery's flat-round-count claim),
+ * near-1 means throughput-bound linear (the span/line dedup claim), and
+ * anything clearly above 1 is a scale smell worth a plan audit.
+ *
+ * Usage: `runMain graft.tools.ScaleRehearsal [sfDir] [scales] [reps]`
+ * (defaults `/root/testdata/sf0.1`, `1,10`, 2; best-of-reps per cell to
+ * shed host noise).
+ */
+object ScaleRehearsal {
+
+  private def wrapped4(docs: DataFrame, sep: String = "\n"): DataFrame = {
+    val toks = array_remove(split(col("text"), "\\s+"), "")
+    docs.select(col("doc_id"),
+      when(size(toks) === 0, lit("")).otherwise(
+        array_join(transform(
+          sequence(lit(0), ceil(size(toks) / lit(4.0)).cast("int") - 1),
+          i => concat_ws(" ", slice(toks, i * 4 + 1, lit(4)))), sep))
+        .as("wtext"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scales = args.lift(1).getOrElse("1,10").split(",").map(_.toInt).toSeq
+    val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors, 32).toString)
+    val work = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_DIR",
+      "/tmp/graft_scale_rehearsal")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+
+    // materialize each scaled corpus once; ids offset by 10M per replica
+    // (10M % 5 == 0 keeps the suffix family's bounded %5 sub-corpus at a
+    // constant fraction across scales)
+    def corpusPath(n: Int) = s"$work/x$n/documents.parquet"
+    for (n <- scales) {
+      val path = corpusPath(n)
+      if (!new java.io.File(path).exists()) {
+        val replicas = (0 until n).map { r =>
+          if (r == 0) base
+          else base.select(
+            (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+            array_join(transform(array_remove(split(col("text"), "\\s+"), ""),
+              t => concat(t, lit("§" + r))), " ").as("text"))
+        }
+        replicas.reduce(_ unionByName _)
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(path)
+      }
+    }
+
+    val families: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "q96_line_dedup" -> (d =>
+        Dedup.lineDedup(wrapped4(d), col("doc_id"), col("wtext"), minDocs = 3)),
+      "q133_paragraph_dedup" -> (d =>
+        Dedup.lineDedup(wrapped4(d, "\n\n"), col("doc_id"), col("wtext"),
+          minDocs = 3, sep = "\n\n")),
+      "q97_dup_spans" -> (d =>
+        Dedup.duplicateSpans(d, col("doc_id"), col("text"), k = 5, minDocs = 2)),
+      "q100_strip_spans" -> (d =>
+        Dedup.stripDuplicateSpans(d, col("doc_id"), col("text"), k = 5,
+          minDocs = 2)),
+      "q107_strip_keep_first" -> (d =>
+        Dedup.stripDuplicateSpans(d, col("doc_id"), col("text"), k = 5,
+          minDocs = 2, keepFirst = true)),
+      "q180_mask_spans" -> (d =>
+        Dedup.maskDuplicateSpans(d, col("doc_id"), col("text"), k = 5,
+          minDocs = 2)),
+      "q152_suffix_ranks" -> (d =>
+        Suffix.suffixRanks(d.filter(col("doc_id") % 5 === 0),
+          col("doc_id"), col("text"))),
+      "q153_longest_repeat" -> (d =>
+        Suffix.longestRepeat(d.filter(col("doc_id") % 5 === 0),
+          col("doc_id"), col("text"))))
+
+    // warmup: scheduler + codegen off the clock
+    base.limit(10).queryExecution.toRdd.count()
+
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[Int, Double]]
+    for (n <- scales) {
+      val docs = spark.read.parquet(corpusPath(n))
+      for ((name, fn) <- families) {
+        val t = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          fn(docs).queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        results.getOrElseUpdate(name,
+          scala.collection.mutable.LinkedHashMap.empty) += (n -> t)
+        println(f"""{"family":"$name","scale":$n,"sec":$t%.3f}""")
+      }
+    }
+
+    val s0 = scales.min
+    val sN = scales.max
+    println("\n| family | " + scales.map(n => s"t(${n}x) s").mkString(" | ") +
+      " | exponent |")
+    println("|---|" + scales.map(_ => "---|").mkString + "---|")
+    for ((name, ts) <- results) {
+      val exp =
+        if (sN == s0) Double.NaN
+        else math.log(ts(sN) / ts(s0)) / math.log(sN.toDouble / s0)
+      println(f"| $name | " +
+        scales.map(n => f"${ts(n)}%.2f").mkString(" | ") + f" | $exp%.2f |")
+    }
+    spark.stop()
+  }
+}

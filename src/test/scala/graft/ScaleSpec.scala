@@ -404,4 +404,125 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // integer arithmetic ⇒ identical ranks whatever the partitioning
     assert(run(edges.repartition(7), 2) == r2)
   }
+
+  test("weightedSample: weight-proportional inclusion, deterministic, " +
+      "degenerates to exactSample on constant weights") {
+    import spark.implicits._
+    // 200 light (w=1) + 200 heavy (w=20) keys: E-S inclusion probability
+    // scales with weight, so the k=100 sample must be heavy-dominated
+    val rows = ((0L until 200L).map(i => (i, 1.0)) ++
+      (200L until 400L).map(i => (i, 20.0))).toDF("id", "w")
+    val got = graft.ops.Curation.weightedSample(rows, col("id"), col("w"), 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.size == 100)
+    val heavy = got.count(_ >= 200L)
+    assert(heavy > 75, s"heavy keys sampled: $heavy of 100")
+    // deterministic across partitionings
+    val again = graft.ops.Curation.weightedSample(rows.repartition(7),
+      col("id"), col("w"), 100).collect().map(_.getLong(0)).toSet
+    assert(again == got)
+    // zero/negative/null weights never sample
+    val withBad = rows.unionByName(
+      Seq((1000L, 0.0), (1001L, -3.0)).toDF("id", "w"))
+    val gotBad = graft.ops.Curation.weightedSample(withBad, col("id"),
+      col("w"), 400).collect().map(_.getLong(0)).toSet
+    assert(!gotBad.contains(1000L) && !gotBad.contains(1001L))
+    // constant weights: u^(1/w) is monotone in u, so selection = the
+    // md5-order k-subset exactSample picks (order of u preserved)
+    val const = rows.withColumn("w", lit(1.0))
+    val ws = graft.ops.Curation.weightedSample(const, col("id"), col("w"), 50)
+      .collect().map(_.getLong(0)).toSet
+    val es = graft.ops.Curation.exactSample(const, col("id"), 50)
+      .collect().map(_.getLong(0)).toSet
+    // exactSample keeps SMALLEST hex15; E-S keeps LARGEST u^(1/1)=u —
+    // complementary order statistics of the same hash: disjoint by
+    // construction at k+k <= n, both deterministic
+    assert(ws.intersect(es).isEmpty && ws.size == 50 && es.size == 50)
+  }
+
+  test("mixtureBudget: alloc/cap/shortfall arithmetic, unlisted source " +
+      "weight 0, epoch ceiling binds") {
+    import spark.implicits._
+    val docs = Seq(
+      ("web", 100L), ("web", 100L),          // 200 tokens
+      ("code", 50L),                          // 50 tokens
+      ("tiny", 10L),                          // 10 tokens, unlisted
+      ("books", 1000L))                       // plenty
+      .toDF("src", "toks")
+    val got = graft.ops.Curation.mixtureBudget(docs, col("src"), col("toks"),
+        Map("web" -> 0.5, "code" -> 0.3, "books" -> 0.2),
+        budget = 1000L, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6),
+         r.getDouble(7), r.getLong(8))).toMap
+    // web: alloc 500, cap 400 → granted 400, epochs 2.0, shortfall 100
+    assert(got("web") == ((200L, 500L, 400L, 400L, 2.0, 100L)))
+    // code: alloc floor(1000·0.3) = 300 (the double product rounds to
+    // exactly 300.0), cap 100 → granted 100, epochs 2.0, shortfall 200
+    assert(got("code") == ((50L, 300L, 100L, 100L, 2.0, 200L)))
+    // books: alloc 200, cap 2000 → granted 200, epochs 0.2, no shortfall
+    assert(got("books") == ((1000L, 200L, 2000L, 200L, 0.2, 0L)))
+    // unlisted: weight 0, everything 0, still reported
+    assert(got("tiny") == ((10L, 0L, 20L, 0L, 0.0, 0L)))
+  }
+
+  test("collocations: hand-computed PMI, minCount prunes hapax pairs") {
+    import spark.implicits._
+    // "new york" 4 times, "of the" 4 times but from frequent unigrams,
+    // one hapax pair that minCount must drop
+    val docs = Seq(
+      "new york new york of the of the",
+      "new york new york of the of the",
+      "hapax pair of the the the of of").toDF("text")
+    val got = graft.ops.TextAnalysis.collocations(docs, col("text"),
+        minCount = 2L, topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(!got.contains(("hapax", "pair")))
+    assert(got.contains(("new", "york")) && got.contains(("of", "the")))
+    // replay the formula for (new, york): c=4... counts from the corpus
+    val allToks = docs.collect().flatMap(_.getString(0).split("\\s+"))
+    val t = allToks.length.toDouble
+    val pairsAll = docs.collect().flatMap(r =>
+      r.getString(0).split("\\s+").sliding(2).map(a => (a(0), a(1))))
+    val b = pairsAll.length.toDouble
+    def pmi(x: String, y: String): Double = {
+      val nab = pairsAll.count(_ == ((x, y))).toDouble
+      val ca = allToks.count(_ == x).toDouble
+      val cb = allToks.count(_ == y).toDouble
+      BigDecimal(math.log((nab / b) / ((ca / t) * (cb / t))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got(("new", "york"))._2 == pmi("new", "york"))
+    assert(got(("of", "the"))._2 == pmi("of", "the"))
+    // higher association ranks higher: "new york" beats "of the"
+    assert(got(("new", "york"))._2 > got(("of", "the"))._2)
+  }
+
+  test("splitLeakage: planted cross-split twins surface, boilerplate " +
+      "grams pruned, same-split twins invisible") {
+    import spark.implicits._
+    val boiler = "b1 b2 b3 b4 b5" // planted in > maxDf docs
+    val leak = "u1 u2 u3 u4 u5"   // rare 5-gram shared by two docs
+    val docs = ((0L until 12L).map(i => (i, s"$boiler filler$i x$i y$i z$i")) ++
+      Seq((100L, s"$leak alpha beta gamma delta"),
+          (101L, s"$leak epsilon zeta eta theta"),
+          (102L, "nothing shared here at all five"))).toDF("id", "text")
+    // force splits: 100 train, 101 test; every boilerplate doc train
+    val split = when(col("id") === 101L, "test").otherwise(
+      when(col("id") === 102L, "val").otherwise(lit("train")))
+    val got = graft.ops.Curation.splitLeakage(docs, col("id"), col("text"),
+        split, n = 5, minShared = 1, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    // the planted leak pair, exactly once, with 1 shared gram
+    assert(got == Set((100L, 101L, "test", 1L)))
+    // raise maxDf so boilerplate stops being pruned: still no extra
+    // pairs because all boilerplate docs share one split (train x train
+    // is not leakage)
+    val loose = graft.ops.Curation.splitLeakage(docs, col("id"), col("text"),
+        split, n = 5, minShared = 1, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((100L, 101L)))
+  }
 }
