@@ -202,18 +202,16 @@ object Curation {
     * that makes growing a sharded corpus store an incremental copy
     * instead of a full rewrite. Row-local, content-keyed,
     * engine-portable (ties between 60-bit weights are beyond-astronomic;
-    * both engines break them toward the larger shard id). HOF note:
-    * `transform`/`array_max` evaluate interpreted, but the per-row cost
-    * is the `nShards` md5 calls either way — move to a compiled kernel
-    * for large shard counts. */
-  def rendezvousShard(key: Column, nShards: Int): Column = {
-    require(nShards >= 1, "nShards must be >= 1")
-    array_max(transform(sequence(lit(0), lit(nShards - 1)),
-      s => struct(
-        graft.expr.PortableHash.hex15Col(concat_ws(":", s, key)).as("h"),
-        s.as("s"))))
-      .getField("s")
-  }
+    * both engines break them toward the larger shard id). Since `nShards`
+    * is a plan-time constant, the argmax unrolls into a codegen'd
+    * struct-max chain ([[graft.expr.CurationExprs.rendezvousShard]] —
+    * also the SQL `rendezvous_shard` builder) instead of an interpreted
+    * `transform`/`array_max` HOF pair. */
+  def rendezvousShard(key: Column, nShards: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expr.CurationExprs.rendezvousShard(
+        org.apache.spark.sql.graft.Bridge.expression(key.cast("string")),
+        nShards))
 
   /** Robust outlier gate on a per-document metric via the MODIFIED
     * z-score (Iglewicz–Hoaglin): `z = 0.6745·(x − median) / MAD`,

@@ -578,6 +578,84 @@ object QualitySignals {
       .select(col("nr").as("n_ref"), col("nq").as("n_cand"), col("kl"))
   }
 
+  /**
+   * Exact two-sample Kolmogorov–Smirnov drift over a per-document NUMERIC
+   * metric (length, quality score, token count): `KS = sup_x |F_ref(x) −
+   * F_cand(x)|`, the distribution-shape gate PSI/KL's fixed hash buckets
+   * can miss (a pure location shift spreads over many buckets; KS reads
+   * it directly off the CDFs). Returns one row `(n_ref, n_cand, ks,
+   * ks_at)` — ks at 6dp, `ks_at` the smallest metric value attaining the
+   * supremum.
+   *
+   * Exactness stance: the supremum is chosen by INTEGER comparison —
+   * `|sr·nq − sq·nr|` over decimal(38) products — so the argmax never
+   * depends on float summation order; only the final reported ratio
+   * divides. Scale shape: per-side value counts reduce under partial
+   * aggregation to a DISTINCT-VALUE-bounded table (quantize first for
+   * continuous metrics); the CDF walk is the [[driftPsi]] ordered-fold
+   * discipline — one sorted collect of the bounded value table, no
+   * unpartitioned window, no corpus-sized collect. */
+  def driftKs(ref: DataFrame, refMetric: Column, cand: DataFrame,
+      candMetric: Column): DataFrame = {
+    def counts(df: DataFrame, m: Column, out: String): DataFrame =
+      df.select(m.cast("double").as("x")).filter(col("x").isNotNull)
+        .groupBy("x").agg(count(lit(1)).as(out))
+    val joined = counts(ref, refMetric, "cr")
+      .join(counts(cand, candMetric, "cq"), Seq("x"), "full")
+      .select(col("x"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cq"), lit(0L)).as("cq"))
+    val totals = joined.agg(sum("cr").as("nr"), sum("cq").as("nq"))
+    val dec = "decimal(38,0)"
+    val folded = aggregate(
+      array_sort(collect_list(struct(col("x"), col("cr"), col("cq"),
+        col("nr"), col("nq")))),
+      struct(lit(0L).as("sr"), lit(0L).as("sq"),
+        lit(-1).cast(dec).as("best"), lit(Double.NaN).as("at")),
+      (acc, e) => {
+        val sr = acc.getField("sr") + e.getField("cr")
+        val sq = acc.getField("sq") + e.getField("cq")
+        val d = abs(sr.cast(dec) * e.getField("nq").cast(dec) -
+          sq.cast(dec) * e.getField("nr").cast(dec))
+        struct(sr.as("sr"), sq.as("sq"),
+          greatest(d, acc.getField("best")).as("best"),
+          when(d > acc.getField("best"), e.getField("x"))
+            .otherwise(acc.getField("at")).as("at"))
+      })
+    joined.crossJoin(broadcast(totals))
+      .groupBy("nr", "nq")
+      .agg(folded.as("f"))
+      .select(col("nr").as("n_ref"), col("nq").as("n_cand"),
+        round(col("f.best").cast("double") /
+          (col("nr").cast("double") * col("nq").cast("double")), 6).as("ks"),
+        col("f.at").as("ks_at"))
+  }
+
+  /**
+   * Encoding-artifact (mojibake) signal — the "was this decoded with the
+   * wrong charset" gate a crawl pipeline runs before any text op:
+   * per-document counts of U+FFFD replacement characters (decoder gave
+   * up), Ã/Â-prefixed double-encoded UTF-8 pairs and â-prefixed triples
+   * (UTF-8 bytes re-decoded as Latin-1 — the `Ã©`/`â€™` signature), and
+   * C0 control characters (except tab/LF/CR — binary bleed-through).
+   * Returns `(id, n_replacement, n_double_utf8, n_control, clean)`.
+   * Row-local `regexp_count` projections — stateless, streaming-safe,
+   * zero exchanges. */
+  def encodingArtifacts(df: DataFrame, idCol: Column,
+      textCol: Column): DataFrame = {
+    val t = textCol.cast("string")
+    val nRepl = regexp_count(t, lit("\\uFFFD"))
+    val nDouble = regexp_count(t, lit("[\\u00C3\\u00C2][\\u0080-\\u00BF]")) +
+      regexp_count(t, lit("\\u00E2[\\u0080-\\u00BF][\\u0080-\\u00BF]"))
+    val nCtrl = regexp_count(t,
+      lit("[\\u0000-\\u0008\\u000B\\u000C\\u000E-\\u001F]"))
+    df.select(idCol.cast("long").as("id"),
+        nRepl.cast("bigint").as("n_replacement"),
+        nDouble.cast("bigint").as("n_double_utf8"),
+        nCtrl.cast("bigint").as("n_control"))
+      .withColumn("clean",
+        col("n_replacement") + col("n_double_utf8") + col("n_control") === 0)
+  }
+
   /** N-gram NOVELTY of each candidate document against a REFERENCE
     * corpus: the fraction of the doc's DISTINCT word `n`-grams absent
     * from the reference's gram set — the memorization/regurgitation

@@ -688,4 +688,37 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("a"), col("b"))
       .limit(topN)
   }
+
+  /**
+   * Distinct-n diversity — the corpus-level lexical-diversity metric
+   * generation pipelines track (Li et al.'s distinct-1/2: distinct
+   * n-grams over total n-gram occurrences; a synthetic corpus collapsing
+   * to template loops shows it immediately where per-doc repetition
+   * signals average it away). One row per `n`: `(n, total_grams,
+   * distinct_grams, distinct_ratio)` (4dp), ordered by n.
+   *
+   * Scale shape: one pass per n — grams hash row-locally
+   * ([[graft.expr.PortableHash]] md5, so the DuckDB oracle counts the
+   * same sets), totals and exact distinct counts reduce under partial
+   * aggregation; only (hash) longs shuffle, text never moves. */
+  def distinctN(df: DataFrame, textCol: Column,
+      ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "need ns all >= 1")
+    val toks = df.select(
+      array_remove(split(trim(textCol), "\\s+"), "").as("tk"))
+    ns.map { n =>
+      val grams = when(size(col("tk")) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(col("tk")) - n),
+          i => concat_ws(" ", slice(col("tk"), i + 1, lit(n)))))
+      toks.select(explode(grams).as("g"))
+        .select(graft.expr.PortableHash.hex15Col(col("g")).as("h"))
+        .agg(count(lit(1)).as("total_grams"),
+          count_distinct(col("h")).as("distinct_grams"))
+        .select(lit(n.toLong).as("n"), col("total_grams"),
+          col("distinct_grams"),
+          when(col("total_grams") === 0, lit(0.0))
+            .otherwise(round(col("distinct_grams").cast("double") /
+              col("total_grams"), 4)).as("distinct_ratio"))
+    }.reduce(_ unionByName _).orderBy("n")
+  }
 }

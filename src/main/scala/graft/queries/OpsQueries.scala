@@ -1517,7 +1517,39 @@ object OpsQueries {
             .cast("bigint").as("n_tokens"),
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
-    })
+    }),
+    "q195_drift_ks" -> ((s, d) => {
+      // exact two-sample KS over per-doc token counts, head batch vs
+      // tail batch (q154's split): supremum chosen by integer
+      // comparison, so the argmax never rides float summation order
+      val docs = t(s, d, "documents")
+      val nTok = size(array_remove(split(trim(col("text")), "\\s+"), ""))
+      graft.ops.QualitySignals.driftKs(
+        docs.filter(col("doc_id") < 250).select(nTok.as("m")), col("m"),
+        docs.filter(col("doc_id") >= 250).select(nTok.as("m")), col("m"))
+    }),
+    "q196_encoding_artifacts" -> ((s, d) =>
+      // mojibake gate over a deterministically decorated corpus:
+      // ids %3 gain a U+FFFD, %4 a latin-1 double-encoded pair+triple,
+      // %5 a C0 control char — mirrored verbatim in the oracle
+      graft.ops.QualitySignals.encodingArtifacts(
+          t(s, d, "documents").select(col("doc_id"),
+            concat(col("text"),
+              when(col("doc_id") % 3 === 0, lit(" caf\uFFFD"))
+                .otherwise(lit("")),
+              when(col("doc_id") % 4 === 0,
+                lit(" caf\u00C3\u00A9 don\u00E2\u0080\u0099t"))
+                .otherwise(lit("")),
+              when(col("doc_id") % 5 === 0, lit(" bell\u0007"))
+                .otherwise(lit("")))
+              .as("ptext")),
+          col("doc_id"), col("ptext"))
+        .orderBy("id")),
+    "q197_distinct_n" -> ((s, d) =>
+      // corpus lexical diversity: distinct-1/2/3 over md5 gram hashes —
+      // the oracle counts the same sets by gram string (collision-free
+      // ground truth, the q172 stance)
+      graft.ops.TextAnalysis.distinctN(t(s, d, "documents"), col("text")))
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -4237,7 +4269,78 @@ object OpsQueries {
                 CAST(count(k.ti) AS BIGINT) AS n_tokens,
                 md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.ti), '')) AS text_md5
          FROM btoks b LEFT JOIN kept k ON b.doc_id = k.doc_id
-         GROUP BY b.doc_id ORDER BY b.doc_id"""
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
+
+    "q195_drift_ks" ->
+      // CDF walk over the joined distinct-value table; supremum by exact
+      // HUGEINT cross-product comparison (same integers the engine's
+      // decimal(38) fold compares), ties -> smallest value
+      """WITH r AS (SELECT CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS DOUBLE) AS x
+                    FROM documents WHERE doc_id < 250),
+         c AS (SELECT CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS DOUBLE) AS x
+               FROM documents WHERE doc_id >= 250),
+         rc AS (SELECT x, count(*) AS cr FROM r GROUP BY x),
+         cc AS (SELECT x, count(*) AS cq FROM c GROUP BY x),
+         j AS (SELECT coalesce(rc.x, cc.x) AS x, coalesce(cr, 0) AS cr, coalesce(cq, 0) AS cq
+               FROM rc FULL JOIN cc ON rc.x = cc.x),
+         t AS (SELECT (SELECT sum(cr) FROM j) AS nr, (SELECT sum(cq) FROM j) AS nq),
+         cum AS (SELECT x, sum(cr) OVER (ORDER BY x) AS sr, sum(cq) OVER (ORDER BY x) AS sq FROM j),
+         sc AS (SELECT x, abs(CAST(sr AS HUGEINT) * nq - CAST(sq AS HUGEINT) * nr) AS dnum
+                FROM cum, t),
+         m AS (SELECT max(dnum) AS mx FROM sc)
+         SELECT CAST(nr AS BIGINT) AS n_ref, CAST(nq AS BIGINT) AS n_cand,
+                round(CAST(mx AS DOUBLE) / (CAST(nr AS DOUBLE) * CAST(nq AS DOUBLE)), 6) AS ks,
+                (SELECT min(x) FROM sc WHERE dnum = mx) AS ks_at
+         FROM t, m""",
+
+    "q196_encoding_artifacts" ->
+      // identical deterministic decoration (chr codepoints) + RE2 \x{..}
+      // classes mirroring the engine's Java-regex ranges
+      """WITH p AS (
+           SELECT doc_id,
+                  text
+                  || CASE WHEN doc_id % 3 = 0 THEN ' caf' || chr(65533) ELSE '' END
+                  || CASE WHEN doc_id % 4 = 0 THEN ' caf' || chr(195) || chr(169) || ' don' || chr(226) || chr(128) || chr(153) || 't' ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0 THEN ' bell' || chr(7) ELSE '' END AS ptext
+           FROM documents)
+         SELECT doc_id AS id,
+                CAST(len(regexp_extract_all(ptext, '\x{FFFD}')) AS BIGINT) AS n_replacement,
+                CAST(len(regexp_extract_all(ptext, '[\x{C3}\x{C2}][\x{80}-\x{BF}]'))
+                   + len(regexp_extract_all(ptext, '\x{E2}[\x{80}-\x{BF}][\x{80}-\x{BF}]')) AS BIGINT) AS n_double_utf8,
+                CAST(len(regexp_extract_all(ptext, '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}]')) AS BIGINT) AS n_control,
+                (len(regexp_extract_all(ptext, '\x{FFFD}'))
+                 + len(regexp_extract_all(ptext, '[\x{C3}\x{C2}][\x{80}-\x{BF}]'))
+                 + len(regexp_extract_all(ptext, '\x{E2}[\x{80}-\x{BF}][\x{80}-\x{BF}]'))
+                 + len(regexp_extract_all(ptext, '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}]'))) = 0 AS clean
+         FROM p ORDER BY id""",
+
+    "q197_distinct_n" ->
+      // gram-string distinct counts are collision-free ground truth for
+      // the engine's md5-hash distinct counts
+      """WITH toks AS (
+           SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         g1 AS (SELECT unnest(t) AS g FROM toks),
+         g2 AS (SELECT unnest([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]) AS g
+                FROM toks WHERE len(t) >= 2),
+         g3 AS (SELECT unnest([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS g
+                FROM toks WHERE len(t) >= 3)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS total_grams,
+                  CAST(count(DISTINCT g) AS BIGINT) AS distinct_grams,
+                  round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 4) AS distinct_ratio
+           FROM g1
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+                  CAST(count(DISTINCT g) AS BIGINT),
+                  round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 4)
+           FROM g2
+           UNION ALL
+           SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+                  CAST(count(DISTINCT g) AS BIGINT),
+                  round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 4)
+           FROM g3)
+         ORDER BY n"""
   )
 }
 

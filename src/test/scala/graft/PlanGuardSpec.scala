@@ -110,4 +110,50 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange"),
       s"piiMatches must stay exchange-free:\n$p")
   }
+
+  test("q190: weightedSample plans TakeOrderedAndProject — per-partition " +
+      "k-heaps, no global sort") {
+    val p = plan(graft.ops.Curation.weightedSample(
+      docs, col("doc_id"), col("n_chars"), 50))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted sampling must be a top-k, not a global sort:\n$p")
+    assert(!p.matches("(?s).*\\bSort\\b(?![^\\n]*within).*") ||
+      !p.contains("Exchange rangepartitioning"),
+      s"no range-partitioned global sort in the sampler:\n$p")
+  }
+
+  test("q192: collocations tops out with TakeOrderedAndProject and " +
+      "broadcasts the totals row") {
+    val p = plan(graft.ops.TextAnalysis.collocations(
+      docs, col("text"), minCount = 5L, topN = 40))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N collocations must be a top-k:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"totals must join as broadcast one-row frames:\n$p")
+  }
+
+  test("q193: splitLeakage prunes hot grams with a broadcast anti-join " +
+      "and never nested-loops the cross-split join") {
+    val p = plan(graft.ops.Curation.splitLeakage(
+      docs, col("doc_id"), col("text"),
+      graft.ops.Curation.splitAssign(col("doc_id")), n = 5,
+      minShared = 1, maxDf = 10))
+    assert(p.contains("LeftAnti") && p.contains("Broadcast"),
+      s"df-prune must be a broadcast anti-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"cross-split join must stay an equi-join on the gram hash:\n$p")
+  }
+
+  test("rendezvousShard compiles: no interpreted HOF (transform/array_max) " +
+      "in the plan, whole-stage codegen covers the projection") {
+    val p = plan(docs.select(graft.ops.Curation.rendezvousShard(
+      col("doc_id"), 8).as("shard")))
+    assert(!p.contains("array_max") && !p.contains("transform("),
+      s"rendezvous argmax must be the unrolled struct-max chain:\n$p")
+    // the *(n) stage prefix IS the whole-stage-codegen marker in the
+    // simple-string plan (the literal name only prints in formatted mode)
+    assert(p.contains("*(1) Project [greatest("),
+      s"rendezvous projection must stay inside codegen:\n$p")
+  }
 }

@@ -413,6 +413,57 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(uncapped == brute)
   }
 
+  test("driftKs: hand-computed supremum and location; identical " +
+      "distributions give 0; disjoint give 1") {
+    import spark.implicits._
+    // ref = {1,1,2,3}, cand = {2,3,3,4}:
+    // x=1: F_r=2/4, F_c=0    → d=.50  ← sup, smallest x
+    // x=2: F_r=3/4, F_c=1/4  → d=.50
+    // x=3: F_r=4/4, F_c=3/4  → d=.25 ; x=4: 0
+    val ref = Seq(1, 1, 2, 3).toDF("m")
+    val cand = Seq(2, 3, 3, 4).toDF("m")
+    val r = QualitySignals.driftKs(ref, col("m"), cand, col("m")).head()
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 4L)))
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 1.0)
+    val same = QualitySignals.driftKs(ref, col("m"), ref, col("m")).head()
+    assert(same.getDouble(2) == 0.0)
+    val disj = QualitySignals.driftKs(
+      Seq(1, 2).toDF("m"), col("m"), Seq(9, 10).toDF("m"), col("m")).head()
+    assert(disj.getDouble(2) == 1.0 && disj.getDouble(3) == 2.0)
+  }
+
+  test("encodingArtifacts: counts each artifact class; clean text clean") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "perfectly ordinary text"),
+      (2L, "bad caf\uFFFD and caf\u00C3\u00A9 here"),
+      (3L, "don\u00E2\u0080\u0099t panic"),
+      (4L, "bell\u0007 and null \u0000 bytes"),
+      (5L, "tabs\tand\nnewlines are fine"))
+      .toDF("id", "text")
+    val got = QualitySignals.encodingArtifacts(docs, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got(1L) == ((0L, 0L, 0L, true)))
+    assert(got(2L) == ((1L, 1L, 0L, false))) // one U+FFFD, one Ã© pair
+    assert(got(3L) == ((0L, 1L, 0L, false))) // one â-triple
+    assert(got(4L) == ((0L, 0L, 2L, false))) // BEL + NUL
+    assert(got(5L) == ((0L, 0L, 0L, true)))  // tab/LF excluded
+  }
+
+  test("distinctN: hand-computed diversity; empty-token docs contribute " +
+      "nothing") {
+    import spark.implicits._
+    val docs = Seq("a b a b", "a b", "").toDF("text")
+    // 1-grams: a,b,a,b,a,b → 6 total, 2 distinct
+    // 2-grams: (a b),(b a),(a b) + (a b) → 4 total, 2 distinct
+    val got = graft.ops.TextAnalysis.distinctN(docs, col("text"), Seq(1, 2))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((6L, 2L, 0.3333)))
+    assert(got(2L) == ((4L, 2L, 0.5)))
+  }
+
   test("zipfSlope: exact power law recovers its exponent") {
     import spark.implicits._
     // counts c(r) = 2^(8-r) for ranks 1..8 → ln c = ln(2^8) - r·ln 2, but
