@@ -236,6 +236,51 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** The persisted SimHash signature table of a frozen corpus — `(id,
+    * sig)`, one 60-bit sketch per document: the simhash member of the
+    * `…Against` artifact family ([[frequentLines]], [[repeatedGrams]]
+    * stance). 8 bytes per frozen document, whatever the text size.
+    * Token-less documents (signature 0) are excluded, matching
+    * [[simHashDuplicates]]. */
+  def simHashTable(df: DataFrame, idCol: Column, textCol: Column,
+      seed: Long = 42L): DataFrame =
+    df.filter(length(trim(textCol)) > 0)
+      .select(idCol.cast("long").as("id"), simhash(textCol, seed).as("sig"))
+
+  /** Incremental [[simHashDuplicates]]: near-dups of a NEW batch against
+    * a PERSISTED [[simHashTable]] with zero corpus re-sketching — the
+    * daily-ingest fuzzy gate at 8 bytes/frozen doc. Same banding (four
+    * 15-bit chunks, full recall at hamming ≤ 3 by pigeonhole; larger
+    * `maxHamming` recalls only pairs sharing a lucky chunk — the
+    * [[simHashDuplicates]] contract) and the same `bit_count` verify.
+    * Returns `(id, ref_id, hamming)`; a doc present on both sides
+    * self-matches at hamming 0 (the q170 self-containment proof).
+    *
+    * Scale shape: both sides reduce to (id, sig) longs row-locally; the
+    * equi-join on (band, chunk) carries 4 rows per doc and every bucket
+    * is bounded by chunk-collision mass — never all-pairs, text never
+    * shuffles. */
+  def simHashDupAgainst(batch: DataFrame, idCol: Column, textCol: Column,
+      sigTable: DataFrame, maxHamming: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    def banded(sigs: DataFrame): DataFrame =
+      sigs.select(col("id"), col("sig"),
+        posexplode(array((0 until 4).map(bn =>
+          shiftright(col("sig"), bn * 15).bitwiseAND(lit(0x7FFFL))): _*)))
+        .select(col("id"), col("sig"), col("pos").as("band"),
+          col("col").as("chunk"))
+    val b = banded(simHashTable(batch, idCol, textCol, seed)).as("b")
+    val f = banded(sigTable.select(col("id").cast("long").as("id"),
+      col("sig").cast("long").as("sig"))).as("f")
+    b.join(f, col("b.band") === col("f.band") &&
+        col("b.chunk") === col("f.chunk"))
+      .select(col("b.id").as("id"), col("f.id").as("ref_id"),
+        bit_count(col("b.sig").bitwiseXOR(col("f.sig")))
+          .cast("bigint").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Duplicate CLUSTERS from a near-duplicate pair relation: connected
     * components of the pair graph, each node labeled with the smallest id
     * reachable from it — so a pipeline keeps the `id == cluster_id` row of

@@ -156,6 +156,27 @@ final case class WinnowGate(k: Int = 3, w: Int = 4, minShared: Int = 3,
   }
 }
 
+/** [[Dedup.simHashTable]] → [[Dedup.simHashDupAgainst]]: drop documents
+  * within `maxHamming` of any frozen document's 60-bit sketch — the
+  * 8-bytes-per-frozen-doc fuzzy near-dup gate (full recall at hamming
+  * ≤ 3). Batch gate (anti-join on the flagged ids). */
+final case class SimHashGate(maxHamming: Int = 3, seed: Long = 42L)
+    extends ScrubArtifact {
+  val kind = "simhash_sigs"
+  def build(corpus: DataFrame, id: Column, text: Column): DataFrame =
+    Dedup.simHashTable(corpus, id, text, seed)
+  def apply(batch: DataFrame, id: Column, text: Column,
+      table: DataFrame): DataFrame =
+    Dedup.simHashDupAgainst(batch, id, text, table, maxHamming, seed)
+  def gate(batch: DataFrame, id: Column, text: Column,
+      table: DataFrame): DataFrame = {
+    val flagged = apply(batch, id, text, table)
+      .select(col("id").as("__flagged_id")).distinct()
+    batch.select(id.cast("long").as("id"), text.cast("string").as("text"))
+      .join(flagged, col("id") === col("__flagged_id"), "left_anti")
+  }
+}
+
 /** [[QualitySignals.ngramHashTable]] →
   * [[QualitySignals.ngramNoveltyAgainst]]: drop documents whose distinct
   * n-gram novelty against the frozen corpus falls below `minNovelty`

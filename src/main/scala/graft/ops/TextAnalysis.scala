@@ -690,6 +690,28 @@ object TextAnalysis {
   }
 
   /**
+   * Language confusion matrix — [[langId]] predictions against the
+   * corpus's declared labels: `(declared, pred, n, frac)` with `frac`
+   * the share of the declared language routed to each prediction (rows
+   * of the matrix sum to 1). The [[langIdCalibration]] agreement-rate
+   * buckets say WHETHER the classifier errs; this says WHERE (which
+   * languages absorb the mistakes — the routing-table diagnostic).
+   *
+   * Scale shape: one row-local classify + one partial-agg count to a
+   * languages²-bounded table; the share join is language-bounded. */
+  def langConfusion(df: DataFrame, declaredCol: Column,
+      textCol: Column): DataFrame = {
+    val counts = df
+      .select(declaredCol.cast("string").as("declared"),
+        langId(textCol).as("pred"))
+      .groupBy("declared", "pred").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("declared").agg(sum("n").as("nd"))
+    counts.join(totals, "declared")
+      .select(col("declared"), col("pred"), col("n"),
+        round(col("n").cast("double") / col("nd"), 4).as("frac"))
+  }
+
+  /**
    * Distinct-n diversity — the corpus-level lexical-diversity metric
    * generation pipelines track (Li et al.'s distinct-1/2: distinct
    * n-grams over total n-gram occurrences; a synthetic corpus collapsing

@@ -1549,7 +1549,26 @@ object OpsQueries {
       // corpus lexical diversity: distinct-1/2/3 over md5 gram hashes —
       // the oracle counts the same sets by gram string (collision-free
       // ground truth, the q172 stance)
-      graft.ops.TextAnalysis.distinctN(t(s, d, "documents"), col("text")))
+      graft.ops.TextAnalysis.distinctN(t(s, d, "documents"), col("text"))),
+    "q198_simhash_against" -> ((s, d) => {
+      // the simhash member of the ...Against family: batch (ids >= 300)
+      // sketches against the frozen corpus's (ids < 350) persisted 60-bit
+      // signature table — overlap ids self-match at hamming 0 (q170's
+      // self-containment proof); maxHamming 20 as in q46 for real pairs
+      val docs = t(s, d, "documents")
+      val frozen = Dedup.simHashTable(
+        docs.filter(col("doc_id") < 350), col("doc_id"), col("text"))
+      Dedup.simHashDupAgainst(
+          docs.filter(col("doc_id") >= 300), col("doc_id"), col("text"),
+          frozen, maxHamming = 20)
+        .orderBy("id", "ref_id")
+    }),
+    "q199_lang_confusion" -> ((s, d) =>
+      // where the lang-ID heuristic routes each declared language —
+      // the confusion matrix behind q142's agreement buckets
+      graft.ops.TextAnalysis.langConfusion(
+          t(s, d, "documents"), col("lang"), col("text"))
+        .orderBy("declared", "pred"))
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -4340,7 +4359,64 @@ object OpsQueries {
                   CAST(count(DISTINCT g) AS BIGINT),
                   round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 4)
            FROM g3)
-         ORDER BY n"""
+         ORDER BY n""",
+
+    "q198_simhash_against" ->
+      // q46's 60-bit md5 simhash replay, banded batch-vs-frozen instead
+      // of self-join; overlap ids self-match at hamming 0
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+           FROM documents WHERE length(trim(text)) > 0),
+         h AS (
+           SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+           FROM toks),
+         bits AS (
+           SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+           FROM h CROSS JOIN range(60) r(b) GROUP BY doc_id, b),
+         sig AS (
+           SELECT doc_id,
+                  sum(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS sig
+           FROM bits GROUP BY doc_id),
+         chunks AS (
+           SELECT doc_id, sig, c, (sig >> (15 * c)) & 32767 AS chunk
+           FROM sig CROSS JOIN range(4) r(c)),
+         cand AS (
+           SELECT DISTINCT b.doc_id AS id, f.doc_id AS ref_id,
+                  b.sig AS sb, f.sig AS sf
+           FROM chunks b JOIN chunks f
+             ON b.c = f.c AND b.chunk = f.chunk
+           WHERE b.doc_id >= 300 AND f.doc_id < 350)
+         SELECT id, ref_id, CAST(bit_count(xor(sb, sf)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(sb, sf)) <= 20
+         ORDER BY id, ref_id""",
+
+    "q199_lang_confusion" ->
+      // q49's classifier replay aggregated into the declared x predicted
+      // routing matrix with per-declared shares
+      """WITH h AS (
+           SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+         c AS (
+           SELECT doc_id, lang,
+             len(list_filter(tk, x -> list_contains(['the','and','of','to','in','is','that','with'], x))) AS en,
+             len(list_filter(tk, x -> list_contains(['el','la','de','que','y','los','las','por'], x))) AS es,
+             len(list_filter(tk, x -> list_contains(['le','la','les','des','est','une','dans','pour'], x))) AS fr,
+             len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS de
+           FROM h),
+         p AS (
+           SELECT lang AS declared,
+             CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+                  WHEN en = greatest(en, es, fr, de) THEN 'en'
+                  WHEN es = greatest(en, es, fr, de) THEN 'es'
+                  WHEN fr = greatest(en, es, fr, de) THEN 'fr'
+                  ELSE 'de' END AS pred
+           FROM c),
+         m AS (SELECT declared, pred, CAST(count(*) AS BIGINT) AS n
+               FROM p GROUP BY declared, pred),
+         t AS (SELECT declared, sum(n) AS nd FROM m GROUP BY declared)
+         SELECT m.declared AS declared, m.pred AS pred, m.n AS n,
+                round(CAST(m.n AS DOUBLE) / t.nd, 4) AS frac
+         FROM m JOIN t ON m.declared = t.declared
+         ORDER BY m.declared, m.pred"""
   )
 }
 

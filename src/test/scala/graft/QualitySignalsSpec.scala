@@ -413,6 +413,52 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(uncapped == brute)
   }
 
+  test("simHashDupAgainst: matches the self-join on the union; " +
+      "self-matches at hamming 0; empty docs excluded") {
+    import spark.implicits._
+    val frozen = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "   ")).toDF("id", "text") // token-less → no signature
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // exact twin of 1
+      (11L, "alpha beta gamma delta epsilon eta"),  // near twin
+      (12L, "totally disjoint vocabulary entirely here")).toDF("id", "text")
+    val table = graft.ops.Dedup.simHashTable(frozen, col("id"), col("text"))
+    assert(!table.collect().map(_.getLong(0)).contains(3L))
+    val got = graft.ops.Dedup.simHashDupAgainst(batch, col("id"),
+        col("text"), table, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.contains((10L, 1L, 0L)))
+    // parity with the one-shot self-join restricted to cross-side pairs
+    val selfJoin = graft.ops.Dedup.simHashDuplicates(
+        frozen.unionByName(batch), col("id"), col("text"), maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (a, b, _) => a < 10 && b >= 10 }
+      .map { case (a, b, h) => (b, a, h) }.toSet
+    assert(got == selfJoin)
+  }
+
+  test("langConfusion: rows sum to 1 per declared language and counts " +
+      "match a direct classify") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "the cat and the dog"), ("en", "is that with"),
+      ("de", "der hund und die katze"), ("de", "the borrowed words"),
+      ("zh", "wholly unmarked tokens")).toDF("lang", "text")
+    val got = graft.ops.TextAnalysis.langConfusion(docs, col("lang"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("en", "en")) == ((2L, 1.0)))
+    assert(got(("de", "de")) == ((1L, 0.5)) && got(("de", "en")) == ((1L, 0.5)))
+    assert(got(("zh", "und")) == ((1L, 1.0)))
+    // per-declared shares sum to 1 (4dp)
+    got.keys.map(_._1).toSet.foreach { (d: String) =>
+      val s = got.collect { case ((dd, _), (_, f)) if dd == d => f }.sum
+      assert(math.abs(s - 1.0) < 1e-9, s"shares for $d sum to $s")
+    }
+  }
+
   test("driftKs: hand-computed supremum and location; identical " +
       "distributions give 0; disjoint give 1") {
     import spark.implicits._
