@@ -761,6 +761,29 @@ object Curation {
   }
 
   /**
+   * Per-STRATUM [[weightedSample]] — `k` weight-proportional rows from
+   * EVERY stratum (language, source, quality bin) in one pass: the
+   * balanced eval-set builder. Same Efraimidis–Spirakis content-keyed
+   * score; `keyCol` must be the numeric document id (it rides the
+   * bounded top-k buffer). Returns `(stratum, rnk, id)`.
+   *
+   * Scale shape: [[graft.ops.TopK.perGroup]] — bounded map-side buffers,
+   * never a `row_number` window's full per-stratum sort; the shuffle
+   * carries ≤ partitions × strata × k structs. */
+  def weightedSamplePerStratum(df: DataFrame, keyCol: Column,
+      stratumCol: Column, weightCol: Column, k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val u = (graft.expr.PortableHash.hex15Col(keyCol) + lit(1L)) /
+      lit(math.pow(2.0, 60))
+    val w = weightCol.cast("double")
+    val scored = df.filter(w.isNotNull && w > 0)
+      .select(stratumCol.cast("string").as("stratum"),
+        keyCol.cast("long").as("kid"), pow(u, lit(1.0) / w).as("es"))
+    TopK.perGroup(scored, Seq(col("stratum")), col("kid"), col("es"), k)
+      .select(col("stratum"), col("rnk"), col("id"))
+  }
+
+  /**
    * Token-budget mixture allocation — the planning step of a pretraining
    * data mix: given per-document source + token counts, target mixture
    * weights, a total token budget, and a repetition ceiling, how many

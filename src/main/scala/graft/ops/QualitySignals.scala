@@ -310,6 +310,60 @@ object QualitySignals {
           (coalesce(col("cu"), lit(0L)) + lit(vocabSize)))), 4).as("avg_lp"))
   }
 
+  /** The persisted REFERENCE bigram-LM table — the `…Against` artifact
+    * for [[bigramLmScoreAgainst]] (CCNet proper: the model trains on a
+    * CLEAN reference corpus — Wikipedia in the paper — and scores the
+    * crawl; [[bigramLmScore]]'s self-trained form is the bootstrap).
+    * One frame, two row kinds: unigrams `(a, NULL, c(a))` and bigrams
+    * `(a, b, c(a,b))` — vocabulary size is the unigram row count, so the
+    * artifact is self-contained. Vocabulary-bounded, partial-aggregated,
+    * text never shuffles. */
+  def bigramLmTable(ref: DataFrame, refText: Column): DataFrame = {
+    val toks = ref.select(lit(0L).as("id"),
+        split(trim(refText), "\\s+").as("tk"))
+      .select(col("id"), filter(col("tk"), w => w =!= "").as("tk"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(col("w").as("a"), lit(null).cast("string").as("b"), col("c"))
+    val big = bigramRows(toks).groupBy("a", "b").agg(count(lit(1)).as("c"))
+    uni.unionByName(big)
+  }
+
+  /** Incremental [[bigramLmScore]]: score a batch — or an unbounded
+    * STREAM when `broadcastModel` — under a PERSISTED reference
+    * [[bigramLmTable]], zero reference recomputation: the daily-ingest
+    * quality gate, and the CCNet shape proper (clean-reference model,
+    * crawl candidates). Same formula bit-for-bit: mean
+    * `ln((c(w₁w₂)+1)/(c(w₁)+V))`, unseen bigrams/unigrams at count 0,
+    * `V` = reference vocabulary; `(id, n_big, avg_lp)` (4dp), docs with
+    * < 2 tokens absent. Scoring against its own corpus's table
+    * reproduces [[bigramLmScore]] exactly (spec-asserted).
+    *
+    * Scale shape: the model broadcasts (vocabulary-bounded) into two
+    * joins on the candidate's bigram rows — one corpus scan, shuffles
+    * only the per-doc aggregate; `broadcastModel = false` shuffles the
+    * scoring join on the bigram key instead when vocab² outgrows
+    * broadcast ([[bigramLmScore]]'s escape hatch). */
+  def bigramLmScoreAgainst(cand: DataFrame, idCol: Column, textCol: Column,
+      model: DataFrame, broadcastModel: Boolean = true): DataFrame = {
+    val uni = model.filter(col("b").isNull)
+      .select(col("a"), col("c").as("cu"))
+    val vocabSize = uni.count() // vocabulary-sized job, driver scalar
+    val big = model.filter(col("b").isNotNull)
+      .select(col("a"), col("b"), col("c").as("cb"))
+    val toks = cand.select(idCol.as("id"), split(trim(textCol), "\\s+").as("tk"))
+      .select(col("id"), filter(col("tk"), w => w =!= "").as("tk"))
+    val bigrams = bigramRows(toks)
+    val (bigM, uniM) =
+      if (broadcastModel) (broadcast(big), broadcast(uni)) else (big, uni)
+    bigrams.join(bigM, Seq("a", "b"), "left")
+      .join(uniM, Seq("a"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_big"),
+        round(avg(log((coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("cu"), lit(0L)) + lit(vocabSize)))), 4).as("avg_lp"))
+  }
+
   /** WORST-WINDOW variant of [[bigramLmScore]]: per document, the
     * minimum mean log-probability over every sliding window of `window`
     * consecutive bigrams — the "find the bad SPAN, not the bad doc"

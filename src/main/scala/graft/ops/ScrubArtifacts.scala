@@ -177,6 +177,30 @@ final case class SimHashGate(maxHamming: Int = 3, seed: Long = 42L)
   }
 }
 
+/** [[QualitySignals.bigramLmTable]] →
+  * [[QualitySignals.bigramLmScoreAgainst]]: drop documents whose mean
+  * bigram log-probability under the CLEAN reference model falls below
+  * `minAvgLp` — the CCNet quality gate as a daily-ingest artifact.
+  * Documents with < 2 tokens carry no LM evidence and pass. Batch gate
+  * (the score aggregates per doc). */
+final case class LmScoreGate(minAvgLp: Double = -9.0)
+    extends ScrubArtifact {
+  val kind = "bigram_lm"
+  def build(corpus: DataFrame, id: Column, text: Column): DataFrame =
+    QualitySignals.bigramLmTable(corpus, text)
+  def apply(batch: DataFrame, id: Column, text: Column,
+      table: DataFrame): DataFrame =
+    QualitySignals.bigramLmScoreAgainst(batch, id.cast("long"), text, table)
+  def gate(batch: DataFrame, id: Column, text: Column,
+      table: DataFrame): DataFrame = {
+    val flagged = apply(batch, id, text, table)
+      .filter(col("avg_lp") < minAvgLp)
+      .select(col("id").as("__flagged_id"))
+    batch.select(id.cast("long").as("id"), text.cast("string").as("text"))
+      .join(flagged, col("id") === col("__flagged_id"), "left_anti")
+  }
+}
+
 /** [[QualitySignals.ngramHashTable]] →
   * [[QualitySignals.ngramNoveltyAgainst]]: drop documents whose distinct
   * n-gram novelty against the frozen corpus falls below `minNovelty`

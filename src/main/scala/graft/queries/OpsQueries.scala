@@ -1568,7 +1568,28 @@ object OpsQueries {
       // the confusion matrix behind q142's agreement buckets
       graft.ops.TextAnalysis.langConfusion(
           t(s, d, "documents"), col("lang"), col("text"))
-        .orderBy("declared", "pred"))
+        .orderBy("declared", "pred")),
+    "q200_lm_score_against" -> ((s, d) => {
+      // CCNet proper: the bigram LM trains on the CLEAN slice (en docs
+      // < 400) and scores the incoming batch (ids >= 300) — unseen
+      // bigrams smooth to c=0, unseen first-tokens to cu=0, V from the
+      // reference vocabulary only
+      val docs = t(s, d, "documents")
+      val model = graft.ops.QualitySignals.bigramLmTable(
+        docs.filter(col("doc_id") < 400 && col("lang") === "en"), col("text"))
+      graft.ops.QualitySignals.bigramLmScoreAgainst(
+          docs.filter(col("doc_id") >= 300), col("doc_id"), col("text"), model)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+    "q201_weighted_stratum_sample" -> ((s, d) =>
+      // balanced eval-set builder: 10 n_chars-weighted docs per declared
+      // language via the bounded top-k aggregator — no per-stratum
+      // window sort
+      graft.ops.Curation.weightedSamplePerStratum(
+          t(s, d, "documents"), col("doc_id"), col("lang"), col("n_chars"),
+          k = 10)
+        .orderBy("stratum", "rnk"))
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -4416,7 +4437,47 @@ object OpsQueries {
          SELECT m.declared AS declared, m.pred AS pred, m.n AS n,
                 round(CAST(m.n AS DOUBLE) / t.nd, 4) AS frac
          FROM m JOIN t ON m.declared = t.declared
-         ORDER BY m.declared, m.pred"""
+         ORDER BY m.declared, m.pred""",
+
+    "q200_lm_score_against" ->
+      // q93's formula with the model CTEs restricted to the clean
+      // reference slice and LEFT joins smoothing unseen counts to 0
+      """WITH rtoks AS (
+           SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents WHERE doc_id < 400 AND lang = 'en'),
+         uni AS (SELECT w, count(*) AS cu
+                 FROM (SELECT unnest(tk) AS w FROM rtoks) GROUP BY w),
+         vv AS (SELECT count(*) AS v FROM uni),
+         rbig AS (SELECT tk[i + 1] AS a, tk[i + 2] AS b
+                  FROM (SELECT tk, unnest(range(len(tk) - 1)) AS i
+                        FROM rtoks WHERE len(tk) >= 2)),
+         bc AS (SELECT a, b, count(*) AS cb FROM rbig GROUP BY a, b),
+         ctoks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents WHERE doc_id >= 300),
+         cbig AS (SELECT doc_id, tk[i + 1] AS a, tk[i + 2] AS b
+                  FROM (SELECT doc_id, tk, unnest(range(len(tk) - 1)) AS i
+                        FROM ctoks WHERE len(tk) >= 2))
+         SELECT cbig.doc_id AS doc_id, count(*) AS n_big,
+                round(avg(ln((coalesce(bc.cb, 0) + 1.0) / (coalesce(uni.cu, 0) + vv.v))), 4) AS avg_lp
+         FROM cbig LEFT JOIN bc ON cbig.a = bc.a AND cbig.b = bc.b
+                   LEFT JOIN uni ON cbig.a = uni.w, vv
+         GROUP BY cbig.doc_id ORDER BY doc_id""",
+
+    "q201_weighted_stratum_sample" ->
+      // window replay of the bounded aggregator: row_number over
+      // (u^(1/w) DESC, id) per language, top 10
+      """SELECT lang AS stratum, CAST(rnk AS BIGINT) AS rnk, doc_id AS id
+         FROM (
+           SELECT lang, doc_id,
+                  row_number() OVER (PARTITION BY lang ORDER BY
+                    pow((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                          / 1152921504606846976.0,
+                        1.0 / n_chars) DESC, doc_id) AS rnk
+           FROM documents
+           WHERE n_chars IS NOT NULL AND n_chars > 0)
+         WHERE rnk <= 10
+         ORDER BY stratum, rnk"""
   )
 }
 

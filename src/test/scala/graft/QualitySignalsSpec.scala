@@ -459,6 +459,35 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bigramLmScoreAgainst: scoring a corpus under its own table " +
+      "reproduces bigramLmScore; unseen text smooths to the floor") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c"))
+      .toDF("id", "text")
+    val table = QualitySignals.bigramLmTable(docs, col("text"))
+    val self = QualitySignals.bigramLmScore(docs, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val against = QualitySignals.bigramLmScoreAgainst(docs, col("id"),
+        col("text"), table)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(against == self)
+    // fully-unseen bigrams: cb=0, cu=0 → every term ln(1/V), V=3
+    val alien = QualitySignals.bigramLmScoreAgainst(
+        Seq((9L, "x y z")).toDF("id", "text"), col("id"), col("text"), table)
+      .head()
+    assert(alien.getLong(1) == 2L)
+    assert(alien.getDouble(2) ==
+      BigDecimal(math.log(1.0 / 3))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // the gate keeps good text, drops gibberish below the threshold
+    val gate = graft.ops.LmScoreGate(minAvgLp = math.log(1.0 / 3) + 0.01)
+    val kept = gate.gate(
+        Seq((1L, "a b a b"), (9L, "x y z")).toDF("id", "text"),
+        col("id"), col("text"), table)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
   test("driftKs: hand-computed supremum and location; identical " +
       "distributions give 0; disjoint give 1") {
     import spark.implicits._

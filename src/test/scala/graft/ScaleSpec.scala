@@ -440,6 +440,26 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ws.intersect(es).isEmpty && ws.size == 50 && es.size == 50)
   }
 
+  test("weightedSamplePerStratum: k per stratum, stratum-local selection " +
+      "equals the global sampler run on that stratum alone") {
+    import spark.implicits._
+    val rows = (0L until 100L).map(i =>
+      (i, if (i % 2 == 0) "even" else "odd", (i % 7 + 1).toDouble))
+      .toDF("id", "s", "w")
+    val got = graft.ops.Curation.weightedSamplePerStratum(
+        rows, col("id"), col("s"), col("w"), k = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2)))
+    assert(got.count(_._1 == "even") == 5 && got.count(_._1 == "odd") == 5)
+    // stratum independence: the "even" picks equal the global sampler
+    // restricted to even rows
+    val evenOnly = graft.ops.Curation.weightedSample(
+        rows.filter(col("s") === "even"), col("id"), col("w"), 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.filter(_._1 == "even").map(_._3).toSet == evenOnly)
+    // ranks are 1..k within each stratum
+    assert(got.filter(_._1 == "odd").map(_._2).sorted.toSeq == (1L to 5L))
+  }
+
   test("mixtureBudget: alloc/cap/shortfall arithmetic, unlisted source " +
       "weight 0, epoch ceiling binds") {
     import spark.implicits._
