@@ -690,6 +690,42 @@ object TextAnalysis {
   }
 
   /**
+   * Cluster topic summaries — the "corpus map": for each embedding
+   * cluster ([[graft.ops.Ivf.assignClusters]] output or any `(id,
+   * cluster)` frame), the top-`k` terms by cluster-level tf-idf
+   * (`tf(term, cluster) · ln((K+1)/(df+1))` with `df` = number of
+   * clusters containing the term — [[tfidfKeywords]]' smoothing lifted
+   * from documents to clusters). What a human reads to label IVF cells
+   * after an index build or a SemDeDup pass. Returns `(cluster, rnk,
+   * term, score)` (4dp; ties → term ascending).
+   *
+   * Scale shape: one explode + partial-agg to the (cluster × term)
+   * count table; `df` and the totals are term-vocabulary-bounded; the
+   * per-cluster top-k is the [[tfidfKeywords]] bounded sort-slice —
+   * per-cluster vocabulary, never corpus rows. */
+  def clusterTopics(docs: DataFrame, idCol: Column, textCol: Column,
+      assign: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val terms = docs.select(idCol.cast("long").as("id"),
+        explode(array_remove(split(trim(textCol), "\\s+"), "")).as("term"))
+      .join(assign.select(col("id").cast("long").as("id"),
+        col("cluster").cast("int").as("cluster")), "id")
+    val ct = terms.groupBy("cluster", "term").agg(count(lit(1)).as("tf"))
+    val nClusters = ct.select("cluster").distinct().count()
+    val dfT = ct.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = ct.join(dfT, "term")
+      .select(col("cluster"), col("term"),
+        round(col("tf") * log((lit(nClusters) + 1).cast("double") /
+          (col("df") + 1)), 4).as("s"))
+    scored.groupBy("cluster")
+      .agg(slice(array_sort(collect_list(struct((-col("s")).as("ns"),
+        col("term").as("term")))), 1, k).as("top"))
+      .select(col("cluster"), posexplode(col("top")))
+      .select(col("cluster"), (col("pos") + 1).as("rnk"),
+        col("col.term").as("term"), (-col("col.ns")).as("score"))
+  }
+
+  /**
    * Language confusion matrix — [[langId]] predictions against the
    * corpus's declared labels: `(declared, pred, n, frac)` with `frac`
    * the share of the declared language routed to each prediction (rows

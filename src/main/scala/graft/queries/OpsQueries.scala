@@ -1589,7 +1589,20 @@ object OpsQueries {
       graft.ops.Curation.weightedSamplePerStratum(
           t(s, d, "documents"), col("doc_id"), col("lang"), col("n_chars"),
           k = 10)
-        .orderBy("stratum", "rnk"))
+        .orderBy("stratum", "rnk")),
+    "q202_cluster_topics" -> ((s, d) => {
+      // the corpus map: q66's IVF training (md5 seeds, 50% sample,
+      // quantized Lloyd — the oracle re-trains identical centroids),
+      // then top-5 cluster-tf-idf terms per cell over the joined docs
+      val cents = graft.ops.Ivf.trainCentroids(t(s, d, "embeddings"),
+        col("vec_id"), col("embedding"), 8, iters = 2, sampleFraction = 50)
+      val assign = graft.ops.Ivf.assignClusters(t(s, d, "embeddings"),
+          col("vec_id"), col("embedding"), cents)
+        .select(col("vec_id").as("id"), col("cluster"))
+      graft.ops.TextAnalysis.clusterTopics(
+          t(s, d, "documents"), col("doc_id"), col("text"), assign, k = 5)
+        .orderBy("cluster", "rnk")
+    })
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -4477,7 +4490,26 @@ object OpsQueries {
            FROM documents
            WHERE n_chars IS NOT NULL AND n_chars > 0)
          WHERE rnk <= 10
-         ORDER BY stratum, rnk"""
+         ORDER BY stratum, rnk""",
+
+    "q202_cluster_topics" ->
+      // ivfTrainSql re-trains q66's centroids bit-for-bit; bf(id, v, cid)
+      // is the full assignment the cluster-tf-idf aggregates over
+      s"""${PortableSql.ivfTrainSql}
+         terms AS (SELECT bf.cid AS cluster,
+                          unnest(list_filter(string_split_regex(trim(d.text), '\\s+'), x -> x <> '')) AS term
+                   FROM documents d JOIN bf ON d.doc_id = bf.id),
+         ct AS (SELECT cluster, term, count(*) AS tf FROM terms GROUP BY cluster, term),
+         kk AS (SELECT count(DISTINCT cluster) AS k FROM ct),
+         dft AS (SELECT term, count(*) AS df FROM ct GROUP BY term),
+         scored AS (SELECT ct.cluster, ct.term,
+                           round(ct.tf * ln((kk.k + 1) / CAST(dft.df + 1 AS DOUBLE)), 4) AS s
+                    FROM ct JOIN dft USING (term), kk),
+         r AS (SELECT cluster, term, s,
+                      row_number() OVER (PARTITION BY cluster ORDER BY s DESC, term) AS rnk
+               FROM scored)
+         SELECT cluster, CAST(rnk AS BIGINT) AS rnk, term, s AS score
+         FROM r WHERE rnk <= 5 ORDER BY cluster, rnk"""
   )
 }
 

@@ -413,6 +413,26 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(uncapped == brute)
   }
 
+  test("clusterTopics: distinctive terms rank above shared ones; " +
+      "k bounds each cluster's list") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "koala koala eucalyptus common"),
+      (2L, "koala gumtree common"),
+      (3L, "piano sonata common"),
+      (4L, "piano violin common common")).toDF("id", "text")
+    val assign = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1)).toDF("id", "cluster")
+    val got = graft.ops.TextAnalysis.clusterTopics(docs, col("id"),
+        col("text"), assign, k = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    assert(got.count(_._1 == 0) == 2 && got.count(_._1 == 1) == 2)
+    // "common" occurs in both clusters (df=2) → idf ln(3/3)=0 → never top
+    assert(!got.exists(_._3 == "common"))
+    // each cluster's rank-1 term is its highest-tf distinctive term
+    assert(got.find(t => t._1 == 0 && t._2 == 1).get._3 == "koala")
+    assert(got.find(t => t._1 == 1 && t._2 == 1).get._3 == "piano")
+  }
+
   test("simHashDupAgainst: matches the self-join on the union; " +
       "self-matches at hamming 0; empty docs excluded") {
     import spark.implicits._
