@@ -867,4 +867,61 @@ object Curation {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /**
+   * Soft dedup — downweight duplicates instead of removing them
+   * (SoftDeDup, He et al. 2024): every member of a duplicate cluster gets
+   * sampling weight `1 / cluster_size`, singletons keep weight 1.0, so
+   * each distinct content unit contributes one expected copy per epoch
+   * while no document is discarded outright. `clusters` is the
+   * `(id, cluster_id)` frame from [[graft.ops.Dedup.duplicateClusters]]
+   * (duplicate members only — singletons are absent by construction).
+   *
+   * Scale shape: cluster sizes are one partial-agg count over the
+   * members-only frame; the weight table (id, cluster_id, weight longs +
+   * a double) broadcasts — duplicate membership is a small fraction of
+   * any crawl — and the corpus pays one broadcast left-join, never
+   * shuffling. If duplicate mass ever outgrows broadcast, drop the hint:
+   * the equi-join on id is the same plan shuffled. */
+  def softDedupWeights(df: DataFrame, idCol: Column,
+      clusters: DataFrame): DataFrame = {
+    val sizes = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    val weights = clusters.join(sizes, "cluster_id")
+      .select(col("id").as("_wid"), col("cluster_id"),
+        (lit(1.0) / col("cluster_size")).as("_w"))
+    df.join(broadcast(weights), idCol.cast("long") === col("_wid"), "left")
+      .withColumn("weight", coalesce(col("_w"), lit(1.0)))
+      .drop("_wid", "_w")
+  }
+
+  /**
+   * Preference-pair construction for DPO/RLHF-style training: within each
+   * `groupCol` (the prompt key), `chosen` = the highest-`scoreCol` row and
+   * `rejected` = the lowest, ties broken toward the smaller id on both
+   * sides so the pair is deterministic. Groups whose margin (chosen −
+   * rejected score) is not strictly above `minMargin` are dropped — that
+   * also removes single-row and all-tied groups, where no informative
+   * pair exists. Null/NaN scores are excluded up front: an unscorable
+   * candidate can be neither chosen nor rejected.
+   *
+   * Scale shape: one partial-agg pass — per partition each group reduces
+   * to two (score, id) structs, so the exchange carries
+   * O(groups × partitions) structs and the corpus text never moves. */
+  def preferencePairs(df: DataFrame, groupCol: Column, idCol: Column,
+      scoreCol: Column, minMargin: Double = 0.0): DataFrame = {
+    require(minMargin >= 0, "minMargin must be >= 0")
+    val base = df.select(groupCol.cast("string").as("grp"),
+        idCol.cast("long").as("id"), scoreCol.cast("double").as("sc"))
+      .filter(col("sc").isNotNull && !isnan(col("sc")))
+    base.groupBy("grp")
+      .agg(max(struct(col("sc"), (-col("id")).as("nid"))).as("hi"),
+        min(struct(col("sc"), col("id").as("pid"))).as("lo"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("grp"), (-col("hi.nid")).as("chosen_id"),
+        col("hi.sc").as("chosen_score"), col("lo.pid").as("rejected_id"),
+        col("lo.sc").as("rejected_score"),
+        (col("hi.sc") - col("lo.sc")).as("margin"), col("n_candidates"))
+      .filter(col("margin") > lit(minMargin))
+  }
 }

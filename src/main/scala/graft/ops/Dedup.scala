@@ -1319,4 +1319,27 @@ object Dedup {
           size(array_union(col("a.toks"), col("b.toks")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Latest-version snapshot dedup (the crawl-recrawl / SCD "current
+    * view"): keep, per `keyCols` (URL, record key, …), the single row with
+    * the highest `versionCol`, ties broken toward the smallest `idCol` so
+    * the snapshot is deterministic under same-instant recrawls. One
+    * partial-agg struct-max pass: per partition each key reduces to its
+    * best candidate row, so the exchange carries O(keys × partitions)
+    * rows — the full payload moves only for per-partition winners, never
+    * the whole history. (With very wide payloads and few partitions per
+    * key, a two-pass winner-id + semi-join costs one more shuffle but
+    * moves no payload; this one-pass shape is right when keys ≪ rows.)
+    * A null version loses to any non-null one (Spark struct ordering);
+    * all payload columns must be orderable types (no maps) — Parquet
+    * corpus tables are. */
+  def latestSnapshot(df: DataFrame, keyCols: Seq[Column],
+      versionCol: Column, idCol: Column): DataFrame = {
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.select(struct(keyCols: _*).as("_k"),
+        struct(versionCol.as("_v"), (-idCol.cast("long")).as("_nid"),
+          payload.as("_row")).as("_c"))
+      .groupBy("_k").agg(max(col("_c")).as("_w"))
+      .select(col("_w._row.*"))
+  }
 }

@@ -1602,7 +1602,41 @@ object OpsQueries {
       graft.ops.TextAnalysis.clusterTopics(
           t(s, d, "documents"), col("doc_id"), col("text"), assign, k = 5)
         .orderBy("cluster", "rnk")
-    })
+    }),
+    "q203_soft_dedup" -> ((s, d) => {
+      // SoftDeDup: q80's duplicate clusters -> per-doc sampling weight
+      // 1/cluster_size; non-members keep 1.0. No document is dropped.
+      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+      val pairs = Dedup.minHashDuplicates(docs, col("doc_id"), col("text"),
+        0.7, shingleSize = 1)
+      val cc = Dedup.duplicateClusters(pairs, col("a_id"), col("b_id"))
+      graft.ops.Curation.softDedupWeights(docs, col("doc_id"), cc)
+        .select(col("doc_id"), col("cluster_id"),
+          round(col("weight"), 4).as("w"))
+        .orderBy("doc_id")
+    }),
+    "q204_latest_snapshot" -> ((s, d) =>
+      // crawl-recrawl current view: latest event per (user_id, event_type),
+      // ties toward the smallest event_id — one partial-agg struct-max pass
+      Dedup.latestSnapshot(t(s, d, "events"),
+          Seq(col("user_id"), col("event_type")), col("ts"), col("event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          round(col("value"), 4).as("v"))
+        .orderBy("user_id", "event_type")),
+    "q205_preference_pairs" -> ((s, d) =>
+      // DPO pair construction: prompt key = (lang, source), score =
+      // n_chars; chosen/rejected = per-group extremes, zero-margin and
+      // singleton groups dropped
+      graft.ops.Curation.preferencePairs(
+          t(s, d, "documents"),
+          concat_ws("|", col("lang"), col("source")), col("doc_id"),
+          col("n_chars"))
+        .select(col("grp"), col("chosen_id"),
+          col("chosen_score").cast("long").as("chosen_score"),
+          col("rejected_id"),
+          col("rejected_score").cast("long").as("rejected_score"),
+          col("margin").cast("long").as("margin"), col("n_candidates"))
+        .orderBy("grp"))
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -4509,7 +4543,43 @@ object OpsQueries {
                       row_number() OVER (PARTITION BY cluster ORDER BY s DESC, term) AS rnk
                FROM scored)
          SELECT cluster, CAST(rnk AS BIGINT) AS rnk, term, s AS score
-         FROM r WHERE rnk <= 5 ORDER BY cluster, rnk"""
+         FROM r WHERE rnk <= 5 ORDER BY cluster, rnk""",
+
+    "q203_soft_dedup" ->
+      // q80's connected components, then weight = 1/cluster_size for
+      // members, 1.0 (null cluster) for everyone else
+      s"""WITH RECURSIVE ${PortableSql.minhashVerifiedPairCtes},
+         ${PortableSql.ccCtes},
+         sz AS (SELECT cluster_id, count(*) AS n FROM cc GROUP BY cluster_id)
+         SELECT d.doc_id, cc.cluster_id,
+                round(COALESCE(1.0 / sz.n, 1.0), 4) AS w
+         FROM documents d
+         LEFT JOIN cc ON d.doc_id = cc.id
+         LEFT JOIN sz USING (cluster_id)
+         WHERE d.doc_id < 200 ORDER BY d.doc_id""",
+
+    "q204_latest_snapshot" ->
+      """SELECT user_id, event_type, event_id, round(value, 4) AS v
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts DESC, event_id ASC) AS rn FROM events)
+         WHERE rn = 1 ORDER BY user_id, event_type""",
+
+    "q205_preference_pairs" ->
+      """WITH b AS (SELECT lang || '|' || source AS grp, doc_id, n_chars
+                    FROM documents WHERE n_chars IS NOT NULL),
+         r AS (SELECT grp, doc_id, n_chars,
+                      row_number() OVER (PARTITION BY grp
+                        ORDER BY n_chars DESC, doc_id ASC) AS hi,
+                      row_number() OVER (PARTITION BY grp
+                        ORDER BY n_chars ASC, doc_id ASC) AS lo,
+                      count(*) OVER (PARTITION BY grp) AS n
+               FROM b)
+         SELECT c.grp, c.doc_id AS chosen_id, c.n_chars AS chosen_score,
+                j.doc_id AS rejected_id, j.n_chars AS rejected_score,
+                c.n_chars - j.n_chars AS margin, c.n AS n_candidates
+         FROM (SELECT * FROM r WHERE hi = 1) c
+         JOIN (SELECT * FROM r WHERE lo = 1) j USING (grp)
+         WHERE c.n_chars - j.n_chars > 0 ORDER BY grp"""
   )
 }
 

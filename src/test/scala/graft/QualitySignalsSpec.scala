@@ -897,4 +897,62 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(e1 != e2)
   }
+
+  test("softDedupWeights: 1/cluster_size for members, 1.0 singletons, mass preserved") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    // cluster 1 = {1,2,3}, cluster 4 = {4}… members-only frame, as
+    // duplicateClusters emits (a singleton never appears there)
+    val cc = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "cluster_id")
+    val got = graft.ops.Curation.softDedupWeights(docs, col("doc_id"), cc)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getDouble(2))).toMap
+    assert(got(1L) == (Some(1L), 1.0 / 3) && got(2L) == (Some(1L), 1.0 / 3)
+      && got(3L) == (Some(1L), 1.0 / 3))
+    assert(got(4L) == (None, 1.0) && got(5L) == (None, 1.0))
+    // expected copies per epoch: one per distinct unit (1 cluster + 2 singletons)
+    assert(math.abs(got.values.map(_._2).sum - 3.0) < 1e-12)
+  }
+
+  test("latestSnapshot: max version per key, tie to smallest id, null version loses") {
+    import spark.implicits._
+    val rows = Seq(
+      ("k1", 3L, 10L, "old"), ("k1", 7L, 11L, "new"),
+      ("k2", 5L, 20L, "tieA"), ("k2", 5L, 21L, "tieB"),
+      ("k3", 9L, 30L, "only")).toDF("k", "ver", "id", "body")
+    val got = graft.ops.Dedup.latestSnapshot(rows, Seq(col("k")),
+        col("ver"), col("id"))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(got == Map("k1" -> (11L, "new"), "k2" -> (20L, "tieA"),
+      "k3" -> (30L, "only")))
+    // a null version never beats a real one
+    val withNull = Seq(("k1", Some(1L), 1L), ("k1", None, 2L))
+      .toDF("k", "ver", "id")
+    val g2 = graft.ops.Dedup.latestSnapshot(withNull, Seq(col("k")),
+      col("ver"), col("id")).collect()
+    assert(g2.length == 1 && g2(0).getLong(2) == 1L)
+  }
+
+  test("preferencePairs: extremes, deterministic ties, NaN excluded, degenerate dropped") {
+    import spark.implicits._
+    val df = Seq(
+      ("p1", 1L, 5.0), ("p1", 2L, 9.0), ("p1", 3L, 1.0),
+      ("p2", 4L, 7.0), ("p2", 5L, 7.0),             // all tied → margin 0 → dropped
+      ("p3", 6L, 2.0),                               // singleton → dropped
+      ("p4", 7L, Double.NaN), ("p4", 8L, 3.0), ("p4", 9L, 1.0))
+      .toDF("grp", "id", "sc")
+    val got = graft.ops.Curation.preferencePairs(df, col("grp"), col("id"),
+        col("sc"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getDouble(5), r.getLong(6))).toMap
+    assert(got == Map(
+      "p1" -> (2L, 3L, 8.0, 3L),
+      "p4" -> (8L, 9L, 2.0, 2L))) // NaN row can be neither side nor counted
+    // tie on the chosen side resolves to the smaller id
+    val tied = Seq(("t", 11L, 4.0), ("t", 10L, 4.0), ("t", 12L, 1.0))
+      .toDF("grp", "id", "sc")
+    val g2 = graft.ops.Curation.preferencePairs(tied, col("grp"), col("id"),
+      col("sc")).collect()
+    assert(g2.length == 1 && g2(0).getLong(1) == 10L && g2(0).getLong(3) == 12L)
+  }
 }
