@@ -32,6 +32,62 @@ object Ann {
       .orderBy(col("sim").desc, col("id"))
       .limit(k)
 
+  /** Exact batched top-k over a broadcast query frame — the ground-truth
+    * leg for retrieval eval ([[retrievalMetrics]]) and the multi-query
+    * analog of [[bruteForceTopK]]: one corpus pass scores every query
+    * (deliberately un-pruned; the approximate paths it grades are
+    * [[graft.ops.Ivf.ivfTopKMany]] and friends). Per-query top-k via the
+    * bounded [[TopK]] aggregator: the exchange carries
+    * partitions × queries × k structs, never corpus rows.
+    * Output `(query_id, rnk, id, sim)`, ties (sim desc, id asc). */
+  def bruteForceTopKMany(emb: DataFrame, idCol: Column, vecCol: Column,
+      queries: Seq[(String, Array[Float])], k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qdf = broadcast(queries.map { case (q, v) => (q, v.toVector) }
+      .toDF("query_id", "qvec"))
+    val scored = emb.select(idCol.as("id"), vecCol.as("v"))
+      .crossJoin(qdf)
+      .select(col("query_id"), col("id"),
+        round(cosine_similarity(col("v"), col("qvec")), 4).as("sim"))
+    TopK.perGroup(scored, Seq(col("query_id")), col("id"), col("sim"), k)
+  }
+
+  /** Retrieval-quality metrics: recall@k, MRR@k and binary-relevance
+    * nDCG@k of a ranked `system` result against a ranked `truth` result
+    * (both `(query_id, rnk, id)`-shaped, as every `…TopKMany` emits).
+    * Relevance is membership in `truth` (binary — truth rank order only
+    * sets the ideal-DCG length); a query with no system hit scores 0 on
+    * all three, and every truth query appears in the output.
+    *
+    * Scale shape: both inputs are already k-bounded per query (the ANN
+    * paths produced them), so the hit equi-join and per-query partial
+    * aggs move O(queries × k) rows — the eval is free next to the search
+    * it grades. The ideal-DCG denominator folds over
+    * `sequence(1, min(n_rel, k))`, bounded by k. */
+  def retrievalMetrics(system: DataFrame, truth: DataFrame,
+      k: Int): DataFrame = {
+    val log2 = (x: Column) => log(2.0, x)
+    val sys = system.filter(col("rnk") <= k)
+      .select(col("query_id"), col("id"), col("rnk"))
+    val tr = truth.filter(col("rnk") <= k)
+      .select(col("query_id"), col("id"))
+    val nRel = tr.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val hits = sys.join(tr, Seq("query_id", "id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_hits"), min("rnk").as("first_hit"),
+        sum(lit(1.0) / log2(col("rnk").cast("double") + 1)).as("dcg"))
+    val idcg = aggregate(
+      sequence(lit(1), least(col("n_rel"), lit(k))), lit(0.0),
+      (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1))
+    nRel.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("n_hits"), lit(0)).cast("double") / col("n_rel"),
+          4).as("recall"),
+        round(coalesce(lit(1.0) / col("first_hit"), lit(0.0)), 4).as("mrr"),
+        round(coalesce(col("dcg"), lit(0.0)) / idcg, 4).as("ndcg"))
+  }
+
   /** Approximate top-k: score only the rows in the query's LSH cell (and
     * `probes` 1-bit-flip neighbor cells). */
   def lshTopK(emb: DataFrame, idCol: Column, vecCol: Column,

@@ -810,4 +810,51 @@ object QualitySignals {
       .agg(count("*").as("n_grams"),
         round(avg((col("df") >= minDf).cast("double")), 4).as("boiler_frac"))
   }
+
+  /**
+   * SEMANTIC benchmark contamination — the embedding-space member of the
+   * contamination family ([[contamination]] catches verbatim n-gram
+   * overlap; a paraphrased eval item evades it but not its embedding):
+   * every corpus vector whose cosine against ANY benchmark vector meets
+   * `threshold` is reported with its best-matching benchmark id (ties
+   * toward the smaller bench id), max similarity, and match count.
+   * Returns `(id, bench_id, max_sim, n_matches)` — flagged rows only.
+   *
+   * Scale shape: benchmark suites are small by nature, so the bench frame
+   * broadcasts and the corpus pays one pass with |bench| fused cosines
+   * per row — no corpus shuffle; the per-id reduction is a partial agg
+   * over rows already filtered to matches. For a benchmark too large to
+   * broadcast, assign both sides to IVF cells first and equi-join on the
+   * cell ([[graft.ops.Dedup.semanticDedup]]'s pruning) — same verdicts
+   * at nprobe-bounded recall. */
+  def semanticContamination(corpus: DataFrame, idCol: Column,
+      vecCol: Column, bench: DataFrame, benchIdCol: Column,
+      benchVecCol: Column, threshold: Double): DataFrame = {
+    val b = broadcast(bench.select(benchIdCol.cast("long").as("bid"),
+      benchVecCol.as("bv")))
+    corpus.select(idCol.cast("long").as("id"), vecCol.as("v"))
+      .crossJoin(b)
+      .select(col("id"), col("bid"),
+        round(graft.functions.cosine_similarity(col("v"), col("bv")), 4)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy("id")
+      .agg(max(struct(col("sim"), (-col("bid")).as("nb"))).as("m"),
+        count(lit(1)).as("n_matches"))
+      .select(col("id"), (-col("m.nb")).as("bench_id"),
+        col("m.sim").as("max_sim"), col("n_matches"))
+  }
+
+  /** [[semanticContamination]]'s removal form: the corpus minus every
+    * flagged row — [[decontaminate]]'s contract on the embedding path.
+    * The flagged-id frame is match-bounded; the corpus pays one
+    * broadcast anti-join and never shuffles. */
+  def semanticDecontaminate(corpus: DataFrame, idCol: Column,
+      vecCol: Column, bench: DataFrame, benchIdCol: Column,
+      benchVecCol: Column, threshold: Double): DataFrame = {
+    val flagged = semanticContamination(corpus, idCol, vecCol, bench,
+      benchIdCol, benchVecCol, threshold).select(col("id").as("_fid"))
+    corpus.join(broadcast(flagged), idCol.cast("long") === col("_fid"),
+      "left_anti")
+  }
 }

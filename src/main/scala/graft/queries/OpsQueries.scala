@@ -1636,7 +1636,31 @@ object OpsQueries {
           col("rejected_id"),
           col("rejected_score").cast("long").as("rejected_score"),
           col("margin").cast("long").as("margin"), col("n_candidates"))
-        .orderBy("grp"))
+        .orderBy("grp")),
+    "q206_semantic_decontam" -> ((s, d) => {
+      // embedding-space contamination: bench = vecs 0-24 (the "eval
+      // suite"), corpus = the rest; cosine >= 0.4 against any bench vec
+      // flags the row with its best match — what n-gram decontamination
+      // (q70/q138) misses on paraphrases
+      val emb = t(s, d, "embeddings")
+      graft.ops.QualitySignals.semanticContamination(
+          emb.filter(col("vec_id") >= 25), col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") < 25), col("vec_id"), col("embedding"),
+          0.40)
+        .orderBy("id")
+    }),
+    "q207_retrieval_metrics" -> ((s, d) => {
+      // the search-quality eval: IVF(nprobe=2) system ranking graded
+      // against the exact brute-force truth at k=10 — recall/MRR/nDCG
+      // per query, the numbers an index tuning loop watches
+      val emb = t(s, d, "embeddings")
+      val qs = Seq("qa" -> qvecScala, "qb" -> qvec2Scala)
+      val truth = Ann.bruteForceTopKMany(emb, col("vec_id"),
+        col("embedding"), qs, 10)
+      val system = graft.ops.Ivf.ivfTopKMany(emb, col("vec_id"),
+        col("embedding"), qs, 10)
+      Ann.retrievalMetrics(system, truth, 10).orderBy("query_id")
+    })
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -4579,7 +4603,68 @@ object OpsQueries {
                 c.n_chars - j.n_chars AS margin, c.n AS n_candidates
          FROM (SELECT * FROM r WHERE hi = 1) c
          JOIN (SELECT * FROM r WHERE lo = 1) j USING (grp)
-         WHERE c.n_chars - j.n_chars > 0 ORDER BY grp"""
+         WHERE c.n_chars - j.n_chars > 0 ORDER BY grp""",
+
+    "q206_semantic_decontam" ->
+      s"""WITH e AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+         m AS (SELECT c.vec_id AS id, b.vec_id AS bid,
+                      round(list_cosine_similarity(c.v, b.v), 4) AS sim
+               FROM e c CROSS JOIN e b
+               WHERE c.vec_id >= 25 AND b.vec_id < 25
+                 AND round(list_cosine_similarity(c.v, b.v), 4) >= 0.40),
+         r AS (SELECT id, bid, sim,
+                      row_number() OVER (PARTITION BY id
+                        ORDER BY sim DESC, bid ASC) AS rn,
+                      count(*) OVER (PARTITION BY id) AS n
+               FROM m)
+         SELECT id, bid AS bench_id, sim AS max_sim,
+                CAST(n AS BIGINT) AS n_matches
+         FROM r WHERE rn = 1 ORDER BY id""",
+
+    "q207_retrieval_metrics" -> {
+      val qv1 = vecSql(qvecScala)
+      val qv2 = vecSql(qvec2Scala)
+      // truth = exact top-10 per query; system = q79's IVF replay at
+      // k=10; binary-relevance recall/MRR/nDCG with log2 discounts
+      s"""${PortableSql.ivfTrainSql}
+         q(query_id, qvec) AS (VALUES ('qa', $qv1), ('qb', $qv2)),
+        gt AS (SELECT query_id, id FROM
+                 (SELECT q.query_id, bf.id,
+                         row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY round(${PortableSql.cosSql("bf.v", "q.qvec")}, 4) DESC,
+                                    bf.id) AS rnk
+                  FROM bf CROSS JOIN q) WHERE rnk <= 10),
+         pr AS (SELECT query_id, cid FROM
+                 (SELECT q.query_id, c.cid,
+                         row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY ${PortableSql.cosSql("q.qvec", "c.c")} DESC, c.cid) AS rn
+                  FROM q CROSS JOIN c2 c) WHERE rn <= 2),
+         sys AS (SELECT query_id, id, rnk FROM
+                 (SELECT pr.query_id, bf.id,
+                         row_number() OVER (PARTITION BY pr.query_id
+                           ORDER BY round(${PortableSql.cosSql("bf.v", "q.qvec")}, 4) DESC,
+                                    bf.id) AS rnk
+                  FROM bf JOIN pr ON bf.cid = pr.cid
+                          JOIN q ON q.query_id = pr.query_id)
+                 WHERE rnk <= 10),
+         hits AS (SELECT s.query_id, count(*) AS n_hits, min(s.rnk) AS fh,
+                      sum(1.0 / log2(s.rnk + 1)) AS dcg
+               FROM sys s JOIN gt t ON s.query_id = t.query_id AND s.id = t.id
+               GROUP BY s.query_id),
+         nrel AS (SELECT query_id, count(*) AS n_rel FROM gt GROUP BY query_id),
+         ideal AS (SELECT query_id,
+                      list_sum(list_transform(range(1, least(n_rel, 10) + 1),
+                        x -> 1.0 / log2(x + 1))) AS idcg
+               FROM nrel)
+         SELECT nrel.query_id,
+                round(COALESCE(hits.n_hits, 0) / CAST(nrel.n_rel AS DOUBLE), 4) AS recall,
+                round(COALESCE(1.0 / hits.fh, 0), 4) AS mrr,
+                round(COALESCE(hits.dcg, 0) / ideal.idcg, 4) AS ndcg
+         FROM nrel LEFT JOIN hits USING (query_id) JOIN ideal USING (query_id)
+         ORDER BY query_id"""
+    }
   )
 }
 

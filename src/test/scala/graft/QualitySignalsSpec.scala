@@ -898,6 +898,69 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e1 != e2)
   }
 
+  test("semanticContamination: planted paraphrase flagged, orthogonal clean, removal form") {
+    import spark.implicits._
+    // 4-dim toy space: corpus row 100 nearly parallel to bench 1 (cos≈1),
+    // row 101 orthogonal, row 102 anti-parallel (cos=-1, never flagged)
+    val bench = Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("bid", "bv")
+    val corpus = Seq(
+      (100L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (101L, Seq(0f, 0f, 1f, 0f)),
+      (102L, Seq(-1f, 0f, 0f, 0f)),
+      (103L, Seq(0.7f, 0.7f, 0f, 0f))) // matches BOTH; best = bench 1 (tie by sim)
+      .toDF("id", "v")
+    val got = QualitySignals.semanticContamination(corpus, col("id"),
+        col("v"), bench, col("bid"), col("bv"), 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(got.keySet == Set(100L, 103L))
+    assert(got(100L)._1 == 1L && got(100L)._2 == 1L)
+    assert(got(103L)._2 == 2L) // both bench vecs matched
+    val kept = QualitySignals.semanticDecontaminate(corpus, col("id"),
+      col("v"), bench, col("bid"), col("bv"), 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(101L, 102L))
+  }
+
+  test("retrievalMetrics: hand-computed recall/MRR/nDCG, zero-hit query present") {
+    import spark.implicits._
+    // truth qa: docs 1,2,3; system qa ranks (1:d9, 2:d2, 3:d3) → 2 hits,
+    // first at rank 2; truth qb: docs 7,8; system qb misses both
+    val truth = Seq(("qa", 1, 1L), ("qa", 2, 2L), ("qa", 3, 3L),
+      ("qb", 1, 7L), ("qb", 2, 8L)).toDF("query_id", "rnk", "id")
+    val system = Seq(("qa", 1, 9L), ("qa", 2, 2L), ("qa", 3, 3L),
+      ("qb", 1, 11L), ("qb", 2, 12L)).toDF("query_id", "rnk", "id")
+    val got = graft.ops.Ann.retrievalMetrics(system, truth, 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    assert(got("qa")._1 == math.rint(2.0 / 3 * 1e4) / 1e4)
+    assert(got("qa")._2 == 0.5) // first hit at rank 2
+    val dcg = 1.0 / log2(3.0) + 1.0 / log2(4.0)
+    val idcg = 1.0 + 1.0 / log2(3.0) + 1.0 / log2(4.0)
+    assert(math.abs(got("qa")._3 - math.rint(dcg / idcg * 1e4) / 1e4) < 1e-9)
+    assert(got("qb") == ((0.0, 0.0, 0.0)))
+  }
+
+  test("bruteForceTopKMany: per-query exact top-k equals single-query bruteForceTopK") {
+    import spark.implicits._
+    val emb = (0 until 30).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => ((i * 7 + j * 3) % 13 - 6).toFloat)))
+      .toDF("id", "v")
+    val q1 = Array.tabulate(8)(j => (j % 3 - 1).toFloat)
+    val q2 = Array.tabulate(8)(j => (1 - j % 2).toFloat)
+    val many = graft.ops.Ann.bruteForceTopKMany(emb, col("id"), col("v"),
+        Seq("a" -> q1, "b" -> q2), 5)
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2),
+        r.getDouble(3)))
+    for ((qid, qv) <- Seq("a" -> q1, "b" -> q2)) {
+      val single = graft.ops.Ann.bruteForceTopK(emb, col("id"), col("v"),
+        qv, 5).collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1L, r.getLong(0), r.getDouble(1)) }
+      assert(many.filter(_._1 == qid).sortBy(_._2).toSeq == single.toSeq)
+    }
+  }
+
   test("softDedupWeights: 1/cluster_size for members, 1.0 singletons, mass preserved") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
