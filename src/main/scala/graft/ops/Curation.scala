@@ -924,4 +924,85 @@ object Curation {
         (col("hi.sc") - col("lo.sc")).as("margin"), col("n_candidates"))
       .filter(col("margin") > lit(minMargin))
   }
+
+  /**
+   * Fill-in-the-middle transform (Bavarian et al. 2022): a deterministic
+   * `rate` fraction of documents (md5-keyed — no RNG state, the
+   * [[splitAssign]] discipline) is rewritten in PSM order,
+   * `<PRE>prefix<SUF>suffix<MID>middle`, with the two character pivots
+   * drawn from independent md5 streams; the rest pass through verbatim.
+   * Returns `(id, fim, out_text)`. Pure row-local string arithmetic —
+   * stays in whole-stage codegen, streams, shuffles nothing.
+   */
+  def fimTransform(df: DataFrame, idCol: Column, textCol: Column,
+      rate: Double = 0.5): DataFrame = {
+    require(rate > 0 && rate <= 1, "rate must be in (0, 1]")
+    val id = idCol.cast("long")
+    val h = (salt: String) =>
+      graft.expr.PortableHash.hex15Col(concat(id, lit(":" + salt)))
+    val len = length(textCol)
+    val sel = (h("fim") % 100 < (rate * 100).round) && len > 0
+    val lo = h("fima") % (len + 1)
+    val mid = h("fimb") % (len + 1 - lo)
+    val out = when(sel,
+      concat(lit("<PRE>"), textCol.substr(lit(1), lo),
+        lit("<SUF>"), textCol.substr(lo + mid + 1, len - lo - mid),
+        lit("<MID>"), textCol.substr(lo + 1, mid)))
+      .otherwise(textCol)
+    df.select(id.as("id"), sel.as("fim"), out.as("out_text"))
+  }
+
+  /**
+   * T5-style span corruption (Raffel et al. 2020): token positions are
+   * cut into fixed `stride` blocks; in every full-enough block a
+   * `spanLen`-token span at a deterministic md5 offset is replaced by one
+   * `<extra_id_k>` sentinel (k = block index — sequential, since only the
+   * final block can be too short to corrupt), and the target sequence
+   * pairs each sentinel with its removed tokens. Returns
+   * `(id, input, target, n_spans)`; empty docs yield empty strings.
+   *
+   * Scale shape: row-local array HOFs over the token list — no shuffle,
+   * no state; the md5-per-token offset lookup is the price of
+   * engine-portable determinism (an executor-seeded RNG would be
+   * cheaper and unverifiable).
+   */
+  def spanCorruption(df: DataFrame, idCol: Column, textCol: Column,
+      stride: Int = 8, spanLen: Int = 2): DataFrame = {
+    require(spanLen >= 1 && stride > spanLen,
+      "need spanLen >= 1 and stride > spanLen")
+    val id = idCol.cast("long")
+    val toks = array_remove(split(trim(textCol), "\\s+"), "")
+    val n = size(toks)
+    val idxs = when(n === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), n - 1))
+    // per index: block, offset of the block's corrupt span (-1 = none)
+    val marked = transform(idxs, i => {
+      val b = (i / stride).cast("long")
+      val blockLen = least(lit(stride), n - b.cast("int") * stride)
+      val room = blockLen - spanLen + 1
+      val off = when(blockLen >= spanLen,
+        graft.expr.PortableHash.hex15Col(
+          concat(id, lit(":sc:"), b)) % room).otherwise(lit(-1))
+      val w = i % stride
+      val cls = when(off >= 0 && w === off, lit(1))
+        .when(off >= 0 && w > off && w < off + spanLen, lit(2))
+        .otherwise(lit(0))
+      struct(cls.as("c"), element_at(toks, i + 1).as("t"),
+        b.cast("string").as("b"))
+    })
+    val sentinel = (m: Column) =>
+      concat(lit("<extra_id_"), m.getField("b"), lit(">"))
+    val input = concat_ws(" ",
+      transform(filter(marked, m => m.getField("c") =!= 2),
+        m => when(m.getField("c") === 1, sentinel(m))
+          .otherwise(m.getField("t"))))
+    val target = concat_ws(" ",
+      transform(filter(marked, m => m.getField("c") >= 1),
+        m => when(m.getField("c") === 1,
+          concat(sentinel(m), lit(" "), m.getField("t")))
+          .otherwise(m.getField("t"))))
+    val nSpans = size(filter(marked, m => m.getField("c") === 1))
+    df.select(id.as("id"), input.as("input"), target.as("target"),
+      nSpans.cast("long").as("n_spans"))
+  }
 }

@@ -1660,7 +1660,20 @@ object OpsQueries {
       val system = graft.ops.Ivf.ivfTopKMany(emb, col("vec_id"),
         col("embedding"), qs, 10)
       Ann.retrievalMetrics(system, truth, 10).orderBy("query_id")
-    })
+    }),
+    "q208_fim_transform" -> ((s, d) =>
+      // fill-in-the-middle: md5-selected half of the corpus rewritten
+      // PSM (<PRE>prefix<SUF>suffix<MID>middle), deterministic char pivots
+      graft.ops.Curation.fimTransform(t(s, d, "documents"), col("doc_id"),
+          col("text"), rate = 0.5)
+        .orderBy("id")),
+    "q209_span_corruption" -> ((s, d) =>
+      // T5 denoising objective: one 2-token span per 8-token block
+      // replaced by <extra_id_k>, target pairs sentinels with the removed
+      // tokens — all offsets md5-derived, row-local
+      graft.ops.Curation.spanCorruption(t(s, d, "documents"), col("doc_id"),
+          col("text"), stride = 8, spanLen = 2)
+        .orderBy("id"))
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -4664,7 +4677,57 @@ object OpsQueries {
                 round(COALESCE(hits.dcg, 0) / ideal.idcg, 4) AS ndcg
          FROM nrel LEFT JOIN hits USING (query_id) JOIN ideal USING (query_id)
          ORDER BY query_id"""
-    }
+    },
+
+    "q208_fim_transform" ->
+      """WITH p AS (SELECT doc_id, text, length(text) AS n,
+                CAST('0x' || substr(md5(doc_id || ':fim'), 1, 15) AS BIGINT) % 100 < 50
+                  AND length(text) > 0 AS sel,
+                CAST('0x' || substr(md5(doc_id || ':fima'), 1, 15) AS BIGINT)
+                  % (length(text) + 1) AS lo
+              FROM documents),
+         q AS (SELECT *, CAST('0x' || substr(md5(doc_id || ':fimb'), 1, 15) AS BIGINT)
+                  % (n + 1 - lo) AS mid FROM p)
+         SELECT doc_id AS id, sel AS fim,
+                CASE WHEN sel THEN
+                  '<PRE>' || substr(text, 1, CAST(lo AS INT))
+                  || '<SUF>' || substr(text, CAST(lo + mid + 1 AS INT), CAST(n - lo - mid AS INT))
+                  || '<MID>' || substr(text, CAST(lo + 1 AS INT), CAST(mid AS INT))
+                ELSE text END AS out_text
+         FROM q ORDER BY id""",
+
+    "q209_span_corruption" ->
+      """WITH toks AS (SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+              FROM documents),
+         tok AS (SELECT doc_id, len(tk) AS n, unnest(tk) AS t,
+                        generate_subscripts(tk, 1) - 1 AS i FROM toks),
+         c AS (SELECT doc_id, t, i, i // 8 AS b, i % 8 AS w,
+                      least(8, n - (i // 8) * 8) AS bl FROM tok),
+         o AS (SELECT *, CASE WHEN bl >= 2 THEN
+                  CAST('0x' || substr(md5(doc_id || ':sc:' || b), 1, 15) AS BIGINT)
+                    % (bl - 1) ELSE -1 END AS off FROM c),
+         cl AS (SELECT doc_id, t, i, b,
+                       CASE WHEN off >= 0 AND w = off THEN 1
+                            WHEN off >= 0 AND w > off AND w < off + 2 THEN 2
+                            ELSE 0 END AS cls FROM o),
+         inp AS (SELECT doc_id,
+                        string_agg(CASE WHEN cls = 1 THEN '<extra_id_' || b || '>'
+                                        ELSE t END, ' ' ORDER BY i) AS input
+                 FROM cl WHERE cls <> 2 GROUP BY doc_id),
+         tg AS (SELECT doc_id,
+                       string_agg(CASE WHEN cls = 1 THEN '<extra_id_' || b || '> ' || t
+                                       ELSE t END, ' ' ORDER BY i) AS target
+                FROM cl WHERE cls >= 1 GROUP BY doc_id),
+         ns AS (SELECT doc_id, count(*) AS n_spans FROM cl WHERE cls = 1
+                GROUP BY doc_id)
+         SELECT d.doc_id AS id, COALESCE(inp.input, '') AS input,
+                COALESCE(tg.target, '') AS target,
+                CAST(COALESCE(ns.n_spans, 0) AS BIGINT) AS n_spans
+         FROM documents d
+         LEFT JOIN inp USING (doc_id) LEFT JOIN tg USING (doc_id)
+         LEFT JOIN ns USING (doc_id)
+         ORDER BY id"""
   )
 }
 

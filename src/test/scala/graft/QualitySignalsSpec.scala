@@ -898,6 +898,56 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e1 != e2)
   }
 
+  test("fimTransform: PSM parts reconstruct the original; rate=1 rewrites all non-empty") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, ""), (4L, "hello world"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Curation.fimTransform(docs, col("doc_id"),
+        col("text"), rate = 1.0)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    val orig = Map(1L -> "abcdefghij", 2L -> "xy", 3L -> "", 4L -> "hello world")
+    for ((id, (fim, out)) <- got) {
+      if (orig(id).isEmpty) { assert(!fim && out == "") }
+      else {
+        assert(fim && out.startsWith("<PRE>"))
+        val pre = out.stripPrefix("<PRE>")
+        val Array(p, rest) = pre.split("<SUF>", 2)
+        val Array(sfx, mid) = rest.split("<MID>", 2)
+        assert(p + mid + sfx == orig(id), s"round-trip failed for $id: $out")
+      }
+    }
+    // deterministic
+    val again = graft.ops.Curation.fimTransform(docs, col("doc_id"),
+      col("text"), rate = 1.0).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(again == got.view.mapValues(_._2).toMap)
+  }
+
+  test("spanCorruption: token conservation, one sentinel per full block, empty doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")), // 20 toks → blocks 8,8,4
+      (2L, "a"),                                      // 1 tok < spanLen → untouched
+      (3L, "")).toDF("doc_id", "text")
+    val got = graft.ops.Curation.spanCorruption(docs, col("doc_id"),
+        col("text"), stride = 8, spanLen = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    val (in1, tg1, ns1) = got(1L)
+    assert(ns1 == 3) // all three blocks (8, 8, 4 >= spanLen) corrupted
+    assert(Seq(0, 1, 2).forall(b => in1.contains(s"<extra_id_$b>")
+      && tg1.contains(s"<extra_id_$b>")))
+    // conservation: input tokens minus sentinels + target tokens minus
+    // sentinels = the original multiset, and per-span target pairs are 2 long
+    val sent = "<extra_id_\\d+>".r
+    val inToks = in1.split(" ").filterNot(t => sent.matches(t))
+    val tgToks = tg1.split(" ").filterNot(t => sent.matches(t))
+    assert((inToks ++ tgToks).sorted.toSeq ==
+      (1 to 20).map(i => s"t$i").sorted.toSeq)
+    assert(tgToks.length == 6) // 3 spans × 2 tokens
+    assert(got(2L) == (("a", "", 0L)))
+    assert(got(3L) == (("", "", 0L)))
+  }
+
   test("semanticContamination: planted paraphrase flagged, orthogonal clean, removal form") {
     import spark.implicits._
     // 4-dim toy space: corpus row 100 nearly parallel to bench 1 (cos≈1),
