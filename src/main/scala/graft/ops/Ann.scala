@@ -53,6 +53,47 @@ object Ann {
     TopK.perGroup(scored, Seq(col("query_id")), col("id"), col("sim"), k)
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019): for every
+    * vector in `a`, its best match in `b` scored by the margin RATIO
+    * `cos(x, y) / ((avgTopK_x→b + avgTopK_y→a) / 2)` — cosine normalized
+    * by both endpoints' local neighborhood density, which kills the
+    * hub/anti-hub false pairs raw cosine mining produces. Emits
+    * `(a_id, b_id, cos, margin, mutual)` for pairs at `margin ≥
+    * threshold`; `mutual` marks pairs that are also the b-side's best
+    * (the "intersection" mining mode — filter on it for high precision).
+    *
+    * This is the exact all-pairs form (the correctness baseline, like
+    * [[bruteForceTopKMany]]); at corpus scale generate candidates with
+    * the IVF same-cell equi-join ([[knnGraphIvf]]) and feed the bounded
+    * pair frame through the same margin arithmetic — the k-NN means and
+    * best-match reductions below are already partial-agg shapes that
+    * never move more than (id, cos) pairs. */
+  def bitextMine(a: DataFrame, aIdCol: Column, aVecCol: Column,
+      b: DataFrame, bIdCol: Column, bVecCol: Column, k: Int = 4,
+      threshold: Double = 1.0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val av = a.select(aIdCol.cast("long").as("a_id"), aVecCol.as("av"))
+    val bv = b.select(bIdCol.cast("long").as("b_id"), bVecCol.as("bv"))
+    val pairs = av.crossJoin(broadcast(bv))
+      .select(col("a_id"), col("b_id"),
+        round(cosine_similarity(col("av"), col("bv")), 4).as("c"))
+    val da = TopK.perGroup(pairs, Seq(col("a_id")), col("b_id"), col("c"), k)
+      .groupBy("a_id").agg(avg("sim").as("da"))
+    val db = TopK.perGroup(pairs, Seq(col("b_id")), col("a_id"), col("c"), k)
+      .groupBy("b_id").agg(avg("sim").as("db"))
+    val fwd = pairs.groupBy("a_id")
+      .agg(max(struct(col("c"), (-col("b_id")).as("nb"))).as("m"))
+      .select(col("a_id"), (-col("m.nb")).as("b_id"), col("m.c").as("c"))
+    val bwd = pairs.groupBy("b_id")
+      .agg(max(struct(col("c"), (-col("a_id")).as("na"))).as("m"))
+      .select(col("b_id"), (-col("m.na")).as("best_a"))
+    val margin = round(col("c") / ((col("da") + col("db")) / 2), 4)
+    fwd.join(da, "a_id").join(db, "b_id").join(bwd, "b_id")
+      .select(col("a_id"), col("b_id"), col("c").as("cos"),
+        margin.as("margin"), (col("best_a") === col("a_id")).as("mutual"))
+      .filter(col("margin") >= threshold)
+  }
+
   /** Retrieval-quality metrics: recall@k, MRR@k and binary-relevance
     * nDCG@k of a ranked `system` result against a ranked `truth` result
     * (both `(query_id, rnk, id)`-shaped, as every `…TopKMany` emits).

@@ -926,6 +926,44 @@ object Curation {
   }
 
   /**
+   * Domain-level quality rollup — the per-SOURCE aggregation a crawl
+   * pipeline gates on before any per-document filter runs (a domain
+   * whose documents are consistently junk is cheaper to drop wholesale;
+   * UT1-style blocklists are this table curated by hand). Per source:
+   * document count, mean `scoreCol`, share of documents scoring under
+   * `lowFloor`, and the gate verdict `keep` = mean ≥ `minMean` AND
+   * low-share ≤ `maxLowShare`. Null/NaN scores are excluded from the
+   * statistics (a source of only unscorable docs fails the gate:
+   * mean null → keep false via null comparison ⇒ coalesced to false).
+   *
+   * Scale shape: one partial-agg pass keyed by source — domains number
+   * in the millions at worst, corpus rows never move. */
+  def domainRollup(df: DataFrame, sourceCol: Column, scoreCol: Column,
+      minMean: Double, lowFloor: Double,
+      maxLowShare: Double = 1.0): DataFrame = {
+    val base = df.select(sourceCol.cast("string").as("source"),
+        scoreCol.cast("double").as("sc"))
+      .filter(col("sc").isNotNull && !isnan(col("sc")))
+    base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("sc")), 4).as("mean_score"),
+        round(avg((col("sc") < lowFloor).cast("double")), 4).as("low_share"))
+      .withColumn("keep", coalesce(
+        col("mean_score") >= minMean && col("low_share") <= maxLowShare,
+        lit(false)))
+  }
+
+  /** [[domainRollup]]'s removal form: the corpus minus every document
+    * whose source failed the gate. The rollup is domain-bounded, so the
+    * reject list broadcasts and the corpus pays one anti-join, never
+    * shuffling. */
+  def domainFilter(df: DataFrame, sourceCol: Column,
+      rollup: DataFrame): DataFrame =
+    df.join(broadcast(rollup.filter(!col("keep"))
+        .select(col("source").as("_bad_src"))),
+      sourceCol.cast("string") === col("_bad_src"), "left_anti")
+
+  /**
    * Fill-in-the-middle transform (Bavarian et al. 2022): a deterministic
    * `rate` fraction of documents (md5-keyed — no RNG state, the
    * [[splitAssign]] discipline) is rewritten in PSM order,

@@ -845,6 +845,56 @@ object QualitySignals {
         col("m.sim").as("max_sim"), col("n_matches"))
   }
 
+  /**
+   * EMBEDDING-SPACE drift between two corpus snapshots — the vector
+   * sibling of [[driftPsi]] (which sees token shift but not semantic
+   * shift under a changed vocabulary): both snapshots are assigned to
+   * one shared IVF clustering (trained on their union — the common
+   * reference frame), and each cell reports its reference/new counts,
+   * add-one-smoothed share pair, PSI contribution, and the shift in mean
+   * member-to-centroid cosine (a cell whose share holds but whose
+   * members drift off-center is early warning PSI alone misses).
+   * `Σ psi_term` is the headline statistic, same thresholds as
+   * [[driftPsi]]. Returns one row per cell.
+   *
+   * Scale shape: [[graft.ops.Ivf.trainCentroids]]'s sampled Lloyd +
+   * one row-local assignment pass; the only full-corpus aggregation is
+   * the per-(cell) partial agg of counts and cosine sums; the centroid
+   * join is a broadcast of nlist rows. */
+  def embeddingDrift(emb: DataFrame, idCol: Column, vecCol: Column,
+      isNewCol: Column, nlist: Int = 8, iters: Int = 2,
+      sampleFraction: Int = 50): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(idCol.cast("long").as("id"),
+      vecCol.cast("array<float>").as("v"),
+      isNewCol.cast("boolean").as("is_new"))
+    val cents = graft.ops.Ivf.trainCentroids(v, col("id"), col("v"), nlist,
+      iters, sampleFraction)
+    val cdf = broadcast(cents.map { case (cid, c) => (cid, c.toVector) }
+      .toDF("cid", "c")
+      .select(col("cid"), col("c").cast("array<float>").as("c")))
+    val per = graft.ops.Ivf.assignClusters(v, col("id"), col("v"), cents)
+      .join(cdf, col("cluster") === col("cid"))
+      .select(col("cluster").cast("long").as("cluster"), col("is_new"),
+        graft.functions.cosine_similarity(col("v"), col("c")).as("cc"))
+      .groupBy("cluster")
+      .agg(sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+        avg(when(!col("is_new"), col("cc"))).as("mc_ref"),
+        avg(when(col("is_new"), col("cc"))).as("mc_new"))
+    val totals = per.agg(sum("n_ref").as("tr"), sum("n_new").as("tn"))
+    val p = (col("n_ref") + 1) / (col("tr") + lit(nlist)).cast("double")
+    val q = (col("n_new") + 1) / (col("tn") + lit(nlist)).cast("double")
+    per.crossJoin(broadcast(totals))
+      .select(col("cluster"), col("n_ref"), col("n_new"),
+        round((p - q) * log(p / q), 6).as("psi_term"),
+        round(coalesce(col("mc_ref"), lit(0.0)), 4).as("mean_cos_ref"),
+        round(coalesce(col("mc_new"), lit(0.0)), 4).as("mean_cos_new"),
+        round(coalesce(col("mc_new"), lit(0.0)) -
+          coalesce(col("mc_ref"), lit(0.0)), 4).as("cos_shift"))
+  }
+
   /** [[semanticContamination]]'s removal form: the corpus minus every
     * flagged row — [[decontaminate]]'s contract on the embedding path.
     * The flagged-id frame is match-bounded; the corpus pays one

@@ -1673,7 +1673,32 @@ object OpsQueries {
       // tokens — all offsets md5-derived, row-local
       graft.ops.Curation.spanCorruption(t(s, d, "documents"), col("doc_id"),
           col("text"), stride = 8, spanLen = 2)
-        .orderBy("id"))
+        .orderBy("id")),
+    "q210_domain_gate" -> ((s, d) =>
+      // domain-level gate: per-source mean n_chars and short-doc share;
+      // keep = mean >= 300 and <= 75% under the 400-char floor
+      graft.ops.Curation.domainRollup(t(s, d, "documents"), col("source"),
+          col("n_chars"), minMean = 300.0, lowFloor = 400.0,
+          maxLowShare = 0.75)
+        .orderBy("source")),
+    "q211_embedding_drift" -> ((s, d) =>
+      // embedding-space drift: snapshots = vec_id < 250 (ref) vs >= 250
+      // (new) assigned to one shared q66-style IVF clustering; per-cell
+      // share PSI terms + mean-cosine-to-centroid shift
+      graft.ops.QualitySignals.embeddingDrift(t(s, d, "embeddings"),
+          col("vec_id"), col("embedding"), col("vec_id") >= 250)
+        .orderBy("cluster")),
+    "q212_bitext_mining" -> ((s, d) => {
+      // margin-ratio mining between two disjoint vector sets (the
+      // parallel-corpus construction primitive); exact all-pairs form
+      // on bounded slices, k=4 neighborhood normalization
+      val emb = t(s, d, "embeddings")
+      Ann.bitextMine(
+          emb.filter(col("vec_id") < 60), col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") >= 60 && col("vec_id") < 160),
+          col("vec_id"), col("embedding"), k = 4, threshold = 1.1)
+        .orderBy("a_id")
+    })
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -4727,7 +4752,69 @@ object OpsQueries {
          FROM documents d
          LEFT JOIN inp USING (doc_id) LEFT JOIN tg USING (doc_id)
          LEFT JOIN ns USING (doc_id)
-         ORDER BY id"""
+         ORDER BY id""",
+
+    "q210_domain_gate" ->
+      """SELECT source, count(*) AS n_docs,
+                round(avg(CAST(n_chars AS DOUBLE)), 4) AS mean_score,
+                round(avg(CASE WHEN n_chars < 400 THEN 1.0 ELSE 0.0 END), 4) AS low_share,
+                COALESCE(round(avg(CAST(n_chars AS DOUBLE)), 4) >= 300
+                  AND round(avg(CASE WHEN n_chars < 400 THEN 1.0 ELSE 0.0 END), 4) <= 0.75,
+                  false) AS keep
+         FROM documents WHERE n_chars IS NOT NULL
+         GROUP BY source ORDER BY source""",
+
+    "q211_embedding_drift" ->
+      s"""${PortableSql.ivfTrainSql}
+         per AS (SELECT bf.cid AS cluster,
+                        count(*) FILTER (WHERE bf.id < 250) AS n_ref,
+                        count(*) FILTER (WHERE bf.id >= 250) AS n_new,
+                        avg(${PortableSql.cosSql("bf.v", "c2.c")})
+                          FILTER (WHERE bf.id < 250) AS mc_ref,
+                        avg(${PortableSql.cosSql("bf.v", "c2.c")})
+                          FILTER (WHERE bf.id >= 250) AS mc_new
+                 FROM bf JOIN c2 ON bf.cid = c2.cid GROUP BY bf.cid),
+         tt AS (SELECT sum(n_ref) AS tr, sum(n_new) AS tn FROM per)
+         SELECT CAST(cluster AS BIGINT) AS cluster,
+                CAST(n_ref AS BIGINT) AS n_ref, CAST(n_new AS BIGINT) AS n_new,
+                round(((n_ref + 1) / CAST(tr + 8 AS DOUBLE)
+                       - (n_new + 1) / CAST(tn + 8 AS DOUBLE))
+                      * ln(((n_ref + 1) / CAST(tr + 8 AS DOUBLE))
+                           / ((n_new + 1) / CAST(tn + 8 AS DOUBLE))), 6) AS psi_term,
+                round(COALESCE(mc_ref, 0), 4) AS mean_cos_ref,
+                round(COALESCE(mc_new, 0), 4) AS mean_cos_new,
+                round(COALESCE(mc_new, 0) - COALESCE(mc_ref, 0), 4) AS cos_shift
+         FROM per CROSS JOIN tt ORDER BY cluster""",
+
+    "q212_bitext_mining" ->
+      """WITH e AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+         pr AS (SELECT a.vec_id AS aid, b.vec_id AS bid,
+                       round(list_cosine_similarity(a.v, b.v), 4) AS c
+                FROM e a CROSS JOIN e b
+                WHERE a.vec_id < 60 AND b.vec_id >= 60 AND b.vec_id < 160),
+         da AS (SELECT aid, avg(c) AS d FROM
+                 (SELECT aid, c, row_number() OVER (PARTITION BY aid
+                    ORDER BY c DESC, bid) AS rn FROM pr)
+                WHERE rn <= 4 GROUP BY aid),
+         db AS (SELECT bid, avg(c) AS d FROM
+                 (SELECT bid, c, row_number() OVER (PARTITION BY bid
+                    ORDER BY c DESC, aid) AS rn FROM pr)
+                WHERE rn <= 4 GROUP BY bid),
+         fwd AS (SELECT aid, bid, c FROM
+                 (SELECT *, row_number() OVER (PARTITION BY aid
+                    ORDER BY c DESC, bid) AS rn FROM pr) WHERE rn = 1),
+         bwd AS (SELECT bid, aid AS best_a FROM
+                 (SELECT *, row_number() OVER (PARTITION BY bid
+                    ORDER BY c DESC, aid) AS rn FROM pr) WHERE rn = 1)
+         SELECT f.aid AS a_id, f.bid AS b_id, f.c AS cos,
+                round(f.c / ((da.d + db.d) / 2), 4) AS margin,
+                (bwd.best_a = f.aid) AS mutual
+         FROM fwd f JOIN da ON f.aid = da.aid JOIN db ON f.bid = db.bid
+                    JOIN bwd ON f.bid = bwd.bid
+         WHERE round(f.c / ((da.d + db.d) / 2), 4) >= 1.1
+         ORDER BY a_id"""
   )
 }
 

@@ -898,6 +898,76 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e1 != e2)
   }
 
+  test("domainRollup/domainFilter: gate arithmetic, NaN-only source fails, filter drops") {
+    import spark.implicits._
+    val docs = Seq(
+      ("good", 1L, 100.0), ("good", 2L, 200.0),       // mean 150, low_share 0
+      ("short", 3L, 10.0), ("short", 4L, 20.0),       // mean 15 < 50 → drop
+      ("nan", 5L, Double.NaN))                        // no scorable docs → drop
+      .toDF("src", "id", "sc")
+    val roll = graft.ops.Curation.domainRollup(docs, col("src"), col("sc"),
+      minMean = 50.0, lowFloor = 50.0, maxLowShare = 0.5)
+    val got = roll.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(4)))
+      .toMap
+    assert(got("good") == (2L, 150.0, true))
+    assert(got("short") == (2L, 15.0, false))
+    assert(!got.contains("nan")) // no scorable rows → absent from rollup…
+    val kept = graft.ops.Curation.domainFilter(docs, col("src"), roll)
+      .collect().map(_.getLong(1)).toSet
+    // …and absent sources survive the anti-join (no verdict ≠ bad verdict)
+    assert(kept == Set(1L, 2L, 5L))
+  }
+
+  test("embeddingDrift: identical snapshots show zero PSI and zero cosine shift") {
+    import spark.implicits._
+    // every vector twice: once ref, once new — per-cell shares and mean
+    // cosines must agree exactly, whatever the trained clustering is
+    val base = (0 until 40).map { i =>
+      val ang = i * 0.157
+      (i.toLong, Seq(math.cos(ang).toFloat, math.sin(ang).toFloat,
+        (i % 5).toFloat / 5, 1f))
+    }
+    val both = base.map { case (id, v) => (id, v, false) } ++
+      base.map { case (id, v) => (id + 1000L, v, true) }
+    val df = both.toDF("id", "v", "is_new")
+    val got = QualitySignals.embeddingDrift(df, col("id"), col("v"),
+      col("is_new"), nlist = 4, iters = 2, sampleFraction = 100).collect()
+    assert(got.nonEmpty)
+    for (r <- got) {
+      assert(r.getLong(1) == r.getLong(2),
+        s"ref/new counts differ in cell ${r.getLong(0)}")
+      assert(r.getDouble(3) == 0.0, "psi_term must be exactly 0")
+      assert(r.getDouble(6) == 0.0, "cos_shift must be exactly 0")
+    }
+  }
+
+  test("bitextMine: planted translation pair wins with mutual=true; hub normalized") {
+    import spark.implicits._
+    // a0 ↔ b0 nearly parallel (the true pair); b9 is a hub moderately
+    // close to every a — margin normalization must rank the true pair higher
+    val a = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 1f, 0f))).toDF("id", "v")
+    val b = Seq(
+      (10L, Seq(0.98f, 0.02f, 0f, 0f)), // ≈ a0
+      (11L, Seq(0f, 0.97f, 0.03f, 0f)), // ≈ a1
+      (12L, Seq(0f, 0f, 0f, 1f)),       // orthogonal to all
+      (19L, Seq(0.5f, 0.5f, 0.5f, 0.1f))) // hub
+      .toDF("id", "v")
+    val got = graft.ops.Ann.bitextMine(a, col("id"), col("v"),
+        b, col("id"), col("v"), k = 2, threshold = 0.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got(0L)._1 == 10L && got(0L)._3, "a0's best must be b10, mutual")
+    assert(got(1L)._1 == 11L && got(1L)._3)
+    // a2 has no true pair: its best is the hub, NOT mutual-best-of-a2…
+    assert(got(2L)._1 == 19L)
+    // …and its margin sits below the true pairs'
+    assert(got(2L)._2 < got(0L)._2 && got(2L)._2 < got(1L)._2)
+  }
+
   test("fimTransform: PSM parts reconstruct the original; rate=1 rewrites all non-empty") {
     import spark.implicits._
     val docs = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, ""), (4L, "hello world"))
