@@ -156,4 +156,55 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("*(1) Project [greatest("),
       s"rendezvous projection must stay inside codegen:\n$p")
   }
+
+  test("q203: softDedupWeights joins the weight table broadcast — " +
+      "the corpus side never shuffles for the join") {
+    val cc = spark.range(10).selectExpr("id", "id % 3 AS cluster_id")
+    val p = plan(graft.ops.Curation.softDedupWeights(docs, col("doc_id"), cc))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"weight attach must be a broadcast hash join:\n$p")
+  }
+
+  test("q204: latestSnapshot is ONE partial-agg exchange — no window, " +
+      "no join, no second shuffle") {
+    val p = plan(graft.ops.Dedup.latestSnapshot(
+      spark.read.parquet(s"$sf/events.parquet"),
+      Seq(col("user_id"), col("event_type")), col("ts"), col("event_id")))
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"snapshot must be an aggregation, not a window/join:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"exactly one shuffle (the key agg) expected:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      s"map-side combine must be present:\n$p")
+  }
+
+  test("q206: semanticContamination broadcasts the bench side; the corpus " +
+      "never sort-merge-joins") {
+    val p = plan(graft.ops.QualitySignals.semanticContamination(
+      emb.filter(col("vec_id") >= 25), col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 25), col("vec_id"), col("embedding"), 0.4))
+    assert(p.contains("Broadcast") && !p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"),
+      s"bench frame must broadcast:\n$p")
+  }
+
+  test("q208/q209: fimTransform and spanCorruption plan zero exchanges " +
+      "(pure row-local transforms)") {
+    val pf = plan(graft.ops.Curation.fimTransform(
+      docs, col("doc_id"), col("text"), rate = 0.5))
+    assert(!pf.contains("Exchange"),
+      s"fimTransform must be exchange-free:\n$pf")
+    val ps = plan(graft.ops.Curation.spanCorruption(
+      docs, col("doc_id"), col("text"), stride = 8, spanLen = 2))
+    assert(!ps.contains("Exchange"),
+      s"spanCorruption must be exchange-free:\n$ps")
+  }
+
+  test("q210: domainFilter rejects via a broadcast anti-join") {
+    val roll = graft.ops.Curation.domainRollup(docs, col("source"),
+      col("n_chars"), minMean = 300.0, lowFloor = 400.0, maxLowShare = 0.75)
+    val p = plan(graft.ops.Curation.domainFilter(docs, col("source"), roll))
+    assert(p.contains("LeftAnti") && p.contains("Broadcast"),
+      s"domain reject list must broadcast anti-join:\n$p")
+  }
 }
