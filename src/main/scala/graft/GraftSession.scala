@@ -133,4 +133,62 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
     import org.apache.spark.sql.functions.col
     store.scrubGate(db, artifacts, batch, col(idCol), col(textCol))
   }
+
+  /** Typed [[graft.ops.Curation.preferencePairs]]: per-prompt-group DPO
+    * chosen/rejected extremes. */
+  def preferencePairs(docs: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String,
+      minMargin: Double = 0.0): Dataset[graft.model.PreferencePair] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.ops.Curation.preferencePairs(docs, col(groupCol), col(idCol),
+        col(scoreCol), minMargin)
+      .as[graft.model.PreferencePair]
+  }
+
+  /** Typed [[graft.ops.Curation.fimTransform]]: deterministic
+    * fill-in-the-middle PSM rewrite of a `rate` fraction. */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+      rate: Double = 0.5): Dataset[graft.model.FimExample] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.ops.Curation.fimTransform(docs, col(idCol), col(textCol), rate)
+      .as[graft.model.FimExample]
+  }
+
+  /** Typed [[graft.ops.Curation.spanCorruption]]: the T5 denoising
+    * objective with md5-deterministic spans. */
+  def spanCorruption(docs: DataFrame, idCol: String, textCol: String,
+      stride: Int = 8,
+      spanLen: Int = 2): Dataset[graft.model.CorruptedExample] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.ops.Curation.spanCorruption(docs, col(idCol), col(textCol),
+        stride, spanLen)
+      .as[graft.model.CorruptedExample]
+  }
+
+  /** Typed [[graft.ops.Curation.domainRollup]]: per-source quality gate
+    * verdicts (pair with [[graft.ops.Curation.domainFilter]] to drop). */
+  def domainRollup(docs: DataFrame, sourceCol: String, scoreCol: String,
+      minMean: Double, lowFloor: Double,
+      maxLowShare: Double = 1.0): Dataset[graft.model.DomainVerdict] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.ops.Curation.domainRollup(docs, col(sourceCol), col(scoreCol),
+        minMean, lowFloor, maxLowShare)
+      .as[graft.model.DomainVerdict]
+  }
+
+  /** Typed [[graft.ops.Ann.bitextMine]]: margin-ratio cross-set pairs
+    * with the mutual-best precision flag. */
+  def bitextMine(a: DataFrame, aId: String, aVec: String, b: DataFrame,
+      bId: String, bVec: String, k: Int = 4,
+      threshold: Double = 1.0): Dataset[graft.model.BitextPair] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.ops.Ann.bitextMine(a, col(aId), col(aVec), b, col(bId),
+        col(bVec), k, threshold)
+      .as[graft.model.BitextPair]
+  }
 }

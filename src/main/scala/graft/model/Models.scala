@@ -83,3 +83,27 @@ final case class Triplet(anchor_id: Long, pos_id: Long, neg_id: Long,
 /** Deterministic per-epoch training order slot
   * ([[graft.ops.Curation.epochShuffle]]). */
 final case class EpochSlot(id: Long, ord: Long)
+
+/** DPO/RLHF preference pair ([[graft.ops.Curation.preferencePairs]]):
+  * per-prompt-group score extremes with the margin between them. */
+final case class PreferencePair(grp: String, chosen_id: Long,
+    chosen_score: Double, rejected_id: Long, rejected_score: Double,
+    margin: Double, n_candidates: Long)
+
+/** Fill-in-the-middle training example
+  * ([[graft.ops.Curation.fimTransform]]): `fim` marks rewritten rows. */
+final case class FimExample(id: Long, fim: Boolean, out_text: String)
+
+/** T5 span-corruption example ([[graft.ops.Curation.spanCorruption]]):
+  * sentinel-masked input and its paired target sequence. */
+final case class CorruptedExample(id: Long, input: String, target: String,
+    n_spans: Long)
+
+/** Domain-gate verdict ([[graft.ops.Curation.domainRollup]]). */
+final case class DomainVerdict(source: String, n_docs: Long,
+    mean_score: Double, low_share: Double, keep: Boolean)
+
+/** Margin-mined cross-set pair ([[graft.ops.Ann.bitextMine]]): `mutual`
+  * marks pairs that are best matches in both directions. */
+final case class BitextPair(a_id: Long, b_id: Long, cos: Double,
+    margin: Double, mutual: Boolean)

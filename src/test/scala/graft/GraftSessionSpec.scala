@@ -198,6 +198,42 @@ class GraftSessionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.map(_.id).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("typed round-7 facade: preference pairs, FIM, span corruption, " +
+      "domain gate, bitext — typed fields agree with the object methods") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sess = new GraftSession(spark, s"$work/wh")
+    val docs = Seq(
+      ("p1", 1L, "alpha bravo charlie delta echo foxtrot golf hotel", 9.0, "s1"),
+      ("p1", 2L, "india juliet kilo lima", 1.0, "s1"),
+      ("p2", 3L, "mike november oscar papa", 5.0, "s2"))
+      .toDF("prompt", "doc_id", "body", "score", "src")
+
+    val pairs = sess.preferencePairs(docs, "prompt", "doc_id", "score")
+      .collect()
+    assert(pairs.length == 1 && pairs(0).chosen_id == 1L
+      && pairs(0).rejected_id == 2L && pairs(0).margin == 8.0)
+
+    val fim = sess.fimTransform(docs, "doc_id", "body", rate = 1.0).collect()
+    assert(fim.forall(_.fim) && fim.forall(_.out_text.startsWith("<PRE>")))
+
+    val sc = sess.spanCorruption(docs, "doc_id", "body", stride = 4,
+      spanLen = 2).collect().map(c => c.id -> c).toMap
+    assert(sc(1L).n_spans == 2 && sc(1L).input.contains("<extra_id_0>"))
+
+    val verdicts = sess.domainRollup(docs, "src", "score",
+      minMean = 4.0, lowFloor = 2.0, maxLowShare = 0.4).collect()
+      .map(v => v.source -> v.keep).toMap
+    assert(verdicts == Map("s1" -> false, "s2" -> true)) // s1: low_share 0.5
+
+    val a = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("id", "v")
+    val b = Seq((10L, Seq(1f, 0.1f)), (11L, Seq(0.1f, 1f))).toDF("id", "v")
+    val bt = sess.bitextMine(a, "id", "v", b, "id", "v", k = 2,
+      threshold = 0.0).collect().map(p => p.a_id -> p).toMap
+    assert(bt(1L).b_id == 10L && bt(1L).mutual)
+    assert(bt(2L).b_id == 11L && bt(2L).mutual)
+  }
+
   test("session scrubGate: name-based daily gate over persisted artifacts") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
