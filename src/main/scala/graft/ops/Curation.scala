@@ -926,6 +926,82 @@ object Curation {
   }
 
   /**
+   * DoReMi-style domain reweighting step (Xie et al. 2023, the
+   * multiplicative-weights update): each listed source's reference
+   * weight is scaled by `exp(eta × mean excess loss)` — domains the
+   * proxy model finds hard gain mass — then normalized and smoothed
+   * toward uniform by `eps` so no domain starves. Sources absent from
+   * `refWeights` hold weight 0 throughout (the [[mixtureBudget]]
+   * unlisted-source stance). Null/NaN losses are excluded from the mean.
+   * Returns `(source, n_docs, mean_loss, w_ref, w_new)` — one training
+   * round's reweighting; iterate by feeding `w_new` back as the next
+   * round's `refWeights`.
+   *
+   * Scale shape: ONE partial-agg corpus pass to a domain-bounded frame;
+   * the normalizer is a broadcast one-row aggregate; everything after
+   * the first agg is arithmetic on ~|domains| rows. The mean loss is
+   * rounded to 6dp before the exponential so the update is
+   * engine-reproducible. */
+  def domainReweight(df: DataFrame, sourceCol: Column, lossCol: Column,
+      refWeights: Map[String, Double], eta: Double = 1.0,
+      eps: Double = 0.0): DataFrame = {
+    require(eta > 0, "eta must be > 0")
+    require(eps >= 0 && eps < 1, "eps must be in [0, 1)")
+    require(refWeights.nonEmpty, "refWeights must be non-empty")
+    val wRef = refWeights.foldLeft(lit(0.0)) { case (acc, (s, w)) =>
+      when(col("source") === s, w).otherwise(acc)
+    }
+    val per = df.select(sourceCol.cast("string").as("source"),
+        lossCol.cast("double").as("l"))
+      .filter(col("l").isNotNull && !isnan(col("l")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("l")), 6).as("mean_loss"))
+      .withColumn("w_ref", wRef)
+      .withColumn("raw", col("w_ref") * exp(lit(eta) * col("mean_loss")))
+    val totals = per.agg(sum("raw").as("z"),
+      count(lit(1)).as("k"))
+    per.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"),
+        round(col("mean_loss"), 4).as("mean_loss"), col("w_ref"),
+        round(lit(1.0 - eps) * col("raw") / col("z") +
+          lit(eps) / col("k"), 6).as("w_new"))
+  }
+
+  /**
+   * Cross-source score calibration: raw quality scores are not
+   * comparable across sources (a "good" web page and a "good" paper
+   * score on different scales), so a single global threshold
+   * over-prunes one domain and under-prunes another. This maps each
+   * score to its mid-rank CDF position WITHIN its source —
+   * `(count_below + count_equal / 2) / n` ∈ (0, 1) — after which one
+   * calibrated threshold means the same thing everywhere. Returns
+   * `(id, source, score, calibrated)`. Null/NaN scores are dropped.
+   *
+   * Scale shape: the corpus reduces to a distinct-(source, score) count
+   * table under partial aggregation; the cumulative walk windows over
+   * THAT bounded table (distinct scores per source, not rows — the
+   * [[quantileBins]] contract), and the corpus pays one equi-join on
+   * (source, score) to pick up its calibrated value. */
+  def scoreRankCalibrate(df: DataFrame, idCol: Column, sourceCol: Column,
+      scoreCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(idCol.cast("long").as("id"),
+        sourceCol.cast("string").as("source"),
+        scoreCol.cast("double").as("score"))
+      .filter(col("score").isNotNull && !isnan(col("score")))
+    val counts = base.groupBy("source", "score").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cal = counts
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(Window.partitionBy("source")))
+      .select(col("source"), col("score"),
+        round((col("cum") - col("c") / 2.0) / col("n"), 6).as("calibrated"))
+    base.join(cal, Seq("source", "score"))
+      .select(col("id"), col("source"), col("score"), col("calibrated"))
+  }
+
+  /**
    * Domain-level quality rollup — the per-SOURCE aggregation a crawl
    * pipeline gates on before any per-document filter runs (a domain
    * whose documents are consistently junk is cheaper to drop wholesale;

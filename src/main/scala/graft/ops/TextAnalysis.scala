@@ -779,4 +779,38 @@ object TextAnalysis {
               col("total_grams"), 4)).as("distinct_ratio"))
     }.reduce(_ unionByName _).orderBy("n")
   }
+
+  /**
+   * Conversation assembly for SFT/chat training data: turn rows
+   * `(convCol, roleCol, textCol)` become one templated document per
+   * conversation — `<|role|> text` lines in `(orderCol, idCol)` order —
+   * with the structural-validity verdict an instruction-tuning pipeline
+   * gates on: `valid` = the first turn is `"user"` AND roles strictly
+   * alternate (a double-assistant or assistant-led transcript is
+   * malformed training data, not just noise).
+   * Returns `(conv_id, n_turns, valid, text)`.
+   *
+   * Scale shape: one shuffle keyed by conversation; each group
+   * sort_array-s its own turn list row-locally. Conversations are
+   * short by nature (the unit is a dialog, not a corpus) — this is the
+   * per-doc-bounded collect_list discipline of the line-dedup family,
+   * NOT an unbounded group: cap upstream if a conv key can be hot. */
+  def conversationAssemble(df: DataFrame, convCol: Column, roleCol: Column,
+      textCol: Column, orderCol: Column, idCol: Column): DataFrame = {
+    val rows = df.select(convCol.as("conv_id"),
+      struct(orderCol.as("o"), idCol.as("i"), roleCol.cast("string").as("r"),
+        textCol.cast("string").as("t")).as("turn"))
+    val n = size(col("turns"))
+    val adj = zip_with(slice(col("turns"), lit(1), n - 1),
+      slice(col("turns"), lit(2), n - 1),
+      (a, b) => a.getField("r") =!= b.getField("r"))
+    rows.groupBy("conv_id")
+      .agg(sort_array(collect_list(col("turn"))).as("turns"))
+      .select(col("conv_id"), n.cast("long").as("n_turns"),
+        (element_at(col("turns"), 1).getField("r") === "user" &&
+          forall(adj, x => x)).as("valid"),
+        concat_ws("\n", transform(col("turns"),
+          t => concat(lit("<|"), t.getField("r"), lit("|> "),
+            t.getField("t")))).as("text"))
+  }
 }

@@ -1698,7 +1698,37 @@ object OpsQueries {
           emb.filter(col("vec_id") >= 60 && col("vec_id") < 160),
           col("vec_id"), col("embedding"), k = 4, threshold = 1.1)
         .orderBy("a_id")
-    })
+    }),
+    "q213_conversations" -> ((s, d) => {
+      // SFT chat assembly: events as dialog turns (user_id = the
+      // conversation, deterministic role mapping), templated text +
+      // the role-alternation validity verdict
+      val ev = t(s, d, "events")
+      TextAnalysis.conversationAssemble(ev,
+          col("user_id"),
+          when(col("event_type").isin("click", "view", "purchase"), "user")
+            .otherwise("assistant"),
+          concat(col("event_type"), lit(":"),
+            floor(col("value")).cast("long")),
+          col("ts"), col("event_id"))
+        .orderBy("conv_id")
+    }),
+    "q214_domain_reweight" -> ((s, d) =>
+      // one DoReMi multiplicative-weights round: uniform reference mix,
+      // loss proxy = ln(1000/n_chars) (short docs read as high-loss),
+      // eta=0.5, 10% uniform smoothing
+      graft.ops.Curation.domainReweight(t(s, d, "documents"), col("source"),
+          log(lit(1000.0) / col("n_chars")),
+          (0 until 20).map(i => s"src$i" -> 0.05).toMap,
+          eta = 0.5, eps = 0.1)
+        .orderBy("source")),
+    "q215_score_calibrate" -> ((s, d) =>
+      // cross-source calibration: n_chars mapped to its mid-rank CDF
+      // position within each source — one threshold, same meaning
+      // everywhere
+      graft.ops.Curation.scoreRankCalibrate(t(s, d, "documents"),
+          col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("id"))
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -4814,7 +4844,51 @@ object OpsQueries {
          FROM fwd f JOIN da ON f.aid = da.aid JOIN db ON f.bid = db.bid
                     JOIN bwd ON f.bid = bwd.bid
          WHERE round(f.c / ((da.d + db.d) / 2), 4) >= 1.1
-         ORDER BY a_id"""
+         ORDER BY a_id""",
+
+    "q213_conversations" ->
+      """WITH turns AS (SELECT user_id AS conv_id, ts, event_id,
+                CASE WHEN event_type IN ('click', 'view', 'purchase')
+                     THEN 'user' ELSE 'assistant' END AS r,
+                event_type || ':' || CAST(floor(value) AS BIGINT) AS t
+              FROM events),
+         g AS (SELECT conv_id,
+                      list(struct_pack(r := r, t := t)
+                           ORDER BY ts, event_id) AS turns
+               FROM turns GROUP BY conv_id)
+         SELECT conv_id, CAST(len(turns) AS BIGINT) AS n_turns,
+                turns[1].r = 'user' AND
+                  len([i FOR i IN range(2, len(turns) + 1)
+                       IF turns[i].r = turns[i - 1].r]) = 0 AS valid,
+                array_to_string(list_transform(turns,
+                  x -> '<|' || x.r || '|> ' || x.t), chr(10)) AS text
+         FROM g ORDER BY conv_id""",
+
+    "q214_domain_reweight" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+                round(avg(ln(1000.0 / n_chars)), 6) AS ml
+              FROM documents
+              WHERE n_chars IS NOT NULL GROUP BY source),
+         p2 AS (SELECT *, 0.05 AS w_ref, 0.05 * exp(0.5 * ml) AS raw FROM per),
+         tt AS (SELECT sum(raw) AS z, count(*) AS k FROM p2)
+         SELECT source, n_docs, round(ml, 4) AS mean_loss, w_ref,
+                round(0.9 * raw / z + 0.1 / k, 6) AS w_new
+         FROM p2 CROSS JOIN tt ORDER BY source""",
+
+    "q215_score_calibrate" ->
+      """WITH b AS (SELECT doc_id AS id, source,
+                CAST(n_chars AS DOUBLE) AS score
+              FROM documents WHERE n_chars IS NOT NULL),
+         c AS (SELECT source, score, count(*) AS c FROM b GROUP BY source, score),
+         w AS (SELECT source, score,
+                      sum(c) OVER (PARTITION BY source ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                      c, sum(c) OVER (PARTITION BY source) AS n
+               FROM c)
+         SELECT b.id, b.source, b.score,
+                round((w.cum - w.c / 2.0) / w.n, 6) AS calibrated
+         FROM b JOIN w ON b.source = w.source AND b.score = w.score
+         ORDER BY b.id"""
   )
 }
 

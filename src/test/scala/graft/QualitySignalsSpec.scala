@@ -898,6 +898,62 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e1 != e2)
   }
 
+  test("conversationAssemble: template order, alternation verdicts, single turn") {
+    import spark.implicits._
+    val turns = Seq(
+      (1L, 1L, "user", "hi"), (1L, 2L, "assistant", "hello"),
+      (1L, 3L, "user", "bye"),
+      (2L, 1L, "user", "a"), (2L, 2L, "user", "b"),        // double user
+      (3L, 1L, "assistant", "hm"),                           // assistant-led
+      (4L, 2L, "assistant", "later"), (4L, 1L, "user", "first")) // order by o
+      .toDF("conv", "o", "role", "txt")
+    val got = graft.ops.TextAnalysis.conversationAssemble(turns, col("conv"),
+        col("role"), col("txt"), col("o"), col("o"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getString(3))).toMap
+    assert(got(1L) == (3L, true,
+      "<|user|> hi\n<|assistant|> hello\n<|user|> bye"))
+    assert(got(2L)._2 == false)
+    assert(got(3L) == (1L, false, "<|assistant|> hm"))
+    assert(got(4L) == (2L, true, "<|user|> first\n<|assistant|> later"))
+  }
+
+  test("domainReweight: hard domain gains mass, unlisted stays zero, weights sum to 1") {
+    import spark.implicits._
+    val docs = Seq(
+      ("easy", 1.0), ("easy", 1.0), ("hard", 3.0), ("hard", 3.0),
+      ("ghost", 9.0)) // not in refWeights
+      .toDF("src", "loss")
+    val got = graft.ops.Curation.domainReweight(docs, col("src"),
+        col("loss"), Map("easy" -> 0.5, "hard" -> 0.5), eta = 1.0, eps = 0.1)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    // hand-computed: raw_easy = .5e^1, raw_hard = .5e^3, raw_ghost = 0
+    val z = 0.5 * math.exp(1.0) + 0.5 * math.exp(3.0)
+    def w(raw: Double) = math.rint((0.9 * raw / z + 0.1 / 3) * 1e6) / 1e6
+    assert(got("easy") == (0.5, w(0.5 * math.exp(1.0))))
+    assert(got("hard") == (0.5, w(0.5 * math.exp(3.0))))
+    assert(got("ghost") == (0.0, w(0.0)))
+    assert(got("hard")._2 > got("easy")._2)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-5)
+  }
+
+  test("scoreRankCalibrate: mid-rank CDF with ties, per-source independence, NaN dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 20.0), (4L, "a", 30.0),
+      (5L, "b", 999.0), (6L, "b", 1000.0), (7L, "a", Double.NaN))
+      .toDF("id", "src", "sc")
+    val got = graft.ops.Curation.scoreRankCalibrate(docs, col("id"),
+        col("src"), col("sc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // source a, n=4: 10 → 0.5/4; 20,20 → (1+1)/4; 30 → 3.5/4
+    assert(got(1L) == 0.125 && got(2L) == 0.5 && got(3L) == 0.5
+      && got(4L) == 0.875)
+    // source b calibrates on its own scale: 999 is its LOW score
+    assert(got(5L) == 0.25 && got(6L) == 0.75)
+    assert(!got.contains(7L))
+  }
+
   test("domainRollup/domainFilter: gate arithmetic, NaN-only source fails, filter drops") {
     import spark.implicits._
     val docs = Seq(
