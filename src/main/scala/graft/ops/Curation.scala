@@ -926,6 +926,40 @@ object Curation {
   }
 
   /**
+   * Temperature-based stratum rebalancing (the multilingual sampling
+   * rule of mBERT/XLM-R): target stratum shares ∝ (observed share)^(1/T),
+   * realized as deterministic per-row Bernoulli keeps with acceptance
+   * rate `r_s = n_s^a / max_t(n_t^a)` where `a = 1/T − 1` — the stratum
+   * whose share moves most toward the target keeps everything, every
+   * other stratum downsamples proportionally (no replacement, no
+   * upsampling). T > 1 flattens toward uniform (low-resource languages
+   * gain relative mass), T < 1 sharpens, T = 1 is a pass-through. The
+   * keep decision hashes `keyCol` (md5 — reproducible, partition-
+   * invariant, the [[mixtureSample]] fractional discipline). Returns the
+   * surviving rows plus their stratum's `rate`.
+   *
+   * Scale shape: one partial-agg stratum count, two broadcast scalar
+   * joins (the max-ratio normalizer and the per-stratum rate table), one
+   * row-local filter — the corpus never shuffles. */
+  def temperatureSample(df: DataFrame, keyCol: Column, stratum: Column,
+      temperature: Double): DataFrame = {
+    require(temperature > 0, "temperature must be > 0")
+    val a = 1.0 / temperature - 1.0
+    val counts = df.groupBy(stratum.cast("string").as("stratum"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("ratio", pow(col("n").cast("double"), a))
+    val zmax = counts.agg(max("ratio").as("zmax"))
+    val rates = counts.crossJoin(broadcast(zmax))
+      .select(col("stratum"), round(col("ratio") / col("zmax"), 6).as("rate"))
+    val u = (graft.expr.PortableHash.hex15Col(
+      concat(keyCol, lit(":ts"))) + 1) / lit(1152921504606846976.0)
+    df.withColumn("__st", stratum.cast("string"))
+      .join(broadcast(rates), col("__st") === col("stratum"))
+      .filter(u < col("rate"))
+      .drop("__st", "stratum")
+  }
+
+  /**
    * DoReMi-style domain reweighting step (Xie et al. 2023, the
    * multiplicative-weights update): each listed source's reference
    * weight is scaled by `exp(eta × mean excess loss)` — domains the

@@ -201,6 +201,36 @@ final case class LmScoreGate(minAvgLp: Double = -9.0)
   }
 }
 
+/** Embedding-space member of the gate family: the frozen corpus (a
+  * benchmark suite, typically) persists as `(id, vector)` rows under the
+  * engine embedder ([[graft.functions.hash_embed]] — swap in a real
+  * backend via the same column function), and
+  * [[QualitySignals.semanticContamination]] drops every batch document
+  * whose embedding cosine against ANY frozen vector reaches `threshold` —
+  * the paraphrase leak [[BloomGate]]'s verbatim n-grams cannot see.
+  * Batch gate (anti-join on the flagged ids); the artifact broadcasts
+  * (benchmark-sized by nature). */
+final case class SemanticGate(threshold: Double = 0.9, dim: Int = 64)
+    extends ScrubArtifact {
+  val kind = s"semantic_embed_$dim"
+  def build(corpus: DataFrame, id: Column, text: Column): DataFrame =
+    corpus.select(id.cast("long").as("id"),
+      graft.functions.hash_embed(text, dim).as("v"))
+  def apply(batch: DataFrame, id: Column, text: Column,
+      table: DataFrame): DataFrame =
+    QualitySignals.semanticContamination(
+      batch.select(id.cast("long").as("id"),
+        graft.functions.hash_embed(text, dim).as("bv")),
+      col("id"), col("bv"), table, col("id"), col("v"), threshold)
+  def gate(batch: DataFrame, id: Column, text: Column,
+      table: DataFrame): DataFrame = {
+    val flagged = apply(batch, id, text, table)
+      .select(col("id").as("__flagged_id"))
+    batch.select(id.cast("long").as("id"), text.cast("string").as("text"))
+      .join(flagged, col("id") === col("__flagged_id"), "left_anti")
+  }
+}
+
 /** [[QualitySignals.ngramHashTable]] →
   * [[QualitySignals.ngramNoveltyAgainst]]: drop documents whose distinct
   * n-gram novelty against the frozen corpus falls below `minNovelty`

@@ -1728,7 +1728,14 @@ object OpsQueries {
       // everywhere
       graft.ops.Curation.scoreRankCalibrate(t(s, d, "documents"),
           col("doc_id"), col("source"), col("n_chars"))
-        .orderBy("id"))
+        .orderBy("id")),
+    "q216_temperature_sample" -> ((s, d) =>
+      // multilingual temperature rebalancing at T=2: stratum shares
+      // flatten toward uniform via deterministic md5 Bernoulli keeps
+      graft.ops.Curation.temperatureSample(t(s, d, "documents"),
+          col("doc_id"), col("lang"), temperature = 2.0)
+        .select(col("doc_id"), col("lang"), col("rate"))
+        .orderBy("doc_id"))
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -4888,7 +4895,18 @@ object OpsQueries {
          SELECT b.id, b.source, b.score,
                 round((w.cum - w.c / 2.0) / w.n, 6) AS calibrated
          FROM b JOIN w ON b.source = w.source AND b.score = w.score
-         ORDER BY b.id"""
+         ORDER BY b.id""",
+
+    "q216_temperature_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         r AS (SELECT lang, pow(CAST(n AS DOUBLE), -0.5) AS ratio FROM c),
+         z AS (SELECT max(ratio) AS zm FROM r),
+         rt AS (SELECT lang, round(ratio / zm, 6) AS rate FROM r CROSS JOIN z)
+         SELECT d.doc_id, d.lang, rt.rate
+         FROM documents d JOIN rt USING (lang)
+         WHERE (CAST('0x' || substr(md5(d.doc_id || ':ts'), 1, 15) AS BIGINT) + 1)
+                 / 1152921504606846976.0 < rt.rate
+         ORDER BY doc_id"""
   )
 }
 

@@ -898,6 +898,30 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e1 != e2)
   }
 
+  test("temperatureSample: smallest stratum keeps all, T=1 passes through, deterministic") {
+    import spark.implicits._
+    val df = ((1 to 80).map(i => (i.toLong, "big")) ++
+      (81 to 100).map(i => (i.toLong, "small"))).toDF("id", "st")
+    val s2 = graft.ops.Curation.temperatureSample(df, col("id"), col("st"),
+      temperature = 2.0)
+    val rates = s2.select("st", "rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("small") == 1.0) // the minority stratum never downsamples
+    // big's rate = (80/20)^-0.5 = 0.5
+    assert(rates("big") == 0.5)
+    val kept = s2.collect().map(_.getLong(0)).toSet
+    assert((81L to 100L).forall(kept.contains))
+    // deterministic & partition-invariant
+    val again = graft.ops.Curation.temperatureSample(df.repartition(7),
+      col("id"), col("st"), temperature = 2.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+    // T=1: every rate is 1 → pass-through
+    val t1 = graft.ops.Curation.temperatureSample(df, col("id"), col("st"),
+      temperature = 1.0)
+    assert(t1.count() == 100)
+  }
+
   test("conversationAssemble: template order, alternation verdicts, single turn") {
     import spark.implicits._
     val turns = Seq(

@@ -49,7 +49,8 @@ class ScrubArtifactSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("write/load/apply round-trips every artifact kind through parquet") {
     import spark.implicits._
     val kinds: Seq[ScrubArtifact] = Seq(FrequentLineScrub(), SpanScrub(3),
-      CdcScrub(), BloomGate(), WinnowGate(), NoveltyGate(), SimHashGate())
+      CdcScrub(), BloomGate(), WinnowGate(), NoveltyGate(), SimHashGate(),
+      SemanticGate())
     for (a <- kinds) {
       val corpus = if (a.isInstanceOf[BloomGate]) benchmark
         .withColumn("doc_id", lit(0L)).select(col("doc_id"), col("question").as("body"))
@@ -92,6 +93,30 @@ class ScrubArtifactSpec extends AnyFunSuite with BeforeAndAfterAll {
     // consistency between report and gate rather than a magic number
     val nearFlagged = report.exists(_._1 == 31L)
     assert(gated.contains(31L) != nearFlagged)
+  }
+
+  test("SemanticGate: verbatim and near-verbatim benchmark items drop by " +
+      "embedding cosine, fresh text passes") {
+    import spark.implicits._
+    val sem = SemanticGate(threshold = 0.9)
+    store.writeScrubArtifact("dbsem", sem,
+      benchmark.withColumn("doc_id", monotonically_increasing_id())
+        .select(col("doc_id"), col("question").as("body")),
+      col("doc_id"), col("body"))
+    val batch = Seq(
+      (40L, "what is the capital of atlantis"),        // verbatim → cos 1.0
+      (41L, "what is the capital of atlantis today"),  // near-verbatim
+      (42L, "completely unrelated training document about shipping"))
+      .toDF("id", "text")
+    val table = store.scrubArtifact("dbsem", sem)
+    val report = sem.apply(batch, col("id"), col("text"), table)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(report.contains(40L) && report(40L) == 1.0)
+    val gated = sem.gate(batch, col("id"), col("text"), table)
+      .collect().map(_.getLong(0)).toSet
+    assert(!gated.contains(40L) && gated.contains(42L))
+    // near-verbatim consistency: gated iff not flagged
+    assert(gated.contains(41L) != report.contains(41L))
   }
 
   test("scrubGate chains scrubbers and gates: boilerplate lines drop, " +
