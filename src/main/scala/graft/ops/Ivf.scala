@@ -130,6 +130,44 @@ object Ivf {
     }.reduce(_ unionByName _).orderBy("k")
   }
 
+  /** Simplified silhouette per cluster (Hruschka et al.): for every
+    * vector, `a` = cosine distance to its OWN centroid, `b` = distance
+    * to the nearest OTHER centroid, `s = (b − a) / max(a, b)` — the
+    * cluster-quality diagnostic that catches overlapping cells
+    * [[inertiaCurve]]'s pure compactness cannot (inertia always improves
+    * with k; silhouette peaks where cells separate). Returns
+    * `(cluster, n, mean_silhouette)`; corpus-wide mean = the n-weighted
+    * average. Points equidistant from everything (`max(a,b) = 0`) score 0.
+    *
+    * Scale shape: centroids ride the same k×dim literal as assignment,
+    * so a and b are ROW-LOCAL array folds — no point×centroid join, no
+    * per-point shuffle; the only exchange is the nlist-row partial agg. */
+  def silhouetteSimplified(emb: DataFrame, idCol: Column, vecCol: Column,
+      nlist: Int = 8, iters: Int = 2,
+      sampleFraction: Int = 50): DataFrame = {
+    val cents = trainCentroids(emb, idCol, vecCol, nlist, iters,
+      sampleFraction)
+    val cl = centsLit(cents)
+    val v = col("v")
+    val sims = transform(cl, c => cosine_similarity(v, c.getField("c")))
+    val cluster = nearest_centroid(v, cl)
+    val aDist = lit(1.0) - element_at(col("sims"), col("cluster") + 1)
+    val otherBest = array_max(filter(col("sims"),
+      (s, i) => i =!= col("cluster")))
+    val bDist = lit(1.0) - otherBest
+    emb.select(idCol.cast("long").as("id"),
+        vecCol.cast("array<float>").as("v"))
+      .select(col("id"), sims.as("sims"), cluster.as("cluster"))
+      .select(col("cluster").cast("long").as("cluster"), aDist.as("a"),
+        bDist.as("b"))
+      .select(col("cluster"),
+        when(greatest(col("a"), col("b")) === 0, lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b")))
+          .as("s"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), round(avg(col("s")), 4).as("mean_silhouette"))
+  }
+
   /** The query's `nprobe` nearest centroid ids (driver-side: k is tiny). */
   def probeList(cents: Seq[(Int, Seq[Float])], query: Array[Float],
       nprobe: Int): Seq[Int] = {

@@ -781,6 +781,61 @@ object TextAnalysis {
   }
 
   /**
+   * URL canonicalization — the crawl-frontier dedup key: strips the
+   * fragment, tracking parameters (`utm_*`, `fbclid`, `gclid`), the
+   * `www.` host prefix, scheme-default ports (`:80` http / `:443`
+   * https), and any trailing slash, then collapses the query-string
+   * debris the removals leave behind (`?&`, dangling `?`/`&`). A pure
+   * `regexp_replace` chain — whole-stage codegen, streaming-safe.
+   * Case is preserved (hosts in crawl data are lowercased at fetch
+   * time; paths are case-significant). */
+  def urlCanonicalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noTrack = regexp_replace(noFrag,
+      "(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", "")
+    val tidy = regexp_replace(regexp_replace(noTrack, "\\?&", "?"),
+      "[?&]$", "")
+    val noPort = regexp_replace(regexp_replace(tidy,
+      "^(http://[^/:]+):80(/|$)", "$1$2"),
+      "^(https://[^/:]+):443(/|$)", "$1$2")
+    val noWww = regexp_replace(noPort, "^(https?://)www\\.", "$1")
+    regexp_replace(noWww, "/$", "")
+  }
+
+  /** Canonical-URL dedup ([[urlCanonicalize]] → the
+    * [[graft.ops.Dedup.exactDuplicates]] shape): every canonical form
+    * fetched more than once, with its fetch count and the smallest id as
+    * the keeper. One partial-agg pass on the canonical key. */
+  def urlDedup(df: DataFrame, idCol: Column, urlCol: Column): DataFrame =
+    df.select(idCol.cast("long").as("id"),
+        urlCanonicalize(urlCol).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n"), min("id").as("keep"))
+      .filter(col("n") > 1)
+
+  /**
+   * Flesch reading-ease scoring — the classic readability gate
+   * (206.835 − 1.015·words/sentences − 84.6·syllables/words), with the
+   * standard cheap proxies: sentences = terminal-punctuation runs
+   * (min 1), syllables = vowel-group runs (`[aeiouy]+`, case-folded by
+   * the regex). Row-local `regexp_count` arithmetic — codegen,
+   * streaming-safe. Empty docs score null. */
+  def fleschReadability(df: DataFrame, idCol: Column,
+      textCol: Column): DataFrame = {
+    val words = size(array_remove(split(trim(textCol), "\\s+"), ""))
+    val sentences = greatest(regexp_count(textCol, lit("[.!?]+")), lit(1))
+    val syllables = regexp_count(textCol, lit("(?i)[aeiouy]+"))
+    df.select(idCol.cast("long").as("id"),
+        words.cast("long").as("words"),
+        sentences.cast("long").as("sentences"),
+        syllables.cast("long").as("syllables"),
+        when(words === 0, lit(null).cast("double"))
+          .otherwise(round(lit(206.835)
+            - lit(1.015) * words / sentences
+            - lit(84.6) * syllables / words, 4)).as("flesch"))
+  }
+
+  /**
    * Conversation assembly for SFT/chat training data: turn rows
    * `(convCol, roleCol, textCol)` become one templated document per
    * conversation — `<|role|> text` lines in `(orderCol, idCol)` order —

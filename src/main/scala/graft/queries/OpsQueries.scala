@@ -1735,7 +1735,38 @@ object OpsQueries {
       graft.ops.Curation.temperatureSample(t(s, d, "documents"),
           col("doc_id"), col("lang"), temperature = 2.0)
         .select(col("doc_id"), col("lang"), col("rate"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    "q217_url_dedup" -> ((s, d) => {
+      // crawl-frontier dedup: doc_id-keyed synthetic URLs with every
+      // canonicalization hazard (www, default ports, utm/fbclid params,
+      // fragments, trailing slashes); collisions at lcm(2,7,50)=350
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 2 === 0, "https://").otherwise("http://"),
+        when(id % 3 === 0, "www.").otherwise(lit("")),
+        lit("site"), (id % 7).cast("string"), lit(".example.com"),
+        when(id % 4 === 0,
+          when(id % 2 === 0, ":443").otherwise(":80")).otherwise(lit("")),
+        lit("/p/"), (id % 50).cast("string"),
+        when(id % 5 === 0, "/").otherwise(lit("")),
+        when(id % 3 === 1, "?utm_source=news&fbclid=abc").otherwise(lit("")),
+        when(id % 6 === 0, "#frag").otherwise(lit("")))
+      TextAnalysis.urlDedup(t(s, d, "documents"), id, url)
+        .orderBy("canon_url")
+    }),
+    "q218_readability" -> ((s, d) =>
+      // Flesch reading ease over the corpus — the classic readability
+      // quality gate, pure row-local regexp arithmetic
+      TextAnalysis.fleschReadability(t(s, d, "documents"), col("doc_id"),
+          col("text"))
+        .orderBy("id")),
+    "q219_silhouette" -> ((s, d) =>
+      // cluster-separation diagnostic on q66's IVF training: simplified
+      // silhouette per cell — the overlap signal the elbow curve (q146)
+      // cannot see
+      graft.ops.Ivf.silhouetteSimplified(t(s, d, "embeddings"),
+          col("vec_id"), col("embedding"))
+        .orderBy("cluster"))
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -4906,7 +4937,75 @@ object OpsQueries {
          FROM documents d JOIN rt USING (lang)
          WHERE (CAST('0x' || substr(md5(d.doc_id || ':ts'), 1, 15) AS BIGINT) + 1)
                  / 1152921504606846976.0 < rt.rate
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    "q217_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END
+                || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+                || 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                || CASE WHEN doc_id % 4 = 0 THEN
+                     CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+                   ELSE '' END
+                || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+                || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+                || CASE WHEN doc_id % 3 = 1 THEN '?utm_source=news&fbclid=abc' ELSE '' END
+                || CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END AS url
+              FROM documents),
+         c AS (SELECT doc_id,
+                regexp_replace(
+                 regexp_replace(
+                  regexp_replace(
+                   regexp_replace(
+                    regexp_replace(
+                     regexp_replace(
+                      regexp_replace(
+                       regexp_replace(url, '#.*$', '', 'g'),
+                       '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+                      '\?&', '?', 'g'),
+                     '[?&]$', '', 'g'),
+                    '^(http://[^/:]+):80(/|$)', '\1\2', 'g'),
+                   '^(https://[^/:]+):443(/|$)', '\1\2', 'g'),
+                  '^(https?://)www\.', '\1', 'g'),
+                 '/$', '', 'g') AS canon_url
+               FROM u)
+         SELECT canon_url, count(*) AS n, min(doc_id) AS keep
+         FROM c GROUP BY canon_url HAVING count(*) > 1
+         ORDER BY canon_url""",
+
+    "q218_readability" ->
+      """SELECT doc_id AS id,
+                CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> x <> '')) AS BIGINT) AS words,
+                CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+                  AS sentences,
+                CAST(len(regexp_extract_all(text, '(?i)[aeiouy]+')) AS BIGINT)
+                  AS syllables,
+                CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> x <> '')) = 0 THEN NULL
+                ELSE round(206.835
+                  - 1.015 * len(list_filter(string_split_regex(trim(text), '\s+'),
+                      x -> x <> ''))
+                    / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  - 84.6 * len(regexp_extract_all(text, '(?i)[aeiouy]+'))
+                    / CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                        x -> x <> '')) AS DOUBLE), 4) END AS flesch
+         FROM documents ORDER BY id""",
+
+    "q219_silhouette" ->
+      s"""${PortableSql.ivfTrainSql}
+         per AS (SELECT bf.id, bf.cid AS own, c2.cid,
+                        ${PortableSql.cosSql("bf.v", "c2.c")} AS cs
+                 FROM bf CROSS JOIN c2),
+         ab AS (SELECT id, own,
+                       1 - max(CASE WHEN cid = own THEN cs END) AS a,
+                       1 - max(CASE WHEN cid <> own THEN cs END) AS b
+                FROM per GROUP BY id, own)
+         SELECT CAST(own AS BIGINT) AS cluster, count(*) AS n,
+                round(avg(CASE WHEN greatest(a, b) = 0 THEN 0
+                               ELSE (b - a) / greatest(a, b) END), 4)
+                  AS mean_silhouette
+         FROM ab GROUP BY own ORDER BY cluster"""
   )
 }
 

@@ -898,6 +898,73 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e1 != e2)
   }
 
+  test("urlCanonicalize/urlDedup: every hazard normalizes; distinct pages survive") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://www.shop.example.com:443/cart/?utm_source=mail&fbclid=xyz#top"),
+      (2L, "https://shop.example.com/cart"),          // same page as 1
+      (3L, "http://shop.example.com:80/cart"),        // http ≠ https: distinct
+      (4L, "https://shop.example.com/cart?page=2"),   // real param survives
+      (5L, "https://shop.example.com/cart?page=2&utm_medium=x")) // = 4
+      .toDF("id", "url")
+    val canon = urls.select(col("id"),
+        graft.ops.TextAnalysis.urlCanonicalize(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(canon(1L) == "https://shop.example.com/cart")
+    assert(canon(2L) == canon(1L))
+    assert(canon(3L) == "http://shop.example.com/cart")
+    assert(canon(4L) == "https://shop.example.com/cart?page=2")
+    assert(canon(5L) == canon(4L))
+    val dups = graft.ops.TextAnalysis.urlDedup(urls, col("id"), col("url"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(dups == Map(
+      "https://shop.example.com/cart" -> (2L, 1L),
+      "https://shop.example.com/cart?page=2" -> (2L, 4L)))
+  }
+
+  test("fleschReadability: hand-computed score, floor of one sentence, empty doc null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"),  // 6 words, 2 sentences, 6 syllables
+      (2L, "no punctuation here"),         // sentences floor = 1
+      (3L, "")).toDF("id", "text")
+    val got = graft.ops.TextAnalysis.fleschReadability(docs, col("id"),
+        col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(got(1L)._1 == 6 && got(1L)._2 == 2 && got(1L)._3 == 6)
+    val expected = math.rint((206.835 - 1.015 * 6 / 2.0 - 84.6 * 6 / 6.0) * 1e4) / 1e4
+    assert(got(1L)._4.contains(expected))
+    assert(got(2L)._2 == 1)
+    assert(got(3L) == ((0L, 1L, 0L, None)))
+  }
+
+  test("silhouetteSimplified: separated clusters score near 1, one merged blob scores lower") {
+    import spark.implicits._
+    // two tight orthogonal bundles → silhouette ≈ 1 in both cells
+    val tight = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Seq(1f, 0f, 0f, 0f) else Seq(0f, 1f, 0f, 0f)
+      (i.toLong, base.map(x => x + (i % 5) * 0.001f))
+    }.toDF("id", "v")
+    val sep = graft.ops.Ivf.silhouetteSimplified(tight, col("id"), col("v"),
+      nlist = 2, iters = 2, sampleFraction = 100).collect()
+    assert(sep.forall(_.getDouble(2) > 0.8),
+      sep.map(r => (r.getLong(0), r.getDouble(2))).mkString(", "))
+    // one isotropic blob split into 2 cells → much weaker separation
+    val blob = (0 until 20).map { i =>
+      val a = i * 0.314
+      (i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat, 0.5f, 0.5f))
+    }.toDF("id", "v")
+    val merged = graft.ops.Ivf.silhouetteSimplified(blob, col("id"), col("v"),
+      nlist = 2, iters = 2, sampleFraction = 100).collect()
+    val wMean = merged.map(r => r.getLong(1) * r.getDouble(2)).sum /
+      merged.map(_.getLong(1)).sum
+    val sepMean = sep.map(r => r.getLong(1) * r.getDouble(2)).sum /
+      sep.map(_.getLong(1)).sum
+    assert(wMean < sepMean, s"blob $wMean should score below separated $sepMean")
+  }
+
   test("temperatureSample: smallest stratum keeps all, T=1 passes through, deterministic") {
     import spark.implicits._
     val df = ((1 to 80).map(i => (i.toLong, "big")) ++
