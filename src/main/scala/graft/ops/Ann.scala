@@ -53,6 +53,24 @@ object Ann {
     TopK.perGroup(scored, Seq(col("query_id")), col("id"), col("sim"), k)
   }
 
+  /** Domain-similarity map: element-wise-mean centroid per group
+    * ([[meanPool]]'s bit-deterministic fold), then the cosine between
+    * every group pair — which sources/languages occupy the same region
+    * of embedding space (mixture design, transfer pairs, near-duplicate
+    * FEEDS rather than documents). Upper triangle only,
+    * `(a_grp, b_grp, n_a, n_b, sim)`. Groups-bounded self-join — the
+    * pooled frame broadcasts; the corpus is touched once by the pool. */
+  def groupCentroidSimilarity(emb: DataFrame, idCol: Column, vecCol: Column,
+      groupCol: Column): DataFrame = {
+    val pooled = meanPool(emb, groupCol, idCol, vecCol)
+    pooled.as("a")
+      .join(broadcast(pooled.as("b")), col("a.group") < col("b.group"))
+      .select(col("a.group").as("a_grp"), col("b.group").as("b_grp"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        round(cosine_similarity(col("a.centroid"), col("b.centroid")), 4)
+          .as("sim"))
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019): for every
     * vector in `a`, its best match in `b` scored by the margin RATIO
     * `cos(x, y) / ((avgTopK_x→b + avgTopK_y→a) / 2)` — cosine normalized

@@ -143,4 +143,90 @@ object Classify {
       .select(labelCol.cast("string").as("label"),
         explode(array_remove(split(trim(textCol), "\\s+"), "")).as("term"))
       .groupBy("label", "term").agg(count(lit(1)).as("c"))
+
+  /** Hashed bag-of-words feature vector (fastText's hashing trick): each
+    * token lands in md5-bucket `hex15(tok) % dim`, counts normalized by
+    * token count so document length cancels. Row-local, engine-portable
+    * ([[graft.expr.PortableHash]]). Empty docs featurize to the zero
+    * vector (the bias alone decides them). */
+  def hashFeatures(textCol: Column, dim: Int,
+      binary: Boolean = false): Column = {
+    val toks = array_remove(split(trim(textCol), "\\s+"), "")
+    val n = size(toks)
+    val bks = transform(toks,
+      t => graft.expr.PortableHash.hex15Col(t) % dim)
+    transform(sequence(lit(0), lit(dim - 1)), j => {
+      val c = size(filter(bks, b => b === j))
+      if (binary) when(c > 0, lit(1.0)).otherwise(lit(0.0))
+      else when(n === 0, lit(0.0)).otherwise(c.cast("double") / n)
+    })
+  }
+
+  /**
+   * Distributed binary logistic regression over hashed features — the
+   * fastText-lite quality/domain classifier NB cannot give you when the
+   * decision needs learned feature WEIGHTS (correlated tokens, negative
+   * evidence) rather than independent likelihoods. Full-batch gradient
+   * descent: each of `iters` rounds is ONE partial-agg corpus pass
+   * computing `avg((σ(w·x + b) − y) · x_j)` per dimension (dim+1 groups
+   * — bytes on the exchange, never rows), and the driver applies the
+   * step. Weights QUANTIZE to 1/2^20 after every step — the
+   * [[Ivf.trainCentroids]] trick that makes the trajectory
+   * engine-exact, so a SQL oracle replays the entire optimization
+   * bit-for-bit. Returns the model as `(j, w)` rows, `j = dim` holding
+   * the bias. Deterministic in (data, dim, iters, lr); zero-initialized.
+   *
+   * 100 TB shape: iterations scan the corpus (or an md5 sample — pass a
+   * pre-sampled frame) but shuffle only dim+1 partial sums; the model
+   * never exceeds dim+1 doubles. */
+  def logisticTrain(df: DataFrame, labelCol: Column, textCol: Column,
+      dim: Int = 64, iters: Int = 5, lr: Double = 0.5,
+      binary: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(dim >= 1 && iters >= 1 && lr > 0, "need dim/iters >= 1, lr > 0")
+    val feats = df.filter(labelCol.isNotNull)
+      .select(labelCol.cast("boolean").cast("int").cast("double").as("y"),
+        hashFeatures(textCol, dim, binary).as("x"))
+      .localCheckpoint() // featurize once; 5 passes re-read the checkpoint
+    var w = Array.fill(dim + 1)(0.0)
+    for (_ <- 0 until iters) {
+      val wl = typedLit(w.toSeq)
+      val z = aggregate(
+        zip_with(col("x"), slice(wl, lit(1), lit(dim)), (a, b) => a * b),
+        lit(0.0), (acc, v) => acc + v) + element_at(wl, dim + 1)
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val grads = feats
+        .select((p - col("y")).as("e"), col("x"))
+        .select(col("e"), posexplode(concat(col("x"), array(lit(1.0)))))
+        .groupBy("pos").agg(avg(col("e") * col("col")).as("g"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      w = w.zipWithIndex.map { case (wj, j) =>
+        math.floor((wj - lr * grads.getOrElse(j, 0.0)) * 1048576.0 + 0.5) /
+          1048576.0
+      }
+    }
+    w.zipWithIndex.map { case (wj, j) => (j.toLong, wj) }.toSeq
+      .toDF("j", "w")
+  }
+
+  /** Score every document under a [[logisticTrain]] model frame:
+    * `(id, p, pred)` with `p = σ(w·x + b)` rounded 4dp. The dot product
+    * folds dimensions in ascending-j order (bit-identical across
+    * engines); the model rides a literal-sized collect + broadcast
+    * lit — scoring is a row-local projection, zero joins. */
+  def logisticPredict(df: DataFrame, idCol: Column, textCol: Column,
+      model: DataFrame, binary: Boolean = false): DataFrame = {
+    val wRows = model.select(col("j").cast("int"), col("w").cast("double"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+    val dim = wRows.length - 1
+    val wl = typedLit(wRows.map(_._2).toSeq)
+    val x = hashFeatures(textCol, dim, binary)
+    val z = aggregate(
+      zip_with(x, slice(wl, lit(1), lit(dim)), (a, b) => a * b),
+      lit(0.0), (acc, v) => acc + v) + element_at(wl, dim + 1)
+    val p = round(lit(1.0) / (lit(1.0) + exp(-z)), 4)
+    df.select(idCol.cast("long").as("id"), p.as("p"),
+      (p >= 0.5).as("pred"))
+  }
 }

@@ -1320,6 +1320,34 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** LSH banding planner: for every `(bands, rows_per_band)` layout
+    * within the `maxHashes` signature budget, the S-curve collision
+    * probability `p(s) = 1 − (1 − s^r)^b` evaluated below, at, and above
+    * the target Jaccard `threshold`, plus the curve's midpoint
+    * `s* = (1/b)^(1/r)` — the table that picks [[minHashDuplicates]]'s
+    * banding before an index build (`fp_low` = spurious-candidate rate
+    * on clearly-below-threshold pairs, `fn_high` = miss rate on
+    * clearly-above ones; [[minhashCalibration]] then MEASURES what this
+    * predicts). Parameter-sized literal frame, pure row-local math. */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession, threshold: Double,
+      maxHashes: Int = 256, margin: Double = 0.15): DataFrame = {
+    require(threshold > 0 && threshold < 1, "threshold must be in (0,1)")
+    require(margin > 0 && threshold - margin > 0 && threshold + margin < 1,
+      "margin must keep threshold±margin inside (0,1)")
+    import spark.implicits._
+    val grid = for {
+      r <- 1 to maxHashes; b <- 1 to maxHashes if b * r <= maxHashes
+    } yield (b.toLong, r.toLong)
+    def pAt(s: Double) = round(lit(1.0) -
+      pow(lit(1.0) - pow(lit(s), col("r")), col("b")), 6)
+    grid.toDF("b", "r")
+      .select(col("b").as("bands"), col("r").as("rows_per_band"),
+        round(pow(lit(1.0) / col("b"), lit(1.0) / col("r")), 6).as("s_mid"),
+        pAt(threshold - margin).as("fp_low"),
+        pAt(threshold).as("p_at_t"),
+        (lit(1.0) - pAt(threshold + margin)).as("fn_high"))
+  }
+
   /** Latest-version snapshot dedup (the crawl-recrawl / SCD "current
     * view"): keep, per `keyCols` (URL, record key, …), the single row with
     * the highest `versionCol`, ties broken toward the smallest `idCol` so

@@ -1766,7 +1766,42 @@ object OpsQueries {
       // cannot see
       graft.ops.Ivf.silhouetteSimplified(t(s, d, "embeddings"),
           col("vec_id"), col("embedding"))
-        .orderBy("cluster"))
+        .orderBy("cluster")),
+    "q220_domain_similarity" -> ((s, d) =>
+      // the domain-similarity map: per-label mean-pool centroids, then
+      // every pair's cosine — which groups share embedding space
+      Ann.groupCentroidSimilarity(t(s, d, "embeddings"), col("vec_id"),
+          col("embedding"), col("label"))
+        .select(col("a_grp").cast("long").as("a_grp"),
+          col("b_grp").cast("long").as("b_grp"), col("n_a"), col("n_b"),
+          col("sim"))
+        .orderBy("a_grp", "b_grp")),
+    "q221_lsh_plan" -> ((s, d) =>
+      // banding planner at the q43 threshold: S-curve fp/fn per layout
+      // within a 64-hash budget — the table that picks (bands, rows)
+      Dedup.lshPlan(s, threshold = 0.7, maxHashes = 64)
+        .orderBy("bands", "rows_per_band")),
+    "q222_logistic_model" -> ((s, d) =>
+      // distributed full-batch logistic regression (fastText-lite):
+      // y = (lang = 'en'), 64 hashed features, 5 quantized GD steps —
+      // the oracle replays the whole optimization bit-for-bit
+      graft.ops.Classify.logisticTrain(
+          t(s, d, "documents").withColumn("mtext",
+            concat(col("text"), lit(" marker_"), col("lang"))),
+          col("lang") === "en", col("mtext"), dim = 64, iters = 10, lr = 8.0,
+          binary = true)
+        .orderBy("j")),
+    "q223_logistic_predict" -> ((s, d) => {
+      // scoring under the q222 model: row-local sigmoid projection
+      val docs = t(s, d, "documents").withColumn("mtext",
+        concat(col("text"), lit(" marker_"), col("lang")))
+      val model = graft.ops.Classify.logisticTrain(docs,
+        col("lang") === "en", col("mtext"), dim = 64, iters = 10, lr = 8.0,
+        binary = true)
+      graft.ops.Classify.logisticPredict(docs, col("doc_id"), col("mtext"),
+          model, binary = true)
+        .orderBy("id")
+    })
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -5005,7 +5040,48 @@ object OpsQueries {
                 round(avg(CASE WHEN greatest(a, b) = 0 THEN 0
                                ELSE (b - a) / greatest(a, b) END), 4)
                   AS mean_silhouette
-         FROM ab GROUP BY own ORDER BY cluster"""
+         FROM ab GROUP BY own ORDER BY cluster""",
+
+    "q220_domain_similarity" ->
+      s"""WITH v AS (SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+         g AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+                      list(v ORDER BY vec_id) AS vs
+               FROM v GROUP BY label),
+         c AS (SELECT label, n,
+                      list_transform(range(1, 65), i ->
+                        list_sum(list_transform(vs, w -> w[i])) / n) AS cent
+               FROM g)
+         SELECT CAST(a.label AS BIGINT) AS a_grp,
+                CAST(b.label AS BIGINT) AS b_grp, a.n AS n_a, b.n AS n_b,
+                round(${PortableSql.cosSql("a.cent", "b.cent")}, 4) AS sim
+         FROM c a JOIN c b ON a.label < b.label
+         ORDER BY a_grp, b_grp""",
+
+    "q221_lsh_plan" ->
+      """SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
+                round(pow(1.0 / b, 1.0 / r), 6) AS s_mid,
+                round(1 - pow(1 - pow(0.55, r), b), 6) AS fp_low,
+                round(1 - pow(1 - pow(0.7, r), b), 6) AS p_at_t,
+                1 - round(1 - pow(1 - pow(0.85, r), b), 6) AS fn_high
+         FROM range(1, 65) rb(b) CROSS JOIN range(1, 65) rr(r)
+         WHERE b * r <= 64
+         ORDER BY bands, rows_per_band""",
+
+    "q222_logistic_model" ->
+      s"""WITH ${PortableSql.logisticTrainCtes}
+         SELECT CAST(j AS BIGINT) - 1 AS j, w10.wl[j] AS w
+         FROM w10 CROSS JOIN range(1, 66) r(j) ORDER BY j""",
+
+    "q223_logistic_predict" ->
+      s"""WITH ${PortableSql.logisticTrainCtes}
+         SELECT doc_id AS id,
+                round(1 / (1 + exp(-(list_sum(list_transform(range(1, 65),
+                  j -> x[j] * w10.wl[j])) + w10.wl[65]))), 4) AS p,
+                round(1 / (1 + exp(-(list_sum(list_transform(range(1, 65),
+                  j -> x[j] * w10.wl[j])) + w10.wl[65]))), 4) >= 0.5 AS pred
+         FROM feats CROSS JOIN w10 ORDER BY id"""
   )
 }
 
@@ -5040,6 +5116,42 @@ private[queries] object PiiSql {
 }
 
 private[queries] object PortableSql {
+
+  /** Full [[graft.ops.Classify.logisticTrain]] replay as a CTE body (no
+    * `WITH`): hashed 64-dim features over `documents`, y = (lang = 'en'),
+    * then 5 unrolled full-batch GD steps with the 1/2^20 weight
+    * quantization that makes the whole trajectory engine-exact — the
+    * [[ivfTrainCtes]] unrolled-iteration trick applied to an optimizer.
+    * Exposes `feats(doc_id, y, x)` and `w10(wl)` (wl[65] = bias). Text is decorated with a ` marker_<lang>` token (the piiDecorated discipline) and features are binary presence — the separable demo task. */
+  def logisticTrainCtes: String = {
+    val iters = (0 until 10).map { i =>
+      s"""p$i AS (SELECT y, x,
+             1 / (1 + exp(-(list_sum(list_transform(range(1, 65),
+               j -> x[j] * w$i.wl[j])) + w$i.wl[65]))) AS p
+           FROM feats CROSS JOIN w$i),
+         g$i AS (SELECT j,
+                avg((p - y) * (CASE WHEN j <= 64 THEN x[j] ELSE 1.0 END)) AS g
+                 FROM p$i CROSS JOIN range(1, 66) r(j) GROUP BY j),
+         w${i + 1} AS (SELECT list(floor((w$i.wl[j] - 8 * g) * 1048576 + 0.5)
+                  / 1048576 ORDER BY j) AS wl
+               FROM g$i CROSS JOIN w$i)"""
+    }.mkString(",\n")
+    s"""feats AS (
+         SELECT doc_id, CAST(lang = 'en' AS INT) AS y,
+                list_transform(range(0, 64), j ->
+                  CASE WHEN len(list_filter(bks, b -> b = j)) > 0
+                       THEN 1.0 ELSE 0.0 END) AS x
+         FROM (SELECT doc_id, lang, tk,
+                      list_transform(tk, t ->
+                        CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 64) AS bks
+               FROM (SELECT doc_id, lang,
+                            list_filter(string_split_regex(
+                                trim(text || ' marker_' || lang), '\\s+'),
+                              z -> z <> '') AS tk
+                     FROM documents))),
+       w0 AS (SELECT list_transform(range(1, 66), j -> 0.0) AS wl),
+       $iters"""
+  }
 
   /** MinHash(64)+LSH(16×4) candidate generation + exact unigram-Jaccard
     * verification at ≥ 0.7 over `documents WHERE doc_id < 200` — CTE body

@@ -66,4 +66,31 @@ class ClassifySpec extends AnyFunSuite with BeforeAndAfterAll {
         .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
     assert(run(1).sameElements(run(7)))
   }
+
+  test("logisticTrain/Predict: learns a separable signal, deterministic, " +
+      "moves weight onto the signal bucket") {
+    import spark.implicits._
+    // positive docs carry 'goodtoken', negatives 'badtoken', plus shared noise
+    val docs = (1 to 60).map { i =>
+      val marker = if (i % 2 == 0) "goodtoken" else "badtoken"
+      (i.toLong, i % 2 == 0, s"common words shared by all $marker")
+    }.toDF("id", "y", "text")
+    val model = Classify.logisticTrain(docs, col("y"), col("text"),
+      dim = 32, iters = 10, lr = 8.0, binary = true)
+    val w = model.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.size == 33)
+    val goodB = graft.expr.PortableHash.hex15("goodtoken") % 32
+    val badB = graft.expr.PortableHash.hex15("badtoken") % 32
+    assert(w(goodB) > 0 && w(badB) < 0,
+      s"signal buckets $goodB/$badB got ${w(goodB)}/${w(badB)}")
+    val pred = Classify.logisticPredict(docs, col("id"), col("text"),
+        model, binary = true)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert((1 to 60).forall(i => pred(i.toLong) == (i % 2 == 0)))
+    // deterministic across partitionings
+    val model2 = Classify.logisticTrain(docs.repartition(7), col("y"),
+      col("text"), dim = 32, iters = 10, lr = 8.0, binary = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(model2 == w)
+  }
 }

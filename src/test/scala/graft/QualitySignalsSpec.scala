@@ -898,6 +898,36 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e1 != e2)
   }
 
+  test("groupCentroidSimilarity: parallel groups near 1, orthogonal near 0, upper triangle") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, 0, Seq(1f, 0f, 0f, 0f)), (2L, 0, Seq(0.9f, 0.1f, 0f, 0f)),
+      (3L, 1, Seq(0.95f, 0.05f, 0f, 0f)),                 // ≈ group 0
+      (4L, 2, Seq(0f, 0f, 1f, 0f)), (5L, 2, Seq(0f, 0f, 0.8f, 0.2f)))
+      .toDF("id", "grp", "v")
+    val got = graft.ops.Ann.groupCentroidSimilarity(emb, col("id"),
+        col("v"), col("grp"))
+      .collect().map(r => (r.get(0).toString.toInt, r.get(1).toString.toInt)
+        -> r.getDouble(4)).toMap
+    assert(got.keySet == Set((0, 1), (0, 2), (1, 2))) // upper triangle only
+    assert(got((0, 1)) > 0.99)
+    assert(got((0, 2)) < 0.2 && got((1, 2)) < 0.2)
+  }
+
+  test("lshPlan: S-curve formula hand-check, budget respected, more bands = more permissive") {
+    val plan = graft.ops.Dedup.lshPlan(spark, threshold = 0.7,
+      maxHashes = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(plan.keys.forall { case (b, r) => b * r <= 64 })
+    // hand-check (16, 4): p(0.7) = 1 - (1 - 0.7^4)^16
+    val exp = 1.0 - math.pow(1.0 - math.pow(0.7, 4), 16)
+    assert(plan((16L, 4L))._3 == math.rint(exp * 1e6) / 1e6)
+    // at fixed r, more bands catch more: p increases, fn decreases
+    assert(plan((16L, 4L))._3 > plan((8L, 4L))._3)
+    assert(plan((16L, 4L))._4 < plan((8L, 4L))._4)
+  }
+
   test("urlCanonicalize/urlDedup: every hazard normalizes; distinct pages survive") {
     import spark.implicits._
     val urls = Seq(
