@@ -207,4 +207,36 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("LeftAnti") && p.contains("Broadcast"),
       s"domain reject list must broadcast anti-join:\n$p")
   }
+
+  test("q213: conversationAssemble is one conversation-keyed aggregation — " +
+      "no window, no join") {
+    val p = plan(graft.ops.TextAnalysis.conversationAssemble(
+      spark.read.parquet(s"$sf/events.parquet"),
+      col("user_id"), lit("user"), col("event_type"), col("ts"),
+      col("event_id")))
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"assembly must be an aggregation:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"exactly one shuffle (the conv-key agg) expected:\n$p")
+  }
+
+  test("q216: temperatureSample joins the rate table broadcast — " +
+      "the corpus row filter never sort-merge-joins") {
+    val p = plan(graft.ops.Curation.temperatureSample(
+      docs, col("doc_id"), col("lang"), temperature = 2.0))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"rate attach must broadcast:\n$p")
+  }
+
+  test("q223: logisticPredict plans zero exchanges (row-local sigmoid " +
+      "projection under a literal model)") {
+    import org.apache.spark.sql.SparkSession
+    val spark2 = spark
+    import spark2.implicits._
+    val model = (0L to 8L).map(j => (j, 0.1)).toDF("j", "w")
+    val p = plan(graft.ops.Classify.logisticPredict(
+      docs, col("doc_id"), col("text"), model))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"scoring must be a pure projection:\n$p")
+  }
 }
