@@ -191,4 +191,58 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
         col(bVec), k, threshold)
       .as[graft.model.BitextPair]
   }
+
+  /** Typed [[graft.ops.TextAnalysis.conversationAssemble]]: turn rows →
+    * templated chat documents with the alternation-validity verdict. */
+  def assembleConversations(turns: DataFrame, convCol: String,
+      roleCol: String, textCol: String, orderCol: String,
+      idCol: String): Dataset[graft.model.Conversation] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.ops.TextAnalysis.conversationAssemble(turns, col(convCol),
+        col(roleCol), col(textCol), col(orderCol), col(idCol))
+      .as[graft.model.Conversation]
+  }
+
+  /** Typed [[graft.ops.Curation.domainReweight]]: one DoReMi
+    * multiplicative-weights round over per-domain mean loss. */
+  def domainReweight(docs: DataFrame, sourceCol: String, lossCol: String,
+      refWeights: Map[String, Double], eta: Double = 1.0,
+      eps: Double = 0.0): Dataset[graft.model.DomainWeight] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.ops.Curation.domainReweight(docs, col(sourceCol), col(lossCol),
+        refWeights, eta, eps)
+      .as[graft.model.DomainWeight]
+  }
+
+  /** [[graft.ops.Curation.temperatureSample]] with name-based columns:
+    * deterministic (share^(1/T)) stratum rebalancing. */
+  def temperatureSample(docs: DataFrame, keyCol: String, stratumCol: String,
+      temperature: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Curation.temperatureSample(docs, col(keyCol), col(stratumCol),
+      temperature)
+  }
+
+  /** Typed [[graft.ops.Ann.retrievalMetrics]]: grade a ranked system
+    * result against a ranked truth at k. */
+  def retrievalMetrics(system: DataFrame, truth: DataFrame,
+      k: Int): Dataset[graft.model.RetrievalQuality] = {
+    import spark.implicits._
+    graft.ops.Ann.retrievalMetrics(system, truth, k)
+      .as[graft.model.RetrievalQuality]
+  }
+
+  /** Typed [[graft.ops.Classify.logisticPredict]] under a
+    * [[graft.ops.Classify.logisticTrain]] model frame. */
+  def logisticScore(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame,
+      binary: Boolean = false): Dataset[graft.model.LogisticScore] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.ops.Classify.logisticPredict(docs, col(idCol), col(textCol),
+        model, binary)
+      .as[graft.model.LogisticScore]
+  }
 }

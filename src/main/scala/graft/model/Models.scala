@@ -107,3 +107,21 @@ final case class DomainVerdict(source: String, n_docs: Long,
   * marks pairs that are best matches in both directions. */
 final case class BitextPair(a_id: Long, b_id: Long, cos: Double,
     margin: Double, mutual: Boolean)
+
+/** Assembled chat document ([[graft.ops.TextAnalysis.conversationAssemble]]):
+  * `valid` = user-led strict role alternation. */
+final case class Conversation(conv_id: Long, n_turns: Long, valid: Boolean,
+    text: String)
+
+/** One DoReMi reweighting round's verdict per domain
+  * ([[graft.ops.Curation.domainReweight]]). */
+final case class DomainWeight(source: String, n_docs: Long,
+    mean_loss: Double, w_ref: Double, w_new: Double)
+
+/** Retrieval-quality metrics per query
+  * ([[graft.ops.Ann.retrievalMetrics]]). */
+final case class RetrievalQuality(query_id: String, recall: Double,
+    mrr: Double, ndcg: Double)
+
+/** Logistic-classifier score ([[graft.ops.Classify.logisticPredict]]). */
+final case class LogisticScore(id: Long, p: Double, pred: Boolean)

@@ -234,6 +234,46 @@ class GraftSessionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bt(2L).b_id == 11L && bt(2L).mutual)
   }
 
+  test("typed third-wave facade: conversations, reweighting, temperature, " +
+      "retrieval metrics, logistic scoring") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sess = new GraftSession(spark, s"$work/wh")
+
+    val turns = Seq((1L, 1L, "user", "hi"), (1L, 2L, "assistant", "yo"))
+      .toDF("conv", "o", "role", "txt")
+    val convs = sess.assembleConversations(turns, "conv", "role", "txt",
+      "o", "o").collect()
+    assert(convs.length == 1 && convs(0).valid && convs(0).n_turns == 2)
+
+    val dw = sess.domainReweight(
+      Seq(("a", 1.0), ("b", 3.0)).toDF("src", "l"), "src", "l",
+      Map("a" -> 0.5, "b" -> 0.5), eta = 1.0).collect()
+      .map(v => v.source -> v.w_new).toMap
+    assert(dw("b") > dw("a"))
+
+    val ts = sess.temperatureSample(
+      (1L to 100L).map(i => (i, if (i <= 80) "big" else "small"))
+        .toDF("id", "st"), "id", "st", 2.0)
+    assert(ts.count() < 100 && ts.count() > 20)
+
+    val truth = Seq(("q", 1, 1L)).toDF("query_id", "rnk", "id")
+    val system = Seq(("q", 1, 1L)).toDF("query_id", "rnk", "id")
+    val rm = sess.retrievalMetrics(system, truth, 1).collect()
+    assert(rm.length == 1 && rm(0).recall == 1.0 && rm(0).ndcg == 1.0)
+
+    val docs = (1 to 40).map(i =>
+      (i.toLong, i % 2 == 0, s"w$i ${if (i % 2 == 0) "pos" else "neg"}"))
+      .toDF("id", "y", "text")
+    val model = graft.ops.Classify.logisticTrain(docs, col("y"),
+      col("text"), dim = 16, iters = 10, lr = 8.0, binary = true)
+    val scored = sess.logisticScore(docs, "id", "text", model,
+      binary = true).collect()
+    // dim=16 hash collisions can flip a boundary doc; the learning
+    // quality contract lives in ClassifySpec — this checks the plumbing
+    assert(scored.count(s => s.pred == (s.id % 2 == 0)) >= 36)
+  }
+
   test("session scrubGate: name-based daily gate over persisted artifacts") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
