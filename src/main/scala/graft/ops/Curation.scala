@@ -735,6 +735,24 @@ object Curation {
       .orderBy("bin")
   }
 
+  /** One-row efficiency report over a [[packSequences]] result: bin
+    * count, total tokens, mean/min/max bin utilization against `budget`,
+    * and the waste fraction — the number a packing strategy is judged
+    * by (every unfilled slot is paid-for compute attending to padding).
+    * Bin-bounded aggregation; nothing touches the corpus again. */
+  def packingReport(packed: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be > 0")
+    val u = col("tokens").cast("double") / budget
+    packed.agg(count(lit(1)).as("n_bins"),
+        sum("tokens").as("total_tokens"),
+        round(avg(u), 4).as("mean_util"),
+        round(min(u), 4).as("min_util"),
+        round(max(u), 4).as("max_util"))
+      .withColumn("waste_frac",
+        round(lit(1.0) - col("total_tokens") /
+          (col("n_bins") * lit(budget)).cast("double"), 4))
+  }
+
   /**
    * Deterministic WEIGHTED sampling without replacement (Efraimidis–
    * Spirakis A-ES): each row draws `u ∈ (0, 1]` from the md5 of its

@@ -1320,6 +1320,41 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Dedup SATURATION curve — "how much of the next data increment is
+    * actually new": for each corpus prefix size `N` (by id order, the
+    * ingest order), the count and share of prefix documents that
+    * near-duplicate an EARLIER document ([[minHashDuplicates]] pairs,
+    * later id = the duplicate). A flattening novel-share curve is the
+    * empirical argument for stopping collection or switching sources.
+    * Returns `(prefix_n, n_docs, n_dup_docs, dup_rate)`.
+    *
+    * Scale shape: pairs are computed ONCE (banded LSH, never all-pairs);
+    * the per-prefix rollup joins the duplicate-id frame against the
+    * broadcast prefix list — |pairs| × |prefixes| at worst, corpus text
+    * untouched. */
+  def dedupSaturation(df: DataFrame, idCol: Column, textCol: Column,
+      threshold: Double, prefixes: Seq[Long], bands: Int = 16,
+      rowsPerBand: Int = 4, shingleSize: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    require(prefixes.nonEmpty, "need at least one prefix size")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pf = broadcast(prefixes.sorted.toDF("prefix_n"))
+    val dups = minHashDuplicates(df, idCol, textCol, threshold, bands,
+        rowsPerBand, shingleSize, seed)
+      .select(col("b_id")).distinct()
+    val dupCounts = dups.join(pf, col("b_id") < col("prefix_n"))
+      .groupBy("prefix_n").agg(count(lit(1)).as("n_dup_docs"))
+    val docCounts = df.select(idCol.cast("long").as("id"))
+      .join(pf, col("id") < col("prefix_n"))
+      .groupBy("prefix_n").agg(count(lit(1)).as("n_docs"))
+    docCounts.join(dupCounts, Seq("prefix_n"), "left")
+      .select(col("prefix_n"),
+        col("n_docs"), coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        round(coalesce(col("n_dup_docs"), lit(0L)) /
+          col("n_docs").cast("double"), 4).as("dup_rate"))
+  }
+
   /** LSH banding planner: for every `(bands, rows_per_band)` layout
     * within the `maxHashes` signature budget, the S-curve collision
     * probability `p(s) = 1 − (1 − s^r)^b` evaluated below, at, and above

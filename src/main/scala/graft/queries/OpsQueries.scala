@@ -1801,7 +1801,25 @@ object OpsQueries {
       graft.ops.Classify.logisticPredict(docs, col("doc_id"), col("mtext"),
           model, binary = true)
         .orderBy("id")
-    })
+    }),
+    "q224_packing_report" -> ((s, d) => {
+      // the number a packing strategy is judged by: utilization + waste
+      // over q62's greedy 512-token bins
+      val toks = when(length(trim(col("text"))) === 0, 0)
+        .otherwise(size(split(trim(col("text")), "\\s+"))).cast("long")
+      val packed = graft.ops.Curation.packSequences(
+        t(s, d, "documents"), col("doc_id"), toks, budget = 512L)
+      graft.ops.Curation.packingReport(packed, budget = 512L)
+    }),
+    "q225_dedup_saturation" -> ((s, d) =>
+      // marginal-novelty curve over ingest order: per prefix size, the
+      // share of docs near-duplicating an earlier doc (q43 fixture)
+      Dedup.dedupSaturation(
+          t(s, d, "documents").filter(col("doc_id") < 200),
+          col("doc_id"), col("text"), 0.7,
+          prefixes = Seq(25L, 50L, 75L, 100L, 125L, 150L, 175L, 200L),
+          shingleSize = 1)
+        .orderBy("prefix_n"))
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -5041,6 +5059,42 @@ object OpsQueries {
                                ELSE (b - a) / greatest(a, b) END), 4)
                   AS mean_silhouette
          FROM ab GROUP BY own ORDER BY cluster""",
+
+    "q224_packing_report" ->
+      """WITH tok AS (
+           SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS t
+           FROM documents),
+         c AS (SELECT doc_id, t,
+                      COALESCE(sum(t) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+               FROM tok),
+         bins AS (SELECT CAST(cb // 512 AS BIGINT) AS bin,
+                         CAST(sum(t) AS BIGINT) AS tokens
+                  FROM c GROUP BY bin)
+         SELECT count(*) AS n_bins, CAST(sum(tokens) AS BIGINT) AS total_tokens,
+                round(avg(tokens / 512.0), 4) AS mean_util,
+                round(min(tokens / 512.0), 4) AS min_util,
+                round(max(tokens / 512.0), 4) AS max_util,
+                round(1.0 - sum(tokens) / CAST(count(*) * 512 AS DOUBLE), 4)
+                  AS waste_frac
+         FROM bins""",
+
+    "q225_dedup_saturation" ->
+      s"""WITH ${PortableSql.minhashVerifiedPairCtes},
+         d AS (SELECT DISTINCT b_id FROM vp),
+         pf(prefix_n) AS (VALUES (25), (50), (75), (100), (125), (150), (175), (200)),
+         dc AS (SELECT prefix_n, count(*) AS n_dup_docs
+                FROM d JOIN pf ON d.b_id < pf.prefix_n GROUP BY prefix_n),
+         nc AS (SELECT prefix_n, count(*) AS n_docs
+                FROM documents JOIN pf ON doc_id < prefix_n
+                WHERE doc_id < 200 GROUP BY prefix_n)
+         SELECT CAST(nc.prefix_n AS BIGINT) AS prefix_n, nc.n_docs,
+                CAST(COALESCE(dc.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+                round(COALESCE(dc.n_dup_docs, 0) / CAST(nc.n_docs AS DOUBLE), 4)
+                  AS dup_rate
+         FROM nc LEFT JOIN dc ON nc.prefix_n = dc.prefix_n
+         ORDER BY prefix_n""",
 
     "q220_domain_similarity" ->
       s"""WITH v AS (SELECT vec_id, label,

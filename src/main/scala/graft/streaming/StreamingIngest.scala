@@ -192,6 +192,47 @@ object StreamingOps {
       .drop("__tk")
   }
 
+  final case class SnapState(ver: Long, id: Long, text: String)
+  final case class SnapRow(key: String, ver: Long, id: Long, text: String)
+
+  /** Streaming twin of [[graft.ops.Dedup.latestSnapshot]]: the current
+    * version per key maintained ACROSS micro-batches with explicit state
+    * (`flatMapGroupsWithState`, update mode) — a row is emitted only
+    * when a key's winner CHANGES, so out-of-order recrawls (an older
+    * version arriving after a newer one, the case a per-batch struct-max
+    * cannot see) are absorbed silently. Same winner rule: highest
+    * version, ties toward the smallest id. Input columns:
+    * `key STRING, ver LONG, id LONG, text STRING`. State is one
+    * (ver, id, text) per live key — bound it with retention policy in
+    * the query (state TTL) when the key space is unbounded. */
+  def streamingLatestSnapshot(updates: DataFrame): org.apache.spark.sql.Dataset[SnapRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = updates.sparkSession
+    import spark.implicits._
+    val typed = updates
+      .select(col("key").cast("string"), col("ver").cast("long"),
+        col("id").cast("long"), col("text").cast("string"))
+      .as[(String, Long, Long, String)]
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (key: String, rows: Iterator[(String, Long, Long, String)],
+       state: GroupState[SnapState]) =>
+        val before = state.getOption
+        var cur = before
+        for ((_, ver, id, text) <- rows) {
+          val better = cur.forall(s =>
+            ver > s.ver || (ver == s.ver && id < s.id))
+          if (better) cur = Some(SnapState(ver, id, text))
+        }
+        cur match {
+          case Some(s) if before != cur =>
+            state.update(s)
+            Iterator.single(SnapRow(key, s.ver, s.id, s.text))
+          case _ => Iterator.empty
+        }
+    }
+  }
+
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long,
       n_events: Long, value_sum: Double)

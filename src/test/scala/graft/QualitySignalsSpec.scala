@@ -898,6 +898,33 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e1 != e2)
   }
 
+  test("packingReport: hand-computed utilization and waste over known bins") {
+    import spark.implicits._
+    val packed = Seq((0L, 3L, 512L), (1L, 2L, 256L), (2L, 1L, 300L))
+      .toDF("bin", "n_docs", "tokens")
+    val r = graft.ops.Curation.packingReport(packed, budget = 512L).head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 1068)
+    assert(r.getDouble(3) == 0.5)  // min util = 256/512
+    assert(r.getDouble(4) == 1.0)  // max util
+    assert(r.getDouble(5) ==
+      math.rint((1.0 - 1068.0 / (3 * 512)) * 1e4) / 1e4)
+  }
+
+  test("dedupSaturation: planted duplicates appear only past their prefix; rate monotone setup") {
+    import spark.implicits._
+    // docs 0-9 unique; 10-14 duplicate docs 0-4 verbatim
+    val docs = ((0 until 10).map(i =>
+      (i.toLong, s"alpha$i bravo$i charlie$i delta$i echo$i")) ++
+      (10 until 15).map(i =>
+        (i.toLong, s"alpha${i - 10} bravo${i - 10} charlie${i - 10} delta${i - 10} echo${i - 10}")))
+      .toDF("id", "text")
+    val got = graft.ops.Dedup.dedupSaturation(docs, col("id"), col("text"),
+        0.9, prefixes = Seq(10L, 15L), shingleSize = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(10L) == (10L, 0L))  // the unique prefix has no duplicates
+    assert(got(15L)._1 == 15L && got(15L)._2 == 5L) // all five copies caught
+  }
+
   test("groupCentroidSimilarity: parallel groups near 1, orthogonal near 0, upper triangle") {
     import spark.implicits._
     val emb = Seq(

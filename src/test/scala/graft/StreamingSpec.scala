@@ -194,6 +194,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streamingLatestSnapshot: winner updates across batches, " +
+      "out-of-order recrawl absorbed, batch-twin parity") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long, String)]
+    val snap = StreamingOps.streamingLatestSnapshot(
+      input.toDF().toDF("key", "ver", "id", "text"))
+    val q = snap.writeStream.outputMode("update")
+      .format("memory").queryName("snap").start()
+
+    input.addData(("k1", 1L, 10L, "v1"), ("k2", 5L, 20L, "only"))
+    q.processAllAvailable()
+    input.addData(("k1", 3L, 11L, "v3"))          // newer → emits
+    q.processAllAvailable()
+    input.addData(("k1", 2L, 12L, "stale"))       // out-of-order → silent
+    q.processAllAvailable()
+    input.addData(("k1", 3L, 9L, "tie-lower-id")) // same ver, smaller id → emits
+    q.processAllAvailable()
+
+    val emitted = spark.sql("SELECT key, ver, id, text FROM snap")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(emitted.count(_._1 == "k1") == 3) // v1, v3, tie — never "stale"
+    assert(!emitted.exists(_._4 == "stale"))
+    // final state parity with the batch twin over the same rows
+    val all = Seq(("k1", 1L, 10L, "v1"), ("k2", 5L, 20L, "only"),
+      ("k1", 3L, 11L, "v3"), ("k1", 2L, 12L, "stale"),
+      ("k1", 3L, 9L, "tie-lower-id")).toDF("key", "ver", "id", "text")
+    val batchWinners = graft.ops.Dedup.latestSnapshot(all,
+        Seq(org.apache.spark.sql.functions.col("key")),
+        org.apache.spark.sql.functions.col("ver"),
+        org.apache.spark.sql.functions.col("id"))
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    val lastEmitted = emitted.groupBy(_._1).view
+      .mapValues(_.last._4).toMap
+    assert(lastEmitted == batchWinners)
+    q.stop()
+  }
+
   test("stream-stream interval join: bounded state matches the window") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
