@@ -1138,37 +1138,50 @@ object Curation {
       "need spanLen >= 1 and stride > spanLen")
     val id = idCol.cast("long")
     val toks = array_remove(split(trim(textCol), "\\s+"), "")
-    val n = size(toks)
-    val idxs = when(n === 0, array().cast("array<int>"))
-      .otherwise(sequence(lit(0), n - 1))
-    // per index: block, offset of the block's corrupt span (-1 = none)
+    // stage 1: materialize the token list and the per-BLOCK offset array
+    // (ONE md5 per block, not per token — the hoist that keeps the pass
+    // linear in tokens, not tokens × md5-cost); -1 = block uncorrupted
+    val n0 = size(toks)
+    val nBlocks = ceil(n0 / lit(stride.toDouble)).cast("int")
+    val offs = when(n0 === 0, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(0), nBlocks - 1), b => {
+        val blockLen = least(lit(stride), n0 - b * stride)
+        val room = blockLen - spanLen + 1
+        when(blockLen >= spanLen,
+          graft.expr.PortableHash.hex15Col(
+            concat(id, lit(":sc:"), b.cast("long"))) % room)
+          .otherwise(lit(-1L))
+      }))
+    val staged = df.select(id.as("id"), toks.as("_toks"), offs.as("_offs"))
+    // stage 2: materialize the classified token list once (`_marked` is
+    // consumed three times below — as a named column it evaluates once)
+    val n = size(col("_toks"))
+    val idxs = when(n === 0,
+        array().cast("array<int>")).otherwise(sequence(lit(0), n - 1))
     val marked = transform(idxs, i => {
-      val b = (i / stride).cast("long")
-      val blockLen = least(lit(stride), n - b.cast("int") * stride)
-      val room = blockLen - spanLen + 1
-      val off = when(blockLen >= spanLen,
-        graft.expr.PortableHash.hex15Col(
-          concat(id, lit(":sc:"), b)) % room).otherwise(lit(-1))
+      val b = (i / stride).cast("int")
+      val off = element_at(col("_offs"), b + 1)
       val w = i % stride
       val cls = when(off >= 0 && w === off, lit(1))
         .when(off >= 0 && w > off && w < off + spanLen, lit(2))
         .otherwise(lit(0))
-      struct(cls.as("c"), element_at(toks, i + 1).as("t"),
+      struct(cls.as("c"), element_at(col("_toks"), i + 1).as("t"),
         b.cast("string").as("b"))
     })
     val sentinel = (m: Column) =>
       concat(lit("<extra_id_"), m.getField("b"), lit(">"))
     val input = concat_ws(" ",
-      transform(filter(marked, m => m.getField("c") =!= 2),
+      transform(filter(col("_marked"), m => m.getField("c") =!= 2),
         m => when(m.getField("c") === 1, sentinel(m))
           .otherwise(m.getField("t"))))
     val target = concat_ws(" ",
-      transform(filter(marked, m => m.getField("c") >= 1),
+      transform(filter(col("_marked"), m => m.getField("c") >= 1),
         m => when(m.getField("c") === 1,
           concat(sentinel(m), lit(" "), m.getField("t")))
           .otherwise(m.getField("t"))))
-    val nSpans = size(filter(marked, m => m.getField("c") === 1))
-    df.select(id.as("id"), input.as("input"), target.as("target"),
-      nSpans.cast("long").as("n_spans"))
+    val nSpans = size(filter(col("_marked"), m => m.getField("c") === 1))
+    staged.select(col("id"), marked.as("_marked"))
+      .select(col("id"), input.as("input"), target.as("target"),
+        nSpans.cast("long").as("n_spans"))
   }
 }

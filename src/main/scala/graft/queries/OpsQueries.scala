@@ -1798,8 +1798,8 @@ object OpsQueries {
       val model = graft.ops.Classify.logisticTrain(docs,
         col("lang") === "en", col("mtext"), dim = 64, iters = 10, lr = 8.0,
         binary = true)
-      graft.ops.Classify.logisticPredict(docs, col("doc_id"), col("mtext"),
-          model, binary = true)
+      graft.ops.Classify.logisticPredictBulk(docs, col("doc_id"),
+          col("mtext"), model, binary = true)
         .orderBy("id")
     }),
     "q224_packing_report" -> ((s, d) => {
