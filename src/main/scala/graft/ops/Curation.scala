@@ -735,6 +735,39 @@ object Curation {
       .orderBy("bin")
   }
 
+  /** Token-budget truncation — the context-window fit step every
+    * training pipeline runs last: keep the first `budget` tokens
+    * (`strategy = "head"`), the last (`"tail"`), or the first and last
+    * `budget/2` joined by an ellipsis token (`"both"` — the
+    * LongT5/lost-in-the-middle mitigation that preserves document
+    * boundaries). Returns `(id, kept_text, n_tokens, n_kept,
+    * truncated)`. Pure row-local array slicing — codegen,
+    * streaming-safe; documents within budget pass through verbatim
+    * token-wise (whitespace normalizes to single spaces). */
+  def tokenBudgetTruncate(df: DataFrame, idCol: Column, textCol: Column,
+      budget: Int, strategy: String = "head"): DataFrame = {
+    require(budget >= 2, "budget must be >= 2")
+    require(Set("head", "tail", "both")(strategy),
+      s"unknown strategy '$strategy' (head|tail|both)")
+    val toks = array_remove(split(trim(textCol), "\\s+"), "")
+    val n = size(toks)
+    val kept = strategy match {
+      case "head" => slice(toks, lit(1), lit(budget))
+      case "tail" => slice(toks, -lit(budget), lit(budget))
+      case "both" =>
+        val h = budget / 2
+        val t = budget - h - 1 // one slot spent on the ellipsis token
+        concat(slice(toks, lit(1), lit(h)), array(lit("…")),
+          slice(toks, -lit(t), lit(t)))
+    }
+    val out = when(n <= budget, concat_ws(" ", toks))
+      .otherwise(concat_ws(" ", kept))
+    val nKept = when(n <= budget, n).otherwise(least(lit(budget), n))
+    df.select(idCol.cast("long").as("id"), out.as("kept_text"),
+      n.cast("long").as("n_tokens"), nKept.cast("long").as("n_kept"),
+      (n > budget).as("truncated"))
+  }
+
   /** One-row efficiency report over a [[packSequences]] result: bin
     * count, total tokens, mean/min/max bin utilization against `budget`,
     * and the waste fraction — the number a packing strategy is judged

@@ -802,6 +802,58 @@ object TextAnalysis {
     regexp_replace(noWww, "/$", "")
   }
 
+  /** Structural (markdown-heading) section split — the chunker that
+    * respects document structure where fixed-size chunking
+    * ([[graft.expr.Chunker]]) cuts mid-thought: each `#`-heading opens a
+    * section holding the lines up to the next heading; text before the
+    * first heading becomes a heading-less preamble section. Returns one
+    * row per section, `(id, sec_idx, heading, body)`, 1-based index in
+    * document order. Row-local array arithmetic + one explode. */
+  def sectionSplit(df: DataFrame, idCol: Column, mdCol: Column): DataFrame = {
+    val lines = split(mdCol, "\n")
+    val hIdx = filter(sequence(lit(0), size(col("_ls")) - 1),
+      i => element_at(col("_ls"), i + 1).rlike("^#{1,6} "))
+    val starts = when(size(col("_h")) === 0 ||
+        try_element_at(col("_h"), lit(1)) =!= 0,
+      concat(array(lit(-1)), col("_h"))).otherwise(col("_h"))
+    val secs = transform(sequence(lit(1), size(col("_st"))), k => {
+      val s = element_at(col("_st"), k)
+      val e = coalesce(try_element_at(col("_st"), k + 1), size(col("_ls")))
+      struct(k.cast("long").as("sec_idx"),
+        when(s === -1, lit("")).otherwise(element_at(col("_ls"), s + 1))
+          .as("heading"),
+        concat_ws("\n", slice(col("_ls"), s + 2,
+          greatest(lit(0), e - s - 1))).as("body"))
+    })
+    df.select(idCol.cast("long").as("id"), lines.as("_ls"))
+      .select(col("id"), col("_ls"), hIdx.as("_h"))
+      .select(col("id"), col("_ls"), starts.as("_st"))
+      .select(col("id"), explode(secs).as("_s"))
+      .select(col("id"), col("_s.sec_idx").as("sec_idx"),
+        col("_s.heading").as("heading"), col("_s.body").as("body"))
+      .filter(col("heading") =!= "" || col("body") =!= "")
+  }
+
+  /** Hyperlink extraction — the web-graph construction step: every
+    * `<a href="…">anchor</a>` in an HTML column becomes one
+    * `(src_id, href, anchor)` row (href unquoted verbatim; anchor with
+    * inner tags stripped and whitespace collapsed). Pipe the hrefs
+    * through [[urlCanonicalize]] and the pairs into
+    * [[graft.ops.Graph.pageRank]] and the crawl's link graph is three
+    * composed operators. Row-local regexp over each document + one
+    * explode — no shuffle until the caller aggregates. */
+  def extractLinks(df: DataFrame, idCol: Column, htmlCol: Column): DataFrame = {
+    val tags = regexp_extract_all(htmlCol,
+      lit("(?is)<a\\s[^>]*href\\s*=\\s*\"[^\"]*\"[^>]*>.*?</a>"), lit(0))
+    df.select(idCol.cast("long").as("src_id"), explode(tags).as("_tag"))
+      .select(col("src_id"),
+        regexp_extract(col("_tag"), "(?is)href\\s*=\\s*\"([^\"]*)\"", 1)
+          .as("href"),
+        trim(regexp_replace(regexp_replace(regexp_replace(col("_tag"),
+          "(?is)^<a[^>]*>|</a>$", ""), "(?s)<[^>]*>", " "), "\\s+", " "))
+          .as("anchor"))
+  }
+
   /** Canonical-URL dedup ([[urlCanonicalize]] → the
     * [[graft.ops.Dedup.exactDuplicates]] shape): every canonical form
     * fetched more than once, with its fetch count and the smallest id as

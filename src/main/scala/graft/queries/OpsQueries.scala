@@ -1819,7 +1819,50 @@ object OpsQueries {
           col("doc_id"), col("text"), 0.7,
           prefixes = Seq(25L, 50L, 75L, 100L, 125L, 150L, 175L, 200L),
           shingleSize = 1)
-        .orderBy("prefix_n"))
+        .orderBy("prefix_n")),
+    "q226_token_truncate" -> ((s, d) =>
+      // context-window fit, boundary-preserving: first+last halves
+      // joined by an ellipsis token at a 60-token budget
+      graft.ops.Curation.tokenBudgetTruncate(t(s, d, "documents"),
+          col("doc_id"), col("text"), budget = 60, strategy = "both")
+        .select(col("id"), md5(col("kept_text")).as("kept_md5"),
+          col("n_tokens"), col("n_kept"), col("truncated"))
+        .orderBy("id")),
+    "q227_link_graph" -> ((s, d) => {
+      // web-graph construction: doc_id-keyed synthetic anchors →
+      // extractLinks → urlCanonicalize → in-degree per canonical target
+      // (the fan-in table PageRank seeds from)
+      val id = col("doc_id")
+      val html = concat(lit("<p>"), col("text"), lit("</p>"),
+        lit("<a href=\"https://www.site"), (id % 7).cast("string"),
+        lit(".example.com/p/"), (id % 50).cast("string"),
+        lit("?utm_source=x\">to page "), (id % 50).cast("string"),
+        lit("</a>"),
+        when(id % 3 === 0, concat(
+          lit("<a href=\"http://site"), ((id + 1) % 7).cast("string"),
+          lit(".example.com/p/"), ((id + 13) % 50).cast("string"),
+          lit("#frag\"><b>bold</b> link</a>"))).otherwise(lit("")))
+      val links = TextAnalysis.extractLinks(
+        t(s, d, "documents").withColumn("html", html), id, col("html"))
+      links.select(TextAnalysis.urlCanonicalize(col("href")).as("target"))
+        .groupBy("target").agg(count(lit(1)).as("in_degree"))
+        .orderBy("target")
+    }),
+    "q228_section_split" -> ((s, d) => {
+      // structure-aware chunking: heading-delimited sections with a
+      // heading-less preamble, built from a deterministic md fixture
+      val toks = array_remove(split(trim(col("text")), "\\s+"), "")
+      val md = concat_ws("\n",
+        lit("preamble notes"),
+        concat(lit("# Title "), col("doc_id").cast("string")),
+        concat_ws(" ", slice(toks, 1, 8)),
+        lit("## Details"),
+        concat_ws(" ", slice(toks, 9, 8)))
+      TextAnalysis.sectionSplit(
+          t(s, d, "documents").withColumn("md", md), col("doc_id"),
+          col("md"))
+        .orderBy("id", "sec_idx")
+    })
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -5095,6 +5138,68 @@ object OpsQueries {
                   AS dup_rate
          FROM nc LEFT JOIN dc ON nc.prefix_n = dc.prefix_n
          ORDER BY prefix_n""",
+
+    "q226_token_truncate" ->
+      """WITH tk AS (SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> x <> '') AS t
+              FROM documents)
+         SELECT doc_id AS id,
+                md5(CASE WHEN len(t) <= 60 THEN array_to_string(t, ' ')
+                     ELSE array_to_string(
+                       list_concat(list_concat(t[1:30], ['…']),
+                         t[-29:]), ' ') END) AS kept_md5,
+                CAST(len(t) AS BIGINT) AS n_tokens,
+                CAST(CASE WHEN len(t) <= 60 THEN len(t)
+                     ELSE least(60, len(t)) END AS BIGINT) AS n_kept,
+                len(t) > 60 AS truncated
+         FROM tk ORDER BY id""",
+
+    "q227_link_graph" ->
+      """WITH u AS (SELECT doc_id,
+                'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.example.com/p/' || CAST(doc_id % 50 AS VARCHAR) AS t1,
+                CASE WHEN doc_id % 3 = 0 THEN
+                  'http://site' || CAST((doc_id + 1) % 7 AS VARCHAR)
+                  || '.example.com/p/' || CAST((doc_id + 13) % 50 AS VARCHAR)
+                END AS t2
+              FROM documents),
+         e AS (SELECT t1 AS target FROM u
+               UNION ALL
+               SELECT t2 FROM u WHERE t2 IS NOT NULL)
+         SELECT target, count(*) AS in_degree
+         FROM e GROUP BY target ORDER BY target""",
+
+    "q228_section_split" ->
+      """WITH md AS (SELECT doc_id,
+                'preamble notes' || chr(10)
+                || '# Title ' || CAST(doc_id AS VARCHAR) || chr(10)
+                || array_to_string(list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '')[1:8], ' ') || chr(10)
+                || '## Details' || chr(10)
+                || array_to_string(list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '')[9:16], ' ') AS m
+              FROM documents),
+         l AS (SELECT doc_id, string_split(m, chr(10)) AS ls FROM md),
+         h AS (SELECT doc_id, ls,
+                      [i - 1 FOR i IN range(1, len(ls) + 1)
+                       IF regexp_matches(ls[i], '^#{1,6} ')] AS hs
+               FROM l),
+         st AS (SELECT doc_id, ls,
+                       CASE WHEN len(hs) = 0 OR hs[1] <> 0
+                            THEN list_prepend(-1, hs) ELSE hs END AS s
+                FROM h),
+         sec AS (SELECT doc_id, k AS sec_idx,
+                        CASE WHEN s[k] = -1 THEN ''
+                             ELSE ls[s[k] + 1] END AS heading,
+                        array_to_string(
+                          ls[(s[k] + 2):COALESCE(s[k + 1], len(ls))], chr(10))
+                          AS body
+                 FROM st CROSS JOIN range(1, 10) r(k)
+                 WHERE k <= len(s))
+         SELECT doc_id AS id, CAST(sec_idx AS BIGINT) AS sec_idx, heading, body
+         FROM sec WHERE heading <> '' OR body <> ''
+         ORDER BY id, sec_idx""",
 
     "q220_domain_similarity" ->
       s"""WITH v AS (SELECT vec_id, label,

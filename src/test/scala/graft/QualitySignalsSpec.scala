@@ -898,6 +898,57 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e1 != e2)
   }
 
+  test("tokenBudgetTruncate: head/tail/both semantics, within-budget passthrough") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c")).toDF("id", "text")
+    def run(st: String) = graft.ops.Curation.tokenBudgetTruncate(docs,
+        col("id"), col("text"), budget = 5, strategy = st)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val h = run("head")
+    assert(h(1L) == ("t1 t2 t3 t4 t5", 10L, 5L, true))
+    assert(h(2L) == ("a b c", 3L, 3L, false))
+    assert(run("tail")(1L)._1 == "t6 t7 t8 t9 t10")
+    // both at budget 5: 2 head + ellipsis + 2 tail
+    assert(run("both")(1L)._1 == "t1 t2 … t9 t10")
+    intercept[IllegalArgumentException] {
+      graft.ops.Curation.tokenBudgetTruncate(docs, col("id"), col("text"),
+        5, "middle")
+    }
+  }
+
+  test("extractLinks: href + anchor extraction, inner tags stripped, multi-link docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, """<p>x</p><a href="https://a.com/1">first</a> mid
+             |<a class="z" href="http://b.org/2?q=1"><b>bold</b> two</a>""".stripMargin),
+      (2L, "no links here")).toDF("id", "html")
+    val got = graft.ops.TextAnalysis.extractLinks(docs, col("id"),
+        col("html"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSet == Set(
+      (1L, "https://a.com/1", "first"),
+      (1L, "http://b.org/2?q=1", "bold two")))
+  }
+
+  test("sectionSplit: preamble, heading bodies, adjacent headings, empty doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "intro line\n# A\nbody a1\nbody a2\n## B\n# C\nbody c"),
+      (2L, "# Only\n"),
+      (3L, "")).toDF("id", "md")
+    val got = graft.ops.TextAnalysis.sectionSplit(docs, col("id"), col("md"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getString(3))).toMap
+    assert(got((1L, 1L)) == ("", "intro line"))
+    assert(got((1L, 2L)) == ("# A", "body a1\nbody a2"))
+    assert(got((1L, 3L)) == ("## B", ""))   // adjacent headings: empty body
+    assert(got((1L, 4L)) == ("# C", "body c"))
+    assert(got((2L, 1L)) == ("# Only", ""))
+    assert(!got.keySet.exists(_._1 == 3L))  // fully empty doc yields nothing
+  }
+
   test("packingReport: hand-computed utilization and waste over known bins") {
     import spark.implicits._
     val packed = Seq((0L, 3L, 512L), (1L, 2L, 256L), (2L, 1L, 300L))
