@@ -44,6 +44,7 @@ object ScaleRehearsal {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val scales = args.lift(1).getOrElse("1,10").split(",").map(_.toInt).toSeq
     val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    val only = args.lift(3).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
     val work = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_DIR",
@@ -101,7 +102,23 @@ object ScaleRehearsal {
           col("doc_id"), col("text"))),
       "q153_longest_repeat" -> (d =>
         Suffix.longestRepeat(d.filter(col("doc_id") % 5 === 0),
-          col("doc_id"), col("text"))))
+          col("doc_id"), col("text"))),
+      // round-7 heavy additions: the leakage audit (gram equi-join),
+      // the T5 corruption transform (row-local), and the logistic
+      // trainer (iters × one partial-agg pass)
+      "q193_split_leakage" -> (d =>
+        graft.ops.Curation.splitLeakage(d, col("doc_id"), col("text"),
+          graft.ops.Curation.splitAssign(col("doc_id")), n = 5,
+          minShared = 1, maxDf = 10)),
+      "q209_span_corruption" -> (d =>
+        graft.ops.Curation.spanCorruption(d, col("doc_id"), col("text"),
+          stride = 8, spanLen = 2)),
+      "q222_logistic_train" -> (d =>
+        graft.ops.Classify.logisticTrain(d, col("doc_id") % 2 === 0,
+          col("text"), dim = 64, iters = 10, lr = 8.0, binary = true)))
+
+    val selected = families.filter { case (n, _) =>
+      only.forall(f => f.exists(n.contains)) }
 
     // warmup: scheduler + codegen off the clock
     base.limit(10).queryExecution.toRdd.count()
@@ -110,7 +127,7 @@ object ScaleRehearsal {
       .empty[String, scala.collection.mutable.LinkedHashMap[Int, Double]]
     for (n <- scales) {
       val docs = spark.read.parquet(corpusPath(n))
-      for ((name, fn) <- families) {
+      for ((name, fn) <- selected) {
         val t = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           fn(docs).queryExecution.toRdd.count()
