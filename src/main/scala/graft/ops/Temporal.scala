@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/**
+ * Temporal joins — the two classic time-series operators Spark's built-in
+ * join strategies do not express directly:
+ *
+ *  - as-of join (point-in-time lookup): for every left row, the most
+ *    recent right row with the same key at-or-before the left row's time
+ *    (kdb `aj`, pandas `merge_asof`, DuckDB `ASOF JOIN`);
+ *  - range join (point-in-interval): pair every point with every interval
+ *    containing it, WITHOUT the cartesian product a naive
+ *    `p.ts >= i.start AND p.ts < i.end` theta-join degenerates to.
+ *
+ * Scale shapes:
+ *
+ * As-of: the union-and-scan construction — both sides shuffle ONCE on the
+ * key, a per-key window sorted by (time, side) carries the running "last
+ * right payload" forward, left rows read it. No theta-join, no per-row
+ * probe. Keyed windows are bounded by per-key row counts; for hot keys
+ * pass `bucket` (a coarse time truncation, e.g.
+ * `date_trunc("day", _)`): the op then runs a per-(key, bucket) window
+ * seeded with one carry row per bucket (the prior buckets' final right
+ * payload, computed by a per-key window over the #buckets-sized bucket
+ * summary frame) — partition size drops from |key| to |key ∩ bucket|
+ * while the result stays identical.
+ *
+ * Range: interval→bucket replication + equi-join. Each interval explodes
+ * to the `ceil(len / bucketWidth)` buckets it covers, each point maps to
+ * exactly ONE bucket, the join is an equi-join on the bucket, and the
+ * exact predicate filters after. A point meets an interval in at most one
+ * bucket (the point's own), so no dedup pass is needed. Replication
+ * factor is `len / bucketWidth` — pick the width near the typical
+ * interval length; hot buckets (event spikes) are ordinary AQE-skew
+ * equi-join territory, never a cartesian.
+ */
+object Temporal {
+
+  /** As-of join. For every left row: the latest right row with equal
+    * `keys` and `r.time <= l.time` (equal times match — DuckDB
+    * `ASOF JOIN ... ON l.t >= r.t` semantics; among right rows sharing
+    * (key, time) the greatest `rightTiebreak` wins). Output: all `left`
+    * columns, `right`'s `payload` columns as `asof_<name>` (null when
+    * nothing precedes), and `asof_time` (the matched right row's time).
+    * `toleranceMicros` voids matches older than the tolerance (time
+    * columns must then be TIMESTAMP; likewise for `bucket`). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      timeCol: String, payload: Seq[String], rightTiebreak: Column,
+      toleranceMicros: Option[Long] = None,
+      bucket: Option[Column => Column] = None): DataFrame = {
+    require(payload.nonEmpty, "asofJoin: payload columns required")
+    val keyCols = keys.map(col)
+    val timeType = left.schema(timeCol).dataType
+    // one nullable struct carries the right payload + matched time through
+    // the window; side 0 (right) sorts BEFORE side 1 (left) at equal time
+    // so an equal-timestamp quote is visible to its trade (>= semantics)
+    val rpType = StructType(
+      payload.map(p => StructField(p, right.schema(p).dataType)) :+
+        StructField("__asof_t", right.schema(timeCol).dataType))
+    val rp = struct(
+      (payload.map(p => col(p).as(p)) :+ col(timeCol).as("__asof_t")): _*)
+    val lSide = left.select(
+      left.columns.map(col) :+ lit(null).cast(rpType).as("__rp")
+        :+ lit(1).as("__side") :+ lit(0L).cast(LongType).as("__tb"): _*)
+    val rSide = right.select(
+      keyCols ++ Seq(col(timeCol)) ++
+        left.columns.filterNot(c => keys.contains(c) || c == timeCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(rp.as("__rp"), lit(0).as("__side"),
+          rightTiebreak.cast(LongType).as("__tb")): _*)
+      .select(lSide.columns.map(col): _*)
+    val matched = bucket match {
+      case None =>
+        val w = Window.partitionBy(keyCols: _*)
+          .orderBy(col(timeCol).asc, col("__side").asc, col("__tb").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        lSide.unionByName(rSide)
+          .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
+      case Some(bk) =>
+        val both = lSide.unionByName(rSide)
+          .withColumn("__bk", bk(col(timeCol)))
+        // per-(key, bucket) final right payload → per-key running carry
+        // over the (#buckets-per-key-sized) bucket-summary frame
+        val bw = Window.partitionBy(keyCols: _*).orderBy(col("__bk").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carries = both.filter(col("__side") === 0)
+          .groupBy((keyCols :+ col("__bk")): _*)
+          .agg(max(struct(col(timeCol), col("__tb"), col("__rp"))).as("__fin"))
+          .withColumn("__carry",
+            last(col("__fin").getField("__rp"), ignoreNulls = true).over(bw))
+          .filter(col("__carry").isNotNull)
+          .select((keyCols :+ col("__bk") :+ col("__carry")): _*)
+        // one synthetic right row per (key, bucket) holding the carry; a
+        // null time + asc_nulls_first puts it before every real row of
+        // its bucket partition
+        val seeds = carries.select(
+          (lSide.columns.map {
+            case c if keys.contains(c) => col(c)
+            case c if c == timeCol => lit(null).cast(timeType).as(timeCol)
+            case "__rp" => col("__carry").as("__rp")
+            case "__side" => lit(-1).as("__side")
+            case "__tb" => lit(Long.MinValue).as("__tb")
+            case c => lit(null).cast(lSide.schema(c).dataType).as(c)
+          } :+ col("__bk")): _*)
+        val w = Window.partitionBy((keyCols :+ col("__bk")): _*)
+          .orderBy(col(timeCol).asc_nulls_first, col("__side").asc,
+            col("__tb").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        both.unionByName(seeds)
+          .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
+    }
+    val inTol = toleranceMicros match {
+      case None => col("__m").isNotNull
+      case Some(tol) => col("__m").isNotNull &&
+        unix_micros(col(timeCol)) -
+          unix_micros(col("__m").getField("__asof_t")) <= tol
+    }
+    matched.filter(col("__side") === 1)
+      .withColumn("__ok", inTol)
+      .select(
+        left.columns.map(col) ++
+          payload.map(p =>
+            when(col("__ok"), col("__m").getField(p)).as(s"asof_$p")) :+
+          when(col("__ok"), col("__m").getField("__asof_t")).as("asof_time"): _*)
+  }
+
+  /** Range join: every (point, interval) pair with
+    * `start <= p.time < end` (end-exclusive; empty and inverted
+    * intervals drop). Both sides bucket at `bucketWidthMicros`;
+    * intervals replicate across their covered buckets, points land in
+    * exactly one, so the bucket equi-join + residual predicate yields
+    * each pair exactly once. `pPayload` / `iPayload` carry extra columns
+    * from either side (resolved against that side's frame). Time
+    * columns must be TIMESTAMP. Output: `(p_id, i_id, …payload)`. */
+  def rangeJoin(points: DataFrame, pId: Column, pTime: Column,
+      intervals: DataFrame, iId: Column, iStart: Column, iEnd: Column,
+      bucketWidthMicros: Long,
+      pPayload: Seq[(String, Column)] = Nil,
+      iPayload: Seq[(String, Column)] = Nil): DataFrame = {
+    require(bucketWidthMicros > 0, "rangeJoin: bucket width must be positive")
+    val p = points.select(
+      (pId.as("p_id") +: unix_micros(pTime).as("__pt") +:
+        pPayload.map { case (n, c) => c.as(n) }): _*)
+      .withColumn("__bk", floor(col("__pt") / bucketWidthMicros))
+    val iv = intervals.select(
+      (iId.as("i_id") +: unix_micros(iStart).as("__s") +:
+        unix_micros(iEnd).as("__e") +:
+        iPayload.map { case (n, c) => c.as(n) }): _*)
+      .filter(col("__e") > col("__s"))
+      .withColumn("__bk", explode(sequence(
+        floor(col("__s") / bucketWidthMicros),
+        floor((col("__e") - 1) / bucketWidthMicros))))
+    p.join(iv, Seq("__bk"))
+      .filter(col("__pt") >= col("__s") && col("__pt") < col("__e"))
+      .select((col("p_id") +: col("i_id") +:
+        (pPayload ++ iPayload).map { case (n, _) => col(n) }): _*)
+  }
+}

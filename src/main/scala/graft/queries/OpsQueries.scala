@@ -19,6 +19,22 @@ object OpsQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** `events` with `ts` normalized to TIMESTAMP (LTZ) — the same
+    * NANOS/MICROS adaptation as T2Queries.t (see the comment there); the
+    * temporal-join queries need real timestamp arithmetic, not just
+    * ordering. */
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val tsCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts div 1000)")
+      case _ => col("ts").cast(org.apache.spark.sql.types.TimestampType)
+    }
+    raw.withColumn("ts", tsCol)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
   /** Deterministic re-lining of the single-line word-bag corpus into
     * 4-token units joined by `sep` — the fixture transform the line/
     * paragraph-dedup queries (q96, q127, q133) share. Returns
@@ -1862,6 +1878,48 @@ object OpsQueries {
           t(s, d, "documents").withColumn("md", md), col("doc_id"),
           col("md"))
         .orderBy("id", "sec_idx")
+    }),
+    "q229_asof_join" -> ((s, d) => {
+      // point-in-time lookup: every click gets the latest same-user
+      // purchase at-or-before it, plus a 1-hour-tolerance variant —
+      // union-and-scan construction, one shuffle on user_id, no theta-join
+      val e = ev(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // one purchase row per (user, ts): greatest event_id (makes the
+      // as-of winner well-defined in both engines even under ts ties)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max(struct(col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("ts"), col("m.event_id").as("p_id"),
+          col("m.value").as("p_value"))
+      val plain = graft.ops.Temporal.asofJoin(clicks, purchases,
+        Seq("user_id"), "ts", payload = Seq("p_id", "p_value"),
+        rightTiebreak = col("p_id"))
+      val tol = graft.ops.Temporal.asofJoin(clicks, purchases,
+          Seq("user_id"), "ts", payload = Seq("p_id"),
+          rightTiebreak = col("p_id"),
+          toleranceMicros = Some(3600L * 1000000L))
+        .select(col("event_id"), col("asof_p_id").as("p_id_1h"))
+      plain.select(col("event_id"), col("asof_p_id").as("p_id"),
+          round(col("asof_p_value"), 4).as("p_value"))
+        .join(tol, Seq("event_id"))
+        .orderBy("event_id")
+    }),
+    "q230_range_join" -> ((s, d) => {
+      // point-in-interval: error events inside [purchase, purchase+30min)
+      // windows — interval→bucket replication + equi-join, never a
+      // cartesian; 15-min buckets ≈ half the interval length
+      val e = ev(s, d)
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id"), col("ts"))
+      val windows = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("w_id"), col("ts").as("s"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("en"))
+      graft.ops.Temporal.rangeJoin(errors, col("event_id"), col("ts"),
+          windows, col("w_id"), col("s"), col("en"),
+          bucketWidthMicros = 15L * 60 * 1000000L)
+        .orderBy("p_id", "i_id")
     })
   )
 
@@ -5200,6 +5258,34 @@ object OpsQueries {
          SELECT doc_id AS id, CAST(sec_idx AS BIGINT) AS sec_idx, heading, body
          FROM sec WHERE heading <> '' OR body <> ''
          ORDER BY id, sec_idx""",
+
+    "q229_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'click'),
+         p0 AS (SELECT user_id, ts, event_id, value,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'purchase'),
+         p AS (SELECT user_id, ts, event_id AS p_id, value FROM p0
+               WHERE rn = 1),
+         j AS (SELECT c.event_id, c.ts AS cts, p.p_id, p.value, p.ts AS pts
+               FROM c ASOF LEFT JOIN p
+                 ON c.user_id = p.user_id AND c.ts >= p.ts)
+         SELECT event_id, p_id, round(value, 4) AS p_value,
+                CASE WHEN pts IS NOT NULL
+                          AND epoch_us(cts) - epoch_us(pts) <= 3600000000
+                     THEN p_id END AS p_id_1h
+         FROM j ORDER BY event_id""",
+
+    "q230_range_join" ->
+      """WITH e AS (SELECT event_id, ts FROM events
+                 WHERE event_type = 'error'),
+         w AS (SELECT event_id AS w_id, ts AS s,
+                      ts + INTERVAL 30 MINUTE AS en
+               FROM events WHERE event_type = 'purchase')
+         SELECT e.event_id AS p_id, w_id AS i_id
+         FROM e JOIN w ON e.ts >= s AND e.ts < en
+         ORDER BY p_id, i_id""",
 
     "q220_domain_similarity" ->
       s"""WITH v AS (SELECT vec_id, label,

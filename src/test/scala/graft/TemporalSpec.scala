@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Temporal
+
+/** As-of join + bucketed range join against hand-computed fixtures, plus
+  * the plain-vs-bucketed as-of equivalence on a generated tape. */
+class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def trades() = {
+    import spark.implicits._
+    Seq(
+      (1L, "A", ts("2024-01-01 10:00:05"), 100.0),
+      (2L, "A", ts("2024-01-01 10:00:30"), 101.0),
+      (3L, "B", ts("2024-01-01 10:00:10"), 50.0),
+      (4L, "B", ts("2024-01-01 09:59:00"), 49.0), // before any quote
+      (5L, "C", ts("2024-01-01 12:00:00"), 7.0)   // key with no quotes
+    ).toDF("event_id", "sym", "t", "px")
+  }
+
+  private def quotes() = {
+    import spark.implicits._
+    Seq(
+      (10L, "A", ts("2024-01-01 10:00:00"), 99.5),
+      (11L, "A", ts("2024-01-01 10:00:05"), 99.9), // equal-ts: must match trade 1
+      (12L, "A", ts("2024-01-01 10:00:20"), 100.5),
+      (13L, "B", ts("2024-01-01 10:00:01"), 48.5),
+      (14L, "B", ts("2024-01-01 10:00:01"), 48.7)  // same ts: max tiebreak wins
+    ).toDF("qid", "sym", "t", "bid")
+  }
+
+  test("asofJoin: latest at-or-before per key, equal-ts match, no-match null") {
+    val out = Temporal.asofJoin(trades(), quotes(), Seq("sym"), "t",
+        payload = Seq("qid", "bid"), rightTiebreak = col("qid"))
+      .select("event_id", "asof_qid", "asof_bid")
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      (1L, 11L, 99.9),   // equal timestamp counts
+      (2L, 12L, 100.5),
+      (3L, 14L, 48.7),   // tie at 10:00:01 → greatest tiebreak
+      (4L, -1L, -1.0),   // nothing precedes
+      (5L, -1L, -1.0)))  // key has no quotes at all
+  }
+
+  test("asofJoin: tolerance voids stale matches but keeps fresh ones") {
+    val out = Temporal.asofJoin(trades(), quotes(), Seq("sym"), "t",
+        payload = Seq("qid"), rightTiebreak = col("qid"),
+        toleranceMicros = Some(9L * 1000000L))
+      .select("event_id", "asof_qid").orderBy("event_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // trade 1: gap 0s → 11 keeps; trade 2: gap 10s > 9s → void;
+    // trade 3: gap 9s → 14 keeps
+    assert(out.toSeq == Seq((1L, 11L), (2L, -1L), (3L, 14L), (4L, -1L), (5L, -1L)))
+  }
+
+  test("asofJoin: bucketed construction matches the plain keyed window") {
+    import spark.implicits._
+    // deterministic tape: 3 keys × 400 rows, md5-jittered minute spacing
+    // so rows cross day buckets and some buckets hold no right rows
+    val rows = for {
+      k <- Seq("x", "y", "z"); i <- 0 until 400
+    } yield {
+      val h = graft.expr.PortableHash.hex15(s"$k:$i")
+      (k, i.toLong, new java.sql.Timestamp(
+        1704067200000L + i * 3600000L + (h % 3600000L)), (h % 1000L).toDouble)
+    }
+    val df = rows.toDF("k", "id", "t", "v")
+    val left = df.filter(col("id") % 3 =!= 0)
+      .select(col("k"), col("id"), col("t"))
+    val right = df.filter(col("id") % 3 === 0)
+      .select(col("k"), col("id").as("rid"), col("t"), col("v"))
+    def run(bk: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column]) =
+      Temporal.asofJoin(left, right, Seq("k"), "t",
+          payload = Seq("rid", "v"), rightTiebreak = col("rid"), bucket = bk)
+        .select("k", "id", "asof_rid", "asof_v", "asof_time")
+        .orderBy("k", "id").collect().toSeq
+    val plain = run(None)
+    val bucketed = run(Some(c => date_trunc("day", c)))
+    assert(plain == bucketed)
+    assert(plain.count(!_.isNullAt(2)) > 700) // matches actually happen
+  }
+
+  test("rangeJoin: boundaries, multi-bucket spans, inverted intervals drop") {
+    import spark.implicits._
+    val points = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // == start of i1 → in
+      (2L, ts("2024-01-01 10:29:59")), // inside i1
+      (3L, ts("2024-01-01 10:30:00")), // == end of i1 (exclusive) → out, == start of i2 → in
+      (4L, ts("2024-01-01 23:59:59")), // inside the day-spanning i3
+      (5L, ts("2024-01-02 00:00:01")), // inside i3, next day bucket
+      (6L, ts("2024-01-05 00:00:00"))  // in nothing
+    ).toDF("pid", "pt")
+    val ivs = Seq(
+      (101L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")),
+      (102L, ts("2024-01-01 10:30:00"), ts("2024-01-01 11:00:00")),
+      (103L, ts("2024-01-01 23:00:00"), ts("2024-01-02 01:00:00")),
+      (104L, ts("2024-01-03 10:00:00"), ts("2024-01-03 10:00:00")), // empty
+      (105L, ts("2024-01-03 11:00:00"), ts("2024-01-03 10:00:00"))  // inverted
+    ).toDF("iid", "s", "e")
+    val out = Temporal.rangeJoin(points, col("pid"), col("pt"),
+        ivs, col("iid"), col("s"), col("e"),
+        bucketWidthMicros = 15L * 60 * 1000000L) // 15-min buckets
+      .orderBy("p_id", "i_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 101L), (2L, 101L), (3L, 102L), (4L, 103L), (5L, 103L)))
+  }
+
+  test("rangeJoin: payload passthrough and exactly-once pairs") {
+    import spark.implicits._
+    val points = Seq((1L, ts("2024-01-01 00:00:30"), "p")).toDF("pid", "pt", "tag")
+    // interval covers 120 one-second buckets — the pair must appear once
+    val ivs = Seq((9L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:02:00"), "w"))
+      .toDF("iid", "s", "e", "label")
+    val out = Temporal.rangeJoin(points, col("pid"), col("pt"),
+        ivs, col("iid"), col("s"), col("e"),
+        bucketWidthMicros = 1000000L,
+        pPayload = Seq("tag" -> col("tag")),
+        iPayload = Seq("label" -> col("label"))).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(2) == "p" && out.head.getString(3) == "w")
+  }
+}
