@@ -1920,7 +1920,16 @@ object OpsQueries {
           windows, col("w_id"), col("s"), col("en"),
           bucketWidthMicros = 15L * 60 * 1000000L)
         .orderBy("p_id", "i_id")
-    })
+    }),
+    "q231_hnsw_edges" -> ((s, d) =>
+      // HNSW layered-graph construction (exact baseline): md5-ladder
+      // levels, symmetric top-4 cosine neighbors per layer, rnk-0 ring
+      // successors for batch-mode connectivity — the whole graph
+      // replays in the oracle; beam search recall is HnswSpec territory
+      graft.ops.Hnsw.buildExact(
+          t(s, d, "embeddings").filter(col("vec_id") < 200),
+          col("vec_id"), col("embedding"), m = 4, maxLevel = 2)
+        .orderBy("level", "id", "rnk", "nbr"))
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -5286,6 +5295,49 @@ object OpsQueries {
          SELECT e.event_id AS p_id, w_id AS i_id
          FROM e JOIN w ON e.ts >= s AND e.ts < en
          ORDER BY p_id, i_id""",
+
+    "q231_hnsw_edges" ->
+      s"""WITH vv AS (SELECT vec_id AS id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                CAST('0x' || substr(md5('hnsw:' || CAST(vec_id AS VARCHAR)),
+                  1, 15) AS BIGINT) AS h
+              FROM embeddings WHERE vec_id < 200),
+         lv AS (SELECT id, v, CASE WHEN h % 16 = 0 THEN 2
+                                   WHEN h % 4 = 0 THEN 1 ELSE 0 END AS lvl
+                FROM vv),
+         nodes AS (SELECT l, id, v FROM lv
+                   JOIN range(0, 3) r(l) ON lvl >= l),
+         px AS (SELECT a.l, a.id AS src, b.id AS cid,
+                  round(${PortableSql.cosSql("a.v", "b.v")}, 4) AS sim
+                FROM nodes a JOIN nodes b
+                  ON a.l = b.l AND a.id <> b.id),
+         dir AS (SELECT l, src, cid AS nbr, sim FROM (
+                   SELECT *, row_number() OVER (PARTITION BY l, src
+                     ORDER BY sim DESC, cid) AS rn FROM px)
+                 WHERE rn <= 4),
+         sym AS (SELECT l, src, nbr, max(sim) AS sim FROM (
+                   SELECT l, src, nbr, sim FROM dir
+                   UNION ALL
+                   SELECT l, nbr AS src, src AS nbr, sim FROM dir)
+                 GROUP BY l, src, nbr),
+         topm AS (SELECT l, src, rn AS rnk, nbr, sim FROM (
+                   SELECT *, row_number() OVER (PARTITION BY l, src
+                     ORDER BY sim DESC, nbr) AS rn FROM sym)
+                  WHERE rn <= 4),
+         ring1 AS (SELECT l, id AS src, v,
+                     COALESCE(lead(id) OVER (PARTITION BY l ORDER BY id),
+                       min(id) OVER (PARTITION BY l)) AS nbr
+                   FROM nodes),
+         ring AS (SELECT r.l, r.src, 0 AS rnk, r.nbr,
+                    round(${PortableSql.cosSql("r.v", "n.v")}, 4) AS sim
+                  FROM ring1 r JOIN nodes n ON n.l = r.l AND n.id = r.nbr
+                  WHERE r.src <> r.nbr
+                    AND NOT EXISTS (SELECT 1 FROM topm t
+                      WHERE t.l = r.l AND t.src = r.src AND t.nbr = r.nbr))
+         SELECT CAST(l AS INT) AS level, src AS id, CAST(rnk AS INT) AS rnk,
+                nbr, sim
+         FROM (SELECT * FROM topm UNION ALL SELECT * FROM ring)
+         ORDER BY level, id, rnk, nbr""",
 
     "q220_domain_similarity" ->
       s"""WITH v AS (SELECT vec_id, label,
