@@ -735,6 +735,76 @@ object Curation {
       .orderBy("bin")
   }
 
+  /** Per-document bin ASSIGNMENT under [[packSequences]]' exact
+    * first-fit-in-order contract: `(id, bin, t)` — the same two-pass
+    * distributed prefix sum (range-partition by the order key,
+    * per-partition subtotals to the driver, offset-seeded local scan),
+    * but keeping each row's identity instead of aggregating to bin
+    * stats. This is the op to call when the BIN MEMBERSHIP matters —
+    * e.g. semantic packing, where ordering by (IVF cell, id) makes each
+    * training bin's sequences mutual in-batch hard negatives
+    * (contrastive batches are only as hard as their co-packed
+    * neighbors). Order keys compare lexicographically in `order`'s
+    * column sequence. */
+  def packAssign(df: DataFrame, idCol: Column, order: Seq[Column],
+      tokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parted = df.select((idCol.cast("long").as("id") +:
+        tokens.cast("long").as("t") +:
+        order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }): _*)
+      .repartitionByRange(order.indices.map(i => col(s"__o$i")): _*)
+      .sortWithinPartitions(order.indices.map(i => col(s"__o$i")): _*)
+      .select(col("id"), col("t")).as[(Long, Long)]
+    val rdd = parted.rdd
+    val sums = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; it.foreach(s += _._2); Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(sums.scanLeft(0L)(_ + _))
+    rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = offsets.value(pid)
+      it.map { case (id, t) => val bin = cum / budget; cum += t; (id, bin, t) }
+    }.toDF("id", "bin", "t")
+  }
+
+  /** Inverse-cloze-task pairs (Lee et al., ACL 2019 — the standard
+    * unsupervised retrieval pre-training objective): split each document
+    * into `unitTokens`-token units, pick ONE unit as the pseudo-query
+    * (md5-deterministic), and emit the rest as its positive context.
+    * With probability 1/10 (again md5-keyed) the picked unit stays in
+    * the context — the paper's leave-in trick that teaches lexical
+    * overlap matching. Pure row-local array arithmetic: codegen,
+    * streaming-safe, no shuffle. Output: `(id, n_units, q_idx,
+    * query_text, context_text, kept)`; documents shorter than two units
+    * drop (no context to pair against). */
+  def ictPairs(df: DataFrame, idCol: Column, textCol: Column,
+      unitTokens: Int = 4): DataFrame = {
+    require(unitTokens > 0, "unitTokens must be > 0")
+    val id = idCol.cast("long")
+    val toks = array_remove(split(trim(textCol), "\\s+"), "")
+    val nUnits = ceil(size(toks) / lit(unitTokens.toDouble)).cast("int")
+    val units = transform(sequence(lit(0), nUnits - 1),
+      i => concat_ws(" ", slice(toks, i * unitTokens + 1, lit(unitTokens))))
+    // greatest(·, 1): unit-less docs drop below, but ANSI mode evaluates
+    // the projection before the filter — never mod by zero
+    val qIdx = (graft.expr.PortableHash.hex15Col(
+      concat(lit("ict:"), id.cast("string"))) % greatest(nUnits, lit(1)))
+      .cast("int")
+    val keep = graft.expr.PortableHash.hex15Col(
+      concat(lit("ictkeep:"), id.cast("string"))) % 10 === 0
+    df.select(id.as("id"), nUnits.as("n_units"), qIdx.as("q_idx"),
+        units.as("__u"), keep.as("kept"))
+      .filter(col("n_units") >= 2)
+      .select(col("id"), col("n_units").cast("long").as("n_units"),
+        col("q_idx").cast("long").as("q_idx"),
+        element_at(col("__u"), col("q_idx") + 1).as("query_text"),
+        when(col("kept"), concat_ws(" ", col("__u"))).otherwise(
+          concat_ws(" ", filter(col("__u"),
+            (_, i) => i =!= col("q_idx")))).as("context_text"),
+        col("kept"))
+  }
+
   /** Token-budget truncation — the context-window fit step every
     * training pipeline runs last: keep the first `budget` tokens
     * (`strategy = "head"`), the last (`"tail"`), or the first and last

@@ -116,6 +116,56 @@ object Rerank {
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
+
+  /** Cross-encoder DISTILLATION pair mining: score every (query,
+    * candidate) pair of a first-stage retrieval output with the teacher
+    * [[CrossScorer]], then keep per query the top `posK` (positives) and
+    * the bottom `negK` (hardest rejects) by teacher score — the
+    * (query, passage, teacher_score) triples a bi-encoder student
+    * trains on (the standard KD recipe behind models like TinyBERT
+    * rerankers / margin-MSE). Output: `(qid, did, t_score, rnk,
+    * is_pos)` with `rnk` 1-based by (score DESC, did ASC).
+    *
+    * Scale shape: the input MUST be a per-query candidate list (first
+    * stages prune; a teacher forward pass per corpus row is never the
+    * plan) — scoring batches one query's texts per [[CrossScorer
+    * .scoreBatch]] call inside `mapPartitions`, and the per-query
+    * windows sort candidate-list-bounded partitions only. */
+  def distillationPairs(cands: DataFrame, qIdCol: Column, qTextCol: Column,
+      dIdCol: Column, dTextCol: Column, scorer: CrossScorer,
+      posK: Int, negK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val scored = cands.select(qIdCol.cast("long").as("qid"),
+        qTextCol.as("qt"), dIdCol.cast("long").as("did"), dTextCol.as("dt"))
+      .as[(Long, String, Long, String)]
+      .mapPartitions { it =>
+        // group the partition's rows by query so real backends get one
+        // batched forward pass per query, like crossRerank
+        it.toSeq.groupBy { case (qid, qt, _, _) => (qid, qt) }
+          .iterator.flatMap { case ((qid, qt), rows) =>
+            val scores = scorer.scoreBatch(qt,
+              rows.iterator.map(_._4)).toArray
+            require(scores.length == rows.length,
+              s"CrossScorer returned ${scores.length} scores for ${rows.length} texts")
+            rows.iterator.zip(scores.iterator)
+              .map { case ((_, _, did, _), s) => (qid, did, s) }
+          }
+      }
+      .toDF("qid", "did", "t_score")
+    val top = Window.partitionBy("qid")
+      .orderBy(col("t_score").desc, col("did").asc)
+    val bottom = Window.partitionBy("qid")
+      .orderBy(col("t_score").asc, col("did").desc)
+    scored
+      .withColumn("rnk", row_number().over(top))
+      .withColumn("__tail", row_number().over(bottom))
+      .filter(col("rnk") <= posK || col("__tail") <= negK)
+      .select(col("qid"), col("did"),
+        round(col("t_score"), 4).as("t_score"), col("rnk"),
+        (col("rnk") <= posK).as("is_pos"))
+  }
 }
 
 /** Pair-scoring backend for cross-encoder re-ranking. Like

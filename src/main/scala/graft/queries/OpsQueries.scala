@@ -1929,7 +1929,60 @@ object OpsQueries {
       graft.ops.Hnsw.buildExact(
           t(s, d, "embeddings").filter(col("vec_id") < 200),
           col("vec_id"), col("embedding"), m = 4, maxLevel = 2)
-        .orderBy("level", "id", "rnk", "nbr"))
+        .orderBy("level", "id", "rnk", "nbr")),
+    "q232_ict_pairs" -> ((s, d) =>
+      // inverse-cloze-task pairs: one md5-picked 4-token unit becomes
+      // the pseudo-query, the rest the positive context (1/10 keep the
+      // unit in context — the lexical-overlap leave-in); row-local
+      graft.ops.Curation.ictPairs(t(s, d, "documents"), col("doc_id"),
+          col("text"), unitTokens = 4)
+        .select(col("id"), col("n_units"), col("q_idx"),
+          md5(col("query_text")).as("q_md5"),
+          md5(col("context_text")).as("ctx_md5"), col("kept"))
+        .orderBy("id")),
+    "q233_distill_pairs" -> ((s, d) => {
+      // teacher-score distillation triples over a synthetic first-stage
+      // candidate list: 20 pseudo-queries (8-token prefixes of every
+      // 25th doc), candidates = docs with did % 20 == qid; top-2
+      // positives + bottom-3 hard rejects per query by the md5-portable
+      // stub teacher
+      val docs = t(s, d, "documents")
+      val toks = array_remove(split(trim(col("text")), "\\s+"), "")
+      val queries = docs.filter(col("doc_id") % 25 === 0)
+        .filter(col("doc_id") < 500)
+        .select((col("doc_id") / 25).cast("long").as("qid"),
+          concat_ws(" ", slice(toks, 1, 8)).as("qt"))
+      val cands = docs.select(col("doc_id").as("did"),
+        col("text").as("dt"), (col("doc_id") % 20).cast("long").as("qid"))
+      graft.ops.Rerank.distillationPairs(queries.join(cands, "qid"),
+          col("qid"), col("qt"), col("did"), col("dt"),
+          graft.ops.HashCrossScorer(), posK = 2, negK = 3)
+        .orderBy("qid", "rnk")
+    }),
+    "q234_semantic_pack" -> ((s, d) => {
+      // negative-aware packing: bins filled in (IVF cell, id) order, so
+      // each training bin co-packs same-cell sequences — in-batch
+      // negatives come pre-hardened; report per-bin cell concentration
+      val emb = t(s, d, "embeddings")
+      val cents = graft.ops.Ivf.trainCentroids(emb, col("vec_id"),
+        col("embedding"), 8, iters = 2, sampleFraction = 50)
+      val cells = graft.ops.Ivf.assignClusters(emb, col("vec_id"),
+          col("embedding"), cents)
+        .select(col("vec_id").cast("long").as("id"),
+          col("cluster").as("cell"))
+      val tok = t(s, d, "documents").select(col("doc_id").as("id"),
+        size(array_remove(split(trim(col("text")), "\\s+"), ""))
+          .cast("long").as("t"))
+      val packed = graft.ops.Curation.packAssign(tok.join(cells, "id"),
+        col("id"), Seq(col("cell"), col("id")), col("t"), budget = 512)
+      packed.join(cells, "id").groupBy("bin", "cell")
+        .agg(count(lit(1)).as("n"), sum("t").as("tk"))
+        .groupBy("bin")
+        .agg(sum("n").as("n_docs"), sum("tk").as("tokens"),
+          round(max(col("n")) / sum(col("n")).cast("double"), 4)
+            .as("top_cell_share"))
+        .orderBy("bin")
+    })
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -5338,6 +5391,75 @@ object OpsQueries {
                 nbr, sim
          FROM (SELECT * FROM topm UNION ALL SELECT * FROM ring)
          ORDER BY level, id, rnk, nbr""",
+
+    "q232_ict_pairs" ->
+      """WITH tk AS (SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> x <> '') AS tk
+              FROM documents),
+         u AS (SELECT doc_id, CAST(ceil(len(tk) / 4.0) AS INT) AS nu,
+                 [array_to_string(tk[(i * 4 + 1):(i * 4 + 4)], ' ')
+                  FOR i IN range(0, CAST(ceil(len(tk) / 4.0) AS BIGINT))] AS us
+               FROM tk),
+         p AS (SELECT doc_id, nu,
+                 CAST(CAST('0x' || substr(md5('ict:' || CAST(doc_id AS VARCHAR)),
+                   1, 15) AS BIGINT) % nu AS INT) AS qi,
+                 CAST('0x' || substr(md5('ictkeep:' || CAST(doc_id AS VARCHAR)),
+                   1, 15) AS BIGINT) % 10 = 0 AS kept,
+                 us
+               FROM u WHERE nu >= 2)
+         SELECT doc_id AS id, CAST(nu AS BIGINT) AS n_units,
+                CAST(qi AS BIGINT) AS q_idx,
+                md5(us[qi + 1]) AS q_md5,
+                md5(CASE WHEN kept THEN array_to_string(us, ' ')
+                     ELSE array_to_string([us[i] FOR i IN range(1, nu + 1)
+                       IF i <> qi + 1], ' ') END) AS ctx_md5,
+                kept
+         FROM p ORDER BY id""",
+
+    "q233_distill_pairs" ->
+      """WITH q AS (SELECT doc_id // 25 AS qid,
+                array_to_string(list_filter(string_split_regex(trim(text),
+                  '\s+'), x -> x <> '')[1:8], ' ') AS qt
+              FROM documents WHERE doc_id % 25 = 0 AND doc_id < 500),
+         c AS (SELECT doc_id AS did, text AS dt, doc_id % 20 AS qid
+               FROM documents),
+         s AS (SELECT q.qid, c.did,
+                 CAST('0x' || substr(md5(qt || chr(1) || dt), 1, 15)
+                   AS BIGINT) % 10000 / 10000.0 AS sc
+               FROM q JOIN c USING (qid)),
+         r AS (SELECT qid, did, sc,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY sc DESC, did ASC) AS rnk,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY sc ASC, did DESC) AS tl
+               FROM s)
+         SELECT qid, did, round(sc, 4) AS t_score, CAST(rnk AS INT) AS rnk,
+                rnk <= 2 AS is_pos
+         FROM r WHERE rnk <= 2 OR tl <= 3
+         ORDER BY qid, rnk""",
+
+    "q234_semantic_pack" ->
+      s"""WITH ${PortableSql.ivfTrainCtes("g", 8)},
+         tok AS (SELECT doc_id AS id,
+                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS BIGINT) AS t
+                 FROM documents),
+         j AS (SELECT tok.id, tok.t, gbf.cid AS cell
+               FROM tok JOIN gbf ON gbf.id = tok.id),
+         cum AS (SELECT id, t, cell,
+                   COALESCE(sum(t) OVER (ORDER BY cell, id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cb
+                 FROM j),
+         b AS (SELECT CAST(cb // 512 AS BIGINT) AS bin, cell, t FROM cum),
+         bc AS (SELECT bin, cell, count(*) AS n, sum(t) AS tk
+                FROM b GROUP BY bin, cell)
+         SELECT bin, CAST(sum(n) AS BIGINT) AS n_docs,
+                CAST(sum(tk) AS BIGINT) AS tokens,
+                round(max(n) / CAST(sum(n) AS DOUBLE), 4) AS top_cell_share
+         FROM bc GROUP BY bin ORDER BY bin""",
 
     "q220_domain_similarity" ->
       s"""WITH v AS (SELECT vec_id, label,

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expr.PortableHash
+import graft.ops.Curation
+
+/** ICT pair construction + per-doc pack assignment: hand-computed cases,
+  * token conservation, packSequences parity, partition invariance. */
+class CurationIctPackSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("ictPairs: md5-picked unit, leave-out vs leave-in, short docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),        // 2 units
+      (2L, "t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 3 units (last short)
+      (3L, "only four tokens here"),  // 1 unit → drops
+      (4L, "")                        // empty → drops
+    ).toDF("doc_id", "text")
+    val out = Curation.ictPairs(docs, col("doc_id"), col("text"), 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4),
+          r.getBoolean(5))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    Seq(1L -> Seq("a b c d", "e f g h"),
+        2L -> Seq("t1 t2 t3 t4", "t5 t6 t7 t8", "t9")).foreach {
+      case (id, units) =>
+        val (nUnits, qIdx, q, ctx, kept) = out(id)
+        assert(nUnits == units.length)
+        assert(qIdx == PortableHash.hex15(s"ict:$id") % units.length)
+        assert(kept == (PortableHash.hex15(s"ictkeep:$id") % 10 == 0))
+        assert(q == units(qIdx.toInt))
+        val expectCtx =
+          if (kept) units.mkString(" ")
+          else units.zipWithIndex.filter(_._2 != qIdx).map(_._1)
+            .mkString(" ")
+        assert(ctx == expectCtx, s"doc $id")
+    }
+    // token conservation on the leave-out form
+    out.foreach { case (id, (_, _, q, ctx, kept)) =>
+      if (!kept) {
+        val total = Map(1L -> 8, 2L -> 9)(id)
+        assert(q.split(" ").length + ctx.split(" ").length == total)
+      }
+    }
+  }
+
+  test("packAssign: first-fit bins, packSequences parity, partition-invariant") {
+    import spark.implicits._
+    val df = Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L), (5L, 5L))
+      .toDF("id", "t")
+    val got = Curation.packAssign(df, col("id"), Seq(col("id")), col("t"),
+        budget = 6)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // cum: 0,3,6,9,12 → bins 0,0,1,1,2
+    assert(got == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 2L)))
+    // parity with packSequences' bin aggregate
+    val agg = Curation.packAssign(df, col("id"), Seq(col("id")), col("t"), 6)
+      .groupBy("bin").agg(count(lit(1)).as("n_docs"), sum("t").as("tokens"))
+      .orderBy("bin").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val ref = Curation.packSequences(df, col("id"), col("t"), 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(agg == ref)
+    // same result however the input arrives partitioned
+    val shuffled = Curation.packAssign(df.repartition(7), col("id"),
+        Seq(col("id")), col("t"), 6)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(shuffled == got)
+  }
+
+  test("packAssign: multi-column order co-locates groups") {
+    import spark.implicits._
+    // cells interleaved by id; ordering (cell, id) packs cells together
+    val df = Seq((1L, 0, 4L), (2L, 1, 4L), (3L, 0, 4L), (4L, 1, 4L))
+      .toDF("id", "cell", "t")
+    val got = Curation.packAssign(df, col("id"),
+        Seq(col("cell"), col("id")), col("t"), budget = 8)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // order: (0,1),(0,3),(1,2),(1,4) → bins 0,0,1,1
+    assert(got == Map(1L -> 0L, 3L -> 0L, 2L -> 1L, 4L -> 1L))
+  }
+}

@@ -66,6 +66,37 @@ class RerankSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq((1L, "aa"), (2L, "dddd"), (3L, "ccc"), (4L, "bbbb")).foreach {
       case (id, t) => assert(got(id) == stub.score("q", t)) }
   }
+
+  test("distillationPairs: per-query top/bottom selection, ranks, labels") {
+    import spark.implicits._
+    // two queries; LenScorer makes scores the candidate text lengths
+    val cands = Seq(
+      (10L, "qa", 1L, "aaaaaa"), (10L, "qa", 2L, "aaaaa"),
+      (10L, "qa", 3L, "aaaa"), (10L, "qa", 4L, "aaa"),
+      (10L, "qa", 5L, "aa"), (10L, "qa", 6L, "a"),
+      (20L, "qb", 7L, "bb"), (20L, "qb", 8L, "b")
+    ).toDF("qid", "qt", "did", "dt")
+    val out = Rerank.distillationPairs(cands, col("qid"), col("qt"),
+        col("did"), col("dt"), RerankSpec.LenScorer(), posK = 2, negK = 2)
+      .orderBy("qid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3),
+        r.getBoolean(4)))
+    // q10: keep 1,2 (pos) + 5,6 (bottom); q20: 2 cands, both pos AND tail
+    assert(out.toSeq == Seq(
+      (10L, 1L, 6.0, 1, true), (10L, 2L, 5.0, 2, true),
+      (10L, 5L, 2.0, 5, false), (10L, 6L, 1.0, 6, false),
+      (20L, 7L, 2.0, 1, true), (20L, 8L, 1.0, 2, true)))
+  }
+
+  test("distillationPairs: no duplicate rows when pos and tail overlap") {
+    import spark.implicits._
+    val cands = Seq((1L, "q", 1L, "aaa"), (1L, "q", 2L, "aa"),
+      (1L, "q", 3L, "a")).toDF("qid", "qt", "did", "dt")
+    val out = Rerank.distillationPairs(cands, col("qid"), col("qt"),
+      col("did"), col("dt"), RerankSpec.LenScorer(), posK = 2, negK = 2)
+    assert(out.count() == 3)
+    assert(out.select("did").distinct().count() == 3)
+  }
 }
 
 object RerankSpec {
