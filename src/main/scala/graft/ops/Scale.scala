@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
  * bit-identical to the naive formulations, which is exactly what the
  * verification queries pin.
  */
-object Scale {
+// Serializable: the Misra–Gries kernel below is called from inside a
+// flatMapGroupsWithState function, whose closure (unlike RDD closures)
+// is serialized without ClosureCleaner nulling module back-references.
+object Scale extends Serializable {
 
   /**
    * Two-stage salted aggregation for skew-prone keys: stage 1 aggregates
@@ -216,22 +219,33 @@ object Scale {
     }.toDF("term", "est")
   }
 
+  /** The Misra–Gries insert step at `capacity` counters — the ONE
+    * kernel shared by the batch sketch below and
+    * [[graft.streaming.StreamingOps.streamingHeavyHitters]]'s per-shard
+    * state, so their estimates can never drift: increment a tracked
+    * term, open a counter if a slot is free, else the decrement-all
+    * step (every counter pays one; zeros evict). */
+  private[graft] def misraGriesAdd(
+      m: scala.collection.mutable.HashMap[String, Long], w: String,
+      capacity: Int): Unit =
+    if (m.contains(w)) m(w) += 1L
+    else if (m.size < capacity) m(w) = 1L
+    else {
+      val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+      m.keysIterator.foreach { k =>
+        val v = m(k) - 1L
+        if (v <= 0L) dead += k else m(k) = v
+      }
+      dead.foreach(m.remove)
+    }
+
   def heavyHittersSketch(df: DataFrame, textCol: Column, capacity: Int,
       topN: Int): DataFrame = {
     require(capacity >= 1 && topN >= 1, "need capacity >= 1 and topN >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     def mgAdd(m: scala.collection.mutable.HashMap[String, Long], w: String): Unit =
-      if (m.contains(w)) m(w) += 1L
-      else if (m.size < capacity) m(w) = 1L
-      else { // decrement-all step: every counter pays one
-        val dead = scala.collection.mutable.ArrayBuffer.empty[String]
-        m.keysIterator.foreach { k =>
-          val v = m(k) - 1L
-          if (v <= 0L) dead += k else m(k) = v
-        }
-        dead.foreach(m.remove)
-      }
+      misraGriesAdd(m, w, capacity)
     def mgMerge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
       val sum = scala.collection.mutable.HashMap.empty[String, Long]
       a.foreach { case (k, v) => sum(k) = sum.getOrElse(k, 0L) + v }

@@ -233,6 +233,102 @@ object StreamingOps {
     }
   }
 
+  /** TTL twin of [[streamingLatestSnapshot]] for UNBOUNDED key spaces:
+    * `ver` doubles as event-time milliseconds (the natural crawl
+    * timestamp), and a key whose winner has not been refreshed for
+    * `ttlMs` past the watermark is EVICTED — state stays bounded by the
+    * live-key working set instead of growing with every key ever seen.
+    * Eviction emits a tombstone `(key, -1, -1, "")` so downstream
+    * snapshot materializers can delete the key; a later recrawl simply
+    * re-creates it as fresh. Same winner rule as the untimed variant. */
+  def streamingLatestSnapshotTtl(updates: DataFrame,
+      ttlMs: Long): org.apache.spark.sql.Dataset[SnapRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(ttlMs > 0, "ttlMs must be > 0")
+    val spark = updates.sparkSession
+    import spark.implicits._
+    val typed = updates
+      .select(col("key").cast("string"), col("ver").cast("long"),
+        col("id").cast("long"), col("text").cast("string"),
+        timestamp_millis(col("ver").cast("long")).as("ts"))
+      .withWatermark("ts", "0 seconds")
+      .as[(String, Long, Long, String, java.sql.Timestamp)]
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+      (key: String, rows: Iterator[(String, Long, Long, String, java.sql.Timestamp)],
+       state: GroupState[SnapState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.single(SnapRow(key, -1L, -1L, ""))
+        } else {
+          val before = state.getOption
+          var cur = before
+          for ((_, ver, id, text, _) <- rows) {
+            val better = cur.forall(s =>
+              ver > s.ver || (ver == s.ver && id < s.id))
+            if (better) cur = Some(SnapState(ver, id, text))
+          }
+          cur.foreach { s =>
+            state.update(s)
+            // re-arm on every batch that touches the key; a timeout
+            // timestamp at-or-behind the watermark is rejected, so a
+            // winner already older than the TTL evicts on the next tick
+            state.setTimeoutTimestamp(
+              math.max(s.ver + ttlMs, state.getCurrentWatermarkMs() + 1))
+          }
+          cur match {
+            case Some(s) if before != cur =>
+              Iterator.single(SnapRow(key, s.ver, s.id, s.text))
+            case _ => Iterator.empty
+          }
+        }
+    }
+  }
+
+  final case class HHState(counts: Map[String, Long])
+  final case class HHRow(shard: Int, term: String, est: Long)
+
+  /** Streaming heavy hitters: the Misra–Gries sketch maintained ACROSS
+    * micro-batches with explicit state — the streaming twin of
+    * [[graft.ops.Scale.heavyHittersSketch]], sharing its insert kernel.
+    * Tokens shard by md5 (`nShards` state groups), so each term's whole
+    * count lives in exactly one group and a global heavy hitter is
+    * always a shard heavy hitter; per-shard state is bounded at
+    * `capacity` counters REGARDLESS of vocabulary size — the reason
+    * this runs forever where an exact per-token count would not. Each
+    * batch re-emits the touched shards' current candidate sets
+    * `(shard, term, est)` in update mode; read the latest snapshot and
+    * take the global top-N by `est`. Estimates carry the MG guarantee:
+    * true_count − shard_tokens/capacity ≤ est ≤ true_count. */
+  def streamingHeavyHitters(docs: DataFrame, capacity: Int,
+      nShards: Int = 8): org.apache.spark.sql.Dataset[HHRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(capacity >= 1 && nShards >= 1, "capacity and nShards must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col("text").cast("string")).as[String]
+      .flatMap { t =>
+        if (t == null) Iterator.empty
+        else graft.ops.Dedup.trimSpaces(t).split("\\s+").iterator
+          .filter(_.nonEmpty)
+      }
+      .map(tok =>
+        ((graft.expr.PortableHash.hex15(tok) % nShards).toInt, tok))
+    toks.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (shard: Int, rows: Iterator[(Int, String)],
+       state: GroupState[HHState]) =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        state.getOption.foreach(_.counts.foreach { case (k, v) => m(k) = v })
+        rows.foreach { case (_, tok) =>
+          graft.ops.Scale.misraGriesAdd(m, tok, capacity)
+        }
+        state.update(HHState(m.toMap))
+        m.toSeq.sortBy { case (t, c) => (-c, t) }.iterator
+          .map { case (t, c) => HHRow(shard, t, c) }
+    }
+  }
+
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long,
       n_events: Long, value_sum: Double)

@@ -511,4 +511,90 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
     q.stop()
   }
+
+  test("streamingLatestSnapshotTtl: idle keys evict with tombstones, " +
+      "refreshed keys live, recreation after eviction is fresh") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long, String)]
+    val snap = StreamingOps.streamingLatestSnapshotTtl(
+      input.toDF().toDF("key", "ver", "id", "text"), ttlMs = 5000L)
+    val q = snap.writeStream.outputMode("update")
+      .format("memory").queryName("snapttl").start()
+
+    def tombstones() = spark.sql(
+      "SELECT key FROM snapttl WHERE ver = -1").collect()
+      .map(_.getString(0)).toSet
+
+    // timeouts fire as soon as the watermark passes them: each batch's
+    // watermark advance triggers a trailing no-data micro-batch that
+    // processes evictions within the same processAllAvailable call
+    input.addData(("k1", 1000L, 1L, "a"), ("k2", 1000L, 2L, "b"))
+    q.processAllAvailable() // watermark → 1000; both alive (timeout 6000)
+    assert(tombstones() == Set.empty[String])
+    input.addData(("k1", 100000L, 3L, "c")) // refreshes k1; k2 idles
+    q.processAllAvailable() // watermark → 100000 ⇒ k2 (timeout 6000) evicts
+    assert(tombstones() == Set("k2"))
+    input.addData(("k3", 200000L, 4L, "d"))
+    q.processAllAvailable() // watermark → 200000 ⇒ k1 (timeout 105000) evicts
+    assert(tombstones() == Set("k1", "k2"))
+    input.addData(("k2", 310000L, 9L, "z")) // re-created as fresh → emits
+    q.processAllAvailable()
+    val k2rows = spark.sql(
+      "SELECT ver FROM snapttl WHERE key = 'k2' AND ver >= 0")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(k2rows == Seq(1000L, 310000L))
+    q.stop()
+  }
+
+  test("streamingHeavyHitters: cross-batch counts, batch-sketch parity, " +
+      "bounded state under small capacity") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // exact regime: capacity far above the vocab → counts are exact
+    val input = MemoryStream[String]
+    val hh = StreamingOps.streamingHeavyHitters(
+      input.toDF().toDF("text"), capacity = 100, nShards = 4)
+    val q = hh.writeStream.outputMode("update")
+      .format("memory").queryName("hh").start()
+    input.addData("a a b")
+    q.processAllAvailable()
+    input.addData("a c c", "c")
+    q.processAllAvailable()
+    // update-mode memory sink accumulates; the FINAL count per term is
+    // its max (counts only grow in the exact regime)
+    val got = spark.sql(
+      "SELECT term, max(est) FROM hh GROUP BY term").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 1L, "c" -> 3L))
+    // parity with the batch sketch over the union of both batches
+    val batch = graft.ops.Scale.heavyHittersSketch(
+      Seq("a a b", "a c c", "c").toDF("text"),
+      org.apache.spark.sql.functions.col("text"), capacity = 100, topN = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(batch == got)
+    q.stop()
+
+    // sketch regime: capacity 2, one shard — the dominant term survives
+    // with the MG bound and the emitted candidate set stays ≤ capacity
+    val in2 = MemoryStream[String]
+    val hh2 = StreamingOps.streamingHeavyHitters(
+      in2.toDF().toDF("text"), capacity = 2, nShards = 1)
+    val q2 = hh2.writeStream.outputMode("update")
+      .format("memory").queryName("hh2").start()
+    in2.addData("x x x y", "x z x w")
+    q2.processAllAvailable()
+    val before = spark.sql("SELECT * FROM hh2").count()
+    in2.addData("x x x v")
+    q2.processAllAvailable()
+    val rows2 = spark.sql("SELECT term, est FROM hh2").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val lastEmission = rows2.drop(before.toInt)
+    assert(lastEmission.length <= 2) // bounded candidate set
+    val xEst = lastEmission.toMap.getOrElse("x", 0L)
+    // 9 occurrences of x over 12 tokens, capacity 2: est ≥ 9 − 12/2
+    assert(xEst >= 3L && xEst <= 9L, s"x estimate $xEst")
+    q2.stop()
+  }
 }
