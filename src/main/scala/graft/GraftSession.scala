@@ -245,4 +245,95 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
         model, binary)
       .as[graft.model.LogisticScore]
   }
+
+  /** [[graft.ops.Temporal.asofJoin]] with name-based columns: the most
+    * recent `right` row per key at-or-before each `left` row's time. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      timeCol: String, payload: Seq[String], rightTiebreak: String,
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Temporal.asofJoin(left, right, keys, timeCol, payload,
+      col(rightTiebreak), toleranceMicros)
+  }
+
+  /** [[graft.ops.Temporal.rangeJoin]] with name-based columns: each
+    * (point, containing-interval) pair via bucketized equi-join. */
+  def rangeJoin(points: DataFrame, pId: String, pTime: String,
+      intervals: DataFrame, iId: String, iStart: String, iEnd: String,
+      bucketWidthMicros: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Temporal.rangeJoin(points, col(pId), col(pTime),
+      intervals, col(iId), col(iStart), col(iEnd), bucketWidthMicros)
+  }
+
+  /** Typed [[graft.ops.Hnsw.buildExact]]: the layered ANN graph. */
+  def hnswBuild(emb: DataFrame, idCol: String, vecCol: String, m: Int,
+      maxLevel: Int): Dataset[graft.model.HnswEdge] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.ops.Hnsw.buildExact(emb, col(idCol), col(vecCol), m, maxLevel)
+      .as[graft.model.HnswEdge]
+  }
+
+  /** Beam search over a [[hnswBuild]] graph: top-k ids by cosine. */
+  def hnswSearch(edges: DataFrame, emb: DataFrame, idCol: String,
+      vecCol: String, query: Array[Float], k: Int, maxLevel: Int,
+      ef: Int = 50): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Hnsw.search(edges, emb, col(idCol), col(vecCol), query, k,
+      maxLevel, ef)
+  }
+
+  /** Typed [[graft.ops.Rerank.distillationPairs]]: teacher-scored KD
+    * triples over a first-stage candidate list. */
+  def distillationPairs(cands: DataFrame, qIdCol: String, qTextCol: String,
+      dIdCol: String, dTextCol: String, scorer: graft.ops.CrossScorer,
+      posK: Int, negK: Int): Dataset[graft.model.DistillPair] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.ops.Rerank.distillationPairs(cands, col(qIdCol), col(qTextCol),
+        col(dIdCol), col(dTextCol), scorer, posK, negK)
+      .as[graft.model.DistillPair]
+  }
+
+  /** Typed [[graft.ops.Curation.ictPairs]]: inverse-cloze query/context
+    * training pairs. */
+  def ictPairs(docs: DataFrame, idCol: String, textCol: String,
+      unitTokens: Int = 4): Dataset[graft.model.IctPair] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.ops.Curation.ictPairs(docs, col(idCol), col(textCol), unitTokens)
+      .as[graft.model.IctPair]
+  }
+
+  /** Typed [[graft.ops.Curation.packAssign]]: per-document bin slots
+    * under the first-fit-in-order packing contract. */
+  def packAssign(docs: DataFrame, idCol: String, order: Seq[String],
+      tokensCol: String, budget: Long): Dataset[graft.model.PackSlot] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.ops.Curation.packAssign(docs, col(idCol), order.map(col),
+        col(tokensCol), budget)
+      .as[graft.model.PackSlot]
+  }
+
+  /** Typed [[graft.ops.Ivf.embeddingOutliers]]: cosine-to-centroid
+    * semantic stray gate. */
+  def embeddingOutliers(emb: DataFrame, idCol: String, vecCol: String,
+      tau: Double, nlist: Int = 8): Dataset[graft.model.EmbeddingOutlier] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.ops.Ivf.embeddingOutliers(emb, col(idCol), col(vecCol), tau, nlist)
+      .as[graft.model.EmbeddingOutlier]
+  }
+
+  /** Typed [[graft.ops.Ivf.diverseSample]]: k rows spread round-robin
+    * across embedding cells. */
+  def diverseSample(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int = 8): Dataset[graft.model.DiversePick] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.ops.Ivf.diverseSample(emb, col(idCol), col(vecCol), k, nlist)
+      .as[graft.model.DiversePick]
+  }
 }

@@ -125,3 +125,27 @@ final case class RetrievalQuality(query_id: String, recall: Double,
 
 /** Logistic-classifier score ([[graft.ops.Classify.logisticPredict]]). */
 final case class LogisticScore(id: Long, p: Double, pred: Boolean)
+
+/** One teacher-scored distillation pair
+  * ([[graft.ops.Rerank.distillationPairs]]). */
+final case class DistillPair(qid: Long, did: Long, t_score: Double,
+    rnk: Int, is_pos: Boolean)
+
+/** One inverse-cloze-task training pair ([[graft.ops.Curation.ictPairs]]). */
+final case class IctPair(id: Long, n_units: Long, q_idx: Long,
+    query_text: String, context_text: String, kept: Boolean)
+
+/** A document's packed-bin slot ([[graft.ops.Curation.packAssign]]). */
+final case class PackSlot(id: Long, bin: Long, t: Long)
+
+/** Embedding-space outlier verdict ([[graft.ops.Ivf.embeddingOutliers]]). */
+final case class EmbeddingOutlier(id: Long, cluster: Long,
+    cent_sim: Double, outlier: Boolean)
+
+/** One diversity-first inspection pick ([[graft.ops.Ivf.diverseSample]]). */
+final case class DiversePick(id: Long, cluster: Long, rnd: Long)
+
+/** One layered-graph ANN edge ([[graft.ops.Hnsw.buildExact]]/`buildIvf`;
+  * `rnk` 0 marks the ring-connectivity successor). */
+final case class HnswEdge(level: Int, id: Long, rnk: Int, nbr: Long,
+    sim: Double)

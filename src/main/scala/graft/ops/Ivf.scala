@@ -168,6 +168,62 @@ object Ivf {
       .agg(count(lit(1)).as("n"), round(avg(col("s")), 4).as("mean_silhouette"))
   }
 
+  /** Embedding-space outlier gate: each vector's cosine to its ASSIGNED
+    * centroid, flagged below `tau` — the per-document semantic filter
+    * next to [[silhouetteSimplified]]'s per-cluster diagnostic
+    * (mislabeled scrapes, encoding garbage and off-domain strays all
+    * land far from every centroid). One row-local fold over the
+    * broadcast centroid literal per row: no join, no shuffle beyond the
+    * training sample's. Output: `(id, cluster, cent_sim, outlier)`. */
+  def embeddingOutliers(emb: DataFrame, idCol: Column, vecCol: Column,
+      tau: Double, nlist: Int = 8, iters: Int = 2,
+      sampleFraction: Int = 50): DataFrame = {
+    val cents = trainCentroids(emb, idCol, vecCol, nlist, iters,
+      sampleFraction)
+    val cl = centsLit(cents)
+    emb.select(idCol.cast("long").as("id"),
+        vecCol.cast("array<float>").as("v"))
+      .select(col("id"),
+        transform(cl, c => cosine_similarity(col("v"), c.getField("c")))
+          .as("sims"),
+        nearest_centroid(col("v"), cl).as("cluster"))
+      .select(col("id"), col("cluster").cast("long").as("cluster"),
+        round(element_at(col("sims"), col("cluster") + 1), 4).as("cent_sim"))
+      .withColumn("outlier", col("cent_sim") < tau)
+  }
+
+  /** Diversity-first inspection sample: `k` rows spread round-robin
+    * across the learned cells — rank within each cell by md5 (so every
+    * cell surfaces its own deterministic "random" members), then take
+    * the globally lowest (round, md5) rows. The "show me k DIFFERENT
+    * examples" query behind corpus datasheets and labeling batches,
+    * where a plain md5 sample would mirror the majority cell. Per-cell
+    * ranking is a cell-partitioned window (bounded by the largest
+    * cell, the standard IVF bound); the global pick is a
+    * TakeOrderedAndProject, never a full sort. Output:
+    * `(id, cluster, rnd)` with `rnd` the 1-based within-cell round. */
+  def diverseSample(emb: DataFrame, idCol: Column, vecCol: Column,
+      k: Int, nlist: Int = 8, iters: Int = 2,
+      sampleFraction: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    val cents = trainCentroids(emb, idCol, vecCol, nlist, iters,
+      sampleFraction)
+    val h = graft.expr.PortableHash.hex15Col(
+      concat(lit("div:"), col("id").cast("string")))
+    val w = Window.partitionBy("cluster").orderBy(col("h").asc, col("id").asc)
+    emb.select(idCol.cast("long").as("id"),
+        vecCol.cast("array<float>").as("v"))
+      .select(col("id"), nearest_centroid(col("v"), centsLit(cents))
+        .as("cluster"))
+      .withColumn("h", h)
+      .withColumn("rnd", row_number().over(w))
+      .orderBy(col("rnd").asc, col("h").asc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("cluster").cast("long").as("cluster"),
+        col("rnd").cast("long").as("rnd"))
+  }
+
   /** The query's `nprobe` nearest centroid ids (driver-side: k is tiny). */
   def probeList(cents: Seq[(Int, Seq[Float])], query: Array[Float],
       nprobe: Int): Seq[Int] = {

@@ -1982,7 +1982,20 @@ object OpsQueries {
           round(max(col("n")) / sum(col("n")).cast("double"), 4)
             .as("top_cell_share"))
         .orderBy("bin")
-    })
+    }),
+    "q235_embedding_outliers" -> ((s, d) =>
+      // semantic stray detection: cosine to the assigned IVF centroid,
+      // flagged under τ = 0.1 — row-local fold over the broadcast
+      // centroid literal, no join
+      graft.ops.Ivf.embeddingOutliers(t(s, d, "embeddings"),
+          col("vec_id"), col("embedding"), tau = 0.1)
+        .orderBy("id")),
+    "q236_diverse_sample" -> ((s, d) =>
+      // inspection sampling: 40 rows round-robin across IVF cells by
+      // md5 rank — every cell surfaces members before any cell repeats
+      graft.ops.Ivf.diverseSample(t(s, d, "embeddings"),
+          col("vec_id"), col("embedding"), k = 40)
+        .orderBy("rnd", "id"))
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -5460,6 +5473,31 @@ object OpsQueries {
                 CAST(sum(tk) AS BIGINT) AS tokens,
                 round(max(n) / CAST(sum(n) AS DOUBLE), 4) AS top_cell_share
          FROM bc GROUP BY bin ORDER BY bin""",
+
+    "q235_embedding_outliers" ->
+      s"""${PortableSql.ivfTrainSql}
+         s AS (SELECT bf.id, bf.cid,
+                 round(${PortableSql.cosSql("bf.v", "c2.c")}, 4) AS cs
+               FROM bf JOIN c2 ON c2.cid = bf.cid)
+         SELECT id, CAST(cid AS BIGINT) AS cluster, cs AS cent_sim,
+                cs < 0.1 AS outlier
+         FROM s ORDER BY id""",
+
+    "q236_diverse_sample" ->
+      s"""${PortableSql.ivfTrainSql}
+         h AS (SELECT id, cid,
+                 CAST('0x' || substr(md5('div:' || CAST(id AS VARCHAR)),
+                   1, 15) AS BIGINT) AS hv
+               FROM bf),
+         r AS (SELECT id, cid, hv,
+                 row_number() OVER (PARTITION BY cid
+                   ORDER BY hv ASC, id ASC) AS rnd
+               FROM h)
+         SELECT id, cluster, rnd FROM (
+           SELECT id, CAST(cid AS BIGINT) AS cluster,
+                  CAST(rnd AS BIGINT) AS rnd, hv
+           FROM r ORDER BY rnd, hv, id LIMIT 40)
+         ORDER BY rnd, id""",
 
     "q220_domain_similarity" ->
       s"""WITH v AS (SELECT vec_id, label,

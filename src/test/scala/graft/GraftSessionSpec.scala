@@ -288,4 +288,58 @@ class GraftSessionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
     assert(out.length == 1 && out(0).getString(1) == "fresh words")
   }
+
+  test("session temporal joins: as-of and range with name-based columns") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sess = new GraftSession(spark, s"$work/wh")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq((1L, 7L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "k", "t")
+    val r = Seq((5L, 7L, ts("2024-01-01 09:30:00"), 2.5))
+      .toDF("rid", "k", "t", "v")
+    val a = sess.asofJoin(l, r, Seq("k"), "t", Seq("rid", "v"), "rid")
+      .select("event_id", "asof_rid").head()
+    assert(a.getLong(0) == 1L && a.getLong(1) == 5L)
+    val rj = sess.rangeJoin(l, "event_id", "t",
+      r.select(col("rid"), col("t").as("s"),
+        (col("t") + expr("INTERVAL 2 HOURS")).as("e")),
+      "rid", "s", "e", 3600000000L).head()
+    assert(rj.getLong(0) == 1L && rj.getLong(1) == 5L)
+  }
+
+  test("session curation/mining facade: typed ICT, pack, distill, " +
+      "outlier, diverse, hnsw surfaces") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sess = new GraftSession(spark, s"$work/wh")
+    val docs = (0L until 30L)
+      .map(i => (i, (0 until 12).map(j => s"w${(i * 7 + j) % 19}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ict = sess.ictPairs(docs, "doc_id", "text").collect()
+    assert(ict.length == 30 && ict.forall(p => p.n_units == 3))
+    val slots = sess.packAssign(docs, "doc_id", Seq("doc_id"), "doc_id", 10)
+      .collect()
+    assert(slots.length == 30)
+    val cands = Seq((1L, "q", 2L, "dd"), (1L, "q", 3L, "d"))
+      .toDF("qid", "qt", "did", "dt")
+    val kd = sess.distillationPairs(cands, "qid", "qt", "did", "dt",
+      graft.ops.HashCrossScorer(), 1, 1).collect()
+    assert(kd.length == 2 && kd.count(_.is_pos) == 1)
+    val emb = (0L until 40L)
+      .map(i => (i, Array.tabulate(8)(j =>
+        ((graft.expr.PortableHash.hex15(s"e:$i:$j") % 1000L) / 500.0 - 1.0).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val outl = sess.embeddingOutliers(emb, "vec_id", "embedding",
+      tau = 0.99, nlist = 4).collect()
+    assert(outl.length == 40 && outl.exists(_.outlier))
+    val picks = sess.diverseSample(emb, "vec_id", "embedding", 8, nlist = 4)
+      .collect()
+    assert(picks.length == 8 && picks.map(_.id).distinct.length == 8)
+    val edges = sess.hnswBuild(emb, "vec_id", "embedding", m = 4,
+      maxLevel = 1)
+    val top = sess.hnswSearch(edges.toDF(), emb, "vec_id", "embedding",
+      Array.fill(8)(0.3f), k = 3, maxLevel = 1, ef = 20).collect()
+    assert(top.length == 3 && top.map(_.getLong(1)).distinct.length == 3)
+  }
 }

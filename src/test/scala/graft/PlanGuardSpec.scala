@@ -239,4 +239,50 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange") && !p.contains("Join"),
       s"scoring must be a pure projection:\n$p")
   }
+
+  test("q229: asofJoin is union-and-scan — a keyed window, NO join " +
+      "operator anywhere") {
+    import org.apache.spark.sql.SparkSession
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq((1L, 7L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "t")
+    val r = Seq((2L, 7L, ts("2024-01-01 09:00:00"), 1.0))
+      .toDF("rid", "user_id", "t", "v")
+    val p = plan(graft.ops.Temporal.asofJoin(l, r, Seq("user_id"), "t",
+      payload = Seq("rid", "v"), rightTiebreak = col("rid")))
+    assert(p.contains("Window") && !p.contains("Join"),
+      s"as-of must be the union-and-scan window, never a theta-join:\n$p")
+  }
+
+  test("q230: rangeJoin is a bucket EQUI-join with a residual filter — " +
+      "never a nested loop") {
+    import org.apache.spark.sql.SparkSession
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val pts = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("pid", "pt")
+    val ivs = Seq((2L, ts("2024-01-01 09:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("iid", "s", "e")
+    val p = plan(graft.ops.Temporal.rangeJoin(pts, col("pid"), col("pt"),
+      ivs, col("iid"), col("s"), col("e"), 900000000L))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"bucket join must be an equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$p")
+  }
+
+  test("q234: packAssign joined stats shuffle only on the bin key — " +
+      "semantic packing's reports stay partial-agg'd") {
+    import org.apache.spark.sql.SparkSession
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, 0, 4L), (2L, 1, 4L)).toDF("id", "cell", "t")
+    val p = plan(graft.ops.Curation.packAssign(df, col("id"),
+      Seq(col("cell"), col("id")), col("t"), 8))
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"pack assignment is the two-pass prefix sum, no join/window:\n$p")
+  }
 }
