@@ -967,13 +967,17 @@ object Curation {
       maxDf: Int = 10): DataFrame = {
     require(n >= 1 && minShared >= 1 && maxDf >= 2,
       "need n >= 1, minShared >= 1, maxDf >= 2")
-    val toks = array_remove(split(trim(textCol), "\\s+"), "")
-    val gramArr = when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-    val grams = df.select(idCol.cast("long").as("id"),
-        splitCol.cast("string").as("split"),
-        explode(array_distinct(gramArr)).as("g"))
+    def gramOf(t: Column, nn: Int): Column = {
+      val toks = array_remove(split(trim(t), "\\s+"), "")
+      when(size(toks) < nn, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - nn),
+          i => concat_ws(" ", slice(toks, i + 1, lit(nn)))))
+    }
+    val grams = Dedup.spreadSmallScan(
+        df.select(idCol.cast("long").as("id"),
+          splitCol.cast("string").as("split"), textCol.as("__t")), col("id"))
+      .select(col("id"), col("split"),
+        explode(array_distinct(gramOf(col("__t"), n))).as("g"))
       .select(col("id"), col("split"),
         graft.expr.PortableHash.hex15Col(col("g")).as("h"))
     val hot = grams.groupBy("h").agg(count(lit(1)).as("df"))

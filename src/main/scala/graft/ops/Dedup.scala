@@ -452,7 +452,9 @@ object Dedup {
     val mask = col_(graft.expr.SpanMask(
       Bridge.expression(col("text").cast("string")),
       Bridge.expression(col("spans")), sentinel))
-    df.select(idCol.cast("long").as("id"), textCol.cast("string").as("text"))
+    spreadSmallScan(
+        df.select(idCol.cast("long").as("id"),
+          textCol.cast("string").as("text")), col("id"))
       .join(spanLists, Seq("id"), "left")
       .select(col("id"), mask.as("r"))
       .select(col("id"), col("r.n_tokens").as("n_tokens"),
@@ -487,8 +489,10 @@ object Dedup {
     * string. */
   def lineDedup(df: DataFrame, idCol: Column, textCol: Column,
       minDocs: Int, sep: String = "\n"): DataFrame = {
-    val lines = df.select(idCol.as("id"),
-        posexplode(split(textCol, java.util.regex.Pattern.quote(sep), -1)))
+    val lines = spreadSmallScan(
+        df.select(idCol.as("id"), textCol.as("__t")), col("id"))
+      .select(col("id"),
+        posexplode(split(col("__t"), java.util.regex.Pattern.quote(sep), -1)))
       .select(col("id"), col("pos"), col("col").as("line"))
       .filter(length(trim(col("line"))) > 0)
     val frequent = frequentLines(df, idCol, textCol, minDocs, sep)
@@ -500,8 +504,10 @@ object Dedup {
     val kept = filter(col("ls"),
       (_, i) => !array_contains(coalesce(col("drop_pos"),
         array().cast("array<int>")), i))
-    df.select(idCol.as("id"),
-        split(textCol, java.util.regex.Pattern.quote(sep), -1).as("ls"))
+    spreadSmallScan(
+        df.select(idCol.as("id"),
+          split(textCol, java.util.regex.Pattern.quote(sep), -1).as("ls")),
+        col("id"))
       .join(dropLists, Seq("id"), "left")
       .select(col("id"),
         size(kept).cast("long").as("n_kept"),
@@ -523,8 +529,11 @@ object Dedup {
     * lines' text ever shuffles. */
   def frequentLines(df: DataFrame, idCol: Column, textCol: Column,
       minDocs: Int, sep: String = "\n"): DataFrame = {
-    val lines = df.select(idCol.as("id"),
-        explode(split(textCol, java.util.regex.Pattern.quote(sep), -1)).as("line"))
+    val lines = spreadSmallScan(
+        df.select(idCol.as("id"), textCol.as("__t")), col("id"))
+      .select(col("id"),
+        explode(split(col("__t"), java.util.regex.Pattern.quote(sep), -1))
+          .as("line"))
       .filter(length(trim(col("line"))) > 0)
     val candidates = lines
       .select(xxhash64(col("line")).as("h"), col("id")).distinct()
@@ -638,16 +647,33 @@ object Dedup {
     * scrubbing ([[lineDedup]]) verifies exact content instead because its
     * vocabulary is small; here the 10× positional gram expansion makes
     * hashing the right default. */
+  /** Small-split guard for CPU-heavy per-row kernels: when the input
+    * arrives in fewer than half the available cores' worth of splits
+    * (the single-row-group small-file case — measured: the whole gram
+    * expansion of a 5 000-doc corpus serializing onto ONE task, 9 s of
+    * task time at 1/32 utilization), spread it by `key` first. A no-op
+    * whenever the scan already carries enough splits — which any
+    * corpus-scale input does — so the documented "text never shuffles"
+    * shapes still hold where they matter; this only refuses to let a
+    * tiny file serialize a 32-core box. */
+  private[graft] def spreadSmallScan(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target, key)
+    else df
+  }
+
   /** Positional word-`k`-grams of each document as `(id, pos, h)` —
     * `h = xxhash64(gram text)`, the shared kernel of the span-dedup
-    * family. */
+    * family. Narrow scans spread first ([[spreadSmallScan]]) so the 10×
+    * gram expansion hashes on every core. */
   private def gramPositions(df: DataFrame, idCol: Column, textCol: Column,
       k: Int): DataFrame = {
-    val toks = array_remove(split(textCol, "\\s+"), "")
+    val toks = array_remove(split(col("__t"), "\\s+"), "")
     val grams = when(size(toks) < k, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-    df.select(idCol.as("id"), posexplode(grams))
+    spreadSmallScan(df.select(idCol.as("id"), textCol.as("__t")), col("id"))
+      .select(col("id"), posexplode(grams))
       .select(col("id"), col("pos"), xxhash64(col("col")).as("h"))
   }
 
@@ -776,7 +802,9 @@ object Dedup {
     val cut = col_(graft.expr.SpanCut(
       Bridge.expression(col("text").cast("string")),
       Bridge.expression(col("spans"))))
-    df.select(idCol.as("id"), textCol.cast("string").as("text"))
+    spreadSmallScan(
+        df.select(idCol.as("id"), textCol.cast("string").as("text")),
+        col("id"))
       .join(spanLists, Seq("id"), "left")
       .select(col("id"), cut.as("r"))
       .select(col("id"), col("r.n_tokens").as("n_tokens"),
