@@ -805,6 +805,30 @@ object Curation {
         col("kept"))
   }
 
+  /** BART-style token-deletion noising (Lewis et al. 2020 §2.1 — the
+    * denoising-autoencoder corruption next to [[spanCorruption]]'s T5
+    * sentinels and [[fimTransform]]'s PSM rewrite): each token deletes
+    * independently with probability `pct`/100, keyed on
+    * md5(`"noise:" id ":" position`) so the corruption is deterministic,
+    * partition-invariant, and engine-replayable. The first token always
+    * survives (a non-empty doc never noises to empty — the degenerate
+    * target BART excludes). Pure row-local array arithmetic: codegen
+    * HOFs, no shuffle, streaming-safe. Output:
+    * `(id, n_tokens, n_deleted, noised_text)`. */
+  def wordNoise(df: DataFrame, idCol: Column, textCol: Column,
+      pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, "pct in [0, 100]")
+    val id = idCol.cast("long")
+    val toks = array_remove(split(trim(textCol), "\\s+"), "")
+    val kept = filter(toks, (_, i) =>
+      i === 0 || graft.expr.PortableHash.hex15Col(
+        concat(lit("noise:"), id.cast("string"), lit(":"),
+          i.cast("string"))) % 100 >= pct)
+    df.select(id.as("id"), size(toks).cast("long").as("n_tokens"),
+      (size(toks) - size(kept)).cast("long").as("n_deleted"),
+      concat_ws(" ", kept).as("noised_text"))
+  }
+
   /** Token-budget truncation — the context-window fit step every
     * training pipeline runs last: keep the first `budget` tokens
     * (`strategy = "head"`), the last (`"tail"`), or the first and last

@@ -128,6 +128,36 @@ object Temporal {
           when(col("__ok"), col("__m").getField("__asof_t")).as("asof_time"): _*)
   }
 
+  /** Per-key rolling features over an ordered event stream — the
+    * feature-engineering staple next to the as-of join: for every row,
+    * the mean/min/max over the trailing `nRows`-row frame (current row
+    * inclusive), the value delta vs the previous row, and the seconds
+    * elapsed since it. One shuffle on the key; the frames are keyed
+    * windows (bounded per key — hot keys take the [[asofJoin]] bucket
+    * treatment upstream if per-key history outgrows a partition).
+    * Output: `(id, …keys, value, roll_mean, roll_min, roll_max, delta,
+    * gap_s)` — `delta`/`gap_s` null on each key's first row. */
+  def rollingStats(df: DataFrame, idCol: Column, keys: Seq[String],
+      timeCol: Column, valCol: Column, nRows: Int): DataFrame = {
+    require(nRows >= 1, "nRows must be >= 1")
+    val keyCols = keys.map(col)
+    val base = df.select((idCol.cast("long").as("id") +:
+      keyCols) :+ timeCol.as("__t") :+ valCol.cast("double").as("value"): _*)
+    val ord = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t").asc, col("id").asc)
+    val frame = ord.rowsBetween(-(nRows - 1), Window.currentRow)
+    base
+      .withColumn("roll_mean", round(avg(col("value")).over(frame), 4))
+      .withColumn("roll_min", min(col("value")).over(frame))
+      .withColumn("roll_max", max(col("value")).over(frame))
+      .withColumn("delta",
+        round(col("value") - lag(col("value"), 1).over(ord), 4))
+      .withColumn("gap_s",
+        ((unix_micros(col("__t")) - unix_micros(lag(col("__t"), 1).over(ord)))
+          / lit(1000000L)).cast("long"))
+      .drop("__t")
+  }
+
   /** Range join: every (point, interval) pair with
     * `start <= p.time < end` (end-exclusive; empty and inverted
     * intervals drop). Both sides bucket at `bucketWidthMicros`;

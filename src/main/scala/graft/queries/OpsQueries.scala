@@ -1995,7 +1995,26 @@ object OpsQueries {
       // md5 rank — every cell surfaces members before any cell repeats
       graft.ops.Ivf.diverseSample(t(s, d, "embeddings"),
           col("vec_id"), col("embedding"), k = 40)
-        .orderBy("rnd", "id"))
+        .orderBy("rnd", "id")),
+    "q237_rolling_stats" -> ((s, d) =>
+      // per-user trailing-3-event features: rolling mean/min/max, value
+      // delta and gap seconds — one key shuffle, keyed window frames
+      graft.ops.Temporal.rollingStats(ev(s, d), col("event_id"),
+          Seq("user_id"), col("ts"), col("value"), nRows = 3)
+        .filter(col("user_id") < 30)
+        .select(col("id"), col("user_id"), round(col("value"), 4).as("v"),
+          col("roll_mean"), round(col("roll_min"), 4).as("roll_min"),
+          round(col("roll_max"), 4).as("roll_max"), col("delta"),
+          col("gap_s"))
+        .orderBy("user_id", "id")),
+    "q238_word_noise" -> ((s, d) =>
+      // BART deletion noising at 30%: md5-keyed per-position coin, the
+      // first token always survives; row-local, no shuffle
+      graft.ops.Curation.wordNoise(t(s, d, "documents"), col("doc_id"),
+          col("text"), pct = 30)
+        .select(col("id"), col("n_tokens"), col("n_deleted"),
+          md5(col("noised_text")).as("noised_md5"))
+        .orderBy("id"))
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -5498,6 +5517,43 @@ object OpsQueries {
                   CAST(rnd AS BIGINT) AS rnd, hv
            FROM r ORDER BY rnd, hv, id LIMIT 40)
          ORDER BY rnd, id""",
+
+    "q237_rolling_stats" ->
+      """WITH e AS (SELECT event_id AS id, user_id, ts, value
+              FROM events WHERE user_id < 30),
+         w AS (SELECT id, user_id, value,
+                 avg(value) OVER (PARTITION BY user_id ORDER BY ts, id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rm,
+                 min(value) OVER (PARTITION BY user_id ORDER BY ts, id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rmin,
+                 max(value) OVER (PARTITION BY user_id ORDER BY ts, id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rmax,
+                 value - lag(value) OVER (PARTITION BY user_id
+                   ORDER BY ts, id) AS d,
+                 (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, id))) // 1000000 AS gap_s
+               FROM e)
+         SELECT id, user_id, round(value, 4) AS v, round(rm, 4) AS roll_mean,
+                round(rmin, 4) AS roll_min, round(rmax, 4) AS roll_max,
+                round(d, 4) AS delta, gap_s
+         FROM w ORDER BY user_id, id""",
+
+    "q238_word_noise" ->
+      """WITH tk AS (SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> x <> '') AS tk
+              FROM documents),
+         k AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n,
+                 [tk[i] FOR i IN range(1, len(tk) + 1)
+                  IF i = 1 OR CAST('0x' || substr(md5('noise:'
+                    || CAST(doc_id AS VARCHAR) || ':'
+                    || CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT)
+                    % 100 >= 30] AS kept
+               FROM tk)
+         SELECT doc_id AS id, n AS n_tokens,
+                n - CAST(len(kept) AS BIGINT) AS n_deleted,
+                md5(array_to_string(kept, ' ')) AS noised_md5
+         FROM k ORDER BY id""",
 
     "q220_domain_similarity" ->
       s"""WITH v AS (SELECT vec_id, label,

@@ -80,6 +80,29 @@ class CurationIctPackSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffled == got)
   }
 
+  test("wordNoise: first token survives, pct edges, md5-deterministic") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, "")).toDF("doc_id", "text")
+    def run(p: Int) = Curation.wordNoise(docs, col("doc_id"), col("text"), p)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val zero = run(0)
+    assert(zero(0) == (1L, 10L, 0L, "a b c d e f g h i j")) // identity
+    assert(zero(1) == (2L, 0L, 0L, ""))                      // empty doc
+    val full = run(100)
+    assert(full(0) == (1L, 10L, 9L, "a")) // only the first token survives
+    val mid = run(30)
+    assert(mid(0)._4.startsWith("a")) // first token always kept
+    assert(mid(0)._3 > 0 && mid(0)._3 < 10)
+    // the exact survivor set replays from the portable hash
+    val expect = "a" +: (1 until 10).collect {
+      case i if PortableHash.hex15(s"noise:1:$i") % 100 >= 30 =>
+        ('a' + i).toChar.toString
+    }
+    assert(mid(0)._4 == expect.mkString(" "))
+    assert(run(30).toSeq == mid.toSeq) // deterministic
+  }
+
   test("packAssign: multi-column order co-locates groups") {
     import spark.implicits._
     // cells interleaved by id; ordering (cell, id) packs cells together

@@ -124,6 +124,26 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq((1L, 101L), (2L, 101L), (3L, 102L), (4L, 103L), (5L, 103L)))
   }
 
+  test("rollingStats: trailing frame, delta/gap nulls on first row") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "u", ts("2024-01-01 10:00:00"), 10.0),
+      (2L, "u", ts("2024-01-01 10:00:30"), 20.0),
+      (3L, "u", ts("2024-01-01 10:02:30"), 6.0),
+      (4L, "v", ts("2024-01-01 11:00:00"), 1.0)
+    ).toDF("id", "k", "t", "v")
+    val out = graft.ops.Temporal.rollingStats(df, col("id"), Seq("k"),
+        col("t"), col("v"), nRows = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(6)) Double.NaN else r.getDouble(6),
+        if (r.isNullAt(7)) -1L else r.getLong(7)))
+    assert(out(0) == (1L, 10.0, 10.0, out(0)._4, -1L) && out(0)._4.isNaN)
+    assert(out(1) == (2L, 15.0, 10.0, 10.0, 30L))
+    assert(out(2) == (3L, 13.0, 6.0, -14.0, 120L))
+    assert(out(3) == (4L, 1.0, 1.0, out(3)._4, -1L) && out(3)._4.isNaN)
+  }
+
   test("rangeJoin: payload passthrough and exactly-once pairs") {
     import spark.implicits._
     val points = Seq((1L, ts("2024-01-01 00:00:30"), "p")).toDF("pid", "pt", "tag")
