@@ -18,21 +18,16 @@ import org.apache.spark.storage.StorageLevel
  * strings (for any separator byte below every token byte), which is what
  * the DuckDB oracle sorts.
  *
- * Scale shape: rank doubling with FINISHED-RANK PRUNING, never string
- * sorting — ranks are kept position-style internally (rank = number of
- * suffixes strictly below), so a tie group of size g refines strictly
- * within `[r, r+g)` and every already-unique rank is final. Each
- * iteration therefore touches only the still-tied suffixes: one tie
- * census, one equi-join pairing each tied suffix with the rank `2^k`
- * tokens ahead (provider = the full table), a weighted range-sorted
- * offset pass over the tied (rank, rank₂) keys, one join back, one
- * anti-join union. On natural text the tied set collapses within a few
- * doublings; iterations stop when no ties remain (≤ ⌈log₂
- * longest-document⌉ + 1 rounds). The corpus text is touched ONCE;
- * everything after is integer shuffles, and all global orderings come
- * from range-partitioned sorts + per-partition offsets — no
- * single-task sort, no unpartitioned window. The dense external
- * contract is restored by one final distinct-rank conversion.
+ * Scale shape: rank doubling, never string sorting — after the initial
+ * token-dictionary ranking, every iteration handles only `(doc, pos,
+ * rank)` longs: one equi-join to pair each suffix's rank with the rank
+ * `2^k` tokens ahead, one distinct + range-sort of the (rank, rank₂)
+ * pairs for the dense re-rank, one join back. Iterations stop when all
+ * ranks are distinct (≤ ⌈log₂ longest-document⌉ + 1), so the corpus
+ * text is touched ONCE; everything after is integer shuffles. Global
+ * dense ranks come from `zipWithIndex` over a range-partitioned sort of
+ * the DISTINCT keys — the rank of a key is its position in the total
+ * sort order, so the result is independent of partitioning.
  */
 object Suffix {
 
@@ -74,40 +69,6 @@ object Suffix {
       out: String): DataFrame =
     withDenseRankCounted(keys, sortCols, out)._1
 
-  /** As [[withDenseRankCounted]] but WEIGHTED: `out` is the sum of
-    * `weight` over all keys strictly before this one in `sortCols`
-    * order — the "position-style" rank (how many underlying rows sort
-    * below) that makes the doubling loop's finished-rank pruning
-    * possible: a refined tie group redistributes inside `[r, r+g)`
-    * without touching any other rank. Same shape: range partition +
-    * one sizes job + offset-seeded local scan. */
-  private def withWeightedOffset(keys: DataFrame, sortCols: Seq[Column],
-      weight: Column, out: String): DataFrame = {
-    val spark = keys.sparkSession
-    val w = keys.withColumn("__w", weight.cast("long"))
-    val rdd = w.repartitionByRange(sortCols: _*)
-      .sortWithinPartitions(sortCols: _*).rdd
-    val wIdx = w.schema.fieldIndex("__w")
-    val sizes = rdd.mapPartitionsWithIndex { case (i, it) =>
-      var s = 0L
-      while (it.hasNext) s += it.next().getLong(wIdx)
-      Iterator((i, s))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = sizes.scanLeft(0L)(_ + _)
-    val bc = spark.sparkContext.broadcast(offsets)
-    val indexed = rdd.mapPartitionsWithIndex { case (i, it) =>
-      var acc = bc.value(i)
-      it.map { row =>
-        val o = acc
-        acc += row.getLong(wIdx)
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ o)
-      }
-    }
-    spark.createDataFrame(indexed,
-        w.schema.add(out, org.apache.spark.sql.types.LongType))
-      .drop("__w")
-  }
-
   /** `(doc_id, pos, rank)` — the global dense lexicographic rank of every
     * suffix `tokens[pos..]` of every document (0-based positions, equal
     * suffixes share a rank). The suffix ARRAY is this table ordered by
@@ -125,26 +86,24 @@ object Suffix {
       .toDF("doc_id", "pos", "tok")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // POSITION-style initial ranks (rank = #suffixes whose first token
-      // sorts strictly below): the invariant that lets finished ranks be
-      // pruned — a tie group of size g refines strictly inside
-      // [r, r+g), so every already-unique rank is FINAL and never
-      // reshuffles again. The old dense re-rank touched all n suffixes
-      // every iteration; this loop touches only the still-tied ones
-      // (random text: a handful of iterations in, almost none).
-      val dict = withWeightedOffset(
-        toks.groupBy("tok").agg(count(lit(1)).as("__n")),
-        Seq(col("tok")), col("__n"), "r").drop("__n")
-      // eager localCheckpoint, NOT persist: `cur` appears repeatedly in
-      // every iteration's joins, so the logical plan would double per
-      // iteration — Catalyst analysis time turns exponential long before
-      // execution matters (the q80 duplicate-clusters pathology).
+      val dict = withDenseRank(toks.select("tok").distinct(),
+        Seq(col("tok")), "r")
+      // eager localCheckpoint, NOT persist: `cur` appears TWICE in every
+      // iteration's join, so the logical plan would double per iteration —
+      // Catalyst analysis time turns exponential long before execution
+      // matters (the q80 duplicate-clusters pathology, same fix). The
+      // checkpoint cuts each iteration to a leaf: measured 50 s → ~8 s at
+      // sf0.1 for the identical result.
       var cur = toks.join(dict, "tok")
         .select(col("doc_id"), col("pos"), col("r"))
         .localCheckpoint(true)
+      // ONE aggregation supplies both corpus facts: the suffix total
+      // (= Σ per-doc token counts — the dict equi-join preserves every
+      // token row) and the longest document. Previously two jobs
+      // (cur.count() + a separate groupBy/max pass).
       // IDENTICAL suffixes (same tokens to both ends) tie forever, so
-      // "no ties left" alone would spin to maxDoubles on corpora with
-      // whole-suffix duplicates: once the depth covers the longest
+      // "all ranks distinct" alone would spin to maxDoubles on corpora
+      // with whole-suffix duplicates: once the depth covers the longest
       // document every comparison is complete and the ranks are final
       val stats = toks.groupBy("doc_id").count()
         .agg(sum("count").as("t"), max("count").as("m")).head()
@@ -154,51 +113,31 @@ object Suffix {
       var iters = 0
       var done = total == 0
       while (!done && k < maxDocLen && iters < maxDoubles) {
-        // ranks still shared by ≥ 2 suffixes — only these rows refine
-        val tiedR = cur.groupBy("r").agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > 1).select("r")
+        // rank 2^k tokens ahead attaches by equi-join; absent = past the
+        // document end, which sorts before every real rank
+        val ahead = cur.select(col("doc_id"), (col("pos") - k).as("pos"),
+          col("r").as("r2"))
+        val paired = cur.join(ahead, Seq("doc_id", "pos"), "left")
+          .select(col("doc_id"), col("pos"), col("r"),
+            coalesce(col("r2"), lit(-1L)).as("r2"))
+        val distinctKeys = paired.select("r", "r2").distinct()
           .persist(StorageLevel.MEMORY_AND_DISK)
-        if (tiedR.count() == 0) {
-          tiedR.unpersist(blocking = false)
-          done = true
-        } else {
-          val tied = cur.join(tiedR, "r")
-          // rank 2^k tokens ahead attaches by equi-join against the FULL
-          // table (the provider may itself be finished); absent = past
-          // the document end, which sorts before every real rank
-          val ahead = cur.select(col("doc_id"), (col("pos") - k).as("pos"),
-            col("r").as("r2"))
-          val paired = tied.join(ahead, Seq("doc_id", "pos"), "left")
-            .select(col("doc_id"), col("pos"), col("r"),
-              coalesce(col("r2"), lit(-1L)).as("r2"))
-          // weighted offsets over the tied keys give each (r, r2) its
-          // within-group start; r + (offset − group base) stays inside
-          // [r, r+g) — no global re-rank, finished ranks never move
-          val keys = paired.groupBy("r", "r2").agg(count(lit(1)).as("__w"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          val off = withWeightedOffset(keys, Seq(col("r"), col("r2")),
-            col("__w"), "__o")
-          val base = off.groupBy("r").agg(min("__o").as("__b"))
-          val newKeys = off.join(base, "r").select(col("r"), col("r2"),
-            (col("r") + col("__o") - col("__b")).as("nr"))
-          val refined = paired.join(newKeys, Seq("r", "r2"))
-            .select(col("doc_id"), col("pos"), col("nr").as("r"))
-          val next = cur.join(tiedR, Seq("r"), "left_anti")
-            .unionByName(refined)
-            .localCheckpoint(true)
-          tiedR.unpersist(blocking = false)
-          keys.unpersist(blocking = false)
-          cur = next
-          k *= 2
-          iters += 1
-        }
+        // the dense-rank sizes job doubles as the early-exit test — the
+        // key count comes out of the pass the ranking needs anyway, so
+        // each iteration runs 3 jobs (range sample, sizes, checkpoint)
+        // instead of 4
+        val (keys, nKeys) =
+          withDenseRankCounted(distinctKeys, Seq(col("r"), col("r2")), "nr")
+        val next = paired.join(keys, Seq("r", "r2"))
+          .select(col("doc_id"), col("pos"), col("nr").as("r"))
+          .localCheckpoint(true)
+        distinctKeys.unpersist(blocking = false)
+        cur = next
+        k *= 2
+        iters += 1
+        done = nKeys == total // every suffix now has a unique rank
       }
-      // external contract stays DENSE (q152's oracle: dense_rank − 1):
-      // one final conversion over the distinct position ranks
-      val denseKeys = withDenseRank(cur.select("r").distinct(),
-        Seq(col("r")), "__dr")
-      cur.join(denseKeys, "r")
-        .select(col("doc_id"), col("pos"), col("__dr").as("rank"))
+      cur.select(col("doc_id"), col("pos"), col("r").as("rank"))
     } finally toks.unpersist(blocking = false)
   }
 

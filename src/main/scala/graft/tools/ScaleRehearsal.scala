@@ -80,6 +80,63 @@ object ScaleRehearsal {
       }
     }
 
+    // scaled EVENTS corpus for the temporal families: replica r offsets
+    // user_id by 10M (keys scale, per-key history constant) AND shifts
+    // ts by r × 700 h (past the base span, so interval-join pair counts
+    // scale ×N, not ×N² — time-overlapping replication would manufacture
+    // a super-linear data property and measure the wrong thing)
+    val baseEv = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      val tsCol = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          expr("timestamp_micros(ts div 1000)")
+        case _ => col("ts").cast("timestamp")
+      }
+      raw.withColumn("ts", tsCol)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    }
+    def eventsPath(n: Int) = s"$work/ev$n/events.parquet"
+    for (n <- scales) {
+      val path = eventsPath(n)
+      if (!new java.io.File(path).exists()) {
+        (0 until n).map { r =>
+          baseEv.select(
+            (col("event_id") + lit(r * 10000000L)).as("event_id"),
+            (col("ts") + expr(s"INTERVAL ${r * 700} HOURS")).as("ts"),
+            (col("user_id") + lit(r * 10000000L)).as("user_id"),
+            col("event_type"), col("value"))
+        }.reduce(_ unionByName _)
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(path)
+      }
+    }
+
+    val eventFamilies: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "q229_asof_join" -> { ev =>
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("p_id"), col("value").as("p_value"))
+        graft.ops.Temporal.asofJoin(clicks, purchases, Seq("user_id"),
+          "ts", payload = Seq("p_id", "p_value"),
+          rightTiebreak = col("p_id"))
+      },
+      "q230_range_join" -> { ev =>
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("ts"))
+        val windows = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("w_id"), col("ts").as("s"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("en"))
+        graft.ops.Temporal.rangeJoin(errors, col("event_id"), col("ts"),
+          windows, col("w_id"), col("s"), col("en"),
+          bucketWidthMicros = 15L * 60 * 1000000L)
+      },
+      "q237_rolling_stats" -> (ev =>
+        graft.ops.Temporal.rollingStats(ev, col("event_id"),
+          Seq("user_id"), col("ts"), col("value"), nRows = 3)))
+
     val families: Seq[(String, DataFrame => DataFrame)] = Seq(
       "q96_line_dedup" -> (d =>
         Dedup.lineDedup(wrapped4(d), col("doc_id"), col("wtext"), minDocs = 3)),
@@ -123,14 +180,20 @@ object ScaleRehearsal {
     // warmup: scheduler + codegen off the clock
     base.limit(10).queryExecution.toRdd.count()
 
+    val selectedEv = eventFamilies.filter { case (n, _) =>
+      only.forall(f => f.exists(n.contains)) }
+
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[Int, Double]]
     for (n <- scales) {
       val docs = spark.read.parquet(corpusPath(n))
-      for ((name, fn) <- selected) {
+      val ev = spark.read.parquet(eventsPath(n))
+      for ((name, fn) <- selected.map { case (nm, f) =>
+             (nm, () => f(docs)) } ++
+           selectedEv.map { case (nm, f) => (nm, () => f(ev)) }) {
         val t = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          fn(docs).queryExecution.toRdd.count()
+          fn().queryExecution.toRdd.count()
           (System.nanoTime() - t0) / 1e9
         }.min
         results.getOrElseUpdate(name,
