@@ -768,6 +768,30 @@ object Curation {
     }.toDF("id", "bin", "t")
   }
 
+  /** The PACKED EXAMPLES themselves: concatenate each [[packAssign]]
+    * bin's documents (id-ascending — map any schedule into the id
+    * space upstream, e.g. via [[curriculumOrder]]'s ord) into one
+    * training sequence joined by `sep`. Returns
+    * `(bin, n_docs, tokens, text)`. One bin-keyed aggregation after
+    * the two-pass assignment; per-bin payload is budget-bounded by
+    * construction, so the sort inside each bin's collected list is
+    * O(budget) — never a corpus sort. */
+  def packTexts(df: DataFrame, idCol: Column, textCol: Column,
+      tokens: Column, budget: Long, sep: String = "\n\n"): DataFrame = {
+    val assigned = packAssign(
+      df.select(idCol.cast("long").as("id"), textCol.as("__txt"),
+        tokens.cast("long").as("__tk")),
+      col("id"), Seq(col("id")), col("__tk"), budget)
+    df.select(idCol.cast("long").as("id"), textCol.as("__txt"))
+      .join(assigned, "id")
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("tokens"),
+        array_join(transform(
+            array_sort(collect_list(struct(col("id"), col("__txt")))),
+            s => s.getField("__txt")), sep)
+          .as("text"))
+  }
+
   /** Inverse-cloze-task pairs (Lee et al., ACL 2019 — the standard
     * unsupervised retrieval pre-training objective): split each document
     * into `unitTokens`-token units, pick ONE unit as the pseudo-query

@@ -158,6 +158,64 @@ object Temporal {
       .drop("__t")
   }
 
+  /** Ordered funnel analysis: how many keys (users) reach each step of
+    * `steps` IN ORDER — a key reaches step i when an event of that type
+    * exists at-or-after its earliest completion time of step i−1 (the
+    * classic product-analytics conversion funnel). One aggregation per
+    * step, each joined on the key (steps are few and literal, so this
+    * is a bounded chain of key-partitioned partial-aggs + broadcastable
+    * per-key timestamp frames — never a window over the event log).
+    * Output: `(step_idx, step, n_keys)` with `step_idx` 1-based. */
+  def funnel(events: DataFrame, keyCol: Column, typeCol: Column,
+      timeCol: Column, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel: need at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select(keyCol.cast("long").as("k"),
+      typeCol.cast("string").as("tp"), timeCol.as("t"))
+    // reached(i): per-key earliest time of completing steps(0..i)
+    var reached = ev.filter(col("tp") === steps.head)
+      .groupBy("k").agg(min(col("t")).as("rt"))
+    val counts = Seq.newBuilder[(Int, String, Long)]
+    counts += ((1, steps.head, reached.count()))
+    steps.zipWithIndex.drop(1).foreach { case (s, i) =>
+      reached = ev.filter(col("tp") === s)
+        .join(reached, "k")
+        .filter(col("t") >= col("rt"))
+        .groupBy("k").agg(min(col("t")).as("rt"))
+      counts += ((i + 1, s, reached.count()))
+    }
+    counts.result()
+      .toDF("step_idx", "step", "n_keys")
+  }
+
+  /** Cohort retention: keys grouped by first-seen period (their
+    * cohort), counted per later activity period — the retention matrix
+    * behind every engagement dashboard. `periodDays` buckets both the
+    * cohort date and the activity offset. Two key-partitioned
+    * aggregations (first-seen, then distinct key-period activity) and
+    * one equi-join on the key — no window, no self-join on the event
+    * log. Output: `(cohort_day, period_idx, n_keys)` where
+    * `cohort_day` is the cohort's first calendar day (DATE) and
+    * `period_idx` counts `periodDays` blocks since it (0 = the cohort
+    * period itself). */
+  def cohortRetention(events: DataFrame, keyCol: Column, timeCol: Column,
+      periodDays: Int = 7): DataFrame = {
+    require(periodDays >= 1, "periodDays must be >= 1")
+    val first = events.select(keyCol.cast("long").as("k"), timeCol.as("t"))
+      .groupBy("k").agg(min(to_date(col("t"))).as("c0"))
+    events.select(keyCol.cast("long").as("k"), timeCol.as("t"))
+      .join(first, "k")
+      .select(col("k"), col("c0"),
+        (datediff(to_date(col("t")), col("c0")) / periodDays).cast("int")
+          .as("period_idx"))
+      .distinct()
+      .groupBy("c0", "period_idx")
+      .agg(count_distinct(col("k")).as("n_keys"))
+      .select(col("c0").as("cohort_day"),
+        col("period_idx").cast("long").as("period_idx"), col("n_keys"))
+  }
+
   /** Range join: every (point, interval) pair with
     * `start <= p.time < end` (end-exclusive; empty and inverted
     * intervals drop). Both sides bucket at `bucketWidthMicros`;

@@ -809,6 +809,26 @@ object TextAnalysis {
     * first heading becomes a heading-less preamble section. Returns one
     * row per section, `(id, sec_idx, heading, body)`, 1-based index in
     * document order. Row-local array arithmetic + one explode. */
+  /** Sentence segmentation — the unit boundary below [[sectionSplit]]'s
+    * headings and above tokens: terminal-punctuation runs close a
+    * sentence ("`[^.!?]+[.!?]*`" — RE2-safe in both engines, no
+    * lookbehind), trailing unterminated text forms the last one, and
+    * segments blank after trim drop. The prep step for sentence-level
+    * dedup ([[graft.ops.Dedup.lineDedup]] over the exploded rows) and
+    * sentence-unit ICT. Row-local `regexp_extract_all` + one explode;
+    * no shuffle. Output: `(id, sent_idx, sentence)` (0-based,
+    * trimmed). */
+  def sentenceSplit(df: DataFrame, idCol: Column,
+      textCol: Column): DataFrame = {
+    val sents = filter(
+      transform(regexp_extract_all(textCol, lit("[^.!?]+[.!?]*"), lit(0)),
+        s => trim(s)),
+      s => s =!= "")
+    df.select(idCol.cast("long").as("id"), posexplode(sents))
+      .select(col("id"), col("pos").cast("long").as("sent_idx"),
+        col("col").as("sentence"))
+  }
+
   def sectionSplit(df: DataFrame, idCol: Column, mdCol: Column): DataFrame = {
     val lines = split(mdCol, "\n")
     val hIdx = filter(sequence(lit(0), size(col("_ls")) - 1),

@@ -2014,7 +2014,44 @@ object OpsQueries {
           col("text"), pct = 30)
         .select(col("id"), col("n_tokens"), col("n_deleted"),
           md5(col("noised_text")).as("noised_md5"))
-        .orderBy("id"))
+        .orderBy("id")),
+    "q239_sentence_split" -> ((s, d) => {
+      // sentence segmentation over a deterministically punctuated
+      // fixture (every 6th token closes a sentence); row-local
+      // regexp_extract_all + one explode
+      val toks = array_remove(split(trim(col("text")), "\\s+"), "")
+      val punct = concat_ws(" ", transform(toks,
+        (tk, i) => when((i + 1) % 6 === 0, concat(tk, lit(".")))
+          .otherwise(tk)))
+      graft.ops.TextAnalysis.sentenceSplit(
+          t(s, d, "documents").withColumn("p", punct), col("doc_id"),
+          col("p"))
+        .select(col("id"), col("sent_idx"), md5(col("sentence")).as("s_md5"))
+        .orderBy("id", "sent_idx")
+    }),
+    "q240_pack_texts" -> ((s, d) =>
+      // the packed training sequences themselves: id-ordered first-fit
+      // bins concatenated at a 512-token budget
+      graft.ops.Curation.packTexts(t(s, d, "documents"), col("doc_id"),
+          col("text"),
+          size(array_remove(split(trim(col("text")), "\\s+"), "")),
+          budget = 512)
+        .select(col("bin"), col("n_docs"), col("tokens"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("bin")),
+    "q241_funnel" -> ((s, d) =>
+      // ordered conversion funnel signup → view → click → purchase:
+      // per-step earliest-completion chaining, one bounded agg per step
+      graft.ops.Temporal.funnel(ev(s, d), col("user_id"),
+          col("event_type"), col("ts"),
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy("step_idx")),
+    "q242_cohort_retention" -> ((s, d) =>
+      // weekly cohort retention matrix: first-seen-day cohorts ×
+      // 7-day activity offsets, distinct users per cell
+      graft.ops.Temporal.cohortRetention(ev(s, d), col("user_id"),
+          col("ts"), periodDays = 7)
+        .orderBy("cohort_day", "period_idx"))
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -5554,6 +5591,76 @@ object OpsQueries {
                 n - CAST(len(kept) AS BIGINT) AS n_deleted,
                 md5(array_to_string(kept, ' ')) AS noised_md5
          FROM k ORDER BY id""",
+
+    "q239_sentence_split" ->
+      """WITH tk AS (SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> x <> '') AS tk
+              FROM documents),
+         p AS (SELECT doc_id, array_to_string(
+                 [CASE WHEN i % 6 = 0 THEN tk[i] || '.' ELSE tk[i] END
+                  FOR i IN range(1, len(tk) + 1)], ' ') AS txt
+               FROM tk),
+         s AS (SELECT doc_id,
+                 list_filter(list_transform(
+                   regexp_extract_all(txt, '[^.!?]+[.!?]*'), x -> trim(x)),
+                   x -> x <> '') AS ss
+               FROM p)
+         SELECT doc_id AS id, CAST(i - 1 AS BIGINT) AS sent_idx,
+                md5(ss[i]) AS s_md5
+         FROM s CROSS JOIN range(1, 200) r(i)
+         WHERE i <= len(ss)
+         ORDER BY id, sent_idx""",
+
+    "q240_pack_texts" ->
+      """WITH tok AS (SELECT doc_id, text,
+                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(list_filter(string_split_regex(trim(text),
+                       '\s+'), x -> x <> '')) END AS BIGINT) AS t
+              FROM documents),
+         c AS (SELECT doc_id, text, t,
+                 COALESCE(sum(t) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cb
+               FROM tok)
+         SELECT CAST(cb // 512 AS BIGINT) AS bin, count(*) AS n_docs,
+                CAST(sum(t) AS BIGINT) AS tokens,
+                md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id))
+                  AS text_md5
+         FROM c GROUP BY bin ORDER BY bin""",
+
+    "q241_funnel" ->
+      """WITH r1 AS (SELECT user_id, min(ts) AS rt FROM events
+                 WHERE event_type = 'signup' GROUP BY user_id),
+         r2 AS (SELECT e.user_id, min(e.ts) AS rt FROM events e
+                JOIN r1 USING (user_id)
+                WHERE e.event_type = 'view' AND e.ts >= r1.rt
+                GROUP BY e.user_id),
+         r3 AS (SELECT e.user_id, min(e.ts) AS rt FROM events e
+                JOIN r2 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts >= r2.rt
+                GROUP BY e.user_id),
+         r4 AS (SELECT e.user_id, min(e.ts) AS rt FROM events e
+                JOIN r3 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts >= r3.rt
+                GROUP BY e.user_id)
+         SELECT * FROM (
+           SELECT 1 AS step_idx, 'signup' AS step,
+                  (SELECT count(*) FROM r1) AS n_keys
+           UNION ALL SELECT 2, 'view', (SELECT count(*) FROM r2)
+           UNION ALL SELECT 3, 'click', (SELECT count(*) FROM r3)
+           UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM r4))
+         ORDER BY step_idx""",
+
+    "q242_cohort_retention" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS c0
+               FROM events GROUP BY user_id),
+         a AS (SELECT DISTINCT e.user_id, f.c0,
+                 (CAST(e.ts AS DATE) - f.c0) // 7 AS pi
+               FROM events e JOIN f USING (user_id))
+         SELECT c0 AS cohort_day, CAST(pi AS BIGINT) AS period_idx,
+                count(DISTINCT user_id) AS n_keys
+         FROM a GROUP BY c0, pi ORDER BY cohort_day, period_idx""",
 
     "q220_domain_similarity" ->
       s"""WITH v AS (SELECT vec_id, label,

@@ -103,6 +103,40 @@ class CurationIctPackSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(30).toSeq == mid.toSeq) // deterministic
   }
 
+  test("packTexts: concatenated bins agree with packAssign membership") {
+    import spark.implicits._
+    val df = Seq((1L, "aa bb cc"), (2L, "dd ee ff"), (3L, "gg hh ii"),
+      (4L, "jj"), (5L, "kk ll mm nn oo")).toDF("id", "text")
+    val tok = size(split(col("text"), " "))
+    val out = Curation.packTexts(df, col("id"), col("text"), tok,
+        budget = 6, sep = " | ")
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // cum-before: 0,3,6,9,10 → bins 0,0,1,1,1 (a doc starting inside a
+    // bin may overflow it — the q62 first-fit contract)
+    assert(out.toSeq == Seq(
+      (0L, 2L, 6L, "aa bb cc | dd ee ff"),
+      (1L, 3L, 9L, "gg hh ii | jj | kk ll mm nn oo")))
+  }
+
+  test("sentenceSplit: terminal runs, unterminated tail, blanks drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "One two. Three four! Five"),
+      (2L, "No terminals at all"),
+      (3L, "..."),
+      (4L, "A?! B.")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.sentenceSplit(docs, col("doc_id"),
+        col("text"))
+      .orderBy("id", "sent_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out == Seq(
+      (1L, 0L, "One two."), (1L, 1L, "Three four!"), (1L, 2L, "Five"),
+      (2L, 0L, "No terminals at all"),
+      (4L, 0L, "A?!"), (4L, 1L, "B.")))
+  }
+
   test("packAssign: multi-column order co-locates groups") {
     import spark.implicits._
     // cells interleaved by id; ordering (cell, id) packs cells together

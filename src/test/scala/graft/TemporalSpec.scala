@@ -144,6 +144,48 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3) == (4L, 1.0, 1.0, out(3)._4, -1L) && out(3)._4.isNaN)
   }
 
+  test("funnel: order matters, out-of-order steps do not count") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1 completes all three in order
+      (1L, "a", ts("2024-01-01 10:00:00")),
+      (1L, "b", ts("2024-01-01 11:00:00")),
+      (1L, "c", ts("2024-01-01 12:00:00")),
+      // u2 does b BEFORE a → reaches a only
+      (2L, "b", ts("2024-01-01 09:00:00")),
+      (2L, "a", ts("2024-01-01 10:00:00")),
+      // u3 a then c (no b) → stops after a
+      (3L, "a", ts("2024-01-01 10:00:00")),
+      (3L, "c", ts("2024-01-01 11:00:00")),
+      // u4 equal timestamps count (>=)
+      (4L, "a", ts("2024-01-01 10:00:00")),
+      (4L, "b", ts("2024-01-01 10:00:00")),
+      (4L, "c", ts("2024-01-01 10:00:00"))
+    ).toDF("u", "tp", "t")
+    val out = graft.ops.Temporal.funnel(ev, col("u"), col("tp"), col("t"),
+        Seq("a", "b", "c"))
+      .orderBy("step_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1, "a", 4L), (2, "b", 2L), (3, "c", 2L)))
+  }
+
+  test("cohortRetention: first-seen cohorts, period offsets, distinct keys") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // cohort 2024-01-01, idx 0
+      (1L, ts("2024-01-09 10:00:00")), // idx 1 (8 days / 7)
+      (1L, ts("2024-01-10 10:00:00")), // idx 1 again → distinct
+      (2L, ts("2024-01-03 10:00:00")), // cohort 2024-01-03, idx 0
+      (2L, ts("2024-01-03 23:00:00"))  // same day → idx 0 distinct
+    ).toDF("u", "t")
+    val out = graft.ops.Temporal.cohortRetention(ev, col("u"), col("t"), 7)
+      .orderBy("cohort_day", "period_idx").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L),
+      ("2024-01-03", 0L, 1L)))
+  }
+
   test("rangeJoin: payload passthrough and exactly-once pairs") {
     import spark.implicits._
     val points = Seq((1L, ts("2024-01-01 00:00:30"), "p")).toDF("pid", "pt", "tag")
