@@ -55,6 +55,17 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
       .as[SearchHit]
   }
 
+  /** Typed graph-index search over a [[VectorStore.writeHnsw]] layout:
+    * beam descent with directory-pruned adjacency reads. */
+  def searchHnsw(db: String, query: String,
+      p: Searcher.Params = Searcher.Params(),
+      ef: Int = 50): Dataset[SearchHit] = {
+    import spark.implicits._
+    searcher.searchHnsw(db, query, p, ef)
+      .select("id", "text", "metadata", "similarity_score", "distance")
+      .as[SearchHit]
+  }
+
   /** Hybrid (BM25 + cosine RRF) search; drops the fusion score to return
     * the typed hit shape — use `searcher.searchHybrid` for the scores. */
   def searchHybrid(db: String, query: String,

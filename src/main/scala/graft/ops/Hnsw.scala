@@ -177,13 +177,17 @@ object Hnsw {
     * ef-bounded beam. */
   def search(edges: DataFrame, emb: DataFrame, idCol: Column,
       vecCol: Column, query: Array[Float], k: Int, maxLevel: Int,
-      ef: Int = 50, maxHops: Int = 50): DataFrame = {
+      ef: Int = 50, maxHops: Int = 50, srcBuckets: Int = 0): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val v = emb.select(idCol.cast("long").as("id"),
       vecCol.cast("array<float>").as("v"))
     val qsim = round(cosine_similarity(col("v"), typedLit(query)), 4)
-    val e = edges.select(col("level"), col("id").as("src"), col("nbr"))
+    val e =
+      if (srcBuckets > 0)
+        edges.select(col("level"), col("id").as("src"), col("nbr"),
+          col("src_bucket"))
+      else edges.select(col("level"), col("id").as("src"), col("nbr"))
 
     // entry = highest-layer node (its layer may hold no edges, so derive
     // from the vector table, not the edge frame)
@@ -191,12 +195,22 @@ object Hnsw {
         levelCol(col("id"), maxLevel).as("lvl"), qsim.as("sim"))
       .orderBy(col("lvl").desc, col("id").asc).limit(1).head()
 
-    // scored, deduped neighbors of `srcs` at layer l — one job per call
-    def nbrs(l: Int, srcs: Seq[Long]): Seq[(Long, Double)] =
-      e.filter(col("level") === l && col("src").isin(srcs: _*))
+    // scored, deduped neighbors of `srcs` at layer l — one job per call.
+    // With a bucketed edge store (srcBuckets > 0) the extra predicate on
+    // the partition column turns the fetch into directory-pruned point
+    // reads — the adjacency scan touches only the frontier's buckets.
+    def nbrs(l: Int, srcs: Seq[Long]): Seq[(Long, Double)] = {
+      val base = e.filter(col("level") === l && col("src").isin(srcs: _*))
+      val pruned =
+        if (srcBuckets > 0)
+          base.filter(col("src_bucket")
+            .isin(srcs.map(_ % srcBuckets).distinct: _*))
+        else base
+      pruned
         .join(v, col("nbr") === v("id"))
         .groupBy(col("nbr")).agg(first(qsim).as("sim"))
         .as[(Long, Double)].collect().toSeq
+    }
 
     var beam = Vector((entryRow.getLong(0), entryRow.getDouble(2)))
     for (l <- maxLevel to 0 by -1) {

@@ -247,6 +247,42 @@ final class Searcher(spark: SparkSession, store: VectorStore) {
       .orderBy(col("similarity_score").desc, col("id"))
   }
 
+  /** Graph-index search over a persisted HNSW layout
+    * ([[graft.store.VectorStore.writeHnsw]]): the beam descends the
+    * stored layered graph, each hop a directory-pruned point read of
+    * the frontier's adjacency buckets, then the k survivors join back
+    * to the vectors table for text/metadata exactly like the other
+    * store paths. Cost is `hops × ef × M` adjacency rows — never a
+    * corpus scan; the accuracy trade lives in `ef`. */
+  def searchHnsw(db: String, query: String,
+      p: Searcher.Params = Searcher.Params(), ef: Int = 50): DataFrame = {
+    val prompted = p.promptFamily.fold(TextNorm.normalizeQuery(query)) { fam =>
+      graft.embed.PromptPrefix.applyTo(fam, isQuery = true,
+        TextNorm.normalizeQuery(query))
+    }
+    val qvec = p.embedder.embed(prompted)
+    val (_, maxLevel, buckets) = store.hnswMeta(db)
+    val vectors = vectorsOf(db)
+    val hits = graft.ops.Hnsw.search(store.hnswEdges(db), vectors,
+        col("id"), col("vector"), qvec, p.k, maxLevel, ef,
+        srcBuckets = buckets)
+      .filter(col("sim") >= p.threshold)
+      .collect()
+    if (hits.isEmpty) return emptyHits(vectors)
+    val spark2 = spark
+    import spark2.implicits._
+    val sims = hits.map(r => r.getLong(1) -> r.getDouble(2)).toSeq
+    val simDf = sims.toDF("id", "sim")
+    vectors.filter(col("id").isin(sims.map(_._1): _*))
+      .select("id", "text", "metadata")
+      .join(broadcast(simDf), Seq("id"))
+      .withColumn("similarity_score",
+        least(greatest(col("sim"), lit(0.0)), lit(1.0)))
+      .withColumn("distance", lit(1.0) - col("sim"))
+      .drop("sim")
+      .orderBy(col("similarity_score").desc, col("id"))
+  }
+
   /** Approximate search over an IVF-PQ store
     * ([[graft.store.VectorStore.writeVectorsPq]]) with exact re-ranking:
     * the CANDIDATE pass scans the `pq_codes` SIDE TABLE — m small ints per

@@ -85,6 +85,45 @@ final class VectorStore(spark: SparkSession, warehouse: String) {
       .parquet(s"${dbDir(db)}/vectors")
   }
 
+  /** HNSW graph layout: the [[graft.ops.Hnsw]] layered edge frame
+    * persisted PARTITIONED BY `src_bucket = id % buckets`, so a beam
+    * hop's adjacency fetch (`src IN frontier` plus the bucket
+    * predicate) is a directory-pruned point read instead of a full
+    * edge scan — the on-disk shape that keeps search cost proportional
+    * to `hops × ef × M`, not to the graph. Construction uses the
+    * IVF-pruned build when `nlist > 0` (the corpus-scale path), the
+    * exact broadcast build otherwise; `(m, max_level, buckets)` persist
+    * beside the edges for [[graft.query.Searcher.searchHnsw]]. */
+  def writeHnsw(db: String, vectors: DataFrame, m: Int = 8,
+      maxLevel: Int = 2, nlist: Int = 0, buckets: Int = 32): Unit = {
+    val edges =
+      if (nlist > 0) graft.ops.Hnsw.buildIvf(vectors, col("id"),
+        col("vector"), m, maxLevel, nlist)
+      else graft.ops.Hnsw.buildExact(vectors, col("id"), col("vector"),
+        m, maxLevel)
+    edges.withColumn("src_bucket", pmod(col("id"), lit(buckets.toLong)))
+      .repartition(col("src_bucket"))
+      .sortWithinPartitions("level", "id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 100000)
+      .partitionBy("src_bucket")
+      .parquet(s"${dbDir(db)}/hnsw_edges")
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((m, maxLevel, buckets)).toDF("m", "max_level", "buckets")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${dbDir(db)}/hnsw_meta")
+  }
+
+  def hnswEdges(db: String): DataFrame =
+    spark.read.parquet(s"${dbDir(db)}/hnsw_edges")
+
+  /** `(m, max_level, buckets)` of a [[writeHnsw]] layout. */
+  def hnswMeta(db: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"${dbDir(db)}/hnsw_meta").head()
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
   /** Learned centroids of an IVF store (tiny: nlist × dim floats). */
   def centroids(db: String): Seq[(Int, Seq[Float])] =
     spark.read.parquet(s"${dbDir(db)}/centroids")

@@ -304,6 +304,48 @@ class ExtensionsAndClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(many.count(_.getAs[String]("query_id") == "qb") == 6)
   }
 
+  test("HNSW store: bucketed edge layout persists, searchHnsw matches " +
+      "exact top-k on the stored vectors") {
+    val work = Files.createTempDirectory("graft-hnsw").toString
+    val store = new VectorStore(spark, s"$work/wh")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val vectors = emb.select(
+      col("vec_id").as("id"),
+      col("embedding").as("vector"),
+      concat(lit("doc "), col("vec_id")).as("text"),
+      struct(lit("/x").as("file_path"), lit(".txt").as("file_type"),
+        lit("x.txt").as("file_name"), lit("t").as("creation_date"),
+        lit("t").as("modification_date"), lit("h").as("hash"),
+        lit("document").as("document_type"),
+        lit(null).cast("int").as("page_number")).as("metadata"))
+    store.writeVectors("hnswdb", vectors)
+    store.writeHnsw("hnswdb", vectors, m = 8, maxLevel = 2, buckets = 8)
+
+    assert(store.hnswMeta("hnswdb") == ((8, 2, 8)))
+    val dirs = new java.io.File(s"$work/wh/hnswdb/hnsw_edges").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("src_bucket="))
+    assert(dirs.length == 8)
+
+    val searcher = new Searcher(spark, store)
+    val p = Searcher.Params(k = 5, threshold = -1.0)
+    val hits = searcher.searchHnsw("hnswdb", "doc query text", p, ef = 60)
+      .collect()
+    assert(hits.length == 5)
+    // parity with the exact scan over the same stored vectors: the stub
+    // embedder is deterministic, so brute-force cosine is ground truth
+    val qvec = p.embedder.embed(
+      graft.expr.TextNorm.normalizeQuery("doc query text"))
+    val exact = store.vectors("hnswdb")
+      .select(col("id"),
+        graft.functions.cosine_similarity(col("vector"),
+          org.apache.spark.sql.functions.typedLit(qvec)).as("s"))
+      .orderBy(col("s").desc, col("id")).limit(5)
+      .collect().map(_.getLong(0)).toSet
+    val got = hits.map(_.getAs[Long]("id")).toSet
+    assert((got & exact).size >= 4, s"hnsw $got vs exact $exact")
+  }
+
   test("IVF store: learned centroids persist, searchIvf prunes clusters") {
     val work = Files.createTempDirectory("graft-ivf").toString
     val store = new VectorStore(spark, s"$work/wh")
