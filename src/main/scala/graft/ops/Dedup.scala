@@ -574,7 +574,9 @@ object Dedup {
     val lineSet = frequent.select(col("line").cast("string"))
       .collect().map(_.getString(0)).toSet
     val bc = spark.sparkContext.broadcast(lineSet)
-    df.select(idCol.cast("long").as("id"), textCol.cast("string").as("text"))
+    spreadSmallScan(
+        df.select(idCol.cast("long").as("id"),
+          textCol.cast("string").as("text")), col("id"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val set = bc.value
@@ -606,7 +608,9 @@ object Dedup {
       sep: String = "\n"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(idCol.cast("long").as("id"), textCol.cast("string").as("text"))
+    spreadSmallScan(
+        df.select(idCol.cast("long").as("id"),
+          textCol.cast("string").as("text")), col("id"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
@@ -657,6 +661,7 @@ object Dedup {
     * shapes still hold where they matter; this only refuses to let a
     * tiny file serialize a 32-core box. */
   private[graft] def spreadSmallScan(df: DataFrame, key: Column): DataFrame = {
+    if (df.isStreaming) return df // split counts are a batch concept
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target, key)
     else df
@@ -833,7 +838,9 @@ object Dedup {
     val hashes = grams.select(col("h").cast("long"))
       .collect().map(_.getLong(0)).toSet
     val bc = spark.sparkContext.broadcast(hashes)
-    df.select(idCol.cast("long").as("id"), textCol.cast("string").as("text"))
+    spreadSmallScan(
+        df.select(idCol.cast("long").as("id"),
+          textCol.cast("string").as("text")), col("id"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val set = bc.value
@@ -1006,7 +1013,9 @@ object Dedup {
     require(window >= 1 && divisor >= 1, "need window >= 1 and divisor >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(idCol.cast("long").as("id"), textCol.cast("string").as("text"))
+    spreadSmallScan(
+        df.select(idCol.cast("long").as("id"),
+          textCol.cast("string").as("text")), col("id"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.flatMap { case (id, text) =>
@@ -1070,7 +1079,9 @@ object Dedup {
     val hashes = chunks.select(col("h").cast("long"))
       .collect().map(_.getLong(0)).toSet
     val bc = spark.sparkContext.broadcast(hashes)
-    df.select(idCol.cast("long").as("id"), textCol.cast("string").as("text"))
+    spreadSmallScan(
+        df.select(idCol.cast("long").as("id"),
+          textCol.cast("string").as("text")), col("id"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val set = bc.value
