@@ -295,9 +295,23 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lens = chunks.filter(col("id") === 1L)
       .select(sum("n_tok"), count(lit(1))).head()
     assert(lens.getLong(0) == 240L && lens.getLong(1) >= 15L)
-    // row-local: no Exchange in the chunking plan; partition-invariant
-    assert(!chunks.queryExecution.executedPlan.toString.contains("Exchange"))
-    val again = Dedup.cdcChunks(df.repartition(5), col("id"), col("text"))
+    // row-local chunking: the only Exchange ever allowed is the
+    // small-split spread (REPARTITION_BY_NUM on the narrow fixture);
+    // the op itself adds no shuffle — and on an already-spread input
+    // (>= cores/2 splits) the plan has none at all
+    val p1 = chunks.queryExecution.executedPlan.toString
+    assert(p1.linesIterator.filter(_.contains("Exchange "))
+      .forall(_.contains("REPARTITION")), p1)
+    val spreadIn = Dedup.cdcChunks(df.repartition(5), col("id"), col("text"))
+    val p2 = spreadIn.queryExecution.executedPlan.toString
+    // the op itself never adds an aggregation/join shuffle: every
+    // Exchange in sight is a repartition (the fixture's own, or the
+    // guard's — AQE may coalesce the tiny 5-way shuffle back under the
+    // threshold, re-arming the guard, which is fine: both are
+    // REPARTITION-origin, neither is op-semantics)
+    assert(p2.linesIterator.filter(_.contains("Exchange "))
+      .forall(_.contains("REPARTITION")), p2)
+    val again = spreadIn
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     assert(chunks.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sorted.sameElements(again))
