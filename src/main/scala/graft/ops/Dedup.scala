@@ -662,6 +662,16 @@ object Dedup {
     * tiny file serialize a 32-core box. */
   private[graft] def spreadSmallScan(df: DataFrame, key: Column): DataFrame = {
     if (df.isStreaming) return df // split counts are a batch concept
+    // Guard the guard: `df.rdd.getNumPartitions` on a plan WITH
+    // exchanges finalizes AQE, which EXECUTES the upstream stages just
+    // to learn the partitioning — a chained caller (scrub gate 2 fed by
+    // gate 1) would silently run its input twice (measured: q194
+    // +40%). A derived frame downstream of any exchange already has
+    // shuffle-grade parallelism, so the small-split problem cannot
+    // exist there: only scan-rooted (exchange-free) plans are checked,
+    // where .rdd finalization runs nothing.
+    if (df.queryExecution.executedPlan.toString.contains("Exchange"))
+      return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target, key)
     else df
