@@ -84,12 +84,18 @@ object Temporal {
         val both = lSide.unionByName(rSide)
           .withColumn("__bk", bk(col(timeCol)))
         // per-(key, bucket) final right payload → per-key running carry
-        // over the (#buckets-per-key-sized) bucket-summary frame
+        // over the (#buckets-per-key-sized) bucket-summary frame. The
+        // summary covers every (key, bucket) EITHER side occupies — a
+        // bucket holding only left rows still needs a seed (the latest
+        // right payload from earlier buckets), so its summary row exists
+        // with a null final (max(when(right, …)) skips left rows) and
+        // the ignoreNulls carry walks straight across it
         val bw = Window.partitionBy(keyCols: _*).orderBy(col("__bk").asc)
           .rowsBetween(Window.unboundedPreceding, -1)
-        val carries = both.filter(col("__side") === 0)
+        val carries = both
           .groupBy((keyCols :+ col("__bk")): _*)
-          .agg(max(struct(col(timeCol), col("__tb"), col("__rp"))).as("__fin"))
+          .agg(max(when(col("__side") === 0,
+            struct(col(timeCol), col("__tb"), col("__rp")))).as("__fin"))
           .withColumn("__carry",
             last(col("__fin").getField("__rp"), ignoreNulls = true).over(bw))
           .filter(col("__carry").isNotNull)
@@ -158,35 +164,78 @@ object Temporal {
       .drop("__t")
   }
 
-  /** Ordered funnel analysis: how many keys (users) reach each step of
-    * `steps` IN ORDER — a key reaches step i when an event of that type
-    * exists at-or-after its earliest completion time of step i−1 (the
-    * classic product-analytics conversion funnel). One aggregation per
-    * step, each joined on the key (steps are few and literal, so this
-    * is a bounded chain of key-partitioned partial-aggs + broadcastable
-    * per-key timestamp frames — never a window over the event log).
-    * Output: `(step_idx, step, n_keys)` with `step_idx` 1-based. */
-  def funnel(events: DataFrame, keyCol: Column, typeCol: Column,
+  /** Per-key ordered-funnel completion times: for every key and every
+    * step of `steps` it reaches IN ORDER, the earliest completion time —
+    * a key reaches step i at the earliest event of that type at-or-after
+    * its step-i−1 completion (equal times count, ties across steps at
+    * one timestamp resolve in step order). The composable form of the
+    * conversion funnel: group it for counts ([[funnel]]), join it to a
+    * cohort frame for funnel-by-cohort, feed it to retention audits.
+    *
+    * ONE key-partitioned aggregation over the step-typed events (the
+    * non-step types filter out before the shuffle), then a row-local
+    * left-to-right scan of each key's time-sorted events maintaining the
+    * running earliest-completion array — the greedy scan is exact
+    * because completion times only tighten as the scan advances, so an
+    * event qualifies against the final threshold iff it qualifies
+    * against the running one. No driver loop, no per-step jobs, no
+    * self-join on the event log; per-key state is that key's step-typed
+    * event list (hot keys: pre-aggregate per (key, type, time) upstream
+    * if a single key's events outgrow a row). `timeCol` must be
+    * castable to TIMESTAMP. Output: `(k, step_idx, step, reached_at)`
+    * with `step_idx` 1-based; keys stop at their last reached step. */
+  def funnelSteps(events: DataFrame, keyCol: Column, typeCol: Column,
       timeCol: Column, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel: need at least one step")
+    require(steps.distinct.size == steps.size, "funnel: steps must be distinct")
+    val unreached = Long.MaxValue
+    val si = steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+      when(col("tp") === s, lit(i)).otherwise(acc)
+    }
+    val ev = events.select(keyCol.cast("long").as("k"),
+        typeCol.cast("string").as("tp"),
+        unix_micros(timeCol.cast("timestamp")).as("t"))
+      .filter(col("tp").isInCollection(steps) && col("t").isNotNull)
+    val perKey = ev
+      .select(col("k"), struct(col("t"), si.as("si")).as("e"))
+      .groupBy("k").agg(sort_array(collect_list(col("e"))).as("es"))
+    // running earliest-completion array: slot j updates on a step-j
+    // event at-or-after slot j-1's current value (slot 0 unconditional);
+    // Long.MaxValue marks "not reached" and can never satisfy t >= prev
+    val reached = aggregate(col("es"),
+      array(steps.map(_ => lit(unreached)): _*),
+      (acc, e) => {
+        val t = e.getField("t")
+        val s = e.getField("si")
+        transform(acc, (r, j) =>
+          when(j === s && (s === 0 || t >= element_at(acc, s)),
+            least(r, t)).otherwise(r))
+      })
+    val names = array(steps.map(lit): _*)
+    perKey.select(col("k"), posexplode(reached).as(Seq("p", "rt")))
+      .filter(col("rt") =!= unreached)
+      .select(col("k"), (col("p") + 1).cast("long").as("step_idx"),
+        element_at(names, col("p") + 1).as("step"),
+        timestamp_micros(col("rt")).as("reached_at"))
+  }
+
+  /** Ordered funnel analysis: how many keys (users) reach each step of
+    * `steps` IN ORDER (the classic product-analytics conversion
+    * funnel) — the count aggregate over [[funnelSteps]], computed in a
+    * single Spark job: one key shuffle, one per-step count, a broadcast
+    * left join back to the step list so zero-conversion steps still
+    * report 0. Output: `(step_idx, step, n_keys)`, `step_idx` 1-based. */
+  def funnel(events: DataFrame, keyCol: Column, typeCol: Column,
+      timeCol: Column, steps: Seq[String]): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val ev = events.select(keyCol.cast("long").as("k"),
-      typeCol.cast("string").as("tp"), timeCol.as("t"))
-    // reached(i): per-key earliest time of completing steps(0..i)
-    var reached = ev.filter(col("tp") === steps.head)
-      .groupBy("k").agg(min(col("t")).as("rt"))
-    val counts = Seq.newBuilder[(Int, String, Long)]
-    counts += ((1, steps.head, reached.count()))
-    steps.zipWithIndex.drop(1).foreach { case (s, i) =>
-      reached = ev.filter(col("tp") === s)
-        .join(reached, "k")
-        .filter(col("t") >= col("rt"))
-        .groupBy("k").agg(min(col("t")).as("rt"))
-      counts += ((i + 1, s, reached.count()))
-    }
-    counts.result()
-      .toDF("step_idx", "step", "n_keys")
+    val stepsDf = steps.zipWithIndex
+      .map { case (s, i) => ((i + 1).toLong, s) }.toDF("step_idx", "step")
+    val counts = funnelSteps(events, keyCol, typeCol, timeCol, steps)
+      .groupBy("step_idx", "step").agg(count(lit(1)).as("n"))
+    stepsDf.join(counts, Seq("step_idx", "step"), "left")
+      .select(col("step_idx").cast("int").as("step_idx"), col("step"),
+        coalesce(col("n"), lit(0L)).as("n_keys"))
   }
 
   /** Cohort retention: keys grouped by first-seen period (their

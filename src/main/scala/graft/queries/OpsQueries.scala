@@ -2041,11 +2041,20 @@ object OpsQueries {
         .orderBy("bin")),
     "q241_funnel" -> ((s, d) =>
       // ordered conversion funnel signup → view → click → purchase:
-      // per-step earliest-completion chaining, one bounded agg per step
+      // ONE key-shuffled aggregation (per-key sorted scan of the
+      // step-typed events), counts derived in the same job
       graft.ops.Temporal.funnel(ev(s, d), col("user_id"),
           col("event_type"), col("ts"),
           Seq("signup", "view", "click", "purchase"))
         .orderBy("step_idx")),
+    "q243_funnel_steps" -> ((s, d) =>
+      // the composable per-key funnel frame q241's counts derive from:
+      // (user, step_idx, step, earliest in-order completion time) —
+      // funnel-by-cohort joins hang off this
+      graft.ops.Temporal.funnelSteps(ev(s, d), col("user_id"),
+          col("event_type"), col("ts"),
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy("step_idx", "k")),
     "q242_cohort_retention" -> ((s, d) =>
       // weekly cohort retention matrix: first-seen-day cohorts ×
       // 7-day activity offsets, distinct users per cell
@@ -5651,6 +5660,29 @@ object OpsQueries {
            UNION ALL SELECT 3, 'click', (SELECT count(*) FROM r3)
            UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM r4))
          ORDER BY step_idx""",
+
+    "q243_funnel_steps" ->
+      """WITH r1 AS (SELECT user_id, min(ts) AS rt FROM events
+                 WHERE event_type = 'signup' GROUP BY user_id),
+         r2 AS (SELECT e.user_id, min(e.ts) AS rt FROM events e
+                JOIN r1 USING (user_id)
+                WHERE e.event_type = 'view' AND e.ts >= r1.rt
+                GROUP BY e.user_id),
+         r3 AS (SELECT e.user_id, min(e.ts) AS rt FROM events e
+                JOIN r2 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts >= r2.rt
+                GROUP BY e.user_id),
+         r4 AS (SELECT e.user_id, min(e.ts) AS rt FROM events e
+                JOIN r3 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts >= r3.rt
+                GROUP BY e.user_id)
+         SELECT user_id AS k, step_idx, step, rt AS reached_at FROM (
+           SELECT user_id, CAST(1 AS BIGINT) AS step_idx,
+                  'signup' AS step, rt FROM r1
+           UNION ALL SELECT user_id, 2, 'view', rt FROM r2
+           UNION ALL SELECT user_id, 3, 'click', rt FROM r3
+           UNION ALL SELECT user_id, 4, 'purchase', rt FROM r4)
+         ORDER BY step_idx, k""",
 
     "q242_cohort_retention" ->
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS c0

@@ -72,10 +72,41 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((1L, 11L), (2L, -1L), (3L, 14L), (4L, -1L), (5L, -1L)))
   }
 
+  test("asofJoin: bucketed carry crosses right-empty buckets") {
+    import spark.implicits._
+    // the gap case: quotes only on day 1, trades days 3-5 — every trade
+    // bucket is right-empty, so the carry must walk across whole days
+    val right = Seq(
+      (1L, "g", ts("2024-01-01 09:00:00"), 10.0),
+      (2L, "g", ts("2024-01-01 17:00:00"), 11.0), // the latest: must win
+      (3L, "h", ts("2024-01-01 12:00:00"), 20.0)
+    ).toDF("rid", "k", "t", "v")
+    val left = Seq(
+      (101L, "g", ts("2024-01-03 10:00:00")),
+      (102L, "g", ts("2024-01-05 23:00:00")),
+      (103L, "h", ts("2024-01-04 08:00:00")),
+      (104L, "h", ts("2024-01-01 11:00:00")) // before h's only quote → null
+    ).toDF("id", "k", "t")
+    def run(bk: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column]) =
+      Temporal.asofJoin(left, right, Seq("k"), "t",
+          payload = Seq("rid", "v"), rightTiebreak = col("rid"), bucket = bk)
+        .select("id", "asof_rid", "asof_v")
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSeq
+    val plain = run(None)
+    val bucketed = run(Some(c => date_trunc("day", c)))
+    assert(plain == Seq((101L, 2L, 11.0), (102L, 2L, 11.0),
+      (103L, 3L, 20.0), (104L, -1L, -1.0)))
+    assert(bucketed == plain)
+  }
+
   test("asofJoin: bucketed construction matches the plain keyed window") {
     import spark.implicits._
-    // deterministic tape: 3 keys × 400 rows, md5-jittered minute spacing
-    // so rows cross day buckets and some buckets hold no right rows
+    // deterministic tape: 3 keys × 400 rows at jittered ~hourly spacing
+    // (so day buckets hold many right rows; the right-EMPTY-bucket gap
+    // case is the dedicated fixture above)
     val rows = for {
       k <- Seq("x", "y", "z"); i <- 0 until 400
     } yield {
@@ -86,7 +117,9 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = rows.toDF("k", "id", "t", "v")
     val left = df.filter(col("id") % 3 =!= 0)
       .select(col("k"), col("id"), col("t"))
-    val right = df.filter(col("id") % 3 === 0)
+    // right rows stop at id 150 (~day 6 of ~17): the tape's tail buckets
+    // are all right-empty, so the equivalence also covers the carry gap
+    val right = df.filter(col("id") % 3 === 0 && col("id") < 150)
       .select(col("k"), col("id").as("rid"), col("t"), col("v"))
     def run(bk: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column]) =
       Temporal.asofJoin(left, right, Seq("k"), "t",
@@ -167,6 +200,28 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("step_idx").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
     assert(out == Seq((1, "a", 4L), (2, "b", 2L), (3, "c", 2L)))
+    // a step nobody reaches still reports 0
+    val z = graft.ops.Temporal.funnel(ev, col("u"), col("tp"), col("t"),
+        Seq("a", "zz", "c"))
+      .orderBy("step_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(z == Seq((1, "a", 4L), (2, "zz", 0L), (3, "c", 0L)))
+    // the per-key frame: earliest in-order completion times, keys stop
+    // at their last reached step
+    val st = graft.ops.Temporal.funnelSteps(ev, col("u"), col("tp"),
+        col("t"), Seq("a", "b", "c"))
+      .orderBy("k", "step_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3))).toSeq
+    assert(st == Seq(
+      (1L, 1L, "a", ts("2024-01-01 10:00:00")),
+      (1L, 2L, "b", ts("2024-01-01 11:00:00")),
+      (1L, 3L, "c", ts("2024-01-01 12:00:00")),
+      (2L, 1L, "a", ts("2024-01-01 10:00:00")),
+      (3L, 1L, "a", ts("2024-01-01 10:00:00")),
+      (4L, 1L, "a", ts("2024-01-01 10:00:00")),
+      (4L, 2L, "b", ts("2024-01-01 10:00:00")),
+      (4L, 3L, "c", ts("2024-01-01 10:00:00"))))
   }
 
   test("cohortRetention: first-seen cohorts, period offsets, distinct keys") {
