@@ -47,6 +47,13 @@ object StreamingIngest {
     val ivfCentroids: Option[Seq[(Int, Seq[Float])]] =
       try { val c = store.centroids(db); if (c.nonEmpty) Some(c) else None }
       catch { case _: Exception => None }
+    // streaming HNSW maintenance: a store with a persisted layered graph
+    // ([[VectorStore.writeHnsw]]) links each batch's vectors into it
+    // incrementally ([[VectorStore.appendHnsw]] — shared beam descent +
+    // integer re-cap, no re-scoring), so searchHnsw stays current as data
+    // streams in without a per-batch graph rebuild.
+    val hnswStore: Boolean =
+      try { store.hnswMeta(db); true } catch { case _: Exception => false }
     val binary = spark.readStream.format("binaryFile")
       .schema(binarySchema)
       .load(docsDir)
@@ -104,6 +111,8 @@ object StreamingIngest {
                   .option("maxRecordsPerFile", 100000)
                   .parquet(s"${store.dbDir(db)}/vectors")
             }
+            if (hnswStore)
+              store.appendHnsw(db, vectors.select(col("id"), col("vector")))
             batch.select(col("file_name"), col("hash"), col("file_path"),
               col("text").as("page_content"))
               .write.mode("append").parquet(s"${store.dbDir(db)}/documents")
@@ -297,8 +306,13 @@ object StreamingOps {
     * `capacity` counters REGARDLESS of vocabulary size — the reason
     * this runs forever where an exact per-token count would not. Each
     * batch re-emits the touched shards' current candidate sets
-    * `(shard, term, est)` in update mode; read the latest snapshot and
-    * take the global top-N by `est`. Estimates carry the MG guarantee:
+    * `(shard, term, est)` in update mode, plus a TOMBSTONE row
+    * (`est = -1`) for every term the batch decremented OUT of the
+    * sketch — without it a term emitted in an earlier batch would
+    * linger in the downstream snapshot at a stale estimate the MG
+    * bound no longer covers. Consumers: keep each (shard, term)'s
+    * LATEST emission, drop rows with `est < 0`, then take the global
+    * top-N by `est`. Estimates carry the MG guarantee:
     * true_count − shard_tokens/capacity ≤ est ≤ true_count. */
   def streamingHeavyHitters(docs: DataFrame, capacity: Int,
       nShards: Int = 8): org.apache.spark.sql.Dataset[HHRow] = {
@@ -318,14 +332,19 @@ object StreamingOps {
       OutputMode.Update, GroupStateTimeout.NoTimeout) {
       (shard: Int, rows: Iterator[(Int, String)],
        state: GroupState[HHState]) =>
+        val prev = state.getOption.map(_.counts).getOrElse(Map.empty)
         val m = scala.collection.mutable.HashMap.empty[String, Long]
-        state.getOption.foreach(_.counts.foreach { case (k, v) => m(k) = v })
+        prev.foreach { case (k, v) => m(k) = v }
         rows.foreach { case (_, tok) =>
           graft.ops.Scale.misraGriesAdd(m, tok, capacity)
         }
         state.update(HHState(m.toMap))
+        // the state is exactly the last emission, so terms it held that
+        // the sketch no longer does are the ones needing retraction
+        val evicted = (prev.keySet -- m.keySet).toSeq.sorted
         m.toSeq.sortBy { case (t, c) => (-c, t) }.iterator
-          .map { case (t, c) => HHRow(shard, t, c) }
+          .map { case (t, c) => HHRow(shard, t, c) } ++
+          evicted.iterator.map(t => HHRow(shard, t, -1L))
     }
   }
 
