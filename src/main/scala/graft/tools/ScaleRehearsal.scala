@@ -160,6 +160,16 @@ object ScaleRehearsal {
       "q153_longest_repeat" -> (d =>
         Suffix.longestRepeat(d.filter(col("doc_id") % 5 === 0),
           col("doc_id"), col("text"))),
+      // forced-dense twins for same-session A/B of the size switch
+      // (select explicitly; "q152"/"q153" filters pick up both arms)
+      "q152_forced_dense" -> (d =>
+        Suffix.suffixRanks(d.filter(col("doc_id") % 5 === 0),
+          col("doc_id"), col("text"),
+          pruneThresholdTokens = Long.MaxValue)),
+      "q153_forced_dense" -> (d =>
+        Suffix.longestRepeat(d.filter(col("doc_id") % 5 === 0),
+          col("doc_id"), col("text"),
+          pruneThresholdTokens = Long.MaxValue)),
       // round-7 heavy additions: the leakage audit (gram equi-join),
       // the T5 corruption transform (row-local), and the logistic
       // trainer (iters × one partial-agg pass)
@@ -198,7 +208,12 @@ object ScaleRehearsal {
         }.min
         results.getOrElseUpdate(name,
           scala.collection.mutable.LinkedHashMap.empty) += (n -> t)
-        println(f"""{"family":"$name","scale":$n,"sec":$t%.3f}""")
+        // the suffix family's size switch: record which doubling loop
+        // the scale actually engaged (dense below the token threshold,
+        // pruned at-or-above it)
+        val extra = if (name.startsWith("q152") || name.startsWith("q153"))
+          s""","loop":"${Suffix.lastLoop}"""" else ""
+        println(f"""{"family":"$name","scale":$n,"sec":$t%.3f$extra}""")
       }
     }
 

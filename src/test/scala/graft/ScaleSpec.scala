@@ -236,6 +236,28 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.sameElements(again))
   }
 
+  test("suffixRanks: pruned and dense loops agree; the size switch " +
+      "records which ran") {
+    import spark.implicits._
+    import graft.ops.Suffix
+    // tie-heavy fixture: repeated shared runs + identical whole suffixes
+    val docs = (0 until 24).map { i =>
+      val fill = (0 until 6).map(j => s"w${(i * 7 + j * 3) % 11}")
+      (i.toLong, (fill :+ "end a b c").mkString(" "))
+    }.toDF("id", "text")
+    val dense = Suffix.suffixRanks(docs, col("id"), col("text"),
+        pruneThresholdTokens = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(Suffix.lastLoop == "dense")
+    val pruned = Suffix.suffixRanks(docs, col("id"), col("text"),
+        pruneThresholdTokens = 1L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(Suffix.lastLoop == "pruned")
+    assert(dense.sameElements(pruned))
+    // the default threshold keeps bench-scale corpora on the dense loop
+    assert(Suffix.DefaultPruneThresholdTokens > 100000L)
+  }
+
   test("longestRepeat: cross-doc and within-doc runs via neighbor LCP") {
     import spark.implicits._
     import graft.ops.Suffix
