@@ -164,6 +164,110 @@ object Hnsw {
     }.reduce(_.unionByName(_))
   }
 
+  /** Per-query driver state of the batched descent: the ef-bounded
+    * beam plus the layer-scoped visited/expanded sets. */
+  private final class BeamState(var beam: Vector[(Long, Double)]) {
+    val visited = scala.collection.mutable.Set.empty[Long]
+    val expanded = scala.collection.mutable.Set.empty[Long]
+  }
+
+  /** Batched beam descent: ALL queries share every hop's adjacency job.
+    * Returns, per query, the beam as it stood when leaving each layer
+    * (index = layer) — layer 0 is the search result; the upper-layer
+    * beams are exactly the per-layer candidate lists [[append]] links
+    * new nodes with. Each hop is ONE Spark job: the union of the live
+    * frontiers broadcast-joins the adjacency rows (never an
+    * `isin(...)` literal list — at ef·M ids per query that IN-list
+    * dwarfed the plan), candidates dedupe per (query, neighbor) before
+    * the vector fetch, and on a src-bucketed store the bucket
+    * predicate keeps the fetch directory-pruned. The driver holds only
+    * the ef-bounded beams. */
+  private def descend(edges: DataFrame, emb: DataFrame, idCol: Column,
+      vecCol: Column, queries: Seq[(Long, Array[Float])], maxLevel: Int,
+      ef: Int, maxHops: Int, srcBuckets: Int)
+      : Map[Long, Array[Vector[(Long, Double)]]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(queries.map(_._1).distinct.size == queries.size,
+      "descend: query ids must be distinct")
+    if (queries.isEmpty) return Map.empty
+    val v = emb.select(idCol.cast("long").as("id"),
+      vecCol.cast("array<float>").as("v"))
+    val e =
+      if (srcBuckets > 0)
+        edges.select(col("level"), col("id").as("src"), col("nbr"),
+          col("src_bucket"))
+      else edges.select(col("level"), col("id").as("src"), col("nbr"))
+    val qdf = broadcast(
+      queries.map { case (qid, qv) => (qid, qv.toSeq) }.toDF("qid", "qv"))
+
+    // entry = highest-layer node, lowest id (its layer may hold no
+    // edges, so derive from the vector table, not the edge frame);
+    // ONE job scores the shared entry against every query vector
+    val entryId = v.select(col("id"), levelCol(col("id"), maxLevel).as("lvl"))
+      .orderBy(col("lvl").desc, col("id").asc).limit(1).head().getLong(0)
+    val entrySims = v.filter(col("id") === entryId).join(qdf)
+      .select(col("qid"),
+        round(cosine_similarity(col("v"), col("qv")), 4).as("sim"))
+      .as[(Long, Double)].collect().toMap
+
+    val st = queries.map { case (qid, _) =>
+      qid -> new BeamState(Vector((entryId, entrySims(qid)))) }.toMap
+    val out = queries.map { case (qid, _) =>
+      qid -> new Array[Vector[(Long, Double)]](maxLevel + 1) }.toMap
+    def liveFrontier: Seq[(Long, Long)] =
+      queries.flatMap { case (qid, _) =>
+        val s = st(qid)
+        s.beam.map(_._1).filterNot(s.expanded).map(qid -> _)
+      }
+
+    for (l <- maxLevel to 0 by -1) {
+      st.values.foreach { s =>
+        s.visited.clear(); s.visited ++= s.beam.map(_._1)
+        s.expanded.clear()
+      }
+      var hops = 0
+      var frontier = liveFrontier
+      while (frontier.nonEmpty && hops < maxHops) {
+        hops += 1
+        frontier.foreach { case (qid, n) => st(qid).expanded += n }
+        val f = frontier.toDF("qid", "src")
+        val base = e.filter(col("level") === l)
+        // floorMod, NOT %: the store's partition column is
+        // pmod(id, buckets) ∈ [0, buckets), while Scala's % is negative
+        // for the negative half of the hash-id space — a plain % filter
+        // silently dropped every negative-id node's adjacency rows
+        val pruned =
+          if (srcBuckets > 0)
+            base.filter(col("src_bucket").isin(
+              frontier.map(p => math.floorMod(p._2, srcBuckets.toLong))
+                .distinct: _*))
+          else base
+        val fresh = pruned.join(broadcast(f), "src")
+          .select(col("qid"), col("nbr")).distinct()
+          .join(v, col("nbr") === v("id"))
+          .join(qdf, "qid")
+          .select(col("qid"), col("nbr"),
+            round(cosine_similarity(col("v"), col("qv")), 4).as("sim"))
+          .as[(Long, Long, Double)].collect()
+        fresh.groupBy(_._1).foreach { case (qid, rows) =>
+          val s = st(qid)
+          // distinctBy guards against duplicate id rows in the vector
+          // table (e.g. a re-appended batch) poisoning the beam
+          val novel = rows.collect {
+            case (_, id, sim) if !s.visited(id) => (id, sim) }
+            .distinctBy(_._1)
+          novel.foreach { case (id, _) => s.visited += id }
+          s.beam = (s.beam ++ novel)
+            .sortBy { case (id, sc) => (-sc, id) }.take(ef)
+        }
+        frontier = liveFrontier
+      }
+      st.foreach { case (qid, s) => out(qid)(l) = s.beam }
+    }
+    out
+  }
+
   /** Beam-descent search over a built graph. Entry point: the
     * highest-layer node (ties → lowest id). The `ef`-wide best-first
     * beam runs at EVERY layer, carried downward (the paper's ef=1
@@ -171,65 +275,122 @@ object Hnsw {
     * navigable; the symmetric-top-M edges here do not guarantee that,
     * and a beam over the sparse upper layers recovers the missed
     * long-range routing at negligible cost — upper layers are 4^l
-    * smaller). Returns the top `k` as `(rnk, id, sim)`. Each hop is one
-    * Spark job joining the current frontier's adjacency rows (≤ ef·M of
-    * them) to the vector table; the driver never holds more than the
-    * ef-bounded beam. */
+    * smaller). Returns the top `k` as `(rnk, id, sim)`. Rounds, not
+    * volume, are the cost — O(levels + hops) jobs; batch concurrent
+    * queries through [[searchMany]] to share them. */
   def search(edges: DataFrame, emb: DataFrame, idCol: Column,
       vecCol: Column, query: Array[Float], k: Int, maxLevel: Int,
-      ef: Int = 50, maxHops: Int = 50, srcBuckets: Int = 0): DataFrame = {
+      ef: Int = 50, maxHops: Int = 50, srcBuckets: Int = 0): DataFrame =
+    searchMany(edges, emb, idCol, vecCol, Seq(0L -> query), k, maxLevel,
+      ef, maxHops, srcBuckets).select("rnk", "id", "sim")
+
+  /** Multi-query [[search]]: N queries share each hop's adjacency job
+    * (the `…TopKMany` discipline the other index paths follow), so the
+    * job count stays O(levels + hops) REGARDLESS of the batch size.
+    * Output: `(qid, rnk, id, sim)`, top `k` per query. */
+  def searchMany(edges: DataFrame, emb: DataFrame, idCol: Column,
+      vecCol: Column, queries: Seq[(Long, Array[Float])], k: Int,
+      maxLevel: Int, ef: Int = 50, maxHops: Int = 50,
+      srcBuckets: Int = 0): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val v = emb.select(idCol.cast("long").as("id"),
-      vecCol.cast("array<float>").as("v"))
-    val qsim = round(cosine_similarity(col("v"), typedLit(query)), 4)
-    val e =
-      if (srcBuckets > 0)
-        edges.select(col("level"), col("id").as("src"), col("nbr"),
-          col("src_bucket"))
-      else edges.select(col("level"), col("id").as("src"), col("nbr"))
+    val beams = descend(edges, emb, idCol, vecCol, queries, maxLevel, ef,
+      maxHops, srcBuckets)
+    queries.flatMap { case (qid, _) =>
+      beams(qid)(0).take(k).zipWithIndex.map { case ((id, s), i) =>
+        (qid, i + 1, id, s) }
+    }.toDF("qid", "rnk", "id", "sim")
+  }
 
-    // entry = highest-layer node (its layer may hold no edges, so derive
-    // from the vector table, not the edge frame)
-    val entryRow = v.select(col("id"),
-        levelCol(col("id"), maxLevel).as("lvl"), qsim.as("sim"))
-      .orderBy(col("lvl").desc, col("id").asc).limit(1).head()
+  /** The deterministic driver-side twin of [[levelCol]]. */
+  private def levelOf(id: Long, maxLevel: Int): Int = {
+    val h = PortableHash.hex15(s"hnsw:$id")
+    (1 to maxLevel).foldLeft(0) { (acc, l) =>
+      if (h % math.pow(4, l).toLong == 0) l else acc }
+  }
 
-    // scored, deduped neighbors of `srcs` at layer l — one job per call.
-    // With a bucketed edge store (srcBuckets > 0) the extra predicate on
-    // the partition column turns the fetch into directory-pruned point
-    // reads — the adjacency scan touches only the frontier's buckets.
-    def nbrs(l: Int, srcs: Seq[Long]): Seq[(Long, Double)] = {
-      val base = e.filter(col("level") === l && col("src").isin(srcs: _*))
-      val pruned =
-        if (srcBuckets > 0)
-          base.filter(col("src_bucket")
-            .isin(srcs.map(_ % srcBuckets).distinct: _*))
-        else base
-      pruned
-        .join(v, col("nbr") === v("id"))
-        .groupBy(col("nbr")).agg(first(qsim).as("sim"))
-        .as[(Long, Double)].collect().toSeq
+  private def cosRound(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
     }
+    val c = if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    math.rint(c * 10000) / 10000
+  }
 
-    var beam = Vector((entryRow.getLong(0), entryRow.getDouble(2)))
-    for (l <- maxLevel to 0 by -1) {
-      val visited = scala.collection.mutable.Set(beam.map(_._1): _*)
-      val expanded = scala.collection.mutable.Set.empty[Long]
-      var hops = 0
-      var frontier = beam.map(_._1).filterNot(expanded)
-      while (frontier.nonEmpty && hops < maxHops) {
-        hops += 1
-        expanded ++= frontier
-        val fresh = nbrs(l, frontier)
-          .filterNot { case (id, _) => visited(id) }
-        fresh.foreach { case (id, _) => visited += id }
-        beam = (beam ++ fresh).sortBy { case (id, s) => (-s, id) }.take(ef)
-        frontier = beam.map(_._1).filterNot(expanded)
-      }
-    }
-    beam.take(k).zipWithIndex
-      .map { case ((id, s), i) => (i + 1, id, s) }
-      .toDF("rnk", "id", "sim")
+  /** Incremental batch insert — the paper's insertion algorithm,
+    * batched: each new node takes its md5-ladder level, finds per-layer
+    * candidates via ONE shared [[descend]] over the EXISTING graph
+    * (ef = `efC`, the construction beam), links to its top-`m`, and the
+    * reverse edges re-cap the touched existing nodes' lists at `m`;
+    * rings re-extend per layer (an integer sort, no scoring). The
+    * corpus is never re-scored — append cost is O(levels + hops)
+    * shared descent jobs + an integer re-cap over the edge table, vs a
+    * rebuild's layer-0 pair join. New-new links score driver-side
+    * (the batch rides the driver as the descent's query set — this is
+    * the MICRO-BATCH maintenance path; bulk loads take [[buildIvf]]).
+    * `emb` = the graph's existing vectors (new ids in it are ignored);
+    * an empty graph falls back to [[buildExact]] over the batch.
+    * Output: the full updated `(level, id, rnk, nbr, sim)` frame. */
+  def append(edges: DataFrame, emb: DataFrame, idCol: Column,
+      vecCol: Column, newEmb: DataFrame, newIdCol: Column,
+      newVecCol: Column, m: Int, maxLevel: Int, efC: Int = 50,
+      maxHops: Int = 50, srcBuckets: Int = 0): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val newPts = newEmb.select(newIdCol.cast("long").as("id"),
+        newVecCol.cast("array<float>").as("v"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, vv) => (id, vv.toArray) }
+    val newIds = newPts.map(_._1).toSet
+    val oldV = emb.select(idCol.cast("long").as("id"),
+        vecCol.cast("array<float>").as("v"))
+      .filter(!col("id").isInCollection(newIds.toSeq :+ -1L))
+    if (newPts.isEmpty)
+      return edges.select(col("level"), col("id"), col("rnk"), col("nbr"),
+        col("sim"))
+    if (oldV.isEmpty)
+      return buildExact(newEmb, newIdCol, newVecCol, m, maxLevel)
+    val lvls = newPts.map { case (id, _) => id -> levelOf(id, maxLevel) }.toMap
+    val beams = descend(edges, oldV, col("id"), col("v"),
+      newPts.toSeq, maxLevel, efC, maxHops, srcBuckets)
+    // per new node and layer ≤ its level: candidates = that layer's
+    // construction beam (existing layer members) + the batch's own
+    // layer peers, top-m by (sim DESC, id ASC)
+    val newDirected = for {
+      (qid, qv) <- newPts.toSeq
+      l <- 0 to lvls(qid)
+      cands = (beams(qid)(l) ++ newPts.toSeq.collect {
+        case (oid, ov) if oid != qid && lvls(oid) >= l =>
+          (oid, cosRound(qv, ov)) })
+        .groupBy(_._1).map { case (id, g) => (id, g.map(_._2).max) }.toSeq
+      (nid, sim) <- cands.sortBy { case (id, s) => (-s, id) }.take(m)
+    } yield (l, qid, nid, sim)
+    val newDf = newDirected.toDF("level", "src", "nbr", "sim")
+    // symmetrize into the standing lists and re-cap at m: only nodes a
+    // reverse edge touches can change; everything shuffling here is
+    // (level, src, nbr, sim) ints — no vectors, no re-scoring
+    val sym = edges.filter(col("rnk") >= 1)
+      .select(col("level"), col("id").as("src"), col("nbr"), col("sim"))
+      .unionByName(newDf)
+      .unionByName(newDf.select(col("level"), col("nbr").as("src"),
+        col("src").as("nbr"), col("sim")))
+      .groupBy("level", "src", "nbr").agg(max("sim").as("sim"))
+    val topM = TopK.perGroup(sym, Seq(col("level"), col("src")),
+        col("nbr"), col("sim"), m)
+      .select(col("level"), col("src").as("id"), col("rnk"),
+        col("id").as("nbr"), col("sim"))
+    val allV = oldV.unionByName(
+        newPts.toSeq.map { case (id, vv) => (id, vv.toSeq) }.toDF("id", "v"))
+      .withColumn("lvl", levelCol(col("id"), maxLevel))
+    (0 to maxLevel).map { l =>
+      val nodes = allV.filter(col("lvl") >= l).select("id", "v")
+      val tm = topM.filter(col("level") === l)
+        .select(col("id"), col("rnk"), col("nbr"), col("sim"))
+      tm.unionByName(ringEdges(nodes, tm))
+        .select(lit(l).as("level"), col("id"), col("rnk"), col("nbr"),
+          col("sim"))
+    }.reduce(_.unionByName(_))
   }
 }

@@ -124,6 +124,42 @@ final class VectorStore(spark: SparkSession, warehouse: String) {
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }
 
+  /** Incremental HNSW maintenance ([[graft.ops.Hnsw.append]]): link a
+    * new `(id, vector)` batch into the persisted graph — md5-ladder
+    * levels, per-layer candidates from ONE shared beam descent over the
+    * standing bucketed edges (directory-pruned point reads), reverse
+    * edges re-capped at `m`, rings re-extended — then rewrite the
+    * bucketed layout. The corpus is never re-scored: append cost is the
+    * descent's O(levels + hops) jobs plus an integer re-cap, vs a full
+    * rebuild's layer-0 pair join. Micro-batch path (the batch rides the
+    * driver as the descent's query set); bulk loads re-run
+    * [[writeHnsw]]. Ids already present in the graph's vector table are
+    * handled (streaming appends vectors before maintaining the graph). */
+  def appendHnsw(db: String, newVectors: DataFrame, efC: Int = 50): Unit = {
+    val (m, maxLevel, buckets) = hnswMeta(db)
+    val edges = hnswEdges(db)
+    // only genuinely new nodes link in: a re-delivered batch (stream
+    // catch-up over a pre-existing store) must not re-insert graph
+    // members; the vector side dedupes by id for the same reason
+    val fresh = newVectors
+      .select(col("id").cast("long").as("id"), col("vector"))
+      .join(edges.select(col("id")).distinct(), Seq("id"), "left_anti")
+    val updated = graft.ops.Hnsw.append(
+        edges, vectors(db).dropDuplicates("id"), col("id"), col("vector"),
+        fresh, col("id"), col("vector"), m, maxLevel, efC,
+        srcBuckets = buckets)
+      .withColumn("src_bucket", pmod(col("id"), lit(buckets.toLong)))
+      // eager checkpoint: the lineage reads the very parquet layout the
+      // write below overwrites
+      .localCheckpoint(true)
+    updated.repartition(col("src_bucket"))
+      .sortWithinPartitions("level", "id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 100000)
+      .partitionBy("src_bucket")
+      .parquet(s"${dbDir(db)}/hnsw_edges")
+  }
+
   /** Learned centroids of an IVF store (tiny: nlist × dim floats). */
   def centroids(db: String): Seq[(Int, Seq[Float])] =
     spark.read.parquet(s"${dbDir(db)}/centroids")

@@ -122,6 +122,67 @@ class HnswSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.6, s"IVF-pruned recall $recall")
   }
 
+  test("searchMany: batched equals single per query, one shared descent") {
+    val df = ptsDf()
+    val edges = Hnsw.buildExact(df, col("id"), col("v"), m = 8,
+      maxLevel = 2).cache()
+    edges.count()
+    val queries = Seq(
+      10L -> query,
+      11L -> center(5).map(x => (x - 0.02).toFloat),
+      12L -> center(0).map(_.toFloat))
+    val batched = Hnsw.searchMany(edges, df, col("id"), col("v"),
+        queries, k = 10, maxLevel = 2, ef = 60)
+      .collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getDouble(3))))
+      .groupBy(_._1).map { case (q, g) => q -> g.map(_._2).sortBy(_._1).toSeq }
+    queries.foreach { case (qid, qv) =>
+      val single = Hnsw.search(edges, df, col("id"), col("v"), qv,
+          k = 10, maxLevel = 2, ef = 60)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(batched(qid) == single, s"qid $qid diverged")
+    }
+  }
+
+  test("append: links a new batch without re-scoring the graph; " +
+      "caps and recall hold") {
+    import spark.implicits._
+    val (oldPts, newPts) = pts.partition(_._1 < 300)
+    val oldDf = oldPts.map { case (id, v) => (id, v.toSeq) }.toDF("id", "v")
+    val newDf = newPts.map { case (id, v) => (id, v.toSeq) }.toDF("id", "v")
+    val base = Hnsw.buildExact(oldDf, col("id"), col("v"), m = 8,
+      maxLevel = 2).cache()
+    base.count()
+    val edges = Hnsw.append(base, oldDf, col("id"), col("v"),
+      newDf, col("id"), col("v"), m = 8, maxLevel = 2, efC = 60).cache()
+    // structural invariants survive the append
+    assert(edges.filter(col("id") === col("nbr")).count() == 0)
+    assert(edges.filter(col("rnk") > 8).count() == 0)
+    val badRing = edges.filter(col("rnk") === 0).groupBy("level", "id")
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(badRing == 0)
+    // every node of every layer has an edge list (ring guarantees ≥ 1)
+    val full = ptsDf()
+    val n0 = edges.filter(col("level") === 0).select("id").distinct().count()
+    assert(n0 == nPts.toLong)
+    // new nodes actually linked into the kNN lists, not just the ring
+    val newLinked = edges.filter(col("rnk") >= 1 &&
+      col("id") >= 300).select("id").distinct().count()
+    assert(newLinked > 50, s"only $newLinked new nodes have kNN edges")
+    // search over the appended graph still finds the cluster
+    val got = Hnsw.search(edges, full, col("id"), col("v"), query,
+        k = 10, maxLevel = 2, ef = 60)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val recall = (got & exactTop(10)).size / 10.0
+    assert(recall >= 0.6, s"post-append recall $recall")
+    // appended results can surface NEW ids when they win on similarity
+    val newIdsInTop = exactTop(10).count(_ >= 300)
+    if (newIdsInTop > 0)
+      assert(got.exists(_ >= 300), "new batch invisible to search")
+  }
+
   test("levelCol: matches the md5 ladder definition") {
     import spark.implicits._
     val out = (0L until 64L).toDF("id")

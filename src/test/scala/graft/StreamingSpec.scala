@@ -123,6 +123,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.count() > 0)
   }
 
+  test("streaming HNSW maintenance: appended batches are searchable " +
+      "without a graph rebuild") {
+    val work = Files.createTempDirectory("graft-shnsw").toString
+    val docsDir = s"$work/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    def put(name: String, content: String): Unit =
+      Files.write(Paths.get(docsDir, name), content.getBytes(StandardCharsets.UTF_8))
+    val store = new VectorStore(spark, s"$work/wh")
+    val cfg = IngestJob.Config(chunkSize = 100, chunkOverlap = 0)
+
+    // create the store + layered graph from a seed corpus
+    put("seed.txt", "the graph seeds from the very first corpus here " * 20)
+    val seed = IngestJob.vectorize(IngestJob.extract(spark, docsDir), cfg)
+    store.writeVectors("hdb", seed)
+    store.writeHnsw("hdb", seed, m = 4, maxLevel = 1, buckets = 4)
+    val seedIds = store.hnswEdges("hdb").select("id").distinct()
+      .collect().map(_.getLong(0)).toSet
+
+    // stream a new file: its vectors must be LINKED into the standing
+    // graph (append path), not trigger a rebuild of the seed edges
+    put("later.txt", "a streamed document joins the navigable graph " * 20)
+    val q = StreamingIngest.start(spark, docsDir, s"$work/wh", "hdb", cfg)
+    q.awaitTermination(60000)
+    val edges = store.hnswEdges("hdb")
+    val idsAfter = edges.select("id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(seedIds.subsetOf(idsAfter) && idsAfter.size > seedIds.size,
+      s"new nodes missing: before ${seedIds.size}, after ${idsAfter.size}")
+    // graph-level invariants survive the append
+    assert(edges.filter(col("id") === col("nbr")).count() == 0)
+    assert(edges.filter(col("rnk") > 4).count() == 0)
+    // the appended content is reachable through the beam search
+    val searcher = new graft.query.Searcher(spark, store)
+    val hits = searcher.searchHnsw("hdb", "streamed document navigable",
+      Searcher.Params(k = 3, threshold = -1.0), ef = 30)
+    assert(hits.count() == 3)
+  }
+
   test("streaming dedup: re-delivered content under a new path adds no vectors") {
     spark.sparkContext.setLogLevel("WARN")
     val work = Files.createTempDirectory("graft-sdedup").toString
@@ -591,10 +629,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows2 = spark.sql("SELECT term, est FROM hh2").collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val lastEmission = rows2.drop(before.toInt)
-    assert(lastEmission.length <= 2) // bounded candidate set
+    // candidates bounded at capacity; tombstones add ≤ the evicted terms
+    assert(lastEmission.count(_._2 >= 0) <= 2)
     val xEst = lastEmission.toMap.getOrElse("x", 0L)
     // 9 occurrences of x over 12 tokens, capacity 2: est ≥ 9 − 12/2
     assert(xEst >= 3L && xEst <= 9L, s"x estimate $xEst")
+    // 'w' survived batch 1's sketch but batch 2's 'v' decremented it
+    // out — the retraction must arrive as an est = -1 tombstone so the
+    // latest-emission snapshot stops surfacing its stale estimate
+    assert(rows2.take(before.toInt).exists(r => r._1 == "w" && r._2 >= 0))
+    assert(lastEmission.contains(("w", -1L)))
+    // the documented consumer read: latest emission per term, est >= 0
+    val latest = rows2.zipWithIndex.groupBy(_._1._1)
+      .map { case (t, g) => t -> g.maxBy(_._2)._1._2 }
+    assert(latest.filter(_._2 >= 0).keySet == Set("x"))
     q2.stop()
   }
 }
