@@ -57,6 +57,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$fn expects a literal integer argument, got: $other")
     }
 
+  /** Literal-string SQL argument (strategy names and the like). */
+  private def literalString(fn: String, e: Option[Expression],
+      default: String): String =
+    e match {
+      case None => default
+      case Some(Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+        v.toString
+      case Some(other) => throw new IllegalArgumentException(
+        s"$fn expects a literal string argument, got: $other")
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", "cosine_similarity(a, b) - cosine of two float vectors"),
@@ -123,6 +134,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "rendezvous_shard(key, n_shards)", es, 2, 2)
         CurationExprs.rendezvousShard(str(es.head),
           literalInt("rendezvous_shard", es.lift(1), -1)) }))
+    ext.injectFunction((FunctionIdentifier("word_noise"),
+      info("word_noise",
+        "word_noise(id, text, pct) - BART token-deletion noising; struct(n_tokens, n_deleted, noised_text)"),
+      (es: Seq[Expression]) => { arity("word_noise",
+        "word_noise(id, text, pct)", es, 3, 3)
+        CurationExprs.wordNoise(es(0), str(es(1)),
+          literalInt("word_noise", es.lift(2), -1)) }))
+    ext.injectFunction((FunctionIdentifier("token_truncate"),
+      info("token_truncate",
+        "token_truncate(text, budget[, strategy]) - token-budget truncation (head|tail|both); struct(kept_text, n_tokens, n_kept, truncated)"),
+      (es: Seq[Expression]) => { arity("token_truncate",
+        "token_truncate(text, budget[, strategy])", es, 2, 3)
+        CurationExprs.tokenTruncate(str(es.head),
+          literalInt("token_truncate", es.lift(1), -1),
+          literalString("token_truncate", es.lift(2), "head")) }))
+    ext.injectFunction((FunctionIdentifier("sentence_split"),
+      info("sentence_split",
+        "sentence_split(text) - trimmed non-empty sentence segments as array<string>"),
+      (es: Seq[Expression]) => { arity("sentence_split",
+        "sentence_split(text)", es, 1, 1)
+        CurationExprs.sentenceSplit(str(es.head)) }))
     ext.injectFunction((FunctionIdentifier("nearest_centroid"),
       info("nearest_centroid",
         "nearest_centroid(v, cents) - argmax-cosine centroid id"),

@@ -111,6 +111,15 @@ object functions {
     reg.createOrReplaceTempFunction("rendezvous_shard",
       es => CurationExprs.rendezvousShard(str(es.head),
         intArg("rendezvous_shard", es.lift(1), -1)), "built-in")
+    reg.createOrReplaceTempFunction("word_noise",
+      es => CurationExprs.wordNoise(es(0), str(es(1)),
+        intArg("word_noise", es.lift(2), -1)), "built-in")
+    reg.createOrReplaceTempFunction("token_truncate",
+      es => CurationExprs.tokenTruncate(str(es.head),
+        intArg("token_truncate", es.lift(1), -1),
+        strArg("token_truncate", es.lift(2), "head")), "built-in")
+    reg.createOrReplaceTempFunction("sentence_split",
+      es => CurationExprs.sentenceSplit(str(es.head)), "built-in")
   }
 
   /** Literal-integer argument of a SQL function call (percentages, shard
@@ -126,5 +135,16 @@ object functions {
       case Some(other) =>
         throw new IllegalArgumentException(
           s"$fn expects a literal integer argument, got: $other")
+    }
+
+  /** Literal-string argument (strategy names and the like). */
+  private def strArg(fn: String, e: Option[Expression], default: String): String =
+    e match {
+      case None => default
+      case Some(org.apache.spark.sql.catalyst.expressions.Literal(
+        v: org.apache.spark.unsafe.types.UTF8String, _)) => v.toString
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"$fn expects a literal string argument, got: $other")
     }
 }

@@ -83,6 +83,47 @@ class ExtensionsAndClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("literal integer"))
   }
 
+  test("extensions: word_noise / token_truncate / sentence_split resolve " +
+      "in SQL and match the Column API rules") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta. eta theta! iota"),
+      (2L, "one two three"),
+      (3L, "  padded   tokens  here  end?  ")).toDF("id", "text")
+    docs.createOrReplaceTempView("wn_docs")
+    val viaSql = spark.sql(
+      """SELECT id,
+               word_noise(id, text, 30) AS wn,
+               token_truncate(text, 4) AS th,
+               token_truncate(text, 4, 'both') AS tb,
+               sentence_split(text) AS ss
+         FROM wn_docs ORDER BY id""").collect()
+    val wnCol = graft.ops.Curation.wordNoise(docs, col("id"), col("text"),
+        pct = 30).orderBy("id").collect()
+    val thCol = graft.ops.Curation.tokenBudgetTruncate(docs, col("id"),
+        col("text"), budget = 4).orderBy("id").collect()
+    val tbCol = graft.ops.Curation.tokenBudgetTruncate(docs, col("id"),
+        col("text"), budget = 4, strategy = "both").orderBy("id").collect()
+    val ssCol = graft.ops.TextAnalysis.sentenceSplit(docs, col("id"),
+        col("text")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, g) =>
+        id -> g.sortBy(_.getLong(1)).map(_.getString(2)).toSeq }
+    viaSql.zipWithIndex.foreach { case (r, i) =>
+      val wn = r.getStruct(1)
+      assert((wn.getLong(0), wn.getLong(1), wn.getString(2)) ==
+        ((wnCol(i).getLong(1), wnCol(i).getLong(2), wnCol(i).getString(3))))
+      val th = r.getStruct(2)
+      assert((th.getString(0), th.getLong(1), th.getLong(2),
+        th.getBoolean(3)) == ((thCol(i).getString(1), thCol(i).getLong(2),
+        thCol(i).getLong(3), thCol(i).getBoolean(4))))
+      val tb = r.getStruct(3)
+      assert(tb.getString(0) == tbCol(i).getString(1))
+      assert(r.getSeq[String](4) ==
+        ssCol.getOrElse(r.getLong(0), Seq.empty))
+    }
+  }
+
   test("extensions: wrong arity fails with the signature, not an " +
       "IndexOutOfBoundsException") {
     def analysisError(sql: String): String = {
@@ -99,6 +140,12 @@ class ExtensionsAndClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mask.contains("span_mask(text, spans[, sentinel])"), mask)
     val cos = analysisError("SELECT cosine_similarity(array(1.0))")
     assert(cos.contains("cosine_similarity(a, b)"), cos)
+    val wn = analysisError("SELECT word_noise(1, 'a')")
+    assert(wn.contains("word_noise(id, text, pct)"), wn)
+    val tt = analysisError("SELECT token_truncate('a')")
+    assert(tt.contains("token_truncate(text, budget[, strategy])"), tt)
+    val tts = analysisError("SELECT token_truncate('a', 4, 'sideways')")
+    assert(tts.contains("head|tail|both"), tts)
     assert(!cut.contains("IndexOutOfBounds") &&
       !mask.contains("IndexOutOfBounds"))
   }
