@@ -274,6 +274,105 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"range join degenerated to a nested loop:\n$p")
   }
 
+  test("q231: HNSW layer joins — exact build broadcasts, IVF build " +
+      "equi-joins on the cell; never a CartesianProduct") {
+    val exact = plan(graft.ops.Hnsw.buildExact(
+      emb.filter(col("vec_id") < 50), col("vec_id"), col("embedding"),
+      m = 4, maxLevel = 1))
+    assert(exact.contains("Broadcast"),
+      s"exact layer scoring must broadcast the pair side:\n$exact")
+    assert(!exact.contains("CartesianProduct"),
+      s"exact build degenerated to a cartesian:\n$exact")
+    val pruned = plan(graft.ops.Hnsw.buildIvf(
+      emb.filter(col("vec_id") < 50), col("vec_id"), col("embedding"),
+      m = 4, maxLevel = 0, nlist = 4))
+    assert(pruned.contains("HashJoin") || pruned.contains("SortMergeJoin"),
+      s"IVF-pruned candidates must come from a cell equi-join:\n$pruned")
+    assert(!pruned.contains("CartesianProduct"),
+      s"pruned build degenerated to a cartesian:\n$pruned")
+  }
+
+  test("q233: distillationPairs ranks inside qid-partitioned windows — " +
+      "bounded per query, never a global sort") {
+    import org.apache.spark.sql.SparkSession
+    val spark2 = spark
+    import spark2.implicits._
+    val cands = Seq((1L, "q", 10L, "d1"), (1L, "q", 11L, "d2"))
+      .toDF("qid", "qt", "did", "dt")
+    val p = plan(graft.ops.Rerank.distillationPairs(cands, col("qid"),
+      col("qt"), col("did"), col("dt"), graft.ops.HashCrossScorer(),
+      posK = 1, negK = 1))
+    assert(p.contains("windowspecdefinition(qid"),
+      s"teacher-score ranking must partition by qid:\n$p")
+    // window sorts are partition-local (`Sort [...], false`); a GLOBAL
+    // sort (`Sort [...], true`) would be the 100 TB scale-killer
+    assert(!p.contains("windowspecdefinition()") &&
+      !"Sort \\[[^\\]]*\\], true".r.findFirstIn(p).isDefined,
+      s"no unpartitioned window / global sort:\n$p")
+  }
+
+  test("q237: rollingStats is ONE key shuffle — a single exchange on " +
+      "the key, every frame a keyed window") {
+    import org.apache.spark.sql.SparkSession
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq((1L, 7L, ts("2024-01-01 10:00:00"), 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val p = plan(graft.ops.Temporal.rollingStats(ev, col("event_id"),
+      Seq("user_id"), col("ts"), col("value"), nRows = 3))
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly one key exchange, got $exchanges:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"the one exchange must partition on the key:\n$p")
+  }
+
+  test("q241/q243: funnel is one key-shuffled aggregation — no driver " +
+      "loop, no self-join chain on the event log") {
+    import org.apache.spark.sql.SparkSession
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq((1L, "a", ts("2024-01-01 10:00:00")))
+      .toDF("u", "tp", "t")
+    val steps = plan(graft.ops.Temporal.funnelSteps(ev, col("u"),
+      col("tp"), col("t"), Seq("a", "b")))
+    assert(!steps.contains("Join") && !steps.contains("Window"),
+      s"funnelSteps is one aggregation + row-local scan:\n$steps")
+    val counts = plan(graft.ops.Temporal.funnel(ev, col("u"), col("tp"),
+      col("t"), Seq("a", "b")))
+    assert(counts.contains("BroadcastHashJoin") ||
+      counts.contains("BroadcastNestedLoop"),
+      s"the step-list completion join must broadcast:\n$counts")
+    assert(!counts.contains("SortMergeJoin"),
+      s"no shuffled join against the 2-row step list:\n$counts")
+  }
+
+  test("spread guard: engages on small scan-rooted inputs, exact no-op " +
+      "past an exchange (the q100-class flip becomes a spec failure)") {
+    val scanRooted = docs.select(col("doc_id"), col("text"))
+    val spread = graft.ops.Dedup.spreadSmallScan(scanRooted, col("doc_id"))
+    // sf0.001 parquet is one row group → 1 input partition < cores/2 →
+    // the guard must insert the spreading exchange
+    assert(plan(spread).contains("Exchange hashpartitioning(doc_id"),
+      s"guard failed to engage on a small scan:\n${plan(spread)}")
+    // derived frames (downstream of any exchange) return IDENTICALLY —
+    // the guard must not finalize AQE or touch the plan
+    val derived = docs.groupBy("doc_id").count()
+    val out = graft.ops.Dedup.spreadSmallScan(derived, col("doc_id"))
+    assert(out eq derived, "guard must be an exact no-op past exchanges")
+  }
+
+  test("q152/q153: the suffix loop switch records its decision and " +
+      "defaults to the dense loop at local scales") {
+    graft.ops.Suffix.suffixRanks(
+      docs.filter(col("doc_id") < 20), col("doc_id"), col("text"))
+      .queryExecution.toRdd.count()
+    assert(graft.ops.Suffix.lastLoop == "dense",
+      s"local-scale corpora must take the dense loop, " +
+        s"got '${graft.ops.Suffix.lastLoop}'")
+  }
+
   test("q234: packAssign joined stats shuffle only on the bin key — " +
       "semantic packing's reports stay partial-agg'd") {
     import org.apache.spark.sql.SparkSession
