@@ -258,13 +258,44 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
   }
 
   /** [[graft.ops.Temporal.asofJoin]] with name-based columns: the most
-    * recent `right` row per key at-or-before each `left` row's time. */
+    * recent `right` row per key at-or-before each `left` row's time
+    * (`direction = "forward"`: the earliest at-or-after). */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      timeCol: String, payload: Seq[String], rightTiebreak: String,
+      toleranceMicros: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Temporal.asofJoin(left, right, keys, timeCol, payload,
+      col(rightTiebreak), toleranceMicros, direction = direction)
+  }
+
+  /** [[graft.ops.Temporal.asofJoinNearest]] with name-based columns:
+    * the closer of the two as-of directions, ties backward. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
       timeCol: String, payload: Seq[String], rightTiebreak: String,
       toleranceMicros: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    graft.ops.Temporal.asofJoin(left, right, keys, timeCol, payload,
-      col(rightTiebreak), toleranceMicros)
+    graft.ops.Temporal.asofJoinNearest(left, right, keys, timeCol,
+      payload, col(rightTiebreak), toleranceMicros)
+  }
+
+  /** [[graft.ops.Temporal.intervalOverlapJoin]] with name-based
+    * columns: every overlapping (a, b) interval pair, exactly once. */
+  def intervalOverlapJoin(a: DataFrame, aId: String, aStart: String,
+      aEnd: String, b: DataFrame, bId: String, bStart: String,
+      bEnd: String, bucketWidthMicros: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Temporal.intervalOverlapJoin(a, col(aId), col(aStart),
+      col(aEnd), b, col(bId), col(bStart), col(bEnd), bucketWidthMicros)
+  }
+
+  /** [[graft.ops.Temporal.funnelSteps]] with name-based columns: the
+    * per-key ordered-funnel completion frame. */
+  def funnelSteps(events: DataFrame, keyCol: String, typeCol: String,
+      timeCol: String, steps: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Temporal.funnelSteps(events, col(keyCol), col(typeCol),
+      col(timeCol), steps)
   }
 
   /** [[graft.ops.Temporal.rangeJoin]] with name-based columns: each

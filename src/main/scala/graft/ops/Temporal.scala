@@ -47,12 +47,24 @@ object Temporal {
     * columns, `right`'s `payload` columns as `asof_<name>` (null when
     * nothing precedes), and `asof_time` (the matched right row's time).
     * `toleranceMicros` voids matches older than the tolerance (time
-    * columns must then be TIMESTAMP; likewise for `bucket`). */
+    * columns must then be TIMESTAMP; likewise for `bucket`).
+    *
+    * `direction = "forward"` mirrors everything: the EARLIEST right row
+    * with `r.time >= l.time` (equal times match, greatest tiebreak at
+    * equal time, tolerance voids matches farther than the tolerance
+    * AHEAD) — pandas `merge_asof(direction="forward")` / DuckDB
+    * `ASOF JOIN ... ON l.t <= r.t`. Same plan: the scan just runs
+    * time-descending and bucket carries flow from LATER buckets. For
+    * the closer of the two, see [[asofJoinNearest]]. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       timeCol: String, payload: Seq[String], rightTiebreak: Column,
       toleranceMicros: Option[Long] = None,
-      bucket: Option[Column => Column] = None): DataFrame = {
+      bucket: Option[Column => Column] = None,
+      direction: String = "backward"): DataFrame = {
     require(payload.nonEmpty, "asofJoin: payload columns required")
+    require(Set("backward", "forward")(direction),
+      s"asofJoin: unknown direction '$direction' (backward|forward)")
+    val fwd = direction == "forward"
     val keyCols = keys.map(col)
     val timeType = left.schema(timeCol).dataType
     // one nullable struct carries the right payload + matched time through
@@ -73,10 +85,16 @@ object Temporal {
         Seq(rp.as("__rp"), lit(0).as("__side"),
           rightTiebreak.cast(LongType).as("__tb")): _*)
       .select(lSide.columns.map(col): _*)
+    // forward = the identical scan, time-descending: the last right
+    // payload seen at a left row is then the SMALLEST right time >= it;
+    // at equal time side 0 still sorts first (equality matches) and
+    // __tb asc leaves the greatest tiebreak last-seen either way
+    val tOrd = if (fwd) col(timeCol).desc_nulls_first
+      else col(timeCol).asc_nulls_first
     val matched = bucket match {
       case None =>
         val w = Window.partitionBy(keyCols: _*)
-          .orderBy(col(timeCol).asc, col("__side").asc, col("__tb").asc)
+          .orderBy(tOrd, col("__side").asc, col("__tb").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         lSide.unionByName(rSide)
           .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
@@ -90,12 +108,20 @@ object Temporal {
         // right payload from earlier buckets), so its summary row exists
         // with a null final (max(when(right, …)) skips left rows) and
         // the ignoreNulls carry walks straight across it
-        val bw = Window.partitionBy(keyCols: _*).orderBy(col("__bk").asc)
+        val bw = Window.partitionBy(keyCols: _*)
+          .orderBy(if (fwd) col("__bk").desc else col("__bk").asc)
           .rowsBetween(Window.unboundedPreceding, -1)
+        // per-bucket final-for-the-scan right row: backward = the latest
+        // (then greatest tiebreak); forward = the EARLIEST (negated
+        // tiebreak turns min-of-struct's tie rule into greatest-tb)
+        val fin =
+          if (fwd) min(when(col("__side") === 0,
+            struct(col(timeCol), (-col("__tb")).as("__tb"), col("__rp"))))
+          else max(when(col("__side") === 0,
+            struct(col(timeCol), col("__tb"), col("__rp"))))
         val carries = both
           .groupBy((keyCols :+ col("__bk")): _*)
-          .agg(max(when(col("__side") === 0,
-            struct(col(timeCol), col("__tb"), col("__rp")))).as("__fin"))
+          .agg(fin.as("__fin"))
           .withColumn("__carry",
             last(col("__fin").getField("__rp"), ignoreNulls = true).over(bw))
           .filter(col("__carry").isNotNull)
@@ -113,17 +139,20 @@ object Temporal {
             case c => lit(null).cast(lSide.schema(c).dataType).as(c)
           } :+ col("__bk")): _*)
         val w = Window.partitionBy((keyCols :+ col("__bk")): _*)
-          .orderBy(col(timeCol).asc_nulls_first, col("__side").asc,
-            col("__tb").asc)
+          .orderBy(tOrd, col("__side").asc, col("__tb").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         both.unionByName(seeds)
           .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
     }
     val inTol = toleranceMicros match {
       case None => col("__m").isNotNull
-      case Some(tol) => col("__m").isNotNull &&
-        unix_micros(col(timeCol)) -
-          unix_micros(col("__m").getField("__asof_t")) <= tol
+      case Some(tol) =>
+        val delta =
+          if (fwd) unix_micros(col("__m").getField("__asof_t")) -
+            unix_micros(col(timeCol))
+          else unix_micros(col(timeCol)) -
+            unix_micros(col("__m").getField("__asof_t"))
+        col("__m").isNotNull && delta <= tol
     }
     matched.filter(col("__side") === 1)
       .withColumn("__ok", inTol)
@@ -132,6 +161,106 @@ object Temporal {
           payload.map(p =>
             when(col("__ok"), col("__m").getField(p)).as(s"asof_$p")) :+
           when(col("__ok"), col("__m").getField("__asof_t")).as("asof_time"): _*)
+  }
+
+  /** Nearest as-of join: for every left row, the right row with equal
+    * `keys` minimizing `|r.time - l.time|` (ties between an equally
+    * distant earlier and later row resolve BACKWARD, pandas
+    * `merge_asof(direction="nearest")`; among right rows sharing
+    * (key, time) the greatest `rightTiebreak` wins). `toleranceMicros`
+    * voids matches farther than the tolerance in either direction.
+    *
+    * Plan: the same union-and-scan as [[asofJoin]], with BOTH running
+    * windows over ONE key shuffle — the ascending scan carries the
+    * latest-at-or-before payload, the descending scan the
+    * earliest-at-or-after, and a row-local comparison picks the closer.
+    * Two sorts, one exchange, still no join operator. (Hot-key
+    * bucketing composes with one direction at a time; nearest keeps the
+    * plain per-key window — bucket upstream if a key outgrows a
+    * partition.) Output: the [[asofJoin]] contract. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      timeCol: String, payload: Seq[String], rightTiebreak: Column,
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    require(payload.nonEmpty, "asofJoinNearest: payload columns required")
+    val keyCols = keys.map(col)
+    val rpType = StructType(
+      payload.map(p => StructField(p, right.schema(p).dataType)) :+
+        StructField("__asof_t", right.schema(timeCol).dataType))
+    val rp = struct(
+      (payload.map(p => col(p).as(p)) :+ col(timeCol).as("__asof_t")): _*)
+    val lSide = left.select(
+      left.columns.map(col) :+ lit(null).cast(rpType).as("__rp")
+        :+ lit(1).as("__side") :+ lit(0L).cast(LongType).as("__tb"): _*)
+    val rSide = right.select(
+      keyCols ++ Seq(col(timeCol)) ++
+        left.columns.filterNot(c => keys.contains(c) || c == timeCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(rp.as("__rp"), lit(0).as("__side"),
+          rightTiebreak.cast(LongType).as("__tb")): _*)
+      .select(lSide.columns.map(col): _*)
+    val wB = Window.partitionBy(keyCols: _*)
+      .orderBy(col(timeCol).asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keyCols: _*)
+      .orderBy(col(timeCol).desc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scanned = lSide.unionByName(rSide)
+      .withColumn("__mb", last(col("__rp"), ignoreNulls = true).over(wB))
+      .withColumn("__mf", last(col("__rp"), ignoreNulls = true).over(wF))
+    val t = unix_micros(col(timeCol))
+    val dB = t - unix_micros(col("__mb").getField("__asof_t"))
+    val dF = unix_micros(col("__mf").getField("__asof_t")) - t
+    val pickB = col("__mf").isNull || (col("__mb").isNotNull && dB <= dF)
+    val m = when(pickB, col("__mb")).otherwise(col("__mf"))
+    val dist = when(pickB, dB).otherwise(dF)
+    val ok = toleranceMicros.fold(m.isNotNull)(tol =>
+      m.isNotNull && dist <= tol)
+    scanned.filter(col("__side") === 1)
+      .withColumn("__m", m).withColumn("__ok", ok)
+      .select(
+        left.columns.map(col) ++
+          payload.map(p =>
+            when(col("__ok"), col("__m").getField(p)).as(s"asof_$p")) :+
+          when(col("__ok"), col("__m").getField("__asof_t")).as("asof_time"): _*)
+  }
+
+  /** Interval×interval overlap join: every (a, b) pair with
+    * `aStart < bEnd AND bStart < aEnd` (end-exclusive overlap; empty
+    * and inverted intervals drop) — the third classic temporal join
+    * next to [[asofJoin]] and [[rangeJoin]], WITHOUT the cartesian a
+    * naive theta-join degenerates to. Both sides replicate across the
+    * `bucketWidthMicros` buckets they cover and equi-join on the
+    * bucket; because an overlapping pair can meet in SEVERAL buckets,
+    * each pair is claimed exactly once by its OWNER bucket — the one
+    * holding `max(aStart, bStart)` (both intervals cover it whenever
+    * they overlap), so no distinct pass ever runs. Replication factor
+    * is len/bucketWidth per side; hot buckets are ordinary AQE-skew
+    * equi-join territory. Time columns must be TIMESTAMP. Output:
+    * `(a_id, b_id, …payload)`. */
+  def intervalOverlapJoin(a: DataFrame, aId: Column, aStart: Column,
+      aEnd: Column, b: DataFrame, bId: Column, bStart: Column,
+      bEnd: Column, bucketWidthMicros: Long,
+      aPayload: Seq[(String, Column)] = Nil,
+      bPayload: Seq[(String, Column)] = Nil): DataFrame = {
+    require(bucketWidthMicros > 0,
+      "intervalOverlapJoin: bucket width must be positive")
+    def prep(df: DataFrame, id: Column, s: Column, e: Column,
+        side: String, payload: Seq[(String, Column)]) =
+      df.select(
+          (id.as(s"${side}_id") +: unix_micros(s).as(s"__${side}s") +:
+            unix_micros(e).as(s"__${side}e") +:
+            payload.map { case (n, c) => c.as(n) }): _*)
+        .filter(col(s"__${side}e") > col(s"__${side}s"))
+        .withColumn("__bk", explode(sequence(
+          floor(col(s"__${side}s") / bucketWidthMicros),
+          floor((col(s"__${side}e") - 1) / bucketWidthMicros))))
+    prep(a, aId, aStart, aEnd, "a", aPayload)
+      .join(prep(b, bId, bStart, bEnd, "b", bPayload), Seq("__bk"))
+      .filter(col("__as") < col("__be") && col("__bs") < col("__ae") &&
+        col("__bk") ===
+          floor(greatest(col("__as"), col("__bs")) / bucketWidthMicros))
+      .select((col("a_id") +: col("b_id") +:
+        (aPayload ++ bPayload).map { case (n, _) => col(n) }): _*)
   }
 
   /** Per-key rolling features over an ordered event stream — the

@@ -2055,6 +2055,82 @@ object OpsQueries {
           col("event_type"), col("ts"),
           Seq("signup", "view", "click", "purchase"))
         .orderBy("step_idx", "k")),
+    "q244_funnel_by_cohort" -> ((s, d) => {
+      // the composition funnelSteps exists for: conversion counts per
+      // first-seen-day cohort — the per-key frame joins the cohort
+      // frame on the key, then one grouped count; no event-log rescan
+      val e = ev(s, d)
+      val steps = graft.ops.Temporal.funnelSteps(e, col("user_id"),
+        col("event_type"), col("ts"),
+        Seq("signup", "view", "click", "purchase"))
+      val cohort = e.select(col("user_id").cast("long").as("k"), col("ts"))
+        .groupBy("k").agg(min(to_date(col("ts"))).as("cohort_day"))
+      steps.join(cohort, "k")
+        .groupBy("cohort_day", "step_idx", "step")
+        .agg(count(lit(1)).as("n_keys"))
+        .orderBy("cohort_day", "step_idx")
+    }),
+    "q245_interval_overlap" -> ((s, d) => {
+      // interval×interval: purchase 30-min windows co-active with view
+      // 10-min windows — both sides bucket-replicate, the owner bucket
+      // (holding max(start, start)) claims each pair exactly once;
+      // never a theta-join cartesian, no distinct pass
+      val e = ev(s, d)
+      val pw = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("wid"), col("ts").as("st"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("en"))
+      val vw = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("wid"), col("ts").as("st"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("en"))
+      graft.ops.Temporal.intervalOverlapJoin(
+          pw, col("wid"), col("st"), col("en"),
+          vw, col("wid"), col("st"), col("en"),
+          bucketWidthMicros = 15L * 60 * 1000000L)
+        .orderBy("a_id", "b_id")
+    }),
+    "q246_asof_forward" -> ((s, d) => {
+      // forward as-of: every click gets the EARLIEST same-user purchase
+      // at-or-after it (+ a 1-hour-tolerance variant) — the mirrored
+      // union-and-scan, time-descending, still no join operator
+      val e = ev(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max(struct(col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("ts"), col("m.event_id").as("p_id"),
+          col("m.value").as("p_value"))
+      val plain = graft.ops.Temporal.asofJoin(clicks, purchases,
+        Seq("user_id"), "ts", payload = Seq("p_id", "p_value"),
+        rightTiebreak = col("p_id"), direction = "forward")
+      val tol = graft.ops.Temporal.asofJoin(clicks, purchases,
+          Seq("user_id"), "ts", payload = Seq("p_id"),
+          rightTiebreak = col("p_id"),
+          toleranceMicros = Some(3600L * 1000000L), direction = "forward")
+        .select(col("event_id"), col("asof_p_id").as("p_id_1h"))
+      plain.select(col("event_id"), col("asof_p_id").as("p_id"),
+          round(col("asof_p_value"), 4).as("p_value"))
+        .join(tol, Seq("event_id"))
+        .orderBy("event_id")
+    }),
+    "q247_asof_nearest" -> ((s, d) => {
+      // nearest as-of: the closer of the latest-before / earliest-after
+      // purchase per click (equal distance → backward) — BOTH running
+      // windows over ONE key shuffle, row-local closer pick
+      val e = ev(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max(col("event_id")).as("p_id"))
+        .select(col("user_id"), col("ts"), col("p_id"))
+      graft.ops.Temporal.asofJoinNearest(clicks, purchases,
+          Seq("user_id"), "ts", payload = Seq("p_id"),
+          rightTiebreak = col("p_id"))
+        .select(col("event_id"), col("asof_p_id").as("p_id"),
+          col("asof_time").as("near_ts"))
+        .orderBy("event_id")
+    }),
     "q242_cohort_retention" -> ((s, d) =>
       // weekly cohort retention matrix: first-seen-day cohorts ×
       // 7-day activity offsets, distinct users per cell
@@ -5683,6 +5759,87 @@ object OpsQueries {
            UNION ALL SELECT user_id, 3, 'click', rt FROM r3
            UNION ALL SELECT user_id, 4, 'purchase', rt FROM r4)
          ORDER BY step_idx, k""",
+
+    "q244_funnel_by_cohort" ->
+      """WITH r1 AS (SELECT user_id, min(ts) AS rt FROM events
+                 WHERE event_type = 'signup' GROUP BY user_id),
+         r2 AS (SELECT e.user_id, min(e.ts) AS rt FROM events e
+                JOIN r1 USING (user_id)
+                WHERE e.event_type = 'view' AND e.ts >= r1.rt
+                GROUP BY e.user_id),
+         r3 AS (SELECT e.user_id, min(e.ts) AS rt FROM events e
+                JOIN r2 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts >= r2.rt
+                GROUP BY e.user_id),
+         r4 AS (SELECT e.user_id, min(e.ts) AS rt FROM events e
+                JOIN r3 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts >= r3.rt
+                GROUP BY e.user_id),
+         f AS (SELECT user_id, min(CAST(ts AS DATE)) AS c0
+               FROM events GROUP BY user_id),
+         s AS (SELECT user_id, CAST(1 AS BIGINT) AS step_idx,
+                      'signup' AS step FROM r1
+               UNION ALL SELECT user_id, 2, 'view' FROM r2
+               UNION ALL SELECT user_id, 3, 'click' FROM r3
+               UNION ALL SELECT user_id, 4, 'purchase' FROM r4)
+         SELECT f.c0 AS cohort_day, s.step_idx, s.step,
+                count(*) AS n_keys
+         FROM s JOIN f USING (user_id)
+         GROUP BY 1, 2, 3 ORDER BY cohort_day, step_idx""",
+
+    "q245_interval_overlap" ->
+      """WITH a AS (SELECT event_id AS a_id, ts AS s,
+                 ts + INTERVAL 30 MINUTE AS e
+               FROM events WHERE event_type = 'purchase'),
+         b AS (SELECT event_id AS b_id, ts AS s,
+                 ts + INTERVAL 10 MINUTE AS e
+               FROM events WHERE event_type = 'view')
+         SELECT a_id, b_id
+         FROM a JOIN b ON a.s < b.e AND b.s < a.e
+         ORDER BY a_id, b_id""",
+
+    "q246_asof_forward" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'click'),
+         p0 AS (SELECT user_id, ts, event_id, value,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'purchase'),
+         p AS (SELECT user_id, ts, event_id AS p_id, value FROM p0
+               WHERE rn = 1),
+         j AS (SELECT c.event_id, c.ts AS cts, p.p_id, p.value, p.ts AS pts
+               FROM c ASOF LEFT JOIN p
+                 ON c.user_id = p.user_id AND c.ts <= p.ts)
+         SELECT event_id, p_id, round(value, 4) AS p_value,
+                CASE WHEN pts IS NOT NULL
+                          AND epoch_us(pts) - epoch_us(cts) <= 3600000000
+                     THEN p_id END AS p_id_1h
+         FROM j ORDER BY event_id""",
+
+    "q247_asof_nearest" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts, max(event_id) AS p_id FROM events
+               WHERE event_type = 'purchase' GROUP BY user_id, ts),
+         b AS (SELECT c.event_id, c.ts AS cts, p.p_id AS bp, p.ts AS bt
+               FROM c ASOF LEFT JOIN p
+                 ON c.user_id = p.user_id AND c.ts >= p.ts),
+         f AS (SELECT c.event_id, p.p_id AS fp, p.ts AS ft
+               FROM c ASOF LEFT JOIN p
+                 ON c.user_id = p.user_id AND c.ts <= p.ts)
+         SELECT b.event_id,
+                CASE WHEN ft IS NULL THEN bp
+                     WHEN bt IS NULL THEN fp
+                     WHEN epoch_us(cts) - epoch_us(bt)
+                          <= epoch_us(ft) - epoch_us(cts) THEN bp
+                     ELSE fp END AS p_id,
+                CASE WHEN ft IS NULL THEN bt
+                     WHEN bt IS NULL THEN ft
+                     WHEN epoch_us(cts) - epoch_us(bt)
+                          <= epoch_us(ft) - epoch_us(cts) THEN bt
+                     ELSE ft END AS near_ts
+         FROM b JOIN f USING (event_id)
+         ORDER BY event_id""",
 
     "q242_cohort_retention" ->
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS c0

@@ -247,6 +247,43 @@ final class Searcher(spark: SparkSession, store: VectorStore) {
       .orderBy(col("similarity_score").desc, col("id"))
   }
 
+  /** Batched [[searchHnsw]] — the `…Many` discipline for the graph
+    * path: all queries embed driver-side and share ONE beam descent
+    * ([[graft.ops.Hnsw.searchMany]]), so every hop is a single
+    * adjacency job for the whole batch instead of per-query pointer
+    * chasing; then one broadcast-joined text/metadata lookup for all
+    * queries at once. Output matches [[searchManyIvf]]:
+    * `(query_id, id, text, metadata, similarity_score, distance)`. */
+  def searchHnswMany(db: String, queries: Seq[(String, String)],
+      p: Searcher.Params = Searcher.Params(), ef: Int = 50): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val qrows = embedMany(queries, p)
+    val names = qrows.map(_._1)
+    val (_, maxLevel, buckets) = store.hnswMeta(db)
+    val vectors = vectorsOf(db)
+    val hits = graft.ops.Hnsw.searchMany(store.hnswEdges(db), vectors,
+        col("id"), col("vector"),
+        qrows.zipWithIndex.map { case ((_, qv), i) => (i.toLong, qv) },
+        p.k, maxLevel, ef, srcBuckets = buckets)
+      .filter(col("sim") >= p.threshold)
+      .collect()
+    val sims = hits.map(r =>
+      (names(r.getLong(0).toInt), r.getLong(2), r.getDouble(3))).toSeq
+    val simDf = broadcast(sims.toDF("query_id", "id", "sim"))
+    val pruned =
+      if (sims.isEmpty) vectors.limit(0)
+      else vectors.filter(col("id").isin(sims.map(_._2).distinct: _*))
+    pruned.select("id", "text", "metadata")
+      .join(simDf, Seq("id"))
+      .withColumn("similarity_score",
+        least(greatest(col("sim"), lit(0.0)), lit(1.0)))
+      .withColumn("distance", lit(1.0) - col("sim"))
+      .select("query_id", "id", "text", "metadata", "similarity_score",
+        "distance")
+      .orderBy(col("query_id"), col("similarity_score").desc, col("id"))
+  }
+
   /** Graph-index search over a persisted HNSW layout
     * ([[graft.store.VectorStore.writeHnsw]]): the beam descends the
     * stored layered graph, each hop a directory-pruned point read of

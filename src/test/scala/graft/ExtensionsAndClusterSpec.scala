@@ -391,6 +391,20 @@ class ExtensionsAndClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSet
     val got = hits.map(_.getAs[Long]("id")).toSet
     assert((got & exact).size >= 4, s"hnsw $got vs exact $exact")
+
+    // batched facade: searchHnswMany's per-query rows equal the single
+    // path's (one shared descent, same contract as the other Many paths)
+    val many = searcher.searchHnswMany("hnswdb",
+      Seq("qa" -> "doc query text", "qb" -> "another different query"),
+      p, ef = 60).collect()
+    val qa = many.filter(_.getAs[String]("query_id") == "qa")
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("similarity_score")))
+      .toSeq.sortBy(_._1)
+    val single = hits
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("similarity_score")))
+      .toSeq.sortBy(_._1)
+    assert(qa == single, s"batched qa $qa vs single $single")
+    assert(many.count(_.getAs[String]("query_id") == "qb") == 5)
   }
 
   test("IVF store: learned centroids persist, searchIvf prunes clusters") {

@@ -306,6 +306,28 @@ class GraftSessionSpec extends AnyFunSuite with BeforeAndAfterAll {
         (col("t") + expr("INTERVAL 2 HOURS")).as("e")),
       "rid", "s", "e", 3600000000L).head()
     assert(rj.getLong(0) == 1L && rj.getLong(1) == 5L)
+    // round-9 surfaces: forward direction, nearest, interval overlap,
+    // the per-key funnel frame
+    val fwd = sess.asofJoin(
+        Seq((1L, 7L, ts("2024-01-01 09:00:00"))).toDF("event_id", "k", "t"),
+        r, Seq("k"), "t", Seq("rid"), "rid", direction = "forward")
+      .select("asof_rid").head()
+    assert(fwd.getLong(0) == 5L)
+    val near = sess.asofJoinNearest(l, r, Seq("k"), "t", Seq("rid"), "rid")
+      .select("asof_rid").head()
+    assert(near.getLong(0) == 5L)
+    val ov = sess.intervalOverlapJoin(
+      r.select(col("rid"), col("t").as("s"),
+        (col("t") + expr("INTERVAL 1 HOUR")).as("e")),
+      "rid", "s", "e",
+      r.select((col("rid") + 100).as("rid2"), col("t").as("s"),
+        (col("t") + expr("INTERVAL 2 HOURS")).as("e")),
+      "rid2", "s", "e", 900000000L).head()
+    assert(ov.getLong(0) == 5L && ov.getLong(1) == 105L)
+    val fs = sess.funnelSteps(
+      Seq((7L, "a", ts("2024-01-01 10:00:00"))).toDF("u", "tp", "t"),
+      "u", "tp", "t", Seq("a", "b")).collect()
+    assert(fs.length == 1 && fs(0).getLong(1) == 1L)
   }
 
   test("session curation/mining facade: typed ICT, pack, distill, " +

@@ -373,6 +373,46 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"got '${graft.ops.Suffix.lastLoop}'")
   }
 
+  test("q247: asofJoinNearest is the union-and-scan with TWO windows " +
+      "over one shuffle — still no join operator") {
+    import org.apache.spark.sql.SparkSession
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq((1L, 7L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "t")
+    val r = Seq((2L, 7L, ts("2024-01-01 09:00:00"), 1.0))
+      .toDF("rid", "user_id", "t", "v")
+    val p = plan(graft.ops.Temporal.asofJoinNearest(l, r, Seq("user_id"),
+      "t", payload = Seq("rid", "v"), rightTiebreak = col("rid")))
+    assert(p.contains("Window") && !p.contains("Join"),
+      s"nearest as-of must stay join-free:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"both scans must share ONE key shuffle, got $exchanges:\n$p")
+  }
+
+  test("q245: intervalOverlapJoin is a bucket EQUI-join with owner " +
+      "dedup — never a nested loop, no distinct pass") {
+    import org.apache.spark.sql.SparkSession
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val a = Seq((1L, ts("2024-01-01 09:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("aid", "s", "e")
+    val b = Seq((2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")))
+      .toDF("bid", "s", "e")
+    val p = plan(graft.ops.Temporal.intervalOverlapJoin(
+      a, col("aid"), col("s"), col("e"),
+      b, col("bid"), col("s"), col("e"), 900000000L))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"overlap join must be a bucket equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct") && !p.contains("HashAggregate"),
+      s"no nested loop and no dedup aggregate (owner bucket claims " +
+        s"each pair once):\n$p")
+  }
+
   test("q234: packAssign joined stats shuffle only on the bin key — " +
       "semantic packing's reports stay partial-agg'd") {
     import org.apache.spark.sql.SparkSession

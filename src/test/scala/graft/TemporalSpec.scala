@@ -132,6 +132,103 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plain.count(!_.isNullAt(2)) > 700) // matches actually happen
   }
 
+  test("asofJoin forward: earliest at-or-after, equal-ts, tolerance, " +
+      "bucketed == plain across right-empty buckets") {
+    import spark.implicits._
+    val out = Temporal.asofJoin(trades(), quotes(), Seq("sym"), "t",
+        payload = Seq("qid", "bid"), rightTiebreak = col("qid"),
+        direction = "forward")
+      .select("event_id", "asof_qid").orderBy("event_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // trade 1 @10:00:05: equal-ts quote 11 matches (>= semantics);
+    // trade 2 @10:00:30: nothing after → null; trade 4 @09:59:00: the
+    // earliest B quote is the 10:00:01 TIE pair → greatest qid (14)
+    assert(out.toSeq == Seq((1L, 11L), (2L, -1L), (3L, -1L), (4L, 14L),
+      (5L, -1L)))
+    val tol = Temporal.asofJoin(trades(), quotes(), Seq("sym"), "t",
+        payload = Seq("qid"), rightTiebreak = col("qid"),
+        toleranceMicros = Some(30L * 1000000L), direction = "forward")
+      .select("event_id", "asof_qid").orderBy("event_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // trade 4: gap to 10:00:01 is 61 s > 30 s → void
+    assert(tol.toSeq == Seq((1L, 11L), (2L, -1L), (3L, -1L), (4L, -1L),
+      (5L, -1L)))
+    // gap-crossing equivalence, mirrored: quotes only on the LAST day
+    val right = Seq(
+      (1L, "g", ts("2024-01-05 09:00:00"), 10.0),
+      (2L, "g", ts("2024-01-05 08:00:00"), 11.0))
+      .toDF("rid", "k", "t", "v")
+    val leftF = Seq(
+      (101L, "g", ts("2024-01-01 10:00:00")),
+      (102L, "g", ts("2024-01-03 23:00:00")),
+      (103L, "g", ts("2024-01-05 08:30:00")))
+      .toDF("id", "k", "t")
+    def run(bk: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column]) =
+      Temporal.asofJoin(leftF, right, Seq("k"), "t",
+          payload = Seq("rid"), rightTiebreak = col("rid"), bucket = bk,
+          direction = "forward")
+        .select("id", "asof_rid").orderBy("id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    val plain = run(None)
+    assert(plain == Seq((101L, 2L), (102L, 2L), (103L, 1L)))
+    assert(run(Some(c => date_trunc("day", c))) == plain)
+  }
+
+  test("asofJoinNearest: closer side wins, equal distance resolves " +
+      "backward, tolerance voids both directions") {
+    import spark.implicits._
+    val right = Seq(
+      (1L, "n", ts("2024-01-01 10:00:00"), 1.0),
+      (2L, "n", ts("2024-01-01 11:00:00"), 2.0))
+      .toDF("rid", "k", "t", "v")
+    val left = Seq(
+      (101L, "n", ts("2024-01-01 10:10:00")), // closer to rid 1
+      (102L, "n", ts("2024-01-01 10:55:00")), // closer to rid 2
+      (103L, "n", ts("2024-01-01 10:30:00")), // EQUAL distance → backward
+      (104L, "n", ts("2024-01-01 09:00:00")), // only forward exists
+      (105L, "n", ts("2024-01-01 12:00:00"))) // only backward exists
+      .toDF("id", "k", "t")
+    val out = Temporal.asofJoinNearest(left, right, Seq("k"), "t",
+        payload = Seq("rid"), rightTiebreak = col("rid"))
+      .select("id", "asof_rid").orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(out.toSeq == Seq((101L, 1L), (102L, 2L), (103L, 1L),
+      (104L, 1L), (105L, 2L)))
+    val tol = Temporal.asofJoinNearest(left, right, Seq("k"), "t",
+        payload = Seq("rid"), rightTiebreak = col("rid"),
+        toleranceMicros = Some(15L * 60 * 1000000L))
+      .select("id", "asof_rid").orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // 15 min: 101 (10 min) and 102 (5 min) keep; the rest void
+    assert(tol.toSeq == Seq((101L, 1L), (102L, 2L), (103L, -1L),
+      (104L, -1L), (105L, -1L)))
+  }
+
+  test("intervalOverlapJoin: overlap pairs exactly once, boundaries " +
+      "exclusive, empty/inverted drop") {
+    import spark.implicits._
+    val as = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")), // 2h
+      (2L, ts("2024-01-01 13:00:00"), ts("2024-01-01 13:30:00")),
+      (3L, ts("2024-01-02 00:00:00"), ts("2024-01-02 00:00:00"))) // empty
+      .toDF("aid", "s", "e")
+    val bs = Seq(
+      (10L, ts("2024-01-01 09:00:00"), ts("2024-01-01 10:30:00")), // overlaps 1
+      (11L, ts("2024-01-01 11:00:00"), ts("2024-01-01 14:00:00")), // overlaps 1 AND 2, many buckets
+      (12L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:30:00")), // abuts 1 (end-exclusive) → no
+      (13L, ts("2024-01-02 01:00:00"), ts("2024-01-02 00:00:00"))) // inverted
+      .toDF("bid", "s", "e")
+    val out = Temporal.intervalOverlapJoin(
+        as, col("aid"), col("s"), col("e"),
+        bs, col("bid"), col("s"), col("e"),
+        bucketWidthMicros = 15L * 60 * 1000000L,
+        bPayload = Seq("b_start" -> col("s")))
+      .orderBy("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 10L), (1L, 11L), (2L, 11L)))
+  }
+
   test("rangeJoin: boundaries, multi-bucket spans, inverted intervals drop") {
     import spark.implicits._
     val points = Seq(
