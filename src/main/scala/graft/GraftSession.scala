@@ -289,6 +289,15 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
       col(aEnd), b, col(bId), col(bStart), col(bEnd), bucketWidthMicros)
   }
 
+  /** [[graft.ops.Temporal.timeWeightedAvg]] with name-based columns:
+    * the TWAP / time-weighted sensor mean over fixed buckets. */
+  def timeWeightedAvg(events: DataFrame, keyCol: String, timeCol: String,
+      valCol: String, bucketWidthMicros: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Temporal.timeWeightedAvg(events, col(keyCol), col(timeCol),
+      col(valCol), bucketWidthMicros)
+  }
+
   /** [[graft.ops.Temporal.funnelSteps]] with name-based columns: the
     * per-key ordered-funnel completion frame. */
   def funnelSteps(events: DataFrame, keyCol: String, typeCol: String,

@@ -263,6 +263,48 @@ object Temporal {
         (aPayload ++ bPayload).map { case (n, _) => col(n) }): _*)
   }
 
+  /** Time-weighted average of a per-key step function over fixed time
+    * buckets — the TWAP / sensor-mean staple (TimescaleDB
+    * `time_weight`, kdb twap): each event's value HOLDS from its
+    * timestamp until the key's next event, a bucket's average weights
+    * each held value by its overlap with the bucket, and the
+    * normalizer is the bucket's COVERED micros — the integral runs
+    * over the observed range only (no extrapolation past the last
+    * event, none before the first; buckets with zero coverage do not
+    * appear). Events must be unique per (key, time) — pre-aggregate
+    * ties upstream, the zero-length segment they would create is
+    * dropped and which value "holds" would be arbitrary.
+    *
+    * Plan: one key shuffle (the lead() validity window), then the
+    * [[rangeJoin]] replication trick on the validity segments — each
+    * [t, next_t) explodes to the buckets it covers, clips, and ONE
+    * grouped partial-agg integrates. Replication is segment-length /
+    * bucketWidth, bounded by event spacing. Output:
+    * `(k, bucket_start TIMESTAMP, twa, covered_micros)`. */
+  def timeWeightedAvg(events: DataFrame, keyCol: Column, timeCol: Column,
+      valCol: Column, bucketWidthMicros: Long): DataFrame = {
+    require(bucketWidthMicros > 0,
+      "timeWeightedAvg: bucket width must be positive")
+    val wd = bucketWidthMicros
+    val w = Window.partitionBy(col("k")).orderBy(col("__t").asc)
+    events.select(keyCol.cast("long").as("k"),
+        unix_micros(timeCol.cast("timestamp")).as("__t"),
+        valCol.cast("double").as("v"))
+      .withColumn("__e", lead(col("__t"), 1).over(w))
+      .filter(col("__e").isNotNull && col("__e") > col("__t"))
+      .withColumn("__bk", explode(sequence(
+        floor(col("__t") / wd), floor((col("__e") - 1) / wd))))
+      .withColumn("__ov",
+        (least(col("__e"), (col("__bk") + 1) * wd) -
+          greatest(col("__t"), col("__bk") * wd)).cast("double"))
+      .groupBy("k", "__bk")
+      .agg(round(sum(col("v") * col("__ov")) / sum(col("__ov")), 4)
+          .as("twa"),
+        sum(col("__ov")).cast("long").as("covered_micros"))
+      .select(col("k"), timestamp_micros(col("__bk") * wd).as("bucket_start"),
+        col("twa"), col("covered_micros"))
+  }
+
   /** Per-key rolling features over an ordered event stream — the
     * feature-engineering staple next to the as-of join: for every row,
     * the mean/min/max over the trailing `nRows`-row frame (current row
@@ -400,27 +442,37 @@ object Temporal {
     * intervals replicate across their covered buckets, points land in
     * exactly one, so the bucket equi-join + residual predicate yields
     * each pair exactly once. `pPayload` / `iPayload` carry extra columns
-    * from either side (resolved against that side's frame). Time
+    * from either side (resolved against that side's frame); `pKeys` /
+    * `iKeys` (parallel lists) ADD equi-key columns to the join — the
+    * keyed interval join (Flink's), which keeps the pair fan-out to
+    * same-key candidates instead of every bucket coincidence. Time
     * columns must be TIMESTAMP. Output: `(p_id, i_id, …payload)`. */
   def rangeJoin(points: DataFrame, pId: Column, pTime: Column,
       intervals: DataFrame, iId: Column, iStart: Column, iEnd: Column,
       bucketWidthMicros: Long,
       pPayload: Seq[(String, Column)] = Nil,
-      iPayload: Seq[(String, Column)] = Nil): DataFrame = {
+      iPayload: Seq[(String, Column)] = Nil,
+      pKeys: Seq[Column] = Nil,
+      iKeys: Seq[Column] = Nil): DataFrame = {
     require(bucketWidthMicros > 0, "rangeJoin: bucket width must be positive")
+    require(pKeys.length == iKeys.length,
+      "rangeJoin: pKeys and iKeys must pair up")
+    val kNames = pKeys.indices.map(i => s"__k$i")
     val p = points.select(
       (pId.as("p_id") +: unix_micros(pTime).as("__pt") +:
-        pPayload.map { case (n, c) => c.as(n) }): _*)
+        (pKeys.zip(kNames).map { case (c, n) => c.as(n) } ++
+          pPayload.map { case (n, c) => c.as(n) })): _*)
       .withColumn("__bk", floor(col("__pt") / bucketWidthMicros))
     val iv = intervals.select(
       (iId.as("i_id") +: unix_micros(iStart).as("__s") +:
         unix_micros(iEnd).as("__e") +:
-        iPayload.map { case (n, c) => c.as(n) }): _*)
+        (iKeys.zip(kNames).map { case (c, n) => c.as(n) } ++
+          iPayload.map { case (n, c) => c.as(n) })): _*)
       .filter(col("__e") > col("__s"))
       .withColumn("__bk", explode(sequence(
         floor(col("__s") / bucketWidthMicros),
         floor((col("__e") - 1) / bucketWidthMicros))))
-    p.join(iv, Seq("__bk"))
+    p.join(iv, "__bk" +: kNames)
       .filter(col("__pt") >= col("__s") && col("__pt") < col("__e"))
       .select((col("p_id") +: col("i_id") +:
         (pPayload ++ iPayload).map { case (n, _) => col(n) }): _*)

@@ -2113,6 +2113,45 @@ object OpsQueries {
         .join(tol, Seq("event_id"))
         .orderBy("event_id")
     }),
+    "q248_twap" -> ((s, d) => {
+      // time-weighted average value per user over 6-hour buckets: each
+      // view's value HOLDS until the user's next view (step function),
+      // buckets integrate the held values normalized by covered time —
+      // one lead() window + bucket-replicated clipping, no extrapolation
+      val e = ev(s, d)
+      val views = e.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts")
+        .agg(max(struct(col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("ts"), col("m.value").as("v"))
+      graft.ops.Temporal.timeWeightedAvg(views, col("user_id"), col("ts"),
+          col("v"), bucketWidthMicros = 6L * 3600 * 1000000L)
+        .orderBy("k", "bucket_start")
+    }),
+    "q249_linear_attribution" -> ((s, d) => {
+      // multi-touch attribution: every purchase splits unit credit
+      // equally across the same-user clicks in its trailing 3-day
+      // window — the KEYED range join (user equi-key + day buckets)
+      // keeps candidates to same-user pairs, then one grouped count
+      // derives the per-touch share; never a theta join
+      val e = ev(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id"), col("ts"))
+      val windows = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id").as("pu"),
+          (col("ts") - expr("INTERVAL 3 DAYS")).as("st"), col("ts").as("en"))
+      val touches = graft.ops.Temporal.rangeJoin(
+          clicks, col("cid"), col("ts"),
+          windows, col("pid"), col("st"), col("en"),
+          bucketWidthMicros = 24L * 3600 * 1000000L,
+          pKeys = Seq(col("user_id")), iKeys = Seq(col("pu")))
+        .select(col("p_id").as("click_id"), col("i_id").as("purchase_id"))
+      val n = touches.groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_touch"))
+      touches.join(n, "purchase_id")
+        .select(col("purchase_id"), col("click_id"),
+          round(lit(1.0) / col("n_touch"), 4).as("credit"))
+        .orderBy("purchase_id", "click_id")
+    }),
     "q247_asof_nearest" -> ((s, d) => {
       // nearest as-of: the closer of the latest-before / earliest-after
       // purchase per click (equal distance → backward) — BOTH running
@@ -5815,6 +5854,44 @@ object OpsQueries {
                           AND epoch_us(pts) - epoch_us(cts) <= 3600000000
                      THEN p_id END AS p_id_1h
          FROM j ORDER BY event_id""",
+
+    "q248_twap" ->
+      """WITH p0 AS (SELECT user_id, ts, value,
+                 row_number() OVER (PARTITION BY user_id, ts
+                                    ORDER BY event_id DESC) AS rn
+               FROM events WHERE event_type = 'view'),
+         d AS (SELECT user_id AS k, epoch_us(ts) AS t, value AS v
+               FROM p0 WHERE rn = 1),
+         s AS (SELECT k, t, v,
+                 lead(t) OVER (PARTITION BY k ORDER BY t) AS e
+               FROM d),
+         seg AS (SELECT * FROM s WHERE e IS NOT NULL AND e > t),
+         ex AS (SELECT k, v, t, e,
+                 unnest(generate_series(t // 21600000000,
+                   (e - 1) // 21600000000)) AS bk
+               FROM seg),
+         ov AS (SELECT k, bk, v,
+                 CAST(least(e, (bk + 1) * 21600000000) -
+                      greatest(t, bk * 21600000000) AS DOUBLE) AS o
+               FROM ex)
+         SELECT k, make_timestamp(bk * 21600000000) AS bucket_start,
+                round(sum(v * o) / sum(o), 4) AS twa,
+                CAST(sum(o) AS BIGINT) AS covered_micros
+         FROM ov GROUP BY k, bk ORDER BY k, bucket_start""",
+
+    "q249_linear_attribution" ->
+      """WITH c AS (SELECT event_id AS cid, user_id, ts FROM events
+                 WHERE event_type = 'click'),
+         w AS (SELECT event_id AS pid, user_id,
+                      ts - INTERVAL 3 DAY AS st, ts AS en
+               FROM events WHERE event_type = 'purchase'),
+         t AS (SELECT w.pid, c.cid FROM c JOIN w
+               ON c.user_id = w.user_id
+                  AND c.ts >= w.st AND c.ts < w.en),
+         n AS (SELECT pid, count(*) AS nt FROM t GROUP BY pid)
+         SELECT t.pid AS purchase_id, t.cid AS click_id,
+                round(1.0 / n.nt, 4) AS credit
+         FROM t JOIN n USING (pid) ORDER BY purchase_id, click_id""",
 
     "q247_asof_nearest" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events

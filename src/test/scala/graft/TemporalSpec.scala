@@ -254,6 +254,33 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq((1L, 101L), (2L, 101L), (3L, 102L), (4L, 103L), (5L, 103L)))
   }
 
+  test("timeWeightedAvg: held values integrate per bucket, covered " +
+      "micros normalize, no extrapolation past the last event") {
+    import spark.implicits._
+    val ev = Seq(
+      // key 1: v=10 holds 10:30-11:00 (half of bucket 10h, but covered
+      // only 30 min), v=20 holds 11:00-11:45, v=40 holds 11:45-12:30
+      (1L, ts("2024-01-01 10:30:00"), 10.0),
+      (1L, ts("2024-01-01 11:00:00"), 20.0),
+      (1L, ts("2024-01-01 11:45:00"), 40.0),
+      (1L, ts("2024-01-01 12:30:00"), 99.0), // last event: nothing holds after
+      // key 2: single event → no validity → no output rows
+      (2L, ts("2024-01-01 10:00:00"), 7.0)
+    ).toDF("k", "t", "v")
+    val out = Temporal.timeWeightedAvg(ev, col("k"), col("t"), col("v"),
+        bucketWidthMicros = 3600L * 1000000L)
+      .orderBy("k", "bucket_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      // bucket 10:00: only v=10 held, 30 min covered
+      (1L, "2024-01-01 10:00:00.0", 10.0, 1800L * 1000000L),
+      // bucket 11:00: v=20 for 45 min, v=40 for 15 min → 25.0, fully covered
+      (1L, "2024-01-01 11:00:00.0", 25.0, 3600L * 1000000L),
+      // bucket 12:00: v=40 for 30 min; the 99 value never integrates
+      (1L, "2024-01-01 12:00:00.0", 40.0, 1800L * 1000000L)))
+  }
+
   test("rollingStats: trailing frame, delta/gap nulls on first row") {
     import spark.implicits._
     val df = Seq(
@@ -351,5 +378,23 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
         iPayload = Seq("label" -> col("label"))).collect()
     assert(out.length == 1)
     assert(out.head.getString(2) == "p" && out.head.getString(3) == "w")
+  }
+
+  test("rangeJoin with equi-keys: only same-key (point, interval) pairs") {
+    import spark.implicits._
+    val points = Seq(
+      (1L, 7L, ts("2024-01-01 10:30:00")),
+      (2L, 8L, ts("2024-01-01 10:30:00"))) // same time, other key
+      .toDF("pid", "u", "pt")
+    val ivs = Seq(
+      (9L, 7L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (10L, 9L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("iid", "u", "s", "e")
+    val out = Temporal.rangeJoin(points, col("pid"), col("pt"),
+        ivs, col("iid"), col("s"), col("e"),
+        bucketWidthMicros = 900000000L,
+        pKeys = Seq(col("u")), iKeys = Seq(col("u"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 9L))) // key 8 point and key 9 interval unmatched
   }
 }
