@@ -390,6 +390,42 @@ object Temporal {
         timestamp_micros(col("rt")).as("reached_at"))
   }
 
+  /** Trailing-window exponential moving average per key — the bounded
+    * EWMA every feature pipeline wants next to [[rollingStats]]'
+    * uniform frames: over the last `nRows` rows (current inclusive),
+    * weight `(1−α)^age` per row, renormalized over the rows actually
+    * present (series starts are NOT zero-padded). Equivalent to the
+    * classic recursive EWMA truncated at `nRows` terms — truncation is
+    * what makes it a WINDOW FRAME computation: one key shuffle, each
+    * row reads its own bounded frame, no sequential scan, no state.
+    * Output: `(id, …keys, value, ewma)`. */
+  def ewmaSmooth(df: DataFrame, idCol: Column, keys: Seq[String],
+      timeCol: Column, valCol: Column, alpha: Double,
+      nRows: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1, "ewmaSmooth: alpha in (0, 1)")
+    require(nRows >= 1, "ewmaSmooth: nRows must be >= 1")
+    val keyCols = keys.map(col)
+    val base = df.select((idCol.cast("long").as("id") +: keyCols) :+
+      timeCol.as("__t") :+ valCol.cast("double").as("value"): _*)
+    val ord = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t").asc, col("id").asc)
+    val frame = ord.rowsBetween(-(nRows - 1), Window.currentRow)
+    val beta = 1.0 - alpha
+    // frame values arrive oldest-first; weight (1-α)^(len-1-i) gives
+    // the newest row weight 1. The normalizer is the closed-form
+    // geometric sum over the len present rows.
+    val vs = collect_list(col("value")).over(frame)
+    val weighted = aggregate(
+      transform(col("__vs"),
+        (x, i) => x * pow(lit(beta), size(col("__vs")) - 1 - i)),
+      lit(0.0), (acc, x) => acc + x)
+    base.withColumn("__vs", vs)
+      .withColumn("ewma", round(
+        weighted * alpha / (lit(1.0) - pow(lit(beta), size(col("__vs")))),
+        4))
+      .drop("__vs", "__t")
+  }
+
   /** Ordered funnel analysis: how many keys (users) reach each step of
     * `steps` IN ORDER (the classic product-analytics conversion
     * funnel) — the count aggregate over [[funnelSteps]], computed in a

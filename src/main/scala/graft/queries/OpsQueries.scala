@@ -2113,6 +2113,38 @@ object OpsQueries {
         .join(tol, Seq("event_id"))
         .orderBy("event_id")
     }),
+    "q250_ab_test" -> ((s, d) => {
+      // two-arm Welch z-test: units = users (arm by user_id parity —
+      // the synthetic assignment), metric = per-user purchase revenue
+      // with non-purchasers at 0; one partial-agg over units, per-arm
+      // moments meet in a 1x1 broadcast-scalar cross join
+      val e = ev(s, d)
+      val units = e.select(col("user_id")).distinct()
+        .join(e.filter(col("event_type") === "purchase")
+            .groupBy("user_id").agg(sum("value").as("rev")),
+          Seq("user_id"), "left")
+        .select((col("user_id") % 2).as("arm"),
+          coalesce(col("rev"), lit(0.0)).as("metric"))
+      graft.ops.Experiment.abTest(units, col("arm"), col("metric"))
+    }),
+    "q251_funnel_latency" -> ((s, d) =>
+      // step-to-step conversion latency: median/p90 seconds between
+      // adjacent earliest in-order completions — the funnelSteps frame
+      // self-joined on ints, one grouped percentile agg
+      graft.ops.Experiment.funnelLatency(ev(s, d), col("user_id"),
+          col("event_type"), col("ts"),
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy("step_idx")),
+    "q252_ewma" -> ((s, d) =>
+      // trailing-4 exponential smoothing (alpha 0.5) of per-user event
+      // values: bounded frame, renormalized at series starts — one key
+      // shuffle, codegen HOF arithmetic per row
+      graft.ops.Temporal.ewmaSmooth(ev(s, d), col("event_id"),
+          Seq("user_id"), col("ts"), col("value"), alpha = 0.5, nRows = 4)
+        .filter(col("user_id") < 30)
+        .select(col("id"), col("user_id"),
+          round(col("value"), 4).as("v"), col("ewma"))
+        .orderBy("user_id", "id")),
     "q248_twap" -> ((s, d) => {
       // time-weighted average value per user over 6-hour buckets: each
       // view's value HOLDS until the user's next view (step function),
@@ -5854,6 +5886,77 @@ object OpsQueries {
                           AND epoch_us(pts) - epoch_us(cts) <= 3600000000
                      THEN p_id END AS p_id_1h
          FROM j ORDER BY event_id""",
+
+    "q250_ab_test" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         m AS (SELECT u.user_id, u.user_id % 2 AS arm,
+                 COALESCE(sum(e.value), 0) AS metric
+               FROM u LEFT JOIN events e
+                 ON e.user_id = u.user_id AND e.event_type = 'purchase'
+               GROUP BY u.user_id),
+         s AS (SELECT arm, count(*) AS n, avg(metric) AS mu,
+                      var_samp(metric) AS v
+               FROM m GROUP BY arm)
+         SELECT a.n AS n_a, b.n AS n_b,
+                round(a.mu, 4) AS mean_a, round(b.mu, 4) AS mean_b,
+                round(b.mu - a.mu, 4) AS lift,
+                round((b.mu - a.mu) / sqrt(a.v / a.n + b.v / b.n), 4) AS z,
+                abs((b.mu - a.mu) / sqrt(a.v / a.n + b.v / b.n)) > 1.96
+                  AS significant
+         FROM s a JOIN s b ON a.arm = 0 AND b.arm = 1""",
+
+    "q251_funnel_latency" ->
+      """WITH r1 AS (SELECT user_id, min(ts) AS rt FROM events
+                 WHERE event_type = 'signup' GROUP BY user_id),
+         r2 AS (SELECT e.user_id, min(e.ts) AS rt FROM events e
+                JOIN r1 USING (user_id)
+                WHERE e.event_type = 'view' AND e.ts >= r1.rt
+                GROUP BY e.user_id),
+         r3 AS (SELECT e.user_id, min(e.ts) AS rt FROM events e
+                JOIN r2 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts >= r2.rt
+                GROUP BY e.user_id),
+         r4 AS (SELECT e.user_id, min(e.ts) AS rt FROM events e
+                JOIN r3 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts >= r3.rt
+                GROUP BY e.user_id),
+         p AS (SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step,
+                      (epoch_us(r2.rt) - epoch_us(r1.rt)) / 1000000.0 AS lat
+               FROM r1 JOIN r2 USING (user_id)
+               UNION ALL
+               SELECT 2, 'view',
+                      (epoch_us(r3.rt) - epoch_us(r2.rt)) / 1000000.0
+               FROM r2 JOIN r3 USING (user_id)
+               UNION ALL
+               SELECT 3, 'click',
+                      (epoch_us(r4.rt) - epoch_us(r3.rt)) / 1000000.0
+               FROM r3 JOIN r4 USING (user_id))
+         SELECT step_idx, step, count(*) AS n_converted,
+                round(quantile_cont(lat, 0.5), 4) AS p50_s,
+                round(quantile_cont(lat, 0.9), 4) AS p90_s
+         FROM p GROUP BY step_idx, step ORDER BY step_idx""",
+
+    "q252_ewma" ->
+      """WITH e AS (SELECT event_id AS id, user_id, ts, value
+              FROM events),
+         l AS (SELECT id, user_id, value,
+                 lag(value, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts, id) AS v1,
+                 lag(value, 2) OVER (PARTITION BY user_id
+                   ORDER BY ts, id) AS v2,
+                 lag(value, 3) OVER (PARTITION BY user_id
+                   ORDER BY ts, id) AS v3
+               FROM e)
+         SELECT id, user_id, round(value, 4) AS v,
+                round((value
+                       + COALESCE(v1, 0) * 0.5
+                       + COALESCE(v2, 0) * 0.25
+                       + COALESCE(v3, 0) * 0.125)
+                      / (1 + CASE WHEN v1 IS NULL THEN 0 ELSE 0.5 END
+                           + CASE WHEN v2 IS NULL THEN 0 ELSE 0.25 END
+                           + CASE WHEN v3 IS NULL THEN 0 ELSE 0.125 END),
+                      4) AS ewma
+         FROM l WHERE user_id < 30 ORDER BY user_id, id""",
 
     "q248_twap" ->
       """WITH p0 AS (SELECT user_id, ts, value,

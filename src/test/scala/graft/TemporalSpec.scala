@@ -348,6 +348,61 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, 3L, "c", ts("2024-01-01 10:00:00"))))
   }
 
+  test("ewmaSmooth: trailing kernel renormalizes at series starts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "u", ts("2024-01-01 10:00:00"), 10.0),
+      (2L, "u", ts("2024-01-01 10:01:00"), 20.0),
+      (3L, "u", ts("2024-01-01 10:02:00"), 20.0),
+      (4L, "v", ts("2024-01-01 10:00:00"), 8.0)
+    ).toDF("id", "k", "t", "v")
+    val out = graft.ops.Temporal.ewmaSmooth(df, col("id"), Seq("k"),
+        col("t"), col("v"), alpha = 0.5, nRows = 4)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    // row 1: just itself; row 2: (20 + 10*0.5)/1.5; row 3:
+    // (20 + 20*0.5 + 10*0.25)/1.75; lone key v: itself
+    assert(out.toSeq == Seq((1L, 10.0), (2L, 16.6667), (3L, 18.5714),
+      (4L, 8.0)))
+  }
+
+  test("abTest: Welch moments, lift, significance threshold") {
+    import spark.implicits._
+    val units = Seq((0, 1.0), (0, 2.0), (0, 3.0), (1, 2.0), (1, 3.0),
+      (1, 4.0)).toDF("arm", "m")
+    val r = graft.ops.Experiment.abTest(units, col("arm"), col("m")).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 3.0)
+    assert(r.getDouble(4) == 1.0)
+    assert(r.getDouble(5) == 1.2247) // 1 / sqrt(1/3 + 1/3)
+    assert(!r.getBoolean(6))
+    // a clear separation flips the flag
+    val far = Seq((0, 1.0), (0, 1.1), (0, 0.9), (1, 9.0), (1, 9.1),
+      (1, 8.9)).toDF("arm", "m")
+    assert(graft.ops.Experiment.abTest(far, col("arm"), col("m"))
+      .head().getBoolean(6))
+  }
+
+  test("funnelLatency: adjacent-step seconds, exact percentiles") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00")),
+      (1L, "b", ts("2024-01-01 11:00:00")),
+      (1L, "c", ts("2024-01-01 12:00:00")),
+      (4L, "a", ts("2024-01-01 10:00:00")),
+      (4L, "b", ts("2024-01-01 10:00:00")),
+      (4L, "c", ts("2024-01-01 10:00:00")),
+      (9L, "a", ts("2024-01-01 09:00:00")) // never converts → no row
+    ).toDF("u", "tp", "t")
+    val out = graft.ops.Experiment.funnelLatency(ev, col("u"), col("tp"),
+        col("t"), Seq("a", "b", "c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    // each transition: latencies {3600, 0} → p50 1800, p90 3240
+    assert(out == Seq((1L, "a", 2L, 1800.0, 3240.0),
+      (2L, "b", 2L, 1800.0, 3240.0)))
+  }
+
   test("cohortRetention: first-seen cohorts, period offsets, distinct keys") {
     import spark.implicits._
     val ev = Seq(
