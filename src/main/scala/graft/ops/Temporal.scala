@@ -235,27 +235,36 @@ object Temporal {
     * holding `max(aStart, bStart)` (both intervals cover it whenever
     * they overlap), so no distinct pass ever runs. Replication factor
     * is len/bucketWidth per side; hot buckets are ordinary AQE-skew
-    * equi-join territory. Time columns must be TIMESTAMP. Output:
-    * `(a_id, b_id, …payload)`. */
+    * equi-join territory. `aKeys` / `bKeys` (parallel lists) ADD
+    * equi-key columns to the join — the keyed variant that bounds the
+    * fan-out to same-key interval pairs. Time columns must be
+    * TIMESTAMP. Output: `(a_id, b_id, …payload)`. */
   def intervalOverlapJoin(a: DataFrame, aId: Column, aStart: Column,
       aEnd: Column, b: DataFrame, bId: Column, bStart: Column,
       bEnd: Column, bucketWidthMicros: Long,
       aPayload: Seq[(String, Column)] = Nil,
-      bPayload: Seq[(String, Column)] = Nil): DataFrame = {
+      bPayload: Seq[(String, Column)] = Nil,
+      aKeys: Seq[Column] = Nil,
+      bKeys: Seq[Column] = Nil): DataFrame = {
     require(bucketWidthMicros > 0,
       "intervalOverlapJoin: bucket width must be positive")
+    require(aKeys.length == bKeys.length,
+      "intervalOverlapJoin: aKeys and bKeys must pair up")
+    val kNames = aKeys.indices.map(i => s"__k$i")
     def prep(df: DataFrame, id: Column, s: Column, e: Column,
-        side: String, payload: Seq[(String, Column)]) =
+        side: String, keys: Seq[Column], payload: Seq[(String, Column)]) =
       df.select(
           (id.as(s"${side}_id") +: unix_micros(s).as(s"__${side}s") +:
             unix_micros(e).as(s"__${side}e") +:
-            payload.map { case (n, c) => c.as(n) }): _*)
+            (keys.zip(kNames).map { case (c, n) => c.as(n) } ++
+              payload.map { case (n, c) => c.as(n) })): _*)
         .filter(col(s"__${side}e") > col(s"__${side}s"))
         .withColumn("__bk", explode(sequence(
           floor(col(s"__${side}s") / bucketWidthMicros),
           floor((col(s"__${side}e") - 1) / bucketWidthMicros))))
-    prep(a, aId, aStart, aEnd, "a", aPayload)
-      .join(prep(b, bId, bStart, bEnd, "b", bPayload), Seq("__bk"))
+    prep(a, aId, aStart, aEnd, "a", aKeys, aPayload)
+      .join(prep(b, bId, bStart, bEnd, "b", bKeys, bPayload),
+        "__bk" +: kNames)
       .filter(col("__as") < col("__be") && col("__bs") < col("__ae") &&
         col("__bk") ===
           floor(greatest(col("__as"), col("__bs")) / bucketWidthMicros))

@@ -348,6 +348,66 @@ object StreamingOps {
     }
   }
 
+  final case class FunnelState(reached: Seq[Long])
+  final case class FunnelRow(k: Long, step_idx: Int, step: String,
+      reached_at: java.sql.Timestamp)
+
+  /** Streaming ordered funnel — the incremental twin of
+    * [[graft.ops.Temporal.funnelSteps]]: per-key earliest in-order step
+    * completions maintained ACROSS micro-batches with explicit state
+    * (one `reached` micros per step, bounded at |steps| longs per key
+    * REGARDLESS of event volume). Each batch sorts ITS events by
+    * (time, step) and runs the same greedy tightening scan over the
+    * carried state; rows emit in update mode whenever a step's
+    * completion time changes — read the latest emission per
+    * (k, step_idx). Exactly equal to the batch frame when each key's
+    * events arrive time-ordered across batches (the watermarked normal
+    * case); a LATE cross-batch event still tightens the chain into a
+    * VALID in-order completion but may miss an earlier one the batch
+    * replay would find (the state keeps no event history to revisit —
+    * that bound is the price of O(|steps|) state). Input columns:
+    * `keyCol LONG, typeCol STRING, timeCol TIMESTAMP`. */
+  def streamingFunnelSteps(events: DataFrame, steps: Seq[String],
+      keyCol: String = "user_id", typeCol: String = "event_type",
+      timeCol: String = "ts"): org.apache.spark.sql.Dataset[FunnelRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "streamingFunnelSteps: steps must be non-empty and distinct")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val idx = steps.zipWithIndex.toMap
+    val typed = events.select(col(keyCol).cast("long"),
+        col(typeCol).cast("string"), col(timeCol).cast("timestamp"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .filter(r => r._2 != null && idx.contains(r._2) && r._3 != null)
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (k: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+       state: GroupState[FunnelState]) =>
+        val acc = state.getOption.map(_.reached.toArray)
+          .getOrElse(Array.fill(steps.length)(Long.MaxValue))
+        val before = acc.clone()
+        def micros(ts: java.sql.Timestamp): Long = {
+          val i = ts.toInstant
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        }
+        val batch = rows.map { case (_, tp, ts) => (micros(ts), idx(tp)) }
+          .toArray.sortInPlaceBy { case (t, si) => (t, si) }
+        batch.foreach { case (t, si) =>
+          if ((si == 0 || t >= acc(si - 1)) && t < acc(si)) acc(si) = t
+        }
+        state.update(FunnelState(acc.toSeq))
+        steps.indices.iterator
+          .filter(i => acc(i) != before(i))
+          .map { i =>
+            val us = acc(i)
+            FunnelRow(k, i + 1, steps(i), java.sql.Timestamp.from(
+              java.time.Instant.ofEpochSecond(us / 1000000L,
+                (us % 1000000L) * 1000L)))
+          }
+    }
+  }
+
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long,
       n_events: Long, value_sum: Double)

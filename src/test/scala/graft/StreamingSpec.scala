@@ -585,6 +585,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming funnel: cross-batch state matches the batch " +
+      "funnelSteps frame under in-order delivery") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val all = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00")),
+      (1L, "b", ts("2024-01-01 11:00:00")),
+      (1L, "c", ts("2024-01-01 12:00:00")),
+      (2L, "b", ts("2024-01-01 09:00:00")),
+      (2L, "a", ts("2024-01-01 10:00:00")),
+      (3L, "a", ts("2024-01-01 10:00:00")),
+      (3L, "c", ts("2024-01-01 11:00:00")),
+      (4L, "a", ts("2024-01-01 10:00:00")),
+      (4L, "b", ts("2024-01-01 10:00:00")),
+      (4L, "c", ts("2024-01-01 10:00:00")))
+    val (batch1, batch2) = all.partition(_._3.getTime <=
+      ts("2024-01-01 10:00:00").getTime)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val fs = StreamingOps.streamingFunnelSteps(
+      input.toDF().toDF("user_id", "event_type", "ts"), Seq("a", "b", "c"))
+    val q = fs.writeStream.outputMode("update")
+      .format("memory").queryName("sfunnel").start()
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    val afterB1 = spark.sql("SELECT * FROM sfunnel").count()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    // latest emission per (k, step) is the live frame
+    val rows = spark.sql("SELECT * FROM sfunnel").collect()
+      .map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getString(2), r.getTimestamp(3))))
+    val latest = rows.zipWithIndex.groupBy(_._1._1)
+      .map { case (key, g) =>
+        val (step, at) = g.maxBy(_._2)._1._2
+        (key._1, key._2.toLong, step, at) }
+      .toSet
+    val batchFrame = graft.ops.Temporal.funnelSteps(all.toDF("u", "tp", "t"),
+        col("u"), col("tp"), col("t"), Seq("a", "b", "c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3))).toSet
+    assert(latest == batchFrame, s"stream $latest vs batch $batchFrame")
+    // updates actually spanned both batches (u1's b/c arrived late)
+    assert(afterB1 < rows.length)
+    q.stop()
+  }
+
   test("streamingHeavyHitters: cross-batch counts, batch-sketch parity, " +
       "bounded state under small capacity") {
     import spark.implicits._

@@ -227,6 +227,16 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(out == Seq((1L, 10L), (1L, 11L), (2L, 11L)))
+    // keyed variant: only same-key pairs survive
+    val keyed = Temporal.intervalOverlapJoin(
+        as.withColumn("u", col("aid") % 2), col("aid"), col("s"), col("e"),
+        bs.withColumn("u", col("bid") % 2), col("bid"), col("s"), col("e"),
+        bucketWidthMicros = 15L * 60 * 1000000L,
+        aKeys = Seq(col("u")), bKeys = Seq(col("u")))
+      .orderBy("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // aid 1 (odd) × bid 11 (odd) is the only surviving same-parity pair
+    assert(keyed == Seq((1L, 11L)))
   }
 
   test("rangeJoin: boundaries, multi-bucket spans, inverted intervals drop") {
