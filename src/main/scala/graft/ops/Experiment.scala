@@ -44,6 +44,97 @@ object Experiment {
         (abs(z) > 1.96).as("significant"))
   }
 
+  /** CUPED variance-reduced A/B readout (Deng et al., WSDM'13
+    * "Improving the Sensitivity of Online Controlled Experiments by
+    * Utilizing Pre-Experiment Data" — public method): the metric is
+    * adjusted by a pre-experiment covariate,
+    * `y' = y − θ(x − x̄)` with `θ = cov(x, y) / var(x)` POOLED over all
+    * units, then the Welch z runs on the adjusted per-arm moments. The
+    * whole readout is ONE partial aggregation over the units: per-arm
+    * `(n, Σx, Σy, Σx², Σy², Σxy)` combine in a 2-row frame into the
+    * pooled θ/x̄ and the per-arm adjusted mean and variance in CLOSED
+    * FORM (`var(y') = var(y) − 2θ·cov + θ²·var(x)`), so the units
+    * frame's lineage — typically a per-user pre-agg over the event
+    * log — is never evaluated twice. `armCol` 0/1 as in [[abTest]].
+    * Output: one row `(n_a, n_b, mean_a, mean_b, lift, theta, z,
+    * significant)` — means/lift are the ADJUSTED values. */
+  def cupedAbTest(units: DataFrame, armCol: Column, metricCol: Column,
+      covariateCol: Column): DataFrame = {
+    val s = units.select(armCol.cast("int").as("arm"),
+        metricCol.cast("double").as("y"), covariateCol.cast("double").as("x"))
+      .groupBy("arm")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    def side(arm: Int, sfx: String) = s.filter(col("arm") === arm)
+      .select(Seq("n", "sx", "sy", "sxx", "syy", "sxy")
+        .map(c => col(c).as(s"${c}_$sfx")): _*)
+    val m = side(0, "a").crossJoin(side(1, "b"))
+    val nT = col("n_a") + col("n_b")
+    val sxT = col("sx_a") + col("sx_b")
+    val syT = col("sy_a") + col("sy_b")
+    val xbar = sxT / nT
+    // pooled θ: the (n−1) denominators of sample cov/var cancel
+    val theta = ((col("sxy_a") + col("sxy_b")) - sxT * syT / nT) /
+      ((col("sxx_a") + col("sxx_b")) - sxT * sxT / nT)
+    def adj(sfx: String): (Column, Column) = {
+      val (n, sx, sy, sxx, syy, sxy) = (col(s"n_$sfx"), col(s"sx_$sfx"),
+        col(s"sy_$sfx"), col(s"sxx_$sfx"), col(s"syy_$sfx"), col(s"sxy_$sfx"))
+      val mu = sy / n - theta * (sx / n - xbar)
+      val vy = (syy - sy * sy / n) / (n - 1)
+      val vx = (sxx - sx * sx / n) / (n - 1)
+      val cxy = (sxy - sx * sy / n) / (n - 1)
+      (mu, vy - theta * cxy * 2 + theta * theta * vx)
+    }
+    val (muA, vA) = adj("a")
+    val (muB, vB) = adj("b")
+    val z = (muB - muA) / sqrt(vA / col("n_a") + vB / col("n_b"))
+    m.select(col("n_a").cast("long").as("n_a"),
+      col("n_b").cast("long").as("n_b"),
+      round(muA, 4).as("mean_a"), round(muB, 4).as("mean_b"),
+      round(muB - muA, 4).as("lift"), round(theta, 4).as("theta"),
+      round(z, 4).as("z"), (abs(z) > 1.96).as("significant"))
+  }
+
+  /** Sample-ratio-mismatch check — the assignment-health gate that runs
+    * BEFORE any metric readout: per-arm unit counts against the design
+    * ratios, Pearson chi-square `Σ (o − e)² / e` with `dof = k − 1`.
+    * `expected` maps arm → design weight (normalized internally); arms
+    * in the design but absent from the data count as observed 0 (that
+    * IS the mismatch). `critical` defaults to 10.828, the χ² 0.001
+    * upper tail at dof 1 — the conventional SRM alarm for two arms
+    * (pass the dof-k critical value for k+1 arms). One count-by-arm
+    * partial agg; everything after runs on a k-row frame. Output: one
+    * row `(n_total, chi2, dof, srm)`. */
+  def srmCheck(units: DataFrame, armCol: Column,
+      expected: Seq[(Int, Double)],
+      critical: Double = 10.828): DataFrame = {
+    require(expected.nonEmpty && expected.map(_._1).distinct.size == expected.size,
+      "srmCheck: expected arms must be non-empty and distinct")
+    require(expected.forall(_._2 > 0), "srmCheck: weights must be positive")
+    val spark = units.sparkSession
+    import spark.implicits._
+    val wSum = expected.map(_._2).sum
+    val design = expected.map { case (a, w) => (a, w / wSum) }
+      .toDF("arm", "w")
+    val counts = units.select(armCol.cast("int").as("arm"))
+      .groupBy("arm").agg(count(lit(1)).as("o"))
+    val tot = counts.agg(sum("o").cast("double").as("n_total"))
+    design.join(counts, Seq("arm"), "left")
+      .select(col("w"), coalesce(col("o"), lit(0L)).cast("double").as("o"))
+      .crossJoin(tot)
+      .select(col("n_total"),
+        pow(col("o") - col("w") * col("n_total"), 2) /
+          (col("w") * col("n_total")) as "c")
+      .groupBy("n_total")
+      .agg(round(sum("c"), 4).as("chi2"))
+      .select(col("n_total").cast("long").as("n_total"), col("chi2"),
+        lit(expected.size - 1).cast("long").as("dof"),
+        (col("chi2") > critical).as("srm"))
+  }
+
   /** Step-to-step conversion latency distribution over
     * [[Temporal.funnelSteps]]: for every adjacent step pair the key
     * completed, the seconds between the two earliest in-order

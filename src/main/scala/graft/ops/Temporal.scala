@@ -522,4 +522,121 @@ object Temporal {
       .select((col("p_id") +: col("i_id") +:
         (pPayload ++ iPayload).map { case (n, _) => col(n) }): _*)
   }
+
+  /** Rolling z-score anomaly scoring — the monitoring staple over any
+    * per-key metric stream: each row is scored against the trailing
+    * `nRows` PRIOR rows only (current row excluded, so a spike cannot
+    * mask itself), `z = (value − mean_prior) / std_prior`. `z` is null
+    * until `minPrior` priors exist or while the prior window is
+    * constant (zero variance); `is_anomaly` (0/1) fires on
+    * `|z| >= threshold` over the 4dp-rounded score. Same plan as
+    * [[rollingStats]]: ONE key shuffle, three aggregates over one
+    * shared window frame, all row-local after the sort — hot keys take
+    * the bucket treatment upstream. Output: `(id, …keys, value,
+    * n_prior, mean_prior, std_prior, z, is_anomaly)`. */
+  def anomalies(df: DataFrame, idCol: Column, keys: Seq[String],
+      timeCol: Column, valCol: Column, nRows: Int, minPrior: Int = 3,
+      threshold: Double = 3.0): DataFrame = {
+    require(nRows >= 1, "anomalies: nRows must be >= 1")
+    require(minPrior >= 1 && minPrior <= nRows,
+      "anomalies: minPrior must be in [1, nRows]")
+    require(threshold > 0, "anomalies: threshold must be positive")
+    val keyCols = keys.map(col)
+    val base = df.select((idCol.cast("long").as("id") +: keyCols) :+
+      timeCol.as("__t") :+ valCol.cast("double").as("value"): _*)
+    val ord = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t").asc, col("id").asc)
+    val prior = ord.rowsBetween(-nRows, -1)
+    val z = when(col("n_prior") >= minPrior && col("__sd") > 0,
+      round((col("value") - col("__m")) / col("__sd"), 4))
+    base
+      .withColumn("n_prior", count(lit(1)).over(prior))
+      .withColumn("__m", avg(col("value")).over(prior))
+      // Spark's stddev_samp yields NaN on a 1-row frame where SQL
+      // engines yield NULL — gate on n_prior for a portable contract
+      .withColumn("__sd",
+        when(col("n_prior") >= 2, stddev_samp(col("value")).over(prior)))
+      .withColumn("mean_prior", round(col("__m"), 4))
+      .withColumn("std_prior", round(col("__sd"), 4))
+      .withColumn("z", z)
+      .withColumn("is_anomaly",
+        coalesce((abs(col("z")) >= threshold).cast("long"), lit(0L)))
+      .drop("__t", "__m", "__sd")
+  }
+
+  /** Level-shift (changepoint) scoring — the edge filter over a per-key
+    * series: for every row, the mean of the `nRows` rows STRICTLY
+    * before it vs the mean of the `nRows` rows FROM it (current row
+    * inclusive); `shift = right_mean − left_mean` peaks exactly at a
+    * step change and is ~0 inside a stable regime. Only rows with BOTH
+    * windows full are emitted (partial windows at series edges would
+    * fake shifts). ONE key shuffle, two frames over one sorted window —
+    * row-local after the sort, the [[rollingStats]] scale shape.
+    * Output: `(id, …keys, value, left_mean, right_mean, shift)`. */
+  def levelShift(df: DataFrame, idCol: Column, keys: Seq[String],
+      timeCol: Column, valCol: Column, nRows: Int): DataFrame = {
+    require(nRows >= 1, "levelShift: nRows must be >= 1")
+    val keyCols = keys.map(col)
+    val base = df.select((idCol.cast("long").as("id") +: keyCols) :+
+      timeCol.as("__t") :+ valCol.cast("double").as("value"): _*)
+    val ord = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t").asc, col("id").asc)
+    val lf = ord.rowsBetween(-nRows, -1)
+    val rf = ord.rowsBetween(Window.currentRow, nRows - 1)
+    base
+      .withColumn("__nl", count(lit(1)).over(lf))
+      .withColumn("__ml", avg(col("value")).over(lf))
+      .withColumn("__nr", count(lit(1)).over(rf))
+      .withColumn("__mr", avg(col("value")).over(rf))
+      .filter(col("__nl") === nRows && col("__nr") === nRows)
+      .withColumn("left_mean", round(col("__ml"), 4))
+      .withColumn("right_mean", round(col("__mr"), 4))
+      .withColumn("shift", round(col("__mr") - col("__ml"), 4))
+      .drop("__t", "__nl", "__ml", "__nr", "__mr")
+  }
+
+  /** Classical (additive) seasonal decomposition per key:
+    * `value = trend + seasonal + resid`. Trend is the centered
+    * `(2·⌊period/2⌋+1)`-row moving average (null where the centered
+    * window is not full — series edges carry no trend, as in classical
+    * decomposition); `phase` is the row's 0-based position within its
+    * key modulo `period`; the seasonal index per (key, phase) is the
+    * mean detrended value, RECENTERED so each key's indices average to
+    * zero (the additive-decomposition identification constraint);
+    * resid is the remainder. Plan: one keyed sort powers rn + the
+    * centered frame, the seasonal table is a grouped agg of ≤ `period`
+    * rows per key re-joined on (key, phase) — the join's both sides
+    * are already key-clustered and the seasonal side is tiny (AQE
+    * broadcasts it). Output: `(id, …keys, phase, value, trend,
+    * seasonal, resid)` — trend/resid null at edges, seasonal null for
+    * a (key, phase) whose every occurrence sits at an edge. */
+  def seasonalDecompose(df: DataFrame, idCol: Column, keys: Seq[String],
+      timeCol: Column, valCol: Column, period: Int): DataFrame = {
+    require(period >= 2, "seasonalDecompose: period must be >= 2")
+    val keyCols = keys.map(col)
+    val half = period / 2
+    val ord = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t").asc, col("id").asc)
+    val cFrame = ord.rowsBetween(-half, half)
+    val base = df.select((idCol.cast("long").as("id") +: keyCols) :+
+        timeCol.as("__t") :+ valCol.cast("double").as("value"): _*)
+      .withColumn("phase",
+        ((row_number().over(ord) - 1) % period).cast("long"))
+      .withColumn("__trend",
+        when(count(lit(1)).over(cFrame) === 2 * half + 1,
+          avg(col("value")).over(cFrame)))
+    val seas = base
+      .groupBy((keyCols :+ col("phase")): _*)
+      .agg(avg(col("value") - col("__trend")).as("__sraw"))
+      .withColumn("__seas",
+        col("__sraw") - avg(col("__sraw")).over(
+          Window.partitionBy(keyCols: _*)))
+      .drop("__sraw")
+    base.join(seas, keys :+ "phase")
+      .select((col("id") +: keyCols) ++ Seq(col("phase"), col("value"),
+        round(col("__trend"), 4).as("trend"),
+        round(col("__seas"), 4).as("seasonal"),
+        round(col("value") - col("__trend") - col("__seas"), 4)
+          .as("resid")): _*)
+  }
 }

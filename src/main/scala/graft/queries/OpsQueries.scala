@@ -2145,6 +2145,66 @@ object OpsQueries {
         .select(col("id"), col("user_id"),
           round(col("value"), 4).as("v"), col("ewma"))
         .orderBy("user_id", "id")),
+    "q253_anomalies" -> ((s, d) =>
+      // rolling z-score anomaly scoring: each event vs its user's 5
+      // PRIOR events (self-exclusion), z gated on >= 3 priors and
+      // nonzero variance, |z| >= 2 flags — one key shuffle, one frame
+      graft.ops.Temporal.anomalies(ev(s, d), col("event_id"),
+          Seq("user_id"), col("ts"), col("value"), nRows = 5,
+          minPrior = 3, threshold = 2.0)
+        .filter(col("user_id") < 30)
+        .select(col("id"), col("user_id"), round(col("value"), 4).as("v"),
+          col("n_prior"), col("mean_prior"), col("std_prior"), col("z"),
+          col("is_anomaly"))
+        .orderBy("user_id", "id")),
+    "q254_level_shift" -> ((s, d) =>
+      // changepoint edge filter: trailing-4 vs leading-4 mean delta per
+      // user, full windows only — peaks at step changes, ~0 in regime
+      graft.ops.Temporal.levelShift(ev(s, d), col("event_id"),
+          Seq("user_id"), col("ts"), col("value"), nRows = 4)
+        .filter(col("user_id") < 30)
+        .select(col("id"), col("user_id"), round(col("value"), 4).as("v"),
+          col("left_mean"), col("right_mean"), col("shift"))
+        .orderBy("user_id", "id")),
+    "q255_seasonal" -> ((s, d) =>
+      // additive seasonal decomposition, period 4 over each user's
+      // event sequence: centered 5-row trend, recentered per-(user,
+      // phase) seasonal indices, resid = value - trend - seasonal
+      graft.ops.Temporal.seasonalDecompose(ev(s, d), col("event_id"),
+          Seq("user_id"), col("ts"), col("value"), period = 4)
+        .filter(col("user_id") < 30)
+        .select(col("id"), col("user_id"), col("phase"),
+          round(col("value"), 4).as("v"), col("trend"), col("seasonal"),
+          col("resid"))
+        .orderBy("user_id", "id")),
+    "q256_cuped" -> ((s, d) => {
+      // CUPED variance-reduced A/B readout: metric = per-user purchase
+      // revenue, covariate = per-user view-value sum (the "pre-period"
+      // stand-in) — ONE partial agg over units, per-arm moment sums
+      // combine into pooled theta and adjusted Welch z in closed form
+      val e = ev(s, d)
+      val rev = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(sum("value").as("rev"))
+      val vv = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(sum("value").as("vv"))
+      val units = e.select("user_id").distinct()
+        .join(rev, Seq("user_id"), "left")
+        .join(vv, Seq("user_id"), "left")
+        .select((col("user_id") % 2).as("arm"),
+          coalesce(col("rev"), lit(0.0)).as("metric"),
+          coalesce(col("vv"), lit(0.0)).as("x"))
+      graft.ops.Experiment.cupedAbTest(units, col("arm"), col("metric"),
+        col("x"))
+    }),
+    "q257_srm" -> ((s, d) => {
+      // sample-ratio-mismatch gate: per-arm user counts vs the 50/50
+      // design, Pearson chi-square at the 0.001 dof-1 critical value —
+      // one count-by-arm agg, then k-row arithmetic
+      val units = ev(s, d).select("user_id").distinct()
+        .select((col("user_id") % 2).as("arm"))
+      graft.ops.Experiment.srmCheck(units, col("arm"),
+        Seq(0 -> 1.0, 1 -> 1.0))
+    }),
     "q248_twap" -> ((s, d) => {
       // time-weighted average value per user over 6-hour buckets: each
       // view's value HOLDS until the user's next view (step function),
@@ -5957,6 +6017,106 @@ object OpsQueries {
                            + CASE WHEN v3 IS NULL THEN 0 ELSE 0.125 END),
                       4) AS ewma
          FROM l WHERE user_id < 30 ORDER BY user_id, id""",
+
+    "q253_anomalies" ->
+      """WITH e AS (SELECT event_id AS id, user_id, ts, value
+              FROM events),
+         w AS (SELECT id, user_id, value,
+                 count(*) OVER f AS n_prior,
+                 avg(value) OVER f AS m,
+                 stddev_samp(value) OVER f AS sd
+               FROM e
+               WINDOW f AS (PARTITION BY user_id ORDER BY ts, id
+                            ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)),
+         z AS (SELECT id, user_id, value, n_prior, m, sd,
+                 CASE WHEN n_prior >= 3 AND sd > 0
+                      THEN round((value - m) / sd, 4) END AS z
+               FROM w)
+         SELECT id, user_id, round(value, 4) AS v, n_prior,
+                round(m, 4) AS mean_prior, round(sd, 4) AS std_prior, z,
+                CAST(COALESCE(abs(z) >= 2.0, FALSE) AS BIGINT)
+                  AS is_anomaly
+         FROM z WHERE user_id < 30 ORDER BY user_id, id""",
+
+    "q254_level_shift" ->
+      """WITH e AS (SELECT event_id AS id, user_id, ts, value
+              FROM events),
+         w AS (SELECT id, user_id, value,
+                 count(*) OVER fl AS nl, avg(value) OVER fl AS ml,
+                 count(*) OVER fr AS nr, avg(value) OVER fr AS mr
+               FROM e
+               WINDOW
+                 fl AS (PARTITION BY user_id ORDER BY ts, id
+                        ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING),
+                 fr AS (PARTITION BY user_id ORDER BY ts, id
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+         SELECT id, user_id, round(value, 4) AS v,
+                round(ml, 4) AS left_mean, round(mr, 4) AS right_mean,
+                round(mr - ml, 4) AS shift
+         FROM w WHERE nl = 4 AND nr = 4 AND user_id < 30
+         ORDER BY user_id, id""",
+
+    "q255_seasonal" ->
+      """WITH e AS (SELECT event_id AS id, user_id, ts, value
+              FROM events),
+         b AS (SELECT id, user_id, value,
+                 (row_number() OVER o - 1) % 4 AS phase,
+                 CASE WHEN count(*) OVER f = 5
+                      THEN avg(value) OVER f END AS trend
+               FROM e
+               WINDOW o AS (PARTITION BY user_id ORDER BY ts, id),
+                      f AS (PARTITION BY user_id ORDER BY ts, id
+                            ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+         s0 AS (SELECT user_id, phase,
+                  avg(value - trend) AS sraw
+                FROM b GROUP BY user_id, phase),
+         s AS (SELECT user_id, phase,
+                 sraw - avg(sraw) OVER (PARTITION BY user_id) AS seas
+               FROM s0)
+         SELECT b.id, b.user_id, b.phase, round(b.value, 4) AS v,
+                round(b.trend, 4) AS trend, round(s.seas, 4) AS seasonal,
+                round(b.value - b.trend - s.seas, 4) AS resid
+         FROM b JOIN s USING (user_id, phase)
+         WHERE b.user_id < 30 ORDER BY b.user_id, b.id""",
+
+    "q256_cuped" ->
+      """WITH ids AS (SELECT DISTINCT user_id FROM events),
+         r AS (SELECT user_id, sum(value) AS rev FROM events
+               WHERE event_type = 'purchase' GROUP BY user_id),
+         v AS (SELECT user_id, sum(value) AS vv FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+         u AS (SELECT ids.user_id % 2 AS arm,
+                 COALESCE(r.rev, 0) AS y, COALESCE(v.vv, 0) AS x
+               FROM ids LEFT JOIN r USING (user_id)
+                        LEFT JOIN v USING (user_id)),
+         g AS (SELECT covar_samp(x, y) / var_samp(x) AS th, avg(x) AS xb
+               FROM u),
+         adj AS (SELECT arm, y - g.th * (x - g.xb) AS m FROM u, g),
+         s AS (SELECT arm, count(*) AS n, avg(m) AS mu, var_samp(m) AS v
+               FROM adj GROUP BY arm)
+         SELECT a.n AS n_a, b.n AS n_b,
+                round(a.mu, 4) AS mean_a, round(b.mu, 4) AS mean_b,
+                round(b.mu - a.mu, 4) AS lift, round(g.th, 4) AS theta,
+                round((b.mu - a.mu) / sqrt(a.v / a.n + b.v / b.n), 4) AS z,
+                abs((b.mu - a.mu) / sqrt(a.v / a.n + b.v / b.n)) > 1.96
+                  AS significant
+         FROM (SELECT * FROM s WHERE arm = 0) a,
+              (SELECT * FROM s WHERE arm = 1) b, g""",
+
+    "q257_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         c AS (SELECT user_id % 2 AS arm, count(*) AS o
+               FROM u GROUP BY arm),
+         d AS (SELECT 0 AS arm, 0.5 AS w UNION ALL SELECT 1, 0.5),
+         t AS (SELECT CAST(sum(o) AS DOUBLE) AS n_total FROM c),
+         x AS (SELECT CAST(t.n_total AS BIGINT) AS n_total,
+                 round(sum(pow(COALESCE(c.o, 0) - d.w * t.n_total, 2)
+                           / (d.w * t.n_total)), 4) AS chi2
+               FROM d LEFT JOIN c USING (arm), t
+               GROUP BY t.n_total)
+         SELECT n_total, chi2, CAST(1 AS BIGINT) AS dof,
+                chi2 > 10.828 AS srm
+         FROM x""",
 
     "q248_twap" ->
       """WITH p0 AS (SELECT user_id, ts, value,

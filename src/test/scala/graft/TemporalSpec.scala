@@ -393,6 +393,44 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getBoolean(6))
   }
 
+  test("cupedAbTest: pooled theta, adjusted moments, closed-form " +
+      "variance matches the hand computation") {
+    import spark.implicits._
+    // y ≈ x + arm effect: θ = 4.5/4 = 1.125, adjusted arm means
+    // 2.1667 / 3.0, adjusted variances 0.036458 / 0.015625 → z = √40
+    val units = Seq((0, 1.0, 1.0), (0, 2.0, 2.0), (0, 3.5, 3.0),
+      (1, 2.0, 1.0), (1, 3.0, 2.0), (1, 4.0, 3.0)).toDF("arm", "y", "x")
+    val r = graft.ops.Experiment.cupedAbTest(units, col("arm"), col("y"),
+      col("x")).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 2.1667 && r.getDouble(3) == 3.0)
+    assert(r.getDouble(4) == 0.8333)
+    assert(r.getDouble(5) == 1.125)  // theta
+    assert(r.getDouble(6) == 6.3246) // √40: covariate soaked the noise
+    assert(r.getBoolean(7))
+    // the same tape UNADJUSTED is not significant — that is the point
+    assert(!graft.ops.Experiment.abTest(units, col("arm"), col("y"))
+      .head().getBoolean(6))
+  }
+
+  test("srmCheck: chi-square vs design ratios, absent arm observed 0") {
+    import spark.implicits._
+    val even = (1 to 60).map(_ => 0) ++ (1 to 40).map(_ => 1)
+    val r = graft.ops.Experiment.srmCheck(even.toDF("arm"), col("arm"),
+      Seq(0 -> 1.0, 1 -> 1.0)).head()
+    assert(r.getLong(0) == 100L && r.getDouble(1) == 4.0 &&
+      r.getLong(2) == 1L && !r.getBoolean(3)) // 60/40 at n=100: fine
+    val skewed = (1 to 80).map(_ => 0) ++ (1 to 20).map(_ => 1)
+    val r2 = graft.ops.Experiment.srmCheck(skewed.toDF("arm"), col("arm"),
+      Seq(0 -> 1.0, 1 -> 1.0)).head()
+    assert(r2.getDouble(1) == 36.0 && r2.getBoolean(3)) // alarm
+    // an arm missing from the data entirely IS the mismatch
+    val onearm = (1 to 20).map(_ => 0)
+    val r3 = graft.ops.Experiment.srmCheck(onearm.toDF("arm"), col("arm"),
+      Seq(0 -> 1.0, 1 -> 1.0)).head()
+    assert(r3.getDouble(1) == 20.0 && r3.getBoolean(3))
+  }
+
   test("funnelLatency: adjacent-step seconds, exact percentiles") {
     import spark.implicits._
     val ev = Seq(
@@ -461,5 +499,81 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
         pKeys = Seq(col("u")), iKeys = Seq(col("u"))).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(out == Seq((1L, 9L))) // key 8 point and key 9 interval unmatched
+  }
+
+  test("anomalies: spike scores against priors only, z gated on " +
+      "minPrior and nonzero variance") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), 10.0),
+      (2L, 1L, ts("2024-01-01 11:00:00"), 12.0),
+      (3L, 1L, ts("2024-01-01 12:00:00"), 11.0),
+      (4L, 1L, ts("2024-01-01 13:00:00"), 10.0),
+      (5L, 1L, ts("2024-01-01 14:00:00"), 100.0), // the spike
+      (6L, 2L, ts("2024-01-01 10:00:00"), 5.0),   // constant-series key
+      (7L, 2L, ts("2024-01-01 11:00:00"), 5.0),
+      (8L, 2L, ts("2024-01-01 12:00:00"), 5.0),
+      (9L, 2L, ts("2024-01-01 13:00:00"), 5.0)
+    ).toDF("id", "u", "t", "v")
+    val out = Temporal.anomalies(ev, col("id"), Seq("u"), col("t"),
+        col("v"), nRows = 4, minPrior = 3, threshold = 2.0)
+      .orderBy("u", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(3),
+        Option(r.get(r.fieldIndex("z"))).map(_.asInstanceOf[Double]),
+        r.getLong(r.fieldIndex("is_anomaly"))))
+    // key 1: rows 1-3 have < 3 priors → z null; row 4 z small; row 5 huge
+    assert(out(0)._3.isEmpty && out(0)._4 == 0L && out(0)._2 == 0L)
+    assert(out(2)._3.isEmpty) // 2 priors < minPrior
+    assert(out(3)._3.nonEmpty && out(3)._4 == 0L) // in-regime row
+    val spike = out(4)
+    assert(spike._2 == 4L && spike._3.exists(_ > 2.0) && spike._4 == 1L)
+    // key 2: 3 priors exist at row 9 but variance is zero → z null, no flag
+    assert(out.drop(5).forall(r => r._3.isEmpty && r._4 == 0L))
+  }
+
+  test("levelShift: peak shift lands on the step change, edges dropped") {
+    import spark.implicits._
+    val ev = (1L to 8L).map(i => (i, 1L,
+      ts(f"2024-01-01 ${9 + i}%02d:00:00"), if (i <= 4) 1.0 else 9.0))
+      .toDF("id", "u", "t", "v")
+    val out = Temporal.levelShift(ev, col("id"), Seq("u"), col("t"),
+        col("v"), nRows = 2).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(r.fieldIndex("shift"))))
+    // full both-side windows exist only for rows 3..7
+    assert(out.map(_._1).toSeq == Seq(3L, 4L, 5L, 6L, 7L))
+    assert(out.toMap == Map(3L -> 0.0, 4L -> 4.0, 5L -> 8.0,
+      6L -> 4.0, 7L -> 0.0)) // peak exactly at the first 9.0 (id 5)
+  }
+
+  test("seasonalDecompose: identity holds, seasonal indices recenter " +
+      "to zero per key, phases cycle") {
+    import spark.implicits._
+    // period-2 square wave on a ramp: value = i + (6 if odd position)
+    val ev = (0L until 12L).map(i => (i + 1, 1L,
+      ts(f"2024-01-01 ${i}%02d:30:00"), i.toDouble + (if (i % 2 == 1) 6.0 else 0.0)))
+      .toDF("id", "u", "t", "v")
+    val rows = Temporal.seasonalDecompose(ev, col("id"), Seq("u"),
+        col("t"), col("v"), period = 2).orderBy("id").collect()
+    def d(r: org.apache.spark.sql.Row, c: String): Option[Double] =
+      Option(r.get(r.fieldIndex(c))).map(_.asInstanceOf[Double])
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("phase")) == (r.getLong(0) - 1) % 2)
+      (d(r, "trend"), d(r, "seasonal"), d(r, "resid")) match {
+        case (Some(t), Some(s), Some(res)) =>
+          assert(math.abs(r.getDouble(r.fieldIndex("value")) - (t + s + res)) < 1e-6)
+        case (None, _, res) => assert(res.isEmpty) // edge rows: no trend
+        case other => fail(s"unexpected $other")
+      }
+    }
+    // recentering: the two per-key seasonal indices sum to ~0. On this
+    // tape the detrended wave is exactly ±4: the 3-row centered MA of a
+    // ±3 square wave on a unit ramp swings ∓1 against the wave
+    val idx = rows.flatMap(r =>
+      d(r, "seasonal").map(s => (r.getLong(r.fieldIndex("phase")), s)))
+      .distinct.toMap
+    assert(math.abs(idx(0L) + idx(1L)) < 1e-3)
+    assert(math.abs(idx(1L) - 4.0) < 1e-3)
+    // edge rows (first and last) carry no trend
+    assert(d(rows.head, "trend").isEmpty && d(rows.last, "trend").isEmpty)
   }
 }
