@@ -2205,6 +2205,24 @@ object OpsQueries {
       graft.ops.Experiment.srmCheck(units, col("arm"),
         Seq(0 -> 1.0, 1 -> 1.0))
     }),
+    "q258_jw_join" -> ((s, d) => {
+      // record-linkage fuzzy join: 3-token title stand-ins per doc plus
+      // a deterministic end-transposition twin; first-token blocking,
+      // Jaro-Winkler >= 0.96 — only same-block pairs pay the kernel
+      val base = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 3), " ")
+            .as("s"))
+        .filter(length(col("s")) >= 6)
+      val L = length(col("s"))
+      val mut = base.select((col("id") + 1000000L).as("id"),
+        concat(col("s").substr(lit(1), L - 2), col("s").substr(L, lit(1)),
+          col("s").substr(L - 1, lit(1))).as("s"))
+      graft.ops.Dedup.jaroWinklerJoin(base.unionByName(mut), col("id"),
+          col("s"), element_at(split(col("s"), " "), 1), minSim = 0.96)
+        .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("a_id", "b_id")
+    }),
     "q248_twap" -> ((s, d) => {
       // time-weighted average value per user over 6-hour buckets: each
       // view's value HOLDS until the user's next view (step function),
@@ -6117,6 +6135,25 @@ object OpsQueries {
          SELECT n_total, chi2, CAST(1 AS BIGINT) AS dof,
                 chi2 > 10.828 AS srm
          FROM x""",
+
+    "q258_jw_join" ->
+      """WITH base AS (SELECT doc_id AS id,
+                 array_to_string(
+                   (string_split_regex(trim(text), '\s+'))[1:3], ' ') AS s
+               FROM documents),
+         okay AS (SELECT * FROM base WHERE length(s) >= 6),
+         mut AS (SELECT id + 1000000 AS id,
+                   substr(s, 1, length(s) - 2) ||
+                   substr(s, length(s), 1) ||
+                   substr(s, length(s) - 1, 1) AS s
+                 FROM okay),
+         u AS (SELECT * FROM okay UNION ALL SELECT * FROM mut),
+         p AS (SELECT id, s, split_part(s, ' ', 1) AS blk FROM u),
+         c AS (SELECT a.id AS a_id, b.id AS b_id,
+                 jaro_winkler_similarity(a.s, b.s) AS sim
+               FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id)
+         SELECT a_id, b_id, round(sim, 4) AS sim FROM c
+         WHERE sim >= 0.96 ORDER BY a_id, b_id""",
 
     "q248_twap" ->
       """WITH p0 AS (SELECT user_id, ts, value,

@@ -408,6 +408,65 @@ object StreamingOps {
     }
   }
 
+  final case class AnomState(ring: Seq[Double])
+  final case class AnomRow(id: Long, k: Long, value: Double, n_prior: Long,
+      z: Option[Double], is_anomaly: Long)
+
+  /** Streaming rolling z-score anomalies — the incremental twin of
+    * [[graft.ops.Temporal.anomalies]]: each event scores against its
+    * key's trailing `nRows` PRIOR values carried across micro-batches
+    * as a ring buffer (state bounded at `nRows` doubles per key
+    * REGARDLESS of volume). Per batch the key's events sort by
+    * (time, id) and replay through the same score-then-push scan the
+    * batch frame's window computes, with identical gating (z null
+    * below `minPrior` priors or at zero variance; the flag fires on
+    * the 4dp-rounded |z|). Equal to the batch op per event when each
+    * key's events arrive time-ordered across batches; a late event
+    * scores against the state as of ITS arrival — the price of not
+    * keeping event history. Output is append-ready (one row per
+    * event, never revised). Input: `keyCol LONG, idCol LONG,
+    * timeCol TIMESTAMP, valCol DOUBLE`. */
+  def streamingAnomalies(events: DataFrame, nRows: Int, minPrior: Int = 3,
+      threshold: Double = 3.0, keyCol: String = "user_id",
+      idCol: String = "event_id", timeCol: String = "ts",
+      valCol: String = "value"): org.apache.spark.sql.Dataset[AnomRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(nRows >= 1 && minPrior >= 1 && minPrior <= nRows,
+      "streamingAnomalies: need nRows >= 1 and minPrior in [1, nRows]")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col(keyCol).cast("long"),
+        col(idCol).cast("long"), col(timeCol).cast("timestamp"),
+        col(valCol).cast("double"))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+      .filter(r => r._3 != null)
+    def r4(v: Double): Double =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (k: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Double)],
+       state: GroupState[AnomState]) =>
+        val ring = scala.collection.mutable.Queue.empty[Double]
+        state.getOption.foreach(s => ring ++= s.ring)
+        val batch = rows.toArray.sortBy(r => (r._3.getTime, r._2))
+        val out = batch.map { case (_, id, _, v) =>
+          val n = ring.size
+          val z = if (n >= minPrior) {
+            val mu = ring.sum / n
+            val sd = math.sqrt(
+              ring.iterator.map(x => (x - mu) * (x - mu)).sum / (n - 1))
+            if (sd > 0) Some(r4((v - mu) / sd)) else None
+          } else None
+          ring.enqueue(v)
+          if (ring.size > nRows) ring.dequeue()
+          AnomRow(id, k, v, n.toLong, z,
+            if (z.exists(zz => math.abs(zz) >= threshold)) 1L else 0L)
+        }
+        state.update(AnomState(ring.toSeq))
+        out.iterator
+    }
+  }
+
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long,
       n_events: Long, value_sum: Double)

@@ -378,6 +378,49 @@ class QualitySignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.ops.Dedup.levDistance("", "abc") == 3)
   }
 
+  test("jaroWinkler kernel: textbook values, boost threshold, " +
+      "empty convention") {
+    def jw = graft.ops.Dedup.jaroWinkler _
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-9)
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("", "") == 0.0 && jw("a", "") == 0.0) // DuckDB convention
+    assert(jw("abc", "xyz") == 0.0)                 // no matches
+    // below the 0.7 boost threshold the shared prefix must NOT boost:
+    // jaro("aaaaaaaaaaaaaaaaaaab", "aab...") style pairs stay raw
+    val raw = jw("abcdefghijklmnopqrst", "abzzzzzzzzzzzzzzzzzz")
+    assert(raw < 0.7 + 1e-12) // jaro ≤ 0.7 → no Winkler term applied
+  }
+
+  test("jaroWinklerJoin: equals brute force within blocks; maxBucket " +
+      "drops hot blocks only") {
+    import spark.implicits._
+    val strs = Seq(
+      (1L, "martha stone"), (2L, "marhta stone"),  // transposed twin
+      (3L, "martin stone"),                        // near
+      (4L, "zeke wilder"),                         // other block
+      (5L, "zeke wilde"))                          // near within z-block
+      .toDF("id", "s")
+    val blk = substring(col("s"), 1, 1)
+    val got = graft.ops.Dedup.jaroWinklerJoin(strs, col("id"), col("s"),
+        blk, minSim = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+    val rows = strs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (ai, sa) <- rows; (bi, sb) <- rows
+      if ai < bi && sa.charAt(0) == sb.charAt(0)
+      sim = graft.ops.Dedup.jaroWinkler(sa, sb) if sim >= 0.9
+    } yield (ai, bi, sim)).sortBy(p => (p._1, p._2))
+    assert(got.toSeq == brute.toSeq && brute.size >= 2)
+    // cap of 2 drops the 3-row m-block, keeps the 2-row z-block
+    val capped = graft.ops.Dedup.jaroWinklerJoin(strs, col("id"), col("s"),
+        blk, minSim = 0.9, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((4L, 5L)))
+  }
+
   test("editDistanceJoin: maxBucket bounds candidate fan-out on " +
       "adversarial shared-prefix corpora; cold pairs survive the cap") {
     import spark.implicits._

@@ -693,4 +693,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(latest.filter(_._2 >= 0).keySet == Set("x"))
     q2.stop()
   }
+
+  test("streamingAnomalies: cross-batch ring state matches the batch " +
+      "scorer under in-order delivery; spike flags fire") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // two keys, stable baselines with one spike each; key 1's spike
+    // lands in batch 2 so its priors MUST carry across the batch
+    // boundary through the ring state
+    val all = (1 to 8).map(i =>
+        (1L, i.toLong, ts(f"2024-01-01 10:0$i%02d:00"),
+          if (i == 7) 50.0 else 10.0 + (i % 3))) ++
+      (1 to 6).map(i =>
+        (2L, 100L + i, ts(f"2024-01-01 10:0$i%02d:00"),
+          if (i == 5) -40.0 else 5.0 + (i % 2)))
+    val (batch1, batch2) = all.partition(_._3.getTime <=
+      ts("2024-01-01 10:04:00").getTime)
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val sa = StreamingOps.streamingAnomalies(
+      input.toDF().toDF("user_id", "event_id", "ts", "value"),
+      nRows = 4, minPrior = 3, threshold = 1.5)
+    val q = sa.writeStream.outputMode("update")
+      .format("memory").queryName("sanom").start()
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    // append-shaped: exactly one row per event, never revised
+    val rows = spark.sql("SELECT * FROM sanom").collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getDouble(2), r.getLong(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4), r.getLong(5)))
+    assert(rows.length == all.length)
+    val batchFrame = graft.ops.Temporal.anomalies(
+        all.toDF("user_id", "event_id", "ts", "value"), col("event_id"),
+        Seq("user_id"), col("ts"), col("value"), nRows = 4, minPrior = 3,
+        threshold = 1.5)
+      .select("id", "user_id", "value", "n_prior", "z", "is_anomaly")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getDouble(2), r.getLong(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4), r.getLong(5)))
+    def key(t: (Long, Long, Double, Long, Double, Long)) = (t._1, t._2)
+    def canon(t: (Long, Long, Double, Long, Double, Long)) =
+      (t._1, t._2, t._3, t._4,
+        if (t._5.isNaN) "null" else f"${t._5}%.4f", t._6)
+    assert(rows.map(canon).sortBy(r => (r._1, r._2)).toSeq ==
+      batchFrame.map(canon).sortBy(r => (r._1, r._2)).toSeq)
+    // the cross-batch case really exercised state: key 1's spike (id 7)
+    // scored in batch 2 against priors from both batches, and flagged
+    val spike = rows.find(r => key(r) == (1L, 7L)).get
+    assert(spike._4 == 4L && spike._6 == 1L && spike._5 > 1.5)
+    val dip = rows.find(r => key(r) == (2L, 105L)).get
+    assert(dip._6 == 1L && dip._5 < -1.5)
+    // warmup rows (fewer than minPrior priors) never flag, z null
+    assert(rows.filter(_._4 < 3).forall(r => r._5.isNaN && r._6 == 0L))
+    q.stop()
+  }
 }
