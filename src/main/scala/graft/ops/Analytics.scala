@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Engagement analytics over an event log — the activity readouts next
+ * to [[Temporal.funnel]] and [[Temporal.cohortRetention]]: rolling
+ * active-user counts, the event-type transition matrix, and
+ * inactivity-gap detection. All three are single-shuffle plans over
+ * frames far smaller than the raw log (distinct (user, day) pairs, or
+ * per-key sorted scans); the event log itself is never self-joined.
+ */
+object Analytics {
+
+  /** Rolling active users (the DAU/WAU/MAU board): for every observed
+    * activity day, the distinct keys active in the trailing `w` days
+    * (day-inclusive) for each `w` in `windows`. Output:
+    * `(day DATE, au_<w1>, au_<w2>, …)` ordered by the caller.
+    *
+    * Plan: ONE distinct over (key, day) — the only pass that touches
+    * the log, and partial-agg'd — then the pairs frame (|users|·|days|
+    * at most, ≪ the log) explodes ×max(windows) to the target days
+    * each pair serves, and one grouped conditional `count_distinct`
+    * per window aggregates. The grid is the OBSERVED days (a day with
+    * zero events in every window's reach does not appear — emit a
+    * calendar upstream and left-join if dense output is needed). At
+    * extreme user×window scale swap the exact distinct for per-day HLL
+    * sketches unioned over the window (`hll_sketch_agg` /
+    * `hll_union_agg`) — same plan, no pair fan-out, ±2% counts. */
+  def activeUsers(events: DataFrame, keyCol: Column, timeCol: Column,
+      windows: Seq[Int]): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ >= 1),
+      "activeUsers: windows must be positive")
+    require(windows.distinct.size == windows.size,
+      "activeUsers: windows must be distinct")
+    val maxW = windows.max
+    val pairs = events
+      .select(keyCol.cast("long").as("k"), to_date(timeCol).as("d"))
+      .filter(col("d").isNotNull)
+      .distinct()
+    val days = pairs.select(col("d").as("day")).distinct()
+    val fanned = pairs
+      .select(col("k"), col("d"),
+        explode(sequence(lit(0), lit(maxW - 1))).as("off"))
+      .withColumn("day", date_add(col("d"), col("off")))
+    val aggs = windows.map(w =>
+      count_distinct(when(col("off") < w, col("k"))).as(s"au_$w"))
+    // inner join keeps the observed-days grid: a target day only fanned
+    // into (never itself active) would otherwise appear
+    fanned.groupBy("day")
+      .agg(aggs.head, aggs.tail: _*)
+      .join(days, "day")
+  }
+
+  /** Event-type transition matrix: for every key, consecutive event
+    * pairs in (time, tiebreak) order, counted and row-normalized per
+    * origin type — the Markov view of user journeys (and the input to
+    * removal-effect attribution). Output:
+    * `(from_type, to_type, n, p)` with `p = n / Σ n(from_type)` at
+    * 4dp. ONE key shuffle (the lag window), then a grouped count over
+    * |types|² rows and a tiny window for the normalizer — the log
+    * never self-joins. Ties at one timestamp order by `tiebreakCol`
+    * (pass the event id: without a total order the matrix is
+    * nondeterministic). */
+  def eventTransitions(events: DataFrame, keyCol: Column, typeCol: Column,
+      timeCol: Column, tiebreakCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("tb").asc)
+    events
+      .select(keyCol.cast("long").as("k"), typeCol.cast("string").as("tp"),
+        timeCol.as("t"), tiebreakCol.cast("long").as("tb"))
+      .withColumn("to_type", lead(col("tp"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("tp").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))), 4))
+  }
+
+  /** Inactivity gaps: per key, every pause between consecutive events
+    * longer than `minGapMicros` — the downtime/churn-risk intervals
+    * behind re-engagement triggers (and the complement of
+    * sessionization). Output: `(k, gap_start, gap_end, gap_micros)`
+    * with start/end the bounding events' times. ONE key shuffle, a
+    * lead window, a filter — row-local after the sort; hot keys take
+    * the [[Temporal.asofJoin]] bucket treatment upstream if a key's
+    * history outgrows a partition. */
+  def inactivityGaps(events: DataFrame, keyCol: Column, timeCol: Column,
+      minGapMicros: Long): DataFrame = {
+    require(minGapMicros >= 0, "inactivityGaps: minGapMicros must be >= 0")
+    val w = Window.partitionBy(col("k")).orderBy(col("__t").asc)
+    events
+      .select(keyCol.cast("long").as("k"),
+        timeCol.cast("timestamp").as("__t"))
+      .withColumn("__nt", lead(col("__t"), 1).over(w))
+      .withColumn("gap_micros",
+        unix_micros(col("__nt")) - unix_micros(col("__t")))
+      .filter(col("gap_micros") > minGapMicros)
+      .select(col("k"), col("__t").as("gap_start"),
+        col("__nt").as("gap_end"), col("gap_micros"))
+  }
+
+  /** OHLC downsampling: per key and fixed time bucket, the classic
+    * candlestick tuple — open/close are the values at the bucket's
+    * first/last event in (time, tiebreak) order, high/low the extremes,
+    * plus event count and value sum. The streaming-metrics rollup
+    * staple (and the lossy-but-shaped compaction for long metric
+    * retention). ONE grouped partial aggregation — `min_by`/`max_by`
+    * on the (time, tiebreak) struct resolve open/close without any
+    * window or sort, so the plan is a straight hash agg. Output:
+    * `(k, bucket_start TIMESTAMP, open, high, low, close, n_events,
+    * v_sum)`. */
+  def ohlcBars(events: DataFrame, keyCol: Column, timeCol: Column,
+      valCol: Column, tiebreakCol: Column,
+      bucketWidthMicros: Long): DataFrame = {
+    require(bucketWidthMicros > 0, "ohlcBars: bucket width must be positive")
+    val ord = struct(col("__t"), col("__tb"))
+    events
+      .select(keyCol.cast("long").as("k"),
+        unix_micros(timeCol.cast("timestamp")).as("__t"),
+        valCol.cast("double").as("v"), tiebreakCol.cast("long").as("__tb"))
+      .withColumn("__bk", expr(s"__t div ${bucketWidthMicros}L"))
+      .groupBy("k", "__bk")
+      .agg(min_by(col("v"), ord).as("open"), max(col("v")).as("high"),
+        min(col("v")).as("low"), max_by(col("v"), ord).as("close"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("v")), 4).as("v_sum"))
+      .select(col("k"),
+        timestamp_micros(col("__bk") * bucketWidthMicros).as("bucket_start"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"), col("v_sum"))
+  }
+
+  /** Regular-grid resampling with forward fill (LOCF) — the gap-fill
+    * every sensor/metrics pipeline runs before joining series on time:
+    * per key, grid ticks every `stepMicros` spanning the key's observed
+    * range, each tick carrying the latest value at-or-before it.
+    * Equivalent to a grid-vs-events as-of join, WITHOUT running one:
+    * each event's validity segment `[t, next_t)` (from one lead
+    * window) explodes to exactly the grid ticks it covers, so every
+    * tick is produced once by its owning segment. ONE key shuffle;
+    * replication is segment-length / step, bounded by event spacing —
+    * the [[Temporal.timeWeightedAvg]] shape. Events must be unique per
+    * (key, time): pre-aggregate ties upstream (which value "holds"
+    * would otherwise be arbitrary). Output:
+    * `(k, tick TIMESTAMP, value)`. */
+  def resampleLocf(events: DataFrame, keyCol: Column, timeCol: Column,
+      valCol: Column, stepMicros: Long): DataFrame = {
+    require(stepMicros > 0, "resampleLocf: stepMicros must be positive")
+    val st = stepMicros
+    val w = Window.partitionBy(col("k")).orderBy(col("__t").asc)
+    events
+      .select(keyCol.cast("long").as("k"),
+        unix_micros(timeCol.cast("timestamp")).as("__t"),
+        valCol.cast("double").as("value"))
+      // last event's segment is [t, t+1): it owns only its own on-grid
+      // tick, closing the grid at floor(last/step) without a max() pass
+      .withColumn("__nt", coalesce(lead(col("__t"), 1).over(w),
+        col("__t") + 1))
+      // exact integer grid math (positive micros): ceil(t/st) and
+      // ceil(nt/st)-1 — double division would wobble at exact multiples
+      .withColumn("__n0", expr(s"(__t + ${st - 1}) div $st"))
+      .withColumn("__n1", expr(s"(__nt - 1) div $st"))
+      .filter(col("__n1") >= col("__n0"))
+      .withColumn("__n", explode(sequence(col("__n0"), col("__n1"))))
+      .select(col("k"), timestamp_micros(col("__n") * st).as("tick"),
+        col("value"))
+  }
+}

@@ -2223,6 +2223,37 @@ object OpsQueries {
         .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
         .orderBy("a_id", "b_id")
     }),
+    "q259_active_users" -> ((s, d) =>
+      // rolling DAU/WAU/MAU: one distinct over (user, day), then the
+      // pairs frame fans out ×28 and one grouped conditional
+      // count_distinct serves all three windows — the log never
+      // self-joins
+      graft.ops.Analytics.activeUsers(ev(s, d), col("user_id"), col("ts"),
+        Seq(1, 7, 28)).orderBy("day")),
+    "q260_transitions" -> ((s, d) =>
+      // Markov journey matrix: per-user lead pairs in (ts, id) order,
+      // grouped to |types|² rows, row-normalized per origin
+      graft.ops.Analytics.eventTransitions(ev(s, d), col("user_id"),
+        col("event_type"), col("ts"), col("event_id"))
+        .orderBy("from_type", "to_type")),
+    "q261_inactivity_gaps" -> ((s, d) =>
+      // churn-risk pauses: consecutive same-user events more than a
+      // day apart — one keyed lead window, then a filter
+      graft.ops.Analytics.inactivityGaps(ev(s, d), col("user_id"),
+        col("ts"), 24L * 3600 * 1000000L).orderBy("k", "gap_start")),
+    "q262_ohlc" -> ((s, d) =>
+      // candlestick downsampling to 6-hour bars: min_by/max_by resolve
+      // open/close inside ONE hash aggregation — no window, no sort
+      graft.ops.Analytics.ohlcBars(ev(s, d), col("user_id"), col("ts"),
+        col("value"), col("event_id"), 6L * 3600 * 1000000L)
+        .orderBy("k", "bucket_start")),
+    "q263_resample_locf" -> ((s, d) =>
+      // forward-filled 6-hour grid over each user's view stream: each
+      // event's validity segment explodes to exactly the ticks it owns
+      graft.ops.Analytics.resampleLocf(
+        ev(s, d).filter(col("event_type") === "view"), col("user_id"),
+        col("ts"), col("value"), 6L * 3600 * 1000000L)
+        .orderBy("k", "tick")),
     "q248_twap" -> ((s, d) => {
       // time-weighted average value per user over 6-hour buckets: each
       // view's value HOLDS until the user's next view (step function),
@@ -6154,6 +6185,60 @@ object OpsQueries {
                FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id)
          SELECT a_id, b_id, round(sim, 4) AS sim FROM c
          WHERE sim >= 0.96 ORDER BY a_id, b_id""",
+
+    "q259_active_users" ->
+      """WITH pairs AS (SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS d
+                 FROM events),
+         days AS (SELECT DISTINCT d AS day FROM pairs)
+         SELECT day,
+           count(DISTINCT CASE WHEN p.d = day THEN p.k END) AS au_1,
+           count(DISTINCT CASE WHEN p.d > day - 7 THEN p.k END) AS au_7,
+           count(DISTINCT p.k) AS au_28
+         FROM days JOIN pairs p ON p.d <= day AND p.d > day - 28
+         GROUP BY day ORDER BY day""",
+
+    "q260_transitions" ->
+      """WITH e AS (SELECT user_id AS k, event_type AS tp,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS to_type
+               FROM events)
+         SELECT tp AS from_type, to_type, count(*) AS n,
+           round(count(*) / sum(count(*)) OVER (PARTITION BY tp), 4) AS p
+         FROM e WHERE to_type IS NOT NULL
+         GROUP BY tp, to_type ORDER BY from_type, to_type""",
+
+    "q261_inactivity_gaps" ->
+      """WITH e AS (SELECT user_id AS k, ts,
+                 lead(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS nt
+               FROM events)
+         SELECT k, ts AS gap_start, nt AS gap_end,
+           epoch_us(nt) - epoch_us(ts) AS gap_micros
+         FROM e WHERE epoch_us(nt) - epoch_us(ts) > 86400000000
+         ORDER BY k, gap_start""",
+
+    "q262_ohlc" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, value AS v,
+                 epoch_us(ts) // 21600000000 AS bk
+               FROM events)
+         SELECT k, make_timestamp(bk * 21600000000) AS bucket_start,
+           arg_min(v, t) AS open, max(v) AS high, min(v) AS low,
+           arg_max(v, t) AS close, count(*) AS n_events,
+           round(sum(v), 4) AS v_sum
+         FROM e GROUP BY k, bk ORDER BY k, bucket_start""",
+
+    "q263_resample_locf" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, value AS v
+               FROM events WHERE event_type = 'view'),
+         b AS (SELECT k, min(t) AS t0, max(t) AS t1 FROM e GROUP BY k),
+         grid AS (SELECT k,
+             unnest(generate_series((t0 + 21599999999) // 21600000000,
+               t1 // 21600000000)) AS n
+           FROM b)
+         SELECT g.k, make_timestamp(g.n * 21600000000) AS tick,
+           e.v AS value
+         FROM grid g ASOF JOIN e ON g.k = e.k AND g.n * 21600000000 >= e.t
+         ORDER BY g.k, tick""",
 
     "q248_twap" ->
       """WITH p0 AS (SELECT user_id, ts, value,

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Analytics
+
+/** Engagement-analytics ops against hand-computed fixtures: rolling
+  * active users, transition matrix, inactivity gaps, OHLC bars, LOCF
+  * resampling. */
+class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("activeUsers: windowed distinct counts on the observed-day grid") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 18:00:00")), // same (user, day): counted once
+      (2L, ts("2024-01-01 11:00:00")),
+      (2L, ts("2024-01-03 11:00:00")),
+      (3L, ts("2024-01-06 09:00:00"))
+    ).toDF("u", "t")
+    val out = Analytics.activeUsers(ev, col("u"), col("t"), Seq(1, 3))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    // grid = observed days only: Jan 2 (inside windows but eventless)
+    // and Jan 4-5 never appear
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 2L, 2L), // u1, u2
+      ("2024-01-03", 1L, 2L), // day: u2; trailing 3: u1(d1), u2
+      ("2024-01-06", 1L, 1L)  // u3 only; d3 is out of (d3, d6] reach
+    ))
+  }
+
+  test("eventTransitions: per-origin normalization, tiebreak order at " +
+      "equal timestamps") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, "a", ts("2024-01-01 10:00:00")),
+      (1L, 11L, "b", ts("2024-01-01 10:05:00")),
+      (1L, 12L, "a", ts("2024-01-01 10:10:00")),
+      (1L, 13L, "c", ts("2024-01-01 10:15:00")),
+      // u2: a and b share a timestamp — id order makes it a→b→c
+      (2L, 20L, "a", ts("2024-01-01 09:00:00")),
+      (2L, 21L, "b", ts("2024-01-01 09:00:00")),
+      (2L, 22L, "c", ts("2024-01-01 09:30:00"))
+    ).toDF("u", "id", "tp", "t")
+    val out = Analytics.eventTransitions(ev, col("u"), col("tp"), col("t"),
+        col("id"))
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("a", "b", 2L, 0.6667), ("a", "c", 1L, 0.3333),
+      ("b", "a", 1L, 0.5), ("b", "c", 1L, 0.5)))
+  }
+
+  test("inactivityGaps: threshold filter, single-event keys emit nothing") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:30:00")), // 30 min: below
+      (1L, ts("2024-01-01 12:30:00")), // 2 h gap: above
+      (2L, ts("2024-01-05 00:00:00"))  // lone event
+    ).toDF("u", "t")
+    val out = Analytics.inactivityGaps(ev, col("u"), col("t"),
+        3600L * 1000000L).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, ts("2024-01-01 10:30:00"), ts("2024-01-01 12:30:00"),
+        7200L * 1000000L)))
+  }
+
+  test("ohlcBars: open/close by (time, tiebreak), boundary event opens " +
+      "its own bucket") {
+    import spark.implicits._
+    val hour = 3600L * 1000000L
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 00:10:00"), 5.0),
+      (1L, 11L, ts("2024-01-01 00:40:00"), 9.0),
+      (1L, 12L, ts("2024-01-01 00:40:00"), 2.0), // same t: id 12 is later
+      (1L, 13L, ts("2024-01-01 01:00:00"), 7.0)  // exact boundary → h1
+    ).toDF("u", "id", "t", "v")
+    val out = Analytics.ohlcBars(ev, col("u"), col("t"), col("v"),
+        col("id"), hour)
+      .orderBy("bucket_start").collect()
+      .map(r => (r.getTimestamp(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getDouble(7)))
+    assert(out.toSeq == Seq(
+      (ts("2024-01-01 00:00:00"), 5.0, 9.0, 2.0, 2.0, 3L, 16.0),
+      (ts("2024-01-01 01:00:00"), 7.0, 7.0, 7.0, 7.0, 1L, 7.0)))
+  }
+
+  test("resampleLocf: ticks owned by validity segments, on-grid last " +
+      "event closes the grid, off-grid last emits nothing extra") {
+    import spark.implicits._
+    def t(us: Long) = new java.sql.Timestamp(us / 1000) // micros→ms ctor
+    val ev = Seq(
+      (1L, 5L * 1000000L, 1.0), (1L, 25L * 1000000L, 2.0),
+      (2L, 10L * 1000000L, 3.0), (2L, 30L * 1000000L, 4.0))
+      .map { case (k, us, v) => (k, t(us), v) }.toDF("k", "tm", "v")
+    val out = Analytics.resampleLocf(ev, col("k"), col("tm"), col("v"),
+        10L * 1000000L)
+      .orderBy("k", "tick").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+        r.getDouble(2)))
+    // k=1: first 5s, last 25s (off-grid) → ticks 10, 20 both hold 1.0;
+    // k=2: on-grid 10s and 30s → ticks 10 (3.0), 20 (3.0), 30 (4.0)
+    assert(out.toSeq == Seq(
+      (1L, 10L, 1.0), (1L, 20L, 1.0),
+      (2L, 10L, 3.0), (2L, 20L, 3.0), (2L, 30L, 4.0)))
+  }
+}
