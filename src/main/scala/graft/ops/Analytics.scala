@@ -168,4 +168,53 @@ object Analytics {
       .select(col("k"), timestamp_micros(col("__n") * st).as("tick"),
         col("value"))
   }
+
+  /** Multi-touch attribution credits over a (conversion, touch) pairs
+    * frame — the one the keyed [[Temporal.rangeJoin]] produces (see
+    * q249): per conversion, split unit credit across its touches under
+    * `model` ∈ `linear` (equal), `time_decay` (weight
+    * `0.5^(Δt / halfLifeMicros)`, recency-favoring), `position` (the
+    * U-shape: 40% first, 40% last, 20% spread over middles — degrading
+    * to 50/50 at two touches, 100% at one), `first`, `last`. Credits
+    * are renormalized to sum to 1 per conversion at 4dp; `first`/`last`
+    * keep their zero-credit rows so the frame still joins 1:1 against
+    * the candidate set. Touch order is (touch time, touch id) — pass a
+    * real id, ties must break deterministically.
+    *
+    * ONE shuffle on the conversion id; rank, count and the normalizer
+    * are three window functions over that single partitioning, all
+    * row-local after the sort. Conversions fan out only to their own
+    * touches (the range join already bounded that). Output:
+    * `(conversion_id, touch_id, credit)`. */
+  def attributionCredits(touches: DataFrame, convId: Column,
+      touchId: Column, touchTs: Column, convTs: Column, model: String,
+      halfLifeMicros: Long = 0L): DataFrame = {
+    require(Set("linear", "time_decay", "position", "first", "last")(model),
+      s"attributionCredits: unknown model '$model'")
+    require(model != "time_decay" || halfLifeMicros > 0,
+      "attributionCredits: time_decay needs halfLifeMicros > 0")
+    val base = touches.select(convId.cast("long").as("conversion_id"),
+      touchId.cast("long").as("touch_id"),
+      unix_micros(touchTs.cast("timestamp")).as("__t"),
+      unix_micros(convTs.cast("timestamp")).as("__ct"))
+    val w = Window.partitionBy(col("conversion_id"))
+    val ord = w.orderBy(col("__t").asc, col("touch_id").asc)
+    val raw = model match {
+      case "linear" => lit(1.0)
+      case "first" => when(col("__rn") === 1, 1.0).otherwise(0.0)
+      case "last" => when(col("__rn") === col("__n"), 1.0).otherwise(0.0)
+      case "time_decay" => pow(lit(0.5),
+        (col("__ct") - col("__t")).cast("double") / halfLifeMicros)
+      case "position" => when(col("__n") === 1, 1.0)
+        .when(col("__rn") === 1 || col("__rn") === col("__n"), 0.4)
+        .otherwise(lit(0.2) / (col("__n") - 2))
+    }
+    base
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__raw", raw)
+      .withColumn("credit",
+        round(col("__raw") / sum(col("__raw")).over(w), 4))
+      .select(col("conversion_id"), col("touch_id"), col("credit"))
+  }
 }

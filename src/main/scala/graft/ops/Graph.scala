@@ -68,4 +68,66 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle counts + local clustering coefficient over an
+    * undirected edge list (direction and duplicates are normalized
+    * away; self-loops drop). The community-density signal next to
+    * [[pageRank]]'s centrality: clustering ≈ 1 marks tight cliques
+    * (near-duplicate nests in a similarity graph), ≈ 0 marks hub spam.
+    *
+    * Node-iterator with DEGREE ORIENTATION — the classic trick that
+    * bounds the wedge fan-out: each undirected edge orients from its
+    * lower-(degree, id) endpoint, so every node's oriented out-degree
+    * is O(√|E|) regardless of raw degree, and the wedge self-join
+    * (oriented ⋈ oriented on the shared source) never explodes on
+    * hubs. A wedge (a→b, a→c) closes iff the oriented edge b→c exists
+    * — one more equi-join — and each triangle is found exactly once
+    * (from its lowest-ordered corner). Per-corner counts then explode
+    * ×3 and join back to the degree table. Three shuffles total, all
+    * equi-joins on node ids; nothing quadratic in degree survives.
+    * Output: `(id, degree, triangles, clustering)` for every node of
+    * the graph, `clustering = 2·triangles / (degree·(degree−1))` at
+    * 4dp (0 for degree < 2). */
+  def triangleStats(edges: DataFrame, srcCol: Column,
+      dstCol: Column): DataFrame = {
+    val raw = edges.select(srcCol.cast("long").as("a"),
+        dstCol.cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    // canonical undirected edge set (a < b), deduped
+    val und = raw.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    // orient by (degree, id): lower endpoint → higher endpoint
+    val withDeg = und
+      .join(deg.select(col("id").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("degree").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("s"), col("b").as("t")))
+        .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    // wedges from the shared oriented source; closing edge lookup
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("x"), col("e1.t").as("y"), col("e2.t").as("z"))
+      .join(oriented.select(col("s").as("y"), col("t").as("z"))
+          .unionAll(oriented.select(col("t").as("y"), col("s").as("z"))),
+        Seq("y", "z"), "left_semi")
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        round(
+          when(col("degree") >= 2,
+            coalesce(col("triangles"), lit(0L)) * 2.0 /
+              (col("degree") * (col("degree") - 1))).otherwise(0.0), 4)
+          .as("clustering"))
+  }
 }

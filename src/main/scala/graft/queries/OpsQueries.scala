@@ -35,6 +35,28 @@ object OpsQueries {
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
+  /** q249's attribution candidate set with the timestamps carried:
+    * same-user clicks inside each purchase's trailing 3-day window via
+    * the KEYED range join (day buckets), as
+    * `(pid, cid, t_ts, c_ts)` — shared by the q264/q265 credit
+    * models. */
+  private def attributionTouches(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid0"), col("user_id"), col("ts"))
+    val windows = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid0"), col("user_id").as("pu"),
+        (col("ts") - expr("INTERVAL 3 DAYS")).as("st"), col("ts").as("en"))
+    graft.ops.Temporal.rangeJoin(clicks, col("cid0"), col("ts"),
+        windows, col("pid0"), col("st"), col("en"),
+        bucketWidthMicros = 24L * 3600 * 1000000L,
+        pPayload = Seq("t_ts" -> col("ts")),
+        iPayload = Seq("c_ts" -> col("en")),
+        pKeys = Seq(col("user_id")), iKeys = Seq(col("pu")))
+      .select(col("i_id").as("pid"), col("p_id").as("cid"),
+        col("t_ts"), col("c_ts"))
+  }
+
   /** Deterministic re-lining of the single-line word-bag corpus into
     * 4-token units joined by `sep` — the fixture transform the line/
     * paragraph-dedup queries (q96, q127, q133) share. Returns
@@ -2254,6 +2276,38 @@ object OpsQueries {
         ev(s, d).filter(col("event_type") === "view"), col("user_id"),
         col("ts"), col("value"), 6L * 3600 * 1000000L)
         .orderBy("k", "tick")),
+    "q264_time_decay_attribution" -> ((s, d) => {
+      // q249's candidate set (same-user clicks in the purchase's
+      // trailing 3-day window via the KEYED range join), credited by
+      // recency: weight 0.5^(Δt / 1 day), renormalized per purchase
+      graft.ops.Analytics.attributionCredits(
+        attributionTouches(s, d), col("pid"), col("cid"),
+        col("t_ts"), col("c_ts"), "time_decay",
+        halfLifeMicros = 24L * 3600 * 1000000L)
+        .orderBy("conversion_id", "touch_id")
+    }),
+    "q265_position_attribution" -> ((s, d) => {
+      // the U-shaped model over the same candidate set: 40% first
+      // touch, 40% last, 20% spread over middles (50/50 at two
+      // touches, 100% at one)
+      graft.ops.Analytics.attributionCredits(
+        attributionTouches(s, d), col("pid"), col("cid"),
+        col("t_ts"), col("c_ts"), "position")
+        .orderBy("conversion_id", "touch_id")
+    }),
+    "q266_triangles" -> ((s, d) => {
+      // co-purchase graph: parts sharing an order are linked (pair
+      // fan-out bounded by the per-order item count), then per-node
+      // triangle counts + clustering coefficient via degree-oriented
+      // wedges — never a hub-quadratic join
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      graft.ops.Graph.triangleStats(e, col("a"), col("b"))
+        .orderBy("id")
+    }),
     "q248_twap" -> ((s, d) => {
       // time-weighted average value per user over 6-hour buckets: each
       // view's value HOLDS until the user's next view (step function),
@@ -6239,6 +6293,65 @@ object OpsQueries {
            e.v AS value
          FROM grid g ASOF JOIN e ON g.k = e.k AND g.n * 21600000000 >= e.t
          ORDER BY g.k, tick""",
+
+    "q264_time_decay_attribution" ->
+      """WITH c AS (SELECT event_id AS cid, user_id, ts FROM events
+                 WHERE event_type = 'click'),
+         w AS (SELECT event_id AS pid, user_id,
+                      ts - INTERVAL 3 DAY AS st, ts AS en
+               FROM events WHERE event_type = 'purchase'),
+         t AS (SELECT w.pid, c.cid, epoch_us(c.ts) AS tt,
+                      epoch_us(w.en) AS ct
+               FROM c JOIN w ON c.user_id = w.user_id
+                  AND c.ts >= w.st AND c.ts < w.en),
+         r AS (SELECT pid, cid,
+                 pow(0.5, (ct - tt) / 86400000000.0) AS raw FROM t)
+         SELECT pid AS conversion_id, cid AS touch_id,
+           round(raw / sum(raw) OVER (PARTITION BY pid), 4) AS credit
+         FROM r ORDER BY conversion_id, touch_id""",
+
+    "q265_position_attribution" ->
+      """WITH c AS (SELECT event_id AS cid, user_id, ts FROM events
+                 WHERE event_type = 'click'),
+         w AS (SELECT event_id AS pid, user_id,
+                      ts - INTERVAL 3 DAY AS st, ts AS en
+               FROM events WHERE event_type = 'purchase'),
+         t AS (SELECT w.pid, c.cid, epoch_us(c.ts) AS tt
+               FROM c JOIN w ON c.user_id = w.user_id
+                  AND c.ts >= w.st AND c.ts < w.en),
+         r AS (SELECT pid, cid,
+                 row_number() OVER (PARTITION BY pid
+                   ORDER BY tt, cid) AS rn,
+                 count(*) OVER (PARTITION BY pid) AS n FROM t),
+         v AS (SELECT pid, cid,
+                 CASE WHEN n = 1 THEN 1.0
+                      WHEN rn = 1 OR rn = n THEN 0.4
+                      ELSE 0.2 / (n - 2) END AS raw FROM r)
+         SELECT pid AS conversion_id, cid AS touch_id,
+           round(raw / sum(raw) OVER (PARTITION BY pid), 4) AS credit
+         FROM v ORDER BY conversion_id, touch_id""",
+
+    "q266_triangles" ->
+      """WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         e AS (SELECT DISTINCT x.p AS a, y.p AS b
+               FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+         deg AS (SELECT id, count(*) AS degree FROM (
+                   SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+                 GROUP BY id),
+         tr AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+         pn AS (SELECT id, count(*) AS triangles FROM (
+                  SELECT x AS id FROM tr UNION ALL
+                  SELECT y FROM tr UNION ALL SELECT z FROM tr)
+                GROUP BY id)
+         SELECT deg.id, deg.degree,
+           coalesce(pn.triangles, 0) AS triangles,
+           round(CASE WHEN deg.degree >= 2 THEN
+               coalesce(pn.triangles, 0) * 2.0 /
+                 (deg.degree * (deg.degree - 1))
+             ELSE 0.0 END, 4) AS clustering
+         FROM deg LEFT JOIN pn ON pn.id = deg.id ORDER BY deg.id""",
 
     "q248_twap" ->
       """WITH p0 AS (SELECT user_id, ts, value,

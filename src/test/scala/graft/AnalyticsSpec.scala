@@ -123,4 +123,65 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 10L, 1.0), (1L, 20L, 1.0),
       (2L, 10L, 3.0), (2L, 20L, 3.0), (2L, 30L, 4.0)))
   }
+
+  test("attributionCredits: all five models on a hand-computed journey") {
+    import spark.implicits._
+    val hour = 3600L * 1000000L
+    // conv 100: touches at 3h/2h/1h before; conv 200: two touches;
+    // conv 300: one touch
+    val touches = Seq(
+      (100L, 1L, ts("2024-01-01 09:00:00"), ts("2024-01-01 12:00:00")),
+      (100L, 2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
+      (100L, 3L, ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")),
+      (200L, 4L, ts("2024-01-02 08:00:00"), ts("2024-01-02 09:00:00")),
+      (200L, 5L, ts("2024-01-02 08:30:00"), ts("2024-01-02 09:00:00")),
+      (300L, 6L, ts("2024-01-03 07:00:00"), ts("2024-01-03 08:00:00"))
+    ).toDF("pid", "cid", "tt", "ct")
+    def run(model: String, hl: Long = 0L) =
+      Analytics.attributionCredits(touches, col("pid"), col("cid"),
+          col("tt"), col("ct"), model, hl)
+        .orderBy("conversion_id", "touch_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(run("linear").toSeq == Seq(
+      (100L, 1L, 0.3333), (100L, 2L, 0.3333), (100L, 3L, 0.3333),
+      (200L, 4L, 0.5), (200L, 5L, 0.5), (300L, 6L, 1.0)))
+    // half-life 1h: conv 100 raws 1/8, 1/4, 1/2 → 1/7, 2/7, 4/7;
+    // conv 200 raws 0.5 (1h) and 0.5^0.5 (30min) → 0.4142 / 0.5858
+    assert(run("time_decay", hour).toSeq == Seq(
+      (100L, 1L, 0.1429), (100L, 2L, 0.2857), (100L, 3L, 0.5714),
+      (200L, 4L, 0.4142), (200L, 5L, 0.5858), (300L, 6L, 1.0)))
+    assert(run("position").toSeq == Seq(
+      (100L, 1L, 0.4), (100L, 2L, 0.2), (100L, 3L, 0.4),
+      (200L, 4L, 0.5), (200L, 5L, 0.5), (300L, 6L, 1.0)))
+    // first/last keep zero rows so the frame joins 1:1 to candidates
+    assert(run("first").toSeq == Seq(
+      (100L, 1L, 1.0), (100L, 2L, 0.0), (100L, 3L, 0.0),
+      (200L, 4L, 1.0), (200L, 5L, 0.0), (300L, 6L, 1.0)))
+    assert(run("last").toSeq == Seq(
+      (100L, 1L, 0.0), (100L, 2L, 0.0), (100L, 3L, 1.0),
+      (200L, 4L, 0.0), (200L, 5L, 1.0), (300L, 6L, 1.0)))
+  }
+
+  test("triangleStats: counts, clustering, duplicate/direction/self-loop " +
+      "normalization, hub orientation") {
+    import spark.implicits._
+    // K4 on 1-4 (every node: 3 triangles, clustering 1), pendant 5-1,
+    // noise: duplicate edges, reversed direction, a self-loop
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 2L),           // reverse duplicate
+      (1L, 2L),           // exact duplicate
+      (5L, 5L),           // self-loop: drops
+      (5L, 1L)            // pendant
+    ).toDF("a", "b")
+    val out = graft.ops.Graph.triangleStats(edges, col("a"), col("b"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 3L, 0.5),   // deg 4 (K4 + pendant): 3 of 6 pairs close
+      (2L, 3L, 3L, 1.0), (3L, 3L, 3L, 1.0), (4L, 3L, 3L, 1.0),
+      (5L, 1L, 0L, 0.0)))
+    // global count: Σ per-node / 3
+    assert(out.map(_._3).sum / 3 == 4L)
+  }
 }
