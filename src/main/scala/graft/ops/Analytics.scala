@@ -169,6 +169,40 @@ object Analytics {
         col("value"))
   }
 
+  /** Batch sessionization — the twin of
+    * [[graft.streaming.StreamingOps]]' stateful sessionize: per key,
+    * events split into sessions wherever the inactivity gap exceeds
+    * `gapMicros` (a gap of exactly `gapMicros` stays in-session, the
+    * streaming timeout convention). Output one row per session:
+    * `(k, session_idx, start, end, n_events, value_sum)` with
+    * `session_idx` the key's 1-based session ordinal.
+    *
+    * The classic two-step: a lag window marks session starts
+    * (`gap > threshold` or first event), a running sum over the same
+    * sorted partition numbers them, one grouped agg rolls them up —
+    * ONE key shuffle total, both windows and the aggregation share
+    * the (key) partitioning, and AQE sees a plain hash agg after the
+    * sort. */
+  def sessionize(events: DataFrame, keyCol: Column, timeCol: Column,
+      valCol: Column, gapMicros: Long): DataFrame = {
+    require(gapMicros > 0, "sessionize: gapMicros must be positive")
+    val w = Window.partitionBy(col("k")).orderBy(col("__t").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(keyCol.cast("long").as("k"),
+        unix_micros(timeCol.cast("timestamp")).as("__t"),
+        valCol.cast("double").as("v"))
+      .withColumn("__new",
+        when(col("__t") - lag(col("__t"), 1).over(w) > gapMicros ||
+          lag(col("__t"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("__new")).over(run))
+      .groupBy("k", "session_idx")
+      .agg(timestamp_micros(min(col("__t"))).as("start"),
+        timestamp_micros(max(col("__t"))).as("end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("v")), 4).as("value_sum"))
+  }
+
   /** Multi-touch attribution credits over a (conversion, touch) pairs
     * frame — the one the keyed [[Temporal.rangeJoin]] produces (see
     * q249): per conversion, split unit credit across its touches under

@@ -2308,6 +2308,25 @@ object OpsQueries {
       graft.ops.Graph.triangleStats(e, col("a"), col("b"))
         .orderBy("id")
     }),
+    "q267_profile" -> ((s, d) =>
+      // one-pass column profiles of the event log: ONE explode melt,
+      // a moments agg, and a per-(col, value) cardinality/entropy agg
+      graft.ops.Profile.profileColumns(ev(s, d),
+        Seq("event_id", "user_id", "event_type", "value"))
+        .orderBy("col_name")),
+    "q268_winsorize" -> ((s, d) =>
+      // per-event-type p01/p99 winsorization: one grouped exact
+      // percentile → broadcast bounds → map-side clip + flag
+      graft.ops.Profile.winsorize(ev(s, d), col("event_id"),
+        Seq("event_type"), col("value"), 0.01, 0.99)
+        .orderBy("id")),
+    "q269_sessions" -> ((s, d) =>
+      // batch sessionization at a 2-hour inactivity gap: lag marks
+      // starts, a running sum numbers sessions, one grouped agg rolls
+      // up — a single key shuffle end to end
+      graft.ops.Analytics.sessionize(ev(s, d), col("user_id"), col("ts"),
+        col("value"), 2L * 3600 * 1000000L)
+        .orderBy("k", "session_idx")),
     "q248_twap" -> ((s, d) => {
       // time-weighted average value per user over 6-hour buckets: each
       // view's value HOLDS until the user's next view (step function),
@@ -6352,6 +6371,66 @@ object OpsQueries {
                  (deg.degree * (deg.degree - 1))
              ELSE 0.0 END, 4) AS clustering
          FROM deg LEFT JOIN pn ON pn.id = deg.id ORDER BY deg.id""",
+
+    "q267_profile" ->
+      """WITH p AS (
+           SELECT 'event_id' AS col_name, count(*) AS n,
+             count(*) - count(event_id) AS n_null,
+             count(DISTINCT event_id) AS n_distinct,
+             round(entropy(event_id), 4) AS entropy,
+             round(min(event_id), 4) AS min_v,
+             round(max(event_id), 4) AS max_v,
+             round(avg(event_id), 4) AS mean,
+             round(stddev_samp(event_id), 4) AS std,
+             CAST(NULL AS DOUBLE) AS avg_len
+           FROM events
+           UNION ALL
+           SELECT 'user_id', count(*), count(*) - count(user_id),
+             count(DISTINCT user_id), round(entropy(user_id), 4),
+             round(min(user_id), 4), round(max(user_id), 4),
+             round(avg(user_id), 4), round(stddev_samp(user_id), 4),
+             NULL
+           FROM events
+           UNION ALL
+           SELECT 'event_type', count(*), count(*) - count(event_type),
+             count(DISTINCT event_type), round(entropy(event_type), 4),
+             NULL, NULL, NULL, NULL,
+             round(avg(length(event_type)), 4)
+           FROM events
+           UNION ALL
+           SELECT 'value', count(*), count(*) - count(value),
+             count(DISTINCT value), round(entropy(value), 4),
+             round(min(value), 4), round(max(value), 4),
+             round(avg(value), 4), round(stddev_samp(value), 4),
+             NULL
+           FROM events)
+         SELECT * FROM p ORDER BY col_name""",
+
+    "q268_winsorize" ->
+      """WITH b AS (SELECT event_type,
+                 quantile_cont(value, 0.01) AS lo,
+                 quantile_cont(value, 0.99) AS hi
+               FROM events GROUP BY event_type)
+         SELECT e.event_id AS id, e.event_type, e.value,
+           round(greatest(b.lo, least(b.hi, e.value)), 4) AS clipped,
+           CAST(e.value < b.lo OR e.value > b.hi AS BIGINT)
+             AS was_clipped
+         FROM events e JOIN b USING (event_type) ORDER BY id""",
+
+    "q269_sessions" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, value AS v,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts) > 7200000000
+                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     IS NULL THEN 1 ELSE 0 END AS nw
+               FROM events),
+         s AS (SELECT k, t, v, CAST(sum(nw) OVER (PARTITION BY k
+                 ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_idx FROM e)
+         SELECT k, session_idx, make_timestamp(min(t)) AS start,
+           make_timestamp(max(t)) AS "end", count(*) AS n_events,
+           round(sum(v), 4) AS value_sum
+         FROM s GROUP BY k, session_idx ORDER BY k, session_idx""",
 
     "q248_twap" ->
       """WITH p0 AS (SELECT user_id, ts, value,

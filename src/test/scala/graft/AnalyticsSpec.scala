@@ -184,4 +184,76 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // global count: Σ per-node / 3
     assert(out.map(_._3).sum / 3 == 4L)
   }
+
+  test("profileColumns: moments for numerics, lengths for strings, " +
+      "entropy and cardinality over non-null values") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(2.0), "aa"), (2L, Some(2.0), "bbbb"),
+      (3L, Some(6.0), "aa"), (4L, None, "cc")
+    ).toDF("id", "v", "s")
+    val out = graft.ops.Profile.profileColumns(df, Seq("v", "s"))
+      .orderBy("col_name").collect()
+    val v = out.find(_.getString(0) == "v").get
+    assert(v.getLong(1) == 4 && v.getLong(2) == 1 && v.getLong(3) == 2)
+    // v non-null dist {2.0: 2, 6.0: 1} → H = log2(3) − (2·1 + 0)/3
+    assert(math.abs(v.getDouble(4) - 0.9183) < 1e-9)
+    assert(v.getDouble(5) == 2.0 && v.getDouble(6) == 6.0)
+    assert(math.abs(v.getDouble(7) - 3.3333) < 1e-9)
+    assert(v.isNullAt(9)) // no avg_len for numerics
+    val s = out.find(_.getString(0) == "s").get
+    assert(s.getLong(2) == 0 && s.getLong(3) == 3)
+    assert(s.isNullAt(5) && s.isNullAt(7)) // no moments for strings
+    assert(s.getDouble(9) == 2.5)          // (2+4+2+2)/4
+    // entropy of {aa:2, bbbb:1, cc:1} = 1.5 bits
+    assert(math.abs(s.getDouble(4) - 1.5) < 1e-9)
+  }
+
+  test("winsorize: grouped and global quantile clipping with flags") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i.toLong, "g", i.toDouble)) :+
+      ((11L, "h", 100.0)) :+ ((12L, "h", 1.0)) :+ ((13L, "h", 2.0))
+    val out = graft.ops.Profile.winsorize(df.toDF("id", "grp", "v"),
+        col("id"), Seq("grp"), col("v"), 0.1, 0.9)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))
+    // group g: lo = 1.9, hi = 9.1 (linear interpolation on 1..10)
+    assert(out(0) == ((1L, 1.0, 1.9, 1L)))
+    assert(out(4) == ((5L, 5.0, 5.0, 0L)))
+    assert(out(9) == ((10L, 10.0, 9.1, 1L)))
+    // group h (sorted 1, 2, 100): lo = 1.2, hi = 80.4
+    assert(out(10) == ((11L, 100.0, 80.4, 1L)))
+    assert(out(11) == ((12L, 1.0, 1.2, 1L)))
+    assert(out(12) == ((13L, 2.0, 2.0, 0L)))
+    // global (empty keys) runs the crossJoin path
+    val g = graft.ops.Profile.winsorize(df.toDF("id", "grp", "v"),
+        col("id"), Nil, col("v"), 0.0, 0.5)
+      .orderBy("id").collect()
+    assert(g.length == 13 && g.map(_.getLong(3)).sum == 6)
+  }
+
+  test("sessionize: gap threshold splits (equality stays in-session), " +
+      "per-key ordinals, rollups") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:30:00"), 2.0), // 30 min: in-session
+      (1L, ts("2024-01-01 11:30:00"), 3.0), // exactly 1 h: stays
+      (1L, ts("2024-01-01 13:00:01"), 4.0), // 1 h 30 m 1 s: splits
+      (2L, ts("2024-01-02 09:00:00"), 5.0)
+    ).toDF("u", "t", "v")
+    val out = Analytics.sessionize(ev, col("u"), col("t"), col("v"),
+        3600L * 1000000L)
+      .orderBy("k", "session_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:30:00"),
+        3L, 6.0),
+      (1L, 2L, ts("2024-01-01 13:00:01"), ts("2024-01-01 13:00:01"),
+        1L, 4.0),
+      (2L, 1L, ts("2024-01-02 09:00:00"), ts("2024-01-02 09:00:00"),
+        1L, 5.0)))
+  }
 }
