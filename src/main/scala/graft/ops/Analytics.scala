@@ -169,6 +169,40 @@ object Analytics {
         col("value"))
   }
 
+  /** The sketch path for [[activeUsers]] at extreme user×window scale:
+    * ONE `hll_sketch_agg` pass rolls the log up to a per-day sketch
+    * (|days| rows, KBs each), the fan-out ×max(window) then moves ONLY
+    * sketches — never (user, day) pairs — and `hll_union_agg` +
+    * estimate produce the counts. Estimates are Datasketches-HLL
+    * accurate (±~1.6% at lgK=12, exact in sparse mode at small
+    * cardinalities); the exact twin is the oracle in tests. Same
+    * observed-days grid contract as [[activeUsers]]. Output:
+    * `(day, est_<w1>, est_<w2>, …)`. */
+  def activeUsersApprox(events: DataFrame, keyCol: Column, timeCol: Column,
+      windows: Seq[Int], lgK: Int = 12): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ >= 1),
+      "activeUsersApprox: windows must be positive")
+    require(windows.distinct.size == windows.size,
+      "activeUsersApprox: windows must be distinct")
+    val maxW = windows.max
+    val daily = events
+      .select(keyCol.cast("long").as("k"), to_date(timeCol).as("d"))
+      .filter(col("d").isNotNull)
+      .groupBy("d").agg(hll_sketch_agg(col("k"), lit(lgK)).as("sk"))
+    val days = daily.select(col("d").as("day"))
+    val fanned = daily
+      .select(col("d"), col("sk"),
+        explode(sequence(lit(0), lit(maxW - 1))).as("off"))
+      .withColumn("day", date_add(col("d"), col("off")))
+    val aggs = windows.map(w =>
+      hll_sketch_estimate(
+        hll_union_agg(when(col("off") < w, col("sk")), lit(true)))
+        .as(s"est_$w"))
+    fanned.groupBy("day")
+      .agg(aggs.head, aggs.tail: _*)
+      .join(days, "day")
+  }
+
   /** Batch sessionization — the twin of
     * [[graft.streaming.StreamingOps]]' stateful sessionize: per key,
     * events split into sessions wherever the inactivity gap exceeds
@@ -201,6 +235,92 @@ object Analytics {
         timestamp_micros(max(col("__t"))).as("end"),
         count(lit(1)).as("n_events"),
         round(sum(col("v")), 4).as("value_sum"))
+  }
+
+  /** Markov removal-effect attribution (Anderl et al. 2016 — the
+    * data-driven alternative to [[attributionCredits]]' heuristics):
+    * journeys become a first-order Markov chain over channels with
+    * START plus absorbing CONV/NULL states, and each channel's credit
+    * is its REMOVAL EFFECT — the relative drop in the chain's
+    * conversion probability when every transition into that channel is
+    * redirected to NULL — normalized across channels.
+    *
+    * The heavy work is distributed and bounded: the paths frame
+    * explodes to consecutive-pair transitions (row-local, length+1
+    * pairs per journey — the log-scale pass), one grouped count + a
+    * per-origin window yield the |states|² probability matrix. ONLY
+    * that matrix is collected (`maxChannels` guards the contract:
+    * channel vocabularies are small by construction — this is
+    * state-space-scale, not corpus-scale, driver data). The absorbing
+    * probabilities come from `iters` fixed VALUE-ITERATION sweeps per
+    * variant (base + one per removed channel) — fixed iterations, not
+    * convergence-tested, so any engine replaying the same sweeps
+    * reproduces the numbers bit-for-bit-close. Empty paths contribute
+    * START→outcome mass (they lower every channel's credit
+    * denominator, as they should).
+    *
+    * Output: one row per channel,
+    * `(channel, p_base, p_removed, removal_effect, credit)` at 4dp,
+    * `removal_effect = max(P − P_c, 0) / P`, `credit` normalized to
+    * sum 1 (null if the chain never converts). */
+  def removalEffectAttribution(paths: DataFrame, pathCol: Column,
+      convCol: Column, iters: Int = 60,
+      maxChannels: Int = 1000): DataFrame = {
+    require(iters >= 1, "removalEffectAttribution: iters must be >= 1")
+    val spark = paths.sparkSession
+    import spark.implicits._
+    val S = "__START__"; val C = "__CONV__"; val N = "__NULL__"
+    val base = paths.select(
+      coalesce(pathCol.cast("array<string>"), array()).as("p"),
+      convCol.cast("boolean").as("cv"))
+    val pairs = base.select(explode(arrays_zip(
+        concat(array(lit(S)), col("p")).as("f"),
+        concat(col("p"),
+          array(when(col("cv"), lit(C)).otherwise(lit(N)))).as("t"))).as("e"))
+      .select(col("e.f").as("f"), col("e.t").as("t"))
+    val probs = pairs.groupBy("f", "t").agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n") / sum(col("n")).over(Window.partitionBy(col("f"))))
+      .select(col("f"), col("t"), col("p"))
+      .as[(String, String, Double)].collect()
+    val channels = probs.iterator.flatMap(x => Iterator(x._1, x._2))
+      .filterNot(Set(S, C, N)).toArray.distinct.sorted
+    require(channels.length <= maxChannels,
+      s"removalEffectAttribution: ${channels.length} channels exceed " +
+        s"maxChannels=$maxChannels — this solver is for channel-sized " +
+        "state spaces")
+    val states = channels :+ S
+    val byFrom = probs.groupBy(_._1)
+      .map { case (f, ts) => f -> ts.sortBy(_._2) }
+    def solve(removed: Option[String]): Double = {
+      var v = Map.empty[String, Double].withDefaultValue(0.0)
+      for (_ <- 1 to iters)
+        v = states.map { s =>
+          s -> byFrom.getOrElse(s, Array.empty[(String, String, Double)])
+            .map { case (_, t, p) =>
+              val vt =
+                if (t == C) 1.0
+                else if (t == N || removed.contains(t)) 0.0
+                else v(t)
+              p * vt
+            }.sum
+        }.toMap.withDefaultValue(0.0)
+      v(S)
+    }
+    val pBase = solve(None)
+    val rows = channels.map { c =>
+      val pc = solve(Some(c))
+      val re = if (pBase > 0) math.max(pBase - pc, 0.0) / pBase else 0.0
+      (c, pBase, pc, re)
+    }
+    val reSum = rows.map(_._4).sum
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.map { case (c, pb, pc, re) =>
+      (c, r4(pb), r4(pc), r4(re),
+        if (reSum > 0) Some(r4(re / reSum)) else None)
+    }.toSeq
+      .toDF("channel", "p_base", "p_removed", "removal_effect", "credit")
   }
 
   /** Multi-touch attribution credits over a (conversion, touch) pairs

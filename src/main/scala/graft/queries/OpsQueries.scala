@@ -57,6 +57,66 @@ object OpsQueries {
         col("t_ts"), col("c_ts"))
   }
 
+  /** The q271 oracle: journeys → transition matrix → `iters` unrolled
+    * value-iteration sweeps computing every removal variant in one
+    * (variant × state) chain — the same fixed sweeps the driver solver
+    * runs, so the numbers agree to double precision. Generated because
+    * SQL has no loop; each CTE is one Jacobi sweep. */
+  private def removalEffectOracle(iters: Int): String = {
+    val sweeps = (1 to iters).map { k =>
+      s"""v$k AS MATERIALIZED (SELECT x.rm, t.f AS s,
+         sum(t.p * CASE WHEN t.t = '__CONV__' THEN 1.0
+             WHEN t.t = '__NULL__' OR t.t = x.rm THEN 0.0
+             ELSE coalesce(pv.v, 0.0) END) AS v
+       FROM tr t CROSS JOIN vars x
+       LEFT JOIN v${k - 1} pv ON pv.rm = x.rm AND pv.s = t.t
+       GROUP BY x.rm, t.f)"""
+    }.mkString(",\n         ")
+    s"""WITH ed AS (SELECT *, CAST(ts AS DATE) AS dd FROM events),
+         fp AS (SELECT user_id, dd, min(ts) AS fpt FROM ed
+               WHERE event_type = 'purchase' GROUP BY user_id, dd),
+         units AS (SELECT DISTINCT user_id, dd FROM ed),
+         pre AS (SELECT e.user_id, e.dd,
+               list(e.event_type ORDER BY e.ts, e.event_id) AS p
+             FROM ed e LEFT JOIN fp USING (user_id, dd)
+             WHERE fp.fpt IS NULL OR e.ts < fp.fpt
+             GROUP BY e.user_id, e.dd),
+         pth AS (SELECT coalesce(pre.p, CAST([] AS VARCHAR[])) AS p,
+               fp.fpt IS NOT NULL AS cv
+             FROM units u LEFT JOIN pre USING (user_id, dd)
+             LEFT JOIN fp USING (user_id, dd)),
+         pairs AS (SELECT unnest(['__START__'] || p) AS f,
+               unnest(p || [CASE WHEN cv THEN '__CONV__'
+                 ELSE '__NULL__' END]) AS t
+             FROM pth),
+         tr AS (SELECT f, t, count(*)::DOUBLE /
+               sum(count(*)) OVER (PARTITION BY f) AS p
+             FROM pairs GROUP BY f, t),
+         ch AS (SELECT DISTINCT f AS c FROM tr
+               WHERE f <> '__START__'),
+         vars AS (SELECT c AS rm FROM ch
+             UNION ALL SELECT '__BASE__'),
+         sts AS (SELECT c AS s FROM ch
+             UNION ALL SELECT '__START__'),
+         v0 AS (SELECT x.rm, s.s, 0.0 AS v
+             FROM vars x CROSS JOIN sts s),
+         $sweeps,
+         fin AS (SELECT rm, v FROM v$iters WHERE s = '__START__'),
+         re AS (SELECT c.c AS channel,
+               (SELECT v FROM fin WHERE rm = '__BASE__') AS pb,
+               f.v AS pc
+             FROM ch c JOIN fin f ON f.rm = c.c),
+         re2 AS (SELECT channel, pb, pc,
+               CASE WHEN pb > 0 THEN greatest(pb - pc, 0) / pb
+                 ELSE 0.0 END AS r
+             FROM re)
+         SELECT channel, round(pb, 4) AS p_base, round(pc, 4) AS p_removed,
+           round(r, 4) AS removal_effect,
+           CASE WHEN sum(r) OVER () > 0
+             THEN round(r / sum(r) OVER (), 4) END AS credit
+         FROM re2 ORDER BY channel"""
+  }
+
   /** Deterministic re-lining of the single-line word-bag corpus into
     * 4-token units joined by `sep` — the fixture transform the line/
     * paragraph-dedup queries (q96, q127, q133) share. Returns
@@ -2320,6 +2380,37 @@ object OpsQueries {
       graft.ops.Profile.winsorize(ev(s, d), col("event_id"),
         Seq("event_type"), col("value"), 0.01, 0.99)
         .orderBy("id")),
+    "q271_removal_effect" -> ((s, d) => {
+      // Markov removal-effect attribution: journeys are (user, day)
+      // units — the day's event-type path up to its first purchase,
+      // converted iff the day purchases. The transition matrix
+      // aggregates distributed; only the |channels|²-sized matrix
+      // reaches the driver solver
+      val e = ev(s, d).withColumn("dd", to_date(col("ts")))
+      val fp = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "dd").agg(min(col("ts")).as("fpt"))
+      val pre = e.join(fp, Seq("user_id", "dd"), "left")
+        .filter(col("fpt").isNull || col("ts") < col("fpt"))
+        .groupBy("user_id", "dd")
+        .agg(transform(sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")).as("p"))
+      val units = e.select("user_id", "dd").distinct()
+      val paths = units
+        .join(pre, Seq("user_id", "dd"), "left")
+        .join(fp, Seq("user_id", "dd"), "left")
+        .select(coalesce(col("p"), array().cast("array<string>")).as("p"),
+          col("fpt").isNotNull.as("cv"))
+      graft.ops.Analytics.removalEffectAttribution(paths, col("p"),
+        col("cv"), iters = 60).orderBy("channel")
+    }),
+    "q270_active_users_hll" -> ((s, d) =>
+      // the 100 TB path for q259: per-day HLL sketches union across
+      // the window — only KB sketches fan out, never (user, day)
+      // pairs. Approximate → rows-only driver check; the exact twin
+      // is the tolerance oracle in AnalyticsSpec.
+      graft.ops.Analytics.activeUsersApprox(ev(s, d), col("user_id"),
+        col("ts"), Seq(1, 7, 28)).orderBy("day")),
     "q269_sessions" -> ((s, d) =>
       // batch sessionization at a 2-hour inactivity gap: lag marks
       // starts, a running sum numbers sessions, one grouped agg rolls
@@ -6416,6 +6507,8 @@ object OpsQueries {
            CAST(e.value < b.lo OR e.value > b.hi AS BIGINT)
              AS was_clipped
          FROM events e JOIN b USING (event_type) ORDER BY id""",
+
+    "q271_removal_effect" -> removalEffectOracle(60),
 
     "q269_sessions" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, value AS v,

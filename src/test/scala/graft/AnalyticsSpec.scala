@@ -44,6 +44,30 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     ))
   }
 
+  test("activeUsersApprox: HLL estimates track the exact twin within " +
+      "tolerance on a many-user tape") {
+    import spark.implicits._
+    // 400 users × deterministic activity spread over 20 days
+    val ev = (0 until 400).flatMap { u =>
+      (0 until 20).filter(d => (u * 7 + d * 13) % 5 < 2)
+        .map(d => (u.toLong, ts(f"2024-01-${d + 1}%02d 10:00:00")))
+    }.toDF("u", "t")
+    val exact = Analytics.activeUsers(ev, col("u"), col("t"), Seq(1, 7))
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2))).toMap
+    val approx = Analytics.activeUsersApprox(ev, col("u"), col("t"),
+        Seq(1, 7)).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2)))
+    assert(approx.length == exact.size)
+    approx.foreach { case (day, (e1, e7)) =>
+      val (x1, x7) = exact(day)
+      assert(math.abs(e1 - x1) <= math.max(2L, (0.05 * x1).toLong),
+        s"$day au_1 exact $x1 est $e1")
+      assert(math.abs(e7 - x7) <= math.max(2L, (0.05 * x7).toLong),
+        s"$day au_7 exact $x7 est $e7")
+    }
+  }
+
   test("eventTransitions: per-origin normalization, tiebreak order at " +
       "equal timestamps") {
     import spark.implicits._
@@ -183,6 +207,34 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (5L, 1L, 0L, 0.0)))
     // global count: Σ per-node / 3
     assert(out.map(_._3).sum / 3 == 4L)
+  }
+
+  test("removalEffectAttribution: hand-solved absorbing chain, empty " +
+      "paths shift the base, credits normalize") {
+    import spark.implicits._
+    // journeys: a(3 conv, 1 null), b(1 conv, 2 null), b→a(2 conv).
+    // Exact solve: v(a)=5/6, v(b)=8/15, P=2/3; remove a → P=1/9
+    // (RE 5/6), remove b → P=10/27 (RE 4/9); credits 15/23, 8/23.
+    val paths =
+      Seq.fill(3)((Seq("a"), true)) ++ Seq((Seq("a"), false)) ++
+      Seq((Seq("b"), true)) ++ Seq.fill(2)((Seq("b"), false)) ++
+      Seq.fill(2)((Seq("b", "a"), true))
+    val out = graft.ops.Analytics.removalEffectAttribution(
+        paths.toDF("p", "cv"), col("p"), col("cv"))
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("a", 0.6667, 0.1111, 0.8333, 0.6522),
+      ("b", 0.6667, 0.3704, 0.4444, 0.3478)))
+    // an empty converted path adds START→CONV mass: P rises to 0.7
+    // and the removal effects dilute (remove-a now leaves 0.2)
+    val out2 = graft.ops.Analytics.removalEffectAttribution(
+        (paths :+ ((Seq.empty[String], true))).toDF("p", "cv"),
+        col("p"), col("cv"))
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(out2.toSeq == Seq(("a", 0.7, 0.2), ("b", 0.7, 0.4333)))
   }
 
   test("profileColumns: moments for numerics, lengths for strings, " +
