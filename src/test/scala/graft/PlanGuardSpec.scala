@@ -424,4 +424,89 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join") && !p.contains("Window"),
       s"pack assignment is the two-pass prefix sum, no join/window:\n$p")
   }
+
+  test("q262: ohlcBars is ONE hash aggregation — no window, no sort, " +
+      "min_by/max_by resolve open/close inside the agg") {
+    import org.apache.spark.sql.SparkSession
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq((1L, 10L, ts("2024-01-01 00:10:00"), 5.0))
+      .toDF("u", "id", "t", "v")
+    val p = plan(graft.ops.Analytics.ohlcBars(ev, col("u"), col("t"),
+      col("v"), col("id"), 3600L * 1000000L))
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"OHLC must be a plain grouped agg:\n$p")
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 1, s"one grouping exchange expected, got " +
+      s"$exchanges:\n$p")
+  }
+
+  test("q263/q269: resampleLocf and sessionize pay ONE key exchange — " +
+      "windows and the rollup share the (key) partitioning") {
+    import org.apache.spark.sql.SparkSession
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq((1L, ts("2024-01-01 10:00:00"), 1.0)).toDF("u", "t", "v")
+    val pr = plan(graft.ops.Analytics.resampleLocf(ev, col("u"), col("t"),
+      col("v"), 3600L * 1000000L))
+    assert("Exchange ".r.findAllIn(pr).length == 1 &&
+      pr.contains("Generate"),
+      s"resample = one keyed window then a row-local explode:\n$pr")
+    val ps = plan(graft.ops.Analytics.sessionize(ev, col("u"), col("t"),
+      col("v"), 3600L * 1000000L))
+    assert("Exchange ".r.findAllIn(ps).length == 1,
+      s"sessionize's windows + rollup must reuse one key exchange:\n$ps")
+  }
+
+  test("q259: activeUsers distincts BEFORE the window fan-out — exactly " +
+      "one Generate, fed by an aggregate") {
+    import org.apache.spark.sql.SparkSession
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // two rows: a 1-row local plan would trigger Catalyst's
+    // one-row-aggregate elimination and erase the distinct under test
+    val ev = Seq((1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-02 10:00:00"))).toDF("u", "t")
+    val p = plan(graft.ops.Analytics.activeUsers(ev, col("u"), col("t"),
+      Seq(1, 7)))
+    assert("Generate ".r.findAllIn(p).length == 1,
+      s"exactly one fan-out explode:\n$p")
+    assert(!p.contains("Window"), s"no window in the exact path:\n$p")
+    // the explode's input is the distinct-pairs aggregate, so the raw
+    // log never fans out: Generate must sit above an Aggregate in the
+    // tree (printed later = deeper)
+    val gi = p.indexOf("Generate")
+    assert(p.indexOf("HashAggregate", gi) > gi,
+      s"fan-out must read the distinct (user, day) aggregate:\n$p")
+  }
+
+  test("q266: triangleStats joins are all equi-joins; the closing-edge " +
+      "check is a left-semi") {
+    import org.apache.spark.sql.SparkSession
+    val spark2 = spark
+    import spark2.implicits._
+    val e = Seq((1L, 2L)).toDF("a", "b")
+    val p = plan(graft.ops.Graph.triangleStats(e, col("a"), col("b")))
+    assert(p.contains("LeftSemi"), s"closing edge must be a semi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"degree orientation keeps every join an equi-join:\n$p")
+  }
+
+  test("q268: winsorize joins the bounds frame broadcast — the data " +
+      "never shuffles") {
+    import org.apache.spark.sql.SparkSession
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, "g", 1.0)).toDF("id", "grp", "v")
+    val p = plan(graft.ops.Profile.winsorize(df, col("id"), Seq("grp"),
+      col("v"), 0.1, 0.9))
+    assert(p.contains("BroadcastHashJoin"),
+      s"bounds must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the fact table must not shuffle for the bounds join:\n$p")
+  }
 }
