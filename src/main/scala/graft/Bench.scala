@@ -119,15 +119,41 @@ object Bench {
         .bigDecimal.stripTrailingZeros.toPlainString
       if (s.isEmpty || s == "-0") "0" else s
     }
-    def compact(dec: Int, qPrefix: Boolean): String = line({ case (k, v) =>
-      val num = k.takeWhile(_ != '_')
-      "\"" + (if (qPrefix) num else num.drop(1)) + "\":" + fmtCompact(v, dec)
-    }, new java.io.File(sfDir).getName)
-    val compactLine = Seq((3, true), (2, true), (1, true), (1, false),
-        (0, true), (0, false)).iterator
-      .map { case (dec, q) => compact(dec, q) }
-      .find(_.length <= 1980) // tail keeps 2000 chars; 1 for the newline
-      .getOrElse(compact(0, false))
+    // Budget: the 2000-char tail must hold this line PLUS sbt's trailing
+    // "[success] Total time: …" epilogue (~80 chars), so cap at 1850.
+    val tailBudget = 1850
+    def lineOf(entries: Seq[(String, Double)], dec: Int, qPrefix: Boolean,
+        sf: String): String = {
+      val qs = entries.map { case (k, v) =>
+        val num = k.takeWhile(_ != '_')
+        "\"" + (if (qPrefix) num else num.drop(1)) + "\":" + fmtCompact(v, dec)
+      }.mkString("{", ",", "}")
+      val tv = "%.4f".formatLocal(java.util.Locale.ROOT, total)
+      s"""{"metric":"total","value":$tv,"unit":"sec","queries":$qs,"sf":"$sf"}"""
+    }
+    val sfName = new java.io.File(sfDir).getName
+    // Degradation ladder: fewer decimals, then drop the `q` key prefix,
+    // then omit entries that round to 0 at that precision (their exact
+    // values live in the first-line JSON and tools/bench_last.json).
+    val ladder = Seq((3, true, false), (2, true, false), (1, true, false),
+      (1, false, false), (1, false, true), (0, false, true)).iterator
+      .map { case (dec, q, dropZ) =>
+        val es = if (dropZ) timed.filter { case (_, v) => fmtCompact(v, dec) != "0" }
+                 else timed
+        lineOf(es, dec, q, sfName)
+      }
+      .find(_.length <= tailBudget)
+    // Guaranteed fit: keep the slowest queries that fit the budget at 1dp
+    // (an empty map always fits), so the driver can ALWAYS parse at least
+    // the total plus the heavy hitters.
+    val compactLine = ladder.getOrElse {
+      val bySlow = timed.sortBy(-_._2)
+      val kept = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+      for (e <- bySlow)
+        if (lineOf((kept :+ e).toSeq, 1, false, sfName).length <= tailBudget)
+          kept += e
+      lineOf(kept.toSeq.sortBy(_._1), 1, false, sfName)
+    }
     println(compactLine)
     spark.stop()
   }
