@@ -371,4 +371,96 @@ object Analytics {
         round(col("__raw") / sum(col("__raw")).over(w), 4))
       .select(col("conversion_id"), col("touch_id"), col("credit"))
   }
+
+  /** Kaplan–Meier survival curve from one row per subject
+    * `(duration, observed)` — `observed` true when the terminal event
+    * happened at `duration`, false when the subject left the study
+    * (censored) there. Output one row per distinct duration with at
+    * least one observed event:
+    * `(t, n_risk, n_event, survival)` — `n_risk` the subjects with
+    * duration ≥ t, `survival` the running product
+    * Π_{t' ≤ t} (1 − d/n) at 4dp (exactly 0.0 once a risk set dies
+    * out entirely — computed by flag, never via ln(0)).
+    *
+    * Scale shape: ONE grouped count by duration collapses the subject
+    * table to |distinct durations| rows; the cumulative windows run
+    * over that collapsed frame, which is bounded by the time
+    * resolution (days → thousands of rows), not by subjects — the
+    * single-partition window is deliberate and cheap. */
+  def kaplanMeier(subjects: DataFrame, durCol: Column,
+      observedCol: Column): DataFrame = {
+    val perT = subjects
+      .select(durCol.cast("long").as("t"),
+        observedCol.cast("boolean").as("e"))
+      .filter(col("t").isNotNull && col("t") >= 0)
+      .groupBy("t")
+      .agg(sum(when(col("e"), 1L).otherwise(0L)).as("n_event"),
+        count(lit(1)).as("n_at"))
+    val asc = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val desc = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    perT
+      .withColumn("n_risk", sum(col("n_at")).over(desc))
+      .withColumn("__dead",
+        sum(when(col("n_event") === col("n_risk"), 1L).otherwise(0L))
+          .over(asc))
+      .withColumn("__lnS",
+        sum(when(col("n_event") < col("n_risk"),
+          log(lit(1.0) - col("n_event") / col("n_risk").cast("double"))))
+          .over(asc))
+      .filter(col("n_event") > 0)
+      .select(col("t"), col("n_risk"), col("n_event"),
+        when(col("__dead") > 0, lit(0.0))
+          .otherwise(round(exp(coalesce(col("__lnS"), lit(0.0))), 4))
+          .as("survival"))
+  }
+
+  /** Pairwise association rules over baskets (market-basket affinity):
+    * for every ordered item pair (a → b) co-occurring in at least
+    * `minPairs` baskets, `(antecedent, consequent, n_ab, support,
+    * confidence, lift)` at 4dp — support = n_ab/N, confidence =
+    * n_ab/n_a, lift = confidence / (n_b/N), N the basket count.
+    *
+    * Scale shape: baskets dedup to distinct (basket, item) — the only
+    * pass over the raw table — then the pair count comes from a
+    * same-basket self-join whose fan-out is bounded by the per-basket
+    * item count (choose-2 per basket, never a global cross), and the
+    * per-item counts and basket total attach by BROADCAST (|items| and
+    * 1-row frames). `minPairs` prunes before the broadcast joins, so
+    * the rule frame never carries the singleton tail. */
+  def associationRules(baskets: DataFrame, basketCol: Column,
+      itemCol: Column, minPairs: Long = 1L): DataFrame = {
+    require(minPairs >= 1, "associationRules: minPairs >= 1")
+    val b = baskets
+      .select(basketCol.cast("long").as("bk"), itemCol.cast("long").as("it"))
+      .filter(col("bk").isNotNull && col("it").isNotNull)
+      .distinct()
+      .localCheckpoint(true) // read 3×: pair sides + item counts
+    val nB = b.select(countDistinct(col("bk")).as("__nb"))
+    val itemCounts = b.groupBy("it").agg(count(lit(1)).as("__ci"))
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
+      .groupBy(col("x.it").as("a"), col("y.it").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairs)
+    val directed = pairs.select(col("a"), col("b"), col("n_ab"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b"),
+        col("n_ab")))
+    directed
+      .join(broadcast(itemCounts.select(col("it").as("a"),
+        col("__ci").as("__ca"))), "a")
+      .join(broadcast(itemCounts.select(col("it").as("b"),
+        col("__ci").as("__cb"))), "b")
+      .crossJoin(broadcast(nB))
+      .select(col("a").as("antecedent"), col("b").as("consequent"),
+        col("n_ab"),
+        round(col("n_ab") / col("__nb").cast("double"), 4).as("support"),
+        round(col("n_ab") / col("__ca").cast("double"), 4).as("confidence"),
+        // ONE double division over exact integer products (engine-
+        // portable to the bit; the two-division form rounds differently
+        // at 4dp boundaries). Exact while n_ab·N and ca·cb < 2^53.
+        round((col("n_ab") * col("__nb")).cast("double") /
+          (col("__ca") * col("__cb")).cast("double"), 4).as("lift"))
+  }
 }

@@ -103,4 +103,81 @@ object Profile {
       (col("value") < col("__lo") || col("value") > col("__hi"))
         .cast("long").as("was_clipped")): _*)
   }
+
+  /** Data-quality gate over row-level expectations: each rule is a
+    * `(name, predicate)` where the predicate holding means the row
+    * PASSES (a null predicate — e.g. a comparison against a null
+    * column — counts as a violation, the conservative reading).
+    * Output: `(rule, n_rows, violations, pass_rate)` (4dp), one row
+    * per rule.
+    *
+    * Plan: ALL rules evaluate in ONE scan — a single aggregate with one
+    * conditional sum per rule (partial-agg'd, no shuffle beyond the
+    * 1-row final), then the 1×R wide row melts to R rows driver-free.
+    * Adding a rule costs one more column in the same pass, never
+    * another pass; at 100 TB the report costs exactly one read of the
+    * checked columns. */
+  def dqReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "dqReport: need at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "dqReport: rule names must be distinct")
+    val aggs = rules.zipWithIndex.map { case ((_, p), i) =>
+      sum(when(coalesce(p, lit(false)), 0L).otherwise(1L)).as(s"__v$i")
+    }
+    val counted = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = rules.zipWithIndex.map { case ((n, _), i) =>
+      struct(lit(n).as("rule"), col("__n").as("n_rows"),
+        coalesce(col(s"__v$i"), lit(0L)).as("violations"))
+    }
+    counted.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.rule").as("rule"), col("r.n_rows").as("n_rows"),
+        col("r.violations").as("violations"),
+        round(when(col("r.n_rows") === 0, lit(1.0))
+          .otherwise((col("r.n_rows") - col("r.violations")) /
+            col("r.n_rows").cast("double")), 4).as("pass_rate"))
+  }
+
+  /** Key-uniqueness expectations, same output shape as [[dqReport]]:
+    * for each named key set, `violations` = rows carrying a key shared
+    * with at least one other row (so 0 ⇔ the columns form a candidate
+    * key, and the count says how much of the table is implicated, not
+    * just how many keys collide). One grouped count per key set over
+    * just the key columns — partial-agg'd; key sets are checked
+    * independently so each can be a separate cheap pass (they usually
+    * share no columns, so one fused pass would read more, not less). */
+  def dqUnique(df: DataFrame, keySets: Seq[(String, Seq[Column])]): DataFrame = {
+    require(keySets.nonEmpty, "dqUnique: need at least one key set")
+    val reports = keySets.map { case (name, keys) =>
+      df.groupBy(keys: _*).agg(count(lit(1)).as("__c"))
+        .agg(coalesce(sum("__c"), lit(0L)).as("__n"),
+          coalesce(sum(when(col("__c") > 1, col("__c")).otherwise(0L)), lit(0L))
+            .as("__v"))
+        .select(lit(name).as("rule"), col("__n").as("n_rows"),
+          col("__v").as("violations"),
+          round(when(col("__n") === 0, lit(1.0))
+            .otherwise((col("__n") - col("__v")) / col("__n").cast("double")),
+            4).as("pass_rate"))
+    }
+    reports.reduce(_.unionByName(_))
+  }
+
+  /** Referential-integrity expectation, same output shape: `violations`
+    * = child rows whose (non-null) foreign key misses the parent's key
+    * set. A null FK is NOT a violation (nullable FKs are legal —
+    * compose with a [[dqReport]] not-null rule when they aren't). One
+    * left-anti join on the key — the parent side is its distinct keys
+    * only, broadcast when small; the child never moves when it is. */
+  def dqRefIntegrity(child: DataFrame, fk: Column, parent: DataFrame,
+      pk: Column, rule: String): DataFrame = {
+    val total = child.select(count(lit(1)).as("__n"))
+    val missing = child.select(fk.as("__fk")).filter(col("__fk").isNotNull)
+      .join(parent.select(pk.as("__fk")).distinct(), Seq("__fk"), "left_anti")
+      .select(count(lit(1)).as("__v"))
+    total.crossJoin(missing)
+      .select(lit(rule).as("rule"), col("__n").as("n_rows"),
+        col("__v").as("violations"),
+        round(when(col("__n") === 0, lit(1.0))
+          .otherwise((col("__n") - col("__v")) / col("__n").cast("double")),
+          4).as("pass_rate"))
+  }
 }

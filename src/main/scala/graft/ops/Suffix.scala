@@ -99,7 +99,7 @@ object Suffix {
       offsets.last)
   }
 
-  private def withDenseRank(keys: DataFrame, sortCols: Seq[Column],
+  private[ops] def withDenseRank(keys: DataFrame, sortCols: Seq[Column],
       out: String): DataFrame =
     withDenseRankCounted(keys, sortCols, out)._1
 
@@ -311,6 +311,84 @@ object Suffix {
    * arrays — the one stage that ships text, ~2× the corpus, compared in
    * compiled per-partition code (never an interpreted HOF walk).
    */
+  /**
+   * Per-length gram census over `minLen..maxLen` token lengths from ONE
+   * suffix ranking — `(len, occurrences, distinct_grams, repeated_grams)`
+   * for every length that occurs. The counting read-off the suffix array
+   * exists for: a per-length gram pass re-tokenizes and re-shuffles the
+   * corpus once PER LENGTH (64 lengths = 64 corpus scans), while here the
+   * corpus is ranked once and every length is answered from the same
+   * integer LCP table:
+   *
+   *  - a length-ℓ gram occurs once per suffix with `len ≥ ℓ`;
+   *  - it is DISTINCT (first appearance in suffix-array order) iff the
+   *    LCP with the rank-previous suffix is `< ℓ` — shorter in-between
+   *    suffixes can't mask a tie because `lcp(i) ≤ len(i−1)`;
+   *  - a distinct gram is REPEATED iff the rank-next suffix still shares
+   *    it (`lcpNext ≥ ℓ`).
+   *
+   * Scale shape: [[suffixRanks]] plus one neighbor equi-join that ships
+   * text for the LCP scan (compiled, ~2× corpus), then everything is an
+   * integer explode (n × |lengths| rows, partial-agg'd) — no per-length
+   * corpus pass, no gram strings in any shuffle. Below ~8 lengths the
+   * direct gram pass is cheaper at bench scale; this read-off wins when
+   * the length range is wide or unbounded.
+   */
+  def gramSpectrum(df: DataFrame, idCol: Column, textCol: Column,
+      minLen: Int, maxLen: Int, maxDoubles: Int = 20,
+      pruneThresholdTokens: Long = DefaultPruneThresholdTokens): DataFrame = {
+    require(minLen >= 1 && maxLen >= minLen, "need 1 <= minLen <= maxLen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(idCol.cast("long").as("doc_id"),
+      array_remove(split(trim(textCol), "\\s+"), "").as("tk"))
+    val ranks = suffixRanks(df, idCol, textCol, maxDoubles,
+      pruneThresholdTokens)
+    val ordered = withDenseRank(ranks,
+      Seq(col("rank"), col("doc_id"), col("pos")), "idx")
+      .localCheckpoint(true) // read 3×: pair sides + the census join
+    // lcps(idx) = LCP(suffix idx, suffix idx+1), the only text-shipping pass
+    val a = ordered.select(col("idx"), col("doc_id").as("a_id"),
+      col("pos").as("a_pos"))
+    val b = ordered.select((col("idx") - 1).as("idx"),
+      col("doc_id").as("b_id"), col("pos").as("b_pos"))
+    val pairs = a.join(b, "idx")
+      .join(toks.select(col("doc_id").as("a_id"), col("tk").as("ta")), "a_id")
+      .join(toks.select(col("doc_id").as("b_id"), col("tk").as("tb")), "b_id")
+      .select(col("idx"), col("a_pos"), col("b_pos"), col("ta"), col("tb"))
+      .as[(Long, Int, Int, Seq[String], Seq[String])]
+    val lcps = pairs.mapPartitions { it =>
+      it.map { case (idx, aPos, bPos, ta, tb) =>
+        val n = math.min(ta.length - aPos, tb.length - bPos)
+        var l = 0
+        while (l < n && ta(aPos + l) == tb(bPos + l)) l += 1
+        (idx, l.toLong)
+      }
+    }.toDF("idx", "l").localCheckpoint(true)
+    val suffixLens = ordered
+      .join(toks.select(col("doc_id"), size(col("tk")).as("dl")), "doc_id")
+      .select(col("idx"), (col("dl") - col("pos")).cast("long").as("slen"))
+    val census = suffixLens
+      .join(lcps.select((col("idx") + 1).as("idx"), col("l").as("lcp_prev")),
+        Seq("idx"), "left")
+      .join(lcps.select(col("idx"), col("l").as("lcp_next")), Seq("idx"), "left")
+      .select(col("slen"), coalesce(col("lcp_prev"), lit(0L)).as("lp"),
+        coalesce(col("lcp_next"), lit(0L)).as("ln"))
+      .filter(col("slen") >= minLen)
+    // Spark's sequence() DESCENDS when stop < start — the slen >= minLen
+    // filter above guarantees an ascending, non-empty range here
+    census
+      .select(explode(sequence(lit(minLen.toLong),
+          least(col("slen"), lit(maxLen.toLong)))).as("len"),
+        col("lp"), col("ln"))
+      .groupBy("len")
+      .agg(count(lit(1)).as("occurrences"),
+        sum(when(col("lp") < col("len"), 1L).otherwise(0L))
+          .as("distinct_grams"),
+        sum(when(col("lp") < col("len") && col("ln") >= col("len"), 1L)
+          .otherwise(0L)).as("repeated_grams"))
+  }
+
   def longestRepeat(df: DataFrame, idCol: Column, textCol: Column,
       maxDoubles: Int = 20,
       pruneThresholdTokens: Long = DefaultPruneThresholdTokens): DataFrame = {

@@ -2480,7 +2480,119 @@ object OpsQueries {
       // 7-day activity offsets, distinct users per cell
       graft.ops.Temporal.cohortRetention(ev(s, d), col("user_id"),
           col("ts"), periodDays = 7)
-        .orderBy("cohort_day", "period_idx"))
+        .orderBy("cohort_day", "period_idx")),
+    "q272_gram_spectrum" -> ((s, d) =>
+      // every gram length 1..64 answered from ONE suffix ranking +
+      // integer LCP table — the per-length gram alternative re-scans
+      // the corpus 64 times; here text ships once (the LCP join) and
+      // the census is an integer explode. Same bounded sub-corpus as
+      // q152 (the suffix-family verification input).
+      graft.ops.Suffix.gramSpectrum(
+          t(s, d, "documents").filter(col("doc_id") % 5 === 0),
+          col("doc_id"), col("text"), minLen = 1, maxLen = 64)
+        .orderBy("len")),
+    "q273_dq_report" -> ((s, d) => {
+      // data-quality gate: four row-level rules in ONE scan (one
+      // conditional sum each), key uniqueness as one grouped count,
+      // referential integrity as one anti-join against the distinct
+      // parent keys — a fixed number of passes however many rules
+      val li = t(s, d, "lineitem")
+      val rules = graft.ops.Profile.dqReport(li, Seq(
+        "discount_max" -> (col("l_discount") <= 0.08),
+        "flag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "qty_range" -> col("l_quantity").between(1, 50)))
+      val uniq = graft.ops.Profile.dqUnique(li,
+        Seq("pk_unique" -> Seq(col("l_orderkey"), col("l_linenumber"))))
+      val ref = graft.ops.Profile.dqRefIntegrity(li, col("l_orderkey"),
+        t(s, d, "orders"), col("o_orderkey"), "fk_orders")
+      rules.unionByName(uniq).unionByName(ref).orderBy("rule")
+    }),
+    "q274_scd2" -> ((s, d) =>
+      // SCD type-2 history of each user's event-type state: one key
+      // shuffle for the change-detection window, then version-level
+      // frames only
+      graft.ops.Warehouse.scd2(ev(s, d), col("user_id"), col("ts"),
+          col("event_id"), Seq("state" -> col("event_type")))
+        .orderBy("k", "version")),
+    "q275_sorted_neighborhood" -> ((s, d) =>
+      // sorted-neighborhood blocking: global range-partitioned rank on
+      // the name, candidates = the w-1 next ranks via ONE integer
+      // equi-join (n·(w−1) pairs regardless of skew), JW scored
+      // row-local
+      graft.ops.Linkage.sortedNeighborhoodJoin(t(s, d, "customer"),
+          col("c_custkey"), col("c_name"), col("c_name"),
+          window = 4, minSim = 0.9)
+        .orderBy("a_id", "b_id")),
+    "q276_linkage_score" -> ((s, d) => {
+      // Fellegi–Sunter scoring over (nation, segment)-blocked customer
+      // pairs: agreement predicates are engine-shared functions
+      // (levenshtein, abs), weights are driver-side literals — the
+      // scoring itself is a zero-shuffle projection
+      // spread BEFORE the self-join: the customer scan is one row group
+      // at bench scale, and a broadcast self-join would run the whole
+      // |block|²/2 levenshtein fan-out inside that single scan task (18 s
+      // serial vs ~2 s spread). spreadSmallScan PINS the partition count
+      // — a bare repartition(cols) is AQE-coalesced right back to one
+      // task on a tiny shuffle — and no-ops at corpus scale
+      val c = graft.ops.Dedup.spreadSmallScan(
+        t(s, d, "customer").select(col("c_custkey").as("id"),
+          col("c_name").as("nm"), col("c_nationkey").as("nk"),
+          col("c_mktsegment").as("seg"), col("c_acctbal").as("bal")),
+        col("id"))
+      val pairs = c.as("a").join(c.as("b"),
+          col("a.nk") === col("b.nk") && col("a.seg") === col("b.seg") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+          col("a.nm").as("a_name"), col("b.nm").as("b_name"),
+          col("a.bal").as("a_bal"), col("b.bal").as("b_bal"))
+      graft.ops.Linkage.linkageScore(pairs, Seq(
+          ("name", levenshtein(col("a_name"), col("b_name")) <= 2,
+            0.9, 0.05),
+          ("bal", abs(col("a_bal") - col("b_bal")) < lit(100.0),
+            0.8, 0.1)),
+          upper = 3.0, lower = -4.0)
+        .orderBy("a_id", "b_id")
+    }),
+    "q277_kaplan_meier" -> ((s, d) => {
+      // time-to-first-purchase survival with administrative censoring
+      // at a 2-day horizon (subjects not converted by then censor at
+      // t=2); the KM table is a grouped count + cumulative windows
+      // over the |distinct durations| frame
+      val e = ev(s, d)
+      val first = e.groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("d0"))
+      val conv = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("dp"))
+      val subjects = first.join(conv, Seq("user_id"), "left")
+        .select(
+          when(col("dp").isNotNull && datediff(col("dp"), col("d0")) <= 2,
+            datediff(col("dp"), col("d0"))).otherwise(2).as("dur"),
+          (col("dp").isNotNull && datediff(col("dp"), col("d0")) <= 2)
+            .as("obs"))
+      graft.ops.Analytics.kaplanMeier(subjects, col("dur"), col("obs"))
+        .orderBy("t")
+    }),
+    "q278_assoc_rules" -> ((s, d) =>
+      // market-basket rules over order → part baskets: choose-2
+      // per-basket pair fan-out, broadcast item counts, 4dp
+      // support/confidence/lift
+      graft.ops.Analytics.associationRules(t(s, d, "lineitem"),
+          col("l_orderkey"), col("l_partkey"), minPairs = 2)
+        .orderBy("antecedent", "consequent")),
+    "q279_cube" -> ((s, d) =>
+      // CUBE over (returnflag, linestatus): all four grouping sets in
+      // one pass (Expand + partial agg); rolled-up keys render 'ALL'
+      // so ordering is engine-portable
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"), col("avg_price"))
+        .orderBy("rf", "ls"))
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -6509,6 +6621,190 @@ object OpsQueries {
          FROM events e JOIN b USING (event_type) ORDER BY id""",
 
     "q271_removal_effect" -> removalEffectOracle(60),
+
+    "q272_gram_spectrum" ->
+      // direct per-length census: enumerate every length-l token slice
+      // and count occurrences / distinct / repeated per length — the
+      // O(n·L) enumeration the suffix read-off avoids
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x <> '') AS tk
+           FROM documents WHERE doc_id % 5 = 0),
+         lens AS (SELECT unnest(range(1, 65)) AS l),
+         base AS (
+           SELECT l.l AS len, t.tk AS tk,
+                  unnest(range(1, len(t.tk) - l.l + 2)) AS i
+           FROM toks t JOIN lens l ON len(t.tk) >= l.l),
+         grams AS (SELECT len, array_to_string(tk[i:i + len - 1], ' ') AS g
+                   FROM base),
+         gc AS (SELECT len, g, count(*) AS c FROM grams GROUP BY 1, 2)
+         SELECT len, CAST(sum(c) AS BIGINT) AS occurrences,
+                count(*) AS distinct_grams,
+                CAST(count(*) FILTER (WHERE c > 1) AS BIGINT)
+                  AS repeated_grams
+         FROM gc GROUP BY len ORDER BY len""",
+
+    "q273_dq_report" ->
+      """WITH r AS (
+           SELECT 'discount_max' AS rule, count(*) AS n_rows,
+             CAST(count(*) FILTER (
+               WHERE NOT coalesce(l_discount <= 0.08, FALSE)) AS BIGINT)
+               AS violations FROM lineitem
+           UNION ALL
+           SELECT 'flag_domain', count(*),
+             CAST(count(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R')
+               OR l_returnflag IS NULL) AS BIGINT) FROM lineitem
+           UNION ALL
+           SELECT 'price_positive', count(*),
+             CAST(count(*) FILTER (
+               WHERE NOT coalesce(l_extendedprice > 0, FALSE)) AS BIGINT)
+             FROM lineitem
+           UNION ALL
+           SELECT 'qty_range', count(*),
+             CAST(count(*) FILTER (
+               WHERE NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE))
+               AS BIGINT) FROM lineitem
+           UNION ALL
+           SELECT 'pk_unique', CAST(sum(c) AS BIGINT),
+             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+           FROM (SELECT count(*) AS c FROM lineitem
+                 GROUP BY l_orderkey, l_linenumber)
+           UNION ALL
+           SELECT 'fk_orders', (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l
+              WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+                (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)))
+         SELECT rule, n_rows, violations,
+           round((n_rows - violations) / CAST(n_rows AS DOUBLE), 4)
+             AS pass_rate
+         FROM r ORDER BY rule""",
+
+    "q274_scd2" ->
+      """WITH b AS (SELECT user_id AS k, ts AS t, event_id AS tb,
+                 event_type AS a FROM events),
+         m AS (SELECT k, t, tb, a,
+                 CASE WHEN row_number() OVER w = 1
+                      OR (a IS DISTINCT FROM lag(a) OVER w)
+                   THEN 1 ELSE 0 END AS chg
+               FROM b WINDOW w AS (PARTITION BY k ORDER BY t, tb)),
+         r AS (SELECT k, t, a,
+                 CAST(sum(chg) OVER (PARTITION BY k ORDER BY t, tb
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+               FROM m),
+         g AS (SELECT k, version, min(t) AS valid_from, min(a) AS state
+               FROM r GROUP BY k, version),
+         f AS (SELECT k, version, valid_from,
+                 lead(valid_from) OVER (PARTITION BY k ORDER BY version)
+                   AS valid_to, state
+               FROM g)
+         SELECT k, version, valid_from, valid_to,
+           CAST(valid_to IS NULL AS BIGINT) AS is_current, state
+         FROM f ORDER BY k, version""",
+
+    "q275_sorted_neighborhood" ->
+      """WITH r AS (SELECT c_custkey AS id, c_name AS s,
+                 row_number() OVER (ORDER BY c_name, c_custkey) AS idx
+               FROM customer)
+         SELECT a.id AS a_id, b.id AS b_id,
+           CAST(b.idx - a.idx AS BIGINT) AS gap,
+           jaro_winkler_similarity(a.s, b.s) AS sim
+         FROM r a JOIN r b
+           ON b.idx > a.idx AND b.idx <= a.idx + 3
+         WHERE jaro_winkler_similarity(a.s, b.s) >= 0.9
+         ORDER BY a_id, b_id""",
+
+    "q276_linkage_score" -> {
+      val (nwa, nwd) = graft.ops.Linkage.fsWeights(0.9, 0.05)
+      val (bwa, bwd) = graft.ops.Linkage.fsWeights(0.8, 0.1)
+      s"""WITH c AS (SELECT c_custkey AS id, c_name AS nm,
+                  c_nationkey AS nk, c_mktsegment AS seg, c_acctbal AS bal
+                FROM customer),
+          p AS (SELECT a.id AS a_id, b.id AS b_id, a.nm AS a_name,
+                  b.nm AS b_name, a.bal AS a_bal, b.bal AS b_bal
+                FROM c a JOIN c b ON a.nk = b.nk AND a.seg = b.seg
+                  AND a.id < b.id),
+          f AS (SELECT *,
+                  coalesce(levenshtein(a_name, b_name) <= 2, FALSE)
+                    AS agree_name,
+                  coalesce(abs(a_bal - b_bal) < 100.0, FALSE) AS agree_bal
+                FROM p),
+          sc AS (SELECT *,
+                  round((CASE WHEN agree_name THEN ${nwa} ELSE ${nwd} END)
+                      + (CASE WHEN agree_bal THEN ${bwa} ELSE ${bwd} END), 4)
+                    AS score
+                 FROM f)
+          SELECT a_id, b_id, a_name, b_name, a_bal, b_bal,
+            agree_name, agree_bal, score,
+            CASE WHEN score >= 3.0 THEN 'match'
+                 WHEN score <= -4.0 THEN 'non_match'
+                 ELSE 'review' END AS decision
+          FROM sc ORDER BY a_id, b_id"""
+    },
+
+    "q277_kaplan_meier" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0
+               FROM events GROUP BY user_id),
+         p AS (SELECT user_id, min(CAST(ts AS DATE)) AS dp
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY user_id),
+         subj AS (SELECT
+                    CASE WHEN dp IS NOT NULL
+                           AND date_diff('day', d0, dp) <= 2
+                      THEN date_diff('day', d0, dp) ELSE 2 END AS t,
+                    (dp IS NOT NULL AND date_diff('day', d0, dp) <= 2)
+                      AS e
+                  FROM f LEFT JOIN p USING (user_id)),
+         pt AS (SELECT t,
+                  CAST(count(*) FILTER (WHERE e) AS BIGINT) AS n_event,
+                  count(*) AS n_at
+                FROM subj GROUP BY t),
+         k AS (SELECT t, n_event, n_at,
+                 CAST(sum(n_at) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_risk
+               FROM pt),
+         k2 AS (SELECT t, n_event, n_risk,
+                  sum(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END)
+                    OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead,
+                  sum(CASE WHEN n_event < n_risk
+                        THEN ln(1 - n_event / CAST(n_risk AS DOUBLE)) END)
+                    OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lnS
+                FROM k)
+         SELECT t, n_risk, n_event,
+           CASE WHEN dead > 0 THEN 0.0
+                ELSE round(exp(coalesce(lnS, 0.0)), 4) END AS survival
+         FROM k2 WHERE n_event > 0 ORDER BY t""",
+
+    "q278_assoc_rules" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+               FROM lineitem),
+         nb AS (SELECT count(DISTINCT bk) AS n FROM b),
+         ic AS (SELECT it, count(*) AS ci FROM b GROUP BY it),
+         p AS (SELECT x.it AS a, y.it AS b2, count(*) AS nab
+               FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         dir AS (SELECT a AS ant, b2 AS cons, nab FROM p
+                 UNION ALL SELECT b2, a, nab FROM p)
+         SELECT ant AS antecedent, cons AS consequent,
+           CAST(nab AS BIGINT) AS n_ab,
+           round(nab / CAST(n.n AS DOUBLE), 4) AS support,
+           round(nab / CAST(ca.ci AS DOUBLE), 4) AS confidence,
+           round(CAST(nab * n.n AS DOUBLE) /
+             CAST(ca.ci * cb.ci AS DOUBLE), 4) AS lift
+         FROM dir
+         JOIN ic ca ON ca.it = dir.ant
+         JOIN ic cb ON cb.it = dir.cons
+         CROSS JOIN nb n
+         ORDER BY antecedent, consequent""",
+
+    "q279_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           count(*) AS n, round(sum(l_quantity), 4) AS sum_qty,
+           round(avg(l_extendedprice), 4) AS avg_price
+         FROM lineitem
+         GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
 
     "q269_sessions" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, value AS v,

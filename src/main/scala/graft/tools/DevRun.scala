@@ -39,18 +39,21 @@ object DevRun {
         val outDir = args(3)
         new java.io.File(outDir).mkdirs()
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        val json = graft.SparkEntry.oracleSql.get(name)
-          .map(sql => {
-            def q(s: String): String = "\"" + s.flatMap {
-              case '"'  => "\\\""
-              case '\\' => "\\\\"
-              case c if c < ' ' => f"\\u${c.toInt}%04x"
-              case c => c.toString
-            } + "\""
-            s"{${q(name)}: ${q(sql)}}"
-          }).getOrElse("{}")
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+        // MERGE into an existing oracle_sql.json (don't overwrite): a
+        // loop of dump calls over several queries then one compare.py
+        // run needs every dumped query's oracle present at once
+        val path = java.nio.file.Paths.get(s"$outDir/oracle_sql.json")
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val existing: java.util.Map[String, String] =
+          if (java.nio.file.Files.exists(path))
+            try mapper.readValue(path.toFile,
+              classOf[java.util.HashMap[String, String]])
+            catch { case _: Throwable => new java.util.HashMap[String, String]() }
+          else new java.util.HashMap[String, String]()
+        graft.SparkEntry.oracleSql.get(name)
+          .foreach(sql => existing.put(name, sql))
+        mapper.writerWithDefaultPrettyPrinter()
+          .writeValue(path.toFile, existing)
         println(s"[devrun] dumped $name to $outDir")
       case "explain" => df.explain("formatted")
       case "show" => df.show(50, truncate = false)

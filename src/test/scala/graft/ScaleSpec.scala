@@ -258,6 +258,37 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Suffix.DefaultPruneThresholdTokens > 100000L)
   }
 
+  test("gramSpectrum: matches the brute-force per-length census, both loops") {
+    import spark.implicits._
+    import graft.ops.Suffix
+    val texts = Seq("a b a b a", "b a b", "a b a c", "c c c c c c")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    def run(threshold: Long) =
+      Suffix.gramSpectrum(docs, col("id"), col("text"), 1, 6,
+          pruneThresholdTokens = threshold)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    val tok = texts.map(_.split(" ").toSeq)
+    val expect = (1 to 6).flatMap { l =>
+      val grams = tok.flatMap(t =>
+        t.sliding(l).filter(_.length == l).map(_.mkString(" ")))
+      if (grams.isEmpty) None
+      else {
+        val counts = grams.groupBy(identity).map(_._2.size)
+        Some((l.toLong, grams.size.toLong, counts.size.toLong,
+          counts.count(_ > 1).toLong))
+      }
+    }
+    val dense = run(Long.MaxValue)
+    assert(Suffix.lastLoop == "dense")
+    assert(dense == expect)
+    val pruned = run(1L)
+    assert(Suffix.lastLoop == "pruned")
+    assert(pruned == expect)
+  }
+
   test("longestRepeat: cross-doc and within-doc runs via neighbor LCP") {
     import spark.implicits._
     import graft.ops.Suffix
