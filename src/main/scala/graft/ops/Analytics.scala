@@ -416,6 +416,30 @@ object Analytics {
           .as("survival"))
   }
 
+  /** Gini concentration coefficient of a non-negative value
+    * distribution (revenue concentration, token-frequency inequality):
+    * one row `(n, total, gini)` at 4dp, gini by the sorted-rank
+    * identity G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over x ascending
+    * (ties broken by `tieBreakCol` for engine determinism; 0 when the
+    * total is 0).
+    *
+    * Scale shape: the global ascending index is [[Scale.withGlobalIndex]]
+    * — a range-partitioned sort with in-plan per-partition offsets, no
+    * single-task sort, no unpartitioned window — then ONE aggregate.
+    * Nothing driver-side at any size. */
+  def giniCoefficient(df: DataFrame, valCol: Column,
+      tieBreakCol: Column): DataFrame = {
+    val base = df.select(valCol.cast("double").as("x"), tieBreakCol.as("tb"))
+      .filter(col("x").isNotNull)
+    Scale.withGlobalIndex(base, Seq(col("x"), col("tb")), "i")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("__sx"),
+        sum(col("i") * col("x")).as("__six"))
+      .select(col("n"), round(coalesce(col("__sx"), lit(0.0)), 4).as("total"),
+        round(when(coalesce(col("__sx"), lit(0.0)) > 0,
+          (lit(2.0) * col("__six") - (col("n") + 1) * col("__sx")) /
+            (col("n") * col("__sx"))).otherwise(0.0), 4).as("gini"))
+  }
+
   /** Pairwise association rules over baskets (market-basket affinity):
     * for every ordered item pair (a → b) co-occurring in at least
     * `minPairs` baskets, `(antecedent, consequent, n_ab, support,

@@ -2365,7 +2365,11 @@ object OpsQueries {
       val e = li.as("x").join(li.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("a"), col("y.p").as("b"))
-      graft.ops.Graph.triangleStats(e, col("a"), col("b"))
+      // co-purchase edge set (~1M) fits the driver: broadcast the
+      // closing-edge lookup so the Σ outdeg²-sized wedge frame never
+      // shuffles
+      graft.ops.Graph.triangleStats(e, col("a"), col("b"),
+          broadcastEdges = true)
         .orderBy("id")
     }),
     "q267_profile" -> ((s, d) =>
@@ -2592,7 +2596,80 @@ object OpsQueries {
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("n"), col("sum_qty"), col("avg_price"))
-        .orderBy("rf", "ls"))
+        .orderBy("rf", "ls")),
+    "q280_pivot" -> ((s, d) =>
+      // wide activity matrix: one groupBy + pivot with an EXPLICIT
+      // value list (no discovery pass) — a single shuffle producing
+      // |types| conditional aggregates per user
+      ev(s, d).groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum("value"), 4))
+        .orderBy("user_id")),
+    "q281_trend" -> ((s, d) =>
+      // per-type linear trend of value over elapsed days: regr_* are
+      // moment aggregates (one partial-agg pass, no sort, no window)
+      ev(s, d)
+        .select(col("event_type"),
+          (unix_micros(col("ts")) / lit(86400000000.0)).as("x"),
+          col("value").as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(expr("regr_slope(y, x)"), 4).as("slope"),
+          round(expr("regr_intercept(y, x)"), 4).as("intercept"),
+          round(expr("regr_r2(y, x)"), 4).as("r2"))
+        .orderBy("event_type")),
+    "q282_benford" -> ((s, d) =>
+      // Benford first-digit audit of prices: digit extraction is pure
+      // arithmetic (floor/log10 — identical doubles on every engine),
+      // then one 9-row grouped count against the log10(1+1/d) law
+      t(s, d, "lineitem")
+        .filter(col("l_extendedprice") > 0)
+        .select(floor(col("l_extendedprice") /
+          pow(lit(10.0), floor(log10(col("l_extendedprice")))))
+          .cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(t(s, d, "lineitem")
+          .filter(col("l_extendedprice") > 0)
+          .agg(count(lit(1)).as("__t"))))
+        .select(col("digit"), col("n"),
+          round(col("n") / col("__t").cast("double"), 4).as("obs_p"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit")), 4).as("exp_p"))
+        .orderBy("digit")),
+    "q283_gini" -> ((s, d) =>
+      // revenue concentration across customers: per-customer totals
+      // (one grouped sum), then the rank-identity Gini over a
+      // range-partitioned global index — no single-task sort
+      graft.ops.Analytics.giniCoefficient(
+        t(s, d, "orders").groupBy("o_custkey")
+          .agg(sum("o_totalprice").as("spend")),
+        col("spend"), col("o_custkey"))),
+    "q284_rfm" -> ((s, d) => {
+      // RFM quintile segmentation: three per-customer aggregates from
+      // ONE pass over orders, each binned by the window-free quantile
+      // binner (exact percentile cut points broadcast, row-local fold)
+      val o = t(s, d, "orders")
+      val study = o.agg(max(to_date(col("o_orderdate"))).as("dm"))
+      val per = o.groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+          count(lit(1)).as("f"), round(sum("o_totalprice"), 4).as("m"))
+        .crossJoin(broadcast(study))
+        .select(col("o_custkey").as("id"),
+          datediff(col("dm"), col("last_day")).cast("double").as("r"),
+          col("f").cast("double").as("fd"), col("m"))
+      def bins(src: org.apache.spark.sql.DataFrame, c: String, out: String) =
+        graft.ops.Curation.quantileBins(src, col("id"), col(c), 5)
+          .select(col("id"), col("bin").as(out))
+      per.join(bins(per, "r", "r_bin"), "id")
+        .join(bins(per, "fd", "f_bin"), "id")
+        .join(bins(per, "m", "m_bin"), "id")
+        .select(col("id"), col("r").cast("long").as("recency_days"),
+          col("fd").cast("long").as("frequency"), col("m").as("monetary"),
+          col("r_bin"), col("f_bin"), col("m_bin"),
+          (col("r_bin") * 100 + col("f_bin") * 10 + col("m_bin"))
+            .as("segment"))
+        .orderBy("id")
+    })
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -6805,6 +6882,82 @@ object OpsQueries {
          FROM lineitem
          GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY rf, ls""",
+
+    "q280_pivot" ->
+      """SELECT user_id,
+           round(sum(value) FILTER (WHERE event_type = 'click'), 4)
+             AS click,
+           round(sum(value) FILTER (WHERE event_type = 'error'), 4)
+             AS error,
+           round(sum(value) FILTER (WHERE event_type = 'purchase'), 4)
+             AS purchase,
+           round(sum(value) FILTER (WHERE event_type = 'signup'), 4)
+             AS signup,
+           round(sum(value) FILTER (WHERE event_type = 'view'), 4)
+             AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q281_trend" ->
+      """SELECT event_type, count(*) AS n,
+           round(regr_slope(value, epoch_us(ts) / 86400000000.0), 4)
+             AS slope,
+           round(regr_intercept(value, epoch_us(ts) / 86400000000.0), 4)
+             AS intercept,
+           round(regr_r2(value, epoch_us(ts) / 86400000000.0), 4) AS r2
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q282_benford" ->
+      """WITH p AS (SELECT l_extendedprice AS x FROM lineitem
+               WHERE l_extendedprice > 0),
+         t AS (SELECT count(*) AS tot FROM p),
+         d AS (SELECT CAST(floor(x / power(10, floor(log10(x))))
+                 AS BIGINT) AS digit FROM p)
+         SELECT digit, count(*) AS n,
+           round(count(*) / CAST(t.tot AS DOUBLE), 4) AS obs_p,
+           round(log10(1 + 1.0 / digit), 4) AS exp_p
+         FROM d, t GROUP BY digit, t.tot ORDER BY digit""",
+
+    "q283_gini" ->
+      """WITH s AS (SELECT o_custkey AS k, sum(o_totalprice) AS x
+               FROM orders GROUP BY o_custkey),
+         r AS (SELECT x, row_number() OVER (ORDER BY x, k) AS i FROM s)
+         SELECT count(*) AS n, round(sum(x), 4) AS total,
+           round(CASE WHEN sum(x) > 0
+             THEN (2 * sum(i * x) - (count(*) + 1) * sum(x)) /
+                  (count(*) * sum(x))
+             ELSE 0.0 END, 4) AS gini
+         FROM r""",
+
+    "q284_rfm" ->
+      """WITH st AS (SELECT max(CAST(o_orderdate AS DATE)) AS dm
+               FROM orders),
+         per AS (SELECT o_custkey AS id,
+             CAST(date_diff('day', max(CAST(o_orderdate AS DATE)), st.dm)
+               AS DOUBLE) AS r,
+             CAST(count(*) AS DOUBLE) AS fd,
+             round(sum(o_totalprice), 4) AS m
+           FROM orders, st GROUP BY o_custkey, st.dm),
+         cuts AS (SELECT
+             [round(quantile_cont(r, 0.2), 4), round(quantile_cont(r, 0.4), 4),
+              round(quantile_cont(r, 0.6), 4), round(quantile_cont(r, 0.8), 4)]
+               AS rc,
+             [round(quantile_cont(fd, 0.2), 4), round(quantile_cont(fd, 0.4), 4),
+              round(quantile_cont(fd, 0.6), 4), round(quantile_cont(fd, 0.8), 4)]
+               AS fc,
+             [round(quantile_cont(m, 0.2), 4), round(quantile_cont(m, 0.4), 4),
+              round(quantile_cont(m, 0.6), 4), round(quantile_cont(m, 0.8), 4)]
+               AS mc
+           FROM per),
+         b AS (SELECT id, r, fd, m,
+             1 + len(list_filter(rc, c -> r > c)) AS r_bin,
+             1 + len(list_filter(fc, c -> fd > c)) AS f_bin,
+             1 + len(list_filter(mc, c -> m > c)) AS m_bin
+           FROM per, cuts)
+         SELECT id, CAST(r AS BIGINT) AS recency_days,
+           CAST(fd AS BIGINT) AS frequency, m AS monetary,
+           r_bin, f_bin, m_bin,
+           r_bin * 100 + f_bin * 10 + m_bin AS segment
+         FROM b ORDER BY id""",
 
     "q269_sessions" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, value AS v,

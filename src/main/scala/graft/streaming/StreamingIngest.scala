@@ -348,6 +348,58 @@ object StreamingOps {
     }
   }
 
+  final case class HHDecayState(counts: Map[String, Long], sinceDecay: Int)
+
+  /** [[streamingHeavyHitters]] with TTL-style aging for DRIFTING
+    * streams: every `decayEveryBatches` micro-batches each shard HALVES
+    * its counters (integer floor; zeros drop and emit tombstones)
+    * before inserting the batch — an exponential decay with per-batch
+    * factor 2^(−1/decayEveryBatches), so a term that stops arriving
+    * fades out of the candidate set instead of squatting on a counter
+    * forever (the plain sketch never forgets: yesterday's viral token
+    * blocks today's). Estimates are MG bounds on the DECAYED count —
+    * recency-weighted frequency, the quantity a drift monitor wants.
+    * State stays ≤ `capacity` counters + one batch clock per shard. */
+  def streamingHeavyHittersDecay(docs: DataFrame, capacity: Int,
+      nShards: Int = 8,
+      decayEveryBatches: Int = 1): org.apache.spark.sql.Dataset[HHRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(capacity >= 1 && nShards >= 1, "capacity and nShards must be >= 1")
+    require(decayEveryBatches >= 1, "decayEveryBatches must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col("text").cast("string")).as[String]
+      .flatMap { t =>
+        if (t == null) Iterator.empty
+        else graft.ops.Dedup.trimSpaces(t).split("\\s+").iterator
+          .filter(_.nonEmpty)
+      }
+      .map(tok =>
+        ((graft.expr.PortableHash.hex15(tok) % nShards).toInt, tok))
+    toks.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (shard: Int, rows: Iterator[(Int, String)],
+       state: GroupState[HHDecayState]) =>
+        val prev = state.getOption.getOrElse(HHDecayState(Map.empty, 0))
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        val clock = prev.sinceDecay + 1
+        val (decayed, nextClock) =
+          if (clock >= decayEveryBatches) (true, 0) else (false, clock)
+        prev.counts.foreach { case (k, v) =>
+          val nv = if (decayed) v / 2 else v
+          if (nv > 0) m(k) = nv
+        }
+        rows.foreach { case (_, tok) =>
+          graft.ops.Scale.misraGriesAdd(m, tok, capacity)
+        }
+        state.update(HHDecayState(m.toMap, nextClock))
+        val evicted = (prev.counts.keySet -- m.keySet).toSeq.sorted
+        m.toSeq.sortBy { case (t, c) => (-c, t) }.iterator
+          .map { case (t, c) => HHRow(shard, t, c) } ++
+          evicted.iterator.map(t => HHRow(shard, t, -1L))
+    }
+  }
+
   final case class FunnelState(reached: Seq[Long])
   final case class FunnelRow(k: Long, step_idx: Int, step: String,
       reached_at: java.sql.Timestamp)

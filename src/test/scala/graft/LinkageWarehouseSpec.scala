@@ -160,6 +160,22 @@ class LinkageWarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d.toSeq == Seq((3L, 0.5), (5L, 0.0))) // exact zero, no ln(0)
   }
 
+  test("giniCoefficient: rank-identity value on a hand case, 0 at " +
+      "perfect equality and on an all-zero total") {
+    import spark.implicits._
+    val v = Seq((1L, 1.0), (2L, 1.0), (3L, 2.0), (4L, 4.0)).toDF("id", "x")
+    val g = Analytics.giniCoefficient(v, col("x"), col("id")).head()
+    // sorted 1,1,2,4: Σx=8, Σi·x=25 → (50−40)/32 = 0.3125
+    assert((g.getLong(0), g.getDouble(1), g.getDouble(2)) ==
+      ((4L, 8.0, 0.3125)))
+    val eq = Seq((1L, 3.0), (2L, 3.0)).toDF("id", "x")
+    assert(Analytics.giniCoefficient(eq, col("x"), col("id"))
+      .head().getDouble(2) == 0.0)
+    val z = Seq((1L, 0.0), (2L, 0.0)).toDF("id", "x")
+    assert(Analytics.giniCoefficient(z, col("x"), col("id"))
+      .head().getDouble(2) == 0.0)
+  }
+
   test("associationRules: pairwise support/confidence/lift with the " +
       "minPairs prune, both directions") {
     import spark.implicits._

@@ -496,6 +496,53 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"degree orientation keeps every join an equi-join:\n$p")
   }
 
+  test("q266: broadcastEdges pins the closing-edge semi-join to a " +
+      "BROADCAST hash join — the wedge frame never shuffles") {
+    import org.apache.spark.sql.SparkSession
+    val spark2 = spark
+    import spark2.implicits._
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val p = plan(graft.ops.Graph.triangleStats(e, col("a"), col("b"),
+      broadcastEdges = true))
+    assert("BroadcastHashJoin.*LeftSemi".r.findFirstIn(p).isDefined,
+      s"closing-edge lookup must be a broadcast left-semi:\n$p")
+  }
+
+  test("q274: scd2 plans no join — change detection and versioning are " +
+      "windows over ONE key partitioning") {
+    import org.apache.spark.sql.SparkSession
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val log = Seq((1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+      (1L, ts("2024-01-02 00:00:00"), 2L, "B")).toDF("k", "t", "id", "st")
+    val p = plan(graft.ops.Warehouse.scd2(log, col("k"), col("t"),
+      col("id"), Seq("state" -> col("st"))))
+    assert(!p.contains("Join"), s"scd2 must not join:\n$p")
+    assert(p.contains("Window"), s"scd2 runs on key windows:\n$p")
+  }
+
+  test("q276: the linkage pair fan-out reads a PINNED spread exchange " +
+      "(AQE must not coalesce the kernel onto the scan task)") {
+    val q = SparkEntry.queries("q276_linkage_score")(spark, sf)
+    val p = plan(q)
+    assert(p.contains("Exchange hashpartitioning"),
+      s"spreadSmallScan's pinned repartition must survive:\n$p")
+    assert(!p.contains("CartesianProduct"), s"blocked equi-join only:\n$p")
+  }
+
+  test("q283: gini's global index is RANGE-partitioned — no single-task " +
+      "sort of the value column") {
+    import org.apache.spark.sql.SparkSession
+    val spark2 = spark
+    import spark2.implicits._
+    val v = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "x")
+    val p = plan(graft.ops.Analytics.giniCoefficient(v, col("x"),
+      col("id")))
+    assert(p.contains("rangepartitioning"),
+      s"the rank pass must range-partition:\n$p")
+  }
+
   test("q268: winsorize joins the bounds frame broadcast — the data " +
       "never shuffles") {
     import org.apache.spark.sql.SparkSession

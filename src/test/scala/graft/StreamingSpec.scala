@@ -694,6 +694,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q2.stop()
   }
 
+  test("streamingHeavyHittersDecay: counters halve on the batch clock, " +
+      "faded terms tombstone out") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val hh = StreamingOps.streamingHeavyHittersDecay(
+      input.toDF().toDF("text"), capacity = 100, nShards = 1,
+      decayEveryBatches = 1)
+    val q = hh.writeStream.outputMode("update")
+      .format("memory").queryName("hhd").start()
+    def emitted(since: Long): Seq[(String, Long)] = {
+      val all = spark.sql("SELECT term, est FROM hhd").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      all.drop(since.toInt)
+    }
+    input.addData("a a a a"); q.processAllAvailable()
+    val c1 = spark.sql("SELECT * FROM hhd").count()
+    assert(emitted(0) == Seq(("a", 4L)))
+    input.addData("b b"); q.processAllAvailable()
+    val c2 = spark.sql("SELECT * FROM hhd").count()
+    // a decayed 4 → 2 before b's insert; tie orders by term
+    assert(emitted(c1).toSet == Set(("a", 2L), ("b", 2L)))
+    input.addData("c"); q.processAllAvailable()
+    val c3 = spark.sql("SELECT * FROM hhd").count()
+    assert(emitted(c2).toSet == Set(("a", 1L), ("b", 1L), ("c", 1L)))
+    // one more silent batch for a/b/c: counters hit zero, drop from
+    // state, and retract via tombstones — the stream forgets
+    input.addData("d"); q.processAllAvailable()
+    assert(emitted(c3).toSet ==
+      Set(("d", 1L), ("a", -1L), ("b", -1L), ("c", -1L)))
+    q.stop()
+  }
+
   test("streamingAnomalies: cross-batch ring state matches the batch " +
       "scorer under in-order delivery; spike flags fire") {
     import spark.implicits._
