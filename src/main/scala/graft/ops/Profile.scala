@@ -104,6 +104,30 @@ object Profile {
         .cast("long").as("was_clipped")): _*)
   }
 
+  /** Per-group z-score standardization — the feature-scaling companion
+    * to [[winsorize]]: `z = (x − mean)/std` (sample std) against the
+    * row's group moments, null when the group's std is 0 or undefined
+    * (single-row groups). Output: `(id, …keys, value, z)` at 4dp.
+    *
+    * Same scale shape as winsorize: the group moments are ONE partial-
+    * agg'd pass, broadcast back; the standardization is a map-side
+    * projection — the fact table never shuffles. */
+  def standardize(df: DataFrame, idCol: Column, keys: Seq[String],
+      valCol: Column): DataFrame = {
+    val keyCols = keys.map(col)
+    val base = df.select((idCol.cast("long").as("id") +: keyCols) :+
+      valCol.cast("double").as("value"): _*)
+    val moments = base.groupBy(keyCols: _*).agg(
+      avg(col("value")).as("__mu"), stddev_samp(col("value")).as("__sd"))
+    val joined =
+      if (keys.isEmpty) base.crossJoin(broadcast(moments))
+      else base.join(broadcast(moments), keys)
+    joined.select((col("id") +: keyCols) ++ Seq(
+      round(col("value"), 4).as("value"),
+      round(when(col("__sd") > 0,
+        (col("value") - col("__mu")) / col("__sd")), 4).as("z")): _*)
+  }
+
   /** Data-quality gate over row-level expectations: each rule is a
     * `(name, predicate)` where the predicate holding means the row
     * PASSES (a null predicate — e.g. a comparison against a null

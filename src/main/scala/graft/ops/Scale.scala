@@ -179,6 +179,42 @@ object Scale extends Serializable {
    * answers point queries — "how often does THIS term occur?" — for any
    * probe set fixed after the single pass.
    */
+  /** Partition-skew diagnostic for a prospective shuffle/join key: ONE
+    * row `(n_rows, n_keys, max_count, p50_count, p99_count, avg_count,
+    * skew_ratio, top_keys)` — `skew_ratio` = max/avg (the straggler
+    * multiplier a hash shuffle on this key would suffer) and
+    * `top_keys` the `topN` hottest keys as `key:count` strings, the
+    * candidates for salting ([[saltedAggregate]]) or broadcast
+    * special-casing. The pre-flight check before keying 100 TB on a
+    * column: a skew_ratio of 500 means one reducer gets 500× the
+    * average partition.
+    *
+    * Plan: one grouped count by key (partial-agg'd — the only pass over
+    * the data), then exact percentiles + a bounded top-N sort over the
+    * |keys|-sized count table. */
+  def skewReport(df: DataFrame, keyCol: Column, topN: Int = 5): DataFrame = {
+    require(topN >= 1, "skewReport: topN >= 1")
+    val counts = df.select(keyCol.cast("string").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // read twice: moments + top-N
+    val top = counts.orderBy(col("c").desc, col("k").asc).limit(topN)
+      .agg(collect_list(concat_ws(":", col("k"), col("c"))).as("top_keys"))
+    counts.agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+        max("c").as("max_count"),
+        expr("percentile(c, 0.5d)").as("__p50"),
+        expr("percentile(c, 0.99d)").as("__p99"))
+      .crossJoin(broadcast(top))
+      .select(col("n_rows"), col("n_keys"), col("max_count"),
+        round(col("__p50"), 4).as("p50_count"),
+        round(col("__p99"), 4).as("p99_count"),
+        round(col("n_rows") / col("n_keys").cast("double"), 4)
+          .as("avg_count"),
+        round(col("max_count") /
+          (col("n_rows") / col("n_keys").cast("double")), 4)
+          .as("skew_ratio"),
+        col("top_keys"))
+  }
+
   def countMinEstimates(df: DataFrame, textCol: Column, width: Int,
       depth: Int, probes: Seq[String]): DataFrame = {
     require(width >= 1, "width must be >= 1")

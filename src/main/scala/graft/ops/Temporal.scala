@@ -399,6 +399,54 @@ object Temporal {
         timestamp_micros(col("rt")).as("reached_at"))
   }
 
+  /** Holt linear (double-exponential) smoothing per key — the
+    * level+trend forecaster next to [[ewmaSmooth]]'s level-only frame:
+    * the FULL recurrence `l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1})`,
+    * `b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}` (init `l_1 = y_1`,
+    * `b_1 = 0`), which no window frame expresses — each state depends
+    * on the entire prefix. One row per key:
+    * `(k, n, level, trend, forecast)` at 4dp with
+    * `forecast = level + horizon·trend`.
+    *
+    * Scale shape: ONE grouped collect of `(t, tb, y)` structs per key,
+    * sorted row-locally (`sort_array`) and folded by a codegen'd
+    * `aggregate` HOF with a (level, trend) struct accumulator — a
+    * sequential recurrence done in-task, never a driver loop. The
+    * per-key series must be memory-bounded (sessions, daily rollups);
+    * for unbounded keys pre-aggregate to a coarser grain or use
+    * [[ewmaSmooth]]'s truncated frame. */
+  def holtSmooth(df: DataFrame, keyCol: Column, timeCol: Column,
+      tiebreakCol: Column, valCol: Column, alpha: Double, beta: Double,
+      horizon: Int = 1): DataFrame = {
+    require(alpha > 0 && alpha < 1, "holtSmooth: alpha in (0, 1)")
+    require(beta > 0 && beta < 1, "holtSmooth: beta in (0, 1)")
+    require(horizon >= 0, "holtSmooth: horizon >= 0")
+    val series = df
+      .select(keyCol.cast("long").as("k"),
+        struct(timeCol.as("t"), tiebreakCol.cast("long").as("tb"),
+          valCol.cast("double").as("y")).as("r"))
+      .groupBy("k")
+      .agg(sort_array(collect_list(col("r"))).as("rs"))
+      .select(col("k"), transform(col("rs"), r => r.getField("y")).as("ys"))
+    val folded = aggregate(col("ys"),
+      struct(lit(0.0).as("l"), lit(0.0).as("b"), lit(false).as("init")),
+      (acc, y) => {
+        val l0 = acc.getField("l"); val b0 = acc.getField("b")
+        val l1 = lit(alpha) * y + lit(1.0 - alpha) * (l0 + b0)
+        val b1 = lit(beta) * (l1 - l0) + lit(1.0 - beta) * b0
+        when(!acc.getField("init"),
+          struct(y.as("l"), lit(0.0).as("b"), lit(true).as("init")))
+          .otherwise(struct(l1.as("l"), b1.as("b"), lit(true).as("init")))
+      })
+    series
+      .withColumn("__s", folded)
+      .select(col("k"), size(col("ys")).cast("long").as("n"),
+        round(col("__s.l"), 4).as("level"),
+        round(col("__s.b"), 4).as("trend"),
+        round(col("__s.l") + lit(horizon.toDouble) * col("__s.b"), 4)
+          .as("forecast"))
+  }
+
   /** Trailing-window exponential moving average per key — the bounded
     * EWMA every feature pipeline wants next to [[rollingStats]]'
     * uniform frames: over the last `nRows` rows (current inclusive),

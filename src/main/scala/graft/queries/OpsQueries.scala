@@ -2669,7 +2669,26 @@ object OpsQueries {
           (col("r_bin") * 100 + col("f_bin") * 10 + col("m_bin"))
             .as("segment"))
         .orderBy("id")
-    })
+    }),
+    "q285_holt" -> ((s, d) =>
+      // Holt level+trend per user: the full prefix recurrence folded
+      // in-task over each key's sorted series — one key shuffle, no
+      // driver loop, no window
+      graft.ops.Temporal.holtSmooth(ev(s, d), col("user_id"), col("ts"),
+          col("event_id"), col("value"), alpha = 0.5, beta = 0.3,
+          horizon = 3)
+        .orderBy("k")),
+    "q286_skew_report" -> ((s, d) =>
+      // pre-shuffle skew audit of a join key: one grouped count is the
+      // only corpus pass; percentiles + top-N run over the |keys| table
+      graft.ops.Scale.skewReport(t(s, d, "lineitem"), col("l_partkey"),
+        topN = 5)),
+    "q287_standardize" -> ((s, d) =>
+      // per-type z-scores: broadcast group moments, map-side transform
+      // — the fact table never shuffles
+      graft.ops.Profile.standardize(ev(s, d), col("event_id"),
+          Seq("event_type"), col("value"))
+        .orderBy("id"))
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -6958,6 +6977,60 @@ object OpsQueries {
            r_bin, f_bin, m_bin,
            r_bin * 100 + f_bin * 10 + m_bin AS segment
          FROM b ORDER BY id""",
+
+    "q285_holt" -> {
+      // the exact doubles the Spark fold uses: 1−β in IEEE arithmetic
+      // is NOT the 0.7 literal, so the constants interpolate from the
+      // same Scala expressions
+      val a = 0.5; val b = 0.3
+      val (ia, ib) = (1.0 - a, 1.0 - b)
+      s"""WITH RECURSIVE s AS (
+            SELECT user_id AS k,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS ord,
+              value AS y
+            FROM events),
+          n AS (SELECT k, max(ord) AS n FROM s GROUP BY k),
+          h AS (
+            SELECT k, ord, CAST(y AS DOUBLE) AS l,
+              CAST(0.0 AS DOUBLE) AS b FROM s WHERE ord = 1
+            UNION ALL
+            SELECT s.k, s.ord,
+              $a * s.y + $ia * (h.l + h.b),
+              $b * (($a * s.y + $ia * (h.l + h.b)) - h.l) + $ib * h.b
+            FROM h JOIN s ON s.k = h.k AND s.ord = h.ord + 1),
+          fin AS (SELECT h.k, n.n, h.l, h.b
+                  FROM h JOIN n ON n.k = h.k AND h.ord = n.n)
+          SELECT k, n, round(l, 4) AS level, round(b, 4) AS trend,
+            round(l + 3.0 * b, 4) AS forecast
+          FROM fin ORDER BY k"""
+    },
+
+    "q286_skew_report" ->
+      """WITH c AS (SELECT CAST(l_partkey AS VARCHAR) AS k, count(*) AS c
+               FROM lineitem GROUP BY 1),
+         t AS (SELECT list(s ORDER BY c DESC, k) AS top_keys FROM
+                 (SELECT k, c, k || ':' || CAST(c AS VARCHAR) AS s
+                  FROM c ORDER BY c DESC, k LIMIT 5))
+         SELECT CAST(sum(c.c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+           max(c.c) AS max_count,
+           round(quantile_cont(c.c, 0.5), 4) AS p50_count,
+           round(quantile_cont(c.c, 0.99), 4) AS p99_count,
+           round(sum(c.c) / CAST(count(*) AS DOUBLE), 4) AS avg_count,
+           round(max(c.c) / (sum(c.c) / CAST(count(*) AS DOUBLE)), 4)
+             AS skew_ratio,
+           any_value(t.top_keys) AS top_keys
+         FROM c, t""",
+
+    "q287_standardize" ->
+      """WITH m AS (SELECT event_type, avg(value) AS mu,
+                 stddev_samp(value) AS sd
+               FROM events GROUP BY event_type)
+         SELECT e.event_id AS id, e.event_type,
+           round(e.value, 4) AS value,
+           round(CASE WHEN m.sd > 0 THEN (e.value - m.mu) / m.sd END, 4)
+             AS z
+         FROM events e JOIN m USING (event_type) ORDER BY id""",
 
     "q269_sessions" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, value AS v,

@@ -182,7 +182,18 @@ object ScaleRehearsal {
           stride = 8, spanLen = 2)),
       "q222_logistic_train" -> (d =>
         graft.ops.Classify.logisticTrain(d, col("doc_id") % 2 === 0,
-          col("text"), dim = 64, iters = 10, lr = 8.0, binary = true)))
+          col("text"), dim = 64, iters = 10, lr = 8.0, binary = true)),
+      // round-10 heavy additions: the all-lengths gram census (one
+      // ranking + integer LCP census — the suffix family's read-off
+      // workload) and sorted-neighborhood linkage (range-rank + a
+      // strictly n·(w−1) candidate join)
+      "q272_gram_spectrum" -> (d =>
+        Suffix.gramSpectrum(d.filter(col("doc_id") % 5 === 0),
+          col("doc_id"), col("text"), minLen = 1, maxLen = 64)),
+      "q275_sorted_neighborhood" -> (d =>
+        graft.ops.Linkage.sortedNeighborhoodJoin(d, col("doc_id"),
+          substring(col("text"), 1, 40), substring(col("text"), 1, 40),
+          window = 4, minSim = 0.5)))
 
     val selected = families.filter { case (n, _) =>
       only.forall(f => f.exists(n.contains)) }

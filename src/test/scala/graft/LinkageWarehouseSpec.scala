@@ -160,6 +160,33 @@ class LinkageWarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d.toSeq == Seq((3L, 0.5), (5L, 0.0))) // exact zero, no ln(0)
   }
 
+  test("skewReport: straggler ratio and hot keys on a skewed fixture") {
+    import spark.implicits._
+    val df = (Seq.fill(8)("hot") ++ Seq("a", "b", "c", "d")).toDF("k")
+    val r = graft.ops.Scale.skewReport(df, col("k"), topN = 2).head()
+    // 12 rows, 5 keys, max 8, avg 2.4 → ratio 3.3333
+    assert((r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"),
+      r.getAs[Long]("max_count"), r.getAs[Double]("avg_count"),
+      r.getAs[Double]("skew_ratio")) == ((12L, 5L, 8L, 2.4, 3.3333)))
+    assert(r.getSeq[String](r.fieldIndex("top_keys")).toList ==
+      List("hot:8", "a:1"))
+  }
+
+  test("standardize: group z-scores from broadcast moments; degenerate " +
+      "groups yield null") {
+    import spark.implicits._
+    val df = Seq((1L, "g", 1.0), (2L, "g", 2.0), (3L, "g", 3.0),
+      (4L, "solo", 9.0)).toDF("id", "grp", "v")
+    val out = graft.ops.Profile.standardize(df, col("id"), Seq("grp"),
+        col("v"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_
+        .asInstanceOf[Double])))
+    // g: mean 2, sample std 1 → z = -1, 0, 1; solo: std undefined
+    assert(out.toSeq == Seq((1L, Some(-1.0)), (2L, Some(0.0)),
+      (3L, Some(1.0)), (4L, None)))
+  }
+
   test("giniCoefficient: rank-identity value on a hand case, 0 at " +
       "perfect equality and on an all-zero total") {
     import spark.implicits._

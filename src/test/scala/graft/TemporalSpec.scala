@@ -576,4 +576,26 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // edge rows (first and last) carry no trend
     assert(d(rows.head, "trend").isEmpty && d(rows.last, "trend").isEmpty)
   }
+
+  test("holtSmooth: hand-computed level/trend recurrence, single-point " +
+      "series degenerates to (y, 0)") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 10.0),
+      (1L, ts("2024-01-02 00:00:00"), 2L, 12.0),
+      (1L, ts("2024-01-03 00:00:00"), 3L, 14.0),
+      (2L, ts("2024-01-01 00:00:00"), 4L, 7.0)
+    ).toDF("k", "t", "id", "y")
+    val out = graft.ops.Temporal.holtSmooth(df, col("k"), col("t"),
+        col("id"), col("y"), alpha = 0.5, beta = 0.5, horizon = 2)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    // k=1: l2=11, b2=0.5; l3=0.5·14+0.5·11.5=12.75,
+    // b3=0.5·1.75+0.25=1.125; forecast=12.75+2·1.125=15.0
+    assert(out.toSeq == Seq(
+      (1L, 3L, 12.75, 1.125, 15.0),
+      (2L, 1L, 7.0, 0.0, 7.0)))
+  }
 }
