@@ -215,6 +215,43 @@ object Scale extends Serializable {
         col("top_keys"))
   }
 
+  /** K-minimum-values distinct sketch per group — the MERGEABLE
+    * distinct estimator whose state is k hash values (union sketches by
+    * keeping the k smallest of the merged set; shard, then merge —
+    * unlike exact distinct, the sync cost is fixed at k longs). The
+    * estimator: with h = md5-derived 60-bit hashes mapped onto [0, 2⁶⁰),
+    * the kth smallest of D distinct values sits near k/D of the range,
+    * so `est = (k−1)·2⁶⁰ / h₍ₖ₎`; groups with fewer than k distinct
+    * hashes report the exact count. md5 determinism makes even the
+    * ESTIMATE engine-exact (the HLL sketches in [[graft.ops.Dedup]] are
+    * engine-internal and only tolerance-checkable).
+    * Output: `(…groups, n_kept, est_distinct)` (4dp).
+    *
+    * Plan: one distinct over (group, hash) — the only corpus-sized
+    * exchange, partial-agg'd — then a per-group window keeps the k
+    * smallest. Batch cost matches exact distinct (the win is the
+    * fixed-size mergeable state, not this pass); k bounds the output
+    * per group. */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, "kmvDistinct: k >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val gs = groupCols.map(col)
+    val hashes = df.select(gs :+
+        graft.expr.PortableHash.hex15Col(valCol).as("__h"): _*)
+      .distinct()
+    val w = Window.partitionBy(gs: _*).orderBy(col("__h").asc)
+    val range = 1152921504606846976.0 // 2^60
+    hashes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(gs: _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("__kth"))
+      .select(gs ++ Seq(col("n_kept"),
+        round(when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1) * range) / col("__kth").cast("double")), 4)
+          .as("est_distinct")): _*)
+  }
+
   def countMinEstimates(df: DataFrame, textCol: Column, width: Int,
       depth: Int, probes: Seq[String]): DataFrame = {
     require(width >= 1, "width must be >= 1")

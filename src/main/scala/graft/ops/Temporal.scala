@@ -365,7 +365,29 @@ object Temporal {
     * castable to TIMESTAMP. Output: `(k, step_idx, step, reached_at)`
     * with `step_idx` 1-based; keys stop at their last reached step. */
   def funnelSteps(events: DataFrame, keyCol: Column, typeCol: Column,
-      timeCol: Column, steps: Seq[String]): DataFrame = {
+      timeCol: Column, steps: Seq[String]): DataFrame =
+    funnelStepsImpl(events, keyCol, typeCol, timeCol, steps, None)
+
+  /** [[funnelSteps]] with a conversion DEADLINE: later steps count only
+    * within `windowMicros` of the key's step-1 anchor (its EARLIEST
+    * step-1 event — "did the user finish the funnel within T of first
+    * entry", the windowed product-analytics reading). Anchored
+    * semantics, not exists-any-chain: a later re-entry does NOT open a
+    * fresh window — that variant needs per-candidate-anchor state and
+    * is deliberately out of contract. The greedy tightening scan stays
+    * valid because the anchor is fixed at the first step-1 event of the
+    * time-sorted scan and only later slots constrain against it. */
+  def funnelStepsWindowed(events: DataFrame, keyCol: Column,
+      typeCol: Column, timeCol: Column, steps: Seq[String],
+      windowMicros: Long): DataFrame = {
+    require(windowMicros > 0, "funnelStepsWindowed: windowMicros > 0")
+    funnelStepsImpl(events, keyCol, typeCol, timeCol, steps,
+      Some(windowMicros))
+  }
+
+  private def funnelStepsImpl(events: DataFrame, keyCol: Column,
+      typeCol: Column, timeCol: Column, steps: Seq[String],
+      windowMicros: Option[Long]): DataFrame = {
     require(steps.nonEmpty, "funnel: need at least one step")
     require(steps.distinct.size == steps.size, "funnel: steps must be distinct")
     val unreached = Long.MaxValue
@@ -381,15 +403,24 @@ object Temporal {
       .groupBy("k").agg(sort_array(collect_list(col("e"))).as("es"))
     // running earliest-completion array: slot j updates on a step-j
     // event at-or-after slot j-1's current value (slot 0 unconditional);
-    // Long.MaxValue marks "not reached" and can never satisfy t >= prev
+    // Long.MaxValue marks "not reached" and can never satisfy t >= prev.
+    // Windowed: slot j>0 additionally requires t within the deadline of
+    // slot 0's anchor — when the anchor is still unreached the t >= prev
+    // conjunct is already false, so the overflowing MaxValue+W sum is
+    // never the deciding term.
     val reached = aggregate(col("es"),
       array(steps.map(_ => lit(unreached)): _*),
       (acc, e) => {
         val t = e.getField("t")
         val s = e.getField("si")
-        transform(acc, (r, j) =>
-          when(j === s && (s === 0 || t >= element_at(acc, s)),
-            least(r, t)).otherwise(r))
+        transform(acc, (r, j) => {
+          val inOrder = s === 0 || t >= element_at(acc, s)
+          val inWindow = windowMicros match {
+            case Some(w) => s === 0 || t <= element_at(acc, 1) + w
+            case None => lit(true)
+          }
+          when(j === s && inOrder && inWindow, least(r, t)).otherwise(r)
+        })
       })
     val names = array(steps.map(lit): _*)
     perKey.select(col("k"), posexplode(reached).as(Seq("p", "rt")))

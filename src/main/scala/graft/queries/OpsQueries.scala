@@ -2688,7 +2688,33 @@ object OpsQueries {
       // — the fact table never shuffles
       graft.ops.Profile.standardize(ev(s, d), col("event_id"),
           Seq("event_type"), col("value"))
-        .orderBy("id"))
+        .orderBy("id")),
+    "q288_kmv_distinct" -> ((s, d) => {
+      // KMV distinct sketch vs exact, per source: md5 determinism
+      // makes the ESTIMATE itself oracle-exact; the exact column is
+      // the verification join, not part of the sketch
+      val tk = t(s, d, "documents")
+        .select(col("source"),
+          explode(array_remove(split(trim(col("text")), "\\s+"), ""))
+            .as("w"))
+      val est = graft.ops.Scale.kmvDistinct(tk, Seq("source"), col("w"),
+        k = 16)
+      val exact = tk.groupBy("source")
+        .agg(count_distinct(col("w")).as("exact_distinct"))
+      est.join(exact, "source")
+        .select(col("source"), col("exact_distinct"),
+          col("est_distinct"))
+        .orderBy("source")
+    }),
+    "q289_window_funnel" -> ((s, d) =>
+      // conversion-deadline funnel: later steps count only within 24 h
+      // of the first-signup anchor — same single-shuffle greedy fold,
+      // one extra deadline conjunct
+      graft.ops.Temporal.funnelStepsWindowed(ev(s, d), col("user_id"),
+          col("event_type"), col("ts"),
+          Seq("signup", "view", "click", "purchase"),
+          windowMicros = 24L * 3600 * 1000000L)
+        .orderBy("step_idx", "k"))
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -7031,6 +7057,55 @@ object OpsQueries {
            round(CASE WHEN m.sd > 0 THEN (e.value - m.mu) / m.sd END, 4)
              AS z
          FROM events e JOIN m USING (event_type) ORDER BY id""",
+
+    "q288_kmv_distinct" ->
+      """WITH tk AS (SELECT source,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '')) AS w
+           FROM documents),
+         h AS (SELECT DISTINCT source,
+             CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+           FROM tk),
+         r AS (SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+           FROM h),
+         kk AS (SELECT source, count(*) AS n_kept, max(h) AS kth
+           FROM r WHERE rn <= 16 GROUP BY source),
+         ex AS (SELECT source, count(DISTINCT w) AS exact_distinct
+           FROM tk GROUP BY source)
+         SELECT source, ex.exact_distinct,
+           round(CASE WHEN kk.n_kept < 16 THEN CAST(kk.n_kept AS DOUBLE)
+             ELSE (15 * 1152921504606846976.0) / CAST(kth AS DOUBLE) END, 4)
+             AS est_distinct
+         FROM kk JOIN ex USING (source) ORDER BY source""",
+
+    "q289_window_funnel" ->
+      """WITH r1 AS (SELECT user_id, min(ts) AS rt FROM events
+                 WHERE event_type = 'signup' GROUP BY user_id),
+         d AS (SELECT user_id, rt,
+                 rt + INTERVAL 24 HOURS AS dl FROM r1),
+         r2 AS (SELECT e.user_id, min(e.ts) AS rt FROM events e
+                JOIN d USING (user_id)
+                WHERE e.event_type = 'view' AND e.ts >= d.rt
+                  AND e.ts <= d.dl
+                GROUP BY e.user_id),
+         r3 AS (SELECT e.user_id, min(e.ts) AS rt FROM events e
+                JOIN r2 USING (user_id) JOIN d USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts >= r2.rt
+                  AND e.ts <= d.dl
+                GROUP BY e.user_id),
+         r4 AS (SELECT e.user_id, min(e.ts) AS rt FROM events e
+                JOIN r3 USING (user_id) JOIN d USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts >= r3.rt
+                  AND e.ts <= d.dl
+                GROUP BY e.user_id)
+         SELECT user_id AS k, step_idx, step, rt AS reached_at FROM (
+           SELECT user_id, CAST(1 AS BIGINT) AS step_idx,
+                  'signup' AS step, rt FROM r1
+           UNION ALL SELECT user_id, 2, 'view', rt FROM r2
+           UNION ALL SELECT user_id, 3, 'click', rt FROM r3
+           UNION ALL SELECT user_id, 4, 'purchase', rt FROM r4)
+         ORDER BY step_idx, k""",
 
     "q269_sessions" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, value AS v,

@@ -294,6 +294,54 @@ object StreamingOps {
     }
   }
 
+  final case class Scd2State(version: Long, validFrom: Long, attrs: String)
+  final case class Scd2Row(k: Long, version: Long, valid_from: Long,
+      valid_to: Option[Long], is_current: Long, state: String)
+
+  /** Streaming twin of [[graft.ops.Warehouse.scd2]]: the OPEN interval
+    * per key held as explicit state (one (version, valid_from, attrs)
+    * triple — O(1) per key regardless of history length); each batch
+    * sorts ITS rows by `(t, tb)` and applies the same run-collapse
+    * rule, emitting in update mode a CLOSED row (valid_to set,
+    * is_current 0) plus the new OPEN row (valid_to null, is_current 1)
+    * whenever the attribute value changes — consumers keep the latest
+    * emission per (k, version). Exactly equal to the batch history
+    * when each key's changes arrive time-ordered across batches (the
+    * watermarked normal case); a row OLDER than the open interval's
+    * start is dropped — revising closed history needs the batch
+    * replay, which is the price of O(1) state. Input columns:
+    * `k LONG, t TIMESTAMP, tb LONG, state STRING`. */
+  def streamingScd2(changes: DataFrame): org.apache.spark.sql.Dataset[Scd2Row] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = changes.sparkSession
+    import spark.implicits._
+    val typed = changes
+      .select(col("k").cast("long"), unix_micros(col("t").cast("timestamp")),
+        col("tb").cast("long"), col("state").cast("string"))
+      .as[(Long, Long, Long, String)]
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (key: Long, rows: Iterator[(Long, Long, Long, String)],
+       state: GroupState[Scd2State]) =>
+        var cur = state.getOption
+        val out = scala.collection.mutable.ArrayBuffer[Scd2Row]()
+        for ((_, t, _, attrs) <- rows.toSeq.sortBy { case (_, t, tb, _) => (t, tb) }) {
+          cur match {
+            case None =>
+              cur = Some(Scd2State(1L, t, attrs))
+              out += Scd2Row(key, 1L, t, None, 1L, attrs)
+            case Some(s) if t >= s.validFrom && attrs != s.attrs =>
+              out += Scd2Row(key, s.version, s.validFrom, Some(t), 0L, s.attrs)
+              cur = Some(Scd2State(s.version + 1, t, attrs))
+              out += Scd2Row(key, s.version + 1, t, None, 1L, attrs)
+            case _ => // same run, or older than the open interval: no-op
+          }
+        }
+        cur.foreach(state.update)
+        out.iterator
+    }
+  }
+
   final case class HHState(counts: Map[String, Long])
   final case class HHRow(shard: Int, term: String, est: Long)
 

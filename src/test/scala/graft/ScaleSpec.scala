@@ -309,6 +309,23 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       w.getInt(4)) == ((2L, 7L, 2, 7L, 0)))
   }
 
+  test("kmvDistinct: exact below k, estimator within KMV error above it, " +
+      "duplicate-insensitive") {
+    import spark.implicits._
+    import graft.ops.Scale
+    // 1000 distinct values (plus duplicates — the sketch must not care)
+    val vals = ((0 until 1000) ++ (0 until 500)).map(i => ("g", s"v$i"))
+      .toDF("grp", "v")
+    val r = Scale.kmvDistinct(vals, Seq("grp"), col("v"), k = 64).head()
+    val est = r.getDouble(r.fieldIndex("est_distinct"))
+    // KMV relative error ~ 1/sqrt(k-2) ≈ 12.7%; allow 3σ
+    assert(math.abs(est - 1000) / 1000 < 0.4, s"est $est")
+    // small group: exact count, no estimation
+    val small = (0 until 10).map(i => ("s", s"w$i")).toDF("grp", "v")
+    val sr = Scale.kmvDistinct(small, Seq("grp"), col("v"), k = 64).head()
+    assert(sr.getDouble(sr.fieldIndex("est_distinct")) == 10.0)
+  }
+
   test("heavyHittersSketch: exact above capacity; MG bounds below it") {
     import spark.implicits._
     // skewed stream: "hot" 60×, "warm" 25×, eight rares 5× each = 125 tokens

@@ -694,6 +694,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q2.stop()
   }
 
+  test("streamingScd2: open-interval state matches the batch history on " +
+      "in-order feeds; stale rows drop") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val b1 = Seq((1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+      (1L, ts("2024-01-02 00:00:00"), 2L, "A"),
+      (1L, ts("2024-01-03 00:00:00"), 3L, "B"),
+      (2L, ts("2024-01-01 12:00:00"), 4L, "X"))
+    val b2 = Seq((1L, ts("2024-01-04 00:00:00"), 5L, "A"),
+      (2L, ts("2024-01-05 00:00:00"), 6L, "Y"),
+      // older than key 2's OPEN interval start: dropped by contract
+      (2L, ts("2024-01-02 00:00:00"), 7L, "Z"))
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = StreamingOps.streamingScd2(
+        input.toDF().toDF("k", "t", "tb", "state"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("scd2s").start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2.take(2): _*); q.processAllAvailable()
+    input.addData(b2.drop(2): _*); q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM scd2s").collect().zipWithIndex
+    // latest emission per (k, version)
+    val latest = rows.groupBy(r => (r._1.getLong(0), r._1.getLong(1)))
+      .map { case (_, g) => g.maxBy(_._2)._1 }
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4), r.getString(5))).toSet
+    // the batch twin over the in-order union (the dropped Z row is
+    // stale history the streaming contract excludes)
+    val batchIn = (b1 ++ b2.take(2)).toDF("k", "t", "tb", "state")
+    val batch = graft.ops.Warehouse.scd2(batchIn,
+        org.apache.spark.sql.functions.col("k"),
+        org.apache.spark.sql.functions.col("t"),
+        org.apache.spark.sql.functions.col("tb"),
+        Seq("state" -> org.apache.spark.sql.functions.col("state")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime * 1000L,
+        Option(r.getTimestamp(3)).map(_.getTime * 1000L),
+        r.getLong(4), r.getString(5))).toSet
+    assert(latest == batch, s"latest=$latest\nbatch=$batch")
+    q.stop()
+  }
+
   test("streamingHeavyHittersDecay: counters halve on the batch clock, " +
       "faded terms tombstone out") {
     import spark.implicits._

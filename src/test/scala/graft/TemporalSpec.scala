@@ -577,6 +577,37 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d(rows.head, "trend").isEmpty && d(rows.last, "trend").isEmpty)
   }
 
+  test("funnelStepsWindowed: deadline gates later steps; re-entry does " +
+      "not reopen the window") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: completes inside the 1h window (boundary-inclusive)
+      (1L, "a", ts("2024-01-01 10:00:00")),
+      (1L, "b", ts("2024-01-01 11:00:00")),
+      // user 2: step b only past the deadline — stops at step 1
+      (2L, "a", ts("2024-01-01 10:00:00")),
+      (2L, "b", ts("2024-01-01 11:00:01")),
+      // user 3: a second 'a' would open a window reaching its 'b', but
+      // the anchor stays at the FIRST 'a' (documented contract)
+      (3L, "a", ts("2024-01-01 08:00:00")),
+      (3L, "a", ts("2024-01-01 12:00:00")),
+      (3L, "b", ts("2024-01-01 12:30:00"))
+    ).toDF("k", "tp", "t")
+    val out = graft.ops.Temporal.funnelStepsWindowed(ev, col("k"),
+        col("tp"), col("t"), Seq("a", "b"),
+        windowMicros = 3600L * 1000000L)
+      .orderBy("k", "step_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 1L), (1L, 2L), (2L, 1L), (3L, 1L)))
+    // unwindowed twin reaches step 2 for users 2 and 3
+    val plain = graft.ops.Temporal.funnelSteps(ev, col("k"), col("tp"),
+        col("t"), Seq("a", "b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain == Set((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L)))
+  }
+
   test("holtSmooth: hand-computed level/trend recurrence, single-point " +
       "series degenerates to (y, 0)") {
     import spark.implicits._
