@@ -135,6 +135,54 @@ object Experiment {
         (col("chi2") > critical).as("srm"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) two-arm test — the
+    * nonparametric companion to [[abTest]] for skewed metrics where
+    * mean differences mislead: ranks the pooled per-unit metrics
+    * (midranks on ties), sums arm-1 ranks and tests
+    * `U₁ = R₁ − n₁(n₁+1)/2` against its tie-corrected normal
+    * approximation. Output ONE row:
+    * `(n_a, n_b, u, z, significant)` (4dp; two-sided 5%, |z| > 1.96).
+    *
+    * Scale shape: the pool collapses to per-VALUE rows (count + arm-1
+    * count — one partial-agg'd grouped pass is all that touches the
+    * units); midranks come from a weighted prefix sum over the sorted
+    * distinct values (range-partitioned offsets — no row-level global
+    * window, no single-task sort even when every value is distinct);
+    * one final aggregate computes R₁, the tie term and the z in a
+    * single row. */
+  def mannWhitney(units: DataFrame, armCol: Column,
+      metricCol: Column): DataFrame = {
+    val s = units.select(armCol.cast("int").as("arm"),
+        metricCol.cast("double").as("m"))
+      .filter(col("m").isNotNull && (col("arm") === 0 || col("arm") === 1))
+    val perVal = s.groupBy("m").agg(count(lit(1)).as("t"),
+      sum(col("arm")).cast("long").as("n1v"))
+    val ranked = Suffix.withWeightedOffset(perVal, Seq(col("m")),
+      col("t"), "cb")
+    ranked
+      .select(col("t"), col("n1v"),
+        (col("cb") + (col("t") + 1) / lit(2.0)).as("midrank"))
+      .agg(sum(col("t")).as("nn"), sum(col("n1v")).as("n1"),
+        sum(col("n1v") * col("midrank")).as("r1"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie"))
+      .select(col("nn"), col("n1"), (col("nn") - col("n1")).as("n2"),
+        col("r1"), col("tie"))
+      .select(
+        (col("nn") - col("n1")).as("n_a"), col("n1").as("n_b"),
+        round(col("r1") - col("n1") * (col("n1") + 1) / lit(2.0), 4)
+          .as("u"),
+        round(
+          when(col("n1") > 0 && col("n2") > 0 && col("nn") > 1,
+            (col("r1") - col("n1") * (col("n1") + 1) / lit(2.0) -
+              col("n1") * col("n2") / lit(2.0)) /
+            sqrt((col("n1") * col("n2") / lit(12.0)) *
+              ((col("nn") + 1) - col("tie") /
+                (col("nn") * (col("nn") - lit(1.0)))))),
+          4).as("z"))
+      .select(col("n_a"), col("n_b"), col("u"), col("z"),
+        (abs(coalesce(col("z"), lit(0.0))) > 1.96).as("significant"))
+  }
+
   /** Step-to-step conversion latency distribution over
     * [[Temporal.funnelSteps]]: for every adjacent step pair the key
     * completed, the seconds between the two earliest in-order

@@ -110,7 +110,7 @@ object Suffix {
     * possible: a refined tie group redistributes inside `[r, r+g)`
     * without touching any other rank. Same shape: range partition +
     * one sizes job + offset-seeded local scan. */
-  private def withWeightedOffset(keys: DataFrame, sortCols: Seq[Column],
+  private[ops] def withWeightedOffset(keys: DataFrame, sortCols: Seq[Column],
       weight: Column, out: String): DataFrame = {
     val spark = keys.sparkSession
     val w = keys.withColumn("__w", weight.cast("long"))

@@ -2714,7 +2714,16 @@ object OpsQueries {
           col("event_type"), col("ts"),
           Seq("signup", "view", "click", "purchase"),
           windowMicros = 24L * 3600 * 1000000L)
-        .orderBy("step_idx", "k"))
+        .orderBy("step_idx", "k")),
+    "q290_mann_whitney" -> ((s, d) => {
+      // nonparametric A/B over per-user totals: the pool collapses to
+      // per-value (count, arm-1 count) rows; midranks via the weighted
+      // prefix sum — no row-level global window
+      val units = ev(s, d).groupBy("user_id")
+        .agg(sum("value").as("m"))
+        .select((col("user_id") % 2).cast("int").as("arm"), col("m"))
+      graft.ops.Experiment.mannWhitney(units, col("arm"), col("m"))
+    })
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -7106,6 +7115,34 @@ object OpsQueries {
            UNION ALL SELECT user_id, 3, 'click', rt FROM r3
            UNION ALL SELECT user_id, 4, 'purchase', rt FROM r4)
          ORDER BY step_idx, k""",
+
+    "q290_mann_whitney" ->
+      """WITH u AS (SELECT CAST(user_id % 2 AS INT) AS arm,
+                 sum(value) AS m
+               FROM events GROUP BY user_id),
+         pv AS (SELECT m, count(*) AS t,
+                  CAST(sum(arm) AS BIGINT) AS n1v
+                FROM u GROUP BY m),
+         r AS (SELECT t, n1v,
+                 coalesce(sum(t) OVER (ORDER BY m
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + (t + 1) / 2.0 AS midrank
+               FROM pv),
+         a AS (SELECT CAST(sum(t) AS BIGINT) AS nn,
+                 CAST(sum(n1v) AS BIGINT) AS n1,
+                 sum(n1v * midrank) AS r1,
+                 CAST(sum(t * t * t - t) AS BIGINT) AS tie
+               FROM r)
+         SELECT nn - n1 AS n_a, n1 AS n_b,
+           round(r1 - n1 * (n1 + 1) / 2.0, 4) AS u,
+           round((r1 - n1 * (n1 + 1) / 2.0 - n1 * (nn - n1) / 2.0) /
+             sqrt((n1 * (nn - n1) / 12.0) *
+               ((nn + 1) - tie / (nn * (nn - 1.0)))), 4) AS z,
+           abs(round((r1 - n1 * (n1 + 1) / 2.0 - n1 * (nn - n1) / 2.0) /
+             sqrt((n1 * (nn - n1) / 12.0) *
+               ((nn + 1) - tie / (nn * (nn - 1.0)))), 4)) > 1.96
+             AS significant
+         FROM a""",
 
     "q269_sessions" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, value AS v,

@@ -577,6 +577,26 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d(rows.head, "trend").isEmpty && d(rows.last, "trend").isEmpty)
   }
 
+  test("mannWhitney: hand-computed U and tie-corrected z; complete " +
+      "separation sits at the significance edge") {
+    import spark.implicits._
+    // ties: arm0=[1,2], arm1=[2,3] → midranks 1, 2.5, 2.5, 4
+    val tied = Seq((0, 1.0), (0, 2.0), (1, 2.0), (1, 3.0)).toDF("arm", "m")
+    val t = graft.ops.Experiment.mannWhitney(tied, col("arm"), col("m"))
+      .head()
+    // R1 = 2.5 + 4 = 6.5, U = 3.5; var = (4/12)·(5 − 6/12) = 1.5 →
+    // z = 1.5/√1.5 = 1.2247
+    assert((t.getLong(0), t.getLong(1), t.getDouble(2), t.getDouble(3),
+      t.getBoolean(4)) == ((2L, 2L, 3.5, 1.2247, false)))
+    // complete separation, no ties: U = n1·n2 = 9, z = 4.5/√5.25
+    val sep = Seq((0, 1.0), (0, 2.0), (0, 3.0), (1, 4.0), (1, 5.0),
+      (1, 6.0)).toDF("arm", "m")
+    val s = graft.ops.Experiment.mannWhitney(sep, col("arm"), col("m"))
+      .head()
+    assert((s.getDouble(2), s.getDouble(3), s.getBoolean(4)) ==
+      ((9.0, 1.9640, true)))
+  }
+
   test("funnelStepsWindowed: deadline gates later steps; re-entry does " +
       "not reopen the window") {
     import spark.implicits._
