@@ -389,6 +389,74 @@ object Suffix {
           .otherwise(0L)).as("repeated_grams"))
   }
 
+  /**
+   * Maximal repeats in a bounded length range: token runs of length
+   * `minLen..maxLen` occurring at least `minCount` times that can be
+   * extended NEITHER left nor right without losing occurrences — the
+   * boilerplate-template miner (a non-maximal repeat is just a shadow
+   * of a longer one; this is the deduplicated report). Left/right
+   * maximality = ≥ 2 distinct neighbor symbols across the occurrences,
+   * with ONE shared sentinel for document boundaries (a run at two
+   * doc starts shares its left sentinel — boundary runs don't become
+   * "diverse" merely by being at boundaries; the per-doc-unique-
+   * terminator convention would flip that, documented trade). Output:
+   * `(len, gram, n_occ, n_left, n_right)`.
+   *
+   * Scale shape: positions explode ×|lengths| with the gram reduced to
+   * `xxhash64` IN the projection — token arrays never leave their scan
+   * task and only (len, hash, neighbor, id, pos) rows shuffle into one
+   * partial-agg'd group-by; the witness text materializes by ONE
+   * equi-join of the (filtered, small) maximal set back to its witness
+   * document. Membership is hash-keyed — the span-family trade
+   * (P ≈ n²/2⁶⁵ collisions) for keeping gram text out of the shuffle.
+   * The length range is the cost knob (n×|lengths| rows); unbounded-
+   * length enumeration needs the LCP-interval read-off over
+   * [[suffixRanks]] — the documented round-11 path.
+   */
+  def maximalRepeats(df: DataFrame, idCol: Column, textCol: Column,
+      minLen: Int, maxLen: Int, minCount: Int = 2): DataFrame = {
+    require(minLen >= 1 && maxLen >= minLen, "need 1 <= minLen <= maxLen")
+    require(minCount >= 2, "maximalRepeats: minCount >= 2")
+    val sentinel = "" // below every real token byte
+    val toks = Dedup.spreadSmallScan(
+      df.select(idCol.cast("long").as("doc_id"),
+        array_remove(split(trim(textCol), "\\s+"), "").as("tk")),
+      col("doc_id"))
+    val positions = toks
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), size(col("tk")) - 1)).as("p"))
+      .filter(size(col("tk")) - col("p") >= minLen)
+    val candidates = positions
+      .select(col("doc_id"), col("tk"), col("p"),
+        explode(sequence(lit(minLen),
+          least(size(col("tk")) - col("p"), lit(maxLen)))).as("len"))
+      .select(col("len"),
+        xxhash64(concat_ws(" ",
+          slice(col("tk"), col("p") + 1, col("len")))).as("h"),
+        when(col("p") > 0, element_at(col("tk"), col("p")))
+          .otherwise(lit(sentinel)).as("prev"),
+        when(col("p") + col("len") < size(col("tk")),
+          element_at(col("tk"), col("p") + col("len") + 1))
+          .otherwise(lit(sentinel)).as("next"),
+        col("doc_id"), col("p"))
+    val maximal = candidates
+      .groupBy(col("len"), col("h"))
+      .agg(count(lit(1)).as("n_occ"),
+        count_distinct(col("prev")).as("n_left"),
+        count_distinct(col("next")).as("n_right"),
+        min(struct(col("doc_id"), col("p"))).as("w"))
+      .filter(col("n_occ") >= minCount && col("n_left") >= 2 &&
+        col("n_right") >= 2)
+    maximal
+      .select(col("len"), col("n_occ"), col("n_left"), col("n_right"),
+        col("w.doc_id").as("doc_id"), col("w.p").as("p"))
+      .join(toks.select(col("doc_id"), col("tk")), "doc_id")
+      .select(col("len").cast("long").as("len"),
+        array_join(slice(col("tk"), col("p") + 1, col("len")), " ")
+          .as("gram"),
+        col("n_occ"), col("n_left"), col("n_right"))
+  }
+
   def longestRepeat(df: DataFrame, idCol: Column, textCol: Column,
       maxDoubles: Int = 20,
       pruneThresholdTokens: Long = DefaultPruneThresholdTokens): DataFrame = {

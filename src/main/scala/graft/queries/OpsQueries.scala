@@ -2723,7 +2723,16 @@ object OpsQueries {
         .agg(sum("value").as("m"))
         .select((col("user_id") % 2).cast("int").as("arm"), col("m"))
       graft.ops.Experiment.mannWhitney(units, col("arm"), col("m"))
-    })
+    }),
+    "q291_maximal_repeats" -> ((s, d) =>
+      // boilerplate-template miner: repeats of 2..6 tokens that extend
+      // neither way — grams hash in-projection, only (len, hash,
+      // neighbor) rows shuffle, witness text via one small join
+      graft.ops.Suffix.maximalRepeats(
+          t(s, d, "documents").filter(col("doc_id") % 5 === 0),
+          col("doc_id"), col("text"), minLen = 2, maxLen = 6,
+          minCount = 3)
+        .orderBy("len", "gram"))
   )
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -7143,6 +7152,29 @@ object OpsQueries {
                ((nn + 1) - tie / (nn * (nn - 1.0)))), 4)) > 1.96
              AS significant
          FROM a""",
+
+    "q291_maximal_repeats" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x <> '') AS tk
+           FROM documents WHERE doc_id % 5 = 0),
+         lens AS (SELECT unnest(range(2, 7)) AS l),
+         base AS (
+           SELECT l.l AS len, t.tk AS tk,
+                  unnest(range(0, len(t.tk) - l.l + 1)) AS p
+           FROM toks t JOIN lens l ON len(t.tk) >= l.l),
+         g AS (SELECT len, array_to_string(tk[p + 1:p + len], ' ') AS gram,
+                 CASE WHEN p > 0 THEN tk[p] ELSE '' END AS prev,
+                 CASE WHEN p + len < len(tk) THEN tk[p + len + 1]
+                   ELSE '' END AS next
+               FROM base)
+         SELECT len, gram, count(*) AS n_occ,
+           count(DISTINCT prev) AS n_left,
+           count(DISTINCT next) AS n_right
+         FROM g GROUP BY len, gram
+         HAVING count(*) >= 3 AND count(DISTINCT prev) >= 2
+           AND count(DISTINCT next) >= 2
+         ORDER BY len, gram""",
 
     "q269_sessions" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, value AS v,

@@ -294,6 +294,51 @@ object StreamingOps {
     }
   }
 
+  final case class KmvState(hashes: Seq[Long])
+  final case class KmvRow(grp: String, n_kept: Long, est_distinct: Double)
+
+  /** Streaming twin of [[graft.ops.Scale.kmvDistinct]] — the mergeable
+    * path that op's scaladoc promises: per group the state is the k
+    * smallest DISTINCT md5-60-bit hashes seen so far (k longs, the
+    * fixed-size sync no exact distinct can offer); each micro-batch
+    * merges its values' hashes in and re-emits the group's current
+    * estimate in update mode. Same estimator, same md5 determinism —
+    * the streaming estimate equals the batch op run on the union of
+    * everything fed so far, which is what the parity spec pins.
+    * Input columns: `grp STRING, v STRING`. */
+  def streamingKmvDistinct(values: DataFrame,
+      k: Int): org.apache.spark.sql.Dataset[KmvRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(k >= 2, "streamingKmvDistinct: k >= 2")
+    val spark = values.sparkSession
+    import spark.implicits._
+    val range = 1152921504606846976.0 // 2^60
+    val typed = values
+      .select(col("grp").cast("string"), col("v").cast("string"))
+      .as[(String, String)]
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (grp: String, rows: Iterator[(String, String)],
+       state: GroupState[KmvState]) =>
+        val prev = state.getOption.map(_.hashes).getOrElse(Seq.empty)
+        val merged = scala.collection.mutable.TreeSet[Long](prev: _*)
+        rows.foreach { case (_, v) =>
+          if (v != null) {
+            merged += graft.expr.PortableHash.hex15(v)
+            if (merged.size > k) merged -= merged.last
+          }
+        }
+        val kept = merged.toSeq // ascending
+        state.update(KmvState(kept))
+        val est =
+          if (kept.size < k) kept.size.toDouble
+          else (k - 1) * range / kept.last.toDouble
+        Iterator.single(KmvRow(grp, kept.size.toLong,
+          BigDecimal(est).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
+    }
+  }
+
   final case class Scd2State(version: Long, validFrom: Long, attrs: String)
   final case class Scd2Row(k: Long, version: Long, valid_from: Long,
       valid_to: Option[Long], is_current: Long, state: String)

@@ -289,6 +289,28 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned == expect)
   }
 
+  test("maximalRepeats: only runs extendable neither way survive; " +
+      "shared boundary sentinel") {
+    import spark.implicits._
+    import graft.ops.Suffix
+    val docs = Seq((1L, "x a b a b y"), (2L, "z a b w")).toDF("id", "text")
+    val out = Suffix.maximalRepeats(docs, col("id"), col("text"),
+        minLen = 1, maxLen = 4, minCount = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // "a" is always followed by b (not right-maximal); "b" is always
+    // preceded by a (not left-maximal); "a b" has prevs {x,b,z} and
+    // nexts {a,y,w} — the lone maximal repeat
+    assert(out.toSeq == Seq((2L, "a b", 3L, 3L, 3L)))
+    // doc-start occurrences share ONE sentinel: "s t" at two doc starts
+    // with identical right context is maximal in NEITHER direction
+    val starts = Seq((1L, "s t u"), (2L, "s t u")).toDF("id", "text")
+    val so = Suffix.maximalRepeats(starts, col("id"), col("text"),
+      minLen = 1, maxLen = 3, minCount = 2).collect()
+    assert(so.isEmpty)
+  }
+
   test("longestRepeat: cross-doc and within-doc runs via neighbor LCP") {
     import spark.implicits._
     import graft.ops.Suffix

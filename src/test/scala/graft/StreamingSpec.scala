@@ -694,6 +694,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q2.stop()
   }
 
+  test("streamingKmvDistinct: k-smallest-hash state merges across " +
+      "batches; final estimate equals the batch sketch on the union") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b1 = (0 until 300).map(i => ("g", s"v$i"))
+    val b2 = (200 until 500).map(i => ("g", s"v$i")) // 200 overlap
+    val input = MemoryStream[(String, String)]
+    val q = StreamingOps.streamingKmvDistinct(
+        input.toDF().toDF("grp", "v"), k = 32)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("kmvs").start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    val emissions = spark.sql("SELECT n_kept, est_distinct FROM kmvs")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(emissions.length == 2)
+    val batch = graft.ops.Scale.kmvDistinct(
+        (b1 ++ b2).toDF("grp", "v"), Seq("grp"),
+        org.apache.spark.sql.functions.col("v"), k = 32)
+      .head()
+    assert(emissions.last._2 ==
+      batch.getDouble(batch.fieldIndex("est_distinct")),
+      s"streaming ${emissions.last} vs batch $batch")
+    // under-k group stays exact
+    val in2 = MemoryStream[(String, String)]
+    val q2 = StreamingOps.streamingKmvDistinct(
+        in2.toDF().toDF("grp", "v"), k = 32)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("kmvs2").start()
+    in2.addData(("s", "a"), ("s", "b"), ("s", "a")); q2.processAllAvailable()
+    val r2 = spark.sql("SELECT n_kept, est_distinct FROM kmvs2").collect()
+    assert(r2.head.getLong(0) == 2L && r2.head.getDouble(1) == 2.0)
+    q.stop(); q2.stop()
+  }
+
   test("streamingScd2: open-interval state matches the batch history on " +
       "in-order feeds; stale rows drop") {
     import spark.implicits._
