@@ -387,4 +387,121 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
     graft.ops.Ivf.diverseSample(emb, col(idCol), col(vecCol), k, nlist)
       .as[graft.model.DiversePick]
   }
+
+  /** Typed [[graft.ops.Profile.dqReport]] + `dqUnique` + `dqRefIntegrity`
+    * in one call: row rules, key-uniqueness sets and FK checks, unioned
+    * into the shared report shape. */
+  def dqChecks(df: DataFrame,
+      rules: Seq[(String, org.apache.spark.sql.Column)],
+      uniqueKeys: Seq[(String, Seq[String])] = Nil,
+      refChecks: Seq[(String, String, DataFrame, String)] = Nil)
+      : Dataset[graft.model.DqCheck] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val parts =
+      (if (rules.nonEmpty) Seq(graft.ops.Profile.dqReport(df, rules))
+       else Nil) ++
+      (if (uniqueKeys.nonEmpty)
+        Seq(graft.ops.Profile.dqUnique(df,
+          uniqueKeys.map { case (n, ks) => (n, ks.map(col)) }))
+       else Nil) ++
+      refChecks.map { case (rule, fk, parent, pk) =>
+        graft.ops.Profile.dqRefIntegrity(df, col(fk), parent, col(pk), rule)
+      }
+    require(parts.nonEmpty, "dqChecks: need at least one check")
+    parts.reduce(_ unionByName _).as[graft.model.DqCheck]
+  }
+
+  /** [[graft.ops.Warehouse.scd2]] with name-based columns: SCD type-2
+    * history from a change log. */
+  def scd2(changes: DataFrame, keyCol: String, tsCol: String,
+      tiebreakCol: String, attrs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Warehouse.scd2(changes, col(keyCol), col(tsCol),
+      col(tiebreakCol), attrs.map(a => a -> col(a)))
+  }
+
+  /** [[graft.ops.Linkage.sortedNeighborhoodJoin]] with name-based
+    * columns: window-blocked JW candidate pairs. */
+  def sortedNeighborhood(df: DataFrame, idCol: String, sortKeyCol: String,
+      strCol: String, window: Int, minSim: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Linkage.sortedNeighborhoodJoin(df, col(idCol),
+      col(sortKeyCol), col(strCol), window, minSim)
+  }
+
+  /** Typed [[graft.ops.Analytics.kaplanMeier]] survival curve. */
+  def kaplanMeier(subjects: DataFrame, durCol: String,
+      observedCol: String): Dataset[graft.model.KmStep] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.ops.Analytics.kaplanMeier(subjects, col(durCol), col(observedCol))
+      .as[graft.model.KmStep]
+  }
+
+  /** Typed [[graft.ops.Analytics.associationRules]] basket affinity. */
+  def associationRules(baskets: DataFrame, basketCol: String,
+      itemCol: String, minPairs: Long = 1L)
+      : Dataset[graft.model.AssocRule] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.ops.Analytics.associationRules(baskets, col(basketCol),
+        col(itemCol), minPairs)
+      .as[graft.model.AssocRule]
+  }
+
+  /** Typed [[graft.ops.Temporal.holtSmooth]] per-key level+trend. */
+  def holtSmooth(df: DataFrame, keyCol: String, timeCol: String,
+      tiebreakCol: String, valCol: String, alpha: Double, beta: Double,
+      horizon: Int = 1): Dataset[graft.model.HoltState] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.ops.Temporal.holtSmooth(df, col(keyCol), col(timeCol),
+        col(tiebreakCol), col(valCol), alpha, beta, horizon)
+      .as[graft.model.HoltState]
+  }
+
+  /** [[graft.ops.Temporal.funnelStepsWindowed]] with name-based columns:
+    * the conversion-deadline funnel. */
+  def funnelStepsWindowed(events: DataFrame, keyCol: String,
+      typeCol: String, timeCol: String, steps: Seq[String],
+      windowMicros: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Temporal.funnelStepsWindowed(events, col(keyCol),
+      col(typeCol), col(timeCol), steps, windowMicros)
+  }
+
+  /** Typed [[graft.ops.Suffix.maximalRepeats]] boilerplate miner. */
+  def maximalRepeats(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, maxLen: Int, minCount: Int = 2)
+      : Dataset[graft.model.MaximalRepeat] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.ops.Suffix.maximalRepeats(docs, col(idCol), col(textCol),
+        minLen, maxLen, minCount)
+      .as[graft.model.MaximalRepeat]
+  }
+
+  /** [[graft.ops.Scale.skewReport]] with a name-based key: the
+    * pre-shuffle straggler audit. */
+  def skewReport(df: DataFrame, keyCol: String, topN: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Scale.skewReport(df, col(keyCol), topN)
+  }
+
+  /** [[graft.ops.Scale.kmvDistinct]] with name-based columns: the
+    * mergeable distinct sketch. */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Scale.kmvDistinct(df, groupCols, col(valCol), k)
+  }
+
+  /** [[graft.ops.Experiment.mannWhitney]] with name-based columns: the
+    * nonparametric two-arm readout. */
+  def mannWhitney(units: DataFrame, armCol: String,
+      metricCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.mannWhitney(units, col(armCol), col(metricCol))
+  }
 }

@@ -149,3 +149,26 @@ final case class DiversePick(id: Long, cluster: Long, rnd: Long)
   * `rnk` 0 marks the ring-connectivity successor). */
 final case class HnswEdge(level: Int, id: Long, rnk: Int, nbr: Long,
     sim: Double)
+
+/** One data-quality expectation result ([[graft.ops.Profile.dqReport]] /
+  * `dqUnique` / `dqRefIntegrity` — the shared report row). */
+final case class DqCheck(rule: String, n_rows: Long, violations: Long,
+    pass_rate: Double)
+
+/** One Kaplan–Meier survival-curve step
+  * ([[graft.ops.Analytics.kaplanMeier]]). */
+final case class KmStep(t: Long, n_risk: Long, n_event: Long,
+    survival: Double)
+
+/** One directed association rule
+  * ([[graft.ops.Analytics.associationRules]]). */
+final case class AssocRule(antecedent: Long, consequent: Long, n_ab: Long,
+    support: Double, confidence: Double, lift: Double)
+
+/** Per-key Holt level+trend state ([[graft.ops.Temporal.holtSmooth]]). */
+final case class HoltState(k: Long, n: Long, level: Double, trend: Double,
+    forecast: Double)
+
+/** One maximal repeated token run ([[graft.ops.Suffix.maximalRepeats]]). */
+final case class MaximalRepeat(len: Long, gram: String, n_occ: Long,
+    n_left: Long, n_right: Long)

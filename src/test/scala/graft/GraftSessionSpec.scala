@@ -364,4 +364,62 @@ class GraftSessionSpec extends AnyFunSuite with BeforeAndAfterAll {
       Array.fill(8)(0.3f), k = 3, maxLevel = 1, ef = 20).collect()
     assert(top.length == 3 && top.map(_.getLong(1)).distinct.length == 3)
   }
+
+  test("session round-10 facade: dq checks, scd2, linkage, survival, " +
+      "affinity, holt, skew, kmv, mann-whitney") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val sess = new GraftSession(spark, s"$work/wh")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val li = Seq((1L, 1, 5.0), (1L, 1, -1.0), (2L, 2, 3.0))
+      .toDF("ok", "ln", "qty")
+    val parent = Seq(1L).toDF("pk")
+    val checks = sess.dqChecks(li,
+        rules = Seq("qty_pos" -> (col("qty") > 0)),
+        uniqueKeys = Seq("pk" -> Seq("ok", "ln")),
+        refChecks = Seq(("fk", "ok", parent, "pk")))
+      .collect().map(c => c.rule -> c.violations).toMap
+    assert(checks == Map("qty_pos" -> 1L, "pk" -> 2L, "fk" -> 1L))
+    val hist = sess.scd2(Seq((1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+        (1L, ts("2024-01-02 00:00:00"), 2L, "B"))
+        .toDF("k", "t", "id", "state"),
+      "k", "t", "id", Seq("state")).collect()
+    assert(hist.length == 2)
+    val snm = sess.sortedNeighborhood(
+      Seq((1L, "abc"), (2L, "abd"), (3L, "zzz")).toDF("id", "nm"),
+      "id", "nm", "nm", window = 2, minSim = 0.8).collect()
+    assert(snm.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L)))
+    val km = sess.kaplanMeier(
+      Seq((5L, true), (7L, false)).toDF("dur", "obs"), "dur", "obs")
+      .collect()
+    assert(km.length == 1 && km.head.survival == 0.5)
+    val rules = sess.associationRules(
+      Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)).toDF("bk", "it"),
+      "bk", "it", minPairs = 2).collect()
+    assert(rules.length == 2 && rules.forall(_.confidence == 1.0))
+    val holt = sess.holtSmooth(
+      Seq((1L, ts("2024-01-01 00:00:00"), 1L, 2.0)).toDF("k", "t", "id", "y"),
+      "k", "t", "id", "y", alpha = 0.5, beta = 0.5).collect()
+    assert(holt.head.level == 2.0 && holt.head.trend == 0.0)
+    val wf = sess.funnelStepsWindowed(
+      Seq((1L, "a", ts("2024-01-01 00:00:00")),
+        (1L, "b", ts("2024-01-01 02:00:00"))).toDF("k", "tp", "t"),
+      "k", "tp", "t", Seq("a", "b"), windowMicros = 3600L * 1000000L)
+      .collect()
+    assert(wf.length == 1) // b is past the 1 h deadline
+    val mr = sess.maximalRepeats(
+      Seq((1L, "x a b y"), (2L, "z a b w"), (3L, "q a b r"))
+        .toDF("id", "text"), "id", "text", 1, 2).collect()
+    assert(mr.map(_.gram).toSeq == Seq("a b"))
+    val skew = sess.skewReport(Seq("a", "a", "b").toDF("k"), "k").head()
+    assert(skew.getAs[Long]("max_count") == 2L)
+    val kmv = sess.kmvDistinct(Seq(("g", "x"), ("g", "y")).toDF("grp", "v"),
+      Seq("grp"), "v", k = 8).head()
+    assert(kmv.getAs[Double]("est_distinct") == 2.0)
+    val mw = sess.mannWhitney(
+      Seq((0, 1.0), (0, 2.0), (1, 3.0), (1, 4.0)).toDF("arm", "m"),
+      "arm", "m").head()
+    assert(mw.getAs[Double]("u") == 4.0) // complete separation: n1·n2
+  }
 }
