@@ -457,6 +457,234 @@ object Suffix {
         col("n_occ"), col("n_left"), col("n_right"))
   }
 
+  /**
+   * Maximal repeats with NO length cap — the LCP-interval read-off
+   * [[maximalRepeats]]' scaladoc promises, and the reason the suffix
+   * machinery exists: every maximal repeat, however long, from ONE
+   * ranking. Returns `(len, gram, n_occ)` for every token run of
+   * length ≥ `minLen` occurring ≥ `minCount` times that extends
+   * neither left nor right (shared `""` sentinel at document
+   * boundaries, the [[maximalRepeats]] convention — the two agree on
+   * any shared length range).
+   *
+   * Construction (all integer shuffles after the one LCP text join):
+   *
+   *  - every right-maximal repeat is an LCP-interval: a rank range
+   *    `[lo, hi]` whose internal adjacent LCPs are all ≥ its depth ℓ,
+   *    with equality somewhere; its generating pairs are the adjacent
+   *    pairs with `lcp == ℓ` whose two suffixes actually DIVERGE
+   *    (`ℓ < max(len_a, len_b)` — two identical whole suffixes share
+   *    their end sentinel and prove nothing), so candidates =
+   *    diverging pairs, deduped by the interval identity `(lo, hi, ℓ)`;
+   *  - `lo`/`hi` come from all-nearest-smaller-values over the LCP
+   *    array, computed WITHOUT a sequential stack: a doubling sparse
+   *    table (⌈log₂ m⌉ self-joins of an m-row integer frame, the
+   *    suffix-family cadence shape) plus a block-skipping descent per
+   *    side — every round an equi-join on the probe position, a `-1`
+   *    pad at each end so no probe ever skips past the array;
+   *  - left-maximality is ONE prefix-sum: a repeat's occurrences have
+   *    ≥ 2 distinct preceding tokens iff some rank-adjacent pair
+   *    inside the interval disagrees on its preceder, so the 0/1
+   *    disagreement array's running sum answers every interval by two
+   *    integer lookups — no per-occurrence fan-out;
+   *  - witness text materializes by one small join of the surviving
+   *    intervals to their `lo` suffix's document.
+   *
+   * The brute-force cross-check lives in ScaleSpec; the bounded miner
+   * is the cheaper choice when the length range is small (its n×L
+   * explode beats the ranking below ~8 lengths at bench scale).
+   */
+  /** Which ANSV path the last [[maximalRepeatsAll]] call ran —
+    * `"stack"` (single-task scan) or `"doubling"` (the distributed
+    * ladder) — the [[lastLoop]] discipline for the switch below. */
+  @volatile private[graft] var lastAnsv: String = ""
+
+  /** LCP-pair count at-or-above which [[maximalRepeatsAll]] takes the
+    * distributed doubling ladder: below it the whole LCP array is a
+    * few MB of ints and ONE monotonic-stack task answers every
+    * interval bound in O(m) (the job-cadence-free plan at bench
+    * scale); above it the array no longer belongs on one task and the
+    * ⌈log₂ m⌉-round ladder binds. Both paths share everything up- and
+    * downstream and verify against the same brute force. */
+  val DefaultAnsvThresholdPairs: Long = 1L << 22
+
+  def maximalRepeatsAll(df: DataFrame, idCol: Column, textCol: Column,
+      minLen: Int = 1, minCount: Int = 2, maxDoubles: Int = 20,
+      pruneThresholdTokens: Long = DefaultPruneThresholdTokens,
+      ansvThresholdPairs: Long = DefaultAnsvThresholdPairs): DataFrame = {
+    require(minLen >= 1, "maximalRepeatsAll: minLen >= 1")
+    require(minCount >= 2, "maximalRepeatsAll: minCount >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toksArr = df.select(idCol.cast("long").as("doc_id"),
+      array_remove(split(trim(textCol), "\\s+"), "").as("tk"))
+    val positions = toksArr
+      .select(col("doc_id"), posexplode(col("tk")))
+      .toDF("doc_id", "pos", "tok")
+    val ranks = suffixRanks(df, idCol, textCol, maxDoubles,
+      pruneThresholdTokens)
+    val ordered = withDenseRank(ranks,
+      Seq(col("rank"), col("doc_id"), col("pos")), "idx")
+      .localCheckpoint(true)
+    val n = ordered.count()
+    val m = n - 1 // adjacent pairs
+    val empty = spark.emptyDataFrame
+      .select(lit(0L).as("len"), lit("").as("gram"), lit(0L).as("n_occ"))
+      .limit(0)
+    if (m <= 0) return empty
+    // per-suffix length and preceding token (BWT column), via integer/
+    // token equi-joins — document arrays never fan out per suffix
+    val dl = toksArr.select(col("doc_id"), size(col("tk")).as("dl"))
+    val suf = ordered
+      .join(broadcast(dl), "doc_id")
+      .select(col("idx"), col("doc_id"), col("pos"),
+        (col("dl") - col("pos")).cast("long").as("slen"))
+      .join(positions.select(col("doc_id"), (col("pos") + 1).as("pos"),
+        col("tok").as("bwt")), Seq("doc_id", "pos"), "left")
+      .select(col("idx"), col("slen"), coalesce(col("bwt"), lit("")).as("bwt"))
+      .localCheckpoint(true)
+    // adjacent-pair LCPs, the one text-shipping pass (the gramSpectrum
+    // kernel)
+    val a = ordered.select(col("idx"), col("doc_id").as("a_id"),
+      col("pos").as("a_pos"))
+    val b = ordered.select((col("idx") - 1).as("idx"),
+      col("doc_id").as("b_id"), col("pos").as("b_pos"))
+    val lcps = a.join(b, "idx")
+      .join(toksArr.select(col("doc_id").as("a_id"), col("tk").as("ta")), "a_id")
+      .join(toksArr.select(col("doc_id").as("b_id"), col("tk").as("tb")), "b_id")
+      .select(col("idx"), col("a_pos"), col("b_pos"), col("ta"), col("tb"))
+      .as[(Long, Int, Int, Seq[String], Seq[String])]
+      .mapPartitions { it =>
+        it.map { case (idx, aPos, bPos, ta, tb) =>
+          val lim = math.min(ta.length - aPos, tb.length - bPos)
+          var l = 0
+          while (l < lim && ta(aPos + l) == tb(bPos + l)) l += 1
+          (idx, l.toLong)
+        }
+      }.toDF("idx", "v").localCheckpoint(true)
+    // candidates: diverging pairs at depth >= minLen
+    val sl = suf.select(col("idx"), col("slen"))
+    val cand = lcps
+      .join(sl.select(col("idx"), col("slen").as("sa")), "idx")
+      .join(sl.select((col("idx") - 1).as("idx"), col("slen").as("sb")), "idx")
+      .filter(col("v") >= minLen && col("v") < greatest(col("sa"), col("sb")))
+      .select(col("idx").as("i"), col("v").as("l"))
+    // ---- interval bounds: all-nearest-smaller-values over the LCP
+    // array. Since every candidate's threshold is its OWN pair's value
+    // (l = v[i]), the bounds are exactly ANSV — no per-threshold query.
+    val bounds: DataFrame = // (i, lo, hi)
+      if (m < ansvThresholdPairs) {
+        // single-task monotonic stack: the whole array is a few MB of
+        // ints; two O(m) scans answer every pair with ZERO extra jobs
+        lastAnsv = "stack"
+        val mm = m
+        lcps.select(col("idx"), col("v")).coalesce(1)
+          .sortWithinPartitions("idx")
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            val arr = it.toArray
+            val k = arr.length
+            val lo = new Array[Long](k); val hi = new Array[Long](k)
+            val st = new Array[Int](math.max(k, 1))
+            var sp = 0
+            var x = 0
+            while (x < k) {
+              while (sp > 0 && arr(st(sp - 1))._2 >= arr(x)._2) sp -= 1
+              lo(x) = (if (sp == 0) -1L else arr(st(sp - 1))._1) + 1
+              st(sp) = x; sp += 1
+              x += 1
+            }
+            sp = 0
+            x = k - 1
+            while (x >= 0) {
+              while (sp > 0 && arr(st(sp - 1))._2 >= arr(x)._2) sp -= 1
+              hi(x) = if (sp == 0) mm else arr(st(sp - 1))._1
+              st(sp) = x; sp += 1
+              x -= 1
+            }
+            (0 until k).iterator.map(x => (arr(x)._1, lo(x), hi(x)))
+          }.toDF("i", "lo", "hi")
+      } else {
+        // distributed doubling ladder: a (side, idx)-keyed sparse table
+        // (forward array + its reversal in ONE frame, one join per
+        // level) and a block-skipping descent for both bounds at once;
+        // -1 pads at each side's right end keep every probe inside its
+        // array. Rounds checkpoint every other level — the cost is job
+        // cadence, not data.
+        lastAnsv = "doubling"
+        val levels = {
+          var r = 0; var c = 1L; while (c < m + 1) { c *= 2; r += 1 }; r
+        }
+        val base = lcps.select(lit(0).as("side"), col("idx"),
+            col("v").as("mn"))
+          .unionByName(lcps.select(lit(1).as("side"),
+            (lit(m - 1) - col("idx")).as("idx"), col("v").as("mn")))
+          .unionByName(Seq((0, m, -1L), (1, m, -1L)).toDF("side", "idx", "mn"))
+        val tabs = scala.collection.mutable.ArrayBuffer[DataFrame]()
+        tabs += base.localCheckpoint(true)
+        for (r <- 1 until levels) {
+          val half = 1L << (r - 1)
+          val prev = tabs.last
+          val t = prev.as("x")
+            .join(prev.select(col("side"), (col("idx") - half).as("idx"),
+              col("mn").as("mn2")).as("y"), Seq("side", "idx"), "left")
+            .select(col("side"), col("idx"),
+              least(col("mn"), coalesce(col("mn2"), lit(Long.MaxValue)))
+                .as("mn"))
+          tabs += (if (r % 2 == 0 || r == levels - 1) t.localCheckpoint(true)
+                   else t)
+        }
+        // side 0 seeks R = first j >= i with v[j] < l; side 1 the
+        // mirror on the reversed array from k = m - i (its first
+        // smaller maps to the last j <= i-1 with v[j] < l)
+        var st = cand.select(col("i"), col("l"), lit(0).as("side"),
+            col("i").as("p"))
+          .unionByName(cand.select(col("i"), col("l"), lit(1).as("side"),
+            (lit(m) - col("i")).as("p")))
+        for (r <- (levels - 1) to 0 by -1) {
+          val step = 1L << r
+          val next = st.join(tabs(r).select(col("side"),
+              col("idx").as("p"), col("mn")), Seq("side", "p"), "left")
+            .select(col("i"), col("l"), col("side"),
+              when(coalesce(col("mn"), lit(Long.MaxValue)) >= col("l"),
+                col("p") + step).otherwise(col("p")).as("p"))
+          st = if (r % 2 == 0) next.localCheckpoint(true) else next
+        }
+        st.filter(col("side") === 0)
+          .select(col("i"), col("p").as("hi"))
+          .join(st.filter(col("side") === 1)
+            .select(col("i"), (lit(m) - col("p")).as("lo")), "i")
+          .select(col("i"), col("lo"), col("hi"))
+      }
+    val nodes = cand.join(bounds, "i")
+      .select(col("lo"), col("hi"), col("l"))
+      .distinct()
+      .filter(col("hi") - col("lo") + 1 >= minCount)
+    // left-maximality: prefix sums of the BWT disagreement array
+    val dArr = suf.select(col("idx"), col("bwt"))
+      .join(suf.select((col("idx") - 1).as("idx"), col("bwt").as("bw2")),
+        "idx")
+      .select(col("idx"), (col("bwt") =!= col("bw2")).cast("long").as("d"))
+      .unionByName(Seq((m, 0L)).toDF("idx", "d"))
+    val dPref = withWeightedOffset(dArr, Seq(col("idx")), col("d"), "db")
+      .select(col("idx"), col("db"))
+      .localCheckpoint(true)
+    val leftMax = nodes
+      .join(dPref.select(col("idx").as("lo"), col("db").as("dbLo")), "lo")
+      .join(dPref.select(col("idx").as("hi"), col("db").as("dbHi")), "hi")
+      .filter(col("dbHi") - col("dbLo") >= 1)
+      .select(col("lo"), col("hi"), col("l"))
+    // witness text from the lo suffix's document
+    leftMax
+      .join(ordered.select(col("idx").as("lo"), col("doc_id"), col("pos")),
+        "lo")
+      .join(toksArr, "doc_id")
+      .select(col("l").cast("long").as("len"),
+        array_join(slice(col("tk"), col("pos") + 1, col("l").cast("int")),
+          " ").as("gram"),
+        (col("hi") - col("lo") + 1).as("n_occ"))
+  }
+
   def longestRepeat(df: DataFrame, idCol: Column, textCol: Column,
       maxDoubles: Int = 20,
       pruneThresholdTokens: Long = DefaultPruneThresholdTokens): DataFrame = {

@@ -2732,6 +2732,14 @@ object OpsQueries {
           t(s, d, "documents").filter(col("doc_id") % 5 === 0),
           col("doc_id"), col("text"), minLen = 2, maxLen = 6,
           minCount = 3)
+        .orderBy("len", "gram")),
+    "q292_maximal_repeats_all" -> ((s, d) =>
+      // NO length cap: every maximal repeat from one suffix ranking —
+      // LCP-interval candidates, sparse-table ANSV bounds, prefix-sum
+      // left-maximality; all integer shuffles after the one LCP join
+      graft.ops.Suffix.maximalRepeatsAll(
+          t(s, d, "documents").filter(col("doc_id") % 10 === 0),
+          col("doc_id"), col("text"), minLen = 2, minCount = 3)
         .orderBy("len", "gram"))
   )
 
@@ -7171,6 +7179,29 @@ object OpsQueries {
          SELECT len, gram, count(*) AS n_occ,
            count(DISTINCT prev) AS n_left,
            count(DISTINCT next) AS n_right
+         FROM g GROUP BY len, gram
+         HAVING count(*) >= 3 AND count(DISTINCT prev) >= 2
+           AND count(DISTINCT next) >= 2
+         ORDER BY len, gram""",
+
+    "q292_maximal_repeats_all" ->
+      // all lengths per document: the O(n·maxlen) enumeration the
+      // LCP-interval read-off answers from one ranking
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x <> '') AS tk
+           FROM documents WHERE doc_id % 10 = 0),
+         wl AS (SELECT tk, unnest(range(2, len(tk) + 1)) AS len
+                FROM toks),
+         base AS (SELECT len, tk,
+                    unnest(range(0, len(tk) - len + 1)) AS p
+                  FROM wl),
+         g AS (SELECT len, array_to_string(tk[p + 1:p + len], ' ') AS gram,
+                 CASE WHEN p > 0 THEN tk[p] ELSE '' END AS prev,
+                 CASE WHEN p + len < len(tk) THEN tk[p + len + 1]
+                   ELSE '' END AS next
+               FROM base)
+         SELECT len, gram, count(*) AS n_occ
          FROM g GROUP BY len, gram
          HAVING count(*) >= 3 AND count(DISTINCT prev) >= 2
            AND count(DISTINCT next) >= 2

@@ -311,6 +311,70 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(so.isEmpty)
   }
 
+  test("maximalRepeatsAll: equals brute force on randomized corpora and " +
+      "the bounded miner on a shared length range") {
+    import spark.implicits._
+    import graft.ops.Suffix
+    // brute force: enumerate every substring, count, collect neighbor
+    // sets with the shared '' sentinel, filter maximal
+    def brute(texts: Seq[String], minLen: Int,
+        minCount: Int): Set[(Long, String, Long)] = {
+      val toks = texts.map(_.trim.split("\\s+").filter(_.nonEmpty).toSeq)
+      val occ = scala.collection.mutable.HashMap
+        .empty[(Int, String), (Long, Set[String], Set[String])]
+      for (t <- toks; l <- 1 to t.length; p <- 0 to t.length - l) {
+        val g = t.slice(p, p + l).mkString(" ")
+        val prev = if (p > 0) t(p - 1) else ""
+        val next = if (p + l < t.length) t(p + l) else ""
+        val (c, ps, ns) = occ.getOrElse((l, g), (0L, Set[String](), Set[String]()))
+        occ((l, g)) = (c + 1, ps + prev, ns + next)
+      }
+      occ.collect { case ((l, g), (c, ps, ns))
+        if l >= minLen && c >= minCount && ps.size >= 2 && ns.size >= 2 =>
+        (l.toLong, g, c)
+      }.toSet
+    }
+    // deterministic pseudo-random corpora over a small alphabet (dense
+    // repeat structure, whole-suffix ties, doc-boundary runs)
+    for (seed <- 1 to 4) {
+      val texts = (0 until 6).map { d =>
+        (0 until 12).map(j =>
+          s"t${(seed * 31 + d * 7 + j * j * 5) % 4}").mkString(" ")
+      }
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val got = Suffix.maximalRepeatsAll(docs, col("id"), col("text"),
+          minLen = 1, minCount = 2)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(Suffix.lastAnsv == "stack")
+      val want = brute(texts, 1, 2)
+      assert(got == want,
+        s"seed $seed: missing=${want -- got} extra=${got -- want}")
+      // the distributed ladder answers identically (threshold forced)
+      val ladder = Suffix.maximalRepeatsAll(docs, col("id"), col("text"),
+          minLen = 1, minCount = 2, ansvThresholdPairs = 1L)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(Suffix.lastAnsv == "doubling")
+      assert(ladder == want,
+        s"seed $seed ladder: missing=${want -- ladder} extra=${ladder -- want}")
+    }
+    // consistency with the bounded miner on its length range
+    val docs2 = Seq((1L, "a b c a b c a b d"), (2L, "b c a b q"),
+      (3L, "c a b c z")).toDF("id", "text")
+    val all = Suffix.maximalRepeatsAll(docs2, col("id"), col("text"),
+        minLen = 2, minCount = 2)
+      .filter(col("len") <= 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val bounded = Suffix.maximalRepeats(docs2, col("id"), col("text"),
+        minLen = 2, maxLen = 4, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(all == bounded, s"all=$all bounded=$bounded")
+  }
+
   test("longestRepeat: cross-doc and within-doc runs via neighbor LCP") {
     import spark.implicits._
     import graft.ops.Suffix
