@@ -917,6 +917,28 @@ object Curation {
    * Scale shape: TakeOrderedAndProject — per-partition k-heaps + driver
    * merge, no global sort, no shuffle ([[exactSample]]'s plan, which
    * this generalizes: constant weights degrade to exactly it). */
+  /** Systematic (every step-th) sample over a TOTAL ordering — the
+    * audit-sample staple: deterministic, evenly spread across the sort
+    * dimension (a hash sample clusters by chance; systematic coverage
+    * is uniform by construction, the property QA eyeballs want when
+    * the sort is time or quality score). Keeps rows whose 1-based
+    * global rank r satisfies `(r − 1) % step == offset`. `sortCols`
+    * must be a total order (include a unique id as the last key) or
+    * the rank — and thus the sample — is not well-defined. Returns the
+    * input rows + their rank as `gidx`.
+    *
+    * Scale shape: [[graft.ops.Scale.withGlobalIndex]] — range partition
+    * + per-partition ranks + broadcast offsets, never a single-task
+    * global sort; the modulo filter is row-local after that. */
+  def systematicSample(df: DataFrame, sortCols: Seq[Column], step: Int,
+      offset: Int = 0): DataFrame = {
+    require(step >= 1, "systematicSample: step must be >= 1")
+    require(offset >= 0 && offset < step,
+      "systematicSample: offset must be in [0, step)")
+    graft.ops.Scale.withGlobalIndex(df, sortCols, "gidx")
+      .filter(pmod(col("gidx") - 1, lit(step.toLong)) === offset)
+  }
+
   def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column,
       k: Int): DataFrame = {
     require(k >= 1, "need k >= 1")

@@ -183,6 +183,88 @@ object Experiment {
         (abs(coalesce(col("z"), lit(0.0))) > 1.96).as("significant"))
   }
 
+  /** Two-proportion z-test over per-unit binary outcomes — the
+    * conversion-rate companion to [[abTest]]'s means test: `convCol`
+    * must be 0/1 per unit (did the user purchase, click, retain).
+    * Pooled-variance z,
+    * `z = (p_b − p_a) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b))` with
+    * `p̂ = (x_a + x_b)/(n_a + n_b)` — the standard form whose null
+    * assumes one shared rate. Output ONE row
+    * `(n_a, n_b, p_a, p_b, lift, z, significant)` (4dp; two-sided 5%).
+    * Degenerate pools (p̂ ∈ {0, 1}) null the z and report not
+    * significant. Plan: one count/sum partial-agg over the units is the
+    * only corpus pass; everything after runs on a 2-row frame. */
+  def proportionTest(units: DataFrame, armCol: Column,
+      convCol: Column): DataFrame = {
+    val s = units.select(armCol.cast("int").as("arm"),
+        convCol.cast("long").as("c"))
+      .filter(col("arm") === 0 || col("arm") === 1)
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("c").as("x"))
+    val a = s.filter(col("arm") === 0)
+      .select(col("n").as("n_a"), col("x").as("x_a"))
+    val b = s.filter(col("arm") === 1)
+      .select(col("n").as("n_b"), col("x").as("x_b"))
+    val pa = col("x_a") / col("n_a").cast("double")
+    val pb = col("x_b") / col("n_b").cast("double")
+    val pp = (col("x_a") + col("x_b")) /
+      (col("n_a") + col("n_b")).cast("double")
+    val z = (pb - pa) /
+      sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    a.crossJoin(b)
+      .select(col("n_a"), col("n_b"),
+        round(pa, 4).as("p_a"), round(pb, 4).as("p_b"),
+        round(pb - pa, 4).as("lift"),
+        round(when(pp > 0 && pp < 1, z), 4).as("z"),
+        coalesce(abs(when(pp > 0 && pp < 1, z)) > 1.96, lit(false))
+          .as("significant"))
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns — the segmentation sanity check (is event mix independent
+    * of cohort?) and the feature-screening staple. One grouped count
+    * over `(a, b)` is the ONLY corpus pass; the margins, the expected
+    * counts `e = rowTot·colTot/total` and the statistic all derive from
+    * the |cells|-sized contingency frame (broadcast-joined margins).
+    * Output ONE row `(n, r, c, chi2, dof, cramers_v)` — `dof` is
+    * `(r−1)(c−1)` over the OBSERVED levels and Cramér's V
+    * `sqrt(chi2 / (n·min(r−1, c−1)))` gives the scale-free effect size
+    * (0 = independent, 1 = determined). Note the classic caveat: cells
+    * with zero observed count in a level pair simply don't appear in
+    * the data; e > 0 for every (observed row) × (observed col) pair is
+    * still accounted — the cross of margins fills structural zeros. */
+  def chiSquareIndependence(df: DataFrame, aCol: Column,
+      bCol: Column): DataFrame = {
+    val cells = df.select(aCol.cast("string").as("a"),
+        bCol.cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+      .localCheckpoint(eager = true) // read 3×: margins ×2 + the cross
+    val rowTot = cells.groupBy("a").agg(sum("o").as("ra"))
+    val colTot = cells.groupBy("b").agg(sum("o").as("cb"))
+    // cross the margins so structural zeros (level pairs never observed
+    // together) still contribute their expected mass to the statistic
+    val full = rowTot.crossJoin(broadcast(colTot))
+      .join(cells, Seq("a", "b"), "left")
+      .select(col("ra"), col("cb"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    val tot = cells.agg(sum("o").cast("double").as("n"),
+      count_distinct(col("a")).as("r"), count_distinct(col("b")).as("c"))
+    full.crossJoin(broadcast(tot))
+      .select(col("n"), col("r"), col("c"),
+        pow(col("o") - col("ra") * col("cb") / col("n"), 2) /
+          (col("ra") * col("cb") / col("n")) as "q")
+      .groupBy("n", "r", "c")
+      .agg(sum("q").as("chi2"))
+      .select(col("n").cast("long").as("n"), col("r"), col("c"),
+        round(col("chi2"), 4).as("chi2"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        round(sqrt(col("chi2") /
+          (col("n") * least(col("r") - 1, col("c") - 1))), 4)
+          .as("cramers_v"))
+  }
+
   /** Step-to-step conversion latency distribution over
     * [[Temporal.funnelSteps]]: for every adjacent step pair the key
     * completed, the seconds between the two earliest in-order

@@ -97,6 +97,59 @@ object Graph {
     * sf0.1 co-purchase graph). Right whenever the edge list fits the
     * driver (bounded similarity graphs, co-occurrence graphs); leave
     * false at web-graph scale, where the closing lookup must shuffle. */
+  /** k-core decomposition membership: the maximal subgraph in which
+    * every node keeps degree ≥ k — the standard "dense backbone"
+    * extractor (spam nests and template farms in a similarity graph
+    * are high-core; bridges and leaves peel away). Iterative peeling:
+    * drop all nodes of induced degree < k, recompute degrees in the
+    * surviving subgraph, repeat to fixpoint (each pass can expose new
+    * low-degree nodes — the cascade is the algorithm). Output:
+    * `(id, core_degree)` for every surviving node, `core_degree` its
+    * degree WITHIN the k-core.
+    *
+    * Scale shape (per round): one grouped count for degrees + two
+    * semi-joins to induce the subgraph — all equi on node ids, the
+    * edge frame `localCheckpoint`ed every round so the plan stays O(1)
+    * deep (the [[pageRank]] discipline). Rounds are data-dependent but
+    * short in practice (each round must delete ≥ 1 node to continue,
+    * and real graphs cascade in a handful); `maxIters` bounds the
+    * driver loop, and the fixpoint test rides the checkpoint's
+    * materialization — no extra pass over the edges. */
+  def kCore(edges: DataFrame, srcCol: Column, dstCol: Column, k: Int,
+      maxIters: Int = 50): DataFrame = {
+    require(k >= 1, "kCore: k must be >= 1")
+    require(maxIters >= 1, "kCore: maxIters must be >= 1")
+    val raw = edges.select(srcCol.cast("long").as("a"),
+        dstCol.cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    var e = raw.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var prev = e.count()
+    var done = prev == 0L
+    var iters = 0
+    def degrees(ed: DataFrame) = ed.select(col("a").as("id"))
+      .unionAll(ed.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    while (!done && iters < maxIters) {
+      val keep = degrees(e).filter(col("degree") >= k)
+        .select(col("id"))
+      val next = e
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val n = next.count()
+      done = n == prev // no edge left the graph: every node is >= k
+      e = next
+      prev = n
+      iters += 1
+    }
+    degrees(e).filter(col("degree") >= k)
+      .select(col("id"), col("degree").as("core_degree"))
+  }
+
   def triangleStats(edges: DataFrame, srcCol: Column,
       dstCol: Column, broadcastEdges: Boolean = false): DataFrame = {
     val raw = edges.select(srcCol.cast("long").as("a"),

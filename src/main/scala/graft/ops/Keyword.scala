@@ -61,6 +61,39 @@ object Keyword {
       .agg(sum("part").as("score"))
   }
 
+  /** Inverted-index posting lists — the materialized lexical index
+    * [[bm25]] computes on the fly: per term, its document frequency,
+    * total occurrence count, and the first `cap` doc ids (ascending).
+    * `minDf` drops the hapax tail (the long tail of once-seen terms
+    * dominates any vocabulary); `cap` bounds the posting payload so a
+    * stopword's list is `cap` ids, not |corpus| — at index-build scale
+    * the full lists would be written per-bucket, this is the bounded
+    * catalog view. Output: `(term, df, tf_total, postings)` sorted
+    * postings array.
+    *
+    * Plan: one explode + one (term, doc) partial-agg'd count, then a
+    * rank window and the final per-term agg SHARE the term shuffle
+    * (same partitioning — window sort, no second exchange); ids beyond
+    * `cap` are excluded BEFORE the collect, so no unbounded per-term
+    * array ever materializes. */
+  def postingLists(docs: DataFrame, idCol: Column, textCol: Column,
+      minDf: Int, cap: Int): DataFrame = {
+    require(minDf >= 1, "postingLists: minDf must be >= 1")
+    require(cap >= 1, "postingLists: cap must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val td = docs.select(idCol.cast("long").as("id"),
+        explode(array_remove(split(trim(textCol), "\\s+"), "")).as("term"))
+      .groupBy("term", "id")
+      .agg(count(lit(1)).as("tf"))
+    val rn = Window.partitionBy("term").orderBy(col("id").asc)
+    td.withColumn("__rn", row_number().over(rn))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("tf_total"),
+        sort_array(collect_list(when(col("__rn") <= cap, col("id"))))
+          .as("postings"))
+      .filter(col("df") >= minDf)
+  }
+
   /** Reciprocal-rank fusion of two ranked candidate lists
     * `(id, <scoreCol>)`: `Σ 1/(k0 + rank)`. Feed it bounded top-k lists
     * (both sides of a hybrid search arrive via TakeOrderedAndProject), so

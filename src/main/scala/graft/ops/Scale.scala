@@ -252,6 +252,66 @@ object Scale extends Serializable {
           .as("est_distinct")): _*)
   }
 
+  /** KMV set ALGEBRA between every pair of groups — the reason KMV
+    * beats HLL when you need more than cardinalities: two k-minimum
+    * sketches union by keeping the k smallest of their merged hashes,
+    * and the fraction of that union sketch present in BOTH inputs is
+    * an unbiased Jaccard estimate (Beyer et al., SIGMOD'07), so
+    * `|A∩B| ≈ J · |A∪B|` falls out of the same k longs. Per group
+    * pair (a < b): `(…, union_est, jaccard_est, intersect_est)` (4dp);
+    * pairs whose merged sketch holds fewer than k distinct hashes are
+    * EXACT (and the md5 hashing makes even the estimates
+    * engine-reproducible, the [[kmvDistinct]] stance).
+    *
+    * Plan: one distinct over (group, hash) — the only corpus pass,
+    * shared with [[kmvDistinct]] — then a per-group window keeps k
+    * hashes; everything pairwise runs on the k·|groups| sketch table
+    * (group pairs × k rows, never corpus rows). */
+  def kmvSetOps(df: DataFrame, groupCol: Column, valCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, "kmvSetOps: k >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val hashes = df.select(groupCol.cast("string").as("g"),
+        graft.expr.PortableHash.hex15Col(valCol).as("__h"))
+      .distinct()
+    val perG = Window.partitionBy("g").orderBy(col("__h").asc)
+    val sk = hashes.withColumn("__rn", row_number().over(perG))
+      .filter(col("__rn") <= k)
+      .select(col("g"), col("__h"))
+      .localCheckpoint(eager = true) // read 3×: group list + both sides
+    val groups = sk.select(col("g")).distinct()
+    // |groups| is bounded (it keys the sketches): broadcast the pair
+    // expansion so the `<` condition never plans a cartesian
+    val pairs = groups.select(col("g").as("ga"))
+      .join(broadcast(groups.select(col("g").as("gb"))),
+        col("ga") < col("gb"))
+    val merged = pairs.join(sk, col("g") === col("ga"))
+      .select(col("ga"), col("gb"), col("__h"),
+        lit(1L).as("ia"), lit(0L).as("ib"))
+      .unionAll(pairs.join(sk, col("g") === col("gb"))
+        .select(col("ga"), col("gb"), col("__h"),
+          lit(0L).as("ia"), lit(1L).as("ib")))
+      .groupBy("ga", "gb", "__h")
+      .agg(max("ia").as("ia"), max("ib").as("ib"))
+    val perP = Window.partitionBy("ga", "gb").orderBy(col("__h").asc)
+    val range = 1152921504606846976.0 // 2^60
+    merged.withColumn("__rn", row_number().over(perP))
+      .filter(col("__rn") <= k)
+      .groupBy("ga", "gb")
+      .agg(count(lit(1)).as("__nk"), max(col("__h")).as("__kth"),
+        sum(col("ia") * col("ib")).as("__both"))
+      .select(col("ga").as("src_a"), col("gb").as("src_b"),
+        round(when(col("__nk") < k, col("__nk").cast("double"))
+          .otherwise(lit((k - 1) * range) / col("__kth").cast("double")), 4)
+          .as("union_est"),
+        round(col("__both") / col("__nk").cast("double"), 4)
+          .as("jaccard_est"),
+        round((col("__both") / col("__nk").cast("double")) *
+          when(col("__nk") < k, col("__nk").cast("double"))
+            .otherwise(lit((k - 1) * range) / col("__kth").cast("double")),
+          4).as("intersect_est"))
+  }
+
   def countMinEstimates(df: DataFrame, textCol: Column, width: Int,
       depth: Int, probes: Seq[String]): DataFrame = {
     require(width >= 1, "width must be >= 1")

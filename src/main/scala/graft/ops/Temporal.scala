@@ -689,6 +689,100 @@ object Temporal {
     * broadcasts it). Output: `(id, …keys, phase, value, trend,
     * seasonal, resid)` — trend/resid null at edges, seasonal null for
     * a (key, phase) whose every occurrence sits at an edge. */
+  /** Sample autocorrelation function per key — the periodicity /
+    * short-memory diagnostic run before picking [[seasonalDecompose]]'s
+    * period or trusting [[ewmaSmooth]]'s half-life: for each lag
+    * `1..maxLag`,
+    * `r_k = Σ_{t>k} (x_t − x̄)(x_{t−k} − x̄) / Σ_t (x_t − x̄)²`
+    * (the standard biased estimator — full-series mean and denominator,
+    * so `r_k` is a proper correlation matrix row and tapers with k).
+    * Output: `(…keys, lag, n, acf)` (4dp), one row per key × lag;
+    * `acf` null for constant series (zero denominator) and for lags
+    * ≥ the series length.
+    *
+    * Plan: ONE keyed sort powers all `maxLag` lag columns plus the
+    * unbounded-frame mean (same window partition — no second
+    * exchange); one grouped agg per key folds every lag's cross-product
+    * sum at once; the lag melt explodes the |keys|-sized result frame,
+    * never the series. */
+  def autocorrelation(df: DataFrame, idCol: Column, keys: Seq[String],
+      timeCol: Column, valCol: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "autocorrelation: maxLag must be >= 1")
+    val keyCols = keys.map(col)
+    val ord = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t").asc, col("id").asc)
+    val full = Window.partitionBy(keyCols: _*)
+    val base = df.select((idCol.cast("long").as("id") +: keyCols) :+
+        timeCol.as("__t") :+ valCol.cast("double").as("value"): _*)
+      .withColumn("__mu", avg(col("value")).over(full))
+    val lagged = (1 to maxLag).foldLeft(base) { (d, k) =>
+      d.withColumn(s"__l$k", lag(col("value"), k).over(ord))
+    }
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(pow(col("value") - col("__mu"), 2)).as("__den")) ++
+      (1 to maxLag).map(k =>
+        sum((col("value") - col("__mu")) * (col(s"__l$k") - col("__mu")))
+          .as(s"__num$k"))
+    lagged.groupBy(keyCols: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(keyCols ++ Seq(explode(array((1 to maxLag).map(k =>
+        struct(lit(k).cast("long").as("lag"),
+          round(when(col("__den") > 0, col(s"__num$k") / col("__den")), 4)
+            .as("acf"))): _*)).as("__e"), col("n")): _*)
+      .select(keyCols ++ Seq(col("__e.lag").as("lag"), col("n"),
+        col("__e.acf").as("acf")): _*)
+  }
+
+  /** CUSUM changepoint detector per key — the global complement to
+    * [[levelShift]]'s local edge filter: standardize the series by its
+    * OWN mean/sd, take the running cumulative sum
+    * `S_t = Σ_{i≤t} (x_i − x̄)/s`, and report where `|S_t|` peaks — a
+    * mean shift at time τ makes `S` a tent with its apex at τ, while a
+    * stable series random-walks near 0 (Page 1954's classic statistic
+    * in its offline scan form). Output ONE row per key:
+    * `(…keys, n, max_cusum, changepoint_at, shifted)` — the peak
+    * `|S|` (4dp), the EARLIEST time achieving it, and the
+    * `max_cusum > threshold` flag (null stats on constant/1-row
+    * series report not shifted).
+    *
+    * Plan: one keyed sort carries the unbounded moments and the
+    * running sum; the argmax resolves with a per-key max re-join on
+    * the bit-identical peak value (exact double equality of a value
+    * against its own max — no float tolerance involved), so no
+    * engine-specific `max_by(struct)` ordering is assumed. */
+  def cusumChangepoint(df: DataFrame, idCol: Column, keys: Seq[String],
+      timeCol: Column, valCol: Column, threshold: Double): DataFrame = {
+    require(threshold > 0, "cusumChangepoint: threshold must be positive")
+    val keyCols = keys.map(col)
+    val ord = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t").asc, col("id").asc)
+    val full = Window.partitionBy(keyCols: _*)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w = df.select((idCol.cast("long").as("id") +: keyCols) :+
+        timeCol.as("__t") :+ valCol.cast("double").as("value"): _*)
+      .withColumn("__mu", avg(col("value")).over(full))
+      .withColumn("__sd", stddev_samp(col("value")).over(full))
+      // the sd > 0 guard sits INSIDE the summed expression: the window
+      // evaluates before any outer when() under ANSI mode, so a bare
+      // division would throw on constant series (sd = 0); an all-null
+      // argument sums to null, which is the contract anyway
+      .withColumn("__abs",
+        abs(sum(when(col("__sd") > 0,
+          (col("value") - col("__mu")) / col("__sd"))).over(run)))
+      .localCheckpoint(eager = true) // read twice: per-key max + argmax
+    val mx = w.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n"), max(col("__abs")).as("__m"))
+    w.join(mx, keys)
+      .filter(col("__abs") === col("__m") || col("__m").isNull)
+      .groupBy(keyCols: _*)
+      .agg(first(col("n")).as("n"),
+        round(first(col("__m")), 4).as("max_cusum"),
+        min(when(col("__abs") === col("__m"), col("__t")))
+          .as("changepoint_at"))
+      .withColumn("shifted",
+        coalesce(col("max_cusum") > threshold, lit(false)))
+  }
+
   def seasonalDecompose(df: DataFrame, idCol: Column, keys: Seq[String],
       timeCol: Column, valCol: Column, period: Int): DataFrame = {
     require(period >= 2, "seasonalDecompose: period must be >= 2")

@@ -2740,8 +2740,109 @@ object OpsQueries {
       graft.ops.Suffix.maximalRepeatsAll(
           t(s, d, "documents").filter(col("doc_id") % 10 === 0),
           col("doc_id"), col("text"), minLen = 2, minCount = 3)
-        .orderBy("len", "gram"))
+        .orderBy("len", "gram")),
+    "q293_proportion_test" -> ((s, d) => {
+      // did the treatment arm convert more? pooled two-proportion z
+      // over per-user purchase flags — one partial-agg over the units
+      val units = ev(s, d).groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("conv"))
+        .select((col("user_id") % 2).cast("int").as("arm"), col("conv"))
+      graft.ops.Experiment.proportionTest(units, col("arm"), col("conv"))
+    }),
+    "q294_chi2_independence" -> ((s, d) =>
+      // is event mix independent of user cohort? one grouped count is
+      // the only corpus pass; margins/expected run on the cell frame
+      graft.ops.Experiment.chiSquareIndependence(
+        ev(s, d).select(col("event_type"),
+          (col("user_id") % 3).as("cohort")),
+        col("event_type"), col("cohort"))),
+    "q295_acf" -> ((s, d) => {
+      // lag-1..7 autocorrelation of each type's daily volume: one keyed
+      // sort powers all lags, the melt explodes |keys| rows only
+      val series = ev(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum("value").as("v"))
+      graft.ops.Temporal.autocorrelation(series,
+          datediff(col("day"), to_date(lit("1970-01-01"))),
+          Seq("event_type"), col("day"), col("v"), maxLag = 7)
+        .orderBy("event_type", "lag")
+    }),
+    "q296_cusum" -> ((s, d) => {
+      // where does each type's daily mean shift? CUSUM peak over the
+      // standardized series — one keyed sort + a |keys|-max re-join
+      val series = ev(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(avg("value").as("v"))
+      graft.ops.Temporal.cusumChangepoint(series,
+          datediff(col("day"), to_date(lit("1970-01-01"))),
+          Seq("event_type"), col("day"), col("v"), threshold = 3.0)
+        .orderBy("event_type")
+    }),
+    "q297_posting_lists" -> ((s, d) =>
+      // the materialized lexical index: df / total tf / first-10
+      // postings per term, ids capped BEFORE the collect
+      graft.ops.Keyword.postingLists(t(s, d, "documents"),
+          col("doc_id"), col("text"), minDf = 8, cap = 10)
+        .orderBy("term")),
+    "q298_kcore" -> ((s, d) => {
+      // dense backbone of the co-purchase graph: iterative peeling to
+      // the k-core fixpoint — per round one grouped count + two
+      // semi-joins, the edge frame checkpointed O(1)-deep
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      graft.ops.Graph.kCore(e, col("a"), col("b"), k = 12)
+        .orderBy("id")
+    }),
+    "q299_systematic_sample" -> ((s, d) =>
+      // every-97th order in (date, key) order: range-partitioned global
+      // rank + a row-local modulo — never a single-task sort
+      graft.ops.Curation.systematicSample(
+          t(s, d, "orders")
+            .select("o_orderkey", "o_orderdate", "o_totalprice"),
+          Seq(col("o_orderdate"), col("o_orderkey")), step = 97)
+        .orderBy("gidx")),
+    "q300_kmv_setops" -> ((s, d) => {
+      // union / Jaccard / intersection estimates between every source
+      // pair from k-hash sketches — pairwise work on k·|groups| rows,
+      // md5 determinism makes the estimates oracle-exact
+      val tk = t(s, d, "documents")
+        .select(col("source"),
+          explode(array_remove(split(trim(col("text")), "\\s+"), ""))
+            .as("w"))
+      graft.ops.Scale.kmvSetOps(tk, col("source"), col("w"), k = 32)
+        .orderBy("src_a", "src_b")
+    })
   )
+
+  /** The q298 oracle: `rounds` unrolled peel passes of the k-core
+    * (SQL has no fixpoint loop — the [[removalEffectOracle]] stance).
+    * Each CTE pair computes surviving nodes (induced degree ≥ k) and
+    * the induced edge set; `rounds` must exceed the rounds-to-fixpoint
+    * at verification scale (a converged round is idempotent, so extra
+    * rounds are harmless). */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""n$i AS MATERIALIZED (SELECT id FROM (
+           SELECT id, count(*) AS c FROM (
+             SELECT a AS id FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+           GROUP BY id) WHERE c >= $k),
+         e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+           WHERE a IN (SELECT id FROM n$i) AND b IN (SELECT id FROM n$i))"""
+    }.mkString(",\n         ")
+    s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+               WHERE l_orderkey % 3 = 0),
+         e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+                FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+         $steps
+         SELECT id, count(*) AS core_degree FROM (
+           SELECT a AS id FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+         GROUP BY id HAVING count(*) >= $k ORDER BY id"""
+  }
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
     * email (ids % 3 = 0), a dashed phone (% 2), an ipv4 (% 5) and an
@@ -7206,6 +7307,170 @@ object OpsQueries {
          HAVING count(*) >= 3 AND count(DISTINCT prev) >= 2
            AND count(DISTINCT next) >= 2
          ORDER BY len, gram""",
+
+    "q293_proportion_test" ->
+      """WITH u AS (SELECT CAST(user_id % 2 AS INT) AS arm,
+                 max(CASE WHEN event_type = 'purchase' THEN 1
+                     ELSE 0 END) AS c
+               FROM events GROUP BY user_id),
+         s AS (SELECT arm, count(*) AS n, CAST(sum(c) AS BIGINT) AS x
+               FROM u GROUP BY arm),
+         m AS (SELECT a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b,
+                 (a.x + b.x) / CAST(a.n + b.n AS DOUBLE) AS pp
+               FROM (SELECT n, x FROM s WHERE arm = 0) a,
+                    (SELECT n, x FROM s WHERE arm = 1) b)
+         SELECT n_a, n_b,
+           round(x_a / CAST(n_a AS DOUBLE), 4) AS p_a,
+           round(x_b / CAST(n_b AS DOUBLE), 4) AS p_b,
+           round(x_b / CAST(n_b AS DOUBLE)
+             - x_a / CAST(n_a AS DOUBLE), 4) AS lift,
+           round(CASE WHEN pp > 0 AND pp < 1 THEN
+             (x_b / CAST(n_b AS DOUBLE) - x_a / CAST(n_a AS DOUBLE)) /
+             sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)) END, 4) AS z,
+           coalesce(abs(CASE WHEN pp > 0 AND pp < 1 THEN
+             (x_b / CAST(n_b AS DOUBLE) - x_a / CAST(n_a AS DOUBLE)) /
+             sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)) END) > 1.96,
+             false) AS significant
+         FROM m""",
+
+    "q294_chi2_independence" ->
+      """WITH cells AS (SELECT event_type AS a,
+                 CAST(user_id % 3 AS VARCHAR) AS b, count(*) AS o
+               FROM events GROUP BY 1, 2),
+         rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra
+                FROM cells GROUP BY a),
+         ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb
+                FROM cells GROUP BY b),
+         tt AS (SELECT CAST(sum(o) AS DOUBLE) AS n,
+                  count(DISTINCT a) AS r, count(DISTINCT b) AS c
+                FROM cells),
+         f AS (SELECT rt.ra, ct.cb, coalesce(cells.o, 0) AS o
+               FROM rt CROSS JOIN ct
+               LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b),
+         q AS (SELECT tt.n, tt.r, tt.c,
+                 pow(f.o - f.ra * f.cb / tt.n, 2) /
+                   (f.ra * f.cb / tt.n) AS q
+               FROM f, tt)
+         SELECT CAST(n AS BIGINT) AS n, r, c,
+           round(sum(q), 4) AS chi2,
+           (r - 1) * (c - 1) AS dof,
+           round(sqrt(sum(q) / (n * least(r - 1, c - 1))), 4) AS cramers_v
+         FROM q GROUP BY n, r, c""",
+
+    "q295_acf" -> {
+      val lags = (1 to 7)
+      val lagCols = lags.map(k =>
+        s"lag(v, $k) OVER (PARTITION BY event_type ORDER BY day) AS l$k")
+        .mkString(", ")
+      val numCols = lags.map(k =>
+        s"sum((v - mu) * (l$k - mu)) AS num$k").mkString(", ")
+      val arms = lags.map(k =>
+        s"""SELECT event_type, CAST($k AS BIGINT) AS lag, n,
+            round(CASE WHEN den > 0 THEN num$k / den END, 4) AS acf
+            FROM a""").mkString("\n           UNION ALL ")
+      s"""WITH sday AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                 sum(value) AS v
+               FROM events GROUP BY 1, 2),
+         m AS (SELECT event_type, v,
+                 avg(v) OVER (PARTITION BY event_type) AS mu, $lagCols
+               FROM sday),
+         a AS (SELECT event_type, count(*) AS n,
+                 sum(pow(v - mu, 2)) AS den, $numCols
+               FROM m GROUP BY event_type)
+         $arms
+         ORDER BY event_type, lag"""
+    },
+
+    "q296_cusum" ->
+      // w MATERIALIZED: it is read twice (per-key max + argmax), and
+      // DuckDB's parallel avg/stddev aggregation is not bit-identical
+      // across evaluations — the a = m equality needs ONE evaluation
+      // (the localCheckpoint on the Spark side plays the same role)
+      """WITH sday AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                 avg(value) AS v
+               FROM events GROUP BY 1, 2),
+         st AS (SELECT event_type, day, v,
+                  avg(v) OVER (PARTITION BY event_type) AS mu,
+                  stddev_samp(v) OVER (PARTITION BY event_type) AS sd
+                FROM sday),
+         w AS MATERIALIZED (SELECT event_type, day,
+                 CASE WHEN sd > 0
+                   THEN abs(sum((v - mu) / sd)
+                     OVER (PARTITION BY event_type ORDER BY day
+                           ROWS UNBOUNDED PRECEDING)) END AS a
+               FROM st),
+         mx AS (SELECT event_type, count(*) AS n, max(a) AS m
+                FROM w GROUP BY event_type)
+         SELECT w.event_type, any_value(mx.n) AS n,
+           round(any_value(mx.m), 4) AS max_cusum,
+           min(CASE WHEN w.a = mx.m THEN w.day END) AS changepoint_at,
+           coalesce(any_value(mx.m) > 3.0, false) AS shifted
+         FROM w JOIN mx ON w.event_type = mx.event_type
+         WHERE w.a = mx.m OR mx.m IS NULL
+         GROUP BY w.event_type ORDER BY w.event_type""",
+
+    "q297_posting_lists" ->
+      """WITH td AS (SELECT term, doc_id AS id, count(*) AS tf FROM (
+             SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> x <> '')) AS term
+             FROM documents)
+           GROUP BY term, doc_id),
+         r AS (SELECT term, id, tf,
+                 row_number() OVER (PARTITION BY term ORDER BY id) AS rn
+               FROM td)
+         SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
+           list_sort(list(id) FILTER (WHERE rn <= 10)) AS postings
+         FROM r GROUP BY term HAVING count(*) >= 8 ORDER BY term""",
+
+    "q298_kcore" -> kCoreOracle(k = 12, rounds = 20),
+
+    "q299_systematic_sample" ->
+      """WITH r AS (SELECT o_orderkey, o_orderdate, o_totalprice,
+                 row_number() OVER (ORDER BY o_orderdate, o_orderkey)
+                   AS gidx
+               FROM orders)
+         SELECT o_orderkey, o_orderdate, o_totalprice, gidx
+         FROM r WHERE (gidx - 1) % 97 = 0 ORDER BY gidx""",
+
+    "q300_kmv_setops" ->
+      """WITH tk AS (SELECT source,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '')) AS w
+           FROM documents),
+         h AS (SELECT DISTINCT source AS g,
+             CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+           FROM tk),
+         sk AS (SELECT g, h FROM (
+             SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h)
+               AS rn FROM h)
+           WHERE rn <= 32),
+         gs AS (SELECT DISTINCT g FROM sk),
+         p AS (SELECT a.g AS ga, b.g AS gb
+               FROM gs a JOIN gs b ON a.g < b.g),
+         m AS (SELECT ga, gb, h, max(ia) AS ia, max(ib) AS ib FROM (
+             SELECT p.ga, p.gb, sk.h, 1 AS ia, 0 AS ib
+             FROM p JOIN sk ON sk.g = p.ga
+             UNION ALL
+             SELECT p.ga, p.gb, sk.h, 0, 1
+             FROM p JOIN sk ON sk.g = p.gb)
+           GROUP BY ga, gb, h),
+         r AS (SELECT ga, gb, h, ia, ib,
+                 row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+               FROM m),
+         agg AS (SELECT ga, gb, count(*) AS nk, max(h) AS kth,
+                   CAST(sum(ia * ib) AS BIGINT) AS nb
+                 FROM r WHERE rn <= 32 GROUP BY ga, gb)
+         SELECT ga AS src_a, gb AS src_b,
+           round(CASE WHEN nk < 32 THEN CAST(nk AS DOUBLE)
+             ELSE (31 * 1152921504606846976.0) / CAST(kth AS DOUBLE)
+             END, 4) AS union_est,
+           round(nb / CAST(nk AS DOUBLE), 4) AS jaccard_est,
+           round((nb / CAST(nk AS DOUBLE)) *
+             CASE WHEN nk < 32 THEN CAST(nk AS DOUBLE)
+               ELSE (31 * 1152921504606846976.0) / CAST(kth AS DOUBLE)
+               END, 4) AS intersect_est
+         FROM agg ORDER BY src_a, src_b""",
 
     "q269_sessions" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, value AS v,
