@@ -183,6 +183,92 @@ object Experiment {
         (abs(coalesce(col("z"), lit(0.0))) > 1.96).as("significant"))
   }
 
+  /** Welch's t-test over per-unit metrics — [[abTest]]'s z with the
+    * small-sample honesty restored: same unequal-variance statistic,
+    * plus the Welch–Satterthwaite effective degrees of freedom
+    * `df = (v_a/n_a + v_b/n_b)² / ((v_a/n_a)²/(n_a−1) +
+    * (v_b/n_b)²/(n_b−1))` so a reader with 30 units per arm knows the
+    * 1.96 cutoff is optimistic. Output ONE row
+    * `(n_a, n_b, mean_a, mean_b, lift, t, df, significant)` (4dp;
+    * `significant` stays the large-sample |t| > 1.96 convention —
+    * with df in hand the caller can substitute the exact t quantile).
+    * Same plan as [[abTest]]: one partial-agg over the units, then a
+    * 2×1-row broadcast cross. */
+  def welchTTest(units: DataFrame, armCol: Column,
+      metricCol: Column): DataFrame = {
+    val s = units.select(armCol.cast("int").as("arm"),
+        metricCol.cast("double").as("m"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"), avg("m").as("mu"), var_samp("m").as("v"))
+    val a = s.filter(col("arm") === 0)
+      .select(col("n").as("n_a"), col("mu").as("mu_a"), col("v").as("v_a"))
+    val b = s.filter(col("arm") === 1)
+      .select(col("n").as("n_b"), col("mu").as("mu_b"), col("v").as("v_b"))
+    val sa = col("v_a") / col("n_a")
+    val sb = col("v_b") / col("n_b")
+    val t = (col("mu_b") - col("mu_a")) / sqrt(sa + sb)
+    val dfW = pow(sa + sb, 2) /
+      (pow(sa, 2) / (col("n_a") - 1) + pow(sb, 2) / (col("n_b") - 1))
+    a.crossJoin(b)
+      .select(col("n_a"), col("n_b"),
+        round(col("mu_a"), 4).as("mean_a"),
+        round(col("mu_b"), 4).as("mean_b"),
+        round(col("mu_b") - col("mu_a"), 4).as("lift"),
+        round(t, 4).as("t"), round(dfW, 4).as("df"),
+        coalesce(abs(t) > 1.96, lit(false)).as("significant"))
+  }
+
+  /** Kruskal–Wallis H test — [[mannWhitney]] generalized to k arms:
+    * pooled midranks (ties averaged), per-arm rank sums, and
+    * `H = 12/(N(N+1)) · Σ R_g²/n_g − 3(N+1)` with the tie correction
+    * `H' = H / (1 − Σ(t³−t)/(N³−N))`. Output ONE row
+    * `(n, k_arms, h, h_tie, dof)`; `h_tie` is the corrected statistic
+    * to test against the chi-square dof = k−1 upper tail (the caller
+    * picks the critical value — the [[srmCheck]] convention). Null
+    * metrics drop; a pool where every value ties (correction
+    * denominator 0) nulls `h_tie`.
+    *
+    * Scale shape (the [[mannWhitney]] discipline one level up): the
+    * pool collapses to per-(value, arm) counted rows — one grouped
+    * pass touches the units; midranks come from the range-partitioned
+    * weighted prefix sum over the per-VALUE totals (no row-level
+    * global window); the per-arm rank sums and the single H row are
+    * |values·arms|- and |arms|-sized aggregations. */
+  def kruskalWallis(units: DataFrame, armCol: Column,
+      metricCol: Column): DataFrame = {
+    val s = units.select(armCol.cast("string").as("arm"),
+        metricCol.cast("double").as("m"))
+      .filter(col("m").isNotNull && col("arm").isNotNull)
+    val perValArm = s.groupBy("m", "arm").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true) // read twice: value totals + ranks
+    val perVal = perValArm.groupBy("m").agg(sum("c").as("t"))
+    val ranked = Suffix.withWeightedOffset(perVal, Seq(col("m")),
+        col("t"), "cb")
+      .select(col("m"), col("t"),
+        (col("cb") + (col("t") + 1) / lit(2.0)).as("midrank"))
+    val perArm = perValArm.join(ranked, "m")
+      .groupBy("arm")
+      .agg(sum("c").as("ng"), sum(col("c") * col("midrank")).as("rg"))
+    // tie terms in DOUBLE: t³ (and N³) overflow BIGINT past ~2.1M
+    // repeats of one value — a discrete metric at corpus scale gets
+    // there, and ANSI mode turns the overflow into a hard failure
+    val ties = ranked.agg(sum(pow(col("t"), 3) - col("t")).as("tie"))
+    perArm
+      .agg(sum("ng").as("nn"), count(lit(1)).as("k_arms"),
+        sum(col("rg") * col("rg") / col("ng")).as("rr"))
+      .crossJoin(broadcast(ties))
+      .select(col("nn"), col("k_arms"), col("rr"), col("tie"),
+        (lit(12.0) / (col("nn") * (col("nn") + lit(1.0))) * col("rr") -
+          lit(3.0) * (col("nn") + lit(1.0))).as("h0"),
+        (lit(1.0) - col("tie") /
+          (pow(col("nn"), 3) - col("nn"))).as("corr"))
+      .select(col("nn").as("n"), col("k_arms"),
+        round(col("h0"), 4).as("h"),
+        round(when(col("corr") > 0, col("h0") / col("corr")), 4)
+          .as("h_tie"),
+        (col("k_arms") - 1).as("dof"))
+  }
+
   /** Two-proportion z-test over per-unit binary outcomes — the
     * conversion-rate companion to [[abTest]]'s means test: `convCol`
     * must be 0/1 per unit (did the user purchase, click, retain).

@@ -69,34 +69,114 @@ object Graph {
     ranks
   }
 
-  /** Per-node triangle counts + local clustering coefficient over an
-    * undirected edge list (direction and duplicates are normalized
-    * away; self-loops drop). The community-density signal next to
-    * [[pageRank]]'s centrality: clustering ≈ 1 marks tight cliques
-    * (near-duplicate nests in a similarity graph), ≈ 0 marks hub spam.
+  /** Multi-source BFS distances over an undirected edge list — hop
+    * counts from a seed set, the graph-locality signal ("how far is
+    * this document from the trusted core?") and the standard crawl /
+    * contamination-spread radius query. Level-synchronous frontier
+    * expansion: round i joins the CURRENT frontier (only — not the
+    * whole visited set) to the adjacency, anti-joins what's already
+    * reached, and tags the new nodes with distance i. Stops at the
+    * first empty frontier or `maxDepth`, whichever is sooner.
+    * Output: `(id, dist)` for every node within reach — sources at 0.
     *
-    * Node-iterator with DEGREE ORIENTATION — the classic trick that
-    * bounds the wedge fan-out: each undirected edge orients from its
-    * lower-(degree, id) endpoint, so every node's oriented out-degree
-    * is O(√|E|) regardless of raw degree, and the wedge self-join
-    * (oriented ⋈ oriented on the shared source) never explodes on
-    * hubs. A wedge (a→b, a→c) closes iff the oriented edge b→c exists
-    * — one more equi-join — and each triangle is found exactly once
-    * (from its lowest-ordered corner). Per-corner counts then explode
-    * ×3 and join back to the degree table. Three shuffles total, all
-    * equi-joins on node ids; nothing quadratic in degree survives.
-    * Output: `(id, degree, triangles, clustering)` for every node of
-    * the graph, `clustering = 2·triangles / (degree·(degree−1))` at
-    * 4dp (0 for degree < 2).
+    * Scale shape: the adjacency is symmetrized + checkpointed ONCE and
+    * keeps its partitioning across rounds; per round one equi-join
+    * (frontier ⋈ edges), one anti-join (novelty vs the visited set) —
+    * both on node ids — and the visited/frontier frames checkpoint
+    * O(1)-deep. The frontier-empty test rides the checkpoint
+    * materialization. Rounds = graph diameter from the seeds, the
+    * BFS lower bound for any engine. */
+  def bfsDistances(edges: DataFrame, srcCol: Column, dstCol: Column,
+      sources: DataFrame, sourceIdCol: Column,
+      maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, "bfsDistances: maxDepth must be >= 0")
+    val raw = edges.select(srcCol.cast("long").as("s"),
+        dstCol.cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+    val adj = raw.unionAll(raw.select(col("t").as("s"), col("s").as("t")))
+      .distinct()
+      .localCheckpoint(true)
+    var visited = sources.select(sourceIdCol.cast("long").as("id"))
+      .distinct()
+      .select(col("id"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = visited.select(col("id"))
+    var depth = 0L
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && depth < maxDepth) {
+      depth += 1
+      val next = frontier.join(adj, col("id") === col("s"))
+        .select(col("t").as("id")).distinct()
+        .join(visited.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), lit(depth).as("dist"))
+        .localCheckpoint(true)
+      frontierSize = next.count()
+      visited = visited.unionAll(next).localCheckpoint(true)
+      frontier = next.select(col("id"))
+    }
+    visited
+  }
+
+  /** HITS hub/authority scores (Kleinberg 1999) over a DIRECTED edge
+    * list in deterministic integer micro-units — the bipartite-flavored
+    * complement to [[pageRank]]: authorities are pointed at by good
+    * hubs, hubs point at good authorities. Per iteration:
+    * `a_raw(v) = Σ_{u→v} h(u)`, then `a = a_raw·10⁶ div max(a_raw)`
+    * (max-normalization in integer division — engine-reproducible,
+    * unlike L2), and symmetrically for h. Output:
+    * `(id, hub_micro, auth_micro)` for every node, scores in
+    * [0, 10⁶], the per-side maximum pinned at exactly 10⁶.
     *
-    * `broadcastEdges`: resolve the closing-edge membership test with a
-    * BROADCAST semi-join instead of a shuffle. The wedge frame is the
-    * quadratic one (Σ outdeg² rows — it dwarfs the edge list on dense
-    * graphs); broadcasting the edge set keeps every wedge in the task
-    * that produced it (measured: 16.6 s → task time cut ~3× on the
-    * sf0.1 co-purchase graph). Right whenever the edge list fits the
-    * driver (bounded similarity graphs, co-occurrence graphs); leave
-    * false at web-graph scale, where the closing lookup must shuffle. */
+    * Scale shape (the [[pageRank]] discipline): the edge frame is
+    * checkpointed once; each iteration is two equi-joins moving only
+    * the |V|-sized score frame + two integer-sum aggregations; scores
+    * re-checkpoint per round so the plan stays O(1) deep. Overflow
+    * bound: `raw·10⁶` needs `max-degree · 10¹²  <  2⁶³` — max degree
+    * under ~9·10⁶, documented; past that renormalize in shifted units.
+    * Nodes with no in-edges (resp. out-edges) hold authority (hub) 0;
+    * mass never leaks because each side renormalizes to its own max. */
+  def hits(edges: DataFrame, srcCol: Column, dstCol: Column,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, "hits: need at least one iteration")
+    val e = edges.select(srcCol.cast("long").as("src"),
+        dstCol.cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    var scores = nodes.select(col("id"), lit(1000000L).as("h"),
+      lit(1000000L).as("a"))
+    for (_ <- 1 to iters) {
+      // authorities from hub mass along the edge direction
+      val aRaw = e.join(scores.select(col("id"), col("h")),
+          e("src") === col("id"))
+        .groupBy("dst").agg(sum("h").as("ar"))
+      val aTop = aRaw.agg(max("ar").as("am"))
+      val withA = nodes
+        .join(aRaw, nodes("id") === aRaw("dst"), "left")
+        .crossJoin(broadcast(aTop))
+        .select(nodes("id"),
+          coalesce(expr("ar * cast(1000000 as bigint) div am"), lit(0L)).as("a"))
+        .localCheckpoint(true)
+      // hubs from the fresh authority mass against the direction
+      val hRaw = e.join(withA.select(col("id"), col("a")),
+          e("dst") === col("id"))
+        .groupBy("src").agg(sum("a").as("hr"))
+      val hTop = hRaw.agg(max("hr").as("hm"))
+      scores = withA
+        .join(hRaw, withA("id") === hRaw("src"), "left")
+        .crossJoin(broadcast(hTop))
+        .select(withA("id"),
+          coalesce(expr("hr * cast(1000000 as bigint) div hm"), lit(0L)).as("h"),
+          col("a"))
+        .localCheckpoint(true)
+    }
+    scores.select(col("id"), col("h").as("hub_micro"),
+      col("a").as("auth_micro"))
+  }
+
   /** k-core decomposition membership: the maximal subgraph in which
     * every node keeps degree ≥ k — the standard "dense backbone"
     * extractor (spam nests and template farms in a similarity graph
@@ -150,6 +230,34 @@ object Graph {
       .select(col("id"), col("degree").as("core_degree"))
   }
 
+  /** Per-node triangle counts + local clustering coefficient over an
+    * undirected edge list (direction and duplicates are normalized
+    * away; self-loops drop). The community-density signal next to
+    * [[pageRank]]'s centrality: clustering ≈ 1 marks tight cliques
+    * (near-duplicate nests in a similarity graph), ≈ 0 marks hub spam.
+    *
+    * Node-iterator with DEGREE ORIENTATION — the classic trick that
+    * bounds the wedge fan-out: each undirected edge orients from its
+    * lower-(degree, id) endpoint, so every node's oriented out-degree
+    * is O(√|E|) regardless of raw degree, and the wedge self-join
+    * (oriented ⋈ oriented on the shared source) never explodes on
+    * hubs. A wedge (a→b, a→c) closes iff the oriented edge b→c exists
+    * — one more equi-join — and each triangle is found exactly once
+    * (from its lowest-ordered corner). Per-corner counts then explode
+    * ×3 and join back to the degree table. Three shuffles total, all
+    * equi-joins on node ids; nothing quadratic in degree survives.
+    * Output: `(id, degree, triangles, clustering)` for every node of
+    * the graph, `clustering = 2·triangles / (degree·(degree−1))` at
+    * 4dp (0 for degree < 2).
+    *
+    * `broadcastEdges`: resolve the closing-edge membership test with a
+    * BROADCAST semi-join instead of a shuffle. The wedge frame is the
+    * quadratic one (Σ outdeg² rows — it dwarfs the edge list on dense
+    * graphs); broadcasting the edge set keeps every wedge in the task
+    * that produced it (measured: 16.6 s → task time cut ~3× on the
+    * sf0.1 co-purchase graph). Right whenever the edge list fits the
+    * driver (bounded similarity graphs, co-occurrence graphs); leave
+    * false at web-graph scale, where the closing lookup must shuffle. */
   def triangleStats(edges: DataFrame, srcCol: Column,
       dstCol: Column, broadcastEdges: Boolean = false): DataFrame = {
     val raw = edges.select(srcCol.cast("long").as("a"),

@@ -689,6 +689,49 @@ object Temporal {
     * broadcasts it). Output: `(id, …keys, phase, value, trend,
     * seasonal, resid)` — trend/resid null at edges, seasonal null for
     * a (key, phase) whose every occurrence sits at an edge. */
+  /** Theil–Sen robust trend per key — the outlier-immune alternative
+    * to the `regr_slope` least-squares line (one wild day drags OLS;
+    * the MEDIAN of pairwise slopes has a 29% breakdown point):
+    * `slope = median over pairs x_i < x_j of (y_j − y_i)/(x_j − x_i)`,
+    * `intercept = median(y − slope·x)`. Pairs with equal x are
+    * excluded (their slope is undefined — the standard convention).
+    * Output: `(…keys, n, n_pairs, slope, intercept)` (4dp; keys with
+    * < 2 distinct x values emit null slope/intercept).
+    *
+    * Scale shape: the pairwise fan-out is per-KEY quadratic —
+    * `|series|²/2` rows — so per-key series must be bounded
+    * (pre-aggregate to daily/hourly grain upstream; the
+    * [[Experiment.funnelLatency]] bounded-self-join stance). Both
+    * medians are exact interpolated percentiles inside per-key aggs;
+    * nothing global sorts. */
+  def theilSen(df: DataFrame, keys: Seq[String], xCol: Column,
+      yCol: Column): DataFrame = {
+    val keyCols = keys.map(col)
+    val base = df.select(keyCols :+ xCol.cast("double").as("x") :+
+        yCol.cast("double").as("y"): _*)
+      .localCheckpoint(eager = true) // read 3×: both pair sides + resid
+    val a = base.select(keyCols :+ col("x").as("xa") :+
+      col("y").as("ya"): _*)
+    val b = base.select(keyCols :+ col("x").as("xb") :+
+      col("y").as("yb"): _*)
+    val slopes = a.join(b, keys)
+      .filter(col("xa") < col("xb"))
+      .select(keyCols :+ ((col("yb") - col("ya")) /
+        (col("xb") - col("xa"))).as("sl"): _*)
+      .groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(sl, 0.5d)").as("__slope"))
+    base.join(slopes, keys, "left")
+      .groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n"), first(col("n_pairs")).as("np"),
+        first(col("__slope")).as("__s"),
+        expr("percentile(y - __slope * x, 0.5d)").as("__i"))
+      .select(keyCols ++ Seq(col("n"),
+        coalesce(col("np"), lit(0L)).as("n_pairs"),
+        round(col("__s"), 4).as("slope"),
+        round(col("__i"), 4).as("intercept")): _*)
+  }
+
   /** Sample autocorrelation function per key — the periodicity /
     * short-memory diagnostic run before picking [[seasonalDecompose]]'s
     * period or trusting [[ewmaSmooth]]'s half-life: for each lag

@@ -2816,6 +2816,96 @@ object OpsQueries {
             .as("w"))
       graft.ops.Scale.kmvSetOps(tk, col("source"), col("w"), k = 32)
         .orderBy("src_a", "src_b")
+    }),
+    "q301_welch_ttest" -> ((s, d) => {
+      // means test with honest degrees of freedom: Welch t + W-S df
+      // over per-user averages — one partial-agg corpus pass
+      val units = ev(s, d).groupBy("user_id")
+        .agg(avg("value").as("m"))
+        .select((col("user_id") % 2).cast("int").as("arm"), col("m"))
+      graft.ops.Experiment.welchTTest(units, col("arm"), col("m"))
+    }),
+    "q302_kruskal_wallis" -> ((s, d) => {
+      // 3-arm nonparametric test: pooled midranks from the weighted
+      // prefix sum, per-arm rank sums, tie-corrected H
+      val units = ev(s, d).groupBy("user_id")
+        .agg(sum("value").as("m"))
+        .select((col("user_id") % 3).cast("string").as("arm"), col("m"))
+      graft.ops.Experiment.kruskalWallis(units, col("arm"), col("m"))
+    }),
+    "q303_bfs" -> ((s, d) => {
+      // hop distances from a seed part set over the co-purchase graph:
+      // level-synchronous frontier joins, visited set O(1)-deep
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      val seeds = t(s, d, "part")
+        .filter(col("p_partkey") % 997 === 0)
+        .select(col("p_partkey"))
+      graft.ops.Graph.bfsDistances(e, col("a"), col("b"),
+          seeds, col("p_partkey"), maxDepth = 6)
+        .orderBy("id")
+    }),
+    "q304_hits" -> ((s, d) => {
+      // hubs/authorities on the directed supplier→part supply graph
+      // (suppliers offset out of the part id space): deterministic
+      // integer max-normalized iterations, oracle replays them exactly
+      val e = t(s, d, "lineitem")
+        .select((col("l_suppkey") + lit(1000000000L)).as("s"),
+          col("l_partkey").as("p"))
+      graft.ops.Graph.hits(e, col("s"), col("p"), iters = 3)
+        .orderBy("id")
+    }),
+    "q305_theil_sen" -> ((s, d) => {
+      // robust daily-volume trend per type: median pairwise slope over
+      // the bounded per-key series — outliers can't drag it
+      val series = ev(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum("value").as("v"))
+        .select(col("event_type"),
+          datediff(col("day"), to_date(lit("1970-01-01")))
+            .cast("double").as("x"), col("v"))
+      graft.ops.Temporal.theilSen(series, Seq("event_type"), col("x"),
+          col("v"))
+        .orderBy("event_type")
+    }),
+    "q306_textrank" -> ((s, d) => {
+      // TextRank keyphrases: adjacent-word co-occurrence edges (words
+      // as md5-60-bit ids — engine-portable), symmetrized, 3 PageRank
+      // iterations, top-20 words; the whole composition stays on the
+      // verified integer iteration kernel
+      val toks = t(s, d, "documents")
+        .filter(col("doc_id") % 7 === 0)
+        .select(array_remove(split(trim(col("text")), "\\s+"), "")
+          .as("tk"))
+        .filter(size(col("tk")) >= 2)
+      val pairs = toks.select(explode(arrays_zip(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1))).as("z"))
+        .select(col("z.0").as("w1"), col("z.1").as("w2"))
+        .filter(col("w1") =!= col("w2"))
+      val edges = pairs
+        .select(graft.expr.PortableHash.hex15Col(col("w1")).as("src"),
+          graft.expr.PortableHash.hex15Col(col("w2")).as("dst"))
+        .unionAll(pairs
+          .select(graft.expr.PortableHash.hex15Col(col("w2")).as("src"),
+            graft.expr.PortableHash.hex15Col(col("w1")).as("dst")))
+        .distinct()
+      val words = t(s, d, "documents")
+        .filter(col("doc_id") % 7 === 0)
+        .select(explode(array_remove(split(trim(col("text")), "\\s+"), ""))
+          .as("w"))
+        .select(graft.expr.PortableHash.hex15Col(col("w")).as("id"),
+          col("w"))
+        .distinct()
+      graft.ops.Graph.pageRank(edges, col("src"), col("dst"), iters = 3)
+        .join(words, "id")
+        .select(col("w").as("word"), col("rank_micro"))
+        .orderBy(desc("rank_micro"), asc("word"))
+        .limit(20)
     })
   )
 
@@ -2842,6 +2932,105 @@ object OpsQueries {
          SELECT id, count(*) AS core_degree FROM (
            SELECT a AS id FROM e$rounds UNION ALL SELECT b FROM e$rounds)
          GROUP BY id HAVING count(*) >= $k ORDER BY id"""
+  }
+
+  /** The q303 oracle: `rounds` unrolled level-synchronous BFS frontier
+    * expansions (SQL has no loop; running exactly `maxDepth` rounds
+    * equals the early-exiting Spark loop — an empty frontier stays
+    * empty). */
+  private def bfsOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""f$i AS MATERIALIZED (SELECT DISTINCT adj.t AS id FROM adj
+           WHERE adj.s IN (SELECT id FROM f${i - 1})
+             AND adj.t NOT IN (SELECT id FROM v${i - 1})),
+         v$i AS MATERIALIZED (SELECT id, dist FROM v${i - 1}
+           UNION ALL SELECT id, $i AS dist FROM f$i)"""
+    }.mkString(",\n         ")
+    s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+               WHERE l_orderkey % 5 = 0),
+         e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+                FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+         adj AS (SELECT a AS s, b AS t FROM e0
+                 UNION SELECT b, a FROM e0),
+         v0 AS (SELECT DISTINCT p_partkey AS id, CAST(0 AS BIGINT) AS dist
+                FROM part WHERE p_partkey % 997 = 0),
+         f0 AS (SELECT id FROM v0),
+         $steps
+         SELECT id, dist FROM v$rounds ORDER BY id"""
+  }
+
+  /** The q304 oracle: `iters` unrolled HITS rounds with integer
+    * max-normalization (`//` is non-negative here, so it equals
+    * Spark's `div`) — the q164 PageRank pattern with two half-steps
+    * per iteration. */
+  private def hitsOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""ar$i AS (SELECT e.dst, sum(h.h) AS ar FROM e
+             JOIN hs${i - 1} h ON h.id = e.src GROUP BY e.dst),
+         am$i AS (SELECT max(ar) AS am FROM ar$i),
+         aa$i AS (SELECT n.id,
+             CAST(coalesce(s.ar * 1000000 // t.am, 0) AS BIGINT) AS a
+           FROM nodes n LEFT JOIN ar$i s ON n.id = s.dst CROSS JOIN am$i t),
+         hr$i AS (SELECT e.src, sum(a.a) AS hr FROM e
+             JOIN aa$i a ON a.id = e.dst GROUP BY e.src),
+         hm$i AS (SELECT max(hr) AS hm FROM hr$i),
+         hs$i AS (SELECT n.id,
+             CAST(coalesce(s.hr * 1000000 // t.hm, 0) AS BIGINT) AS h,
+             a.a AS a
+           FROM nodes n LEFT JOIN hr$i s ON n.id = s.src
+           JOIN aa$i a ON a.id = n.id CROSS JOIN hm$i t)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT DISTINCT l_suppkey + 1000000000 AS src,
+               l_partkey AS dst
+             FROM lineitem WHERE l_suppkey + 1000000000 <> l_partkey),
+         nodes AS (SELECT DISTINCT id FROM (
+             SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         hs0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h,
+                   CAST(1000000 AS BIGINT) AS a FROM nodes),
+         $steps
+         SELECT id, h AS hub_micro, a AS auth_micro FROM hs$iters
+         ORDER BY id"""
+  }
+
+  /** The q306 oracle: the q164 unrolled integer PageRank over the
+    * adjacent-word co-occurrence graph, words keyed by the portable
+    * md5-60-bit id. */
+  private def textrankOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""s$i AS (SELECT e.dst, sum(r.r // d.outdeg) AS s
+               FROM e JOIN deg d USING (src) JOIN r${i - 1} r ON r.id = e.src
+               GROUP BY e.dst),
+         r$i AS (SELECT n.id,
+                   CAST(150000 + coalesce(s.s, 0) * 85 // 100 AS BIGINT) AS r
+                 FROM nodes n LEFT JOIN s$i s ON n.id = s.dst)"""
+    }.mkString(",\n         ")
+    s"""WITH toks AS (
+           SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x <> '') AS tk
+           FROM documents WHERE doc_id % 7 = 0),
+         tl AS (SELECT tk FROM toks WHERE len(tk) >= 2),
+         pr AS (SELECT tk[i] AS w1, tk[i + 1] AS w2, tk
+                FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM tl)),
+         pw AS (SELECT w1, w2 FROM pr WHERE w1 <> w2),
+         e AS (SELECT DISTINCT CAST('0x' || substr(md5(w1), 1, 15) AS BIGINT)
+                   AS src,
+                 CAST('0x' || substr(md5(w2), 1, 15) AS BIGINT) AS dst
+               FROM (SELECT w1, w2 FROM pw
+                     UNION ALL SELECT w2, w1 FROM pw)),
+         deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         nodes AS (SELECT DISTINCT id FROM (
+             SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         $iterCtes,
+         words AS (SELECT DISTINCT
+             CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS id, w
+           FROM (SELECT unnest(list_filter(
+                   string_split_regex(trim(text), '\\s+'), x -> x <> ''))
+                   AS w
+                 FROM documents WHERE doc_id % 7 = 0))
+         SELECT w.w AS word, r.r AS rank_micro
+         FROM r$iters r JOIN words w USING (id)
+         ORDER BY rank_micro DESC, word LIMIT 20"""
   }
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -7471,6 +7660,86 @@ object OpsQueries {
                ELSE (31 * 1152921504606846976.0) / CAST(kth AS DOUBLE)
                END, 4) AS intersect_est
          FROM agg ORDER BY src_a, src_b""",
+
+    "q301_welch_ttest" ->
+      """WITH u AS (SELECT CAST(user_id % 2 AS INT) AS arm,
+                 avg(value) AS m
+               FROM events GROUP BY user_id),
+         s AS (SELECT arm, count(*) AS n, avg(m) AS mu,
+                 var_samp(m) AS v
+               FROM u GROUP BY arm),
+         m AS (SELECT a.n AS n_a, a.mu AS mu_a, a.v AS v_a,
+                 b.n AS n_b, b.mu AS mu_b, b.v AS v_b
+               FROM (SELECT * FROM s WHERE arm = 0) a,
+                    (SELECT * FROM s WHERE arm = 1) b)
+         SELECT n_a, n_b, round(mu_a, 4) AS mean_a,
+           round(mu_b, 4) AS mean_b, round(mu_b - mu_a, 4) AS lift,
+           round((mu_b - mu_a) / sqrt(v_a / n_a + v_b / n_b), 4) AS t,
+           round(pow(v_a / n_a + v_b / n_b, 2) /
+             (pow(v_a / n_a, 2) / (n_a - 1) +
+              pow(v_b / n_b, 2) / (n_b - 1)), 4) AS df,
+           coalesce(abs((mu_b - mu_a) / sqrt(v_a / n_a + v_b / n_b))
+             > 1.96, false) AS significant
+         FROM m""",
+
+    "q302_kruskal_wallis" ->
+      """WITH u AS (SELECT CAST(user_id % 3 AS VARCHAR) AS arm,
+                 sum(value) AS m
+               FROM events GROUP BY user_id),
+         pva AS (SELECT m, arm, count(*) AS c FROM u GROUP BY 1, 2),
+         pv AS (SELECT m, CAST(sum(c) AS BIGINT) AS t
+                FROM pva GROUP BY m),
+         r AS (SELECT m, t,
+                 coalesce(sum(t) OVER (ORDER BY m
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + (t + 1) / 2.0 AS midrank
+               FROM pv),
+         pa AS (SELECT arm, CAST(sum(c) AS BIGINT) AS ng,
+                  sum(c * r.midrank) AS rg
+                FROM pva JOIN r USING (m) GROUP BY arm),
+         tt AS (SELECT sum(pow(t, 3) - t) AS tie FROM r),
+         ag AS (SELECT CAST(sum(ng) AS BIGINT) AS nn,
+                  count(*) AS k_arms, sum(rg * rg / ng) AS rr
+                FROM pa)
+         SELECT nn AS n, k_arms,
+           round(12.0 / (nn * (nn + 1.0)) * rr - 3.0 * (nn + 1.0), 4)
+             AS h,
+           round(CASE WHEN (1.0 - tie / (pow(nn, 3) - nn)) > 0 THEN
+             (12.0 / (nn * (nn + 1.0)) * rr - 3.0 * (nn + 1.0)) /
+             (1.0 - tie / (pow(nn, 3) - nn)) END, 4) AS h_tie,
+           k_arms - 1 AS dof
+         FROM ag, tt""",
+
+    "q303_bfs" -> bfsOracle(rounds = 6),
+
+    "q304_hits" -> hitsOracle(iters = 3),
+
+    "q305_theil_sen" ->
+      """WITH sday AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                 sum(value) AS v
+               FROM events GROUP BY 1, 2),
+         b AS (SELECT event_type,
+                 CAST(date_diff('day', DATE '1970-01-01', day) AS DOUBLE)
+                   AS x, v AS y
+               FROM sday),
+         sl AS (SELECT a.event_type,
+                  (b2.y - a.y) / (b2.x - a.x) AS sl
+                FROM b a JOIN b b2 ON a.event_type = b2.event_type
+                  AND a.x < b2.x),
+         sm AS (SELECT event_type, count(*) AS n_pairs,
+                  quantile_cont(sl, 0.5) AS slope
+                FROM sl GROUP BY event_type),
+         fin AS (SELECT b.event_type, count(*) AS n,
+                   any_value(sm.n_pairs) AS n_pairs,
+                   any_value(sm.slope) AS s,
+                   quantile_cont(b.y - sm.slope * b.x, 0.5) AS i
+                 FROM b JOIN sm USING (event_type)
+                 GROUP BY b.event_type)
+         SELECT event_type, n, n_pairs, round(s, 4) AS slope,
+           round(i, 4) AS intercept
+         FROM fin ORDER BY event_type""",
+
+    "q306_textrank" -> textrankOracle(iters = 3),
 
     "q269_sessions" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, value AS v,

@@ -112,6 +112,44 @@ object ScaleRehearsal {
       }
     }
 
+    // scaled co-purchase EDGE corpus for the iterative graph families:
+    // replica r offsets BOTH part and order ids by 10M, so each replica
+    // is a disconnected isomorphic copy — peel rounds / BFS diameter /
+    // HITS spectra stay constant while edge volume scales ×N, which is
+    // exactly the per-round-throughput question. The pair expansion is
+    // paid once at corpus build, not inside the measured family.
+    def edgesPath(n: Int) = s"$work/g$n/edges.parquet"
+    val baseLi = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_orderkey") % 3 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    for (n <- scales) {
+      val path = edgesPath(n)
+      if (!new java.io.File(path).exists()) {
+        val li = (0 until n).map { r =>
+          baseLi.select((col("o") + lit(r * 10000000L)).as("o"),
+            (col("p") + lit(r * 10000000L)).as("p"))
+        }.reduce(_ unionByName _)
+        li.as("x").join(li.as("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("a"), col("y.p").as("b"))
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(path)
+      }
+    }
+
+    val graphFamilies: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "q298_kcore" -> (e =>
+        graft.ops.Graph.kCore(e, col("a"), col("b"), k = 12)),
+      "q303_bfs" -> { e =>
+        val seeds = e.select(col("a").as("id"))
+          .unionAll(e.select(col("b").as("id")))
+          .distinct().filter(col("id") % 997 === 0)
+        graft.ops.Graph.bfsDistances(e, col("a"), col("b"), seeds,
+          col("id"), maxDepth = 6)
+      },
+      "q304_hits" -> (e =>
+        graft.ops.Graph.hits(e, col("a"), col("b"), iters = 3)))
+
     val eventFamilies: Seq[(String, DataFrame => DataFrame)] = Seq(
       "q229_asof_join" -> { ev =>
         val clicks = ev.filter(col("event_type") === "click")
@@ -203,15 +241,19 @@ object ScaleRehearsal {
 
     val selectedEv = eventFamilies.filter { case (n, _) =>
       only.forall(f => f.exists(n.contains)) }
+    val selectedG = graphFamilies.filter { case (n, _) =>
+      only.forall(f => f.exists(n.contains)) }
 
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[Int, Double]]
     for (n <- scales) {
       val docs = spark.read.parquet(corpusPath(n))
       val ev = spark.read.parquet(eventsPath(n))
+      val ge = spark.read.parquet(edgesPath(n))
       for ((name, fn) <- selected.map { case (nm, f) =>
              (nm, () => f(docs)) } ++
-           selectedEv.map { case (nm, f) => (nm, () => f(ev)) }) {
+           selectedEv.map { case (nm, f) => (nm, () => f(ev)) } ++
+           selectedG.map { case (nm, f) => (nm, () => f(ge)) }) {
         val t = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           fn().queryExecution.toRdd.count()
