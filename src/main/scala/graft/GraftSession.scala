@@ -504,4 +504,127 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
     import org.apache.spark.sql.functions.col
     graft.ops.Experiment.mannWhitney(units, col(armCol), col(metricCol))
   }
+
+  /** [[graft.ops.Experiment.welchTTest]] with name-based columns: the
+    * means test with the honest effective df. */
+  def welchTTest(units: DataFrame, armCol: String,
+      metricCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.welchTTest(units, col(armCol), col(metricCol))
+  }
+
+  /** [[graft.ops.Experiment.proportionTest]] with name-based columns:
+    * the two-arm conversion-rate z. */
+  def proportionTest(units: DataFrame, armCol: String,
+      convCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.proportionTest(units, col(armCol), col(convCol))
+  }
+
+  /** [[graft.ops.Experiment.kruskalWallis]] with name-based columns:
+    * the k-arm rank test. */
+  def kruskalWallis(units: DataFrame, armCol: String,
+      metricCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.kruskalWallis(units, col(armCol), col(metricCol))
+  }
+
+  /** [[graft.ops.Experiment.chiSquareIndependence]] with name-based
+    * columns: categorical independence + Cramér's V. */
+  def chiSquareIndependence(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.chiSquareIndependence(df, col(aCol), col(bCol))
+  }
+
+  /** [[graft.ops.Temporal.autocorrelation]] with name-based columns:
+    * the per-key ACF at lags 1..maxLag. */
+  def autocorrelation(df: DataFrame, idCol: String, keys: Seq[String],
+      timeCol: String, valCol: String, maxLag: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Temporal.autocorrelation(df, col(idCol), keys, col(timeCol),
+      col(valCol), maxLag)
+  }
+
+  /** [[graft.ops.Temporal.cusumChangepoint]] with name-based columns:
+    * the per-key mean-shift detector. */
+  def cusumChangepoint(df: DataFrame, idCol: String, keys: Seq[String],
+      timeCol: String, valCol: String, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Temporal.cusumChangepoint(df, col(idCol), keys, col(timeCol),
+      col(valCol), threshold)
+  }
+
+  /** [[graft.ops.Temporal.theilSen]] with name-based columns: the
+    * robust per-key trend over a bounded series. */
+  def theilSen(df: DataFrame, keys: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Temporal.theilSen(df, keys, col(xCol), col(yCol))
+  }
+
+  /** Typed [[graft.ops.Keyword.postingLists]] inverted-index catalog. */
+  def postingLists(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Int, cap: Int): Dataset[graft.model.PostingEntry] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.ops.Keyword.postingLists(docs, col(idCol), col(textCol),
+        minDf, cap)
+      .as[graft.model.PostingEntry]
+  }
+
+  /** Typed [[graft.ops.Graph.kCore]] dense-backbone membership. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int): Dataset[graft.model.CoreNode] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.ops.Graph.kCore(edges, col(srcCol), col(dstCol), k)
+      .as[graft.model.CoreNode]
+  }
+
+  /** Typed [[graft.ops.Graph.bfsDistances]] hop counts from a seed
+    * frame. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, sourceIdCol: String,
+      maxDepth: Int): Dataset[graft.model.HopDistance] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.ops.Graph.bfsDistances(edges, col(srcCol), col(dstCol), sources,
+        col(sourceIdCol), maxDepth)
+      .as[graft.model.HopDistance]
+  }
+
+  /** Typed [[graft.ops.Graph.hits]] hub/authority scores. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3): Dataset[graft.model.HitsScore] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.ops.Graph.hits(edges, col(srcCol), col(dstCol), iters)
+      .as[graft.model.HitsScore]
+  }
+
+  /** [[graft.ops.Curation.systematicSample]] with name-based sort
+    * columns: the evenly-spread audit sample. */
+  def systematicSample(df: DataFrame, sortCols: Seq[String], step: Int,
+      offset: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Curation.systematicSample(df, sortCols.map(col), step, offset)
+  }
+
+  /** [[graft.ops.Scale.kmvSetOps]] with name-based columns: pairwise
+    * union/Jaccard/intersection estimates from k-min sketches. */
+  def kmvSetOps(df: DataFrame, groupCol: String, valCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Scale.kmvSetOps(df, col(groupCol), col(valCol), k)
+  }
+
+  /** [[graft.ops.Ann.pcaProject]] with name-based columns: projection
+    * onto the top principal directions (fixed-sweep power iteration). */
+  def pcaProject(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nComponents: Int = 2, sweeps: Int = 40): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Ann.pcaProject(emb, col(idCol), col(vecCol), dim,
+      nComponents, sweeps)
+  }
 }

@@ -172,3 +172,18 @@ final case class HoltState(k: Long, n: Long, level: Double, trend: Double,
 /** One maximal repeated token run ([[graft.ops.Suffix.maximalRepeats]]). */
 final case class MaximalRepeat(len: Long, gram: String, n_occ: Long,
     n_left: Long, n_right: Long)
+
+/** One inverted-index posting entry
+  * ([[graft.ops.Keyword.postingLists]]). */
+final case class PostingEntry(term: String, df: Long, tf_total: Long,
+    postings: Seq[Long])
+
+/** One k-core member with its in-core degree ([[graft.ops.Graph.kCore]]). */
+final case class CoreNode(id: Long, core_degree: Long)
+
+/** One BFS hop distance from the seed set
+  * ([[graft.ops.Graph.bfsDistances]]). */
+final case class HopDistance(id: Long, dist: Long)
+
+/** One HITS hub/authority score pair ([[graft.ops.Graph.hits]]). */
+final case class HitsScore(id: Long, hub_micro: Long, auth_micro: Long)

@@ -528,6 +528,109 @@ object Ann {
       .toDF("id", "v")
   }
 
+  /** PCA projection onto the top `nComponents` principal directions —
+    * the data-dependent dimensionality reduction next to the
+    * data-oblivious JL projection and the truncation-style Matryoshka
+    * cut: embeddings project onto the directions of maximal variance,
+    * the 2-D map / drift-chart / cheap-prefilter standard.
+    *
+    * The components come from FIXED-SWEEP POWER ITERATION with
+    * deflation, NOT a black-box eigensolver: `v₀ = 1/√d`, `sweeps`
+    * rounds of `v ← Cv / ‖Cv‖`, `λ = vᵀCv`, then `C ← C − λvvᵀ` and
+    * repeat. Deterministic replayable arithmetic is the point — the
+    * DuckDB oracle reruns the identical sweeps from the identical
+    * start, so parity never depends on convergence or on matching an
+    * engine-internal eigen routine (the [[whiten]] decomposition can
+    * only be spec-checked; this path is oracle-checked end to end).
+    * Sample covariance is PSD, so the iterate's sign is itself
+    * deterministic. Convergence to the true component needs a spectral
+    * gap (`(λ₂/λ₁)^sweeps` error — the planted-direction spec pins
+    * it); with no gap the output is still a well-defined deterministic
+    * basis of the top eigenspace.
+    *
+    * Scale shape: statistics via the one-pass zero-exchange
+    * [[coMoments]]; the d×d sweeps run on the driver (d² doubles);
+    * the projection broadcasts `nComponents·d + d` doubles and applies
+    * row-locally — no shuffle anywhere. Output:
+    * `(id, pc1 … pcN)` (4dp). */
+  def pcaProject(emb: DataFrame, idCol: Column, vecCol: Column, dim: Int,
+      nComponents: Int = 2, sweeps: Int = 40): DataFrame = {
+    require(nComponents >= 1 && nComponents <= dim,
+      "pcaProject: 1 <= nComponents <= dim")
+    require(sweeps >= 1, "pcaProject: sweeps >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (n, sx, sxy) = coMoments(emb, vecCol, dim)
+    require(n >= 2, "pca needs at least 2 rows")
+    val mean = sx.map(_ / n)
+    val c = Array.tabulate(dim, dim) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      (sxy(a)(b) - sx(a) * sx(b) / n) / (n - 1)
+    }
+    def matvec(m: Array[Array[Double]], v: Array[Double]): Array[Double] = {
+      val out = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var s = 0.0
+        var j = 0
+        while (j < dim) { s += m(i)(j) * v(j); j += 1 }
+        out(i) = s
+        i += 1
+      }
+      out
+    }
+    val comps = Array.ofDim[Double](nComponents, dim)
+    for (k <- 0 until nComponents) {
+      var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+      for (_ <- 1 to sweeps) {
+        val w = matvec(c, v)
+        val nor = math.sqrt(w.map(x => x * x).sum)
+        v = if (nor > 0) w.map(_ / nor) else w
+      }
+      val cv = matvec(c, v)
+      var lambda = 0.0
+      var i = 0
+      while (i < dim) { lambda += v(i) * cv(i); i += 1 }
+      comps(k) = v
+      i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { c(i)(j) -= lambda * v(i) * v(j); j += 1 }
+        i += 1
+      }
+    }
+    val bcC = spark.sparkContext.broadcast(comps)
+    val bcMean = spark.sparkContext.broadcast(mean)
+    val nc = nComponents
+    val projected = emb
+      .select(idCol.cast("long").as("id"),
+        vecCol.cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { rows =>
+        val cs = bcC.value
+        val mu = bcMean.value
+        rows.map { case (id, v) =>
+          val pcs = new Array[Double](nc)
+          var k = 0
+          while (k < nc) {
+            var s = 0.0
+            var i = 0
+            while (i < mu.length) { s += (v(i) - mu(i)) * cs(k)(i); i += 1 }
+            pcs(k) = s
+            k += 1
+          }
+          (id, pcs.toSeq)
+        }
+      }
+      .toDF("id", "pcs")
+    // + 0.0 canonicalizes IEEE negative zero (round(-1e-9, 4) = -0.0,
+    // which engines PRINT differently while comparing equal)
+    projected.select(col("id") +:
+      (0 until nc).map(k =>
+        (round(element_at(col("pcs"), k + 1), 4) + lit(0.0))
+          .as(s"pc${k + 1}")): _*)
+  }
+
   /** EXACT k-nearest-neighbor graph: `(id, rnk, nbr, sim)` — each
     * vector's top `k` neighbors by 4dp-rounded cosine (ties → lowest
     * neighbor id), ranked through the bounded [[TopK]] aggregator so no

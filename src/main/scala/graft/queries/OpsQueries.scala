@@ -2906,7 +2906,15 @@ object OpsQueries {
         .select(col("w").as("word"), col("rank_micro"))
         .orderBy(desc("rank_micro"), asc("word"))
         .limit(20)
-    })
+    }),
+    "q307_pca_project" -> ((s, d) =>
+      // top-2 principal directions by fixed-sweep power iteration with
+      // deflation — the oracle replays the identical sweeps, so parity
+      // never hangs on convergence or an engine-internal eigensolver;
+      // stats via the zero-exchange co-moment pass, projection row-local
+      graft.ops.Ann.pcaProject(t(s, d, "embeddings"), col("vec_id"),
+          col("embedding"), dim = 64, nComponents = 2, sweeps = 30)
+        .orderBy("id"))
   )
 
   /** The q298 oracle: `rounds` unrolled peel passes of the k-core
@@ -3031,6 +3039,60 @@ object OpsQueries {
          SELECT w.w AS word, r.r AS rank_micro
          FROM r$iters r JOIN words w USING (id)
          ORDER BY rank_micro DESC, word LIMIT 20"""
+  }
+
+  /** The q307 oracle: sample covariance from the raw co-moment sums,
+    * then `sweeps` unrolled power-iteration rounds per component with
+    * deflation between them — the q271/q164 replay stance applied to
+    * linear algebra. `a*` CTEs are component-1 iterates, `b*`
+    * component-2; both start from the same deterministic `1/√d`. */
+  private def pcaOracle(dim: Int, sweeps: Int): String = {
+    // every sweep CTE MATERIALIZED: un-materialized chains INLINE, and
+    // each sweep references its predecessor twice (the mat-vec and the
+    // norm), so the plan tree doubles per sweep — 2^30 nodes by the
+    // last one (the q271 Jacobi-sweep lesson)
+    def sweepCtes(p: String, cm: String): String =
+      (1 to sweeps).map { s =>
+        s"""w$p$s AS MATERIALIZED (SELECT c.i, sum(c.v * p.val) AS val
+             FROM $cm c JOIN $p${s - 1} p ON p.i = c.j GROUP BY c.i),
+         $p$s AS MATERIALIZED (SELECT w.i, w.val / q.nrm AS val
+             FROM w$p$s w,
+             (SELECT sqrt(sum(val * val)) AS nrm FROM w$p$s) q)"""
+      }.mkString(",\n         ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+               AS x,
+             unnest(range(0, len(embedding))) AS i
+           FROM embeddings),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+         sx AS MATERIALIZED (SELECT i, sum(x) AS s FROM e GROUP BY i),
+         sxy AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS s
+                 FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2),
+         c0 AS MATERIALIZED (SELECT sxy.i, sxy.j,
+             (sxy.s - sa.s * sb.s / nn.n) / (nn.n - 1) AS v
+           FROM sxy JOIN sx sa ON sa.i = sxy.i
+           JOIN sx sb ON sb.i = sxy.j CROSS JOIN nn),
+         mu AS (SELECT i, s / n AS m FROM sx CROSS JOIN nn),
+         a0 AS (SELECT i, 1.0 / sqrt(${dim}.0) AS val FROM sx),
+         ${sweepCtes("a", "c0")},
+         cv1 AS (SELECT c.i, sum(c.v * p.val) AS val FROM c0 c
+                 JOIN a$sweeps p ON p.i = c.j GROUP BY c.i),
+         l1 AS (SELECT sum(p.val * cv.val) AS lam
+                FROM a$sweeps p JOIN cv1 cv USING (i)),
+         c1 AS MATERIALIZED (SELECT c.i, c.j,
+             c.v - l1.lam * pi.val * pj.val AS v
+           FROM c0 c JOIN a$sweeps pi ON pi.i = c.i
+           JOIN a$sweeps pj ON pj.i = c.j CROSS JOIN l1),
+         b0 AS (SELECT i, 1.0 / sqrt(${dim}.0) AS val FROM sx),
+         ${sweepCtes("b", "c1")},
+         proj AS (SELECT e.vec_id AS id,
+             sum((e.x - mu.m) * pa.val) AS pc1,
+             sum((e.x - mu.m) * pb.val) AS pc2
+           FROM e JOIN mu USING (i)
+           JOIN a$sweeps pa USING (i) JOIN b$sweeps pb USING (i)
+           GROUP BY e.vec_id)
+         SELECT id, round(pc1, 4) + 0.0 AS pc1, round(pc2, 4) + 0.0 AS pc2
+         FROM proj ORDER BY id"""
   }
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -7740,6 +7802,8 @@ object OpsQueries {
          FROM fin ORDER BY event_type""",
 
     "q306_textrank" -> textrankOracle(iters = 3),
+
+    "q307_pca_project" -> pcaOracle(dim = 64, sweeps = 30),
 
     "q269_sessions" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, value AS v,

@@ -339,6 +339,57 @@ object StreamingOps {
     }
   }
 
+  final case class PostingState(df: Long, tf: Long, postings: Seq[Long])
+  final case class PostingRow(term: String, df: Long, tf_total: Long,
+      postings: Seq[Long])
+
+  /** Streaming twin of [[graft.ops.Keyword.postingLists]] — inverted-
+    * index maintenance, the classic streaming-ingest job: per term the
+    * state is `(df, tf_total, min-cap posting ids)` — bounded by `cap`
+    * longs regardless of how hot the term is, and the min-k posting
+    * set is MERGEABLE (k smallest of a union = k smallest of the
+    * per-batch k-smallest), so arrival order never changes the final
+    * index. Each batch's token occurrences key by term; per-batch
+    * distinct docs advance df (each document is assumed to arrive
+    * ONCE, whole — the ingest convention every streaming twin here
+    * shares; re-fed docs would double-count df exactly as they would
+    * re-run any batch pipeline). Emits the term's current row per
+    * batch in update mode; the last emission per term equals the
+    * batch op over everything fed (the parity spec), with `minDf`
+    * left to the reader — a stream can't know a term's final df.
+    * Input columns: `id LONG, text STRING`. */
+  def streamingPostingLists(docs: DataFrame,
+      cap: Int): org.apache.spark.sql.Dataset[PostingRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(cap >= 1, "streamingPostingLists: cap >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val occ = docs
+      .select(col("id").cast("long").as("id"),
+        explode(array_remove(split(trim(col("text")), "\\s+"), ""))
+          .as("term"))
+      .as[(Long, String)]
+    occ.groupByKey(_._2).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (term: String, rows: Iterator[(Long, String)],
+       state: GroupState[PostingState]) =>
+        val prev = state.getOption.getOrElse(PostingState(0L, 0L, Seq.empty))
+        val batchDocs = scala.collection.mutable.HashMap.empty[Long, Long]
+        rows.foreach { case (id, _) =>
+          batchDocs(id) = batchDocs.getOrElse(id, 0L) + 1L
+        }
+        val posts = scala.collection.mutable.TreeSet[Long](prev.postings: _*)
+        batchDocs.keysIterator.foreach { id =>
+          posts += id
+          if (posts.size > cap) posts -= posts.last
+        }
+        val next = PostingState(prev.df + batchDocs.size,
+          prev.tf + batchDocs.valuesIterator.sum, posts.toSeq)
+        state.update(next)
+        Iterator.single(PostingRow(term, next.df, next.tf, next.postings))
+    }
+  }
+
   final case class Scd2State(version: Long, validFrom: Long, attrs: String)
   final case class Scd2Row(k: Long, version: Long, valid_from: Long,
       valid_to: Option[Long], is_current: Long, state: String)

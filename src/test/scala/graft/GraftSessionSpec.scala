@@ -422,4 +422,70 @@ class GraftSessionSpec extends AnyFunSuite with BeforeAndAfterAll {
       "arm", "m").head()
     assert(mw.getAs[Double]("u") == 4.0) // complete separation: n1·n2
   }
+
+  test("session wave-5/6/7 facade: stats tests, graph ops, index, " +
+      "sampling, sketch algebra, pca") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sess = new GraftSession(spark, s"$work/wh")
+    val pt = sess.proportionTest(
+      Seq((0, 0), (0, 1), (1, 1), (1, 1)).toDF("arm", "c"), "arm", "c")
+      .head()
+    assert(pt.getAs[Double]("p_b") == 1.0)
+    val wt = sess.welchTTest(
+      Seq((0, 1.0), (0, 2.0), (1, 3.0), (1, 5.0)).toDF("arm", "m"),
+      "arm", "m").head()
+    assert(wt.getAs[Double]("lift") == 2.5)
+    val kw = sess.kruskalWallis(
+      Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0)).toDF("arm", "m"),
+      "arm", "m").head()
+    assert(kw.getAs[Long]("k_arms") == 2L)
+    val chi = sess.chiSquareIndependence(
+      Seq(("x", 0), ("x", 1), ("y", 0), ("y", 1)).toDF("a", "b"), "a", "b")
+      .head()
+    assert(chi.getAs[Double]("chi2") == 0.0)
+    val acf = sess.autocorrelation(
+      (1 to 4).map(i => ("k", i.toLong, i.toDouble)).toDF("g", "t", "v"),
+      "t", Seq("g"), "t", "v", maxLag = 1).head()
+    assert(acf.getAs[Double]("acf") == 0.25)
+    val cu = sess.cusumChangepoint(
+      Seq(("k", 1L, 0.0), ("k", 2L, 0.0), ("k", 3L, 4.0), ("k", 4L, 4.0))
+        .toDF("g", "t", "v"), "t", Seq("g"), "t", "v", threshold = 1.0)
+      .head()
+    assert(cu.getAs[Boolean]("shifted"))
+    val tsn = sess.theilSen(
+      Seq(("k", 1.0, 2.0), ("k", 2.0, 4.0), ("k", 3.0, 6.0))
+        .toDF("g", "x", "y"), Seq("g"), "x", "y").head()
+    assert(tsn.getAs[Double]("slope") == 2.0)
+    val pl = sess.postingLists(
+      Seq((1L, "a b"), (2L, "a")).toDF("id", "text"), "id", "text",
+      minDf = 2, cap = 5).collect()
+    assert(pl.length == 1 && pl.head.term == "a" &&
+      pl.head.postings == Seq(1L, 2L))
+    val core = sess.kCore(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("a", "b"),
+      "a", "b", k = 2).collect()
+    assert(core.map(_.id).sorted.toSeq == Seq(1L, 2L, 3L))
+    val bfs = sess.bfsDistances(
+      Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b",
+      Seq(1L).toDF("id"), "id", maxDepth = 3).collect()
+    assert(bfs.map(d => d.id -> d.dist).toMap == Map(1L -> 0L, 2L -> 1L,
+      3L -> 2L))
+    val hh = sess.hits(Seq((10L, 1L), (10L, 2L)).toDF("s", "t"), "s", "t",
+      iters = 1).collect()
+    assert(hh.find(_.id == 10L).get.hub_micro == 1000000L)
+    val sys = sess.systematicSample(
+      (1 to 6).map(i => Tuple1(i.toLong)).toDF("id"), Seq("id"), step = 2)
+      .collect()
+    assert(sys.length == 3)
+    val so = sess.kmvSetOps(
+      (Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")))
+        .toDF("g", "w"), "g", "w", k = 8).head()
+    assert(so.getAs[Double]("jaccard_est") == 1.0)
+    val pca = sess.pcaProject(
+      Seq((1L, Seq(1f, 0f)), (2L, Seq(3f, 0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dim = 2, nComponents = 1, sweeps = 10)
+      .orderBy("id").collect()
+    assert(pca.map(_.getDouble(1)).toSeq == Seq(-1.0, 1.0))
+  }
 }

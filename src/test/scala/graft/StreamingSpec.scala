@@ -729,6 +729,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop(); q2.stop()
   }
 
+  test("streamingPostingLists: bounded per-term state; final emissions " +
+      "equal the batch index on the union of batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b1 = Seq((1L, "a b a"), (2L, "a c"))
+    val b2 = Seq((3L, "b a"), (4L, "c c d"))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingPostingLists(
+        input.toDF().toDF("id", "text"), cap = 2)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("posts").start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    // latest emission per term (batch ordinal via monotonic row set:
+    // group max df/tf is the latest because state only grows)
+    val last = spark.sql(
+        """SELECT term, max_by(df, tf_total) AS df, max(tf_total) AS tf,
+           max_by(postings, tf_total) AS postings
+           FROM posts GROUP BY term""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3))).sortBy(_._1)
+    val batch = graft.ops.Keyword.postingLists(
+        (b1 ++ b2).toDF("id", "text"),
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("text"), minDf = 1, cap = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3))).sortBy(_._1)
+    assert(last.toSeq == batch.toSeq,
+      s"streaming ${last.toSeq} vs batch ${batch.toSeq}")
+    // the posting state is bounded: term 'a' has 3 docs but cap 2 kept
+    assert(last.find(_._1 == "a").get._4 == Seq(1L, 2L))
+    q.stop()
+  }
+
   test("streamingScd2: open-interval state matches the batch history on " +
       "in-order feeds; stale rows drop") {
     import spark.implicits._

@@ -115,4 +115,25 @@ class Wave6Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1.getAs[Long]("n_pairs") == 0L)
     assert(r1.isNullAt(r1.fieldIndex("slope")))
   }
+
+  test("pcaProject: planted orthogonal directions come back exactly") {
+    import spark.implicits._
+    import graft.ops.Ann
+    // x = (a, b, 0, 0) with a and b SAMPLE-UNCORRELATED (centered
+    // a = (-3,-2,-1,6) ⊥ b = (1,-2,1,0)): the covariance is then truly
+    // diag(var a, var b, 0, 0) with var a = 50/3 > var b = 2, so
+    // pc1 = a - mean(a) and pc2 = b exactly (positive start vector
+    // fixes both signs)
+    val emb = Seq(
+      (1L, Seq(1f, 1f, 0f, 0f)), (2L, Seq(2f, -2f, 0f, 0f)),
+      (3L, Seq(3f, 1f, 0f, 0f)), (4L, Seq(10f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.pcaProject(emb, col("vec_id"), col("embedding"),
+        dim = 4, nComponents = 2, sweeps = 30)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      (1L, -3.0, 1.0), (2L, -2.0, -2.0), (3L, -1.0, 1.0),
+      (4L, 6.0, 0.0)))
+  }
 }
