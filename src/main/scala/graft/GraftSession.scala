@@ -619,6 +619,33 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
     graft.ops.Scale.kmvSetOps(df, col(groupCol), col(valCol), k)
   }
 
+  /** [[graft.ops.Temporal.holtWintersSmooth]] with name-based columns:
+    * the additive level+trend+seasonal triple per key. */
+  def holtWintersSmooth(df: DataFrame, keyCol: String, timeCol: String,
+      tiebreakCol: String, valCol: String, alpha: Double, beta: Double,
+      gamma: Double, period: Int, horizon: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Temporal.holtWintersSmooth(df, col(keyCol), col(timeCol),
+      col(tiebreakCol), col(valCol), alpha, beta, gamma, period, horizon)
+  }
+
+  /** [[graft.ops.Graph.labelPropagation]] with name-based columns:
+    * semi-supervised label spread from a clamped seed frame. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedIdCol: String, seedLabelCol: String,
+      iters: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Graph.labelPropagation(edges, col(srcCol), col(dstCol),
+      seeds, col(seedIdCol), col(seedLabelCol), iters)
+  }
+
+  /** [[graft.ops.Curation.crossFold]]: the content-addressed k-fold
+    * bucket column. */
+  def crossFold(key: String, k: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Curation.crossFold(col(key), k)
+  }
+
   /** [[graft.ops.Ann.pcaProject]] with name-based columns: projection
     * onto the top principal directions (fixed-sweep power iteration). */
   def pcaProject(emb: DataFrame, idCol: String, vecCol: String, dim: Int,

@@ -98,6 +98,17 @@ object Curation {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** k-fold cross-validation assignment — the evaluation companion to
+    * [[splitAssign]]: a deterministic md5 bucket in `[0, k)` per key,
+    * so fold membership is content-addressed (stable across runs,
+    * engines and partitionings; no RNG state to thread). Use the same
+    * cluster-representative keying as [[leakageSafeSplit]] upstream
+    * when near-duplicates must fold together. */
+  def crossFold(key: Column, k: Int): Column = {
+    require(k >= 2, "crossFold: k >= 2")
+    pmod(graft.expr.PortableHash.hex15Col(key), lit(k.toLong))
+  }
+
   def splitAssign(key: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
     val bucket = graft.expr.PortableHash.hex15Col(key) % 100
     when(bucket < trainPct, "train")

@@ -177,6 +177,63 @@ object Graph {
       col("a").as("auth_micro"))
   }
 
+  /** Semi-supervised label propagation over an undirected edge list —
+    * spread a SMALL seed-label set (human topic tags, trusted domain
+    * classes) across a similarity graph: each round, every node takes
+    * the MAJORITY label among its labeled neighbors (ties → smallest
+    * label), while seed nodes stay clamped to their given label; nodes
+    * with no labeled neighbor keep what they have (null until the wave
+    * reaches them). FIXED synchronous rounds, not convergence — the
+    * replayable-iteration stance ([[pageRank]], [[hits]]): the oracle
+    * unrolls the same `iters` rounds exactly. Output: `(id, label)`
+    * for every node the propagation has reached.
+    *
+    * Scale shape (per round): one equi-join moves the |labeled|-sized
+    * frame along the checkpointed symmetrized adjacency, one grouped
+    * count + an integer max/min argmax resolve the majority — all
+    * equi on node ids, labels re-checkpoint O(1)-deep. The argmax is
+    * deliberately two-step (max count, then min label at that count)
+    * instead of `max_by(struct)` — integer-equality semantics every
+    * engine shares. */
+  def labelPropagation(edges: DataFrame, srcCol: Column, dstCol: Column,
+      seeds: DataFrame, seedIdCol: Column, seedLabelCol: Column,
+      iters: Int): DataFrame = {
+    require(iters >= 1, "labelPropagation: iters >= 1")
+    val raw = edges.select(srcCol.cast("long").as("s"),
+        dstCol.cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+    val adj = raw.unionAll(raw.select(col("t").as("s"), col("s").as("t")))
+      .distinct()
+      .localCheckpoint(true)
+    val seed = seeds.select(seedIdCol.cast("long").as("id"),
+        seedLabelCol.cast("long").as("seed_lbl"))
+      .groupBy("id").agg(min("seed_lbl").as("seed_lbl")) // dedupe seeds
+      .localCheckpoint(true)
+    val nodes = adj.select(col("s").as("id")).distinct()
+      .join(seed, Seq("id"), "left")
+      .localCheckpoint(true)
+    var lbl = nodes.select(col("id"), col("seed_lbl").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val votes = adj.join(
+          lbl.filter(col("lbl").isNotNull)
+            .select(col("id").as("t"), col("lbl")), Seq("t"))
+        .groupBy(col("s").as("id"), col("lbl")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // read twice: max count + argmin label
+      val top = votes.groupBy("id").agg(max("c").as("mc"))
+      val winner = votes.join(top, Seq("id"))
+        .filter(col("c") === col("mc"))
+        .groupBy("id").agg(min("lbl").as("win"))
+      lbl = nodes.select(col("id"), col("seed_lbl"))
+        .join(lbl, Seq("id"))
+        .join(winner, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("seed_lbl"), col("win"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    lbl.filter(col("lbl").isNotNull).select(col("id"), col("lbl").as("label"))
+  }
+
   /** k-core decomposition membership: the maximal subgraph in which
     * every node keeps degree ≥ k — the standard "dense backbone"
     * extractor (spam nests and template farms in a similarity graph

@@ -478,6 +478,78 @@ object Temporal {
           .as("forecast"))
   }
 
+  /** Holt–Winters ADDITIVE seasonal smoothing per key — [[holtSmooth]]
+    * plus a length-`period` seasonal index vector, the full classical
+    * triple for periodic series (daily traffic with weekly shape):
+    *
+    *   l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β) b_{t−1}
+    *   s_t = γ(y_t − l_t) + (1−γ) s_{t−m}
+    *
+    * with the replayable init convention `l_0 = y_0, b_0 = 0` and
+    * seasonal indices seeded at 0 (s_{t−m} reads 0 until a full period
+    * has passed) — simple and engine-replayable, like [[holtSmooth]]'s
+    * first-observation seed; the first `period` rows are burn-in, as
+    * in any HW fit. `forecast = l + h·b + s[(n+h−1) mod m]` (the
+    * standard h-step additive forecast reading the matching seasonal
+    * slot). Output: `(k, n, level, trend, forecast)` (4dp).
+    *
+    * Scale shape: identical to [[holtSmooth]] — one key shuffle into a
+    * grouped sorted collect, the whole recurrence (including the
+    * in-place seasonal-slot update) folded IN-TASK by one `aggregate`
+    * HOF whose accumulator carries the m-length array; per-key series
+    * must be bounded (pre-aggregate to daily grain), [[ewmaSmooth]] is
+    * the unbounded fallback. The DuckDB oracle replays the recurrence
+    * through a RECURSIVE CTE carrying the same list. */
+  def holtWintersSmooth(df: DataFrame, keyCol: Column, timeCol: Column,
+      tiebreakCol: Column, valCol: Column, alpha: Double, beta: Double,
+      gamma: Double, period: Int, horizon: Int = 1): DataFrame = {
+    require(alpha > 0 && alpha < 1, "holtWintersSmooth: alpha in (0, 1)")
+    require(beta > 0 && beta < 1, "holtWintersSmooth: beta in (0, 1)")
+    require(gamma > 0 && gamma < 1, "holtWintersSmooth: gamma in (0, 1)")
+    require(period >= 2, "holtWintersSmooth: period >= 2")
+    require(horizon >= 0, "holtWintersSmooth: horizon >= 0")
+    val series = df
+      .select(keyCol.cast("long").as("k"),
+        struct(timeCol.as("t"), tiebreakCol.cast("long").as("tb"),
+          valCol.cast("double").as("y")).as("r"))
+      .groupBy("k")
+      .agg(sort_array(collect_list(col("r"))).as("rs"))
+      .select(col("k"), transform(col("rs"), r => r.getField("y")).as("ys"))
+    val folded = aggregate(col("ys"),
+      struct(lit(0.0).as("l"), lit(0.0).as("b"),
+        array_repeat(lit(0.0), period).as("s"),
+        lit(0).cast("int").as("i")),
+      (acc, y) => {
+        val i = acc.getField("i")
+        val pos = pmod(i, lit(period)).cast("int")
+        val sOld = element_at(acc.getField("s"), pos + 1)
+        val l0 = acc.getField("l")
+        val b0 = acc.getField("b")
+        val l1 = when(i === 0, y)
+          .otherwise(lit(alpha) * (y - sOld) +
+            lit(1.0 - alpha) * (l0 + b0))
+        val b1 = when(i === 0, lit(0.0))
+          .otherwise(lit(beta) * (l1 - l0) + lit(1.0 - beta) * b0)
+        val s1 = lit(gamma) * (y - l1) + lit(1.0 - gamma) * sOld
+        struct(l1.as("l"), b1.as("b"),
+          transform(acc.getField("s"),
+            (v, j) => when(j === pos, s1).otherwise(v)).as("s"),
+          (i + 1).as("i"))
+      })
+    series
+      .withColumn("__s", folded)
+      .select(col("k"), size(col("ys")).cast("long").as("n"),
+        round(col("__s.l"), 4).as("level"),
+        round(col("__s.b"), 4).as("trend"),
+        round(col("__s.l") +
+          lit(horizon.toDouble) * col("__s.b") +
+          element_at(col("__s.s"),
+            pmod(col("__s.i") + lit(horizon) - 1, lit(period))
+              .cast("int") + 1), 4)
+          .as("forecast"))
+  }
+
   /** Trailing-window exponential moving average per key — the bounded
     * EWMA every feature pipeline wants next to [[rollingStats]]'
     * uniform frames: over the last `nRows` rows (current inclusive),

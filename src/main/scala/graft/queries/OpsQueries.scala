@@ -2914,7 +2914,45 @@ object OpsQueries {
       // stats via the zero-exchange co-moment pass, projection row-local
       graft.ops.Ann.pcaProject(t(s, d, "embeddings"), col("vec_id"),
           col("embedding"), dim = 64, nComponents = 2, sweeps = 30)
-        .orderBy("id"))
+        .orderBy("id")),
+    "q308_label_propagation" -> ((s, d) => {
+      // semi-supervised topic spread: a 2% seed set's labels propagate
+      // 4 synchronous majority rounds over the co-purchase graph —
+      // seeds clamp, ties break to the smallest label
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      val seeds = t(s, d, "part")
+        .filter(col("p_partkey") % 50 === 0)
+        .select(col("p_partkey"), (col("p_partkey") % 7).as("cls"))
+      graft.ops.Graph.labelPropagation(e, col("a"), col("b"),
+          seeds, col("p_partkey"), col("cls"), iters = 4)
+        .orderBy("id")
+    }),
+    "q309_cross_folds" -> ((s, d) =>
+      // content-addressed 5-fold assignment: stable across runs and
+      // engines, no RNG state — per-doc fold + the size histogram is
+      // the oracle's identical md5 arithmetic
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.ops.Curation.crossFold(col("doc_id"), 5).as("fold"))
+        .orderBy("doc_id")),
+    "q310_holt_winters" -> ((s, d) => {
+      // weekly-seasonal triple smoothing of daily cohort volumes: the
+      // full level+trend+seasonal recurrence folded in-task per key;
+      // the oracle replays it through a list-carrying recursive CTE
+      val series = ev(s, d)
+        .groupBy((col("user_id") % 3).as("k"),
+          to_date(col("ts")).as("day"))
+        .agg(sum("value").as("v"))
+      graft.ops.Temporal.holtWintersSmooth(series, col("k"), col("day"),
+          datediff(col("day"), to_date(lit("1970-01-01"))), col("v"),
+          alpha = 0.5, beta = 0.3, gamma = 0.4, period = 7, horizon = 2)
+        .orderBy("k")
+    })
   )
 
   /** The q298 oracle: `rounds` unrolled peel passes of the k-core
@@ -3093,6 +3131,41 @@ object OpsQueries {
            GROUP BY e.vec_id)
          SELECT id, round(pc1, 4) + 0.0 AS pc1, round(pc2, 4) + 0.0 AS pc2
          FROM proj ORDER BY id"""
+  }
+
+  /** The q308 oracle: `iters` unrolled synchronous label-propagation
+    * rounds — majority label among labeled neighbors via the portable
+    * two-step argmax (max count, then min label at that count), seeds
+    * clamped, previous label kept when no neighbor votes. */
+  private def labelPropOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""v$i AS MATERIALIZED (SELECT adj.s AS id, l.lbl, count(*) AS c
+           FROM adj JOIN l${i - 1} l ON l.id = adj.t
+           WHERE l.lbl IS NOT NULL GROUP BY adj.s, l.lbl),
+         t$i AS (SELECT id, max(c) AS mc FROM v$i GROUP BY id),
+         w$i AS (SELECT v.id, min(v.lbl) AS win FROM v$i v
+                 JOIN t$i t ON t.id = v.id AND v.c = t.mc GROUP BY v.id),
+         l$i AS MATERIALIZED (SELECT n.id,
+             coalesce(n.seed, w.win, p.lbl) AS lbl
+           FROM nodes n LEFT JOIN w$i w ON w.id = n.id
+           LEFT JOIN l${i - 1} p ON p.id = n.id)"""
+    }.mkString(",\n         ")
+    s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+               WHERE l_orderkey % 4 = 0),
+         e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+                FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+         adj AS (SELECT a AS s, b AS t FROM e0
+                 UNION SELECT b, a FROM e0),
+         seeds AS (SELECT p_partkey AS id,
+                     CAST(min(p_partkey % 7) AS BIGINT) AS seed
+                   FROM part WHERE p_partkey % 50 = 0 GROUP BY p_partkey),
+         nodes AS MATERIALIZED (SELECT n.id, s.seed
+           FROM (SELECT DISTINCT s AS id FROM adj) n
+           LEFT JOIN seeds s ON s.id = n.id),
+         l0 AS (SELECT id, seed AS lbl FROM nodes),
+         $steps
+         SELECT id, lbl AS label FROM l$iters
+         WHERE lbl IS NOT NULL ORDER BY id"""
   }
 
   /** Deterministic doc_id-keyed PII decoration for q161/q162: appends an
@@ -7804,6 +7877,53 @@ object OpsQueries {
     "q306_textrank" -> textrankOracle(iters = 3),
 
     "q307_pca_project" -> pcaOracle(dim = 64, sweeps = 30),
+
+    "q308_label_propagation" -> labelPropOracle(iters = 4),
+
+    "q309_cross_folds" ->
+      """SELECT doc_id,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % 5 AS fold
+         FROM documents ORDER BY doc_id""",
+
+    "q310_holt_winters" -> {
+      // the exact IEEE doubles the Spark fold uses (the q285 stance),
+      // seasonal state carried as a LIST through the recursion with
+      // slice-splice updates; base row's seasonal update is exactly 0
+      // (gamma*(y-y) + (1-gamma)*0), so the base list is all zeros
+      val a = 0.5; val b = 0.3; val g = 0.4; val m = 7; val h = 2
+      val (ia, ib, ig) = (1.0 - a, 1.0 - b, 1.0 - g)
+      val zeros = Seq.fill(m)("0.0").mkString("[", ", ", "]")
+      val pos = s"((sd.ord - 1) % $m)"
+      val sOld = s"h.s[$pos + 1]"
+      val l1 = s"($a * (sd.y - $sOld) + $ia * (h.l + h.b))"
+      val s1 = s"($g * (sd.y - $l1) + $ig * $sOld)"
+      s"""WITH RECURSIVE sd AS (
+            SELECT k, row_number() OVER (PARTITION BY k ORDER BY day)
+                AS ord, y
+            FROM (SELECT user_id % 3 AS k, CAST(ts AS DATE) AS day,
+                    sum(value) AS y
+                  FROM events GROUP BY 1, 2)),
+          n AS (SELECT k, max(ord) AS n FROM sd GROUP BY k),
+          hw AS (
+            SELECT k, ord, CAST(y AS DOUBLE) AS l,
+              CAST(0.0 AS DOUBLE) AS b,
+              CAST($zeros AS DOUBLE[]) AS s
+            FROM sd WHERE ord = 1
+            UNION ALL
+            SELECT sd.k, sd.ord,
+              $l1 AS l,
+              $b * ($l1 - h.l) + $ib * h.b AS b,
+              list_concat(list_concat(h.s[1:$pos], [$s1]),
+                h.s[$pos + 2:]) AS s
+            FROM hw h JOIN sd ON sd.k = h.k AND sd.ord = h.ord + 1),
+          fin AS (SELECT h.k, n.n, h.l, h.b,
+                    h.s[((n.n + $h - 1) % $m) + 1] AS sf
+                  FROM hw h JOIN n ON n.k = h.k AND h.ord = n.n)
+          SELECT k, n, round(l, 4) AS level, round(b, 4) AS trend,
+            round(l + $h.0 * b + sf, 4) AS forecast
+          FROM fin ORDER BY k"""
+    },
 
     "q269_sessions" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, value AS v,

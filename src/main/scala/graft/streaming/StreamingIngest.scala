@@ -339,6 +339,58 @@ object StreamingOps {
     }
   }
 
+  final case class PropState(nA: Long, xA: Long, nB: Long, xB: Long)
+  final case class PropRow(exp: String, n_a: Long, n_b: Long, p_a: Double,
+      p_b: Double, z: Option[Double], significant: Boolean)
+
+  /** Streaming twin of [[graft.ops.Experiment.proportionTest]] — the
+    * live experiment dashboard: per experiment the state is four longs
+    * (per-arm unit and conversion counts); each batch's units fold in
+    * and the current pooled two-proportion z re-emits in update mode.
+    * The running readout equals the batch test over every unit fed so
+    * far (exact integer state — no approximation anywhere), which is
+    * what the parity spec pins. Peeking caveat documented: a
+    * sequentially-watched z crosses 1.96 more often than its nominal
+    * level; this mirrors the batch statistic, it does not correct for
+    * continuous monitoring. Each unit must arrive once (the ingest
+    * convention). Input columns: `exp STRING, arm INT (0/1), c LONG`. */
+  def streamingProportionTest(units: DataFrame)
+      : org.apache.spark.sql.Dataset[PropRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = units.sparkSession
+    import spark.implicits._
+    val typed = units
+      .select(col("exp").cast("string"), col("arm").cast("int"),
+        col("c").cast("long"))
+      .as[(String, Int, Long)]
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (exp: String, rows: Iterator[(String, Int, Long)],
+       state: GroupState[PropState]) =>
+        var s = state.getOption.getOrElse(PropState(0L, 0L, 0L, 0L))
+        rows.foreach { case (_, arm, c) =>
+          if (arm == 0) s = s.copy(nA = s.nA + 1, xA = s.xA + c)
+          else if (arm == 1) s = s.copy(nB = s.nB + 1, xB = s.xB + c)
+        }
+        state.update(s)
+        if (s.nA == 0 || s.nB == 0) Iterator.empty
+        else {
+          val pa = s.xA.toDouble / s.nA
+          val pb = s.xB.toDouble / s.nB
+          val pp = (s.xA + s.xB).toDouble / (s.nA + s.nB)
+          val z =
+            if (pp > 0 && pp < 1)
+              Some((pb - pa) / math.sqrt(pp * (1.0 - pp) *
+                (1.0 / s.nA + 1.0 / s.nB)))
+            else None
+          def r4(x: Double) = BigDecimal(x)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Iterator.single(PropRow(exp, s.nA, s.nB, r4(pa), r4(pb),
+            z.map(r4), z.exists(v => math.abs(v) > 1.96)))
+        }
+    }
+  }
+
   final case class PostingState(df: Long, tf: Long, postings: Seq[Long])
   final case class PostingRow(term: String, df: Long, tf_total: Long,
       postings: Seq[Long])

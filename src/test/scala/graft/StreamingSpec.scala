@@ -763,6 +763,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streamingProportionTest: running z equals the batch test on " +
+      "every unit fed so far") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b1 = Seq(("e", 0, 0L), ("e", 0, 1L), ("e", 1, 1L))
+    val b2 = Seq(("e", 0, 0L), ("e", 1, 1L), ("e", 1, 0L))
+    val input = MemoryStream[(String, Int, Long)]
+    val q = StreamingOps.streamingProportionTest(
+        input.toDF().toDF("exp", "arm", "c"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("props").start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    val emissions = spark.sql(
+        "SELECT n_a, n_b, p_a, p_b, z FROM props ORDER BY n_a + n_b")
+      .collect()
+    assert(emissions.length == 2)
+    val last = emissions.last
+    val batch = graft.ops.Experiment.proportionTest(
+        (b1 ++ b2).toDF("exp", "arm", "c"),
+        org.apache.spark.sql.functions.col("arm"),
+        org.apache.spark.sql.functions.col("c"))
+      .head()
+    assert(last.getLong(0) == batch.getAs[Long]("n_a"))
+    assert(last.getDouble(2) == batch.getAs[Double]("p_a"))
+    assert(last.getDouble(3) == batch.getAs[Double]("p_b"))
+    assert(last.getDouble(4) == batch.getAs[Double]("z"))
+    q.stop()
+  }
+
   test("streamingScd2: open-interval state matches the batch history on " +
       "in-order feeds; stale rows drop") {
     import spark.implicits._

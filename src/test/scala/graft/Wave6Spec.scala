@@ -136,4 +136,60 @@ class Wave6Spec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, -3.0, 1.0), (2L, -2.0, -2.0), (3L, -1.0, 1.0),
       (4L, 6.0, 0.0)))
   }
+
+  test("labelPropagation: wave meets in the middle, ties break low, " +
+      "seeds clamp") {
+    import spark.implicits._
+    // path 1-2-3-4-5, seeds 1->10 and 5->20: after 2 rounds node 3
+    // sees one vote each (10 from 2, 20 from 4) and ties to 10
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val seeds = Seq((1L, 10L), (5L, 20L)).toDF("id", "cls")
+    val out = Graph.labelPropagation(e, col("a"), col("b"), seeds,
+        col("id"), col("cls"), iters = 2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L)))
+    // one round: the wave has not reached node 3 yet
+    val r1 = Graph.labelPropagation(e, col("a"), col("b"), seeds,
+        col("id"), col("cls"), iters = 1)
+      .collect().map(r => r.getLong(0)).sorted
+    assert(r1.toSeq == Seq(1L, 2L, 4L, 5L))
+  }
+
+  test("crossFold: deterministic, in range, all folds hit") {
+    import spark.implicits._
+    import graft.ops.Curation
+    val df = (1 to 100).map(_.toLong).toDF("id")
+    val folds = df.select(col("id"),
+        Curation.crossFold(col("id"), 5).as("f"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(folds.forall { case (_, f) => f >= 0 && f < 5 })
+    assert(folds.map(_._2).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    // content-addressed: a second evaluation agrees exactly
+    val again = df.select(Curation.crossFold(col("id"), 5).as("f"))
+      .collect().map(_.getLong(0))
+    assert(again.toSeq == folds.map(_._2).toSeq)
+  }
+
+  test("holtWintersSmooth: hand recurrence with a period-2 seasonal") {
+    import spark.implicits._
+    // y=[10,20,30,40], a=b=g=0.5, m=2: l=33.4375, b=7.65625,
+    // s=[3.125, 4.53125]; forecast(h=1) = l + b + s[0] = 44.21875
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0),
+      (1L, 4L, 40.0)).toDF("k", "t", "y")
+    val r = Temporal.holtWintersSmooth(df, col("k"), col("t"), col("t"),
+      col("y"), alpha = 0.5, beta = 0.5, gamma = 0.5, period = 2,
+      horizon = 1).collect()(0)
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("level") == 33.4375)
+    assert(r.getAs[Double]("trend") == 7.6563)
+    assert(r.getAs[Double]("forecast") == 44.2188)
+    // one-row series: level seeds to y, trend 0, forecast reads the
+    // zero seasonal
+    val one = Seq((1L, 1L, 5.0)).toDF("k", "t", "y")
+    val r1 = Temporal.holtWintersSmooth(one, col("k"), col("t"),
+      col("t"), col("y"), 0.5, 0.5, 0.5, period = 2).collect()(0)
+    assert(r1.getAs[Double]("level") == 5.0 &&
+      r1.getAs[Double]("forecast") == 5.0)
+  }
 }
