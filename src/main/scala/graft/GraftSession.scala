@@ -646,6 +646,15 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
     graft.ops.Curation.crossFold(col(key), k)
   }
 
+  /** [[graft.ops.TextAnalysis.gloveCooccurrence]] with a name-based
+    * column: the windowed distance-weighted co-occurrence matrix. */
+  def gloveCooccurrence(docs: DataFrame, textCol: String, window: Int,
+      minCount: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.TextAnalysis.gloveCooccurrence(docs, col(textCol), window,
+      minCount)
+  }
+
   /** [[graft.ops.Ann.pcaProject]] with name-based columns: projection
     * onto the top principal directions (fixed-sweep power iteration). */
   def pcaProject(emb: DataFrame, idCol: String, vecCol: String, dim: Int,

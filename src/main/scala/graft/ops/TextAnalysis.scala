@@ -141,6 +141,38 @@ object TextAnalysis {
           col("col").as("matched"))
     }.reduce(_ unionAll _)
 
+  /** PII spans with CHARACTER POSITIONS — the surgical-redaction /
+    * annotation-export sibling of [[piiMatches]]: one row per match,
+    * `(id, pii_class, start_pos, end_pos, matched)` with 0-based
+    * `start_pos` inclusive and `end_pos` exclusive (substring
+    * convention), matches per class in leftmost non-overlapping scan
+    * order — exactly what a span-level redactor or an NER training
+    * exporter consumes, where [[piiMatches]]' strings alone can't
+    * locate a repeated value. Row-local mapPartitions scan (each
+    * class's regex compiled once per partition), zero exchanges.
+    * DuckDB has no position-returning extract-all, so this op carries
+    * a rows-only driver check + the positional ScalaTest contract
+    * (spans slice back to their matched text). */
+  def piiSpans(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pats = piiPatterns.map { case (n, p, _) => (n, p) }
+    df.select(idCol.cast("long").as("id"),
+        textCol.cast("string").as("t"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val compiled = pats.map { case (n, p) => (n, p.r) }
+        rows.flatMap { case (id, t) =>
+          if (t == null) Iterator.empty
+          else compiled.iterator.flatMap { case (name, re) =>
+            re.findAllMatchIn(t).map(m =>
+              (id, name, m.start.toLong, m.end.toLong, m.matched))
+          }
+        }
+      }
+      .toDF("id", "pii_class", "start_pos", "end_pos", "matched")
+  }
+
   /** Mask every PII match with its class sentinel, applying
     * [[piiPatterns]] in table order (email first — see table doc).
     * Idempotent: sentinels contain no digits or `@`, so a second pass
@@ -641,6 +673,56 @@ object TextAnalysis {
       .select(col("id"), posexplode(col("top")))
       .select(col("id"), (col("pos") + 1).as("rnk"),
         col("col.term").as("term"), (-col("col.ns")).as("score"))
+  }
+
+  /**
+   * GloVe-style windowed co-occurrence matrix (Pennington et al. 2014):
+   * for every token pair within `window` positions, accumulate the
+   * distance-discounted weight `1/d` — the input statistic GloVe (and
+   * any PMI-matrix factorization) trains on, and the windowed
+   * generalization of [[collocations]]' adjacent pairs. Pairs emit
+   * CANONICALIZED (`w1 ≤ w2` lexicographically — the matrix is
+   * symmetric) with their occurrence count and weight sum; pairs seen
+   * fewer than `minCount` times drop. Output:
+   * `(w1, w2, n_pair, x)` with `x = Σ 1/d` at 4dp.
+   *
+   * Engine determinism: the weights accumulate in EXACT INTEGER units
+   * of `1/lcm(1..window)` (for window 4: 12/d ∈ {12, 6, 4, 3}), summed
+   * as longs and divided ONCE at the end — a float `Σ 1/d` is
+   * order-sensitive at the 4th decimal on hot pairs, an integer sum
+   * never is.
+   *
+   * Scale shape: the pair expansion is row-local (n·window rows per
+   * document, two nested explodes in one projection); only
+   * `(w1, w2, weight)` rows shuffle into a partial-agg'd group-by —
+   * bounded by the pair vocabulary per partition, the same regime as
+   * [[collocations]]' bigram counts. */
+  def gloveCooccurrence(docs: DataFrame, textCol: Column, window: Int,
+      minCount: Long = 1L): DataFrame = {
+    require(window >= 1 && window <= 16, "gloveCooccurrence: window in [1, 16]")
+    require(minCount >= 1, "gloveCooccurrence: minCount >= 1")
+    val lcm = (1 to window).foldLeft(1L)((a, b) =>
+      a / BigInt(a).gcd(BigInt(b)).toLong * b)
+    val toks = docs.select(
+      array_remove(split(trim(textCol), "\\s+"), "").as("tk"))
+    toks
+      .select(col("tk"), explode(sequence(lit(0), size(col("tk")) - 1))
+        .as("p"))
+      .filter(size(col("tk")) - col("p") >= 2)
+      .select(col("tk"), col("p"),
+        explode(sequence(lit(1),
+          least(lit(window), size(col("tk")) - col("p") - 1))).as("d"))
+      .select(
+        element_at(col("tk"), col("p") + 1).as("wa"),
+        element_at(col("tk"), col("p") + col("d") + 1).as("wb"),
+        (lit(lcm) / col("d")).cast("long").as("wt"))
+      .select(least(col("wa"), col("wb")).as("w1"),
+        greatest(col("wa"), col("wb")).as("w2"), col("wt"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n_pair"), sum("wt").as("__w"))
+      .filter(col("n_pair") >= minCount)
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(col("__w") / lit(lcm.toDouble), 4).as("x"))
   }
 
   /**

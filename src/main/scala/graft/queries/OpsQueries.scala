@@ -2952,7 +2952,22 @@ object OpsQueries {
           datediff(col("day"), to_date(lit("1970-01-01"))), col("v"),
           alpha = 0.5, beta = 0.3, gamma = 0.4, period = 7, horizon = 2)
         .orderBy("k")
-    })
+    }),
+    "q311_glove_cooccurrence" -> ((s, d) =>
+      // the GloVe input matrix: window-4 distance-discounted pair
+      // weights in exact integer 1/12 units — row-local expansion,
+      // only (w1, w2, weight) rows shuffle
+      graft.ops.TextAnalysis.gloveCooccurrence(
+          t(s, d, "documents").filter(col("doc_id") % 3 === 0),
+          col("text"), window = 4, minCount = 10)
+        .orderBy("w1", "w2")),
+    "q312_pii_spans" -> ((s, d) =>
+      // character-position PII spans over the q161 decorated corpus —
+      // rows-only by design (DuckDB has no position-returning
+      // extract-all); the positional contract is spec-pinned
+      graft.ops.TextAnalysis.piiSpans(piiDecorated(t(s, d, "documents")),
+          col("doc_id"), col("ptext"))
+        .orderBy("id", "pii_class", "start_pos"))
   )
 
   /** The q298 oracle: `rounds` unrolled peel passes of the k-core
@@ -7924,6 +7939,25 @@ object OpsQueries {
             round(l + $h.0 * b + sf, 4) AS forecast
           FROM fin ORDER BY k"""
     },
+
+    "q311_glove_cooccurrence" ->
+      """WITH toks AS (
+           SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x <> '') AS tk
+           FROM documents WHERE doc_id % 3 = 0),
+         p AS (SELECT tk, unnest(range(0, len(tk))) AS p FROM toks),
+         pd AS (SELECT tk, p,
+                  unnest(range(1, least(4, len(tk) - p - 1) + 1)) AS d
+                FROM p WHERE len(tk) - p >= 2),
+         pr AS (SELECT tk[p + 1] AS wa, tk[p + d + 1] AS wb,
+                  12 // d AS wt
+                FROM pd),
+         cn AS (SELECT least(wa, wb) AS w1, greatest(wa, wb) AS w2, wt
+                FROM pr)
+         SELECT w1, w2, count(*) AS n_pair,
+           round(CAST(sum(wt) AS DOUBLE) / 12.0, 4) AS x
+         FROM cn GROUP BY w1, w2 HAVING count(*) >= 10
+         ORDER BY w1, w2""",
 
     "q269_sessions" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, value AS v,

@@ -192,4 +192,50 @@ class Wave6Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1.getAs[Double]("level") == 5.0 &&
       r1.getAs[Double]("forecast") == 5.0)
   }
+
+  test("gloveCooccurrence: hand window-2 weights in exact 1/lcm units") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    // "a b c a": window 2 pairs (canonical): (a,b)@d1, (a,c)@d2,
+    // (b,c)@d1, (a,b)@d2, (a,c)@d1 -> (a,b): n=2 x=1.5, (a,c): n=2
+    // x=1.5, (b,c): n=1 x=1.0
+    val docs = Seq(Tuple1("a b c a")).toDF("text")
+    val out = TextAnalysis.gloveCooccurrence(docs, col("text"),
+        window = 2, minCount = 1)
+      .orderBy("w1", "w2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq(("a", "b", 2L, 1.5), ("a", "c", 2L, 1.5),
+      ("b", "c", 1L, 1.0)))
+    // minCount prunes the singleton pair
+    val pruned = TextAnalysis.gloveCooccurrence(docs, col("text"),
+      window = 2, minCount = 2).count()
+    assert(pruned == 2L)
+  }
+
+  test("piiSpans: positions slice back to their matches; classes and " +
+      "strings agree with piiMatches") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val txt = "mail a@b.com or c@d.org, call 555-123-4567, ip 10.0.0.1"
+    val docs = Seq((1L, txt)).toDF("id", "text")
+    val spans = TextAnalysis.piiSpans(docs, col("id"), col("text"))
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2).toInt, r.getLong(3).toInt,
+        r.getString(4)))
+    // every span slices back to exactly its matched text
+    assert(spans.nonEmpty)
+    spans.foreach { case (_, s, e, m) =>
+      assert(txt.substring(s, e) == m, s"span [$s,$e) != $m")
+    }
+    // the repeated-class case: two distinct email spans at their own
+    // positions — what the string-only piiMatches cannot locate
+    val emails = spans.filter(_._1 == "email").sortBy(_._2)
+    assert(emails.map(_._4).toSeq == Seq("a@b.com", "c@d.org"))
+    assert(emails.head._2 == 5)
+    // class/string multiset agrees with piiMatches
+    val ms = TextAnalysis.piiMatches(docs, col("id"), col("text"))
+      .collect().map(r => (r.getString(1), r.getString(3))).sorted
+    assert(spans.map(t => (t._1, t._4)).sorted.toSeq == ms.toSeq)
+  }
 }
