@@ -127,6 +127,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CurationExprs.splitAssign(str(es.head),
           literalInt("split_assign", es.lift(1), 90),
           literalInt("split_assign", es.lift(2), 5)) }))
+    ext.injectFunction((FunctionIdentifier("cross_fold"),
+      info("cross_fold",
+        "cross_fold(key, k) - content-addressed k-fold bucket (md5, in [0, k))"),
+      (es: Seq[Expression]) => { arity("cross_fold",
+        "cross_fold(key, k)", es, 2, 2)
+        CurationExprs.crossFold(str(es.head),
+          literalInt("cross_fold", es.lift(1), -1)) }))
     ext.injectFunction((FunctionIdentifier("rendezvous_shard"),
       info("rendezvous_shard",
         "rendezvous_shard(key, n_shards) - highest-random-weight shard id"),

@@ -30,6 +30,13 @@ object CurationExprs {
       Literal("test"))
   }
 
+  /** [[graft.ops.Curation.crossFold]]: md5 bucket in [0, k) — the
+    * content-addressed k-fold id. */
+  def crossFold(key: Expression, k: Int): Expression = {
+    require(k >= 2, "cross_fold: k >= 2")
+    Pmod(hex15(key), Literal(k.toLong))
+  }
+
   /** [[graft.ops.Curation.rendezvousShard]]: argmax over shards of
     * `hex15(s ++ ":" ++ key)` — unrolled at plan time (`nShards` is a SQL
     * literal), max via lexicographic struct ordering (ties toward the

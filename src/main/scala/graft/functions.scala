@@ -111,6 +111,9 @@ object functions {
     reg.createOrReplaceTempFunction("rendezvous_shard",
       es => CurationExprs.rendezvousShard(str(es.head),
         intArg("rendezvous_shard", es.lift(1), -1)), "built-in")
+    reg.createOrReplaceTempFunction("cross_fold",
+      es => CurationExprs.crossFold(str(es.head),
+        intArg("cross_fold", es.lift(1), -1)), "built-in")
     reg.createOrReplaceTempFunction("word_noise",
       es => CurationExprs.wordNoise(es(0), str(es(1)),
         intArg("word_noise", es.lift(2), -1)), "built-in")

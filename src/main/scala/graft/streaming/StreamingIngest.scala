@@ -339,6 +339,67 @@ object StreamingOps {
     }
   }
 
+  final case class HwState(l: Double, b: Double, s: Seq[Double], i: Int)
+  final case class HwRow(k: Long, n: Long, level: Double, trend: Double,
+      forecast: Double)
+
+  /** Streaming twin of [[graft.ops.Temporal.holtWintersSmooth]] — the
+    * live seasonal forecaster: per key the state is the (level, trend,
+    * m-length seasonal vector, count) quadruple the batch fold carries,
+    * O(m) per key regardless of history; each batch sorts ITS rows by
+    * `(t, tb)` and replays the identical IEEE recurrence, emitting the
+    * key's current smoothed row in update mode. Equal to the batch op
+    * when each key's points arrive time-ordered across batches (the
+    * watermarked normal case, the [[streamingScd2]] convention);
+    * out-of-order rows fold in arrival order — revising history needs
+    * the batch replay, the price of O(m) state. Input columns:
+    * `k LONG, t LONG, tb LONG, y DOUBLE`. */
+  def streamingHoltWinters(points: DataFrame, alpha: Double, beta: Double,
+      gamma: Double, period: Int, horizon: Int = 1)
+      : org.apache.spark.sql.Dataset[HwRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1 &&
+      gamma > 0 && gamma < 1, "streamingHoltWinters: params in (0, 1)")
+    require(period >= 2 && horizon >= 0,
+      "streamingHoltWinters: period >= 2, horizon >= 0")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val typed = points
+      .select(col("k").cast("long"), col("t").cast("long"),
+        col("tb").cast("long"), col("y").cast("double"))
+      .as[(Long, Long, Long, Double)]
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (key: Long, rows: Iterator[(Long, Long, Long, Double)],
+       state: GroupState[HwState]) =>
+        var st = state.getOption
+          .getOrElse(HwState(0.0, 0.0, Seq.fill(period)(0.0), 0))
+        val sArr = st.s.toArray
+        var (l, b, i) = (st.l, st.b, st.i)
+        rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, y) =>
+          val pos = i % period
+          val sOld = sArr(pos)
+          // the batch HOF's exact expression trees (same IEEE order)
+          val l1 = if (i == 0) y
+            else alpha * (y - sOld) + (1.0 - alpha) * (l + b)
+          val b1 = if (i == 0) 0.0
+            else beta * (l1 - l) + (1.0 - beta) * b
+          sArr(pos) = gamma * (y - l1) + (1.0 - gamma) * sOld
+          l = l1; b = b1; i += 1
+        }
+        st = HwState(l, b, sArr.toSeq, i)
+        state.update(st)
+        if (i == 0) Iterator.empty
+        else {
+          def r4(x: Double) = BigDecimal(x)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val slot = ((i + horizon - 1) % period + period) % period
+          Iterator.single(HwRow(key, i.toLong, r4(l), r4(b),
+            r4(l + horizon.toDouble * b + sArr(slot))))
+        }
+    }
+  }
+
   final case class PropState(nA: Long, xA: Long, nB: Long, xB: Long)
   final case class PropRow(exp: String, n_a: Long, n_b: Long, p_a: Double,
       p_b: Double, z: Option[Double], significant: Boolean)

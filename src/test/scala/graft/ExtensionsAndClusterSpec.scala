@@ -124,6 +124,26 @@ class ExtensionsAndClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("extensions: cross_fold resolves in SQL and matches the Column " +
+      "rule; wrong arity reports the signature") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(Tuple1(_)).toDF("id")
+    docs.createOrReplaceTempView("cf_docs")
+    val viaSql = spark.sql(
+        "SELECT id, cross_fold(id, 5) AS f FROM cf_docs ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val viaCol = docs.select(col("id"),
+        graft.ops.Curation.crossFold(col("id"), 5).as("f"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaSql.toSeq == viaCol.toSeq)
+    val err = intercept[Throwable] {
+      spark.sql("SELECT cross_fold('k')").collect()
+    }
+    val msg = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).filter(_ != null).mkString(" | ")
+    assert(msg.contains("cross_fold(key, k)"), msg)
+  }
+
   test("extensions: wrong arity fails with the signature, not an " +
       "IndexOutOfBoundsException") {
     def analysisError(sql: String): String = {

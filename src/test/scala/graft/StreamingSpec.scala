@@ -793,6 +793,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streamingHoltWinters: O(m) state replays the batch recurrence " +
+      "on in-order feeds") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b1 = Seq((1L, 1L, 1L, 10.0), (1L, 2L, 2L, 20.0))
+    val b2 = Seq((1L, 3L, 3L, 30.0), (1L, 4L, 4L, 40.0))
+    val input = MemoryStream[(Long, Long, Long, Double)]
+    val q = StreamingOps.streamingHoltWinters(
+        input.toDF().toDF("k", "t", "tb", "y"),
+        alpha = 0.5, beta = 0.5, gamma = 0.5, period = 2, horizon = 1)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("hw").start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    val last = spark.sql("SELECT * FROM hw ORDER BY n DESC LIMIT 1")
+      .collect()(0)
+    val batch = graft.ops.Temporal.holtWintersSmooth(
+        (b1 ++ b2).toDF("k", "t", "tb", "y"),
+        org.apache.spark.sql.functions.col("k"),
+        org.apache.spark.sql.functions.col("t"),
+        org.apache.spark.sql.functions.col("tb"),
+        org.apache.spark.sql.functions.col("y"),
+        alpha = 0.5, beta = 0.5, gamma = 0.5, period = 2, horizon = 1)
+      .collect()(0)
+    assert(last.getAs[Long]("n") == batch.getAs[Long]("n"))
+    assert(last.getAs[Double]("level") == batch.getAs[Double]("level"))
+    assert(last.getAs[Double]("trend") == batch.getAs[Double]("trend"))
+    assert(last.getAs[Double]("forecast") ==
+      batch.getAs[Double]("forecast"))
+    q.stop()
+  }
+
   test("streamingScd2: open-interval state matches the batch history on " +
       "in-order feeds; stale rows drop") {
     import spark.implicits._
