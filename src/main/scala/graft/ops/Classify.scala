@@ -289,4 +289,189 @@ object Classify {
     feats.select(col("id"), p.as("p"))
       .select(col("id"), col("p"), (col("p") >= 0.5).as("pred"))
   }
+
+  /** Isotonic (PAV) score calibration — the distribution-free
+    * monotone fit that turns a ranking score into a probability
+    * (Zadrozny & Elkan, KDD'02; the classic alternative to Platt
+    * scaling). Input rows carry a pre-binned score (`binCol`, the
+    * caller picks the binning — round, floor-divide, quantile id) and
+    * a 0/1 label; output one row per bin
+    * `(bin, n, pos, rate, calibrated)` where `calibrated` is the
+    * isotonic-regression fit of the empirical rate, non-decreasing in
+    * `bin` (4dp).
+    *
+    * Scale shape — the segment-merge PAV: ONE grouped partial-agg pass
+    * collapses the corpus to the bin table `(bin, n, pos)`; local
+    * pool-adjacent-violators runs per range-partition over the
+    * bin-sorted table (each task emits its violation-free BLOCK list);
+    * the driver merges the concatenated block lists with the same
+    * pooling stack — sound because PAV's pooling is confluent (the fit
+    * is the unique L2 projection onto the isotone cone, so pooling in
+    * any order converges to it), so pre-pooled per-range blocks only
+    * ever need boundary merges. The driver never sees bins, only
+    * blocks (≤ bins, typically far fewer); the corpus never shuffles
+    * beyond the one bin aggregation. Block means are exact integer
+    * ratios (`Σpos/Σn`), so an oracle computing the min-max formula
+    * `ŷ_k = max_{i≤k} min_{j≥k} avg(i..j)` reproduces them bit-for-bit
+    * at 4dp. */
+  def isotonicCalibrate(df: DataFrame, binCol: Column,
+      labelCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    val binned = df.select(binCol.cast("long").as("bin"),
+        labelCol.cast("long").as("y"))
+      .filter(col("bin").isNotNull && col("y").isNotNull)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      .localCheckpoint(eager = true) // read twice: PAV pass + final join
+    def pav(rows: Iterator[(Long, Long, Long, Long)])
+        : Seq[(Long, Long, Long, Long)] = {
+      val st = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      rows.foreach { case (lo0, hi, p0, n0) =>
+        var (lo, p, n) = (lo0, p0, n0)
+        while (st.nonEmpty &&
+            st.last._3.toDouble / st.last._4 > p.toDouble / n) {
+          val t = st.remove(st.size - 1); lo = t._1; p += t._3; n += t._4
+        }
+        st += ((lo, hi, p, n))
+      }
+      st.toSeq
+    }
+    val perRange = binned.repartitionByRange(col("bin"))
+      .sortWithinPartitions("bin")
+      .select("bin", "n", "pos").rdd
+      .mapPartitionsWithIndex { case (pi, it) =>
+        val blocks = pav(it.map(r =>
+          (r.getLong(0), r.getLong(0), r.getLong(2), r.getLong(1))))
+        if (blocks.isEmpty) Iterator.empty else Iterator((pi, blocks))
+      }.collect().sortBy(_._1).iterator.flatMap(_._2)
+    val merged = pav(perRange)
+    import spark.implicits._
+    val fit = broadcast(merged.toDF("lo", "hi", "bpos", "bn"))
+    binned.join(fit, col("bin").between(col("lo"), col("hi")))
+      .select(col("bin"), col("n"), col("pos"),
+        round(col("pos").cast("double") / col("n"), 4).as("rate"),
+        round(col("bpos").cast("double") / col("bn"), 4).as("calibrated"))
+  }
+
+  /** Exact ROC AUC of a score against a 0/1 label — the
+    * rank-statistic identity `AUC = (R₁ − n₁(n₁+1)/2) / (n₁·n₀)` with
+    * midranks on tied scores (ties contribute 1/2, the standard
+    * convention), plus the Gini coefficient `2·AUC − 1`. Output ONE row
+    * `(n_pos, n_neg, auc, gini)` (4dp).
+    *
+    * Scale shape (the [[Experiment.mannWhitney]] discipline — AUC IS a
+    * normalized U statistic): one grouped pass collapses the corpus to
+    * per-VALUE counted rows; midranks come from the range-partitioned
+    * weighted prefix sum (no row-level global window, no single-task
+    * sort); one final aggregate emits the row. */
+  def rocAuc(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val s = df.select(scoreCol.cast("double").as("m"),
+        labelCol.cast("long").as("y"))
+      .filter(col("m").isNotNull && col("y").isNotNull)
+    val perVal = s.groupBy("m")
+      .agg(count(lit(1)).as("t"), sum("y").as("n1v"))
+    val ranked = Suffix.withWeightedOffset(perVal, Seq(col("m")),
+      col("t"), "cb")
+    ranked
+      .select(col("t"), col("n1v"),
+        (col("cb") + (col("t") + 1) / lit(2.0)).as("midrank"))
+      .agg(sum("t").as("nn"), sum("n1v").as("n1"),
+        sum(col("n1v") * col("midrank")).as("r1"))
+      .select(col("n1").as("n_pos"), (col("nn") - col("n1")).as("n_neg"),
+        when(col("n1") > 0 && col("nn") > col("n1"),
+          (col("r1") - col("n1") * (col("n1") + 1) / lit(2.0)) /
+            (col("n1") * (col("nn") - col("n1")))).as("auc0"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("auc0"), 4).as("auc"),
+        round(col("auc0") * 2 - 1, 4).as("gini"))
+  }
+
+  /** Expected / maximum calibration error of a predicted probability
+    * against a 0/1 label (Naeini et al., AAAI'15 shape): `bins`
+    * equal-width probability buckets, per-bucket mean confidence vs
+    * empirical accuracy, `ECE = Σ (n_b/N)·|conf_b − acc_b|`,
+    * `MCE = max_b |conf_b − acc_b|`. Probabilities clamp into
+    * `[0, 1)`-indexed buckets (p = 1.0 lands in the top bucket). Output
+    * ONE row `(n, n_bins, ece, mce)` (4dp; `n_bins` counts OCCUPIED
+    * buckets). One grouped partial-agg pass over the corpus; everything
+    * after runs on a ≤`bins`-row frame. Pairs with
+    * [[isotonicCalibrate]]: run before/after to show the fix. */
+  def calibrationError(df: DataFrame, probCol: Column, labelCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, "calibrationError: bins must be positive")
+    val s = df.select(probCol.cast("double").as("p"),
+        labelCol.cast("double").as("y"))
+      .filter(col("p").isNotNull && col("y").isNotNull)
+    val b = s.select(
+        least(greatest(floor(col("p") * bins), lit(0)), lit(bins - 1))
+          .cast("long").as("bin"),
+        col("p"), col("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), avg("p").as("conf"), avg("y").as("acc"))
+    b.agg(sum("n").as("nn"), count(lit(1)).as("n_bins"),
+        sum(abs(col("conf") - col("acc")) * col("n")).as("w"),
+        max(abs(col("conf") - col("acc"))).as("mce0"))
+      .select(col("nn").as("n"), col("n_bins"),
+        round(col("w") / col("nn"), 4).as("ece"),
+        round(col("mce0"), 4).as("mce"))
+  }
+
+  /** Decile lift & gains table — the campaign-targeting readout: rows
+    * ranked by score descending are cut into `k` ntile groups, and each
+    * group reports size, responders, response rate, lift vs the overall
+    * rate, and cumulative gains (share of all responders captured so
+    * far). Output `k` rows
+    * `(decile, n, responders, rate, lift, cum_gains)` (1-based decile,
+    * 4dp).
+    *
+    * Tie discipline: rows are ordered by `(score DESC, label ASC)`, so
+    * rows tied on BOTH are interchangeable and every per-decile count
+    * is deterministic — the same ordering makes an engine `ntile`
+    * reproducible. Scale shape: one grouped pass collapses the corpus
+    * to per-(score, label) counted rows; global positions come from the
+    * range-partitioned weighted prefix sum (no row-level global
+    * window); each counted row then splits its position span across the
+    * ≤`k` ntile boundaries it overlaps (ntile semantics: the first
+    * `N mod k` groups take `⌈N/k⌉` rows) via a broadcast k-row cross —
+    * the final frame is k rows. */
+  def liftTable(df: DataFrame, scoreCol: Column, labelCol: Column,
+      k: Int = 10): DataFrame = {
+    require(k > 0, "liftTable: k must be positive")
+    val spark = df.sparkSession
+    val s = df.select(scoreCol.cast("double").as("m"),
+        labelCol.cast("long").as("y"))
+      .filter(col("m").isNotNull && col("y").isNotNull)
+    val perVal = s.groupBy("m", "y").agg(count(lit(1)).as("t"))
+      .withColumn("negm", -col("m"))
+    val ranked = Suffix.withWeightedOffset(perVal,
+      Seq(col("negm"), col("y")), col("t"), "cb")
+    val tot = ranked.agg(sum("t").as("nn"),
+      sum(col("y") * col("t")).as("np"))
+    val dec = spark.range(k).select(col("id").as("g"))
+    val q = expr(s"nn div $k")
+    val m0 = col("nn") % k
+    val dlo = col("g") * q + least(col("g"), m0) + 1
+    val dhi = dlo + q + when(col("g") < m0, 1).otherwise(0) - 1
+    val olo = greatest(col("cb") + 1, col("dlo"))
+    val ohi = least(col("cb") + col("t"), col("dhi"))
+    val perDec = ranked.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(dec))
+      .select(col("g"), col("y"), col("t"), col("cb"), col("nn"),
+        col("np"), dlo.as("dlo"), dhi.as("dhi"))
+      .select(col("g"), col("y"), col("nn"), col("np"),
+        (ohi - olo + 1).as("c"))
+      .filter(col("c") > 0)
+      .groupBy("g", "nn", "np")
+      .agg(sum("c").as("n"), sum(col("c") * col("y")).as("responders"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("g") // k rows — the tiny-frame window is deliberate
+    perDec
+      .select((col("g") + 1).as("decile"), col("n"), col("responders"),
+        round(col("responders").cast("double") / col("n"), 4).as("rate"),
+        round((col("responders").cast("double") / col("n")) /
+          (col("np").cast("double") / col("nn")), 4).as("lift"),
+        round(sum(col("responders")).over(w).cast("double") / col("np"), 4)
+          .as("cum_gains"))
+      .orderBy("decile")
+  }
 }

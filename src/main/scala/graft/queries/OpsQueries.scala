@@ -2967,7 +2967,38 @@ object OpsQueries {
       // extract-all); the positional contract is spec-pinned
       graft.ops.TextAnalysis.piiSpans(piiDecorated(t(s, d, "documents")),
           col("doc_id"), col("ptext"))
-        .orderBy("id", "pii_class", "start_pos"))
+        .orderBy("id", "pii_class", "start_pos")),
+    "q313_isotonic" -> ((s, d) => {
+      // monotone probability calibration of the raw event score:
+      // segment-merge PAV over 5-unit value bins; the oracle replays
+      // the min-max identity (max_{i≤k} min_{j≥k} avg(i..j)) over the
+      // identical bin table — block means are exact integer ratios, so
+      // the two agree bit-for-bit
+      val e = ev(s, d).select(
+        floor(col("value") / 5).cast("long").as("bin"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+      graft.ops.Classify.isotonicCalibrate(e, col("bin"), col("y"))
+        .orderBy("bin")
+    }),
+    "q314_roc_auc" -> ((s, d) =>
+      // exact tie-aware AUC of the raw score against the purchase
+      // label — a normalized Mann–Whitney U, midranks from the same
+      // weighted prefix sum (no global window)
+      graft.ops.Classify.rocAuc(ev(s, d), col("value"),
+        (col("event_type") === "purchase").cast("long"))),
+    "q315_calibration_error" -> ((s, d) =>
+      // reliability audit of a pseudo-probability (value/500) against
+      // the purchase label: 10-bucket ECE + MCE in one grouped pass
+      graft.ops.Classify.calibrationError(
+        ev(s, d).select((col("value") / 500).as("p"),
+          (col("event_type") === "purchase").cast("int").as("y")),
+        col("p"), col("y"), bins = 10)),
+    "q316_lift" -> ((s, d) =>
+      // decile lift & gains of the raw score on purchases: ntile cuts
+      // from the weighted prefix sum with the (score DESC, label ASC)
+      // tie discipline that makes per-decile counts deterministic
+      graft.ops.Classify.liftTable(ev(s, d), col("value"),
+        (col("event_type") === "purchase").cast("long"), k = 10))
   )
 
   /** The q298 oracle: `rounds` unrolled peel passes of the k-core
@@ -7958,6 +7989,72 @@ object OpsQueries {
            round(CAST(sum(wt) AS DOUBLE) / 12.0, 4) AS x
          FROM cn GROUP BY w1, w2 HAVING count(*) >= 10
          ORDER BY w1, w2""",
+
+    "q313_isotonic" ->
+      """WITH s AS (SELECT CAST(floor(value / 5) AS BIGINT) AS bin,
+                 CAST(event_type = 'purchase' AS BIGINT) AS y FROM events),
+         b AS (SELECT bin, count(*) AS n, sum(y) AS pos FROM s GROUP BY bin),
+         c AS (SELECT bin, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+                 row_number() OVER (ORDER BY bin) AS r,
+                 CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+                 CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cp FROM b),
+         pr AS (SELECT i.r AS i, j.r AS j,
+                  CAST(j.cp - i.cp + i.pos AS DOUBLE) /
+                    (j.cn - i.cn + i.n) AS m
+                FROM c i JOIN c j ON i.r <= j.r),
+         mn AS (SELECT pr.i, k.r AS k, min(pr.m) AS v
+                FROM pr JOIN c k ON pr.i <= k.r AND pr.j >= k.r
+                GROUP BY pr.i, k.r),
+         fit AS (SELECT k, max(v) AS cal FROM mn GROUP BY k)
+         SELECT c.bin, c.n, c.pos,
+           round(CAST(c.pos AS DOUBLE) / c.n, 4) AS rate,
+           round(f.cal, 4) AS calibrated
+         FROM c JOIN fit f ON f.k = c.r ORDER BY bin""",
+
+    "q314_roc_auc" ->
+      """WITH s AS (SELECT value AS m,
+                 CAST(event_type = 'purchase' AS BIGINT) AS y FROM events),
+         pv AS (SELECT m, count(*) AS t, sum(y) AS n1v FROM s GROUP BY m),
+         r AS (SELECT t, n1v,
+                 sum(t) OVER (ORDER BY m) - t + (t + 1) / 2.0 AS midrank
+               FROM pv),
+         a AS (SELECT CAST(sum(t) AS BIGINT) AS nn,
+                 CAST(sum(n1v) AS BIGINT) AS n1,
+                 CAST(sum(n1v * midrank) AS DOUBLE) AS r1 FROM r)
+         SELECT n1 AS n_pos, nn - n1 AS n_neg,
+           round((r1 - n1 * (n1 + 1) / 2.0) / (n1 * (nn - n1)), 4) AS auc,
+           round((r1 - n1 * (n1 + 1) / 2.0) / (n1 * (nn - n1)) * 2 - 1, 4)
+             AS gini
+         FROM a""",
+
+    "q315_calibration_error" ->
+      """WITH s AS (SELECT value / 500 AS p,
+                 CAST(event_type = 'purchase' AS INT) AS y FROM events),
+         b AS (SELECT CAST(least(greatest(floor(p * 10), 0), 9) AS BIGINT)
+                   AS bin,
+                 count(*) AS n, avg(p) AS conf, avg(y) AS acc
+               FROM s GROUP BY 1)
+         SELECT CAST(sum(n) AS BIGINT) AS n, count(*) AS n_bins,
+           round(sum(abs(conf - acc) * n) / sum(n), 4) AS ece,
+           round(max(abs(conf - acc)), 4) AS mce
+         FROM b""",
+
+    "q316_lift" ->
+      """WITH s AS (SELECT value AS m,
+                 CAST(event_type = 'purchase' AS BIGINT) AS y FROM events),
+         r AS (SELECT y, ntile(10) OVER (ORDER BY m DESC, y) AS decile
+               FROM s),
+         a AS (SELECT decile, count(*) AS n,
+                 CAST(sum(y) AS BIGINT) AS responders
+               FROM r GROUP BY decile),
+         t AS (SELECT CAST(sum(n) AS DOUBLE) AS nn,
+                 CAST(sum(responders) AS DOUBLE) AS np FROM a)
+         SELECT CAST(decile AS BIGINT) AS decile, n, responders,
+           round(responders / CAST(n AS DOUBLE), 4) AS rate,
+           round((responders / CAST(n AS DOUBLE)) / (np / nn), 4) AS lift,
+           round(sum(responders) OVER (ORDER BY decile) / np, 4)
+             AS cum_gains
+         FROM a, t ORDER BY decile""",
 
     "q269_sessions" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, value AS v,

@@ -93,4 +93,85 @@ class ClassifySpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(model2 == w)
   }
+
+  /** Rows for bin rates: each (bin, n, pos) expands to n labeled rows. */
+  private def calRows(spec: (Long, Int, Int)*) = {
+    import spark.implicits._
+    spec.flatMap { case (b, n, p) =>
+      (0 until n).map(i => (b, if (i < p) 1L else 0L))
+    }.toDF("bin", "y")
+  }
+
+  test("isotonicCalibrate: PAV pools the violating middle pair") {
+    // rates 0.2, 0.6, 0.4, 0.8 → bins 2,3 pool to 0.5
+    val df = calRows((1L, 5, 1), (2L, 5, 3), (3L, 5, 2), (4L, 5, 4))
+    val got = Classify.isotonicCalibrate(df, col("bin"), col("y"))
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq((1L, 0.2, 0.2), (2L, 0.6, 0.5),
+      (3L, 0.4, 0.5), (4L, 0.8, 0.8)))
+    // strictly decreasing rates pool into one global block
+    val dec = calRows((1L, 4, 4), (2L, 4, 2), (3L, 4, 0))
+    val all = Classify.isotonicCalibrate(dec, col("bin"), col("y"))
+      .collect().map(_.getDouble(4)).distinct
+    assert(all.toSeq == Seq(0.5))
+    // partition invariance: the segment merge sees different splits
+    val got7 = Classify.isotonicCalibrate(df.repartition(7), col("bin"),
+        col("y")).orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4)))
+    assert(got7.toSeq == got.toSeq)
+  }
+
+  test("rocAuc: separation, ties, and the coin-flip midpoint") {
+    import spark.implicits._
+    // perfect ranking → AUC 1
+    val perfect = Seq((1.0, 0L), (2.0, 0L), (3.0, 1L), (4.0, 1L))
+      .toDF("m", "y")
+    val p = Classify.rocAuc(perfect, col("m"), col("y")).collect()(0)
+    assert(p.getLong(0) == 2 && p.getLong(1) == 2 &&
+      p.getDouble(2) == 1.0 && p.getDouble(3) == 1.0)
+    // full ties → midranks make AUC exactly 0.5
+    val tied = Seq((1.0, 0L), (1.0, 1L), (2.0, 0L), (2.0, 1L))
+      .toDF("m", "y")
+    val t = Classify.rocAuc(tied, col("m"), col("y")).collect()(0)
+    assert(t.getDouble(2) == 0.5 && t.getDouble(3) == 0.0)
+  }
+
+  test("calibrationError: hand-computed two-bucket ECE/MCE") {
+    import spark.implicits._
+    // bucket 1 (p=.15): conf .15, acc 0.0 → |gap| .15 over 2 rows
+    // bucket 9 (p=.95): conf .95, acc 1.0 → |gap| .05 over 2 rows
+    val df = Seq((0.15, 0), (0.15, 0), (0.95, 1), (0.95, 1))
+      .toDF("p", "y")
+    val r = Classify.calibrationError(df, col("p"), col("y"), bins = 10)
+      .collect()(0)
+    assert(r.getLong(0) == 4 && r.getLong(1) == 2)
+    assert(math.abs(r.getDouble(2) - 0.1) < 1e-9) // (2*.15 + 2*.05)/4
+    assert(math.abs(r.getDouble(3) - 0.15) < 1e-9)
+    // p = 1.0 clamps into the top bucket instead of bucket `bins`
+    val edge = Seq((1.0, 1)).toDF("p", "y")
+    assert(Classify.calibrationError(edge, col("p"), col("y"), 10)
+      .collect()(0).getLong(1) == 1)
+  }
+
+  test("liftTable: ntile sizes, deterministic tie counts, gains sum") {
+    import spark.implicits._
+    // N=10, k=3 → ntile sizes 4,3,3; scores descending 10..1,
+    // responders at the top → decile 1 captures most
+    val df = (1 to 10).map(i => (i.toDouble, if (i >= 7) 1L else 0L))
+      .toDF("m", "y")
+    val rows = Classify.liftTable(df, col("m"), col("y"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._2).toSeq == Seq(4L, 3L, 3L)) // big groups first
+    assert(rows.map(_._3).sum == 4L)
+    assert(rows.head == ((1L, 4L, 4L))) // top ntile = scores 10,9,8,7
+    // a tie spanning the boundary: label-asc ordering puts the tied
+    // negatives before the tied positives, so counts stay deterministic
+    val tie = Seq((5.0, 0L), (5.0, 0L), (5.0, 1L), (5.0, 1L), (4.0, 1L),
+      (3.0, 0L)).toDF("m", "y")
+    val tr = Classify.liftTable(tie, col("m"), col("y"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // positions 1-3: the three tied (5.0) rows with y=0,0,1 → 1 responder
+    assert(tr.toSeq == Seq((1L, 3L, 1L), (2L, 3L, 2L)))
+  }
 }
