@@ -1372,4 +1372,41 @@ object Curation {
       .select(col("id"), input.as("input"), target.as("target"),
         nSpans.cast("long").as("n_spans"))
   }
+
+  /** Leakage-safe k-fold target encoding — the high-cardinality
+    * categorical featurizer (Micci-Barreca, SIGKDD Expl. 2001 shape):
+    * each row's category is replaced by the smoothed mean of an
+    * INTEGER target over all OTHER folds,
+    * `enc = (T_cat − T_cat,fold + s·ȳ) / (N_cat − N_cat,fold + s)`,
+    * so a row never sees its own fold's labels (pair with
+    * [[crossFold]] for the fold id). `smoothing` (> 0) shrinks rare
+    * categories toward the global mean and keeps single-fold
+    * categories finite. Output `(id, cat, fold, encoded)` (4dp).
+    *
+    * Scale shape: ONE grouped partial-agg pass collapses the corpus to
+    * the (cat, fold) table; per-cat totals and the global mean derive
+    * from it; the corpus then picks up its encoding by a broadcast
+    * join against the bounded (cat, fold) frame — rows never shuffle.
+    * Integer targets keep every sum exact, so the encoding is
+    * engine-reproducible. */
+  def targetEncode(df: DataFrame, idCol: Column, catCol: Column,
+      targetCol: Column, foldCol: Column,
+      smoothing: Double = 20.0): DataFrame = {
+    require(smoothing > 0, "targetEncode: smoothing must be > 0")
+    val s = df.select(idCol.as("id"), catCol.cast("string").as("cat"),
+        targetCol.cast("long").as("y"), foldCol.cast("long").as("fold"))
+      .filter(col("cat").isNotNull && col("y").isNotNull &&
+        col("fold").isNotNull)
+    val cf = s.groupBy("cat", "fold")
+      .agg(count(lit(1)).as("nf"), sum("y").as("tf"))
+      .localCheckpoint(eager = true) // read twice: totals + the join
+    val ct = cf.groupBy("cat").agg(sum("nf").as("nc"), sum("tf").as("tc"))
+    val g = cf.agg((sum("tf") / sum("nf").cast("double")).as("gm"))
+    val enc = (col("tc") - col("tf") + lit(smoothing) * col("gm")) /
+      (col("nc") - col("nf") + lit(smoothing))
+    s.join(broadcast(cf.join(ct, "cat").crossJoin(g)),
+        Seq("cat", "fold"))
+      .select(col("id"), col("cat"), col("fold"),
+        round(enc, 4).as("encoded"))
+  }
 }

@@ -351,6 +351,49 @@ object Experiment {
           .as("cramers_v"))
   }
 
+  /** Mutual information between two categorical columns — the
+    * feature-relevance companion to [[chiSquareIndependence]]: in nats,
+    * `MI = Σ_xy p(x,y)·ln(p(x,y)/(p(x)p(y)))` over OBSERVED cells
+    * (empty cells contribute 0 by the p·ln p limit), plus the
+    * sqrt-normalized variant `NMI = MI / sqrt(H(X)·H(Y))` that makes
+    * scores comparable across feature pairs (degenerate single-level
+    * columns have H = 0 and null the NMI). Output ONE row
+    * `(n, r, c, mi, nmi)` (4dp).
+    *
+    * Same plan as [[chiSquareIndependence]]: one grouped count over
+    * `(a, b)` is the only corpus pass; margins, entropies and the
+    * statistic derive from the |cells|-sized frame. Integer counts keep
+    * every probability an exact ratio, so the result is
+    * engine-reproducible. */
+  def mutualInformation(df: DataFrame, aCol: Column,
+      bCol: Column): DataFrame = {
+    val cells = df.select(aCol.cast("string").as("a"),
+        bCol.cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+      .localCheckpoint(eager = true) // read 3×: margins ×2 + the sum
+    val rowTot = cells.groupBy("a").agg(sum("o").as("ra"))
+    val colTot = cells.groupBy("b").agg(sum("o").as("cb"))
+    val tot = cells.agg(sum("o").cast("double").as("n"),
+      count_distinct(col("a")).as("r"), count_distinct(col("b")).as("c"))
+    val hx = rowTot.crossJoin(broadcast(tot))
+      .agg(-sum(col("ra") / col("n") * log(col("ra") / col("n"))) as "hx")
+    val hy = colTot.crossJoin(broadcast(tot))
+      .agg(-sum(col("cb") / col("n") * log(col("cb") / col("n"))) as "hy")
+    cells.join(rowTot, "a").join(broadcast(colTot), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("r"), col("c"),
+        (col("o") / col("n") *
+          log(col("o") * col("n") / (col("ra") * col("cb")))).as("q"))
+      .groupBy("n", "r", "c")
+      .agg(sum("q").as("mi0"))
+      .crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(col("n").cast("long").as("n"), col("r"), col("c"),
+        round(col("mi0"), 4).as("mi"),
+        round(when(col("hx") > 0 && col("hy") > 0,
+          col("mi0") / sqrt(col("hx") * col("hy"))), 4).as("nmi"))
+  }
+
   /** Step-to-step conversion latency distribution over
     * [[Temporal.funnelSteps]]: for every adjacent step pair the key
     * completed, the seconds between the two earliest in-order

@@ -204,4 +204,64 @@ object Profile {
           .otherwise((col("__n") - col("__v")) / col("__n").cast("double")),
           4).as("pass_rate"))
   }
+
+  /** Quantile normalization across groups — maps every group's value
+    * distribution onto the POOLED distribution (the cross-source score
+    * equalizer microarray pipelines made standard): a row at
+    * within-group quantile `p = (rank−1)/(n_g−1)` (rank by
+    * `(value, id)` — the deterministic tie discipline) is replaced by
+    * the pooled distribution's linearly interpolated value at position
+    * `p·(N−1)` (singleton groups map to the pooled median, p = 0.5).
+    * After the transform every group has an identical value
+    * distribution, so one threshold means the same thing in every
+    * group — the rank-preserving alternative to
+    * [[Curation.crossSourceCalibration]]'s percentile bucketing.
+    * Output `(id, grp, v, qnorm)` — qnorm unrounded (see below).
+    *
+    * Scale shape: within-group ranks come from per-GROUP windows (the
+    * key shuffle); the pooled lookup table `(position → value)` is
+    * built from per-VALUE counts through the range-partitioned
+    * weighted prefix sum (no row-level global window) and exploded to
+    * one row per position; rows then fetch their floor/ceil positions
+    * through two INT equi-joins — no range join, no broadcast of a
+    * corpus-sized side. */
+  def quantileNormalize(df: DataFrame, idCol: Column, grpCol: Column,
+      valCol: Column): DataFrame = {
+    val s = df.select(idCol.as("id"), grpCol.cast("string").as("grp"),
+        valCol.cast("double").as("v"))
+      .filter(col("grp").isNotNull && col("v").isNotNull)
+      .localCheckpoint(eager = true) // read twice: ranks + pooled table
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("v", "id")
+    val ranked = s
+      .withColumn("rk", row_number().over(wg))
+      .withColumn("ng", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("grp")))
+    val perVal = s.groupBy("v").agg(count(lit(1)).as("t"))
+    val pooled = Suffix.withWeightedOffset(perVal, Seq(col("v")),
+        col("t"), "cb")
+      .select(col("v").as("gv"),
+        explode(sequence(col("cb") + 1, col("cb") + col("t"))).as("gp"))
+    val tot = pooled.agg(count(lit(1)).as("nn"))
+    val p = when(col("ng") === 1, lit(0.5))
+      .otherwise((col("rk") - 1).cast("double") / (col("ng") - 1))
+    val staged = ranked.crossJoin(broadcast(tot))
+      .withColumn("gpos", p * (col("nn") - 1))
+      .withColumn("fl", floor(col("gpos")).cast("long"))
+      .withColumn("cl", least(col("fl") + 2, col("nn")))
+    val lo = pooled.select(col("gp").as("gp1"), col("gv").as("lo_v"))
+    val hi = pooled.select(col("gp").as("gp2"), col("gv").as("hi_v"))
+    // qnorm stays UNROUNDED: the interpolation is the same IEEE op
+    // sequence in any engine, but a 4dp round is not — Spark's round
+    // goes through the shortest-string BigDecimal (HALF_UP on
+    // "x.xxxx5"), other engines round the binary double, and
+    // interpolated values DO land on those boundaries (e.g. a 5/32
+    // fraction between 2-decimal inputs)
+    staged
+      .join(lo, col("fl") + 1 === col("gp1"))
+      .join(hi, col("cl") === col("gp2"))
+      .select(col("id"), col("grp"), col("v"),
+        (col("lo_v") + (col("gpos") - col("fl")) *
+          (col("hi_v") - col("lo_v"))).as("qnorm"))
+  }
 }

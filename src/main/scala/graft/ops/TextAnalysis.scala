@@ -697,6 +697,76 @@ object TextAnalysis {
    * `(w1, w2, weight)` rows shuffle into a partial-agg'd group-by —
    * bounded by the pair vocabulary per partition, the same regime as
    * [[collocations]]' bigram counts. */
+  /** Skip-gram-with-negative-sampling training pairs (word2vec SGNS,
+    * Mikolov et al. 2013) — the [[gloveCooccurrence]] sibling that
+    * emits the actual (center, context, negatives) training table:
+    * every directed pair within `window` whose BOTH endpoints survive
+    * the `minCount` vocabulary gate, aggregated to
+    * `(center, context, n_pos)`, then `negatives` deterministic
+    * unigram draws per aggregated pair — negative `j` is the vocab
+    * word whose cumulative-count span contains
+    * `md5(center, context, j) mod Σcounts`, i.e. exact
+    * frequency-proportional sampling with zero RNG state (the word2vec
+    * count^0.75 flattening is a caller-side weight choice; raw counts
+    * keep the arithmetic integer-exact and engine-reproducible).
+    * Output `(center, context, n_pos, j, neg)`.
+    *
+    * Scale shape: windows expand row-locally (positions × ≤window) and
+    * only (center, context) string pairs shuffle into the count; the
+    * vocab gate is a broadcast semi-join; the negative lookup is a
+    * SEGMENT equi-join against the cumulative vocab spans (span rows
+    * replicate to the ≤ span/W + 1 segments they overlap,
+    * W ≈ total/4096) — never a per-row scan of the vocabulary, never a
+    * range join. */
+  def sgnsPairs(docs: DataFrame, textCol: Column, window: Int,
+      minCount: Long, negatives: Int): DataFrame = {
+    require(window >= 1 && window <= 16, "sgnsPairs: window in [1, 16]")
+    require(minCount >= 1 && negatives >= 1,
+      "sgnsPairs: minCount and negatives must be >= 1")
+    val toks = docs.select(
+        array_remove(split(trim(textCol), "\\s+"), "").as("tk"))
+      .localCheckpoint(eager = true) // read twice: vocab + windows
+    val vocab = toks.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val vr = Suffix.withWeightedOffset(vocab, Seq(col("w")),
+      col("cnt"), "lo")
+    val tot = vocab.agg(sum("cnt").as("total"))
+    val raw = toks
+      .select(col("tk"), explode(sequence(lit(0), size(col("tk")) - 1))
+        .as("p"))
+      .filter(size(col("tk")) - col("p") >= 2)
+      .select(col("tk"), col("p"),
+        explode(sequence(lit(1),
+          least(lit(window), size(col("tk")) - col("p") - 1))).as("d"))
+      .select(element_at(col("tk"), col("p") + 1).as("wa"),
+        element_at(col("tk"), col("p") + col("d") + 1).as("wb"))
+    val dir = raw.select(col("wa").as("center"), col("wb").as("context"))
+      .unionAll(raw.select(col("wb").as("center"), col("wa").as("context")))
+    val pp = dir
+      .join(broadcast(vocab.select(col("w").as("center"))), "center")
+      .join(broadcast(vocab.select(col("w").as("context"))), "context")
+      .groupBy("center", "context").agg(count(lit(1)).as("n_pos"))
+    val withR = pp
+      .select(col("center"), col("context"), col("n_pos"),
+        explode(sequence(lit(1), lit(negatives))).as("j"))
+      .crossJoin(broadcast(tot))
+      .withColumn("r", pmod(graft.expr.PortableHash.hex15Col(
+        concat(col("center"), lit(""), col("context"),
+          lit(""), col("j").cast("string"))), col("total")))
+      .withColumn("w0", greatest(expr("total div 4096"), lit(1L)))
+      .withColumn("seg", expr("r div w0"))
+    val spans = vr.crossJoin(broadcast(tot))
+      .withColumn("w0", greatest(expr("total div 4096"), lit(1L)))
+      .select(col("w").as("neg"), col("lo"), col("cnt"),
+        explode(sequence(expr("lo div w0"),
+          expr("(lo + cnt - 1) div w0"))).as("seg"))
+    withR.join(spans, Seq("seg"))
+      .filter(col("r") >= col("lo") && col("r") < col("lo") + col("cnt"))
+      .select(col("center"), col("context"), col("n_pos"), col("j"),
+        col("neg"))
+  }
+
   def gloveCooccurrence(docs: DataFrame, textCol: Column, window: Int,
       minCount: Long = 1L): DataFrame = {
     require(window >= 1 && window <= 16, "gloveCooccurrence: window in [1, 16]")

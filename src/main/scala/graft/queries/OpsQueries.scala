@@ -2998,7 +2998,38 @@ object OpsQueries {
       // from the weighted prefix sum with the (score DESC, label ASC)
       // tie discipline that makes per-decile counts deterministic
       graft.ops.Classify.liftTable(ev(s, d), col("value"),
-        (col("event_type") === "purchase").cast("long"), k = 10))
+        (col("event_type") === "purchase").cast("long"), k = 10)),
+    "q317_target_encode" -> ((s, d) => {
+      // leakage-safe categorical featurization: each event's type is
+      // replaced by the smoothed out-of-fold mean of a binary target —
+      // folds from the content-addressed md5 assignment, so both
+      // engines agree bit-for-bit
+      val e = ev(s, d)
+      graft.ops.Curation.targetEncode(e, col("event_id"),
+        col("event_type"), (col("value") > 50).cast("long"),
+        graft.ops.Curation.crossFold(col("event_id"), 5),
+        smoothing = 20.0).orderBy("id")
+    }),
+    "q318_quantile_normalize" -> ((s, d) =>
+      // cross-type score equalization: every event type's value
+      // distribution maps onto the pooled one by rank interpolation —
+      // per-type windows + the exploded global position table, two int
+      // equi-joins, no range join
+      graft.ops.Profile.quantileNormalize(ev(s, d), col("event_id"),
+        col("event_type"), col("value")).orderBy("id")),
+    "q319_mutual_information" -> ((s, d) =>
+      // feature-relevance screen: MI and sqrt-normalized MI between
+      // document language and source over the one contingency pass
+      graft.ops.Experiment.mutualInformation(t(s, d, "documents"),
+        col("lang"), col("source"))),
+    "q320_sgns_pairs" -> ((s, d) =>
+      // word2vec SGNS training table: window-2 directed pairs over the
+      // minCount-gated vocab plus two deterministic unigram negatives
+      // per pair via md5 spans — the segment equi-join, never a scan
+      graft.ops.TextAnalysis.sgnsPairs(
+          t(s, d, "documents").filter(col("doc_id") % 5 === 0),
+          col("text"), window = 2, minCount = 20, negatives = 2)
+        .orderBy("center", "context", "j"))
   )
 
   /** The q298 oracle: `rounds` unrolled peel passes of the k-core
@@ -8055,6 +8086,97 @@ object OpsQueries {
            round(sum(responders) OVER (ORDER BY decile) / np, 4)
              AS cum_gains
          FROM a, t ORDER BY decile""",
+
+    "q317_target_encode" ->
+      """WITH s AS (SELECT event_id AS id, event_type AS cat,
+                 CAST(value > 50 AS BIGINT) AS y,
+                 CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),
+                   1, 15)) AS BIGINT) % 5 AS fold FROM events),
+         cf AS (SELECT cat, fold, count(*) AS nf,
+                  CAST(sum(y) AS BIGINT) AS tf FROM s GROUP BY cat, fold),
+         ct AS (SELECT cat, CAST(sum(nf) AS BIGINT) AS nc,
+                  CAST(sum(tf) AS BIGINT) AS tc FROM cf GROUP BY cat),
+         g AS (SELECT CAST(sum(y) AS DOUBLE) / count(*) AS gm FROM s)
+         SELECT s.id, s.cat, s.fold,
+           round((ct.tc - cf.tf + 20.0 * g.gm) /
+             (ct.nc - cf.nf + 20.0), 4) AS encoded
+         FROM s JOIN cf ON cf.cat = s.cat AND cf.fold = s.fold
+           JOIN ct ON ct.cat = s.cat CROSS JOIN g
+         ORDER BY id""",
+
+    "q318_quantile_normalize" ->
+      """WITH s AS (SELECT event_id AS id, event_type AS grp, value AS v
+               FROM events),
+         r AS (SELECT id, grp, v,
+                 row_number() OVER (PARTITION BY grp ORDER BY v, id) AS rk,
+                 count(*) OVER (PARTITION BY grp) AS ng FROM s),
+         g AS (SELECT v AS gv, row_number() OVER (ORDER BY v) AS gp FROM s),
+         n AS (SELECT count(*) AS nn FROM s),
+         ip AS (SELECT id, grp, v,
+                  CASE WHEN ng = 1 THEN 0.5
+                       ELSE (rk - 1) / CAST(ng - 1 AS DOUBLE) END
+                    * (nn - 1) AS gpos
+                FROM r CROSS JOIN n),
+         fp AS (SELECT *, CAST(floor(gpos) AS BIGINT) AS fl FROM ip)
+         SELECT fp.id, fp.grp, fp.v,
+           gl.gv + (fp.gpos - fp.fl) * (gh.gv - gl.gv) AS qnorm
+         FROM fp CROSS JOIN n
+           JOIN g gl ON gl.gp = fp.fl + 1
+           JOIN g gh ON gh.gp = least(fp.fl + 2, n.nn)
+         ORDER BY id""",
+
+    "q319_mutual_information" ->
+      """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o
+               FROM documents
+               WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+         rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY a),
+         ctt AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY b),
+         t AS (SELECT CAST(sum(o) AS DOUBLE) AS n,
+                 count(DISTINCT a) AS r, count(DISTINCT b) AS c FROM cells),
+         hx AS (SELECT -sum(ra / n * ln(ra / n)) AS hx FROM rt CROSS JOIN t),
+         hy AS (SELECT -sum(cb / n * ln(cb / n)) AS hy FROM ctt CROSS JOIN t),
+         mi AS (SELECT sum(o / n * ln(o * n / (ra * CAST(cb AS DOUBLE))))
+                    AS mi0
+                FROM cells JOIN rt USING (a) JOIN ctt USING (b)
+                  CROSS JOIN t)
+         SELECT CAST(t.n AS BIGINT) AS n, t.r, t.c,
+           round(mi.mi0, 4) AS mi,
+           round(CASE WHEN hx.hx > 0 AND hy.hy > 0
+             THEN mi.mi0 / sqrt(hx.hx * hy.hy) END, 4) AS nmi
+         FROM t CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy""",
+
+    "q320_sgns_pairs" ->
+      """WITH toks AS (SELECT list_filter(string_split_regex(trim(text),
+                   '\s+'), x -> x <> '') AS tk
+               FROM documents WHERE doc_id % 5 = 0),
+         flat AS (SELECT unnest(tk) AS w FROM toks),
+         vocab AS (SELECT w, count(*) AS cnt FROM flat GROUP BY w
+                   HAVING count(*) >= 20),
+         vr AS (SELECT w, CAST(cnt AS BIGINT) AS cnt,
+                  CAST(sum(cnt) OVER (ORDER BY w) - cnt AS BIGINT) AS lo
+                FROM vocab),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+         p AS (SELECT tk, unnest(range(0, len(tk))) AS p FROM toks),
+         pd AS (SELECT tk, p,
+                  unnest(range(1, least(2, len(tk) - p - 1) + 1)) AS d
+                FROM p WHERE len(tk) - p >= 2),
+         pr AS (SELECT tk[p + 1] AS wa, tk[p + d + 1] AS wb FROM pd),
+         dir AS (SELECT wa AS center, wb AS context FROM pr
+                 UNION ALL SELECT wb, wa FROM pr),
+         pp AS (SELECT center, context, count(*) AS n_pos FROM dir
+                JOIN vr va ON va.w = dir.center
+                JOIN vr vb ON vb.w = dir.context
+                GROUP BY center, context),
+         ex AS (SELECT center, context, CAST(n_pos AS BIGINT) AS n_pos,
+                  unnest(range(1, 3)) AS j FROM pp),
+         rr AS (SELECT ex.*, CAST(concat('0x', substr(md5(concat(center,
+                    chr(1), context, chr(1), CAST(j AS VARCHAR))), 1, 15))
+                  AS BIGINT) % tot.total AS r
+                FROM ex CROSS JOIN tot)
+         SELECT rr.center, rr.context, rr.n_pos, CAST(rr.j AS INT) AS j,
+           vr.w AS neg
+         FROM rr JOIN vr ON rr.r >= vr.lo AND rr.r < vr.lo + vr.cnt
+         ORDER BY center, context, j""",
 
     "q269_sessions" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, value AS v,

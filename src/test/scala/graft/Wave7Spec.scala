@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Curation, Experiment, Profile, TextAnalysis}
+
+/** Round-10 seventh wave against hand-computed fixtures: out-of-fold
+  * target encoding, quantile normalization, mutual information, SGNS
+  * skip-gram pairs with deterministic unigram negatives. */
+class Wave7Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("targetEncode: out-of-fold means, smoothing, single-fold cat") {
+    import spark.implicits._
+    // cat A: rows (id1, f0, y1), (id2, f0, y0), (id3, f1, y1);
+    // cat B: one row (id4, f0, y0). gm = 2/4 = 0.5, smoothing 2.
+    val df = Seq((1L, "A", 1L, 0L), (2L, "A", 0L, 0L), (3L, "A", 1L, 1L),
+      (4L, "B", 0L, 0L)).toDF("id", "cat", "y", "fold")
+    val got = Curation.targetEncode(df, col("id"), col("cat"), col("y"),
+        col("fold"), smoothing = 2.0)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(3)))
+    // id1/id2 (A, f0): (2-1 + 2*0.5)/(3-2 + 2) = 2/3
+    // id3 (A, f1): (2-1 + 1)/(3-1 + 2) = 0.5
+    // id4 (B, f0): own fold removed entirely → pure prior
+    //   (0-0+1)/(1-1+2) = 0.5
+    assert(got.toSeq == Seq((1L, 0.6667), (2L, 0.6667), (3L, 0.5),
+      (4L, 0.5)))
+  }
+
+  test("quantileNormalize: groups map onto the pooled distribution") {
+    import spark.implicits._
+    val df = Seq((1L, "g1", 1.0), (2L, "g1", 2.0), (3L, "g1", 3.0),
+      (4L, "g2", 4.0), (5L, "g2", 5.0), (6L, "g2", 6.0))
+      .toDF("id", "grp", "v")
+    val got = Profile.quantileNormalize(df, col("id"), col("grp"),
+        col("v")).orderBy("id").collect().map(_.getDouble(3))
+    // pooled sorted [1..6], N=6: within-group p ∈ {0, .5, 1} →
+    // positions {0, 2.5, 5} → values {1.0, 3.5, 6.0} for BOTH groups
+    assert(got.toSeq == Seq(1.0, 3.5, 6.0, 1.0, 3.5, 6.0))
+    // a singleton group maps to the pooled median position
+    val single = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 99.0))
+      .toDF("id", "grp", "v")
+    val s = Profile.quantileNormalize(single, col("id"), col("grp"),
+        col("v")).orderBy("id").collect().map(_.getDouble(3))
+    // pooled [10, 20, 99]; singleton p=0.5 → position 1.0 → 20.0
+    assert(s(2) == 20.0)
+  }
+
+  test("mutualInformation: identity saturates, independence zeroes") {
+    import spark.implicits._
+    val same = Seq(("x", "x"), ("y", "y"), ("x", "x"), ("y", "y"))
+      .toDF("a", "b")
+    val r1 = Experiment.mutualInformation(same, col("a"), col("b"))
+      .collect()(0)
+    assert(r1.getLong(0) == 4 && r1.getDouble(3) == 0.6931) // ln 2
+    assert(r1.getDouble(4) == 1.0)
+    val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
+      .toDF("a", "b")
+    val r2 = Experiment.mutualInformation(indep, col("a"), col("b"))
+      .collect()(0)
+    assert(r2.getDouble(3) == 0.0 && r2.getDouble(4) == 0.0)
+  }
+
+  test("sgnsPairs: window pairs, vocab gate, md5 unigram negatives") {
+    import spark.implicits._
+    val docs = Seq("a b a b a").toDF("text")
+    val got = TextAnalysis.sgnsPairs(docs, col("text"), window = 1,
+        minCount = 1, negatives = 2)
+      .orderBy("center", "context", "j").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3), r.getString(4)))
+    // adjacent pairs both directions: (a,b)×4 and (b,a)×4
+    assert(got.map(t => (t._1, t._2, t._3)).distinct.toSeq ==
+      Seq(("a", "b", 4L), ("b", "a", 4L)))
+    // negatives replay the md5 span lookup: counts a=3, b=2 → spans
+    // a=[0,3), b=[3,5), total 5
+    def negOf(c: String, x: String, j: Int): String = {
+      val r = graft.expr.PortableHash.hex15(
+        c + "\u0001" + x + "\u0001" + j) % 5
+      if (r < 3) "a" else "b"
+    }
+    got.foreach { case (c, x, _, j, neg) =>
+      assert(neg == negOf(c, x, j), s"($c,$x,$j)")
+    }
+    // rare words drop out of both pair endpoints
+    val gated = TextAnalysis.sgnsPairs(docs, col("text"), window = 1,
+      minCount = 3, negatives = 1)
+    assert(gated.collect().isEmpty) // only 'a' survives; no pair
+  }
+}
