@@ -351,6 +351,63 @@ object Experiment {
           .as("cramers_v"))
   }
 
+  /** Wald's sequential probability ratio test (SPRT) over per-key
+    * ordered 0/1 outcomes — the always-valid early-stopping companion
+    * to [[proportionTest]]: the log-likelihood ratio of `p1` vs `p0`
+    * random-walks over the outcome stream
+    * (`+ln(p1/p0)` per success, `+ln((1−p1)/(1−p0))` per failure) and
+    * the test decides at the FIRST crossing of the Wald bounds
+    * `ln(β/(1−α))` / `ln((1−β)/α)`. Output one row per key:
+    * `(k, n, decision, n_at_decision, llr_final)` — decision
+    * `accept_h1` / `accept_h0` / `continue` (never crossed;
+    * `n_at_decision` null), `llr_final` the end-of-stream statistic
+    * (4dp). Ties on time break by `tiebreakCol`.
+    *
+    * Plan: one key shuffle powers the running LLR window; the first
+    * crossing resolves as `min(when(crossed, ord))` in the same
+    * grouped agg that reads off the final LLR — no second pass over
+    * the stream, no driver loop. */
+  def sprtTest(units: DataFrame, keyCol: Column, timeCol: Column,
+      tiebreakCol: Column, outcomeCol: Column,
+      p0: Double, p1: Double, alpha: Double = 0.05,
+      beta: Double = 0.2): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      "sprtTest: p0, p1 in (0, 1), p0 != p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      "sprtTest: alpha, beta in (0, 1)")
+    val wPos = math.log(p1 / p0)
+    val wNeg = math.log((1.0 - p1) / (1.0 - p0))
+    val lower = math.log(beta / (1.0 - alpha))
+    val upper = math.log((1.0 - beta) / alpha)
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("__t").asc, col("__tb").asc)
+    val run = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val w = units.select(keyCol.as("k"), timeCol.as("__t"),
+        tiebreakCol.as("__tb"), outcomeCol.cast("int").as("x"))
+      .withColumn("__ord", row_number().over(ord))
+      .withColumn("__llr", sum(
+        when(col("x") === 1, lit(wPos)).otherwise(lit(wNeg))).over(run))
+      .withColumn("__cross",
+        when(col("__llr") >= upper, lit(1))
+          .when(col("__llr") <= lower, lit(-1)))
+    w.groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        min(when(col("__cross").isNotNull, col("__ord")))
+          .as("__firstOrd"),
+        min(when(col("__cross").isNotNull,
+          struct(col("__ord").as("o"), col("__cross").as("c"))))
+          .as("__firstCross"),
+        max(struct(col("__ord").as("o"), col("__llr").as("v")))
+          .as("__last"))
+      .select(col("k"), col("n"),
+        when(col("__firstCross").isNull, lit("continue"))
+          .when(col("__firstCross.c") === 1, lit("accept_h1"))
+          .otherwise(lit("accept_h0")).as("decision"),
+        col("__firstOrd").cast("long").as("n_at_decision"),
+        round(col("__last.v"), 4).as("llr_final"))
+  }
+
   /** Mutual information between two categorical columns — the
     * feature-relevance companion to [[chiSquareIndependence]]: in nats,
     * `MI = Σ_xy p(x,y)·ln(p(x,y)/(p(x)p(y)))` over OBSERVED cells

@@ -550,6 +550,139 @@ object Temporal {
           .as("forecast"))
   }
 
+  /** Multiplicative-seasonal damped-trend Holt-Winters —
+    * [[holtWintersSmooth]] for series whose seasonal swing scales with
+    * the level (sales, traffic): seasonal RATIOS instead of offsets,
+    * `l_t = α·y/s_{t−m} + (1−α)(l_{t−1} + φ·b_{t−1})`,
+    * `b_t = β(l_t − l_{t−1}) + (1−β)·φ·b_{t−1}`,
+    * `s_t = γ·y/l_t + (1−γ)s_{t−m}`, with Gardner–McKenzie damping
+    * `φ ∈ (0, 1]` (φ = 1 is the classic undamped trend) and the
+    * h-step forecast `(l + (φ + … + φ^h)·b) · s`. Same contract as the
+    * additive op: base row seeds `l = y₀, b = 0`, the seasonal array
+    * seeds at the multiplicative identity 1 (the base row's own update
+    * is exactly γ·1 + (1−γ)·1 = 1), and the whole recurrence folds
+    * in-task per key over the sorted value array — one key shuffle,
+    * state O(period). Requires strictly positive values (the
+    * multiplicative form divides by level and season). Output
+    * `(k, n, level, trend, forecast)` (4dp). */
+  def holtWintersMultiplicative(df: DataFrame, keyCol: Column,
+      timeCol: Column, tiebreakCol: Column, valCol: Column,
+      alpha: Double, beta: Double, gamma: Double, period: Int,
+      phi: Double = 1.0, horizon: Int = 1): DataFrame = {
+    require(alpha > 0 && alpha < 1, "holtWintersMultiplicative: alpha in (0, 1)")
+    require(beta > 0 && beta < 1, "holtWintersMultiplicative: beta in (0, 1)")
+    require(gamma > 0 && gamma < 1, "holtWintersMultiplicative: gamma in (0, 1)")
+    require(phi > 0 && phi <= 1, "holtWintersMultiplicative: phi in (0, 1]")
+    require(period >= 2, "holtWintersMultiplicative: period >= 2")
+    require(horizon >= 0, "holtWintersMultiplicative: horizon >= 0")
+    val dampSum = (1 to horizon).map(j => math.pow(phi, j)).sum
+    val series = df
+      .select(keyCol.cast("long").as("k"),
+        struct(timeCol.as("t"), tiebreakCol.cast("long").as("tb"),
+          valCol.cast("double").as("y")).as("r"))
+      .groupBy("k")
+      .agg(sort_array(collect_list(col("r"))).as("rs"))
+      .select(col("k"), transform(col("rs"), r => r.getField("y")).as("ys"))
+    val folded = aggregate(col("ys"),
+      struct(lit(0.0).as("l"), lit(0.0).as("b"),
+        array_repeat(lit(1.0), period).as("s"),
+        lit(0).cast("int").as("i")),
+      (acc, y) => {
+        val i = acc.getField("i")
+        val pos = pmod(i, lit(period)).cast("int")
+        val sOld = element_at(acc.getField("s"), pos + 1)
+        val l0 = acc.getField("l")
+        val b0 = acc.getField("b")
+        val l1 = when(i === 0, y)
+          .otherwise(lit(alpha) * (y / sOld) +
+            lit(1.0 - alpha) * (l0 + lit(phi) * b0))
+        val b1 = when(i === 0, lit(0.0))
+          .otherwise(lit(beta) * (l1 - l0) + lit(1.0 - beta) * lit(phi) * b0)
+        val s1 = lit(gamma) * (y / l1) + lit(1.0 - gamma) * sOld
+        struct(l1.as("l"), b1.as("b"),
+          transform(acc.getField("s"),
+            (v, j) => when(j === pos, s1).otherwise(v)).as("s"),
+          (i + 1).as("i"))
+      })
+    series
+      .withColumn("__s", folded)
+      .select(col("k"), size(col("ys")).cast("long").as("n"),
+        round(col("__s.l"), 4).as("level"),
+        round(col("__s.b"), 4).as("trend"),
+        round((col("__s.l") + lit(dampSum) * col("__s.b")) *
+          element_at(col("__s.s"),
+            pmod(col("__s.i") + lit(horizon) - 1, lit(period))
+              .cast("int") + 1), 4)
+          .as("forecast"))
+  }
+
+  /** Partial autocorrelation function per key — the AR-order
+    * diagnostic next to [[autocorrelation]]: the lag-m PACF is the
+    * last coefficient of the order-m Yule-Walker AR fit, computed by
+    * the Durbin-Levinson recursion over the sample autocorrelations
+    * `ρ₁..ρ_maxLag` (`φ_mm = (ρ_m − Σφ_{m−1,j}·ρ_{m−j}) /
+    * (1 − Σφ_{m−1,j}·ρ_j)`). Output `(…keys, lag, n, pacf)` (4dp;
+    * lag-1 PACF = ρ₁). Degenerate recursions (zero denominator,
+    * constant series, lags ≥ series length) null the tail; feed
+    * series longer than `maxLag`.
+    *
+    * Plan: identical corpus shape to [[autocorrelation]] (one keyed
+    * sort, one grouped agg folding every lag); the recursion itself
+    * runs as a bounded array fold on the |keys|-sized result frame —
+    * maxLag ≤ 16 keeps the per-key state trivial, and the interpreted
+    * HOF cost lands on |keys| rows, never the series. */
+  def pacf(df: DataFrame, idCol: Column, keys: Seq[String],
+      timeCol: Column, valCol: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 16, "pacf: maxLag in [1, 16]")
+    val keyCols = keys.map(col)
+    val ord = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t").asc, col("id").asc)
+    val full = Window.partitionBy(keyCols: _*)
+    val base = df.select((idCol.cast("long").as("id") +: keyCols) :+
+        timeCol.as("__t") :+ valCol.cast("double").as("value"): _*)
+      .withColumn("__mu", avg(col("value")).over(full))
+    val lagged = (1 to maxLag).foldLeft(base) { (d, k) =>
+      d.withColumn(s"__l$k", lag(col("value"), k).over(ord))
+    }
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(pow(col("value") - col("__mu"), 2)).as("__den")) ++
+      (1 to maxLag).map(k =>
+        sum((col("value") - col("__mu")) * (col(s"__l$k") - col("__mu")))
+          .as(s"__num$k"))
+    val withRho = lagged.groupBy(keyCols: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("rho", array((1 to maxLag).map(k =>
+        when(col("__den") > 0, col(s"__num$k") / col("__den"))): _*))
+    val init = struct(
+      array(element_at(col("rho"), 1)).as("phis"),
+      array(element_at(col("rho"), 1)).as("diag"))
+    val folded = if (maxLag == 1) init
+      else aggregate(sequence(lit(2), lit(maxLag)), init,
+        (acc, m) => {
+          val phis = acc.getField("phis")
+          val num = element_at(col("rho"), m) -
+            aggregate(sequence(lit(1), m - 1), lit(0.0),
+              (a, j) => a + element_at(phis, j) *
+                element_at(col("rho"), m - j))
+          val den = lit(1.0) -
+            aggregate(sequence(lit(1), m - 1), lit(0.0),
+              (a, j) => a + element_at(phis, j) *
+                element_at(col("rho"), j))
+          val pmm = when(den =!= 0.0, num / den)
+          struct(
+            concat(transform(sequence(lit(1), m - 1),
+              j => element_at(phis, j) - pmm * element_at(phis, m - j)),
+              array(pmm)).as("phis"),
+            concat(acc.getField("diag"), array(pmm)).as("diag"))
+        })
+    withRho
+      .withColumn("__dl", folded)
+      .select(keyCols ++ Seq(col("n"),
+        posexplode(col("__dl.diag")).as(Seq("__i", "__p"))): _*)
+      .select(keyCols ++ Seq((col("__i") + 1).cast("long").as("lag"),
+        col("n"), round(col("__p"), 4).as("pacf")): _*)
+  }
+
   /** Trailing-window exponential moving average per key — the bounded
     * EWMA every feature pipeline wants next to [[rollingStats]]'
     * uniform frames: over the last `nRows` rows (current inclusive),

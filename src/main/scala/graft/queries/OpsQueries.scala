@@ -3029,7 +3029,42 @@ object OpsQueries {
       graft.ops.TextAnalysis.sgnsPairs(
           t(s, d, "documents").filter(col("doc_id") % 5 === 0),
           col("text"), window = 2, minCount = 20, negatives = 2)
-        .orderBy("center", "context", "j"))
+        .orderBy("center", "context", "j")),
+    "q321_holt_winters_mult" -> ((s, d) => {
+      // the q310 series through the MULTIPLICATIVE damped-trend
+      // recurrence (seasonal ratios, Gardner-McKenzie phi=0.9); the
+      // oracle replays it through the same list-carrying recursive CTE
+      val series = ev(s, d)
+        .groupBy((col("user_id") % 3).as("k"),
+          to_date(col("ts")).as("day"))
+        .agg(sum("value").as("v"))
+      graft.ops.Temporal.holtWintersMultiplicative(series, col("k"),
+          col("day"), datediff(col("day"), to_date(lit("1970-01-01"))),
+          col("v"), alpha = 0.5, beta = 0.3, gamma = 0.4, period = 7,
+          phi = 0.9, horizon = 2)
+        .orderBy("k")
+    }),
+    "q322_pacf" -> ((s, d) => {
+      // lag-1..5 PARTIAL autocorrelation of each type's daily volume:
+      // the q295 corpus shape plus a bounded Durbin-Levinson fold on
+      // the |keys| frame; the oracle unrolls the same recursion over
+      // DuckDB lists
+      val series = ev(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum("value").as("v"))
+      graft.ops.Temporal.pacf(series,
+          datediff(col("day"), to_date(lit("1970-01-01"))),
+          Seq("event_type"), col("day"), col("v"), maxLag = 5)
+        .orderBy("event_type", "lag")
+    }),
+    "q323_sprt" -> ((s, d) =>
+      // sequential A/B readout: Wald's SPRT over each type's ordered
+      // high-value outcomes — first Wald-bound crossing in one keyed
+      // window pass, identical running doubles in both engines
+      graft.ops.Experiment.sprtTest(ev(s, d), col("event_type"),
+        col("ts"), col("event_id"), (col("value") > 50).cast("int"),
+        p0 = 0.45, p1 = 0.55, alpha = 0.05, beta = 0.2)
+        .orderBy("k"))
   )
 
   /** The q298 oracle: `rounds` unrolled peel passes of the k-core
@@ -8177,6 +8212,132 @@ object OpsQueries {
            vr.w AS neg
          FROM rr JOIN vr ON rr.r >= vr.lo AND rr.r < vr.lo + vr.cnt
          ORDER BY center, context, j""",
+
+    "q321_holt_winters_mult" -> {
+      // multiplicative twin of the q310 oracle: seasonal state seeds at
+      // the identity 1 (the base row's own update is exactly
+      // g*1 + (1-g)*1 = 1 in IEEE: ig is computed AS 1-g, so the pair
+      // sums back to 1.0), damped-trend forecast uses the inlined
+      // Scala-computed phi-power sum so both engines see one double
+      val a = 0.5; val b = 0.3; val g = 0.4; val m = 7; val h = 2
+      val phi = 0.9
+      val (ia, ib, ig) = (1.0 - a, 1.0 - b, 1.0 - g)
+      val dampSum = (1 to h).map(j => math.pow(phi, j)).sum
+      val ones = Seq.fill(m)("1.0").mkString("[", ", ", "]")
+      val pos = s"((sd.ord - 1) % $m)"
+      val sOld = s"h.s[$pos + 1]"
+      val l1 = s"($a * (sd.y / $sOld) + $ia * (h.l + $phi * h.b))"
+      val s1 = s"($g * (sd.y / $l1) + $ig * $sOld)"
+      s"""WITH RECURSIVE sd AS (
+            SELECT k, row_number() OVER (PARTITION BY k ORDER BY day)
+                AS ord, y
+            FROM (SELECT user_id % 3 AS k, CAST(ts AS DATE) AS day,
+                    sum(value) AS y
+                  FROM events GROUP BY 1, 2)),
+          n AS (SELECT k, max(ord) AS n FROM sd GROUP BY k),
+          hw AS (
+            SELECT k, ord, CAST(y AS DOUBLE) AS l,
+              CAST(0.0 AS DOUBLE) AS b,
+              CAST($ones AS DOUBLE[]) AS s
+            FROM sd WHERE ord = 1
+            UNION ALL
+            SELECT sd.k, sd.ord,
+              $l1 AS l,
+              $b * ($l1 - h.l) + $ib * $phi * h.b AS b,
+              list_concat(list_concat(h.s[1:$pos], [$s1]),
+                h.s[$pos + 2:]) AS s
+            FROM hw h JOIN sd ON sd.k = h.k AND sd.ord = h.ord + 1),
+          fin AS (SELECT h.k, n.n, h.l, h.b,
+                    h.s[((n.n + $h - 1) % $m) + 1] AS sf
+                  FROM hw h JOIN n ON n.k = h.k AND h.ord = n.n)
+          SELECT k, n, round(l, 4) AS level, round(b, 4) AS trend,
+            round((l + $dampSum * b) * sf, 4) AS forecast
+          FROM fin ORDER BY k"""
+    },
+
+    "q322_pacf" -> {
+      // Durbin-Levinson unrolled over DuckDB lists: rho from the q295
+      // machinery (unrounded), then one (pmm, list-update) CTE pair per
+      // level — range(1, m) drives both the inner sums and the phi
+      // update, the exact index sets the Spark fold walks
+      val L = 5
+      val lagCols = (1 to L).map(k =>
+        s"lag(v, $k) OVER (PARTITION BY event_type ORDER BY day) AS l$k")
+        .mkString(", ")
+      val numCols = (1 to L).map(k =>
+        s"sum((v - mu) * (l$k - mu)) AS num$k").mkString(", ")
+      val rhoList = (1 to L).map(k =>
+        s"CASE WHEN den > 0 THEN num$k / den END")
+        .mkString("[", ", ", "]")
+      val steps = (2 to L).map { m =>
+        s"""s$m AS (SELECT *,
+             CASE WHEN (1 - list_sum(list_transform(range(1, $m),
+                 j -> phis[j] * rho[j]))) <> 0 THEN
+               (rho[$m] - list_sum(list_transform(range(1, $m),
+                 j -> phis[j] * rho[$m - j]))) /
+               (1 - list_sum(list_transform(range(1, $m),
+                 j -> phis[j] * rho[j]))) END AS pmm
+           FROM d${m - 1}),
+         d$m AS (SELECT event_type, n, rho,
+             list_concat(list_transform(range(1, $m),
+               j -> phis[j] - pmm * phis[$m - j]), [pmm]) AS phis,
+             list_concat(diag, [pmm]) AS diag
+           FROM s$m)"""
+      }.mkString(",\n         ")
+      s"""WITH sday AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                 sum(value) AS v
+               FROM events GROUP BY 1, 2),
+         mm AS (SELECT event_type, v,
+                 avg(v) OVER (PARTITION BY event_type) AS mu, $lagCols
+               FROM sday),
+         a AS (SELECT event_type, count(*) AS n,
+                 sum(pow(v - mu, 2)) AS den, $numCols
+               FROM mm GROUP BY event_type),
+         r0 AS (SELECT event_type, n, $rhoList AS rho FROM a),
+         d1 AS (SELECT event_type, n, rho,
+                  [rho[1]] AS phis, [rho[1]] AS diag FROM r0),
+         $steps
+         SELECT event_type, unnest(range(1, $L + 1)) AS lag, n,
+           round(unnest(diag), 4) AS pacf
+         FROM d$L ORDER BY event_type, lag"""
+    },
+
+    "q323_sprt" -> {
+      // the Wald constants are Scala-computed doubles inlined as
+      // shortest-repr literals, and the running LLR is an ORDERED
+      // window sum — the identical IEEE fold in both engines
+      val p0 = 0.45; val p1 = 0.55; val al = 0.05; val be = 0.2
+      val wp = math.log(p1 / p0); val wn = math.log((1 - p1) / (1 - p0))
+      val lo = math.log(be / (1 - al)); val up = math.log((1 - be) / al)
+      s"""WITH s AS (SELECT event_type AS k, ts, event_id AS tb,
+                 CASE WHEN value > 50 THEN 1 ELSE 0 END AS x FROM events),
+         w AS (SELECT k,
+                 row_number() OVER (PARTITION BY k ORDER BY ts, tb)
+                   AS ord,
+                 sum(CASE WHEN x = 1 THEN $wp ELSE $wn END)
+                   OVER (PARTITION BY k ORDER BY ts, tb
+                         ROWS UNBOUNDED PRECEDING) AS llr
+               FROM s),
+         c AS (SELECT k, ord, llr,
+                 CASE WHEN llr >= $up THEN 1
+                      WHEN llr <= $lo THEN -1 END AS cr
+               FROM w),
+         fc AS (SELECT k, min(ord) AS n_at FROM c WHERE cr IS NOT NULL
+                GROUP BY k),
+         dec AS (SELECT c.k, c.cr FROM c
+                 JOIN fc ON fc.k = c.k AND c.ord = fc.n_at),
+         fin AS (SELECT k, count(*) AS n, arg_max(llr, ord) AS lf
+                 FROM c GROUP BY k)
+         SELECT fin.k AS k, fin.n,
+           CASE WHEN fc.n_at IS NULL THEN 'continue'
+                WHEN dec.cr = 1 THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           fc.n_at AS n_at_decision,
+           round(fin.lf, 4) AS llr_final
+         FROM fin LEFT JOIN fc ON fc.k = fin.k
+           LEFT JOIN dec ON dec.k = fin.k
+         ORDER BY fin.k"""
+    },
 
     "q269_sessions" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, value AS v,

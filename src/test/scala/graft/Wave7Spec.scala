@@ -98,4 +98,61 @@ class Wave7Spec extends AnyFunSuite with BeforeAndAfterAll {
       minCount = 3, negatives = 1)
     assert(gated.collect().isEmpty) // only 'a' survives; no pair
   }
+
+  test("holtWintersMultiplicative: hand-computed two-step fold") {
+    import spark.implicits._
+    import graft.ops.Temporal
+    // y = [1, 2], period 2, a=.5 b=.3 g=.4 phi=.9 h=1:
+    // base: l=1, b=0, s=[1,1] (own update .4·1+.6·1 = 1)
+    // i=1: l=.5·(2/1)+.5·(1+0)=1.5, b=.3·.5=.15, s[1]=.4·(2/1.5)+.6
+    // forecast: (1.5+.9·.15)·s[(2+1-1)%2] = 1.635·s[0] = 1.635
+    val df = Seq((0L, 1L, 1.0), (0L, 2L, 2.0)).toDF("k", "t", "y")
+    val r = Temporal.holtWintersMultiplicative(df, col("k"), col("t"),
+        col("t"), col("y"), alpha = 0.5, beta = 0.3, gamma = 0.4,
+        period = 2, phi = 0.9, horizon = 1).collect()(0)
+    assert(r.getLong(1) == 2 && r.getDouble(2) == 1.5 &&
+      r.getDouble(3) == 0.15 && r.getDouble(4) == 1.635)
+    // constant positive series: level = c, no trend, forecast = c
+    val const = (1 to 9).map(i => (0L, i.toLong, 5.0)).toDF("k", "t", "y")
+    val c = Temporal.holtWintersMultiplicative(const, col("k"), col("t"),
+        col("t"), col("y"), 0.5, 0.3, 0.4, period = 3).collect()(0)
+    assert(c.getDouble(2) == 5.0 && c.getDouble(3) == 0.0 &&
+      c.getDouble(4) == 5.0)
+  }
+
+  test("pacf: hand-computed Durbin-Levinson on a 4-point series") {
+    import spark.implicits._
+    import graft.ops.Temporal
+    // v = [1,2,3,4]: rho1 = 1.25/5 = .25, rho2 = -1.5/5 = -.3;
+    // phi11 = .25; phi22 = (-.3 - .0625)/(1 - .0625) = -.386666…
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))
+      .toDF("t", "v")
+    val got = Temporal.pacf(df.withColumn("g", lit("a")), col("t"),
+        Seq("g"), col("t"), col("v"), maxLag = 2)
+      .orderBy("lag").collect().map(r => (r.getLong(1), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 0.25), (2L, -0.3867)))
+    // lag-1 PACF must equal lag-1 ACF on any series
+    val acf1 = Temporal.autocorrelation(df.withColumn("g", lit("a")),
+        col("t"), Seq("g"), col("t"), col("v"), maxLag = 1)
+      .collect()(0).getDouble(3)
+    assert(acf1 == 0.25)
+  }
+
+  test("sprtTest: first Wald-bound crossings and the continue state") {
+    import spark.implicits._
+    // wp = ln(.55/.45) ≈ .2007, upper = ln(.8/.05) = ln 16 ≈ 2.7726
+    // → 14 straight successes cross; lower = ln(.2/.95) ≈ -1.5581
+    // → 8 straight failures cross
+    val wins = (1 to 20).map(i => ("A", i.toLong, 1))
+    val losses = (1 to 20).map(i => ("B", i.toLong, 0))
+    val short = (1 to 3).map(i => ("C", i.toLong, i % 2))
+    val df = (wins ++ losses ++ short).toDF("k", "t", "x")
+    val got = Experiment.sprtTest(df, col("k"), col("t"), col("t"),
+        col("x"), p0 = 0.45, p1 = 0.55, alpha = 0.05, beta = 0.2)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.toSeq == Seq(("A", "accept_h1", 14L),
+      ("B", "accept_h0", 8L), ("C", "continue", -1L)))
+  }
 }
