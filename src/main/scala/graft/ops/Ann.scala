@@ -701,4 +701,74 @@ object Ann {
         round(cosine_similarity(col("a.v"), col("b.v")), 4).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Exact DBSCAN over a 2-d projection (Ester et al., KDD'96) — the
+    * density clusterer that finds arbitrary-shape groups and labels
+    * sparse points NOISE, run on two coordinate columns (feed raw
+    * features, a [[pcaProject]] plane, or any 2-d score space). A
+    * point is CORE when ≥ `minPts` points (itself included) sit
+    * within `eps` Euclidean distance; clusters are the connected
+    * components of the core-core ε-graph (labelled by their min core
+    * id — the deterministic stand-in for scan order); border points
+    * (non-core with a core neighbor) take the SMALLEST neighboring
+    * core's cluster; everything else is noise, cluster −1. Output
+    * `(id, is_core, cluster)`.
+    *
+    * Scale shape: neighbor pairs come from a GRID equi-join — each
+    * point replicates into its 3×3 neighborhood of eps-sized cells
+    * (9 rows, exact — a pair within eps can never span farther than
+    * adjacent cells) and joins cell-to-cell, so candidate generation is
+    * density-bounded, never the all-pairs cross. Components resolve by
+    * the path-halving min-label loop ([[Dedup.duplicateClusters]] —
+    * O(log diameter) rounds of int-only joins). */
+  def dbscan(df: DataFrame, idCol: Column, xCol: Column, yCol: Column,
+      eps: Double, minPts: Int, maxIters: Int = 20): DataFrame = {
+    require(eps > 0, "dbscan: eps must be positive")
+    require(minPts >= 1, "dbscan: minPts must be >= 1")
+    val pts = df.select(idCol.cast("long").as("id"),
+        xCol.cast("double").as("x"), yCol.cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .withColumn("cx", floor(col("x") / eps).cast("long"))
+      .withColumn("cy", floor(col("y") / eps).cast("long"))
+      .localCheckpoint(true) // read twice: probe + build sides
+    val probe = pts.select(col("id").as("ia"), col("x").as("xa"),
+        col("y").as("ya"),
+        explode(sequence(col("cx") - 1, col("cx") + 1)).as("cx"),
+        col("cy").as("cy0"))
+      .select(col("ia"), col("xa"), col("ya"), col("cx"),
+        explode(sequence(col("cy0") - 1, col("cy0") + 1)).as("cy"))
+    val base = pts.select(col("id").as("ib"), col("x").as("xb"),
+      col("y").as("yb"), col("cx"), col("cy"))
+    val dx = col("xa") - col("xb")
+    val dy = col("ya") - col("yb")
+    val nbr = probe.join(base, Seq("cx", "cy"))
+      .filter(col("ia") =!= col("ib") &&
+        dx * dx + dy * dy <= lit(eps) * lit(eps))
+      .select(col("ia"), col("ib"))
+      .localCheckpoint(true) // read 3×: counts, core edges, border
+    val coreIds = pts
+      .join(nbr.groupBy(col("ia").as("id")).agg(count(lit(1)).as("nn")),
+        Seq("id"), "left")
+      .filter(coalesce(col("nn"), lit(0L)) + 1 >= minPts)
+      .select(col("id"))
+      .localCheckpoint(true) // read 3×: edges, labels, border lookup
+    val coreEdges = nbr
+      .join(coreIds.select(col("id").as("ia")), Seq("ia"), "left_semi")
+      .join(coreIds.select(col("id").as("ib")), Seq("ib"), "left_semi")
+    val cc = Dedup.duplicateClusters(coreEdges, col("ia"), col("ib"),
+      maxIters)
+    val coreLab = coreIds.join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id"))
+        .as("cluster"))
+      .localCheckpoint(true) // read twice: output + border lookup
+    val borderLab = nbr
+      .join(coreLab.select(col("id").as("ib"), col("cluster")), Seq("ib"))
+      .join(coreIds.select(col("id").as("ia")), Seq("ia"), "left_anti")
+      .groupBy(col("ia").as("id")).agg(min(col("cluster")).as("cluster"))
+    val labelled = coreLab.withColumn("is_core", lit(true))
+      .unionByName(borderLab.withColumn("is_core", lit(false)))
+    pts.select(col("id")).join(labelled, Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_core"), lit(false)).as("is_core"),
+        coalesce(col("cluster"), lit(-1L)).as("cluster"))
+  }
 }

@@ -315,6 +315,132 @@ object Graph {
     * sf0.1 co-purchase graph). Right whenever the edge list fits the
     * driver (bounded similarity graphs, co-occurrence graphs); leave
     * false at web-graph scale, where the closing lookup must shuffle. */
+  /** k-truss decomposition — the triangle-strength core: the maximal
+    * subgraph in which every edge participates in ≥ k−2 triangles
+    * (Cohen 2008; the community backbone one notch stricter than
+    * [[kCore]]). Synchronous peeling: compute per-edge support, drop
+    * every edge below threshold, repeat until no edge leaves — the
+    * fixpoint is unique (it is the maximal such subgraph), so peeling
+    * order never matters and an oracle running extra converged rounds
+    * agrees. Output: the truss edges `(a, b, support)` (canonical
+    * a < b) with their final supports.
+    *
+    * Scale shape per round: triangles enumerate ONCE via the
+    * [[triangleStats]] degree-orientation discipline (oriented
+    * out-degree O(√|E|), wedge join never explodes on hubs), each
+    * triangle explodes to its 3 canonical edges, one grouped count =
+    * support; all joins are int equi-joins. Rounds are
+    * fixpoint-bounded with a `maxIters` backstop. */
+  def kTruss(edges: DataFrame, srcCol: Column, dstCol: Column, k: Int,
+      maxIters: Int = 50): DataFrame = {
+    require(k >= 2, "kTruss: k must be >= 2")
+    require(maxIters >= 1, "kTruss: maxIters must be >= 1")
+    val raw = edges.select(srcCol.cast("long").as("a"),
+        dstCol.cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    var e = raw.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var prev = e.count()
+    var sup = edgeSupport(e)
+    var done = prev == 0L
+    var iters = 0
+    while (!done && iters < maxIters) {
+      val next = sup.filter(col("support") >= k - 2)
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val n = next.count()
+      done = n == prev
+      e = next
+      prev = n
+      if (!done) sup = edgeSupport(e)
+      iters += 1
+    }
+    sup.filter(col("support") >= k - 2)
+  }
+
+  /** Per-edge triangle support over a canonical (a < b) edge set:
+    * the [[triangleStats]] oriented enumeration, each triangle
+    * exploded to its 3 canonical edges, zero-triangle edges kept at
+    * support 0 via the left join. */
+  private def edgeSupport(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val withDeg = und
+      .join(deg.select(col("id").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("degree").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("s"), col("b").as("t")))
+        .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+      .localCheckpoint(true) // read 3×: both wedge sides + closing set
+    val closing = oriented.select(col("s").as("y"), col("t").as("z"))
+      .unionAll(oriented.select(col("t").as("y"), col("s").as("z")))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("x"), col("e1.t").as("y"), col("e2.t").as("z"))
+      .join(closing, Seq("y", "z"), "left_semi")
+    val sup = tri.select(explode(array(
+        struct(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")),
+        struct(least(col("x"), col("z")).as("a"),
+          greatest(col("x"), col("z")).as("b")),
+        struct(col("y").as("a"), col("z").as("b")))).as("ed"))
+      .select(col("ed.a").as("a"), col("ed.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("__tri"))
+    und.join(sup, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("__tri"), lit(0L)).as("support"))
+  }
+
+  /** Multi-source weighted shortest paths by synchronous Bellman-Ford
+    * relaxation — [[bfsDistances]] with edge weights: `rounds` rounds
+    * of `dist(t) = min(dist(t), min over in-edges (dist(s) + w))`,
+    * early-exiting once a round improves nothing (a converged round is
+    * idempotent, so an oracle unrolling exactly `rounds` agrees).
+    * Negative weights are rejected — with them `rounds` < |V|−1 would
+    * silently truncate genuine paths. Output `(id, dist)` for every
+    * node reached within `rounds` hops (4dp; exact for integer
+    * weights).
+    *
+    * Scale shape per round: one equi-join of the frontier-bearing dist
+    * frame against the edge list + one grouped min — ints and one
+    * double shuffle, state |reached|, the [[bfsDistances]] discipline
+    * with a weight column along for the ride. */
+  def ssspBellmanFord(edges: DataFrame, srcCol: Column, dstCol: Column,
+      weightCol: Column, sources: DataFrame, sourceIdCol: Column,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "ssspBellmanFord: rounds must be >= 1")
+    val e = edges.select(srcCol.cast("long").as("s"),
+        dstCol.cast("long").as("t"), weightCol.cast("double").as("w"))
+      .filter(col("w") >= 0)
+      .localCheckpoint(true)
+    var v = sources.select(sourceIdCol.cast("long").as("id")).distinct()
+      .withColumn("dist", lit(0.0))
+      .localCheckpoint(true)
+    var i = 0
+    var done = false
+    while (i < rounds && !done) {
+      val relax = v.join(e, v("id") === e("s"))
+        .select(e("t").as("id"), (v("dist") + e("w")).as("dist"))
+      val next = v.unionByName(relax)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+      done = next
+        .join(v.withColumnRenamed("dist", "prev"), Seq("id"), "left")
+        .filter(col("prev").isNull || col("dist") < col("prev"))
+        .isEmpty
+      v = next
+      i += 1
+    }
+    v.select(col("id"), round(col("dist"), 4).as("dist"))
+  }
+
   def triangleStats(edges: DataFrame, srcCol: Column,
       dstCol: Column, broadcastEdges: Boolean = false): DataFrame = {
     val raw = edges.select(srcCol.cast("long").as("a"),

@@ -3064,7 +3064,48 @@ object OpsQueries {
       graft.ops.Experiment.sprtTest(ev(s, d), col("event_type"),
         col("ts"), col("event_id"), (col("value") > 50).cast("int"),
         p0 = 0.45, p1 = 0.55, alpha = 0.05, beta = 0.2)
-        .orderBy("k"))
+        .orderBy("k")),
+    "q324_ktruss" -> ((s, d) => {
+      // 4-truss of the co-purchase graph: synchronous support peeling
+      // to the unique fixpoint — oriented triangle enumeration per
+      // round, exploded to canonical edges; the oracle peels the same
+      // rounds with a common-neighbor join
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      graft.ops.Graph.kTruss(e, col("a"), col("b"), k = 4)
+        .orderBy("a", "b")
+    }),
+    "q325_sssp" -> ((s, d) => {
+      // weighted shortest paths from the q303 seed set over directed
+      // co-purchase edges (weight = source line quantity): 6 synchronous
+      // Bellman-Ford rounds, integer-exact distances
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"),
+          col("l_quantity").as("q"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") =!= col("y.p"))
+        .select(col("x.p").as("s"), col("y.p").as("t"),
+          col("x.q").as("w"))
+      val src = t(s, d, "part").filter(col("p_partkey") % 997 === 0)
+      graft.ops.Graph.ssspBellmanFord(e, col("s"), col("t"), col("w"),
+          src, col("p_partkey"), rounds = 6)
+        .orderBy("id")
+    }),
+    "q326_dbscan" -> ((s, d) =>
+      // density clustering of the first two embedding coordinates:
+      // grid-cell candidate pairs (3×3 eps cells), exact eps filter,
+      // path-halving components over the core graph, min-labelled
+      // borders, noise at -1
+      graft.ops.Ann.dbscan(t(s, d, "embeddings"), col("vec_id"),
+          element_at(col("embedding"), 1),
+          element_at(col("embedding"), 2),
+          eps = 0.05, minPts = 5)
+        .orderBy("id"))
   )
 
   /** The q298 oracle: `rounds` unrolled peel passes of the k-core
@@ -3090,6 +3131,104 @@ object OpsQueries {
          SELECT id, count(*) AS core_degree FROM (
            SELECT a AS id FROM e$rounds UNION ALL SELECT b FROM e$rounds)
          GROUP BY id HAVING count(*) >= $k ORDER BY id"""
+  }
+
+  /** The q324 oracle: `rounds` unrolled k-truss peel passes — per-edge
+    * support as a common-neighbor join over the adjacency (the
+    * [[kCoreOracle]] stance: rounds must exceed rounds-to-fixpoint at
+    * verification scale; converged rounds are idempotent since the
+    * truss is the unique maximal subgraph). Edges without triangles
+    * vanish from the support frame, which IS the drop for k ≥ 3. */
+  private def kTrussOracle(k: Int, rounds: Int): String = {
+    val thr = k - 2
+    val steps = (1 to rounds).map { i =>
+      s"""ad$i AS MATERIALIZED (SELECT a AS s, b AS t FROM e${i - 1}
+           UNION ALL SELECT b, a FROM e${i - 1}),
+         sp$i AS MATERIALIZED (SELECT x.a, x.b, count(*) AS sup
+           FROM e${i - 1} x
+           JOIN ad$i p ON p.s = x.a
+           JOIN ad$i q ON q.s = x.b AND q.t = p.t
+           GROUP BY x.a, x.b),
+         e$i AS MATERIALIZED (SELECT a, b FROM sp$i WHERE sup >= $thr)"""
+    }.mkString(",\n         ")
+    s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+               WHERE l_orderkey % 5 = 0),
+         e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+                FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+         $steps
+         SELECT a, b, CAST(sup AS BIGINT) AS support
+         FROM sp$rounds WHERE sup >= $thr ORDER BY a, b"""
+  }
+
+  /** The q325 oracle: `rounds` unrolled Bellman-Ford relaxations —
+    * each round unions the previous dist frame with every one-hop
+    * extension and keeps the min per node (ties are value ties, so
+    * double min is deterministic; distances are sums of the same
+    * doubles along the same paths in either engine). */
+  private def ssspOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""v$i AS MATERIALIZED (SELECT id, min(d) AS dist FROM (
+           SELECT id, dist AS d FROM v${i - 1}
+           UNION ALL
+           SELECT e.t AS id, v.dist + e.w AS d
+           FROM v${i - 1} v JOIN e ON e.s = v.id)
+         GROUP BY id)"""
+    }.mkString(",\n         ")
+    s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p,
+                 l_quantity AS q
+               FROM lineitem WHERE l_orderkey % 5 = 0),
+         e AS (SELECT x.p AS s, y.p AS t, CAST(x.q AS DOUBLE) AS w
+               FROM li x JOIN li y ON x.o = y.o AND x.p <> y.p),
+         v0 AS (SELECT DISTINCT p_partkey AS id, CAST(0.0 AS DOUBLE)
+                    AS dist
+                FROM part WHERE p_partkey % 997 = 0),
+         $steps
+         SELECT id, round(dist, 4) AS dist FROM v$rounds ORDER BY id"""
+  }
+
+  /** The q326 oracle: exact all-pairs eps-neighborhood (the grid join
+    * is only pruning — the pair SET is identical), core gate, then
+    * `rounds` unrolled min-label + path-halving passes over the
+    * core-core graph (halving converges in O(log diameter); converged
+    * rounds are idempotent and the fixpoint is the component min in
+    * both engines), borders to the smallest neighboring core cluster,
+    * noise at -1. */
+  private def dbscanOracle(eps: Double, minPts: Int,
+      rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""m$i AS MATERIALIZED (
+           SELECT l.id, least(l.lbl, coalesce(min(nl.lbl), l.lbl)) AS lbl
+           FROM l${i - 1} l
+           LEFT JOIN ce ON ce.ia = l.id
+           LEFT JOIN l${i - 1} nl ON nl.id = ce.ib
+           GROUP BY l.id, l.lbl),
+         l$i AS MATERIALIZED (
+           SELECT m.id, least(m.lbl, coalesce(h.lbl, m.lbl)) AS lbl
+           FROM m$i m LEFT JOIN m$i h ON h.id = m.lbl)"""
+    }.mkString(",\n         ")
+    s"""WITH p AS (SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+                 CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+         nbr AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib
+           FROM p a JOIN p b ON a.id <> b.id
+             AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                 <= $eps * $eps),
+         core AS MATERIALIZED (SELECT ia AS id FROM nbr GROUP BY ia
+           HAVING count(*) + 1 >= $minPts),
+         ce AS MATERIALIZED (SELECT ia, ib FROM nbr
+           WHERE ia IN (SELECT id FROM core)
+             AND ib IN (SELECT id FROM core)),
+         l0 AS (SELECT id, id AS lbl FROM core),
+         $steps,
+         corelab AS (SELECT id, lbl AS cluster FROM l$rounds),
+         border AS (SELECT n.ia AS id, min(c.cluster) AS cluster
+           FROM nbr n JOIN corelab c ON c.id = n.ib
+           WHERE n.ia NOT IN (SELECT id FROM core)
+           GROUP BY n.ia)
+         SELECT p.id, p.id IN (SELECT id FROM core) AS is_core,
+           coalesce(cl.cluster, b.cluster, -1) AS cluster
+         FROM p LEFT JOIN corelab cl ON cl.id = p.id
+           LEFT JOIN border b ON b.id = p.id
+         ORDER BY p.id"""
   }
 
   /** The q303 oracle: `rounds` unrolled level-synchronous BFS frontier
@@ -8338,6 +8477,12 @@ object OpsQueries {
            LEFT JOIN dec ON dec.k = fin.k
          ORDER BY fin.k"""
     },
+
+    "q324_ktruss" -> kTrussOracle(k = 4, rounds = 8),
+
+    "q325_sssp" -> ssspOracle(rounds = 6),
+
+    "q326_dbscan" -> dbscanOracle(eps = 0.05, minPts = 5, rounds = 12),
 
     "q269_sessions" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, value AS v,

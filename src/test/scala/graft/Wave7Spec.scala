@@ -155,4 +155,64 @@ class Wave7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(("A", "accept_h1", 14L),
       ("B", "accept_h0", 8L), ("C", "continue", -1L)))
   }
+
+  test("kTruss: K4 survives k=4, a pendant triangle peels off") {
+    import spark.implicits._
+    import graft.ops.Graph
+    // K4 on {1,2,3,4} (every edge in 2 triangles) + a pendant triangle
+    // {4,5,6} whose edges sit in exactly 1
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val pendant = Seq((4L, 5L), (4L, 6L), (5L, 6L))
+    val e = (k4 ++ pendant).toDF("a", "b")
+    val t4 = Graph.kTruss(e, col("a"), col("b"), k = 4)
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(t4.map(t => (t._1, t._2)).toSeq == k4)
+    assert(t4.forall(_._3 == 2L))
+    // k=3 keeps everything (every edge is in ≥ 1 triangle)
+    assert(Graph.kTruss(e, col("a"), col("b"), k = 3).count() == 9)
+    // k=5 empties this graph
+    assert(Graph.kTruss(e, col("a"), col("b"), k = 5).count() == 0)
+  }
+
+  test("ssspBellmanFord: two cheap hops beat one heavy edge") {
+    import spark.implicits._
+    import graft.ops.Graph
+    val e = Seq((1L, 2L, 10.0), (1L, 3L, 1.0), (3L, 2L, 2.0),
+      (2L, 4L, 1.0)).toDF("s", "t", "w")
+    val src = Seq(Tuple1(1L)).toDF("id")
+    val got = Graph.ssspBellmanFord(e, col("s"), col("t"), col("w"),
+        src, col("id"), rounds = 6)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, 0.0), (2L, 3.0), (3L, 1.0), (4L, 4.0)))
+    // rounds cap truncates: 1 round cannot see the 2-hop improvement
+    val r1 = Graph.ssspBellmanFord(e, col("s"), col("t"), col("w"),
+        src, col("id"), rounds = 1)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(r1.toSeq == Seq((1L, 0.0), (2L, 10.0), (3L, 1.0)))
+  }
+
+  test("dbscan: core cluster, border attachment, noise") {
+    import spark.implicits._
+    import graft.ops.Ann
+    // tight cluster around origin (5 pts within eps of each other),
+    // a border point near the cluster edge, a far noise point
+    val pts = Seq(
+      (1L, 0.00, 0.00), (2L, 0.01, 0.00), (3L, 0.00, 0.01),
+      (4L, -0.01, 0.00), (5L, 0.00, -0.01),
+      (6L, 0.105, 0.00), // within eps of pt 2 only → border
+      (7L, 5.00, 5.00)) // noise
+      .toDF("id", "x", "y")
+    val got = Ann.dbscan(pts, col("id"), col("x"), col("y"),
+        eps = 0.1, minPts = 5)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    // pts 1-5 are mutually within eps (counts ≥ 5 incl. self) → core,
+    // component min label 1; pt 6 has neighbors {2} → 2 < 5 → border
+    // of cluster 1; pt 7 isolated → noise
+    assert(got.toSeq == Seq((1L, true, 1L), (2L, true, 1L),
+      (3L, true, 1L), (4L, true, 1L), (5L, true, 1L),
+      (6L, false, 1L), (7L, false, -1L)))
+  }
 }
