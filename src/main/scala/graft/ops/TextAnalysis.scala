@@ -697,6 +697,58 @@ object TextAnalysis {
    * `(w1, w2, weight)` rows shuffle into a partial-agg'd group-by —
    * bounded by the pair vocabulary per partition, the same regime as
    * [[collocations]]' bigram counts. */
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents") — per-document candidate
+    * phrases are the maximal stopword-free token runs (capped at
+    * `maxPhraseLen` words BEFORE statistics — the capped variant);
+    * each word scores `deg/freq` over the document's kept phrases
+    * (deg = Σ lengths of phrases containing it, freq = occurrences), a
+    * phrase scores the sum of its word scores, and the top `topK`
+    * phrase types per document report with rank ties broken by the
+    * ROUNDED score then phrase text (ranking on the 4dp value keeps
+    * the order engine-reproducible where raw float sums could differ
+    * by an ulp). Output `(id, rank, phrase, score)`.
+    *
+    * Scale shape: stop-marking and phrase-id assignment ride per-DOC
+    * windows (the key shuffle); word stats and phrase scores are
+    * grouped aggregations on (id, token) / (id, phrase-id) — nothing
+    * leaves its document, no corpus-wide vocabulary state. */
+  def rakeKeywords(docs: DataFrame, idCol: Column, textCol: Column,
+      stopwords: Seq[String], maxPhraseLen: Int = 4,
+      topK: Int = 3): DataFrame = {
+    require(stopwords.nonEmpty, "rakeKeywords: stopwords must be non-empty")
+    require(maxPhraseLen >= 1 && topK >= 1,
+      "rakeKeywords: maxPhraseLen and topK must be >= 1")
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val toks = docs.select(idCol.cast("long").as("id"),
+        posexplode(array_remove(split(trim(textCol), "\\s+"), ""))
+          .as(Seq("pos", "tok")))
+      .withColumn("stop", col("tok").isin(stopwords: _*))
+      .withColumn("pid", sum(col("stop").cast("int")).over(wd))
+      .filter(!col("stop"))
+      .withColumn("plen",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("id", "pid")))
+      .filter(col("plen") <= maxPhraseLen)
+      .localCheckpoint(eager = true) // read twice: word stats + scores
+    val ws = toks.groupBy("id", "tok")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+    val scored = toks.join(ws, Seq("id", "tok"))
+      .groupBy("id", "pid")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("phrase"),
+        sum(col("deg").cast("double") / col("freq")).as("score0"))
+      .groupBy("id", "phrase")
+      .agg(max(round(col("score0"), 4)).as("score"))
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(desc("score"), asc("phrase"))
+    scored.withColumn("rank", row_number().over(rank).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("id"), col("rank"), col("phrase"), col("score"))
+  }
+
   /** Skip-gram-with-negative-sampling training pairs (word2vec SGNS,
     * Mikolov et al. 2013) — the [[gloveCooccurrence]] sibling that
     * emits the actual (center, context, negatives) training table:

@@ -3105,7 +3105,16 @@ object OpsQueries {
           element_at(col("embedding"), 1),
           element_at(col("embedding"), 2),
           eps = 0.05, minPts = 5)
-        .orderBy("id"))
+        .orderBy("id")),
+    "q327_rake" -> ((s, d) =>
+      // per-document RAKE keyphrases: stopword-run phrase candidates,
+      // deg/freq word scores, top-3 phrase types ranked on the rounded
+      // score — everything rides per-doc windows and (id, token) aggs
+      graft.ops.TextAnalysis.rakeKeywords(
+        t(s, d, "documents").filter(col("doc_id") % 7 === 0),
+        col("doc_id"), col("text"),
+        stopwords = Seq("a", "the", "value", "table"),
+        maxPhraseLen = 4, topK = 3).orderBy("id", "rank"))
   )
 
   /** The q298 oracle: `rounds` unrolled peel passes of the k-core
@@ -8477,6 +8486,41 @@ object OpsQueries {
            LEFT JOIN dec ON dec.k = fin.k
          ORDER BY fin.k"""
     },
+
+    "q327_rake" ->
+      """WITH d AS (SELECT doc_id AS id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                   x -> x <> '') AS tk
+               FROM documents WHERE doc_id % 7 = 0),
+         toks AS (SELECT id, unnest(tk) AS tok,
+                    unnest(range(1, len(tk) + 1)) AS pos FROM d),
+         mk AS (SELECT id, tok, pos,
+                  tok IN ('a', 'the', 'value', 'table') AS stop
+                FROM toks),
+         ph AS (SELECT id, tok, pos,
+                  sum(CASE WHEN stop THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY id ORDER BY pos) AS pid, stop
+                FROM mk),
+         kept AS (SELECT id, tok, pos, pid FROM ph WHERE NOT stop),
+         wl AS (SELECT *, count(*) OVER (PARTITION BY id, pid) AS plen
+                FROM kept),
+         k2 AS (SELECT * FROM wl WHERE plen <= 4),
+         ws AS (SELECT id, tok, count(*) AS freq,
+                  CAST(sum(plen) AS BIGINT) AS deg
+                FROM k2 GROUP BY id, tok),
+         sc AS (SELECT k2.id, k2.pid,
+                  string_agg(k2.tok, ' ' ORDER BY k2.pos) AS phrase,
+                  sum(CAST(ws.deg AS DOUBLE) / ws.freq) AS score0
+                FROM k2 JOIN ws ON ws.id = k2.id AND ws.tok = k2.tok
+                GROUP BY k2.id, k2.pid),
+         dd AS (SELECT id, phrase, max(round(score0, 4)) AS score
+                FROM sc GROUP BY id, phrase),
+         rk AS (SELECT id, phrase, score,
+                  row_number() OVER (PARTITION BY id
+                    ORDER BY score DESC, phrase) AS rank
+                FROM dd)
+         SELECT id, CAST(rank AS BIGINT) AS rank, phrase, score
+         FROM rk WHERE rank <= 3 ORDER BY id, rank""",
 
     "q324_ktruss" -> kTrussOracle(k = 4, rounds = 8),
 

@@ -215,4 +215,27 @@ class Wave7Spec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, true, 1L), (4L, true, 1L), (5L, true, 1L),
       (6L, false, 1L), (7L, false, -1L)))
   }
+
+  test("rakeKeywords: deg/freq scoring, tie order, phrase cap") {
+    import spark.implicits._
+    // "deep learning of the deep networks" stops {of, the}:
+    // phrases "deep learning", "deep networks"; deep deg 4 freq 2,
+    // learning/networks deg 2 freq 1 → both phrases score 4, tie
+    // breaks on phrase text
+    val docs = Seq((1L, "deep learning of the deep networks"))
+      .toDF("id", "text")
+    val got = TextAnalysis.rakeKeywords(docs, col("id"), col("text"),
+        stopwords = Seq("of", "the"), maxPhraseLen = 4, topK = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, "deep learning", 4.0),
+      (2L, "deep networks", 4.0)))
+    // a run longer than maxPhraseLen drops before statistics
+    val long = Seq((1L, "a b c d e of x y"))
+      .toDF("id", "text")
+    val capped = TextAnalysis.rakeKeywords(long, col("id"), col("text"),
+        stopwords = Seq("of"), maxPhraseLen = 4, topK = 5)
+      .collect().map(_.getString(2))
+    assert(capped.toSeq == Seq("x y")) // "a b c d e" (len 5) capped away
+  }
 }
