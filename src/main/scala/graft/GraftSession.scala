@@ -663,4 +663,140 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
     graft.ops.Ann.pcaProject(emb, col(idCol), col(vecCol), dim,
       nComponents, sweeps)
   }
+
+  /** [[graft.ops.Classify.isotonicCalibrate]] with name-based columns:
+    * segment-merge PAV calibration over pre-binned scores. */
+  def isotonicCalibrate(df: DataFrame, binCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Classify.isotonicCalibrate(df, col(binCol), col(labelCol))
+  }
+
+  /** [[graft.ops.Classify.rocAuc]] with name-based columns: exact
+    * tie-aware AUC + Gini of a score against a 0/1 label. */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Classify.rocAuc(df, col(scoreCol), col(labelCol))
+  }
+
+  /** [[graft.ops.Classify.calibrationError]] with name-based columns:
+    * binned ECE/MCE reliability audit. */
+  def calibrationError(df: DataFrame, probCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Classify.calibrationError(df, col(probCol), col(labelCol),
+      bins)
+  }
+
+  /** [[graft.ops.Classify.liftTable]] with name-based columns: decile
+    * lift & cumulative gains. */
+  def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Classify.liftTable(df, col(scoreCol), col(labelCol), k)
+  }
+
+  /** [[graft.ops.Curation.targetEncode]] with name-based columns:
+    * leakage-safe out-of-fold smoothed target encoding. */
+  def targetEncode(df: DataFrame, idCol: String, catCol: String,
+      targetCol: String, foldCol: String,
+      smoothing: Double = 20.0): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Curation.targetEncode(df, col(idCol), col(catCol),
+      col(targetCol), col(foldCol), smoothing)
+  }
+
+  /** [[graft.ops.Profile.quantileNormalize]] with name-based columns:
+    * per-group mapping onto the pooled value distribution. */
+  def quantileNormalize(df: DataFrame, idCol: String, grpCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Profile.quantileNormalize(df, col(idCol), col(grpCol),
+      col(valCol))
+  }
+
+  /** [[graft.ops.Experiment.mutualInformation]] with name-based
+    * columns: MI + sqrt-normalized NMI between two categoricals. */
+  def mutualInformation(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.mutualInformation(df, col(aCol), col(bCol))
+  }
+
+  /** [[graft.ops.TextAnalysis.sgnsPairs]] with a name-based column:
+    * word2vec SGNS pairs with deterministic unigram negatives. */
+  def sgnsPairs(docs: DataFrame, textCol: String, window: Int,
+      minCount: Long, negatives: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.TextAnalysis.sgnsPairs(docs, col(textCol), window,
+      minCount, negatives)
+  }
+
+  /** [[graft.ops.Temporal.holtWintersMultiplicative]] with name-based
+    * columns: seasonal-ratio damped-trend triple smoothing. */
+  def holtWintersMultiplicative(df: DataFrame, keyCol: String,
+      timeCol: String, tiebreakCol: String, valCol: String,
+      alpha: Double, beta: Double, gamma: Double, period: Int,
+      phi: Double = 1.0, horizon: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Temporal.holtWintersMultiplicative(df, col(keyCol),
+      col(timeCol), col(tiebreakCol), col(valCol), alpha, beta, gamma,
+      period, phi, horizon)
+  }
+
+  /** [[graft.ops.Temporal.pacf]] with name-based columns: partial
+    * autocorrelation via the Durbin-Levinson recursion. */
+  def pacf(df: DataFrame, idCol: String, keys: Seq[String],
+      timeCol: String, valCol: String, maxLag: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Temporal.pacf(df, col(idCol), keys, col(timeCol),
+      col(valCol), maxLag)
+  }
+
+  /** [[graft.ops.Experiment.sprtTest]] with name-based columns: Wald's
+    * sequential probability ratio test with first-crossing readout. */
+  def sprtTest(units: DataFrame, keyCol: String, timeCol: String,
+      tiebreakCol: String, outcomeCol: String, p0: Double, p1: Double,
+      alpha: Double = 0.05, beta: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.sprtTest(units, col(keyCol), col(timeCol),
+      col(tiebreakCol), col(outcomeCol), p0, p1, alpha, beta)
+  }
+
+  /** [[graft.ops.Graph.kTruss]] with name-based columns: the
+    * triangle-strength community backbone. */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIters: Int = 50): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Graph.kTruss(edges, col(srcCol), col(dstCol), k, maxIters)
+  }
+
+  /** [[graft.ops.Graph.ssspBellmanFord]] with name-based columns:
+    * multi-source weighted shortest paths. */
+  def ssspBellmanFord(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, sources: DataFrame, sourceIdCol: String,
+      rounds: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Graph.ssspBellmanFord(edges, col(srcCol), col(dstCol),
+      col(weightCol), sources, col(sourceIdCol), rounds)
+  }
+
+  /** [[graft.ops.Ann.dbscan]] with name-based columns: exact density
+    * clustering over a 2-d projection via the eps-grid equi-join. */
+  def dbscan(df: DataFrame, idCol: String, xCol: String, yCol: String,
+      eps: Double, minPts: Int, maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Ann.dbscan(df, col(idCol), col(xCol), col(yCol), eps,
+      minPts, maxIters)
+  }
+
+  /** [[graft.ops.TextAnalysis.rakeKeywords]] with name-based columns:
+    * per-document RAKE keyphrases. */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], maxPhraseLen: Int = 4,
+      topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.TextAnalysis.rakeKeywords(docs, col(idCol), col(textCol),
+      stopwords, maxPhraseLen, topK)
+  }
 }

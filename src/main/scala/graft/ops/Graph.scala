@@ -332,7 +332,7 @@ object Graph {
     * support; all joins are int equi-joins. Rounds are
     * fixpoint-bounded with a `maxIters` backstop. */
   def kTruss(edges: DataFrame, srcCol: Column, dstCol: Column, k: Int,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50, broadcastClosing: Boolean = false): DataFrame = {
     require(k >= 2, "kTruss: k must be >= 2")
     require(maxIters >= 1, "kTruss: maxIters must be >= 1")
     val raw = edges.select(srcCol.cast("long").as("a"),
@@ -343,7 +343,7 @@ object Graph {
       .distinct()
       .localCheckpoint(true)
     var prev = e.count()
-    var sup = edgeSupport(e)
+    var sup = edgeSupport(e, broadcastClosing)
     var done = prev == 0L
     var iters = 0
     while (!done && iters < maxIters) {
@@ -354,7 +354,7 @@ object Graph {
       done = n == prev
       e = next
       prev = n
-      if (!done) sup = edgeSupport(e)
+      if (!done) sup = edgeSupport(e, broadcastClosing)
       iters += 1
     }
     sup.filter(col("support") >= k - 2)
@@ -363,8 +363,12 @@ object Graph {
   /** Per-edge triangle support over a canonical (a < b) edge set:
     * the [[triangleStats]] oriented enumeration, each triangle
     * exploded to its 3 canonical edges, zero-triangle edges kept at
-    * support 0 via the left join. */
-  private def edgeSupport(und: DataFrame): DataFrame = {
+    * support 0 via the left join. `broadcastClosing` resolves the
+    * closing-edge membership with a broadcast semi-join — the q266
+    * trade: one shuffle fewer per peel round while the (shrinking)
+    * edge set fits the driver cap; leave false at corpus scale. */
+  private def edgeSupport(und: DataFrame,
+      broadcastClosing: Boolean): DataFrame = {
     val deg = und.select(col("a").as("id"))
       .unionAll(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
@@ -384,7 +388,8 @@ object Graph {
       .join(oriented.as("e2"),
         col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
       .select(col("e1.s").as("x"), col("e1.t").as("y"), col("e2.t").as("z"))
-      .join(closing, Seq("y", "z"), "left_semi")
+      .join(if (broadcastClosing) broadcast(closing) else closing,
+        Seq("y", "z"), "left_semi")
     val sup = tri.select(explode(array(
         struct(least(col("x"), col("y")).as("a"),
           greatest(col("x"), col("y")).as("b")),
@@ -431,7 +436,9 @@ object Graph {
       val next = v.unionByName(relax)
         .groupBy("id").agg(min("dist").as("dist"))
         .localCheckpoint(true)
-      done = next
+      // the convergence probe is itself a job — skip it on the final
+      // round, where its answer cannot change the loop
+      done = i < rounds - 1 && next
         .join(v.withColumnRenamed("dist", "prev"), Seq("id"), "left")
         .filter(col("prev").isNull || col("dist") < col("prev"))
         .isEmpty

@@ -3076,6 +3076,9 @@ object OpsQueries {
       val e = li.as("x").join(li.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("a"), col("y.p").as("b"))
+      // broadcastClosing measured SLOWER here (10.5 vs 8.5 s at sf0.1:
+      // the broadcast rebuilds per peel round; the shuffle join reuses
+      // its exchange) — the option stays for single-round callers
       graft.ops.Graph.kTruss(e, col("a"), col("b"), k = 4)
         .orderBy("a", "b")
     }),

@@ -488,4 +488,69 @@ class GraftSessionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("id").collect()
     assert(pca.map(_.getDouble(1)).toSeq == Seq(-1.0, 1.0))
   }
+
+  test("session wave-8 facade: eval/calibration, feature engineering, " +
+      "time series, sequential test, graph, clustering, keyphrases") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sess = new GraftSession(spark, s"$work/wh")
+    val iso = sess.isotonicCalibrate(
+      Seq((1L, 0L), (1L, 1L), (2L, 1L), (2L, 1L)).toDF("bin", "y"),
+      "bin", "y").orderBy("bin").collect()
+    assert(iso.map(_.getDouble(4)).toSeq == Seq(0.5, 1.0))
+    val auc = sess.rocAuc(
+      Seq((1.0, 0L), (2.0, 1L)).toDF("m", "y"), "m", "y").head()
+    assert(auc.getAs[Double]("auc") == 1.0)
+    val ece = sess.calibrationError(
+      Seq((0.95, 1)).toDF("p", "y"), "p", "y").head()
+    assert(ece.getAs[Double]("ece") == 0.05)
+    val lift = sess.liftTable(
+      (1 to 4).map(i => (i.toDouble, (i > 2).compare(false).toLong))
+        .toDF("m", "y"), "m", "y", k = 2).orderBy("decile").collect()
+    assert(lift.map(_.getAs[Long]("responders")).toSeq == Seq(2L, 0L))
+    val te = sess.targetEncode(
+      Seq((1L, "A", 1L, 0L), (2L, "A", 0L, 1L)).toDF("id", "c", "y", "f"),
+      "id", "c", "y", "f", smoothing = 1.0).orderBy("id").collect()
+    assert(te.head.getAs[Double]("encoded") == 0.25) // (0 + .5)/(1 + 1)
+    val qn = sess.quantileNormalize(
+      Seq((1L, "a", 5.0), (2L, "b", 9.0)).toDF("id", "g", "v"),
+      "id", "g", "v").orderBy("id").collect()
+    assert(qn.map(_.getAs[Double]("qnorm")).toSeq == Seq(7.0, 7.0))
+    val mi = sess.mutualInformation(
+      Seq(("x", "x"), ("y", "y")).toDF("a", "b"), "a", "b").head()
+    assert(mi.getAs[Double]("nmi") == 1.0)
+    val sg = sess.sgnsPairs(Seq("a b").toDF("text"), "text",
+      window = 1, minCount = 1, negatives = 1).collect()
+    assert(sg.length == 2 && sg.forall(r => Set("a", "b")(r.getString(4))))
+    val hw = sess.holtWintersMultiplicative(
+      (1 to 4).map(i => (0L, i.toLong, 3.0)).toDF("k", "t", "y"),
+      "k", "t", "t", "y", 0.5, 0.3, 0.4, period = 2).head()
+    assert(hw.getAs[Double]("forecast") == 3.0)
+    val pc = sess.pacf(
+      (1 to 4).map(i => ("g", i.toLong, i.toDouble)).toDF("g", "t", "v"),
+      "t", Seq("g"), "t", "v", maxLag = 1).head()
+    assert(pc.getAs[Double]("pacf") == 0.25)
+    val sp = sess.sprtTest(
+      (1 to 20).map(i => ("A", i.toLong, 1)).toDF("k", "t", "x"),
+      "k", "t", "t", "x", p0 = 0.45, p1 = 0.55).head()
+    assert(sp.getAs[String]("decision") == "accept_h1")
+    val kt = sess.kTruss(
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b"), "a", "b", k = 3)
+      .count()
+    assert(kt == 3L)
+    val ss = sess.ssspBellmanFord(
+      Seq((1L, 2L, 5.0)).toDF("s", "t", "w"), "s", "t", "w",
+      Seq(Tuple1(1L)).toDF("id"), "id", rounds = 2).orderBy("id")
+      .collect()
+    assert(ss.map(_.getDouble(1)).toSeq == Seq(0.0, 5.0))
+    val db = sess.dbscan(
+      Seq((1L, 0.0, 0.0), (2L, 0.01, 0.0), (3L, 9.0, 9.0))
+        .toDF("id", "x", "y"), "id", "x", "y", eps = 0.1, minPts = 2)
+      .orderBy("id").collect()
+    assert(db.map(_.getLong(2)).toSeq == Seq(1L, 1L, -1L))
+    val rk = sess.rakeKeywords(
+      Seq((1L, "big data of small data")).toDF("id", "text"),
+      "id", "text", stopwords = Seq("of")).orderBy("rank").collect()
+    assert(rk.head.getAs[String]("phrase") == "big data")
+  }
 }
