@@ -351,6 +351,121 @@ object Experiment {
           .as("cramers_v"))
   }
 
+  /** One-way ANOVA F test over per-unit metrics grouped by `armCol` —
+    * [[welchTTest]] generalized to k means (classic equal-variance
+    * form): `F = (SSB/(k−1)) / (SSW/(N−k))` with
+    * `SSB = Σ n_g(ȳ_g − ȳ)²`, `SSW = Σ (n_g−1)·var_g`, plus the
+    * effect size `η² = SSB/(SSB+SSW)`. Output ONE row
+    * `(n, k_arms, f, df1, df2, eta_sq)` (4dp; degenerate pools —
+    * one arm, or zero within-variance — null the F). One grouped
+    * partial-agg pass over the units; everything after runs on a
+    * k-row frame. */
+  def anovaF(units: DataFrame, armCol: Column,
+      metricCol: Column): DataFrame = {
+    val s = units.select(armCol.cast("string").as("arm"),
+        metricCol.cast("double").as("m"))
+      .filter(col("m").isNotNull && col("arm").isNotNull)
+      .groupBy("arm")
+      .agg(count(lit(1)).as("ng"), sum("m").as("sg"),
+        sum(col("m") * col("m")).as("qg"))
+    s.agg(sum("ng").as("nn"), count(lit(1)).as("k"),
+        sum("sg").as("st"),
+        sum(col("sg") * col("sg") / col("ng")).as("sb0"),
+        sum(col("qg")).as("qt"))
+      .select(col("nn"), col("k"),
+        (col("sb0") - col("st") * col("st") / col("nn")).as("ssb"),
+        (col("qt") - col("sb0")).as("ssw"))
+      .select(col("nn").as("n"), col("k").as("k_arms"),
+        round(when(col("k") > 1 && col("nn") > col("k") && col("ssw") > 0,
+          (col("ssb") / (col("k") - 1)) /
+            (col("ssw") / (col("nn") - col("k")))), 4).as("f"),
+        (col("k") - 1).as("df1"), (col("nn") - col("k")).as("df2"),
+        round(when(col("ssb") + col("ssw") > 0,
+          col("ssb") / (col("ssb") + col("ssw"))), 4).as("eta_sq"))
+  }
+
+  /** Benjamini–Hochberg FDR adjustment of per-hypothesis p-values
+    * WITHIN a family — the multiple-testing companion every metric
+    * sweep needs before declaring winners: rank the family's p-values
+    * ascending (ties break by `keyCol` — deterministic), compute
+    * `p·N/rank`, then enforce monotonicity by the running minimum from
+    * the LARGEST p down (the step-up procedure), capped at 1. Output
+    * `(family, key, p, rank, p_adj)` (4dp).
+    *
+    * Scale shape: hypotheses are already one row per test; ranking and
+    * the reverse running-min ride per-FAMILY windows (the key
+    * shuffle) — no global window, any single family is assumed to fit
+    * a partition (millions of hypotheses per family before that
+    * bends). */
+  def bhFdr(tests: DataFrame, familyCol: Column, keyCol: Column,
+      pCol: Column): DataFrame = {
+    val s = tests.select(familyCol.cast("string").as("family"),
+        keyCol.cast("string").as("key"), pCol.cast("double").as("p"))
+      .filter(col("p").isNotNull && col("family").isNotNull)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("family").orderBy(col("p").asc, col("key").asc)
+    val wTail = org.apache.spark.sql.expressions.Window
+      .partitionBy("family").orderBy(col("p").asc, col("key").asc)
+      .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val nF = org.apache.spark.sql.expressions.Window.partitionBy("family")
+    s.withColumn("rank", row_number().over(wOrd).cast("long"))
+      .withColumn("nn", count(lit(1)).over(nF))
+      .withColumn("p_adj",
+        round(least(min(col("p") * col("nn") / col("rank")).over(wTail),
+          lit(1.0)), 4))
+      .select(col("family"), col("key"), col("p"), col("rank"),
+        col("p_adj"))
+  }
+
+  /** McNemar's test for paired binary outcomes — did a change flip
+    * units' behavior (before/after on the SAME units), where
+    * [[proportionTest]]'s independent-samples z would be wrong: only
+    * the discordant pairs carry signal, `χ² = (|b−c|−1)²/(b+c)` with
+    * the standard continuity correction (b = 1→0 flips, c = 0→1
+    * flips). Output ONE row `(n, b, c, chi2, significant)` (4dp;
+    * dof 1, two-sided 5% → χ² > 3.841; no discordant pairs → null χ²,
+    * not significant). One counting aggregation over the pairs. */
+  def mcnemarTest(pairs: DataFrame, beforeCol: Column,
+      afterCol: Column): DataFrame = {
+    pairs.select(beforeCol.cast("int").as("x"), afterCol.cast("int").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("x") === 1 && col("y") === 0, 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col("x") === 0 && col("y") === 1, 1L).otherwise(0L))
+          .as("c"))
+      .select(col("n"), col("b"), col("c"),
+        round(when(col("b") + col("c") > 0,
+          pow(abs(col("b") - col("c")) - 1, 2) /
+            (col("b") + col("c"))), 4).as("chi2"))
+      .withColumn("significant",
+        coalesce(col("chi2") > 3.841, lit(false)))
+  }
+
+  /** Brown–Forsythe (median-based Levene) test of variance equality
+    * across arms — the spread-difference check behind every "did the
+    * treatment change the DISTRIBUTION, not just the mean" question,
+    * and the assumption gate before trusting [[anovaF]]: transform each
+    * unit to its absolute deviation from the ARM MEDIAN (the robust
+    * Brown-Forsythe choice over Levene's mean), then run the one-way F
+    * on the deviations. Output ONE row
+    * `(n, k_arms, f, df1, df2)` (4dp). Two passes by necessity —
+    * exact medians, then the grouped moment pass (swap in
+    * `approx_percentile` upstream at corpus scale; both frames shuffle
+    * only (arm, value) rows). */
+  def brownForsythe(units: DataFrame, armCol: Column,
+      metricCol: Column): DataFrame = {
+    val s = units.select(armCol.cast("string").as("arm"),
+        metricCol.cast("double").as("m"))
+      .filter(col("m").isNotNull && col("arm").isNotNull)
+    val med = s.groupBy("arm")
+      .agg(expr("percentile(m, 0.5d)").as("md"))
+    val z = s.join(broadcast(med), "arm")
+      .select(col("arm"), abs(col("m") - col("md")).as("z"))
+    anovaF(z, col("arm"), col("z"))
+      .select(col("n"), col("k_arms"), col("f"), col("df1"), col("df2"))
+  }
+
   /** Wald's sequential probability ratio test (SPRT) over per-key
     * ordered 0/1 outcomes — the always-valid early-stopping companion
     * to [[proportionTest]]: the log-likelihood ratio of `p1` vs `p0`

@@ -3117,7 +3117,37 @@ object OpsQueries {
         t(s, d, "documents").filter(col("doc_id") % 7 === 0),
         col("doc_id"), col("text"),
         stopwords = Seq("a", "the", "value", "table"),
-        maxPhraseLen = 4, topK = 3).orderBy("id", "rank"))
+        maxPhraseLen = 4, topK = 3).orderBy("id", "rank")),
+    "q328_anova" -> ((s, d) =>
+      // does mean value differ across the five event types? one-way F
+      // with eta-squared — one grouped moment pass, then a 5-row frame
+      graft.ops.Experiment.anovaF(ev(s, d), col("event_type"),
+        col("value"))),
+    "q329_bh_fdr" -> ((s, d) => {
+      // multiple-testing correction across per-cohort pseudo p-values
+      // within each event-type family: BH step-up via per-family rank
+      // + reverse running min — no global window
+      val h = ev(s, d)
+        .groupBy(col("event_type").as("family"),
+          (col("user_id") % 20).cast("string").as("key"))
+        .agg((avg("value") / 500).as("p"))
+      graft.ops.Experiment.bhFdr(h, col("family"), col("key"), col("p"))
+        .orderBy("family", "rank")
+    }),
+    "q330_mcnemar" -> ((s, d) => {
+      // paired flip test: per user, did-click vs did-purchase — only
+      // the discordant pairs carry signal; one counting aggregation
+      val pairs = ev(s, d).groupBy("user_id")
+        .agg(max((col("event_type") === "click").cast("int")).as("x"),
+          max((col("event_type") === "purchase").cast("int")).as("y"))
+      graft.ops.Experiment.mcnemarTest(pairs, col("x"), col("y"))
+    }),
+    "q331_brown_forsythe" -> ((s, d) =>
+      // variance-equality gate before trusting q328's F: absolute
+      // deviations from each type's exact median, then the same
+      // one-way F on the transformed units
+      graft.ops.Experiment.brownForsythe(ev(s, d), col("event_type"),
+        col("value")))
   )
 
   /** The q298 oracle: `rounds` unrolled peel passes of the k-core
@@ -8524,6 +8554,77 @@ object OpsQueries {
                 FROM dd)
          SELECT id, CAST(rank AS BIGINT) AS rank, phrase, score
          FROM rk WHERE rank <= 3 ORDER BY id, rank""",
+
+    "q328_anova" ->
+      """WITH s AS (SELECT event_type AS arm, value AS m FROM events),
+         g AS (SELECT arm, count(*) AS ng, sum(m) AS sg,
+                 sum(m * m) AS qg FROM s GROUP BY arm),
+         t AS (SELECT CAST(sum(ng) AS BIGINT) AS nn, count(*) AS k,
+                 sum(sg) AS st, sum(sg * sg / ng) AS sb0,
+                 sum(qg) AS qt FROM g),
+         d AS (SELECT nn, k, sb0 - st * st / nn AS ssb,
+                 qt - sb0 AS ssw FROM t)
+         SELECT nn AS n, k AS k_arms,
+           round(CASE WHEN k > 1 AND nn > k AND ssw > 0
+             THEN (ssb / (k - 1)) / (ssw / (nn - k)) END, 4) AS f,
+           k - 1 AS df1, nn - k AS df2,
+           round(CASE WHEN ssb + ssw > 0
+             THEN ssb / (ssb + ssw) END, 4) AS eta_sq
+         FROM d""",
+
+    "q329_bh_fdr" ->
+      """WITH h AS (SELECT event_type AS family,
+                 CAST(user_id % 20 AS VARCHAR) AS key,
+                 avg(value) / 500 AS p
+               FROM events GROUP BY 1, 2),
+         r AS (SELECT family, key, p,
+                 row_number() OVER (PARTITION BY family
+                   ORDER BY p, key) AS rank,
+                 count(*) OVER (PARTITION BY family) AS nn FROM h)
+         SELECT family, key, p, rank,
+           round(least(min(p * nn / rank) OVER (PARTITION BY family
+             ORDER BY p, key
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 1.0), 4)
+             AS p_adj
+         FROM r ORDER BY family, rank""",
+
+    "q330_mcnemar" ->
+      """WITH pr AS (SELECT user_id,
+                 max(CAST(event_type = 'click' AS INT)) AS x,
+                 max(CAST(event_type = 'purchase' AS INT)) AS y
+               FROM events GROUP BY user_id),
+         a AS (SELECT count(*) AS n,
+                 CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b,
+                 CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c
+               FROM pr)
+         SELECT n, b, c,
+           round(CASE WHEN b + c > 0
+             THEN pow(abs(b - c) - 1, 2) / (b + c) END, 4) AS chi2,
+           coalesce(CASE WHEN b + c > 0
+             THEN pow(abs(b - c) - 1, 2) / (b + c) END > 3.841, false)
+             AS significant
+         FROM a""",
+
+    "q331_brown_forsythe" ->
+      """WITH s AS (SELECT event_type AS arm, value AS m FROM events),
+         md AS (SELECT arm, quantile_cont(m, 0.5) AS md FROM s
+                GROUP BY arm),
+         z AS (SELECT s.arm, abs(s.m - md.md) AS m
+               FROM s JOIN md ON md.arm = s.arm),
+         g AS (SELECT arm, count(*) AS ng, sum(m) AS sg,
+                 sum(m * m) AS qg FROM z GROUP BY arm),
+         t AS (SELECT CAST(sum(ng) AS BIGINT) AS nn, count(*) AS k,
+                 sum(sg) AS st, sum(sg * sg / ng) AS sb0,
+                 sum(qg) AS qt FROM g),
+         d AS (SELECT nn, k, sb0 - st * st / nn AS ssb,
+                 qt - sb0 AS ssw FROM t)
+         SELECT nn AS n, k AS k_arms,
+           round(CASE WHEN k > 1 AND nn > k AND ssw > 0
+             THEN (ssb / (k - 1)) / (ssw / (nn - k)) END, 4) AS f,
+           k - 1 AS df1, nn - k AS df2
+         FROM d""",
 
     "q324_ktruss" -> kTrussOracle(k = 4, rounds = 8),
 

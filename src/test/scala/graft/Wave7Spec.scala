@@ -238,4 +238,63 @@ class Wave7Spec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getString(2))
     assert(capped.toSeq == Seq("x y")) // "a b c d e" (len 5) capped away
   }
+
+  test("anovaF: hand-computed between/within decomposition") {
+    import spark.implicits._
+    // arms [1,2,3] / [4,5,6]: SSB 13.5, SSW 4 → F 13.5, η² 27/35
+    val u = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("arm", "m")
+    val r = Experiment.anovaF(u, col("arm"), col("m")).collect()(0)
+    assert(r.getLong(0) == 6 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 13.5)
+    assert(r.getLong(3) == 1 && r.getLong(4) == 4)
+    assert(r.getDouble(5) == 0.7714)
+    // a single arm nulls the F
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("arm", "m")
+    assert(Experiment.anovaF(one, col("arm"), col("m"))
+      .collect()(0).isNullAt(2))
+  }
+
+  test("bhFdr: step-up running minimum, cap at 1") {
+    import spark.implicits._
+    val h = Seq(("f", "a", 0.01), ("f", "b", 0.04), ("f", "c", 0.03),
+      ("g", "x", 0.9)).toDF("fam", "k", "p")
+    val got = Experiment.bhFdr(h, col("fam"), col("k"), col("p"))
+      .orderBy("family", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3),
+        r.getDouble(4)))
+    // raw p·N/rank = .03, .045, .04 → tail-min: .03, .04, .04
+    assert(got.toSeq == Seq(("f", "a", 1L, 0.03), ("f", "c", 2L, 0.04),
+      ("f", "b", 3L, 0.04), ("g", "x", 1L, 0.9)))
+  }
+
+  test("mcnemarTest: discordant-pair chi-square with continuity") {
+    import spark.implicits._
+    // b=3 (1→0), c=1 (0→1): χ² = (|3−1|−1)²/4 = 0.25, not significant
+    val p1 = Seq((1, 0), (1, 0), (1, 0), (0, 1), (1, 1), (0, 0))
+      .toDF("x", "y")
+    val r1 = Experiment.mcnemarTest(p1, col("x"), col("y")).collect()(0)
+    assert(r1.getLong(1) == 3 && r1.getLong(2) == 1 &&
+      r1.getDouble(3) == 0.25 && !r1.getBoolean(4))
+    // b=10, c=0: χ² = 81/10 = 8.1 → significant
+    val p2 = (1 to 10).map(_ => (1, 0)).toDF("x", "y")
+    val r2 = Experiment.mcnemarTest(p2, col("x"), col("y")).collect()(0)
+    assert(r2.getDouble(3) == 8.1 && r2.getBoolean(4))
+  }
+
+  test("brownForsythe: equal spreads F=0, unequal spreads hand value") {
+    import spark.implicits._
+    // same |dev-from-median| profile in both arms → SSB = 0 → F = 0
+    val eq = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 11.0), ("b", 12.0), ("b", 13.0)).toDF("arm", "m")
+    assert(Experiment.brownForsythe(eq, col("arm"), col("m"))
+      .collect()(0).getDouble(2) == 0.0)
+    // [0,5,10] (devs 5,0,5) vs [4,5,6] (devs 1,0,1):
+    // SSB = 32/3, SSW = 52/3 → F = (32/3)/(52/12) = 2.4615
+    val ne = Seq(("a", 0.0), ("a", 5.0), ("a", 10.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("arm", "m")
+    val f = Experiment.brownForsythe(ne, col("arm"), col("m"))
+      .collect()(0).getDouble(2)
+    assert(f == 2.4615, s"got $f")
+  }
 }
