@@ -452,6 +452,72 @@ object StreamingOps {
     }
   }
 
+  final case class SprtState(llr: Double, n: Long, decided: Int,
+      nAt: Long)
+  final case class SprtRow(k: String, n: Long, decision: String,
+      n_at_decision: Option[Long], llr_final: Double)
+
+  /** Streaming twin of [[graft.ops.Experiment.sprtTest]] — the test
+    * SPRT was actually designed for: outcomes arrive over time and the
+    * experiment STOPS at the first Wald-bound crossing. State per key
+    * is one double (the running LLR), one count, and the sticky
+    * decision; each batch's outcomes fold in (t, tb) order with the
+    * exact per-row increments the batch window sums, so the running
+    * LLR is bit-identical to the batch statistic over everything fed
+    * so far (the parity spec pins it). A decision, once crossed, never
+    * un-decides — later outcomes keep folding into `llr_final` but
+    * `n_at_decision` is frozen, exactly like the batch op's
+    * first-crossing readout. Cross-batch arrival must respect event
+    * order per key (the ingest convention; same caveat as
+    * [[streamingHoltWinters]]). Input columns:
+    * `k STRING, t LONG, tb LONG, x INT (0/1)`. */
+  def streamingSprt(units: DataFrame, p0: Double, p1: Double,
+      alpha: Double = 0.05, beta: Double = 0.2)
+      : org.apache.spark.sql.Dataset[SprtRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      "streamingSprt: p0, p1 in (0, 1), p0 != p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      "streamingSprt: alpha, beta in (0, 1)")
+    val wPos = math.log(p1 / p0)
+    val wNeg = math.log((1.0 - p1) / (1.0 - p0))
+    val lower = math.log(beta / (1.0 - alpha))
+    val upper = math.log((1.0 - beta) / alpha)
+    val spark = units.sparkSession
+    import spark.implicits._
+    val typed = units
+      .select(col("k").cast("string"), col("t").cast("long"),
+        col("tb").cast("long"), col("x").cast("int"))
+      .as[(String, Long, Long, Int)]
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (key: String, rows: Iterator[(String, Long, Long, Int)],
+       state: GroupState[SprtState]) =>
+        var s = state.getOption.getOrElse(SprtState(0.0, 0L, 0, 0L))
+        rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, x) =>
+          s = s.copy(llr = s.llr + (if (x == 1) wPos else wNeg),
+            n = s.n + 1)
+          if (s.decided == 0) {
+            if (s.llr >= upper) s = s.copy(decided = 1, nAt = s.n)
+            else if (s.llr <= lower) s = s.copy(decided = -1, nAt = s.n)
+          }
+        }
+        state.update(s)
+        if (s.n == 0) Iterator.empty
+        else {
+          def r4(x: Double) = BigDecimal(x)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val dec = s.decided match {
+            case 1 => "accept_h1"
+            case -1 => "accept_h0"
+            case _ => "continue"
+          }
+          Iterator.single(SprtRow(key, s.n, dec,
+            if (s.decided == 0) None else Some(s.nAt), r4(s.llr)))
+        }
+    }
+  }
+
   final case class PostingState(df: Long, tf: Long, postings: Seq[Long])
   final case class PostingRow(term: String, df: Long, tf_total: Long,
       postings: Seq[Long])

@@ -793,6 +793,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streamingSprt: the Wald crossing lands mid-stream and the " +
+      "decision stays frozen; final row equals the batch test") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 10 successes per batch: upper = ln16 ≈ 2.7726, each success adds
+    // ≈ 0.2007 → the crossing (n = 14) happens inside batch 2
+    val b1 = (1 to 10).map(i => ("A", i.toLong, i.toLong, 1))
+    val b2 = (11 to 20).map(i => ("A", i.toLong, i.toLong, 1))
+    val input = MemoryStream[(String, Long, Long, Int)]
+    val q = StreamingOps.streamingSprt(
+        input.toDF().toDF("k", "t", "tb", "x"),
+        p0 = 0.45, p1 = 0.55, alpha = 0.05, beta = 0.2)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("sprt").start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM sprt ORDER BY n").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("decision") == "continue" &&
+      rows(0).isNullAt(rows(0).fieldIndex("n_at_decision")))
+    val last = rows(1)
+    val batch = graft.ops.Experiment.sprtTest(
+        (b1 ++ b2).toDF("k", "t", "tb", "x"),
+        org.apache.spark.sql.functions.col("k"),
+        org.apache.spark.sql.functions.col("t"),
+        org.apache.spark.sql.functions.col("tb"),
+        org.apache.spark.sql.functions.col("x"),
+        p0 = 0.45, p1 = 0.55, alpha = 0.05, beta = 0.2)
+      .head()
+    assert(last.getAs[String]("decision") ==
+      batch.getAs[String]("decision"))
+    assert(last.getAs[Long]("n_at_decision") == 14L &&
+      batch.getAs[Long]("n_at_decision") == 14L)
+    assert(last.getAs[Double]("llr_final") ==
+      batch.getAs[Double]("llr_final"))
+    q.stop()
+  }
+
   test("streamingHoltWinters: O(m) state replays the batch recurrence " +
       "on in-order feeds") {
     import spark.implicits._
