@@ -799,4 +799,67 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
     graft.ops.TextAnalysis.rakeKeywords(docs, col(idCol), col(textCol),
       stopwords, maxPhraseLen, topK)
   }
+
+  /** [[graft.ops.Experiment.anovaF]] with name-based columns: one-way
+    * F with eta-squared. */
+  def anovaF(units: DataFrame, armCol: String,
+      metricCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.anovaF(units, col(armCol), col(metricCol))
+  }
+
+  /** [[graft.ops.Experiment.bhFdr]] with name-based columns:
+    * per-family Benjamini-Hochberg adjusted p-values. */
+  def bhFdr(tests: DataFrame, familyCol: String, keyCol: String,
+      pCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.bhFdr(tests, col(familyCol), col(keyCol),
+      col(pCol))
+  }
+
+  /** [[graft.ops.Experiment.mcnemarTest]] with name-based columns:
+    * paired-binary flip test. */
+  def mcnemarTest(pairs: DataFrame, beforeCol: String,
+      afterCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.mcnemarTest(pairs, col(beforeCol), col(afterCol))
+  }
+
+  /** [[graft.ops.Experiment.brownForsythe]] with name-based columns:
+    * median-based variance-equality test. */
+  def brownForsythe(units: DataFrame, armCol: String,
+      metricCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.brownForsythe(units, col(armCol), col(metricCol))
+  }
+
+  /** [[graft.ops.Classify.conformalInterval]] with name-based columns:
+    * split-conformal prediction intervals. */
+  def conformalInterval(df: DataFrame, idCol: String, predCol: String,
+      actualCol: String, calFlagCol: String,
+      alpha: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Classify.conformalInterval(df, col(idCol), col(predCol),
+      col(actualCol), col(calFlagCol), alpha)
+  }
+
+  /** [[graft.ops.Analytics.frequentEventSequences]] with name-based
+    * columns: contiguous event n-gram mining. */
+  def frequentEventSequences(events: DataFrame, keyCol: String,
+      typeCol: String, timeCol: String, tiebreakCol: String, n: Int,
+      minSupport: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Analytics.frequentEventSequences(events, col(keyCol),
+      col(typeCol), col(timeCol), col(tiebreakCol), n, minSupport)
+  }
+
+  /** [[graft.ops.Experiment.ipsEstimate]] with name-based columns:
+    * inverse-propensity off-policy value. */
+  def ipsEstimate(logs: DataFrame, contextCol: String, armCol: String,
+      rewardCol: String, policy: DataFrame, pContextCol: String,
+      pArmCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.ipsEstimate(logs, col(contextCol), col(armCol),
+      col(rewardCol), policy, col(pContextCol), col(pArmCol))
+  }
 }

@@ -79,6 +79,42 @@ object Analytics {
         sum(col("n")).over(Window.partitionBy(col("from_type"))), 4))
   }
 
+  /** Frequent contiguous event sequences — [[eventTransitions]]
+    * extended to length-`n` paths (the "what do users DO in order"
+    * mining staple, the contiguous special case of sequential pattern
+    * mining): per key the ordered event-type stream yields every
+    * n-gram window, and a sequence reports how many DISTINCT keys
+    * exhibit it (`support`) plus total occurrences, `minSupport`
+    * gating the tail. Output
+    * `(seq, support, occurrences)` — `seq` the '->'-joined type path.
+    * ONE key shuffle (the lead window), a grouped count over
+    * (sequence, key), a grouped roll-up over sequences; the log never
+    * self-joins. */
+  def frequentEventSequences(events: DataFrame, keyCol: Column,
+      typeCol: Column, timeCol: Column, tiebreakCol: Column, n: Int,
+      minSupport: Long = 1L): DataFrame = {
+    require(n >= 2 && n <= 8, "frequentEventSequences: n in [2, 8]")
+    require(minSupport >= 1, "frequentEventSequences: minSupport >= 1")
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("tb").asc)
+    val base = events
+      .select(keyCol.cast("long").as("k"), typeCol.cast("string").as("tp"),
+        timeCol.as("t"), tiebreakCol.cast("long").as("tb"))
+    val withLeads = (1 until n).foldLeft(base) { (d, i) =>
+      d.withColumn(s"__n$i", lead(col("tp"), i).over(w))
+    }
+    val seqCol = concat_ws("->",
+      (col("tp") +: (1 until n).map(i => col(s"__n$i"))): _*)
+    withLeads
+      .filter((1 until n).map(i => col(s"__n$i").isNotNull)
+        .reduce(_ && _))
+      .select(col("k"), seqCol.as("seq"))
+      .groupBy("seq", "k").agg(count(lit(1)).as("c"))
+      .groupBy("seq")
+      .agg(count(lit(1)).as("support"), sum("c").as("occurrences"))
+      .filter(col("support") >= minSupport)
+  }
+
   /** Inactivity gaps: per key, every pause between consecutive events
     * longer than `minGapMicros` — the downtime/churn-risk intervals
     * behind re-engagement triggers (and the complement of

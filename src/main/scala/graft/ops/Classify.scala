@@ -416,6 +416,47 @@ object Classify {
         round(col("mce0"), 4).as("mce"))
   }
 
+  /** Split-conformal prediction intervals (Papadopoulos et al. 2002;
+    * Lei et al. 2018 form) — distribution-free coverage for ANY point
+    * predictor: the width is the k-th smallest absolute residual on a
+    * held-out CALIBRATION set with `k = ⌈(n_cal+1)(1−alpha)⌉` (the
+    * exact order statistic, not an interpolated quantile — that is
+    * what makes the ≥ 1−alpha coverage guarantee finite-sample), and
+    * every scoring row gets `[pred − q, pred + q]`. Input: one frame
+    * with a boolean calibration flag plus prediction and (on
+    * calibration rows) actual columns. Output scoring rows only:
+    * `(id, pred, lo, hi)` (4dp on the bounds).
+    *
+    * Scale shape: calibration rows collapse to per-|residual| counted
+    * rows; the order statistic resolves by the range-partitioned
+    * weighted prefix sum (no global sort) + a 1-row min; the scoring
+    * corpus picks the width up by a broadcast scalar cross. */
+  def conformalInterval(df: DataFrame, idCol: Column, predCol: Column,
+      actualCol: Column, calFlagCol: Column,
+      alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1, "conformalInterval: alpha in (0, 1)")
+    val base = df.select(idCol.as("id"), predCol.cast("double").as("pred"),
+      actualCol.cast("double").as("actual"),
+      calFlagCol.cast("boolean").as("cal"))
+    val res = base.filter(col("cal") && col("actual").isNotNull)
+      .select(abs(col("actual") - col("pred")).as("r"))
+      .groupBy("r").agg(count(lit(1)).as("t"))
+    val ranked = Suffix.withWeightedOffset(res, Seq(col("r")),
+      col("t"), "cb")
+    val nCal = ranked.agg(sum("t").as("nc"))
+    // k-th smallest residual: the first counted row whose span covers k
+    val q = ranked.crossJoin(broadcast(nCal))
+      .select(col("r"), col("cb"), col("t"),
+        ceil((col("nc") + 1) * lit(1.0 - alpha)).cast("long").as("k"))
+      .filter(col("cb") < col("k") && col("cb") + col("t") >= col("k"))
+      .agg(min("r").as("q"))
+    base.filter(!col("cal"))
+      .crossJoin(broadcast(q))
+      .select(col("id"), col("pred"),
+        round(col("pred") - col("q"), 4).as("lo"),
+        round(col("pred") + col("q"), 4).as("hi"))
+  }
+
   /** Decile lift & gains table — the campaign-targeting readout: rows
     * ranked by score descending are cut into `k` ntile groups, and each
     * group reports size, responders, response rate, lift vs the overall

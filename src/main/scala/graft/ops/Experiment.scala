@@ -351,6 +351,50 @@ object Experiment {
           .as("cramers_v"))
   }
 
+  /** Inverse-propensity-scoring off-policy value estimate (Horvitz–
+    * Thompson form) — "what would the average reward have been under a
+    * DIFFERENT policy", answered from logged randomized traffic
+    * without a new experiment: propensities are the empirical arm
+    * shares within each context,
+    * `V̂ = (1/n) Σ 1[a_i = π(x_i)] · r_i / p̂(a_i | x_i)`, with the
+    * target policy given as a deterministic (context → arm) frame.
+    * Output ONE row `(n, n_matched, v_hat, v_logged)` (4dp) —
+    * `v_logged` is the logged policy's plain average reward for
+    * comparison. Contexts absent from the policy frame contribute
+    * nothing (their indicator is 0 — partial policies are fine).
+    *
+    * Scale shape: one grouped count builds the |contexts × arms|
+    * propensity table; the log joins it and the policy frame broadcast
+    * (both bounded); one final aggregate. The classic IPS caveat
+    * stands: variance blows up as propensities shrink — clip upstream
+    * if the logged policy is far from uniform. */
+  def ipsEstimate(logs: DataFrame, contextCol: Column, armCol: Column,
+      rewardCol: Column, policy: DataFrame, pContextCol: Column,
+      pArmCol: Column): DataFrame = {
+    val s = logs.select(contextCol.cast("string").as("ctx"),
+        armCol.cast("string").as("arm"),
+        rewardCol.cast("double").as("r"))
+      .filter(col("ctx").isNotNull && col("arm").isNotNull &&
+        col("r").isNotNull)
+      .localCheckpoint(eager = true) // read twice: propensities + joins
+    val prop = s.groupBy("ctx", "arm").agg(count(lit(1)).as("na"))
+    val ctxTot = prop.groupBy("ctx").agg(sum("na").as("nc"))
+    val pol = policy.select(pContextCol.cast("string").as("ctx"),
+      pArmCol.cast("string").as("parm"))
+    s.join(broadcast(prop.join(ctxTot, "ctx")), Seq("ctx", "arm"))
+      .join(broadcast(pol), Seq("ctx"), "left")
+      .select(col("r"),
+        when(col("arm") === col("parm"),
+          col("r") * col("nc") / col("na")).otherwise(lit(0.0))
+          .as("w"),
+        coalesce((col("arm") === col("parm")).cast("int"), lit(0))
+          .as("m"))
+      .agg(count(lit(1)).as("n"),
+        sum("m").cast("long").as("n_matched"),
+        round(sum("w") / count(lit(1)), 4).as("v_hat"),
+        round(avg("r"), 4).as("v_logged"))
+  }
+
   /** One-way ANOVA F test over per-unit metrics grouped by `armCol` —
     * [[welchTTest]] generalized to k means (classic equal-variance
     * form): `F = (SSB/(k−1)) / (SSW/(N−k))` with

@@ -3147,7 +3147,36 @@ object OpsQueries {
       // deviations from each type's exact median, then the same
       // one-way F on the transformed units
       graft.ops.Experiment.brownForsythe(ev(s, d), col("event_type"),
-        col("value")))
+        col("value"))),
+    "q332_conformal" -> ((s, d) => {
+      // distribution-free intervals around a per-type mean model: the
+      // width is the exact conformal order statistic on the held-out
+      // fifth, every scoring row gets pred ± q
+      val e = ev(s, d)
+      val model = e.filter(col("event_id") % 5 === 0)
+        .groupBy("event_type").agg(avg("value").as("pred"))
+      val scored = e.join(model, "event_type")
+      graft.ops.Classify.conformalInterval(scored, col("event_id"),
+          col("pred"), col("value"), col("event_id") % 5 === 0,
+          alpha = 0.1)
+        .orderBy("id")
+    }),
+    "q333_event_sequences" -> ((s, d) =>
+      // frequent 3-step journeys: per-user ordered type n-grams,
+      // distinct-user support + occurrences, one key shuffle
+      graft.ops.Analytics.frequentEventSequences(ev(s, d),
+          col("user_id"), col("event_type"), col("ts"), col("event_id"),
+          n = 3, minSupport = 30)
+        .orderBy("seq")),
+    "q334_ips" -> ((s, d) => {
+      // off-policy value of "even cohorts get click, odd get view"
+      // from the logged traffic: empirical propensities per (cohort,
+      // type), Horvitz-Thompson reweighting, one final aggregate
+      val pol = s.range(4).select(col("id").cast("string").as("ctx"),
+        when(col("id") % 2 === 0, "click").otherwise("view").as("parm"))
+      graft.ops.Experiment.ipsEstimate(ev(s, d), col("user_id") % 4,
+        col("event_type"), col("value"), pol, col("ctx"), col("parm"))
+    })
   )
 
   /** The q298 oracle: `rounds` unrolled peel passes of the k-core
@@ -8625,6 +8654,58 @@ object OpsQueries {
              THEN (ssb / (k - 1)) / (ssw / (nn - k)) END, 4) AS f,
            k - 1 AS df1, nn - k AS df2
          FROM d""",
+
+    "q332_conformal" ->
+      """WITH e AS (SELECT event_id AS id, event_type, value,
+                 event_id % 5 = 0 AS cal FROM events),
+         model AS (SELECT event_type, avg(value) AS pred FROM e
+                   WHERE cal GROUP BY 1),
+         s AS (SELECT e.id, e.value, e.cal, m.pred
+               FROM e JOIN model m USING (event_type)),
+         r AS (SELECT abs(value - pred) AS r FROM s WHERE cal),
+         n AS (SELECT count(*) AS nc FROM r),
+         kk AS (SELECT CAST(ceil((nc + 1) * 0.9) AS BIGINT) AS k FROM n),
+         ranked AS (SELECT r, row_number() OVER (ORDER BY r) AS rn
+                    FROM r),
+         q AS (SELECT r AS q FROM ranked CROSS JOIN kk WHERE rn = kk.k)
+         SELECT s.id, s.pred, round(s.pred - q.q, 4) AS lo,
+           round(s.pred + q.q, 4) AS hi
+         FROM s CROSS JOIN q WHERE NOT s.cal ORDER BY id""",
+
+    "q333_event_sequences" ->
+      """WITH s AS (SELECT user_id AS k, event_type AS tp, ts,
+                 event_id AS tb FROM events),
+         l AS (SELECT k, tp,
+                 lead(tp, 1) OVER (PARTITION BY k ORDER BY ts, tb) AS n1,
+                 lead(tp, 2) OVER (PARTITION BY k ORDER BY ts, tb) AS n2
+               FROM s),
+         g AS (SELECT concat(tp, '->', n1, '->', n2) AS seq, k FROM l
+               WHERE n1 IS NOT NULL AND n2 IS NOT NULL),
+         pk AS (SELECT seq, k, count(*) AS c FROM g GROUP BY seq, k)
+         SELECT seq, count(*) AS support,
+           CAST(sum(c) AS BIGINT) AS occurrences
+         FROM pk GROUP BY seq HAVING count(*) >= 30 ORDER BY seq""",
+
+    "q334_ips" ->
+      """WITH s AS (SELECT CAST(user_id % 4 AS VARCHAR) AS ctx,
+                 event_type AS arm, value AS r FROM events),
+         prop AS (SELECT ctx, arm, count(*) AS na FROM s GROUP BY 1, 2),
+         ct AS (SELECT ctx, CAST(sum(na) AS BIGINT) AS nc FROM prop
+                GROUP BY ctx),
+         pol AS (SELECT CAST(i AS VARCHAR) AS ctx,
+                   CASE WHEN i % 2 = 0 THEN 'click' ELSE 'view' END
+                     AS parm
+                 FROM range(4) t(i)),
+         j AS (SELECT s.r,
+                 CASE WHEN s.arm = pol.parm
+                   THEN s.r * ct.nc / prop.na ELSE 0.0 END AS w,
+                 CASE WHEN s.arm = pol.parm THEN 1 ELSE 0 END AS m
+               FROM s JOIN prop USING (ctx, arm) JOIN ct USING (ctx)
+                 LEFT JOIN pol USING (ctx))
+         SELECT count(*) AS n, CAST(sum(m) AS BIGINT) AS n_matched,
+           round(sum(w) / count(*), 4) AS v_hat,
+           round(avg(r), 4) AS v_logged
+         FROM j""",
 
     "q324_ktruss" -> kTrussOracle(k = 4, rounds = 8),
 

@@ -297,4 +297,58 @@ class Wave7Spec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getDouble(2)
     assert(f == 2.4615, s"got $f")
   }
+
+  test("conformalInterval: the exact order statistic sets the width") {
+    import spark.implicits._
+    import graft.ops.Classify
+    // 9 calibration residuals 1..9 (pred 0); alpha .1 → k = ⌈10·.9⌉ = 9
+    // → q = 9; alpha .5 → k = 5 → q = 5
+    val rows = (1 to 9).map(i => (i.toLong, 0.0, i.toDouble, true)) :+
+      ((100L, 50.0, 0.0, false))
+    val df = rows.toDF("id", "pred", "actual", "cal")
+    val r1 = Classify.conformalInterval(df, col("id"), col("pred"),
+        col("actual"), col("cal"), alpha = 0.1).collect()(0)
+    assert(r1.getLong(0) == 100L && r1.getDouble(2) == 41.0 &&
+      r1.getDouble(3) == 59.0)
+    val r5 = Classify.conformalInterval(df, col("id"), col("pred"),
+        col("actual"), col("cal"), alpha = 0.5).collect()(0)
+    assert(r5.getDouble(2) == 45.0 && r5.getDouble(3) == 55.0)
+  }
+
+  test("frequentEventSequences: distinct-key support vs occurrences") {
+    import spark.implicits._
+    import graft.ops.Analytics
+    val ev = Seq(
+      (1L, "a", 1L), (1L, "b", 2L), (1L, "a", 3L), (1L, "b", 4L),
+      (2L, "a", 5L), (2L, "b", 6L), (2L, "c", 7L))
+      .toDF("k", "tp", "t")
+    val got = Analytics.frequentEventSequences(ev, col("k"), col("tp"),
+        col("t"), col("t"), n = 2, minSupport = 1)
+      .orderBy("seq").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a->b", 2L, 3L), ("b->a", 1L, 1L),
+      ("b->c", 1L, 1L)))
+    // the support gate
+    val gated = Analytics.frequentEventSequences(ev, col("k"), col("tp"),
+      col("t"), col("t"), n = 2, minSupport = 2).collect()
+    assert(gated.map(_.getString(0)).toSeq == Seq("a->b"))
+  }
+
+  test("ipsEstimate: Horvitz-Thompson reweighting, hand value") {
+    import spark.implicits._
+    // ctx 0: arms a(r=1,3), b(r=10,20), nc=4, na=2 each; policy 0→b:
+    // V̂ = (10·2 + 20·2)/4 = 15; logged mean 8.5; 2 matched
+    val logs = Seq(("0", "a", 1.0), ("0", "a", 3.0), ("0", "b", 10.0),
+      ("0", "b", 20.0)).toDF("ctx", "arm", "r")
+    val pol = Seq(("0", "b")).toDF("pc", "pa")
+    val r = Experiment.ipsEstimate(logs, col("ctx"), col("arm"),
+        col("r"), pol, col("pc"), col("pa")).collect()(0)
+    assert(r.getLong(0) == 4 && r.getLong(1) == 2 &&
+      r.getDouble(2) == 15.0 && r.getDouble(3) == 8.5)
+    // a context missing from the policy contributes nothing
+    val part = Experiment.ipsEstimate(
+      logs.withColumn("ctx", lit("9")), col("ctx"), col("arm"),
+      col("r"), pol, col("pc"), col("pa")).collect()(0)
+    assert(part.getLong(1) == 0 && part.getDouble(2) == 0.0)
+  }
 }
