@@ -148,7 +148,23 @@ object ScaleRehearsal {
           col("id"), maxDepth = 6)
       },
       "q304_hits" -> (e =>
-        graft.ops.Graph.hits(e, col("a"), col("b"), iters = 3)))
+        graft.ops.Graph.hits(e, col("a"), col("b"), iters = 3)),
+      // round-10 wave-8 heavies: support peeling (triangle rounds) and
+      // bounded Bellman-Ford relaxation — per-replica structure is
+      // constant, so rounds-to-fixpoint stays flat while edge volume
+      // scales ×N
+      "q324_ktruss" -> (e =>
+        graft.ops.Graph.kTruss(e, col("a"), col("b"), k = 4)),
+      "q325_sssp" -> { e =>
+        val dir = e.select(col("a").as("s"), col("b").as("t"))
+          .unionAll(e.select(col("b").as("s"), col("a").as("t")))
+          .withColumn("w", (col("s") % 20 + 1).cast("double"))
+        val seeds = e.select(col("a").as("id"))
+          .unionAll(e.select(col("b").as("id")))
+          .distinct().filter(col("id") % 997 === 0)
+        graft.ops.Graph.ssspBellmanFord(dir, col("s"), col("t"),
+          col("w"), seeds, col("id"), rounds = 6)
+      })
 
     val eventFamilies: Seq[(String, DataFrame => DataFrame)] = Seq(
       "q229_asof_join" -> { ev =>
@@ -173,7 +189,22 @@ object ScaleRehearsal {
       },
       "q237_rolling_stats" -> (ev =>
         graft.ops.Temporal.rollingStats(ev, col("event_id"),
-          Seq("user_id"), col("ts"), col("value"), nRows = 3)))
+          Seq("user_id"), col("ts"), col("value"), nRows = 3)),
+      // round-10 wave-8 heavies on the event replicas: DBSCAN point
+      // clouds offset in x per replica (user_id div 10M recovers the
+      // replica index) so density — and with it the eps-pair count per
+      // point — stays CONSTANT while points scale ×N; quantile
+      // normalization explodes the pooled position table ×N
+      "q326_dbscan" -> (ev =>
+        graft.ops.Ann.dbscan(
+          ev.select(col("event_id").as("id"),
+            (col("value") +
+              expr("(user_id div 10000000) * 600")).as("x"),
+            (col("user_id") % 10000000 % 100).cast("double").as("y")),
+          col("id"), col("x"), col("y"), eps = 5.0, minPts = 5)),
+      "q318_quantile_normalize" -> (ev =>
+        graft.ops.Profile.quantileNormalize(ev, col("event_id"),
+          col("event_type"), col("value"))))
 
     val families: Seq[(String, DataFrame => DataFrame)] = Seq(
       "q96_line_dedup" -> (d =>

@@ -556,4 +556,77 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"),
       s"the fact table must not shuffle for the bounds join:\n$p")
   }
+
+  test("q313: isotonic's bin->block lookup is the ONLY nested loop, " +
+      "and it builds the bounded block side") {
+    import org.apache.spark.sql.SparkSession
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, 0L), (1L, 1L), (2L, 1L)).toDF("bin", "y")
+    val p = plan(graft.ops.Classify.isotonicCalibrate(df, col("bin"),
+      col("y")))
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"the BETWEEN lookup must build the broadcast block frame:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q318: quantileNormalize resolves interpolation positions with " +
+      "equi-joins — no range join, no corpus broadcast") {
+    import org.apache.spark.sql.SparkSession
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, "g", 1.0), (2L, "g", 2.0)).toDF("id", "grp", "v")
+    val p = plan(graft.ops.Profile.quantileNormalize(df, col("id"),
+      col("grp"), col("v")))
+    // the one nested loop is the 1-row total broadcast (allowed); both
+    // interpolation-position lookups must be hash equi-joins
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"position lookups must be equi-joins:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the scalar-total cross may nested-loop:\n$p")
+  }
+
+  test("q320: the SGNS negative lookup is a segment EQUI-join, never " +
+      "a per-row vocab scan") {
+    import org.apache.spark.sql.SparkSession
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(Tuple1("a b a")).toDF("text")
+    val p = plan(graft.ops.TextAnalysis.sgnsPairs(df, col("text"),
+      window = 1, minCount = 1, negatives = 1))
+    // the 1-row vocab-total broadcasts are allowed nested loops; the
+    // span resolution itself must be the seg hash join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"span lookup must ride the seg equi-join:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"only the scalar-total crosses may nested-loop:\n$p")
+  }
+
+  test("q326: dbscan candidate pairs come from the (cx, cy) grid " +
+      "equi-join — never an all-pairs product") {
+    import org.apache.spark.sql.SparkSession
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, 0.0, 0.0), (2L, 0.01, 0.0), (3L, 0.02, 0.0),
+      (4L, 5.0, 5.0)).toDF("id", "x", "y")
+    val p = plan(graft.ops.Ann.dbscan(df, col("id"), col("x"), col("y"),
+      eps = 0.1, minPts = 2))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"neighbor candidates must equi-join on the grid cell:\n$p")
+  }
+
+  test("q317: targetEncode's encoding lookup broadcasts the bounded " +
+      "(cat, fold) frame — rows never shuffle for it") {
+    import org.apache.spark.sql.SparkSession
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, "A", 1L, 0L)).toDF("id", "c", "y", "f")
+    val p = plan(graft.ops.Curation.targetEncode(df, col("id"), col("c"),
+      col("y"), col("f"), smoothing = 2.0))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (cat, fold) lookup must broadcast:\n$p")
+  }
 }
