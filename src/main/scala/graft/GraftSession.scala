@@ -862,4 +862,28 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
     graft.ops.Experiment.ipsEstimate(logs, col(contextCol), col(armCol),
       col(rewardCol), policy, col(pContextCol), col(pArmCol))
   }
+
+  /** [[graft.ops.Profile.momentsProfile]] with a name-based column:
+    * per-group mean/variance/skew/excess-kurtosis. */
+  def momentsProfile(df: DataFrame, keys: Seq[String],
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Profile.momentsProfile(df, keys, col(valCol))
+  }
+
+  /** [[graft.ops.Profile.trimmedMean]] with a name-based column:
+    * per-group percentile-band trimmed mean. */
+  def trimmedMean(df: DataFrame, keys: Seq[String], valCol: String,
+      lo: Double = 0.1, hi: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Profile.trimmedMean(df, keys, col(valCol), lo, hi)
+  }
+
+  /** [[graft.ops.TextAnalysis.vocabularyGrowth]] with name-based
+    * columns: the Heaps-law cumulative types-vs-tokens curve. */
+  def vocabularyGrowth(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.TextAnalysis.vocabularyGrowth(docs, col(idCol), col(textCol))
+  }
 }

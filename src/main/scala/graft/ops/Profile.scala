@@ -205,6 +205,73 @@ object Profile {
           4).as("pass_rate"))
   }
 
+  /** Per-group distribution moments — mean, sample variance, skewness
+    * and EXCESS kurtosis from one pass of raw power sums
+    * (Σx..Σx⁴, then the central-moment identities
+    * `m₂ = S₂/n − m²`, `m₃ = S₃/n − 3m·S₂/n + 2m³`,
+    * `m₄ = S₄/n − 4m·S₃/n + 6m²·S₂/n − 3m⁴`;
+    * `skew = m₃/m₂^1.5`, `kurt = m₄/m₂² − 3`). Explicit formulas
+    * instead of engine builtins because skewness/kurtosis CONVENTIONS
+    * differ across engines (population vs sample, excess vs raw) —
+    * the power-sum identities are the one definition every engine
+    * reproduces. Output `(…keys, n, mean, variance, skew, kurt)`
+    * (4dp; degenerate groups — m₂ = 0 or n < 2 — null the dependent
+    * stats). ONE grouped partial-agg pass; the usual caveat that
+    * power sums cancel (use only when values are ≲1e4 in magnitude —
+    * document scale: v⁴ must stay ≪ 2⁵³·m₄). */
+  def momentsProfile(df: DataFrame, keys: Seq[String],
+      valCol: Column): DataFrame = {
+    val keyCols = keys.map(col)
+    val g = df.select((keyCols :+ valCol.cast("double").as("v")): _*)
+      .filter(col("v").isNotNull)
+      .groupBy(keyCols: _*)
+      // plain multiplication, not pow(): x*x is correctly rounded and
+      // engine-identical; libm pow is 1-ulp fuzzy and differs by engine
+      .agg(count(lit(1)).as("n"), sum("v").as("s1"),
+        sum(col("v") * col("v")).as("s2"),
+        sum(col("v") * col("v") * col("v")).as("s3"),
+        sum(col("v") * col("v") * col("v") * col("v")).as("s4"))
+    val n = col("n").cast("double")
+    val m = col("s1") / n
+    val m2 = col("s2") / n - m * m
+    val m3 = col("s3") / n - lit(3.0) * m * col("s2") / n +
+      lit(2.0) * m * m * m
+    val m4 = col("s4") / n - lit(4.0) * m * col("s3") / n +
+      lit(6.0) * m * m * col("s2") / n - lit(3.0) * m * m * m * m
+    g.select(keyCols ++ Seq(col("n"),
+      round(m, 4).as("mean"),
+      round(when(col("n") > 1, (col("s2") - col("s1") * col("s1") / n) /
+        (n - 1)), 4).as("variance"),
+      round(when(m2 > 0, m3 / (m2 * sqrt(m2))), 4).as("skew"),
+      round(when(m2 > 0, m4 / (m2 * m2) - 3), 4).as("kurt")): _*)
+  }
+
+  /** Per-group trimmed mean — the outlier-robust location estimate
+    * between [[winsorize]] (clamp) and the median (discard all):
+    * values OUTSIDE the group's `[lo, hi]` interpolated percentile
+    * band are DROPPED, the rest average. Output
+    * `(…keys, n, n_kept, trimmed_mean)` (4dp). Two grouped passes
+    * (exact percentile bounds, then the conditional average over a
+    * broadcast bounds join — the winsorize plan with a filter instead
+    * of a clamp). */
+  def trimmedMean(df: DataFrame, keys: Seq[String], valCol: Column,
+      lo: Double = 0.1, hi: Double = 0.9): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "trimmedMean: 0 <= lo < hi <= 1")
+    val keyCols = keys.map(col)
+    val s = df.select((keyCols :+ valCol.cast("double").as("v")): _*)
+      .filter(col("v").isNotNull)
+    val bounds = s.groupBy(keyCols: _*)
+      .agg(expr(s"percentile(v, ${lo}d)").as("__lo"),
+        expr(s"percentile(v, ${hi}d)").as("__hi"))
+    s.join(broadcast(bounds), keys)
+      .groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v").between(col("__lo"), col("__hi")), 1L)
+          .otherwise(0L)).as("n_kept"),
+        round(avg(when(col("v").between(col("__lo"), col("__hi")),
+          col("v"))), 4).as("trimmed_mean"))
+  }
+
   /** Quantile normalization across groups — maps every group's value
     * distribution onto the POOLED distribution (the cross-source score
     * equalizer microarray pipelines made standard): a row at

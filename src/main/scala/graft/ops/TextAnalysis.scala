@@ -697,6 +697,42 @@ object TextAnalysis {
    * `(w1, w2, weight)` rows shuffle into a partial-agg'd group-by —
    * bounded by the pair vocabulary per partition, the same regime as
    * [[collocations]]' bigram counts. */
+  /** Vocabulary growth curve (Heaps'-law evidence) — cumulative
+    * distinct types vs cumulative tokens as the corpus is read in
+    * `idCol` order: the dataset-scaling readout behind "how much new
+    * vocabulary does the next slice of data buy" (fit
+    * `log cum_types ~ log cum_tokens` downstream — the regr_* family —
+    * for the Heaps exponent). Output one row per document:
+    * `(id, n_tokens, new_types, cum_tokens, cum_types)`.
+    *
+    * Scale shape: a type's first occurrence is `min(doc id)` over one
+    * grouped pass of (term, id) pairs — the corpus-order scan SQL
+    * formulations need never happens; per-doc token counts are
+    * row-local; both cumulative columns come from the range-partitioned
+    * weighted prefix sum over the |docs| frame (no row-level global
+    * window). */
+  def vocabularyGrowth(docs: DataFrame, idCol: Column,
+      textCol: Column): DataFrame = {
+    val base = docs.select(idCol.cast("long").as("id"),
+        array_remove(split(trim(textCol), "\\s+"), "").as("tk"))
+      .localCheckpoint(eager = true) // read twice: tokens + first-occ
+    val perDoc = base.select(col("id"),
+      size(col("tk")).cast("long").as("n_tokens"))
+    val firstOcc = base.select(col("id"), explode(col("tk")).as("term"))
+      .groupBy("term").agg(min("id").as("id"))
+      .groupBy("id").agg(count(lit(1)).as("new_types"))
+    val joined = perDoc.join(firstOcc, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+    val c1 = Suffix.withWeightedOffset(joined, Seq(col("id")),
+      col("n_tokens"), "__ct0")
+    val c2 = Suffix.withWeightedOffset(c1, Seq(col("id")),
+      col("new_types"), "__cy0")
+    c2.select(col("id"), col("n_tokens"), col("new_types"),
+      (col("__ct0") + col("n_tokens")).as("cum_tokens"),
+      (col("__cy0") + col("new_types")).as("cum_types"))
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
     * Extraction from Individual Documents") — per-document candidate
     * phrases are the maximal stopword-free token runs (capped at

@@ -3176,7 +3176,25 @@ object OpsQueries {
         when(col("id") % 2 === 0, "click").otherwise("view").as("parm"))
       graft.ops.Experiment.ipsEstimate(ev(s, d), col("user_id") % 4,
         col("event_type"), col("value"), pol, col("ctx"), col("parm"))
-    })
+    }),
+    "q335_moments" -> ((s, d) =>
+      // per-type distribution shape: mean/variance/skew/kurt from one
+      // power-sum pass with explicit central-moment identities — the
+      // one definition both engines reproduce (builtin conventions
+      // differ); multiplication, never libm pow
+      graft.ops.Profile.momentsProfile(ev(s, d), Seq("event_type"),
+        col("value")).orderBy("event_type")),
+    "q336_trimmed_mean" -> ((s, d) =>
+      // 10-90 trimmed mean per type: exact percentile bounds then a
+      // conditional average over the broadcast bounds join
+      graft.ops.Profile.trimmedMean(ev(s, d), Seq("event_type"),
+        col("value"), lo = 0.1, hi = 0.9).orderBy("event_type")),
+    "q337_vocab_growth" -> ((s, d) =>
+      // the Heaps-law curve: cumulative types vs tokens in doc order —
+      // first occurrences from one grouped min, cumulatives from the
+      // range-partitioned prefix sum
+      graft.ops.TextAnalysis.vocabularyGrowth(t(s, d, "documents"),
+        col("doc_id"), col("text")).orderBy("id"))
   )
 
   /** The q298 oracle: `rounds` unrolled peel passes of the k-core
@@ -8706,6 +8724,62 @@ object OpsQueries {
            round(sum(w) / count(*), 4) AS v_hat,
            round(avg(r), 4) AS v_logged
          FROM j""",
+
+    "q335_moments" ->
+      """WITH s AS (SELECT event_type, value AS v FROM events),
+         g AS (SELECT event_type, count(*) AS n, sum(v) AS s1,
+                 sum(v * v) AS s2, sum(v * v * v) AS s3,
+                 sum(v * v * v * v) AS s4
+               FROM s GROUP BY event_type),
+         c AS (SELECT event_type, n, s1, s2, s3, s4,
+                 CAST(n AS DOUBLE) AS nd, s1 / CAST(n AS DOUBLE) AS m
+               FROM g),
+         mm AS (SELECT *, s2 / nd - m * m AS m2,
+                  s3 / nd - 3.0 * m * s2 / nd + 2.0 * m * m * m AS m3,
+                  s4 / nd - 4.0 * m * s3 / nd + 6.0 * m * m * s2 / nd
+                    - 3.0 * m * m * m * m AS m4
+                FROM c)
+         SELECT event_type, n, round(m, 4) AS mean,
+           round(CASE WHEN n > 1
+             THEN (s2 - s1 * s1 / nd) / (nd - 1) END, 4) AS variance,
+           round(CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END, 4)
+             AS skew,
+           round(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3 END, 4)
+             AS kurt
+         FROM mm ORDER BY event_type""",
+
+    "q336_trimmed_mean" ->
+      """WITH s AS (SELECT event_type, value AS v FROM events),
+         b AS (SELECT event_type, quantile_cont(v, 0.1) AS lo,
+                 quantile_cont(v, 0.9) AS hi
+               FROM s GROUP BY event_type)
+         SELECT s.event_type, count(*) AS n,
+           CAST(sum(CASE WHEN v BETWEEN lo AND hi THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept,
+           round(avg(CASE WHEN v BETWEEN lo AND hi THEN v END), 4)
+             AS trimmed_mean
+         FROM s JOIN b USING (event_type)
+         GROUP BY s.event_type ORDER BY s.event_type""",
+
+    "q337_vocab_growth" ->
+      """WITH d AS (SELECT doc_id AS id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                   x -> x <> '') AS tk
+               FROM documents),
+         pd AS (SELECT id, len(tk) AS n_tokens FROM d),
+         fl AS (SELECT id, unnest(tk) AS term FROM d),
+         fo AS (SELECT term, min(id) AS id FROM fl GROUP BY term),
+         nt AS (SELECT id, count(*) AS new_types FROM fo GROUP BY id),
+         j AS (SELECT pd.id, pd.n_tokens,
+                 coalesce(nt.new_types, 0) AS new_types
+               FROM pd LEFT JOIN nt USING (id))
+         SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(new_types AS BIGINT) AS new_types,
+           CAST(sum(n_tokens) OVER (ORDER BY id) AS BIGINT)
+             AS cum_tokens,
+           CAST(sum(new_types) OVER (ORDER BY id) AS BIGINT)
+             AS cum_types
+         FROM j ORDER BY id""",
 
     "q324_ktruss" -> kTrussOracle(k = 4, rounds = 8),
 

@@ -195,13 +195,18 @@ object ScaleRehearsal {
       // replica index) so density — and with it the eps-pair count per
       // point — stays CONSTANT while points scale ×N; quantile
       // normalization explodes the pooled position table ×N
+      // eps 0.4 < the 1.0 gap between integer y-lines → neighbors stay
+      // on one line (~2 per point however large N): pair volume scales
+      // ×N, not ×N·density (an eps above the line gap made an
+      // all-connected blob whose CC diameter grew with N — 271 s at 1×,
+      // measured and rejected)
       "q326_dbscan" -> (ev =>
         graft.ops.Ann.dbscan(
           ev.select(col("event_id").as("id"),
             (col("value") +
               expr("(user_id div 10000000) * 600")).as("x"),
             (col("user_id") % 10000000 % 100).cast("double").as("y")),
-          col("id"), col("x"), col("y"), eps = 5.0, minPts = 5)),
+          col("id"), col("x"), col("y"), eps = 0.4, minPts = 3)),
       "q318_quantile_normalize" -> (ev =>
         graft.ops.Profile.quantileNormalize(ev, col("event_id"),
           col("event_type"), col("value"))))

@@ -351,4 +351,42 @@ class Wave7Spec extends AnyFunSuite with BeforeAndAfterAll {
       col("r"), pol, col("pc"), col("pa")).collect()(0)
     assert(part.getLong(1) == 0 && part.getDouble(2) == 0.0)
   }
+
+  test("momentsProfile: symmetric data zeroes skew; uniform kurtosis") {
+    import spark.implicits._
+    // {1,2,3}: mean 2, sample var 1, m2 = 2/3, m3 = 0 → skew 0;
+    // m4 = 2/3 → kurt = (2/3)/(4/9) − 3 = 1.5 − 3 = −1.5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)).toDF("g", "v")
+    val r = Profile.momentsProfile(df, Seq("g"), col("v")).collect()(0)
+    assert(r.getLong(1) == 3 && r.getDouble(2) == 2.0 &&
+      r.getDouble(3) == 1.0)
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == -1.5)
+    // right-skewed data: positive skew
+    val sk = Seq(("a", 1.0), ("a", 1.0), ("a", 10.0)).toDF("g", "v")
+    assert(Profile.momentsProfile(sk, Seq("g"), col("v"))
+      .collect()(0).getDouble(4) > 0)
+  }
+
+  test("trimmedMean: the band drops tails, keeps the middle") {
+    import spark.implicits._
+    // values 1..10, lo .25 / hi .75 → band [3.25, 7.75] keeps 4..7
+    val df = (1 to 10).map(i => ("a", i.toDouble)).toDF("g", "v")
+    val r = Profile.trimmedMean(df, Seq("g"), col("v"),
+      lo = 0.25, hi = 0.75).collect()(0)
+    assert(r.getLong(1) == 10 && r.getLong(2) == 4 &&
+      r.getDouble(3) == 5.5)
+  }
+
+  test("vocabularyGrowth: first occurrences drive cumulative types") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a d d"))
+      .toDF("id", "text")
+    val got = TextAnalysis.vocabularyGrowth(docs, col("id"), col("text"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // doc1 brings {a,b}, doc2 {c}, doc3 {d}
+    assert(got.toSeq == Seq((1L, 3L, 2L, 3L, 2L), (2L, 2L, 1L, 5L, 3L),
+      (3L, 3L, 1L, 8L, 4L)))
+  }
 }
