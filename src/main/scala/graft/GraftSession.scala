@@ -886,4 +886,48 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
     import org.apache.spark.sql.functions.col
     graft.ops.TextAnalysis.vocabularyGrowth(docs, col(idCol), col(textCol))
   }
+
+  /** [[graft.ops.Graph.degreeAssortativity]] with name-based columns:
+    * the hub-wiring Pearson coefficient. */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Graph.degreeAssortativity(edges, col(srcCol), col(dstCol))
+  }
+
+  /** [[graft.ops.Graph.modularity]] with name-based columns: Newman-
+    * Girvan Q of a given partition. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      assign: DataFrame, nodeCol: String, commCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Graph.modularity(edges, col(srcCol), col(dstCol), assign,
+      col(nodeCol), col(commCol))
+  }
+
+  /** [[graft.ops.Ann.knnClassify]] with name-based columns: leave-one-
+    * out k-NN majority vote over embedding labels. */
+  def knnClassify(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Ann.knnClassify(emb, col(idCol), col(vecCol),
+      col(labelCol), k)
+  }
+
+  /** [[graft.ops.Ann.daviesBouldin]] with name-based columns: the
+    * cluster-separation index of a labelled partition. */
+  def daviesBouldin(emb: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Ann.daviesBouldin(emb, col(idCol), col(vecCol),
+      col(clusterCol))
+  }
+
+  /** [[graft.ops.Keyword.tfidfSimilarityPairs]] with name-based
+    * columns: lexical document-pair cosine via the inverted index. */
+  def tfidfSimilarityPairs(docs: DataFrame, idCol: String,
+      textCol: String, maxDf: Long, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Keyword.tfidfSimilarityPairs(docs, col(idCol),
+      col(textCol), maxDf, threshold)
+  }
 }

@@ -702,6 +702,80 @@ object Ann {
       .filter(col("sim") >= threshold)
   }
 
+  /** Leave-one-out k-NN classification over the embedding space — the
+    * "is this labeling learnable from geometry" probe (and the
+    * label-noise detector: rows whose neighbors consistently outvote
+    * their own label): each vector takes the majority label of its
+    * [[knnGraph]] neighbors, ties broken by the SMALLEST label (the
+    * portable two-step argmax — max count, then min label — integer
+    * comparisons every engine shares). Output
+    * `(id, pred, votes, actual, correct)`.
+    *
+    * Scale shape: the kNN edges come from the shared [[knnGraph]] /
+    * [[knnGraphIvf]] contract (swap in the pruned graph at corpus
+    * scale); labels broadcast; voting is two grouped aggs on the
+    * |edges| frame. */
+  def knnClassify(emb: DataFrame, idCol: Column, vecCol: Column,
+      labelCol: Column, k: Int): DataFrame = {
+    val edges = knnGraph(emb, idCol, vecCol, k)
+    val labels = emb.select(idCol.cast("long").as("nbr"),
+        labelCol.cast("long").as("lbl"))
+      .localCheckpoint(true) // read twice: votes + the actual join
+    val votes = edges.join(broadcast(labels), "nbr")
+      .groupBy(col("id"), col("lbl")).agg(count(lit(1)).as("cv"))
+      .localCheckpoint(true) // read twice: max + argmax
+    val mx = votes.groupBy("id").agg(max("cv").as("mv"))
+    votes.join(mx, Seq("id"))
+      .filter(col("cv") === col("mv"))
+      .groupBy("id")
+      .agg(min("lbl").as("pred"), max("cv").as("votes"))
+      .join(labels.select(col("nbr").as("id"), col("lbl").as("actual")),
+        "id")
+      .select(col("id"), col("pred"), col("votes"), col("actual"),
+        (col("pred") === col("actual")).as("correct"))
+  }
+
+  /** Davies–Bouldin index of a labelled partition of the embedding
+    * space — the internal cluster-quality score next to
+    * [[Ivf.silhouetteSimplified]]: per cluster the mean Euclidean
+    * member→centroid distance (scatter S), then
+    * `DB = (1/k) Σ_i max_{j≠i} (S_i + S_j) / ‖c_i − c_j‖` — lower is
+    * better-separated. Output ONE row `(n_clusters, db_index)` (4dp).
+    *
+    * Scale shape: centroids are one grouped per-dim mean (dims
+    * exploded — ints and doubles shuffle, never whole vectors);
+    * scatter is one broadcast-centroid pass over the members (the
+    * fold is per-row over d elements); the max-ratio cross runs on
+    * the k-row centroid frame. */
+  def daviesBouldin(emb: DataFrame, idCol: Column, vecCol: Column,
+      clusterCol: Column): DataFrame = {
+    val v = emb.select(idCol.cast("long").as("id"),
+        vecCol.cast("array<double>").as("v"),
+        clusterCol.cast("long").as("c"))
+      .filter(col("c").isNotNull)
+      .localCheckpoint(true) // read twice: centroids + scatter
+    val cent = v.select(col("c"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("c", "i").agg(avg("x").as("m"))
+      .groupBy("c")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        s => s.getField("m")).as("cv"))
+      .localCheckpoint(true) // read 3×: scatter + both cross sides
+    val dist = (a: Column, b: Column) => sqrt(aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x))
+    val scatter = v.join(broadcast(cent), "c")
+      .select(col("c"), dist(col("v"), col("cv")).as("d"))
+      .groupBy("c").agg(avg("d").as("s"))
+    val cc = cent.join(scatter, "c")
+    cc.as("x").join(cc.as("y"), col("x.c") =!= col("y.c"))
+      .select(col("x.c").as("c"),
+        ((col("x.s") + col("y.s")) /
+          dist(col("x.cv"), col("y.cv"))).as("ratio"))
+      .groupBy("c").agg(max("ratio").as("r"))
+      .agg(count(lit(1)).as("n_clusters"),
+        round(avg("r"), 4).as("db_index"))
+  }
+
   /** Exact DBSCAN over a 2-d projection (Ester et al., KDD'96) — the
     * density clusterer that finds arbitrary-shape groups and labels
     * sparse points NOISE, run on two coordinate columns (feed raw

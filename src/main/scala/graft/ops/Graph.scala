@@ -448,6 +448,93 @@ object Graph {
     v.select(col("id"), round(col("dist"), 4).as("dist"))
   }
 
+  /** Degree assortativity coefficient (Newman 2002) — does the graph
+    * wire hubs to hubs (r > 0, social networks) or hubs to leaves
+    * (r < 0, the web, similarity graphs with celebrity documents)?
+    * Pearson correlation of endpoint degrees over the UNDIRECTED edge
+    * list with both orientations counted (the standard convention —
+    * the edge list is its own transpose, so x/y moments coincide).
+    * Output ONE row `(n_edges, r)` (4dp; degenerate graphs — constant
+    * degree — null the r). One degree aggregation + one edge join +
+    * one moment pass; nothing quadratic. */
+  def degreeAssortativity(edges: DataFrame, srcCol: Column,
+      dstCol: Column): DataFrame = {
+    val raw = edges.select(srcCol.cast("long").as("a"),
+        dstCol.cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = raw.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint(true) // read twice: degrees + the pair frame
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val dir = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+    val pairs = dir
+      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+      .select(col("da").cast("double").as("x"),
+        col("db").cast("double").as("y"))
+    pairs.agg(count(lit(1)).as("m"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select((col("m") / 2).cast("long").as("n_edges"),
+        round(
+          when(col("m") * col("sxx") - col("sx") * col("sx") > 0,
+            (col("m") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("m") * col("sxx") - col("sx") * col("sx")) *
+               sqrt(col("m") * col("syy") - col("sy") * col("sy")))),
+          4).as("r"))
+  }
+
+  /** Modularity of a GIVEN partition (Newman–Girvan Q) — how much
+    * denser are the communities than chance:
+    * `Q = Σ_c (e_c/m − (d_c/2m)²)` with `e_c` the intra-community
+    * edge count and `d_c` the community's total degree. The evaluation
+    * half of community detection — score [[labelPropagation]] or
+    * [[Dedup.duplicateClusters]] output, compare partitions, detect
+    * degenerate splits (Q ≈ 0 means the "communities" are noise).
+    * Output ONE row `(n_edges, n_communities, q)` (4dp). Unassigned
+    * nodes form singleton communities implicitly (they contribute only
+    * their degree term). One edge join against the broadcast-able
+    * assignment + two grouped sums. */
+  def modularity(edges: DataFrame, srcCol: Column, dstCol: Column,
+      assign: DataFrame, nodeCol: Column, commCol: Column): DataFrame = {
+    val raw = edges.select(srcCol.cast("long").as("a"),
+        dstCol.cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = raw.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint(true) // read 3×: m, intra count, degrees
+    val asg = assign.select(nodeCol.cast("long").as("id"),
+      commCol.cast("long").as("c"))
+    val withC = und
+      .join(asg.select(col("id").as("a"), col("c").as("ca")),
+        Seq("a"), "left")
+      .join(asg.select(col("id").as("b"), col("c").as("cb")),
+        Seq("b"), "left")
+      // unassigned nodes get singleton communities keyed by -(id+1)
+      // (disjoint from real labels, never colliding with each other)
+      .select(coalesce(col("ca"), -col("a") - 1).as("ca"),
+        coalesce(col("cb"), -col("b") - 1).as("cb"))
+      .localCheckpoint(true) // read twice: intra edges + degree mass
+    val m = withC.count()
+    val intra = withC.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("ec"))
+    val degMass = withC.select(col("ca").as("c"))
+      .unionAll(withC.select(col("cb").as("c")))
+      .groupBy("c").agg(count(lit(1)).as("dc"))
+    degMass.join(intra, Seq("c"), "left")
+      .select(col("c"), coalesce(col("ec"), lit(0L)).as("ec"), col("dc"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("ec").cast("double") / m -
+          (col("dc") / (2.0 * m)) * (col("dc") / (2.0 * m))).as("q0"))
+      .select(lit(m).as("n_edges"), col("n_communities"),
+        round(col("q0"), 4).as("q"))
+  }
+
   def triangleStats(edges: DataFrame, srcCol: Column,
       dstCol: Column, broadcastEdges: Boolean = false): DataFrame = {
     val raw = edges.select(srcCol.cast("long").as("a"),

@@ -110,4 +110,47 @@ object Keyword {
       .groupBy("id")
       .agg(sum("c").as("rrf"))
   }
+
+  /** Sparse tf-idf document-pair cosine similarity — the LEXICAL
+    * near-dup / related-document pass next to the embedding-space
+    * [[Ann.lshNearDupPairs]]: term weights `tf·ln(N/df)`, pairs formed
+    * through the inverted index (a self-join on TERM — two documents
+    * meet only where they share vocabulary), cosine from the summed
+    * weight products and per-doc norms. Terms with `df > maxDf` are
+    * dropped BEFORE pairing — the stop-term prune that bounds each
+    * posting list's pair fan-out at maxDf², which is what keeps the
+    * index join from degenerating into all-pairs on corpus-frequent
+    * words. Output `(a_id, b_id, n_shared, sim)` (a < b, 4dp,
+    * `sim >= threshold`). */
+  def tfidfSimilarityPairs(docs: DataFrame, idCol: Column,
+      textCol: Column, maxDf: Long, threshold: Double): DataFrame = {
+    require(maxDf >= 2, "tfidfSimilarityPairs: maxDf must be >= 2")
+    require(threshold >= 0 && threshold <= 1,
+      "tfidfSimilarityPairs: threshold in [0, 1]")
+    val tf = docs.select(idCol.cast("long").as("id"),
+        explode(array_remove(split(trim(textCol), "\\s+"), "")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // read twice: df + the weight join
+    val nDocs = docs.select(idCol.cast("long").as("id")).distinct()
+      .agg(count(lit(1)).as("nn"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val w = tf.join(dfT, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("id"), col("term"),
+        (col("tf") * log(col("nn").cast("double") / col("df"))).as("w"))
+      .localCheckpoint(true) // read 3×: norms + both join sides
+    val norms = w.groupBy("id").agg(sum(col("w") * col("w")).as("n2"))
+    w.as("a").join(w.as("b"),
+        col("a.term") === col("b.term") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("a.w") * col("b.w")).as("dot"))
+      .join(norms.select(col("id").as("a_id"), col("n2").as("na")), "a_id")
+      .join(norms.select(col("id").as("b_id"), col("n2").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_shared"),
+        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 4)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+  }
 }

@@ -3194,7 +3194,51 @@ object OpsQueries {
       // first occurrences from one grouped min, cumulatives from the
       // range-partitioned prefix sum
       graft.ops.TextAnalysis.vocabularyGrowth(t(s, d, "documents"),
-        col("doc_id"), col("text")).orderBy("id"))
+        col("doc_id"), col("text")).orderBy("id")),
+    "q338_knn_classify" -> ((s, d) =>
+      // leave-one-out 5-NN vote over the embedding labels: the shared
+      // knnGraph edge contract + the portable two-step argmax
+      graft.ops.Ann.knnClassify(t(s, d, "embeddings"), col("vec_id"),
+        col("embedding"), col("label"), k = 5).orderBy("id")),
+    "q339_davies_bouldin" -> ((s, d) =>
+      // cluster-quality score of the label partition: per-dim centroid
+      // means, broadcast scatter pass, k-row max-ratio cross
+      graft.ops.Ann.daviesBouldin(t(s, d, "embeddings"), col("vec_id"),
+        col("embedding"), col("label"))),
+    "q340_tfidf_pairs" -> ((s, d) =>
+      // lexical related-document pairs through the inverted index:
+      // df-capped terms bound the posting fan-out, cosine from summed
+      // weight products
+      graft.ops.Keyword.tfidfSimilarityPairs(
+          t(s, d, "documents").filter(col("doc_id") % 5 === 0),
+          col("doc_id"), col("text"), maxDf = 40, threshold = 0.3)
+        .orderBy("a_id", "b_id")),
+    "q341_assortativity" -> ((s, d) => {
+      // does the co-purchase graph wire hubs to hubs? Pearson of
+      // endpoint degrees over both edge orientations — exact integer
+      // moments, one degree agg + one edge join
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      graft.ops.Graph.degreeAssortativity(e, col("a"), col("b"))
+    }),
+    "q342_modularity" -> ((s, d) => {
+      // Newman-Girvan Q of the %7 part partition over the co-purchase
+      // graph: intra-edge shares vs degree-mass expectation
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      val asg = t(s, d, "part")
+        .select(col("p_partkey"), (col("p_partkey") % 7).as("comm"))
+      graft.ops.Graph.modularity(e, col("a"), col("b"), asg,
+        col("p_partkey"), col("comm"))
+    })
   )
 
   /** The q298 oracle: `rounds` unrolled peel passes of the k-core
@@ -8780,6 +8824,124 @@ object OpsQueries {
            CAST(sum(new_types) OVER (ORDER BY id) AS BIGINT)
              AS cum_types
          FROM j ORDER BY id""",
+
+    "q338_knn_classify" -> {
+      val cos = PortableSql.cosSql("a.v", "b.v")
+      s"""WITH v AS (SELECT vec_id AS id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 CAST(label AS BIGINT) AS label FROM embeddings),
+         px AS (SELECT a.id AS qid, b.id AS nbr,
+                  round($cos, 4) AS sim
+                FROM v a JOIN v b ON a.id <> b.id),
+         ex AS (SELECT qid, nbr FROM (
+                  SELECT qid, nbr, row_number() OVER (PARTITION BY qid
+                    ORDER BY sim DESC, nbr) AS rn FROM px)
+                WHERE rn <= 5),
+         vt AS (SELECT ex.qid AS id, v.label AS lbl, count(*) AS cv
+                FROM ex JOIN v ON v.id = ex.nbr GROUP BY 1, 2),
+         mx AS (SELECT id, max(cv) AS mv FROM vt GROUP BY id),
+         pd AS (SELECT vt.id, min(vt.lbl) AS pred,
+                  CAST(max(vt.cv) AS BIGINT) AS votes
+                FROM vt JOIN mx ON mx.id = vt.id AND vt.cv = mx.mv
+                GROUP BY vt.id)
+         SELECT pd.id AS id, pd.pred, pd.votes, v.label AS actual,
+           pd.pred = v.label AS correct
+         FROM pd JOIN v ON v.id = pd.id ORDER BY pd.id"""
+    },
+
+    "q339_davies_bouldin" -> {
+      val d2 = (a: String, b: String) =>
+        s"sqrt(list_sum(list_transform(range(1, len($a) + 1), " +
+          s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))))"
+      s"""WITH v AS (SELECT vec_id AS id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 CAST(label AS BIGINT) AS c FROM embeddings),
+         dims AS (SELECT c, unnest(v) AS x,
+                    unnest(range(len(v))) AS i FROM v),
+         cent AS (SELECT c, i, avg(x) AS m FROM dims GROUP BY c, i),
+         ca AS (SELECT c, list(m ORDER BY i) AS cv FROM cent GROUP BY c),
+         sc AS (SELECT v.c, avg(${d2("v.v", "ca.cv")}) AS s
+                FROM v JOIN ca USING (c) GROUP BY v.c),
+         pr AS (SELECT x.c AS c,
+                  (x.s + y.s) / ${d2("xa.cv", "ya.cv")} AS ratio
+                FROM sc x JOIN sc y ON x.c <> y.c
+                  JOIN ca xa ON xa.c = x.c JOIN ca ya ON ya.c = y.c),
+         w AS (SELECT c, max(ratio) AS r FROM pr GROUP BY c)
+         SELECT count(*) AS n_clusters, round(avg(r), 4) AS db_index
+         FROM w"""
+    },
+
+    "q340_tfidf_pairs" ->
+      """WITH toks AS (SELECT doc_id AS id, unnest(list_filter(
+                 string_split_regex(trim(text), '\s+'), x -> x <> ''))
+                   AS term
+               FROM documents WHERE doc_id % 5 = 0),
+         tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nn
+               FROM documents WHERE doc_id % 5 = 0),
+         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+                 HAVING count(*) <= 40),
+         w AS (SELECT tf.id, tf.term, tf.tf * ln(n.nn / dft.df) AS w
+               FROM tf JOIN dft USING (term) CROSS JOIN n),
+         nrm AS (SELECT id, sum(w * w) AS n2 FROM w GROUP BY id),
+         d AS (SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_shared,
+                 sum(a.w * b.w) AS dot
+               FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+               GROUP BY a.id, b.id)
+         SELECT d.a_id, d.b_id, d.n_shared,
+           round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS sim
+         FROM d JOIN nrm na ON na.id = d.a_id
+           JOIN nrm nb ON nb.id = d.b_id
+         WHERE round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) >= 0.3
+         ORDER BY a_id, b_id""",
+
+    "q341_assortativity" ->
+      """WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+               WHERE l_orderkey % 5 = 0),
+         e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+                FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+         deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+                   SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0)
+                 GROUP BY id),
+         dir AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+         pr AS (SELECT da.d AS x, db.d AS y FROM dir
+                JOIN deg da ON da.id = dir.a
+                JOIN deg db ON db.id = dir.b),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy FROM pr)
+         SELECT m // 2 AS n_edges,
+           round(CASE WHEN m * sxx - sx * sx > 0 THEN
+             (m * sxy - sx * sy) /
+               (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+                sqrt(CAST(m * syy - sy * sy AS DOUBLE))) END, 4) AS r
+         FROM s""",
+
+    "q342_modularity" ->
+      """WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+               WHERE l_orderkey % 5 = 0),
+         e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+                FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+         asg AS (SELECT p_partkey AS id,
+                   CAST(p_partkey % 7 AS BIGINT) AS c FROM part),
+         wc AS (SELECT coalesce(ca.c, -e0.a - 1) AS ca,
+                  coalesce(cb.c, -e0.b - 1) AS cb
+                FROM e0 LEFT JOIN asg ca ON ca.id = e0.a
+                  LEFT JOIN asg cb ON cb.id = e0.b),
+         intra AS (SELECT ca AS c, CAST(count(*) AS BIGINT) AS ec
+                   FROM wc WHERE ca = cb GROUP BY ca),
+         dm AS (SELECT c, CAST(count(*) AS BIGINT) AS dc FROM (
+                  SELECT ca AS c FROM wc UNION ALL SELECT cb FROM wc)
+                GROUP BY c)
+         SELECT m.m AS n_edges, count(*) AS n_communities,
+           round(sum(CAST(coalesce(i.ec, 0) AS DOUBLE) / m.m -
+             (dm.dc / (2.0 * m.m)) * (dm.dc / (2.0 * m.m))), 4) AS q
+         FROM dm LEFT JOIN intra i ON i.c = dm.c CROSS JOIN m
+         GROUP BY m.m""",
 
     "q324_ktruss" -> kTrussOracle(k = 4, rounds = 8),
 

@@ -377,6 +377,76 @@ class Wave7Spec extends AnyFunSuite with BeforeAndAfterAll {
       r.getDouble(3) == 5.5)
   }
 
+  test("degreeAssortativity: a star is perfectly disassortative") {
+    import spark.implicits._
+    import graft.ops.Graph
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val r = Graph.degreeAssortativity(star, col("a"), col("b"))
+      .collect()(0)
+    assert(r.getLong(0) == 3 && r.getDouble(1) == -1.0)
+    // constant-degree graph (4-cycle) → undefined r
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    assert(Graph.degreeAssortativity(cyc, col("a"), col("b"))
+      .collect()(0).isNullAt(1))
+  }
+
+  test("modularity: disjoint triangles score 0.5 under the perfect " +
+      "partition, 0 under one community") {
+    import spark.implicits._
+    import graft.ops.Graph
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("a", "b")
+    val good = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L),
+      (6L, 1L)).toDF("id", "c")
+    val q1 = Graph.modularity(e, col("a"), col("b"), good, col("id"),
+      col("c")).collect()(0)
+    assert(q1.getLong(0) == 6 && q1.getLong(1) == 2 &&
+      q1.getDouble(2) == 0.5)
+    val one = good.withColumn("c", lit(0L))
+    assert(Graph.modularity(e, col("a"), col("b"), one, col("id"),
+      col("c")).collect()(0).getDouble(2) == 0.0)
+  }
+
+  test("knnClassify: 1-NN recovers the pair structure") {
+    import spark.implicits._
+    import graft.ops.Ann
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Ann.knnClassify(emb, col("vec_id"), col("embedding"),
+        col("label"), k = 1)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+    assert(got.toSeq == Seq((1L, 0L, true), (2L, 0L, true),
+      (3L, 1L, true), (4L, 1L, true)))
+  }
+
+  test("daviesBouldin: two tight far clusters, hand value 0.2") {
+    import spark.implicits._
+    import graft.ops.Ann
+    val emb = Seq(
+      (1L, Seq(0.0, 0.0), 0L), (2L, Seq(2.0, 0.0), 0L),
+      (3L, Seq(10.0, 0.0), 1L), (4L, Seq(12.0, 0.0), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val r = Ann.daviesBouldin(emb, col("vec_id"), col("embedding"),
+      col("label")).collect()(0)
+    // scatters 1 and 1, centroid distance 10 → DB = 2/10
+    assert(r.getLong(0) == 2 && r.getDouble(1) == 0.2)
+  }
+
+  test("tfidfSimilarityPairs: identical docs hit 1.0, disjoint drop") {
+    import spark.implicits._
+    import graft.ops.Keyword
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "z w"))
+      .toDF("id", "text")
+    val got = Keyword.tfidfSimilarityPairs(docs, col("id"), col("text"),
+        maxDf = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 2L, 1.0)))
+  }
+
   test("vocabularyGrowth: first occurrences drive cumulative types") {
     import spark.implicits._
     val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a d d"))
