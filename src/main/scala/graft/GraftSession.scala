@@ -930,4 +930,23 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
     graft.ops.Keyword.tfidfSimilarityPairs(docs, col(idCol),
       col(textCol), maxDf, threshold)
   }
+
+  /** [[graft.ops.Graph.katzCentrality]] with name-based columns:
+    * truncated attenuated walk counts in integer micro-units. */
+  def katzCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      alphaPct: Int = 10, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Graph.katzCentrality(edges, col(srcCol), col(dstCol),
+      alphaPct, iters)
+  }
+
+  /** [[graft.ops.Graph.betweennessApprox]] with name-based columns:
+    * pivot-sampled Brandes betweenness. */
+  def betweennessApprox(edges: DataFrame, srcCol: String, dstCol: String,
+      pivotCandidates: DataFrame, pivotIdCol: String, maxPivots: Int,
+      maxDepth: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Graph.betweennessApprox(edges, col(srcCol), col(dstCol),
+      pivotCandidates, col(pivotIdCol), maxPivots, maxDepth)
+  }
 }

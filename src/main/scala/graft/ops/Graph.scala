@@ -448,6 +448,141 @@ object Graph {
     v.select(col("id"), round(col("dist"), 4).as("dist"))
   }
 
+  /** Truncated Katz centrality over a DIRECTED edge list in
+    * deterministic integer micro-units — the walk-counting centrality
+    * between degree (1 hop) and [[pageRank]] (stationary):
+    * `x' = β + α·Σ_{u→v} x(u)`, run for exactly `iters` rounds from
+    * x = β, i.e. attenuated walk counts up to length `iters`
+    * (finite-horizon Katz — the bounded-round stance every iterative
+    * op here shares). `alphaPct` is α as an integer percentage and the
+    * per-round sum uses integer division (`Σ·α div 100`), so the oracle
+    * replays rounds bit-for-bit. Output `(id, katz_micro)` (β = 10⁶).
+    * Overflow bound: `(α·d_max)^iters · 10⁶` must stay < 2⁶³ — with
+    * the default 3 rounds that allows α·d_max ≈ 2·10⁴.
+    *
+    * Scale shape identical to [[pageRank]]: per round one equi-join
+    * moving the |V| score frame along the checkpointed edges + one
+    * integer-sum aggregation, O(1)-deep plans via per-round
+    * checkpoints. */
+  def katzCentrality(edges: DataFrame, srcCol: Column, dstCol: Column,
+      alphaPct: Int = 10, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "katzCentrality: need at least one iteration")
+    require(alphaPct >= 1 && alphaPct <= 100,
+      "katzCentrality: alphaPct in [1, 100]")
+    val e = edges.select(srcCol.cast("long").as("src"),
+        dstCol.cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    var x = nodes.select(col("id"), lit(1000000L).as("katz_micro"))
+    for (_ <- 1 to iters) {
+      val sums = e.join(x, e("src") === x("id"))
+        .groupBy("dst").agg(sum("katz_micro").as("s"))
+      x = nodes.join(sums, nodes("id") === sums("dst"), "left")
+        .select(nodes("id"),
+          (lit(1000000L) + expr(
+            s"coalesce(s, cast(0 as bigint)) * $alphaPct div 100"))
+            .as("katz_micro"))
+        .localCheckpoint(true)
+    }
+    x
+  }
+
+  /** Pivot-sampled betweenness centrality (Brandes 2001 accumulation
+    * from a deterministic pivot subset — the standard approximation
+    * when exact all-sources Brandes is off the table): for each pivot,
+    * a level-synchronous BFS accumulates shortest-path counts σ
+    * (exact integers), then dependencies walk back level by level,
+    * `δ(v) = Σ_{w ∈ succ(v)} σ(v)/σ(w) · (1 + δ(w))`, and a node's
+    * score sums its δ over pivots (pivot excluded, the Brandes
+    * convention). Pivots are the `maxPivots` SMALLEST ids of the
+    * caller's candidate frame — content-determined, no RNG. Output:
+    * `(id, betweenness)` (4dp) for every node with a positive score.
+    *
+    * Scale shape: per pivot per level one frontier⋈edges equi-join
+    * (forward, σ as a grouped integer sum) and one successor join
+    * (backward, δ as a grouped double sum); level frames checkpoint
+    * O(1)-deep; cost is pivots × diameter join rounds — job-cadence
+    * at local scale, per-round throughput on a cluster. The σ ratios
+    * are exact-integer divisions, so cross-engine drift is confined
+    * to the δ sums' last ulp. */
+  def betweennessApprox(edges: DataFrame, srcCol: Column, dstCol: Column,
+      pivotCandidates: DataFrame, pivotIdCol: Column, maxPivots: Int,
+      maxDepth: Int): DataFrame = {
+    require(maxPivots >= 1 && maxDepth >= 2,
+      "betweennessApprox: maxPivots >= 1, maxDepth >= 2")
+    val raw = edges.select(srcCol.cast("long").as("s"),
+        dstCol.cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+    val adj = raw.unionAll(raw.select(col("t").as("s"), col("s").as("t")))
+      .distinct()
+      .localCheckpoint(true)
+    val pivots = pivotCandidates.select(pivotIdCol.cast("long").as("id"))
+      .distinct().orderBy("id").limit(maxPivots)
+      .collect().map(_.getLong(0)).toSeq
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val perPivot = pivots.map { p =>
+      // forward: per-level (id, sigma) frames
+      var levels = List(Seq((p, 1L)).toDF("id", "sig")
+        .localCheckpoint(true))
+      var visited = levels.head.select(col("id")).localCheckpoint(true)
+      var depth = 0
+      var exhausted = false
+      while (depth < maxDepth && !exhausted) {
+        val next = levels.head.join(adj, col("id") === col("s"))
+          .select(col("t").as("id"), col("sig"))
+          .join(visited.select(col("id")), Seq("id"), "left_anti")
+          .groupBy("id").agg(sum("sig").as("sig"))
+          .localCheckpoint(true)
+        if (next.isEmpty) exhausted = true
+        else {
+          levels = next :: levels
+          visited = visited.unionAll(next.select(col("id")))
+            .localCheckpoint(true)
+          depth += 1
+        }
+      }
+      // backward: deltas walk from the deepest level toward the pivot.
+      // `upper` carries (id, sig, d) for the WHOLE level L+1 — a node
+      // with no deeper successors keeps δ = 0 but still passes its
+      // (1 + 0) term down (dropping dead-ends loses real centrality
+      // mass; caught against a hand-rolled reference). Each step scores
+      // level L as δ(v) = Σ_{(v,w) ∈ DAG} σ(v)/σ(w) · (1 + δ(w)) —
+      // the level-membership joins ARE the shortest-path-DAG filter.
+      var upper = levels.head
+        .select(col("id"), col("sig"), lit(0.0).as("d"))
+        .localCheckpoint(true)
+      var acc = Seq.empty[(Long, Double)].toDF("id", "d")
+      for ((l, idx) <- levels.tail.zipWithIndex) {
+        val contrib = upper.as("u").join(adj, col("u.id") === adj("t"))
+          .select(adj("s").as("id"), col("u.sig").as("sigw"),
+            col("u.d").as("dw"))
+          .join(l.select(col("id"), col("sig").as("sigv")), Seq("id"))
+          .select(col("id"),
+            (col("sigv").cast("double") / col("sigw") *
+              (lit(1.0) + col("dw"))).as("c"))
+          .groupBy("id").agg(sum("c").as("d"))
+        val down = l
+          .join(contrib, Seq("id"), "left")
+          .select(col("id"), col("sig"),
+            coalesce(col("d"), lit(0.0)).as("d"))
+          .localCheckpoint(true)
+        // the pivot's own level (the last processed) never scores
+        if (idx < levels.tail.size - 1)
+          acc = acc.unionByName(down.select(col("id"), col("d")))
+        upper = down
+      }
+      acc
+    }
+    perPivot.reduce(_ unionByName _)
+      .groupBy("id").agg(round(sum("d"), 4).as("betweenness"))
+      .filter(col("betweenness") > 0)
+  }
+
   /** Degree assortativity coefficient (Newman 2002) — does the graph
     * wire hubs to hubs (r > 0, social networks) or hubs to leaves
     * (r < 0, the web, similarity graphs with celebrity documents)?

@@ -3238,6 +3238,35 @@ object OpsQueries {
         .select(col("p_partkey"), (col("p_partkey") % 7).as("comm"))
       graft.ops.Graph.modularity(e, col("a"), col("b"), asg,
         col("p_partkey"), col("comm"))
+    }),
+    "q343_katz" -> ((s, d) => {
+      // 3-hop attenuated walk counts in integer micro-units — the
+      // pageRank discipline with the Katz recurrence; oracle unrolls
+      // the identical integer rounds
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") =!= col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      graft.ops.Graph.katzCentrality(e, col("src"), col("dst"),
+          alphaPct = 10, iters = 3)
+        .orderBy("id")
+    }),
+    "q344_betweenness" -> ((s, d) => {
+      // pivot-sampled Brandes from the two smallest %997 parts, depth
+      // 4: integer sigma counts forward, level-walked deltas back —
+      // the broker-node centrality the other families lack
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      val cand = t(s, d, "part").filter(col("p_partkey") % 997 === 0)
+      graft.ops.Graph.betweennessApprox(e, col("a"), col("b"), cand,
+          col("p_partkey"), maxPivots = 2, maxDepth = 4)
+        .orderBy("id")
     })
   )
 
@@ -3264,6 +3293,86 @@ object OpsQueries {
          SELECT id, count(*) AS core_degree FROM (
            SELECT a AS id FROM e$rounds UNION ALL SELECT b FROM e$rounds)
          GROUP BY id HAVING count(*) >= $k ORDER BY id"""
+  }
+
+  /** The q343 oracle: `iters` unrolled Katz rounds — integer
+    * micro-units with `Σ·α // 100` (operands non-negative, so floor
+    * division equals Spark's `div`), the q164 PageRank pattern. */
+  private def katzOracle(alphaPct: Int, iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""x$i AS MATERIALIZED (SELECT n.id,
+           1000000 + coalesce(s.s, 0) * $alphaPct // 100 AS x
+         FROM nodes n LEFT JOIN (
+           SELECT e.dst, CAST(sum(x) AS BIGINT) AS s
+           FROM e JOIN x${i - 1} v ON v.id = e.src GROUP BY e.dst) s
+           ON s.dst = n.id)"""
+    }.mkString(",\n         ")
+    s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+               WHERE l_orderkey % 5 = 0),
+         e AS (SELECT DISTINCT x.p AS src, y.p AS dst
+               FROM li x JOIN li y ON x.o = y.o AND x.p <> y.p),
+         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         x0 AS (SELECT id, CAST(1000000 AS BIGINT) AS x FROM nodes),
+         $steps
+         SELECT id, CAST(x AS BIGINT) AS katz_micro
+         FROM x$iters ORDER BY id"""
+  }
+
+  /** The q344 oracle: the Brandes pivot replay unrolled per pivot and
+    * level — forward sigma via level-frontier joins (anti-joined
+    * against the visited prefix), backward deltas via the successor
+    * join with the EXACT (σv/σw)·(1+δw) association the Spark pass
+    * uses. Pivot ids must be scale-stable literals (the two smallest
+    * %997 part keys are 0 and 997 at every shipped sf — part keys
+    * start at 0; a pivot absent from the graph contributes nothing in
+    * either engine). */
+  private def betweennessOracle(pivots: Seq[Long], depth: Int): String = {
+    val perPivot = pivots.map { p =>
+      val fwd = (1 to depth).map { i =>
+        s"""l${i}_$p AS MATERIALIZED (
+             SELECT adj.t AS id, CAST(sum(l.sig) AS BIGINT) AS sig
+             FROM l${i - 1}_$p l JOIN adj ON adj.s = l.id
+             WHERE adj.t NOT IN (SELECT id FROM v${i - 1}_$p)
+             GROUP BY adj.t),
+           v${i}_$p AS MATERIALIZED (
+             SELECT id FROM v${i - 1}_$p
+             UNION ALL SELECT id FROM l${i}_$p)"""
+      }.mkString(",\n         ")
+      val bwd = (depth - 1 to 0 by -1).map { i =>
+        val upper =
+          if (i == depth - 1) s"(SELECT id, sig, 0.0 AS d FROM l${depth}_$p)"
+          else s"d${i + 1}_$p"
+        // the LEFT join keeps zero-delta members in the level frame:
+        // dead-end nodes still pass their (1 + 0) term down
+        s"""c${i}_$p AS MATERIALIZED (
+             SELECT l.id, sum(CAST(l.sig AS DOUBLE) / u.sig * (1 + u.d))
+                 AS d
+             FROM $upper u JOIN adj ON adj.t = u.id
+               JOIN l${i}_$p l ON l.id = adj.s
+             GROUP BY l.id),
+           d${i}_$p AS MATERIALIZED (
+             SELECT l.id, l.sig, coalesce(c.d, 0.0) AS d
+             FROM l${i}_$p l LEFT JOIN c${i}_$p c ON c.id = l.id)"""
+      }.mkString(",\n         ")
+      val scoreLevels = (1 until depth)
+        .map(i => s"SELECT id, d FROM d${i}_$p").mkString("\n           UNION ALL ")
+      (s"""l0_$p AS (SELECT CAST($p AS BIGINT) AS id,
+             CAST(1 AS BIGINT) AS sig),
+         v0_$p AS (SELECT id FROM l0_$p),
+         $fwd,
+         $bwd""",
+       scoreLevels)
+    }
+    s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+               WHERE l_orderkey % 5 = 0),
+         e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+                FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+         adj AS (SELECT a AS s, b AS t FROM e0
+                 UNION ALL SELECT b, a FROM e0),
+         ${perPivot.map(_._1).mkString(",\n         ")}
+         SELECT id, round(sum(d), 4) AS betweenness FROM (
+           ${perPivot.map(_._2).mkString("\n           UNION ALL ")})
+         GROUP BY id HAVING round(sum(d), 4) > 0 ORDER BY id"""
   }
 
   /** The q324 oracle: `rounds` unrolled k-truss peel passes — per-edge
@@ -8942,6 +9051,11 @@ object OpsQueries {
              (dm.dc / (2.0 * m.m)) * (dm.dc / (2.0 * m.m))), 4) AS q
          FROM dm LEFT JOIN intra i ON i.c = dm.c CROSS JOIN m
          GROUP BY m.m""",
+
+    "q343_katz" -> katzOracle(alphaPct = 10, iters = 3),
+
+    "q344_betweenness" ->
+      betweennessOracle(pivots = Seq(0L, 997L), depth = 4),
 
     "q324_ktruss" -> kTrussOracle(k = 4, rounds = 8),
 

@@ -447,6 +447,38 @@ class Wave7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((1L, 2L, 2L, 1.0)))
   }
 
+  test("katzCentrality: directed path accumulates attenuated walks") {
+    import spark.implicits._
+    import graft.ops.Graph
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("s", "t")
+    val got = Graph.katzCentrality(e, col("s"), col("t"),
+        alphaPct = 10, iters = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 1: no in-edges → β; 2: β + α·β; 3: β + α·(β + α·β)
+    assert(got.toSeq == Seq((1L, 1000000L), (2L, 1100000L),
+      (3L, 1110000L)))
+  }
+
+  test("betweennessApprox: path deltas, and dead-ends still pass " +
+      "their (1+0) term down") {
+    import spark.implicits._
+    import graft.ops.Graph
+    // path 1-2-3-4-5, pivot 1: δ = 3, 2, 1 on the interior
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val piv = Seq(Tuple1(1L)).toDF("id")
+    val got = Graph.betweennessApprox(path, col("a"), col("b"), piv,
+        col("id"), maxPivots = 1, maxDepth = 4)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((2L, 3.0), (3L, 2.0), (4L, 1.0)))
+    // 1-2, 2-3, 3-5, 2-4: node 4 is a level-2 dead-end; without the
+    // full-level backward frame, 2's delta would miss 4's (1+0) term
+    val de = Seq((1L, 2L), (2L, 3L), (3L, 5L), (2L, 4L)).toDF("a", "b")
+    val got2 = Graph.betweennessApprox(de, col("a"), col("b"), piv,
+        col("id"), maxPivots = 1, maxDepth = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got2.toSeq == Seq((2L, 3.0), (3L, 1.0)))
+  }
+
   test("vocabularyGrowth: first occurrences drive cumulative types") {
     import spark.implicits._
     val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a d d"))
