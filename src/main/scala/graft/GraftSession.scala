@@ -949,4 +949,30 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
     graft.ops.Graph.betweennessApprox(edges, col(srcCol), col(dstCol),
       pivotCandidates, col(pivotIdCol), maxPivots, maxDepth)
   }
+
+  /** [[graft.ops.Graph.personalizedPageRank]] with name-based columns:
+    * random walk with restart to a seed set. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedIdCol: String,
+      iters: Int = 3, dampingPct: Int = 85): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Graph.personalizedPageRank(edges, col(srcCol), col(dstCol),
+      seeds, col(seedIdCol), iters, dampingPct)
+  }
+
+  /** [[graft.ops.Analytics.nelsonAalen]] with name-based columns:
+    * cumulative hazard + Fleming-Harrington survival. */
+  def nelsonAalen(subjects: DataFrame, durCol: String,
+      observedCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Analytics.nelsonAalen(subjects, col(durCol),
+      col(observedCol))
+  }
+
+  /** [[graft.ops.Analytics.lorenzCurve]] with a name-based column:
+    * cumulative value-share quantile points. */
+  def lorenzCurve(df: DataFrame, valCol: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Analytics.lorenzCurve(df, col(valCol), k)
+  }
 }

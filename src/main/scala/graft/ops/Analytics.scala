@@ -452,6 +452,86 @@ object Analytics {
           .as("survival"))
   }
 
+  /** Nelson–Aalen cumulative hazard — [[kaplanMeier]]'s estimator
+    * sibling (sums of hazards instead of products of survivals, the
+    * better-behaved small-risk-set choice):
+    * `H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ` over event times, plus the
+    * Fleming–Harrington survival `exp(−H)`. Same input contract as
+    * [[kaplanMeier]] (duration + observed flag; censored rows shape
+    * the risk set only) and the same plan: one grouped count over
+    * durations, cumulative windows over the |distinct durations|
+    * frame. Output `(t, n_risk, n_event, cum_hazard, survival_fh)`
+    * (4dp), event times only. */
+  def nelsonAalen(subjects: DataFrame, durCol: Column,
+      observedCol: Column): DataFrame = {
+    val perT = subjects
+      .select(durCol.cast("long").as("t"),
+        observedCol.cast("boolean").as("e"))
+      .filter(col("t").isNotNull && col("t") >= 0)
+      .groupBy("t")
+      .agg(sum(when(col("e"), 1L).otherwise(0L)).as("n_event"),
+        count(lit(1)).as("n_at"))
+    val asc = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val desc = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    perT
+      .withColumn("n_risk", sum(col("n_at")).over(desc))
+      .withColumn("__h",
+        sum(col("n_event") / col("n_risk").cast("double")).over(asc))
+      .filter(col("n_event") > 0)
+      .select(col("t"), col("n_risk"), col("n_event"),
+        round(col("__h"), 4).as("cum_hazard"),
+        round(exp(-col("__h")), 4).as("survival_fh"))
+  }
+
+  /** Lorenz curve at `k` quantile points — the concentration CURVE
+    * behind [[giniCoefficient]]'s scalar ("the bottom 80% of users
+    * hold x% of the value"): rows sort by value ASCENDING into `k`
+    * ntile groups, each reporting its share of the total and the
+    * cumulative share up to it. Output
+    * `(bucket, n, value_sum, cum_share)` (1-based bucket, 4dp).
+    *
+    * Scale shape (the [[graft.ops.Classify.liftTable]] machinery
+    * pointed the other way): per-VALUE counted rows with positions
+    * from the range-partitioned weighted prefix sum, spans split
+    * across the ≤k broadcast ntile boundaries — no row-level global
+    * window; the cumulative share is a window over k rows. */
+  def lorenzCurve(df: DataFrame, valCol: Column, k: Int = 10): DataFrame = {
+    require(k > 0, "lorenzCurve: k must be positive")
+    val spark = df.sparkSession
+    val s = df.select(valCol.cast("double").as("m"))
+      .filter(col("m").isNotNull && col("m") >= 0)
+    val perVal = s.groupBy("m").agg(count(lit(1)).as("t"))
+    val ranked = Suffix.withWeightedOffset(perVal, Seq(col("m")),
+      col("t"), "cb")
+    val tot = ranked.agg(sum("t").as("nn"),
+      sum(col("m") * col("t")).as("tv"))
+    val dec = spark.range(k).select(col("id").as("g"))
+    val q = expr(s"nn div $k")
+    val m0 = col("nn") % k
+    val dlo = col("g") * q + least(col("g"), m0) + 1
+    val dhi = dlo + q + when(col("g") < m0, 1).otherwise(0) - 1
+    val olo = greatest(col("cb") + 1, col("dlo"))
+    val ohi = least(col("cb") + col("t"), col("dhi"))
+    val perB = ranked.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(dec))
+      .select(col("g"), col("m"), col("t"), col("cb"), col("nn"),
+        col("tv"), dlo.as("dlo"), dhi.as("dhi"))
+      .select(col("g"), col("m"), col("nn"), col("tv"),
+        (ohi - olo + 1).as("c"))
+      .filter(col("c") > 0)
+      .groupBy("g", "nn", "tv")
+      .agg(sum("c").as("n"), sum(col("c") * col("m")).as("vs"))
+    val w = Window.orderBy("g") // k rows — the tiny-frame window
+    perB.select((col("g") + 1).as("bucket"), col("n"),
+        round(col("vs"), 4).as("value_sum"),
+        round(when(col("tv") > 0,
+          sum(col("vs")).over(w) / col("tv")).otherwise(0.0), 4)
+          .as("cum_share"))
+      .orderBy("bucket")
+  }
+
   /** Gini concentration coefficient of a non-negative value
     * distribution (revenue concentration, token-frequency inequality):
     * one row `(n, total, gini)` at 4dp, gini by the sorted-rank

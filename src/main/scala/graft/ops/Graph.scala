@@ -448,6 +448,55 @@ object Graph {
     v.select(col("id"), round(col("dist"), 4).as("dist"))
   }
 
+  /** Personalized PageRank (random walk with restart to a SEED set) in
+    * the [[pageRank]] integer micro-unit discipline — "how relevant is
+    * every node to THESE nodes": the teleport mass lands only on
+    * seeds, `rank'(v) = 1[v ∈ S]·(100−d)/100·10⁶ +
+    * d/100·Σ_{u→v} ⌊rank(u)/outdeg(u)⌋`, seeds initialized at 10⁶ and
+    * everything else at 0, fixed `iters` rounds (the replayable
+    * stance; dangling mass leaks as in [[pageRank]]). The
+    * related-items / trust-propagation workhorse. Output
+    * `(id, ppr_micro)` for every node.
+    *
+    * Same per-round shape as [[pageRank]]: one equi-join moving the
+    * |V| rank frame + one integer-sum aggregation, checkpointed
+    * O(1)-deep; the seed base joins broadcast. */
+  def personalizedPageRank(edges: DataFrame, srcCol: Column,
+      dstCol: Column, seeds: DataFrame, seedIdCol: Column,
+      iters: Int = 3, dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1, "personalizedPageRank: need at least one iteration")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      "personalizedPageRank: dampingPct is a percentage")
+    val e = edges.select(srcCol.cast("long").as("src"),
+        dstCol.cast("long").as("dst"))
+      .localCheckpoint(eager = true)
+    val ew = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint(eager = true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(eager = true)
+    val seedSet = seeds.select(seedIdCol.cast("long").as("id")).distinct()
+    val withSeed = nodes
+      .join(broadcast(seedSet.withColumn("__s", lit(1))), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__s"), lit(0)).as("is_seed"))
+      .localCheckpoint(eager = true)
+    val base = (100L - dampingPct) * 1000000L / 100L
+    var ranks = withSeed.select(col("id"),
+      (col("is_seed").cast("long") * 1000000L).as("ppr_micro"))
+    for (_ <- 1 to iters) {
+      val sums = ew.join(ranks, ew("src") === ranks("id"))
+        .select(col("dst"), expr("ppr_micro div outdeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      ranks = withSeed.join(sums, withSeed("id") === sums("dst"), "left")
+        .select(withSeed("id"),
+          (col("is_seed").cast("long") * base + expr(
+            s"coalesce(s, cast(0 as bigint)) * $dampingPct div 100"))
+            .as("ppr_micro"))
+        .localCheckpoint(eager = true)
+    }
+    ranks
+  }
+
   /** Truncated Katz centrality over a DIRECTED edge list in
     * deterministic integer micro-units — the walk-counting centrality
     * between degree (1 hop) and [[pageRank]] (stationary):

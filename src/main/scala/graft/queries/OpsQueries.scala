@@ -3267,7 +3267,43 @@ object OpsQueries {
       graft.ops.Graph.betweennessApprox(e, col("a"), col("b"), cand,
           col("p_partkey"), maxPivots = 2, maxDepth = 4)
         .orderBy("id")
-    })
+    }),
+    "q345_ppr" -> ((s, d) => {
+      // random walk with restart to the %997 seed parts: integer
+      // micro-unit rounds, teleport mass only on seeds
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") =!= col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      val seeds = t(s, d, "part").filter(col("p_partkey") % 997 === 0)
+      graft.ops.Graph.personalizedPageRank(e, col("src"), col("dst"),
+          seeds, col("p_partkey"), iters = 3)
+        .orderBy("id")
+    }),
+    "q346_nelson_aalen" -> ((s, d) => {
+      // the q277 subjects through the cumulative-hazard estimator —
+      // sums of d/n instead of the KM product
+      val e = ev(s, d)
+      val first = e.groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("d0"))
+      val conv = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("dp"))
+      val subjects = first.join(conv, Seq("user_id"), "left")
+        .select(
+          when(col("dp").isNotNull && datediff(col("dp"), col("d0")) <= 2,
+            datediff(col("dp"), col("d0"))).otherwise(2).as("dur"),
+          (col("dp").isNotNull && datediff(col("dp"), col("d0")) <= 2)
+            .as("obs"))
+      graft.ops.Analytics.nelsonAalen(subjects, col("dur"), col("obs"))
+        .orderBy("t")
+    }),
+    "q347_lorenz" -> ((s, d) =>
+      // the value-concentration curve behind q283's gini scalar:
+      // ascending ntile cuts from the weighted prefix sum, cumulative
+      // shares over the 10-row frame
+      graft.ops.Analytics.lorenzCurve(ev(s, d), col("value"), k = 10))
   )
 
   /** The q298 oracle: `rounds` unrolled peel passes of the k-core
@@ -9051,6 +9087,79 @@ object OpsQueries {
              (dm.dc / (2.0 * m.m)) * (dm.dc / (2.0 * m.m))), 4) AS q
          FROM dm LEFT JOIN intra i ON i.c = dm.c CROSS JOIN m
          GROUP BY m.m""",
+
+    "q345_ppr" -> {
+      // base = (100-85)·10⁶/100 = 150000 only on seeds; 3 unrolled
+      // integer rounds of the q164 shape
+      val steps = (1 to 3).map { i =>
+        s"""r$i AS MATERIALIZED (SELECT n.id,
+             n.is_seed * 150000 + coalesce(s.s, 0) * 85 // 100 AS r
+           FROM ns n LEFT JOIN (
+             SELECT ew.dst, CAST(sum(r // outdeg) AS BIGINT) AS s
+             FROM ew JOIN r${i - 1} v ON v.id = ew.src
+             GROUP BY ew.dst) s ON s.dst = n.id)"""
+      }.mkString(",\n         ")
+      s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+               WHERE l_orderkey % 5 = 0),
+         e AS (SELECT x.p AS src, y.p AS dst
+               FROM li x JOIN li y ON x.o = y.o AND x.p <> y.p),
+         ew AS (SELECT e.src, e.dst, d.outdeg FROM e JOIN (
+                  SELECT src, count(*) AS outdeg FROM e GROUP BY src) d
+                  ON d.src = e.src),
+         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         ns AS (SELECT n.id,
+                  CASE WHEN p.p_partkey IS NOT NULL THEN 1 ELSE 0 END
+                    AS is_seed
+                FROM nodes n LEFT JOIN (
+                  SELECT DISTINCT p_partkey FROM part
+                  WHERE p_partkey % 997 = 0) p ON p.p_partkey = n.id),
+         r0 AS (SELECT id, CAST(is_seed * 1000000 AS BIGINT) AS r
+                FROM ns),
+         $steps
+         SELECT id, CAST(r AS BIGINT) AS ppr_micro
+         FROM r3 ORDER BY id"""
+    },
+
+    "q346_nelson_aalen" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0
+               FROM events GROUP BY user_id),
+         p AS (SELECT user_id, min(CAST(ts AS DATE)) AS dp
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY user_id),
+         subj AS (SELECT
+                    CASE WHEN dp IS NOT NULL
+                           AND date_diff('day', d0, dp) <= 2
+                      THEN date_diff('day', d0, dp) ELSE 2 END AS t,
+                    (dp IS NOT NULL AND date_diff('day', d0, dp) <= 2)
+                      AS e
+                  FROM f LEFT JOIN p USING (user_id)),
+         pt AS (SELECT t,
+                  CAST(count(*) FILTER (WHERE e) AS BIGINT) AS n_event,
+                  count(*) AS n_at
+                FROM subj GROUP BY t),
+         k AS (SELECT t, n_event, n_at,
+                 CAST(sum(n_at) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_risk
+               FROM pt),
+         k2 AS (SELECT t, n_event, n_risk,
+                  sum(n_event / CAST(n_risk AS DOUBLE))
+                    OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS h
+                FROM k)
+         SELECT t, n_risk, n_event, round(h, 4) AS cum_hazard,
+           round(exp(-h), 4) AS survival_fh
+         FROM k2 WHERE n_event > 0 ORDER BY t""",
+
+    "q347_lorenz" ->
+      """WITH s AS (SELECT value AS m FROM events WHERE value >= 0),
+         r AS (SELECT m, ntile(10) OVER (ORDER BY m) AS bucket FROM s),
+         a AS (SELECT bucket, count(*) AS n, sum(m) AS vs FROM r
+               GROUP BY bucket),
+         t AS (SELECT CAST(sum(vs) AS DOUBLE) AS tv FROM a)
+         SELECT CAST(bucket AS BIGINT) AS bucket, n,
+           round(vs, 4) AS value_sum,
+           round(sum(vs) OVER (ORDER BY bucket) / tv, 4) AS cum_share
+         FROM a CROSS JOIN t ORDER BY bucket""",
 
     "q343_katz" -> katzOracle(alphaPct = 10, iters = 3),
 

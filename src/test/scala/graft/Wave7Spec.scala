@@ -479,6 +479,44 @@ class Wave7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2.toSeq == Seq((2L, 3.0), (3L, 1.0)))
   }
 
+  test("personalizedPageRank: teleport mass stays on the seed") {
+    import spark.implicits._
+    import graft.ops.Graph
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("s", "t")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val got = Graph.personalizedPageRank(e, col("s"), col("t"), seeds,
+        col("id"), iters = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // r1 = 150000 (seed base, no in-edges); r2 = .85·150000;
+    // r3 = .85·127500
+    assert(got.toSeq == Seq((1L, 150000L), (2L, 127500L),
+      (3L, 108375L)))
+  }
+
+  test("nelsonAalen: cumulative hazard sums d/n over event times") {
+    import spark.implicits._
+    import graft.ops.Analytics
+    val subj = Seq((1L, true), (1L, true), (2L, true), (2L, false))
+      .toDF("dur", "obs")
+    val got = Analytics.nelsonAalen(subj, col("dur"), col("obs"))
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // t1: 2/4 → H .5; t2: + 1/2 → H 1.0
+    assert(got.toSeq == Seq((1L, 4L, 2L, 0.5, 0.6065),
+      (2L, 2L, 1L, 1.0, 0.3679)))
+  }
+
+  test("lorenzCurve: ascending halves split the value mass 15/40") {
+    import spark.implicits._
+    import graft.ops.Analytics
+    val df = (1 to 10).map(i => Tuple1(i.toDouble)).toDF("m")
+    val got = Analytics.lorenzCurve(df, col("m"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 5L, 15.0, 0.2727), (2L, 5L, 40.0, 1.0)))
+  }
+
   test("vocabularyGrowth: first occurrences drive cumulative types") {
     import spark.implicits._
     val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a d d"))
