@@ -975,4 +975,18 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
     import org.apache.spark.sql.functions.col
     graft.ops.Analytics.lorenzCurve(df, col(valCol), k)
   }
+
+  /** [[graft.ops.Experiment.spearmanCorr]] with name-based columns:
+    * tie-corrected rank correlation. */
+  def spearmanCorr(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.spearmanCorr(df, col(xCol), col(yCol))
+  }
+
+  /** [[graft.ops.Experiment.cohensKappa]] with name-based columns:
+    * chance-corrected agreement between two labelings. */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.cohensKappa(df, col(aCol), col(bCol))
+  }
 }

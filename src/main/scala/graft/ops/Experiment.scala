@@ -351,6 +351,75 @@ object Experiment {
           .as("cramers_v"))
   }
 
+  /** Spearman rank correlation — the monotone-association companion to
+    * the Pearson-based `regr_*` family for skewed or outlier-ridden
+    * pairs: Pearson over MIDRANKS (ties averaged, the exact
+    * tie-corrected form — not the 6Σd²/n³ shortcut, which is wrong
+    * under ties). Output ONE row `(n, rho)` (4dp; constant columns
+    * null the rho).
+    *
+    * Scale shape: each column collapses to per-VALUE counted rows and
+    * takes midranks from the range-partitioned weighted prefix sum
+    * (the [[mannWhitney]] discipline, twice); rows pick their ranks
+    * back up by VALUE equi-joins; one moment pass ends it. No global
+    * window, no row-level sort. */
+  def spearmanCorr(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val s = df.select(xCol.cast("double").as("x"),
+        yCol.cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .localCheckpoint(eager = true) // read 3×: two rank passes + rows
+    def midranks(c: String): DataFrame = {
+      val pv = s.groupBy(c).agg(count(lit(1)).as("t"))
+      Suffix.withWeightedOffset(pv, Seq(col(c)), col("t"), "cb")
+        .select(col(c), (col("cb") + (col("t") + 1) / lit(2.0))
+          .as(s"r$c"))
+    }
+    s.join(midranks("x"), "x").join(midranks("y"), "y")
+      .agg(count(lit(1)).as("n"), sum("rx").as("sx"), sum("ry").as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      .select(col("n"),
+        round(when(
+          col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+          col("n") * col("syy") - col("sy") * col("sy") > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy")))), 4)
+          .as("rho"))
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two
+    * categorical labelings of the same rows (annotator QA, model-vs-
+    * model drift, silver-vs-gold audits): `κ = (p_o − p_e)/(1 − p_e)`
+    * with observed agreement `p_o` the diagonal mass and expected
+    * agreement `p_e` from the margin products. Output ONE row
+    * `(n, po, pe, kappa)` (4dp; degenerate tables with p_e = 1 null
+    * the kappa). One grouped count over (a, b) is the only corpus
+    * pass — the [[chiSquareIndependence]] contingency discipline. */
+  def cohensKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.select(aCol.cast("string").as("a"),
+        bCol.cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+      .localCheckpoint(eager = true) // read 3×: margins ×2 + diagonal
+    val tot = cells.agg(sum("o").cast("double").as("n"))
+    val po = cells.filter(col("a") === col("b"))
+      .agg(coalesce(sum("o"), lit(0L)).cast("double").as("dg"))
+    val pe = cells.groupBy("a").agg(sum("o").as("ra"))
+      .join(cells.groupBy("b").agg(sum("o").as("cb")),
+        col("a") === col("b"))
+      .agg(sum(col("ra").cast("double") * col("cb")).as("mp"))
+    tot.crossJoin(broadcast(po)).crossJoin(broadcast(pe))
+      .select(col("n").cast("long").as("n"),
+        round(col("dg") / col("n"), 4).as("po"),
+        round(col("mp") / (col("n") * col("n")), 4).as("pe"),
+        round(when(col("mp") / (col("n") * col("n")) < 1,
+          (col("dg") / col("n") - col("mp") / (col("n") * col("n"))) /
+            (lit(1.0) - col("mp") / (col("n") * col("n")))), 4)
+          .as("kappa"))
+  }
+
   /** Inverse-propensity-scoring off-policy value estimate (Horvitz–
     * Thompson form) — "what would the average reward have been under a
     * DIFFERENT policy", answered from logged randomized traffic

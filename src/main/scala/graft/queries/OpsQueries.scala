@@ -3303,7 +3303,18 @@ object OpsQueries {
       // the value-concentration curve behind q283's gini scalar:
       // ascending ntile cuts from the weighted prefix sum, cumulative
       // shares over the 10-row frame
-      graft.ops.Analytics.lorenzCurve(ev(s, d), col("value"), k = 10))
+      graft.ops.Analytics.lorenzCurve(ev(s, d), col("value"), k = 10)),
+    "q348_spearman" -> ((s, d) =>
+      // monotone association between event value and user cohort:
+      // Pearson over tie-averaged midranks (two prefix-sum rank
+      // passes, value equi-joins back, one moment pass)
+      graft.ops.Experiment.spearmanCorr(ev(s, d), col("value"),
+        (col("user_id") % 100).cast("double"))),
+    "q349_cohens_kappa" -> ((s, d) =>
+      // chance-corrected agreement between two threshold raters of the
+      // same events (value > 50 vs value > 60): one contingency pass
+      graft.ops.Experiment.cohensKappa(ev(s, d),
+        (col("value") > 50).cast("int"), (col("value") > 60).cast("int")))
   )
 
   /** The q298 oracle: `rounds` unrolled peel passes of the k-core
@@ -9160,6 +9171,52 @@ object OpsQueries {
            round(vs, 4) AS value_sum,
            round(sum(vs) OVER (ORDER BY bucket) / tv, 4) AS cum_share
          FROM a CROSS JOIN t ORDER BY bucket""",
+
+    "q348_spearman" ->
+      """WITH s AS (SELECT value AS x, CAST(user_id % 100 AS DOUBLE) AS y
+               FROM events),
+         rx AS (SELECT x, sum(t) OVER (ORDER BY x) - t + (t + 1) / 2.0
+                    AS rx
+                FROM (SELECT x, count(*) AS t FROM s GROUP BY x)),
+         ry AS (SELECT y, sum(t) OVER (ORDER BY y) - t + (t + 1) / 2.0
+                    AS ry
+                FROM (SELECT y, count(*) AS t FROM s GROUP BY y)),
+         j AS (SELECT rx.rx, ry.ry FROM s JOIN rx USING (x)
+               JOIN ry USING (y)),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(rx) AS DOUBLE) AS sx,
+                 CAST(sum(ry) AS DOUBLE) AS sy,
+                 CAST(sum(rx * rx) AS DOUBLE) AS sxx,
+                 CAST(sum(ry * ry) AS DOUBLE) AS syy,
+                 CAST(sum(rx * ry) AS DOUBLE) AS sxy FROM j)
+         SELECT n,
+           round(CASE WHEN n * sxx - sx * sx > 0
+                   AND n * syy - sy * sy > 0 THEN
+             (n * sxy - sx * sy) /
+               (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END,
+             4) AS rho
+         FROM a""",
+
+    "q349_cohens_kappa" ->
+      """WITH s AS (SELECT CAST(value > 50 AS INT) AS a,
+                 CAST(value > 60 AS INT) AS b FROM events),
+         cells AS (SELECT CAST(a AS VARCHAR) AS a, CAST(b AS VARCHAR)
+                     AS b, count(*) AS o FROM s GROUP BY 1, 2),
+         t AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM cells),
+         po AS (SELECT CAST(coalesce(sum(o), 0) AS DOUBLE) AS dg
+                FROM cells WHERE a = b),
+         pe AS (SELECT CAST(sum(ra.ra * cb.cb) AS DOUBLE) AS mp FROM
+                  (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells
+                   GROUP BY a) ra
+                JOIN (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells
+                      GROUP BY b) cb ON ra.a = cb.b)
+         SELECT CAST(t.n AS BIGINT) AS n,
+           round(po.dg / t.n, 4) AS po,
+           round(pe.mp / (t.n * t.n), 4) AS pe,
+           round(CASE WHEN pe.mp / (t.n * t.n) < 1 THEN
+             (po.dg / t.n - pe.mp / (t.n * t.n)) /
+               (1.0 - pe.mp / (t.n * t.n)) END, 4) AS kappa
+         FROM t CROSS JOIN po CROSS JOIN pe""",
 
     "q343_katz" -> katzOracle(alphaPct = 10, iters = 3),
 

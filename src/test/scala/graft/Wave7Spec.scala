@@ -517,6 +517,35 @@ class Wave7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((1L, 5L, 15.0, 0.2727), (2L, 5L, 40.0, 1.0)))
   }
 
+  test("spearmanCorr: monotone pairs hit 1, reversed hit -1, ties") {
+    import spark.implicits._
+    val mono = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 25.0)).toDF("x", "y")
+    assert(Experiment.spearmanCorr(mono, col("x"), col("y"))
+      .collect()(0).getDouble(1) == 1.0)
+    val rev = Seq((1.0, 9.0), (2.0, 5.0), (3.0, 1.0)).toDF("x", "y")
+    assert(Experiment.spearmanCorr(rev, col("x"), col("y"))
+      .collect()(0).getDouble(1) == -1.0)
+    // constant column → null rho
+    val const = Seq((1.0, 7.0), (2.0, 7.0)).toDF("x", "y")
+    assert(Experiment.spearmanCorr(const, col("x"), col("y"))
+      .collect()(0).isNullAt(1))
+  }
+
+  test("cohensKappa: perfect, chance-level, hand-computed values") {
+    import spark.implicits._
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("a", "b")
+    val p = Experiment.cohensKappa(perfect, col("a"), col("b"))
+      .collect()(0)
+    assert(p.getDouble(1) == 1.0 && p.getDouble(3) == 1.0)
+    val df = (Seq(("y", "y"), ("y", "y"), ("y", "y"), ("y", "n"),
+      ("n", "y"), ("n", "n"), ("n", "n"), ("n", "y"))).toDF("a", "b")
+    val h = Experiment.cohensKappa(df, col("a"), col("b")).collect()(0)
+    // diag = 3 (y,y) + 2 (n,n) = 5; po = .625; margins a{y4,n4},
+    // b{y5,n3}: pe = (4·5 + 4·3)/64 = .5 → kappa = .125/.5 = .25
+    assert(h.getLong(0) == 8 && h.getDouble(1) == 0.625 &&
+      h.getDouble(2) == 0.5 && h.getDouble(3) == 0.25)
+  }
+
   test("vocabularyGrowth: first occurrences drive cumulative types") {
     import spark.implicits._
     val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a d d"))
