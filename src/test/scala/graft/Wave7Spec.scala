@@ -546,6 +546,35 @@ class Wave7Spec extends AnyFunSuite with BeforeAndAfterAll {
       h.getDouble(2) == 0.5 && h.getDouble(3) == 0.25)
   }
 
+  test("edge cases: empty truss input, SGNS partition invariance, " +
+      "single-hypothesis BH, betweenness partition invariance") {
+    import spark.implicits._
+    import graft.ops.{Graph, TextAnalysis => TA}
+    // an empty edge list yields an empty truss, no crash
+    val none = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Graph.kTruss(none, col("a"), col("b"), k = 3).count() == 0)
+    // SGNS output is partition-invariant (segment join + md5 draws)
+    val docs = Seq("a b a b a", "b a b").toDF("text")
+    def sg(d: org.apache.spark.sql.DataFrame) =
+      TA.sgnsPairs(d, col("text"), window = 1, minCount = 1,
+          negatives = 2)
+        .orderBy("center", "context", "j").collect().toSeq
+    assert(sg(docs) == sg(docs.repartition(5)))
+    // a single hypothesis: p_adj = min(p·1/1, 1) = p
+    val one = Seq(("f", "k", 0.2)).toDF("fam", "k", "p")
+    assert(Experiment.bhFdr(one, col("fam"), col("k"), col("p"))
+      .collect()(0).getDouble(4) == 0.2)
+    // betweenness is partition-invariant (integer sigma, grouped sums)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val piv = Seq(Tuple1(1L)).toDF("id")
+    def bw(e: org.apache.spark.sql.DataFrame) =
+      Graph.betweennessApprox(e, col("a"), col("b"), piv, col("id"),
+          maxPivots = 1, maxDepth = 3)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .toSeq
+    assert(bw(path) == bw(path.repartition(7)))
+  }
+
   test("vocabularyGrowth: first occurrences drive cumulative types") {
     import spark.implicits._
     val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a d d"))
