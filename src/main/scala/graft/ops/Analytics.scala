@@ -239,6 +239,39 @@ object Analytics {
       .join(days, "day")
   }
 
+  /** Self-certifying audit of [[activeUsersApprox]]: joins the sketch
+    * estimates against the EXACT rolling-window distinct twin and emits,
+    * per observed day, `(day, exact_<w>…, ok_<w>…)` where
+    * `ok_<w> = |est − exact| / exact ≤ tol`. The booleans (plus the
+    * exact counts) are deterministic and hash-matchable by an external
+    * exact recomputation, turning an approximate operator into an
+    * oracle-checkable contract — the raw estimates stay engine-internal.
+    * The exact leg fans (user, day) pairs ×max(window) (the cost the
+    * sketch path exists to avoid), so this is the correctness-gate /
+    * sampled-audit path, not the 100 TB path. */
+  def activeUsersAudit(events: DataFrame, keyCol: Column, timeCol: Column,
+      windows: Seq[Int], tol: Double = 0.05, lgK: Int = 12): DataFrame = {
+    require(tol > 0, "activeUsersAudit: tol must be positive")
+    val est = activeUsersApprox(events, keyCol, timeCol, windows, lgK)
+    val maxW = windows.max
+    val pairs = events
+      .select(keyCol.cast("long").as("k"), to_date(timeCol).as("d"))
+      .filter(col("d").isNotNull)
+      .distinct()
+    val fanned = pairs
+      .select(col("k"), col("d"),
+        explode(sequence(lit(0), lit(maxW - 1))).as("off"))
+      .withColumn("day", date_add(col("d"), col("off")))
+    val exacts = windows.map(w =>
+      count_distinct(when(col("off") < w, col("k"))).as(s"exact_$w"))
+    val exact = fanned.groupBy("day").agg(exacts.head, exacts.tail: _*)
+    val oks = windows.map(w =>
+      (abs(col(s"est_$w") - col(s"exact_$w")) <=
+        lit(tol) * col(s"exact_$w")).as(s"ok_$w"))
+    est.join(exact, "day")
+      .select(col("day") +: windows.map(w => col(s"exact_$w")) ++: oks: _*)
+  }
+
   /** Batch sessionization — the twin of
     * [[graft.streaming.StreamingOps]]' stateful sessionize: per key,
     * events split into sessions wherever the inactivity gap exceeds

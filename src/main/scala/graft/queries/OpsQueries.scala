@@ -2409,12 +2409,14 @@ object OpsQueries {
         col("cv"), iters = 60).orderBy("channel")
     }),
     "q270_active_users_hll" -> ((s, d) =>
-      // the 100 TB path for q259: per-day HLL sketches union across
-      // the window — only KB sketches fan out, never (user, day)
-      // pairs. Approximate → rows-only driver check; the exact twin
-      // is the tolerance oracle in AnalyticsSpec.
-      graft.ops.Analytics.activeUsersApprox(ev(s, d), col("user_id"),
-        col("ts"), Seq(1, 7, 28)).orderBy("day")),
+      // the 100 TB path for q259 (per-day HLL sketches union across the
+      // window — only KB sketches fan out, never (user, day) pairs),
+      // made hash-matchable via the self-certifying audit contract:
+      // emit the exact rolling counts plus in-query |est−exact|/exact
+      // ≤ 5% booleans; the oracle recomputes the exact twin and
+      // expects all-true.
+      graft.ops.Analytics.activeUsersAudit(ev(s, d), col("user_id"),
+        col("ts"), Seq(1, 7, 28), tol = 0.05).orderBy("day")),
     "q269_sessions" -> ((s, d) =>
       // batch sessionization at a 2-hour inactivity gap: lag marks
       // starts, a running sum numbers sessions, one grouped agg rolls
@@ -2680,9 +2682,12 @@ object OpsQueries {
         .orderBy("k")),
     "q286_skew_report" -> ((s, d) =>
       // pre-shuffle skew audit of a join key: one grouped count is the
-      // only corpus pass; percentiles + top-N run over the |keys| table
+      // only corpus pass; percentiles + top-N run over the |keys| table.
+      // top_keys stringified so every result column is scalar (the
+      // driver's pandas sort/hash can't handle array cells)
       graft.ops.Scale.skewReport(t(s, d, "lineitem"), col("l_partkey"),
-        topN = 5)),
+          topN = 5)
+        .withColumn("top_keys", array_join(col("top_keys"), ","))),
     "q287_standardize" -> ((s, d) =>
       // per-type z-scores: broadcast group moments, map-side transform
       // — the fact table never shuffles
@@ -2781,9 +2786,12 @@ object OpsQueries {
     }),
     "q297_posting_lists" -> ((s, d) =>
       // the materialized lexical index: df / total tf / first-10
-      // postings per term, ids capped BEFORE the collect
+      // postings per term, ids capped BEFORE the collect. postings
+      // stringified so every result column is scalar-hashable
       graft.ops.Keyword.postingLists(t(s, d, "documents"),
           col("doc_id"), col("text"), minDf = 8, cap = 10)
+        .withColumn("postings",
+          array_join(col("postings").cast("array<string>"), ","))
         .orderBy("term")),
     "q298_kcore" -> ((s, d) => {
       // dense backbone of the co-purchase graph: iterative peeling to
@@ -2961,13 +2969,30 @@ object OpsQueries {
           t(s, d, "documents").filter(col("doc_id") % 3 === 0),
           col("text"), window = 4, minCount = 10)
         .orderBy("w1", "w2")),
-    "q312_pii_spans" -> ((s, d) =>
-      // character-position PII spans over the q161 decorated corpus —
-      // rows-only by design (DuckDB has no position-returning
-      // extract-all); the positional contract is spec-pinned
-      graft.ops.TextAnalysis.piiSpans(piiDecorated(t(s, d, "documents")),
-          col("doc_id"), col("ptext"))
-        .orderBy("id", "pii_class", "start_pos")),
+    "q312_pii_spans" -> ((s, d) => {
+      // character-position PII spans over the q161 decorated corpus,
+      // made hash-matchable: per (doc, class) emit the span count, the
+      // ordered matched strings, and an in-query slices_match boolean
+      // certifying every span slices back to its matched text. DuckDB
+      // recomputes counts + matched strings via regexp_extract_all;
+      // the raw positions stay spec-pinned (TextAnalysisSpec).
+      val base = piiDecorated(t(s, d, "documents"))
+        .select(col("doc_id").cast("long").as("id"), col("ptext"))
+      graft.ops.TextAnalysis.piiSpans(base, col("id"), col("ptext"))
+        .join(base, "id")
+        .withColumn("__ok",
+          col("ptext").substr((col("start_pos") + 1).cast("int"),
+            (col("end_pos") - col("start_pos")).cast("int"))
+            === col("matched"))
+        .groupBy("id", "pii_class")
+        .agg(count(lit(1)).as("n_spans"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("start_pos"),
+              col("matched")))),
+            x => x.getField("matched")), "|").as("matched_seq"),
+          bool_and(col("__ok")).as("slices_match"))
+        .orderBy("id", "pii_class")
+    }),
     "q313_isotonic" -> ((s, d) => {
       // monotone probability calibration of the raw event score:
       // segment-merge PAV over 5-unit value bins; the oracle replays
@@ -7586,6 +7611,21 @@ object OpsQueries {
          FROM days JOIN pairs p ON p.d <= day AND p.d > day - 28
          GROUP BY day ORDER BY day""",
 
+    // q270: the HLL estimate itself is engine-internal; the contract is
+    // the exact counts plus in-query ok booleans — the oracle recomputes
+    // the exact side and asserts the engine certified its own estimates
+    "q270_active_users_hll" ->
+      """WITH pairs AS (SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS d
+                 FROM events),
+         days AS (SELECT DISTINCT d AS day FROM pairs)
+         SELECT day,
+           count(DISTINCT CASE WHEN p.d = day THEN p.k END) AS exact_1,
+           count(DISTINCT CASE WHEN p.d > day - 7 THEN p.k END) AS exact_7,
+           count(DISTINCT p.k) AS exact_28,
+           true AS ok_1, true AS ok_7, true AS ok_28
+         FROM days JOIN pairs p ON p.d <= day AND p.d > day - 28
+         GROUP BY day ORDER BY day""",
+
     "q260_transitions" ->
       """WITH e AS (SELECT user_id AS k, event_type AS tp,
                  lead(event_type) OVER (PARTITION BY user_id
@@ -8036,7 +8076,7 @@ object OpsQueries {
            round(sum(c.c) / CAST(count(*) AS DOUBLE), 4) AS avg_count,
            round(max(c.c) / (sum(c.c) / CAST(count(*) AS DOUBLE)), 4)
              AS skew_ratio,
-           any_value(t.top_keys) AS top_keys
+           array_to_string(any_value(t.top_keys), ',') AS top_keys
          FROM c, t""",
 
     "q287_standardize" ->
@@ -8284,7 +8324,8 @@ object OpsQueries {
                  row_number() OVER (PARTITION BY term ORDER BY id) AS rn
                FROM td)
          SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
-           list_sort(list(id) FILTER (WHERE rn <= 10)) AS postings
+           array_to_string(list_sort(list(id) FILTER (WHERE rn <= 10)), ',')
+             AS postings
          FROM r GROUP BY term HAVING count(*) >= 8 ORDER BY term""",
 
     "q298_kcore" -> kCoreOracle(k = 12, rounds = 20),
@@ -8483,6 +8524,24 @@ object OpsQueries {
            round(CAST(sum(wt) AS DOUBLE) / 12.0, 4) AS x
          FROM cn GROUP BY w1, w2 HAVING count(*) >= 10
          ORDER BY w1, w2""",
+
+    // q312: counts + ordered matched strings are DuckDB-recomputable via
+    // regexp_extract_all; slices_match is the engine's in-query
+    // certification that each span slices back to its matched text
+    // (positions themselves stay spec-pinned — DuckDB has no
+    // position-returning extract-all)
+    "q312_pii_spans" ->
+      s"""WITH p AS (${PiiSql.decorated}),
+         pats(pii_class, pat) AS (VALUES
+           ('email', '${PiiSql.email}'), ('ipv4', '${PiiSql.ipv4}'),
+           ('id', '${PiiSql.id}'), ('phone', '${PiiSql.phone}')),
+         m AS (SELECT doc_id AS id, pii_class,
+                      regexp_extract_all(ptext, pat) AS ms
+               FROM p CROSS JOIN pats)
+         SELECT id, pii_class, CAST(len(ms) AS BIGINT) AS n_spans,
+           array_to_string(ms, '|') AS matched_seq,
+           true AS slices_match
+         FROM m WHERE len(ms) > 0 ORDER BY id, pii_class""",
 
     "q313_isotonic" ->
       """WITH s AS (SELECT CAST(floor(value / 5) AS BIGINT) AS bin,
