@@ -450,6 +450,14 @@ object Classify {
         ceil((col("nc") + 1) * lit(1.0 - alpha)).cast("long").as("k"))
       .filter(col("cb") < col("k") && col("cb") + col("t") >= col("k"))
       .agg(min("r").as("q"))
+      // k = ⌈(n_cal+1)(1−alpha)⌉ > n_cal (tiny/empty calibration set)
+      // leaves no covering row → q NULL → every bound silently NULL.
+      // The guarantee is unattainable: fail fast at execution instead.
+      .select(when(col("q").isNull, raise_error(lit(
+          "conformalInterval: calibration set too small for the " +
+            "requested coverage (k > n_cal) — enlarge it or raise alpha"))
+          .cast("double"))
+        .otherwise(col("q")).as("q"))
     base.filter(!col("cal"))
       .crossJoin(broadcast(q))
       .select(col("id"), col("pred"),

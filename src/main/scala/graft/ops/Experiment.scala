@@ -409,7 +409,10 @@ object Experiment {
     val pe = cells.groupBy("a").agg(sum("o").as("ra"))
       .join(cells.groupBy("b").agg(sum("o").as("cb")),
         col("a") === col("b"))
-      .agg(sum(col("ra").cast("double") * col("cb")).as("mp"))
+      // disjoint label sets → empty margin join; textbook p_e is 0
+      // there (κ = p_o), not NULL — coalesce keeps the definition
+      .agg(coalesce(sum(col("ra").cast("double") * col("cb")), lit(0.0))
+        .as("mp"))
     tot.crossJoin(broadcast(po)).crossJoin(broadcast(pe))
       .select(col("n").cast("long").as("n"),
         round(col("dg") / col("n"), 4).as("po"),

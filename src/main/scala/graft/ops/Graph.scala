@@ -408,10 +408,10 @@ object Graph {
     * of `dist(t) = min(dist(t), min over in-edges (dist(s) + w))`,
     * early-exiting once a round improves nothing (a converged round is
     * idempotent, so an oracle unrolling exactly `rounds` agrees).
-    * Negative weights are rejected — with them `rounds` < |V|−1 would
-    * silently truncate genuine paths. Output `(id, dist)` for every
-    * node reached within `rounds` hops (4dp; exact for integer
-    * weights).
+    * Negative weights FAIL FAST (`require`) — with them `rounds` <
+    * |V|−1 would silently truncate genuine paths; null-weight edges
+    * (no usable cost) are dropped. Output `(id, dist)` for every node
+    * reached within `rounds` hops (4dp; exact for integer weights).
     *
     * Scale shape per round: one equi-join of the frontier-bearing dist
     * frame against the edge list + one grouped min — ints and one
@@ -423,8 +423,13 @@ object Graph {
     require(rounds >= 1, "ssspBellmanFord: rounds must be >= 1")
     val e = edges.select(srcCol.cast("long").as("s"),
         dstCol.cast("long").as("t"), weightCol.cast("double").as("w"))
-      .filter(col("w") >= 0)
+      .filter(col("w").isNotNull)
       .localCheckpoint(true)
+    // fail-fast probe over the just-checkpointed blocks (cheap re-read):
+    // a silently truncated graph is worse than an error here
+    require(e.filter(col("w") < 0).isEmpty,
+      "ssspBellmanFord: negative edge weights are unsupported " +
+        "(rounds-bounded relaxation would truncate genuine paths)")
     var v = sources.select(sourceIdCol.cast("long").as("id")).distinct()
       .withColumn("dist", lit(0.0))
       .localCheckpoint(true)

@@ -417,7 +417,7 @@ object Suffix {
       minLen: Int, maxLen: Int, minCount: Int = 2): DataFrame = {
     require(minLen >= 1 && maxLen >= minLen, "need 1 <= minLen <= maxLen")
     require(minCount >= 2, "maximalRepeats: minCount >= 2")
-    val sentinel = "" // below every real token byte
+    val sentinel = "\u0001" // below every real token byte (visible escape)
     val toks = Dedup.spreadSmallScan(
       df.select(idCol.cast("long").as("doc_id"),
         array_remove(split(trim(textCol), "\\s+"), "").as("tk")),

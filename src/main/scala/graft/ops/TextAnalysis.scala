@@ -840,8 +840,10 @@ object TextAnalysis {
         explode(sequence(lit(1), lit(negatives))).as("j"))
       .crossJoin(broadcast(tot))
       .withColumn("r", pmod(graft.expr.PortableHash.hex15Col(
-        concat(col("center"), lit(""), col("context"),
-          lit(""), col("j").cast("string"))), col("total")))
+        // separators must stay U+0001 to match the oracle's chr(1); use
+        // the visible escape so a formatter can't silently strip the byte
+        concat(col("center"), lit("\u0001"), col("context"),
+          lit("\u0001"), col("j").cast("string"))), col("total")))
       .withColumn("w0", greatest(expr("total div 4096"), lit(1L)))
       .withColumn("seg", expr("r div w0"))
     val spans = vr.crossJoin(broadcast(tot))

@@ -51,16 +51,13 @@ object Unigram {
     m.toMap
   }
 
-  /** Vocab selection + scoring: top `vocabSize` candidates with
-    * `cnt >= minCount` by (cnt desc, piece asc), UNION all single-char
-    * pieces (kept regardless of count/cap so segmentation is total over
-    * the corpus); `score_milli = floor(1000·ln(cnt/total))` with `total`
-    * summed over the SELECTED vocab. */
-  private[graft] def selectVocab(cands: Map[String, Long], vocabSize: Int,
-      minCount: Long): Seq[(String, Long, Long)] = {
-    val top = cands.toSeq.filter(_._2 >= minCount)
-      .sortBy { case (p, c) => (-c, p) }.take(vocabSize)
-    val singles = cands.toSeq.filter(_._1.length == 1)
+  /** Scoring tail shared by the driver-local [[selectVocab]] kernel and
+    * the distributed [[trainPieces]] path — ONE source of truth for the
+    * union/total/score semantics: selected = top ∪ singles (dedup),
+    * `score_milli = floor(1000·ln(cnt/total))` with `total` summed over
+    * the SELECTED vocab, ordered (cnt desc, piece asc). */
+  private[graft] def scoreSelected(top: Seq[(String, Long)],
+      singles: Seq[(String, Long)]): Seq[(String, Long, Long)] = {
     val selected = (top ++ singles).distinct
     val total = selected.map(_._2).sum.toDouble
     selected.map { case (p, c) =>
@@ -68,18 +65,64 @@ object Unigram {
     }.sortBy { case (p, c, _) => (-c, p) }
   }
 
-  /** Train the piece table: one corpus scan to [[wordCounts]], collect
-    * the bounded vocab, count/select/score driver-local. Returns
-    * `(piece, cnt, score_milli)`. */
+  /** Vocab selection + scoring: top `vocabSize` candidates with
+    * `cnt >= minCount` by (cnt desc, piece asc), UNION all single-char
+    * pieces (kept regardless of count/cap so segmentation is total over
+    * the corpus); scoring per [[scoreSelected]]. */
+  private[graft] def selectVocab(cands: Map[String, Long], vocabSize: Int,
+      minCount: Long): Seq[(String, Long, Long)] = {
+    val top = cands.toSeq.filter(_._2 >= minCount)
+      .sortBy { case (p, c) => (-c, p) }.take(vocabSize)
+    scoreSelected(top, cands.toSeq.filter(_._1.length == 1))
+  }
+
+  /** Distributed candidate piece counts: every positional substring of
+    * length 1..maxPieceLen of each distinct word, weighted by the word's
+    * corpus count — the [[candidateCounts]] kernel as a Spark plan
+    * (double explode over the word-count table + one grouped sum), so
+    * web-scale noise vocabularies (URLs, hashes) never reach the
+    * driver. */
+  def pieceCounts(df: DataFrame, textCol: Column,
+      maxPieceLen: Int): DataFrame =
+    wordCounts(df, textCol)
+      .select(col("word"), col("c"),
+        explode(sequence(lit(0), length(col("word")) - 1)).as("i"))
+      .select(col("c"),
+        col("word"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("word")) - col("i"))))
+          .as("l"))
+      .select(col("word").substr(col("i") + 1, col("l")).as("piece"),
+        col("c"))
+      .groupBy("piece").agg(sum("c").as("cnt"))
+
+  /** Train the piece table: selection runs DISTRIBUTED — `minCount` and
+    * the top-`vocabSize` cap apply inside the [[pieceCounts]] plan
+    * (filter + TakeOrderedAndProject), so only the selected vocab plus
+    * the single-char pieces ever reach the driver. `maxSingles` bounds
+    * the single-char collect (distinct codepoints — a corpus exceeding
+    * it is binary noise, not text; raise the knob deliberately).
+    * Returns `(piece, cnt, score_milli)`. */
   def trainPieces(df: DataFrame, textCol: Column, vocabSize: Int = 200,
-      maxPieceLen: Int = 4, minCount: Long = 2): DataFrame = {
+      maxPieceLen: Int = 4, minCount: Long = 2,
+      maxSingles: Int = 65536): DataFrame = {
     require(vocabSize >= 1 && maxPieceLen >= 1, "need vocabSize/maxPieceLen >= 1")
+    require(maxSingles >= 1, "trainPieces: maxSingles >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    val words = wordCounts(df, textCol).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
-    selectVocab(candidateCounts(words, maxPieceLen), vocabSize, minCount)
-      .toDF("piece", "cnt", "score_milli")
+    val pc = pieceCounts(df, textCol, maxPieceLen)
+      .localCheckpoint(eager = true) // read twice: top + singles
+    val top = pc.filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(vocabSize)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val singles = pc.filter(length(col("piece")) === 1)
+      .limit(maxSingles + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    require(singles.size <= maxSingles,
+      s"trainPieces: > $maxSingles distinct single-char pieces — the " +
+        "corpus looks like binary noise, not text; raise maxSingles to " +
+        "proceed deliberately")
+    scoreSelected(top, singles).toDF("piece", "cnt", "score_milli")
   }
 
   /** Viterbi-best segmentation of one word against an integer-scored

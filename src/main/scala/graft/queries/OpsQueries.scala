@@ -3289,6 +3289,18 @@ object OpsQueries {
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("a"), col("y.p").as("b"))
       val cand = t(s, d, "part").filter(col("p_partkey") % 997 === 0)
+      // the oracle unrolls per-pivot CTEs and so must pin the pivot ids
+      // as literals (0, 997). Assert the data-derived pivots are a
+      // prefix of those literals — a generator change (e.g. keys
+      // starting at 1) fails loudly here instead of silently diverging
+      // the engines; at tiny scale only pivot 0 may exist, which is
+      // fine (a pivot absent from the graph contributes nothing in
+      // either engine). Bounded collect: 2 rows.
+      val pivots = cand.select(col("p_partkey").cast("long"))
+        .orderBy("p_partkey").limit(2).collect().map(_.getLong(0)).toSeq
+      require(pivots.nonEmpty && pivots == Seq(0L, 997L).take(pivots.size),
+        s"q344: oracle pins pivots (0, 997) but data yields $pivots — " +
+          "regenerate betweennessOracle's literals")
       graft.ops.Graph.betweennessApprox(e, col("a"), col("b"), cand,
           col("p_partkey"), maxPivots = 2, maxDepth = 4)
         .orderBy("id")
@@ -9264,7 +9276,8 @@ object OpsQueries {
          t AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM cells),
          po AS (SELECT CAST(coalesce(sum(o), 0) AS DOUBLE) AS dg
                 FROM cells WHERE a = b),
-         pe AS (SELECT CAST(sum(ra.ra * cb.cb) AS DOUBLE) AS mp FROM
+         pe AS (SELECT CAST(coalesce(sum(ra.ra * cb.cb), 0) AS DOUBLE)
+                  AS mp FROM
                   (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells
                    GROUP BY a) ra
                 JOIN (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells

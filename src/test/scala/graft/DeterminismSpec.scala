@@ -24,7 +24,7 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     test(s"$name is deterministic") {
       spark.sparkContext.setLogLevel("WARN")
       def run(): Seq[String] =
-        fn(spark, sf).collect().map(_.mkString("")).toIndexedSeq
+        fn(spark, sf).collect().map(_.mkString("\u0001")).toIndexedSeq
       val a = run()
       val b = run()
       assert(a == b, s"$name differs between runs")

@@ -725,7 +725,7 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
       var sum = 0L
       hdr.foreach(b => sum += b & 0xff)
-      val cs = ("%06o".format(sum) + "  ").getBytes(StandardCharsets.UTF_8)
+      val cs = ("%06o".format(sum) + "\u0000 ").getBytes(StandardCharsets.UTF_8)
       System.arraycopy(cs, 0, hdr, 148, cs.length)
       val padded = ((data.length + 511) / 512) * 512
       hdr ++ data ++ new Array[Byte](padded - data.length)
@@ -735,7 +735,7 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       tarEntry("docs/a.txt", "tar member alpha".getBytes(StandardCharsets.UTF_8)) ++
       tarEntry("skip.png", Array[Byte](9, 9)) ++
       tarEntry("././@LongLink",
-        (longName + " ").getBytes(StandardCharsets.UTF_8), 'L') ++
+        (longName + "\u0000").getBytes(StandardCharsets.UTF_8), 'L') ++
       tarEntry(longName.take(90), "long-name body".getBytes(StandardCharsets.UTF_8)) ++
       new Array[Byte](1024) // end-of-archive blocks
     val dir = Files.createTempDirectory("graft-tar").toString
@@ -898,7 +898,7 @@ class SparkSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rImg = rec(Seq("WARC-Type" -> "response",
       "WARC-Target-URI" -> "http://example.com/i.png",
       "Content-Type" -> "application/http"),
-      "HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n "
+      "HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n\u0000\u0001"
         .getBytes(StandardCharsets.UTF_8))
     val dir = Files.createTempDirectory("graft-warc").toString
     Files.write(Paths.get(dir, "crawl.warc"),

@@ -35,6 +35,28 @@ class UnigramSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scores("b") == math.floor(1000 * math.log(4 / total)).toLong)
   }
 
+  test("trainPieces distributed selection matches the driver-local " +
+      "kernel (minCount + cap pushed into the plan) and maxSingles " +
+      "guards the collect") {
+    import spark.implicits._
+    val docs = Seq("low lower lowest", "low low newest", "wide wider",
+      "lowest newest ab", "b ab ab").toDF("text")
+    val dist = Unigram.trainPieces(docs, col("text"),
+      vocabSize = 12, maxPieceLen = 3, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val words = Unigram.wordCounts(docs, col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val local = Unigram.selectVocab(
+      Unigram.candidateCounts(words, 3), 12, 2).sortBy(_._1)
+    assert(dist == local, s"distributed $dist != driver-local $local")
+    val err = intercept[IllegalArgumentException] {
+      Unigram.trainPieces(docs, col("text"), vocabSize = 4,
+        maxPieceLen = 2, minCount = 1, maxSingles = 3)
+    }
+    assert(err.getMessage.contains("maxSingles"))
+  }
+
   test("viterbi: maximizes score, then fewer pieces, then lexicographic") {
     // scores chosen so "abc" has two max-score paths with equal piece
     // counts: (a bc) and (ab c) — lexicographically "a bc" < "ab c"
