@@ -360,6 +360,36 @@ object OpsQueries {
       e.crossJoin(m).select(col("n_edges"), col("n_matched"),
         round(col("n_matched") / col("n_edges"), 4).as("recall"))
     }),
+    "q350_ivfpq_recall" -> ((s, d) => {
+      // recall@10 audit of the PRODUCTION residual-IVFADC pipeline —
+      // ADC shortlist (k'=100) + exact rerank — against exact search:
+      // the oracle-checked quality floor behind q94's probe/code
+      // tuning. Exact rerank of the shortlist returns exactly
+      // shortlist ∩ exact-top-10 (plus fill), so recall@10 ==
+      // |shortlist ∩ exact10| / 10 and the rerank leg needn't
+      // materialize. Embeddings are unit-norm, so the exact cosine
+      // order IS the L2 order the ADC approximates; recall_ok pins
+      // the contract at >= 0.5.
+      val emb = t(s, d, "embeddings")
+      val qs = Seq("qa" -> qvecScala, "qb" -> qvec2Scala)
+      val exact = graft.ops.Ann.bruteForceTopKMany(emb, col("vec_id"),
+          col("embedding"), qs, k = 10)
+        .select(col("query_id"), col("id"))
+      val short = graft.ops.Pq.ivfPqResidualTopKMany(emb, col("vec_id"),
+          col("embedding"), qs, k = 100, nlist = 8, nprobe = 4, m = 4,
+          ksub = 8, iters = 2)
+        .select(col("query_id"), col("id"))
+      val n = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      val mt = exact.join(short, Seq("query_id", "id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_matched"))
+      n.join(mt, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"),
+          coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+        .withColumn("recall",
+          round(col("n_matched") / col("n_exact"), 4))
+        .withColumn("recall_ok", col("recall") >= 0.5)
+        .orderBy("query_id")
+    }),
     "q150_covariance" -> ((s, d) =>
       // upper-triangle sample covariance of the embedding column — the
       // whitening/drift statistic, one pass, zero exchanges
@@ -5388,6 +5418,71 @@ object OpsQueries {
                     ORDER BY dist, id) AS rnk
            FROM tot) WHERE rnk <= 5
          ORDER BY query_id, rnk"""
+    },
+
+    // q350: the q94 residual-IVFADC replay as a k'=100 shortlist joined
+    // against the exact cosine top-10 (unit-norm embeddings: cosine
+    // order == L2 order; exact rerank of the shortlist makes recall@10
+    // the overlap count); recall + the pinned >= 0.5 floor computed
+    // identically
+    "q350_ivfpq_recall" -> {
+      val d = 16
+      val qv1 = vecSql(qvecScala)
+      val qv2 = vecSql(qvec2Scala)
+      val subs = (0 until 4).map(s =>
+        PortableSql.pqSubTrainFrom(s"r${s}_",
+          s"SELECT id, v[${s * d + 1}:${(s + 1) * d}] AS v FROM rv", d))
+        .mkString(",\n")
+      val dists = (0 until 4).map { s =>
+        val off = s * d
+        s"""SELECT pr.query_id, b.id, list_sum(list_transform(range($d),
+              i -> ((q.qvec[$off + i + 1] - cc.c[$off + i + 1]) - rc.c[i + 1])
+                 * ((q.qvec[$off + i + 1] - cc.c[$off + i + 1]) - rc.c[i + 1]))) AS dist
+            FROM r${s}_bf b JOIN r${s}_c2 rc ON b.cid = rc.cid
+                 JOIN bf ON bf.id = b.id JOIN c2 cc ON cc.cid = bf.cid
+                 JOIN pr ON pr.cid = bf.cid
+                 JOIN q ON q.query_id = pr.query_id"""
+      }.mkString(" UNION ALL ")
+      s"""${PortableSql.ivfTrainSql}
+         rv AS (SELECT bf.id, bf.cid,
+                  list_transform(range(64),
+                    i -> CAST(CAST(bf.v[i + 1] - c.c[i + 1] AS FLOAT) AS DOUBLE)) AS v
+                FROM bf JOIN c2 c ON bf.cid = c.cid),
+         $subs,
+         q(query_id, qvec) AS (VALUES ('qa', $qv1), ('qb', $qv2)),
+         pr AS (SELECT query_id, cid FROM
+                 (SELECT q.query_id, c.cid,
+                         row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY ${PortableSql.cosSql("q.qvec", "c.c")} DESC, c.cid) AS rn
+                  FROM q CROSS JOIN c2 c) WHERE rn <= 4),
+         alld AS ($dists),
+         tot AS (SELECT query_id, id, round(sum(dist), 4) AS dist
+                 FROM alld GROUP BY query_id, id),
+         approx AS (SELECT query_id, id FROM
+                 (SELECT query_id, id,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY dist, id) AS rnk
+                  FROM tot) WHERE rnk <= 100),
+         ex AS (SELECT query_id, id FROM
+                 (SELECT q.query_id, e.vec_id AS id,
+                         row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY round(list_cosine_similarity(
+                             list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                             q.qvec), 4) DESC, e.vec_id) AS rnk
+                  FROM embeddings e CROSS JOIN q) WHERE rnk <= 10),
+         n AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY query_id),
+         m AS (SELECT ex.query_id, count(*) AS n_matched
+               FROM ex JOIN approx a
+                 ON a.query_id = ex.query_id AND a.id = ex.id
+               GROUP BY ex.query_id)
+         SELECT n.query_id, n.n_exact,
+           coalesce(m.n_matched, 0) AS n_matched,
+           round(coalesce(m.n_matched, 0) / CAST(n.n_exact AS DOUBLE), 4)
+             AS recall,
+           coalesce(m.n_matched, 0) / CAST(n.n_exact AS DOUBLE) >= 0.5
+             AS recall_ok
+         FROM n LEFT JOIN m ON m.query_id = n.query_id
+         ORDER BY n.query_id"""
     },
 
     "q67_bm25" -> (PortableSql.bm25Sql(Seq("join", "hash", "window")) +

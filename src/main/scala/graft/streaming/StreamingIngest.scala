@@ -518,6 +518,143 @@ object StreamingOps {
     }
   }
 
+  final case class PairCellState(cells: Seq[(Double, Double, Long)])
+  final case class SpearmanRow(k: String, n: Long, rho: Option[Double])
+
+  /** Streaming twin of [[graft.ops.Experiment.spearmanCorr]] — the
+    * incremental rank-correlation readout: per key the state is the
+    * COUNTED (x, y) cell table (bounded by the distinct pair count —
+    * the discretized-metric regime this readout is for; `maxCells`
+    * guards the assumption), and each batch's emission recomputes the
+    * exact tie-corrected midrank Pearson over those cells, so the last
+    * emission equals the batch statistic over everything fed (the
+    * parity spec pins it at the shared 4dp rounding). Midranks replay
+    * the batch arithmetic bit-for-bit: rank(v) = |smaller| +
+    * (count+1)/2, moments weighted by cell counts. Input columns:
+    * `k STRING, x DOUBLE, y DOUBLE`. */
+  def streamingSpearman(pairs: DataFrame, maxCells: Int = 100000)
+      : org.apache.spark.sql.Dataset[SpearmanRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(maxCells >= 1, "streamingSpearman: maxCells >= 1")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val typed = pairs
+      .select(col("k").cast("string"), col("x").cast("double"),
+        col("y").cast("double"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .as[(String, Double, Double)]
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (key: String, rows: Iterator[(String, Double, Double)],
+       state: GroupState[PairCellState]) =>
+        val m = scala.collection.mutable.HashMap.empty[(Double, Double), Long]
+        state.getOption.foreach(_.cells.foreach { case (x, y, c) =>
+          m.update((x, y), c) })
+        rows.foreach { case (_, x, y) =>
+          m.update((x, y), m.getOrElse((x, y), 0L) + 1L) }
+        if (m.size > maxCells) throw new IllegalStateException(
+          s"streamingSpearman: > $maxCells distinct (x, y) cells for " +
+            s"key '$key' — the metric isn't discretized; bin it " +
+            "upstream or raise maxCells")
+        state.update(PairCellState(m.toSeq.map { case ((x, y), c) =>
+          (x, y, c) }))
+        if (m.isEmpty) Iterator.empty
+        else {
+          // midranks over counted values: rank(v) = |smaller| + (t+1)/2
+          def ranks(vals: Seq[(Double, Long)]): Map[Double, Double] = {
+            var cum = 0L
+            vals.sortBy(_._1).map { case (v, t) =>
+              val r = cum + (t + 1) / 2.0; cum += t; v -> r
+            }.toMap
+          }
+          val rx = ranks(m.toSeq.groupBy(_._1._1)
+            .map { case (v, cs) => v -> cs.map(_._2).sum }.toSeq)
+          val ry = ranks(m.toSeq.groupBy(_._1._2)
+            .map { case (v, cs) => v -> cs.map(_._2).sum }.toSeq)
+          var n = 0L
+          var sx, sy, sxx, syy, sxy = 0.0
+          // fold in sorted-cell order so re-feeds replay identically
+          m.toSeq.sortBy { case ((x, y), _) => (x, y) }.foreach {
+            case ((x, y), c) =>
+              val (a, b) = (rx(x), ry(y))
+              n += c; sx += c * a; sy += c * b
+              sxx += c * a * a; syy += c * b * b; sxy += c * a * b
+          }
+          val varX = n * sxx - sx * sx
+          val varY = n * syy - sy * sy
+          def r4(v: Double) = BigDecimal(v)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val rho =
+            if (varX > 0 && varY > 0)
+              Some(r4((n * sxy - sx * sy) /
+                (math.sqrt(varX) * math.sqrt(varY))))
+            else None
+          Iterator.single(SpearmanRow(key, n, rho))
+        }
+    }
+  }
+
+  final case class LabelCellState(cells: Seq[(String, String, Long)])
+  final case class KappaRow(k: String, n: Long, po: Double, pe: Double,
+      kappa: Option[Double])
+
+  /** Streaming twin of [[graft.ops.Experiment.cohensKappa]] — live
+    * annotator/model agreement: per key the state is the label-pair
+    * contingency table (bounded by |labels|², `maxCells`-guarded), and
+    * each batch emits the current `(n, po, pe, kappa)` so the last
+    * emission equals the batch statistic over everything fed. Disjoint
+    * label sets give p_e = 0, kappa = p_o — the batch op's (fixed)
+    * textbook convention; degenerate tables with p_e = 1 null the
+    * kappa, also as batch. Input columns: `k STRING, a STRING,
+    * b STRING`. */
+  def streamingKappa(labels: DataFrame, maxCells: Int = 10000)
+      : org.apache.spark.sql.Dataset[KappaRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(maxCells >= 1, "streamingKappa: maxCells >= 1")
+    val spark = labels.sparkSession
+    import spark.implicits._
+    val typed = labels
+      .select(col("k").cast("string"), col("a").cast("string"),
+        col("b").cast("string"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .as[(String, String, String)]
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (key: String, rows: Iterator[(String, String, String)],
+       state: GroupState[LabelCellState]) =>
+        val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        state.getOption.foreach(_.cells.foreach { case (a, b, c) =>
+          m.update((a, b), c) })
+        rows.foreach { case (_, a, b) =>
+          m.update((a, b), m.getOrElse((a, b), 0L) + 1L) }
+        if (m.size > maxCells) throw new IllegalStateException(
+          s"streamingKappa: > $maxCells label-pair cells for key " +
+            s"'$key' — these aren't categorical labels; raise maxCells " +
+            "to proceed deliberately")
+        state.update(LabelCellState(m.toSeq.map { case ((a, b), c) =>
+          (a, b, c) }))
+        if (m.isEmpty) Iterator.empty
+        else {
+          val n = m.values.sum.toDouble
+          val diag = m.collect { case ((a, b), c) if a == b => c }.sum
+          val ra = m.groupBy(_._1._1).map { case (a, cs) =>
+            a -> cs.values.sum }
+          val cb = m.groupBy(_._1._2).map { case (b, cs) =>
+            b -> cs.values.sum }
+          // margin products over COMMON labels only; disjoint sets → 0
+          val mp = ra.toSeq.sortBy(_._1).map { case (l, r) =>
+            r.toDouble * cb.getOrElse(l, 0L) }.sum
+          val po = diag / n
+          val pe = mp / (n * n)
+          def r4(v: Double) = BigDecimal(v)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val kappa =
+            if (pe < 1) Some(r4((po - pe) / (1.0 - pe))) else None
+          Iterator.single(KappaRow(key, n.toLong, r4(po), r4(pe), kappa))
+        }
+    }
+  }
+
   final case class PostingState(df: Long, tf: Long, postings: Seq[Long])
   final case class PostingRow(term: String, df: Long, tf_total: Long,
       postings: Seq[Long])

@@ -793,6 +793,83 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streamingSpearman: counted-cell state replays the batch " +
+      "tie-corrected midrank rho across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // discretized metric with ties in both columns, split mid-stream
+    val b1 = Seq(("A", 1.0, 2.0), ("A", 1.0, 3.0), ("A", 2.0, 3.0),
+      ("A", 3.0, 1.0))
+    val b2 = Seq(("A", 2.0, 2.0), ("A", 4.0, 5.0), ("A", 1.0, 2.0))
+    val input = MemoryStream[(String, Double, Double)]
+    val q = StreamingOps.streamingSpearman(
+        input.toDF().toDF("k", "x", "y"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("spear").start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    val last = spark.sql("SELECT * FROM spear ORDER BY n DESC LIMIT 1")
+      .collect()(0)
+    val batch = graft.ops.Experiment.spearmanCorr(
+        (b1 ++ b2).toDF("k", "x", "y"),
+        org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("y")).head()
+    assert(last.getAs[Long]("n") == batch.getAs[Long]("n"))
+    assert(last.getAs[Double]("rho") == batch.getAs[Double]("rho"))
+    // constant column nulls the rho, streaming and batch alike
+    val input2 = MemoryStream[(String, Double, Double)]
+    val q2 = StreamingOps.streamingSpearman(
+        input2.toDF().toDF("k", "x", "y"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("spear2").start()
+    input2.addData(Seq(("B", 1.0, 2.0), ("B", 1.0, 9.0)): _*)
+    q2.processAllAvailable()
+    val r2 = spark.sql("SELECT * FROM spear2").collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("rho")))
+    q.stop(); q2.stop()
+  }
+
+  test("streamingKappa: contingency state replays the batch kappa; " +
+      "disjoint label sets give pe = 0, kappa = po") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b1 = Seq(("A", "x", "x"), ("A", "x", "y"), ("A", "y", "y"))
+    val b2 = Seq(("A", "y", "x"), ("A", "x", "x"), ("A", "y", "y"))
+    val input = MemoryStream[(String, String, String)]
+    val q = StreamingOps.streamingKappa(input.toDF().toDF("k", "a", "b"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("kap").start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    val last = spark.sql("SELECT * FROM kap ORDER BY n DESC LIMIT 1")
+      .collect()(0)
+    val batch = graft.ops.Experiment.cohensKappa(
+        (b1 ++ b2).toDF("k", "a", "b"),
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")).head()
+    assert(last.getAs[Long]("n") == batch.getAs[Long]("n"))
+    assert(last.getAs[Double]("po") == batch.getAs[Double]("po"))
+    assert(last.getAs[Double]("pe") == batch.getAs[Double]("pe"))
+    assert(last.getAs[Double]("kappa") == batch.getAs[Double]("kappa"))
+    // disjoint labelings: raters never use the same vocabulary
+    val input2 = MemoryStream[(String, String, String)]
+    val q2 = StreamingOps.streamingKappa(input2.toDF().toDF("k", "a", "b"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("kap2").start()
+    input2.addData(Seq(("B", "u", "v"), ("B", "w", "v")): _*)
+    q2.processAllAvailable()
+    val r2 = spark.sql("SELECT * FROM kap2").collect()(0)
+    val batch2 = graft.ops.Experiment.cohensKappa(
+        Seq(("B", "u", "v"), ("B", "w", "v")).toDF("k", "a", "b"),
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")).head()
+    assert(r2.getAs[Double]("pe") == 0.0 &&
+      batch2.getAs[Double]("pe") == 0.0)
+    assert(r2.getAs[Double]("kappa") == r2.getAs[Double]("po"))
+    assert(batch2.getAs[Double]("kappa") == batch2.getAs[Double]("po"))
+    q.stop(); q2.stop()
+  }
+
   test("streamingSprt: the Wald crossing lands mid-stream and the " +
       "decision stays frozen; final row equals the batch test") {
     import spark.implicits._
