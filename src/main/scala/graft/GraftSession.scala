@@ -989,4 +989,77 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
     import org.apache.spark.sql.functions.col
     graft.ops.Experiment.cohensKappa(df, col(aCol), col(bCol))
   }
+
+  /** [[graft.ops.Experiment.kendallTau]] with name-based columns:
+    * tie-corrected concordance association over binned metrics. */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.kendallTau(df, col(xCol), col(yCol))
+  }
+
+  /** [[graft.ops.Experiment.featureScreen]] with name-based columns:
+    * one-pass info-gain / gain-ratio screen of categorical features. */
+  def featureScreen(df: DataFrame, features: Seq[String],
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.featureScreen(df,
+      features.map(f => f -> col(f)), col(labelCol))
+  }
+
+  /** [[graft.ops.TextAnalysis.chao1Richness]] with name-based columns:
+    * per-group vocabulary-ceiling (species-richness) estimate. */
+  def chao1Richness(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.TextAnalysis.chao1Richness(docs, col(groupCol), col(textCol))
+  }
+
+  /** [[graft.ops.Temporal.forecastBacktest]] with name-based columns:
+    * fixed-origin seasonal-naive MAE/MASE/sMAPE backtest. */
+  def forecastBacktest(df: DataFrame, idCol: String, keys: Seq[String],
+      timeCol: String, valCol: String, period: Int,
+      horizon: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Temporal.forecastBacktest(df, col(idCol), keys,
+      col(timeCol), col(valCol), period, horizon)
+  }
+
+  /** [[graft.ops.Temporal.theilSenTrend]] with name-based columns:
+    * robust median-of-pairwise-slopes trend per key. */
+  def theilSenTrend(df: DataFrame, idCol: String, keys: Seq[String],
+      timeCol: String, valCol: String,
+      maxPoints: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Temporal.theilSenTrend(df, col(idCol), keys, col(timeCol),
+      col(valCol), maxPoints)
+  }
+
+  /** [[graft.ops.Classify.isotonicCalibrateByKey]] with name-based
+    * columns: per-key PAV calibration. */
+  def isotonicCalibrateByKey(df: DataFrame, keyCol: String,
+      binCol: String, labelCol: String,
+      maxBins: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Classify.isotonicCalibrateByKey(df, col(keyCol),
+      col(binCol), col(labelCol), maxBins)
+  }
+
+  /** [[graft.ops.Analytics.gappedSequences]] with name-based columns:
+    * gap-allowed 2/3-item sequential patterns (bounded PrefixSpan). */
+  def gappedSequences(events: DataFrame, keyCol: String, typeCol: String,
+      timeCol: String, tiebreakCol: String, maxEventsPerKey: Int,
+      minSupport: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Analytics.gappedSequences(events, col(keyCol), col(typeCol),
+      col(timeCol), col(tiebreakCol), maxEventsPerKey, minSupport)
+  }
+
+  /** [[graft.ops.Analytics.activeUsersAudit]] with name-based columns:
+    * the self-certifying exact-vs-HLL rolling active-users audit. */
+  def activeUsersAudit(events: DataFrame, keyCol: String, timeCol: String,
+      windows: Seq[Int], tol: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Analytics.activeUsersAudit(events, col(keyCol),
+      col(timeCol), windows, tol)
+  }
 }

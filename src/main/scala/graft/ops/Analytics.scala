@@ -115,6 +115,53 @@ object Analytics {
       .filter(col("support") >= minSupport)
   }
 
+  /** Gap-allowed sequential patterns (bounded PrefixSpan regime) — the
+    * [[frequentEventSequences]] sibling where intervening events DON'T
+    * break the pattern: every strictly-order-increasing item
+    * subsequence of length 2..3 within each key's first
+    * `maxEventsPerKey` events, with support = distinct keys containing
+    * it and occurrences = total position-distinct embeddings. The
+    * general PrefixSpan state explosion is tamed by BOUNDS, not
+    * pruning: per key at most C(cap, 3) embeddings by construction, so
+    * the candidate volume is keys × C(cap, 3) regardless of item
+    * vocabulary. Output `(seq, len, support, occurrences)` at
+    * `support >= minSupport`.
+    *
+    * Scale shape: one key shuffle ranks events; lengths 2 and 3 are
+    * positional self-joins of the capped per-key frame (ints + short
+    * strings only); one grouped agg reads support off. */
+  def gappedSequences(events: DataFrame, keyCol: Column, typeCol: Column,
+      timeCol: Column, tiebreakCol: Column, maxEventsPerKey: Int,
+      minSupport: Long = 1L): DataFrame = {
+    require(maxEventsPerKey >= 2 && maxEventsPerKey <= 64,
+      "gappedSequences: maxEventsPerKey in [2, 64] (the C(cap, 3) bound)")
+    require(minSupport >= 1, "gappedSequences: minSupport >= 1")
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("tb").asc)
+    val p = events
+      .select(keyCol.cast("long").as("k"), typeCol.cast("string").as("tp"),
+        timeCol.as("t"), tiebreakCol.cast("long").as("tb"))
+      .withColumn("i", row_number().over(w))
+      .filter(col("i") <= maxEventsPerKey)
+      .select("k", "i", "tp")
+      .localCheckpoint(eager = true) // read 3×: three join legs
+    val two = p.as("a").join(p.as("b"),
+        col("a.k") === col("b.k") && col("a.i") < col("b.i"))
+      .select(col("a.k").as("k"), col("a.i").as("i1"),
+        col("b.i").as("i2"),
+        concat_ws("->", col("a.tp"), col("b.tp")).as("seq"))
+    val three = two.as("t").join(p.as("c"),
+        col("t.k") === col("c.k") && col("t.i2") < col("c.i"))
+      .select(col("t.k").as("k"),
+        concat_ws("->", col("t.seq"), col("c.tp")).as("seq"))
+    val all = two.select(col("k"), col("seq"), lit(2L).as("len"))
+      .unionAll(three.select(col("k"), col("seq"), lit(3L).as("len")))
+    all.groupBy("seq", "len", "k").agg(count(lit(1)).as("c"))
+      .groupBy("seq", "len")
+      .agg(count(lit(1)).as("support"), sum("c").as("occurrences"))
+      .filter(col("support") >= minSupport)
+  }
+
   /** Inactivity gaps: per key, every pause between consecutive events
     * longer than `minGapMicros` — the downtime/churn-risk intervals
     * behind re-engagement triggers (and the complement of

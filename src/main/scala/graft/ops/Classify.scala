@@ -353,6 +353,55 @@ object Classify {
         round(col("bpos").cast("double") / col("bn"), 4).as("calibrated"))
   }
 
+  /** Per-KEY isotonic calibration — [[isotonicCalibrate]] grouped by a
+    * segmentation column (per-source / per-model-version calibration,
+    * the "calibrate each cohort separately" story): each key's bin
+    * table runs the identical PAV stack locally inside one
+    * `flatMapGroups` (a key's bins are bounded — `maxBins` guards the
+    * assumption), so no cross-key coordination exists at all. Output
+    * `(k, bin, n, pos, rate, calibrated)` — the ratio columns UNROUNDED
+    * (exact integer ratios; identical doubles format identically in
+    * the compare layer).
+    *
+    * Scale shape: ONE grouped count collapses the corpus to (key, bin)
+    * rows; the PAV fold then touches |keys| × |bins| rows inside the
+    * same shuffle's tasks. */
+  def isotonicCalibrateByKey(df: DataFrame, keyCol: Column,
+      binCol: Column, labelCol: Column, maxBins: Int = 100000): DataFrame = {
+    require(maxBins >= 1, "isotonicCalibrateByKey: maxBins >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val binned = df.select(keyCol.cast("string").as("k"),
+        binCol.cast("long").as("bin"), labelCol.cast("long").as("y"))
+      .filter(col("k").isNotNull && col("bin").isNotNull &&
+        col("y").isNotNull)
+      .groupBy("k", "bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      .as[(String, Long, Long, Long)]
+    binned.groupByKey(_._1).flatMapGroups { (k, it) =>
+      val rows = it.toIndexedSeq.sortBy(_._2) // (k, bin, n, pos) by bin
+      if (rows.size > maxBins) throw new IllegalStateException(
+        s"isotonicCalibrateByKey: > $maxBins bins for key '$k' — bin " +
+          "the score coarser or raise maxBins")
+      // PAV stack of (loBin, hiBin, pos, n) blocks — the
+      // isotonicCalibrate kernel, run per key
+      val st = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)]
+      rows.foreach { case (_, bin, n0, p0) =>
+        var (lo, p, n) = (bin, p0, n0)
+        while (st.nonEmpty &&
+            st.last._3.toDouble / st.last._4 > p.toDouble / n) {
+          val t = st.remove(st.size - 1); lo = t._1; p += t._3; n += t._4
+        }
+        st += ((lo, bin, p, n))
+      }
+      rows.iterator.map { case (_, bin, n0, p0) =>
+        val blk = st.find(b => bin >= b._1 && bin <= b._2).get
+        (k, bin, n0, p0, p0.toDouble / n0, blk._3.toDouble / blk._4)
+      }
+    }.toDF("k", "bin", "n", "pos", "rate", "calibrated")
+  }
+
   /** Exact ROC AUC of a score against a 0/1 label — the
     * rank-statistic identity `AUC = (R₁ − n₁(n₁+1)/2) / (n₁·n₀)` with
     * midranks on tied scores (ties contribute 1/2, the standard

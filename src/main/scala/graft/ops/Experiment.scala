@@ -389,6 +389,95 @@ object Experiment {
           .as("rho"))
   }
 
+  /** Kendall's tau-b — the concordance-based rank association, the
+    * companion to [[spearmanCorr]] that a pair-level story needs
+    * (probability a random pair is concordant minus discordant,
+    * tie-corrected): `τ_b = (C − D) / √((n₀ − n₁)(n₀ − n₂))` with
+    * `n₀ = n(n−1)/2` and `n₁/n₂` the tied-pair counts per column.
+    * Output ONE row `(n, concordant, discordant, tau_b)` (4dp; a
+    * fully-tied column nulls the tau). Inputs should be DISCRETIZED
+    * (binned) metrics: the corpus collapses to counted (x, y) cells in
+    * one grouped pass and C/D come from the |cells|² half self-join —
+    * integer products throughout, so both engines agree exactly.
+    * Near-continuous inputs belong in [[spearmanCorr]], whose rank
+    * passes never pair cells. */
+  def kendallTau(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val cells = df.select(xCol.cast("double").as("x"),
+        yCol.cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy("x", "y").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true) // read 3×: pair join + two margins
+    val tot = cells.agg(sum("c").as("n"))
+    val tx = cells.groupBy("x").agg(sum("c").as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1)), lit(0L)).as("tpx"))
+    val ty = cells.groupBy("y").agg(sum("c").as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1)), lit(0L)).as("tpy"))
+    val pairs = cells.as("a").join(cells.as("b"), col("a.x") < col("b.x"))
+      .select(
+        when(col("b.y") > col("a.y"), col("a.c") * col("b.c"))
+          .otherwise(lit(0L)).as("cc"),
+        when(col("b.y") < col("a.y"), col("a.c") * col("b.c"))
+          .otherwise(lit(0L)).as("dd"))
+      .agg(coalesce(sum("cc"), lit(0L)).as("concordant"),
+        coalesce(sum("dd"), lit(0L)).as("discordant"))
+    tot.crossJoin(broadcast(pairs)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .select(col("n"), col("concordant"), col("discordant"),
+        (col("n") * (col("n") - 1) / 2).as("n0"),
+        (col("tpx") / 2).as("n1"), (col("tpy") / 2).as("n2"))
+      .select(col("n"), col("concordant"), col("discordant"),
+        round(when(col("n0") > col("n1") && col("n0") > col("n2"),
+          (col("concordant") - col("discordant")) /
+            sqrt((col("n0") - col("n1")).cast("double") *
+              (col("n0") - col("n2")).cast("double"))), 4)
+          .as("tau_b"))
+  }
+
+  /** One-pass categorical feature screen — per candidate feature, its
+    * information gain against the label (IG(X; Y) = MI, the decision-
+    * tree split criterion) plus the gain ratio (IG / H(X), Quinlan's
+    * cardinality penalty — a feature that merely enumerates rows gains
+    * a lot and ranks last anyway). Output one row per feature:
+    * `(feature, n, h_label, info_gain, gain_ratio)` (4dp).
+    *
+    * Scale shape: the features MELT into one (feature, value, label)
+    * stream — row-local explode, so the corpus is read ONCE however
+    * many features screen — and everything downstream runs on the
+    * per-feature contingency tables ([[mutualInformation]]'s
+    * discipline, keyed by feature). */
+  def featureScreen(df: DataFrame, features: Seq[(String, Column)],
+      labelCol: Column): DataFrame = {
+    require(features.nonEmpty, "featureScreen: need at least one feature")
+    val melted = df.select(
+        explode(array(features.map { case (nm, c) =>
+          struct(lit(nm).as("f"), c.cast("string").as("v")) }: _*)).as("fv"),
+        labelCol.cast("string").as("y"))
+      .select(col("fv.f").as("f"), col("fv.v").as("v"), col("y"))
+      .filter(col("v").isNotNull && col("y").isNotNull)
+    val cells = melted.groupBy("f", "v", "y").agg(count(lit(1)).as("o"))
+      .localCheckpoint(eager = true) // read 4×: margins ×2, totals, MI
+    val vTot = cells.groupBy("f", "v").agg(sum("o").as("rv"))
+    val yTot = cells.groupBy("f", "y").agg(sum("o").as("cy"))
+    val tot = cells.groupBy("f").agg(sum("o").cast("double").as("n"))
+    val hx = vTot.join(broadcast(tot), "f").groupBy("f")
+      .agg((-sum(col("rv") / col("n") * log(col("rv") / col("n"))))
+        .as("hf"))
+    val hy = yTot.join(broadcast(tot), "f").groupBy("f")
+      .agg((-sum(col("cy") / col("n") * log(col("cy") / col("n"))))
+        .as("hl"))
+    val mi = cells.join(vTot, Seq("f", "v"))
+      .join(broadcast(yTot), Seq("f", "y")).join(broadcast(tot), "f")
+      .select(col("f"), (col("o") / col("n") *
+        log(col("o") * col("n") / (col("rv") * col("cy")))).as("q"))
+      .groupBy("f").agg(sum("q").as("mi0"))
+    tot.join(hy, "f").join(hx, "f").join(mi, "f")
+      .select(col("f").as("feature"), col("n").cast("long").as("n"),
+        round(col("hl"), 4).as("h_label"),
+        round(col("mi0"), 4).as("info_gain"),
+        round(when(col("hf") > 0, col("mi0") / col("hf")), 4)
+          .as("gain_ratio"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two
     * categorical labelings of the same rows (annotator QA, model-vs-
     * model drift, silver-vs-gold audits): `κ = (p_o − p_e)/(1 − p_e)`

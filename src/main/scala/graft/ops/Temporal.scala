@@ -1060,4 +1060,104 @@ object Temporal {
         round(col("value") - col("__trend") - col("__seas"), 4)
           .as("resid")): _*)
   }
+
+  /** Fixed-origin seasonal-naive forecast backtest — the honesty check
+    * every forecasting pipeline (Holt-Winters and friends above) needs
+    * BEFORE its output is trusted: hold out the last `horizon` points
+    * per key, forecast each as the value one `period` earlier, and
+    * report MAE, sMAPE and MASE (Hyndman-Koehler: MAE scaled by the
+    * in-sample one-step naive MAE — > 1 means the model loses to
+    * "repeat yesterday"). `horizon <= period` keeps every seasonal lag
+    * inside the training span (a true fixed-origin backtest, no
+    * recursive feeding); keys shorter than `period + horizon + 1`
+    * points are skipped (no scale estimate exists). Output per key:
+    * `(…keys, n, n_train, mae, mase, smape)` — error columns UNROUNDED
+    * (averages of small-denominator rationals sit exactly on .xxxx5
+    * boundaries; the compare layer formats identical doubles
+    * identically).
+    *
+    * Scale shape: ONE key shuffle; both the forecast lag and the error
+    * averages run inside the per-key sort the window already paid for. */
+  def forecastBacktest(df: DataFrame, idCol: Column, keys: Seq[String],
+      timeCol: Column, valCol: Column, period: Int,
+      horizon: Int): DataFrame = {
+    require(period >= 1 && horizon >= 1,
+      "forecastBacktest: period and horizon must be >= 1")
+    require(horizon <= period,
+      "forecastBacktest: horizon <= period (every seasonal-naive lag " +
+        "must land in the training span)")
+    val keyCols = keys.map(col)
+    val ord = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t").asc, col("id").asc)
+    val full = Window.partitionBy(keyCols: _*)
+    val w = df.select((idCol.cast("long").as("id") +: keyCols) :+
+        timeCol.as("__t") :+ valCol.cast("double").as("value"): _*)
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__n", count(lit(1)).over(full))
+      .filter(col("__n") >= period + horizon + 1)
+      .withColumn("__f", lag(col("value"), period).over(ord))
+      .withColumn("__d1",
+        abs(col("value") - lag(col("value"), 1).over(ord)))
+    val hold = col("__rn") > col("__n") - horizon
+    w.groupBy(keyCols: _*).agg(
+        first(col("__n")).as("n"),
+        (first(col("__n")) - horizon).as("n_train"),
+        avg(when(hold, abs(col("__f") - col("value")))).as("mae"),
+        avg(when(col("__rn") >= 2 && !hold, col("__d1"))).as("__scale"),
+        avg(when(hold,
+          when(abs(col("__f")) + abs(col("value")) > 0,
+            lit(2.0) * abs(col("__f") - col("value")) /
+              (abs(col("__f")) + abs(col("value"))))
+            .otherwise(lit(0.0)))).as("smape"))
+      .select((keyCols ++ Seq(col("n"), col("n_train"), col("mae"),
+        when(col("__scale") > 0, col("mae") / col("__scale")).as("mase"),
+        col("smape"))): _*)
+  }
+
+  /** Theil-Sen robust trend slope per key — the median of all pairwise
+    * slopes `(v_j − v_i)/(t_j − t_i)`: breakdown point 29%, the trend
+    * estimate outliers can't drag the way they drag OLS (drift
+    * monitoring over noisy daily metrics is the use). `maxPoints` caps
+    * each key's series (first points by time order) because the pair
+    * set is m(m−1)/2 per key by construction — this is a bounded-series
+    * statistic, not a corpus scan. Equal-time pairs are excluded
+    * (vertical slope). Output `(…keys, n_pairs, slope)` — slope
+    * UNROUNDED; the median is the EXPLICIT two-middle-rows average
+    * (`rn = ⌊(m+1)/2⌋` and `⌊(m+2)/2⌋`), the identical expression both
+    * engines evaluate, not an engine `percentile` whose interpolation
+    * form may differ.
+    *
+    * Scale shape: one key shuffle to rank points, the bounded pair
+    * self-join, one per-key rank window over ≤ maxPoints² slope rows. */
+  def theilSenTrend(df: DataFrame, idCol: Column, keys: Seq[String],
+      timeCol: Column, valCol: Column, maxPoints: Int = 1000): DataFrame = {
+    require(maxPoints >= 2, "theilSenTrend: maxPoints >= 2")
+    val keyCols = keys.map(col)
+    val ord = Window.partitionBy(keyCols: _*)
+      .orderBy(col("t").asc, col("id").asc)
+    val p = df.select((idCol.cast("long").as("id") +: keyCols) :+
+        timeCol.cast("double").as("t") :+
+        valCol.cast("double").as("v"): _*)
+      .filter(col("t").isNotNull && col("v").isNotNull)
+      .withColumn("__rn", row_number().over(ord))
+      .filter(col("__rn") <= maxPoints)
+      .localCheckpoint(eager = true) // read twice: both pair-join sides
+    val pairs = p.as("a").join(p.as("b"),
+        keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col("a.__rn") < col("b.__rn") && col("a.t") =!= col("b.t"))
+      .select((keys.map(k => col(s"a.$k").as(k)) :+
+        ((col("b.v") - col("a.v")) / (col("b.t") - col("a.t")))
+          .as("slope")): _*)
+    val rnW = Window.partitionBy(keyCols: _*).orderBy(col("slope").asc)
+    pairs.withColumn("__sr", row_number().over(rnW))
+      .withColumn("__m",
+        count(lit(1)).over(Window.partitionBy(keyCols: _*)))
+      // integer `div`, not `/`: Column./ on longs is DOUBLE division,
+      // which silently skips the lower middle row on even pair counts
+      .filter(col("__sr") === expr("(__m + 1) div 2") ||
+        col("__sr") === expr("(__m + 2) div 2"))
+      .groupBy(keyCols: _*)
+      .agg(first(col("__m")).as("n_pairs"),
+        (sum("slope") / count(lit(1))).as("slope"))
+  }
 }

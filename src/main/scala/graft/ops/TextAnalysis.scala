@@ -733,6 +733,34 @@ object TextAnalysis {
       (col("__cy0") + col("new_types")).as("cum_types"))
   }
 
+  /** Chao1 species-richness estimate per group — "how much vocabulary
+    * does this source HAVE, beyond what the sample shows": the
+    * abundance-based lower bound `chao1 = D + f₁(f₁−1)/(2(f₂+1))`
+    * (the bias-corrected form, defined even when no doubletons exist)
+    * from the singleton/doubleton counts of the observed frequency
+    * spectrum. The corpus-budgeting companion to [[vocabularyGrowth]]:
+    * Heaps answers "what does the next slice buy", Chao1 answers "how
+    * far is the ceiling". Output `(g, d_obs, f1, f2, chao1)` — chao1
+    * UNROUNDED (an exact integer ratio; both engines emit the identical
+    * double and the compare layer formats it).
+    *
+    * Scale shape: one (group, word) grouped count is the only
+    * corpus-sized pass; the frequency spectrum collapses per group in a
+    * second partial-agg'd pass. */
+  def chao1Richness(docs: DataFrame, groupCol: Column,
+      textCol: Column): DataFrame = {
+    val wc = docs.select(groupCol.as("g"),
+        explode(array_remove(split(trim(textCol), "\\s+"), "")).as("w"))
+      .groupBy("g", "w").agg(count(lit(1)).as("c"))
+    wc.groupBy("g").agg(
+        count(lit(1)).as("d_obs"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("g"), col("d_obs"), col("f1"), col("f2"),
+        (col("d_obs") + col("f1") * (col("f1") - 1) /
+          (lit(2.0) * (col("f2") + 1))).as("chao1"))
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
     * Extraction from Individual Documents") — per-document candidate
     * phrases are the maximal stopword-free token runs (capped at

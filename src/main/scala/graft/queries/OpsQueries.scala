@@ -3381,7 +3381,71 @@ object OpsQueries {
       // chance-corrected agreement between two threshold raters of the
       // same events (value > 50 vs value > 60): one contingency pass
       graft.ops.Experiment.cohensKappa(ev(s, d),
-        (col("value") > 50).cast("int"), (col("value") > 60).cast("int")))
+        (col("value") > 50).cast("int"), (col("value") > 60).cast("int"))),
+    "q351_kendall_tau" -> ((s, d) =>
+      // concordance-based rank association on BINNED metrics (q348's
+      // pair): one cell pass + the |cells|² half self-join, integer
+      // products end to end
+      graft.ops.Experiment.kendallTau(ev(s, d),
+        floor(col("value") / 5), col("user_id") % 100)),
+    "q352_chao1" -> ((s, d) =>
+      // vocabulary-ceiling estimate per source: one (source, word)
+      // count pass; chao1 ships unrounded (exact integer ratio)
+      graft.ops.TextAnalysis.chao1Richness(t(s, d, "documents"),
+          col("source"), col("text"))
+        .withColumnRenamed("g", "source")
+        .orderBy("source")),
+    "q353_feature_screen" -> ((s, d) =>
+      // one-pass info-gain screen of three candidate features against
+      // the value>50 label — the corpus is read once via the melt
+      graft.ops.Experiment.featureScreen(ev(s, d),
+          Seq("event_type" -> col("event_type"),
+            "user_decile" -> (col("user_id") % 10),
+            "value_bin" -> floor(col("value") / 20)),
+          col("value") > 50)
+        .orderBy("feature")),
+    "q354_forecast_backtest" -> ((s, d) => {
+      // seasonal-naive MASE/sMAPE backtest of the q296 daily series:
+      // last 7 days held out, forecast = value 7 days earlier, scale =
+      // in-sample one-step naive MAE — one key shuffle
+      val e = ev(s, d)
+      val series = e.groupBy(col("event_type"),
+          to_date(col("ts")).as("day"))
+        .agg(avg("value").as("v"))
+        .withColumn("di",
+          datediff(col("day"), to_date(lit("1970-01-01"))))
+      graft.ops.Temporal.forecastBacktest(series, col("di"),
+          Seq("event_type"), col("di"), col("v"), period = 7,
+          horizon = 7)
+        .orderBy("event_type")
+    }),
+    "q355_isotonic_by_key" -> ((s, d) =>
+      // per-event-type monotone calibration: the q313 PAV kernel run
+      // inside each key's group — no cross-key coordination
+      graft.ops.Classify.isotonicCalibrateByKey(ev(s, d),
+          col("event_type"), floor(col("value") / 5),
+          (col("user_id") % 97 < col("value")).cast("long"))
+        .orderBy("k", "bin")),
+    "q356_theil_sen" -> ((s, d) => {
+      // robust daily-trend slope per event type: median of pairwise
+      // slopes over the bounded q296 series, explicit two-middle median
+      val e = ev(s, d)
+      val series = e.groupBy(col("event_type"),
+          to_date(col("ts")).as("day"))
+        .agg(avg("value").as("v"))
+        .withColumn("di",
+          datediff(col("day"), to_date(lit("1970-01-01"))))
+      graft.ops.Temporal.theilSenTrend(series, col("di"),
+          Seq("event_type"), col("di"), col("v"), maxPoints = 60)
+        .orderBy("event_type")
+    }),
+    "q357_gapped_sequences" -> ((s, d) =>
+      // gap-allowed 2/3-item behavior patterns over each user's first
+      // 12 events: bounded positional self-joins, support = users
+      graft.ops.Analytics.gappedSequences(ev(s, d), col("user_id"),
+          col("event_type"), col("ts"), col("event_id"),
+          maxEventsPerKey = 12, minSupport = 10)
+        .orderBy("len", "seq"))
   )
 
   /** The q298 oracle: `rounds` unrolled peel passes of the k-core
@@ -9384,6 +9448,187 @@ object OpsQueries {
              (po.dg / t.n - pe.mp / (t.n * t.n)) /
                (1.0 - pe.mp / (t.n * t.n)) END, 4) AS kappa
          FROM t CROSS JOIN po CROSS JOIN pe""",
+
+    "q351_kendall_tau" ->
+      """WITH s AS (SELECT CAST(floor(value / 5) AS DOUBLE) AS x,
+                 CAST(user_id % 100 AS DOUBLE) AS y
+               FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+         cells AS (SELECT x, y, count(*) AS c FROM s GROUP BY x, y),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+         tx AS (SELECT CAST(coalesce(sum(t * (t - 1)), 0) AS BIGINT) AS tpx
+                FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells
+                      GROUP BY x)),
+         ty AS (SELECT CAST(coalesce(sum(t * (t - 1)), 0) AS BIGINT) AS tpy
+                FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells
+                      GROUP BY y)),
+         pr AS (SELECT
+                  CAST(coalesce(sum(CASE WHEN b.y > a.y
+                    THEN a.c * b.c ELSE 0 END), 0) AS BIGINT) AS concordant,
+                  CAST(coalesce(sum(CASE WHEN b.y < a.y
+                    THEN a.c * b.c ELSE 0 END), 0) AS BIGINT) AS discordant
+                FROM cells a JOIN cells b ON a.x < b.x),
+         f AS (SELECT n, concordant, discordant,
+                 n * (n - 1) // 2 AS n0, tpx // 2 AS n1, tpy // 2 AS n2
+               FROM tot, pr, tx, ty)
+         SELECT n, concordant, discordant,
+           round(CASE WHEN n0 > n1 AND n0 > n2 THEN
+             (concordant - discordant) /
+               sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE))
+             END, 4) AS tau_b
+         FROM f""",
+
+    "q352_chao1" ->
+      """WITH tk AS (SELECT source,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '')) AS w
+           FROM documents),
+         wc AS (SELECT source, w, count(*) AS c FROM tk GROUP BY source, w)
+         SELECT source, count(*) AS d_obs,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           count(*) +
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) *
+                  (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1) AS BIGINT) /
+             (2.0 * (CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+               AS BIGINT) + 1)) AS chao1
+         FROM wc GROUP BY source ORDER BY source""",
+
+    // q353: feature/value strings differ between engines (Spark casts
+    // floor() longs, DuckDB doubles) but v is a grouping key only —
+    // the contingency PARTITION is identical, and only per-feature
+    // aggregates surface
+    "q353_feature_screen" ->
+      """WITH m AS (
+           SELECT 'event_type' AS f, event_type AS v,
+                  CAST(value > 50 AS VARCHAR) AS y FROM events
+           UNION ALL
+           SELECT 'user_decile', CAST(user_id % 10 AS VARCHAR),
+                  CAST(value > 50 AS VARCHAR) FROM events
+           UNION ALL
+           SELECT 'value_bin', CAST(floor(value / 20) AS VARCHAR),
+                  CAST(value > 50 AS VARCHAR) FROM events),
+         mm AS (SELECT f, v, y FROM m
+                WHERE v IS NOT NULL AND y IS NOT NULL),
+         cells AS (SELECT f, v, y, count(*) AS o FROM mm GROUP BY f, v, y),
+         vt AS (SELECT f, v, CAST(sum(o) AS BIGINT) AS rv FROM cells
+                GROUP BY f, v),
+         yt AS (SELECT f, y, CAST(sum(o) AS BIGINT) AS cy FROM cells
+                GROUP BY f, y),
+         tt AS (SELECT f, CAST(sum(o) AS DOUBLE) AS n FROM cells GROUP BY f),
+         hx AS (SELECT vt.f, -sum(rv / n * ln(rv / n)) AS hf
+                FROM vt JOIN tt ON vt.f = tt.f GROUP BY vt.f),
+         hy AS (SELECT yt.f, -sum(cy / n * ln(cy / n)) AS hl
+                FROM yt JOIN tt ON yt.f = tt.f GROUP BY yt.f),
+         mi AS (SELECT c.f, sum(o / n * ln(o * n / (rv * CAST(cy AS DOUBLE))))
+                  AS mi0
+                FROM cells c JOIN vt ON vt.f = c.f AND vt.v = c.v
+                  JOIN yt ON yt.f = c.f AND yt.y = c.y
+                  JOIN tt ON tt.f = c.f
+                GROUP BY c.f)
+         SELECT tt.f AS feature, CAST(tt.n AS BIGINT) AS n,
+           round(hy.hl, 4) AS h_label,
+           round(mi.mi0, 4) AS info_gain,
+           round(CASE WHEN hx.hf > 0 THEN mi.mi0 / hx.hf END, 4)
+             AS gain_ratio
+         FROM tt JOIN hy ON hy.f = tt.f JOIN hx ON hx.f = tt.f
+           JOIN mi ON mi.f = tt.f
+         ORDER BY feature""",
+
+    "q354_forecast_backtest" ->
+      """WITH sd AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                 avg(value) AS v FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, v,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY day) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n,
+                 lag(v, 7) OVER (PARTITION BY event_type
+                   ORDER BY day) AS f,
+                 abs(v - lag(v, 1) OVER (PARTITION BY event_type
+                   ORDER BY day)) AS d1
+               FROM sd),
+         g AS (SELECT event_type, any_value(n) AS n,
+                 any_value(n) - 7 AS n_train,
+                 avg(CASE WHEN rn > n - 7 THEN abs(f - v) END) AS mae,
+                 avg(CASE WHEN rn >= 2 AND rn <= n - 7 THEN d1 END)
+                   AS scale,
+                 avg(CASE WHEN rn > n - 7 THEN
+                   CASE WHEN abs(f) + abs(v) > 0 THEN
+                     2.0 * abs(f - v) / (abs(f) + abs(v))
+                   ELSE 0.0 END END) AS smape
+               FROM w WHERE n >= 15 GROUP BY event_type)
+         SELECT event_type, n, n_train, mae,
+           CASE WHEN scale > 0 THEN mae / scale END AS mase, smape
+         FROM g ORDER BY event_type""",
+
+    // q355: per-key min-max identity replay of the per-key PAV —
+    // max_{i<=k} min_{j>=k} avg(i..j) within each event_type
+    "q355_isotonic_by_key" ->
+      """WITH s AS (SELECT event_type AS k,
+                 CAST(floor(value / 5) AS BIGINT) AS bin,
+                 CAST(user_id % 97 < value AS BIGINT) AS y FROM events),
+         b AS (SELECT k, bin, count(*) AS n, sum(y) AS pos
+               FROM s GROUP BY k, bin),
+         c AS (SELECT k, bin, CAST(n AS BIGINT) AS n,
+                 CAST(pos AS BIGINT) AS pos,
+                 row_number() OVER (PARTITION BY k ORDER BY bin) AS r,
+                 CAST(sum(n) OVER (PARTITION BY k ORDER BY bin)
+                   AS BIGINT) AS cn,
+                 CAST(sum(pos) OVER (PARTITION BY k ORDER BY bin)
+                   AS BIGINT) AS cp FROM b),
+         pr AS (SELECT i.k, i.r AS i, j.r AS j,
+                  CAST(j.cp - i.cp + i.pos AS DOUBLE) /
+                    (j.cn - i.cn + i.n) AS m
+                FROM c i JOIN c j ON i.k = j.k AND i.r <= j.r),
+         mn AS (SELECT pr.k, pr.i, x.r AS xr, min(pr.m) AS v
+                FROM pr JOIN c x ON x.k = pr.k AND pr.i <= x.r
+                  AND pr.j >= x.r
+                GROUP BY pr.k, pr.i, x.r),
+         fit AS (SELECT k, xr, max(v) AS cal FROM mn GROUP BY k, xr)
+         SELECT c.k, c.bin, c.n, c.pos,
+           CAST(c.pos AS DOUBLE) / c.n AS rate,
+           f.cal AS calibrated
+         FROM c JOIN fit f ON f.k = c.k AND f.xr = c.r
+         ORDER BY c.k, c.bin""",
+
+    "q356_theil_sen" ->
+      """WITH sd AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                 avg(value) AS v FROM events GROUP BY 1, 2),
+         p AS (SELECT event_type,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY day) AS rn,
+                 CAST(date_diff('day', DATE '1970-01-01', day)
+                   AS DOUBLE) AS t, v
+               FROM sd),
+         pr AS (SELECT a.event_type, (b.v - a.v) / (b.t - a.t) AS slope
+                FROM p a JOIN p b ON a.event_type = b.event_type
+                  AND a.rn < b.rn AND a.t <> b.t),
+         r AS (SELECT event_type, slope,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY slope) AS sr,
+                 count(*) OVER (PARTITION BY event_type) AS m FROM pr)
+         SELECT event_type, any_value(m) AS n_pairs,
+           sum(slope) / count(*) AS slope
+         FROM r WHERE sr = (m + 1) // 2 OR sr = (m + 2) // 2
+         GROUP BY event_type ORDER BY event_type""",
+
+    "q357_gapped_sequences" ->
+      """WITH p AS (SELECT user_id AS k, event_type AS tp,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS i
+               FROM events QUALIFY i <= 12),
+         two AS (SELECT a.k, a.i AS i1, b.i AS i2,
+                   a.tp || '->' || b.tp AS seq
+                 FROM p a JOIN p b ON a.k = b.k AND a.i < b.i),
+         three AS (SELECT t.k, t.seq || '->' || c.tp AS seq
+                   FROM two t JOIN p c ON t.k = c.k AND t.i2 < c.i),
+         al AS (SELECT k, seq, 2 AS len FROM two
+                UNION ALL SELECT k, seq, 3 FROM three),
+         g AS (SELECT seq, len, k, count(*) AS c FROM al
+               GROUP BY 1, 2, 3)
+         SELECT seq, CAST(len AS BIGINT) AS len, count(*) AS support,
+           CAST(sum(c) AS BIGINT) AS occurrences
+         FROM g GROUP BY seq, len HAVING count(*) >= 10
+         ORDER BY len, seq""",
 
     "q343_katz" -> katzOracle(alphaPct = 10, iters = 3),
 

@@ -164,6 +164,18 @@ object ScaleRehearsal {
           .distinct().filter(col("id") % 997 === 0)
         graft.ops.Graph.ssspBellmanFord(dir, col("s"), col("t"),
           col("w"), seeds, col("id"), rounds = 6)
+      },
+      // round-11: pivot-sampled Brandes. The pivot BUDGET is fixed (2 —
+      // a sample size, independent of graph size by design), so the
+      // measured question is the right one: the cost of one bounded-
+      // depth Brandes pass whose frontier joins shuffle the ×N edge
+      // table each round.
+      "q344_betweenness" -> { e =>
+        val cand = e.select(col("a").as("id"))
+          .unionAll(e.select(col("b").as("id")))
+          .distinct().filter(col("id") % 997 === 0)
+        graft.ops.Graph.betweennessApprox(e, col("a"), col("b"), cand,
+          col("id"), maxPivots = 2, maxDepth = 4)
       })
 
     val eventFamilies: Seq[(String, DataFrame => DataFrame)] = Seq(
