@@ -1054,6 +1054,24 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
       col(timeCol), col(tiebreakCol), maxEventsPerKey, minSupport)
   }
 
+  /** [[graft.ops.Experiment.bootstrapMeanCI]] with name-based columns:
+    * md5-deterministic Poisson-bootstrap CI for the mean. */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, valCol: String,
+      nBoot: Int = 200, alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.bootstrapMeanCI(df, col(idCol), col(valCol),
+      nBoot, alpha)
+  }
+
+  /** [[graft.ops.TextAnalysis.bleuPairs]] with name-based columns:
+    * compiled per-partition BLEU-2 over a bounded pair frame. */
+  def bleuPairs(pairs: DataFrame, aIdCol: String, bIdCol: String,
+      refTextCol: String, candTextCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.TextAnalysis.bleuPairs(pairs, col(aIdCol), col(bIdCol),
+      col(refTextCol), col(candTextCol))
+  }
+
   /** [[graft.ops.Analytics.activeUsersAudit]] with name-based columns:
     * the self-certifying exact-vs-HLL rolling active-users audit. */
   def activeUsersAudit(events: DataFrame, keyCol: String, timeCol: String,

@@ -389,6 +389,76 @@ object Experiment {
           .as("rho"))
   }
 
+  /** Cumulative Poisson(1) probabilities P(X ≤ k) for k = 0..7 — the
+    * inverse-CDF thresholds of the [[bootstrapMeanCI]] weight draw,
+    * exposed so the oracle SQL formats the IDENTICAL double constants
+    * (one source of truth, the PiiSql stance). Weights are capped at 8:
+    * P(X > 8) ≈ 1.1e-6, and the cap is applied identically in both
+    * engines so determinism survives. */
+  val poissonCum: Seq[Double] = {
+    val e1 = math.exp(-1.0)
+    (0 to 7).map(k =>
+      (0 to k).map(j => e1 / (1 to j).foldLeft(1.0)(_ * _)).sum)
+  }
+
+  /** Poisson bootstrap confidence interval for the mean — the bootstrap
+    * that actually distributes: instead of materializing B resamples of
+    * n rows, every row contributes an independent Poisson(1) count to
+    * each replicate (the standard large-n approximation of multinomial
+    * resampling), so one fanned pass with map-side combine collapses to
+    * B replicate rows. The weight draw is md5-DETERMINISTIC
+    * (`u = hex15(id:b) / 2⁶⁰` against [[poissonCum]]), making the whole
+    * interval engine-replayable. CI bounds are NEAREST-RANK order
+    * statistics of the B replicate means (`⌈α/2·B⌉`-th and
+    * `⌈(1−α/2)·B⌉`-th) — explicit row selection, no interpolation, the
+    * [[graft.ops.Temporal.theilSenTrend]] stance. Output ONE row
+    * `(n, n_boot, mean, lo, hi)` — ratio columns UNROUNDED.
+    *
+    * Scale shape: the fan-out ships only (v, replicate) pairs and
+    * partial-aggregates to B rows per partition; the rank window sees B
+    * rows total (bounded by construction). */
+  def bootstrapMeanCI(df: DataFrame, idCol: Column, valCol: Column,
+      nBoot: Int = 200, alpha: Double = 0.05): DataFrame = {
+    require(nBoot >= 4 && nBoot <= 10000,
+      "bootstrapMeanCI: nBoot in [4, 10000]")
+    require(alpha > 0 && alpha < 1, "bootstrapMeanCI: alpha in (0, 1)")
+    val s = df.select(idCol.cast("long").as("id"),
+        valCol.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .localCheckpoint(eager = true) // read twice: moments + fan-out
+    val fanned = s.select(col("id"), col("v"),
+        explode(sequence(lit(0), lit(nBoot - 1))).as("b"))
+      .withColumn("u", graft.expr.PortableHash.hex15Col(
+        concat(col("id").cast("string"), lit(":"),
+          col("b").cast("string"))).cast("double") /
+        lit(1152921504606846976.0)) // 2^60
+    val w = poissonCum.zipWithIndex.reverse.foldLeft(lit(8L)) {
+      case (acc, (c, k)) => when(col("u") < lit(c), lit(k.toLong))
+        .otherwise(acc)
+    }
+    val reps = fanned.withColumn("w", w)
+      .groupBy("b")
+      .agg(sum(col("w") * col("v")).as("sv"), sum("w").as("sw"))
+      .filter(col("sw") > 0)
+      .select(col("b"), (col("sv") / col("sw")).as("m"))
+    val loRank = math.max(1, math.ceil(alpha / 2 * nBoot).toInt)
+    val hiRank = math.min(nBoot, math.ceil((1 - alpha / 2) * nBoot).toInt)
+    // unpartitioned window over the B replicate rows only — bounded by
+    // nBoot by construction
+    val rw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("m").asc, col("b").asc)
+    val ranked = reps.withColumn("r", row_number().over(rw))
+      .localCheckpoint(eager = true) // read twice: lo + hi selections
+    val tot = s.agg(count(lit(1)).as("n"),
+      (sum("v") / count(lit(1))).as("mean"))
+    tot.crossJoin(broadcast(ranked.filter(col("r") === loRank)
+        .select(col("m").as("lo"))))
+      .crossJoin(broadcast(ranked.filter(col("r") === hiRank)
+        .select(col("m").as("hi"))))
+      .select(col("n"), lit(nBoot.toLong).as("n_boot"), col("mean"),
+        col("lo"), col("hi"))
+  }
+
   /** Kendall's tau-b — the concordance-based rank association, the
     * companion to [[spearmanCorr]] that a pair-level story needs
     * (probability a random pair is concordant minus discordant,

@@ -761,6 +761,75 @@ object TextAnalysis {
           (lit(2.0) * (col("f2") + 1))).as("chao1"))
   }
 
+  /** Pairwise BLEU-2 (Papineni et al. 2002) — n-gram-precision
+    * similarity for PAIRED texts: clipped unigram+bigram precision of
+    * the candidate against the reference, geometric-mean combined,
+    * times the brevity penalty `min(1, e^(1−r/c))`. The
+    * dedup-adjudication / paraphrase-eval metric the set-based Jaccard
+    * family can't express (BLEU sees n-gram ORDER and multiplicity).
+    * Takes an already-bounded pair frame (LSH candidates, eval pairs);
+    * any zero n-gram precision — including a candidate shorter than 2
+    * tokens — scores 0, the unsmoothed convention. Output
+    * `(a_id, b_id, n_ref, n_cand, bleu)` (4dp).
+    *
+    * Scale shape: the clipped counting is a COMPILED per-partition
+    * kernel (hash-map counts, O(len) per pair) — a first cut as
+    * Catalyst `aggregate`/`filter` HOF folds was interpreted
+    * CodegenFallback eval at O(distinct·len) per pair and 160× slower
+    * (the PLANS.md q131 lesson re-learned); the bounded pair frame is
+    * explicitly repartitioned first so a tiny one-row-group input
+    * doesn't serialize the kernel onto one task. */
+  def bleuPairs(pairs: DataFrame, aIdCol: Column, bIdCol: Column,
+      refText: Column, candText: Column): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val n = spark.sessionState.conf.numShufflePartitions
+    val base = pairs.select(aIdCol.cast("long").as("a_id"),
+        bIdCol.cast("long").as("b_id"),
+        refText.cast("string").as("ta"), candText.cast("string").as("tb"))
+      .repartition(n, col("a_id"), col("b_id"))
+      .as[(Long, Long, String, String)]
+    base.mapPartitions { rows =>
+      def toks(s: String): Array[String] =
+        if (s == null) Array.empty
+        else s.trim.split("\\s+").filter(_.nonEmpty)
+      def countMap(xs: Array[String]) = {
+        val m = scala.collection.mutable.HashMap.empty[String, Int]
+        xs.foreach(t => m.update(t, m.getOrElse(t, 0) + 1))
+        m
+      }
+      def clipped(cand: Array[String], ref: Array[String]): Long = {
+        val rm = countMap(ref)
+        countMap(cand).iterator
+          .map { case (t, k) => math.min(k, rm.getOrElse(t, 0)).toLong }
+          .sum
+      }
+      def big(t: Array[String]): Array[String] =
+        if (t.length < 2) Array.empty
+        else Array.tabulate(t.length - 1)(i => t(i) + " " + t(i + 1))
+      rows.map { case (a, b, sa, sb) =>
+        val ta = toks(sa); val tb = toks(sb)
+        val r = ta.length.toLong; val c = tb.length.toLong
+        val m1 = clipped(tb, ta).toDouble
+        val m2 = if (c >= 2) clipped(big(tb), big(ta)).toDouble else 0.0
+        val p1 = if (c > 0) m1 / c else 0.0
+        val p2 = if (c >= 2) m2 / (c - 1) else 0.0
+        val bp =
+          if (c == 0) 0.0
+          else if (c >= r) 1.0
+          else math.exp(1.0 - r.toDouble / c)
+        val bleu =
+          if (p1 > 0 && p2 > 0)
+            bp * math.exp((math.log(p1) + math.log(p2)) / 2)
+          else 0.0
+        (a, b, r, c, bleu)
+      }
+    }.toDF("a_id", "b_id", "n_ref", "n_cand", "bleu")
+      // round via the Spark expression so the 4dp path is the same one
+      // every other oracle-compared double takes
+      .withColumn("bleu", round(col("bleu"), 4))
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
     * Extraction from Individual Documents") — per-document candidate
     * phrases are the maximal stopword-free token runs (capped at

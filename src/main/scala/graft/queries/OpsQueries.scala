@@ -3445,7 +3445,31 @@ object OpsQueries {
       graft.ops.Analytics.gappedSequences(ev(s, d), col("user_id"),
           col("event_type"), col("ts"), col("event_id"),
           maxEventsPerKey = 12, minSupport = 10)
-        .orderBy("len", "seq"))
+        .orderBy("len", "seq")),
+    "q358_bootstrap_ci" -> ((s, d) =>
+      // md5-deterministic Poisson bootstrap of the mean event value:
+      // the fan-out ships (v, replicate) pairs only and partial-aggs
+      // to 200 replicate rows; CI = nearest-rank order statistics
+      graft.ops.Experiment.bootstrapMeanCI(ev(s, d), col("event_id"),
+        col("value"), nBoot = 200, alpha = 0.05)),
+    "q359_bleu_pairs" -> ((s, d) => {
+      // BLEU-2 over the q43 LSH candidate pairs: n-gram-precision
+      // similarity (order + multiplicity) where Jaccard sees only
+      // sets — row-local scoring on the bounded candidate frame
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .filter(col("doc_id") < 200)
+      val pairs = graft.ops.Dedup.lshCandidatePairs(docs, col("doc_id"),
+        col("text"), shingleSize = 1)
+      val withTexts = pairs
+        .join(docs.select(col("doc_id").as("a_id"),
+          col("text").as("ta")), "a_id")
+        .join(docs.select(col("doc_id").as("b_id"),
+          col("text").as("tb")), "b_id")
+      graft.ops.TextAnalysis.bleuPairs(withTexts, col("a_id"),
+          col("b_id"), col("ta"), col("tb"))
+        .orderBy("a_id", "b_id")
+    })
   )
 
   /** The q298 oracle: `rounds` unrolled peel passes of the k-core
@@ -9629,6 +9653,74 @@ object OpsQueries {
            CAST(sum(c) AS BIGINT) AS occurrences
          FROM g GROUP BY seq, len HAVING count(*) >= 10
          ORDER BY len, seq""",
+
+    // q358: the Poisson thresholds interpolate from the ONE Scala
+    // source (Experiment.poissonCum) — shortest-repr doubles round-trip
+    "q358_bootstrap_ci" -> {
+      val caseW = graft.ops.Experiment.poissonCum.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }
+        .mkString(" ")
+      val loR = math.max(1, math.ceil(0.025 * 200).toInt)
+      val hiR = math.min(200, math.ceil(0.975 * 200).toInt)
+      s"""WITH s AS (SELECT event_id AS id, value AS v FROM events
+               WHERE value IS NOT NULL),
+         f AS (SELECT id, v, unnest(range(0, 200)) AS b FROM s),
+         uu AS (SELECT v, b,
+                  CAST('0x' || substr(md5(CAST(id AS VARCHAR) || ':' ||
+                    CAST(b AS VARCHAR)), 1, 15) AS BIGINT)
+                    / 1152921504606846976.0 AS u
+                FROM f),
+         w AS (SELECT v, b, CASE $caseW ELSE 8 END AS w FROM uu),
+         reps AS (SELECT b, sum(w * v) AS sv, CAST(sum(w) AS BIGINT) AS sw
+                  FROM w GROUP BY b),
+         m AS (SELECT b, sv / sw AS m FROM reps WHERE sw > 0),
+         r AS (SELECT m, row_number() OVER (ORDER BY m, b) AS r FROM m),
+         t AS (SELECT count(*) AS n, sum(v) / count(*) AS mean FROM s)
+         SELECT t.n, CAST(200 AS BIGINT) AS n_boot, t.mean,
+           lo.m AS lo, hi.m AS hi
+         FROM t, (SELECT m FROM r WHERE r = $loR) lo,
+              (SELECT m FROM r WHERE r = $hiR) hi"""
+    },
+
+    "q359_bleu_pairs" ->
+      s"""WITH ${PortableSql.minhashVerifiedPairCtes},
+         dt AS (SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x <> '') AS tk
+                FROM documents WHERE doc_id < 200),
+         pairx AS (SELECT c.a_id, c.b_id, a.tk AS ta, b.tk AS tb
+                   FROM cand c JOIN dt a ON a.doc_id = c.a_id
+                     JOIN dt b ON b.doc_id = c.b_id),
+         gg AS (SELECT a_id, b_id, len(ta) AS r, len(tb) AS c, ta, tb,
+                  list_transform(range(len(ta) - 1),
+                    i -> ta[i + 1] || ' ' || ta[i + 2]) AS ga2,
+                  list_transform(range(len(tb) - 1),
+                    i -> tb[i + 1] || ' ' || tb[i + 2]) AS gb2
+                FROM pairx),
+         sc AS (SELECT a_id, b_id, r, c,
+                  CAST(coalesce(list_sum(list_transform(list_distinct(tb),
+                    t -> least(len(list_filter(tb, x -> x = t)),
+                               len(list_filter(ta, x -> x = t))))), 0)
+                    AS DOUBLE) AS m1,
+                  CASE WHEN c >= 2 THEN
+                    CAST(coalesce(list_sum(list_transform(
+                      list_distinct(gb2),
+                      t -> least(len(list_filter(gb2, x -> x = t)),
+                                 len(list_filter(ga2, x -> x = t))))), 0)
+                      AS DOUBLE)
+                  ELSE 0.0 END AS m2
+                FROM gg),
+         pp AS (SELECT a_id, b_id, r, c,
+                  CASE WHEN c > 0 THEN m1 / c ELSE 0.0 END AS p1,
+                  CASE WHEN c >= 2 THEN m2 / (c - 1) ELSE 0.0 END AS p2,
+                  CASE WHEN c = 0 THEN 0.0 WHEN c >= r THEN 1.0
+                    ELSE exp(1.0 - CAST(r AS DOUBLE) / c) END AS bp
+                FROM sc)
+         SELECT a_id, b_id, CAST(r AS BIGINT) AS n_ref,
+           CAST(c AS BIGINT) AS n_cand,
+           round(CASE WHEN p1 > 0 AND p2 > 0 THEN
+             bp * exp((ln(p1) + ln(p2)) / 2) ELSE 0.0 END, 4) AS bleu
+         FROM pp ORDER BY a_id, b_id""",
 
     "q343_katz" -> katzOracle(alphaPct = 10, iters = 3),
 

@@ -166,6 +166,56 @@ class Wave8Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains(("C->A", 2L)))
   }
 
+  test("bleuPairs: clipped precision, brevity penalty, degenerate " +
+      "candidates") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, "the cat sat on the mat", "the cat the cat on the mat"),
+      (2L, "a b c", "a b c"),
+      (3L, "a b c", "x y z"),
+      (4L, "a b c d", "a"),
+      (5L, "a b", "a b c d")).toDF("id", "ra", "ca")
+    val out = TextAnalysis.bleuPairs(pairs, col("id"), col("id"),
+        col("ra"), col("ca"))
+      .collect().map(r => r.getAs[Long]("a_id") -> r).toMap
+    // clipping: p1 = 5/7 (the×2, cat×1, on, mat), p2 = 3/6, bp = 1
+    val expect1 = BigDecimal(math.sqrt(5.0 / 7 * 0.5)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L).getAs[Double]("bleu") == expect1)
+    assert(out(1L).getAs[Long]("n_ref") == 6L &&
+      out(1L).getAs[Long]("n_cand") == 7L)
+    assert(out(2L).getAs[Double]("bleu") == 1.0) // identity
+    assert(out(3L).getAs[Double]("bleu") == 0.0) // disjoint
+    assert(out(4L).getAs[Double]("bleu") == 0.0) // 1-token candidate
+    // long candidate: no brevity penalty, but precision dilutes:
+    // p1 = 2/4, p2 = 1/3, bp = 1
+    val expect5 = BigDecimal(math.sqrt(0.5 / 3)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(5L).getAs[Double]("bleu") == expect5)
+  }
+
+  test("bootstrapMeanCI: deterministic, degenerate-constant collapse, " +
+      "bracket on a spread sample") {
+    import spark.implicits._
+    val const = (1L to 50L).map(i => (i, 5.0)).toDF("id", "v")
+    val rc = Experiment.bootstrapMeanCI(const, col("id"), col("v"),
+      nBoot = 50).head()
+    assert(rc.getAs[Double]("mean") == 5.0 &&
+      rc.getAs[Double]("lo") == 5.0 && rc.getAs[Double]("hi") == 5.0)
+    assert(rc.getAs[Long]("n") == 50L && rc.getAs[Long]("n_boot") == 50L)
+    val spread = (1L to 200L).map(i => (i, (i % 11).toDouble))
+      .toDF("id", "v")
+    val r1 = Experiment.bootstrapMeanCI(spread, col("id"), col("v"),
+      nBoot = 100).head()
+    val r2 = Experiment.bootstrapMeanCI(spread, col("id"), col("v"),
+      nBoot = 100).head()
+    assert(r1 == r2, "md5 draw must be deterministic across runs")
+    assert(r1.getAs[Double]("lo") < r1.getAs[Double]("mean") &&
+      r1.getAs[Double]("mean") < r1.getAs[Double]("hi"))
+    assert(r1.getAs[Double]("hi") - r1.getAs[Double]("lo") < 2.0,
+      "a 200-point CI on an sd~3 sample should be sub-unit wide")
+  }
+
   test("activeUsersAudit: exact rolling counts plus in-tolerance " +
       "booleans (HLL is exact in sparse mode)") {
     import spark.implicits._
