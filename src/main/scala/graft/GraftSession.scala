@@ -1063,6 +1063,16 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
       nBoot, alpha)
   }
 
+  /** [[graft.ops.Experiment.bootstrapDiffCI]] with name-based columns:
+    * two-sample Poisson-bootstrap CI for a difference of means. */
+  def bootstrapDiffCI(df: DataFrame, idCol: String, armCol: String,
+      valCol: String, armA: String, armB: String, nBoot: Int = 200,
+      alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.bootstrapDiffCI(df, col(idCol), col(armCol),
+      col(valCol), armA, armB, nBoot, alpha)
+  }
+
   /** [[graft.ops.TextAnalysis.bleuPairs]] with name-based columns:
     * compiled per-partition BLEU-2 over a bounded pair frame. */
   def bleuPairs(pairs: DataFrame, aIdCol: String, bIdCol: String,

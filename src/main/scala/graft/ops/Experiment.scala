@@ -459,6 +459,69 @@ object Experiment {
         col("lo"), col("hi"))
   }
 
+  /** Two-sample Poisson-bootstrap CI for a DIFFERENCE of means — the
+    * A/B-experiment readout [[bootstrapMeanCI]]'s machinery was built
+    * for: each replicate draws independent Poisson(1) weights for both
+    * arms (ids are globally unique, so one md5 stream serves both) and
+    * reports `mean_A − mean_B`; the CI is the nearest-rank band of the
+    * B replicate differences. Distribution-free — the variance-formula
+    * assumptions the z/t tests lean on are never invoked. Output ONE
+    * row `(n_a, n_b, n_boot, diff, lo, hi)` — ratio columns UNROUNDED.
+    * Same scale shape as [[bootstrapMeanCI]]: the fan-out
+    * partial-aggregates to B rows. */
+  def bootstrapDiffCI(df: DataFrame, idCol: Column, armCol: Column,
+      valCol: Column, armA: String, armB: String, nBoot: Int = 200,
+      alpha: Double = 0.05): DataFrame = {
+    require(nBoot >= 4 && nBoot <= 10000,
+      "bootstrapDiffCI: nBoot in [4, 10000]")
+    require(alpha > 0 && alpha < 1, "bootstrapDiffCI: alpha in (0, 1)")
+    require(armA != armB, "bootstrapDiffCI: arms must differ")
+    val s = df.select(idCol.cast("long").as("id"),
+        armCol.cast("string").as("arm"), valCol.cast("double").as("v"))
+      .filter(col("v").isNotNull && col("arm").isin(armA, armB))
+      .localCheckpoint(eager = true) // read twice: moments + fan-out
+    val fanned = s.select(col("id"), col("arm"), col("v"),
+        explode(sequence(lit(0), lit(nBoot - 1))).as("b"))
+      .withColumn("u", graft.expr.PortableHash.hex15Col(
+        concat(col("id").cast("string"), lit(":"),
+          col("b").cast("string"))).cast("double") /
+        lit(1152921504606846976.0))
+    val w = poissonCum.zipWithIndex.reverse.foldLeft(lit(8L)) {
+      case (acc, (c, k)) => when(col("u") < lit(c), lit(k.toLong))
+        .otherwise(acc)
+    }
+    val reps = fanned.withColumn("w", w)
+      .groupBy("b")
+      .agg(
+        sum(when(col("arm") === armA, col("w") * col("v"))).as("sva"),
+        sum(when(col("arm") === armA, col("w"))).as("swa"),
+        sum(when(col("arm") === armB, col("w") * col("v"))).as("svb"),
+        sum(when(col("arm") === armB, col("w"))).as("swb"))
+      .filter(col("swa") > 0 && col("swb") > 0)
+      .select(col("b"),
+        (col("sva") / col("swa") - col("svb") / col("swb")).as("m"))
+    val loRank = math.max(1, math.ceil(alpha / 2 * nBoot).toInt)
+    val hiRank = math.min(nBoot, math.ceil((1 - alpha / 2) * nBoot).toInt)
+    val rw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("m").asc, col("b").asc)
+    // unpartitioned window over B replicate rows only — nBoot-bounded
+    val ranked = reps.withColumn("r", row_number().over(rw))
+      .localCheckpoint(eager = true) // read twice: lo + hi selections
+    val tot = s.agg(
+      sum(when(col("arm") === armA, 1L)).as("n_a"),
+      sum(when(col("arm") === armB, 1L)).as("n_b"),
+      (sum(when(col("arm") === armA, col("v"))) /
+        sum(when(col("arm") === armA, 1L)) -
+        sum(when(col("arm") === armB, col("v"))) /
+          sum(when(col("arm") === armB, 1L))).as("diff"))
+    tot.crossJoin(broadcast(ranked.filter(col("r") === loRank)
+        .select(col("m").as("lo"))))
+      .crossJoin(broadcast(ranked.filter(col("r") === hiRank)
+        .select(col("m").as("hi"))))
+      .select(col("n_a"), col("n_b"), lit(nBoot.toLong).as("n_boot"),
+        col("diff"), col("lo"), col("hi"))
+  }
+
   /** Kendall's tau-b — the concordance-based rank association, the
     * companion to [[spearmanCorr]] that a pair-level story needs
     * (probability a random pair is concordant minus discordant,

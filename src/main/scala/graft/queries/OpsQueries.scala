@@ -3469,7 +3469,14 @@ object OpsQueries {
       graft.ops.TextAnalysis.bleuPairs(withTexts, col("a_id"),
           col("b_id"), col("ta"), col("tb"))
         .orderBy("a_id", "b_id")
-    })
+    }),
+    "q360_bootstrap_diff" -> ((s, d) =>
+      // distribution-free A/B readout: Poisson-bootstrap CI for the
+      // click-vs-view mean-value difference — same B-row partial-agg
+      // shape as q358, both arms drawn from one md5 stream
+      graft.ops.Experiment.bootstrapDiffCI(ev(s, d), col("event_id"),
+        col("event_type"), col("value"), armA = "click", armB = "view",
+        nBoot = 200, alpha = 0.05))
   )
 
   /** The q298 oracle: `rounds` unrolled peel passes of the k-core
@@ -9677,6 +9684,49 @@ object OpsQueries {
          r AS (SELECT m, row_number() OVER (ORDER BY m, b) AS r FROM m),
          t AS (SELECT count(*) AS n, sum(v) / count(*) AS mean FROM s)
          SELECT t.n, CAST(200 AS BIGINT) AS n_boot, t.mean,
+           lo.m AS lo, hi.m AS hi
+         FROM t, (SELECT m FROM r WHERE r = $loR) lo,
+              (SELECT m FROM r WHERE r = $hiR) hi"""
+    },
+
+    "q360_bootstrap_diff" -> {
+      val caseW = graft.ops.Experiment.poissonCum.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }
+        .mkString(" ")
+      val loR = math.max(1, math.ceil(0.025 * 200).toInt)
+      val hiR = math.min(200, math.ceil(0.975 * 200).toInt)
+      s"""WITH s AS (SELECT event_id AS id, event_type AS arm, value AS v
+               FROM events WHERE value IS NOT NULL
+                 AND event_type IN ('click', 'view')),
+         f AS (SELECT id, arm, v, unnest(range(0, 200)) AS b FROM s),
+         uu AS (SELECT arm, v, b,
+                  CAST('0x' || substr(md5(CAST(id AS VARCHAR) || ':' ||
+                    CAST(b AS VARCHAR)), 1, 15) AS BIGINT)
+                    / 1152921504606846976.0 AS u
+                FROM f),
+         w AS (SELECT arm, v, b, CASE $caseW ELSE 8 END AS w FROM uu),
+         reps AS (SELECT b,
+             sum(CASE WHEN arm = 'click' THEN w * v END) AS sva,
+             CAST(sum(CASE WHEN arm = 'click' THEN w END) AS BIGINT)
+               AS swa,
+             sum(CASE WHEN arm = 'view' THEN w * v END) AS svb,
+             CAST(sum(CASE WHEN arm = 'view' THEN w END) AS BIGINT)
+               AS swb
+           FROM w GROUP BY b),
+         m AS (SELECT b, sva / swa - svb / swb AS m FROM reps
+               WHERE swa > 0 AND swb > 0),
+         r AS (SELECT m, row_number() OVER (ORDER BY m, b) AS r FROM m),
+         t AS (SELECT
+             CAST(sum(CASE WHEN arm = 'click' THEN 1 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN arm = 'view' THEN 1 END) AS BIGINT)
+               AS n_b,
+             sum(CASE WHEN arm = 'click' THEN v END) /
+               sum(CASE WHEN arm = 'click' THEN 1 END) -
+               sum(CASE WHEN arm = 'view' THEN v END) /
+                 sum(CASE WHEN arm = 'view' THEN 1 END) AS diff
+           FROM s)
+         SELECT t.n_a, t.n_b, CAST(200 AS BIGINT) AS n_boot, t.diff,
            lo.m AS lo, hi.m AS hi
          FROM t, (SELECT m FROM r WHERE r = $loR) lo,
               (SELECT m FROM r WHERE r = $hiR) hi"""

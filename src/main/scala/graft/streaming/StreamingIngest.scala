@@ -594,6 +594,82 @@ object StreamingOps {
     }
   }
 
+  final case class KendallRow(k: String, n: Long, concordant: Long,
+      discordant: Long, tau_b: Option[Double])
+
+  /** Streaming twin of [[graft.ops.Experiment.kendallTau]] — the same
+    * counted (x, y)-cell state as [[streamingSpearman]] (ONE state
+    * serves both readouts; this op keeps its own copy so the two
+    * streams stay independent), with the tau-b concordance readout
+    * recomputed per batch: C/D from the cell-pair double loop (|cells|²
+    * per key per batch — the discretized-metric contract), tie counts
+    * from the margins, `τ_b = (C − D)/√((n₀−n₁)(n₀−n₂))`. Integer
+    * arithmetic end to end, so the last emission equals the batch
+    * statistic exactly. Input columns: `k STRING, x DOUBLE,
+    * y DOUBLE`. */
+  def streamingKendall(pairs: DataFrame, maxCells: Int = 2000)
+      : org.apache.spark.sql.Dataset[KendallRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(maxCells >= 1, "streamingKendall: maxCells >= 1")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val typed = pairs
+      .select(col("k").cast("string"), col("x").cast("double"),
+        col("y").cast("double"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .as[(String, Double, Double)]
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (key: String, rows: Iterator[(String, Double, Double)],
+       state: GroupState[PairCellState]) =>
+        val m = scala.collection.mutable.HashMap.empty[(Double, Double), Long]
+        state.getOption.foreach(_.cells.foreach { case (x, y, c) =>
+          m.update((x, y), c) })
+        rows.foreach { case (_, x, y) =>
+          m.update((x, y), m.getOrElse((x, y), 0L) + 1L) }
+        if (m.size > maxCells) throw new IllegalStateException(
+          s"streamingKendall: > $maxCells distinct (x, y) cells for " +
+            s"key '$key' — the |cells|^2 readout needs binned metrics; " +
+            "bin upstream or raise maxCells")
+        state.update(PairCellState(m.toSeq.map { case ((x, y), c) =>
+          (x, y, c) }))
+        if (m.isEmpty) Iterator.empty
+        else {
+          val cells = m.toArray
+          var cc = 0L; var dd = 0L
+          var i = 0
+          while (i < cells.length) {
+            var j = 0
+            while (j < cells.length) {
+              val ((xi, yi), ci) = cells(i)
+              val ((xj, yj), cj) = cells(j)
+              if (xi < xj) {
+                if (yj > yi) cc += ci * cj
+                else if (yj < yi) dd += ci * cj
+              }
+              j += 1
+            }
+            i += 1
+          }
+          val n = m.values.sum
+          val tpx = m.groupBy(_._1._1).values
+            .map(cs => { val t = cs.values.sum; t * (t - 1) }).sum
+          val tpy = m.groupBy(_._1._2).values
+            .map(cs => { val t = cs.values.sum; t * (t - 1) }).sum
+          val n0 = n * (n - 1) / 2
+          val n1 = tpx / 2; val n2 = tpy / 2
+          def r4(v: Double) = BigDecimal(v)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val tau =
+            if (n0 > n1 && n0 > n2)
+              Some(r4((cc - dd) /
+                math.sqrt((n0 - n1).toDouble * (n0 - n2).toDouble)))
+            else None
+          Iterator.single(KendallRow(key, n, cc, dd, tau))
+        }
+    }
+  }
+
   final case class LabelCellState(cells: Seq[(String, String, Long)])
   final case class KappaRow(k: String, n: Long, po: Double, pe: Double,
       kappa: Option[Double])

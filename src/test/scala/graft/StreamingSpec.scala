@@ -829,6 +829,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop(); q2.stop()
   }
 
+  test("streamingKendall: counted-cell state replays the batch tau-b " +
+      "across batches, integer C/D exact") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b1 = Seq(("A", 1.0, 2.0), ("A", 1.0, 3.0), ("A", 2.0, 3.0),
+      ("A", 3.0, 1.0))
+    val b2 = Seq(("A", 2.0, 2.0), ("A", 4.0, 5.0), ("A", 1.0, 2.0))
+    val input = MemoryStream[(String, Double, Double)]
+    val q = StreamingOps.streamingKendall(
+        input.toDF().toDF("k", "x", "y"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("kend").start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    val last = spark.sql("SELECT * FROM kend ORDER BY n DESC LIMIT 1")
+      .collect()(0)
+    val batch = graft.ops.Experiment.kendallTau(
+        (b1 ++ b2).toDF("k", "x", "y"),
+        org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("y")).head()
+    assert(last.getAs[Long]("n") == batch.getAs[Long]("n"))
+    assert(last.getAs[Long]("concordant") ==
+      batch.getAs[Long]("concordant"))
+    assert(last.getAs[Long]("discordant") ==
+      batch.getAs[Long]("discordant"))
+    assert(last.getAs[Double]("tau_b") == batch.getAs[Double]("tau_b"))
+    q.stop()
+  }
+
   test("streamingKappa: contingency state replays the batch kappa; " +
       "disjoint label sets give pe = 0, kappa = po") {
     import spark.implicits._

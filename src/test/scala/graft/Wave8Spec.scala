@@ -216,6 +216,28 @@ class Wave8Spec extends AnyFunSuite with BeforeAndAfterAll {
       "a 200-point CI on an sd~3 sample should be sub-unit wide")
   }
 
+  test("bootstrapDiffCI: zero-difference arms collapse, a real shift " +
+      "is bracketed away from zero") {
+    import spark.implicits._
+    val same = ((1L to 40L).map(i => (i, "a", 7.0)) ++
+      (41L to 80L).map(i => (i, "b", 7.0))).toDF("id", "arm", "v")
+    val rs = Experiment.bootstrapDiffCI(same, col("id"), col("arm"),
+      col("v"), "a", "b", nBoot = 50).head()
+    assert(rs.getAs[Double]("diff") == 0.0 &&
+      rs.getAs[Double]("lo") == 0.0 && rs.getAs[Double]("hi") == 0.0)
+    assert(rs.getAs[Long]("n_a") == 40L && rs.getAs[Long]("n_b") == 40L)
+    // arm a sits ~2 above arm b with small noise: CI excludes 0
+    val shifted = ((1L to 100L).map(i => (i, "a", 9.0 + (i % 3))) ++
+      (101L to 200L).map(i => (i, "b", 7.0 + (i % 3))))
+      .toDF("id", "arm", "v")
+    val rd = Experiment.bootstrapDiffCI(shifted, col("id"), col("arm"),
+      col("v"), "a", "b", nBoot = 100).head()
+    assert(rd.getAs[Double]("lo") > 0.0,
+      s"CI should exclude zero: $rd")
+    assert(rd.getAs[Double]("lo") <= rd.getAs[Double]("diff") &&
+      rd.getAs[Double]("diff") <= rd.getAs[Double]("hi"))
+  }
+
   test("activeUsersAudit: exact rolling counts plus in-tolerance " +
       "booleans (HLL is exact in sparse mode)") {
     import spark.implicits._
