@@ -1082,6 +1082,15 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
       col(refTextCol), col(candTextCol))
   }
 
+  /** [[graft.ops.Graph.louvainOneLevel]] with name-based columns:
+    * deterministic one-level Louvain community detection. */
+  def louvainOneLevel(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Graph.louvainOneLevel(edges, col(srcCol), col(dstCol),
+      rounds)
+  }
+
   /** [[graft.ops.Analytics.activeUsersAudit]] with name-based columns:
     * the self-certifying exact-vs-HLL rolling active-users audit. */
   def activeUsersAudit(events: DataFrame, keyCol: String, timeCol: String,

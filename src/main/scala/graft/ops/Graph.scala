@@ -234,6 +234,83 @@ object Graph {
     lbl.filter(col("lbl").isNotNull).select(col("id"), col("lbl").as("label"))
   }
 
+  /** One-level Louvain community detection (Blondel et al. 2008's
+    * local-move phase), made DETERMINISTIC and round-synchronous so an
+    * unrolled oracle reproduces it: each round every ACTIVE node
+    * evaluates moving into each neighbor community and takes the
+    * modularity-max move. The gain comparison uses the exact INTEGER
+    * score `2m·k_in(i, c) − deg_i·(Σtot(c) − [c = c_i]·deg_i)` — the
+    * standard ΔQ ranking multiplied through by 2m², so no floats ever
+    * decide a move — with ties broken by smallest community id and a
+    * strict `>` over staying. Classic synchronous label updates
+    * OSCILLATE (two symmetric nodes swap forever); the parity schedule
+    * kills that deterministically: on round r only nodes with
+    * `id % 2 == r % 2` may move. Communities are labeled by founding
+    * node id. Output `(id, community)` after exactly `rounds` rounds
+    * (fixed-round replayable stance — converged rounds are idempotent).
+    *
+    * Scale shape per round: Σtot is one grouped sum over |V|; k_in is
+    * one adjacency join + grouped count (the labelPropagation vote
+    * shape); the argmax is a per-node bounded window over that node's
+    * neighbor communities. Plans stay O(1)-deep via per-round
+    * localCheckpoint. The full multi-level Louvain stacks this op:
+    * contract communities to super-nodes and re-run — the contraction
+    * is a grouped edge rollup, same discipline. */
+  def louvainOneLevel(edges: DataFrame, srcCol: Column, dstCol: Column,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "louvainOneLevel: rounds >= 1")
+    val raw = edges.select(srcCol.cast("long").as("s"),
+        dstCol.cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+      .select(least(col("s"), col("t")).as("a"),
+        greatest(col("s"), col("t")).as("b"))
+      .distinct()
+    val adj = raw.select(col("a").as("s"), col("b").as("t"))
+      .unionAll(raw.select(col("b").as("s"), col("a").as("t")))
+      .localCheckpoint(true)
+    val m = adj.count() / 2 // undirected simple edge count
+    val deg = adj.groupBy(col("s").as("id"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var comm = deg.select(col("id"), col("id").as("c"))
+      .localCheckpoint(true)
+    for (r <- 0 until rounds) {
+      val tot = comm.join(deg, "id")
+        .groupBy("c").agg(sum("deg").as("tot"))
+      val kin = adj
+        .join(comm.select(col("id").as("t"), col("c")), Seq("t"))
+        .groupBy(col("s").as("id"), col("c"))
+        .agg(count(lit(1)).as("kin"))
+      // candidates = neighbor communities ∪ the node's own community
+      // (own kin may be 0 — a singleton's stay-score needs the row)
+      val cand = kin
+        .unionByName(comm.select(col("id"), col("c"), lit(0L).as("kin")))
+        .groupBy("id", "c").agg(max("kin").as("kin"))
+      val cur = comm.withColumnRenamed("c", "cc")
+      val scored = cand.join(cur, "id").join(deg, "id").join(tot, "c")
+        .select(col("id"), col("c"), col("cc"), col("deg"),
+          (lit(2L * m) * col("kin") - col("deg") *
+            (col("tot") - when(col("c") === col("cc"), col("deg"))
+              .otherwise(lit(0L)))).as("score"))
+        .localCheckpoint(true) // read twice: best window + stay row
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("score").desc, col("c").asc)
+      val best = scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("id"), col("c").as("best_c"),
+          col("score").as("best_s"))
+      val stay = scored.filter(col("c") === col("cc"))
+        .select(col("id"), col("score").as("stay_s"))
+      comm = comm.join(best, Seq("id")).join(stay, Seq("id"))
+        .select(col("id"),
+          when(col("id") % 2 === lit(r % 2) &&
+              col("best_s") > col("stay_s"), col("best_c"))
+            .otherwise(col("c")).as("c"))
+        .localCheckpoint(true)
+    }
+    comm.select(col("id"), col("c").as("community"))
+  }
+
   /** k-core decomposition membership: the maximal subgraph in which
     * every node keeps degree ≥ k — the standard "dense backbone"
     * extractor (spam nests and template farms in a similarity graph

@@ -3476,7 +3476,20 @@ object OpsQueries {
       // shape as q358, both arms drawn from one md5 stream
       graft.ops.Experiment.bootstrapDiffCI(ev(s, d), col("event_id"),
         col("event_type"), col("value"), armA = "click", armB = "view",
-        nBoot = 200, alpha = 0.05))
+        nBoot = 200, alpha = 0.05)),
+    "q361_louvain" -> ((s, d) => {
+      // deterministic one-level Louvain over the q298 co-purchase
+      // graph: integer modularity-gain scores, parity-scheduled
+      // synchronous moves, 3 fixed rounds — the oracle unrolls them
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      graft.ops.Graph.louvainOneLevel(e, col("a"), col("b"), rounds = 3)
+        .orderBy("id")
+    })
   )
 
   /** The q298 oracle: `rounds` unrolled peel passes of the k-core
@@ -3582,6 +3595,53 @@ object OpsQueries {
          SELECT id, round(sum(d), 4) AS betweenness FROM (
            ${perPivot.map(_._2).mkString("\n           UNION ALL ")})
          GROUP BY id HAVING round(sum(d), 4) > 0 ORDER BY id"""
+  }
+
+  /** The q361 oracle: deterministic one-level Louvain unrolled per
+    * round — per round the community degree masses (`tot`), the
+    * node→neighbor-community edge counts (`kin`), the exact integer
+    * gain score `2m·kin − deg·(tot − [own]·deg)`, the
+    * (score desc, c asc) argmax, and the parity-gated strictly-better
+    * move — the EXACT association [[graft.ops.Graph.louvainOneLevel]]
+    * uses, so the assignments agree row for row. */
+  private def louvainOracle(rounds: Int): String = {
+    val roundCtes = (0 until rounds).map { r =>
+      s"""tot$r AS MATERIALIZED (SELECT c, CAST(sum(deg) AS BIGINT) AS tot
+             FROM c$r JOIN deg USING (id) GROUP BY c),
+         kin$r AS MATERIALIZED (SELECT a.s AS id, cm.c, count(*) AS kin
+             FROM adj a JOIN c$r cm ON cm.id = a.t GROUP BY a.s, cm.c),
+         cand$r AS (SELECT id, c, CAST(max(kin) AS BIGINT) AS kin FROM (
+               SELECT id, c, kin FROM kin$r
+               UNION ALL SELECT id, c, 0 FROM c$r) GROUP BY id, c),
+         sc$r AS MATERIALIZED (SELECT cd.id, cd.c, cur.c AS cc,
+               2 * m.m * cd.kin - d.deg *
+                 (t.tot - CASE WHEN cd.c = cur.c THEN d.deg ELSE 0 END)
+                 AS score
+             FROM cand$r cd JOIN c$r cur ON cur.id = cd.id
+               JOIN deg d ON d.id = cd.id
+               JOIN tot$r t ON t.c = cd.c
+               CROSS JOIN m),
+         bst$r AS (SELECT id, c AS best_c, score AS best_s FROM (
+               SELECT id, c, score, row_number() OVER (PARTITION BY id
+                 ORDER BY score DESC, c) AS rn FROM sc$r) WHERE rn = 1),
+         sty$r AS (SELECT id, score AS stay_s FROM sc$r WHERE c = cc),
+         c${r + 1} AS MATERIALIZED (SELECT cur.id,
+               CASE WHEN cur.id % 2 = ${r % 2} AND b.best_s > s.stay_s
+                 THEN b.best_c ELSE cur.c END AS c
+             FROM c$r cur JOIN bst$r b ON b.id = cur.id
+               JOIN sty$r s ON s.id = cur.id)"""
+    }.mkString(",\n         ")
+    s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+             WHERE l_orderkey % 3 = 0),
+       e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+              FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+       adj AS (SELECT a AS s, b AS t FROM e0
+               UNION ALL SELECT b, a FROM e0),
+       m AS (SELECT count(*) AS m FROM e0),
+       deg AS (SELECT s AS id, count(*) AS deg FROM adj GROUP BY s),
+       c0 AS (SELECT id, id AS c FROM deg),
+       $roundCtes
+       SELECT id, c AS community FROM c$rounds ORDER BY id"""
   }
 
   /** The q324 oracle: `rounds` unrolled k-truss peel passes — per-edge
@@ -9778,6 +9838,8 @@ object OpsQueries {
       betweennessOracle(pivots = Seq(0L, 997L), depth = 4),
 
     "q324_ktruss" -> kTrussOracle(k = 4, rounds = 8),
+
+    "q361_louvain" -> louvainOracle(rounds = 3),
 
     "q325_sssp" -> ssspOracle(rounds = 6),
 

@@ -238,6 +238,20 @@ class Wave8Spec extends AnyFunSuite with BeforeAndAfterAll {
       rd.getAs[Double]("diff") <= rd.getAs[Double]("hi"))
   }
 
+  test("louvainOneLevel: two disjoint triangles collapse to their " +
+      "founding communities under the parity schedule") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L)).toDF("a", "b")
+    val out = graft.ops.Graph.louvainOneLevel(e, col("a"), col("b"),
+        rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-traced: r0 moves 2→c1, 4→c5, 6→c4; r1 moves 3→c1 (ties keep
+    // 1 and 5 put — strict >); r2 moves 6→c5. Two communities result.
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 5L, 5L -> 5L, 6L -> 5L), s"got $out")
+  }
+
   test("activeUsersAudit: exact rolling counts plus in-tolerance " +
       "booleans (HLL is exact in sparse mode)") {
     import spark.implicits._
