@@ -594,6 +594,77 @@ object StreamingOps {
     }
   }
 
+  final case class BootState(n: Long, sumV: Double, sv: Seq[Double],
+      sw: Seq[Long])
+  final case class BootRow(k: String, n: Long, mean: Double,
+      lo: Option[Double], hi: Option[Double])
+
+  /** Streaming twin of [[graft.ops.Experiment.bootstrapMeanCI]] — the
+    * Poisson bootstrap's killer streaming property made explicit: the
+    * per-replicate state is just (Σwv, Σw) counter PAIRS, which fold
+    * row by row in any order, so a LIVE confidence interval for the
+    * mean costs O(nBoot) state per key and zero resampling. The md5
+    * weight draw keys on (id, replicate) — identical to the batch op —
+    * so the final emission equals the batch interval over everything
+    * fed (the parity spec pins it; double-addition ORDER may differ
+    * from the batch shuffle's, a ≤1-ulp effect the spec tolerances).
+    * Input columns: `k STRING, id LONG, v DOUBLE`. */
+  def streamingBootstrapMean(values: DataFrame, nBoot: Int = 50,
+      alpha: Double = 0.05): org.apache.spark.sql.Dataset[BootRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(nBoot >= 4 && nBoot <= 10000,
+      "streamingBootstrapMean: nBoot in [4, 10000]")
+    require(alpha > 0 && alpha < 1, "streamingBootstrapMean: alpha in (0, 1)")
+    val cum = graft.ops.Experiment.poissonCum.toArray
+    val loRank = math.max(1, math.ceil(alpha / 2 * nBoot).toInt)
+    val hiRank = math.min(nBoot, math.ceil((1 - alpha / 2) * nBoot).toInt)
+    val spark = values.sparkSession
+    import spark.implicits._
+    val typed = values
+      .select(col("k").cast("string"), col("id").cast("long"),
+        col("v").cast("double"))
+      .filter(col("v").isNotNull)
+      .as[(String, Long, Double)]
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (key: String, rows: Iterator[(String, Long, Double)],
+       state: GroupState[BootState]) =>
+        val st = state.getOption.getOrElse(
+          BootState(0L, 0.0, Vector.fill(nBoot)(0.0),
+            Vector.fill(nBoot)(0L)))
+        var n = st.n; var sumV = st.sumV
+        val sv = st.sv.toArray; val sw = st.sw.toArray
+        rows.foreach { case (_, id, v) =>
+          n += 1; sumV += v
+          var b = 0
+          while (b < nBoot) {
+            val u = graft.expr.PortableHash.hex15(s"$id:$b").toDouble /
+              1152921504606846976.0
+            var w = 8
+            var j = 0
+            var found = false
+            while (j < cum.length && !found) {
+              if (u < cum(j)) { w = j; found = true }
+              j += 1
+            }
+            if (w > 0) { sv(b) += w * v; sw(b) += w }
+            b += 1
+          }
+        }
+        state.update(BootState(n, sumV, sv.toVector, sw.toVector))
+        if (n == 0) Iterator.empty
+        else {
+          val means = (0 until nBoot).iterator
+            .filter(b => sw(b) > 0)
+            .map(b => (sv(b) / sw(b), b))
+            .toIndexedSeq.sortBy(identity)
+          Iterator.single(BootRow(key, n, sumV / n,
+            means.lift(loRank - 1).map(_._1),
+            means.lift(hiRank - 1).map(_._1)))
+        }
+    }
+  }
+
   final case class KendallRow(k: String, n: Long, concordant: Long,
       discordant: Long, tau_b: Option[Double])
 

@@ -176,7 +176,13 @@ object ScaleRehearsal {
           .distinct().filter(col("id") % 997 === 0)
         graft.ops.Graph.betweennessApprox(e, col("a"), col("b"), cand,
           col("id"), maxPivots = 2, maxDepth = 4)
-      })
+      },
+      // round-11: deterministic Louvain — replica isomorphism keeps the
+      // move trajectory identical per copy, so rounds measure pure
+      // per-round throughput (mass sum + vote count + argmax window)
+      "q361_louvain" -> (e =>
+        graft.ops.Graph.louvainOneLevel(e, col("a"), col("b"),
+          rounds = 3)))
 
     val eventFamilies: Seq[(String, DataFrame => DataFrame)] = Seq(
       "q229_asof_join" -> { ev =>

@@ -829,6 +829,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop(); q2.stop()
   }
 
+  test("streamingBootstrapMean: per-replicate counter pairs replay " +
+      "the batch Poisson-bootstrap interval") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b1 = (1L to 60L).map(i => ("A", i, (i % 7).toDouble))
+    val b2 = (61L to 120L).map(i => ("A", i, (i % 7).toDouble))
+    val input = MemoryStream[(String, Long, Double)]
+    val q = StreamingOps.streamingBootstrapMean(
+        input.toDF().toDF("k", "id", "v"), nBoot = 40)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("boot").start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    val last = spark.sql("SELECT * FROM boot ORDER BY n DESC LIMIT 1")
+      .collect()(0)
+    val batch = graft.ops.Experiment.bootstrapMeanCI(
+        (b1 ++ b2).map(t => (t._2, t._3)).toDF("id", "v"),
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("v"), nBoot = 40).head()
+    assert(last.getAs[Long]("n") == batch.getAs[Long]("n"))
+    // addition order may differ from the batch shuffle's — tolerance
+    // covers the <= 1-ulp drift
+    assert(math.abs(last.getAs[Double]("mean") -
+      batch.getAs[Double]("mean")) < 1e-9)
+    assert(math.abs(last.getAs[Double]("lo") -
+      batch.getAs[Double]("lo")) < 1e-9)
+    assert(math.abs(last.getAs[Double]("hi") -
+      batch.getAs[Double]("hi")) < 1e-9)
+    assert(last.getAs[Double]("lo") <= last.getAs[Double]("mean") &&
+      last.getAs[Double]("mean") <= last.getAs[Double]("hi"))
+    q.stop()
+  }
+
   test("streamingKendall: counted-cell state replays the batch tau-b " +
       "across batches, integer C/D exact") {
     import spark.implicits._
