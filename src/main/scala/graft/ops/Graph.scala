@@ -243,11 +243,17 @@ object Graph {
     * standard ΔQ ranking multiplied through by 2m², so no floats ever
     * decide a move — with ties broken by smallest community id and a
     * strict `>` over staying. Classic synchronous label updates
-    * OSCILLATE (two symmetric nodes swap forever); the parity schedule
-    * kills that deterministically: on round r only nodes with
-    * `id % 2 == r % 2` may move. Communities are labeled by founding
-    * node id. Output `(id, community)` after exactly `rounds` rounds
-    * (fixed-round replayable stance — converged rounds are idempotent).
+    * OSCILLATE (two adjacent nodes with mutual positive gains SWAP
+    * communities forever — node-parity scheduling does NOT stop the
+    * same-parity case, found by hand-tracing a weighted bridge); the
+    * DIRECTION-ALTERNATION schedule does, provably per round: even
+    * rounds admit only moves to a SMALLER community id, odd rounds
+    * only to a LARGER one (the argmax runs over the allowed direction
+    * only), so every within-round move is monotone and a swap cycle
+    * cannot close. Communities are labeled by founding node id.
+    * Output `(id, community)` after exactly `rounds` rounds
+    * (fixed-round replayable stance — converged rounds are
+    * idempotent).
     *
     * Scale shape per round: Σtot is one grouped sum over |V|; k_in is
     * one adjacency join + grouped count (the labelPropagation vote
@@ -295,20 +301,117 @@ object Graph {
         .localCheckpoint(true) // read twice: best window + stay row
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("id").orderBy(col("score").desc, col("c").asc)
-      val best = scored.withColumn("__rn", row_number().over(w))
+      // direction alternation: the argmax only sees candidates in the
+      // round's allowed direction, so a blocked-direction best can't
+      // mask an available positive-gain move
+      val dirOk =
+        if (r % 2 == 0) col("c") < col("cc") else col("c") > col("cc")
+      val best = scored.filter(dirOk)
+        .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("id"), col("c").as("best_c"),
           col("score").as("best_s"))
       val stay = scored.filter(col("c") === col("cc"))
         .select(col("id"), col("score").as("stay_s"))
-      comm = comm.join(best, Seq("id")).join(stay, Seq("id"))
+      comm = comm.join(best, Seq("id"), "left").join(stay, Seq("id"))
         .select(col("id"),
-          when(col("id") % 2 === lit(r % 2) &&
-              col("best_s") > col("stay_s"), col("best_c"))
+          when(col("best_s") > col("stay_s"), col("best_c"))
             .otherwise(col("c")).as("c"))
         .localCheckpoint(true)
     }
     comm.select(col("id"), col("c").as("community"))
+  }
+
+  /** WEIGHTED one-level Louvain — [[louvainOneLevel]] over a weighted
+    * (multi-)edge list with INTEGER weights, which is exactly what
+    * [[louvainContract]] produces: self-loops (internal community
+    * mass) count twice into a node's weighted degree and never into
+    * k_in; the gain score stays the exact integer
+    * `2m·k_in(i, c) − deg_i·(Σtot(c) − [c = c_i]·deg_i)` with
+    * m = total edge weight. Same direction-alternation schedule, tie
+    * and strict-improvement semantics as the unweighted op (which is
+    * this op at w ≡ 1). Output `(id, community)`. */
+  def louvainOneLevelWeighted(edges: DataFrame, srcCol: Column,
+      dstCol: Column, weightCol: Column, rounds: Int): DataFrame = {
+    require(rounds >= 1, "louvainOneLevelWeighted: rounds >= 1")
+    val raw = edges.select(srcCol.cast("long").as("s"),
+        dstCol.cast("long").as("t"), weightCol.cast("long").as("w"))
+      .filter(col("w") > 0)
+      .select(least(col("s"), col("t")).as("a"),
+        greatest(col("s"), col("t")).as("b"), col("w"))
+      .groupBy("a", "b").agg(sum("w").as("w"))
+      .localCheckpoint(true)
+    // adjacency excludes self-loops (they are not votes toward any
+    // OTHER community); degrees include them twice
+    val adj = raw.filter(col("a") =!= col("b"))
+      .select(col("a").as("s"), col("b").as("t"), col("w"))
+      .unionAll(raw.filter(col("a") =!= col("b"))
+        .select(col("b").as("s"), col("a").as("t"), col("w")))
+      .localCheckpoint(true)
+    val m = raw.agg(sum("w")).head().getLong(0) // total weight incl. loops
+    val deg = adj.groupBy(col("s").as("id")).agg(sum("w").as("deg"))
+      .unionByName(raw.filter(col("a") === col("b"))
+        .select(col("a").as("id"), (col("w") * 2).as("deg")))
+      .groupBy("id").agg(sum("deg").as("deg"))
+      .localCheckpoint(true)
+    var comm = deg.select(col("id"), col("id").as("c"))
+      .localCheckpoint(true)
+    for (r <- 0 until rounds) {
+      val tot = comm.join(deg, "id")
+        .groupBy("c").agg(sum("deg").as("tot"))
+      val kin = adj
+        .join(comm.select(col("id").as("t"), col("c")), Seq("t"))
+        .groupBy(col("s").as("id"), col("c"))
+        .agg(sum("w").as("kin"))
+      val cand = kin
+        .unionByName(comm.select(col("id"), col("c"), lit(0L).as("kin")))
+        .groupBy("id", "c").agg(max("kin").as("kin"))
+      val cur = comm.withColumnRenamed("c", "cc")
+      val scored = cand.join(cur, "id").join(deg, "id").join(tot, "c")
+        .select(col("id"), col("c"), col("cc"),
+          (lit(2L * m) * col("kin") - col("deg") *
+            (col("tot") - when(col("c") === col("cc"), col("deg"))
+              .otherwise(lit(0L)))).as("score"))
+        .localCheckpoint(true)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("score").desc, col("c").asc)
+      val dirOk =
+        if (r % 2 == 0) col("c") < col("cc") else col("c") > col("cc")
+      val best = scored.filter(dirOk)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("id"), col("c").as("best_c"),
+          col("score").as("best_s"))
+      val stay = scored.filter(col("c") === col("cc"))
+        .select(col("id"), col("score").as("stay_s"))
+      comm = comm.join(best, Seq("id"), "left").join(stay, Seq("id"))
+        .select(col("id"),
+          when(col("best_s") > col("stay_s"), col("best_c"))
+            .otherwise(col("c")).as("c"))
+        .localCheckpoint(true)
+    }
+    comm.select(col("id"), col("c").as("community"))
+  }
+
+  /** Community contraction — the step between Louvain levels: roll the
+    * edge list up to super-nodes (one per community), inter-community
+    * edges summing into weighted super-edges and intra-community edges
+    * into SELF-LOOPS (the internal mass the next level's weighted
+    * degrees must keep — total edge weight m is invariant across
+    * levels, which is what keeps the next level's modularity the same
+    * objective). One assignment join per endpoint + one grouped sum.
+    * Output `(a, b, w)` with `a <= b` (a = b are the loops). */
+  def louvainContract(edges: DataFrame, srcCol: Column, dstCol: Column,
+      assign: DataFrame, nodeCol: Column, commCol: Column): DataFrame = {
+    val e = edges.select(srcCol.cast("long").as("s"),
+      dstCol.cast("long").as("t"))
+    val asg = assign.select(nodeCol.cast("long").as("id"),
+      commCol.cast("long").as("cm"))
+    e.join(asg.select(col("id").as("s"), col("cm").as("ca")), Seq("s"))
+      .join(asg.select(col("id").as("t"), col("cm").as("cb")), Seq("t"))
+      .select(least(col("ca"), col("cb")).as("a"),
+        greatest(col("ca"), col("cb")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
   }
 
   /** k-core decomposition membership: the maximal subgraph in which

@@ -3489,6 +3489,33 @@ object OpsQueries {
         .select(col("x.p").as("a"), col("y.p").as("b"))
       graft.ops.Graph.louvainOneLevel(e, col("a"), col("b"), rounds = 3)
         .orderBy("id")
+    }),
+    "q362_louvain_two_level" -> ((s, d) => {
+      // the full multi-level step: level-1 communities contract to a
+      // weighted super-graph (intra mass → self-loops, m invariant)
+      // and the WEIGHTED one-level pass coarsens further; members map
+      // through both assignments
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      val simple = e.select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(eager = true) // read twice: level 1 + contract
+      val l1 = graft.ops.Graph.louvainOneLevel(simple, col("a"),
+        col("b"), rounds = 3)
+      val contracted = graft.ops.Graph.louvainContract(simple, col("a"),
+        col("b"), l1, col("id"), col("community"))
+      val l2 = graft.ops.Graph.louvainOneLevelWeighted(contracted,
+        col("a"), col("b"), col("w"), rounds = 3)
+      l1.select(col("id"), col("community").as("c1"))
+        .join(l2.select(col("id").as("c1"),
+          col("community").as("community")), "c1")
+        .select(col("id"), col("c1"), col("community"))
+        .orderBy("id")
     })
   )
 
@@ -3600,38 +3627,55 @@ object OpsQueries {
   /** The q361 oracle: deterministic one-level Louvain unrolled per
     * round — per round the community degree masses (`tot`), the
     * node→neighbor-community edge counts (`kin`), the exact integer
-    * gain score `2m·kin − deg·(tot − [own]·deg)`, the
-    * (score desc, c asc) argmax, and the parity-gated strictly-better
-    * move — the EXACT association [[graft.ops.Graph.louvainOneLevel]]
-    * uses, so the assignments agree row for row. */
-  private def louvainOracle(rounds: Int): String = {
-    val roundCtes = (0 until rounds).map { r =>
-      s"""tot$r AS MATERIALIZED (SELECT c, CAST(sum(deg) AS BIGINT) AS tot
-             FROM c$r JOIN deg USING (id) GROUP BY c),
-         kin$r AS MATERIALIZED (SELECT a.s AS id, cm.c, count(*) AS kin
-             FROM adj a JOIN c$r cm ON cm.id = a.t GROUP BY a.s, cm.c),
-         cand$r AS (SELECT id, c, CAST(max(kin) AS BIGINT) AS kin FROM (
-               SELECT id, c, kin FROM kin$r
-               UNION ALL SELECT id, c, 0 FROM c$r) GROUP BY id, c),
-         sc$r AS MATERIALIZED (SELECT cd.id, cd.c, cur.c AS cc,
-               2 * m.m * cd.kin - d.deg *
+    * gain score `2m·kin − deg·(tot − [own]·deg)`, the direction-gated
+    * (score desc, c asc) argmax, and the strictly-better move — the
+    * EXACT association [[graft.ops.Graph.louvainOneLevel]] uses, so
+    * the assignments agree row for row. */
+  /** One Louvain level's unrolled round CTEs — parameterized over the
+    * CTE prefix and the adjacency/degree/mass table names so both the
+    * unweighted level-1 and the weighted (contracted) level-2 replay
+    * share one generator. `weighted` switches kin from count(*) to
+    * Σw. Produces `<p>c0 … <p>c<rounds>`. */
+  private def louvainRoundCtes(p: String, adj: String, deg: String,
+      mTbl: String, rounds: Int, weighted: Boolean): String = {
+    val kinAgg = if (weighted) "CAST(sum(a.w) AS BIGINT)" else "count(*)"
+    (0 until rounds).map { r =>
+      s"""${p}tot$r AS MATERIALIZED (SELECT c,
+             CAST(sum(deg) AS BIGINT) AS tot
+             FROM ${p}c$r JOIN $deg USING (id) GROUP BY c),
+         ${p}kin$r AS MATERIALIZED (SELECT a.s AS id, cm.c,
+             $kinAgg AS kin
+             FROM $adj a JOIN ${p}c$r cm ON cm.id = a.t
+             GROUP BY a.s, cm.c),
+         ${p}cand$r AS (SELECT id, c, CAST(max(kin) AS BIGINT) AS kin
+             FROM (SELECT id, c, kin FROM ${p}kin$r
+               UNION ALL SELECT id, c, 0 FROM ${p}c$r) GROUP BY id, c),
+         ${p}sc$r AS MATERIALIZED (SELECT cd.id, cd.c, cur.c AS cc,
+               2 * $mTbl.m * cd.kin - d.deg *
                  (t.tot - CASE WHEN cd.c = cur.c THEN d.deg ELSE 0 END)
                  AS score
-             FROM cand$r cd JOIN c$r cur ON cur.id = cd.id
-               JOIN deg d ON d.id = cd.id
-               JOIN tot$r t ON t.c = cd.c
-               CROSS JOIN m),
-         bst$r AS (SELECT id, c AS best_c, score AS best_s FROM (
+             FROM ${p}cand$r cd JOIN ${p}c$r cur ON cur.id = cd.id
+               JOIN $deg d ON d.id = cd.id
+               JOIN ${p}tot$r t ON t.c = cd.c
+               CROSS JOIN $mTbl),
+         ${p}bst$r AS (SELECT id, c AS best_c, score AS best_s FROM (
                SELECT id, c, score, row_number() OVER (PARTITION BY id
-                 ORDER BY score DESC, c) AS rn FROM sc$r) WHERE rn = 1),
-         sty$r AS (SELECT id, score AS stay_s FROM sc$r WHERE c = cc),
-         c${r + 1} AS MATERIALIZED (SELECT cur.id,
-               CASE WHEN cur.id % 2 = ${r % 2} AND b.best_s > s.stay_s
+                 ORDER BY score DESC, c) AS rn FROM ${p}sc$r
+               WHERE ${if (r % 2 == 0) "c < cc" else "c > cc"})
+             WHERE rn = 1),
+         ${p}sty$r AS (SELECT id, score AS stay_s FROM ${p}sc$r
+             WHERE c = cc),
+         ${p}c${r + 1} AS MATERIALIZED (SELECT cur.id,
+               CASE WHEN b.best_s > s.stay_s
                  THEN b.best_c ELSE cur.c END AS c
-             FROM c$r cur JOIN bst$r b ON b.id = cur.id
-               JOIN sty$r s ON s.id = cur.id)"""
+             FROM ${p}c$r cur LEFT JOIN ${p}bst$r b ON b.id = cur.id
+               JOIN ${p}sty$r s ON s.id = cur.id)"""
     }.mkString(",\n         ")
-    s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+  }
+
+  /** The shared q361/q362 level-1 graph + round chain (ends `c<r1>`). */
+  private def louvainLevel1Ctes(rounds: Int): String =
+    s"""li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
              WHERE l_orderkey % 3 = 0),
        e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
               FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
@@ -3640,9 +3684,36 @@ object OpsQueries {
        m AS (SELECT count(*) AS m FROM e0),
        deg AS (SELECT s AS id, count(*) AS deg FROM adj GROUP BY s),
        c0 AS (SELECT id, id AS c FROM deg),
-       $roundCtes
+       ${louvainRoundCtes("", "adj", "deg", "m", rounds,
+         weighted = false)}"""
+
+  private def louvainOracle(rounds: Int): String =
+    s"""WITH ${louvainLevel1Ctes(rounds)}
        SELECT id, c AS community FROM c$rounds ORDER BY id"""
-  }
+
+  /** The q362 oracle: level 1, community contraction (inter-edges →
+    * weighted super-edges, intra-edges → self-loops; m invariant),
+    * then the WEIGHTED round chain, members mapped through both
+    * assignments. */
+  private def louvainTwoLevelOracle(r1: Int, r2: Int): String =
+    s"""WITH ${louvainLevel1Ctes(r1)},
+       ce AS (SELECT least(x.c, y.c) AS a, greatest(x.c, y.c) AS b,
+                count(*) AS w
+              FROM e0 JOIN c$r1 x ON x.id = e0.a
+                JOIN c$r1 y ON y.id = e0.b
+              GROUP BY 1, 2),
+       dadj AS (SELECT a AS s, b AS t, w FROM ce WHERE a <> b
+                UNION ALL SELECT b, a, w FROM ce WHERE a <> b),
+       dm AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM ce),
+       ddeg AS (SELECT id, CAST(sum(deg) AS BIGINT) AS deg FROM (
+                  SELECT s AS id, w AS deg FROM dadj
+                  UNION ALL SELECT a, 2 * w FROM ce WHERE a = b)
+                GROUP BY id),
+       dc0 AS (SELECT id, id AS c FROM ddeg),
+       ${louvainRoundCtes("d", "dadj", "ddeg", "dm", r2,
+         weighted = true)}
+       SELECT x.id, x.c AS c1, y.c AS community
+       FROM c$r1 x JOIN dc$r2 y ON y.id = x.c ORDER BY x.id"""
 
   /** The q324 oracle: `rounds` unrolled k-truss peel passes — per-edge
     * support as a common-neighbor join over the adjacency (the
@@ -9840,6 +9911,8 @@ object OpsQueries {
     "q324_ktruss" -> kTrussOracle(k = 4, rounds = 8),
 
     "q361_louvain" -> louvainOracle(rounds = 3),
+
+    "q362_louvain_two_level" -> louvainTwoLevelOracle(r1 = 3, r2 = 3),
 
     "q325_sssp" -> ssspOracle(rounds = 6),
 

@@ -239,17 +239,39 @@ class Wave8Spec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("louvainOneLevel: two disjoint triangles collapse to their " +
-      "founding communities under the parity schedule") {
+      "min-id communities in the first (smaller-direction) round") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
       (4L, 6L)).toDF("a", "b")
     val out = graft.ops.Graph.louvainOneLevel(e, col("a"), col("b"),
         rounds = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // hand-traced: r0 moves 2→c1, 4→c5, 6→c4; r1 moves 3→c1 (ties keep
-    // 1 and 5 put — strict >); r2 moves 6→c5. Two communities result.
+    // hand-traced: round 0 admits only smaller-id targets, so 2,3→c1
+    // and 5,6→c4 in ONE round; later rounds are stable (idempotent)
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      4L -> 5L, 5L -> 5L, 6L -> 5L), s"got $out")
+      4L -> 4L, 5L -> 4L, 6L -> 4L), s"got $out")
+  }
+
+  test("louvainOneLevelWeighted: the swap trap — two self-loop " +
+      "super-nodes over a strong bridge MERGE instead of oscillating") {
+    import spark.implicits._
+    // contraction-shaped input: loops w=1 at nodes 1 and 5, bridge
+    // w=4. Mutual gains are positive both ways (the configuration
+    // that made node-parity scheduling swap forever: both ids odd);
+    // direction alternation lets only 5→c1 move in round 0, merged.
+    val e = Seq((1L, 1L, 1L), (5L, 5L, 1L), (1L, 5L, 4L))
+      .toDF("a", "b", "w")
+    val out = graft.ops.Graph.louvainOneLevelWeighted(e, col("a"),
+        col("b"), col("w"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 5L -> 1L), s"got $out")
+    // and a weak bridge stays split (negative modularity gain)
+    val e2 = Seq((1L, 1L, 3L), (5L, 5L, 3L), (1L, 5L, 1L))
+      .toDF("a", "b", "w")
+    val out2 = graft.ops.Graph.louvainOneLevelWeighted(e2, col("a"),
+        col("b"), col("w"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == Map(1L -> 1L, 5L -> 5L), s"got $out2")
   }
 
   test("activeUsersAudit: exact rolling counts plus in-tolerance " +
