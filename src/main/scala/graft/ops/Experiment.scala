@@ -426,6 +426,11 @@ object Experiment {
         valCol.cast("double").as("v"))
       .filter(col("v").isNotNull)
       .localCheckpoint(eager = true) // read twice: moments + fan-out
+      // spread BEFORE the xB fan-out: a one-row-group scan checkpoints
+      // into one partition and would run the whole md5 storm on a
+      // single task (measured: 21 s serial -> spread across cores)
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id"))
     val fanned = s.select(col("id"), col("v"),
         explode(sequence(lit(0), lit(nBoot - 1))).as("b"))
       .withColumn("u", graft.expr.PortableHash.hex15Col(
@@ -480,6 +485,9 @@ object Experiment {
         armCol.cast("string").as("arm"), valCol.cast("double").as("v"))
       .filter(col("v").isNotNull && col("arm").isin(armA, armB))
       .localCheckpoint(eager = true) // read twice: moments + fan-out
+      // spread before the xB fan-out (see bootstrapMeanCI)
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id"))
     val fanned = s.select(col("id"), col("arm"), col("v"),
         explode(sequence(lit(0), lit(nBoot - 1))).as("b"))
       .withColumn("u", graft.expr.PortableHash.hex15Col(
