@@ -796,17 +796,52 @@ object Ann {
     * adjacent cells) and joins cell-to-cell, so candidate generation is
     * density-bounded, never the all-pairs cross. Components resolve by
     * the path-halving min-label loop ([[Dedup.duplicateClusters]] —
-    * O(log diameter) rounds of int-only joins). */
+    * O(log diameter) rounds of int-only joins).
+    *
+    * Memory contract: the pair pass materializes Σ_cell k·K₃ₓ₃
+    * candidate rows (~64 B each) through one shuffle — the quantity
+    * that OOMed the round-11 100× rehearsal at an 8 GiB heap. A cheap
+    * exact pre-count over the per-cell histogram guards it:
+    * `maxCandidatePairs` (default 5×10⁷ ≈ 3 GiB) fails fast with the
+    * sizing formula; raise it in proportion to provisioned executor
+    * memory (rows × 64 B ÷ shuffle partitions per task). */
   def dbscan(df: DataFrame, idCol: Column, xCol: Column, yCol: Column,
-      eps: Double, minPts: Int, maxIters: Int = 20): DataFrame = {
+      eps: Double, minPts: Int, maxIters: Int = 20,
+      maxCandidatePairs: Long = 50000000L): DataFrame = {
     require(eps > 0, "dbscan: eps must be positive")
     require(minPts >= 1, "dbscan: minPts must be >= 1")
+    require(maxCandidatePairs >= 1, "dbscan: maxCandidatePairs >= 1")
     val pts = df.select(idCol.cast("long").as("id"),
         xCol.cast("double").as("x"), yCol.cast("double").as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
       .withColumn("cx", floor(col("x") / eps).cast("long"))
       .withColumn("cy", floor(col("y") / eps).cast("long"))
-      .localCheckpoint(true) // read twice: probe + build sides
+      .localCheckpoint(true) // read 3×: density guard + probe + build
+    // density guard (round-11 rehearsal lesson: the 100× point cloud
+    // OOMed an 8 GiB heap mid-aggregation — ~129M candidate rows ×
+    // ~64 B ≈ 8.3 GiB): count the EXACT pre-filter candidate volume
+    // Σ_cell k_c·K₃ₓ₃(c) on the tiny per-cell count table (|cells| ≤
+    // |points|, one k²-free join) and fail fast with the sizing
+    // formula instead of dying mid-shuffle.
+    val cells = pts.groupBy("cx", "cy").agg(count(lit(1)).as("k"))
+      .localCheckpoint(true) // read twice: probe + build of the guard
+    val cellProbe = cells.select(col("k").as("ka"),
+        explode(sequence(col("cx") - 1, col("cx") + 1)).as("cx"),
+        col("cy").as("cy0"))
+      .select(col("ka"), col("cx"),
+        explode(sequence(col("cy0") - 1, col("cy0") + 1)).as("cy"))
+    val estPairs = cellProbe.join(cells, Seq("cx", "cy"))
+      .agg(coalesce(sum(col("ka") * col("k")), lit(0L)))
+      .head().getLong(0)
+    require(estPairs <= maxCandidatePairs,
+      f"dbscan: eps-grid candidate volume = $estPairs%,d rows (> " +
+        f"maxCandidatePairs = $maxCandidatePairs%,d). At ~64 B/row the " +
+        f"pair pass needs ≈ ${estPairs * 64.0 / (1L << 30)}%.1f GiB of " +
+        "shuffle+aggregation memory across the cluster " +
+        "(candidate_rows × 64 B; divide by shuffle partitions for the " +
+        "per-task bound). Provision executor memory to that formula " +
+        "and raise maxCandidatePairs deliberately, or shrink eps so " +
+        "per-cell density drops.")
     val probe = pts.select(col("id").as("ia"), col("x").as("xa"),
         col("y").as("ya"),
         explode(sequence(col("cx") - 1, col("cx") + 1)).as("cx"),

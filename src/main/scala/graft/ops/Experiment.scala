@@ -456,13 +456,31 @@ object Experiment {
       .localCheckpoint(eager = true) // read twice: lo + hi selections
     val tot = s.agg(count(lit(1)).as("n"),
       (sum("v") / count(lit(1))).as("mean"))
-    tot.crossJoin(broadcast(ranked.filter(col("r") === loRank)
-        .select(col("m").as("lo"))))
-      .crossJoin(broadcast(ranked.filter(col("r") === hiRank)
-        .select(col("m").as("hi"))))
+    tot.crossJoin(rankedBound(ranked, loRank, "lo", "bootstrapMeanCI"))
+      .crossJoin(rankedBound(ranked, hiRank, "hi", "bootstrapMeanCI"))
       .select(col("n"), lit(nBoot.toLong).as("n_boot"), col("mean"),
         col("lo"), col("hi"))
   }
+
+  /** The CI-bound selector both bootstrap ops share: the replicate at
+    * `rank` as a ONE-ROW broadcast frame. An empty or too-tiny input
+    * can leave NO replicate at the requested rank (every replicate's
+    * Poisson weights summed to 0 and was dropped by the `sw > 0`
+    * filter) — a crossJoin with that empty frame would silently return
+    * ZERO rows, so fail fast at execution instead (the
+    * [[graft.ops.Classify.conformalInterval]] stance; the streaming
+    * twin reports the same condition as None bounds — it must keep
+    * emitting, a batch readout must not lie by omission). */
+  private def rankedBound(ranked: DataFrame, rank: Int, as: String,
+      op: String): DataFrame =
+    broadcast(ranked.filter(col("r") === rank)
+      .agg(min("m").as(as))
+      .select(when(col(as).isNull, raise_error(lit(
+          s"$op: no replicate at the $as CI rank ($rank) — input empty " +
+            "or too small for the Poisson resample (all replicate " +
+            "weights were 0); feed more rows or lower nBoot"))
+          .cast("double"))
+        .otherwise(col(as)).as(as)))
 
   /** Two-sample Poisson-bootstrap CI for a DIFFERENCE of means — the
     * A/B-experiment readout [[bootstrapMeanCI]]'s machinery was built
@@ -522,10 +540,8 @@ object Experiment {
         sum(when(col("arm") === armA, 1L)) -
         sum(when(col("arm") === armB, col("v"))) /
           sum(when(col("arm") === armB, 1L))).as("diff"))
-    tot.crossJoin(broadcast(ranked.filter(col("r") === loRank)
-        .select(col("m").as("lo"))))
-      .crossJoin(broadcast(ranked.filter(col("r") === hiRank)
-        .select(col("m").as("hi"))))
+    tot.crossJoin(rankedBound(ranked, loRank, "lo", "bootstrapDiffCI"))
+      .crossJoin(rankedBound(ranked, hiRank, "hi", "bootstrapDiffCI"))
       .select(col("n_a"), col("n_b"), lit(nBoot.toLong).as("n_boot"),
         col("diff"), col("lo"), col("hi"))
   }

@@ -262,6 +262,26 @@ object Graph {
     * localCheckpoint. The full multi-level Louvain stacks this op:
     * contract communities to super-nodes and re-run — the contraction
     * is a grouped edge rollup, same discipline. */
+  /** Loud overflow guard both Louvain levels share: the integer gain
+    * score's two products (`2m·k_in` and `deg·tot`) are each bounded
+    * by `2m·maxDeg` in absolute value (k_in ≤ deg ≤ maxDeg,
+    * tot ≤ 2m), so the score fits a Long iff `2m·maxDeg` does. At
+    * extreme scale (m ≈ 10¹² weighted edges with a 10⁷-degree hub)
+    * that product exceeds Long.MaxValue and the overflow would FLIP
+    * move decisions silently — fail fast with the sizing math
+    * instead. One tiny max-agg over the already-checkpointed degree
+    * frame. */
+  private def guardGainRange(op: String, m: Long, deg: DataFrame): Unit = {
+    val maxDeg = deg.agg(coalesce(max("deg"), lit(0L))).head().getLong(0)
+    require(m <= Long.MaxValue / 2 &&
+      (maxDeg == 0L || 2 * m <= Long.MaxValue / maxDeg),
+      s"$op: integer gain score would overflow Long — 2m·maxDeg = " +
+        s"2·${m}·${maxDeg} exceeds ${Long.MaxValue}. Rescale edge weights " +
+        "(divide by a common factor) or shard the graph so " +
+        "2·m·maxDeg <= Long.MaxValue; move decisions under overflow " +
+        "would flip silently, so this is a hard stop.")
+  }
+
   def louvainOneLevel(edges: DataFrame, srcCol: Column, dstCol: Column,
       rounds: Int): DataFrame = {
     require(rounds >= 1, "louvainOneLevel: rounds >= 1")
@@ -278,15 +298,93 @@ object Graph {
     val deg = adj.groupBy(col("s").as("id"))
       .agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
+    guardGainRange("louvainOneLevel", m, deg)
+    louvainRounds(adj.withColumn("w", lit(1L)), deg, m, rounds,
+      earlyStop = false)
+  }
+
+  /** [[louvainOneLevel]] with a CONVERGED early stop — the production
+    * stance (the fixed-round op is the replayable/oracle stance; a
+    * converged round is idempotent, so the two agree whenever the
+    * fixed round count reaches convergence — the spec pins it). Runs
+    * at most `maxRounds` rounds and stops as soon as TWO consecutive
+    * rounds move zero nodes: one zero-move round only proves its OWN
+    * direction is exhausted (even rounds admit moves to smaller ids,
+    * odd to larger), two consecutive cover both directions, which is
+    * the direction-alternated fixpoint. The per-round move count is a
+    * cheap count over the already-checkpointed assignment (the kCore
+    * fixpoint pattern — the checkpoint materializes it anyway).
+    *
+    * Honest limit (measured, round 12): SYNCHRONOUS local moves do not
+    * always reach a zero-move fixpoint — on the dense sf0.01
+    * co-purchase graph the schedule PLATEAUS at ~40–70 moves/round
+    * indefinitely (replayed to round 60 in DuckDB; simultaneous moves
+    * keep re-creating each other's gains — churn, not the swap cycle
+    * the direction alternation provably kills; the measured modularity
+    * trajectory stays MONOTONE through the churn — PLANS.md round 12 —
+    * so it is productive exploration and `rounds` is a pure quality
+    * knob with diminishing returns). So `maxRounds` is the
+    * real bound on corpus-scale graphs and this variant equals the
+    * fixed-round op there by construction; the early stop pays off
+    * where a fixpoint EXISTS — sparse graphs, contracted super-graphs,
+    * near-converged replays — and the fixed-round stance remains the
+    * replayable/oracle contract (PLANS.md round 12). */
+  def louvainOneLevelConverged(edges: DataFrame, srcCol: Column,
+      dstCol: Column, maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1, "louvainOneLevelConverged: maxRounds >= 1")
+    val raw = edges.select(srcCol.cast("long").as("s"),
+        dstCol.cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+      .select(least(col("s"), col("t")).as("a"),
+        greatest(col("s"), col("t")).as("b"))
+      .distinct()
+    val adj = raw.select(col("a").as("s"), col("b").as("t"))
+      .unionAll(raw.select(col("b").as("s"), col("a").as("t")))
+      .localCheckpoint(true)
+    val m = adj.count() / 2
+    val deg = adj.groupBy(col("s").as("id"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    guardGainRange("louvainOneLevelConverged", m, deg)
+    louvainRounds(adj.withColumn("w", lit(1L)), deg, m, maxRounds,
+      earlyStop = true)
+  }
+
+  /** The round engine [[louvainOneLevel]] / [[louvainOneLevelWeighted]]
+    * and their converged variants share — the weighted local-move loop
+    * (the unweighted ops pass w ≡ 1: count(*) ≡ Σw, so the integer
+    * scores are bit-identical to the historical unweighted plan).
+    * `adj` is the directed weighted adjacency `(s, t, w)` WITHOUT
+    * self-loops, `deg` the weighted degrees (loops counted twice by
+    * the weighted caller), `m` the total edge weight. With `earlyStop`
+    * the loop exits after two consecutive zero-move rounds (both
+    * directions exhausted — the fixpoint; see
+    * [[louvainOneLevelConverged]]).
+    *
+    * Memory sizing (round-11 rehearsal lesson — the 100× decade ran
+    * ≈1.11 instead of ~0.66 because the per-round joins outgrew
+    * execution memory and spilled): each round shuffles the candidate
+    * table of ≤ 2·|E| (node, community, kin) rows ≈ 2·|E|·40 B plus
+    * the |V|-row tot/assignment frames; size aggregate executor
+    * execution memory ≥ 2·|E|·40 B ÷ shuffle partitions per task (for
+    * the rehearsal's 100× graph that is the 64 GiB heap BASELINE.md
+    * records; on a cluster this is the add-executors regime — round
+    * count does not change). Spill degrades throughput, never
+    * correctness; the hard cliff (Long overflow of the gain score) is
+    * guarded loudly by [[guardGainRange]] instead. */
+  private def louvainRounds(adj: DataFrame, deg: DataFrame, m: Long,
+      rounds: Int, earlyStop: Boolean): DataFrame = {
     var comm = deg.select(col("id"), col("id").as("c"))
       .localCheckpoint(true)
-    for (r <- 0 until rounds) {
+    var zeroStreak = 0
+    var r = 0
+    while (r < rounds && (!earlyStop || zeroStreak < 2)) {
       val tot = comm.join(deg, "id")
         .groupBy("c").agg(sum("deg").as("tot"))
       val kin = adj
         .join(comm.select(col("id").as("t"), col("c")), Seq("t"))
         .groupBy(col("s").as("id"), col("c"))
-        .agg(count(lit(1)).as("kin"))
+        .agg(sum("w").as("kin"))
       // candidates = neighbor communities ∪ the node's own community
       // (own kin may be 0 — a singleton's stay-score needs the row)
       val cand = kin
@@ -294,7 +392,7 @@ object Graph {
         .groupBy("id", "c").agg(max("kin").as("kin"))
       val cur = comm.withColumnRenamed("c", "cc")
       val scored = cand.join(cur, "id").join(deg, "id").join(tot, "c")
-        .select(col("id"), col("c"), col("cc"), col("deg"),
+        .select(col("id"), col("c"), col("cc"),
           (lit(2L * m) * col("kin") - col("deg") *
             (col("tot") - when(col("c") === col("cc"), col("deg"))
               .otherwise(lit(0L)))).as("score"))
@@ -313,11 +411,18 @@ object Graph {
           col("score").as("best_s"))
       val stay = scored.filter(col("c") === col("cc"))
         .select(col("id"), col("score").as("stay_s"))
-      comm = comm.join(best, Seq("id"), "left").join(stay, Seq("id"))
+      val upd = comm.join(best, Seq("id"), "left").join(stay, Seq("id"))
         .select(col("id"),
           when(col("best_s") > col("stay_s"), col("best_c"))
-            .otherwise(col("c")).as("c"))
+            .otherwise(col("c")).as("c"),
+          (col("best_s") > col("stay_s")).as("__moved"))
         .localCheckpoint(true)
+      if (earlyStop) {
+        val moved = upd.filter(col("__moved")).count()
+        zeroStreak = if (moved == 0L) zeroStreak + 1 else 0
+      }
+      comm = upd.select(col("id"), col("c"))
+      r += 1
     }
     comm.select(col("id"), col("c").as("community"))
   }
@@ -354,43 +459,38 @@ object Graph {
         .select(col("a").as("id"), (col("w") * 2).as("deg")))
       .groupBy("id").agg(sum("deg").as("deg"))
       .localCheckpoint(true)
-    var comm = deg.select(col("id"), col("id").as("c"))
+    guardGainRange("louvainOneLevelWeighted", m, deg)
+    louvainRounds(adj, deg, m, rounds, earlyStop = false)
+  }
+
+  /** [[louvainOneLevelWeighted]] with the converged early stop — see
+    * [[louvainOneLevelConverged]] for the two-consecutive-zero-move
+    * fixpoint argument (spec-pinned equal to the fixed-round op on the
+    * oracle fixtures). */
+  def louvainOneLevelWeightedConverged(edges: DataFrame, srcCol: Column,
+      dstCol: Column, weightCol: Column, maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1,
+      "louvainOneLevelWeightedConverged: maxRounds >= 1")
+    val raw = edges.select(srcCol.cast("long").as("s"),
+        dstCol.cast("long").as("t"), weightCol.cast("long").as("w"))
+      .filter(col("w") > 0)
+      .select(least(col("s"), col("t")).as("a"),
+        greatest(col("s"), col("t")).as("b"), col("w"))
+      .groupBy("a", "b").agg(sum("w").as("w"))
       .localCheckpoint(true)
-    for (r <- 0 until rounds) {
-      val tot = comm.join(deg, "id")
-        .groupBy("c").agg(sum("deg").as("tot"))
-      val kin = adj
-        .join(comm.select(col("id").as("t"), col("c")), Seq("t"))
-        .groupBy(col("s").as("id"), col("c"))
-        .agg(sum("w").as("kin"))
-      val cand = kin
-        .unionByName(comm.select(col("id"), col("c"), lit(0L).as("kin")))
-        .groupBy("id", "c").agg(max("kin").as("kin"))
-      val cur = comm.withColumnRenamed("c", "cc")
-      val scored = cand.join(cur, "id").join(deg, "id").join(tot, "c")
-        .select(col("id"), col("c"), col("cc"),
-          (lit(2L * m) * col("kin") - col("deg") *
-            (col("tot") - when(col("c") === col("cc"), col("deg"))
-              .otherwise(lit(0L)))).as("score"))
-        .localCheckpoint(true)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("id").orderBy(col("score").desc, col("c").asc)
-      val dirOk =
-        if (r % 2 == 0) col("c") < col("cc") else col("c") > col("cc")
-      val best = scored.filter(dirOk)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("id"), col("c").as("best_c"),
-          col("score").as("best_s"))
-      val stay = scored.filter(col("c") === col("cc"))
-        .select(col("id"), col("score").as("stay_s"))
-      comm = comm.join(best, Seq("id"), "left").join(stay, Seq("id"))
-        .select(col("id"),
-          when(col("best_s") > col("stay_s"), col("best_c"))
-            .otherwise(col("c")).as("c"))
-        .localCheckpoint(true)
-    }
-    comm.select(col("id"), col("c").as("community"))
+    val adj = raw.filter(col("a") =!= col("b"))
+      .select(col("a").as("s"), col("b").as("t"), col("w"))
+      .unionAll(raw.filter(col("a") =!= col("b"))
+        .select(col("b").as("s"), col("a").as("t"), col("w")))
+      .localCheckpoint(true)
+    val m = raw.agg(sum("w")).head().getLong(0)
+    val deg = adj.groupBy(col("s").as("id")).agg(sum("w").as("deg"))
+      .unionByName(raw.filter(col("a") === col("b"))
+        .select(col("a").as("id"), (col("w") * 2).as("deg")))
+      .groupBy("id").agg(sum("deg").as("deg"))
+      .localCheckpoint(true)
+    guardGainRange("louvainOneLevelWeightedConverged", m, deg)
+    louvainRounds(adj, deg, m, maxRounds, earlyStop = true)
   }
 
   /** Community contraction — the step between Louvain levels: roll the
@@ -412,6 +512,62 @@ object Graph {
       .select(least(col("ca"), col("cb")).as("a"),
         greatest(col("ca"), col("cb")).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("w"))
+  }
+
+  /** Integer-exact modularity NUMERATOR `Q·(2m)²` of a community
+    * assignment over a simple undirected graph — the community-QUALITY
+    * readout that makes Louvain adjudicable (membership hash-matching
+    * alone would pass a weak local optimum): with `in_c` the
+    * intra-community edge count (each undirected edge once) and
+    * `tot_c` the community degree mass,
+    * `Q = Σ_c [in_c/m − tot_c²/(4m²)]`, so
+    * `Q·(2m)² = Σ_c (4m·in_c − tot_c²)` — pure integer grouped sums a
+    * SQL oracle recomputes exactly; no floats, no rounding. Nodes
+    * absent from `assign` are treated as their own singleton
+    * communities (in_c = 0 contributes only −tot_c²), so the value is
+    * total over the graph. Output ONE row `(two_m, q_num)`.
+    *
+    * Scale shape: degrees are one grouped count over the adjacency;
+    * in_c is two assignment equi-joins on the edge list + one grouped
+    * count; tot_c one join + grouped sum — the labelPropagation join
+    * discipline, no per-pair fan-out. `|q_num| ≤ 8m²`, so Long is safe
+    * up to m ≈ 10⁹ edges per evaluated graph (guarded loudly; shard
+    * beyond it). */
+  def modularityNumerator(edges: DataFrame, srcCol: Column,
+      dstCol: Column, assign: DataFrame, nodeCol: Column,
+      commCol: Column): DataFrame = {
+    val raw = edges.select(srcCol.cast("long").as("s"),
+        dstCol.cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+      .select(least(col("s"), col("t")).as("a"),
+        greatest(col("s"), col("t")).as("b"))
+      .distinct()
+      .localCheckpoint(true) // read 3×: m, degrees, intra-edges
+    val m = raw.count()
+    require(m <= 1000000000L,
+      s"modularityNumerator: m = ${m} edges — 4m² would overflow Long " +
+        "above ~10⁹ edges; evaluate per shard or rescale")
+    val asg = assign.select(nodeCol.cast("long").as("id"),
+        commCol.cast("long").as("cm"))
+      .localCheckpoint(true) // read twice: tot + intra-edge joins
+    val deg = raw.select(col("a").as("id"))
+      .unionAll(raw.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // unassigned nodes default to singleton communities labeled by the
+    // (negated, collision-free) node id
+    val tot = deg.join(asg, Seq("id"), "left")
+      .select(coalesce(col("cm"), -col("id") - 1).as("cm"), col("deg"))
+      .groupBy("cm").agg(sum("deg").as("tot"))
+    val inn = raw
+      .join(asg.select(col("id").as("a"), col("cm").as("ca")), Seq("a"))
+      .join(asg.select(col("id").as("b"), col("cm").as("cb")), Seq("b"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("cm")).agg(count(lit(1)).as("inn"))
+    tot.join(inn, Seq("cm"), "left")
+      .select((lit(4L * m) * coalesce(col("inn"), lit(0L)) -
+        col("tot") * col("tot")).as("term"))
+      .agg(coalesce(sum("term"), lit(0L)).as("q_num"))
+      .select(lit(2L * m).as("two_m"), col("q_num"))
   }
 
   /** k-core decomposition membership: the maximal subgraph in which

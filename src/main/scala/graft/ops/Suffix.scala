@@ -417,10 +417,15 @@ object Suffix {
       minLen: Int, maxLen: Int, minCount: Int = 2): DataFrame = {
     require(minLen >= 1 && maxLen >= minLen, "need 1 <= minLen <= maxLen")
     require(minCount >= 2, "maximalRepeats: minCount >= 2")
-    val sentinel = "\u0001" // below every real token byte (visible escape)
+    // the boundary sentinel: impossible as a real token BY CONSTRUCTION
+    // -- tokenization strips literal U+0001 tokens below (a control
+    // char, never corpus text), so adversarial whitespace-delimited
+    // "\u0001" input cannot collide with document boundaries
+    val sentinel = "\u0001"
     val toks = Dedup.spreadSmallScan(
       df.select(idCol.cast("long").as("doc_id"),
-        array_remove(split(trim(textCol), "\\s+"), "").as("tk")),
+        array_remove(array_remove(
+          split(trim(textCol), "\\s+"), ""), sentinel).as("tk")),
       col("doc_id"))
     val positions = toks
       .select(col("doc_id"), col("tk"),
@@ -463,9 +468,14 @@ object Suffix {
    * machinery exists: every maximal repeat, however long, from ONE
    * ranking. Returns `(len, gram, n_occ)` for every token run of
    * length ≥ `minLen` occurring ≥ `minCount` times that extends
-   * neither left nor right (shared `""` sentinel at document
-   * boundaries, the [[maximalRepeats]] convention — the two agree on
-   * any shared length range).
+   * neither left nor right. Boundary convention: ONE shared sentinel
+   * per side across all documents — here the impossible-by-
+   * construction `""` BWT token (`array_remove` strips empties);
+   * [[maximalRepeats]] uses `U+0001` and strips literal U+0001 tokens
+   * to keep ITS sentinel impossible too. The two ops agree on any
+   * shared length range for input free of U+0001 tokens (this variant
+   * keeps such adversarial tokens as text; the bounded one drops
+   * them — documented divergence, control chars are not corpus text).
    *
    * Construction (all integer shuffles after the one LCP text join):
    *

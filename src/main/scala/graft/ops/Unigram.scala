@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
  * text never shuffles, no per-iteration Spark jobs.
  *
  * Determinism contract (so a SQL oracle reproduces every bit):
- * scores are INTEGER milli-nats `floor(1000·ln(cnt/total))` — `floor`,
+ * all slicing/length semantics are CODE POINTS (the [[codePoints]]
+ * primitive — Spark `substr`/`length` and DuckDB `substr` agree on
+ * code points; UTF-16 units would diverge on supplementary-plane
+ * text); scores are INTEGER milli-nats `floor(1000·ln(cnt/total))` — `floor`,
  * not `round`, because half-up vs half-away rounding differs between
  * engines; Viterbi ties break on (score desc, fewer pieces, lexicographic
  * piece sequence), total order, engine-independent. Single-char pieces
@@ -36,17 +39,43 @@ object Unigram {
         .as("word"))
       .groupBy("word").agg(count(lit(1)).as("c"))
 
+  /** The ONE slicing primitive every driver-local kernel shares with
+    * the distributed [[pieceCounts]] plan: CODE-POINT split. Spark's
+    * `length`/`substr` and DuckDB's `substr` both count code points,
+    * not UTF-16 units — a supplementary-plane character (emoji) is ONE
+    * position. The JVM kernels must slice the same way or the
+    * distributed and local paths diverge on non-BMP text (and the
+    * `length == 1` singles filter would disagree with
+    * `length(col) === 1`). */
+  private[graft] def codePoints(w: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
   /** Candidate piece counts over a word-count table: every positional
-    * substring of length 1..maxPieceLen of each word, weighted by the
-    * word's corpus count (multiplicity within a word counts each
-    * occurrence). Pure driver-local kernel. */
+    * substring of CODE-POINT length 1..maxPieceLen of each word,
+    * weighted by the word's corpus count (multiplicity within a word
+    * counts each occurrence). Pure driver-local kernel — slices by
+    * [[codePoints]], matching the distributed [[pieceCounts]] plan's
+    * Spark substr semantics exactly. */
   private[graft] def candidateCounts(words: Seq[(String, Long)],
       maxPieceLen: Int): Map[String, Long] = {
     val m = scala.collection.mutable.HashMap.empty[String, Long]
-    for ((w, c) <- words; i <- 0 until w.length;
-         l <- 1 to math.min(maxPieceLen, w.length - i)) {
-      val p = w.substring(i, i + l)
-      m.update(p, m.getOrElse(p, 0L) + c)
+    for ((w, c) <- words) {
+      val cp = codePoints(w)
+      for (i <- 0 until cp.length;
+           l <- 1 to math.min(maxPieceLen, cp.length - i)) {
+        val p = cp.slice(i, i + l).mkString
+        m.update(p, m.getOrElse(p, 0L) + c)
+      }
     }
     m.toMap
   }
@@ -73,7 +102,9 @@ object Unigram {
       minCount: Long): Seq[(String, Long, Long)] = {
     val top = cands.toSeq.filter(_._2 >= minCount)
       .sortBy { case (p, c) => (-c, p) }.take(vocabSize)
-    scoreSelected(top, cands.toSeq.filter(_._1.length == 1))
+    // singles = CODE-POINT length 1 (matches trainPieces's
+    // `length(col("piece")) === 1` — Spark length counts code points)
+    scoreSelected(top, cands.toSeq.filter(p => cpLen(p._1) == 1))
   }
 
   /** Distributed candidate piece counts: every positional substring of
@@ -135,7 +166,12 @@ object Unigram {
     * oracle enumerates. */
   private[graft] def viterbi(word: String, vocab: Map[String, Long],
       maxPieceLen: Int): (String, Int) = {
-    val n = word.length
+    // DP positions are CODE-POINT boundaries and `maxPieceLen` counts
+    // code points — the [[codePoints]] contract: vocab pieces are
+    // code-point slices, so UTF-16 surrogate halves are never probed
+    // and a 1-piece emoji is reachable at l = 1
+    val cp = codePoints(word)
+    val n = cp.length
     if (n == 0) return ("", 0)
     // best(j) = (score, nPieces, seg) over segmentations of word[0,j)
     val best = new Array[(Long, Int, String)](n + 1)
@@ -147,7 +183,7 @@ object Unigram {
       while (l <= math.min(maxPieceLen, j)) {
         val prev = best(j - l)
         if (prev != null) {
-          val piece = word.substring(j - l, j)
+          val piece = cp.slice(j - l, j).mkString
           vocab.get(piece) match {
             case Some(s) =>
               val seg = if (prev._3.isEmpty) piece else prev._3 + " " + piece
@@ -230,7 +266,7 @@ object Unigram {
       val total = vocab0.map(_._2).sum.toDouble
       vocab0.map { case (p, c, _) => p -> math.log(c / total) }.toMap
     }
-    val singles = vocab0.map(_._1).filter(_.length == 1).toSet
+    val singles = vocab0.map(_._1).filter(cpLen(_) == 1).toSet
     val ll = Seq.newBuilder[Double]
     for (_ <- 1 to iters) {
       // E: Viterbi counts under current scores (milli-quantized for the

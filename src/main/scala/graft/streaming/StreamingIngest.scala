@@ -665,6 +665,95 @@ object StreamingOps {
     }
   }
 
+  final case class BootDiffState(nA: Long, nB: Long, sumA: Double,
+      sumB: Double, sva: Seq[Double], swa: Seq[Long], svb: Seq[Double],
+      swb: Seq[Long])
+  final case class BootDiffRow(k: String, n_a: Long, n_b: Long,
+      diff: Option[Double], lo: Option[Double], hi: Option[Double])
+
+  /** Streaming twin of [[graft.ops.Experiment.bootstrapDiffCI]] — the
+    * LIVE A/B readout: per replicate the state is two (Σwv, Σw)
+    * counter pairs (one per arm) that fold row by row in any order,
+    * and the md5 weight draw keys on (id, replicate) exactly like the
+    * batch op (ids are globally unique, one stream serves both arms),
+    * so the final emission equals the batch interval over everything
+    * fed (parity spec pins it; double-addition ORDER may differ from
+    * the batch shuffle's, a ≤1-ulp effect the spec tolerances). A
+    * replicate contributes a diff only when BOTH arms drew positive
+    * total weight — the batch op's `swa > 0 && swb > 0` filter; a rank
+    * that selects no replicate emits None bounds (the streaming
+    * stance — a live readout must keep emitting; the batch op
+    * raise_errors instead, the documented divergence on this edge).
+    * Rows with an arm outside {armA, armB} are ignored. Input columns:
+    * `k STRING, id LONG, arm STRING, v DOUBLE`. */
+  def streamingBootstrapDiff(values: DataFrame, armA: String,
+      armB: String, nBoot: Int = 50, alpha: Double = 0.05)
+      : org.apache.spark.sql.Dataset[BootDiffRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(nBoot >= 4 && nBoot <= 10000,
+      "streamingBootstrapDiff: nBoot in [4, 10000]")
+    require(alpha > 0 && alpha < 1, "streamingBootstrapDiff: alpha in (0, 1)")
+    require(armA != armB, "streamingBootstrapDiff: arms must differ")
+    val cum = graft.ops.Experiment.poissonCum.toArray
+    val loRank = math.max(1, math.ceil(alpha / 2 * nBoot).toInt)
+    val hiRank = math.min(nBoot, math.ceil((1 - alpha / 2) * nBoot).toInt)
+    val spark = values.sparkSession
+    import spark.implicits._
+    val typed = values
+      .select(col("k").cast("string"), col("id").cast("long"),
+        col("arm").cast("string"), col("v").cast("double"))
+      .filter(col("v").isNotNull && col("arm").isin(armA, armB))
+      .as[(String, Long, String, Double)]
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (key: String, rows: Iterator[(String, Long, String, Double)],
+       state: GroupState[BootDiffState]) =>
+        val st = state.getOption.getOrElse(
+          BootDiffState(0L, 0L, 0.0, 0.0,
+            Vector.fill(nBoot)(0.0), Vector.fill(nBoot)(0L),
+            Vector.fill(nBoot)(0.0), Vector.fill(nBoot)(0L)))
+        var nA = st.nA; var nB = st.nB
+        var sumA = st.sumA; var sumB = st.sumB
+        val sva = st.sva.toArray; val swa = st.swa.toArray
+        val svb = st.svb.toArray; val swb = st.swb.toArray
+        rows.foreach { case (_, id, arm, v) =>
+          val isA = arm == armA
+          if (isA) { nA += 1; sumA += v } else { nB += 1; sumB += v }
+          var b = 0
+          while (b < nBoot) {
+            val u = graft.expr.PortableHash.hex15(s"$id:$b").toDouble /
+              1152921504606846976.0
+            var w = 8
+            var j = 0
+            var found = false
+            while (j < cum.length && !found) {
+              if (u < cum(j)) { w = j; found = true }
+              j += 1
+            }
+            if (w > 0) {
+              if (isA) { sva(b) += w * v; swa(b) += w }
+              else { svb(b) += w * v; swb(b) += w }
+            }
+            b += 1
+          }
+        }
+        state.update(BootDiffState(nA, nB, sumA, sumB,
+          sva.toVector, swa.toVector, svb.toVector, swb.toVector))
+        if (nA == 0 && nB == 0) Iterator.empty
+        else {
+          val diffs = (0 until nBoot).iterator
+            .filter(b => swa(b) > 0 && swb(b) > 0)
+            .map(b => (sva(b) / swa(b) - svb(b) / swb(b), b))
+            .toIndexedSeq.sortBy(identity)
+          val diff = if (nA > 0 && nB > 0) Some(sumA / nA - sumB / nB)
+            else None
+          Iterator.single(BootDiffRow(key, nA, nB, diff,
+            diffs.lift(loRank - 1).map(_._1),
+            diffs.lift(hiRank - 1).map(_._1)))
+        }
+    }
+  }
+
   final case class KendallRow(k: String, n: Long, concordant: Long,
       discordant: Long, tau_b: Option[Double])
 

@@ -219,12 +219,18 @@ object ScaleRehearsal {
       // all-connected blob whose CC diameter grew with N — 271 s at 1×,
       // measured and rejected)
       "q326_dbscan" -> (ev =>
+        // maxCandidatePairs raised above the 100× decade's ~129M rows:
+        // at the DEFAULT knob (5×10⁷) the 100× cell fails fast with
+        // the sizing formula — the designed behavior BASELINE.md
+        // records; the rehearsal raises it (and runs at 64g) to time
+        // the provisioned-memory regime
         graft.ops.Ann.dbscan(
           ev.select(col("event_id").as("id"),
             (col("value") +
               expr("(user_id div 10000000) * 600")).as("x"),
             (col("user_id") % 10000000 % 100).cast("double").as("y")),
-          col("id"), col("x"), col("y"), eps = 0.4, minPts = 3)),
+          col("id"), col("x"), col("y"), eps = 0.4, minPts = 3,
+          maxCandidatePairs = 500000000L)),
       "q318_quantile_normalize" -> (ev =>
         graft.ops.Profile.quantileNormalize(ev, col("event_id"),
           col("event_type"), col("value"))))

@@ -862,6 +862,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streamingBootstrapDiff: two-arm counter pairs replay the " +
+      "batch A/B Poisson-bootstrap diff interval") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // ids globally unique across arms — the one-md5-stream contract
+    val b1 = (1L to 60L).map(i =>
+      ("A", i, if (i % 2 == 0) "x" else "y",
+        (i % 7).toDouble + (if (i % 2 == 0) 2.0 else 0.0)))
+    val b2 = (61L to 120L).map(i =>
+      ("A", i, if (i % 2 == 0) "x" else "y",
+        (i % 7).toDouble + (if (i % 2 == 0) 2.0 else 0.0)))
+    val input = MemoryStream[(String, Long, String, Double)]
+    val q = StreamingOps.streamingBootstrapDiff(
+        input.toDF().toDF("k", "id", "arm", "v"), armA = "x",
+        armB = "y", nBoot = 40)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("bootd").start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    val last = spark.sql(
+        "SELECT * FROM bootd ORDER BY n_a + n_b DESC LIMIT 1")
+      .collect()(0)
+    val batch = graft.ops.Experiment.bootstrapDiffCI(
+        (b1 ++ b2).map(t => (t._2, t._3, t._4)).toDF("id", "arm", "v"),
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("arm"),
+        org.apache.spark.sql.functions.col("v"),
+        armA = "x", armB = "y", nBoot = 40).head()
+    assert(last.getAs[Long]("n_a") == batch.getAs[Long]("n_a") &&
+      last.getAs[Long]("n_b") == batch.getAs[Long]("n_b"))
+    assert(math.abs(last.getAs[Double]("diff") -
+      batch.getAs[Double]("diff")) < 1e-9)
+    assert(math.abs(last.getAs[Double]("lo") -
+      batch.getAs[Double]("lo")) < 1e-9)
+    assert(math.abs(last.getAs[Double]("hi") -
+      batch.getAs[Double]("hi")) < 1e-9)
+    assert(last.getAs[Double]("lo") <= last.getAs[Double]("hi"))
+    // the arm-lift fixture really separates: CI excludes zero
+    assert(last.getAs[Double]("lo") > 0.0)
+    q.stop()
+  }
+
   test("streamingKendall: counted-cell state replays the batch tau-b " +
       "across batches, integer C/D exact") {
     import spark.implicits._

@@ -39,8 +39,14 @@ class UnigramSpec extends AnyFunSuite with BeforeAndAfterAll {
       "kernel (minCount + cap pushed into the plan) and maxSingles " +
       "guards the collect") {
     import spark.implicits._
+    // includes supplementary-plane text (U+1F600 GRINNING FACE — TWO
+    // UTF-16 units, ONE code point): the distributed path slices by
+    // Spark substr (code points), so the driver-local kernel must too,
+    // and the emoji must land in the singles set (cp length 1)
+    val emoji = new String(Character.toChars(0x1F600))
     val docs = Seq("low lower lowest", "low low newest", "wide wider",
-      "lowest newest ab", "b ab ab").toDF("text")
+      "lowest newest ab", "b ab ab",
+      s"$emoji a$emoji $emoji a$emoji").toDF("text")
     val dist = Unigram.trainPieces(docs, col("text"),
       vocabSize = 12, maxPieceLen = 3, minCount = 2)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
@@ -50,6 +56,16 @@ class UnigramSpec extends AnyFunSuite with BeforeAndAfterAll {
     val local = Unigram.selectVocab(
       Unigram.candidateCounts(words, 3), 12, 2).sortBy(_._1)
     assert(dist == local, s"distributed $dist != driver-local $local")
+    assert(dist.exists(_._1 == emoji),
+      s"emoji single missing from vocab: $dist")
+    // code-point slicing end to end: a 2-cp word of non-BMP chars
+    // viterbi-segments into vocab pieces, never surrogate halves
+    val vocabMap = dist.map(t => t._1 -> t._3).toMap
+    val (seg, np) = Unigram.viterbi(s"a$emoji", vocabMap, 3)
+    // every emitted piece is a real vocab entry — surrogate halves are
+    // never in a code-point-sliced vocab, so this also proves no split
+    assert(np >= 1 && seg.split(" ").forall(vocabMap.contains),
+      s"seg $seg not fully in vocab")
     val err = intercept[IllegalArgumentException] {
       Unigram.trainPieces(docs, col("text"), vocabSize = 4,
         maxPieceLen = 2, minCount = 1, maxSingles = 3)
