@@ -69,6 +69,89 @@ object Graph {
     ranks
   }
 
+  /** WEIGHTED damped PageRank — [[pageRank]] with each vote split
+    * PROPORTIONAL to integer edge weight instead of evenly:
+    *
+    *   rank'(v) = (100-dampingPct)/100
+    *            + dampingPct/100 · Σ_{u→v} floor(rank(u)·w(u,v) / sw(u))
+    *
+    * with `sw(u) = Σ out-weight of u` and integer division at both
+    * spots (the unweighted op is this one at w ≡ 1 — same
+    * engine-reproducible micro-unit discipline, same leak-at-dangling
+    * caveat). `rank·w` stays far inside Long for micro-unit ranks and
+    * realistic co-occurrence weights (≤ 10⁶·w). Returns
+    * `(id, rank_micro)`. */
+  def pageRankWeighted(edges: DataFrame, srcCol: Column, dstCol: Column,
+      weightCol: Column, iters: Int = 3, dampingPct: Int = 85)
+      : DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct is a percentage")
+    val e = edges.select(srcCol.cast("long").as("src"),
+        dstCol.cast("long").as("dst"), weightCol.cast("long").as("w"))
+      .filter(col("w") > 0)
+      .localCheckpoint(eager = true)
+    val ew = e.join(e.groupBy("src").agg(sum("w").as("sw")), "src")
+      .localCheckpoint(eager = true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(eager = true)
+    val base = (100L - dampingPct) * 1000000L / 100L
+    var ranks = nodes.select(col("id"), lit(1000000L).as("rank_micro"))
+    for (_ <- 1 to iters) {
+      val sums = ew.join(ranks, ew("src") === ranks("id"))
+        .select(col("dst"), expr("rank_micro * w div sw").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      ranks = nodes.join(sums, nodes("id") === sums("dst"), "left")
+        .select(nodes("id"),
+          (lit(base) + expr(s"coalesce(s, cast(0 as bigint)) * $dampingPct div 100"))
+            .as("rank_micro"))
+        .localCheckpoint(eager = true)
+    }
+    ranks
+  }
+
+  /** WEIGHTED k-core — [[kCore]] with the peel threshold on the
+    * weighted degree `Σ w ≥ k` instead of the neighbor count: the
+    * dense-backbone extractor when edge multiplicity matters (a
+    * co-purchase pair seen 40 times is stronger evidence than 40
+    * one-off pairs). Parallel edges sum on entry; same
+    * peel-to-fixpoint loop, count-compare termination riding each
+    * round's checkpoint. Returns `(id, core_weight)` for the maximal
+    * subgraph where every node keeps Σw ≥ k. */
+  def kCoreWeighted(edges: DataFrame, srcCol: Column, dstCol: Column,
+      weightCol: Column, k: Long, maxIters: Int = 50): DataFrame = {
+    require(k >= 1, "kCoreWeighted: k must be >= 1")
+    require(maxIters >= 1, "kCoreWeighted: maxIters must be >= 1")
+    val raw = edges.select(srcCol.cast("long").as("a"),
+        dstCol.cast("long").as("b"), weightCol.cast("long").as("w"))
+      .filter(col("a") =!= col("b") && col("w") > 0)
+    var e = raw.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"), col("w"))
+      .groupBy("a", "b").agg(sum("w").as("w"))
+      .localCheckpoint(true)
+    var prev = e.count()
+    var done = prev == 0L
+    var iters = 0
+    def wdegrees(ed: DataFrame) = ed.select(col("a").as("id"), col("w"))
+      .unionAll(ed.select(col("b").as("id"), col("w")))
+      .groupBy("id").agg(sum("w").as("wdeg"))
+    while (!done && iters < maxIters) {
+      val keep = wdegrees(e).filter(col("wdeg") >= k).select(col("id"))
+      val next = e
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"), col("w"))
+        .localCheckpoint(true)
+      val n = next.count()
+      done = n == prev
+      e = next
+      prev = n
+      iters += 1
+    }
+    wdegrees(e).filter(col("wdeg") >= k)
+      .select(col("id"), col("wdeg").as("core_weight"))
+  }
+
   /** Multi-source BFS distances over an undirected edge list — hop
     * counts from a seed set, the graph-locality signal ("how far is
     * this document from the trusted core?") and the standard crawl /
@@ -374,8 +457,16 @@ object Graph {
     * guarded loudly by [[guardGainRange]] instead. */
   private def louvainRounds(adj: DataFrame, deg: DataFrame, m: Long,
       rounds: Int, earlyStop: Boolean): DataFrame = {
-    var comm = deg.select(col("id"), col("id").as("c"))
-      .localCheckpoint(true)
+    // stats-reset checkpoints: each round joins the previous round's
+    // checkpoint ~5 times, and plain localCheckpoint CARRIES the origin
+    // plan's sizeInBytes — which the stats visitor MULTIPLIES through
+    // every inner join, compounding ~5× in DIGIT COUNT per round until
+    // the optimizer drowns in million-digit BigInt products (three
+    // stacked levels = 9 rounds hung it; found by jstack, see
+    // graftshim.StatsReset). AQE re-plans joins from actual shuffle
+    // sizes, so dropping the estimates costs nothing at runtime.
+    val ckpt = org.apache.spark.sql.graftshim.StatsReset.freshLocalCheckpoint _
+    var comm = ckpt(deg.select(col("id"), col("id").as("c")))
     var zeroStreak = 0
     var r = 0
     while (r < rounds && (!earlyStop || zeroStreak < 2)) {
@@ -391,12 +482,13 @@ object Graph {
         .unionByName(comm.select(col("id"), col("c"), lit(0L).as("kin")))
         .groupBy("id", "c").agg(max("kin").as("kin"))
       val cur = comm.withColumnRenamed("c", "cc")
-      val scored = cand.join(cur, "id").join(deg, "id").join(tot, "c")
+      val scored = ckpt(cand.join(cur, "id").join(deg, "id")
+        .join(tot, "c")
         .select(col("id"), col("c"), col("cc"),
           (lit(2L * m) * col("kin") - col("deg") *
             (col("tot") - when(col("c") === col("cc"), col("deg"))
               .otherwise(lit(0L)))).as("score"))
-        .localCheckpoint(true) // read twice: best window + stay row
+      ) // read twice: best window + stay row
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("id").orderBy(col("score").desc, col("c").asc)
       // direction alternation: the argmax only sees candidates in the
@@ -411,12 +503,12 @@ object Graph {
           col("score").as("best_s"))
       val stay = scored.filter(col("c") === col("cc"))
         .select(col("id"), col("score").as("stay_s"))
-      val upd = comm.join(best, Seq("id"), "left").join(stay, Seq("id"))
-        .select(col("id"),
-          when(col("best_s") > col("stay_s"), col("best_c"))
-            .otherwise(col("c")).as("c"),
-          (col("best_s") > col("stay_s")).as("__moved"))
-        .localCheckpoint(true)
+      val upd = ckpt(
+        comm.join(best, Seq("id"), "left").join(stay, Seq("id"))
+          .select(col("id"),
+            when(col("best_s") > col("stay_s"), col("best_c"))
+              .otherwise(col("c")).as("c"),
+            (col("best_s") > col("stay_s")).as("__moved")))
       if (earlyStop) {
         val moved = upd.filter(col("__moved")).count()
         zeroStreak = if (moved == 0L) zeroStreak + 1 else 0
@@ -512,6 +604,26 @@ object Graph {
       .select(least(col("ca"), col("cb")).as("a"),
         greatest(col("ca"), col("cb")).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("w"))
+  }
+
+  /** [[louvainContract]] for an already-WEIGHTED edge list — the step
+    * between level 2 and level 3 (and beyond): super-edge weights SUM
+    * the member edge weights instead of counting rows, so total weight
+    * m stays invariant across every level (loops a = b carry the
+    * internal mass exactly as in the unweighted contraction). Output
+    * `(a, b, w)` with `a <= b`. */
+  def louvainContractWeighted(edges: DataFrame, srcCol: Column,
+      dstCol: Column, weightCol: Column, assign: DataFrame,
+      nodeCol: Column, commCol: Column): DataFrame = {
+    val e = edges.select(srcCol.cast("long").as("s"),
+      dstCol.cast("long").as("t"), weightCol.cast("long").as("w"))
+    val asg = assign.select(nodeCol.cast("long").as("id"),
+      commCol.cast("long").as("cm"))
+    e.join(asg.select(col("id").as("s"), col("cm").as("ca")), Seq("s"))
+      .join(asg.select(col("id").as("t"), col("cm").as("cb")), Seq("t"))
+      .select(least(col("ca"), col("cb")).as("a"),
+        greatest(col("ca"), col("cb")).as("b"), col("w"))
+      .groupBy("a", "b").agg(sum("w").as("w"))
   }
 
   /** Integer-exact modularity NUMERATOR `Q·(2m)²` of a community

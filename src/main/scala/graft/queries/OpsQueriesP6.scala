@@ -548,6 +548,107 @@ private[queries] object OpsQueriesP6 {
       q1.crossJoin(q2)
         .select(col("two_m"), col("q1_num"), col("q2_num"),
           (col("q2_num") >= col("q1_num")).as("level2_not_worse"))
+    }),
+    "q364_louvain_levels" -> ((s, d) => {
+      // the FULL multi-level loop (ROADMAP #3): three Louvain levels
+      // over a lighter (%9) co-purchase slice — level 1, counted
+      // contraction, weighted level 2, SUMMED contraction (weights
+      // carry forward; m invariant), weighted level 3 — with the
+      // certified quality trajectory: per level the community count,
+      // the integer-exact modularity numerator on the ORIGINAL graph,
+      // and a not-worse-than-previous certificate (level 0 =
+      // singletons anchors it); the oracle unrolls all three levels
+      // and recomputes every sum
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 9 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      val simple = e.select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(eager = true)
+      val g = graft.ops.Graph
+      val l1 = g.louvainOneLevel(simple, col("a"), col("b"), rounds = 3)
+        .localCheckpoint(eager = true)
+      val c1e = g.louvainContract(simple, col("a"), col("b"), l1,
+          col("id"), col("community"))
+        .localCheckpoint(eager = true) // read twice: level 2 + contract
+      val l2 = g.louvainOneLevelWeighted(c1e, col("a"), col("b"),
+          col("w"), rounds = 3)
+        .localCheckpoint(eager = true) // read twice: map + contract
+      val c2e = g.louvainContractWeighted(c1e, col("a"), col("b"),
+        col("w"), l2, col("id"), col("community"))
+      val l3 = g.louvainOneLevelWeighted(c2e, col("a"), col("b"),
+        col("w"), rounds = 3)
+      val full2 = l1.select(col("id"), col("community").as("c1"))
+        .join(l2.select(col("id").as("c1"), col("community").as("cm")),
+          "c1")
+        .select(col("id"), col("cm"))
+        .localCheckpoint(eager = true) // read twice: eval + level-3 map
+      val full3 = full2.select(col("id"), col("cm").as("c2"))
+        .join(l3.select(col("id").as("c2"), col("community").as("cm")),
+          "c2")
+        .select(col("id"), col("cm"))
+      val sing = simple.select(col("a").as("id"))
+        .unionAll(simple.select(col("b").as("id"))).distinct()
+        .select(col("id"), col("id").as("cm"))
+      def qn(asg: DataFrame): DataFrame =
+        g.modularityNumerator(simple, col("a"), col("b"), asg,
+          col("id"), col("cm"))
+      val a1 = l1.select(col("id"), col("community").as("cm"))
+      val levels = Seq((0L, sing, qn(sing)), (1L, a1, qn(a1)),
+        (2L, full2, qn(full2)), (3L, full3, qn(full3)))
+      val rows = levels.map { case (lvl, asg, q) =>
+        q.crossJoin(broadcast(
+            asg.agg(countDistinct(col("cm")).as("n_comm"))))
+          .select(lit(lvl).as("level"), col("n_comm"),
+            col("q_num"), lit(lvl).as("__l"))
+      }.reduce(_.unionByName(_))
+        .localCheckpoint(eager = true) // read twice: self lag join
+      rows.as("cur")
+        .join(rows.select((col("__l") + 1).as("__l"),
+          col("q_num").as("prev_q")).as("prv"), Seq("__l"), "left")
+        .select(col("level"), col("n_comm"), col("q_num"),
+          coalesce(col("q_num") >= col("prev_q"), lit(true))
+            .as("not_worse"))
+        .orderBy("level")
+    }),
+    "q365_kcore_weighted" -> ((s, d) => {
+      // dense backbone by WEIGHTED degree (ROADMAP weighted-variant
+      // wave): co-purchase multiplicity is the edge weight — one pair
+      // bought together 40 times is stronger evidence than 40
+      // one-offs the unweighted core treats identically. Peel to
+      // fixpoint at Σw >= 20; the oracle unrolls 8 passes (fixpoint
+      // <= 6 at every tested scale, converged rounds idempotent)
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      graft.ops.Graph.kCoreWeighted(e, col("a"), col("b"), col("w"),
+          k = 20)
+        .orderBy("id")
+    }),
+    "q366_pagerank_weighted" -> ((s, d) => {
+      // weighted centrality: each node's vote splits PROPORTIONAL to
+      // co-purchase multiplicity instead of evenly — the q164 integer
+      // micro-unit discipline with floor((rank·w) div Σw); top-25
+      // most-central parts, ties pinned by id
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      graft.ops.Graph.pageRankWeighted(e, col("src"), col("dst"),
+          col("w"), iters = 3)
+        .orderBy(desc("rank_micro"), asc("id"))
+        .limit(25)
     })
   )
 
@@ -1553,6 +1654,9 @@ private[queries] object OpsQueriesP6 {
     },
     "q361_louvain" -> louvainOracle(rounds = 3),
     "q362_louvain_two_level" -> louvainTwoLevelOracle(r1 = 3, r2 = 3),
-    "q363_louvain_modularity" -> louvainModularityOracle(r1 = 3, r2 = 3)
+    "q363_louvain_modularity" -> louvainModularityOracle(r1 = 3, r2 = 3),
+    "q364_louvain_levels" -> louvainLevelsOracle(mod = 9, r = 3),
+    "q365_kcore_weighted" -> kCoreWeightedOracle(k = 20, rounds = 8),
+    "q366_pagerank_weighted" -> pageRankWeightedOracle(iters = 3)
   )
 }

@@ -141,6 +141,59 @@ private[queries] object QShared {
   val bpeMerges: Seq[(String, String)] = Seq(
     ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"), ("m", "er"))
 
+  /** The q365 oracle: `rounds` unrolled WEIGHTED peel passes — the
+    * [[kCoreOracle]] stance with the threshold on `Σw` instead of the
+    * neighbor count; `rounds` must exceed rounds-to-fixpoint at
+    * verification scale (measured ≤ 6 at sf0.001/0.01/0.1 for k = 20;
+    * converged rounds are idempotent). */
+  def kCoreWeightedOracle(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""n$i AS MATERIALIZED (SELECT id FROM (
+           SELECT id, CAST(sum(w) AS BIGINT) AS wd FROM (
+             SELECT a AS id, w FROM e${i - 1}
+             UNION ALL SELECT b, w FROM e${i - 1})
+           GROUP BY id) WHERE wd >= $k),
+         e$i AS MATERIALIZED (SELECT a, b, w FROM e${i - 1}
+           WHERE a IN (SELECT id FROM n$i) AND b IN (SELECT id FROM n$i))"""
+    }.mkString(",\n         ")
+    s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+               WHERE l_orderkey % 3 = 0),
+         e0 AS (SELECT x.p AS a, y.p AS b, count(*) AS w
+                FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+                GROUP BY 1, 2),
+         $steps
+         SELECT id, CAST(sum(w) AS BIGINT) AS core_weight FROM (
+           SELECT a AS id, w FROM e$rounds
+           UNION ALL SELECT b, w FROM e$rounds)
+         GROUP BY id HAVING CAST(sum(w) AS BIGINT) >= $k ORDER BY id"""
+  }
+
+  /** The q366 oracle: the q164 integer power iterations with each vote
+    * weighted — `floor(rank·w / Σw)` per edge, `//` = DuckDB integer
+    * division over non-negative operands = Spark's `div`. */
+  def pageRankWeightedOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""s$i AS (SELECT e.dst, sum(r.r * e.w // d.sw) AS s
+               FROM e JOIN deg d USING (src) JOIN r${i - 1} r ON r.id = e.src
+               GROUP BY e.dst),
+         r$i AS (SELECT n.id,
+                   CAST(150000 + coalesce(s.s, 0) * 85 // 100 AS BIGINT) AS r
+                 FROM nodes n LEFT JOIN s$i s ON n.id = s.dst)"""
+    }.mkString(",\n         ")
+    s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+               WHERE l_orderkey % 5 = 0),
+         e AS (SELECT x.p AS src, y.p AS dst, count(*) AS w
+               FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+               GROUP BY 1, 2),
+         deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM e GROUP BY src),
+         nodes AS (SELECT DISTINCT id FROM (
+                     SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         $iterCtes
+         SELECT id, r AS rank_micro FROM r$iters
+         ORDER BY rank_micro DESC, id LIMIT 25"""
+  }
+
   def kCoreOracle(k: Int, rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       s"""n$i AS MATERIALIZED (SELECT id FROM (
@@ -290,9 +343,9 @@ private[queries] object QShared {
   }
 
   /** The shared q361/q362 level-1 graph + round chain (ends `c<r1>`). */
-  def louvainLevel1Ctes(rounds: Int): String =
+  def louvainLevel1Ctes(rounds: Int, mod: Int = 3): String =
     s"""li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
-             WHERE l_orderkey % 3 = 0),
+             WHERE l_orderkey % $mod = 0),
        e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
               FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
        adj AS (SELECT a AS s, b AS t FROM e0
@@ -377,6 +430,86 @@ private[queries] object QShared {
        SELECT CAST(2 * m.m AS BIGINT) AS two_m, s1.q1_num, s2.q2_num,
          s2.q2_num >= s1.q1_num AS level2_not_worse
        FROM m, s1, s2"""
+
+  /** One modularity-evaluation CTE triple for [[louvainLevelsOracle]]:
+    * tot/in sums of assignment table `asg(node → cm)` against the
+    * ORIGINAL e0/deg/m, emitting `${p}s(q)`. */
+  private def qEvalCtes(p: String, asg: String, node: String,
+      cm: String): String =
+    s"""${p}t AS (SELECT a.$cm AS cm, CAST(sum(d.deg) AS BIGINT) AS tot
+           FROM $asg a JOIN deg d ON d.id = a.$node GROUP BY 1),
+       ${p}i AS (SELECT x.$cm AS cm, count(*) AS inn
+           FROM e0 JOIN $asg x ON x.$node = e0.a
+             JOIN $asg y ON y.$node = e0.b
+           WHERE x.$cm = y.$cm GROUP BY 1),
+       ${p}s AS (SELECT CAST(sum(4 * m.m * coalesce(i.inn, 0)
+             - t.tot * t.tot) AS BIGINT) AS q
+           FROM ${p}t t LEFT JOIN ${p}i i USING (cm) CROSS JOIN m)"""
+
+  /** The q364 oracle: the THREE-level Louvain pipeline on the
+    * `mod`-filtered co-purchase graph — level 1, contract (counted),
+    * weighted level 2, contract again (SUMMED — weights carry
+    * forward, m invariant), weighted level 3 — with the per-level
+    * community count and modularity numerator evaluated on the
+    * ORIGINAL graph, plus the level-over-level non-degradation
+    * certificates (level 0 = singletons anchors the trajectory). */
+  def louvainLevelsOracle(mod: Int, r: Int): String =
+    s"""WITH ${louvainLevel1Ctes(r, mod)},
+       ce AS (SELECT least(x.c, y.c) AS a, greatest(x.c, y.c) AS b,
+                count(*) AS w
+              FROM e0 JOIN c$r x ON x.id = e0.a
+                JOIN c$r y ON y.id = e0.b
+              GROUP BY 1, 2),
+       dadj AS (SELECT a AS s, b AS t, w FROM ce WHERE a <> b
+                UNION ALL SELECT b, a, w FROM ce WHERE a <> b),
+       dm AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM ce),
+       ddeg AS (SELECT id, CAST(sum(deg) AS BIGINT) AS deg FROM (
+                  SELECT s AS id, w AS deg FROM dadj
+                  UNION ALL SELECT a, 2 * w FROM ce WHERE a = b)
+                GROUP BY id),
+       dc0 AS (SELECT id, id AS c FROM ddeg),
+       ${louvainRoundCtes("d", "dadj", "ddeg", "dm", r,
+         weighted = true)},
+       ce2 AS (SELECT least(x.c, y.c) AS a, greatest(x.c, y.c) AS b,
+                 CAST(sum(ce.w) AS BIGINT) AS w
+               FROM ce JOIN dc$r x ON x.id = ce.a
+                 JOIN dc$r y ON y.id = ce.b
+               GROUP BY 1, 2),
+       tdadj AS (SELECT a AS s, b AS t, w FROM ce2 WHERE a <> b
+                 UNION ALL SELECT b, a, w FROM ce2 WHERE a <> b),
+       tdm AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM ce2),
+       tddeg AS (SELECT id, CAST(sum(deg) AS BIGINT) AS deg FROM (
+                   SELECT s AS id, w AS deg FROM tdadj
+                   UNION ALL SELECT a, 2 * w FROM ce2 WHERE a = b)
+                 GROUP BY id),
+       tc0 AS (SELECT id, id AS c FROM tddeg),
+       ${louvainRoundCtes("t", "tdadj", "tddeg", "tdm", r,
+         weighted = true)},
+       sing AS (SELECT id, id AS cm FROM deg),
+       a1 AS (SELECT id, c AS cm FROM c$r),
+       a2 AS (SELECT x.id, y.c AS cm
+              FROM c$r x JOIN dc$r y ON y.id = x.c),
+       a3 AS (SELECT x.id, z.c AS cm
+              FROM c$r x JOIN dc$r y ON y.id = x.c
+                JOIN tc$r z ON z.id = y.c),
+       ${qEvalCtes("q0", "sing", "id", "cm")},
+       ${qEvalCtes("q1", "a1", "id", "cm")},
+       ${qEvalCtes("q2", "a2", "id", "cm")},
+       ${qEvalCtes("q3", "a3", "id", "cm")}
+       SELECT CAST(lvl AS BIGINT) AS level, n_comm, q_num, not_worse
+       FROM (
+         SELECT 0 AS lvl, (SELECT count(*) FROM deg) AS n_comm,
+           q0s.q AS q_num, true AS not_worse FROM q0s
+         UNION ALL SELECT 1,
+           (SELECT count(DISTINCT cm) FROM a1), q1s.q,
+           q1s.q >= q0s.q FROM q1s, q0s
+         UNION ALL SELECT 2,
+           (SELECT count(DISTINCT cm) FROM a2), q2s.q,
+           q2s.q >= q1s.q FROM q2s, q1s
+         UNION ALL SELECT 3,
+           (SELECT count(DISTINCT cm) FROM a3), q3s.q,
+           q3s.q >= q2s.q FROM q3s, q2s)
+       ORDER BY level"""
 
   /** The q324 oracle: `rounds` unrolled k-truss peel passes — per-edge
     * support as a common-neighbor join over the adjacency (the

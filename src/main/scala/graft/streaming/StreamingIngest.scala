@@ -665,6 +665,49 @@ object StreamingOps {
     }
   }
 
+  /** Streaming twin of [[graft.ops.Graph.modularityNumerator]] — LIVE
+    * community-quality drift (the one graph readout that streams
+    * naturally): hold an assignment FROZEN (yesterday's Louvain run,
+    * broadcast as a static frame) and fold arriving edges into per-
+    * community integer counters — `tot` (+2 if both endpoints share
+    * the community, else +1 to each side's community) and `inn` (+1
+    * on shared) — a plain streaming aggregation, state bounded by the
+    * number of communities per key. The live modularity numerator is
+    * then `Σ_c (4m·inn_c − tot_c²)` with `2m = Σ_c tot_c`, computable
+    * from the emitted table at any instant; as the graph grows away
+    * from the frozen partition, Q decays — the re-cluster trigger.
+    * Contract: feed DEDUPED simple edges (the batch op distincts;
+    * a streaming twin cannot without unbounded state — the ingest
+    * convention, same caveat as [[StreamingOps.streamingSprt]]'s
+    * ordering). Unassigned endpoints default to singleton communities
+    * labeled `−id−1`, exactly like the batch op. Input columns:
+    * `k STRING, a LONG, b LONG`; output `(k, cm, tot, inn)` in Update
+    * mode. */
+  def streamingModularityDrift(edges: DataFrame, assign: DataFrame,
+      nodeCol: Column, commCol: Column): DataFrame = {
+    val asg = assign.select(nodeCol.cast("long").as("id"),
+      commCol.cast("long").as("cm"))
+    val e = edges.select(col("k").cast("string"), col("a").cast("long"),
+        col("b").cast("long"))
+      .filter(col("a") =!= col("b"))
+    val withC = e
+      .join(broadcast(asg.select(col("id").as("a"), col("cm").as("ca"))),
+        Seq("a"), "left")
+      .join(broadcast(asg.select(col("id").as("b"), col("cm").as("cb"))),
+        Seq("b"), "left")
+      .select(col("k"),
+        coalesce(col("ca"), -col("a") - 1).as("ca"),
+        coalesce(col("cb"), -col("b") - 1).as("cb"))
+    val contrib = withC.select(col("k"), col("ca").as("cm"),
+        when(col("ca") === col("cb"), 2L).otherwise(1L).as("dtot"),
+        when(col("ca") === col("cb"), 1L).otherwise(0L).as("din"))
+      .unionByName(withC.filter(col("ca") =!= col("cb"))
+        .select(col("k"), col("cb").as("cm"), lit(1L).as("dtot"),
+          lit(0L).as("din")))
+    contrib.groupBy("k", "cm")
+      .agg(sum("dtot").as("tot"), sum("din").as("inn"))
+  }
+
   final case class BootDiffState(nA: Long, nB: Long, sumA: Double,
       sumB: Double, sva: Seq[Double], swa: Seq[Long], svb: Seq[Double],
       swb: Seq[Long])

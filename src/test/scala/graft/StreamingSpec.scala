@@ -862,6 +862,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streamingModularityDrift: frozen-assignment counters replay " +
+      "the batch modularity numerator across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // frozen: the two-triangle partition; batch 2 adds cross edges
+    // (drift) and an unassigned node 7 (singleton default)
+    val asg = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("id", "cm")
+    val b1 = Seq(("G", 1L, 2L), ("G", 2L, 3L), ("G", 1L, 3L),
+      ("G", 4L, 5L), ("G", 5L, 6L), ("G", 4L, 6L))
+    val b2 = Seq(("G", 3L, 4L), ("G", 1L, 7L))
+    val input = MemoryStream[(String, Long, Long)]
+    val q = StreamingOps.streamingModularityDrift(
+        input.toDF().toDF("k", "a", "b"), asg,
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("cm"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("drift").start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    // latest row per community, then the Q readout from the counters
+    val rows = spark.sql(
+        """SELECT cm, tot, inn FROM (
+             SELECT cm, tot, inn, row_number() OVER (
+               PARTITION BY cm ORDER BY tot DESC) AS rn FROM drift)
+           WHERE rn = 1""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val twoM = rows.map(_._2).sum
+    val qNum = rows.map { case (_, tot, inn) =>
+      2L * twoM * inn - tot * tot }.sum
+    val batch = graft.ops.Graph.modularityNumerator(
+      (b1 ++ b2).map(t => (t._2, t._3)).toDF("a", "b"),
+      org.apache.spark.sql.functions.col("a"),
+      org.apache.spark.sql.functions.col("b"), asg,
+      org.apache.spark.sql.functions.col("id"),
+      org.apache.spark.sql.functions.col("cm")).head()
+    assert(twoM == batch.getAs[Long]("two_m"), s"2m $twoM vs $batch")
+    assert(qNum == batch.getAs[Long]("q_num"), s"qnum $qNum vs $batch")
+    // and the drift direction is visible: Q after the cross edges is
+    // below the clean two-triangle optimum (72 over 2m=12)
+    assert(twoM == 16L && qNum < (72.0 / 144) * twoM * twoM)
+    q.stop()
+  }
+
   test("streamingBootstrapDiff: two-arm counter pairs replay the " +
       "batch A/B Poisson-bootstrap diff interval") {
     import spark.implicits._

@@ -84,6 +84,48 @@ class Wave9Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("louvainContractWeighted: super-edge weights SUM and total " +
+      "edge weight m is invariant (loops carry intra mass)") {
+    import spark.implicits._
+    // two communities {1,2} and {3}: intra edge (1,2,w=5) → loop at
+    // the super-node; two parallel inter paths (1,3,w=2), (2,3,w=4)
+    // → ONE summed super-edge w=6
+    val e = Seq((1L, 2L, 5L), (1L, 3L, 2L), (2L, 3L, 4L))
+      .toDF("a", "b", "w")
+    val asg = Seq((1L, 10L), (2L, 10L), (3L, 30L)).toDF("id", "cm")
+    val out = graft.ops.Graph.louvainContractWeighted(e, col("a"),
+        col("b"), col("w"), asg, col("id"), col("cm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(out == Set((10L, 10L, 5L), (10L, 30L, 6L)), s"got $out")
+    // m invariant: Σw before == Σw after (loops included once)
+    assert(out.toSeq.map(_._3).sum == 11L)
+  }
+
+  test("modularityNumerator: hand-computed two-triangle value; " +
+      "singletons are negative; unassigned nodes default to " +
+      "singleton communities") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L)).toDF("a", "b")
+    // perfect 2-community split: m=6, per community in=3, tot=6 →
+    // Q·(2m)² = 2·(4·6·3 − 36) = 72; Q = 72/144 = 0.5
+    val asg = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("id", "cm")
+    val r = graft.ops.Graph.modularityNumerator(e, col("a"), col("b"),
+      asg, col("id"), col("cm")).head()
+    assert(r.getAs[Long]("two_m") == 12L &&
+      r.getAs[Long]("q_num") == 72L, s"$r")
+    // all-singleton assignment: Σ(4m·0 − deg²) = −6·4 = −24
+    val sing = (1L to 6L).map(i => (i, i)).toDF("id", "cm")
+    assert(graft.ops.Graph.modularityNumerator(e, col("a"), col("b"),
+      sing, col("id"), col("cm")).head().getAs[Long]("q_num") == -24L)
+    // empty assignment → every node defaults to its own singleton
+    val none = Seq.empty[(Long, Long)].toDF("id", "cm")
+    assert(graft.ops.Graph.modularityNumerator(e, col("a"), col("b"),
+      none, col("id"), col("cm")).head().getAs[Long]("q_num") == -24L)
+  }
+
   test("dbscan density guard: candidate volume over the cap fails " +
       "fast with the sizing formula; under it, runs") {
     import spark.implicits._
