@@ -310,19 +310,21 @@ object Dedup {
       .localCheckpoint(eager = true)
     var iter = 0
     var done = false
+    // stats-reset round checkpoints: the halving self-join DOUBLES the
+    // carried sizeInBytes estimate every round (geometric digit growth
+    // — the graftshim.StatsReset compounding lesson)
+    val ckpt = org.apache.spark.sql.graftshim.StatsReset.freshLocalCheckpoint _
     while (!done && iter < maxIters) {
       val neigh = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), labels("lbl").as("lbl"))
       // materialized before the self-join below — otherwise the halving
       // step would recompute the neighbor-min shuffle twice per round
-      val m1 = labels.unionByName(neigh)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(eager = true)
+      val m1 = ckpt(labels.unionByName(neigh)
+        .groupBy("id").agg(min("lbl").as("lbl")))
       // path halving: follow the label's own label one hop
-      val next = m1.join(m1.select(col("id").as("lbl"),
+      val next = ckpt(m1.join(m1.select(col("id").as("lbl"),
           col("lbl").as("lbl2")), Seq("lbl"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
-        .localCheckpoint(eager = true)
+        .select(col("id"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl")))
       done = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
         .filter(col("lbl") =!= col("prev")).isEmpty
       labels = next

@@ -295,24 +295,26 @@ object Graph {
     val nodes = adj.select(col("s").as("id")).distinct()
       .join(seed, Seq("id"), "left")
       .localCheckpoint(true)
-    var lbl = nodes.select(col("id"), col("seed_lbl").as("lbl"))
-      .localCheckpoint(true)
+    // stats-reset round checkpoints: each round joins the previous
+    // round's checkpoint ~3 times, compounding carried sizeInBytes
+    // geometrically (graftshim.StatsReset)
+    val ckpt = org.apache.spark.sql.graftshim.StatsReset.freshLocalCheckpoint _
+    var lbl = ckpt(nodes.select(col("id"), col("seed_lbl").as("lbl")))
     for (_ <- 1 to iters) {
-      val votes = adj.join(
+      // read twice: max count + argmin label
+      val votes = ckpt(adj.join(
           lbl.filter(col("lbl").isNotNull)
             .select(col("id").as("t"), col("lbl")), Seq("t"))
-        .groupBy(col("s").as("id"), col("lbl")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(true) // read twice: max count + argmin label
+        .groupBy(col("s").as("id"), col("lbl")).agg(count(lit(1)).as("c")))
       val top = votes.groupBy("id").agg(max("c").as("mc"))
       val winner = votes.join(top, Seq("id"))
         .filter(col("c") === col("mc"))
         .groupBy("id").agg(min("lbl").as("win"))
-      lbl = nodes.select(col("id"), col("seed_lbl"))
+      lbl = ckpt(nodes.select(col("id"), col("seed_lbl"))
         .join(lbl, Seq("id"))
         .join(winner, Seq("id"), "left")
         .select(col("id"),
-          coalesce(col("seed_lbl"), col("win"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+          coalesce(col("seed_lbl"), col("win"), col("lbl")).as("lbl")))
     }
     lbl.filter(col("lbl").isNotNull).select(col("id"), col("lbl").as("label"))
   }
@@ -794,10 +796,14 @@ object Graph {
     var sup = edgeSupport(e, broadcastClosing)
     var done = prev == 0L
     var iters = 0
+    // stats-reset checkpoints: each peel round's support computation
+    // stacks ~5 inner joins on the previous round's checkpoint, so
+    // carried sizeInBytes compounds geometrically (the louvainRounds
+    // lesson — see graftshim.StatsReset)
+    val ckpt = org.apache.spark.sql.graftshim.StatsReset.freshLocalCheckpoint _
     while (!done && iters < maxIters) {
-      val next = sup.filter(col("support") >= k - 2)
-        .select(col("a"), col("b"))
-        .localCheckpoint(true)
+      val next = ckpt(sup.filter(col("support") >= k - 2)
+        .select(col("a"), col("b")))
       val n = next.count()
       done = n == prev
       e = next
@@ -823,13 +829,17 @@ object Graph {
     val withDeg = und
       .join(deg.select(col("id").as("a"), col("degree").as("da")), "a")
       .join(deg.select(col("id").as("b"), col("degree").as("db")), "b")
-    val oriented = withDeg.select(
+    val oriented0 = withDeg.select(
       when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")),
         struct(col("a").as("s"), col("b").as("t")))
         .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
-      .localCheckpoint(true) // read 3×: both wedge sides + closing set
+    // read 3× (both wedge sides + closing set); stats-reset checkpoint:
+    // this frame re-derives from the peel loop's checkpoint every round
+    // (the graftshim.StatsReset compounding lesson)
+    val oriented = org.apache.spark.sql.graftshim.StatsReset
+      .freshLocalCheckpoint(oriented0)
     val closing = oriented.select(col("s").as("y"), col("t").as("z"))
       .unionAll(oriented.select(col("t").as("y"), col("s").as("z")))
     val tri = oriented.as("e1")
