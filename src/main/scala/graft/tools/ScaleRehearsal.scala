@@ -182,7 +182,48 @@ object ScaleRehearsal {
       // per-round throughput (mass sum + vote count + argmax window)
       "q361_louvain" -> (e =>
         graft.ops.Graph.louvainOneLevel(e, col("a"), col("b"),
-          rounds = 3)))
+          rounds = 3)),
+      // round-12: weighted k-core — pair multiplicity (kept by the
+      // corpus build: the per-order pair expansion is NOT deduped)
+      // becomes the edge weight; per-replica isomorphism keeps the
+      // peel fixpoint flat while weighted edge volume scales ×N
+      "q365_kcore_weighted" -> { e =>
+        val w = e.groupBy("a", "b").agg(count(lit(1)).as("w"))
+        graft.ops.Graph.kCoreWeighted(w, col("a"), col("b"), col("w"),
+          k = 20)
+      },
+      // round-12: the full three-level Louvain pipeline + the final
+      // modularity evaluation — the deepest iterative plan in the
+      // library (9 rounds + 2 contractions + 1 eval), i.e. exactly the
+      // shape the stats-reset checkpoints exist for
+      "q364_louvain_levels" -> { e =>
+        val g = graft.ops.Graph
+        val simple = e.select(least(col("a"), col("b")).as("a"),
+            greatest(col("a"), col("b")).as("b"))
+          .filter(col("a") =!= col("b")).distinct()
+          .localCheckpoint(true)
+        val l1 = g.louvainOneLevel(simple, col("a"), col("b"),
+            rounds = 3)
+          .localCheckpoint(true)
+        val c1e = g.louvainContract(simple, col("a"), col("b"), l1,
+            col("id"), col("community"))
+          .localCheckpoint(true)
+        val l2 = g.louvainOneLevelWeighted(c1e, col("a"), col("b"),
+            col("w"), rounds = 3)
+          .localCheckpoint(true)
+        val c2e = g.louvainContractWeighted(c1e, col("a"), col("b"),
+          col("w"), l2, col("id"), col("community"))
+        val l3 = g.louvainOneLevelWeighted(c2e, col("a"), col("b"),
+          col("w"), rounds = 3)
+        val full3 = l1.select(col("id"), col("community").as("c1"))
+          .join(l2.select(col("id").as("c1"),
+            col("community").as("c2")), "c1")
+          .join(l3.select(col("id").as("c2"),
+            col("community").as("cm")), "c2")
+          .select(col("id"), col("cm"))
+        g.modularityNumerator(simple, col("a"), col("b"), full3,
+          col("id"), col("cm"))
+      })
 
     val eventFamilies: Seq[(String, DataFrame => DataFrame)] = Seq(
       "q229_asof_join" -> { ev =>
