@@ -539,12 +539,15 @@ private[queries] object OpsQueriesP6 {
         .join(l2.select(col("id").as("c1"), col("community").as("c2")),
           "c1")
         .select(col("id"), col("c2"))
+      // the op emits decimal(38,0) (web-scale m safe); this graph's m
+      // keeps Q·(2m)² far inside Long, so present as BIGINT — an ANSI
+      // cast would fail loud, never truncate silently
       val q1 = graft.ops.Graph.modularityNumerator(simple, col("a"),
           col("b"), l1, col("id"), col("community"))
-        .select(col("two_m"), col("q_num").as("q1_num"))
+        .select(col("two_m"), col("q_num").cast("long").as("q1_num"))
       val q2 = graft.ops.Graph.modularityNumerator(simple, col("a"),
           col("b"), full2, col("id"), col("c2"))
-        .select(col("q_num").as("q2_num"))
+        .select(col("q_num").cast("long").as("q2_num"))
       q1.crossJoin(q2)
         .select(col("two_m"), col("q1_num"), col("q2_num"),
           (col("q2_num") >= col("q1_num")).as("level2_not_worse"))
@@ -595,8 +598,11 @@ private[queries] object OpsQueriesP6 {
         .unionAll(simple.select(col("b").as("id"))).distinct()
         .select(col("id"), col("id").as("cm"))
       def qn(asg: DataFrame): DataFrame =
+        // decimal(38,0) op output → BIGINT presentation (ANSI-loud;
+        // this graph's m keeps the value far inside Long)
         g.modularityNumerator(simple, col("a"), col("b"), asg,
-          col("id"), col("cm"))
+            col("id"), col("cm"))
+          .select(col("two_m"), col("q_num").cast("long").as("q_num"))
       val a1 = l1.select(col("id"), col("community").as("cm"))
       val levels = Seq((0L, sing, qn(sing)), (1L, a1, qn(a1)),
         (2L, full2, qn(full2)), (3L, full3, qn(full3)))

@@ -899,7 +899,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.sql.functions.col("id"),
       org.apache.spark.sql.functions.col("cm")).head()
     assert(twoM == batch.getAs[Long]("two_m"), s"2m $twoM vs $batch")
-    assert(qNum == batch.getAs[Long]("q_num"), s"qnum $qNum vs $batch")
+    // batch q_num is decimal(38,0) since round 13 (lifted Long cap)
+    assert(BigInt(qNum) == BigInt(batch
+      .getAs[java.math.BigDecimal]("q_num").toBigIntegerExact),
+      s"qnum $qNum vs $batch")
     // and the drift direction is visible: Q after the cross edges is
     // below the clean two-triangle optimum (72 over 2m=12)
     assert(twoM == 16L && qNum < (72.0 / 144) * twoM * twoM)

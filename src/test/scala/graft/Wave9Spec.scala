@@ -115,15 +115,154 @@ class Wave9Spec extends AnyFunSuite with BeforeAndAfterAll {
     val r = graft.ops.Graph.modularityNumerator(e, col("a"), col("b"),
       asg, col("id"), col("cm")).head()
     assert(r.getAs[Long]("two_m") == 12L &&
-      r.getAs[Long]("q_num") == 72L, s"$r")
+      qnum(r) == BigInt(72), s"$r")
     // all-singleton assignment: Σ(4m·0 − deg²) = −6·4 = −24
     val sing = (1L to 6L).map(i => (i, i)).toDF("id", "cm")
-    assert(graft.ops.Graph.modularityNumerator(e, col("a"), col("b"),
-      sing, col("id"), col("cm")).head().getAs[Long]("q_num") == -24L)
+    assert(qnum(graft.ops.Graph.modularityNumerator(e, col("a"),
+      col("b"), sing, col("id"), col("cm")).head()) == BigInt(-24))
     // empty assignment → every node defaults to its own singleton
     val none = Seq.empty[(Long, Long)].toDF("id", "cm")
-    assert(graft.ops.Graph.modularityNumerator(e, col("a"), col("b"),
-      none, col("id"), col("cm")).head().getAs[Long]("q_num") == -24L)
+    assert(qnum(graft.ops.Graph.modularityNumerator(e, col("a"),
+      col("b"), none, col("id"), col("cm")).head()) == BigInt(-24))
+  }
+
+  /** q_num is decimal(38,0) since round 13 (the lifted m ≤ 10⁹ cap). */
+  private def qnum(r: org.apache.spark.sql.Row): BigInt =
+    BigInt(r.getAs[java.math.BigDecimal]("q_num").toBigIntegerExact)
+
+  test("modularityFromCounts: decimal path exact at m above the old " +
+      "10^9 Long cap (hand-computed), and the 3e18 digit guard fires") {
+    import spark.implicits._
+    // m = 3·10⁹ (4m² = 3.6·10¹⁹ would already overflow Long):
+    // two communities, tot/inn chosen so the terms are hand-checkable:
+    //   c=1: inn = 2·10⁹, tot = 4·10⁹ → 4m·inn − tot²
+    //     = 2.4·10¹⁹ − 1.6·10¹⁹ = 8·10¹⁸
+    //   c=2: inn = 0 (absent from inn), tot = 2·10⁹ → −4·10¹⁸
+    // Σ = 4·10¹⁸ (fits Long by luck; the TERMS don't — the decimal
+    // products are what's under test)
+    val m = 3000000000L
+    val tot = Seq((1L, 4000000000L), (2L, 2000000000L)).toDF("cm", "tot")
+    val inn = Seq((1L, 2000000000L)).toDF("cm", "inn")
+    val r = graft.ops.Graph.modularityFromCounts(m, tot, inn).head()
+    val expected = BigInt(4) * BigInt(m) * BigInt(2000000000L) -
+      BigInt(4000000000L).pow(2) - BigInt(2000000000L).pow(2)
+    assert(r.getAs[Long]("two_m") == 2L * m)
+    assert(qnum(r) == expected, s"got ${qnum(r)} want $expected")
+    // and a genuinely Long-impossible value: one community holding
+    // everything at m = 10^12 → q_num = 4m·m − (2m)² = 0... use an
+    // asymmetric split instead: tot = 2m, inn = m/2 → 4m·(m/2) − 4m²
+    // = −2·10²⁴, 24 digits — decimal-only territory
+    val m2 = 1000000000000L
+    val tot2 = Seq((1L, 2 * m2)).toDF("cm", "tot")
+    val inn2 = Seq((1L, m2 / 2)).toDF("cm", "inn")
+    val r2 = graft.ops.Graph.modularityFromCounts(m2, tot2, inn2).head()
+    assert(qnum(r2) == BigInt(4) * BigInt(m2) * BigInt(m2 / 2) -
+      (BigInt(2) * BigInt(m2)).pow(2), s"$r2")
+    // digit-bound guard: m past 3·10¹⁸ must fail with the sizing math
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Graph.modularityFromCounts(3100000000000000000L,
+        tot, inn)
+    }
+    assert(ex.getMessage.contains("decimal(38,0)"), ex.getMessage)
+  }
+
+  test("modularityNumerator label-space guard: negative node ids and " +
+      "negative community labels fail loudly (aliasing the -id-1 " +
+      "singleton space)") {
+    import spark.implicits._
+    val e = Seq((-2L, 3L), (3L, 4L)).toDF("a", "b")
+    val asg = Seq((3L, 1L)).toDF("id", "cm")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Graph.modularityNumerator(e, col("a"), col("b"), asg,
+        col("id"), col("cm")).head()
+    }
+    assert(ex.getMessage.contains("negative node id"), ex.getMessage)
+    val e2 = Seq((2L, 3L), (3L, 4L)).toDF("a", "b")
+    val asg2 = Seq((3L, -7L)).toDF("id", "cm")
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.ops.Graph.modularityNumerator(e2, col("a"), col("b"), asg2,
+        col("id"), col("cm")).head()
+    }
+    assert(ex2.getMessage.contains("negative community label"),
+      ex2.getMessage)
+  }
+
+  test("modularityNumeratorWeighted: hand-computed with a self-loop " +
+      "(A_ii = 2w: the loop adds 2w to degree, w to its community's " +
+      "intra mass) and agrees with the unweighted op at w = 1") {
+    import spark.implicits._
+    // triangle {1,2,3} at w=2 each + self-loop (4,4,w=3) + bridge
+    // (3,4,w=1): m = Σw = 10. Assignment {1,2,3}→1, {4}→4.
+    //   c=1: inn = 6, tot = deg1+deg2+deg3 = 4+4+5 = 13
+    //     → 4·10·6 − 169 = 71
+    //   c=4: inn = 3 (the loop), tot = 2·3+1 = 7 → 120 − 49 = 71
+    // Σ = 142
+    val e = Seq((1L, 2L, 2L), (2L, 3L, 2L), (1L, 3L, 2L), (4L, 4L, 3L),
+      (3L, 4L, 1L)).toDF("a", "b", "w")
+    val asg = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("id", "cm")
+    val r = graft.ops.Graph.modularityNumeratorWeighted(e, col("a"),
+      col("b"), col("w"), asg, col("id"), col("cm")).head()
+    assert(r.getAs[Long]("two_m") == 20L && qnum(r) == BigInt(142),
+      s"$r")
+    // loop at an UNASSIGNED node: intra for its own singleton
+    //   nodes 1,2 edge w=2 + loop (3,3,w=5), asg only {1,2}→1:
+    //   m=7, c=1: inn=2, tot=4 → 4·7·2 − 16 = 40
+    //   singleton −4 (node 3): inn=5, tot=10 → 140 − 100 = 40 → Σ 80
+    val e2 = Seq((1L, 2L, 2L), (3L, 3L, 5L)).toDF("a", "b", "w")
+    val asg2 = Seq((1L, 1L), (2L, 1L)).toDF("id", "cm")
+    val r2 = graft.ops.Graph.modularityNumeratorWeighted(e2, col("a"),
+      col("b"), col("w"), asg2, col("id"), col("cm")).head()
+    assert(r2.getAs[Long]("two_m") == 14L && qnum(r2) == BigInt(80),
+      s"$r2")
+    // w ≡ 1 degenerates to the unweighted op (no loops: it drops them)
+    val e3 = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L))
+      .toDF("a", "b", "w")
+    val asg3 = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "cm")
+    val wq = graft.ops.Graph.modularityNumeratorWeighted(e3, col("a"),
+      col("b"), col("w"), asg3, col("id"), col("cm")).head()
+    val uq = graft.ops.Graph.modularityNumerator(e3, col("a"),
+      col("b"), asg3, col("id"), col("cm")).head()
+    assert(qnum(wq) == qnum(uq) &&
+      wq.getAs[Long]("two_m") == uq.getAs[Long]("two_m"))
+  }
+
+  test("louvainOneLevelTrajectory: final slice equals louvainOneLevel " +
+      "and earlier slices are the genuine per-round assignments") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val traj = graft.ops.Graph.louvainOneLevelTrajectory(e, col("a"),
+        col("b"), rounds = 3)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => r.getLong(1) -> r.getLong(2)).toMap)
+      .toMap
+    assert(traj.keySet == Set(1L, 2L, 3L))
+    for (r <- 1 to 3) {
+      val fixed = graft.ops.Graph.louvainOneLevel(e, col("a"), col("b"),
+          rounds = r)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(traj(r.toLong) == fixed,
+        s"round $r slice ${traj(r.toLong)} != fixed-round $fixed")
+    }
+  }
+
+  test("louvain weighted prep: wraparound-range weights fail loudly " +
+      "(decimal-summed), empty input yields m = 0 not an NPE") {
+    import spark.implicits._
+    // two parallel edges whose Long sum wraps: (2^62)+(2^62) = 2^63
+    val hot = Seq((1L, 2L, 1L << 62), (2L, 1L, 1L << 62))
+      .toDF("a", "b", "w")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Graph.louvainOneLevelWeighted(hot, col("a"), col("b"),
+        col("w"), rounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("Long range"), ex.getMessage)
+    // empty / all-nonpositive input: coalesced m = 0, clean empty out
+    val none = Seq((1L, 2L, 0L)).toDF("a", "b", "w")
+    assert(graft.ops.Graph.louvainOneLevelWeighted(none, col("a"),
+      col("b"), col("w"), rounds = 1).count() == 0L)
   }
 
   test("dbscan density guard: candidate volume over the cap fails " +
