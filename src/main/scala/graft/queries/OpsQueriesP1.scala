@@ -1033,12 +1033,18 @@ private[queries] object OpsQueriesP1 {
          pairs AS (SELECT a.doc_id AS a_id, a.pos AS a_pos,
                      b.doc_id AS b_id, b.pos AS b_pos, a.sl AS sa, b.sl AS sb
                    FROM ord a JOIN ord b ON b.idx = a.idx + 1),
+         l0 AS (SELECT a_id, a_pos, b_id, b_pos,
+                  least(len(sa), len(sb)) AS minlen,
+                  list_position(list_transform(
+                    range(least(len(sa), len(sb))),
+                    i -> sa[i + 1] = sb[i + 1]), false) AS mp
+                FROM pairs),
+         -- not-found list_position is NULL on some DuckDB versions and
+         -- 0 on others (1.0.0); both mean "no mismatch → LCP = minlen"
          l AS (SELECT a_id, a_pos, b_id, b_pos,
-                 coalesce(list_position(list_transform(
-                     range(least(len(sa), len(sb))),
-                     i -> sa[i + 1] = sb[i + 1]), false) - 1,
-                   least(len(sa), len(sb))) AS len
-               FROM pairs),
+                 CASE WHEN coalesce(mp, 0) = 0 THEN minlen
+                   ELSE mp - 1 END AS len
+               FROM l0),
          best AS (SELECT max(len) AS len FROM l)
          SELECT CAST(best.len AS BIGINT) AS len, l.a_id,
                 CAST(l.a_pos AS INT) AS a_pos, l.b_id,

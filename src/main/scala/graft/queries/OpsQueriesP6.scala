@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.ops.{Ann, Dedup, Multimodal, TextAnalysis}
 import graft.queries.QShared._
 
-/** Part 6/6 of the ops query registry (q313_isotonic..q363_louvain_modularity) — mechanical
+/** Part 6/6 of the ops query registry (q313_isotonic..q368_louvain_external_w) — mechanical
   * wave split of the round-11 monolith; entry bodies are verbatim and
   * [[OpsQueries]] merges the parts, so keys, plans and oracle SQL are
-  * unchanged. Each query keeps its DuckDB oracle co-located. */
+  * unchanged. Rounds 12–13 append the graph-quality wave (q361–q368).
+  * Each query keeps its DuckDB oracle co-located. */
 private[queries] object OpsQueriesP6 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -655,6 +656,100 @@ private[queries] object OpsQueriesP6 {
           col("w"), iters = 3)
         .orderBy(desc("rank_micro"), asc("id"))
         .limit(25)
+    }),
+    "q367_louvain_rounds" -> ((s, d) => {
+      // the rounds-as-quality-knob certificate (round-12 verdict ask
+      // #2): q363's gauge showed rounds = 3 leaves real modularity on
+      // the table (Q·(2m)² 492M at r3 → 821M at r10 on the q361
+      // graph). ONE 6-round level-1 pass keeps every round's
+      // assignment (louvainOneLevelTrajectory — same cost as the
+      // plain op) and the integer-exact modularity numerator is
+      // re-evaluated after every round with the round-over-round
+      // not-worse flag — the knee is measured and hash-pinned, not
+      // folklore; round 0 = singletons anchors the trajectory
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 9 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      val simple = e.select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(eager = true) // read 8×: trajectory + 7 evals
+      val g = graft.ops.Graph
+      val traj = g.louvainOneLevelTrajectory(simple, col("a"),
+          col("b"), rounds = 6)
+        .localCheckpoint(eager = true) // read 12×: 6 evals + 6 counts
+      val sing = simple.select(col("a").as("id"))
+        .unionAll(simple.select(col("b").as("id"))).distinct()
+        .select(col("id"), col("id").as("cm"))
+      def qn(asg: DataFrame): DataFrame =
+        // decimal(38,0) op output → BIGINT presentation (ANSI-loud;
+        // this graph's m keeps the value far inside Long)
+        g.modularityNumerator(simple, col("a"), col("b"), asg,
+            col("id"), col("cm"))
+          .select(col("two_m"), col("q_num").cast("long").as("q_num"))
+      val levels = (0 to 6).map { r =>
+        val asg = if (r == 0) sing
+          else traj.filter(col("round") === r)
+            .select(col("id"), col("community").as("cm"))
+        qn(asg).crossJoin(broadcast(
+            asg.agg(countDistinct(col("cm")).as("n_comm"))))
+          .select(lit(r.toLong).as("round"), col("n_comm"),
+            col("q_num"), lit(r.toLong).as("__l"))
+      }.reduce(_.unionByName(_))
+        .localCheckpoint(eager = true) // read twice: self lag join
+      levels.as("cur")
+        .join(levels.select((col("__l") + 1).as("__l"),
+          col("q_num").as("prev_q")).as("prv"), Seq("__l"), "left")
+        .select(col("round"), col("n_comm"), col("q_num"),
+          coalesce(col("q_num") >= col("prev_q"), lit(true))
+            .as("not_worse"))
+        .orderBy("round")
+    }),
+    "q368_louvain_external_w" -> ((s, d) => {
+      // EXTERNAL-weight Louvain (round-12 verdict ask #3):
+      // louvainOneLevelWeighted had only ever seen
+      // contraction-produced weights. Here the weights are a real
+      // similarity signal — co-purchase multiplicity (the q365
+      // construction) — plus genuine SELF-LOOPS (every part ≡ 0
+      // mod 10 carries its slice lineitem count as loop weight), so
+      // the loops-count-twice weighted-degree convention is
+      // oracle-pinned end to end; the WEIGHTED modularity numerator
+      // (in_c sums intra weight including loops, same m as the move
+      // objective) certifies level 1 against singletons
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      val loops = li.filter(col("p") % 10 === 0)
+        .groupBy(col("p")).agg(count(lit(1)).as("w"))
+        .select(col("p").as("a"), col("p").as("b"), col("w"))
+      val e = pairs.unionByName(loops)
+        .localCheckpoint(eager = true) // read 3×: louvain + 2 evals
+      val g = graft.ops.Graph
+      val l1 = g.louvainOneLevelWeighted(e, col("a"), col("b"),
+          col("w"), rounds = 3)
+        .localCheckpoint(eager = true) // read twice: eval + count
+      val sing = e.select(col("a").as("id"))
+        .unionAll(e.select(col("b").as("id"))).distinct()
+        .select(col("id"), col("id").as("cm"))
+      val q0 = g.modularityNumeratorWeighted(e, col("a"), col("b"),
+          col("w"), sing, col("id"), col("cm"))
+        .select(col("q_num").cast("long").as("q0_num"))
+      val q1 = g.modularityNumeratorWeighted(e, col("a"), col("b"),
+          col("w"), l1, col("id"), col("community"))
+        .select(col("two_m"), col("q_num").cast("long").as("q1_num"))
+      q1.crossJoin(q0)
+        .crossJoin(broadcast(
+          l1.agg(countDistinct(col("community")).as("n_comm"))))
+        .select(col("two_m"), col("n_comm"), col("q0_num"),
+          col("q1_num"),
+          (col("q1_num") >= col("q0_num")).as("level1_not_worse"))
     })
   )
 
@@ -1663,6 +1758,8 @@ private[queries] object OpsQueriesP6 {
     "q363_louvain_modularity" -> louvainModularityOracle(r1 = 3, r2 = 3),
     "q364_louvain_levels" -> louvainLevelsOracle(mod = 9, r = 3),
     "q365_kcore_weighted" -> kCoreWeightedOracle(k = 20, rounds = 8),
-    "q366_pagerank_weighted" -> pageRankWeightedOracle(iters = 3)
+    "q366_pagerank_weighted" -> pageRankWeightedOracle(iters = 3),
+    "q367_louvain_rounds" -> louvainRoundsKneeOracle(mod = 9, r = 6),
+    "q368_louvain_external_w" -> louvainExternalWOracle(rounds = 3)
   )
 }

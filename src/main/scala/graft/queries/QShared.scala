@@ -511,6 +511,81 @@ private[queries] object QShared {
            q3s.q >= q2s.q FROM q3s, q2s)
        ORDER BY level"""
 
+  /** The q367 oracle: ONE unrolled `r`-round level-1 Louvain chain
+    * (c0..c`r`) on the `mod`-filtered co-purchase graph with the
+    * modularity numerator re-evaluated after EVERY round plus the
+    * round-over-round not-worse flag — the rounds-as-quality-knob
+    * certificate (round-12 verdict ask #2: the knee of the Q
+    * trajectory, measured and hash-pinned). Round 0 = singletons
+    * anchors the trajectory. */
+  def louvainRoundsKneeOracle(mod: Int, r: Int): String = {
+    val aCtes = (0 to r).map(i =>
+      s"a$i AS (SELECT id, c AS cm FROM c$i)").mkString(",\n       ")
+    val qCtes = (0 to r).map(i => qEvalCtes(s"q$i", s"a$i", "id", "cm"))
+      .mkString(",\n       ")
+    val rows = (0 to r).map { i =>
+      val nw = if (i == 0) "true" else s"q${i}s.q >= q${i - 1}s.q"
+      val from = if (i == 0) "FROM q0s" else s"FROM q${i}s, q${i - 1}s"
+      s"""SELECT $i AS lvl,
+           (SELECT count(DISTINCT cm) FROM a$i) AS n_comm,
+           q${i}s.q AS q_num, $nw AS not_worse $from"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH ${louvainLevel1Ctes(r, mod)},
+       $aCtes,
+       $qCtes
+       SELECT CAST(lvl AS BIGINT) AS round, n_comm, q_num, not_worse
+       FROM ($rows) ORDER BY round"""
+  }
+
+  /** The q368 oracle: the WEIGHTED level-1 Louvain unroll over an
+    * EXTERNAL similarity-weighted graph — co-purchase multiplicity as
+    * the edge weight (the q365 construction) plus genuine SELF-LOOPS
+    * (every part ≡ 0 mod 10 carries its slice lineitem count as loop
+    * weight), so the loops-count-twice weighted-degree convention and
+    * the weighted modularity numerator (`in_c` sums intra weight
+    * INCLUDING loops; m = Σw with loops) are both replayed end to
+    * end; singletons anchor the not-worse certificate. */
+  def louvainExternalWOracle(rounds: Int): String = {
+    def qEvalW(p: String, asg: String): String =
+      s"""${p}t AS (SELECT a.cm, CAST(sum(d.deg) AS BIGINT) AS tot
+             FROM $asg a JOIN deg d ON d.id = a.id GROUP BY 1),
+         ${p}i AS (SELECT x.cm, CAST(sum(e0.w) AS BIGINT) AS inn
+             FROM e0 JOIN $asg x ON x.id = e0.a
+               JOIN $asg y ON y.id = e0.b
+             WHERE x.cm = y.cm GROUP BY 1),
+         ${p}s AS (SELECT CAST(sum(4 * m.m * coalesce(i.inn, 0)
+               - t.tot * t.tot) AS BIGINT) AS q
+             FROM ${p}t t LEFT JOIN ${p}i i USING (cm) CROSS JOIN m)"""
+    s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+               WHERE l_orderkey % 3 = 0),
+       pairs AS (SELECT x.p AS a, y.p AS b, count(*) AS w
+                 FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+                 GROUP BY 1, 2),
+       loops AS (SELECT p AS a, p AS b, count(*) AS w FROM li
+                 WHERE p % 10 = 0 GROUP BY p),
+       e0 AS (SELECT a, b, w FROM pairs
+              UNION ALL SELECT a, b, w FROM loops),
+       adj AS (SELECT a AS s, b AS t, w FROM e0 WHERE a <> b
+               UNION ALL SELECT b, a, w FROM e0 WHERE a <> b),
+       m AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM e0),
+       deg AS (SELECT id, CAST(sum(deg) AS BIGINT) AS deg FROM (
+                 SELECT s AS id, w AS deg FROM adj
+                 UNION ALL SELECT a, 2 * w FROM e0 WHERE a = b)
+               GROUP BY id),
+       c0 AS (SELECT id, id AS c FROM deg),
+       ${louvainRoundCtes("", "adj", "deg", "m", rounds,
+         weighted = true)},
+       a0 AS (SELECT id, id AS cm FROM deg),
+       a1 AS (SELECT id, c AS cm FROM c$rounds),
+       ${qEvalW("q0", "a0")},
+       ${qEvalW("q1", "a1")}
+       SELECT CAST(2 * m.m AS BIGINT) AS two_m,
+         (SELECT count(DISTINCT cm) FROM a1) AS n_comm,
+         q0s.q AS q0_num, q1s.q AS q1_num,
+         q1s.q >= q0s.q AS level1_not_worse
+       FROM m, q0s, q1s"""
+  }
+
   /** The q324 oracle: `rounds` unrolled k-truss peel passes — per-edge
     * support as a common-neighbor join over the adjacency (the
     * [[kCoreOracle]] stance: rounds must exceed rounds-to-fixpoint at
