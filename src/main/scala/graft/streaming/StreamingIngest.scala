@@ -665,47 +665,172 @@ object StreamingOps {
     }
   }
 
+  final case class DriftRow(k: String, cm: Long, tot: Long, inn: Long,
+      dup_dropped: Long)
+  final case class DriftState(cells: Seq[(Long, Long, Long)], dups: Long)
+
   /** Streaming twin of [[graft.ops.Graph.modularityNumerator]] — LIVE
     * community-quality drift (the one graph readout that streams
-    * naturally): hold an assignment FROZEN (yesterday's Louvain run,
-    * broadcast as a static frame) and fold arriving edges into per-
-    * community integer counters — `tot` (+2 if both endpoints share
-    * the community, else +1 to each side's community) and `inn` (+1
-    * on shared) — a plain streaming aggregation, state bounded by the
-    * number of communities per key. The live modularity numerator is
-    * then `Σ_c (4m·inn_c − tot_c²)` with `2m = Σ_c tot_c`, computable
-    * from the emitted table at any instant; as the graph grows away
-    * from the frozen partition, Q decays — the re-cluster trigger.
-    * Contract: feed DEDUPED simple edges (the batch op distincts;
-    * a streaming twin cannot without unbounded state — the ingest
-    * convention, same caveat as [[StreamingOps.streamingSprt]]'s
-    * ordering). Unassigned endpoints default to singleton communities
-    * labeled `−id−1`, exactly like the batch op. Input columns:
-    * `k STRING, a LONG, b LONG`; output `(k, cm, tot, inn)` in Update
-    * mode. */
+    * naturally): hold an assignment FROZEN (yesterday's Louvain run —
+    * collected to a task-side broadcast map, the same fits-in-memory
+    * bound the round-12 broadcast joins carried) and fold arriving
+    * edges into per-community integer counters — `tot` (+2 if both
+    * endpoints share the community, else +1 to each side's community)
+    * and `inn` (+1 on shared) — state bounded by the number of
+    * communities per key. The live modularity numerator is then
+    * `Σ_c (4m·inn_c − tot_c²)` with `2m = Σ_c tot_c`, computable from
+    * the emitted table at any instant; as the graph grows away from
+    * the frozen partition, Q decays — the re-cluster trigger.
+    *
+    * Duplicate edges: the batch op distincts; a streaming twin cannot
+    * globally without unbounded state, so each MICRO-BATCH dedups its
+    * own rows (canonical (min, max) pairs in the per-key invocation —
+    * batch-bounded memory) and counts what it dropped into the
+    * cumulative `dup_dropped` column (round-12 verdict ask #8): a feed
+    * that violates the cross-batch dedup contract now shows a nonzero
+    * counter on the within-batch portion instead of silently inflating
+    * tot/inn. CROSS-batch duplicates remain the caller's contract (the
+    * ingest convention, same caveat as
+    * [[StreamingOps.streamingSprt]]'s ordering). Unassigned endpoints
+    * default to singleton communities labeled `−id−1`, exactly like
+    * the batch op — so node ids and labels must be NON-NEGATIVE
+    * (checked loudly: driver-side on the frozen assignment, per-row on
+    * the stream; a negative id's −id−1 would alias a real label —
+    * advisor, round 12). Input columns: `k STRING, a LONG, b LONG`;
+    * output `(k, cm, tot, inn, dup_dropped)` in Update mode,
+    * `dup_dropped` repeated per row (it is per-key state). */
   def streamingModularityDrift(edges: DataFrame, assign: DataFrame,
-      nodeCol: Column, commCol: Column): DataFrame = {
-    val asg = assign.select(nodeCol.cast("long").as("id"),
-      commCol.cast("long").as("cm"))
+      nodeCol: Column, commCol: Column)
+      : org.apache.spark.sql.Dataset[DriftRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val asgRows = assign.select(nodeCol.cast("long").as("id"),
+      commCol.cast("long").as("cm")).collect()
+    asgRows.foreach { r =>
+      require(r.getLong(0) >= 0 && r.getLong(1) >= 0,
+        "streamingModularityDrift: negative node id or community " +
+          s"label (${r.getLong(0)} -> ${r.getLong(1)}) — the −id−1 " +
+          "singleton label space would alias it; remap to " +
+          "non-negative first")
+    }
+    val bc = spark.sparkContext.broadcast(
+      asgRows.map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val typed = edges.select(col("k").cast("string"),
+        col("a").cast("long"), col("b").cast("long"))
+      .filter(col("a") =!= col("b"))
+      .as[(String, Long, Long)]
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (key: String, rows: Iterator[(String, Long, Long)],
+       state: GroupState[DriftState]) =>
+        val asg = bc.value
+        val st = state.getOption.getOrElse(DriftState(Nil, 0L))
+        val cells =
+          scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+        st.cells.foreach { case (cm, tot, inn) => cells(cm) = (tot, inn) }
+        var dups = st.dups
+        val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+        def bump(cm: Long, dTot: Long, dIn: Long): Unit = {
+          val (t0, i0) = cells.getOrElse(cm, (0L, 0L))
+          cells(cm) = (t0 + dTot, i0 + dIn)
+        }
+        rows.foreach { case (_, a0, b0) =>
+          if (a0 < 0 || b0 < 0)
+            throw new IllegalArgumentException(
+              s"streamingModularityDrift: negative node id ($a0, $b0) " +
+                "— the −id−1 singleton label space would alias a real " +
+                "community; remap ids to non-negative first")
+          val a = math.min(a0, b0)
+          val b = math.max(a0, b0)
+          if (!seen.add((a, b))) dups += 1
+          else {
+            val ca = asg.getOrElse(a, -a - 1)
+            val cb = asg.getOrElse(b, -b - 1)
+            if (ca == cb) bump(ca, 2L, 1L)
+            else { bump(ca, 1L, 0L); bump(cb, 1L, 0L) }
+          }
+        }
+        state.update(DriftState(
+          cells.iterator.map { case (cm, (t, i)) => (cm, t, i) }.toSeq,
+          dups))
+        cells.iterator.map { case (cm, (t, i)) =>
+          DriftRow(key, cm, t, i, dups) }
+    }
+  }
+
+  /** Streaming degree-assortativity drift against a FROZEN degree
+    * snapshot — the [[streamingModularityDrift]] frozen-reference
+    * pattern for the hubs-wire-to-hubs readout (round-12 verdict ask
+    * #6): each arriving edge looks both endpoints up in the frozen
+    * degree table (broadcast joins) and folds FOUR integer moment
+    * counters per key — `n_e`, `s_xy = Σ dx·dy`, `s_x = Σ(dx+dy)`,
+    * `s_x2 = Σ(dx²+dy²)` — a plain streaming aggregation, O(1) state
+    * per key. The live coefficient of the streamed edge population
+    * over the frozen degrees (both-orientations convention; x/y
+    * moments coincide) reads off the counters as
+    * `r = (2·n_e·2·s_xy − s_x²) / (2·n_e·s_x2 − s_x²)`; replaying the
+    * snapshot's own edges reproduces
+    * [[graft.ops.Graph.degreeAssortativity]] exactly (the parity spec
+    * pins it). Edges with an endpoint absent from the snapshot DROP —
+    * the readout is over the frozen node set. Input `k STRING,
+    * a LONG, b LONG`; output `(k, n_e, s_xy, s_x, s_x2)` in Update
+    * mode. */
+  def streamingAssortativityDrift(edges: DataFrame, degrees: DataFrame,
+      idCol: Column, degCol: Column): DataFrame = {
+    val deg = degrees.select(idCol.cast("long").as("id"),
+      degCol.cast("long").as("d"))
     val e = edges.select(col("k").cast("string"), col("a").cast("long"),
         col("b").cast("long"))
       .filter(col("a") =!= col("b"))
-    val withC = e
-      .join(broadcast(asg.select(col("id").as("a"), col("cm").as("ca"))),
-        Seq("a"), "left")
-      .join(broadcast(asg.select(col("id").as("b"), col("cm").as("cb"))),
-        Seq("b"), "left")
-      .select(col("k"),
-        coalesce(col("ca"), -col("a") - 1).as("ca"),
-        coalesce(col("cb"), -col("b") - 1).as("cb"))
-    val contrib = withC.select(col("k"), col("ca").as("cm"),
-        when(col("ca") === col("cb"), 2L).otherwise(1L).as("dtot"),
-        when(col("ca") === col("cb"), 1L).otherwise(0L).as("din"))
-      .unionByName(withC.filter(col("ca") =!= col("cb"))
-        .select(col("k"), col("cb").as("cm"), lit(1L).as("dtot"),
-          lit(0L).as("din")))
-    contrib.groupBy("k", "cm")
-      .agg(sum("dtot").as("tot"), sum("din").as("inn"))
+    e.join(broadcast(deg.select(col("id").as("a"), col("d").as("da"))),
+        Seq("a"))
+      .join(broadcast(deg.select(col("id").as("b"), col("d").as("db"))),
+        Seq("b"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_e"),
+        sum(col("da") * col("db")).as("s_xy"),
+        sum(col("da") + col("db")).as("s_x"),
+        sum(col("da") * col("da") + col("db") * col("db")).as("s_x2"))
+  }
+
+  /** Streaming wedge-closure (triangle-rate) drift against a FROZEN
+    * edge snapshot — the densification readout next to
+    * [[streamingModularityDrift]]'s Q (round-12 verdict ask #6): an
+    * arriving edge (a, b) CLOSES a wedge when a and b share ≥ 1
+    * common neighbor in the snapshot — arrivals completing triangles
+    * instead of opening frontier. The snapshot's distance-2 pair set
+    * is built ONCE batch-side (canonical, distinct; Σ deg²-bounded —
+    * the broadcast-reference form, the
+    * [[graft.ops.TextAnalysis.winnowOverlapAgainst]] stance: at web
+    * scale keep the persisted pair table and an equi-join shape
+    * instead), then every micro-batch is one broadcast left join +
+    * two integer counters per key. The live closure rate is
+    * `n_closing / n_e` at any instant; the parity spec replays the
+    * batch formula. Input `k STRING, a LONG, b LONG`; output
+    * `(k, n_e, n_closing)` in Update mode. */
+  def streamingWedgeClosure(edges: DataFrame, frozen: DataFrame,
+      srcCol: Column, dstCol: Column): DataFrame = {
+    val raw = frozen.select(srcCol.cast("long").as("s"),
+        dstCol.cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+    val adj = raw.unionAll(raw.select(col("t").as("s"), col("s").as("t")))
+      .distinct()
+    val p2 = adj.as("x").join(adj.as("y"),
+        col("x.t") === col("y.t") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("pa"), col("y.s").as("pb"))
+      .distinct()
+      .localCheckpoint(true) // built once, reused every micro-batch
+    val e = edges.select(col("k").cast("string"), col("a").cast("long"),
+        col("b").cast("long"))
+      .filter(col("a") =!= col("b"))
+      .select(col("k"), least(col("a"), col("b")).as("pa"),
+        greatest(col("a"), col("b")).as("pb"))
+    e.join(broadcast(p2.withColumn("__c", lit(1))), Seq("pa", "pb"),
+        "left")
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_e"),
+        sum(coalesce(col("__c"), lit(0)).cast("long")).as("n_closing"))
   }
 
   final case class BootDiffState(nA: Long, nB: Long, sumA: Double,

@@ -909,6 +909,194 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streamingModularityDrift: within-batch duplicate edges are " +
+      "dropped and counted; counters match the batch op on the " +
+      "deduped feed") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val asg = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "cm")
+    // batch 1 repeats (1,2) twice and once REVERSED — 2 batch-local
+    // duplicates of the canonical pair; batch 2 repeats (2,3) once
+    val b1 = Seq(("G", 1L, 2L), ("G", 1L, 2L), ("G", 2L, 1L),
+      ("G", 2L, 3L))
+    val b2 = Seq(("G", 2L, 3L), ("G", 2L, 3L), ("G", 1L, 3L))
+    val input = MemoryStream[(String, Long, Long)]
+    val q = StreamingOps.streamingModularityDrift(
+        input.toDF().toDF("k", "a", "b"), asg,
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("cm"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("driftdup").start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    val last = spark.sql(
+        """SELECT cm, tot, inn, dup_dropped FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY cm ORDER BY tot DESC) AS rn FROM driftdup)
+           WHERE rn = 1""")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 2 dups in batch 1 + 1 in batch 2 (cross-batch (2,3) repeat is
+    // the documented caveat: batch 2's FIRST (2,3) counts again)
+    assert(last.forall(_._4 == 3L), last.mkString(","))
+    // counters = batch op over the batch-deduped feed:
+    // batch 1 dedup {(1,2),(2,3)} ++ batch 2 dedup {(2,3),(1,3)}
+    val fed = Seq((1L, 2L), (2L, 3L), (2L, 3L), (1L, 3L))
+    val rows = last.map(t => (t._1, t._2, t._3))
+    val twoM = rows.map(_._2).sum
+    assert(twoM == 8L, s"2m $twoM") // 4 fed edges, all intra
+    assert(rows.toSet == Set((1L, 8L, 4L)), rows.mkString(","))
+    // and the batch op on the deduped-within-batch feed (distinct
+    // collapses the cross-batch repeat; the drift twin documents that
+    // divergence — here the assertion targets the dup counter)
+    val batch = graft.ops.Graph.modularityNumerator(
+      fed.toDF("a", "b"),
+      org.apache.spark.sql.functions.col("a"),
+      org.apache.spark.sql.functions.col("b"), asg,
+      org.apache.spark.sql.functions.col("id"),
+      org.apache.spark.sql.functions.col("cm")).head()
+    assert(batch.getAs[Long]("two_m") == 6L) // distinct: 3 edges
+    q.stop()
+  }
+
+  test("streamingModularityDrift: negative ids fail loudly (driver " +
+      "side on the frozen assignment; per-row on the stream)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val badAsg = Seq((-2L, 1L)).toDF("id", "cm")
+    val ex = intercept[IllegalArgumentException] {
+      StreamingOps.streamingModularityDrift(
+        MemoryStream[(String, Long, Long)].toDF().toDF("k", "a", "b"),
+        badAsg, org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("cm"))
+    }
+    assert(ex.getMessage.contains("negative node id or community"),
+      ex.getMessage)
+    val asg = Seq((1L, 1L)).toDF("id", "cm")
+    val input = MemoryStream[(String, Long, Long)]
+    val q = StreamingOps.streamingModularityDrift(
+        input.toDF().toDF("k", "a", "b"), asg,
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("cm"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("driftneg").start()
+    input.addData(("G", -1L, 2L))
+    val ex2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(ex2).contains("negative node id"), chain(ex2))
+    q.stop()
+  }
+
+  test("streamingAssortativityDrift: integer moment counters replay " +
+      "the batch formula; the snapshot's own edges reproduce " +
+      "degreeAssortativity") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.{col => c}
+    // a star (hub 1) + a triangle tail — non-degenerate degrees
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L), (5L, 6L),
+      (4L, 6L))
+    val und = edges.toDF("a", "b")
+    val deg = und.select(c("a").as("id"))
+      .unionAll(und.select(c("b").as("id")))
+      .groupBy("id").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("d"))
+    val (b1, b2) = edges.map(t => ("G", t._1, t._2)).splitAt(3)
+    val input = MemoryStream[(String, Long, Long)]
+    val q = StreamingOps.streamingAssortativityDrift(
+        input.toDF().toDF("k", "a", "b"), deg, c("id"), c("d"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("assort").start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    val last = spark.sql(
+        "SELECT * FROM assort ORDER BY n_e DESC LIMIT 1").collect()(0)
+    // batch counters over the same frozen degrees — exact integers
+    val dmap = deg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val xs = edges.map { case (a, b) => (dmap(a), dmap(b)) }
+    assert(last.getAs[Long]("n_e") == xs.size.toLong)
+    assert(last.getAs[Long]("s_xy") == xs.map(t => t._1 * t._2).sum)
+    assert(last.getAs[Long]("s_x") == xs.map(t => t._1 + t._2).sum)
+    assert(last.getAs[Long]("s_x2") ==
+      xs.map(t => t._1 * t._1 + t._2 * t._2).sum)
+    // readout r == the batch op's r on the same graph (4dp)
+    val nE = last.getAs[Long]("n_e").toDouble
+    val sxy = last.getAs[Long]("s_xy").toDouble
+    val sx = last.getAs[Long]("s_x").toDouble
+    val sx2 = last.getAs[Long]("s_x2").toDouble
+    val r = (2 * nE * 2 * sxy - sx * sx) / (2 * nE * sx2 - sx * sx)
+    val batchR = graft.ops.Graph.degreeAssortativity(und, c("a"), c("b"))
+      .head().getAs[Double]("r")
+    assert(math.abs(math.rint(r * 1e4) / 1e4 - batchR) <= 1e-4,
+      s"stream $r vs batch $batchR")
+    q.stop()
+  }
+
+  test("streamingWedgeClosure: closing counts replay the batch " +
+      "common-neighbor formula against the frozen snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.{col => c}
+    // frozen: path 1-2-3 plus 3-4 → distance-2 pairs {1,3},{2,4}
+    val frozen = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    // arrivals: (1,3) closes, (3,1) closes (canonicalized), (2,4)
+    // closes, (1,4) does not, (4,5) does not (5 unknown)
+    val b1 = Seq(("G", 1L, 3L), ("G", 3L, 1L), ("G", 1L, 4L))
+    val b2 = Seq(("G", 2L, 4L), ("G", 4L, 5L))
+    val input = MemoryStream[(String, Long, Long)]
+    val q = StreamingOps.streamingWedgeClosure(
+        input.toDF().toDF("k", "a", "b"), frozen, c("a"), c("b"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("wedge").start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    val last = spark.sql(
+        "SELECT * FROM wedge ORDER BY n_e DESC LIMIT 1").collect()(0)
+    assert(last.getAs[Long]("n_e") == 5L)
+    assert(last.getAs[Long]("n_closing") == 3L, s"$last")
+    q.stop()
+  }
+
+  test("bootstrap empty-rank contracts: the batch diff CI " +
+      "raise_errors while the streaming twin emits None bounds on " +
+      "the same one-arm feed (the documented divergence, pinned)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // every row in arm x: no replicate ever has both arms' weight > 0,
+    // so the CI ranks select nothing — the empty-rank edge
+    val feed = (1L to 20L).map(i => ("A", i, "x", i.toDouble))
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    val ex = intercept[Exception] {
+      graft.ops.Experiment.bootstrapDiffCI(
+        feed.map(t => (t._2, t._3, t._4)).toDF("id", "arm", "v"),
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("arm"),
+        org.apache.spark.sql.functions.col("v"),
+        armA = "x", armB = "y", nBoot = 20).head()
+    }
+    assert(chain(ex).contains("bootstrapDiffCI"), chain(ex))
+    val input = MemoryStream[(String, Long, String, Double)]
+    val q = StreamingOps.streamingBootstrapDiff(
+        input.toDF().toDF("k", "id", "arm", "v"), armA = "x",
+        armB = "y", nBoot = 20)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("bootnone").start()
+    input.addData(feed: _*); q.processAllAvailable()
+    val last = spark.sql(
+        "SELECT * FROM bootnone ORDER BY n_a DESC LIMIT 1").collect()(0)
+    assert(last.getAs[Long]("n_a") == 20L &&
+      last.getAs[Long]("n_b") == 0L)
+    // the live readout keeps emitting, with None (null) bounds
+    assert(last.isNullAt(last.fieldIndex("lo")) &&
+      last.isNullAt(last.fieldIndex("hi")) &&
+      last.isNullAt(last.fieldIndex("diff")), s"$last")
+    q.stop()
+  }
+
   test("streamingBootstrapDiff: two-arm counter pairs replay the " +
       "batch A/B Poisson-bootstrap diff interval") {
     import spark.implicits._
