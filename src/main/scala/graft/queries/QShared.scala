@@ -545,7 +545,7 @@ private[queries] object QShared {
     * the weighted modularity numerator (`in_c` sums intra weight
     * INCLUDING loops; m = Σw with loops) are both replayed end to
     * end; singletons anchor the not-worse certificate. */
-  def louvainExternalWOracle(rounds: Int): String = {
+  def louvainExternalWOracle(rounds: Int, mod: Int): String = {
     def qEvalW(p: String, asg: String): String =
       s"""${p}t AS (SELECT a.cm, CAST(sum(d.deg) AS BIGINT) AS tot
              FROM $asg a JOIN deg d ON d.id = a.id GROUP BY 1),
@@ -557,7 +557,7 @@ private[queries] object QShared {
                - t.tot * t.tot) AS BIGINT) AS q
              FROM ${p}t t LEFT JOIN ${p}i i USING (cm) CROSS JOIN m)"""
     s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
-               WHERE l_orderkey % 3 = 0),
+               WHERE l_orderkey % $mod = 0),
        pairs AS (SELECT x.p AS a, y.p AS b, count(*) AS w
                  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
                  GROUP BY 1, 2),
