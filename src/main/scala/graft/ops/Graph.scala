@@ -577,7 +577,7 @@ object Graph {
     * Returns `(raw canonical (a ≤ b, w) incl. loops, adj, deg, m)`. */
   private def louvainPrepWeighted(edges: DataFrame, srcCol: Column,
       dstCol: Column, weightCol: Column)
-      : (DataFrame, DataFrame, DataFrame, Long) = {
+      : (DataFrame, DataFrame, DataFrame, Long, Long) = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val summed = edges.select(srcCol.cast("long").as("s"),
         dstCol.cast("long").as("t"), weightCol.cast("long").as("w"))
@@ -587,9 +587,13 @@ object Graph {
       .groupBy("a", "b").agg(sum(col("w").cast(dec)).as("wd"))
       .localCheckpoint(true)
     val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    // one bounds pass: total + max weight (wrap detection) + min node
+    // id (the modularity label-space guard rides along for free — a
+    // separate min-agg job per evaluation showed up in the r13 bench)
     val bounds = summed
       .agg(coalesce(sum("wd"), zero).as("m"),
-        coalesce(max("wd"), zero).as("mx"))
+        coalesce(max("wd"), zero).as("mx"),
+        coalesce(min("a"), lit(0L)).as("minid"))
       .head()
     val maxLong = new java.math.BigDecimal(Long.MaxValue)
     require(bounds.getDecimal(1).compareTo(maxLong) <= 0 &&
@@ -614,13 +618,13 @@ object Graph {
         .select(col("a").as("id"), (col("w") * 2).as("deg")))
       .groupBy("id").agg(sum("deg").as("deg"))
       .localCheckpoint(true)
-    (raw, adj, deg, m)
+    (raw, adj, deg, m, bounds.getLong(2))
   }
 
   def louvainOneLevelWeighted(edges: DataFrame, srcCol: Column,
       dstCol: Column, weightCol: Column, rounds: Int): DataFrame = {
     require(rounds >= 1, "louvainOneLevelWeighted: rounds >= 1")
-    val (_, adj, deg, m) =
+    val (_, adj, deg, m, _) =
       louvainPrepWeighted(edges, srcCol, dstCol, weightCol)
     guardGainRange("louvainOneLevelWeighted", m, deg)
     louvainRounds(adj, deg, m, rounds, earlyStop = false)
@@ -634,7 +638,7 @@ object Graph {
       dstCol: Column, weightCol: Column, maxRounds: Int): DataFrame = {
     require(maxRounds >= 1,
       "louvainOneLevelWeightedConverged: maxRounds >= 1")
-    val (_, adj, deg, m) =
+    val (_, adj, deg, m, _) =
       louvainPrepWeighted(edges, srcCol, dstCol, weightCol)
     guardGainRange("louvainOneLevelWeightedConverged", m, deg)
     louvainRounds(adj, deg, m, maxRounds, earlyStop = true)
@@ -720,15 +724,24 @@ object Graph {
         greatest(col("s"), col("t")).as("b"))
       .distinct()
       .localCheckpoint(true) // read 3×: m, degrees, intra-edges
-    val m = raw.count()
+    // one pass: m + min node id (the label-space guard riding the
+    // count job — a separate min-agg per evaluation is real cadence
+    // cost in multi-eval queries like q364)
+    val head = raw.agg(count(lit(1)).as("m"),
+      coalesce(min("a"), lit(0L)).as("minid")).head()
+    val m = head.getLong(0)
+    require(head.getLong(1) >= 0,
+      s"modularityNumerator: negative node id ${head.getLong(1)} — " +
+        "unassigned-singleton labels are the negated ids (−id−1) and " +
+        "would alias a real community; remap node ids to non-negative " +
+        "first")
     val asg = assign.select(nodeCol.cast("long").as("id"),
         commCol.cast("long").as("cm"))
       .localCheckpoint(true) // read 3×: label guard, tot, intra joins
+    guardCommLabels("modularityNumerator", asg)
     val deg = raw.select(col("a").as("id"))
       .unionAll(raw.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true) // read twice: id guard + tot join
-    guardLabelSpace("modularityNumerator", deg, asg)
     // unassigned nodes default to singleton communities labeled by the
     // (negated, collision-free given the guard) node id
     val tot = deg.join(asg, Seq("id"), "left")
@@ -759,12 +772,17 @@ object Graph {
   def modularityNumeratorWeighted(edges: DataFrame, srcCol: Column,
       dstCol: Column, weightCol: Column, assign: DataFrame,
       nodeCol: Column, commCol: Column): DataFrame = {
-    val (raw, _, deg, m) =
+    val (raw, _, deg, m, minId) =
       louvainPrepWeighted(edges, srcCol, dstCol, weightCol)
+    require(minId >= 0,
+      s"modularityNumeratorWeighted: negative node id $minId — " +
+        "unassigned-singleton labels are the negated ids (−id−1) and " +
+        "would alias a real community; remap node ids to non-negative " +
+        "first")
     val asg = assign.select(nodeCol.cast("long").as("id"),
         commCol.cast("long").as("cm"))
       .localCheckpoint(true) // read 3×: label guard, tot, intra joins
-    guardLabelSpace("modularityNumeratorWeighted", deg, asg)
+    guardCommLabels("modularityNumeratorWeighted", asg)
     val tot = deg.join(asg, Seq("id"), "left")
       .select(coalesce(col("cm"), -col("id") - 1).as("cm"), col("deg"))
       .groupBy("cm").agg(sum("deg").as("tot"))
@@ -783,17 +801,10 @@ object Graph {
     modularityFromCounts(m, tot, inn)
   }
 
-  /** Non-negativity guard shared by the modularity evaluations: node
-    * ids (the singleton label space is their negation) and community
-    * labels (what the negation must stay disjoint from) — two tiny
-    * min-aggs over already-checkpointed frames. */
-  private def guardLabelSpace(op: String, deg: DataFrame,
-      asg: DataFrame): Unit = {
-    val minId = deg.agg(coalesce(min("id"), lit(0L))).head().getLong(0)
-    require(minId >= 0,
-      s"$op: negative node id $minId — unassigned-singleton labels are " +
-        "the negated ids (−id−1) and would alias a real community; " +
-        "remap node ids to non-negative first")
+  /** Community-label half of the modularity label-space guard (the
+    * node-id half rides each caller's existing count/bounds pass for
+    * free): one tiny min-agg over the just-checkpointed assignment. */
+  private def guardCommLabels(op: String, asg: DataFrame): Unit = {
     val minCm = asg.agg(coalesce(min("cm"), lit(0L))).head().getLong(0)
     require(minCm >= 0,
       s"$op: negative community label $minCm — the singleton label " +
