@@ -644,6 +644,35 @@ object Graph {
     louvainRounds(adj, deg, m, maxRounds, earlyStop = true)
   }
 
+  /** Per-round WEIGHTED Louvain assignments —
+    * [[louvainOneLevelWeighted]] with every round's post-move
+    * assignment kept, exactly as [[louvainOneLevelTrajectory]] does
+    * for the unweighted op (same shared loop, same checkpoints, so
+    * the round-`rounds` slice equals [[louvainOneLevelWeighted]]'s
+    * output by construction). This is the knee gauge for the
+    * CONTRACTED levels: level ≥ 2 always runs WEIGHTED (contraction
+    * produces summed super-edge weights), so certifying the level-2/3
+    * round-count knobs — the q367 stance one level down — needs the
+    * weighted trajectory; cost equals the plain weighted op at the
+    * same `rounds` (per-round frames ride the loop's own checkpoints,
+    * the final union is plan-only). Output `(round, id, community)`
+    * for round ∈ 1..rounds. */
+  def louvainOneLevelWeightedTrajectory(edges: DataFrame,
+      srcCol: Column, dstCol: Column, weightCol: Column,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "louvainOneLevelWeightedTrajectory: rounds >= 1")
+    val (_, adj, deg, m, _) =
+      louvainPrepWeighted(edges, srcCol, dstCol, weightCol)
+    guardGainRange("louvainOneLevelWeightedTrajectory", m, deg)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    louvainRounds(adj, deg, m, rounds, earlyStop = false,
+      trajectory = Some(buf))
+    buf.zipWithIndex.map { case (df, i) =>
+      df.select(lit((i + 1).toLong).as("round"), col("id"),
+        col("c").as("community"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Community contraction — the step between Louvain levels: roll the
     * edge list up to super-nodes (one per community), inter-community
     * edges summing into weighted super-edges and intra-community edges

@@ -6,10 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.ops.{Ann, Dedup, Multimodal, TextAnalysis}
 import graft.queries.QShared._
 
-/** Part 6/6 of the ops query registry (q313_isotonic..q368_louvain_external_w) — mechanical
+/** Part 6/6 of the ops query registry (q313_isotonic..q369_louvain_l2_rounds) — mechanical
   * wave split of the round-11 monolith; entry bodies are verbatim and
   * [[OpsQueries]] merges the parts, so keys, plans and oracle SQL are
-  * unchanged. Rounds 12–13 append the graph-quality wave (q361–q368).
+  * unchanged. Rounds 12–13 append the graph-quality wave (q361–q369).
   * Each query keeps its DuckDB oracle co-located. */
 private[queries] object OpsQueriesP6 {
 
@@ -770,6 +770,74 @@ private[queries] object OpsQueriesP6 {
         .select(col("two_m"), col("n_comm"), col("q0_num"),
           col("q1_num"),
           (col("q1_num") >= col("q0_num")).as("level1_not_worse"))
+    }),
+    "q369_louvain_l2_rounds" -> ((s, d) => {
+      // the LEVEL-2 rounds knee (ROADMAP round-13 #3): q367 certified
+      // the level-1 round knob, but level >= 2 always runs WEIGHTED
+      // (contraction produces summed super-edge weights), so its knob
+      // needs the weighted trajectory. Level 1 at the shipped r=3,
+      // contract, then louvainOneLevelWeightedTrajectory keeps all 6
+      // contracted rounds from ONE run; every round's super-assignment
+      // maps back through level 1 and all SEVEN modularity evaluations
+      // (round 0 = the level-1 assignment anchoring) batch as one
+      // (round, community)-grouped pass against the ORIGINAL graph —
+      // the q367 evaluation shape, two equi-joins regardless of the
+      // round count. The certificate reads as "what each extra
+      // level-2 round buys over stopping at level 1"
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 9 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      val simple = e.select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(eager = true) // read 5x: l1, contract, m, deg, inn
+      val g = graft.ops.Graph
+      val l1 = g.louvainOneLevel(simple, col("a"), col("b"), rounds = 3)
+        .localCheckpoint(eager = true) // read 3x: contract, anchor, map
+      val ce = g.louvainContract(simple, col("a"), col("b"), l1,
+        col("id"), col("community"))
+      val traj = g.louvainOneLevelWeightedTrajectory(ce, col("a"),
+        col("b"), col("w"), rounds = 6)
+      val a0 = l1.select(lit(0L).as("round"), col("id"),
+        col("community").as("cm"))
+      val mapped = l1.select(col("id"), col("community").as("sn"))
+        .join(traj.select(col("round"), col("id").as("sn"),
+          col("community").as("cm")), Seq("sn"))
+        .select(col("round"), col("id"), col("cm"))
+      val asgAll = a0.unionByName(mapped)
+        .localCheckpoint(eager = true) // read 4x: tot, inn x2, n_comm
+      val m = simple.count()
+      val deg = simple.select(col("a").as("id"))
+        .unionAll(simple.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val tot = asgAll.join(deg, "id")
+        .groupBy("round", "cm").agg(sum("deg").as("tot"))
+      val xa = asgAll.select(col("round"), col("id").as("a"),
+        col("cm").as("ca"))
+      val xb = asgAll.select(col("round"), col("id").as("b"),
+        col("cm").as("cb"))
+      val inn = simple.join(xa, Seq("a")).join(xb, Seq("b", "round"))
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("round"), col("ca").as("cm"))
+        .agg(count(lit(1)).as("inn"))
+      val qs = tot.join(inn, Seq("round", "cm"), "left")
+        .groupBy("round")
+        .agg(sum(lit(4L * m) * coalesce(col("inn"), lit(0L)) -
+          col("tot") * col("tot")).as("q_num"))
+      val nc = asgAll.groupBy("round")
+        .agg(countDistinct(col("cm")).as("n_comm"))
+      val levels = qs.join(nc, "round")
+        .localCheckpoint(eager = true) // read twice: self lag join
+      levels.as("cur")
+        .join(levels.select((col("round") + 1).as("round"),
+          col("q_num").as("prev_q")).as("prv"), Seq("round"), "left")
+        .select(col("round"), col("n_comm"), col("q_num"),
+          coalesce(col("q_num") >= col("prev_q"), lit(true))
+            .as("not_worse"))
+        .orderBy("round")
     })
   )
 
@@ -1780,6 +1848,8 @@ private[queries] object OpsQueriesP6 {
     "q365_kcore_weighted" -> kCoreWeightedOracle(k = 20, rounds = 8),
     "q366_pagerank_weighted" -> pageRankWeightedOracle(iters = 3),
     "q367_louvain_rounds" -> louvainRoundsKneeOracle(mod = 9, r = 6),
+    "q369_louvain_l2_rounds" ->
+      louvainLevel2KneeOracle(mod = 9, r1 = 3, r2 = 6),
     "q368_louvain_external_w" -> louvainExternalWOracle(rounds = 3,
       mod = 9)
   )

@@ -586,6 +586,53 @@ private[queries] object QShared {
        FROM m, q0s, q1s"""
   }
 
+  /** The q369 oracle: the LEVEL-2 rounds knee — level 1 at the shipped
+    * `r1`, contraction, then the WEIGHTED round chain unrolled to `r2`
+    * with the modularity numerator re-evaluated on the ORIGINAL graph
+    * after EVERY contracted round (members mapped through both
+    * assignments), plus the round-over-round not-worse flag. Round 0
+    * anchors at the level-1 assignment itself (the contracted
+    * singletons), so the trajectory reads as "what each extra level-2
+    * round buys over stopping at level 1" — the q367 certificate one
+    * level down, where the knob is [[louvainRoundCtes]]' weighted
+    * variant (contraction always produces weights). */
+  def louvainLevel2KneeOracle(mod: Int, r1: Int, r2: Int): String = {
+    val aCtes = (1 to r2).map(i =>
+      s"""a$i AS (SELECT x.id, y.c AS cm
+           FROM c$r1 x JOIN dc$i y ON y.id = x.c)""")
+      .mkString(",\n       ")
+    val qCtes = (0 to r2).map(i => qEvalCtes(s"q$i", s"a$i", "id", "cm"))
+      .mkString(",\n       ")
+    val rows = (0 to r2).map { i =>
+      val nw = if (i == 0) "true" else s"q${i}s.q >= q${i - 1}s.q"
+      val from = if (i == 0) "FROM q0s" else s"FROM q${i}s, q${i - 1}s"
+      s"""SELECT $i AS lvl,
+           (SELECT count(DISTINCT cm) FROM a$i) AS n_comm,
+           q${i}s.q AS q_num, $nw AS not_worse $from"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH ${louvainLevel1Ctes(r1, mod)},
+       ce AS (SELECT least(x.c, y.c) AS a, greatest(x.c, y.c) AS b,
+                count(*) AS w
+              FROM e0 JOIN c$r1 x ON x.id = e0.a
+                JOIN c$r1 y ON y.id = e0.b
+              GROUP BY 1, 2),
+       dadj AS (SELECT a AS s, b AS t, w FROM ce WHERE a <> b
+                UNION ALL SELECT b, a, w FROM ce WHERE a <> b),
+       dm AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM ce),
+       ddeg AS (SELECT id, CAST(sum(deg) AS BIGINT) AS deg FROM (
+                  SELECT s AS id, w AS deg FROM dadj
+                  UNION ALL SELECT a, 2 * w FROM ce WHERE a = b)
+                GROUP BY id),
+       dc0 AS (SELECT id, id AS c FROM ddeg),
+       ${louvainRoundCtes("d", "dadj", "ddeg", "dm", r2,
+         weighted = true)},
+       a0 AS (SELECT id, c AS cm FROM c$r1),
+       $aCtes,
+       $qCtes
+       SELECT CAST(lvl AS BIGINT) AS round, n_comm, q_num, not_worse
+       FROM ($rows) ORDER BY round"""
+  }
+
   /** The q324 oracle: `rounds` unrolled k-truss peel passes — per-edge
     * support as a common-neighbor join over the adjacency (the
     * [[kCoreOracle]] stance: rounds must exceed rounds-to-fixpoint at

@@ -833,6 +833,148 @@ object StreamingOps {
         sum(coalesce(col("__c"), lit(0)).cast("long")).as("n_closing"))
   }
 
+  final case class GraphDriftState(cells: Seq[(Long, Long, Long)],
+      dups: Long, nE: Long, nDegE: Long, sXy: Long, sX: Long, sX2: Long,
+      nClosing: Long)
+  final case class GraphDriftRow(k: String, cm: Long, tot: Long,
+      inn: Long, dup_dropped: Long, n_e: Long, n_deg_e: Long, s_xy: Long,
+      s_x: Long, s_x2: Long, n_closing: Long)
+
+  /** CONSOLIDATED graph-drift emitter — [[streamingModularityDrift]] +
+    * [[streamingAssortativityDrift]] + [[streamingWedgeClosure]] folded
+    * in ONE pass over the edge stream (ROADMAP round-13 #4: the three
+    * share the frozen-reference pattern, so a caller wanting all three
+    * re-clustering readouts paid 3× state plus three per-micro-batch
+    * broadcast joins; here one keyed state row carries the community
+    * cells AND the six scalar counters, and the frozen lookups ride one
+    * task as broadcast maps). Counter semantics are EXACTLY the three
+    * singles' on the same feed (the parity spec pins each):
+    *
+    *   - modularity cells `(cm, tot, inn)` + cumulative `dup_dropped`
+    *     — within-micro-batch canonical dedup, −id−1 singletons for
+    *     unassigned endpoints, loud negative-id guards;
+    *   - assortativity moments `(n_deg_e, s_xy, s_x, s_x2)` over
+    *     arrivals whose BOTH endpoints sit in the frozen degree
+    *     snapshot (the single op names its count `n_e`; here it is
+    *     `n_deg_e` since the wedge family counts ALL non-loop
+    *     arrivals) — duplicates count, as in the single op;
+    *   - wedge closure `(n_e, n_closing)` against the frozen
+    *     distance-2 pair set — duplicates count, as in the single op.
+    *
+    * The frozen pair set is built batch-side exactly like
+    * [[streamingWedgeClosure]] but lives as a broadcast HashSet inside
+    * the state function (the per-key invocation cannot join), so its
+    * size is pre-counted and guarded loudly: Σdeg²-bounded graphs past
+    * `maxFrozenPairs` should keep the single wedge op's persisted
+    * pair-table + equi-join shape instead. Output one row per
+    * (key, community cell) with the scalar counters repeated per row
+    * (the `dup_dropped` convention — they are per-key state). Input
+    * `k STRING, a LONG, b LONG`; Update mode. */
+  def streamingGraphDrift(edges: DataFrame, assign: DataFrame,
+      nodeCol: Column, commCol: Column, degrees: DataFrame,
+      idCol: Column, degCol: Column, frozen: DataFrame, srcCol: Column,
+      dstCol: Column, maxFrozenPairs: Long = 10000000L)
+      : org.apache.spark.sql.Dataset[GraphDriftRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val asgRows = assign.select(nodeCol.cast("long").as("id"),
+      commCol.cast("long").as("cm")).collect()
+    asgRows.foreach { r =>
+      require(r.getLong(0) >= 0 && r.getLong(1) >= 0,
+        "streamingGraphDrift: negative node id or community label " +
+          s"(${r.getLong(0)} -> ${r.getLong(1)}) — the −id−1 singleton " +
+          "label space would alias it; remap to non-negative first")
+    }
+    val bcAsg = spark.sparkContext.broadcast(
+      asgRows.map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val bcDeg = spark.sparkContext.broadcast(
+      degrees.select(idCol.cast("long").as("id"),
+          degCol.cast("long").as("d"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val raw = frozen.select(srcCol.cast("long").as("s"),
+        dstCol.cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+    val adj = raw.unionAll(raw.select(col("t").as("s"), col("s").as("t")))
+      .distinct()
+    val p2 = adj.as("x").join(adj.as("y"),
+        col("x.t") === col("y.t") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("pa"), col("y.s").as("pb"))
+      .distinct()
+      .localCheckpoint(true) // counted, then collected once
+    val nPairs = p2.count()
+    require(nPairs <= maxFrozenPairs,
+      s"streamingGraphDrift: the frozen snapshot's distance-2 pair set " +
+        s"has $nPairs pairs > maxFrozenPairs = $maxFrozenPairs (" +
+        f"${nPairs * 48e-9}%.1f GiB as a driver HashSet at ~48 B/pair) " +
+        "— the consolidated emitter holds it in executor memory per " +
+        "task; past this size use streamingWedgeClosure's persisted " +
+        "pair-table + broadcast-join shape for the closure readout " +
+        "and this op for the rest, or raise maxFrozenPairs deliberately")
+    val bcPairs = spark.sparkContext.broadcast(
+      p2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val typed = edges.select(col("k").cast("string"),
+        col("a").cast("long"), col("b").cast("long"))
+      .filter(col("a") =!= col("b"))
+      .as[(String, Long, Long)]
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (key: String, rows: Iterator[(String, Long, Long)],
+       state: GroupState[GraphDriftState]) =>
+        val asg = bcAsg.value
+        val dmap = bcDeg.value
+        val pairs = bcPairs.value
+        val st = state.getOption.getOrElse(
+          GraphDriftState(Nil, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+        val cells =
+          scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+        st.cells.foreach { case (cm, tot, inn) => cells(cm) = (tot, inn) }
+        var dups = st.dups
+        var nE = st.nE; var nDegE = st.nDegE; var sXy = st.sXy
+        var sX = st.sX; var sX2 = st.sX2; var nClosing = st.nClosing
+        val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+        def bump(cm: Long, dTot: Long, dIn: Long): Unit = {
+          val (t0, i0) = cells.getOrElse(cm, (0L, 0L))
+          cells(cm) = (t0 + dTot, i0 + dIn)
+        }
+        rows.foreach { case (_, a0, b0) =>
+          if (a0 < 0 || b0 < 0)
+            throw new IllegalArgumentException(
+              s"streamingGraphDrift: negative node id ($a0, $b0) — " +
+                "the −id−1 singleton label space would alias a real " +
+                "community; remap ids to non-negative first")
+          val a = math.min(a0, b0)
+          val b = math.max(a0, b0)
+          // wedge family: every non-loop arrival (duplicates count —
+          // the single op is a plain agg over arrivals)
+          nE += 1
+          if (pairs.contains((a, b))) nClosing += 1
+          // assortativity: arrivals with both endpoints in the frozen
+          // degree snapshot (duplicates count, same reason)
+          (dmap.get(a), dmap.get(b)) match {
+            case (Some(da), Some(db)) =>
+              nDegE += 1; sXy += da * db; sX += da + db
+              sX2 += da * da + db * db
+            case _ => ()
+          }
+          // modularity: within-batch canonical dedup, as the single op
+          if (!seen.add((a, b))) dups += 1
+          else {
+            val ca = asg.getOrElse(a, -a - 1)
+            val cb = asg.getOrElse(b, -b - 1)
+            if (ca == cb) bump(ca, 2L, 1L)
+            else { bump(ca, 1L, 0L); bump(cb, 1L, 0L) }
+          }
+        }
+        state.update(GraphDriftState(
+          cells.iterator.map { case (cm, (t, i)) => (cm, t, i) }.toSeq,
+          dups, nE, nDegE, sXy, sX, sX2, nClosing))
+        cells.iterator.map { case (cm, (t, i)) =>
+          GraphDriftRow(key, cm, t, i, dups, nE, nDegE, sXy, sX, sX2,
+            nClosing) }
+    }
+  }
+
   final case class BootDiffState(nA: Long, nB: Long, sumA: Double,
       sumB: Double, sva: Seq[Double], swa: Seq[Long], svb: Seq[Double],
       swb: Seq[Long])

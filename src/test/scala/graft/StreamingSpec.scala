@@ -1060,6 +1060,115 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streamingGraphDrift: the consolidated emitter matches all " +
+      "three single drift ops on the same replayed batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.{col => c, count => cnt, lit}
+    // frozen graph: triangle 1-2-3 + tail 3-4; assignment covers the
+    // triangle, node 4 stays an unassigned singleton
+    val frozen = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val deg = frozen.select(c("a").as("id"))
+      .unionAll(frozen.select(c("b").as("id")))
+      .groupBy("id").agg(cnt(lit(1)).as("d"))
+    val asg = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "cm")
+    // arrivals: a reversed duplicate (modularity dedups, the other two
+    // count it), an unknown endpoint 5 (assortativity drops, wedge
+    // keeps), a loop (all three drop), and a closing cross edge
+    val b1 = Seq(("G", 1L, 2L), ("G", 2L, 1L), ("G", 3L, 4L),
+      ("G", 1L, 5L))
+    val b2 = Seq(("G", 2L, 4L), ("G", 3L, 3L))
+    def feed[T](ds: org.apache.spark.sql.Dataset[T], name: String,
+        input: MemoryStream[(String, Long, Long)]): Unit = {
+      val q = ds.writeStream.outputMode("update")
+        .format("memory").queryName(name).start()
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+    }
+    val inG = MemoryStream[(String, Long, Long)]
+    feed(StreamingOps.streamingGraphDrift(
+      inG.toDF().toDF("k", "a", "b"), asg, c("id"), c("cm"),
+      deg, c("id"), c("d"), frozen, c("a"), c("b")), "gdrift", inG)
+    val last = spark.sql(
+        """SELECT cm, tot, inn, dup_dropped, n_e, n_deg_e, s_xy, s_x,
+             s_x2, n_closing FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY cm ORDER BY tot DESC, n_e DESC) AS rn
+             FROM gdrift) WHERE rn = 1""").collect()
+    // hand-computed: cells (1: tot 5, inn 1), (−5: 2, 0), (−6: 1, 0)
+    val cells = last.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(cells == Set((1L, 5L, 1L), (-5L, 2L, 0L), (-6L, 1L, 0L)),
+      cells.mkString(","))
+    assert(last.forall(_.getLong(3) == 1L)) // one reversed dup
+    assert(last.forall(r => r.getLong(4) == 5L && r.getLong(9) == 3L),
+      last.mkString(",")) // wedge: 5 arrivals, 3 close
+    assert(last.forall(r => r.getLong(5) == 4L && r.getLong(6) == 13L &&
+      r.getLong(7) == 15L && r.getLong(8) == 31L), last.mkString(","))
+    // parity vs the three singles on the SAME batches
+    val inM = MemoryStream[(String, Long, Long)]
+    feed(StreamingOps.streamingModularityDrift(
+      inM.toDF().toDF("k", "a", "b"), asg, c("id"), c("cm")),
+      "gdriftm", inM)
+    val mRows = spark.sql(
+        """SELECT cm, tot, inn, dup_dropped FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY cm ORDER BY tot DESC) AS rn FROM gdriftm)
+           WHERE rn = 1""").collect()
+    assert(mRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet == cells)
+    assert(mRows.forall(_.getLong(3) == 1L))
+    val inA = MemoryStream[(String, Long, Long)]
+    feed(StreamingOps.streamingAssortativityDrift(
+        inA.toDF().toDF("k", "a", "b"), deg, c("id"), c("d"))
+      .as[(String, Long, Long, Long, Long)], "gdrifta", inA)
+    val aRow = spark.sql(
+      "SELECT n_e, s_xy, s_x, s_x2 FROM gdrifta ORDER BY n_e DESC " +
+        "LIMIT 1").collect()(0)
+    assert((aRow.getLong(0), aRow.getLong(1), aRow.getLong(2),
+      aRow.getLong(3)) == (4L, 13L, 15L, 31L), aRow.toString)
+    val inW = MemoryStream[(String, Long, Long)]
+    feed(StreamingOps.streamingWedgeClosure(
+        inW.toDF().toDF("k", "a", "b"), frozen, c("a"), c("b"))
+      .as[(String, Long, Long)], "gdriftw", inW)
+    val wRow = spark.sql(
+      "SELECT n_e, n_closing FROM gdriftw ORDER BY n_e DESC LIMIT 1")
+      .collect()(0)
+    assert((wRow.getLong(0), wRow.getLong(1)) == (5L, 3L), wRow.toString)
+  }
+
+  test("streamingGraphDrift: oversized frozen pair set fails loudly " +
+      "with the sizing formula; negative assignment ids fail driver-" +
+      "side") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.{col => c, count => cnt, lit}
+    // a 5-node star has C(4,2) = 6 distance-2 pairs > cap 5
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("a", "b")
+    val deg = star.select(c("a").as("id"))
+      .unionAll(star.select(c("b").as("id")))
+      .groupBy("id").agg(cnt(lit(1)).as("d"))
+    val asg = Seq((0L, 0L)).toDF("id", "cm")
+    val ex = intercept[IllegalArgumentException] {
+      StreamingOps.streamingGraphDrift(
+        MemoryStream[(String, Long, Long)].toDF().toDF("k", "a", "b"),
+        asg, c("id"), c("cm"), deg, c("id"), c("d"), star, c("a"),
+        c("b"), maxFrozenPairs = 5L)
+    }
+    assert(ex.getMessage.contains("maxFrozenPairs") &&
+      ex.getMessage.contains("GiB"), ex.getMessage)
+    val badAsg = Seq((-2L, 1L)).toDF("id", "cm")
+    val ex2 = intercept[IllegalArgumentException] {
+      StreamingOps.streamingGraphDrift(
+        MemoryStream[(String, Long, Long)].toDF().toDF("k", "a", "b"),
+        badAsg, c("id"), c("cm"), deg, c("id"), c("d"), star, c("a"),
+        c("b"))
+    }
+    assert(ex2.getMessage.contains("negative node id or community"),
+      ex2.getMessage)
+  }
+
   test("bootstrap empty-rank contracts: the batch diff CI " +
       "raise_errors while the streaming twin emits None bounds on " +
       "the same one-arm feed (the documented divergence, pinned)") {

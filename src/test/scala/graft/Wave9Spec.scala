@@ -248,6 +248,30 @@ class Wave9Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("louvainOneLevelWeightedTrajectory: every slice equals the " +
+      "fixed-round weighted op (loops and parallel edges included)") {
+    import spark.implicits._
+    // two weighted triangles bridged, a self-loop (internal mass) and
+    // a parallel edge (summed on entry) — the contraction-output shape
+    val e = Seq((1L, 2L, 3L), (2L, 3L, 3L), (1L, 3L, 3L), (4L, 5L, 2L),
+      (5L, 6L, 2L), (4L, 6L, 2L), (3L, 4L, 1L), (4L, 3L, 1L),
+      (2L, 2L, 4L)).toDF("a", "b", "w")
+    val traj = graft.ops.Graph.louvainOneLevelWeightedTrajectory(e,
+        col("a"), col("b"), col("w"), rounds = 3)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => r.getLong(1) -> r.getLong(2)).toMap)
+      .toMap
+    assert(traj.keySet == Set(1L, 2L, 3L))
+    for (r <- 1 to 3) {
+      val fixed = graft.ops.Graph.louvainOneLevelWeighted(e, col("a"),
+          col("b"), col("w"), rounds = r)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(traj(r.toLong) == fixed,
+        s"round $r slice ${traj(r.toLong)} != fixed-round $fixed")
+    }
+  }
+
   test("louvain weighted prep: wraparound-range weights fail loudly " +
       "(decimal-summed), empty input yields m = 0 not an NPE") {
     import spark.implicits._
