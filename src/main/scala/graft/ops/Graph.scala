@@ -714,6 +714,52 @@ object Graph {
       .groupBy("a", "b").agg(sum("w").as("w"))
   }
 
+  /** Leiden-style CONNECTIVITY refinement of a community assignment —
+    * the known Louvain defect (Traag, Waltman & van Eck 2019, "From
+    * Louvain to Leiden", §2): local moves can leave a community
+    * internally DISCONNECTED (a bridge node moves out, its former
+    * neighbors stay labeled together), and contraction then freezes
+    * the defect into every later level. The refinement splits each
+    * community into the connected components of its induced
+    * intra-community subgraph, relabeling every component by its
+    * smallest member id (so labels stay non-negative node ids, disjoint
+    * across components by construction — a component's min id belongs
+    * to no other component, and an edgeless node's own id to no
+    * component at all). Splitting a disconnected community STRICTLY
+    * increases modularity: in_c partitions exactly over components
+    * (no intra edges cross them) while Σ tot_c² drops —
+    * (x+y)² > x²+y² for positive parts — so the refined assignment
+    * carries a not-worse certificate for free and the community count
+    * delta counts the defects repaired.
+    *
+    * Scale shape: intra-community edges are two assignment equi-joins
+    * on the edge list (the modularityNumerator discipline); components
+    * come from [[Dedup.duplicateClusters]]' neighbor-min +
+    * path-halving loop — O(log diameter) rounds of (node, label) Long
+    * shuffles, stats-reset checkpoints, never a per-pair fan-out.
+    * Nodes without an intra-community edge keep their own id as a
+    * singleton label. Output `(id, community)` for every node of
+    * `assign`. */
+  def refineConnectivity(edges: DataFrame, srcCol: Column,
+      dstCol: Column, assign: DataFrame, nodeCol: Column,
+      commCol: Column, maxIters: Int = 20): DataFrame = {
+    val asg = assign.select(nodeCol.cast("long").as("id"),
+        commCol.cast("long").as("cm"))
+      .localCheckpoint(true) // read 3x: two edge joins + final left join
+    val e = edges.select(srcCol.cast("long").as("s"),
+        dstCol.cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+    val intra = e
+      .join(asg.select(col("id").as("s"), col("cm").as("ca")), Seq("s"))
+      .join(asg.select(col("id").as("t"), col("cm").as("cb")), Seq("t"))
+      .filter(col("ca") === col("cb"))
+      .select(col("s"), col("t"))
+    val cc = Dedup.duplicateClusters(intra, col("s"), col("t"), maxIters)
+    asg.join(cc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("community"))
+  }
+
   /** Integer-exact modularity NUMERATOR `Q·(2m)²` of a community
     * assignment over a simple undirected graph — the community-QUALITY
     * readout that makes Louvain adjudicable (membership hash-matching

@@ -540,17 +540,41 @@ private[queries] object OpsQueriesP6 {
         .join(l2.select(col("id").as("c1"), col("community").as("c2")),
           "c1")
         .select(col("id"), col("c2"))
-      // the op emits decimal(38,0) (web-scale m safe); this graph's m
-      // keeps Q·(2m)² far inside Long, so present as BIGINT — an ANSI
-      // cast would fail loud, never truncate silently
-      val q1 = graft.ops.Graph.modularityNumerator(simple, col("a"),
-          col("b"), l1, col("id"), col("community"))
-        .select(col("two_m"), col("q_num").cast("long").as("q1_num"))
-      val q2 = graft.ops.Graph.modularityNumerator(simple, col("a"),
-          col("b"), full2, col("id"), col("c2"))
-        .select(col("q_num").cast("long").as("q2_num"))
-      q1.crossJoin(q2)
-        .select(col("two_m"), col("q1_num"), col("q2_num"),
+      // BOTH evaluations batch as one (level, community)-grouped pass
+      // against the already-canonical `simple` (the q367 shape: a
+      // modularityNumerator call per level re-canonicalizes the %3
+      // edge list — the most expensive frame here — once per call;
+      // the union rides one scan instead). Both assignments are
+      // COMPLETE (every node carries a level-1 community), so the
+      // op's unassigned-singleton defaulting can't trigger and the
+      // inline sums are its exact integer math; this graph's m keeps
+      // Q·(2m)² far inside Long
+      val asgAll = l1.select(lit(1L).as("lvl"), col("id"),
+          col("community").as("cm"))
+        .unionByName(full2.select(lit(2L).as("lvl"), col("id"),
+          col("c2").as("cm")))
+        .localCheckpoint(eager = true) // read 3x: tot, inn x2
+      val m = simple.count()
+      val deg = simple.select(col("a").as("id"))
+        .unionAll(simple.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val tot = asgAll.join(deg, "id")
+        .groupBy("lvl", "cm").agg(sum("deg").as("tot"))
+      val xa = asgAll.select(col("lvl"), col("id").as("a"),
+        col("cm").as("ca"))
+      val xb = asgAll.select(col("lvl"), col("id").as("b"),
+        col("cm").as("cb"))
+      val inn = simple.join(xa, Seq("a")).join(xb, Seq("b", "lvl"))
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("lvl"), col("ca").as("cm"))
+        .agg(count(lit(1)).as("inn"))
+      tot.join(inn, Seq("lvl", "cm"), "left")
+        .groupBy("lvl")
+        .agg(sum(lit(4L * m) * coalesce(col("inn"), lit(0L)) -
+          col("tot") * col("tot")).as("q"))
+        .agg(max(when(col("lvl") === 1L, col("q"))).as("q1_num"),
+          max(when(col("lvl") === 2L, col("q"))).as("q2_num"))
+        .select(lit(2L * m).as("two_m"), col("q1_num"), col("q2_num"),
           (col("q2_num") >= col("q1_num")).as("level2_not_worse"))
     }),
     "q364_louvain_levels" -> ((s, d) => {
@@ -598,25 +622,44 @@ private[queries] object OpsQueriesP6 {
       val sing = simple.select(col("a").as("id"))
         .unionAll(simple.select(col("b").as("id"))).distinct()
         .select(col("id"), col("id").as("cm"))
-      def qn(asg: DataFrame): DataFrame =
-        // decimal(38,0) op output → BIGINT presentation (ANSI-loud;
-        // this graph's m keeps the value far inside Long)
-        g.modularityNumerator(simple, col("a"), col("b"), asg,
-            col("id"), col("cm"))
-          .select(col("two_m"), col("q_num").cast("long").as("q_num"))
+      // all FOUR evaluations batch as one (level, community)-grouped
+      // pass against the original graph (the q367 shape — a
+      // modularityNumerator call per level re-canonicalizes `simple`
+      // once per call; measured on q367, batching halved the family's
+      // cost). Assignments are complete, so the op's singleton
+      // defaulting can't trigger and the inline sums are its exact
+      // integer math; %9 m keeps Q·(2m)² far inside Long
       val a1 = l1.select(col("id"), col("community").as("cm"))
-      val levels = Seq((0L, sing, qn(sing)), (1L, a1, qn(a1)),
-        (2L, full2, qn(full2)), (3L, full3, qn(full3)))
-      val rows = levels.map { case (lvl, asg, q) =>
-        q.crossJoin(broadcast(
-            asg.agg(countDistinct(col("cm")).as("n_comm"))))
-          .select(lit(lvl).as("level"), col("n_comm"),
-            col("q_num"), lit(lvl).as("__l"))
-      }.reduce(_.unionByName(_))
+      val asgAll = Seq((0L, sing), (1L, a1), (2L, full2), (3L, full3))
+        .map { case (lvl, a) =>
+          a.select(lit(lvl).as("level"), col("id"), col("cm")) }
+        .reduce(_.unionByName(_))
+        .localCheckpoint(eager = true) // read 4x: tot, inn x2, n_comm
+      val m = simple.count()
+      val deg = simple.select(col("a").as("id"))
+        .unionAll(simple.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val tot = asgAll.join(deg, "id")
+        .groupBy("level", "cm").agg(sum("deg").as("tot"))
+      val xa = asgAll.select(col("level"), col("id").as("a"),
+        col("cm").as("ca"))
+      val xb = asgAll.select(col("level"), col("id").as("b"),
+        col("cm").as("cb"))
+      val inn = simple.join(xa, Seq("a")).join(xb, Seq("b", "level"))
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("level"), col("ca").as("cm"))
+        .agg(count(lit(1)).as("inn"))
+      val qs = tot.join(inn, Seq("level", "cm"), "left")
+        .groupBy("level")
+        .agg(sum(lit(4L * m) * coalesce(col("inn"), lit(0L)) -
+          col("tot") * col("tot")).as("q_num"))
+      val nc = asgAll.groupBy("level")
+        .agg(countDistinct(col("cm")).as("n_comm"))
+      val rows = qs.join(nc, "level")
         .localCheckpoint(eager = true) // read twice: self lag join
       rows.as("cur")
-        .join(rows.select((col("__l") + 1).as("__l"),
-          col("q_num").as("prev_q")).as("prv"), Seq("__l"), "left")
+        .join(rows.select((col("level") + 1).as("level"),
+          col("q_num").as("prev_q")).as("prv"), Seq("level"), "left")
         .select(col("level"), col("n_comm"), col("q_num"),
           coalesce(col("q_num") >= col("prev_q"), lit(true))
             .as("not_worse"))
@@ -750,24 +793,53 @@ private[queries] object OpsQueriesP6 {
         .groupBy(col("p")).agg(count(lit(1)).as("w"))
         .select(col("p").as("a"), col("p").as("b"), col("w"))
       val e = pairs.unionByName(loops)
-        .localCheckpoint(eager = true) // read 3×: louvain + 2 evals
+        .localCheckpoint(eager = true) // read 4x: louvain, m, deg, inn
       val g = graft.ops.Graph
       val l1 = g.louvainOneLevelWeighted(e, col("a"), col("b"),
           col("w"), rounds = 3)
-        .localCheckpoint(eager = true) // read twice: eval + count
+        .localCheckpoint(eager = true) // read twice: asgAll + n_comm
       val sing = e.select(col("a").as("id"))
         .unionAll(e.select(col("b").as("id"))).distinct()
         .select(col("id"), col("id").as("cm"))
-      val q0 = g.modularityNumeratorWeighted(e, col("a"), col("b"),
-          col("w"), sing, col("id"), col("cm"))
-        .select(col("q_num").cast("long").as("q0_num"))
-      val q1 = g.modularityNumeratorWeighted(e, col("a"), col("b"),
-          col("w"), l1, col("id"), col("community"))
-        .select(col("two_m"), col("q_num").cast("long").as("q1_num"))
-      q1.crossJoin(q0)
+      // BOTH weighted evaluations batch as one (tag, community) pass
+      // (the q367 shape): a modularityNumeratorWeighted call per
+      // assignment re-groups the weighted edge list once per call;
+      // here tot/inn sums ride one scan of the already-summed `e`.
+      // The weighted convention is the op's exactly: loops contribute
+      // 2w to their node's degree and w to intra mass (ca = cb is
+      // vacuous on a loop row), m = Σw including loops; both
+      // assignments are complete so singleton defaulting can't
+      // trigger, and this slice's m keeps 4m·in far inside Long
+      val asgAll = sing.select(lit(0L).as("lvl"), col("id"), col("cm"))
+        .unionByName(l1.select(lit(1L).as("lvl"), col("id"),
+          col("community").as("cm")))
+        .localCheckpoint(eager = true) // read 3x: tot, inn x2
+      val m = e.agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
+      val nonLoop = e.filter(col("a") =!= col("b"))
+      val deg = nonLoop.select(col("a").as("id"), col("w").as("deg"))
+        .unionAll(nonLoop.select(col("b").as("id"), col("w").as("deg")))
+        .unionAll(e.filter(col("a") === col("b"))
+          .select(col("a").as("id"), (col("w") * 2).as("deg")))
+        .groupBy("id").agg(sum("deg").as("deg"))
+      val tot = asgAll.join(deg, "id")
+        .groupBy("lvl", "cm").agg(sum("deg").as("tot"))
+      val xa = asgAll.select(col("lvl"), col("id").as("a"),
+        col("cm").as("ca"))
+      val xb = asgAll.select(col("lvl"), col("id").as("b"),
+        col("cm").as("cb"))
+      val inn = e.join(xa, Seq("a")).join(xb, Seq("b", "lvl"))
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("lvl"), col("ca").as("cm"))
+        .agg(sum("w").as("inn"))
+      tot.join(inn, Seq("lvl", "cm"), "left")
+        .groupBy("lvl")
+        .agg(sum(lit(4L * m) * coalesce(col("inn"), lit(0L)) -
+          col("tot") * col("tot")).as("q"))
+        .agg(max(when(col("lvl") === 0L, col("q"))).as("q0_num"),
+          max(when(col("lvl") === 1L, col("q"))).as("q1_num"))
         .crossJoin(broadcast(
           l1.agg(countDistinct(col("community")).as("n_comm"))))
-        .select(col("two_m"), col("n_comm"), col("q0_num"),
+        .select(lit(2L * m).as("two_m"), col("n_comm"), col("q0_num"),
           col("q1_num"),
           (col("q1_num") >= col("q0_num")).as("level1_not_worse"))
     }),
@@ -838,8 +910,153 @@ private[queries] object OpsQueriesP6 {
           coalesce(col("q_num") >= col("prev_q"), lit(true))
             .as("not_worse"))
         .orderBy("round")
+    }),
+    "q370_refine_louvain" -> ((s, d) => {
+      // Leiden-style connectivity refinement of the level-1 Louvain
+      // assignment (ROADMAP round-14 #3 pulled forward): local moves
+      // can leave a community internally DISCONNECTED — the defect
+      // contraction freezes into every later level — so each
+      // community splits into the connected components of its
+      // intra-community subgraph (Graph.refineConnectivity: two
+      // assignment equi-joins + the duplicateClusters min-label loop).
+      // The certificate: n_comm counts the defects repaired, and Q
+      // strictly improves on any split ((x+y)² > x²+y²); both stages
+      // evaluate in one batched (stage, community) pass
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 9 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      val simple = e.select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(eager = true) // read 5x: l1, intra, m, deg, inn
+      val g = graft.ops.Graph
+      val l1 = g.louvainOneLevel(simple, col("a"), col("b"), rounds = 3)
+        .localCheckpoint(eager = true) // read twice: refine + stage 0
+      val ref = g.refineConnectivity(simple, col("a"), col("b"), l1,
+        col("id"), col("community"))
+      refineCertificate(simple,
+        0L -> l1.select(col("id"), col("community").as("cm")),
+        1L -> ref.select(col("id"), col("community").as("cm")))
+    }),
+    "q371_refine_brands" -> ((s, d) => {
+      // connectivity refinement of an ATTRIBUTE grouping: parts
+      // grouped by brand over the co-purchase graph. Brand
+      // "communities" are heavily disconnected (a brand's parts
+      // mostly never co-occur in an order), so the refinement
+      // demonstrates real work — n_comm jumps from 25 to the
+      // component count and Q strictly improves — the
+      // attribute-clustering → graph-connected-components step a
+      // curation pipeline runs before treating a metadata group as a
+      // cohesive unit
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 9 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      val simple = e.select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(eager = true) // read 5x: asg, intra, m, deg, inn
+      val nodes = simple.select(col("a").as("id"))
+        .unionAll(simple.select(col("b").as("id"))).distinct()
+      val brand = t(s, d, "part").select(col("p_partkey").as("id"),
+        substring(col("p_brand"), 7, 10).cast("long").as("cm"))
+      val asg0 = nodes.join(brand, "id")
+        .localCheckpoint(eager = true) // read twice: refine + stage 0
+      val g = graft.ops.Graph
+      val ref = g.refineConnectivity(simple, col("a"), col("b"), asg0,
+        col("id"), col("cm"))
+      refineCertificate(simple, 0L -> asg0,
+        1L -> ref.select(col("id"), col("community").as("cm")))
+    }),
+    "q372_leiden_two_level" -> ((s, d) => {
+      // the refine-then-contract pipeline — the step Leiden actually
+      // runs (Traag et al. 2019): q370 proves level-1 Louvain leaves
+      // internally-disconnected communities, and a q362-style
+      // contraction would FREEZE those defects into the super-graph;
+      // here contraction consumes the REFINED assignment, so every
+      // super-node is a connected unit before level 2 moves them.
+      // Three-stage certificate on the original graph: level 1 →
+      // refined (Q strictly improves on any repaired defect) →
+      // weighted level 2 over the refined super-graph (not worse
+      // again); all three evaluations in one batched pass
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 9 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      val simple = e.select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(eager = true) // read 6x: l1, intra, contract, m, deg, inn
+      val g = graft.ops.Graph
+      val l1 = g.louvainOneLevel(simple, col("a"), col("b"), rounds = 3)
+        .localCheckpoint(eager = true) // read twice: refine + stage 1
+      val ref = g.refineConnectivity(simple, col("a"), col("b"), l1,
+          col("id"), col("community"))
+        .localCheckpoint(eager = true) // read 3x: contract, stage 2, map
+      val ce = g.louvainContract(simple, col("a"), col("b"), ref,
+        col("id"), col("community"))
+      val l2 = g.louvainOneLevelWeighted(ce, col("a"), col("b"),
+        col("w"), rounds = 3)
+      val full2 = ref.select(col("id"), col("community").as("sn"))
+        .join(l2.select(col("id").as("sn"), col("community").as("cm")),
+          Seq("sn"))
+        .select(col("id"), col("cm"))
+      refineCertificate(simple,
+        1L -> l1.select(col("id"), col("community").as("cm")),
+        2L -> ref.select(col("id"), col("community").as("cm")),
+        3L -> full2)
     })
   )
+
+  /** The refine/Leiden queries' shared certificate tail: batched
+    * multi-stage modularity evaluation of consecutively-tagged
+    * assignments against the canonical simple edge list — the q367
+    * evaluation shape, two equi-joins regardless of stage count —
+    * emitting `(stage, n_comm, q_num, not_worse)` (first stage
+    * anchors with not_worse = true). */
+  private def refineCertificate(simple: DataFrame,
+      stages: (Long, DataFrame)*): DataFrame = {
+    val asgAll = stages.map { case (tag, a) =>
+        a.select(lit(tag).as("stage"), col("id"), col("cm")) }
+      .reduce(_.unionByName(_))
+      .localCheckpoint(eager = true) // read 4x: tot, inn x2, n_comm
+    val m = simple.count()
+    val deg = simple.select(col("a").as("id"))
+      .unionAll(simple.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val tot = asgAll.join(deg, "id")
+      .groupBy("stage", "cm").agg(sum("deg").as("tot"))
+    val xa = asgAll.select(col("stage"), col("id").as("a"),
+      col("cm").as("ca"))
+    val xb = asgAll.select(col("stage"), col("id").as("b"),
+      col("cm").as("cb"))
+    val inn = simple.join(xa, Seq("a")).join(xb, Seq("b", "stage"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("stage"), col("ca").as("cm"))
+      .agg(count(lit(1)).as("inn"))
+    val qs = tot.join(inn, Seq("stage", "cm"), "left")
+      .groupBy("stage")
+      .agg(sum(lit(4L * m) * coalesce(col("inn"), lit(0L)) -
+        col("tot") * col("tot")).as("q_num"))
+    val nc = asgAll.groupBy("stage")
+      .agg(countDistinct(col("cm")).as("n_comm"))
+    val rows = qs.join(nc, "stage")
+      .localCheckpoint(eager = true) // read twice: self lag join
+    rows.as("cur")
+      .join(rows.select((col("stage") + 1).as("stage"),
+        col("q_num").as("prev_q")).as("prv"), Seq("stage"), "left")
+      .select(col("stage"), col("n_comm"), col("q_num"),
+        coalesce(col("q_num") >= col("prev_q"), lit(true))
+          .as("not_worse"))
+      .orderBy("stage")
+  }
 
   val oracle: Map[String, String] = Map(
     "q313_isotonic" ->
@@ -1850,6 +2067,11 @@ private[queries] object OpsQueriesP6 {
     "q367_louvain_rounds" -> louvainRoundsKneeOracle(mod = 9, r = 6),
     "q369_louvain_l2_rounds" ->
       louvainLevel2KneeOracle(mod = 9, r1 = 3, r2 = 6),
+    "q370_refine_louvain" ->
+      refineLouvainOracle(mod = 9, r1 = 3, ccRounds = 10),
+    "q371_refine_brands" -> refineBrandOracle(mod = 9, ccRounds = 10),
+    "q372_leiden_two_level" ->
+      leidenTwoLevelOracle(mod = 9, r = 3, ccRounds = 10),
     "q368_louvain_external_w" -> louvainExternalWOracle(rounds = 3,
       mod = 9)
   )

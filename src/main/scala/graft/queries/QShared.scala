@@ -633,6 +633,130 @@ private[queries] object QShared {
        FROM ($rows) ORDER BY round"""
   }
 
+  /** Unrolled connected-components rounds mirroring
+    * [[graft.ops.Dedup.duplicateClusters]]' loop exactly — per round a
+    * neighbor-min pass then one path-halving hop (`lbl := lbl(lbl)`),
+    * so fixed `rounds` ≥ the op's rounds-to-fixpoint replays identical
+    * labels (both steps are idempotent past convergence — the kCore
+    * oracle stance). Caller defines `${p}lb0(id, lbl = id)` over the
+    * edge-touched nodes and `$iadj(s, t)` both directions; produces
+    * `${p}lb1 … ${p}lb<rounds>`. */
+  def ccRoundCtes(p: String, iadj: String, rounds: Int): String =
+    (0 until rounds).map { r =>
+      s"""${p}nb$r AS MATERIALIZED (SELECT a.s AS id, min(l.lbl) AS lbl
+           FROM $iadj a JOIN ${p}lb$r l ON l.id = a.t GROUP BY a.s),
+         ${p}m$r AS MATERIALIZED (SELECT id, min(lbl) AS lbl FROM (
+             SELECT id, lbl FROM ${p}lb$r
+             UNION ALL SELECT id, lbl FROM ${p}nb$r) GROUP BY id),
+         ${p}lb${r + 1} AS MATERIALIZED (SELECT x.id,
+             least(x.lbl, coalesce(y.lbl, x.lbl)) AS lbl
+           FROM ${p}m$r x LEFT JOIN ${p}m$r y ON y.id = x.lbl)"""
+    }.mkString(",\n       ")
+
+  /** Connectivity-refinement CTEs over assignment `rasg(id, cm)` and
+    * edge list `e0`: intra-community edges, CC rounds
+    * ([[ccRoundCtes]]), and the refined assignment `ref(id, cm)`
+    * (edgeless nodes keep their own id as a singleton label). */
+  private def refineCcCtes(ccRounds: Int): String =
+    s"""intra AS MATERIALIZED (SELECT e0.a, e0.b FROM e0
+             JOIN rasg x ON x.id = e0.a JOIN rasg y ON y.id = e0.b
+             WHERE x.cm = y.cm),
+       iadj AS (SELECT a AS s, b AS t FROM intra
+                UNION ALL SELECT b, a FROM intra),
+       lb0 AS (SELECT id, id AS lbl
+               FROM (SELECT DISTINCT s AS id FROM iadj)),
+       ${ccRoundCtes("", "iadj", ccRounds)},
+       ref AS (SELECT a.id, coalesce(l.lbl, a.id) AS cm
+               FROM rasg a LEFT JOIN lb$ccRounds l ON l.id = a.id)"""
+
+  /** Shared tail of the two refine oracles: [[refineCcCtes]] plus the
+    * two-stage certificate rows. */
+  private def refineTailCtes(ccRounds: Int): String =
+    s"""${refineCcCtes(ccRounds)},
+       ${qEvalCtes("q0", "rasg", "id", "cm")},
+       ${qEvalCtes("q1", "ref", "id", "cm")}
+       SELECT CAST(lvl AS BIGINT) AS stage, n_comm, q_num, not_worse
+       FROM (
+         SELECT 0 AS lvl, (SELECT count(DISTINCT cm) FROM rasg)
+             AS n_comm, q0s.q AS q_num, true AS not_worse FROM q0s
+         UNION ALL SELECT 1, (SELECT count(DISTINCT cm) FROM ref),
+           q1s.q, q1s.q >= q0s.q FROM q1s, q0s)
+       ORDER BY stage"""
+
+  /** The q372 oracle: the refine-then-contract two-level pipeline —
+    * the step Leiden actually runs (Traag et al. 2019: contraction
+    * must consume the REFINED partition so the defect cannot freeze
+    * into the super-graph). Level 1, connectivity refinement,
+    * contraction ON THE REFINED labels, weighted level 2, members
+    * mapped through refined → super assignments; per stage (1 =
+    * level 1, 2 = refined, 3 = level 2 over refined) the community
+    * count, modularity numerator on the ORIGINAL graph, and the
+    * not-worse certificate. */
+  def leidenTwoLevelOracle(mod: Int, r: Int, ccRounds: Int): String =
+    s"""WITH ${louvainLevel1Ctes(r, mod)},
+       rasg AS (SELECT id, c AS cm FROM c$r),
+       ${refineCcCtes(ccRounds)},
+       ce AS (SELECT least(x.cm, y.cm) AS a, greatest(x.cm, y.cm) AS b,
+                count(*) AS w
+              FROM e0 JOIN ref x ON x.id = e0.a
+                JOIN ref y ON y.id = e0.b
+              GROUP BY 1, 2),
+       dadj AS (SELECT a AS s, b AS t, w FROM ce WHERE a <> b
+                UNION ALL SELECT b, a, w FROM ce WHERE a <> b),
+       dm AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM ce),
+       ddeg AS (SELECT id, CAST(sum(deg) AS BIGINT) AS deg FROM (
+                  SELECT s AS id, w AS deg FROM dadj
+                  UNION ALL SELECT a, 2 * w FROM ce WHERE a = b)
+                GROUP BY id),
+       dc0 AS (SELECT id, id AS c FROM ddeg),
+       ${louvainRoundCtes("d", "dadj", "ddeg", "dm", r,
+         weighted = true)},
+       full2 AS (SELECT x.id, y.c AS cm
+                 FROM ref x JOIN dc$r y ON y.id = x.cm),
+       ${qEvalCtes("q1", "rasg", "id", "cm")},
+       ${qEvalCtes("q2", "ref", "id", "cm")},
+       ${qEvalCtes("q3", "full2", "id", "cm")}
+       SELECT CAST(lvl AS BIGINT) AS stage, n_comm, q_num, not_worse
+       FROM (
+         SELECT 1 AS lvl, (SELECT count(DISTINCT cm) FROM rasg)
+             AS n_comm, q1s.q AS q_num, true AS not_worse FROM q1s
+         UNION ALL SELECT 2, (SELECT count(DISTINCT cm) FROM ref),
+           q2s.q, q2s.q >= q1s.q FROM q2s, q1s
+         UNION ALL SELECT 3, (SELECT count(DISTINCT cm) FROM full2),
+           q3s.q, q3s.q >= q2s.q FROM q3s, q2s)
+       ORDER BY stage"""
+
+  /** The q370 oracle: Leiden-style connectivity refinement of the
+    * level-1 Louvain assignment — each community split into the
+    * connected components of its intra-community subgraph, with the
+    * modularity numerator before/after and the not-worse certificate
+    * (strict improvement whenever any community was internally
+    * disconnected — the Louvain defect the refinement repairs). */
+  def refineLouvainOracle(mod: Int, r1: Int, ccRounds: Int): String =
+    s"""WITH ${louvainLevel1Ctes(r1, mod)},
+       rasg AS (SELECT id, c AS cm FROM c$r1),
+       ${refineTailCtes(ccRounds)}"""
+
+  /** The q371 oracle: connectivity refinement of an ATTRIBUTE grouping
+    * — parts grouped by brand over the co-purchase graph (brand
+    * communities are heavily disconnected, so the refinement
+    * demonstrates real splits: n_comm jumps and Q strictly improves).
+    * Same graph construction as [[louvainLevel1Ctes]], assignment from
+    * the part table restricted to graph nodes. */
+  def refineBrandOracle(mod: Int, ccRounds: Int): String =
+    s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+             WHERE l_orderkey % $mod = 0),
+       e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+              FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+       adj AS (SELECT a AS s, b AS t FROM e0
+               UNION ALL SELECT b, a FROM e0),
+       m AS (SELECT count(*) AS m FROM e0),
+       deg AS (SELECT s AS id, count(*) AS deg FROM adj GROUP BY s),
+       rasg AS (SELECT p_partkey AS id,
+                  CAST(substr(p_brand, 7) AS BIGINT) AS cm
+                FROM part WHERE p_partkey IN (SELECT id FROM deg)),
+       ${refineTailCtes(ccRounds)}"""
+
   /** The q324 oracle: `rounds` unrolled k-truss peel passes — per-edge
     * support as a common-neighbor join over the adjacency (the
     * [[kCoreOracle]] stance: rounds must exceed rounds-to-fixpoint at

@@ -272,6 +272,33 @@ class Wave9Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("refineConnectivity: disconnected communities split into " +
+      "min-labeled components, edgeless members become singletons, " +
+      "and the modularity numerator strictly improves") {
+    import spark.implicits._
+    // community 10 = {1,2,3,4,5}: intra edges (1,2) and (3,4) — TWO
+    // components — plus edgeless member 5; community 20 = {6,7}
+    // connected; (2,6) crosses communities and must not merge them
+    val e = Seq((1L, 2L), (3L, 4L), (6L, 7L), (2L, 6L)).toDF("a", "b")
+    val asg = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L),
+      (5L, 10L), (6L, 20L), (7L, 20L)).toDF("id", "cm")
+    val ref = graft.ops.Graph.refineConnectivity(e, col("a"), col("b"),
+      asg, col("id"), col("cm"))
+    val got = ref.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+      5L -> 5L, 6L -> 6L, 7L -> 6L), got.toString)
+    def qnum(a: org.apache.spark.sql.DataFrame, cmCol: String): BigInt =
+      BigInt(graft.ops.Graph.modularityNumerator(e, col("a"), col("b"),
+          a, col("id"), col(cmCol)).head()
+        .getAs[java.math.BigDecimal]("q_num").toBigIntegerExact)
+    val before = qnum(asg, "cm")
+    val after = qnum(ref, "community")
+    // hand-computed: m = 4; before (32−25)+(16−9) = 14; after
+    // 7 + 12 + 0 + 7 = 26 — splitting strictly improves
+    assert(before == BigInt(14) && after == BigInt(26),
+      s"before $before after $after")
+  }
+
   test("louvain weighted prep: wraparound-range weights fail loudly " +
       "(decimal-summed), empty input yields m = 0 not an NPE") {
     import spark.implicits._
