@@ -627,10 +627,21 @@ object Analytics {
       tieBreakCol: Column): DataFrame = {
     val base = df.select(valCol.cast("double").as("x"), tieBreakCol.as("tb"))
       .filter(col("x").isNotNull)
+    // `total` sums in DECIMAL(38,6), not double (round-13 sf0.1 sweep
+    // find): a double sum at 10^10 magnitude carries ~10 ulps of
+    // summation-ORDER noise — Spark's partial-agg tree vs a sequential
+    // sum legitimately disagree in the 4th decimal — while the decimal
+    // sum is exact and order-independent (the inputs are currency-like
+    // values, unambiguous at 6 dp). The gini RATIO stays double: it is
+    // scale-free in [−1, 1], where 4 dp sits far above ulp noise.
     Scale.withGlobalIndex(base, Seq(col("x"), col("tb")), "i")
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("__sx"),
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .as("__sxd"),
+        sum(col("x")).as("__sx"),
         sum(col("i") * col("x")).as("__six"))
-      .select(col("n"), round(coalesce(col("__sx"), lit(0.0)), 4).as("total"),
+      .select(col("n"),
+        coalesce(col("__sxd").cast("double"), lit(0.0)).as("total"),
         round(when(coalesce(col("__sx"), lit(0.0)) > 0,
           (lit(2.0) * col("__six") - (col("n") + 1) * col("__sx")) /
             (col("n") * col("__sx"))).otherwise(0.0), 4).as("gini"))

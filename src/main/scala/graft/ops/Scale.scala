@@ -79,12 +79,29 @@ object Scale extends Serializable {
    * land in one range partition, so ties never straddle an offset
    * boundary. The input lineage runs twice (offset pass + rank pass), both
    * deterministic.
+   *
+   * The ranged frame is MATERIALIZED once (eager localCheckpoint) and
+   * the partition count pinned explicitly — the round-13 sf0.1 sweep
+   * finding: the join key between the two branches is the PHYSICAL
+   * partition id of a range exchange, and each branch is a separate
+   * exchange instance whose range bounds come from its own sampling
+   * job over its own read of the input, while AQE may additionally
+   * coalesce each consumer's read independently. Any cross-execution
+   * disagreement corrupts the rank silently — q299 at sf0.1 first
+   * LOST 57 % of its rows (coalesce divergence), then with the count
+   * pinned still produced 56 duplicate ranks (bound divergence). A row
+   * carrying `spark_partition_id()` is only meaningful within ONE
+   * materialized layout, so the checkpoint (MEMORY_AND_DISK, spills;
+   * at true corpus scale substitute a persisted write) is what makes
+   * both branches read the same physical rows by construction.
    */
   def withGlobalIndex(df: DataFrame, sort: Seq[Column],
       out: String = "gidx"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val parted = df.repartitionByRange(sort: _*)
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(nPart, sort: _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
     val local = parted.withColumn("_lrank",
       row_number().over(Window.partitionBy("_pid").orderBy(sort: _*)))
     // per-partition offsets derived IN-PLAN: the cumulative window runs

@@ -543,10 +543,13 @@ private[queries] object OpsQueriesP1 {
            AND doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
          ORDER BY doc_id""",
     "q81_semantic_dedup" ->
-      // re-trained clustering at the auto-scaled nlist = ceil(sqrt(500))
-      // = 23 (bf = id, v, cid), then the SemDeDup pair rule: drop the
-      // larger id of any within-cluster pair >= tau
-      s"""${PortableSql.ivfTrainSql(23)}
+      // re-trained clustering at the op's auto-scaled nlist = ceil(sqrt(n))
+      // — a scalar-subquery LIMIT so the oracle tracks the auto-scale at
+      // every data scale (the previous hardcoded 23 = ceil(sqrt(500)) was
+      // sf0.01-only and diverged at sf0.1: round-13 sweep find) — then the
+      // SemDeDup pair rule: drop the larger id of any within-cluster
+      // pair >= tau
+      s"""${PortableSql.ivfTrainSqlAuto}
          dr AS (SELECT DISTINCT b.id AS drop_id
                 FROM bf a JOIN bf b ON a.cid = b.cid AND a.id < b.id
                 WHERE round(${PortableSql.cosSql("a.v", "b.v")}, 4) >= 0.4)

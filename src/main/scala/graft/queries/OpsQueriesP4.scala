@@ -848,13 +848,31 @@ private[queries] object OpsQueriesP4 {
                   AS syllables,
                 CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
                        x -> x <> '')) = 0 THEN NULL
-                ELSE round(206.835
-                  - 1.015 * len(list_filter(string_split_regex(trim(text), '\s+'),
-                      x -> x <> ''))
-                    / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
-                  - 84.6 * len(regexp_extract_all(text, '(?i)[aeiouy]+'))
-                    / CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-                        x -> x <> '')) AS DOUBLE), 4) END AS flesch
+                ELSE (SELECT CAST(CASE WHEN raw = 0 THEN 0 ELSE
+                        sign(raw) * CAST(floor(
+                          abs(CAST(CAST(raw AS VARCHAR) AS DECIMAL(38, 17)))
+                            * 10000 + 0.5) AS DOUBLE) / 10000 END AS DOUBLE)
+                      FROM (SELECT CAST(206.835 AS DOUBLE)
+                        - CAST(1.015 AS DOUBLE)
+                          * len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> ''))
+                          / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                        - CAST(84.6 AS DOUBLE)
+                          * len(regexp_extract_all(text, '(?i)[aeiouy]+'))
+                          / CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS DOUBLE) AS raw))
+                END AS flesch
+         -- Spark-parity rounding (round-13 sf0.1 sweep find, two rows):
+         -- (1) constants CAST AS DOUBLE so DuckDB does the same IEEE
+         --     double arithmetic as Spark (bare 1.015/84.6 are exact
+         --     DECIMALs here and shift the value by an ulp across the
+         --     .00005 boundary);
+         -- (2) Spark's round = BigDecimal HALF_UP on the SHORTEST
+         --     DECIMAL REPR of the double, replicated as
+         --     sign·floor(abs(varchar→decimal)·10⁴ + 0.5)/10⁴ —
+         --     DuckDB's own round() rounds the binary value instead
+         --     and disagrees exactly at repr boundaries
+         --     (28.19375000000001 → 28.1937)
          FROM documents ORDER BY id""",
     "q219_silhouette" ->
       s"""${PortableSql.ivfTrainSql}

@@ -1078,7 +1078,8 @@ private[queries] object OpsQueriesP5 {
       """WITH s AS (SELECT o_custkey AS k, sum(o_totalprice) AS x
                FROM orders GROUP BY o_custkey),
          r AS (SELECT x, row_number() OVER (ORDER BY x, k) AS i FROM s)
-         SELECT count(*) AS n, round(sum(x), 4) AS total,
+         SELECT count(*) AS n,
+           CAST(sum(CAST(x AS DECIMAL(38, 6))) AS DOUBLE) AS total,
            round(CASE WHEN sum(x) > 0
              THEN (2 * sum(i * x) - (count(*) + 1) * sum(x)) /
                   (count(*) * sum(x))

@@ -177,12 +177,26 @@ private[queries] object PortableSql {
   def ivfTrainSql(nlist: Int): String =
     s"WITH ${ivfTrainCtes("", nlist)},"
 
+  /** [[ivfTrainSql]] at the AUTO-SCALED nlist = ⌈√n⌉ of the embeddings
+    * table itself (a scalar-subquery LIMIT), so the oracle tracks the
+    * op's `nlist <= 0` auto-scale at EVERY data scale — the round-13
+    * sf0.1 sweep caught the previous hardcoded 23 (⌈√500⌉, sf0.01-only)
+    * training a different clustering than the op's ⌈√5000⌉ = 71. */
+  def ivfTrainSqlAuto: String =
+    s"WITH ${ivfTrainCtes("",
+      "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)")},"
+
   /** [[ivfTrainSql]]'s CTE list with every name prefixed by `p` (no
     * leading WITH, no trailing comma) — so one statement can train at
     * SEVERAL centroid counts side by side (the elbow-curve oracle), the
     * same trick [[pqSubTrainSql]] uses per subspace. Exposes `${p}c2`
     * and `${p}bf`. */
-  def ivfTrainCtes(p: String, nlist: Int): String = {
+  def ivfTrainCtes(p: String, nlist: Int): String =
+    ivfTrainCtes(p, nlist.toString)
+
+  /** As [[ivfTrainCtes]] with the seed-count rendered verbatim into the
+    * `LIMIT` (an integer literal or a scalar subquery). */
+  def ivfTrainCtes(p: String, nlist: String): String = {
     def iter(i: Int, prev: String): String =
       s"""${p}a$i AS (SELECT x.id, x.v, c.cid, ${cosSql("x.v", "c.c")} AS sim
                   FROM ${p}tr x CROSS JOIN $prev c),

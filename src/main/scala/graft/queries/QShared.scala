@@ -883,28 +883,33 @@ private[queries] object QShared {
   /** The q304 oracle: `iters` unrolled HITS rounds with integer
     * max-normalization (`//` is non-negative here, so it equals
     * Spark's `div`) — the q164 PageRank pattern with two half-steps
-    * per iteration. */
+    * per iteration. Every multiply-referenced CTE is MATERIALIZED
+    * (round-13 sf0.1 sweep find): DuckDB INLINES non-materialized
+    * CTEs per reference, and with 2–3 references per half-step the
+    * re-execution tree grows ~3^(2·iters) — at sf0.1 the inlined plan
+    * spilled past 80 GB of disk before dying, while the materialized
+    * chain is a few MB per step. */
   def hitsOracle(iters: Int): String = {
     val steps = (1 to iters).map { i =>
-      s"""ar$i AS (SELECT e.dst, sum(h.h) AS ar FROM e
+      s"""ar$i AS MATERIALIZED (SELECT e.dst, sum(h.h) AS ar FROM e
              JOIN hs${i - 1} h ON h.id = e.src GROUP BY e.dst),
          am$i AS (SELECT max(ar) AS am FROM ar$i),
-         aa$i AS (SELECT n.id,
+         aa$i AS MATERIALIZED (SELECT n.id,
              CAST(coalesce(s.ar * 1000000 // t.am, 0) AS BIGINT) AS a
            FROM nodes n LEFT JOIN ar$i s ON n.id = s.dst CROSS JOIN am$i t),
-         hr$i AS (SELECT e.src, sum(a.a) AS hr FROM e
+         hr$i AS MATERIALIZED (SELECT e.src, sum(a.a) AS hr FROM e
              JOIN aa$i a ON a.id = e.dst GROUP BY e.src),
          hm$i AS (SELECT max(hr) AS hm FROM hr$i),
-         hs$i AS (SELECT n.id,
+         hs$i AS MATERIALIZED (SELECT n.id,
              CAST(coalesce(s.hr * 1000000 // t.hm, 0) AS BIGINT) AS h,
              a.a AS a
            FROM nodes n LEFT JOIN hr$i s ON n.id = s.src
            JOIN aa$i a ON a.id = n.id CROSS JOIN hm$i t)"""
     }.mkString(",\n         ")
-    s"""WITH e AS (SELECT DISTINCT l_suppkey + 1000000000 AS src,
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_suppkey + 1000000000 AS src,
                l_partkey AS dst
              FROM lineitem WHERE l_suppkey + 1000000000 <> l_partkey),
-         nodes AS (SELECT DISTINCT id FROM (
+         nodes AS MATERIALIZED (SELECT DISTINCT id FROM (
              SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
          hs0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h,
                    CAST(1000000 AS BIGINT) AS a FROM nodes),

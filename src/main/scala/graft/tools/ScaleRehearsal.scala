@@ -223,6 +223,24 @@ object ScaleRehearsal {
           .select(col("id"), col("cm"))
         g.modularityNumerator(simple, col("a"), col("b"), full3,
           col("id"), col("cm"))
+      },
+      // round-13: Leiden-style connectivity refinement on top of
+      // level-1 Louvain — intra-community edges (two assignment
+      // equi-joins) + the duplicateClusters min-label/path-halving
+      // loop; replica isomorphism keeps per-community components and
+      // CC rounds flat while intra-edge volume scales ×N (the q361
+      // family's cost is the shared level-1 baseline inside this one)
+      "q370_refine" -> { e =>
+        val g = graft.ops.Graph
+        val simple = e.select(least(col("a"), col("b")).as("a"),
+            greatest(col("a"), col("b")).as("b"))
+          .filter(col("a") =!= col("b")).distinct()
+          .localCheckpoint(true)
+        val l1 = g.louvainOneLevel(simple, col("a"), col("b"),
+            rounds = 3)
+          .localCheckpoint(true)
+        g.refineConnectivity(simple, col("a"), col("b"), l1,
+          col("id"), col("community"))
       })
 
     val eventFamilies: Seq[(String, DataFrame => DataFrame)] = Seq(

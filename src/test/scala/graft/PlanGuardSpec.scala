@@ -531,16 +531,24 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), s"blocked equi-join only:\n$p")
   }
 
-  test("q283: gini's global index is RANGE-partitioned — no single-task " +
-      "sort of the value column") {
+  test("q283: gini's global index ranks in parallel per range " +
+      "partition — no single-task sort of the value column") {
     import org.apache.spark.sql.SparkSession
     val spark2 = spark
     import spark2.implicits._
     val v = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "x")
     val p = plan(graft.ops.Analytics.giniCoefficient(v, col("x"),
       col("id")))
-    assert(p.contains("rangepartitioning"),
-      s"the rank pass must range-partition:\n$p")
+    // the range exchange itself sits BEHIND withGlobalIndex's eager
+    // checkpoint since the round-13 layout-materialization fix (the
+    // final plan reads Scan ExistingRDD), so pin what remains visible:
+    // the rank window partitions by the range-partition id — parallel
+    // per-partition ranks, never one unpartitioned window/sort over
+    // the whole table
+    assert(p.contains("windowspecdefinition(_pid"),
+      s"the rank window must partition by _pid (parallel ranks):\n$p")
+    assert(!p.contains("windowspecdefinition(x"),
+      s"no unpartitioned window over the value column:\n$p")
   }
 
   test("q268: winsorize joins the bounds frame broadcast — the data " +
