@@ -953,4 +953,175 @@ object Experiment {
         round(expr("percentile(lat, 0.9)"), 4).as("p90_s"))
       .orderBy("step_idx")
   }
+
+  /** Per-key Mann–Kendall trend test — the NON-parametric "is this
+    * metric drifting" answer that pairs with [[graft.ops.Temporal]]'s
+    * Theil–Sen slope (MK gives the significance, Theil–Sen the
+    * magnitude; both rank-based, both immune to outliers and
+    * monotone-transform choice). Per key over the series ordered by
+    * `orderCol`: `S = Σ_{i<j} sign(x_j − x_i)`, the tie-corrected
+    * variance `Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18` (t over
+    * tied-VALUE group sizes), and the continuity-corrected normal
+    * score `z = (S∓1)/√Var` (0 when S = 0 or Var = 0). Output one row
+    * per key: `(key, n, s, var_s, z, trending)` — z 4dp, `trending`
+    * the two-sided 5% call (|z| > 1.96).
+    *
+    * Contract: `orderCol` must be unique within a key (feed a
+    * pre-aggregated daily/hourly grain — also what keeps n honest);
+    * duplicate order values fail fast rather than silently double the
+    * pair set. Scale shape: pairs are a per-key equi-join (n² per key
+    * — bounded by the series grain BY CONSTRUCTION: a daily series is
+    * ≤ 366 rows/key/year, the [[graft.ops.Temporal]] pre-aggregation
+    * stance), ties one grouped count; everything else is per-key
+    * sums. */
+  def mannKendall(df: DataFrame, keyCol: Column, orderCol: Column,
+      valueCol: Column): DataFrame = {
+    val s = df.select(keyCol.as("k"), orderCol.cast("long").as("o"),
+        valueCol.cast("double").as("v"))
+      .filter(col("v").isNotNull && col("o").isNotNull)
+      .localCheckpoint(true) // read 4×: guard, pairs ×2, ties
+    val dup = s.groupBy("k", "o").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      "mannKendall: duplicate order values within a key — " +
+        "pre-aggregate the series to a unique grain first")
+    val pairs = s.as("x").join(s.as("y"),
+        col("x.k") === col("y.k") && col("x.o") < col("y.o"))
+      .select(col("x.k").as("k"),
+        signum(col("y.v") - col("x.v")).cast("long").as("sgn"))
+      .groupBy("k").agg(sum("sgn").as("s"), count(lit(1)).as("np"))
+    val ties = s.groupBy("k", "v").agg(count(lit(1)).as("t"))
+      .groupBy("k").agg(count(lit(1)).as("ng"),
+        sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+          .as("tcorr"),
+        sum(col("t")).as("n"))
+    pairs.join(ties, Seq("k"))
+      .withColumn("var_s",
+        (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) -
+          col("tcorr")).cast("double") / 18.0)
+      .withColumn("z",
+        when(col("s") > 0 && col("var_s") > 0,
+          (col("s") - 1).cast("double") / sqrt(col("var_s")))
+          .when(col("s") < 0 && col("var_s") > 0,
+            (col("s") + 1).cast("double") / sqrt(col("var_s")))
+          .otherwise(0.0))
+      .select(col("k").as("key"), col("n"), col("s"),
+        round(col("var_s"), 4).as("var_s"),
+        round(col("z"), 4).as("z"),
+        (abs(col("z")) > 1.96).as("trending"))
+  }
+
+  /** SEASONAL Mann–Kendall (Hirsch & Slack 1984) — [[mannKendall]]
+    * computed WITHIN each season and summed: a daily metric with a
+    * strong weekday cycle shows spurious "trend" (or hides a real
+    * one) under the plain test because cross-weekday pairs compare
+    * apples to oranges; here S and the tie-corrected variance
+    * NUMERATOR (kept integer — `Σ_p [n_p(n_p−1)(2n_p+5) − tcorr_p]`,
+    * one exact Long sum across phases, divided by 18 once) accumulate
+    * per (key, phase) and the continuity-corrected z reads off the
+    * totals. Same bounded-grain and unique-order contract as
+    * [[mannKendall]], per (key, phase); output
+    * `(key, n, s, var_s, z, trending)`. Scale shape identical — the
+    * pair join just carries the phase in its key, so per-group n
+    * SHRINKS by the season count. */
+  def seasonalMannKendall(df: DataFrame, keyCol: Column,
+      orderCol: Column, phaseCol: Column,
+      valueCol: Column): DataFrame = {
+    val s = df.select(keyCol.as("k"), phaseCol.cast("long").as("ph"),
+        orderCol.cast("long").as("o"), valueCol.cast("double").as("v"))
+      .filter(col("v").isNotNull && col("o").isNotNull &&
+        col("ph").isNotNull)
+      .localCheckpoint(true) // read 4×: guard, pairs ×2, ties
+    val dup = s.groupBy("k", "ph", "o").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      "seasonalMannKendall: duplicate order values within a " +
+        "(key, phase) — pre-aggregate the series first")
+    val pairs = s.as("x").join(s.as("y"),
+        col("x.k") === col("y.k") && col("x.ph") === col("y.ph") &&
+          col("x.o") < col("y.o"))
+      .select(col("x.k").as("k"),
+        signum(col("y.v") - col("x.v")).cast("long").as("sgn"))
+      .groupBy("k").agg(sum("sgn").as("s"))
+    val perPhase = s.groupBy("k", "ph", "v")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("k", "ph")
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+          .as("tcorr"),
+        sum(col("t")).as("n"))
+      .groupBy("k")
+      .agg(sum(col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) -
+          col("tcorr")).as("var_num"),
+        sum(col("n")).as("n"))
+    pairs.join(perPhase, Seq("k"))
+      .withColumn("var_s", col("var_num").cast("double") / 18.0)
+      .withColumn("z",
+        when(col("s") > 0 && col("var_s") > 0,
+          (col("s") - 1).cast("double") / sqrt(col("var_s")))
+          .when(col("s") < 0 && col("var_s") > 0,
+            (col("s") + 1).cast("double") / sqrt(col("var_s")))
+          .otherwise(0.0))
+      .select(col("k").as("key"), col("n"), col("s"),
+        round(col("var_s"), 4).as("var_s"),
+        round(col("z"), 4).as("z"),
+        (abs(col("z")) > 1.96).as("trending"))
+  }
+
+  /** Two-group LOG-RANK test — "do the two survival curves differ":
+    * the inferential sibling of [[graft.ops.Analytics.kaplanMeier]]
+    * (KM draws the curves, log-rank decides if the gap is real — the
+    * standard readout for retention cohorts and time-to-conversion
+    * A/Bs). Input one row per subject `(duration, observed, group)`
+    * with boolean `group` (false = group 1 / control). At each event
+    * time t with `d_t` events total, `n_1t` of `n_t` at risk in group
+    * 1: `E_1 = Σ_t d_t·n_1t/n_t`,
+    * `V = Σ_t d_t·(n_1t/n_t)·(1 − n_1t/n_t)·(n_t − d_t)/(n_t − 1)`
+    * (hypergeometric with ties; t with n_t = 1 contributes 0), and
+    * `χ² = (O_1 − E_1)²/V` on 1 df. Output ONE row
+    * `(n1, n2, o1, e1, var1, chi2, significant)` — e1/var1/chi2 4dp,
+    * `significant` at 5% (χ² > 3.841).
+    *
+    * Scale shape (the [[graft.ops.Analytics.kaplanMeier]] plan): one
+    * grouped count by (duration, group) collapses subjects to
+    * |distinct durations|·2 rows; the risk-set windows and final sums
+    * run over that collapsed frame — bounded by the time grain, not
+    * by subjects. */
+  def logRankTest(subjects: DataFrame, durCol: Column,
+      observedCol: Column, groupCol: Column): DataFrame = {
+    val perTG = subjects
+      .select(durCol.cast("long").as("t"),
+        observedCol.cast("boolean").as("e"),
+        groupCol.cast("boolean").as("g"))
+      .filter(col("t").isNotNull && col("t") >= 0)
+      .groupBy("t")
+      .agg(sum(when(col("e") && !col("g"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("e"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("g"), 1L).otherwise(0L)).as("a1"),
+        count(lit(1)).as("a"))
+    val desc = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val risk = perTG
+      .withColumn("n1", sum(col("a1")).over(desc))
+      .withColumn("n", sum(col("a")).over(desc))
+      .filter(col("d") > 0)
+    risk.agg(
+        sum(col("d1")).as("o1"),
+        sum(col("d") * col("n1").cast("double") / col("n")).as("e1"),
+        sum(when(col("n") > 1,
+          col("d") * (col("n1").cast("double") / col("n")) *
+            (lit(1.0) - col("n1").cast("double") / col("n")) *
+            (col("n") - col("d")).cast("double") / (col("n") - 1))
+          .otherwise(0.0)).as("v"))
+      .crossJoin(perTG.agg(sum(col("a1")).as("n1_tot"),
+        sum(col("a") - col("a1")).as("n2_tot")))
+      .select(col("n1_tot").as("n1"), col("n2_tot").as("n2"),
+        col("o1"), round(col("e1"), 4).as("e1"),
+        round(col("v"), 4).as("var1"),
+        round(when(col("v") > 0,
+            pow(col("o1") - col("e1"), 2) / col("v")).otherwise(0.0), 4)
+          .as("chi2"),
+        (when(col("v") > 0, pow(col("o1") - col("e1"), 2) / col("v"))
+          .otherwise(0.0) > 3.841).as("significant"))
+  }
 }

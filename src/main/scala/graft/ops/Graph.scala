@@ -1463,4 +1463,222 @@ object Graph {
               (col("degree") * (col("degree") - 1))).otherwise(0.0), 4)
           .as("clustering"))
   }
+
+  /** Per-community CONDUCTANCE — the cut-quality readout that
+    * complements [[modularity]]'s global score: for community C over a
+    * simple undirected graph, `φ(C) = cut(C) / min(vol(C), 2m − vol(C))`
+    * with `vol(C)` the degree mass inside C and `cut(C)` the edges
+    * leaving C. Low conductance = a well-separated cluster; a
+    * "community" with φ ≈ 1 is noise even if modularity liked the
+    * overall partition (modularity is a SUM — it can hide a few bad
+    * communities behind many good ones, which is exactly what a
+    * per-community audit catches before a curation pass treats each
+    * cluster as a unit). `cut` falls out of the identity
+    * `cut_c = vol_c − 2·in_c` — no third aggregation pass. Unassigned
+    * nodes are implicit singletons labeled −id−1 (the [[modularity]]
+    * convention; negative ids/labels fail fast — same premise as
+    * [[modularityNumerator]]). Output one row per community:
+    * `(community, vol, inn, cut, conductance)` — conductance 4dp,
+    * 0.0 for an isolated community (min volume 0).
+    *
+    * Scale shape: two assignment equi-joins on the edge list + two
+    * grouped counts over the labeled frame — the [[modularity]] plan
+    * exactly; output is |C| rows, never per-node. */
+  def communityConductance(edges: DataFrame, srcCol: Column,
+      dstCol: Column, assign: DataFrame, nodeCol: Column,
+      commCol: Column): DataFrame = {
+    val raw = edges.select(srcCol.cast("long").as("a"),
+        dstCol.cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = raw.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint(true) // read twice: id guard + labeled frame
+    val minId = und.agg(coalesce(min(col("a")), lit(0L)))
+      .head().getLong(0)
+    require(minId >= 0,
+      s"communityConductance: negative node id $minId — the singleton " +
+        "label space (−id−1) requires non-negative ids")
+    val asg = assign.select(nodeCol.cast("long").as("id"),
+      commCol.cast("long").as("cm"))
+    guardCommLabels("communityConductance", asg)
+    val withC = und
+      .join(asg.select(col("id").as("a"), col("cm").as("ca")),
+        Seq("a"), "left")
+      .join(asg.select(col("id").as("b"), col("cm").as("cb")),
+        Seq("b"), "left")
+      .select(coalesce(col("ca"), -col("a") - 1).as("ca"),
+        coalesce(col("cb"), -col("b") - 1).as("cb"))
+      .localCheckpoint(true) // read 3×: m + intra + degree mass
+    val m = withC.count()
+    val inn = withC.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("inn"))
+    val vol = withC.select(explode(array(col("ca"), col("cb")))
+        .as("community"))
+      .groupBy("community").agg(count(lit(1)).as("vol"))
+    vol.join(inn, Seq("community"), "left")
+      .select(col("community"), col("vol"),
+        coalesce(col("inn"), lit(0L)).as("inn"),
+        (col("vol") - lit(2L) * coalesce(col("inn"), lit(0L))).as("cut"))
+      .withColumn("__den",
+        least(col("vol"), lit(2L * m) - col("vol")))
+      .select(col("community"), col("vol"), col("inn"), col("cut"),
+        round(when(col("__den") > 0,
+          col("cut").cast("double") / col("__den")).otherwise(0.0), 4)
+          .as("conductance"))
+  }
+
+  /** Full k-core DECOMPOSITION — the core NUMBER of every node (the
+    * largest k whose k-core contains it), where [[kCore]] answers only
+    * the fixed-k membership question. One number per node orders the
+    * whole density spectrum at once: "keep coreness ≥ 8" replaces a
+    * bisection of [[kCore]] calls, and the coreness histogram is the
+    * standard dense-backbone profile of a similarity graph. Algorithm:
+    * the distributed h-index iteration (Montresor, De Pellegrini &
+    * Miorandi 2013, "Distributed k-core decomposition"): start each
+    * node at its degree and repeatedly set
+    * `est(v) ← H(est(u) : u ∈ N(v))` — the h-index of its neighbors'
+    * estimates (the largest h with ≥ h neighbors at ≥ h). Estimates
+    * only decrease and the fixpoint IS the core number; a converged
+    * round recomputes itself (idempotent), so an oracle unrolling
+    * exactly `rounds` agrees with the op bit-for-bit whether or not
+    * the fixpoint arrived — semantic convergence is pinned separately
+    * by spec against a brute-force peel. Output `(id, core)`.
+    *
+    * Scale shape (per round): one equi-join of the |V|-sized estimate
+    * frame against the static checkpointed adjacency, then the h-index
+    * as a per-NODE window (`row_number` over neighbor estimates desc →
+    * `max(least(est, rn))`) — fan-in bounded by the node's degree, the
+    * [[louvainRounds]] argmax discipline. Degree-skewed hubs serialize
+    * their own partition's window; at web scale pre-cap hub
+    * neighborhoods or salt-and-merge (h-index of a union is the
+    * h-index of per-shard TOP-h lists, so a two-stage merge exists
+    * when a hub outgrows one task). Stats-reset checkpoints per round
+    * (the compounding-BigInt lesson). */
+  def coreNumbers(edges: DataFrame, srcCol: Column, dstCol: Column,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "coreNumbers: rounds must be >= 1")
+    val ckpt = org.apache.spark.sql.graftshim.StatsReset
+      .freshLocalCheckpoint _
+    val raw = edges.select(srcCol.cast("long").as("s"),
+        dstCol.cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+    val und = raw.select(least(col("s"), col("t")).as("a"),
+        greatest(col("s"), col("t")).as("b"))
+      .distinct()
+    val adj = ckpt(und.select(col("a").as("s"), col("b").as("t"))
+      .unionAll(und.select(col("b").as("s"), col("a").as("t"))))
+    var est = ckpt(adj.groupBy("s").agg(count(lit(1)).as("est"))
+      .select(col("s").as("id"), col("est")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("s").orderBy(col("nEst").desc, col("t"))
+    for (_ <- 1 to rounds) {
+      est = ckpt(adj
+        .join(est.select(col("id").as("t"), col("est").as("nEst")),
+          Seq("t"))
+        .withColumn("rn", row_number().over(w))
+        .select(col("s"), least(col("nEst"), col("rn")).as("cand"))
+        .groupBy("s").agg(max("cand").as("est"))
+        .select(col("s").as("id"), col("est")))
+    }
+    est.select(col("id"), col("est").as("core"))
+  }
+
+  /** LINK-PREDICTION scores for non-adjacent node pairs at distance 2
+    * — the classic neighborhood-overlap candidates (Liben-Nowell &
+    * Kleinberg 2003): for every pair (a, b) with no edge but ≥
+    * `minCommon` common neighbors, the common-neighbor count and the
+    * neighborhood Jaccard in exact integer BASIS POINTS
+    * (`⌊10⁴·cn/(deg_a + deg_b − cn)⌋` — no order-dependent float sums,
+    * so the oracle replays the score bit-for-bit). In a similarity or
+    * co-occurrence graph these pairs are the "should probably be
+    * linked" set: hard-negative candidates for contrastive training,
+    * missing-edge suggestions for a knowledge graph, near-cluster
+    * merge candidates for dedup review. Output
+    * `(a, b, cn, jaccard_bp)` with a < b.
+    *
+    * Scale shape: candidate pairs come from ONE wedge self-join of the
+    * oriented adjacency on the middle node (fan-out Σ_y deg(y)² — the
+    * [[triangleStats]] wedge bound; cap hub degrees upstream if the
+    * graph has super-nodes), then one grouped count per pair, one
+    * anti-join against the edge set, and two broadcast-able degree
+    * joins. `minCommon` prunes AFTER the pair aggregation (the count
+    * must see every wedge) but BEFORE the joins. */
+  def linkPredictionScores(edges: DataFrame, srcCol: Column,
+      dstCol: Column, minCommon: Int = 2): DataFrame = {
+    require(minCommon >= 1, "linkPredictionScores: minCommon >= 1")
+    val raw = edges.select(srcCol.cast("long").as("s"),
+        dstCol.cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+    val und = raw.select(least(col("s"), col("t")).as("a"),
+        greatest(col("s"), col("t")).as("b"))
+      .distinct()
+      .localCheckpoint(true) // read 3×: wedges, anti-join, degrees
+    val adj = und.select(col("a").as("y"), col("b").as("x"))
+      .unionAll(und.select(col("b").as("y"), col("a").as("x")))
+    val cand = adj.as("p").join(adj.as("q"),
+        col("p.y") === col("q.y") && col("p.x") < col("q.x"))
+      .groupBy(col("p.x").as("a"), col("q.x").as("b"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCommon)
+      .join(und, Seq("a", "b"), "left_anti")
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    cand
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("cn"),
+        floor(col("cn") * lit(10000.0) /
+          (col("da") + col("db") - col("cn"))).cast("long")
+          .as("jaccard_bp"))
+  }
+
+  /** Pivot-sampled HARMONIC centrality — `C(v) = Σ_s 1/d(s, v)` over a
+    * bounded source sample, the closeness variant that handles
+    * disconnected graphs natively (unreachable pairs contribute 0, no
+    * 1/∞ bookkeeping) — Boldi & Vigna 2014's recommended centrality
+    * for web-scale graphs. Contributions are integer MICRO-units
+    * (`10⁶ div d` per reached source, an exact Long sum — double
+    * 1/d accumulation is order-dependent and would haze the oracle
+    * hash). Output `(id, n_reached, harmonic_micro)` for every node
+    * reached by at least one source (sources see themselves at d = 0,
+    * contributing nothing).
+    *
+    * Scale shape: ONE tagged multi-source BFS — state `(src, id,
+    * dist)` bounded by |V|·|sources| (sources are the caller's pivot
+    * sample, the [[betweennessApprox]] stance), each round one
+    * equi-join of the state frame against the static checkpointed
+    * adjacency + one grouped min; `maxDepth` rounds, a converged round
+    * is idempotent (min-union), so the fixed-round oracle unroll
+    * replays exactly. No per-pivot loop: all sources advance in the
+    * same jobs. */
+  def harmonicCentrality(edges: DataFrame, srcCol: Column,
+      dstCol: Column, sources: DataFrame, sourceIdCol: Column,
+      maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, "harmonicCentrality: maxDepth must be >= 1")
+    val ckpt = org.apache.spark.sql.graftshim.StatsReset
+      .freshLocalCheckpoint _
+    val raw = edges.select(srcCol.cast("long").as("s"),
+        dstCol.cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+    val adj = ckpt(raw
+      .unionAll(raw.select(col("t").as("s"), col("s").as("t")))
+      .distinct())
+    var dist = ckpt(sources.select(sourceIdCol.cast("long").as("src"))
+      .distinct()
+      .select(col("src"), col("src").as("id"), lit(0L).as("dist")))
+    for (_ <- 1 to maxDepth) {
+      val nxt = dist.join(adj, col("id") === col("s"))
+        .select(col("src"), col("t").as("id"),
+          (col("dist") + 1L).as("dist"))
+      dist = ckpt(dist.unionAll(nxt)
+        .groupBy("src", "id").agg(min("dist").as("dist")))
+    }
+    dist.filter(col("dist") > 0)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(floor(lit(1000000.0) / col("dist")).cast("long"))
+          .as("harmonic_micro"))
+  }
 }

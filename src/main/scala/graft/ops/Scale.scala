@@ -423,4 +423,50 @@ object Scale extends Serializable {
       .take(topN)
       .toDF("term", "c")
   }
+
+  /** AMS second-moment (F₂) sketch — the one-pass estimate of
+    * `Σ_x f_x²` over a key column (Alon, Matias & Szegedy 1996), which
+    * IS the self-join size on that key: the number a query planner
+    * needs BEFORE running a join to know whether the key is
+    * broadcast-safe, salt-worthy, or a blow-up (`Σ f_x²` rows come out
+    * of an equi-self-join; per-key pair dedup costs the same order).
+    * Each of `k` estimators draws a ±1 sign per key value from the
+    * md5-portable hash ([[graft.expr.PortableHash]] — parity of the
+    * 60-bit prefix of `md5(j || ':' || key)`), keeps the running sign
+    * sum `Z_j = Σ_rows sign_j(key)`, and estimates `F₂ ≈ Z_j²`;
+    * averaging the k estimators bounds the variance (≤ 2F₂²/k). The
+    * md5 draw makes the whole sketch REPLAYABLE: same rows → same
+    * signs → same estimate in any engine, so the oracle recomputes it
+    * exactly rather than tolerance-checking. Output ONE row
+    * `(n_rows, k, f2_sum)` — `f2_sum = Σ_j Z_j²` in decimal(38,0):
+    * the SUM ships instead of the mean so the output stays
+    * integer-exact (|Z_j| ≤ n_rows puts Z² past Long at n ≈ 3·10⁹ —
+    * the 100-TB regime — and a cross-engine float mean would haze the
+    * hash); the estimate is `f2_sum/k`, and callers whose corpus stays
+    * inside Long may cast (the
+    * [[graft.ops.Graph.modularityNumerator]] convention).
+    *
+    * Scale shape: one projection exploding each row into k (j, sign)
+    * pairs (k ≤ 64 — a constant fan-out, not a shuffle blow-up), one
+    * k-row grouped sum, one 1-row mean — partial-agg friendly
+    * end-to-end; the only full-width pass is the scan itself. The
+    * sketch is mergeable by construction (sign sums add across
+    * shards/batches), which is what the streaming twin exploits. */
+  def amsF2(df: DataFrame, keyCol: Column, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"amsF2: k must be in [1, 64], got $k")
+    val signs = df.select(keyCol.cast("string").as("key"))
+      .filter(col("key").isNotNull)
+      .select(explode(sequence(lit(1), lit(k))).as("j"), col("key"))
+      .select(col("j"),
+        when(graft.expr.PortableHash.hex15Col(
+          concat_ws(":", col("j"), col("key"))) % 2 === 0, 1L)
+          .otherwise(-1L).as("sgn"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    signs.groupBy("j")
+      .agg(sum("sgn").as("z"), count(lit(1)).as("n"))
+      .agg((sum("n") / k).cast("long").as("n_rows"),
+        lit(k).cast("long").as("k"),
+        sum(col("z").cast(dec) * col("z").cast(dec)).cast(dec)
+          .as("f2_sum"))
+  }
 }

@@ -1160,4 +1160,66 @@ object Temporal {
       .agg(first(col("__m")).as("n_pairs"),
         (sum("slope") / count(lit(1))).as("slope"))
   }
+
+  /** Classical additive SEASONAL DECOMPOSITION of one integer-valued
+    * series — the moving-average STL ancestor: `v = trend + seasonal +
+    * resid` with `trend` the centered `period`-point moving average
+    * (odd `period`; defined only where the full window exists),
+    * `seasonal` the per-phase (t mod period) mean of the detrended
+    * values, `resid` the leftover. The pre-model look every
+    * time-series readout in this library benefits from: de-weekday a
+    * daily metric before [[holtSmooth]]/CUSUM, read the seasonal
+    * amplitude itself, alert on residuals instead of raw values.
+    *
+    * Determinism discipline: `v` must be INTEGER (counts, micro-units
+    * — the [[graft.ops.Graph.pageRank]] stance) and the grain unique
+    * per t (fail-fast); then `period·v − Σwindow v` is an exact Long,
+    * the phase mean is ONE division of exact integers, and every
+    * float the op emits is the same IEEE expression of the same exact
+    * operands in any engine — no order-dependent accumulation
+    * anywhere. Output `(t, v, trend, seasonal, resid)` (4dp; trend
+    * and resid null outside full windows, seasonal null only for a
+    * phase with no full window anywhere).
+    *
+    * Scale shape: the series must already be aggregated to its time
+    * grain (the [[graft.ops.Analytics.kaplanMeier]] contract), so the
+    * single-partition RANGE window runs over |distinct t| rows —
+    * bounded by the calendar, not the corpus; the 7-row seasonal
+    * frame broadcasts back. */
+  def seasonalDecompose(df: DataFrame, tCol: Column, vCol: Column,
+      period: Int): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"seasonalDecompose: period must be odd and >= 3, got $period")
+    val half = (period - 1) / 2
+    val s = df.select(tCol.cast("long").as("t"),
+        vCol.cast("long").as("v"))
+      .filter(col("t").isNotNull && col("v").isNotNull)
+      .localCheckpoint(true) // read twice: guard + window
+    val dup = s.groupBy("t").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      "seasonalDecompose: duplicate t values — aggregate the series " +
+        "to a unique time grain first")
+    val w = Window.orderBy(col("t")).rangeBetween(-half, half)
+    val detr = s
+      .withColumn("__sum", sum(col("v")).over(w))
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__detr",
+        when(col("__cnt") === period,
+          lit(period.toLong) * col("v") - col("__sum")))
+      .withColumn("__phase", pmod(col("t"), lit(period.toLong)))
+      .localCheckpoint(true) // read twice: phase means + final join
+    val seas = detr.filter(col("__detr").isNotNull)
+      .groupBy("__phase")
+      .agg((sum(col("__detr")).cast("double") /
+        (lit(period.toDouble) * count(lit(1)))).as("__seas"))
+    detr.join(broadcast(seas), Seq("__phase"), "left")
+      .select(col("t"), col("v"),
+        round(when(col("__cnt") === period,
+          col("__sum").cast("double") / period), 4).as("trend"),
+        round(col("__seas"), 4).as("seasonal"),
+        round(col("__detr").cast("double") / period - col("__seas"), 4)
+          .as("resid"))
+      .orderBy("t")
+  }
 }

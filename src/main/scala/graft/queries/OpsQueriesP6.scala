@@ -1021,7 +1021,7 @@ private[queries] object OpsQueriesP6 {
     * evaluation shape, two equi-joins regardless of stage count —
     * emitting `(stage, n_comm, q_num, not_worse)` (first stage
     * anchors with not_worse = true). */
-  private def refineCertificate(simple: DataFrame,
+  private[queries] def refineCertificate(simple: DataFrame,
       stages: (Long, DataFrame)*): DataFrame = {
     val asgAll = stages.map { case (tag, a) =>
         a.select(lit(tag).as("stage"), col("id"), col("cm")) }

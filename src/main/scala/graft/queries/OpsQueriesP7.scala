@@ -1,0 +1,407 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.QShared._
+
+/** Part 7 of the ops query registry (round-13 third wave,
+  * q373_leiden_three_level..) — graph-quality completion (the
+  * refine-every-level Leiden pipeline, per-community conductance, core
+  * numbers, sampled harmonic centrality) plus the trend/survival
+  * inference pair (Mann–Kendall, log-rank) and the AMS F₂ join-size
+  * sketch. Same contract as the other parts: every query carries a
+  * co-located DuckDB oracle; [[OpsQueries]] merges the parts. */
+private[queries] object OpsQueriesP7 {
+
+  /** The %9 co-purchase graph shared by the graph-quality queries —
+    * the q370–q372 construction verbatim: canonical simple edges over
+    * parts co-occurring in a slice order. */
+  private def copurchase9(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .filter(col("l_orderkey") % 9 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val e = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+    e.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q373_leiden_three_level" -> ((s, d) => {
+      // the full refine-EVERY-level Leiden pipeline (round-13 PLANS
+      // "next notch" after q372): level 1 → connectivity refine →
+      // contract the REFINED labels → weighted level 2 → refine AGAIN
+      // on the CONTRACTED graph (equivalent to refining the mapped
+      // assignment on the original graph — every super-node is
+      // internally connected by construction — but runs on the small
+      // graph) → contract (summed weights, m invariant) → weighted
+      // level 3. Five-stage certificate on the original graph, all
+      // five modularity evaluations in one batched pass.
+      val simple = copurchase9(s, d)
+        .localCheckpoint(eager = true) // read 7x: l1, refine, contract, m, deg, inn x2
+      val g = graft.ops.Graph
+      val l1 = g.louvainOneLevel(simple, col("a"), col("b"), rounds = 3)
+        .localCheckpoint(eager = true) // read twice: refine + stage 1
+      val ref1 = g.refineConnectivity(simple, col("a"), col("b"), l1,
+          col("id"), col("community"))
+        .localCheckpoint(eager = true) // read 5x: contract, stage 2, maps x3
+      val ce = g.louvainContract(simple, col("a"), col("b"), ref1,
+          col("id"), col("community"))
+        .localCheckpoint(eager = true) // read 3x: l2, refine2, contract2
+      val l2 = g.louvainOneLevelWeighted(ce, col("a"), col("b"),
+          col("w"), rounds = 3)
+        .localCheckpoint(eager = true) // read twice: refine2 + stage 3
+      val ref2 = g.refineConnectivity(ce, col("a"), col("b"), l2,
+          col("id"), col("community"))
+        .localCheckpoint(eager = true) // read 3x: contract2, stage 4, map
+      val ce2 = g.louvainContractWeighted(ce, col("a"), col("b"),
+        col("w"), ref2, col("id"), col("community"))
+      val l3 = g.louvainOneLevelWeighted(ce2, col("a"), col("b"),
+        col("w"), rounds = 3)
+      val r1m = ref1.select(col("id"), col("community").as("sn"))
+      val full2 = r1m
+        .join(l2.select(col("id").as("sn"), col("community").as("cm")),
+          Seq("sn"))
+        .select(col("id"), col("cm"))
+      val fullRef2 = r1m
+        .join(ref2.select(col("id").as("sn"), col("community").as("c2")),
+          Seq("sn"))
+        .select(col("id"), col("c2"))
+        .localCheckpoint(eager = true) // read twice: stage 4 + stage 5 map
+      val full3 = fullRef2
+        .join(l3.select(col("id").as("c2"), col("community").as("cm")),
+          Seq("c2"))
+        .select(col("id"), col("cm"))
+      OpsQueriesP6.refineCertificate(simple,
+        1L -> l1.select(col("id"), col("community").as("cm")),
+        2L -> ref1.select(col("id"), col("community").as("cm")),
+        3L -> full2,
+        4L -> fullRef2.select(col("id"), col("c2").as("cm")),
+        5L -> full3)
+    }),
+    "q374_conductance" -> ((s, d) => {
+      // per-community conductance of the level-1 Louvain partition —
+      // the cut-quality audit modularity's global sum can hide: a
+      // community with phi ~ 1 is noise even inside a high-Q
+      // partition. cut = vol - 2*inn falls out of the same two
+      // grouped passes; |C| output rows, never per-node
+      val simple = copurchase9(s, d)
+        .localCheckpoint(eager = true) // read 5x: louvain prep + conductance
+      val l1 = graft.ops.Graph.louvainOneLevel(simple, col("a"),
+        col("b"), rounds = 3)
+      graft.ops.Graph.communityConductance(simple, col("a"), col("b"),
+          l1, col("id"), col("community"))
+        .orderBy("community")
+    }),
+    "q375_core_number" -> ((s, d) => {
+      // the FULL core decomposition — one number per node orders the
+      // whole density spectrum (q307's fixed-k membership answered
+      // one k); h-index iteration, estimates only decrease, fixpoint
+      // = coreness. 8 rounds: converged at this scale (spec pins the
+      // semantics against a brute-force peel; the oracle unrolls the
+      // identical iteration so the hash agrees regardless)
+      val simple = copurchase9(s, d)
+      graft.ops.Graph.coreNumbers(simple, col("a"), col("b"),
+          rounds = 8)
+        .orderBy("id")
+    }),
+    "q376_mann_kendall" -> ((s, d) => {
+      // per-cohort Mann-Kendall trend test over the DAILY event-count
+      // series (30 points/key by construction -- the bounded-grain
+      // contract): S from pairwise signs, tie-corrected variance
+      // (integer counts tie often -- the correction does real work),
+      // continuity-corrected z. The significance half of q356's
+      // Theil-Sen slope
+      val daily = ev(s, d).groupBy(
+          (col("user_id") % 20).as("k"),
+          datediff(to_date(col("ts")),
+            to_date(lit("1970-01-01"))).as("o"))
+        .agg(count(lit(1)).cast("double").as("v"))
+      graft.ops.Experiment.mannKendall(daily, col("k"), col("o"),
+          col("v"))
+        .orderBy("key")
+    }),
+    "q377_logrank" -> ((s, d) => {
+      // two-group log-rank test over the q346 time-to-purchase
+      // subjects, split by user parity: do the two cohorts' survival
+      // curves differ -- the inferential sibling of the KM/NA curves
+      val e = ev(s, d)
+      val first = e.groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("d0"))
+      val conv = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("dp"))
+      val subjects = first.join(conv, Seq("user_id"), "left")
+        .select(
+          when(col("dp").isNotNull && datediff(col("dp"), col("d0")) <= 2,
+            datediff(col("dp"), col("d0"))).otherwise(2).as("dur"),
+          (col("dp").isNotNull && datediff(col("dp"), col("d0")) <= 2)
+            .as("obs"),
+          (col("user_id") % 2 === 1).as("g"))
+      graft.ops.Experiment.logRankTest(subjects, col("dur"),
+        col("obs"), col("g"))
+    }),
+    "q378_ams_f2" -> ((s, d) => {
+      // AMS F2 sketch of the lineitem supplier key next to the exact
+      // second moment -- the one-pass self-join-size estimate a
+      // planner reads before deciding broadcast/salt/abort; md5 signs
+      // make the estimate itself oracle-replayable, and the exact
+      // column shows the k=8 estimator's real error on this key
+      val li = t(s, d, "lineitem")
+      val sk = graft.ops.Scale.amsF2(li, col("l_suppkey"), k = 8)
+      val exact = li.filter(col("l_suppkey").isNotNull)
+        .groupBy("l_suppkey").agg(count(lit(1)).as("f"))
+        .agg(sum(col("f") * col("f")).as("f2_exact"))
+      sk.crossJoin(exact)
+        .select(col("n_rows"), col("k"),
+          col("f2_sum").cast("long").as("f2_sum"), col("f2_exact"))
+    }),
+    "q380_link_prediction" -> ((s, d) => {
+      // neighborhood-overlap link prediction over the co-purchase
+      // graph: non-adjacent distance-2 pairs scored by common
+      // neighbors + exact integer-basis-point Jaccard -- the
+      // hard-negative / missing-edge candidate set (pairs the graph
+      // says SHOULD be close but aren't linked)
+      graft.ops.Graph.linkPredictionScores(copurchase9(s, d),
+          col("a"), col("b"), minCommon = 2)
+        .orderBy("a", "b")
+    }),
+    "q381_stl_decompose" -> ((s, d) => {
+      // additive seasonal decomposition of the global daily event
+      // count (period 7): centered moving-average trend, per-weekday
+      // seasonal means of the EXACT integer detrended values, residual
+      // -- the de-weekday step before alerting on a daily metric
+      val daily = ev(s, d).groupBy(
+          datediff(to_date(col("ts")),
+            to_date(lit("1970-01-01"))).as("t"))
+        .agg(count(lit(1)).as("v"))
+      graft.ops.Temporal.seasonalDecompose(daily, col("t"), col("v"),
+        period = 7)
+    }),
+    "q382_seasonal_mk" -> ((s, d) => {
+      // seasonal Mann-Kendall per cohort: the q376 trend test with
+      // within-weekday pairs only, S and the integer variance
+      // numerator summed across the 7 phases -- the weekday-cycle-
+      // robust version of "is activity drifting"
+      val daily = ev(s, d).groupBy(
+          (col("user_id") % 10).as("k"),
+          datediff(to_date(col("ts")),
+            to_date(lit("1970-01-01"))).as("t"))
+        .agg(count(lit(1)).cast("double").as("v"))
+      graft.ops.Experiment.seasonalMannKendall(daily, col("k"),
+          col("t"), pmod(col("t"), lit(7L)), col("v"))
+        .orderBy("key")
+    }),
+    "q379_harmonic" -> ((s, d) => {
+      // pivot-sampled harmonic centrality over the %5 co-purchase
+      // graph from the %997 seed parts (the q345 pivot stance) -- ONE
+      // tagged multi-source BFS, contributions in exact integer
+      // micro-units (floor(1e6/d)), no per-pivot loop
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      val seeds = t(s, d, "part").filter(col("p_partkey") % 997 === 0)
+      graft.ops.Graph.harmonicCentrality(e, col("a"), col("b"),
+          seeds, col("p_partkey"), maxDepth = 4)
+        .orderBy("id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q373_leiden_three_level" ->
+      leidenThreeLevelOracle(mod = 9, r = 3, ccRounds = 10),
+    "q374_conductance" -> conductanceOracle(mod = 9, r = 3),
+    "q375_core_number" -> coreNumbersOracle(mod = 9, rounds = 8),
+    "q376_mann_kendall" ->
+      """WITH daily AS (SELECT user_id % 20 AS k,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                 AS o,
+               CAST(count(*) AS DOUBLE) AS v
+             FROM events GROUP BY 1, 2),
+         pairs AS (SELECT x.k,
+               CASE WHEN y.v > x.v THEN 1
+                    WHEN y.v < x.v THEN -1 ELSE 0 END AS sgn
+             FROM daily x JOIN daily y ON x.k = y.k AND x.o < y.o),
+         ps AS (SELECT k, CAST(sum(sgn) AS BIGINT) AS s FROM pairs
+                GROUP BY k),
+         tg AS (SELECT k,
+               CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tcorr,
+               CAST(sum(t) AS BIGINT) AS n
+             FROM (SELECT k, v, count(*) AS t FROM daily GROUP BY k, v)
+             GROUP BY k),
+         st AS (SELECT ps.k, tg.n, ps.s,
+               CAST(tg.n * (tg.n - 1) * (2 * tg.n + 5) - tg.tcorr
+                 AS BIGINT) / 18.0 AS var_s
+             FROM ps JOIN tg ON tg.k = ps.k),
+         zt AS (SELECT k, n, s, var_s,
+               CASE WHEN s > 0 AND var_s > 0
+                      THEN (s - 1) / sqrt(var_s)
+                    WHEN s < 0 AND var_s > 0
+                      THEN (s + 1) / sqrt(var_s)
+                    ELSE 0.0 END AS z
+             FROM st)
+         SELECT k AS key, n, s, round(var_s, 4) AS var_s,
+           round(z, 4) AS z, abs(z) > 1.96 AS trending
+         FROM zt ORDER BY key""",
+    "q377_logrank" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0
+               FROM events GROUP BY user_id),
+         p AS (SELECT user_id, min(CAST(ts AS DATE)) AS dp
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY user_id),
+         subj AS (SELECT
+                    CASE WHEN dp IS NOT NULL
+                           AND date_diff('day', d0, dp) <= 2
+                      THEN date_diff('day', d0, dp) ELSE 2 END AS t,
+                    (dp IS NOT NULL AND date_diff('day', d0, dp) <= 2)
+                      AS e,
+                    user_id % 2 = 1 AS g
+                  FROM f LEFT JOIN p USING (user_id)),
+         pt AS (SELECT t,
+                  CAST(count(*) FILTER (WHERE e AND NOT g) AS BIGINT)
+                    AS d1,
+                  CAST(count(*) FILTER (WHERE e) AS BIGINT) AS d,
+                  CAST(count(*) FILTER (WHERE NOT g) AS BIGINT) AS a1,
+                  count(*) AS a
+                FROM subj GROUP BY t),
+         k AS (SELECT t, d1, d,
+                 CAST(sum(a1) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n1,
+                 CAST(sum(a) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n
+               FROM pt),
+         agg AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+                   sum(d * n1 / CAST(n AS DOUBLE)) AS e1,
+                   sum(CASE WHEN n > 1 THEN
+                         d * (n1 / CAST(n AS DOUBLE)) *
+                           (1 - n1 / CAST(n AS DOUBLE)) *
+                           (n - d) / CAST(n - 1 AS DOUBLE)
+                       ELSE 0.0 END) AS v
+                 FROM k WHERE d > 0),
+         tot AS (SELECT
+                   CAST(count(*) FILTER (WHERE NOT g) AS BIGINT) AS n1,
+                   CAST(count(*) FILTER (WHERE g) AS BIGINT) AS n2
+                 FROM subj)
+         SELECT tot.n1, tot.n2, agg.o1, round(agg.e1, 4) AS e1,
+           round(agg.v, 4) AS var1,
+           round(CASE WHEN agg.v > 0
+             THEN (agg.o1 - agg.e1) * (agg.o1 - agg.e1) / agg.v
+             ELSE 0.0 END, 4) AS chi2,
+           CASE WHEN agg.v > 0
+             THEN (agg.o1 - agg.e1) * (agg.o1 - agg.e1) / agg.v
+             ELSE 0.0 END > 3.841 AS significant
+         FROM tot, agg""",
+    "q378_ams_f2" ->
+      """WITH s AS (SELECT CAST(l_suppkey AS VARCHAR) AS key
+               FROM lineitem WHERE l_suppkey IS NOT NULL),
+         js AS (SELECT r.j FROM range(1, 9) r(j)),
+         sg AS (SELECT js.j,
+               CASE WHEN CAST('0x' ||
+                   substr(md5(js.j || ':' || s.key), 1, 15) AS BIGINT)
+                   % 2 = 0
+                 THEN 1 ELSE -1 END AS sgn
+             FROM s CROSS JOIN js),
+         zz AS (SELECT j, CAST(sum(sgn) AS BIGINT) AS z,
+                  count(*) AS n
+                FROM sg GROUP BY j),
+         ex AS (SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact FROM (
+                  SELECT count(*) AS f FROM lineitem
+                  WHERE l_suppkey IS NOT NULL GROUP BY l_suppkey))
+         SELECT CAST((SELECT sum(n) FROM zz) / 8 AS BIGINT) AS n_rows,
+           CAST(8 AS BIGINT) AS k,
+           CAST((SELECT sum(z * z) FROM zz) AS BIGINT) AS f2_sum,
+           ex.f2_exact
+         FROM ex""",
+    "q379_harmonic" ->
+      harmonicOracle(mod = 5, seedMod = 997, depth = 4),
+    "q380_link_prediction" ->
+      """WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+               FROM lineitem WHERE l_orderkey % 9 = 0),
+         e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+                FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+         adj AS (SELECT a AS y, b AS x FROM e0
+                 UNION ALL SELECT b, a FROM e0),
+         cnp AS (SELECT p.x AS a, q.x AS b, count(*) AS cn
+                 FROM adj p JOIN adj q ON q.y = p.y AND p.x < q.x
+                 GROUP BY 1, 2),
+         cand AS (SELECT * FROM cnp c WHERE cn >= 2 AND NOT EXISTS (
+                    SELECT 1 FROM e0
+                    WHERE e0.a = c.a AND e0.b = c.b)),
+         deg AS (SELECT id, count(*) AS deg FROM (
+                   SELECT a AS id FROM e0
+                   UNION ALL SELECT b FROM e0) GROUP BY id)
+         SELECT c.a, c.b, c.cn,
+           CAST(floor(c.cn * 10000.0 / (da.deg + db.deg - c.cn))
+             AS BIGINT) AS jaccard_bp
+         FROM cand c JOIN deg da ON da.id = c.a
+           JOIN deg db ON db.id = c.b
+         ORDER BY c.a, c.b""",
+    "q381_stl_decompose" ->
+      """WITH daily AS (SELECT
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                 AS t,
+               count(*) AS v
+             FROM events GROUP BY 1),
+         w AS (SELECT t, v,
+                 CAST(sum(v) OVER win AS BIGINT) AS s7,
+                 count(*) OVER win AS c7
+               FROM daily
+               WINDOW win AS (ORDER BY t
+                 RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         d2 AS (SELECT t, v, s7, c7,
+                  CASE WHEN c7 = 7 THEN 7 * v - s7 END AS detr,
+                  t % 7 AS phase
+                FROM w),
+         se AS (SELECT phase,
+                  CAST(sum(detr) AS BIGINT) / (7.0 * count(*)) AS seas
+                FROM d2 WHERE detr IS NOT NULL GROUP BY phase)
+         SELECT d2.t, d2.v,
+           round(CASE WHEN c7 = 7 THEN CAST(s7 AS DOUBLE) / 7 END, 4)
+             AS trend,
+           round(se.seas, 4) AS seasonal,
+           round(CAST(detr AS DOUBLE) / 7 - se.seas, 4) AS resid
+         FROM d2 LEFT JOIN se USING (phase) ORDER BY t""",
+    "q382_seasonal_mk" ->
+      """WITH daily AS (SELECT user_id % 10 AS k,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                 AS t,
+               CAST(count(*) AS DOUBLE) AS v
+             FROM events GROUP BY 1, 2),
+         d2 AS (SELECT k, t, t % 7 AS ph, v FROM daily),
+         ps AS (SELECT x.k, CAST(sum(
+               CASE WHEN y.v > x.v THEN 1
+                    WHEN y.v < x.v THEN -1 ELSE 0 END) AS BIGINT) AS s
+             FROM d2 x JOIN d2 y
+               ON x.k = y.k AND x.ph = y.ph AND x.t < y.t
+             GROUP BY x.k),
+         pp AS (SELECT k, ph,
+               CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tcorr,
+               CAST(sum(t) AS BIGINT) AS n
+             FROM (SELECT k, ph, v, count(*) AS t FROM d2
+                   GROUP BY k, ph, v)
+             GROUP BY k, ph),
+         vk AS (SELECT k,
+               CAST(sum(n * (n - 1) * (2 * n + 5) - tcorr) AS BIGINT)
+                 AS var_num,
+               CAST(sum(n) AS BIGINT) AS n
+             FROM pp GROUP BY k),
+         zt AS (SELECT ps.k, vk.n, ps.s,
+               vk.var_num / 18.0 AS var_s,
+               CASE WHEN ps.s > 0 AND vk.var_num > 0
+                      THEN (ps.s - 1) / sqrt(vk.var_num / 18.0)
+                    WHEN ps.s < 0 AND vk.var_num > 0
+                      THEN (ps.s + 1) / sqrt(vk.var_num / 18.0)
+                    ELSE 0.0 END AS z
+             FROM ps JOIN vk ON vk.k = ps.k)
+         SELECT k AS key, n, s, round(var_s, 4) AS var_s,
+           round(z, 4) AS z, abs(z) > 1.96 AS trending
+         FROM zt ORDER BY key"""
+  )
+}

@@ -726,6 +726,176 @@ private[queries] object QShared {
            q3s.q, q3s.q >= q2s.q FROM q3s, q2s)
        ORDER BY stage"""
 
+  /** The q373 oracle: the THREE-level refine-every-level Leiden
+    * pipeline — [[leidenTwoLevelOracle]] extended one contraction
+    * down: level 1 → refine (connectivity CC on the original graph)
+    * → contract ON the refined labels → weighted level 2 → refine
+    * AGAIN (CC on the CONTRACTED graph — equivalent to refining the
+    * mapped assignment on the original graph because every super-node
+    * is internally connected by construction of the level-1
+    * refinement, and much smaller) → contract (SUMMED weights, m
+    * invariant) → weighted level 3. Five-stage certificate on the
+    * original graph: (1) level 1, (2) refined, (3) level 2, (4)
+    * refined level 2, (5) level 3 — each stage's community count,
+    * modularity numerator, and the not-worse flag. */
+  def leidenThreeLevelOracle(mod: Int, r: Int, ccRounds: Int): String =
+    s"""WITH ${louvainLevel1Ctes(r, mod)},
+       rasg AS (SELECT id, c AS cm FROM c$r),
+       ${refineCcCtes(ccRounds)},
+       ce AS (SELECT least(x.cm, y.cm) AS a, greatest(x.cm, y.cm) AS b,
+                count(*) AS w
+              FROM e0 JOIN ref x ON x.id = e0.a
+                JOIN ref y ON y.id = e0.b
+              GROUP BY 1, 2),
+       dadj AS (SELECT a AS s, b AS t, w FROM ce WHERE a <> b
+                UNION ALL SELECT b, a, w FROM ce WHERE a <> b),
+       dm AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM ce),
+       ddeg AS (SELECT id, CAST(sum(deg) AS BIGINT) AS deg FROM (
+                  SELECT s AS id, w AS deg FROM dadj
+                  UNION ALL SELECT a, 2 * w FROM ce WHERE a = b)
+                GROUP BY id),
+       dc0 AS (SELECT id, id AS c FROM ddeg),
+       ${louvainRoundCtes("d", "dadj", "ddeg", "dm", r,
+         weighted = true)},
+       r2asg AS (SELECT id, c AS cm FROM dc$r),
+       intra2 AS MATERIALIZED (SELECT ce.a, ce.b FROM ce
+            JOIN r2asg x ON x.id = ce.a JOIN r2asg y ON y.id = ce.b
+            WHERE x.cm = y.cm AND ce.a <> ce.b),
+       i2adj AS (SELECT a AS s, b AS t FROM intra2
+                 UNION ALL SELECT b, a FROM intra2),
+       r2lb0 AS (SELECT id, id AS lbl
+                 FROM (SELECT DISTINCT s AS id FROM i2adj)),
+       ${ccRoundCtes("r2", "i2adj", ccRounds)},
+       ref2 AS (SELECT a.id, coalesce(l.lbl, a.id) AS cm
+                FROM r2asg a LEFT JOIN r2lb$ccRounds l ON l.id = a.id),
+       ce2 AS (SELECT least(x.cm, y.cm) AS a, greatest(x.cm, y.cm) AS b,
+                 CAST(sum(ce.w) AS BIGINT) AS w
+               FROM ce JOIN ref2 x ON x.id = ce.a
+                 JOIN ref2 y ON y.id = ce.b
+               GROUP BY 1, 2),
+       tdadj AS (SELECT a AS s, b AS t, w FROM ce2 WHERE a <> b
+                 UNION ALL SELECT b, a, w FROM ce2 WHERE a <> b),
+       tdm AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM ce2),
+       tddeg AS (SELECT id, CAST(sum(deg) AS BIGINT) AS deg FROM (
+                   SELECT s AS id, w AS deg FROM tdadj
+                   UNION ALL SELECT a, 2 * w FROM ce2 WHERE a = b)
+                 GROUP BY id),
+       tc0 AS (SELECT id, id AS c FROM tddeg),
+       ${louvainRoundCtes("t", "tdadj", "tddeg", "tdm", r,
+         weighted = true)},
+       a1 AS (SELECT id, cm FROM rasg),
+       a2 AS (SELECT id, cm FROM ref),
+       a3 AS (SELECT x.id, y.c AS cm
+              FROM ref x JOIN dc$r y ON y.id = x.cm),
+       a4 AS (SELECT x.id, y.cm AS cm
+              FROM ref x JOIN ref2 y ON y.id = x.cm),
+       a5 AS (SELECT x.id, z.c AS cm
+              FROM ref x JOIN ref2 y ON y.id = x.cm
+                JOIN tc$r z ON z.id = y.cm),
+       ${qEvalCtes("q1", "a1", "id", "cm")},
+       ${qEvalCtes("q2", "a2", "id", "cm")},
+       ${qEvalCtes("q3", "a3", "id", "cm")},
+       ${qEvalCtes("q4", "a4", "id", "cm")},
+       ${qEvalCtes("q5", "a5", "id", "cm")}
+       SELECT CAST(lvl AS BIGINT) AS stage, n_comm, q_num, not_worse
+       FROM (
+         SELECT 1 AS lvl, (SELECT count(DISTINCT cm) FROM a1)
+             AS n_comm, q1s.q AS q_num, true AS not_worse FROM q1s
+         UNION ALL SELECT 2, (SELECT count(DISTINCT cm) FROM a2),
+           q2s.q, q2s.q >= q1s.q FROM q2s, q1s
+         UNION ALL SELECT 3, (SELECT count(DISTINCT cm) FROM a3),
+           q3s.q, q3s.q >= q2s.q FROM q3s, q2s
+         UNION ALL SELECT 4, (SELECT count(DISTINCT cm) FROM a4),
+           q4s.q, q4s.q >= q3s.q FROM q4s, q3s
+         UNION ALL SELECT 5, (SELECT count(DISTINCT cm) FROM a5),
+           q5s.q, q5s.q >= q4s.q FROM q5s, q4s)
+       ORDER BY stage"""
+
+  /** The q374 oracle: per-community conductance of the level-1
+    * Louvain assignment — grouped degree mass + intra counts over the
+    * same unrolled chain, `cut = vol − 2·inn`,
+    * `φ = cut / min(vol, 2m − vol)` (0.0 on a zero denominator). */
+  def conductanceOracle(mod: Int, r: Int): String =
+    s"""WITH ${louvainLevel1Ctes(r, mod)},
+       asg AS (SELECT id, c FROM c$r),
+       lab AS (SELECT x.c AS ca, y.c AS cb
+               FROM e0 JOIN asg x ON x.id = e0.a
+                 JOIN asg y ON y.id = e0.b),
+       inn AS (SELECT ca AS community, count(*) AS inn FROM lab
+               WHERE ca = cb GROUP BY 1),
+       vol AS (SELECT community, count(*) AS vol FROM (
+                 SELECT ca AS community FROM lab
+                 UNION ALL SELECT cb FROM lab) GROUP BY 1)
+       SELECT v.community, v.vol,
+         coalesce(i.inn, 0) AS inn,
+         v.vol - 2 * coalesce(i.inn, 0) AS cut,
+         round(CASE WHEN least(v.vol, 2 * m.m - v.vol) > 0
+           THEN (v.vol - 2 * coalesce(i.inn, 0)) /
+             CAST(least(v.vol, 2 * m.m - v.vol) AS DOUBLE)
+           ELSE 0.0 END, 4) AS conductance
+       FROM vol v LEFT JOIN inn i USING (community) CROSS JOIN m
+       ORDER BY v.community"""
+
+  /** The q375 oracle: `rounds` unrolled h-index iterations of the
+    * distributed core-number decomposition (Montresor et al. 2013) —
+    * per round each node's estimate becomes the h-index of its
+    * neighbors' estimates (`max(least(est, rn))` over the
+    * desc-sorted neighbor list — deterministic under ties since the
+    * list is sorted by the value itself). Estimates only decrease and
+    * the fixpoint is the core number; a converged round is
+    * idempotent, so fixed `rounds` ≥ rounds-to-fixpoint replays the
+    * op bit-for-bit (the kCore oracle stance). */
+  def coreNumbersOracle(mod: Int, rounds: Int): String = {
+    val steps = (0 until rounds).map { i =>
+      s"""nb$i AS MATERIALIZED (SELECT a.s, e.est FROM adj a
+           JOIN est$i e ON e.id = a.t),
+         rn$i AS (SELECT s, est, row_number() OVER (PARTITION BY s
+             ORDER BY est DESC) AS rn FROM nb$i),
+         est${i + 1} AS MATERIALIZED (SELECT s AS id,
+             max(least(est, rn)) AS est FROM rn$i GROUP BY s)"""
+    }.mkString(",\n       ")
+    s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+             WHERE l_orderkey % $mod = 0),
+       e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+              FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+       adj AS (SELECT a AS s, b AS t FROM e0
+               UNION ALL SELECT b, a FROM e0),
+       est0 AS (SELECT s AS id, count(*) AS est FROM adj GROUP BY s),
+       $steps
+       SELECT id, est AS core FROM est$rounds ORDER BY id"""
+  }
+
+  /** The q379 oracle: `depth` unrolled rounds of the TAGGED
+    * multi-source BFS (min-union per (src, id) — idempotent past
+    * convergence), then the harmonic sum in integer micro-units
+    * (`floor(10⁶/d)` per reached source — exact Long arithmetic, no
+    * order-dependent double accumulation). */
+  def harmonicOracle(mod: Int, seedMod: Int, depth: Int): String = {
+    val steps = (0 until depth).map { i =>
+      s"""nx$i AS (SELECT d.src, a.t AS id, d.dist + 1 AS dist
+           FROM dist$i d JOIN adj a ON a.s = d.id),
+         dist${i + 1} AS MATERIALIZED (SELECT src, id,
+             min(dist) AS dist FROM (
+             SELECT * FROM dist$i UNION ALL SELECT * FROM nx$i)
+           GROUP BY src, id)"""
+    }.mkString(",\n       ")
+    s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+             WHERE l_orderkey % $mod = 0),
+       e0 AS (SELECT x.p AS a, y.p AS b
+              FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+       adj AS (SELECT DISTINCT s, t FROM (
+                 SELECT a AS s, b AS t FROM e0
+                 UNION ALL SELECT b, a FROM e0)),
+       dist0 AS (SELECT DISTINCT p_partkey AS src, p_partkey AS id,
+                   CAST(0 AS BIGINT) AS dist
+                 FROM part WHERE p_partkey % $seedMod = 0),
+       $steps
+       SELECT id, CAST(count(*) AS BIGINT) AS n_reached,
+         CAST(sum(CAST(floor(1000000.0 / dist) AS BIGINT)) AS BIGINT)
+           AS harmonic_micro
+       FROM dist$depth WHERE dist > 0 GROUP BY id ORDER BY id"""
+  }
+
   /** The q370 oracle: Leiden-style connectivity refinement of the
     * level-1 Louvain assignment — each community split into the
     * connected components of its intra-community subgraph, with the

@@ -339,6 +339,62 @@ object StreamingOps {
     }
   }
 
+  final case class AmsState(n: Long, z: Seq[Long])
+  final case class AmsRow(grp: String, n_rows: Long, k: Long,
+      f2_sum: Long)
+
+  /** Streaming twin of [[graft.ops.Scale.amsF2]] — the live self-join
+    * size readout. The AMS sketch is mergeable BY CONSTRUCTION (sign
+    * sums commute and add), so the per-key state is exactly the k
+    * running sign sums plus a row count; each micro-batch folds its
+    * rows in and emits the key's current `(n_rows, k, f2_sum)`.
+    * Parity with the batch op over the union of batches is
+    * UNCONDITIONAL — md5 signs are per-value, integer sums are
+    * order-independent — no arrival-order caveat (the
+    * [[streamingKmvDistinct]] class of twin). One deliberate
+    * divergence from the batch op's decimal(38,0): `f2_sum` here is a
+    * Long with LOUD overflow (`Math.multiplyExact`/`addExact` throw),
+    * which caps the twin at |Z| ≈ 3·10⁹ rows per key — a live per-key
+    * feed past that belongs in the batch op's decimal path, and a
+    * silent wrap would be worse than a crash. Input columns:
+    * `grp STRING, v STRING`. */
+  def streamingAmsF2(values: DataFrame,
+      k: Int): org.apache.spark.sql.Dataset[AmsRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(k >= 1 && k <= 64, s"streamingAmsF2: k in [1, 64], got $k")
+    val spark = values.sparkSession
+    import spark.implicits._
+    val typed = values
+      .select(col("grp").cast("string"), col("v").cast("string"))
+      .as[(String, String)]
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (grp: String, rows: Iterator[(String, String)],
+       state: GroupState[AmsState]) =>
+        val st = state.getOption.getOrElse(AmsState(0L, Seq.fill(k)(0L)))
+        var n = st.n
+        val z = st.z.toArray
+        rows.foreach { case (_, v) =>
+          if (v != null) {
+            n += 1
+            var j = 1
+            while (j <= k) {
+              z(j - 1) +=
+                (if (graft.expr.PortableHash.hex15(s"$j:$v") % 2 == 0) 1L
+                 else -1L)
+              j += 1
+            }
+          }
+        }
+        state.update(AmsState(n, z.toSeq))
+        var f2 = 0L
+        z.foreach { zi =>
+          f2 = Math.addExact(f2, Math.multiplyExact(zi, zi))
+        }
+        Iterator.single(AmsRow(grp, n, k.toLong, f2))
+    }
+  }
+
   final case class HwState(l: Double, b: Double, s: Seq[Double], i: Int)
   final case class HwRow(k: Long, n: Long, level: Double, trend: Double,
       forecast: Double)

@@ -241,6 +241,24 @@ object ScaleRehearsal {
           .localCheckpoint(true)
         g.refineConnectivity(simple, col("a"), col("b"), l1,
           col("id"), col("community"))
+      },
+      // round-13 third wave: h-index core decomposition — per round
+      // one |V|-frame join against the static adjacency + a per-NODE
+      // window (fan-in = degree); replica isomorphism keeps the
+      // h-index fixpoint flat while adjacency volume scales ×N
+      "q375_core_number" -> (e =>
+        graft.ops.Graph.coreNumbers(e, col("a"), col("b"),
+          rounds = 8)),
+      // round-13 third wave: tagged multi-source BFS (min-union state
+      // (src, id, dist)) — the seed count scales with the graph here
+      // (%997 of node ids), so the measured exponent covers state
+      // growth too, the honest worst case for the pivot-sample stance
+      "q379_harmonic" -> { e =>
+        val seeds = e.select(col("a").as("id"))
+          .unionAll(e.select(col("b").as("id")))
+          .distinct().filter(col("id") % 997 === 0)
+        graft.ops.Graph.harmonicCentrality(e, col("a"), col("b"),
+          seeds, col("id"), maxDepth = 4)
       })
 
     val eventFamilies: Seq[(String, DataFrame => DataFrame)] = Seq(

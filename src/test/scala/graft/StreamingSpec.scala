@@ -1521,4 +1521,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.filter(_._4 < 3).forall(r => r._5.isNaN && r._6 == 0L))
     q.stop()
   }
+
+  test("streamingAmsF2: sign-sum state merges across batches; final " +
+      "emission equals the batch sketch on the union (unconditional " +
+      "parity — no arrival-order caveat)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b1 = (0 until 150).map(i => ("g", s"key${i % 5}"))
+    val b2 = (0 until 130).map(i => ("g", s"key${i % 9}"))
+    val input = MemoryStream[(String, String)]
+    val q = StreamingOps.streamingAmsF2(
+        input.toDF().toDF("grp", "v"), k = 4)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ams").start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2.reverse: _*); q.processAllAvailable() // any order
+    val emissions = spark.sql("SELECT n_rows, k, f2_sum FROM ams")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(emissions.length == 2 && emissions.last._1 == 280L &&
+      emissions.last._2 == 4L)
+    val batch = graft.ops.Scale.amsF2((b1 ++ b2).map(_._2).toDF("v"),
+      col("v"), k = 4).head()
+    assert(emissions.last._3 ==
+      batch.getDecimal(batch.fieldIndex("f2_sum")).longValueExact(),
+      s"streaming ${emissions.last} vs batch $batch")
+    q.stop()
+  }
 }

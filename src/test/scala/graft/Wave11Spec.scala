@@ -1,0 +1,245 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 third wave: semantic pins for the new graph-quality +
+  * inference + sketch ops (q373–q379). The oracle replays each op's
+  * iteration bit-for-bit, so these specs pin what the oracle cannot:
+  * convergence to the TRUE answer (core numbers vs a brute-force
+  * peel), hand-computed closed forms (conductance, harmonic, MK,
+  * log-rank), and the sketch's order-independence. */
+class Wave11Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("coreNumbers: h-index iteration converges to the true core " +
+      "numbers of a K4 with a tail (brute-force-peel ground truth)") {
+    import spark.implicits._
+    // K4 on 1..4 (coreness 3) + path 4-5-6-7 (coreness 1)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L)).toDF("a", "b")
+    val got = graft.ops.Graph.coreNumbers(edges, col("a"), col("b"),
+        rounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 1L, 6L -> 1L, 7L -> 1L)
+    assert(got == expected, s"got $got")
+  }
+
+  test("coreNumbers: two triangles joined by a bridge — bridge " +
+      "endpoints keep coreness 2, and extra rounds are idempotent") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 4L)).toDF("a", "b")
+    def run(r: Int) = graft.ops.Graph.coreNumbers(edges, col("a"),
+        col("b"), rounds = r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val g8 = run(8)
+    assert(g8 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L,
+      5L -> 2L, 6L -> 2L), s"got $g8")
+    assert(run(12) == g8, "converged rounds must be idempotent")
+  }
+
+  test("communityConductance: hand-computed phi on two triangles " +
+      "joined by one cut edge") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 4L)).toDF("a", "b")
+    val asg = Seq((1L, 100L), (2L, 100L), (3L, 100L),
+      (4L, 200L), (5L, 200L), (6L, 200L)).toDF("id", "cm")
+    val got = graft.ops.Graph.communityConductance(edges, col("a"),
+        col("b"), asg, col("id"), col("cm"))
+      .orderBy("community").collect()
+    // m = 7; each side: vol = 7, inn = 3, cut = 1,
+    // phi = 1 / min(7, 14-7) = 0.1429
+    assert(got.length == 2)
+    got.foreach { r =>
+      assert(r.getLong(1) == 7L && r.getLong(2) == 3L &&
+        r.getLong(3) == 1L && r.getDouble(4) == 0.1429, r.toString)
+    }
+  }
+
+  test("communityConductance: unassigned nodes become singletons; " +
+      "negative ids fail fast") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val asg = Seq((1L, 10L), (2L, 10L)).toDF("id", "cm")
+    val got = graft.ops.Graph.communityConductance(edges, col("a"),
+        col("b"), asg, col("id"), col("cm"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // m = 2. C10: vol 3 (deg1=1, deg2=2), inn 1, cut 1,
+    // phi = 1/min(3,1) = 1.0; singleton -4: vol 1, inn 0, cut 1,
+    // phi = 1/min(1,3) = 1.0
+    assert(got(10L) == ((3L, 1L, 1L, 1.0)) &&
+      got(-4L) == ((1L, 0L, 1L, 1.0)), got.toString)
+    val neg = Seq((-1L, 2L)).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Graph.communityConductance(neg, col("a"), col("b"),
+        asg, col("id"), col("cm")).collect()
+    }
+    assert(ex.getMessage.contains("negative node id"), ex.getMessage)
+  }
+
+  test("harmonicCentrality: path graph, two sources, exact " +
+      "micro-unit sums") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val sources = Seq(1L, 5L).toDF("src")
+    val got = graft.ops.Graph.harmonicCentrality(edges, col("a"),
+        col("b"), sources, col("src"), maxDepth = 4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // from 1: d(2)=1 d(3)=2 d(4)=3 d(5)=4; from 5 symmetric
+    assert(got == Map(
+      1L -> ((1L, 250000L)), 2L -> ((2L, 1333333L)),
+      3L -> ((2L, 1000000L)), 4L -> ((2L, 1333333L)),
+      5L -> ((1L, 250000L))), got.toString)
+  }
+
+  test("mannKendall: monotone series (no ties) and tied series match " +
+      "the closed form; duplicate order values fail fast") {
+    import spark.implicits._
+    val df = Seq(
+      ("up", 1L, 1.0), ("up", 2L, 2.0), ("up", 3L, 3.0),
+      ("up", 4L, 4.0), ("up", 5L, 5.0),
+      ("tied", 1L, 1.0), ("tied", 2L, 2.0), ("tied", 3L, 2.0),
+      ("tied", 4L, 3.0)).toDF("k", "o", "v")
+    val got = graft.ops.Experiment.mannKendall(df, col("k"), col("o"),
+        col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getBoolean(5))).toMap
+    // up: n=5, S=10, var = 5*4*15/18 = 16.6667,
+    //     z = 9/sqrt(16.6667) = 2.2045 -> trending
+    assert(got("up") == ((5L, 10L, 16.6667, 2.2045, true)),
+      got("up").toString)
+    // tied: n=4, S=5, tcorr = 2*1*9 = 18,
+    //       var = (156-18)/18 = 7.6667, z = 4/sqrt(7.6667) = 1.4446
+    assert(got("tied") == ((4L, 5L, 7.6667, 1.4446, false)),
+      got("tied").toString)
+    val dup = Seq(("a", 1L, 1.0), ("a", 1L, 2.0)).toDF("k", "o", "v")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Experiment.mannKendall(dup, col("k"), col("o"),
+        col("v")).collect()
+    }
+    assert(ex.getMessage.contains("duplicate order"), ex.getMessage)
+  }
+
+  test("logRankTest: hand-computed two-group example (early vs late " +
+      "events) matches O/E/V and the chi-square call") {
+    import spark.implicits._
+    // A (g=false): events at 1,1,2; B (g=true): events at 3,3,3
+    val subj = Seq((1L, true, false), (1L, true, false),
+      (2L, true, false), (3L, true, true), (3L, true, true),
+      (3L, true, true)).toDF("dur", "obs", "g")
+    val r = graft.ops.Experiment.logRankTest(subj, col("dur"),
+      col("obs"), col("g")).head()
+    // t=1: d=2 n1=3 n=6: E+=1,    V += 2*(1/2)(1/2)(4/5) = 0.4
+    // t=2: d=1 n1=1 n=4: E+=0.25, V += (1/4)(3/4)(3/3)   = 0.1875
+    // t=3: d=3 n1=0 n=3: E+=0,    V += 0
+    // O1=3, E1=1.25, V=0.5875, chi2 = 1.75^2/0.5875 = 5.2128
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L &&
+      r.getLong(2) == 3L && r.getDouble(3) == 1.25 &&
+      r.getDouble(4) == 0.5875 && r.getDouble(5) == 5.2128 &&
+      r.getBoolean(6), r.toString)
+  }
+
+  test("linkPredictionScores: hand-computed candidates on a chorded " +
+      "square with a tail — edges excluded, exact basis points") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L),
+      (4L, 5L)).toDF("a", "b")
+    val got = graft.ops.Graph.linkPredictionScores(edges, col("a"),
+        col("b"), minCommon = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // (2,4): cn {1,3} = 2, deg 2+3 -> 20000/3 = 6666
+    // (1,5)/(3,5): cn {4} = 1, deg 3+1 -> jacc 1/3 -> 3333
+    // (1,3) is an EDGE -> excluded despite cn 2
+    assert(got == Map((2L, 4L) -> ((2L, 6666L)),
+      (1L, 5L) -> ((1L, 3333L)), (3L, 5L) -> ((1L, 3333L))),
+      got.toString)
+  }
+
+  test("seasonalDecompose: exact additive fixture (trend t+1, " +
+      "seasonal (2,-1,-1)) recovers zero residuals; duplicate t " +
+      "fails fast") {
+    import spark.implicits._
+    val v = Seq(3L, 1L, 2L, 6L, 4L, 5L, 9L, 7L, 8L)
+    val df = v.zipWithIndex.map { case (x, t) => (t.toLong, x) }
+      .toDF("t", "v")
+    val got = graft.ops.Temporal.seasonalDecompose(df, col("t"),
+        col("v"), period = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        r.getDouble(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(got.length == 9)
+    // edges: no full window -> trend/resid null, seasonal per phase
+    assert(got(0) == ((0L, 3L, None, 2.0, None)), got(0).toString)
+    assert(got(8) == ((8L, 8L, None, -1.0, None)), got(8).toString)
+    // interior: trend = t+1, seasonal exact, resid exactly 0
+    (1 to 7).foreach { t =>
+      val s = if (t % 3 == 0) 2.0 else -1.0
+      assert(got(t) == ((t.toLong, v(t), Some(t + 1.0), s, Some(0.0))),
+        got(t).toString)
+    }
+    val dup = Seq((1L, 1L), (1L, 2L)).toDF("t", "v")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Temporal.seasonalDecompose(dup, col("t"), col("v"),
+        period = 3).collect()
+    }
+    assert(ex.getMessage.contains("duplicate t"), ex.getMessage)
+  }
+
+  test("seasonalMannKendall: within-phase pairs only, integer " +
+      "variance numerator summed across phases (hand-computed)") {
+    import spark.implicits._
+    // phase 0: values 1,2,3 (S=3, var_num=66);
+    // phase 1: 5,5,4 (S=-2, tie pair -> var_num=48)
+    val df = Seq(("a", 0L, 1.0), ("a", 2L, 2.0), ("a", 4L, 3.0),
+      ("a", 1L, 5.0), ("a", 3L, 5.0), ("a", 5L, 4.0)).toDF("k", "o", "v")
+    val r = graft.ops.Experiment.seasonalMannKendall(df, col("k"),
+      col("o"), pmod(col("o"), lit(2L)), col("v")).head()
+    // S=1, var = 114/18 = 6.3333, z = (1-1)/sqrt(...) = 0
+    assert(r.getString(0) == "a" && r.getLong(1) == 6L &&
+      r.getLong(2) == 1L && r.getDouble(3) == 6.3333 &&
+      r.getDouble(4) == 0.0 && !r.getBoolean(5), r.toString)
+  }
+
+  test("amsF2: estimate is order-independent, n_rows/k are exact, " +
+      "and f2_sum replays the md5 signs computed locally") {
+    import spark.implicits._
+    val vals = (1 to 200).map(i => s"key${i % 7}")
+    val df = vals.toDF("v")
+    def f2sum(d: org.apache.spark.sql.DataFrame): BigDecimal = {
+      val r = graft.ops.Scale.amsF2(d, col("v"), k = 4).head()
+      assert(r.getLong(0) == 200L && r.getLong(1) == 4L)
+      BigDecimal(r.getDecimal(2))
+    }
+    val base = f2sum(df)
+    assert(base == f2sum(df.repartition(7).sortWithinPartitions("v")),
+      "sign sums must be order/partitioning independent")
+    // local replay of the identical md5 sign draw
+    val expected = (1 to 4).map { j =>
+      val z = vals.map(v =>
+        if (graft.expr.PortableHash.hex15(s"$j:$v") % 2 == 0) 1L
+        else -1L).sum
+      BigDecimal(z) * BigDecimal(z)
+    }.sum
+    assert(base == expected, s"got $base expected $expected")
+  }
+}
