@@ -1011,6 +1011,108 @@ object Experiment {
         (abs(col("z")) > 1.96).as("trending"))
   }
 
+  /** Cochran–Mantel–Haenszel test over STRATIFIED 2×2 tables — the
+    * Simpson's-paradox-robust A/B readout: [[proportionTest]] pools
+    * arms across the whole population and a confounded stratum mix
+    * can flip its sign; CMH tests the arm→success association WITHIN
+    * each stratum and combines the evidence. Per stratum (a = treated
+    * successes, n₁/n₂ arm sizes, m₁/m₀ outcome margins, T total):
+    * `E = n₁m₁/T`, `V = (n₁m₁/T)·(n₂/T)·(m₀/(T−1))`, and
+    * `χ² = (Σa − ΣE)²/ΣV` on 1 df (no continuity correction —
+    * documented choice, keeps the statistic a pure function of the
+    * sums); the Mantel–Haenszel common odds ratio
+    * `OR = Σ(ad/T)/Σ(bc/T)` rides along. Degenerate strata (T < 2 —
+    * no variance contribution is defined) are DROPPED and counted.
+    * Output ONE row `(n_strata, n_dropped, n, sum_a, sum_e, var,
+    * chi2, or_mh, significant)` (4dp; `significant` at 5%,
+    * χ² > 3.841; `or_mh` null when Σ(bc/T) = 0).
+    *
+    * Scale shape: one grouped count per (stratum) over the units —
+    * everything after is arithmetic on the |strata|-row frame; the
+    * per-stratum products run in DOUBLE (n₁m₁ outgrows Long past
+    * ~3·10⁹ rows per stratum; the ratios keep every intermediate near
+    * the statistic's own magnitude). */
+  def cmhTest(units: DataFrame, stratumCol: Column, armCol: Column,
+      successCol: Column): DataFrame = {
+    val perS = units.select(stratumCol.as("st"),
+        armCol.cast("boolean").as("t"),
+        successCol.cast("boolean").as("s"))
+      .groupBy("st")
+      .agg(sum(when(col("t") && col("s"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("t"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("s"), 1L).otherwise(0L)).as("m1"),
+        count(lit(1)).as("tt"))
+    val kept = perS.filter(col("tt") >= 2)
+      .select(col("a"), col("n1"), col("n2"), col("m1"), col("tt"),
+        (col("tt") - col("m1")).as("m0"),
+        (col("n1") - col("a")).as("b"),
+        (col("m1") - col("a")).as("c"))
+      .withColumn("d", col("n2") - col("c"))
+    val dropped = perS.filter(col("tt") < 2)
+      .agg(count(lit(1)).as("n_dropped"))
+    val agg = kept.agg(
+      count(lit(1)).as("n_strata"),
+      sum("tt").as("n"),
+      sum("a").as("sum_a"),
+      sum(col("n1").cast("double") * col("m1") / col("tt")).as("e"),
+      sum((col("n1").cast("double") * col("m1") / col("tt")) *
+        (col("n2").cast("double") / col("tt")) *
+        (col("m0").cast("double") / (col("tt") - 1))).as("v"),
+      sum(col("a").cast("double") * col("d") / col("tt")).as("ad"),
+      sum(col("b").cast("double") * col("c") / col("tt")).as("bc"))
+    val chi2 = when(col("v") > 0,
+      (col("sum_a") - col("e")) * (col("sum_a") - col("e")) /
+        col("v")).otherwise(0.0)
+    agg.crossJoin(dropped)
+      .select(col("n_strata"), col("n_dropped"), col("n"),
+        col("sum_a"), round(col("e"), 4).as("sum_e"),
+        round(col("v"), 4).as("var"),
+        round(chi2, 4).as("chi2"),
+        round(when(col("bc") > 0, col("ad") / col("bc")), 4)
+          .as("or_mh"),
+        (chi2 > 3.841).as("significant"))
+  }
+
+  /** Two-group × two-period DIFFERENCE-IN-DIFFERENCES — the
+    * pre/post A/B corrector: a raw post-period gap confounds the
+    * treatment with pre-existing group differences; DiD subtracts the
+    * pre-period gap, `(T̄post − T̄pre) − (C̄post − C̄pre)`, the
+    * parallel-trends estimate of the treatment effect. Input one row
+    * per unit-period with boolean `group` (treated) and `post`.
+    * Output ONE row with the four cell counts/means and the estimate:
+    * `(n_c_pre, n_c_post, n_t_pre, n_t_post, mean_c_pre, mean_c_post,
+    * mean_t_pre, mean_t_post, did)` (4dp). One grouped pass over the
+    * units; the 4-cell frame is scalar arithmetic. Cell sums run in
+    * DECIMAL(38,6) — a corpus-scale double sum carries more
+    * summation-order noise than the 4dp round (the q283 lesson,
+    * MEASUREMENT.md) — cast to double once for the mean division. */
+  def didEstimate(units: DataFrame, groupCol: Column, postCol: Column,
+      valueCol: Column): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val s = units.select(groupCol.cast("boolean").as("g"),
+        postCol.cast("boolean").as("p"),
+        valueCol.cast(dec6).as("v"))
+    def cell(g: Boolean, p: Boolean, sfx: String) = Seq(
+      sum(when(col("g") === g && col("p") === p, 1L).otherwise(0L))
+        .as(s"n_$sfx"),
+      (sum(when(col("g") === g && col("p") === p, col("v")))
+        .cast("double") /
+        sum(when(col("g") === g && col("p") === p, 1L).otherwise(0L)))
+        .as(s"mu_$sfx"))
+    val cells = cell(false, false, "c_pre") ++ cell(false, true, "c_post") ++
+      cell(true, false, "t_pre") ++ cell(true, true, "t_post")
+    s.agg(cells.head, cells.tail: _*)
+      .select(col("n_c_pre"), col("n_c_post"), col("n_t_pre"),
+        col("n_t_post"),
+        round(col("mu_c_pre"), 4).as("mean_c_pre"),
+        round(col("mu_c_post"), 4).as("mean_c_post"),
+        round(col("mu_t_pre"), 4).as("mean_t_pre"),
+        round(col("mu_t_post"), 4).as("mean_t_post"),
+        round((col("mu_t_post") - col("mu_t_pre")) -
+          (col("mu_c_post") - col("mu_c_pre")), 4).as("did"))
+  }
+
   /** SEASONAL Mann–Kendall (Hirsch & Slack 1984) — [[mannKendall]]
     * computed WITHIN each season and summed: a daily metric with a
     * strong weekday cycle shows spurious "trend" (or hides a real
@@ -1118,10 +1220,14 @@ object Experiment {
       .select(col("n1_tot").as("n1"), col("n2_tot").as("n2"),
         col("o1"), round(col("e1"), 4).as("e1"),
         round(col("v"), 4).as("var1"),
+        // (x)*(x), not pow(x, 2): Math.pow is not pinned to the exact
+        // product, and the oracle squares by multiplication
         round(when(col("v") > 0,
-            pow(col("o1") - col("e1"), 2) / col("v")).otherwise(0.0), 4)
+            (col("o1") - col("e1")) * (col("o1") - col("e1")) /
+              col("v")).otherwise(0.0), 4)
           .as("chi2"),
-        (when(col("v") > 0, pow(col("o1") - col("e1"), 2) / col("v"))
-          .otherwise(0.0) > 3.841).as("significant"))
+        (when(col("v") > 0,
+          (col("o1") - col("e1")) * (col("o1") - col("e1")) /
+            col("v")).otherwise(0.0) > 3.841).as("significant"))
   }
 }

@@ -1161,6 +1161,67 @@ object Temporal {
         (sum("slope") / count(lit(1))).as("slope"))
   }
 
+  /** Single CHANGEPOINT split of one integer-valued series — the
+    * binary-segmentation primitive (the first split of CBS/PELT;
+    * recurse on the halves offline for more): the cut point that
+    * maximizes the within-segment SSE reduction
+    * `gain(k) = SSE(all) − SSE(≤k) − SSE(>k)`, i.e. the two-mean
+    * step-change fit. The "WHEN did the metric shift" answer that
+    * complements CUSUM's "did it shift" — level changes in ingest
+    * volume, quality-score regime breaks, crawl-source switchovers.
+    *
+    * Determinism discipline (the `seasonalDecompose` stance): `v`
+    * must be INTEGER with a unique grain, so the prefix sums
+    * (Σv, Σv², both Long — |Σv²| must stay under 2⁶³, fine for
+    * counts/micro-units at calendar grains) are exact and every
+    * candidate's gain is the same IEEE expression of the same exact
+    * operands in any engine; the argmax tie-breaks on earlier t.
+    * Output ONE row `(split_t, n_left, n_right, mean_left,
+    * mean_right, gain)` (4dp) — the LAST t of the left segment.
+    *
+    * Scale shape: cumulative windows over the pre-aggregated
+    * |distinct t|-row frame (bounded by the calendar, not the
+    * corpus), one scalar total, one ordered limit 1. */
+  def changePointSplit(df: DataFrame, tCol: Column,
+      vCol: Column): DataFrame = {
+    val s = df.select(tCol.cast("long").as("t"),
+        vCol.cast("long").as("v"))
+      .filter(col("t").isNotNull && col("v").isNotNull)
+      .localCheckpoint(true) // read 3×: guard + prefix + totals
+    val dup = s.groupBy("t").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      "changePointSplit: duplicate t values — aggregate the series " +
+        "to a unique time grain first")
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = s
+      .withColumn("cn", count(lit(1)).over(w))
+      .withColumn("cs", sum(col("v")).over(w))
+      .withColumn("css", sum(col("v") * col("v")).over(w))
+    val tot = s.agg(count(lit(1)).as("n"), sum("v").as("ts"),
+      sum(col("v") * col("v")).as("tss"))
+    def sse(n: Column, sm: Column, ss: Column): Column =
+      ss.cast("double") - sm.cast("double") * sm / n
+    pre.crossJoin(broadcast(tot))
+      .filter(col("cn") < col("n")) // both segments non-empty
+      .select(col("t").as("split_t"), col("cn").as("n_left"),
+        (col("n") - col("cn")).as("n_right"),
+        (col("cs").cast("double") / col("cn")).as("mean_left"),
+        ((col("ts") - col("cs")).cast("double") /
+          (col("n") - col("cn"))).as("mean_right"),
+        (sse(col("n"), col("ts"), col("tss")) -
+          sse(col("cn"), col("cs"), col("css")) -
+          sse(col("n") - col("cn"), col("ts") - col("cs"),
+            col("tss") - col("css"))).as("gain"))
+      .orderBy(col("gain").desc, col("split_t"))
+      .limit(1)
+      .select(col("split_t"), col("n_left"), col("n_right"),
+        round(col("mean_left"), 4).as("mean_left"),
+        round(col("mean_right"), 4).as("mean_right"),
+        round(col("gain"), 4).as("gain"))
+  }
+
   /** Classical additive SEASONAL DECOMPOSITION of one integer-valued
     * series — the moving-average STL ancestor: `v = trend + seasonal +
     * resid` with `trend` the centered `period`-point moving average

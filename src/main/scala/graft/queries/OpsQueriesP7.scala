@@ -194,6 +194,36 @@ private[queries] object OpsQueriesP7 {
           col("t"), pmod(col("t"), lit(7L)), col("v"))
         .orderBy("key")
     }),
+    "q383_cmh" -> ((s, d) => {
+      // Cochran-Mantel-Haenszel arm->purchase association STRATIFIED
+      // by weekday -- the Simpson's-paradox-robust A/B readout next to
+      // q296's pooled proportion test; MH common odds ratio rides
+      // along
+      val u = ev(s, d).select(
+        pmod(datediff(to_date(col("ts")),
+          to_date(lit("1970-01-01"))), lit(7)).as("st"),
+        (col("user_id") % 2 === 1).as("t"),
+        (col("event_type") === "purchase").as("su"))
+      graft.ops.Experiment.cmhTest(u, col("st"), col("t"), col("su"))
+    }),
+    "q384_changepoint" -> ((s, d) => {
+      // single binary-segmentation split of the global daily event
+      // count: WHEN did the level shift (CUSUM q355 answers whether);
+      // exact integer prefix sums, deterministic argmax
+      val daily = ev(s, d).groupBy(
+          datediff(to_date(col("ts")),
+            to_date(lit("1970-01-01"))).as("t"))
+        .agg(count(lit(1)).as("v"))
+      graft.ops.Temporal.changePointSplit(daily, col("t"), col("v"))
+    }),
+    "q385_did" -> ((s, d) =>
+      // two-group x pre/post difference-in-differences on event value
+      // (post = second half of the window) -- the parallel-trends
+      // treatment-effect estimate; cell sums in DECIMAL(38,6)
+      graft.ops.Experiment.didEstimate(ev(s, d),
+        (col("user_id") % 2 === 1),
+        to_date(col("ts")) >= lit("2024-01-16"),
+        col("value"))),
     "q379_harmonic" -> ((s, d) => {
       // pivot-sampled harmonic centrality over the %5 co-purchase
       // graph from the %997 seed parts (the q345 pivot stance) -- ONE
@@ -321,6 +351,109 @@ private[queries] object OpsQueriesP7 {
          FROM ex""",
     "q379_harmonic" ->
       harmonicOracle(mod = 5, seedMod = 997, depth = 4),
+    "q383_cmh" ->
+      """WITH u AS (SELECT
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                 % 7 AS st,
+               user_id % 2 = 1 AS t,
+               event_type = 'purchase' AS s
+             FROM events),
+         ps AS (SELECT st,
+               CAST(count(*) FILTER (WHERE t AND s) AS BIGINT) AS a,
+               CAST(count(*) FILTER (WHERE t) AS BIGINT) AS n1,
+               CAST(count(*) FILTER (WHERE NOT t) AS BIGINT) AS n2,
+               CAST(count(*) FILTER (WHERE s) AS BIGINT) AS m1,
+               count(*) AS tt
+             FROM u GROUP BY st),
+         k AS (SELECT a, n1, n2, m1, tt, tt - m1 AS m0, n1 - a AS b,
+                 m1 - a AS c, n2 - (m1 - a) AS d
+               FROM ps WHERE tt >= 2),
+         dr AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped
+                FROM ps WHERE tt < 2),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+               CAST(sum(tt) AS BIGINT) AS n,
+               CAST(sum(a) AS BIGINT) AS sum_a,
+               sum(CAST(n1 AS DOUBLE) * m1 / tt) AS e,
+               sum((CAST(n1 AS DOUBLE) * m1 / tt) *
+                 (CAST(n2 AS DOUBLE) / tt) *
+                 (CAST(m0 AS DOUBLE) / (tt - 1))) AS v,
+               sum(CAST(a AS DOUBLE) * d / tt) AS ad,
+               sum(CAST(b AS DOUBLE) * c / tt) AS bc
+             FROM k)
+         SELECT ag.n_strata, dr.n_dropped, ag.n, ag.sum_a,
+           round(ag.e, 4) AS sum_e, round(ag.v, 4) AS var,
+           round(CASE WHEN ag.v > 0
+             THEN (ag.sum_a - ag.e) * (ag.sum_a - ag.e) / ag.v
+             ELSE 0.0 END, 4) AS chi2,
+           round(CASE WHEN ag.bc > 0 THEN ag.ad / ag.bc END, 4)
+             AS or_mh,
+           CASE WHEN ag.v > 0
+             THEN (ag.sum_a - ag.e) * (ag.sum_a - ag.e) / ag.v
+             ELSE 0.0 END > 3.841 AS significant
+         FROM ag, dr""",
+    "q384_changepoint" ->
+      """WITH daily AS (SELECT
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                 AS t,
+               count(*) AS v
+             FROM events GROUP BY 1),
+         p AS (SELECT t, v, count(*) OVER wc AS cn,
+                 CAST(sum(v) OVER wc AS BIGINT) AS cs,
+                 CAST(sum(v * v) OVER wc AS BIGINT) AS css
+               FROM daily
+               WINDOW wc AS (ORDER BY t ROWS UNBOUNDED PRECEDING)),
+         tot AS (SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS ts,
+                   CAST(sum(v * v) AS BIGINT) AS tss
+                 FROM daily),
+         cand AS (SELECT t AS split_t, cn AS n_left,
+                 n - cn AS n_right,
+                 CAST(cs AS DOUBLE) / cn AS mean_left,
+                 CAST(ts - cs AS DOUBLE) / (n - cn) AS mean_right,
+                 (CAST(tss AS DOUBLE) - CAST(ts AS DOUBLE) * ts / n)
+                   - (CAST(css AS DOUBLE)
+                      - CAST(cs AS DOUBLE) * cs / cn)
+                   - (CAST(tss - css AS DOUBLE)
+                      - CAST(ts - cs AS DOUBLE) * (ts - cs) / (n - cn))
+                   AS gain
+               FROM p CROSS JOIN tot WHERE cn < n)
+         SELECT CAST(split_t AS BIGINT) AS split_t,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           round(mean_left, 4) AS mean_left,
+           round(mean_right, 4) AS mean_right, round(gain, 4) AS gain
+         FROM cand ORDER BY gain DESC, split_t LIMIT 1""",
+    "q385_did" ->
+      """WITH u AS (SELECT user_id % 2 = 1 AS g,
+               CAST(ts AS DATE) >= DATE '2024-01-16' AS p,
+               CAST(value AS DECIMAL(38, 6)) AS v
+             FROM events)
+         SELECT
+           CAST(count(*) FILTER (WHERE NOT g AND NOT p) AS BIGINT)
+             AS n_c_pre,
+           CAST(count(*) FILTER (WHERE NOT g AND p) AS BIGINT)
+             AS n_c_post,
+           CAST(count(*) FILTER (WHERE g AND NOT p) AS BIGINT)
+             AS n_t_pre,
+           CAST(count(*) FILTER (WHERE g AND p) AS BIGINT)
+             AS n_t_post,
+           round(CAST(sum(v) FILTER (WHERE NOT g AND NOT p) AS DOUBLE)
+             / count(*) FILTER (WHERE NOT g AND NOT p), 4)
+             AS mean_c_pre,
+           round(CAST(sum(v) FILTER (WHERE NOT g AND p) AS DOUBLE)
+             / count(*) FILTER (WHERE NOT g AND p), 4) AS mean_c_post,
+           round(CAST(sum(v) FILTER (WHERE g AND NOT p) AS DOUBLE)
+             / count(*) FILTER (WHERE g AND NOT p), 4) AS mean_t_pre,
+           round(CAST(sum(v) FILTER (WHERE g AND p) AS DOUBLE)
+             / count(*) FILTER (WHERE g AND p), 4) AS mean_t_post,
+           round((CAST(sum(v) FILTER (WHERE g AND p) AS DOUBLE)
+               / count(*) FILTER (WHERE g AND p)
+             - CAST(sum(v) FILTER (WHERE g AND NOT p) AS DOUBLE)
+               / count(*) FILTER (WHERE g AND NOT p))
+             - (CAST(sum(v) FILTER (WHERE NOT g AND p) AS DOUBLE)
+               / count(*) FILTER (WHERE NOT g AND p)
+             - CAST(sum(v) FILTER (WHERE NOT g AND NOT p) AS DOUBLE)
+               / count(*) FILTER (WHERE NOT g AND NOT p)), 4) AS did
+         FROM u""",
     "q380_link_prediction" ->
       """WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
                FROM lineitem WHERE l_orderkey % 9 = 0),

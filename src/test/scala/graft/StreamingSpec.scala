@@ -1522,6 +1522,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streamingModularityDrift counters determine live per-" +
+      "community CONDUCTANCE: phi derived from the emitted (tot, inn) " +
+      "equals batch communityConductance on replay") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two triangles + one bridge (the Wave11Spec conductance fixture)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 4L))
+    val asg = Seq((1L, 100L), (2L, 100L), (3L, 100L),
+      (4L, 200L), (5L, 200L), (6L, 200L)).toDF("id", "cm")
+    val input = MemoryStream[(String, Long, Long)]
+    val q = StreamingOps.streamingModularityDrift(
+        input.toDF().toDF("k", "a", "b"), asg, col("id"), col("cm"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cphi").start()
+    input.addData(edges.map { case (a, b) => ("g", a, b) }: _*)
+    q.processAllAvailable()
+    val cells = spark.sql(
+        "SELECT cm, max(tot) AS tot, max(inn) AS inn FROM cphi " +
+          "GROUP BY cm")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val twoM = cells.values.map(_._1).sum // Σ tot ≡ 2m
+    val live = cells.map { case (cm, (tot, inn)) =>
+      val cut = tot - 2 * inn
+      cm -> (tot, inn, cut,
+        BigDecimal(cut.toDouble / math.min(tot, twoM - tot))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val batch = graft.ops.Graph.communityConductance(
+        edges.toDF("a", "b"), col("a"), col("b"), asg, col("id"),
+        col("cm"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(live == batch, s"live $live vs batch $batch")
+    q.stop()
+  }
+
   test("streamingAmsF2: sign-sum state merges across batches; final " +
       "emission equals the batch sketch on the union (unconditional " +
       "parity — no arrival-order caveat)") {

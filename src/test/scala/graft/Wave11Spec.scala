@@ -220,6 +220,65 @@ class Wave11Spec extends AnyFunSuite with BeforeAndAfterAll {
       r.getDouble(4) == 0.0 && !r.getBoolean(5), r.toString)
   }
 
+  test("cmhTest: two hand-computed strata + one degenerate stratum " +
+      "(dropped and counted); exact sums, chi2, and MH odds ratio") {
+    import spark.implicits._
+    // stratum 1: T 3/2 success, C 3/1 -> E 1.5 V 0.45 ad/T 2/3 bc/T 1/6
+    // stratum 2: T 2/2,        C 2/0 -> E 1.0 V 1/3  ad/T 1   bc/T 0
+    // stratum 9: single row -> dropped
+    val rows =
+      Seq((1, true, true), (1, true, true), (1, true, false),
+        (1, false, true), (1, false, false), (1, false, false),
+        (2, true, true), (2, true, true),
+        (2, false, false), (2, false, false),
+        (9, true, true))
+    val r = graft.ops.Experiment.cmhTest(rows.toDF("st", "t", "s"),
+      col("st"), col("t"), col("s")).head()
+    // chi2 = 1.5^2 / (47/60) = 135/47 = 2.8723; OR = (5/3)/(1/6) = 10
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L &&
+      r.getLong(2) == 10L && r.getLong(3) == 4L &&
+      r.getDouble(4) == 2.5 && r.getDouble(5) == 0.7833 &&
+      r.getDouble(6) == 2.8723 && r.getDouble(7) == 10.0 &&
+      !r.getBoolean(8), r.toString)
+  }
+
+  test("changePointSplit: exact step series splits at the step with " +
+      "the full SSE as gain; duplicate t fails fast") {
+    import spark.implicits._
+    val df = Seq(1L, 1L, 1L, 1L, 5L, 5L, 5L).zipWithIndex
+      .map { case (v, t) => (t.toLong, v) }.toDF("t", "v")
+    val r = graft.ops.Temporal.changePointSplit(df, col("t"), col("v"))
+      .head()
+    // sse_total = 79 - 361/7 = 27.4286; both halves fit exactly
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L &&
+      r.getLong(2) == 3L && r.getDouble(3) == 1.0 &&
+      r.getDouble(4) == 5.0 && r.getDouble(5) == 27.4286, r.toString)
+    val dup = Seq((1L, 1L), (1L, 2L)).toDF("t", "v")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Temporal.changePointSplit(dup, col("t"), col("v"))
+        .collect()
+    }
+    assert(ex.getMessage.contains("duplicate t"), ex.getMessage)
+  }
+
+  test("didEstimate: four hand-computed cells and the " +
+      "parallel-trends difference") {
+    import spark.implicits._
+    val units = Seq(
+      (false, false, 1.0), (false, false, 3.0), // c_pre mean 2
+      (false, true, 2.0), (false, true, 4.0),   // c_post mean 3
+      (true, false, 5.0),                       // t_pre mean 5
+      (true, true, 10.0), (true, true, 4.0))    // t_post mean 7
+      .toDF("g", "p", "v")
+    val r = graft.ops.Experiment.didEstimate(units, col("g"),
+      col("p"), col("v")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L &&
+      r.getLong(2) == 1L && r.getLong(3) == 2L &&
+      r.getDouble(4) == 2.0 && r.getDouble(5) == 3.0 &&
+      r.getDouble(6) == 5.0 && r.getDouble(7) == 7.0 &&
+      r.getDouble(8) == 1.0, r.toString) // (7-5) - (3-2)
+  }
+
   test("amsF2: estimate is order-independent, n_rows/k are exact, " +
       "and f2_sum replays the md5 signs computed locally") {
     import spark.implicits._
