@@ -1409,4 +1409,36 @@ object Curation {
       .select(col("id"), col("cat"), col("fold"),
         round(enc, 4).as("encoded"))
   }
+
+  /** k-ANONYMITY / l-DIVERSITY audit — the re-identification check a
+    * dataset release runs AFTER the PII scrub
+    * ([[graft.ops.TextAnalysis]]'s redaction family removes direct
+    * identifiers; this catches the INDIRECT ones): a quasi-identifier
+    * combination shared by fewer than `k` rows singles its members
+    * out (Sweeney 2002), and one whose rows carry fewer than `l`
+    * distinct sensitive values leaks the sensitive attribute even at
+    * k-anonymous size (Machanavajjhala 2007 — everyone in the
+    * 5-person cell has the same diagnosis). Output: the VIOLATING
+    * quasi-identifier groups only, as `(…quasi cols, n,
+    * n_sensitive, under_k, under_l)` — the release gate is "this
+    * frame is empty", and the rows are the suppression/generalization
+    * worklist when it is not.
+    *
+    * Scale shape: ONE groupBy over the quasi columns with a count +
+    * exact distinct (two-level partial agg); output is bounded by the
+    * violating-group count, never per-row. */
+  def kAnonymityReport(df: DataFrame, quasi: Seq[(String, Column)],
+      sensitiveCol: Column, k: Int, l: Int): DataFrame = {
+    require(quasi.nonEmpty, "kAnonymityReport: no quasi-identifiers")
+    require(k >= 1 && l >= 1, "kAnonymityReport: k, l must be >= 1")
+    val named = quasi.map { case (n, c) => c.as(n) }
+    df.select(named :+ sensitiveCol.as("__s"): _*)
+      .groupBy(quasi.map(q => col(q._1)): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("__s")).as("n_sensitive"))
+      .filter(col("n") < k || col("n_sensitive") < l)
+      .select(quasi.map(q => col(q._1)) ++ Seq(col("n"),
+        col("n_sensitive"), (col("n") < k).as("under_k"),
+        (col("n_sensitive") < l).as("under_l")): _*)
+  }
 }

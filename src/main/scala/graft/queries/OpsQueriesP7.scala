@@ -224,6 +224,16 @@ private[queries] object OpsQueriesP7 {
         (col("user_id") % 2 === 1),
         to_date(col("ts")) >= lit("2024-01-16"),
         col("value"))),
+    "q386_k_anonymity" -> ((s, d) =>
+      // k-anonymity / l-diversity release audit over the event log:
+      // (cohort, event_type) as the quasi-identifier, the value band
+      // as the sensitive attribute -- the indirect-reidentification
+      // check after the PII scrub; output = the suppression worklist
+      graft.ops.Curation.kAnonymityReport(ev(s, d),
+          Seq("cohort" -> (col("user_id") % 100),
+            "event_type" -> col("event_type")),
+          floor(col("value") / 100).cast("long"), k = 15, l = 2)
+        .orderBy("cohort", "event_type")),
     "q379_harmonic" -> ((s, d) => {
       // pivot-sampled harmonic centrality over the %5 co-purchase
       // graph from the %997 seed parts (the q345 pivot stance) -- ONE
@@ -351,6 +361,16 @@ private[queries] object OpsQueriesP7 {
          FROM ex""",
     "q379_harmonic" ->
       harmonicOracle(mod = 5, seedMod = 997, depth = 4),
+    "q386_k_anonymity" ->
+      """WITH g AS (SELECT user_id % 100 AS cohort, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT CAST(floor(value / 100) AS BIGINT))
+                 AS BIGINT) AS n_sensitive
+             FROM events GROUP BY 1, 2)
+         SELECT cohort, event_type, n, n_sensitive,
+           n < 15 AS under_k, n_sensitive < 2 AS under_l
+         FROM g WHERE n < 15 OR n_sensitive < 2
+         ORDER BY cohort, event_type""",
     "q383_cmh" ->
       """WITH u AS (SELECT
                date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))

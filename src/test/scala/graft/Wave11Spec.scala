@@ -279,6 +279,28 @@ class Wave11Spec extends AnyFunSuite with BeforeAndAfterAll {
       r.getDouble(8) == 1.0, r.toString) // (7-5) - (3-2)
   }
 
+  test("kAnonymityReport: under-k and under-l groups flag " +
+      "independently; compliant groups are excluded") {
+    import spark.implicits._
+    // group A: n=3 (under k=3? no, k=3 means <3) but l-violating
+    //          (1 distinct sensitive of l=2)
+    // group B: n=2 -> under_k; 2 distinct -> l ok
+    // group C: n=3, 2 distinct -> compliant, excluded
+    val df = Seq(
+      ("A", 1, "x"), ("A", 1, "x"), ("A", 1, "x"),
+      ("B", 1, "x"), ("B", 1, "y"),
+      ("C", 1, "x"), ("C", 1, "y"), ("C", 1, "x")).toDF("q1", "q2", "s")
+    val got = graft.ops.Curation.kAnonymityReport(df,
+        Seq("g" -> col("q1"), "g2" -> col("q2")), col("s"),
+        k = 3, l = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5)))
+      .toMap
+    assert(got == Map(
+      "A" -> ((3L, 1L, false, true)),
+      "B" -> ((2L, 2L, true, false))), got.toString)
+  }
+
   test("amsF2: estimate is order-independent, n_rows/k are exact, " +
       "and f2_sum replays the md5 signs computed locally") {
     import spark.implicits._
