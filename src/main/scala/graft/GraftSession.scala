@@ -1099,4 +1099,129 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
     graft.ops.Analytics.activeUsersAudit(events, col(keyCol),
       col(timeCol), windows, tol)
   }
+
+  /** [[graft.ops.Graph.refineConnectivity]] with name-based columns:
+    * Leiden-style connectivity refinement of a community assignment. */
+  def refineConnectivity(edges: DataFrame, srcCol: String,
+      dstCol: String, assign: DataFrame, nodeCol: String,
+      commCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Graph.refineConnectivity(edges, col(srcCol), col(dstCol),
+      assign, col(nodeCol), col(commCol))
+  }
+
+  /** [[graft.ops.Graph.communityConductance]] with name-based columns:
+    * per-community cut quality (vol/inn/cut/φ). */
+  def communityConductance(edges: DataFrame, srcCol: String,
+      dstCol: String, assign: DataFrame, nodeCol: String,
+      commCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Graph.communityConductance(edges, col(srcCol),
+      col(dstCol), assign, col(nodeCol), col(commCol))
+  }
+
+  /** [[graft.ops.Graph.coreNumbers]] with name-based columns: the full
+    * core decomposition by distributed h-index iteration. */
+  def coreNumbers(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Graph.coreNumbers(edges, col(srcCol), col(dstCol), rounds)
+  }
+
+  /** [[graft.ops.Graph.harmonicCentrality]] with name-based columns:
+    * pivot-sampled harmonic centrality in integer micro-units. */
+  def harmonicCentrality(edges: DataFrame, srcCol: String,
+      dstCol: String, sources: DataFrame, sourceIdCol: String,
+      maxDepth: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Graph.harmonicCentrality(edges, col(srcCol), col(dstCol),
+      sources, col(sourceIdCol), maxDepth)
+  }
+
+  /** [[graft.ops.Graph.linkPredictionScores]] with name-based columns:
+    * common-neighbor + Jaccard-bp scores for distance-2 non-edges. */
+  def linkPredictionScores(edges: DataFrame, srcCol: String,
+      dstCol: String, minCommon: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Graph.linkPredictionScores(edges, col(srcCol),
+      col(dstCol), minCommon)
+  }
+
+  /** [[graft.ops.Experiment.mannKendall]] with name-based columns:
+    * per-key non-parametric trend test (tie-corrected). */
+  def mannKendall(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.mannKendall(df, col(keyCol), col(orderCol),
+      col(valueCol))
+  }
+
+  /** [[graft.ops.Experiment.seasonalMannKendall]] with name-based
+    * columns: the within-season variant (Hirsch–Slack). */
+  def seasonalMannKendall(df: DataFrame, keyCol: String,
+      orderCol: String, phaseCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.seasonalMannKendall(df, col(keyCol),
+      col(orderCol), col(phaseCol), col(valueCol))
+  }
+
+  /** [[graft.ops.Experiment.logRankTest]] with name-based columns:
+    * two-group survival-curve difference test. */
+  def logRankTest(subjects: DataFrame, durCol: String,
+      observedCol: String, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.logRankTest(subjects, col(durCol),
+      col(observedCol), col(groupCol))
+  }
+
+  /** [[graft.ops.Experiment.cmhTest]] with name-based columns:
+    * stratified 2×2 association (CMH χ² + MH odds ratio). */
+  def cmhTest(units: DataFrame, stratumCol: String, armCol: String,
+      successCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.cmhTest(units, col(stratumCol), col(armCol),
+      col(successCol))
+  }
+
+  /** [[graft.ops.Experiment.didEstimate]] with name-based columns:
+    * two-group × pre/post difference-in-differences. */
+  def didEstimate(units: DataFrame, groupCol: String, postCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.didEstimate(units, col(groupCol), col(postCol),
+      col(valueCol))
+  }
+
+  /** [[graft.ops.Temporal.seasonalDecompose]] with name-based columns:
+    * additive moving-average seasonal decomposition. */
+  def seasonalDecompose(df: DataFrame, tCol: String, vCol: String,
+      period: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Temporal.seasonalDecompose(df, col(tCol), col(vCol),
+      period)
+  }
+
+  /** [[graft.ops.Temporal.changePointSplit]] with name-based columns:
+    * the binary-segmentation changepoint primitive. */
+  def changePointSplit(df: DataFrame, tCol: String,
+      vCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Temporal.changePointSplit(df, col(tCol), col(vCol))
+  }
+
+  /** [[graft.ops.Scale.amsF2]] with name-based columns: the AMS
+    * second-moment (self-join size) sketch. */
+  def amsF2(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Scale.amsF2(df, col(keyCol), k)
+  }
+
+  /** [[graft.ops.Curation.kAnonymityReport]] with name-based columns:
+    * the k-anonymity / l-diversity release audit. */
+  def kAnonymityReport(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Int, l: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Curation.kAnonymityReport(df,
+      quasiCols.map(n => n -> col(n)), col(sensitiveCol), k, l)
+  }
 }

@@ -553,4 +553,50 @@ class GraftSessionSpec extends AnyFunSuite with BeforeAndAfterAll {
       "id", "text", stopwords = Seq("of")).orderBy("rank").collect()
     assert(rk.head.getAs[String]("phrase") == "big data")
   }
+
+  test("round-13 third-wave facade: graph quality, trend/survival " +
+      "inference, sketch, decomposition, privacy wrappers plumb " +
+      "name-based columns through") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sess = new GraftSession(spark, s"$work/wh")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 4L)).toDF("a", "b")
+    val asg = Seq((1L, 100L), (2L, 100L), (3L, 100L),
+      (4L, 200L), (5L, 200L), (6L, 200L)).toDF("id", "cm")
+    assert(sess.communityConductance(edges, "a", "b", asg, "id", "cm")
+      .count() == 2)
+    assert(sess.coreNumbers(edges, "a", "b", rounds = 6)
+      .filter(col("core") === 2).count() == 6)
+    assert(sess.refineConnectivity(edges, "a", "b", asg, "id", "cm")
+      .select("community").distinct().count() == 2)
+    assert(sess.harmonicCentrality(edges, "a", "b",
+      Seq(1L).toDF("s"), "s", maxDepth = 3).count() >= 4)
+    assert(sess.linkPredictionScores(edges, "a", "b", minCommon = 1)
+      .count() >= 1)
+    val series = Seq(("k", 1L, 1.0), ("k", 2L, 2.0), ("k", 3L, 3.0),
+      ("k", 4L, 4.0)).toDF("g", "o", "v")
+    assert(sess.mannKendall(series, "g", "o", "v").head().getLong(2)
+      == 6L)
+    assert(sess.seasonalMannKendall(
+      series.withColumn("ph", col("o") % 2), "g", "o", "ph", "v")
+      .head().getLong(1) == 4L)
+    val subj = Seq((1L, true, false), (2L, true, true)).toDF("d", "o", "g")
+    assert(sess.logRankTest(subj, "d", "o", "g").count() == 1)
+    val units = Seq((1, true, true), (1, true, false), (1, false, true),
+      (1, false, false)).toDF("st", "t", "s")
+    assert(sess.cmhTest(units, "st", "t", "s").head().getLong(0) == 1L)
+    val did = Seq((false, false, 1.0), (false, true, 2.0),
+      (true, false, 3.0), (true, true, 5.0)).toDF("g", "p", "v")
+    assert(sess.didEstimate(did, "g", "p", "v").head()
+      .getDouble(8) == 1.0)
+    val daily = (0L to 8L).map(t => (t, t + 1)).toDF("t", "v")
+    assert(sess.seasonalDecompose(daily, "t", "v", period = 3)
+      .count() == 9)
+    assert(sess.changePointSplit(daily, "t", "v").count() == 1)
+    assert(sess.amsF2(daily, "v", k = 2).head().getLong(0) == 9L)
+    assert(sess.kAnonymityReport(
+      Seq(("q", "s1"), ("q", "s2")).toDF("q1", "sv"),
+      Seq("q1"), "sv", k = 3, l = 1).head().getBoolean(3))
+  }
 }
