@@ -1216,6 +1216,24 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
     graft.ops.Scale.amsF2(df, col(keyCol), k)
   }
 
+  /** [[graft.ops.Graph.topoLayers]] with name-based columns:
+    * longest-path DAG layers with the loud acyclicity check. */
+  def topoLayers(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Graph.topoLayers(edges, col(srcCol), col(dstCol), rounds)
+  }
+
+  /** [[graft.ops.Graph.stronglyConnectedComponents]] with name-based
+    * columns: directed SCC labels (min member id). */
+  def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, maxPhases: Int = 10,
+      maxRounds: Int = 200): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Graph.stronglyConnectedComponents(edges, col(srcCol),
+      col(dstCol), maxPhases, maxRounds)
+  }
+
   /** [[graft.ops.Curation.kAnonymityReport]] with name-based columns:
     * the k-anonymity / l-diversity release audit. */
   def kAnonymityReport(df: DataFrame, quasiCols: Seq[String],

@@ -1584,6 +1584,154 @@ object Graph {
     est.select(col("id"), col("est").as("core"))
   }
 
+  /** TOPOLOGICAL layers of a DIRECTED acyclic graph — `layer(v)` = the
+    * longest path from any source (no-in-edge node) to v, by
+    * synchronous max-relaxation: `layer(v) ← max(0, 1 + max over
+    * in-edges layer(u))`, monotone non-decreasing, fixpoint at the
+    * DAG depth, converged rounds idempotent (the [[bfsDistances]]
+    * family's max twin). The scheduling readout for dependency DAGs —
+    * pipeline stages, derivation lineage, layered crawl frontiers:
+    * nodes in the same layer are mutually independent and can run
+    * together. CYCLES FAIL FAST: after `rounds` rounds the op runs
+    * ONE extra relaxation and requires it changes nothing — a node on
+    * a cycle keeps climbing forever, so "converged" is the acyclicity
+    * certificate and an under-provisioned `rounds` on a deep DAG is
+    * loud, never a silently-wrong layer. Output `(id, layer)`.
+    *
+    * Scale shape (per round): one equi-join of the |V| layer frame
+    * against the static checkpointed edge list + one grouped max —
+    * integer shuffles, stats-reset checkpoints; `rounds` must be ≥
+    * the DAG depth (the convergence check makes violations loud). */
+  def topoLayers(edges: DataFrame, srcCol: Column, dstCol: Column,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "topoLayers: rounds must be >= 1")
+    val ckpt = org.apache.spark.sql.graftshim.StatsReset
+      .freshLocalCheckpoint _
+    val e = ckpt(edges.select(srcCol.cast("long").as("s"),
+        dstCol.cast("long").as("t"))
+      .filter(col("s") =!= col("t")).distinct())
+    val nodes = e.select(col("s").as("id"))
+      .unionAll(e.select(col("t").as("id"))).distinct()
+    var layer = ckpt(nodes.select(col("id"), lit(0L).as("layer")))
+    def relaxed(l: DataFrame): DataFrame =
+      l.join(e.join(l.select(col("id").as("s"),
+            (col("layer") + 1L).as("cand")), Seq("s"))
+          .groupBy(col("t").as("id")).agg(max("cand").as("cand")),
+          Seq("id"), "left")
+        .select(col("id"),
+          greatest(col("layer"), coalesce(col("cand"), lit(0L)))
+            .as("layer"))
+    for (_ <- 1 to rounds) layer = ckpt(relaxed(layer))
+    val moved = ckpt(relaxed(layer)).as("x")
+      .join(layer.as("y"), Seq("id"))
+      .filter(col("x.layer") =!= col("y.layer")).limit(1).collect()
+    require(moved.isEmpty,
+      s"topoLayers: not converged after $rounds rounds — the graph " +
+        "has a cycle, or the DAG is deeper than `rounds`; raise " +
+        "rounds (the check re-fires) or break the cycle")
+    layer
+  }
+
+  /** STRONGLY connected components of a DIRECTED graph — the web-graph
+    * structure readout ([[Dedup.duplicateClusters]] answers the
+    * undirected question): link farms and template rings are
+    * non-trivial SCCs, the crawlable core is the giant SCC, and the
+    * SCC condensation is the DAG every link-authority computation
+    * wants as input. Algorithm: phases of symmetric FORWARD/BACKWARD
+    * min-label propagation — `f(v)` = the smallest id that reaches v,
+    * `b(v)` = the smallest id v reaches, each to fixpoint; `f(v) =
+    * b(v) = x` certifies v and x mutually reachable, so those nodes
+    * finalize with their SCC's MINIMUM MEMBER ID as the label
+    * (exactly [[Dedup.duplicateClusters]]' label convention), are
+    * removed, and the next phase runs on the rest. Each phase
+    * finalizes at least the SCC of every active weak component's
+    * minimum id — progress is guaranteed — but a CHAIN of SCCs costs
+    * a phase per link (the known synchronous-SCC bound, same class as
+    * GraphX's implementation), so `maxPhases` is a loud `require`,
+    * not a truncation; for DAG-heavy graphs run [[topoLayers]] on the
+    * condensation instead. Output `(id, scc)` for every node with an
+    * edge.
+    *
+    * Scale shape: every inner round is one equi-join of the |active|
+    * label frame against the static active edge list + one grouped
+    * min (integer shuffles, stats-reset checkpoints); convergence
+    * detection rides a 1-row Σlabel aggregate (labels only decrease,
+    * so Σ strictly drops iff anything changed — no comparison join);
+    * finalized nodes leave `active` and the edge list via anti-joins
+    * once per phase. Rounds per phase are bounded by the active
+    * diameter (`maxRounds`, loud). */
+  def stronglyConnectedComponents(edges: DataFrame, srcCol: Column,
+      dstCol: Column, maxPhases: Int = 10,
+      maxRounds: Int = 200): DataFrame = {
+    require(maxPhases >= 1 && maxRounds >= 1,
+      "stronglyConnectedComponents: maxPhases and maxRounds >= 1")
+    val ckpt = org.apache.spark.sql.graftshim.StatsReset
+      .freshLocalCheckpoint _
+    var e = ckpt(edges.select(srcCol.cast("long").as("s"),
+        dstCol.cast("long").as("t"))
+      .filter(col("s") =!= col("t")).distinct())
+    var active = ckpt(e.select(col("s").as("id"))
+      .unionAll(e.select(col("t").as("id"))).distinct())
+    var activeCount = active.count()
+    var result: Option[DataFrame] = None
+    var phase = 0
+
+    // min-label propagation over `dir` (s → t) to fixpoint; labels
+    // only decrease, so ΣlbI strictly drops iff any row changed
+    def minProp(dir: DataFrame, init: DataFrame): DataFrame = {
+      var lb = init
+      def lbSum(d: DataFrame): Long =
+        d.agg(coalesce(sum("lb"), lit(0L))).head().getLong(0)
+      var prev = lbSum(lb)
+      var rounds = 0
+      var converged = false
+      while (!converged) {
+        rounds += 1
+        require(rounds <= maxRounds,
+          s"stronglyConnectedComponents: min propagation exceeded " +
+            s"maxRounds = $maxRounds — active diameter too large; " +
+            "raise maxRounds")
+        lb = ckpt(lb.join(
+            dir.join(lb.select(col("id").as("s"), col("lb").as("ls")),
+                Seq("s"))
+              .groupBy(col("t").as("id")).agg(min("ls").as("nl")),
+            Seq("id"), "left")
+          .select(col("id"),
+            least(col("lb"), coalesce(col("nl"), col("lb"))).as("lb")))
+        val s2 = lbSum(lb)
+        converged = s2 == prev
+        prev = s2
+      }
+      lb
+    }
+
+    while (activeCount > 0) {
+      phase += 1
+      require(phase <= maxPhases,
+        s"stronglyConnectedComponents: $activeCount nodes still " +
+          s"active after maxPhases = $maxPhases — the SCC condensation " +
+          "chain is deeper than the budget; raise maxPhases (each " +
+          "phase peels one link of the chain)")
+      val init = active.select(col("id"), col("id").as("lb"))
+      val f = minProp(e, init)
+      val b = minProp(e.select(col("t").as("s"), col("s").as("t")),
+        init)
+      val done = ckpt(f.join(b.select(col("id"),
+          col("lb").as("lb2")), Seq("id"))
+        .filter(col("lb") === col("lb2"))
+        .select(col("id"), col("lb").as("scc")))
+      result = Some(result.fold(done)(r => ckpt(r.unionAll(done))))
+      active = ckpt(active.join(done.select("id"), Seq("id"),
+        "left_anti"))
+      activeCount = active.count()
+      if (activeCount > 0)
+        e = ckpt(e
+          .join(done.select(col("id").as("s")), Seq("s"), "left_anti")
+          .join(done.select(col("id").as("t")), Seq("t"), "left_anti"))
+    }
+    result.getOrElse(active.select(col("id"), col("id").as("scc")))
+  }
+
   /** LINK-PREDICTION scores for non-adjacent node pairs at distance 2
     * — the classic neighborhood-overlap candidates (Liben-Nowell &
     * Kleinberg 2003): for every pair (a, b) with no edge but ≥

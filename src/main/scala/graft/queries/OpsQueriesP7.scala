@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries.QShared._
@@ -234,6 +234,46 @@ private[queries] object OpsQueriesP7 {
             "event_type" -> col("event_type")),
           floor(col("value") / 100).cast("long"), k = 15, l = 2)
         .orderBy("cohort", "event_type")),
+    "q387_topo_layers" -> ((s, d) => {
+      // longest-path (topological) layers of a guaranteed-acyclic
+      // dependency DAG: co-purchase edges restricted to consecutive
+      // %16 stages (every path strictly climbs the stage, so depth
+      // <= 15 at ANY scale); the op's extra-round convergence check
+      // doubles as the loud acyclicity certificate
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") &&
+            pmod(col("x.p"), lit(16L)) + 1 === pmod(col("y.p"),
+              lit(16L)))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      graft.ops.Graph.topoLayers(e, col("a"), col("b"), rounds = 16)
+        .orderBy("id")
+    }),
+    "q388_scc" -> ((s, d) => {
+      // strongly connected components of a directed page-link graph
+      // (fixed page universe, the q227 crawl's canonical shape):
+      // per-site 3-cycles + a one-way ring over sites 0-3 (one
+      // 12-page SCC) + a one-way bridge into site 4 (forces a second
+      // peel phase) + two isolated site cycles; the closure oracle
+      // certifies the SEMANTIC answer, not the iteration
+      val id = col("did")
+      val d0 = t(s, d, "documents").select(col("doc_id").as("did"))
+      def page(site: Column, p: Column) = site * 20L + p
+      val e1 = d0.select(
+        page(id % 7, id % 3).as("a"),
+        page(id % 7, (id % 3 + 1) % 3).as("b"))
+      val e2 = d0.filter(id % 3 === 0 && id % 7 < 4)
+        .select(page(id % 7, id % 3).as("a"),
+          page((id % 7 + 1) % 4, id % 3).as("b"))
+      val e3 = d0.filter(id % 11 === 0 && id % 7 === 1)
+        .select(page(id % 7, id % 3).as("a"),
+          page(lit(4L), id % 3).as("b"))
+      graft.ops.Graph.stronglyConnectedComponents(
+          e1.unionAll(e2).unionAll(e3), col("a"), col("b"))
+        .orderBy("id")
+    }),
     "q379_harmonic" -> ((s, d) => {
       // pivot-sampled harmonic centrality over the %5 co-purchase
       // graph from the %997 seed parts (the q345 pivot stance) -- ONE
@@ -361,6 +401,32 @@ private[queries] object OpsQueriesP7 {
          FROM ex""",
     "q379_harmonic" ->
       harmonicOracle(mod = 5, seedMod = 997, depth = 4),
+    "q387_topo_layers" -> topoLayersOracle(mod = 5, rounds = 16),
+    "q388_scc" ->
+      """WITH RECURSIVE d AS (SELECT doc_id AS id FROM documents),
+         e0 AS (
+           SELECT (id % 7) * 20 + (id % 3) AS s,
+             (id % 7) * 20 + ((id % 3) + 1) % 3 AS t FROM d
+           UNION ALL
+           SELECT (id % 7) * 20 + (id % 3),
+             (((id % 7) + 1) % 4) * 20 + (id % 3) FROM d
+           WHERE id % 3 = 0 AND id % 7 < 4
+           UNION ALL
+           SELECT (id % 7) * 20 + (id % 3), 80 + (id % 3) FROM d
+           WHERE id % 11 = 0 AND id % 7 = 1),
+         e AS (SELECT DISTINCT s, t FROM e0 WHERE s <> t),
+         n AS (SELECT DISTINCT id FROM (
+                 SELECT s AS id FROM e UNION ALL SELECT t FROM e)),
+         r(s, t) AS (
+           SELECT s, t FROM e
+           UNION
+           SELECT r.s, e.t FROM r JOIN e ON e.s = r.t),
+         mut AS (SELECT r1.s AS a, r1.t AS b FROM r r1
+                 JOIN r r2 ON r2.s = r1.t AND r2.t = r1.s),
+         lab AS (SELECT b AS id, min(a) AS m FROM mut GROUP BY b)
+         SELECT n.id,
+           CAST(least(n.id, coalesce(l.m, n.id)) AS BIGINT) AS scc
+         FROM n LEFT JOIN lab l ON l.id = n.id ORDER BY n.id""",
     "q386_k_anonymity" ->
       """WITH g AS (SELECT user_id % 100 AS cohort, event_type,
                CAST(count(*) AS BIGINT) AS n,

@@ -896,6 +896,35 @@ private[queries] object QShared {
        FROM dist$depth WHERE dist > 0 GROUP BY id ORDER BY id"""
   }
 
+  /** The q387 oracle: `rounds` unrolled max-relaxation rounds of the
+    * topological-layer (longest-path) computation over the
+    * consecutive-%16-stage co-purchase DAG — the [[coreNumbersOracle]]
+    * stance: a converged round is idempotent, so a fixed unroll ≥ the
+    * DAG depth (≤ 15 here BY CONSTRUCTION — paths strictly climb the
+    * stage) replays the op bit-for-bit; the op's own extra-round check
+    * certifies acyclicity engine-side. */
+  def topoLayersOracle(mod: Int, rounds: Int): String = {
+    val steps = (0 until rounds).map { i =>
+      s"""l${i + 1} AS MATERIALIZED (SELECT l.id,
+           greatest(l.layer, coalesce(m.c, 0)) AS layer
+         FROM l$i l LEFT JOIN (
+           SELECT e.t AS id, max(x.layer) + 1 AS c
+           FROM e JOIN l$i x ON x.id = e.s GROUP BY e.t) m
+           ON m.id = l.id)"""
+    }.mkString(",\n       ")
+    s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+             WHERE l_orderkey % $mod = 0),
+       e AS (SELECT DISTINCT x.p AS s, y.p AS t
+             FROM li x JOIN li y ON x.o = y.o
+               AND (x.p % 16) + 1 = (y.p % 16)
+             WHERE x.p <> y.p),
+       n AS (SELECT DISTINCT id FROM (
+               SELECT s AS id FROM e UNION ALL SELECT t FROM e)),
+       l0 AS (SELECT id, CAST(0 AS BIGINT) AS layer FROM n),
+       $steps
+       SELECT id, layer FROM l$rounds ORDER BY id"""
+  }
+
   /** The q370 oracle: Leiden-style connectivity refinement of the
     * level-1 Louvain assignment — each community split into the
     * connected components of its intra-community subgraph, with the

@@ -279,6 +279,52 @@ class Wave11Spec extends AnyFunSuite with BeforeAndAfterAll {
       r.getDouble(8) == 1.0, r.toString) // (7-5) - (3-2)
   }
 
+  test("topoLayers: diamond DAG longest-path layers; cycles and " +
+      "under-provisioned rounds fail fast via the extra-round check") {
+    import spark.implicits._
+    val dag = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val got = graft.ops.Graph.topoLayers(dag, col("a"), col("b"),
+        rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L,
+      5L -> 3L), got.toString)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Graph.topoLayers(cyc, col("a"), col("b"), rounds = 5)
+    }
+    assert(ex.getMessage.contains("not converged"), ex.getMessage)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.ops.Graph.topoLayers(path, col("a"), col("b"), rounds = 2)
+    }
+    assert(ex2.getMessage.contains("not converged"), ex2.getMessage)
+  }
+
+  test("stronglyConnectedComponents: triangles + one-way bridge, " +
+      "shared-node figure eight, DAG singletons; maxPhases is loud") {
+    import spark.implicits._
+    def run(e: Seq[(Long, Long)], phases: Int = 10) =
+      graft.ops.Graph.stronglyConnectedComponents(e.toDF("a", "b"),
+          col("a"), col("b"), maxPhases = phases)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // two 3-cycles, one-way bridge: two SCCs, min-member labels
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
+    // figure eight sharing node 2: all mutually reachable
+    assert(run(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // DAG path: every node its own SCC (one peel phase per link —
+    // the documented chain bound)
+    assert(run(Seq((1L, 2L), (2L, 3L))) ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    val ex = intercept[IllegalArgumentException] {
+      run(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), phases = 2)
+    }
+    assert(ex.getMessage.contains("maxPhases"), ex.getMessage)
+  }
+
   test("kAnonymityReport: under-k and under-l groups flag " +
       "independently; compliant groups are excluded") {
     import spark.implicits._
