@@ -274,6 +274,45 @@ private[queries] object OpsQueriesP7 {
           e1.unionAll(e2).unionAll(e3), col("a"), col("b"))
         .orderBy("id")
     }),
+    "q389_scc_condensation" -> ((s, d) => {
+      // the composition a crawl analysis actually runs: SCC -> edge
+      // contraction by SCC label -> topological layers of the
+      // condensation DAG (acyclic BY THEOREM, so topoLayers'
+      // convergence check is a structural self-test). Output: one row
+      // per SCC with its size and its depth in the condensation
+      val id = col("did")
+      val d0 = t(s, d, "documents").select(col("doc_id").as("did"))
+      def page(site: Column, p: Column) = site * 20L + p
+      val e1 = d0.select(
+        page(id % 7, id % 3).as("a"),
+        page(id % 7, (id % 3 + 1) % 3).as("b"))
+      val e2 = d0.filter(id % 3 === 0 && id % 7 < 4)
+        .select(page(id % 7, id % 3).as("a"),
+          page((id % 7 + 1) % 4, id % 3).as("b"))
+      val e3 = d0.filter(id % 11 === 0 && id % 7 === 1)
+        .select(page(id % 7, id % 3).as("a"),
+          page(lit(4L), id % 3).as("b"))
+      val e = e1.unionAll(e2).unionAll(e3)
+        .localCheckpoint(eager = true) // read twice: scc + contraction
+      val scc = graft.ops.Graph.stronglyConnectedComponents(e,
+          col("a"), col("b"))
+        .localCheckpoint(eager = true) // read 3x: contraction x2 + sizes
+      val ce = e
+        .join(scc.select(col("id").as("a"), col("scc").as("ca")),
+          Seq("a"))
+        .join(scc.select(col("id").as("b"), col("scc").as("cb")),
+          Seq("b"))
+        .select(col("ca").as("a"), col("cb").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val layers = graft.ops.Graph.topoLayers(ce, col("a"), col("b"),
+        rounds = 6)
+      scc.groupBy(col("scc")).agg(count(lit(1)).as("n_pages"))
+        .join(layers.select(col("id").as("scc"), col("layer")),
+          Seq("scc"), "left")
+        .select(col("scc"), col("n_pages"),
+          coalesce(col("layer"), lit(0L)).as("layer"))
+        .orderBy("scc")
+    }),
     "q379_harmonic" -> ((s, d) => {
       // pivot-sampled harmonic centrality over the %5 co-purchase
       // graph from the %997 seed parts (the q345 pivot stance) -- ONE
@@ -402,6 +441,60 @@ private[queries] object OpsQueriesP7 {
     "q379_harmonic" ->
       harmonicOracle(mod = 5, seedMod = 997, depth = 4),
     "q387_topo_layers" -> topoLayersOracle(mod = 5, rounds = 16),
+    "q389_scc_condensation" ->
+      """WITH RECURSIVE d AS (SELECT doc_id AS id FROM documents),
+         e0 AS (
+           SELECT (id % 7) * 20 + (id % 3) AS s,
+             (id % 7) * 20 + ((id % 3) + 1) % 3 AS t FROM d
+           UNION ALL
+           SELECT (id % 7) * 20 + (id % 3),
+             (((id % 7) + 1) % 4) * 20 + (id % 3) FROM d
+           WHERE id % 3 = 0 AND id % 7 < 4
+           UNION ALL
+           SELECT (id % 7) * 20 + (id % 3), 80 + (id % 3) FROM d
+           WHERE id % 11 = 0 AND id % 7 = 1),
+         e AS (SELECT DISTINCT s, t FROM e0 WHERE s <> t),
+         n AS (SELECT DISTINCT id FROM (
+                 SELECT s AS id FROM e UNION ALL SELECT t FROM e)),
+         r(s, t) AS (
+           SELECT s, t FROM e
+           UNION
+           SELECT r.s, e.t FROM r JOIN e ON e.s = r.t),
+         mut AS (SELECT r1.s AS a, r1.t AS b FROM r r1
+                 JOIN r r2 ON r2.s = r1.t AND r2.t = r1.s),
+         lab AS (SELECT b AS id, min(a) AS m FROM mut GROUP BY b),
+         scc AS (SELECT n.id, least(n.id, coalesce(l.m, n.id)) AS scc
+                 FROM n LEFT JOIN lab l ON l.id = n.id),
+         ce AS (SELECT DISTINCT x.scc AS s, y.scc AS t
+                FROM e JOIN scc x ON x.id = e.s
+                  JOIN scc y ON y.id = e.t
+                WHERE x.scc <> y.scc),
+         cn AS (SELECT DISTINCT id FROM (
+                  SELECT s AS id FROM ce UNION ALL SELECT t FROM ce)),
+         l0 AS (SELECT id, CAST(0 AS BIGINT) AS layer FROM cn),
+         l1 AS (SELECT l.id, greatest(l.layer, coalesce(m.c, 0))
+                    AS layer
+                FROM l0 l LEFT JOIN (
+                  SELECT ce.t AS id, max(x.layer) + 1 AS c
+                  FROM ce JOIN l0 x ON x.id = ce.s GROUP BY ce.t) m
+                  ON m.id = l.id),
+         l2 AS (SELECT l.id, greatest(l.layer, coalesce(m.c, 0))
+                    AS layer
+                FROM l1 l LEFT JOIN (
+                  SELECT ce.t AS id, max(x.layer) + 1 AS c
+                  FROM ce JOIN l1 x ON x.id = ce.s GROUP BY ce.t) m
+                  ON m.id = l.id),
+         l6 AS (SELECT l.id, greatest(l.layer, coalesce(m.c, 0))
+                    AS layer
+                FROM l2 l LEFT JOIN (
+                  SELECT ce.t AS id, max(x.layer) + 1 AS c
+                  FROM ce JOIN l2 x ON x.id = ce.s GROUP BY ce.t) m
+                  ON m.id = l.id)
+         SELECT CAST(s.scc AS BIGINT) AS scc,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(coalesce(any_value(l6.layer), 0) AS BIGINT) AS layer
+         FROM scc s LEFT JOIN l6 ON l6.id = s.scc
+         GROUP BY s.scc ORDER BY s.scc""",
     "q388_scc" ->
       """WITH RECURSIVE d AS (SELECT doc_id AS id FROM documents),
          e0 AS (
