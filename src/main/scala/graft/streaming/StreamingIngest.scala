@@ -395,6 +395,54 @@ object StreamingOps {
     }
   }
 
+  final case class KAnonState(n: Long, svals: Seq[String])
+  final case class KAnonRow(grp: String, n: Long, n_sensitive: Long,
+      under_k: Boolean, under_l: Boolean)
+
+  /** Streaming twin of [[graft.ops.Curation.kAnonymityReport]] — the
+    * LIVE release gate: as rows stream in, each quasi-identifier
+    * group's current k-anonymity / l-diversity status updates in
+    * place, so a pipeline can hold a publish until every group it
+    * touched clears (groups only IMPROVE as data accumulates — n and
+    * distinct-sensitive are monotone — which is what makes a live
+    * gate meaningful: a group that clears stays cleared). State is
+    * bounded BY THE SEMANTICS: `under_l` only asks whether the group
+    * has reached `l` distinct sensitive values, so at most `l`
+    * values are ever stored per group (l-sufficient counting) — the
+    * emitted `n_sensitive` therefore SATURATES at `l`, the one
+    * documented divergence from the batch op's exact distinct
+    * (parity: flags always agree; counts agree below the cap, the
+    * StreamingSpec pin). Unlike the batch report this emits EVERY
+    * updated group each batch, compliant or not — the "now
+    * compliant" transition is the signal a gate waits for. Input
+    * columns: `grp STRING` (the pre-concatenated quasi-identifier
+    * combination), `sv STRING`. */
+  def streamingKAnonymity(rows: DataFrame, k: Int,
+      l: Int): org.apache.spark.sql.Dataset[KAnonRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(k >= 1 && l >= 1, "streamingKAnonymity: k, l must be >= 1")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val typed = rows
+      .select(col("grp").cast("string"), col("sv").cast("string"))
+      .as[(String, String)]
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (grp: String, it: Iterator[(String, String)],
+       state: GroupState[KAnonState]) =>
+        val st = state.getOption.getOrElse(KAnonState(0L, Nil))
+        var n = st.n
+        val sv = scala.collection.mutable.LinkedHashSet(st.svals: _*)
+        it.foreach { case (_, s) =>
+          n += 1
+          if (sv.size < l && s != null) sv += s
+        }
+        state.update(KAnonState(n, sv.toSeq))
+        Iterator.single(KAnonRow(grp, n, sv.size.toLong,
+          n < k, sv.size < l))
+    }
+  }
+
   final case class HwState(l: Double, b: Double, s: Seq[Double], i: Int)
   final case class HwRow(k: Long, n: Long, level: Double, trend: Double,
       forecast: Double)

@@ -1561,6 +1561,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streamingKAnonymity: live release gate — flags match the " +
+      "batch audit on the union, counts saturate at l (bounded " +
+      "state), and a violating group flips compliant as data lands") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val q = StreamingOps.streamingKAnonymity(
+        input.toDF().toDF("grp", "sv"), k = 3, l = 2)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("kanon").start()
+    // batch 1: A has 2 rows / 1 sensitive -> under both
+    input.addData(("A", "x"), ("A", "x"), ("B", "x"), ("B", "y"),
+      ("B", "z"))
+    q.processAllAvailable()
+    val b1 = spark.sql("SELECT * FROM kanon").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(b1("A") == ((2L, 1L, true, true)), b1.toString)
+    assert(b1("B") == ((3L, 2L, false, false)), b1.toString) // saturated at l=2 (true distinct 3)
+    // batch 2: A clears both thresholds -> the gate's signal
+    input.addData(("A", "y"), ("A", "x"))
+    q.processAllAvailable()
+    val last = spark.sql(
+        "SELECT * FROM kanon WHERE grp = 'A' ORDER BY n DESC").collect()
+      .head
+    assert(last.getLong(1) == 4L && last.getLong(2) == 2L &&
+      !last.getBoolean(3) && !last.getBoolean(4), last.toString)
+    // flags agree with the batch audit on the union (A/B both clear
+    // -> batch report is empty; a still-violating C would appear)
+    val batch = graft.ops.Curation.kAnonymityReport(
+      Seq(("A", "x"), ("A", "x"), ("B", "x"), ("B", "y"), ("B", "z"),
+        ("A", "y"), ("A", "x")).toDF("g", "sv"),
+      Seq("g" -> col("g")), col("sv"), k = 3, l = 2)
+    assert(batch.count() == 0L)
+    q.stop()
+  }
+
   test("streamingAmsF2: sign-sum state merges across batches; final " +
       "emission equals the batch sketch on the union (unconditional " +
       "parity — no arrival-order caveat)") {
