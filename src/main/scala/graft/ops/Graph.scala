@@ -1643,14 +1643,20 @@ object Graph {
     * b(v) = x` certifies v and x mutually reachable, so those nodes
     * finalize with their SCC's MINIMUM MEMBER ID as the label
     * (exactly [[Dedup.duplicateClusters]]' label convention), are
-    * removed, and the next phase runs on the rest. Each phase
-    * finalizes at least the SCC of every active weak component's
-    * minimum id — progress is guaranteed — but a CHAIN of SCCs costs
-    * a phase per link (the known synchronous-SCC bound, same class as
-    * GraphX's implementation), so `maxPhases` is a loud `require`,
-    * not a truncation; for DAG-heavy graphs run [[topoLayers]] on the
-    * condensation instead. Output `(id, scc)` for every node with an
-    * edge.
+    * removed, and the next phase runs on the rest. Each phase opens
+    * with a TRIM loop: an active node with no in-edge or no out-edge
+    * in the active subgraph is a singleton SCC and finalizes without
+    * any fixpoint (each trim round is two anti-joins — far cheaper
+    * than a propagation round — so DAG periphery and tails peel at
+    * O(tail-length) trim rounds, not fw/bw phases; the standard
+    * FW-BW trimming optimization). Each remaining phase finalizes at
+    * least the SCC of every active weak component's minimum id —
+    * progress is guaranteed — but a CHAIN of NON-TRIVIAL SCCs still
+    * costs a phase per link (the known synchronous-SCC bound, same
+    * class as GraphX's implementation), so `maxPhases` is a loud
+    * `require`, not a truncation; for DAG-heavy condensations run
+    * [[topoLayers]] on the contracted graph instead. Output
+    * `(id, scc)` for every node with an edge.
     *
     * Scale shape: every inner round is one equi-join of the |active|
     * label frame against the static active edge list + one grouped
@@ -1712,6 +1718,39 @@ object Graph {
           s"active after maxPhases = $maxPhases — the SCC condensation " +
           "chain is deeper than the budget; raise maxPhases (each " +
           "phase peels one link of the chain)")
+      // trim: nodes with no in-edge or no out-edge in the active
+      // subgraph are singleton SCCs — finalize without any fixpoint
+      var trimming = true
+      var trimRounds = 0
+      while (trimming && activeCount > 0) {
+        trimRounds += 1
+        require(trimRounds <= maxRounds,
+          s"stronglyConnectedComponents: trim exceeded maxRounds = " +
+            s"$maxRounds — raise maxRounds")
+        val trivial = ckpt(active
+          .join(e.select(col("s").as("id")).distinct(), Seq("id"),
+            "left_anti")
+          .unionAll(active
+            .join(e.select(col("t").as("id")).distinct(), Seq("id"),
+              "left_anti"))
+          .distinct())
+        val nTrivial = trivial.count()
+        if (nTrivial == 0) trimming = false
+        else {
+          val done = trivial.select(col("id"), col("id").as("scc"))
+          result = Some(result.fold(done)(r => ckpt(r.unionAll(done))))
+          active = ckpt(active.join(trivial, Seq("id"), "left_anti"))
+          activeCount -= nTrivial
+          e = ckpt(e
+            .join(trivial.select(col("id").as("s")), Seq("s"),
+              "left_anti")
+            .join(trivial.select(col("id").as("t")), Seq("t"),
+              "left_anti"))
+        }
+      }
+      if (activeCount == 0) {
+        return result.get
+      }
       val init = active.select(col("id"), col("id").as("lb"))
       val f = minProp(e, init)
       val b = minProp(e.select(col("t").as("s"), col("s").as("t")),

@@ -315,12 +315,19 @@ class Wave11Spec extends AnyFunSuite with BeforeAndAfterAll {
     // figure eight sharing node 2: all mutually reachable
     assert(run(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))) ==
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
-    // DAG path: every node its own SCC (one peel phase per link —
-    // the documented chain bound)
-    assert(run(Seq((1L, 2L), (2L, 3L))) ==
-      Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // DAG path: every node its own SCC — the TRIM loop finalizes the
+    // whole chain inside phase 1 (no fw/bw fixpoint needed)
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)),
+      phases = 1) ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+    // a chain of NON-TRIVIAL SCCs still costs a phase per link —
+    // the documented loud bound (trim can't touch cycle nodes)
+    val chain = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L),
+      (5L, 6L), (6L, 5L), (2L, 3L), (4L, 5L))
+    assert(run(chain, phases = 3) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 5L))
     val ex = intercept[IllegalArgumentException] {
-      run(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), phases = 2)
+      run(chain, phases = 2)
     }
     assert(ex.getMessage.contains("maxPhases"), ex.getMessage)
   }
