@@ -1216,6 +1216,14 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
     graft.ops.Scale.amsF2(df, col(keyCol), k)
   }
 
+  /** [[graft.ops.Experiment.effectSizes]] with name-based columns:
+    * Cohen's d / Hedges' g / Cliff's δ for a two-arm comparison. */
+  def effectSizes(units: DataFrame, armCol: String,
+      metricCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.effectSizes(units, col(armCol), col(metricCol))
+  }
+
   /** [[graft.ops.Graph.topoLayers]] with name-based columns:
     * longest-path DAG layers with the loud acyclicity check. */
   def topoLayers(edges: DataFrame, srcCol: String, dstCol: String,

@@ -1113,6 +1113,53 @@ object Experiment {
           (col("mu_c_post") - col("mu_c_pre")), 4).as("did"))
   }
 
+  /** Effect-SIZE report for a two-arm comparison — the magnitude half
+    * the test family leaves out: [[welchTTest]]/[[mannWhitney]] say
+    * whether the arms differ, these say HOW MUCH, in units a reader
+    * can act on. One row: Cohen's d (pooled-SD standardized mean
+    * difference), Hedges' g (d with the small-sample correction
+    * `J = 1 − 3/(4n − 9)`), and Cliff's δ (the rank effect size,
+    * `2U/(n_a·n_b) − 1` ∈ [−1, 1] — the probability a b-arm draw
+    * beats an a-arm draw minus the reverse, reusing [[mannWhitney]]'s
+    * midrank U so ties count half). Arms 0/1 as in [[abTest]].
+    * Output `(n_a, n_b, mean_a, mean_b, cohen_d, hedges_g,
+    * cliffs_delta)` (4dp; d/g null when the pooled variance is 0).
+    *
+    * Plan: one moments partial-agg + the [[mannWhitney]] collapse —
+    * two passes over the units, everything after is 1-row scalar
+    * arithmetic. */
+  def effectSizes(units: DataFrame, armCol: Column,
+      metricCol: Column): DataFrame = {
+    val s = units.select(armCol.cast("int").as("arm"),
+        metricCol.cast("double").as("m"))
+      .filter(col("m").isNotNull &&
+        (col("arm") === 0 || col("arm") === 1))
+    val mom = s.groupBy("arm")
+      .agg(count(lit(1)).as("n"), avg("m").as("mu"),
+        var_samp("m").as("v"))
+    val a = mom.filter(col("arm") === 0)
+      .select(col("n").as("n_a"), col("mu").as("mu_a"),
+        col("v").as("v_a"))
+    val b = mom.filter(col("arm") === 1)
+      .select(col("n").as("n_b"), col("mu").as("mu_b"),
+        col("v").as("v_b"))
+    val u = mannWhitney(units, armCol, metricCol).select(col("u"))
+    val sp = sqrt(((col("n_a") - 1) * col("v_a") +
+      (col("n_b") - 1) * col("v_b")) /
+      (col("n_a") + col("n_b") - 2))
+    val d = (col("mu_b") - col("mu_a")) / sp
+    val j = lit(1.0) -
+      lit(3.0) / (lit(4.0) * (col("n_a") + col("n_b")) - 9)
+    a.crossJoin(b).crossJoin(u)
+      .select(col("n_a"), col("n_b"),
+        round(col("mu_a"), 4).as("mean_a"),
+        round(col("mu_b"), 4).as("mean_b"),
+        round(when(sp > 0, d), 4).as("cohen_d"),
+        round(when(sp > 0, d * j), 4).as("hedges_g"),
+        round((lit(2.0) * col("u") - col("n_a") * col("n_b")) /
+          (col("n_a") * col("n_b")), 4).as("cliffs_delta"))
+  }
+
   /** SEASONAL Mann–Kendall (Hirsch & Slack 1984) — [[mannKendall]]
     * computed WITHIN each season and summed: a daily metric with a
     * strong weekday cycle shows spurious "trend" (or hides a real

@@ -274,6 +274,15 @@ private[queries] object OpsQueriesP7 {
           e1.unionAll(e2).unionAll(e3), col("a"), col("b"))
         .orderBy("id")
     }),
+    "q390_effect_sizes" -> ((s, d) => {
+      // the magnitude half of the q290/q293 test pair on the same
+      // per-user units: Cohen's d, Hedges' g, and Cliff's delta
+      // (midrank U reused, ties count half)
+      val units = ev(s, d).groupBy("user_id")
+        .agg(sum("value").as("m"))
+        .select((col("user_id") % 2).cast("int").as("arm"), col("m"))
+      graft.ops.Experiment.effectSizes(units, col("arm"), col("m"))
+    }),
     "q389_scc_condensation" -> ((s, d) => {
       // the composition a crawl analysis actually runs: SCC -> edge
       // contraction by SCC label -> topological layers of the
@@ -441,6 +450,47 @@ private[queries] object OpsQueriesP7 {
     "q379_harmonic" ->
       harmonicOracle(mod = 5, seedMod = 997, depth = 4),
     "q387_topo_layers" -> topoLayersOracle(mod = 5, rounds = 16),
+    "q390_effect_sizes" ->
+      """WITH u AS (SELECT CAST(user_id % 2 AS INT) AS arm,
+                 sum(value) AS m
+               FROM events GROUP BY user_id),
+         mo AS (SELECT arm, count(*) AS n, avg(m) AS mu,
+                  var_samp(m) AS v
+                FROM u GROUP BY arm),
+         pv AS (SELECT m, count(*) AS t,
+                  CAST(sum(arm) AS BIGINT) AS n1v
+                FROM u GROUP BY m),
+         r AS (SELECT t, n1v,
+                 coalesce(sum(t) OVER (ORDER BY m
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + (t + 1) / 2.0 AS midrank
+               FROM pv),
+         uu AS (SELECT round(sum(n1v * midrank)
+                  - (SELECT CAST(sum(n1v) AS BIGINT) FROM pv)
+                    * ((SELECT CAST(sum(n1v) AS BIGINT) FROM pv) + 1)
+                    / 2.0, 4) AS u
+                FROM r),
+         ab AS (SELECT
+             (SELECT n FROM mo WHERE arm = 0) AS n_a,
+             (SELECT mu FROM mo WHERE arm = 0) AS mu_a,
+             (SELECT v FROM mo WHERE arm = 0) AS v_a,
+             (SELECT n FROM mo WHERE arm = 1) AS n_b,
+             (SELECT mu FROM mo WHERE arm = 1) AS mu_b,
+             (SELECT v FROM mo WHERE arm = 1) AS v_b),
+         c AS (SELECT ab.*, uu.u,
+                 sqrt(((n_a - 1) * v_a + (n_b - 1) * v_b)
+                   / (n_a + n_b - 2)) AS sp
+               FROM ab, uu)
+         SELECT n_a, n_b, round(mu_a, 4) AS mean_a,
+           round(mu_b, 4) AS mean_b,
+           round(CASE WHEN sp > 0 THEN (mu_b - mu_a) / sp END, 4)
+             AS cohen_d,
+           round(CASE WHEN sp > 0 THEN (mu_b - mu_a) / sp *
+             (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9)) END, 4)
+             AS hedges_g,
+           round((2.0 * u - n_a * n_b) / (n_a * n_b), 4)
+             AS cliffs_delta
+         FROM c""",
     "q389_scc_condensation" ->
       """WITH RECURSIVE d AS (SELECT doc_id AS id FROM documents),
          e0 AS (

@@ -332,6 +332,22 @@ class Wave11Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("maxPhases"), ex.getMessage)
   }
 
+  test("effectSizes: hand-computed d, small-sample g, and tie-aware " +
+      "Cliff's delta") {
+    import spark.implicits._
+    // arm0 = (1,2,3): mu 2 v 1; arm1 = (2,4,6): mu 4 v 4
+    // sp = sqrt(2.5), d = 2/sp = 1.2649, J = 1 - 3/15 = 0.8,
+    // g = 1.0119; U = 7.5 (one tie at 2) -> delta = 15/9 - 1 = 0.6667
+    val units = Seq((0, 1.0), (0, 2.0), (0, 3.0),
+      (1, 2.0), (1, 4.0), (1, 6.0)).toDF("arm", "m")
+    val r = graft.ops.Experiment.effectSizes(units, col("arm"),
+      col("m")).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L &&
+      r.getDouble(2) == 2.0 && r.getDouble(3) == 4.0 &&
+      r.getDouble(4) == 1.2649 && r.getDouble(5) == 1.0119 &&
+      r.getDouble(6) == 0.6667, r.toString)
+  }
+
   test("kAnonymityReport: under-k and under-l groups flag " +
       "independently; compliant groups are excluded") {
     import spark.implicits._
