@@ -5,13 +5,16 @@ import org.apache.spark.sql.functions._
 
 import graft.queries.QShared._
 
-/** Part 7 of the ops query registry (round-13 third wave,
-  * q373_leiden_three_level..) — graph-quality completion (the
-  * refine-every-level Leiden pipeline, per-community conductance, core
-  * numbers, sampled harmonic centrality) plus the trend/survival
-  * inference pair (Mann–Kendall, log-rank) and the AMS F₂ join-size
-  * sketch. Same contract as the other parts: every query carries a
-  * co-located DuckDB oracle; [[OpsQueries]] merges the parts. */
+/** Part 7 of the ops query registry (round-13 third/fourth waves,
+  * q373–q390) — graph-quality completion (the refine-every-level
+  * Leiden pipeline, per-community conductance, core numbers, sampled
+  * harmonic centrality, link prediction, the directed family:
+  * topological layers / SCC / condensation), the inference family
+  * (Mann–Kendall plain + seasonal, log-rank, CMH, DiD, changepoint,
+  * effect sizes, seasonal decomposition), the AMS F₂ join-size
+  * sketch, and the k-anonymity/l-diversity release audit. Same
+  * contract as the other parts: every query carries a co-located
+  * DuckDB oracle; [[OpsQueries]] merges the parts. */
 private[queries] object OpsQueriesP7 {
 
   /** The %9 co-purchase graph shared by the graph-quality queries —
