@@ -1,5 +1,8 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints one JSON line. Timing notes:
@@ -67,8 +70,29 @@ object Bench {
         .digest(norm.getBytes("UTF-8"))
         .take(6).map(b => f"$b%02x").mkString
     }
+    // Per-query executor-side evidence (round-13 verdict ask #2): the
+    // q100-class driver-window spikes needed three rounds of manual
+    // MEASUREMENT.md lore to dismiss. Recording aggregate TASK time and
+    // JOB count next to each wall median makes the adjudication
+    // mechanical: a >2x wall ratio with an IDENTICAL plan hash and
+    // taskSec inside the baseline band is ambient cadence amplification
+    // (scheduler gaps on a loaded host), not a regression — the rule
+    // lives in MEASUREMENT.md. Counters are per-query totals over all
+    // reps divided by reps (the listener bus is async; one settle sleep
+    // per query bounds cross-query bleed without JobProbe's per-rep
+    // sleeps, which would add minutes to the full suite).
+    val jobsCtr = new AtomicInteger(0)
+    val taskMs = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobsCtr.incrementAndGet()
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
+    })
     val results = selected.map { case (name, fn) =>
       var lastDf: org.apache.spark.sql.DataFrame = null
+      Thread.sleep(120) // settle the async listener bus between queries
+      jobsCtr.set(0); taskMs.set(0)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try {
@@ -80,11 +104,14 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      Thread.sleep(120)
+      val taskSec = taskMs.get / 1e3 / reps
+      val jobsPerRep = jobsCtr.get.toDouble / reps
       val ph = if (lastDf == null) "err"
         else try planHash(lastDf) catch { case _: Throwable => "err" }
-      (name, times(times.size / 2), ph)
+      (name, times(times.size / 2), ph, taskSec, jobsPerRep)
     }
-    val timed = results.map { case (n, t, _) => (n, t) }
+    val timed = results.map { case (n, t, _, _, _) => (n, t) }
     val total = timed.map(_._2).sum
     def line(fmt: ((String, Double)) => String, sf: String,
         extra: String = ""): String = {
@@ -98,9 +125,16 @@ object Bench {
     // physical-plan hashes; the compact line (driver tail budget) omits
     // them — plan flips are diagnosed from the repo artifact, not the
     // tail.
-    val plans = results.map { case (n, _, h) => "\"" + n + "\":\"" + h + "\"" }
+    val plans = results.map { case (n, _, h, _, _) =>
+        "\"" + n + "\":\"" + h + "\"" }
       .mkString(",\"plans\":{", ",", "}")
-    val full = line({ case (k, v) => "\"" + k + "\":" + v }, sfDir, plans)
+    // [taskSec, jobs] per query — the ambient-vs-regression evidence
+    val probe = results.map { case (n, _, _, ts, j) =>
+        "\"" + n + "\":[" +
+          "%.2f,%.1f".formatLocal(java.util.Locale.ROOT, ts, j) + "]" }
+      .mkString(",\"probe\":{", ",", "}")
+    val full = line({ case (k, v) => "\"" + k + "\":" + v }, sfDir,
+      plans + probe)
     println(full)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("tools/bench_last.json"), full + "\n")

@@ -963,8 +963,11 @@ object Experiment {
     * variance `Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18` (t over
     * tied-VALUE group sizes), and the continuity-corrected normal
     * score `z = (S∓1)/√Var` (0 when S = 0 or Var = 0). Output one row
-    * per key: `(key, n, s, var_s, z, trending)` — z 4dp, `trending`
-    * the two-sided 5% call (|z| > 1.96).
+    * per key — INCLUDING single-point keys, which emit `(n=1, s=0,
+    * var_s=0, z=0, trending=false)` rather than vanishing (a trend
+    * audit must see its no-evidence keys; advisor r13):
+    * `(key, n, s, var_s, z, trending)` — z 4dp, `trending` the
+    * two-sided 5% call (|z| > 1.96).
     *
     * Contract: `orderCol` must be unique within a key (feed a
     * pre-aggregated daily/hourly grain — also what keeps n honest);
@@ -995,7 +998,12 @@ object Experiment {
         sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
           .as("tcorr"),
         sum(col("t")).as("n"))
-    pairs.join(ties, Seq("k"))
+    // left join FROM ties (it has every key): a single-point key has
+    // no pair rows but the scaladoc promises one row per key — it
+    // emits n=1, s=0, var_s=0, z=0, trending=false (advisor r13); the
+    // variance formula already yields exactly 0 at n=1
+    ties.join(pairs, Seq("k"), "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
       .withColumn("var_s",
         (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) -
           col("tcorr")).cast("double") / 18.0)
@@ -1202,7 +1210,11 @@ object Experiment {
       .agg(sum(col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) -
           col("tcorr")).as("var_num"),
         sum(col("n")).as("n"))
-    pairs.join(perPhase, Seq("k"))
+    // left join FROM perPhase for the same one-row-per-key contract
+    // as [[mannKendall]] (advisor r13): all-singleton-phase keys emit
+    // s=0, var_s=0, z=0, trending=false instead of vanishing
+    perPhase.join(pairs, Seq("k"), "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
       .withColumn("var_s", col("var_num").cast("double") / 18.0)
       .withColumn("z",
         when(col("s") > 0 && col("var_s") > 0,

@@ -432,7 +432,10 @@ object Scale extends Serializable {
     * of an equi-self-join; per-key pair dedup costs the same order).
     * Each of `k` estimators draws a ±1 sign per key value from the
     * md5-portable hash ([[graft.expr.PortableHash]] — parity of the
-    * 60-bit prefix of `md5(j || ':' || key)`), keeps the running sign
+    * 60-bit prefix of `md5(lpad(j, 2, '0') || ':' || key)`; j is
+    * zero-padded so the seed is injective across (j, key) — a bare
+    * concat would alias j=12/key="x" with j=1/key="2:x" and correlate
+    * estimators on digit-colon-prefixed keys), keeps the running sign
     * sum `Z_j = Σ_rows sign_j(key)`, and estimates `F₂ ≈ Z_j²`;
     * averaging the k estimators bounds the variance (≤ 2F₂²/k). The
     * md5 draw makes the whole sketch REPLAYABLE: same rows → same
@@ -458,8 +461,13 @@ object Scale extends Serializable {
       .filter(col("key").isNotNull)
       .select(explode(sequence(lit(1), lit(k))).as("j"), col("key"))
       .select(col("j"),
+        // j zero-padded to 2 digits (k <= 64): a bare concat is not
+        // injective across (j, key) — j=12/key="x" and j=1/key="2:x"
+        // would share sign draws, correlating estimators and weakening
+        // the 2F₂²/k variance bound (advisor, round 13)
         when(graft.expr.PortableHash.hex15Col(
-          concat_ws(":", col("j"), col("key"))) % 2 === 0, 1L)
+          concat(lpad(col("j").cast("string"), 2, "0"), lit(":"),
+            col("key"))) % 2 === 0, 1L)
           .otherwise(-1L).as("sgn"))
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     signs.groupBy("j")

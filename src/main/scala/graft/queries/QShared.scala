@@ -586,6 +586,79 @@ private[queries] object QShared {
        FROM m, q0s, q1s"""
   }
 
+  /** The q391 oracle: the CONVERGED external-weight Louvain
+    * certificate — the q368 weighted graph (pair multiplicity +
+    * self-loops), the weighted round chain unrolled to `rounds`, and
+    * per round: the MOVE COUNT (consecutive-round mismatch), the
+    * weighted modularity numerator on the original graph, the
+    * not-worse flag, plus `conv_round` = the op's stop round replayed
+    * from the moved series (first round whose move count AND its
+    * predecessor's are both zero — the two-consecutive-zero-move
+    * rule) and `conv_matches_fixed` pinned `true` BY THE IDEMPOTENCE
+    * THEOREM (a converged schedule's remaining rounds provably move
+    * nothing, so stopping early equals running fixed; the ENGINE
+    * computes the comparison for real against
+    * [[graft.ops.Graph.louvainOneLevelWeightedConverged]]'s actual
+    * output — an earlyStop bug would emit false and mismatch). */
+  def louvainConvergedWOracle(rounds: Int, mod: Int): String = {
+    def qEvalW(p: String, asg: String): String =
+      s"""${p}t AS (SELECT a.cm, CAST(sum(d.deg) AS BIGINT) AS tot
+             FROM $asg a JOIN deg d ON d.id = a.id GROUP BY 1),
+         ${p}i AS (SELECT x.cm, CAST(sum(e0.w) AS BIGINT) AS inn
+             FROM e0 JOIN $asg x ON x.id = e0.a
+               JOIN $asg y ON y.id = e0.b
+             WHERE x.cm = y.cm GROUP BY 1),
+         ${p}s AS (SELECT CAST(sum(4 * m.m * coalesce(i.inn, 0)
+               - t.tot * t.tot) AS BIGINT) AS q
+             FROM ${p}t t LEFT JOIN ${p}i i USING (cm) CROSS JOIN m)"""
+    val aCtes = (1 to rounds).map(i =>
+      s"a$i AS (SELECT id, c AS cm FROM c$i)").mkString(",\n       ")
+    val qCtes = (0 to rounds).map(i => qEvalW(s"q$i", s"a$i"))
+      .mkString(",\n       ")
+    val mvRows = (1 to rounds).map(i =>
+      s"""SELECT $i AS r, CAST((SELECT count(*) FROM a$i x
+           JOIN a${i - 1} y ON y.id = x.id WHERE x.cm <> y.cm)
+           AS BIGINT) AS moved""").mkString("\n         UNION ALL ")
+    val rows = (0 to rounds).map { i =>
+      val nw = if (i == 0) "true" else s"q${i}s.q >= q${i - 1}s.q"
+      val from = if (i == 0) "FROM q0s" else s"FROM q${i}s, q${i - 1}s"
+      s"""SELECT $i AS lvl,
+           (SELECT moved FROM mv WHERE r = $i) AS moved,
+           (SELECT count(DISTINCT cm) FROM a$i) AS n_comm,
+           q${i}s.q AS q_num, $nw AS not_worse $from"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+               WHERE l_orderkey % $mod = 0),
+       pairs AS (SELECT x.p AS a, y.p AS b, count(*) AS w
+                 FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+                 GROUP BY 1, 2),
+       loops AS (SELECT p AS a, p AS b, count(*) AS w FROM li
+                 WHERE p % 10 = 0 GROUP BY p),
+       e0 AS (SELECT a, b, w FROM pairs
+              UNION ALL SELECT a, b, w FROM loops),
+       adj AS (SELECT a AS s, b AS t, w FROM e0 WHERE a <> b
+               UNION ALL SELECT b, a, w FROM e0 WHERE a <> b),
+       m AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM e0),
+       deg AS (SELECT id, CAST(sum(deg) AS BIGINT) AS deg FROM (
+                 SELECT s AS id, w AS deg FROM adj
+                 UNION ALL SELECT a, 2 * w FROM e0 WHERE a = b)
+               GROUP BY id),
+       c0 AS (SELECT id, id AS c FROM deg),
+       ${louvainRoundCtes("", "adj", "deg", "m", rounds,
+         weighted = true)},
+       a0 AS (SELECT id, id AS cm FROM deg),
+       $aCtes,
+       mv AS (SELECT 0 AS r, CAST(0 AS BIGINT) AS moved
+         UNION ALL $mvRows),
+       cr AS (SELECT CAST(min(x.r) AS BIGINT) AS conv_round
+              FROM mv x JOIN mv y ON y.r = x.r - 1
+              WHERE x.r >= 2 AND x.moved = 0 AND y.moved = 0),
+       $qCtes
+       SELECT CAST(lvl AS BIGINT) AS round, moved, n_comm, q_num,
+         not_worse, cr.conv_round, true AS conv_matches_fixed
+       FROM ($rows) CROSS JOIN cr ORDER BY round"""
+  }
+
   /** The q369 oracle: the LEVEL-2 rounds knee — level 1 at the shipped
     * `r1`, contraction, then the WEIGHTED round chain unrolled to `r2`
     * with the modularity numerator re-evaluated on the ORIGINAL graph

@@ -249,6 +249,56 @@ object ScaleRehearsal {
       "q375_core_number" -> (e =>
         graft.ops.Graph.coreNumbers(e, col("a"), col("b"),
           rounds = 8)),
+      // round-14: the DIRECTED family (round-13 verdict ask #4).
+      // q387 shape — max-relaxation over a LAYERED DAG: keep pairs
+      // whose endpoints sit in different mod-8 layers, direct
+      // low→high, so depth ≤ 7 BY CONSTRUCTION and rounds = 8 always
+      // certifies convergence; the 10M replica offset is ≡ 0 mod 8,
+      // so replicas stay isomorphic (depth flat, edge volume ×N)
+      "q387_topo_layers" -> { e =>
+        val la = col("a") % 8
+        val lb = col("b") % 8
+        val dag = e.filter(la =!= lb)
+          .select(when(la < lb, col("a")).otherwise(col("b")).as("s"),
+            when(la < lb, col("b")).otherwise(col("a")).as("t"))
+        graft.ops.Graph.topoLayers(dag, col("s"), col("t"), rounds = 8)
+      },
+      // q388 shape — FW-BW min-label SCC with trimming on the
+      // parity-directed co-purchase digraph (a→b when a+b even, else
+      // b→a; the 10M offset is even, so the direction rule — and with
+      // it the SCC structure, phase count, and propagation diameter —
+      // is replica-invariant while edge volume scales ×N)
+      "q388_scc" -> { e =>
+        val even = (col("a") + col("b")) % 2 === 0
+        val dir = e.select(
+          when(even, col("a")).otherwise(col("b")).as("s"),
+          when(even, col("b")).otherwise(col("a")).as("t"))
+        graft.ops.Graph.stronglyConnectedComponents(dir, col("s"),
+          col("t"), maxPhases = 20, maxRounds = 400)
+      },
+      // q389 shape — the full composition: SCC, contraction by SCC
+      // label, topoLayers on the condensation DAG (acyclic by
+      // theorem; depth replica-invariant, probed at 1× and pinned)
+      "q389_condensation" -> { e =>
+        val even = (col("a") + col("b")) % 2 === 0
+        val dir = e.select(
+            when(even, col("a")).otherwise(col("b")).as("s"),
+            when(even, col("b")).otherwise(col("a")).as("t"))
+          .localCheckpoint(true)
+        val scc = graft.ops.Graph.stronglyConnectedComponents(dir,
+            col("s"), col("t"), maxPhases = 20, maxRounds = 400)
+          .localCheckpoint(true)
+        val ce = dir
+          .join(scc.select(col("id").as("s"), col("scc").as("ca")),
+            Seq("s"))
+          .join(scc.select(col("id").as("t"), col("scc").as("cb")),
+            Seq("t"))
+          .select(col("ca").as("s"), col("cb").as("t"))
+          .filter(col("s") =!= col("t")).distinct()
+        graft.ops.Graph.topoLayers(ce, col("s"), col("t"),
+          rounds = sys.env.getOrElse("SPARK_GRAFT_COND_ROUNDS", "16")
+            .toInt)
+      },
       // round-13 third wave: tagged multi-source BFS (min-union state
       // (src, id, dist)) — the seed count scales with the graph here
       // (%997 of node ids), so the measured exponent covers state

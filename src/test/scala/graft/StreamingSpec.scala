@@ -1169,6 +1169,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       ex2.getMessage)
   }
 
+  test("drift twins: oversized frozen assignment/degree tables fail " +
+      "loudly BEFORE the driver collect, naming the batch equi-join " +
+      "alternative (round-13 verdict ask #1)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.{col => c, count => cnt, lit}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val deg = edges.select(c("a").as("id"))
+      .unionAll(edges.select(c("b").as("id")))
+      .groupBy("id").agg(cnt(lit(1)).as("d"))             // 4 nodes
+    val asg = (1L to 4L).map(i => (i, 1L)).toDF("id", "cm") // 4 entries
+    // modularity drift: assignment of 4 entries > cap 3
+    val ex = intercept[IllegalArgumentException] {
+      StreamingOps.streamingModularityDrift(
+        MemoryStream[(String, Long, Long)].toDF().toDF("k", "a", "b"),
+        asg, c("id"), c("cm"), maxAssignEntries = 3L)
+    }
+    assert(ex.getMessage.contains("maxAssignEntries") &&
+      ex.getMessage.contains("frozen assignment") &&
+      ex.getMessage.contains("equi-join") &&
+      ex.getMessage.contains("GiB"), ex.getMessage)
+    // consolidated emitter: same cap trips on the assignment first…
+    val ex2 = intercept[IllegalArgumentException] {
+      StreamingOps.streamingGraphDrift(
+        MemoryStream[(String, Long, Long)].toDF().toDF("k", "a", "b"),
+        asg, c("id"), c("cm"), deg, c("id"), c("d"), edges, c("a"),
+        c("b"), maxAssignEntries = 3L)
+    }
+    assert(ex2.getMessage.contains("streamingGraphDrift") &&
+      ex2.getMessage.contains("frozen assignment"), ex2.getMessage)
+    // …and on the degree snapshot when the assignment fits (1 entry)
+    val ex3 = intercept[IllegalArgumentException] {
+      StreamingOps.streamingGraphDrift(
+        MemoryStream[(String, Long, Long)].toDF().toDF("k", "a", "b"),
+        Seq((1L, 1L)).toDF("id", "cm"), c("id"), c("cm"), deg, c("id"),
+        c("d"), edges, c("a"), c("b"), maxAssignEntries = 3L)
+    }
+    assert(ex3.getMessage.contains("frozen degree snapshot"),
+      ex3.getMessage)
+    // at the default knob the small fixtures still run (guard is loud,
+    // not lossy): the consolidated emitter constructs fine
+    StreamingOps.streamingGraphDrift(
+      MemoryStream[(String, Long, Long)].toDF().toDF("k", "a", "b"),
+      asg, c("id"), c("cm"), deg, c("id"), c("d"), edges, c("a"), c("b"))
+  }
+
   test("bootstrap empty-rank contracts: the batch diff CI " +
       "raise_errors while the streaming twin emits None bounds on " +
       "the same one-arm feed (the documented divergence, pinned)") {

@@ -135,6 +135,24 @@ class Wave11Spec extends AnyFunSuite with BeforeAndAfterAll {
         col("v")).collect()
     }
     assert(ex.getMessage.contains("duplicate order"), ex.getMessage)
+    // single-point keys emit the no-evidence row instead of vanishing
+    // (advisor r13): one row per key, zeros everywhere
+    val single = Seq(("lone", 1L, 7.0), ("up", 1L, 1.0), ("up", 2L, 2.0))
+      .toDF("k", "o", "v")
+    val sm = graft.ops.Experiment.mannKendall(single, col("k"),
+        col("o"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getBoolean(5))).toMap
+    assert(sm("lone") == ((1L, 0L, 0.0, 0.0, false)), sm("lone").toString)
+    assert(sm.contains("up") && sm.size == 2)
+    // and the seasonal variant with all-singleton phases does the same
+    val sk = graft.ops.Experiment.seasonalMannKendall(
+        Seq(("lone", 1L, 7.0)).toDF("k", "o", "v"), col("k"), col("o"),
+        pmod(col("o"), lit(2L)), col("v")).head()
+    assert(sk.getString(0) == "lone" && sk.getLong(1) == 1L &&
+      sk.getLong(2) == 0L && sk.getDouble(4) == 0.0 &&
+      !sk.getBoolean(5), sk.toString)
   }
 
   test("logRankTest: hand-computed two-group example (early vs late " +
@@ -261,6 +279,28 @@ class Wave11Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("duplicate t"), ex.getMessage)
   }
 
+  test("per-series window ops: maxGrains backstop fails loudly on a " +
+      "fine-grain feed instead of building a giant single-task sort " +
+      "(round-13 verdict ask #5)") {
+    import spark.implicits._
+    val fine = (0L until 10L).map(t => (t, t % 3)).toDF("t", "v")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Temporal.changePointSplit(fine, col("t"), col("v"),
+        maxGrains = 5L)
+    }
+    assert(ex.getMessage.contains("maxGrains") &&
+      ex.getMessage.contains("coarser grain"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.ops.Temporal.seasonalDecompose(fine, col("t"), col("v"),
+        period = 3, maxGrains = 5L)
+    }
+    assert(ex2.getMessage.contains("seasonalDecompose") &&
+      ex2.getMessage.contains("maxGrains"), ex2.getMessage)
+    // at the default knob the same feed passes (guard, not behavior)
+    assert(graft.ops.Temporal.changePointSplit(fine, col("t"), col("v"))
+      .count() == 1L)
+  }
+
   test("didEstimate: four hand-computed cells and the " +
       "parallel-trends difference") {
     import spark.implicits._
@@ -383,10 +423,11 @@ class Wave11Spec extends AnyFunSuite with BeforeAndAfterAll {
     val base = f2sum(df)
     assert(base == f2sum(df.repartition(7).sortWithinPartitions("v")),
       "sign sums must be order/partitioning independent")
-    // local replay of the identical md5 sign draw
+    // local replay of the identical md5 sign draw (zero-padded j —
+    // the injective seed encoding, advisor r13)
     val expected = (1 to 4).map { j =>
       val z = vals.map(v =>
-        if (graft.expr.PortableHash.hex15(s"$j:$v") % 2 == 0) 1L
+        if (graft.expr.PortableHash.hex15(f"$j%02d:$v") % 2 == 0) 1L
         else -1L).sum
       BigDecimal(z) * BigDecimal(z)
     }.sum
