@@ -1250,4 +1250,85 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
     graft.ops.Curation.kAnonymityReport(df,
       quasiCols.map(n => n -> col(n)), col(sensitiveCol), k, l)
   }
+
+  /** [[graft.ops.Experiment.wilcoxonSignedRank]] with name-based
+    * columns: the paired pre/post test. */
+  def wilcoxonSignedRank(pairs: DataFrame, preCol: String,
+      postCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.wilcoxonSignedRank(pairs, col(preCol),
+      col(postCol))
+  }
+
+  /** [[graft.ops.Experiment.fisherExact]] with name-based columns:
+    * the small-cell 2×2 exact test. */
+  def fisherExact(units: DataFrame, aCol: String, bCol: String,
+      maxN: Long = 20000L): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.fisherExact(units, col(aCol), col(bCol), maxN)
+  }
+
+  /** [[graft.ops.Experiment.friedmanTest]] with name-based columns:
+    * blocked repeated-measures rank test. */
+  def friedmanTest(df: DataFrame, blockCol: String, treatCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.friedmanTest(df, col(blockCol), col(treatCol),
+      col(valueCol))
+  }
+
+  /** [[graft.ops.Temporal.crossCorrelation]] with name-based columns:
+    * lead/lag correlation between two series on one grid. */
+  def crossCorrelation(df: DataFrame, tCol: String, xCol: String,
+      yCol: String, maxLag: Int,
+      maxGrains: Long = 2000000L): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Temporal.crossCorrelation(df, col(tCol), col(xCol),
+      col(yCol), maxLag, maxGrains)
+  }
+
+  /** [[graft.ops.Temporal.residualDiagnostics]] with name-based
+    * columns: per-key Durbin–Watson + runs test. */
+  def residualDiagnostics(df: DataFrame, keyCol: String, tCol: String,
+      vCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Temporal.residualDiagnostics(df, col(keyCol), col(tCol),
+      col(vCol))
+  }
+
+  /** [[graft.ops.Graph.linkPredictionWeighted]] with name-based
+    * columns: RA/AA hub-discounted link prediction. */
+  def linkPredictionWeighted(edges: DataFrame, srcCol: String,
+      dstCol: String, minCommon: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Graph.linkPredictionWeighted(edges, col(srcCol),
+      col(dstCol), minCommon)
+  }
+
+  /** [[graft.ops.Graph.randomWalks]] with name-based columns: the
+    * deterministic DeepWalk corpus generator. */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      steps: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Graph.randomWalks(edges, col(srcCol), col(dstCol), steps)
+  }
+
+  /** [[graft.ops.Graph.diameterDoubleSweep]] with name-based columns:
+    * the 2-BFS diameter lower bound with a loud horizon. */
+  def diameterDoubleSweep(edges: DataFrame, srcCol: String,
+      dstCol: String, maxDepth: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Graph.diameterDoubleSweep(edges, col(srcCol),
+      col(dstCol), maxDepth)
+  }
+
+  /** [[graft.ops.Linkage.survivorshipMerge]] with name-based columns:
+    * the golden-record step (canonical pick + majority-vote fields). */
+  def survivorshipMerge(records: DataFrame, clusterCol: String,
+      idCol: String, rankCols: Seq[String],
+      voteCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Linkage.survivorshipMerge(records, col(clusterCol),
+      col(idCol), rankCols.map(col), voteCols.map(n => n -> col(n)))
+  }
 }

@@ -1289,4 +1289,215 @@ object Experiment {
           (col("o1") - col("e1")) * (col("o1") - col("e1")) /
             col("v")).otherwise(0.0) > 3.841).as("significant"))
   }
+
+  /** Wilcoxon signed-rank test over PAIRED observations — the
+    * within-unit sibling of [[mannWhitney]] (which compares two
+    * independent groups): each row is one unit's (pre, post) pair, the
+    * question is whether the paired differences are symmetric around
+    * zero. Zero differences drop (the standard convention), |d| is
+    * ranked with midranks over the pooled nonzero differences,
+    * `W⁺ = Σ ranks of positive d`, and the normal score is
+    * `z = (W⁺ − n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 − Σ(t³−t)/48)`
+    * (tie-corrected, no continuity correction — the [[mannWhitney]]
+    * stance). Output ONE row `(n, n_zero, n_pos, w_plus, z,
+    * significant)` (4dp; two-sided 5%).
+    *
+    * Scale shape (the [[mannWhitney]] discipline on |d|): differences
+    * collapse to per-|value| counted rows — one grouped pass touches
+    * the pairs; midranks come from the range-partitioned weighted
+    * prefix sum over the per-value totals (no row-level global
+    * window); W⁺ and the single output row are per-value-sized
+    * aggregations. Midranks are k/2-exact in double, so every sum
+    * here is order-independent. */
+  def wilcoxonSignedRank(pairs: DataFrame, preCol: Column,
+      postCol: Column): DataFrame = {
+    val d0 = pairs.select(
+        (postCol.cast("double") - preCol.cast("double")).as("d"))
+      .filter(col("d").isNotNull)
+    val zeros = d0.filter(col("d") === 0.0)
+      .agg(count(lit(1)).as("n_zero"))
+    val perAbs = d0.filter(col("d") =!= 0.0)
+      .groupBy(abs(col("d")).as("ad"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("pos"))
+    val ranked = Suffix.withWeightedOffset(perAbs, Seq(col("ad")),
+      col("t"), "cb")
+    ranked
+      .select(col("t"), col("pos"),
+        (col("cb") + (col("t") + 1) / lit(2.0)).as("midrank"))
+      .agg(sum(col("t")).as("n"), sum(col("pos")).as("n_pos"),
+        sum(col("pos") * col("midrank")).as("wp"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie"))
+      .crossJoin(zeros)
+      .select(col("n"), col("n_zero"), col("n_pos"), col("wp"),
+        (col("n") * (col("n") + 1) / lit(4.0)).as("mu"),
+        (col("n") * (col("n") + 1) * (col("n") * 2 + 1) / lit(24.0) -
+          col("tie") / lit(48.0)).as("varw"))
+      .select(
+        coalesce(col("n"), lit(0L)).as("n"), col("n_zero"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        round(coalesce(col("wp"), lit(0.0)), 4).as("w_plus"),
+        round(when(col("varw") > 0,
+            (col("wp") - col("mu")) / sqrt(col("varw")))
+          .otherwise(0.0), 4).as("z"),
+        coalesce(when(col("varw") > 0,
+            abs((col("wp") - col("mu")) / sqrt(col("varw"))) > 1.96)
+          .otherwise(lit(false)), lit(false)).as("significant"))
+  }
+
+  /** Fisher's EXACT test for a 2×2 table — the small-cell companion
+    * to [[chiSquareIndependence]]/[[mcnemarTest]]: when any expected
+    * cell is under ~5 the χ² approximation is dishonest, and the
+    * hypergeometric tail is the real answer. Cells come from one
+    * grouped pass over the units (`a`/`b` boolean columns, nulls
+    * drop); the two-sided p sums every table (over the support
+    * `k ∈ [max(0, r1+c1−n), min(r1, c1)]` of the a=true∧b=true cell)
+    * whose point probability is ≤ the observed table's, with the
+    * 1+1e-7 relative-tolerance inclusion rule (the scipy convention —
+    * it makes the mathematically-tied symmetric tables robust to
+    * last-ulp log differences). Log-pmf terms come from log-factorial
+    * left-folds (`Σ ln i`, fixed ascending order — deterministic on
+    * both engines). Output ONE row `(n11, n12, n21, n22, odds_ratio,
+    * p_two, significant)` (odds 4dp, null when n12·n21 = 0; p 6dp —
+    * exact tests live below 1e-4).
+    *
+    * Contract: an EXACT test is a small-n instrument; `n` above
+    * `maxN` (default 20 000 — the support explode is n-sized) fails
+    * fast and points at [[chiSquareIndependence]], whose normal
+    * regime that is. Scale shape: one partial-agg over the units to
+    * the 1-row cell frame; the support explode and log-factorial
+    * folds are row-local arithmetic on ≤ n+1 rows. */
+  def fisherExact(units: DataFrame, aCol: Column, bCol: Column,
+      maxN: Long = 20000L): DataFrame = {
+    val s = units.select(aCol.cast("boolean").as("a"),
+        bCol.cast("boolean").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val cells = s.agg(
+        coalesce(sum(when(col("a") && col("b"), 1L).otherwise(0L)),
+          lit(0L)).as("n11"),
+        coalesce(sum(when(col("a") && !col("b"), 1L).otherwise(0L)),
+          lit(0L)).as("n12"),
+        coalesce(sum(when(!col("a") && col("b"), 1L).otherwise(0L)),
+          lit(0L)).as("n21"),
+        coalesce(sum(when(!col("a") && !col("b"), 1L).otherwise(0L)),
+          lit(0L)).as("n22"))
+      .select(col("n11"), col("n12"), col("n21"), col("n22"),
+        (col("n11") + col("n12")).as("r1"),
+        (col("n21") + col("n22")).as("r2"),
+        (col("n11") + col("n21")).as("c1"),
+        (col("n12") + col("n22")).as("c2"),
+        (col("n11") + col("n12") + col("n21") + col("n22")).as("nn"))
+      .localCheckpoint(true) // read twice: guard + support explode
+    val nRow = cells.select(col("nn")).collect()
+    val n = if (nRow.isEmpty) 0L else nRow(0).getLong(0)
+    require(n <= maxN,
+      s"fisherExact: n = $n exceeds maxN = $maxN — the exact " +
+        "hypergeometric sum explodes n support tables; at this size " +
+        "the chi-square approximation (chiSquareIndependence) is " +
+        "already exact to far beyond reporting precision")
+    // lf(x) = ln x! as a fixed-order ASCENDING left fold. The x < 2
+    // guard matters: Spark's sequence(2, 0) DESCENDS (step defaults
+    // to -1), it is not empty — an unguarded fold would add ln(0)
+    def lf(x: Column): Column = {
+      val xl = x.cast("long")
+      when(xl >= 2L,
+        aggregate(sequence(lit(2L), greatest(xl, lit(2L))),
+          lit(0.0), (acc, i) => acc + log(i.cast("double"))))
+        .otherwise(lit(0.0))
+    }
+    def lpmf(k: Column): Column =
+      lf(col("r1")) + lf(col("r2")) + lf(col("c1")) + lf(col("c2")) -
+        lf(col("nn")) - lf(k) - lf(col("r1") - k) -
+        lf(col("c1") - k) - lf(col("nn") - col("r1") - col("c1") + k)
+    val support = cells
+      .select(col("*"),
+        explode(sequence(
+          greatest(lit(0L), col("r1") + col("c1") - col("nn")),
+          least(col("r1"), col("c1")))).as("k"))
+      .select(col("*"), exp(lpmf(col("k"))).as("pmf"),
+        exp(lpmf(col("n11"))).as("pmf_obs"))
+    support
+      .groupBy("n11", "n12", "n21", "n22")
+      .agg(sum(when(col("pmf") <= col("pmf_obs") * (1.0 + 1e-7),
+        col("pmf")).otherwise(0.0)).as("p"))
+      .select(col("n11"), col("n12"), col("n21"), col("n22"),
+        round(when(col("n12") * col("n21") > 0,
+            col("n11") * col("n22") /
+              (col("n12") * col("n21")).cast("double")), 4)
+          .as("odds_ratio"),
+        round(least(col("p"), lit(1.0)), 6).as("p_two"),
+        (least(col("p"), lit(1.0)) < 0.05).as("significant"))
+  }
+
+  /** Friedman test over BLOCKED repeated measures — [[kruskalWallis]]
+    * for the design where every block (user cohort, benchmark suite,
+    * day) measures ALL k treatments and the question is whether
+    * treatments differ after blocking out the per-block level. Values
+    * are ranked WITHIN each block (midranks on ties), `R_j` sums each
+    * treatment's ranks, `χ² = 12/(bk(k+1))·ΣR_j² − 3b(k+1)`, and the
+    * tie correction divides by `1 − Σ(t³−t)/(bk(k²−1))` (t over tied
+    * groups within blocks). Blocks missing any treatment are DROPPED
+    * and counted (`n_dropped` — an incomplete block has no rank frame
+    * to compare); duplicate (block, treatment) cells fail fast.
+    * Output ONE row `(b_blocks, k_treatments, n_dropped, chi2,
+    * chi2_tie, dof)` (4dp; test against the χ² upper tail at
+    * dof = k−1 — the [[kruskalWallis]] convention of leaving the
+    * critical value to the caller).
+    *
+    * Scale shape: ranks come from a per-BLOCK window whose fan-in is
+    * k (the treatment count — a design constant, never the corpus);
+    * everything else is grouped sums over |blocks|·k rows. */
+  def friedmanTest(df: DataFrame, blockCol: Column, treatCol: Column,
+      valueCol: Column): DataFrame = {
+    val s = df.select(blockCol.cast("string").as("blk"),
+        treatCol.cast("string").as("trt"),
+        valueCol.cast("double").as("v"))
+      .filter(col("blk").isNotNull && col("trt").isNotNull &&
+        col("v").isNotNull)
+      .localCheckpoint(true) // read 4x: guard, k, completeness, ranks
+    val dup = s.groupBy("blk", "trt").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      "friedmanTest: duplicate (block, treatment) cells — " +
+        "pre-aggregate each cell to one value first")
+    val k = s.select(col("trt")).distinct()
+      .agg(count(lit(1)).as("k"))
+    val blocks = s.groupBy("blk").agg(count(lit(1)).as("nt"))
+      .crossJoin(k)
+    val complete = blocks.filter(col("nt") === col("k"))
+      .select(col("blk"))
+    val dropped = blocks.filter(col("nt") =!= col("k"))
+      .agg(count(lit(1)).as("n_dropped"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("blk").orderBy("v")
+    val tw = org.apache.spark.sql.expressions.Window
+      .partitionBy("blk", "v")
+    val ranked = s.join(complete, Seq("blk"))
+      .withColumn("tcnt", count(lit(1)).over(tw))
+      .withColumn("midrank",
+        rank().over(w) + (col("tcnt") - 1) / lit(2.0))
+    val rj = ranked.groupBy("trt")
+      .agg(sum(col("midrank")).as("rj"))
+      .agg(sum(col("rj") * col("rj")).as("rj2"),
+        count(lit(1)).as("k_seen"))
+    val bt = ranked.select(col("blk")).distinct()
+      .agg(count(lit(1)).as("b"))
+    val tie = ranked.groupBy("blk", "v").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")),
+        lit(0L)).as("tsum"))
+    rj.crossJoin(bt).crossJoin(tie).crossJoin(k).crossJoin(dropped)
+      .select(col("b").as("b_blocks"), col("k").as("k_treatments"),
+        col("n_dropped"),
+        (lit(12.0) * col("rj2") /
+          (col("b") * col("k") * (col("k") + 1)) -
+          lit(3.0) * col("b") * (col("k") + 1)).as("chi2"),
+        (lit(1.0) - col("tsum") /
+          (col("b") * col("k") *
+            (col("k") * col("k") - 1)).cast("double")).as("corr"))
+      .select(col("b_blocks"), col("k_treatments"), col("n_dropped"),
+        round(col("chi2"), 4).as("chi2"),
+        round(when(col("corr") > 0, col("chi2") / col("corr")), 4)
+          .as("chi2_tie"),
+        (col("k_treatments") - 1).as("dof"))
+  }
 }

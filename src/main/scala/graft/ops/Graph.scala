@@ -1868,4 +1868,160 @@ object Graph {
         sum(floor(lit(1000000.0) / col("dist")).cast("long"))
           .as("harmonic_micro"))
   }
+
+  /** Degree-weighted link prediction — [[linkPredictionScores]] with
+    * the two classical hub-discounted scores: a common neighbor that
+    * connects half the graph says nothing, one with degree 3 says a
+    * lot. Per non-adjacent distance-2 pair: `cn` (common neighbors),
+    * Resource Allocation `Σ_y 1/deg(y)` and Adamic–Adar
+    * `Σ_y 1/ln(deg(y))`, both in integer MICRO-units summed as Longs
+    * (`⌊10⁶/deg⌋` is exact — the true ratio is ≥ 1/deg ≈ 10⁻⁶ away
+    * from any integer; `⌊10⁶/ln deg⌋` floors one double whose
+    * distance to an integer boundary is transcendental — the
+    * [[harmonicCentrality]] micro-unit stance, no order-dependent
+    * double accumulation). A common neighbor has deg ≥ 2 by
+    * construction, so ln never sees 1. Output `(a, b, cn, ra_micro,
+    * aa_micro)` for pairs with `cn ≥ minCommon`.
+    *
+    * Scale shape: identical to [[linkPredictionScores]] — the wedge
+    * equi-join (bounded by Σ deg², the two-hop mass), one broadcast-
+    * sized degree join on the wedge CENTER before grouping, one
+    * grouped sum, one anti-join against the edge set. */
+  def linkPredictionWeighted(edges: DataFrame, srcCol: Column,
+      dstCol: Column, minCommon: Int = 2): DataFrame = {
+    require(minCommon >= 1, "linkPredictionWeighted: minCommon >= 1")
+    val raw = edges.select(srcCol.cast("long").as("s"),
+        dstCol.cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+    val und = raw.select(least(col("s"), col("t")).as("a"),
+        greatest(col("s"), col("t")).as("b"))
+      .distinct()
+      .localCheckpoint(true) // read 3x: wedges, anti-join, degrees
+    val adj = und.select(col("a").as("y"), col("b").as("x"))
+      .unionAll(und.select(col("b").as("y"), col("a").as("x")))
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    adj.as("p").join(adj.as("q"),
+        col("p.y") === col("q.y") && col("p.x") < col("q.x"))
+      .select(col("p.x").as("a"), col("q.x").as("b"),
+        col("p.y").as("y"))
+      .join(deg.select(col("id").as("y"), col("deg")), "y")
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"),
+        sum(floor(lit(1000000.0) / col("deg")).cast("long"))
+          .as("ra_micro"),
+        sum(floor(lit(1000000.0) / log(col("deg").cast("double")))
+          .cast("long")).as("aa_micro"))
+      .filter(col("cn") >= minCommon)
+      .join(und, Seq("a", "b"), "left_anti")
+  }
+
+  /** Deterministic random walks — the DeepWalk/node2vec corpus
+    * generator: one walk of `steps` hops from EVERY node of the
+    * undirected graph, the skip-gram training pairs for graph
+    * embeddings read off with a self-join on the output. The "random"
+    * choice is content-keyed (the md5 stance everywhere else in the
+    * library): at step `s`, the walk at `cur` moves to the neighbor
+    * minimizing `(md5(start:s:nbr), nbr)` — no RNG state, identical
+    * on any engine, partitioning or run, and replayable by a SQL
+    * oracle as an unrolled per-step argmin. Every node of the simple
+    * graph has degree ≥ 1, so walks never die; backtracking is
+    * allowed (the plain DeepWalk convention). Output
+    * `(start, step, node)` for steps 0..steps.
+    *
+    * Scale shape: |V| walk states of constant width; each step is
+    * ONE equi-join of the state frame against the static
+    * checkpointed adjacency followed by one grouped min — the
+    * [[bfsDistances]] round shape with the frontier pinned at |V|.
+    * Walk count scales with nodes, never with edges². */
+  def randomWalks(edges: DataFrame, srcCol: Column, dstCol: Column,
+      steps: Int): DataFrame = {
+    require(steps >= 1, "randomWalks: steps must be >= 1")
+    val ckpt = org.apache.spark.sql.graftshim.StatsReset
+      .freshLocalCheckpoint _
+    val raw = edges.select(srcCol.cast("long").as("s"),
+        dstCol.cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+    val adj = ckpt(raw
+      .unionAll(raw.select(col("t").as("s"), col("s").as("t")))
+      .distinct())
+    var cur = ckpt(adj.select(col("s").as("start")).distinct()
+      .select(col("start"), col("start").as("node")))
+    val slices = Seq.newBuilder[DataFrame]
+    slices += cur.select(col("start"), lit(0L).as("step"),
+      col("node"))
+    for (st <- 1 to steps) {
+      cur = ckpt(cur.join(adj, col("node") === col("s"))
+        .select(col("start"),
+          md5(concat_ws(":", col("start"), lit(st.toLong),
+            col("t"))).as("h"),
+          col("t"))
+        .groupBy("start")
+        .agg(min(struct(col("h"), col("t"))).as("m"))
+        .select(col("start"), col("m.t").as("node")))
+      slices += cur.select(col("start"), lit(st.toLong).as("step"),
+        col("node"))
+    }
+    slices.result().reduce(_ unionAll _)
+  }
+
+  /** Double-sweep diameter bound — the classical 2-BFS estimate
+    * (Magnien, Latapy & Habib 2009): BFS from the minimum-id node,
+    * BFS again from the farthest node found, and the second
+    * eccentricity is a LOWER bound on the diameter that is exact on
+    * trees and empirically tight on real graphs — the "how deep is
+    * this crawl graph" gauge at two BFS's cost instead of |V|.
+    * Both sweeps run on the pivot's connected component (documented:
+    * a disconnected graph bounds ITS component). Ties in the
+    * farthest-node argmax break on min id. The horizon is LOUD: if
+    * either sweep still has distance = `maxDepth` rows the bound may
+    * be truncated, and the op fails fast with the remedy rather than
+    * reporting a silently-low diameter. Output ONE row `(pivot,
+    * ecc_pivot, far_node, diameter_lb, far_end, n_reached)`.
+    *
+    * Scale shape: two [[bfsDistances]] runs (each: rounds ≤ ecc,
+    * frontier equi-joins against the checkpointed adjacency) plus
+    * two 1-row TakeOrdered collects (bounded driver traffic — the
+    * [[topoLayers]] certificate stance). */
+  def diameterDoubleSweep(edges: DataFrame, srcCol: Column,
+      dstCol: Column, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, "diameterDoubleSweep: maxDepth must be >= 1")
+    val spark = edges.sparkSession
+    val raw = edges.select(srcCol.cast("long").as("s"),
+        dstCol.cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+    val und = raw
+      .unionAll(raw.select(col("t").as("s"), col("s").as("t")))
+      .distinct()
+      .localCheckpoint(true) // read by both sweeps
+    def sweep(seed: DataFrame): DataFrame =
+      bfsDistances(und, col("s"), col("t"), seed, col("id"), maxDepth)
+    def farthest(d: DataFrame, sweepName: String): (Long, Long, Long) = {
+      val row = d.orderBy(col("dist").desc, col("id")).limit(1)
+        .crossJoin(d.agg(count(lit(1)).as("nr"))).collect()(0)
+      require(row.getLong(1) < maxDepth,
+        s"diameterDoubleSweep: the $sweepName sweep hit the " +
+          s"maxDepth = $maxDepth horizon — the eccentricity may be " +
+          "truncated; raise maxDepth past the graph's diameter")
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    }
+    val pivotRows = und.agg(min(col("s")).as("id")).collect()
+    if (pivotRows.isEmpty || pivotRows(0).isNullAt(0))
+      return spark.range(0).select(col("id").as("pivot"),
+        col("id").as("ecc_pivot"), col("id").as("far_node"),
+        col("id").as("diameter_lb"), col("id").as("far_end"),
+        col("id").as("n_reached"))
+    val pivot = pivotRows(0).getLong(0)
+    val (farNode, eccPivot, _) = farthest(
+      sweep(spark.range(pivot, pivot + 1).select(col("id"))),
+      "first")
+    val (farEnd, diamLb, nReached) = farthest(
+      sweep(spark.range(farNode, farNode + 1).select(col("id"))),
+      "second")
+    spark.range(1).select(lit(pivot).as("pivot"),
+      lit(eccPivot).as("ecc_pivot"), lit(farNode).as("far_node"),
+      lit(diamLb).as("diameter_lb"), lit(farEnd).as("far_end"),
+      lit(nReached).as("n_reached"))
+  }
 }

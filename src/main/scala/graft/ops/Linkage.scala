@@ -120,4 +120,53 @@ object Linkage {
   def fsWeights(m: Double, u: Double): (Double, Double) =
     (math.log(m / u) / math.log(2.0),
       math.log((1 - m) / (1 - u)) / math.log(2.0))
+
+  /** Survivorship merge — the GOLDEN-RECORD step that closes the
+    * entity-resolution pipeline (block → score → cluster → MERGE):
+    * per duplicate cluster, (1) the canonical record is the one
+    * minimizing the caller's `rankCols` ordering (id appended as the
+    * final tie-break, so the pick is total), and (2) each `voteCols`
+    * field is fused by MAJORITY vote over the cluster's non-null
+    * values, ties broken by the smallest value — the two classic
+    * survivorship rules (most-complete/most-recent record wins;
+    * most-frequent field value wins). Output one row per cluster:
+    * `(cluster, n_records, canonical_id, <vote fields>)`.
+    *
+    * Scale shape: NO per-cluster window sort anywhere — the canonical
+    * pick is one grouped `min(struct(rankCols…, id))` (an O(1)
+    * aggregator however large the cluster: the argmin rides the
+    * partial agg), and each vote field is one grouped count per
+    * (cluster, value) followed by one `min(struct(−count, value))`
+    * over the value frame. A million-record cluster costs the same
+    * two shuffles as a pair. */
+  def survivorshipMerge(records: DataFrame, clusterCol: Column,
+      idCol: Column, rankCols: Seq[Column],
+      voteCols: Seq[(String, Column)]): DataFrame = {
+    require(voteCols.nonEmpty || rankCols.nonEmpty,
+      "survivorshipMerge: nothing to merge — give rankCols and/or voteCols")
+    val base = records.select(
+        (clusterCol.cast("long").as("cluster") +:
+          idCol.cast("long").as("rid") +:
+          rankCols.zipWithIndex.map { case (c, i) => c.as(s"r$i") }) ++
+          voteCols.map { case (n, c) => c.cast("string").as(s"v_$n") }: _*)
+      .localCheckpoint(true) // read 1 + |voteCols| times
+    val rankStruct = struct(
+      rankCols.indices.map(i => col(s"r$i")) :+ col("rid"): _*)
+    val canon = base.groupBy("cluster")
+      .agg(count(lit(1)).as("n_records"),
+        min(rankStruct).as("m"))
+      .select(col("cluster"), col("n_records"),
+        col("m.rid").as("canonical_id"))
+    voteCols.foldLeft(canon) { case (acc, (name, _)) =>
+      val votes = base.filter(col(s"v_$name").isNotNull)
+        .groupBy(col("cluster"), col(s"v_$name").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("cluster")
+        // min(struct(−count, value)): majority first, smallest value
+        // on ties — one aggregator, no window
+        .agg(min(struct((-col("c")).as("nc"), col("v"))).as("w"))
+        .select(col("cluster"), col("w.v").as(name))
+      acc.join(votes, Seq("cluster"), "left")
+    }
+  }
 }

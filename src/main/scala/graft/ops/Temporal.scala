@@ -1306,4 +1306,156 @@ object Temporal {
           .as("resid"))
       .orderBy("t")
   }
+
+  /** Cross-correlation function between two pre-aggregated series on
+    * one time grid — "does x lead y, and by how much": for every lag
+    * `ℓ ∈ [−maxLag, maxLag]`, the Pearson correlation of
+    * `(x_t, y_{t+ℓ})` over the overlapping grid. The lead/lag
+    * direction of an alerting pair (errors lead refunds?) read off
+    * one frame. Correlation moments are INTEGER sums (`n, Σx, Σy,
+    * Σxy, Σx², Σy²` of Long inputs), so the statistic is one exact
+    * rational per lag until the final double division — no
+    * order-dependent double accumulation (the q283 lesson). Output
+    * one row per lag `(lag, n, r)` (4dp; r null when n < 2 or either
+    * series is constant on the overlap).
+    *
+    * Contract + scale shape: same per-series stance as
+    * [[changePointSplit]] — unique `t` per row (loud), `maxGrains`
+    * numeric backstop. The lag table is 2·maxLag+1 broadcast rows;
+    * each lag's overlap is ONE equi-join of the grain frame with
+    * itself (t = t + ℓ), then a grouped sum per lag — no windows at
+    * all. */
+  def crossCorrelation(df: DataFrame, tCol: Column, xCol: Column,
+      yCol: Column, maxLag: Int,
+      maxGrains: Long = 2000000L): DataFrame = {
+    require(maxLag >= 1, "crossCorrelation: maxLag must be >= 1")
+    val s = df.select(tCol.cast("long").as("t"),
+        xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .filter(col("t").isNotNull && col("x").isNotNull &&
+        col("y").isNotNull)
+      .localCheckpoint(true) // read 3x: guard + both join sides
+    val dup = s.groupBy("t").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      "crossCorrelation: duplicate t values — aggregate both series " +
+        "to a unique time grain first")
+    guardGrainCount(s.count(), "crossCorrelation", maxGrains)
+    val lags = s.sparkSession.range(-maxLag.toLong, maxLag + 1L)
+      .select(col("id").as("lag"))
+    // reposition y at t − ℓ so the t-equi-join pairs x_t with y_{t+ℓ}
+    // (the documented sign convention: positive lag = y later)
+    val shifted = s.crossJoin(broadcast(lags))
+      .select(col("lag"), (col("t") - col("lag")).as("t"),
+        col("y").as("ys"))
+    def dd(c: Column) = c.cast("decimal(38,0)")
+    s.join(shifted, Seq("t"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("ys").as("sy"),
+        sum(dd(col("x")) * dd(col("ys"))).as("sxy"),
+        sum(dd(col("x")) * dd(col("x"))).as("sxx"),
+        sum(dd(col("ys")) * dd(col("ys"))).as("syy"))
+      .select(col("lag"), col("n"),
+        // decimal(38,0) products: n·Σx² outgrows Long once the grain
+        // count times the squared magnitudes passes ~9·10¹⁸ — the
+        // modularityNumerator stance, exact to 38 digits
+        round({
+          def d(c: Column) = c.cast("decimal(38,0)")
+          val cx = d(col("n")) * d(col("sxx")) -
+            d(col("sx")) * d(col("sx"))
+          val cy = d(col("n")) * d(col("syy")) -
+            d(col("sy")) * d(col("sy"))
+          val cov = d(col("n")) * d(col("sxy")) -
+            d(col("sx")) * d(col("sy"))
+          when(col("n") >= 2 && cx > 0 && cy > 0,
+            cov.cast("double") /
+              sqrt(cx.cast("double") * cy.cast("double")))
+        }, 4).as("r"))
+      .orderBy("lag")
+  }
+
+  /** Per-key residual diagnostics over a time series — the two
+    * classical "is this series just noise around its level" checks in
+    * one pass: the Durbin–Watson statistic
+    * `DW = Σ(e_t − e_{t−1})² / Σe_t²` (≈2 for independence, →0 under
+    * positive autocorrelation, →4 under oscillation) and the
+    * Wald–Wolfowitz runs test on the residual SIGNS (`z_runs` — too
+    * few runs = clustering, too many = oscillation), where
+    * `e_t = v_t − v̄` within the key. Both are computed EXACTLY in
+    * integers for Long inputs: differences kill the mean
+    * (`e_t − e_{t−1} = v_t − v_{t−1}`), `Σe² = (nΣv² − S²)/n`, so
+    * `DW = n·Σ(Δv)² / (nΣv² − S²)`; signs are `sign(n·v_t − S)` —
+    * no double residual ever materializes. Zero residuals drop from
+    * the runs count (standard convention). Output one row per key
+    * `(key, n, dw, n_pos, n_neg, runs, z_runs)` (4dp; dw null when
+    * the series is constant, z_runs null when either sign is
+    * absent).
+    *
+    * Contract + scale shape: unique `t` within a key (loud); per-key
+    * windows ordered by t whose frame is the series grain (the
+    * [[graft.ops.Experiment.mannKendall]] bounded-grain stance —
+    * feed a pre-aggregated daily/hourly series), one grouped pass
+    * for (n, S), one join back, and per-key sums. */
+  def residualDiagnostics(df: DataFrame, keyCol: Column, tCol: Column,
+      vCol: Column): DataFrame = {
+    val s = df.select(keyCol.as("k"), tCol.cast("long").as("t"),
+        vCol.cast("long").as("v"))
+      .filter(col("t").isNotNull && col("v").isNotNull)
+      .localCheckpoint(true) // read 3x: guard + totals + series
+    val dup = s.groupBy("k", "t").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      "residualDiagnostics: duplicate t values within a key — " +
+        "pre-aggregate the series to a unique grain first")
+    val tot = s.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        sum(col("v").cast("decimal(38,0)") *
+          col("v").cast("decimal(38,0)")).as("svv"))
+    val w = Window.partitionBy("k").orderBy("t")
+    val seq0 = s.join(tot, Seq("k"))
+      .withColumn("dv", col("v") - lag(col("v"), 1).over(w))
+      .withColumn("sgn", {
+        // n·v in decimal(38,0): Long-safe at any magnitude
+        val e = col("n").cast("decimal(38,0)") *
+          col("v").cast("decimal(38,0)") -
+          col("sv").cast("decimal(38,0)")
+        when(e > 0, 1L).when(e < 0, -1L).otherwise(0L)
+      })
+    val dwf = seq0.groupBy("k")
+      .agg(coalesce(sum(col("dv").cast("decimal(38,0)") *
+          col("dv").cast("decimal(38,0)")),
+        lit(0L).cast("decimal(38,0)")).as("sdd"))
+    // runs ride the NONZERO-sign subsequence: lag over the filtered
+    // frame compares each nonzero sign with the previous nonzero one
+    val nz = seq0.filter(col("sgn") =!= 0L)
+      .withColumn("prev", lag(col("sgn"), 1).over(w))
+    val runs = nz.groupBy("k")
+      .agg(sum(when(col("sgn") > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("sgn") < 0, 1L).otherwise(0L)).as("n_neg"),
+        (sum(when(col("prev").isNull ||
+          col("prev") =!= col("sgn"), 1L).otherwise(0L))).as("runs"))
+    val mu = lit(2.0) * col("n_pos") * col("n_neg") /
+      (col("n_pos") + col("n_neg")) + 1.0
+    val vr = (lit(2.0) * col("n_pos") * col("n_neg") *
+      (lit(2.0) * col("n_pos") * col("n_neg") -
+        col("n_pos") - col("n_neg"))) /
+      ((col("n_pos") + col("n_neg")) * (col("n_pos") + col("n_neg"))
+        .cast("double") * (col("n_pos") + col("n_neg") - 1))
+    // decimal(38,0) for the n·Σv² products — past ~9·10¹⁸ they
+    // outgrow Long (the modularityNumerator stance)
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val den = d(col("n")) * d(col("svv")) - d(col("sv")) * d(col("sv"))
+    tot.join(dwf, Seq("k"))
+      .join(runs, Seq("k"), "left")
+      .select(col("k").as("key"), col("n"),
+        round(when(den > 0,
+          (d(col("n")) * d(col("sdd"))).cast("double") /
+            den.cast("double")), 4)
+          .as("dw"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("n_neg"), lit(0L)).as("n_neg"),
+        coalesce(col("runs"), lit(0L)).as("runs"),
+        round(when(col("n_pos") > 0 && col("n_neg") > 0 && vr > 0,
+          (col("runs") - mu) / sqrt(vr)), 4).as("z_runs"))
+  }
 }

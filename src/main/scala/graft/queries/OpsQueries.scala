@@ -24,10 +24,10 @@ object OpsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     OpsQueriesP1.queries ++ OpsQueriesP2.queries ++ OpsQueriesP3.queries ++
       OpsQueriesP4.queries ++ OpsQueriesP5.queries ++ OpsQueriesP6.queries ++
-      OpsQueriesP7.queries
+      OpsQueriesP7.queries ++ OpsQueriesP8.queries
 
   val oracle: Map[String, String] =
     OpsQueriesP1.oracle ++ OpsQueriesP2.oracle ++ OpsQueriesP3.oracle ++
       OpsQueriesP4.oracle ++ OpsQueriesP5.oracle ++ OpsQueriesP6.oracle ++
-      OpsQueriesP7.oracle
+      OpsQueriesP7.oracle ++ OpsQueriesP8.oracle
 }

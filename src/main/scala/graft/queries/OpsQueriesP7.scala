@@ -19,8 +19,9 @@ private[queries] object OpsQueriesP7 {
 
   /** The %9 co-purchase graph shared by the graph-quality queries —
     * the q370–q372 construction verbatim: canonical simple edges over
-    * parts co-occurring in a slice order. */
-  private def copurchase9(s: SparkSession, d: String): DataFrame = {
+    * parts co-occurring in a slice order. (Shared with
+    * [[OpsQueriesP8]]'s round-14 graph queries.) */
+  private[queries] def copurchase9(s: SparkSession, d: String): DataFrame = {
     val li = t(s, d, "lineitem")
       .filter(col("l_orderkey") % 9 === 0)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))

@@ -1726,4 +1726,75 @@ object StreamingOps {
         }
     }
   }
+
+  final case class DwState(lastT: Long, prev: Long, n: Long, sv: Long,
+      svv: Long, sdd: Long)
+  final case class DwRow(key: Long, n: Long, dw: Option[Double])
+
+  /** Streaming twin of the Durbin–Watson half of
+    * [[graft.ops.Temporal.residualDiagnostics]] — the live "is this
+    * metric just noise" gauge. DW is the one residual diagnostic
+    * that IS O(1)-streamable exactly: differences kill the mean
+    * (`e_t − e_{t−1} = v_t − v_{t−1}`), so per key the state is five
+    * Longs (`lastT, prev, n, Σv, Σv², Σ(Δv)²`) and the readout
+    * `DW = n·ΣΔ² / (n·Σv² − (Σv)²)` equals the batch op over every
+    * point fed so far, computed in BigDecimal like the batch
+    * decimal(38,0) path (the parity spec pins it). The runs half is
+    * NOT emitted — residual signs depend on the final mean, so any
+    * O(1) online version would silently disagree with the batch test
+    * (the bootstrap-divergence lesson: omit loudly rather than
+    * approximate silently). State-side Long arithmetic is overflow-
+    * LOUD (`Math.addExact`/`multiplyExact` — the streamingAmsF2
+    * stance). Points must arrive in t order per key (within a batch
+    * they sort; a cross-batch regression fails fast — a differenced
+    * statistic cannot reorder history). Input columns:
+    * `k LONG, t LONG, v LONG`. */
+  def streamingResidualDw(points: DataFrame)
+      : org.apache.spark.sql.Dataset[DwRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = points.sparkSession
+    import spark.implicits._
+    val typed = points
+      .select(col("k").cast("long"), col("t").cast("long"),
+        col("v").cast("long"))
+      .as[(Long, Long, Long)]
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (key: Long, rows: Iterator[(Long, Long, Long)],
+       state: GroupState[DwState]) =>
+        var st = state.getOption
+          .getOrElse(DwState(Long.MinValue, 0L, 0L, 0L, 0L, 0L))
+        rows.toSeq.sortBy(_._2).foreach { case (_, t, v) =>
+          require(t > st.lastT,
+            s"streamingResidualDw: t = $t arrived at or before the " +
+              s"key's last seen t = ${st.lastT} — a differenced " +
+              "statistic cannot reorder history; feed each key's " +
+              "series in time order")
+          val sdd =
+            if (st.n == 0L) 0L
+            else {
+              val dv = Math.subtractExact(v, st.prev)
+              Math.addExact(st.sdd, Math.multiplyExact(dv, dv))
+            }
+          st = DwState(t, v, Math.addExact(st.n, 1L),
+            Math.addExact(st.sv, v),
+            Math.addExact(st.svv, Math.multiplyExact(v, v)), sdd)
+        }
+        state.update(st)
+        if (st.n == 0L) Iterator.empty
+        else {
+          val n = BigDecimal(st.n)
+          val den = n * BigDecimal(st.svv) -
+            BigDecimal(st.sv) * BigDecimal(st.sv)
+          val dw =
+            if (den > 0)
+              Some(BigDecimal((n * BigDecimal(st.sdd)).toDouble /
+                den.toDouble)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble)
+            else None
+          Iterator.single(DwRow(key, st.n, dw))
+        }
+    }
+  }
 }

@@ -299,6 +299,13 @@ object ScaleRehearsal {
           rounds = sys.env.getOrElse("SPARK_GRAFT_COND_ROUNDS", "16")
             .toInt)
       },
+      // round-14: deterministic DeepWalk walks — |V| walk states of
+      // constant width, per step one equi-join against the static
+      // adjacency + one grouped min; replica isomorphism keeps each
+      // copy's trajectories identical while state AND edge volume
+      // scale ×N (the honest per-step-throughput question)
+      "q397_walks" -> (e =>
+        graft.ops.Graph.randomWalks(e, col("a"), col("b"), steps = 3)),
       // round-13 third wave: tagged multi-source BFS (min-union state
       // (src, id, dist)) — the seed count scales with the graph here
       // (%997 of node ids), so the measured exponent covers state

@@ -1669,4 +1669,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streaming ${emissions.last} vs batch $batch")
     q.stop()
   }
+
+  test("streamingResidualDw: five-Long state folds across batches " +
+      "(unsorted within a batch); final DW equals the batch " +
+      "residualDiagnostics; cross-batch time regression is loud") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vs = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L, 5L, 3L)
+    val pts = vs.zipWithIndex.map { case (v, i) => (7L, i.toLong, v) }
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = StreamingOps.streamingResidualDw(
+        input.toDF().toDF("k", "t", "v"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("dwtwin").start()
+    input.addData(pts.take(6).reverse: _*) // in-batch order is sorted
+    q.processAllAvailable()
+    input.addData(pts.drop(6): _*)
+    q.processAllAvailable()
+    val em = spark.sql("SELECT n, dw FROM dwtwin WHERE key = 7")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(em.map(_._1).toSeq == Seq(6L, 10L), s"emissions: ${em.toSeq}")
+    val batch = graft.ops.Temporal.residualDiagnostics(
+        pts.toDF("k", "t", "v"), col("k"), col("t"), col("v"))
+      .head()
+    assert(em.last._2 == batch.getDouble(batch.fieldIndex("dw")),
+      s"streaming ${em.last} vs batch $batch")
+    // a point at-or-before the last seen t must fail loudly
+    input.addData((7L, 3L, 2L))
+    val ex = intercept[Exception] { q.processAllAvailable() }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + "|" + chain(t.getCause)
+    assert(chain(ex).contains("cannot reorder history"), chain(ex))
+    q.stop()
+  }
 }
