@@ -1322,6 +1322,42 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
       col(dstCol), maxDepth)
   }
 
+  /** [[graft.ops.Experiment.jonckheereTerpstra]] with name-based
+    * columns: ordered-alternative trend test. */
+  def jonckheereTerpstra(units: DataFrame, groupOrderCol: String,
+      metricCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.jonckheereTerpstra(units, col(groupOrderCol),
+      col(metricCol))
+  }
+
+  /** [[graft.ops.Graph.bipartiteCheck]] with name-based columns:
+    * BFS-parity two-mode validation of the pivot's component. */
+  def bipartiteCheck(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDepth: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Graph.bipartiteCheck(edges, col(srcCol), col(dstCol),
+      maxDepth)
+  }
+
+  /** [[graft.ops.Graph.maximalMatching]] with name-based columns:
+    * round-synchronous greedy maximal matching. */
+  def maximalMatching(edges: DataFrame, srcCol: String,
+      dstCol: String, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Graph.maximalMatching(edges, col(srcCol), col(dstCol),
+      rounds)
+  }
+
+  /** [[graft.ops.Experiment.cochranQ]] with name-based columns:
+    * blocked binary-outcome test. */
+  def cochranQ(df: DataFrame, blockCol: String, treatCol: String,
+      successCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.cochranQ(df, col(blockCol), col(treatCol),
+      col(successCol))
+  }
+
   /** [[graft.ops.Linkage.survivorshipMerge]] with name-based columns:
     * the golden-record step (canonical pick + majority-vote fields). */
   def survivorshipMerge(records: DataFrame, clusterCol: String,

@@ -1429,6 +1429,136 @@ object Experiment {
         (least(col("p"), lit(1.0)) < 0.05).as("significant"))
   }
 
+  /** Jonckheere–Terpstra trend test — [[kruskalWallis]] when the
+    * groups carry an a-priori ORDER (dose, cohort age, quality band)
+    * and the alternative is monotone: `J = Σ_{g<h} U(g,h)` (pairs
+    * across ordered group pairs with the later group's value larger;
+    * ties count ½), with the tie-corrected normal approximation
+    * (Hollander & Wolfe): `μ = (n² − Σn_g²)/4` and the three-term
+    * variance whose A/B/C pieces are pure INTEGER sums over group
+    * sizes and pooled tied-value counts — everything is exact until
+    * the final divisions. Output ONE row `(n, k_groups, j, mu, var_j,
+    * z, trending)` (4dp; two-sided 5%).
+    *
+    * Scale shape: the pool collapses to per-(group, value) counted
+    * rows in one grouped pass; J is an equi-free ordered join of that
+    * collapsed frame with itself (|groups·values|² worst case — the
+    * [[kendallTau]] counted-cell stance: feed discretized metrics,
+    * not raw doubles); the moment sums are |groups|- and
+    * |values|-sized. */
+  def jonckheereTerpstra(units: DataFrame, groupOrderCol: Column,
+      metricCol: Column): DataFrame = {
+    val s = units.select(groupOrderCol.cast("long").as("g"),
+        metricCol.cast("double").as("m"))
+      .filter(col("g").isNotNull && col("m").isNotNull)
+    val cells = s.groupBy("g", "m").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // read 4x: J join x2, group sums, ties
+    val j = cells.as("x").join(cells.as("y"),
+        col("x.g") < col("y.g"))
+      .agg(coalesce(sum(
+        when(col("y.m") > col("x.m"),
+          (col("x.c") * col("y.c")).cast("double"))
+          .when(col("y.m") === col("x.m"),
+            (col("x.c") * col("y.c")) / lit(2.0))
+          .otherwise(0.0)), lit(0.0)).as("j"))
+    val grp = cells.groupBy("g").agg(sum("c").as("ng"))
+      .agg(sum("ng").as("n"), count(lit(1)).as("k"),
+        sum(col("ng") * col("ng")).as("n2"),
+        sum(col("ng") * (col("ng") - 1) * (col("ng") * 2 + 5))
+          .as("ga"),
+        sum(col("ng") * (col("ng") - 1) * (col("ng") - 2)).as("gb"),
+        sum(col("ng") * (col("ng") - 1)).as("gc"))
+    val ties = cells.groupBy("m").agg(sum("c").as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1) *
+          (col("t") * 2 + 5)), lit(0L)).as("ta"),
+        coalesce(sum(col("t") * (col("t") - 1) * (col("t") - 2)),
+          lit(0L)).as("tb"),
+        coalesce(sum(col("t") * (col("t") - 1)), lit(0L)).as("tc"))
+    val n = col("n")
+    val varJ =
+      ((n * (n - 1) * (n * 2 + 5) - col("ga") - col("ta"))
+        .cast("double") / 72.0) +
+      // gb·tb is the one ~n⁶ product — decimal(38,0), Long dies at
+      // n ≈ 2·10⁶ (the modularityNumerator stance)
+      ((col("gb").cast("decimal(38,0)") *
+        col("tb").cast("decimal(38,0)")).cast("double") /
+        (lit(36.0) * n * (n - 1) * (n - 2))) +
+      // gc·tc is ~n⁴ — Long dies at n ≈ 5.5·10⁴, decimal too
+      ((col("gc").cast("decimal(38,0)") *
+        col("tc").cast("decimal(38,0)")).cast("double") /
+        (lit(8.0) * n * (n - 1)))
+    val mu = (n * n - col("n2")).cast("double") / 4.0
+    j.crossJoin(grp).crossJoin(ties)
+      .select(col("n"), col("k").as("k_groups"),
+        round(col("j"), 4).as("j"), round(mu, 4).as("mu"),
+        round(when(n > 2, varJ), 4).as("var_j"),
+        round(when(n > 2 && varJ > 0,
+          (col("j") - mu) / sqrt(varJ)), 4).as("z"),
+        coalesce(when(n > 2 && varJ > 0,
+          abs((col("j") - mu) / sqrt(varJ)) > 1.96), lit(false))
+          .as("trending"))
+  }
+
+  /** Cochran's Q over BLOCKED binary outcomes — [[friedmanTest]] for
+    * pass/fail measures (and [[mcnemarTest]] generalized past two
+    * treatments): every block measures all k treatments as 0/1, the
+    * question is whether success rates differ after blocking.
+    * Computed EXACTLY in integers: with `T_j` the per-treatment
+    * success count, `N = ΣT_j` and `u_i` the per-block successes,
+    * `Q = (k−1)·Σ(k·T_j − N)² / (k·(k·N − Σu_i²))` (the usual
+    * `k(k−1)Σ(T_j−N/k)²/(kN−Σu²)` with the fractional mean cleared —
+    * one double division at the end). Incomplete blocks DROP and
+    * count (`n_dropped`); duplicate (block, treatment) cells fail
+    * fast; Q is null when every block is all-success or all-failure
+    * (denominator 0 — no within-block variation to test). Output ONE
+    * row `(b_blocks, k_treatments, n_dropped, n_success, q, dof)`
+    * (4dp; χ² upper tail at dof = k−1, critical value left to the
+    * caller — the [[kruskalWallis]] convention).
+    *
+    * Scale shape: one grouped pass to per-(block, treatment) cells,
+    * then |blocks|- and |treatments|-sized sums — no windows at
+    * all. */
+  def cochranQ(df: DataFrame, blockCol: Column, treatCol: Column,
+      successCol: Column): DataFrame = {
+    val s = df.select(blockCol.cast("string").as("blk"),
+        treatCol.cast("string").as("trt"),
+        successCol.cast("boolean").cast("int").cast("long").as("x"))
+      .filter(col("blk").isNotNull && col("trt").isNotNull &&
+        col("x").isNotNull)
+      .localCheckpoint(true) // read 4x: guard, k, completeness, sums
+    val dup = s.groupBy("blk", "trt").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      "cochranQ: duplicate (block, treatment) cells — pre-aggregate " +
+        "each cell to one 0/1 outcome first")
+    val k = s.select(col("trt")).distinct().agg(count(lit(1)).as("k"))
+    val blocks = s.groupBy("blk").agg(count(lit(1)).as("nt"),
+        sum("x").as("u"))
+      .crossJoin(k)
+    val complete = blocks.filter(col("nt") === col("k"))
+      .localCheckpoint(true) // read 3x: b/u-sums + treatment join
+    val dropped = blocks.filter(col("nt") =!= col("k"))
+      .agg(count(lit(1)).as("n_dropped"))
+    val bu = complete.agg(count(lit(1)).as("b"), sum("u").as("nn"),
+      sum(col("u") * col("u")).as("uu"))
+    val tj = s.join(complete.select(col("blk")), Seq("blk"))
+      .groupBy("trt").agg(sum("x").as("t"))
+    tj.crossJoin(bu).crossJoin(k)
+      .select(col("trt"), col("t"), col("b"), col("nn"), col("uu"),
+        col("k"))
+      .groupBy("b", "nn", "uu", "k")
+      .agg(sum((col("k") * col("t") - col("nn")) *
+        (col("k") * col("t") - col("nn"))).as("num"))
+      .crossJoin(dropped)
+      .select(col("b").as("b_blocks"), col("k").as("k_treatments"),
+        col("n_dropped"), col("nn").as("n_success"),
+        round(when(col("k") * col("nn") - col("uu") > 0,
+          ((col("k") - 1) * col("num")).cast("double") /
+            (col("k") * (col("k") * col("nn") - col("uu")))
+              .cast("double")), 4).as("q"),
+        (col("k") - 1).as("dof"))
+  }
+
   /** Friedman test over BLOCKED repeated measures — [[kruskalWallis]]
     * for the design where every block (user cohort, benchmark suite,
     * day) measures ALL k treatments and the question is whether

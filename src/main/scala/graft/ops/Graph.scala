@@ -1966,6 +1966,135 @@ object Graph {
     slices.result().reduce(_ unionAll _)
   }
 
+  /** Bipartite check of the pivot's connected component — "is this
+    * really a two-mode graph": BFS layering from the minimum-id node,
+    * then the classical certificate — the component is bipartite iff
+    * NO edge joins two nodes of equal BFS-depth parity (a same-parity
+    * edge closes an odd cycle; in a bipartite graph every edge
+    * crosses parity). The two-mode validation an entity-resolution
+    * pipeline runs before projecting a user–item graph. Scope is the
+    * PIVOT'S component (the [[diameterDoubleSweep]] stance — a
+    * per-component variant needs component labels first, whose cost
+    * is the caller's call via [[graft.ops.Dedup.duplicateClusters]]).
+    * The horizon is LOUD (depth = maxDepth rows fail fast). Output
+    * ONE row `(seed, n_reached, n_edges, odd_edges, bipartite)`;
+    * `odd_edges` counts the certificate's violations — the exact
+    * worklist size for de-oddifying cleanup.
+    *
+    * Scale shape: one [[bfsDistances]] run + one edge join against
+    * the |component| dist frame + one count; one bounded 1-row
+    * collect for the horizon certificate. */
+  def bipartiteCheck(edges: DataFrame, srcCol: Column,
+      dstCol: Column, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, "bipartiteCheck: maxDepth must be >= 1")
+    val spark = edges.sparkSession
+    val raw = edges.select(srcCol.cast("long").as("s"),
+        dstCol.cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+    val und = raw
+      .unionAll(raw.select(col("t").as("s"), col("s").as("t")))
+      .distinct()
+      .localCheckpoint(true) // read by the sweep + the parity join
+    val pivotRows = und.agg(min(col("s")).as("id")).collect()
+    if (pivotRows.isEmpty || pivotRows(0).isNullAt(0))
+      return spark.range(0).select(col("id").as("seed"),
+        col("id").as("n_reached"), col("id").as("n_edges"),
+        col("id").as("odd_edges"),
+        lit(true).as("bipartite"))
+    val pivot = pivotRows(0).getLong(0)
+    val dist = bfsDistances(und, col("s"), col("t"),
+        spark.range(pivot, pivot + 1).select(col("id")), col("id"),
+        maxDepth)
+      .localCheckpoint(true) // read 3x: horizon + two edge joins
+    val horizon = dist.agg(max("dist").as("m"),
+      count(lit(1)).as("nr")).collect()(0)
+    require(horizon.getLong(0) < maxDepth,
+      s"bipartiteCheck: the sweep hit the maxDepth = $maxDepth " +
+        "horizon — the component is not fully layered; raise " +
+        "maxDepth past the component's eccentricity from the pivot")
+    val undCanon = und.filter(col("s") < col("t"))
+    val parity = undCanon
+      .join(dist.select(col("id").as("s"), col("dist").as("da")),
+        Seq("s"))
+      .join(dist.select(col("id").as("t"), col("dist").as("db")),
+        Seq("t"))
+    parity.agg(count(lit(1)).as("n_edges"),
+        sum(when(pmod(col("da") + col("db"), lit(2L)) === 0L, 1L)
+          .otherwise(0L)).as("odd_edges"))
+      .select(lit(pivot).as("seed"),
+        lit(horizon.getLong(1)).as("n_reached"),
+        col("n_edges"),
+        coalesce(col("odd_edges"), lit(0L)).as("odd_edges"),
+        (coalesce(col("odd_edges"), lit(0L)) === 0L).as("bipartite"))
+  }
+
+  /** Greedy maximal matching — round-synchronous mutual-min matching
+    * (Israeli–Itai): every edge carries a fixed content-keyed
+    * priority `(md5(a:b), a, b)` (the library's md5 stance — no RNG
+    * state, engine/run/partitioning-invariant), each round every
+    * active node nominates its minimum-priority incident edge, edges
+    * nominated by BOTH endpoints match, matched nodes retire with
+    * all their edges. Fixed random priorities give O(log m) rounds
+    * with high probability; the globally-minimal active edge is
+    * always mutual, so every round makes progress. The result is a
+    * MAXIMAL matching (no augmentation claim — maximum matching is a
+    * different, sequential animal), the greedy pair-picker for
+    * duplicate-merge planning: each dup pair merges at most once per
+    * pass. The round budget is LOUD: active edges left after
+    * `rounds` fail fast rather than return a silently-non-maximal
+    * matching. Output `(a, b, round)` — the matched edges and the
+    * round each landed.
+    *
+    * Scale shape: per round ONE grouped struct-min over the 2·|E|
+    * nominee rows + two equi-joins + two anti-joins, all on the
+    * shrinking active set; stats-reset checkpoints per round (the
+    * duplicateClusters discipline). The oracle unrolls the identical
+    * rounds — converged (empty) rounds are no-ops, so a fixed-round
+    * unroll replays exactly. */
+  def maximalMatching(edges: DataFrame, srcCol: Column,
+      dstCol: Column, rounds: Int): DataFrame = {
+    require(rounds >= 1, "maximalMatching: rounds must be >= 1")
+    val ckpt = org.apache.spark.sql.graftshim.StatsReset
+      .freshLocalCheckpoint _
+    val raw = edges.select(srcCol.cast("long").as("s"),
+        dstCol.cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+    var act = ckpt(raw
+      .select(least(col("s"), col("t")).as("a"),
+        greatest(col("s"), col("t")).as("b"))
+      .distinct()
+      .select(col("a"), col("b"),
+        md5(concat_ws(":", col("a"), col("b"))).as("h")))
+    val eStruct = struct(col("h"), col("a"), col("b"))
+    val slices = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val prio = act.select(col("a").as("id"), col("h"), col("a"),
+          col("b"))
+        .unionAll(act.select(col("b").as("id"), col("h"), col("a"),
+          col("b")))
+        .groupBy("id")
+        .agg(min(struct(col("h"), col("a"), col("b"))).as("m"))
+      val mr = ckpt(act
+        .join(prio.select(col("id").as("a"), col("m").as("ma")), "a")
+        .join(prio.select(col("id").as("b"), col("m").as("mb")), "b")
+        .filter(col("ma") === eStruct && col("mb") === eStruct)
+        .select(col("a"), col("b"), lit(r.toLong).as("round")))
+      slices += mr
+      val mn = mr.select(col("a").as("id"))
+        .unionAll(mr.select(col("b").as("id")))
+      act = ckpt(act
+        .join(mn, col("a") === col("id"), "left_anti")
+        .join(mn, col("b") === col("id"), "left_anti"))
+    }
+    val leftover = act.limit(1).collect()
+    require(leftover.isEmpty,
+      s"maximalMatching: active edges remain after rounds = $rounds " +
+        "— the matching is not yet maximal; raise rounds (mutual-min "
+        + "retires a constant fraction of edges per round, so a few " +
+        "more suffice)")
+    slices.result().reduce(_ unionAll _)
+  }
+
   /** Double-sweep diameter bound — the classical 2-BFS estimate
     * (Magnien, Latapy & Habib 2009): BFS from the minimum-id node,
     * BFS again from the farthest node found, and the second

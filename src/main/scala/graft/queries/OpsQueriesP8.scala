@@ -131,7 +131,98 @@ private[queries] object OpsQueriesP8 {
         .agg(count(lit(1)).cast("double").as("v"))
       graft.ops.Experiment.friedmanTest(cells, col("blk"), col("trt"),
         col("v"))
+    }),
+    "q401_matching" -> ((s, d) => {
+      // greedy maximal matching over the co-purchase graph: the
+      // duplicate-merge pair picker (each node pairs at most once per
+      // pass); mutual-min rounds with md5 edge priorities, loud round
+      // budget, oracle replays every round
+      graft.ops.Graph.maximalMatching(OpsQueriesP7.copurchase9(s, d),
+          col("a"), col("b"), rounds = matchRounds)
+        .orderBy("a", "b")
+    }),
+    "q402_cochran_q" -> ((s, d) => {
+      // blocked binary outcomes: per user x weekday, did the user
+      // purchase that weekday — Cochran's Q across the 7 weekdays
+      // (the 0/1 sibling of q400; users not active all 7 weekdays
+      // drop and count)
+      val cells = ev(s, d).groupBy(
+          col("user_id").as("blk"),
+          pmod(datediff(to_date(col("ts")),
+            to_date(lit("1970-01-01"))), lit(7)).as("trt"))
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("x"))
+      graft.ops.Experiment.cochranQ(cells, col("blk"), col("trt"),
+        col("x"))
+    }),
+    "q403_jonckheere" -> ((s, d) => {
+      // ordered-alternative trend: does per-user activity rise
+      // across the 5 ordered cohorts — Kruskal-Wallis answers "any
+      // difference", JT answers "monotone in the cohort order";
+      // counted integer metrics tie heavily, so the three-term tie
+      // variance does real work
+      val perUser = ev(s, d).groupBy("user_id")
+        .agg(count(lit(1)).cast("double").as("m"))
+        .select((col("user_id") % 5).as("g"), col("m"))
+      graft.ops.Experiment.jonckheereTerpstra(perUser, col("g"),
+        col("m"))
+    }),
+    "q404_bipartite" -> ((s, d) => {
+      // two-mode validation: the order-part incidence graph (parts
+      // offset into their own id space) IS bipartite by construction
+      // — BFS-parity certifies it with zero odd edges; the
+      // co-purchase projection is NOT (triangles everywhere) — the
+      // same certificate counts its violations. One readout per
+      // graph, union'd
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 9 === 0)
+        .select(col("l_orderkey").as("o"),
+          (col("l_partkey") + lit(1000000000L)).as("p"))
+      val incidence = graft.ops.Graph.bipartiteCheck(li, col("o"),
+        col("p"), maxDepth = 40)
+      val copurch = graft.ops.Graph.bipartiteCheck(
+        OpsQueriesP7.copurchase9(s, d), col("a"), col("b"),
+        maxDepth = 16)
+      incidence.select(lit("incidence").as("graph"), col("*"))
+        .unionAll(copurch.select(lit("copurchase").as("graph"),
+          col("*")))
+        .orderBy("graph")
     }))
+
+  /** Round budget for q401 — an upper bound on mutual-min rounds at
+    * every test scale (converged rounds are no-ops on both engines,
+    * so over-provisioning is free and keeps one knob for query and
+    * oracle). */
+  private val matchRounds = 10
+
+  /** The q401 oracle's per-round CTEs — the op's mutual-min round
+    * unrolled: per-node struct-min nominee, both-endpoints agreement,
+    * matched-node retirement. Generated (the PortableSql
+    * ivfTrainCtes precedent) so the round count stays pinned to
+    * [[matchRounds]]. */
+  private def matchRoundCtes(rounds: Int): String =
+    (1 to rounds).map { r =>
+      val p = r - 1
+      // every act/pr/m is MATERIALIZED: each round reads act{p} three
+      // times and pr/m twice — non-materialized CTEs would inline
+      // exponentially down to the base scan (the q304 lesson;
+      // 3^rounds scans exhausted the process fd table live)
+      s"""pr$r AS MATERIALIZED (SELECT id,
+             min(struct_pack(h := h, a := a, b := b)) AS m
+           FROM (SELECT a AS id, h, a, b FROM act$p
+                 UNION ALL SELECT b, h, a, b FROM act$p)
+           GROUP BY id),
+         m$r AS MATERIALIZED (SELECT e.a, e.b, CAST($r AS BIGINT) AS round
+           FROM act$p e
+           JOIN pr$r pa ON pa.id = e.a
+           JOIN pr$r pb ON pb.id = e.b
+           WHERE pa.m = struct_pack(h := e.h, a := e.a, b := e.b)
+             AND pb.m = struct_pack(h := e.h, a := e.a, b := e.b)),
+         mn$r AS (SELECT a AS id FROM m$r UNION SELECT b FROM m$r),
+         act$r AS MATERIALIZED (SELECT e.a, e.b, e.h FROM act$p e
+           WHERE NOT EXISTS (SELECT 1 FROM mn$r n
+             WHERE n.id = e.a OR n.id = e.b))"""
+    }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
     "q392_wilcoxon_signed" ->
@@ -471,6 +562,153 @@ private[queries] object OpsQueriesP8 {
                  CAST(bb.b * kk.k * (kk.k * kk.k - 1) AS DOUBLE))
              END, 4) AS chi2_tie,
            kk.k - 1 AS dof
-         FROM rj, bb, kk, tie, dropped"""
+         FROM rj, bb, kk, tie, dropped""",
+    "q401_matching" ->
+      s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+               FROM lineitem WHERE l_orderkey % 9 = 0),
+         e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+                FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+         act0 AS MATERIALIZED (SELECT a, b,
+                  md5(concat_ws(':', a, b)) AS h
+                  FROM e0),
+         ${matchRoundCtes(matchRounds)},
+         sel AS (${(1 to matchRounds)
+            .map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")})
+         SELECT a, b, round FROM sel ORDER BY a, b""",
+    "q402_cochran_q" ->
+      """WITH cells AS (SELECT user_id AS blk,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                 AS trt,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1
+                 ELSE 0 END) AS BIGINT) AS x
+             FROM events GROUP BY 1, 2),
+         kk AS (SELECT CAST(count(DISTINCT trt) AS BIGINT) AS k
+                FROM cells),
+         bl AS (SELECT blk, count(*) AS nt,
+                  CAST(sum(x) AS BIGINT) AS u
+                FROM cells GROUP BY 1),
+         complete AS (SELECT blk, u FROM bl, kk WHERE nt = kk.k),
+         dropped AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped
+                     FROM bl, kk WHERE nt <> kk.k),
+         bu AS (SELECT CAST(count(*) AS BIGINT) AS b,
+                  CAST(sum(u) AS BIGINT) AS nn,
+                  CAST(sum(u * u) AS BIGINT) AS uu
+                FROM complete),
+         tj AS (SELECT trt, CAST(sum(x) AS BIGINT) AS t
+                FROM cells JOIN complete USING (blk) GROUP BY trt),
+         num AS (SELECT CAST(sum((kk.k * t - bu.nn) *
+                   (kk.k * t - bu.nn)) AS BIGINT) AS num
+                 FROM tj, kk, bu)
+         SELECT bu.b AS b_blocks, kk.k AS k_treatments,
+           dropped.n_dropped, bu.nn AS n_success,
+           round(CASE WHEN kk.k * bu.nn - bu.uu > 0
+             THEN CAST((kk.k - 1) * num.num AS DOUBLE) /
+               CAST(kk.k * (kk.k * bu.nn - bu.uu) AS DOUBLE)
+             END, 4) AS q,
+           kk.k - 1 AS dof
+         FROM bu, kk, dropped, num""",
+    "q403_jonckheere" ->
+      """WITH pu AS (SELECT user_id % 5 AS g,
+               CAST(count(*) AS DOUBLE) AS m
+             FROM events GROUP BY user_id, 1),
+         cells AS (SELECT g, m, CAST(count(*) AS BIGINT) AS c
+                   FROM pu GROUP BY 1, 2),
+         jj AS (SELECT coalesce(sum(
+                 CASE WHEN y.m > x.m THEN CAST(x.c * y.c AS DOUBLE)
+                      WHEN y.m = x.m THEN x.c * y.c / 2.0
+                      ELSE 0.0 END), 0.0) AS j
+                FROM cells x JOIN cells y ON x.g < y.g),
+         grp AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(ng * ng) AS BIGINT) AS n2,
+                   CAST(sum(ng * (ng - 1) * (ng * 2 + 5)) AS BIGINT)
+                     AS ga,
+                   CAST(sum(ng * (ng - 1) * (ng - 2)) AS BIGINT)
+                     AS gb,
+                   CAST(sum(ng * (ng - 1)) AS BIGINT) AS gc
+                 FROM (SELECT g, CAST(sum(c) AS BIGINT) AS ng
+                       FROM cells GROUP BY g)),
+         ties AS (SELECT
+                    CAST(coalesce(sum(t * (t - 1) * (t * 2 + 5)), 0)
+                      AS BIGINT) AS ta,
+                    CAST(coalesce(sum(t * (t - 1) * (t - 2)), 0)
+                      AS BIGINT) AS tb,
+                    CAST(coalesce(sum(t * (t - 1)), 0) AS BIGINT)
+                      AS tc
+                  FROM (SELECT m, CAST(sum(c) AS BIGINT) AS t
+                        FROM cells GROUP BY m)),
+         f AS (SELECT jj.j, grp.n, grp.k,
+                 (grp.n * grp.n - grp.n2) / 4.0 AS mu,
+                 CAST(grp.n * (grp.n - 1) * (grp.n * 2 + 5)
+                     - grp.ga - ties.ta AS DOUBLE) / 72.0
+                   + CAST(CAST(grp.gb AS HUGEINT) * ties.tb
+                       AS DOUBLE) /
+                     (36.0 * grp.n * (grp.n - 1) * (grp.n - 2))
+                   + CAST(CAST(grp.gc AS HUGEINT) * ties.tc
+                       AS DOUBLE) /
+                     (8.0 * grp.n * (grp.n - 1)) AS var_j
+               FROM jj, grp, ties)
+         SELECT n, k AS k_groups, round(j, 4) AS j,
+           round(mu, 4) AS mu,
+           round(CASE WHEN n > 2 THEN var_j END, 4) AS var_j,
+           round(CASE WHEN n > 2 AND var_j > 0
+             THEN (j - mu) / sqrt(var_j) END, 4) AS z,
+           coalesce(CASE WHEN n > 2 AND var_j > 0
+             THEN abs((j - mu) / sqrt(var_j)) > 1.96 END, false)
+             AS trending
+         FROM f""",
+    "q404_bipartite" ->
+      """WITH RECURSIVE li0 AS (SELECT l_orderkey AS o,
+               l_partkey + 1000000000 AS p
+             FROM lineitem WHERE l_orderkey % 9 = 0),
+         ei AS (SELECT DISTINCT o AS a, p AS b FROM li0),
+         adji AS (SELECT a AS s, b AS t FROM ei
+                  UNION ALL SELECT b, a FROM ei),
+         pvi AS (SELECT min(s) AS id FROM adji),
+         bi(id, dist) AS (
+           SELECT id, CAST(0 AS BIGINT) FROM pvi
+           UNION
+           SELECT a.t, bi.dist + 1
+           FROM bi JOIN adji a ON a.s = bi.id WHERE bi.dist < 40),
+         di AS MATERIALIZED (SELECT id, min(dist) AS dist FROM bi
+                             GROUP BY id),
+         pari AS (SELECT count(*) AS n_edges,
+                    CAST(sum(CASE WHEN (da.dist + db.dist) % 2 = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS odd_edges
+                  FROM ei e
+                  JOIN di da ON da.id = e.a
+                  JOIN di db ON db.id = e.b),
+         li9 AS (SELECT l_orderkey AS o, l_partkey AS p
+                 FROM lineitem WHERE l_orderkey % 9 = 0),
+         e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+                FROM li9 x JOIN li9 y ON x.o = y.o AND x.p < y.p),
+         adjc AS (SELECT a AS s, b AS t FROM e0
+                  UNION ALL SELECT b, a FROM e0),
+         pvc AS (SELECT min(s) AS id FROM adjc),
+         bc(id, dist) AS (
+           SELECT id, CAST(0 AS BIGINT) FROM pvc
+           UNION
+           SELECT a.t, bc.dist + 1
+           FROM bc JOIN adjc a ON a.s = bc.id WHERE bc.dist < 16),
+         dc AS MATERIALIZED (SELECT id, min(dist) AS dist FROM bc
+                             GROUP BY id),
+         parc AS (SELECT count(*) AS n_edges,
+                    CAST(sum(CASE WHEN (da.dist + db.dist) % 2 = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS odd_edges
+                  FROM e0 e
+                  JOIN dc da ON da.id = e.a
+                  JOIN dc db ON db.id = e.b)
+         SELECT 'incidence' AS graph, pvi.id AS seed,
+           (SELECT CAST(count(*) AS BIGINT) FROM di) AS n_reached,
+           CAST(pari.n_edges AS BIGINT) AS n_edges, pari.odd_edges,
+           pari.odd_edges = 0 AS bipartite
+         FROM pvi, pari
+         UNION ALL
+         SELECT 'copurchase', pvc.id,
+           (SELECT CAST(count(*) AS BIGINT) FROM dc),
+           CAST(parc.n_edges AS BIGINT), parc.odd_edges,
+           parc.odd_edges = 0
+         FROM pvc, parc
+         ORDER BY graph"""
   )
 }

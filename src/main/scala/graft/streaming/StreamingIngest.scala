@@ -1727,6 +1727,100 @@ object StreamingOps {
     }
   }
 
+  final case class CcfState(lastT: Long,
+      hist: Seq[(Long, Long, Long)],
+      n: Seq[Long], sx: Seq[Long], sy: Seq[Long], sxy: Seq[Long],
+      sxx: Seq[Long], syy: Seq[Long])
+  final case class CcfRow(key: Long, lag: Long, n: Long,
+      r: Option[Double])
+
+  /** Streaming twin of [[graft.ops.Temporal.crossCorrelation]] — the
+    * live lead/lag panel: per key the state is the last `maxLag`
+    * grid points (the ring the future pairs still need) plus 2·maxLag
+    * + 1 integer moment tuples, O(maxLag) total; every arriving point
+    * closes its (x_{t−d}, y_t) and (x_t, y_{t−d}) pairs against the
+    * ring, so the per-lag moments — and the emitted r — EQUAL the
+    * batch op over every point fed so far, gaps in `t` included
+    * (pairs pair by GRID DISTANCE, not arrival order; a missing
+    * grain simply never pairs, exactly like the batch equi-join).
+    * Readout in BigDecimal like the batch decimal(38,0) path. Long
+    * arithmetic overflow-LOUD; in-order arrival per key enforced
+    * (the [[streamingResidualDw]] stance). Emits one row per lag per
+    * key per batch. Input columns: `k LONG, t LONG, x LONG, y
+    * LONG`. */
+  def streamingCcf(points: DataFrame, maxLag: Int)
+      : org.apache.spark.sql.Dataset[CcfRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(maxLag >= 1, "streamingCcf: maxLag must be >= 1")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val width = 2 * maxLag + 1
+    val typed = points
+      .select(col("k").cast("long"), col("t").cast("long"),
+        col("x").cast("long"), col("y").cast("long"))
+      .as[(Long, Long, Long, Long)]
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (key: Long, rows: Iterator[(Long, Long, Long, Long)],
+       state: GroupState[CcfState]) =>
+        var st = state.getOption.getOrElse(CcfState(Long.MinValue,
+          Seq.empty, Seq.fill(width)(0L), Seq.fill(width)(0L),
+          Seq.fill(width)(0L), Seq.fill(width)(0L),
+          Seq.fill(width)(0L), Seq.fill(width)(0L)))
+        val n = st.n.toArray; val sx = st.sx.toArray
+        val sy = st.sy.toArray; val sxy = st.sxy.toArray
+        val sxx = st.sxx.toArray; val syy = st.syy.toArray
+        var hist = st.hist.toList
+        var lastT = st.lastT
+        def bump(lag: Int, xv: Long, yv: Long): Unit = {
+          val i = lag + maxLag
+          n(i) = Math.addExact(n(i), 1L)
+          sx(i) = Math.addExact(sx(i), xv)
+          sy(i) = Math.addExact(sy(i), yv)
+          sxy(i) = Math.addExact(sxy(i), Math.multiplyExact(xv, yv))
+          sxx(i) = Math.addExact(sxx(i), Math.multiplyExact(xv, xv))
+          syy(i) = Math.addExact(syy(i), Math.multiplyExact(yv, yv))
+        }
+        rows.toSeq.sortBy(_._2).foreach { case (_, t, x, y) =>
+          require(t > lastT,
+            s"streamingCcf: t = $t arrived at or before the key's " +
+              s"last seen t = $lastT — lagged pairs cannot reorder " +
+              "history; feed each key's grid in time order")
+          bump(0, x, y)
+          hist.foreach { case (ts, xs, ys) =>
+            val d = t - ts
+            if (d >= 1 && d <= maxLag) {
+              bump(d.toInt, xs, y)   // r(+d): x earlier, y now
+              bump(-d.toInt, x, ys)  // r(−d): x now, y earlier
+            }
+          }
+          hist = ((t, x, y) :: hist).filter(_._1 > t - maxLag)
+          lastT = t
+        }
+        st = CcfState(lastT, hist, n.toSeq, sx.toSeq, sy.toSeq,
+          sxy.toSeq, sxx.toSeq, syy.toSeq)
+        state.update(st)
+        (-maxLag to maxLag).iterator.map { lag =>
+          val i = lag + maxLag
+          val bn = BigDecimal(n(i))
+          val cx = bn * BigDecimal(sxx(i)) -
+            BigDecimal(sx(i)) * BigDecimal(sx(i))
+          val cy = bn * BigDecimal(syy(i)) -
+            BigDecimal(sy(i)) * BigDecimal(sy(i))
+          val cov = bn * BigDecimal(sxy(i)) -
+            BigDecimal(sx(i)) * BigDecimal(sy(i))
+          val r =
+            if (n(i) >= 2 && cx > 0 && cy > 0)
+              Some(BigDecimal(cov.toDouble /
+                math.sqrt(cx.toDouble * cy.toDouble))
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble)
+            else None
+          CcfRow(key, lag.toLong, n(i), r)
+        }
+    }
+  }
+
   final case class DwState(lastT: Long, prev: Long, n: Long, sv: Long,
       svv: Long, sdd: Long)
   final case class DwRow(key: Long, n: Long, dw: Option[Double])

@@ -1702,4 +1702,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(chain(ex).contains("cannot reorder history"), chain(ex))
     q.stop()
   }
+
+  test("streamingCcf: O(maxLag) ring state folds across batches — " +
+      "including a grid gap — and every lag's r equals the batch " +
+      "crossCorrelation on the union") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // t = 8 is missing: gapped grids must pair by grid distance,
+    // exactly like the batch equi-join
+    val xs = Seq(3L, 2L, 5L, 4L, 6L, 7L, 1L, 9L, 8L)
+    val ys = Seq(1L, 3L, 2L, 5L, 4L, 6L, 7L, 2L, 5L)
+    val ts = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 9L, 10L)
+    val pts = ts.indices.map(i => (3L, ts(i), xs(i), ys(i)))
+    val input = MemoryStream[(Long, Long, Long, Long)]
+    val q = StreamingOps.streamingCcf(
+        input.toDF().toDF("k", "t", "x", "y"), maxLag = 3)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ccftwin").start()
+    input.addData(pts.take(5): _*); q.processAllAvailable()
+    input.addData(pts.drop(5): _*); q.processAllAvailable()
+    val em = spark.sql(
+        "SELECT lag, n, r FROM ccftwin WHERE key = 3").collect()
+      .groupBy(_.getLong(0)).map { case (lag, rows) =>
+        val last = rows.maxBy(_.getLong(1)) // n only grows: final state
+        lag -> ((last.getLong(1),
+          if (last.isNullAt(2)) None else Some(last.getDouble(2))))
+      }
+    val batch = graft.ops.Temporal.crossCorrelation(
+        pts.toDF("k", "t", "x", "y"), col("t"), col("x"), col("y"),
+        maxLag = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(em == batch, s"streaming $em\nvs batch $batch")
+    q.stop()
+  }
 }

@@ -232,6 +232,117 @@ class Wave12Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("horizon"), e.getMessage)
   }
 
+  test("maximalMatching: equals the sequential greedy matching by " +
+      "md5 priority (the mutual-min identity), is a valid maximal " +
+      "matching, and reruns identically") {
+    import spark.implicits._
+    // 4x4 grid graph: 16 nodes, 24 edges
+    def id(r: Int, c: Int) = (r * 4 + c).toLong
+    val edges = (for {
+      r <- 0 until 4; c <- 0 until 4
+      e <- Seq(
+        if (c < 3) Some((id(r, c), id(r, c + 1))) else None,
+        if (r < 3) Some((id(r, c), id(r + 1, c))) else None).flatten
+    } yield e).toDF("a", "b")
+    def run() = graft.ops.Graph.maximalMatching(edges, col("a"),
+        col("b"), rounds = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val got = run()
+    assert(got == run(), "matching must be deterministic")
+    // sequential greedy by (md5(a:b), a, b) — the unique result
+    // round-synchronous mutual-min must reproduce
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(a: Long, b: Long) = md.digest(s"$a:$b".getBytes("UTF-8"))
+      .map(x => f"$x%02x").mkString
+    val ordered = edges.collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+      .sortBy { case (a, b) => (h(a, b), a, b) }
+    val free = scala.collection.mutable.Set((0L until 16L): _*)
+    val greedy = ordered.flatMap { case (a, b) =>
+      if (free.contains(a) && free.contains(b)) {
+        free -= a; free -= b; Some((a, b))
+      } else None
+    }.toSet
+    assert(got == greedy, s"got $got\nexpected $greedy")
+    // maximal: every edge touches a matched node
+    val matchedNodes = got.flatMap(e => Set(e._1, e._2))
+    ordered.foreach { case (a, b) =>
+      assert(matchedNodes.contains(a) || matchedNodes.contains(b),
+        s"unmatched edge ($a,$b) with both endpoints free")
+    }
+  }
+
+  test("cochranQ: the 4-block 3-treatment textbook table gives " +
+      "Q = 8/3; incomplete blocks drop; all-equal blocks null the " +
+      "denominator") {
+    import spark.implicits._
+    val cells = Seq(
+      ("b1", "t1", 1L), ("b1", "t2", 1L), ("b1", "t3", 0L),
+      ("b2", "t1", 1L), ("b2", "t2", 0L), ("b2", "t3", 0L),
+      ("b3", "t1", 1L), ("b3", "t2", 1L), ("b3", "t3", 1L),
+      ("b4", "t1", 0L), ("b4", "t2", 1L), ("b4", "t3", 0L),
+      ("b5", "t1", 1L) // incomplete
+    ).toDF("blk", "trt", "x")
+    val r = graft.ops.Experiment.cochranQ(cells, col("blk"),
+      col("trt"), col("x")).collect()(0)
+    assert(r.getLong(0) == 4 && r.getLong(1) == 3 &&
+      r.getLong(2) == 1 && r.getLong(3) == 7, s"b/k/drop/n: $r")
+    assert(r.getDouble(4) == 2.6667, s"q: $r")
+    assert(r.getLong(5) == 2, s"dof: $r")
+    // all-success blocks: denominator 0 -> q null
+    val const = Seq(("b1", "t1", 1L), ("b1", "t2", 1L),
+      ("b2", "t1", 1L), ("b2", "t2", 1L)).toDF("blk", "trt", "x")
+    val r2 = graft.ops.Experiment.cochranQ(const, col("blk"),
+      col("trt"), col("x")).collect()(0)
+    assert(r2.isNullAt(4), s"constant blocks must null q: $r2")
+  }
+
+  test("jonckheereTerpstra: hand-computed J, tie-corrected variance " +
+      "and z on three ordered groups with ties") {
+    import spark.implicits._
+    // g1 [1,2], g2 [2,3], g3 [3,4]: J = 3.5 + 4 + 3.5 = 11, mu = 6,
+    // var = 420/72 + 0 + 24/240 = 5.9333, z = 5/sqrt(5.9333)
+    val units = Seq((1L, 1.0), (1L, 2.0), (2L, 2.0), (2L, 3.0),
+      (3L, 3.0), (3L, 4.0)).toDF("g", "m")
+    val r = graft.ops.Experiment.jonckheereTerpstra(units, col("g"),
+      col("m")).collect()(0)
+    assert(r.getLong(0) == 6 && r.getLong(1) == 3, s"n/k: $r")
+    assert(r.getDouble(2) == 11.0 && r.getDouble(3) == 6.0,
+      s"j/mu: $r")
+    assert(r.getDouble(4) == 5.9333, s"var: $r")
+    assert(math.abs(r.getDouble(5) - 5.0 / math.sqrt(420.0 / 72 + 0.1))
+      < 1e-4, s"z: $r")
+    assert(r.getBoolean(6), s"trending: $r")
+  }
+
+  test("bipartiteCheck: even cycle passes, triangle counts its odd " +
+      "edge, scope is the pivot's component, horizon is loud") {
+    import spark.implicits._
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("a", "b")
+    val r1 = graft.ops.Graph.bipartiteCheck(square, col("a"),
+      col("b"), maxDepth = 8).collect()(0)
+    assert(r1.getLong(0) == 1 && r1.getLong(1) == 4 &&
+      r1.getLong(2) == 4 && r1.getLong(3) == 0 && r1.getBoolean(4),
+      s"square: $r1")
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    val r2 = graft.ops.Graph.bipartiteCheck(tri, col("a"), col("b"),
+      maxDepth = 8).collect()(0)
+    assert(r2.getLong(3) == 1 && !r2.getBoolean(4), s"triangle: $r2")
+    // pivot's component only: the far triangle never enters
+    val disc = Seq((1L, 2L), (10L, 11L), (11L, 12L), (12L, 10L))
+      .toDF("a", "b")
+    val r3 = graft.ops.Graph.bipartiteCheck(disc, col("a"), col("b"),
+      maxDepth = 8).collect()(0)
+    assert(r3.getLong(1) == 2 && r3.getBoolean(4), s"component: $r3")
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Graph.bipartiteCheck(path, col("a"), col("b"),
+        maxDepth = 2)
+    }
+    assert(e.getMessage.contains("horizon"), e.getMessage)
+  }
+
   test("survivorshipMerge: longest-record canonical with id " +
       "tie-break; majority vote with smallest-value ties; nulls " +
       "never vote") {
