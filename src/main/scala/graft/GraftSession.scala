@@ -1322,6 +1322,15 @@ final class GraftSession(val spark: SparkSession, warehouse: String) {
       col(dstCol), maxDepth)
   }
 
+  /** [[graft.ops.Experiment.enrichmentTest]] with name-based columns:
+    * per-key hypergeometric over-representation audit. */
+  def enrichmentTest(units: DataFrame, keyCol: String, aCol: String,
+      bCol: String, maxNPerKey: Long = 20000L): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Experiment.enrichmentTest(units, col(keyCol), col(aCol),
+      col(bCol), maxNPerKey)
+  }
+
   /** [[graft.ops.Experiment.jonckheereTerpstra]] with name-based
     * columns: ordered-alternative trend test. */
   def jonckheereTerpstra(units: DataFrame, groupOrderCol: String,

@@ -1426,7 +1426,85 @@ object Experiment {
               (col("n12") * col("n21")).cast("double")), 4)
           .as("odds_ratio"),
         round(least(col("p"), lit(1.0)), 6).as("p_two"),
-        (least(col("p"), lit(1.0)) < 0.05).as("significant"))
+        // flag from the ROUNDED p: an exact-rational p (e.g. 1/20
+        // on a small table) sits ON the 0.05 boundary, where the
+        // unrounded comparison is a last-ulp coin flip across
+        // engines; the 6dp round pins both sides to the same value
+        (round(least(col("p"), lit(1.0)), 6) < 0.05).as("significant"))
+  }
+
+  /** Per-key enrichment audit — [[fisherExact]]'s UPPER tail run for
+    * every key at once: within each key (domain, source, shard), is
+    * trait `a` over-represented among trait `b` rows
+    * (`p = Σ_{j ≥ n11} pmf(j)`, the hypergeometric
+    * over-representation test — the contamination/language/quality
+    * enrichment readout a curation pass runs per domain). One-sided
+    * by design: enrichment asks "more than chance", and the upper
+    * tail has no pmf-comparison tie ambiguity. Same log-factorial
+    * left-fold machinery as [[fisherExact]]; `expected` = r1·c1/n
+    * rides along for effect direction at a glance. Keys whose total
+    * exceeds `maxNPerKey` fail fast (exact tests are small-n
+    * instruments; a corpus-sized key belongs in
+    * [[chiSquareIndependence]] / [[proportionTest]]). Output one row
+    * per key `(key, n11, n12, n21, n22, expected, p_upper,
+    * enriched)` (expected 4dp, p 6dp, enriched at 5%).
+    *
+    * Scale shape: ONE grouped pass to per-key cells, a bounded
+    * support explode (≤ maxNPerKey rows per key), row-local
+    * log-factorial folds — keys never shuffle twice. */
+  def enrichmentTest(units: DataFrame, keyCol: Column, aCol: Column,
+      bCol: Column, maxNPerKey: Long = 20000L): DataFrame = {
+    val s = units.select(keyCol.as("k"),
+        aCol.cast("boolean").as("a"), bCol.cast("boolean").as("b"))
+      .filter(col("k").isNotNull && col("a").isNotNull &&
+        col("b").isNotNull)
+    val cells = s.groupBy("k").agg(
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n12"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n21"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n22"))
+      .select(col("*"), (col("n11") + col("n12")).as("r1"),
+        (col("n21") + col("n22")).as("r2"),
+        (col("n11") + col("n21")).as("c1"),
+        (col("n12") + col("n22")).as("c2"),
+        (col("n11") + col("n12") + col("n21") + col("n22")).as("nn"))
+      .localCheckpoint(true) // read twice: guard + support explode
+    val big = cells.filter(col("nn") > maxNPerKey)
+      .select(col("k"), col("nn")).limit(1).collect()
+    require(big.isEmpty,
+      s"enrichmentTest: key ${if (big.isEmpty) "" else big(0).get(0)} " +
+        s"has n = ${if (big.isEmpty) "" else big(0).get(1)} > " +
+        s"maxNPerKey = $maxNPerKey — the exact tail explodes n rows " +
+        "per key; at this size use chiSquareIndependence/" +
+        "proportionTest per key instead")
+    def lf(x: Column): Column = {
+      val xl = x.cast("long")
+      when(xl >= 2L,
+        aggregate(sequence(lit(2L), greatest(xl, lit(2L))),
+          lit(0.0), (acc, i) => acc + log(i.cast("double"))))
+        .otherwise(lit(0.0))
+    }
+    def lpmf(j: Column): Column =
+      lf(col("r1")) + lf(col("r2")) + lf(col("c1")) + lf(col("c2")) -
+        lf(col("nn")) - lf(j) - lf(col("r1") - j) -
+        lf(col("c1") - j) - lf(col("nn") - col("r1") - col("c1") + j)
+    cells
+      .select(col("*"),
+        explode(sequence(col("n11"),
+          least(col("r1"), col("c1")))).as("j"))
+      .select(col("*"), exp(lpmf(col("j"))).as("pmf"))
+      .groupBy("k", "n11", "n12", "n21", "n22", "r1", "c1", "nn")
+      .agg(sum(col("pmf")).as("p"))
+      .select(col("k").as("key"), col("n11"), col("n12"),
+        col("n21"), col("n22"),
+        round(when(col("nn") > 0,
+          (col("r1") * col("c1")).cast("double") / col("nn")), 4)
+          .as("expected"),
+        round(least(col("p"), lit(1.0)), 6).as("p_upper"),
+        // rounded-p flag: the [[fisherExact]] boundary stance (an
+        // exact rational like 1/20 on the 0.05 line must not be an
+        // engine coin flip)
+        (round(least(col("p"), lit(1.0)), 6) < 0.05).as("enriched"))
   }
 
   /** Jonckheere–Terpstra trend test — [[kruskalWallis]] when the

@@ -167,6 +167,40 @@ private[queries] object OpsQueriesP8 {
       graft.ops.Experiment.jonckheereTerpstra(perUser, col("g"),
         col("m"))
     }),
+    "q405_enrichment" -> ((s, d) => {
+      // per-source over-representation audit: is English
+      // over-represented among LONG documents within each source —
+      // the per-domain exact enrichment readout (25 docs/source: the
+      // small-n regime where chi-square would be dishonest)
+      graft.ops.Experiment.enrichmentTest(t(s, d, "documents"),
+          col("source"), col("lang") === "en", col("n_chars") > 500)
+        .orderBy("key")
+    }),
+    "q406_seasonal_anomaly" -> ((s, d) => {
+      // the alerting composition: de-weekday the daily series
+      // (q381's decomposition), then flag days whose residual sits
+      // more than 3 robust MADs off the residual median — the
+      // weekday-aware anomaly report (edge days without a full MA
+      // window drop)
+      val daily = ev(s, d).groupBy(
+          datediff(to_date(col("ts")),
+            to_date(lit("1970-01-01"))).as("t"))
+        .agg(count(lit(1)).as("v"))
+      val dec = graft.ops.Temporal.seasonalDecompose(daily, col("t"),
+          col("v"), period = 7)
+        .filter(col("resid").isNotNull)
+        .select(col("t"), col("v"), col("resid"))
+        .localCheckpoint(eager = true) // read 3x: med, mad, flags
+      val med = dec.agg(expr("percentile(resid, 0.5)").as("med"))
+      val withMed = dec.crossJoin(broadcast(med))
+      val mad = withMed
+        .agg(expr("percentile(abs(resid - med), 0.5)").as("mad"))
+      withMed.crossJoin(broadcast(mad))
+        .select(col("t"), col("v"), col("resid"),
+          (abs(col("resid") - col("med")) > lit(3.0) * col("mad"))
+            .as("flagged"))
+        .orderBy("t")
+    }),
     "q404_bipartite" -> ((s, d) => {
       // two-mode validation: the order-part incidence graph (parts
       // offset into their own id space) IS bipartite by construction
@@ -403,8 +437,8 @@ private[queries] object OpsQueriesP8 {
              AS odds_ratio,
            round(least(sum(CASE WHEN pmf <= pmf_obs * (1 + 1e-7)
              THEN pmf ELSE 0.0 END), 1.0), 6) AS p_two,
-           least(sum(CASE WHEN pmf <= pmf_obs * (1 + 1e-7)
-             THEN pmf ELSE 0.0 END), 1.0) < 0.05 AS significant
+           round(least(sum(CASE WHEN pmf <= pmf_obs * (1 + 1e-7)
+             THEN pmf ELSE 0.0 END), 1.0), 6) < 0.05 AS significant
          FROM pm GROUP BY n11, n12, n21, n22""",
     "q396_link_pred_w" ->
       """WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
@@ -657,6 +691,85 @@ private[queries] object OpsQueriesP8 {
              THEN abs((j - mu) / sqrt(var_j)) > 1.96 END, false)
              AS trending
          FROM f""",
+    "q405_enrichment" ->
+      """WITH RECURSIVE s AS (SELECT source AS k, lang = 'en' AS a,
+               n_chars > 500 AS b FROM documents
+             WHERE source IS NOT NULL AND lang IS NOT NULL
+               AND n_chars IS NOT NULL),
+         cells AS (SELECT k,
+             CAST(count(*) FILTER (WHERE a AND b) AS BIGINT) AS n11,
+             CAST(count(*) FILTER (WHERE a AND NOT b) AS BIGINT)
+               AS n12,
+             CAST(count(*) FILTER (WHERE NOT a AND b) AS BIGINT)
+               AS n21,
+             CAST(count(*) FILTER (WHERE NOT a AND NOT b) AS BIGINT)
+               AS n22
+           FROM s GROUP BY k),
+         marg AS (SELECT *, n11 + n12 AS r1, n21 + n22 AS r2,
+                    n11 + n21 AS c1, n12 + n22 AS c2,
+                    n11 + n12 + n21 + n22 AS nn
+                  FROM cells),
+         mx AS (SELECT max(nn) AS m FROM marg),
+         lft(i, lf) AS (
+           SELECT CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
+           UNION ALL
+           SELECT i + 1,
+             CASE WHEN i + 1 >= 2 THEN lf + ln(i + 1)
+                  ELSE CAST(0.0 AS DOUBLE) END
+           FROM lft WHERE i < (SELECT m FROM mx)),
+         base AS (SELECT c.*,
+             (SELECT lf FROM lft WHERE i = c.r1)
+               + (SELECT lf FROM lft WHERE i = c.r2)
+               + (SELECT lf FROM lft WHERE i = c.c1)
+               + (SELECT lf FROM lft WHERE i = c.c2)
+               - (SELECT lf FROM lft WHERE i = c.nn) AS lbase
+           FROM marg c),
+         sup AS (SELECT b2.*, l.i AS j,
+             exp(b2.lbase - l.lf
+               - (SELECT lf FROM lft WHERE i = b2.r1 - l.i)
+               - (SELECT lf FROM lft WHERE i = b2.c1 - l.i)
+               - (SELECT lf FROM lft
+                  WHERE i = b2.nn - b2.r1 - b2.c1 + l.i)) AS pmf
+           FROM base b2 JOIN lft l
+             ON l.i >= b2.n11 AND l.i <= least(b2.r1, b2.c1))
+         SELECT k AS key, n11, n12, n21, n22,
+           round(CASE WHEN nn > 0
+             THEN r1 * c1 / CAST(nn AS DOUBLE) END, 4) AS expected,
+           round(least(sum(pmf), 1.0), 6) AS p_upper,
+           round(least(sum(pmf), 1.0), 6) < 0.05 AS enriched
+         FROM sup GROUP BY k, n11, n12, n21, n22, r1, c1, nn
+         ORDER BY key""",
+    "q406_seasonal_anomaly" ->
+      """WITH daily AS (SELECT
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                 AS t,
+               count(*) AS v
+             FROM events GROUP BY 1),
+         w AS (SELECT t, v,
+                 CAST(sum(v) OVER win AS BIGINT) AS s7,
+                 count(*) OVER win AS c7
+               FROM daily
+               WINDOW win AS (ORDER BY t
+                 RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         d2 AS (SELECT t, v, s7, c7,
+                  CASE WHEN c7 = 7 THEN 7 * v - s7 END AS detr,
+                  t % 7 AS phase
+                FROM w),
+         se AS (SELECT phase,
+                  CAST(sum(detr) AS BIGINT) / (7.0 * count(*)) AS seas
+                FROM d2 WHERE detr IS NOT NULL GROUP BY phase),
+         r1 AS (SELECT d2.t, d2.v,
+                  round(CAST(detr AS DOUBLE) / 7 - se.seas, 4)
+                    AS resid
+                FROM d2 LEFT JOIN se USING (phase)
+                WHERE detr IS NOT NULL),
+         med AS (SELECT quantile_cont(resid, 0.5) AS med FROM r1),
+         mad AS (SELECT quantile_cont(abs(resid - med.med), 0.5)
+                   AS mad
+                 FROM r1, med)
+         SELECT r1.t, r1.v, r1.resid,
+           abs(r1.resid - med.med) > 3.0 * mad.mad AS flagged
+         FROM r1, med, mad ORDER BY r1.t""",
     "q404_bipartite" ->
       """WITH RECURSIVE li0 AS (SELECT l_orderkey AS o,
                l_partkey + 1000000000 AS p

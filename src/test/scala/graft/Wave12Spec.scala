@@ -297,6 +297,29 @@ class Wave12Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.isNullAt(4), s"constant blocks must null q: $r2")
   }
 
+  test("enrichmentTest: the tea-tasting table's UPPER tail is " +
+      "17/70 per key; the per-key maxN guard is loud") {
+    import spark.implicits._
+    val units = (Seq.fill(3)(("k1", true, true)) ++
+      Seq(("k1", true, false)) ++ Seq(("k1", false, true)) ++
+      Seq.fill(3)(("k1", false, false)) ++
+      // second key: all-true 2x2 degenerate — p = 1
+      Seq.fill(4)(("k2", true, true))).toDF("k", "a", "b")
+    val got = graft.ops.Experiment.enrichmentTest(units, col("k"),
+        col("a"), col("b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(6), r.getBoolean(7)))).toMap
+    assert(got("k1")._1 == 3 &&
+      math.abs(got("k1")._2 - 17.0 / 70) < 1e-6 && !got("k1")._3,
+      s"k1: $got")
+    assert(got("k2")._2 == 1.0 && !got("k2")._3, s"k2: $got")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Experiment.enrichmentTest(units, col("k"), col("a"),
+        col("b"), maxNPerKey = 5)
+    }
+    assert(e.getMessage.contains("maxNPerKey"), e.getMessage)
+  }
+
   test("jonckheereTerpstra: hand-computed J, tie-corrected variance " +
       "and z on three ordered groups with ties") {
     import spark.implicits._
