@@ -599,4 +599,62 @@ class GraftSessionSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("q", "s1"), ("q", "s2")).toDF("q1", "sv"),
       Seq("q1"), "sv", k = 3, l = 1).head().getBoolean(3))
   }
+
+  test("round-14 facade: paired/blocked/exact tests, series " +
+      "diagnostics, graph generators, survivorship") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val sess = new GraftSession(spark, s"$work/wh")
+
+    val pairs = Seq((1, 3), (2, 5), (4, 1)).toDF("pre", "post")
+    assert(sess.wilcoxonSignedRank(pairs, "pre", "post")
+      .head().getLong(0) == 3L)
+    val units = (Seq.fill(3)((true, true)) ++ Seq((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(3)((false, false)))
+      .toDF("a", "b")
+    assert(math.abs(sess.fisherExact(units, "a", "b")
+      .head().getDouble(5) - 34.0 / 70) < 1e-6)
+    assert(math.abs(sess.enrichmentTest(
+        units.withColumn("k", lit("x")), "k", "a", "b")
+      .head().getDouble(6) - 17.0 / 70) < 1e-6)
+    val cells = Seq(("b1", "t1", 1.0), ("b1", "t2", 2.0),
+      ("b2", "t1", 3.0), ("b2", "t2", 4.0)).toDF("blk", "trt", "v")
+    assert(sess.friedmanTest(cells, "blk", "trt", "v")
+      .head().getLong(0) == 2L)
+    assert(sess.cochranQ(
+        cells.withColumn("x", (col("v") > 2.0).cast("long")),
+        "blk", "trt", "x")
+      .head().getLong(0) == 2L)
+    assert(sess.jonckheereTerpstra(
+        Seq((1L, 1.0), (1L, 2.0), (2L, 3.0), (2L, 4.0)).toDF("g", "m"),
+        "g", "m")
+      .head().getDouble(2) == 4.0)
+
+    val grid = Seq((1L, 2L, 3L), (2L, 4L, 2L), (3L, 6L, 5L),
+      (4L, 8L, 7L)).toDF("t", "x", "y")
+    assert(sess.crossCorrelation(grid, "t", "x", "y", maxLag = 1)
+      .count() == 3L)
+    assert(sess.residualDiagnostics(
+        grid.withColumn("k", lit(1L)), "k", "t", "x")
+      .head().getLong(1) == 4L)
+
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("a", "b")
+    assert(sess.linkPredictionWeighted(edges, "a", "b", minCommon = 2)
+      .count() == 2L)
+    assert(sess.randomWalks(edges, "a", "b", steps = 2)
+      .count() == 12L) // 4 starts x steps 0..2
+    assert(sess.diameterDoubleSweep(edges, "a", "b", maxDepth = 8)
+      .head().getLong(3) == 2L)
+    assert(sess.bipartiteCheck(edges, "a", "b", maxDepth = 8)
+      .head().getBoolean(4))
+    assert(sess.maximalMatching(edges, "a", "b", rounds = 6)
+      .count() == 2L)
+
+    val recs = Seq((1L, 1L, 5L, "en"), (1L, 2L, 9L, "fr"))
+      .toDF("cluster", "id", "len", "lang")
+    val sm = sess.survivorshipMerge(recs, "cluster", "id",
+      rankCols = Seq("len"), voteCols = Seq("lang")).head()
+    assert(sm.getLong(2) == 1L) // rank ASC on len: shortest wins
+  }
 }
