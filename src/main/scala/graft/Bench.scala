@@ -83,36 +83,95 @@ object Bench {
     // sleeps, which would add minutes to the full suite).
     val jobsCtr = new AtomicInteger(0)
     val taskMs = new AtomicLong(0L)
+    // CPU time next to elapsed task time (round-14 verdict ask #1): a
+    // co-running job stealing cores inflates task ELAPSED 2-20× while
+    // task CPU stays flat — recording both makes the
+    // contention-vs-kernel-regression adjudication mechanical
+    // (elapsed up + cpu flat + same plan = ambient; cpu up = real).
+    val cpuNs = new AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobsCtr.incrementAndGet()
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
+        if (t.taskMetrics != null)
+          cpuNs.addAndGet(t.taskMetrics.executorCpuTime)
+      }
     })
+    def runOnce(name: String, fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): (Double,
+        org.apache.spark.sql.DataFrame) = {
+      val t0 = System.nanoTime()
+      var df: org.apache.spark.sql.DataFrame = null
+      try {
+        df = fn(spark, sfDir)
+        df.queryExecution.toRdd.count()
+      } catch { case e: Throwable =>
+        df = null
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      ((System.nanoTime() - t0) / 1e9, df)
+    }
     val results = selected.map { case (name, fn) =>
       var lastDf: org.apache.spark.sql.DataFrame = null
       Thread.sleep(120) // settle the async listener bus between queries
-      jobsCtr.set(0); taskMs.set(0)
+      jobsCtr.set(0); taskMs.set(0); cpuNs.set(0)
+      val wall0 = System.currentTimeMillis() / 1000.0
       val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try {
-          val df = fn(spark, sfDir)
-          df.queryExecution.toRdd.count()
-          lastDf = df
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val (sec, df) = runOnce(name, fn)
+        if (df != null) lastDf = df
+        sec
       }.sorted
+      val wall1 = System.currentTimeMillis() / 1000.0
       Thread.sleep(120)
       val taskSec = taskMs.get / 1e3 / reps
+      val cpuSec = cpuNs.get / 1e9 / reps
       val jobsPerRep = jobsCtr.get.toDouble / reps
       val ph = if (lastDf == null) "err"
         else try planHash(lastDf) catch { case _: Throwable => "err" }
-      (name, times(times.size / 2), ph, taskSec, jobsPerRep)
+      (name, times(times.size / 2), ph, taskSec, jobsPerRep, cpuSec,
+        wall0, wall1)
     }
-    val timed = results.map { case (n, t, _, _, _) => (n, t) }
+    val timed = results.map { case (n, t, _, _, _, _, _, _) => (n, t) }
     val total = timed.map(_._2).sum
+    // end-of-suite automatic solo re-run (round-14 verdict ask #1):
+    // any query whose suite median exceeds 2× the recorded baseline
+    // gets ONE quiet solo rep after the suite — a contention window
+    // mid-suite cannot follow the run around, so a solo rep back at
+    // baseline level adjudicates the spike as ambient with zero manual
+    // lore. Baseline file: tools/bench_baseline_r{latest}.json if
+    // readable; absent → no re-runs (first run of a round).
+    val soloRuns: Seq[(String, Double)] = {
+      val base = try {
+        val dir = java.nio.file.Paths.get("tools")
+        val cands = java.nio.file.Files.list(dir).iterator()
+        val re = "bench_baseline_r(\\d+)\\.json".r
+        var bestN = -1; var bestP: java.nio.file.Path = null
+        while (cands.hasNext) {
+          val p = cands.next()
+          p.getFileName.toString match {
+            case re(n) if n.toInt > bestN => bestN = n.toInt; bestP = p
+            case _ =>
+          }
+        }
+        if (bestP == null) Map.empty[String, Double]
+        else {
+          val txt = java.nio.file.Files.readString(bestP)
+          // minimal parse of the flat "queries" map — no JSON dep
+          val qre = "\"(q[0-9]+[a-z0-9_]*)\":([0-9.]+)".r
+          qre.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Throwable => Map.empty[String, Double] }
+      if (base.isEmpty) Seq.empty
+      else timed.filter { case (n, t) =>
+        base.get(n).exists(b => b > 0.05 && t > 2.0 * b)
+      }.map { case (n, _) =>
+        Thread.sleep(120)
+        val (sec, _) = runOnce(n, selected.toMap.apply(n))
+        (n, sec)
+      }
+    }
     def line(fmt: ((String, Double)) => String, sf: String,
         extra: String = ""): String = {
       val qs = timed.map(fmt).mkString("{", ",", "}")
@@ -125,16 +184,26 @@ object Bench {
     // physical-plan hashes; the compact line (driver tail budget) omits
     // them — plan flips are diagnosed from the repo artifact, not the
     // tail.
-    val plans = results.map { case (n, _, h, _, _) =>
+    val plans = results.map { case (n, _, h, _, _, _, _, _) =>
         "\"" + n + "\":\"" + h + "\"" }
       .mkString(",\"plans\":{", ",", "}")
-    // [taskSec, jobs] per query — the ambient-vs-regression evidence
-    val probe = results.map { case (n, _, _, ts, j) =>
+    // [taskSec, jobs, cpuSec, wallStart, wallEnd] per query — the
+    // ambient-vs-regression evidence (cpuSec + stamps added in r15 per
+    // the round-14 verdict: elapsed-inflation-with-flat-CPU =
+    // core-stealing contention = ambient; the stamps localize which
+    // queries shared a contention window)
+    val probe = results.map { case (n, _, _, ts, j, cs, w0, w1) =>
         "\"" + n + "\":[" +
-          "%.2f,%.1f".formatLocal(java.util.Locale.ROOT, ts, j) + "]" }
+          "%.2f,%.1f,%.2f,%.1f,%.1f".formatLocal(java.util.Locale.ROOT,
+            ts, j, cs, w0, w1) + "]" }
       .mkString(",\"probe\":{", ",", "}")
+    // 1-rep end-of-suite solo re-runs of >2×-vs-baseline queries
+    val solo = if (soloRuns.isEmpty) ""
+      else soloRuns.map { case (n, s) =>
+        "\"" + n + "\":" + "%.4f".formatLocal(java.util.Locale.ROOT, s) }
+        .mkString(",\"solo\":{", ",", "}")
     val full = line({ case (k, v) => "\"" + k + "\":" + v }, sfDir,
-      plans + probe)
+      plans + probe + solo)
     println(full)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("tools/bench_last.json"), full + "\n")

@@ -314,6 +314,18 @@ object Dedup {
     // carried sizeInBytes estimate every round (geometric digit growth
     // — the graftshim.StatsReset compounding lesson)
     val ckpt = org.apache.spark.sql.graftshim.StatsReset.freshLocalCheckpoint _
+    // convergence via the monotone label sum (r15): labels only ever
+    // DECREASE (grouped min + least in the halving step), so Σlbl
+    // strictly drops iff any row changed — the sccondensation trick.
+    // The former per-round `next ⋈ labels` diff was a full shuffle
+    // join; this is one shuffle-free partial-agg scan of the fresh
+    // checkpoint. Decimal(38,0) so arbitrary Long ids cannot wrap.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def lblSum(d: DataFrame): java.math.BigDecimal =
+      d.agg(coalesce(sum(col("lbl").cast(dec)),
+          lit(java.math.BigDecimal.ZERO).cast(dec)))
+        .head().getDecimal(0)
+    var prevSum = lblSum(labels)
     while (!done && iter < maxIters) {
       val neigh = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), labels("lbl").as("lbl"))
@@ -325,8 +337,9 @@ object Dedup {
       val next = ckpt(m1.join(m1.select(col("id").as("lbl"),
           col("lbl").as("lbl2")), Seq("lbl"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl")))
-      done = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") =!= col("prev")).isEmpty
+      val s = lblSum(next)
+      done = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       iter += 1
     }

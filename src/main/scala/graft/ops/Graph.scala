@@ -183,6 +183,14 @@ object Graph {
     val adj = raw.unionAll(raw.select(col("t").as("s"), col("s").as("t")))
       .distinct()
       .localCheckpoint(true)
+    // NOTE (r15 measured, kept as-was): replacing the per-depth
+    // visited re-checkpoint with a lazy union of the per-depth slices
+    // looked like a saved job per round but MEASURED SLOWER on deep
+    // sweeps (q398 8.1→11.5 s, q404 10.4→12.1 s, clean-window 3-rep
+    // A/B; taskSec up ~30% — the anti-join against k fragmented
+    // LogicalRDD scans pays more per-task overhead than the one
+    // O(|visited|) scan-and-write job it saves). Reverted; q303-class
+    // shallow BFS saw only ~0.5 s either way.
     var visited = sources.select(sourceIdCol.cast("long").as("id"))
       .distinct()
       .select(col("id"), lit(0L).as("dist"))
@@ -305,15 +313,18 @@ object Graph {
     val ckpt = org.apache.spark.sql.graftshim.StatsReset.freshLocalCheckpoint _
     var lbl = ckpt(nodes.select(col("id"), col("seed_lbl").as("lbl")))
     for (_ <- 1 to iters) {
-      // read twice: max count + argmin label
-      val votes = ckpt(adj.join(
+      val votes = adj.join(
           lbl.filter(col("lbl").isNotNull)
             .select(col("id").as("t"), col("lbl")), Seq("t"))
-        .groupBy(col("s").as("id"), col("lbl")).agg(count(lit(1)).as("c")))
-      val top = votes.groupBy("id").agg(max("c").as("mc"))
-      val winner = votes.join(top, Seq("id"))
-        .filter(col("c") === col("mc"))
-        .groupBy("id").agg(min("lbl").as("win"))
+        .groupBy(col("s").as("id"), col("lbl")).agg(count(lit(1)).as("c"))
+      // argmax in ONE grouped pass (r15): `min(struct(-c, lbl))` is
+      // max-count-then-min-label — the former shape checkpointed
+      // `votes` and joined a separate max-count frame back, one extra
+      // materialization + join per round. `c ≥ 1` so -c cannot
+      // overflow.
+      val winner = votes.groupBy("id")
+        .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("wp"))
+        .select(col("id"), col("wp.lbl").as("win"))
       lbl = ckpt(nodes.select(col("id"), col("seed_lbl"))
         .join(lbl, Seq("id"))
         .join(winner, Seq("id"), "left")
@@ -516,33 +527,52 @@ object Graph {
         .unionByName(comm.select(col("id"), col("c"), lit(0L).as("kin")))
         .groupBy("id", "c").agg(max("kin").as("kin"))
       val cur = comm.withColumnRenamed("c", "cc")
-      val scored = ckpt(cand.join(cur, "id").join(deg, "id")
+      val scored = cand.join(cur, "id").join(deg, "id")
         .join(tot, "c")
         .select(col("id"), col("c"), col("cc"),
           (lit(2L * m) * col("kin") - col("deg") *
             (col("tot") - when(col("c") === col("cc"), col("deg"))
               .otherwise(lit(0L)))).as("score"))
-      ) // read twice: best window + stay row
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("id").orderBy(col("score").desc, col("c").asc)
       // direction alternation: the argmax only sees candidates in the
       // round's allowed direction, so a blocked-direction best can't
       // mask an available positive-gain move
       val dirOk =
         if (r % 2 == 0) col("c") < col("cc") else col("c") > col("cc")
-      val best = scored.filter(dirOk)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("id"), col("c").as("best_c"),
-          col("score").as("best_s"))
-      val stay = scored.filter(col("c") === col("cc"))
-        .select(col("id"), col("score").as("stay_s"))
-      val upd = ckpt(
-        comm.join(best, Seq("id"), "left").join(stay, Seq("id"))
-          .select(col("id"),
-            when(col("best_s") > col("stay_s"), col("best_c"))
-              .otherwise(col("c")).as("c"),
-            (col("best_s") > col("stay_s")).as("__moved")))
+      // best-move argmax + stay score + carried current community in
+      // ONE grouped pass (r15 optimization): the former shape
+      // materialized `scored`, ranked it with a per-id window
+      // (exchange + sort), and joined best/stay back onto `comm` —
+      // one extra checkpoint job, one sort and two joins per round.
+      // `min(struct(-score, c))` = the window's (score DESC, c ASC)
+      // argmax: |score| ≤ 2m·maxDeg ≤ Long.MaxValue by
+      // [[guardGainRange]], so the negation cannot overflow. The stay
+      // row (id, cc) always exists (cand unions it in; tot covers
+      // every non-empty community), so max("cc") rides the same pass
+      // and the old `comm` join is redundant. An id with NO
+      // dirOk-side candidate aggregates bp = null, and `null > stay`
+      // is null → stay, exactly the old left-join-null semantics.
+      val agg = scored.groupBy("id").agg(
+        min(when(dirOk, struct((-col("score")).as("ns"), col("c"))))
+          .as("bp"),
+        max(when(col("c") === col("cc"), col("score"))).as("stay_s"),
+        max("cc").as("cc"))
+      val updPlan = agg
+        .select(col("id"),
+          when(-col("bp.ns") > col("stay_s"), col("bp.c"))
+            .otherwise(col("cc")).as("c"),
+          (-col("bp.ns") > col("stay_s")).as("__moved"))
+      // diagnostic only: the INTERIOR round plan is invisible to any
+      // explain() of the returned frame (each round checkpoints), so
+      // the optimization-round evidence (plans/r15) captures round 0
+      // here when SPARK_GRAFT_DUMP_INTERIOR is set. Zero cost unset.
+      if (r == 0) sys.env.get("SPARK_GRAFT_DUMP_INTERIOR").foreach { d =>
+        try java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(d),
+          updPlan.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        catch { case _: Throwable => }
+      }
+      val upd = ckpt(updPlan)
       if (earlyStop) {
         val moved = upd.filter(col("__moved")).count()
         zeroStreak = if (moved == 0L) zeroStreak + 1 else 0
@@ -1264,65 +1294,74 @@ object Graph {
     val adj = raw.unionAll(raw.select(col("t").as("s"), col("s").as("t")))
       .distinct()
       .localCheckpoint(true)
-    val pivots = pivotCandidates.select(pivotIdCol.cast("long").as("id"))
+    // ALL pivots advance in ONE pivot-keyed frame per level (r15): the
+    // former shape ran the whole forward+backward cadence PER PIVOT —
+    // |pivots| × 2·depth sequential materialization jobs on a mostly
+    // idle cluster. Keying every frame by `p` runs the identical
+    // per-pivot math batched: rounds = max depth over pivots, a pivot
+    // whose BFS exhausts early simply stops contributing rows (its
+    // slices at deeper levels are empty, so its backward pass
+    // initializes δ = 0 at ITS deepest level exactly as before). The
+    // only output delta is per-(id) float ADDITION ORDER in the final
+    // sum — which the former per-pivot union never pinned either —
+    // plus δ = 0.0 rows for each pivot's own deepest level, which add
+    // exactly 0.0 to sums and cannot flip the `> 0` filter.
+    val ckpt = org.apache.spark.sql.graftshim.StatsReset
+      .freshLocalCheckpoint _
+    val seed = ckpt(pivotCandidates
+      .select(pivotIdCol.cast("long").as("id"))
       .distinct().orderBy("id").limit(maxPivots)
-      .collect().map(_.getLong(0)).toSeq
+      .select(col("id").as("p"), col("id"), lit(1L).as("sig")))
+    var levels = List(seed)
+    var visitedSlices = List(seed.select(col("p"), col("id")))
+    var depth = 0
+    var exhausted = false
+    while (depth < maxDepth && !exhausted) {
+      val visited = visitedSlices.reduce(_ unionAll _)
+      val next = ckpt(levels.head.join(adj, col("id") === col("s"))
+        .select(col("p"), col("t").as("id"), col("sig"))
+        .join(visited, Seq("p", "id"), "left_anti")
+        .groupBy("p", "id").agg(sum("sig").as("sig")))
+      if (next.count() == 0) exhausted = true
+      else {
+        levels = next :: levels
+        visitedSlices ::= next.select(col("p"), col("id"))
+        depth += 1
+      }
+    }
+    // backward: deltas walk from the deepest level toward the pivots.
+    // `upper` carries (p, id, sig, d) for the WHOLE level L+1 — a node
+    // with no deeper successors keeps δ = 0 but still passes its
+    // (1 + 0) term down (dropping dead-ends loses real centrality
+    // mass; caught against a hand-rolled reference). Each step scores
+    // level L as δ(v) = Σ_{(v,w) ∈ DAG} σ(v)/σ(w) · (1 + δ(w)) —
+    // the level-membership joins ARE the shortest-path-DAG filter.
+    var upper = ckpt(levels.head
+      .select(col("p"), col("id"), col("sig"), lit(0.0).as("d")))
+    var accSlices = List.empty[DataFrame]
+    for ((l, idx) <- levels.tail.zipWithIndex) {
+      val contrib = upper.as("u").join(adj, col("u.id") === adj("t"))
+        .select(col("u.p").as("p"), adj("s").as("id"),
+          col("u.sig").as("sigw"), col("u.d").as("dw"))
+        .join(l.select(col("p"), col("id"), col("sig").as("sigv")),
+          Seq("p", "id"))
+        .select(col("p"), col("id"),
+          (col("sigv").cast("double") / col("sigw") *
+            (lit(1.0) + col("dw"))).as("c"))
+        .groupBy("p", "id").agg(sum("c").as("d"))
+      val down = ckpt(l
+        .join(contrib, Seq("p", "id"), "left")
+        .select(col("p"), col("id"), col("sig"),
+          coalesce(col("d"), lit(0.0)).as("d")))
+      // the pivots' own level (the last processed) never scores
+      if (idx < levels.tail.size - 1)
+        accSlices ::= down.select(col("id"), col("d"))
+      upper = down
+    }
     val spark = edges.sparkSession
     import spark.implicits._
-    val perPivot = pivots.map { p =>
-      // forward: per-level (id, sigma) frames
-      var levels = List(Seq((p, 1L)).toDF("id", "sig")
-        .localCheckpoint(true))
-      var visited = levels.head.select(col("id")).localCheckpoint(true)
-      var depth = 0
-      var exhausted = false
-      while (depth < maxDepth && !exhausted) {
-        val next = levels.head.join(adj, col("id") === col("s"))
-          .select(col("t").as("id"), col("sig"))
-          .join(visited.select(col("id")), Seq("id"), "left_anti")
-          .groupBy("id").agg(sum("sig").as("sig"))
-          .localCheckpoint(true)
-        if (next.isEmpty) exhausted = true
-        else {
-          levels = next :: levels
-          visited = visited.unionAll(next.select(col("id")))
-            .localCheckpoint(true)
-          depth += 1
-        }
-      }
-      // backward: deltas walk from the deepest level toward the pivot.
-      // `upper` carries (id, sig, d) for the WHOLE level L+1 — a node
-      // with no deeper successors keeps δ = 0 but still passes its
-      // (1 + 0) term down (dropping dead-ends loses real centrality
-      // mass; caught against a hand-rolled reference). Each step scores
-      // level L as δ(v) = Σ_{(v,w) ∈ DAG} σ(v)/σ(w) · (1 + δ(w)) —
-      // the level-membership joins ARE the shortest-path-DAG filter.
-      var upper = levels.head
-        .select(col("id"), col("sig"), lit(0.0).as("d"))
-        .localCheckpoint(true)
-      var acc = Seq.empty[(Long, Double)].toDF("id", "d")
-      for ((l, idx) <- levels.tail.zipWithIndex) {
-        val contrib = upper.as("u").join(adj, col("u.id") === adj("t"))
-          .select(adj("s").as("id"), col("u.sig").as("sigw"),
-            col("u.d").as("dw"))
-          .join(l.select(col("id"), col("sig").as("sigv")), Seq("id"))
-          .select(col("id"),
-            (col("sigv").cast("double") / col("sigw") *
-              (lit(1.0) + col("dw"))).as("c"))
-          .groupBy("id").agg(sum("c").as("d"))
-        val down = l
-          .join(contrib, Seq("id"), "left")
-          .select(col("id"), col("sig"),
-            coalesce(col("d"), lit(0.0)).as("d"))
-          .localCheckpoint(true)
-        // the pivot's own level (the last processed) never scores
-        if (idx < levels.tail.size - 1)
-          acc = acc.unionByName(down.select(col("id"), col("d")))
-        upper = down
-      }
-      acc
-    }
-    perPivot.reduce(_ unionByName _)
+    accSlices.foldLeft(Seq.empty[(Long, Double)].toDF("id", "d"))(
+        _ unionByName _)
       .groupBy("id").agg(round(sum("d"), 4).as("betweenness"))
       .filter(col("betweenness") > 0)
   }
@@ -1852,6 +1891,14 @@ object Graph {
     val adj = ckpt(raw
       .unionAll(raw.select(col("t").as("s"), col("s").as("t")))
       .distinct())
+    // NOTE (r15 measured, kept as-was): a frontier-based rewrite
+    // (expand only the newly-discovered (src, id) pairs, anti-join
+    // the accumulated slices, early-exit on an empty frontier) was
+    // A/B'd and MEASURED SLOWER (q379 3.9→4.3 s clean-window 3-rep;
+    // taskSec 11.7→14.0, jobs 31→49): the anti-join re-shuffles the
+    // whole accumulated pair set every round — the same bytes the
+    // grouped-min pass already moves — plus an extra count job per
+    // round and fragmented union scans. Reverted.
     var dist = ckpt(sources.select(sourceIdCol.cast("long").as("src"))
       .distinct()
       .select(col("src"), col("src").as("id"), lit(0L).as("dist")))

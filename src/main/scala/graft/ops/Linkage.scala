@@ -149,6 +149,12 @@ object Linkage {
           idCol.cast("long").as("rid") +:
           rankCols.zipWithIndex.map { case (c, i) => c.as(s"r$i") }) ++
           voteCols.map { case (n, c) => c.cast("string").as(s"v_$n") }: _*)
+      // null or non-numeric cluster/record keys drop LOUDLY-documented
+      // rather than coalescing into one null pseudo-cluster with a
+      // null canonical_id (round-14 advisor — the sortedNeighborhood
+      // null discipline): keys must cast to long; rows that do not are
+      // not mergeable records.
+      .filter(col("cluster").isNotNull && col("rid").isNotNull)
       .localCheckpoint(true) // read 1 + |voteCols| times
     val rankStruct = struct(
       rankCols.indices.map(i => col(s"r$i")) :+ col("rid"): _*)

@@ -1348,14 +1348,20 @@ object Temporal {
       .select(col("lag"), (col("t") - col("lag")).as("t"),
         col("y").as("ys"))
     def dd(c: Column) = c.cast("decimal(38,0)")
-    s.join(shifted, Seq("t"))
+    val moments = s.join(shifted, Seq("t"))
       .groupBy("lag")
       .agg(count(lit(1)).as("n"), sum("x").as("sx"),
         sum("ys").as("sy"),
         sum(dd(col("x")) * dd(col("ys"))).as("sxy"),
         sum(dd(col("x")) * dd(col("x"))).as("sxx"),
         sum(dd(col("ys")) * dd(col("ys"))).as("syy"))
-      .select(col("lag"), col("n"),
+    // LEFT-join the moments back onto the broadcast lag table
+    // (round-14 advisor): a lag with ZERO overlap used to vanish from
+    // the output (inner join → groupBy), silently diverging from the
+    // streaming twin, which always emits all 2·maxLag+1 lags with
+    // n = 0. Now every lag appears; null moments make r null.
+    broadcast(lags).join(moments, Seq("lag"), "left")
+      .select(col("lag"), coalesce(col("n"), lit(0L)).as("n"),
         // decimal(38,0) products: n·Σx² outgrows Long once the grain
         // count times the squared magnitudes passes ~9·10¹⁸ — the
         // modularityNumerator stance, exact to 38 digits

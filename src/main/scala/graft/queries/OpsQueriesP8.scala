@@ -278,11 +278,12 @@ private[queries] object OpsQueriesP8 {
          agg AS (SELECT CAST(sum(t) AS BIGINT) AS n,
                    CAST(sum(pos) AS BIGINT) AS n_pos,
                    sum(pos * midrank) AS wp,
-                   CAST(sum(t * t * t - t) AS BIGINT) AS tie
+                   sum(CAST(t AS HUGEINT) * t * t - t) AS tie
                  FROM r),
          f AS (SELECT agg.n, agg.n_pos, agg.wp,
-                 agg.n * (agg.n + 1) / 4.0 AS mu,
-                 agg.n * (agg.n + 1) * (2 * agg.n + 1) / 24.0
+                 CAST(agg.n AS HUGEINT) * (agg.n + 1) / 4.0 AS mu,
+                 CAST(agg.n AS HUGEINT) * (agg.n + 1) * (2 * agg.n + 1)
+                     / 24.0
                    - agg.tie / 48.0 AS varw
                FROM agg)
          SELECT coalesce(f.n, 0) AS n, zc.n_zero,
@@ -316,14 +317,14 @@ private[queries] object OpsQueriesP8 {
                  CAST(sum(x * x) AS HUGEINT) AS sxx,
                  CAST(sum(ys * ys) AS HUGEINT) AS syy
                FROM j GROUP BY lag)
-         SELECT lag, n,
-           round(CASE WHEN n >= 2
-               AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-             THEN CAST(n * sxy - sx * sy AS DOUBLE) /
-               sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
-                 CAST(n * syy - sy * sy AS DOUBLE))
+         SELECT l.lag, coalesce(m.n, 0) AS n,
+           round(CASE WHEN m.n >= 2
+               AND m.n * sxx - sx * sx > 0 AND m.n * syy - sy * sy > 0
+             THEN CAST(m.n * sxy - sx * sy AS DOUBLE) /
+               sqrt(CAST(m.n * sxx - sx * sx AS DOUBLE) *
+                 CAST(m.n * syy - sy * sy AS DOUBLE))
              END, 4) AS r
-         FROM m ORDER BY lag""",
+         FROM lags l LEFT JOIN m ON m.lag = l.lag ORDER BY l.lag""",
     "q394_residual_diag" ->
       """WITH daily AS (SELECT user_id % 10 AS k,
                date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
@@ -654,26 +655,27 @@ private[queries] object OpsQueriesP8 {
                 FROM cells x JOIN cells y ON x.g < y.g),
          grp AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
                    CAST(count(*) AS BIGINT) AS k,
-                   CAST(sum(ng * ng) AS BIGINT) AS n2,
-                   CAST(sum(ng * (ng - 1) * (ng * 2 + 5)) AS BIGINT)
+                   sum(CAST(ng AS HUGEINT) * ng) AS n2,
+                   sum(CAST(ng AS HUGEINT) * (ng - 1) * (ng * 2 + 5))
                      AS ga,
-                   CAST(sum(ng * (ng - 1) * (ng - 2)) AS BIGINT)
+                   sum(CAST(ng AS HUGEINT) * (ng - 1) * (ng - 2))
                      AS gb,
                    CAST(sum(ng * (ng - 1)) AS BIGINT) AS gc
                  FROM (SELECT g, CAST(sum(c) AS BIGINT) AS ng
                        FROM cells GROUP BY g)),
          ties AS (SELECT
-                    CAST(coalesce(sum(t * (t - 1) * (t * 2 + 5)), 0)
-                      AS BIGINT) AS ta,
-                    CAST(coalesce(sum(t * (t - 1) * (t - 2)), 0)
-                      AS BIGINT) AS tb,
+                    coalesce(sum(CAST(t AS HUGEINT) * (t - 1)
+                      * (t * 2 + 5)), 0) AS ta,
+                    coalesce(sum(CAST(t AS HUGEINT) * (t - 1)
+                      * (t - 2)), 0) AS tb,
                     CAST(coalesce(sum(t * (t - 1)), 0) AS BIGINT)
                       AS tc
                   FROM (SELECT m, CAST(sum(c) AS BIGINT) AS t
                         FROM cells GROUP BY m)),
          f AS (SELECT jj.j, grp.n, grp.k,
-                 (grp.n * grp.n - grp.n2) / 4.0 AS mu,
-                 CAST(grp.n * (grp.n - 1) * (grp.n * 2 + 5)
+                 (CAST(grp.n AS HUGEINT) * grp.n - grp.n2) / 4.0 AS mu,
+                 CAST(CAST(grp.n AS HUGEINT) * (grp.n - 1)
+                       * (grp.n * 2 + 5)
                      - grp.ga - ties.ta AS DOUBLE) / 72.0
                    + CAST(CAST(grp.gb AS HUGEINT) * ties.tb
                        AS DOUBLE) /
